@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Central SparkSession factory for the graft engine.
+  *
+  * Every entry point (Verify, Bench, tests) builds its session here so the
+  * scale-relevant knobs stay in one place:
+  *
+  *  - `spark.sql.shuffle.partitions` defaults to the local core count (32 on
+  *    the bench box) instead of 200 — on a real cluster this is overridden to
+  *    ~2-3x total cores; AQE coalesces down from there.
+  *  - AQE on: runtime shuffle-partition coalescing, skew-join splitting, and
+  *    runtime join-strategy switches are exactly the features that keep these
+  *    plans healthy at 100 TB where static planning guesses wrong.
+  *  - `nanosAsLong`: the synthetic `events` table carries parquet
+  *    TIMESTAMP(NANOS) which Spark 4 otherwise refuses; we read it as an
+  *    epoch-nanos Long and derive event-time columns from it (see
+  *    [[graft.sources.Tables.events]]).
+  *  - UTC session timezone so window arithmetic matches the DuckDB oracle.
+  */
+object GraftSession {
+  def builder(appName: String = "graft", cores: String = "32"): SparkSession.Builder =
+    SparkSession
+      .builder()
+      .appName(appName)
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.aggregatePushdown", "true")
+      .config("spark.ui.enabled", "false")
+
+  def local(appName: String = "graft", cores: String = "32"): SparkSession = {
+    val s = builder(appName, cores).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

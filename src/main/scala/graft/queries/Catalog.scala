@@ -1,0 +1,38 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One verifiable query: a Spark implementation over a scale-factor dir plus
+  * (when SQL-expressible) an equivalent DuckDB oracle query on the same
+  * parquet tables. The driver hash-compares both result sets with columns
+  * sorted by name — so every computed column is aliased identically on both
+  * sides, and outputs stick to types that hash identically across engines:
+  *
+  *   - integers / strings / booleans: always safe.
+  *   - doubles: only when derived by *bit-identical* IEEE scalar ops on both
+  *     sides (per-row arithmetic, or division of exactly-aggregated values).
+  *     Order-dependent double aggregation (sum/avg over raw doubles) is
+  *     avoided by aggregating `floor(x * 100)` cents as BIGINT instead.
+  *   - event time: integral epoch seconds (`ts div 1e9` == `epoch_ms//1000`),
+  *     never engine-formatted timestamps.
+  */
+final case class Q(
+    name: String,
+    spark: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    /** Part of the Bench headline set (run at sf0.1 per round). */
+    bench: Boolean = false,
+)
+
+object Catalog {
+  def all: Seq[Q] =
+    Relational.qs ++ EventAnalytics.qs ++ TextOps.qs ++ VectorOps.qs
+
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q.name -> q.spark).toMap
+
+  lazy val oracleSql: Map[String, String] =
+    all.flatMap(q => q.oracle.map(q.name -> _)).toMap
+
+  lazy val benchNames: Seq[String] = all.filter(_.bench).map(_.name)
+}

@@ -1,0 +1,477 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Batch-verifiable versions of the reference's streaming analytics, mapped
+  * onto the synthetic `events` table (`event_type` plays the role of
+  * behavior/channel/loginState, the numeric id inside `props` plays itemId).
+  *
+  * Every query's semantics mirror a reference job (file:line cited per
+  * query); the streaming variants of the same operators live in
+  * [[graft.streaming]] and share the library code in [[graft.operators]].
+  *
+  * Window arithmetic is integral epoch-second math (`ts div 1e9`, aligned to
+  * the epoch) rather than Spark's `window()` struct so the DuckDB oracle can
+  * reproduce it bit-for-bit; `window()` produces the identical assignment and
+  * is used in the streaming paths.
+  *
+  * Scale notes: hop windows explode each event into size/slide rows *after*
+  * filter/projection pruning — the same expansion Spark's own TimeWindowing
+  * rule performs — and then partial-aggregate before the shuffle, so the
+  * shuffled volume is one row per (window, key), not per event.
+  */
+object EventAnalytics {
+
+  /** Tumbling window start: largest multiple of `size` ≤ sec (epoch-aligned). */
+  private def tumble(sec: Column, size: Long): Column =
+    (sec - pmod(sec, lit(size))).as("window_start")
+
+  /** Hop-window assignment: one output row per (event, containing window). */
+  private def hopStarts(sec: Column, size: Long, slide: Long): Column = {
+    val wmax = sec - pmod(sec, lit(slide))
+    explode(sequence(wmax - lit(size) + lit(slide), wmax, lit(slide)))
+  }
+
+  /** events + `item` (the numeric id parsed out of the props JSON). */
+  private def eventsWithItem(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("item", regexp_extract(col("props"), "(\\d+)", 1).cast("long"))
+
+  private val oracleBase =
+    """WITH base AS (
+      |  SELECT event_id, user_id, event_type, value,
+      |         CAST(regexp_extract(props, '(\d+)', 1) AS BIGINT) AS item,
+      |         epoch_ms(ts)//1000 AS sec, ts
+      |  FROM events)""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Hot items: sliding-window count per item + per-window Top-N.
+  // Reference: HotItems.java:76-85 (1h/5m sliding count by itemId) +
+  // TopNHotItems.java:140-197; scaled to this dataset as 6h/1h, top 5.
+  // ---------------------------------------------------------------------
+  private val hopSize = 21600L
+  private val hopSlide = 3600L
+
+  val hotItemsTopN = Q(
+    "hot_items_topn",
+    (s, d) => {
+      import s.implicits._
+      val counted = eventsWithItem(s, d)
+        .withColumn("window_start", hopStarts($"ts_sec", hopSize, hopSlide))
+        .groupBy($"window_start", $"item")
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy($"window_start").orderBy($"cnt".desc, $"item")
+      counted.withColumn("rn", row_number().over(w)).filter($"rn" <= 5)
+    },
+    Some(s"""
+      $oracleBase,
+      hopped AS (
+        SELECT item,
+               unnest(generate_series(sec - sec % $hopSlide - ${hopSize - hopSlide},
+                                      sec - sec % $hopSlide, $hopSlide)) AS window_start
+        FROM base),
+      counted AS (SELECT window_start, item, COUNT(*) AS cnt FROM hopped GROUP BY 1, 2)
+      SELECT window_start, item, cnt,
+             ROW_NUMBER() OVER (PARTITION BY window_start ORDER BY cnt DESC, item) AS rn
+      FROM counted
+      QUALIFY rn <= 5
+    """.stripMargin.trim),
+    bench = true,
+  )
+
+  /** Same Top-N expressed through the pure-SQL surface (reference
+    * HotItemsWithSql.java:80-89: HOP window + ROW_NUMBER + rn<=5 subquery),
+    * run verbatim through Catalyst via spark.sql.
+    */
+  val hotItemsSql = Q(
+    "hot_items_sql",
+    (s, d) => {
+      eventsWithItem(s, d).createOrReplaceTempView("events_v")
+      s.sql(s"""
+        WITH hopped AS (
+          SELECT item, explode(sequence(ts_sec - pmod(ts_sec, $hopSlide) - ${hopSize - hopSlide},
+                                        ts_sec - pmod(ts_sec, $hopSlide), $hopSlide)) AS window_start
+          FROM events_v),
+        counted AS (SELECT window_start, item, COUNT(*) AS cnt FROM hopped GROUP BY 1, 2)
+        SELECT window_start, item, cnt, rn FROM (
+          SELECT window_start, item, cnt,
+                 ROW_NUMBER() OVER (PARTITION BY window_start ORDER BY cnt DESC, item) AS rn
+          FROM counted)
+        WHERE rn <= 5
+      """)
+    },
+    hotItemsTopN.oracle,
+  )
+
+  // ---------------------------------------------------------------------
+  // Page views: tumbling-window count of 'view' events.
+  // Reference: PageView.java:59-70 (behavior='pv', 1h tumbling count).
+  // ---------------------------------------------------------------------
+  val pageViews = Q(
+    "page_views",
+    (s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .filter($"event_type" === "view")
+        .groupBy(tumble($"ts_sec", 3600L))
+        .agg(count(lit(1)).as("cnt"))
+    },
+    Some(s"""
+      $oracleBase
+      SELECT sec - sec % 3600 AS window_start, COUNT(*) AS cnt
+      FROM base WHERE event_type = 'view' GROUP BY 1
+    """.stripMargin.trim),
+  )
+
+  // ---------------------------------------------------------------------
+  // Unique visitors: exact distinct users per tumbling day.
+  // Reference: UniqueVisitor.java:54-73 (1h window, HashSet distinct).
+  // ---------------------------------------------------------------------
+  val uniqueVisitors = Q(
+    "unique_visitors",
+    (s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .groupBy(tumble($"ts_sec", 86400L))
+        .agg(countDistinct($"user_id").as("uv"), count(lit(1)).as("pv"))
+    },
+    Some(s"""
+      $oracleBase
+      SELECT sec - sec % 86400 AS window_start,
+             COUNT(DISTINCT user_id) AS uv, COUNT(*) AS pv
+      FROM base GROUP BY 1
+    """.stripMargin.trim),
+    bench = true,
+  )
+
+  /** Approximate distinct (HLL++) — the Spark-idiomatic replacement for the
+    * reference's hand-rolled Redis-backed Bloom filter
+    * (UvWithBloomFilter.java:94-161). Not SQL-oracle-comparable (different
+    * sketch), so the driver records a rows-only check; the ScalaTest spec
+    * asserts the estimate is within 5% of the exact count.
+    */
+  val uvApprox = Q(
+    "uv_approx",
+    (s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .groupBy(tumble($"ts_sec", 86400L))
+        .agg(approx_count_distinct($"user_id", 0.01).as("uv_approx"))
+    },
+    None,
+  )
+
+  // ---------------------------------------------------------------------
+  // Marketing stats: sliding-window counts per channel and totals.
+  // Reference: AppMarketingByChannel.java:46-56 / AppMarketingStatistics.java.
+  // event_type stands in for channel; 'error' events are excluded the way
+  // the reference drops UNINSTALL.
+  // ---------------------------------------------------------------------
+  val marketingByChannel = Q(
+    "marketing_by_channel",
+    (s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .filter($"event_type" =!= "error")
+        .withColumn("window_start", hopStarts($"ts_sec", 86400L, 21600L))
+        .groupBy($"window_start", $"event_type")
+        .agg(count(lit(1)).as("cnt"), countDistinct($"user_id").as("users"))
+    },
+    Some(s"""
+      $oracleBase,
+      hopped AS (
+        SELECT event_type, user_id,
+               unnest(generate_series(sec - sec % 21600 - 64800,
+                                      sec - sec % 21600, 21600)) AS window_start
+        FROM base WHERE event_type <> 'error')
+      SELECT window_start, event_type, COUNT(*) AS cnt, COUNT(DISTINCT user_id) AS users
+      FROM hopped GROUP BY 1, 2
+    """.stripMargin.trim),
+  )
+
+  val marketingTotal = Q(
+    "marketing_total",
+    (s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .filter($"event_type" =!= "error")
+        .groupBy(tumble($"ts_sec", 86400L))
+        .agg(count(lit(1)).as("cnt"), countDistinct($"user_id").as("users"))
+    },
+    Some(s"""
+      $oracleBase
+      SELECT sec - sec % 86400 AS window_start, COUNT(*) AS cnt,
+             COUNT(DISTINCT user_id) AS users
+      FROM base WHERE event_type <> 'error' GROUP BY 1
+    """.stripMargin.trim),
+  )
+
+  // ---------------------------------------------------------------------
+  // Click-fraud blacklist: (user, item) pairs exceeding a daily click
+  // threshold → warning side channel; main aggregate excludes them.
+  // Reference: FilterBlackListUser, AdStatisticsByProvince.java:104-160
+  // (threshold 100/day, midnight reset == daily tumbling key here).
+  // ---------------------------------------------------------------------
+  private val blacklistThreshold = 2
+
+  val blacklistUsers = Q(
+    "blacklist_users",
+    (s, d) => {
+      import s.implicits._
+      eventsWithItem(s, d)
+        .groupBy($"user_id", $"item", tumble($"ts_sec", 86400L))
+        .agg(count(lit(1)).as("clicks"))
+        .filter($"clicks" >= blacklistThreshold)
+        .withColumn("warning", concat(lit("click over "), lit(blacklistThreshold), lit(" times today")))
+    },
+    Some(s"""
+      $oracleBase
+      SELECT user_id, item, sec - sec % 86400 AS window_start, COUNT(*) AS clicks,
+             'click over $blacklistThreshold times today' AS warning
+      FROM base GROUP BY 1, 2, 3 HAVING COUNT(*) >= $blacklistThreshold
+    """.stripMargin.trim),
+  )
+
+  /** The main stream with blacklisted (user,item,day) triples filtered out —
+    * the reference's main-output path after the stateful filter (F7); daily
+    * per-item counts.
+    */
+  val clicksFiltered = Q(
+    "clicks_filtered",
+    (s, d) => {
+      import s.implicits._
+      val e = eventsWithItem(s, d).withColumn("day", tumble($"ts_sec", 86400L))
+      val black = e.groupBy($"user_id", $"item", $"day")
+        .agg(count(lit(1)).as("clicks"))
+        .filter($"clicks" >= blacklistThreshold)
+        .select($"user_id".as("b_user"), $"item".as("b_item"), $"day".as("b_day"))
+      e.join(black,
+          $"user_id" === $"b_user" && $"item" === $"b_item" && $"day" === $"b_day",
+          "left_anti")
+        .groupBy($"item", $"day")
+        .agg(count(lit(1)).as("cnt"))
+        .withColumnRenamed("day", "window_start")
+    },
+    Some(s"""
+      $oracleBase,
+      days AS (SELECT user_id, item, sec - sec % 86400 AS day FROM base),
+      black AS (SELECT user_id, item, day FROM days GROUP BY 1, 2, 3
+                HAVING COUNT(*) >= $blacklistThreshold)
+      SELECT item, day AS window_start, COUNT(*) AS cnt
+      FROM days d
+      WHERE NOT EXISTS (SELECT 1 FROM black b
+                        WHERE b.user_id = d.user_id AND b.item = d.item AND b.day = d.day)
+      GROUP BY 1, 2
+    """.stripMargin.trim),
+  )
+
+  // ---------------------------------------------------------------------
+  // Brute-force login detection (eager variant): two consecutive 'error'
+  // events from one user within the window → warning on arrival of the 2nd.
+  // Reference: LoginFailDetectWarning, LoginFail.java:126-170 (fail,fail
+  // within 2s, strict contiguity — an intervening success resets).
+  // lag() over the full per-user event sequence preserves the strictness.
+  // ---------------------------------------------------------------------
+  private val failGap = 21600L
+
+  val loginFailEager = Q(
+    "login_fail_eager",
+    (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts")
+      Tables.events(s, d)
+        .withColumn("prev_type", lag($"event_type", 1).over(w))
+        .withColumn("prev_sec", lag($"ts_sec", 1).over(w))
+        .withColumn("prev_id", lag($"event_id", 1).over(w))
+        .filter($"event_type" === "error" && $"prev_type" === "error" &&
+          $"ts_sec" - $"prev_sec" <= failGap)
+        .select(
+          $"user_id",
+          $"prev_id".as("first_fail_id"),
+          $"event_id".as("second_fail_id"),
+          $"prev_sec".as("first_fail_sec"),
+          $"ts_sec".as("second_fail_sec"),
+          lit("login fail 2 times in " + failGap + "s").as("warning"),
+        )
+    },
+    Some(s"""
+      $oracleBase,
+      seq AS (
+        SELECT user_id, event_id, event_type, sec,
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS prev_type,
+               lag(sec)        OVER (PARTITION BY user_id ORDER BY ts) AS prev_sec,
+               lag(event_id)   OVER (PARTITION BY user_id ORDER BY ts) AS prev_id
+        FROM base)
+      SELECT user_id, prev_id AS first_fail_id, event_id AS second_fail_id,
+             prev_sec AS first_fail_sec, sec AS second_fail_sec,
+             'login fail 2 times in ${failGap}s' AS warning
+      FROM seq
+      WHERE event_type = 'error' AND prev_type = 'error' AND sec - prev_sec <= $failGap
+    """.stripMargin.trim),
+  )
+
+  // ---------------------------------------------------------------------
+  // Order lifecycle: signup ("create") followed by purchase ("pay") within
+  // the deadline → matched, else timeout.
+  // Reference: OrderPayMatchDetect, OrderTimeOutOnProcess.java:63-146.
+  // ---------------------------------------------------------------------
+  private val payDeadline = 604800L // 7 days
+
+  val orderTimeout = Q(
+    "order_timeout",
+    (s, d) => {
+      import s.implicits._
+      val e = Tables.events(s, d)
+      val su = e.filter($"event_type" === "signup")
+        .select($"user_id", $"event_id".as("signup_id"), $"ts_sec".as("signup_sec"))
+      val pay = e.filter($"event_type" === "purchase")
+        .select($"user_id".as("p_user"), $"ts_sec".as("pay_sec"))
+      su.join(pay,
+          $"user_id" === $"p_user" && $"pay_sec" > $"signup_sec" &&
+            $"pay_sec" <= $"signup_sec" + payDeadline,
+          "left")
+        .groupBy($"user_id", $"signup_id", $"signup_sec")
+        .agg(min($"pay_sec").as("first_pay_sec"))
+        .withColumn("state",
+          when($"first_pay_sec".isNotNull, lit("payed successfully")).otherwise(lit("timeout")))
+    },
+    Some(s"""
+      $oracleBase
+      SELECT s.user_id, s.event_id AS signup_id, s.sec AS signup_sec,
+             MIN(p.sec) AS first_pay_sec,
+             CASE WHEN MIN(p.sec) IS NOT NULL THEN 'payed successfully' ELSE 'timeout' END AS state
+      FROM base s
+      LEFT JOIN base p
+        ON p.user_id = s.user_id AND p.event_type = 'purchase'
+       AND p.sec > s.sec AND p.sec <= s.sec + $payDeadline
+      WHERE s.event_type = 'signup'
+      GROUP BY 1, 2, 3
+    """.stripMargin.trim),
+  )
+
+  // ---------------------------------------------------------------------
+  // Two-stream reconciliation: purchase ⋈ view per user within ±1h
+  // (interval join), plus the unmatched side channel.
+  // Reference: TxPayMatchByJoin.java:63-80 (intervalJoin between -3s/+5s)
+  // and TxPayMatch.java side outputs (unmatched-pays).
+  // ---------------------------------------------------------------------
+  private val txWindow = 3600L
+
+  val txIntervalJoin = Q(
+    "tx_interval_join",
+    (s, d) => {
+      import s.implicits._
+      val e = Tables.events(s, d)
+      val pays = e.filter($"event_type" === "purchase")
+        .select($"user_id", $"event_id".as("pay_id"), $"ts_sec".as("pay_sec"))
+      val views = e.filter($"event_type" === "view")
+        .select($"user_id".as("v_user"), $"event_id".as("view_id"), $"ts_sec".as("view_sec"))
+      pays.join(views,
+        $"user_id" === $"v_user" &&
+          $"view_sec" >= $"pay_sec" - txWindow && $"view_sec" <= $"pay_sec" + txWindow)
+        .select($"user_id", $"pay_id", $"view_id", $"pay_sec", $"view_sec")
+    },
+    Some(s"""
+      $oracleBase
+      SELECT p.user_id, p.event_id AS pay_id, v.event_id AS view_id,
+             p.sec AS pay_sec, v.sec AS view_sec
+      FROM base p JOIN base v
+        ON p.user_id = v.user_id AND p.event_type = 'purchase' AND v.event_type = 'view'
+       AND v.sec BETWEEN p.sec - $txWindow AND p.sec + $txWindow
+    """.stripMargin.trim),
+  )
+
+  val txUnmatched = Q(
+    "tx_unmatched",
+    (s, d) => {
+      import s.implicits._
+      val e = Tables.events(s, d)
+      val pays = e.filter($"event_type" === "purchase")
+        .select($"user_id", $"event_id".as("pay_id"), $"ts_sec".as("pay_sec"))
+      val views = e.filter($"event_type" === "view")
+        .select($"user_id".as("v_user"), $"ts_sec".as("view_sec"))
+      pays.join(views,
+          $"user_id" === $"v_user" &&
+            $"view_sec" >= $"pay_sec" - txWindow && $"view_sec" <= $"pay_sec" + txWindow,
+          "left_anti")
+    },
+    Some(s"""
+      $oracleBase
+      SELECT p.user_id, p.event_id AS pay_id, p.sec AS pay_sec
+      FROM base p
+      WHERE p.event_type = 'purchase' AND NOT EXISTS (
+        SELECT 1 FROM base v
+        WHERE v.user_id = p.user_id AND v.event_type = 'view'
+          AND v.sec BETWEEN p.sec - $txWindow AND p.sec + $txWindow)
+    """.stripMargin.trim),
+  )
+
+  // ---------------------------------------------------------------------
+  // Sessionization (pipeline extension beyond the reference): gap-based
+  // sessions per user — lag + running sum of boundary flags.
+  // ---------------------------------------------------------------------
+  private val sessionGap = 21600L
+
+  val sessionize = Q(
+    "sessionize",
+    (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts")
+      Tables.events(s, d)
+        .withColumn("prev_sec", lag($"ts_sec", 1).over(w))
+        .withColumn("boundary",
+          when($"prev_sec".isNull || $"ts_sec" - $"prev_sec" > sessionGap, 1L).otherwise(0L))
+        .withColumn("session_no", sum($"boundary").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy($"user_id", $"session_no")
+        .agg(
+          count(lit(1)).as("n_events"),
+          min($"ts_sec").as("start_sec"),
+          max($"ts_sec").as("end_sec"),
+        )
+        .withColumn("duration_sec", $"end_sec" - $"start_sec")
+    },
+    Some(s"""
+      $oracleBase,
+      seq AS (
+        SELECT user_id, sec, ts,
+               lag(sec) OVER (PARTITION BY user_id ORDER BY ts) AS prev_sec
+        FROM base),
+      flagged AS (
+        SELECT user_id, sec, ts,
+               CASE WHEN prev_sec IS NULL OR sec - prev_sec > $sessionGap THEN 1 ELSE 0 END AS boundary
+        FROM seq),
+      numbered AS (
+        SELECT user_id, sec,
+               CAST(SUM(boundary) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
+        FROM flagged)
+      SELECT user_id, session_no, COUNT(*) AS n_events,
+             MIN(sec) AS start_sec, MAX(sec) AS end_sec,
+             MAX(sec) - MIN(sec) AS duration_sec
+      FROM numbered GROUP BY 1, 2
+    """.stripMargin.trim),
+    bench = true,
+  )
+
+  val qs: Seq[Q] = Seq(
+    hotItemsTopN,
+    hotItemsSql,
+    pageViews,
+    uniqueVisitors,
+    uvApprox,
+    marketingByChannel,
+    marketingTotal,
+    blacklistUsers,
+    clicksFiltered,
+    loginFailEager,
+    orderTimeout,
+    txIntervalJoin,
+    txUnmatched,
+    sessionize,
+  )
+}

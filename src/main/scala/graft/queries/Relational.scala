@@ -1,0 +1,270 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Relational / OLAP query pack over the TPC-H-ish star schema.
+  *
+  * These exercise the core engine surface the reference's jobs imply —
+  * scan + pushed filter, projection pruning, hash aggregation (partial→final),
+  * broadcast vs shuffle joins, semi joins, ranking window functions, and
+  * deterministic top-k — in the shapes Catalyst optimizes best.
+  *
+  * Monetary aggregates fold `floor(x * 100)` cents into BIGINT before
+  * summing: per-row IEEE double math is bit-identical across engines, and
+  * integer sums are order-independent, so results hash-match the DuckDB
+  * oracle exactly (see [[Q]] docs).
+  *
+  * Scale notes (100 TB): every query here is a scan→(broadcast join)*→
+  * partial agg→shuffle→final agg pipeline. Dimension joins use explicit
+  * `broadcast()`; fact-fact joins shuffle on the join key and AQE handles
+  * skew. No driver-side collection anywhere.
+  */
+object Relational {
+
+  private val centsL = (c: org.apache.spark.sql.Column) => floor(c * 100)
+
+  /** TPC-H Q1-shaped pricing summary — partial-agg-friendly wide aggregation.
+    * Reference analog: the cloned incremental count/sum AggregateFunctions
+    * (SURVEY §2.5 A1/A2, e.g. HotItemsAnalysis/.../HotItems.java:93-113).
+    */
+  val q1PricingSummary = Q(
+    "q1_pricing_summary",
+    (s, d) => {
+      import s.implicits._
+      Tables
+        .lineitem(s, d)
+        .filter($"l_shipdate" <= lit("2000-12-31").cast("timestamp_ntz"))
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          sum($"l_quantity").as("sum_qty"),
+          sum(centsL($"l_extendedprice")).as("sum_base_cents"),
+          sum(centsL($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("sum_disc_cents"),
+          sum(centsL($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax")))
+            .as("sum_charge_cents"),
+          count(lit(1)).as("count_order"),
+        )
+        .withColumn("avg_qty", $"sum_qty" / $"count_order")
+        .withColumn("avg_price", $"sum_base_cents" / lit(100.0) / $"count_order")
+    },
+    Some("""
+      SELECT l_returnflag, l_linestatus,
+             SUM(l_quantity) AS sum_qty,
+             CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+             CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+             CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) * 100) AS BIGINT)) AS BIGINT) AS sum_charge_cents,
+             COUNT(*) AS count_order,
+             SUM(l_quantity) / COUNT(*) AS avg_qty,
+             CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT) / 100.0 / COUNT(*) AS avg_price
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '2000-12-31'
+      GROUP BY l_returnflag, l_linestatus
+    """.stripMargin.trim),
+    bench = true,
+  )
+
+  /** TPC-H Q3-shaped shipping priority: two shuffles (orders⋈lineitem on
+    * orderkey, then agg) + one broadcast (filtered customer dim), then a
+    * deterministic top-10. The broadcast keeps the big fact-fact join as the
+    * only shuffle that scales with data volume.
+    */
+  val q3ShippingPriority = Q(
+    "q3_shipping_priority",
+    (s, d) => {
+      import s.implicits._
+      val c = Tables.customer(s, d).filter($"c_mktsegment" === "BUILDING")
+      val o = Tables.orders(s, d).filter($"o_orderdate" < lit("1999-01-01").cast("timestamp_ntz"))
+      val l = Tables.lineitem(s, d).filter($"l_shipdate" > lit("1999-01-01").cast("timestamp_ntz"))
+      l.join(o, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(c), $"o_custkey" === $"c_custkey")
+        .groupBy($"l_orderkey", date_format($"o_orderdate", "yyyy-MM-dd").as("orderdate"))
+        .agg(sum(centsL($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("revenue_cents"))
+        .orderBy($"revenue_cents".desc, $"l_orderkey")
+        .limit(10)
+    },
+    Some("""
+      SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+             CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+      FROM customer, orders, lineitem
+      WHERE c_mktsegment = 'BUILDING'
+        AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+        AND o_orderdate < TIMESTAMP '1999-01-01'
+        AND l_shipdate  > TIMESTAMP '1999-01-01'
+      GROUP BY l_orderkey, orderdate
+      ORDER BY revenue_cents DESC, l_orderkey
+      LIMIT 10
+    """.stripMargin.trim),
+    bench = true,
+  )
+
+  /** TPC-H Q5-shaped revenue by nation: snowflake of broadcast dims around
+    * the lineitem⋈orders shuffle join.
+    */
+  val q5NationRevenue = Q(
+    "q5_nation_revenue",
+    (s, d) => {
+      import s.implicits._
+      val dims = Tables
+        .customer(s, d)
+        .join(Tables.nation(s, d), $"c_nationkey" === $"n_nationkey")
+        .join(Tables.region(s, d).filter($"r_name".isin("REGION_0", "REGION_1")),
+              $"n_regionkey" === $"r_regionkey")
+        .select($"c_custkey", $"n_name")
+      val o = Tables
+        .orders(s, d)
+        .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp_ntz") &&
+          $"o_orderdate" < lit("1998-01-01").cast("timestamp_ntz"))
+      Tables
+        .lineitem(s, d)
+        .join(o, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(dims), $"o_custkey" === $"c_custkey")
+        .groupBy($"n_name")
+        .agg(
+          sum(centsL($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("revenue_cents"),
+          count(lit(1)).as("n_items"),
+        )
+    },
+    Some("""
+      SELECT n_name,
+             CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+             COUNT(*) AS n_items
+      FROM lineitem, orders, customer, nation, region
+      WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+        AND c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        AND r_name IN ('REGION_0', 'REGION_1')
+        AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+      GROUP BY n_name
+    """.stripMargin.trim),
+    bench = true,
+  )
+
+  /** Ranking window function (reference T1/T3 Top-N shape on relational
+    * data): top-3 customers by order revenue within each nation.
+    * ROW_NUMBER() OVER (PARTITION BY ... ORDER BY ...) with a deterministic
+    * tiebreak — the same plan shape as HotItemsWithSql.java:73-76.
+    */
+  val qTopCustomersPerNation = Q(
+    "q_top_customers_per_nation",
+    (s, d) => {
+      import s.implicits._
+      val rev = Tables
+        .orders(s, d)
+        .groupBy($"o_custkey")
+        .agg(sum(centsL($"o_totalprice")).as("rev_cents"))
+      val w = Window.partitionBy($"n_name").orderBy($"rev_cents".desc, $"o_custkey")
+      rev
+        .join(broadcast(Tables.customer(s, d)), $"o_custkey" === $"c_custkey")
+        .join(broadcast(Tables.nation(s, d)), $"c_nationkey" === $"n_nationkey")
+        .select($"n_name", $"o_custkey", $"rev_cents")
+        .withColumn("rnk", row_number().over(w))
+        .filter($"rnk" <= 3)
+    },
+    Some("""
+      WITH rev AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+        FROM orders GROUP BY o_custkey)
+      SELECT n_name, o_custkey, rev_cents, rnk FROM (
+        SELECT n_name, o_custkey, rev_cents,
+               ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY rev_cents DESC, o_custkey) AS rnk
+        FROM rev, customer, nation
+        WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey)
+      WHERE rnk <= 3
+    """.stripMargin.trim),
+  )
+
+  /** Semi-join (EXISTS) shape — orders having a lineitem shipped more than
+    * 60 days after the order date, counted per priority.
+    */
+  val qOrderPriorityCount = Q(
+    "q_order_priority_count",
+    (s, d) => {
+      import s.implicits._
+      val late = Tables.lineitem(s, d).select($"l_orderkey", $"l_shipdate")
+      Tables
+        .orders(s, d)
+        .join(
+          late,
+          $"o_orderkey" === $"l_orderkey" &&
+            $"l_shipdate" > ($"o_orderdate" + expr("INTERVAL 60 DAYS")),
+          "left_semi",
+        )
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+    },
+    Some("""
+      SELECT o_orderpriority, COUNT(*) AS order_count
+      FROM orders
+      WHERE EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      GROUP BY o_orderpriority
+    """.stripMargin.trim),
+  )
+
+  /** Anti-join (NOT EXISTS): customers with no orders in 1999+. */
+  val qDormantCustomers = Q(
+    "q_dormant_customers",
+    (s, d) => {
+      import s.implicits._
+      val recent = Tables
+        .orders(s, d)
+        .filter($"o_orderdate" >= lit("1999-01-01").cast("timestamp_ntz"))
+        .select($"o_custkey")
+      Tables
+        .customer(s, d)
+        .join(recent, $"c_custkey" === $"o_custkey", "left_anti")
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n_dormant"))
+    },
+    Some("""
+      SELECT c_mktsegment, COUNT(*) AS n_dormant
+      FROM customer
+      WHERE NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '1999-01-01')
+      GROUP BY c_mktsegment
+    """.stripMargin.trim),
+  )
+
+  /** Multi-way dim join + grouped stats over part/supplier (small-table
+    * broadcast shapes).
+    */
+  val qPartSupplierStats = Q(
+    "q_part_supplier_stats",
+    (s, d) => {
+      import s.implicits._
+      Tables
+        .lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)), $"l_partkey" === $"p_partkey")
+        .join(broadcast(Tables.supplier(s, d)), $"l_suppkey" === $"s_suppkey")
+        .groupBy($"p_brand", $"s_name")
+        .agg(
+          sum($"l_quantity").as("sum_qty"),
+          count(lit(1)).as("n_lines"),
+          countDistinct($"l_orderkey").as("n_orders"),
+        )
+    },
+    Some("""
+      SELECT p_brand, s_name, SUM(l_quantity) AS sum_qty, COUNT(*) AS n_lines,
+             COUNT(DISTINCT l_orderkey) AS n_orders
+      FROM lineitem, part, supplier
+      WHERE l_partkey = p_partkey AND l_suppkey = s_suppkey
+      GROUP BY p_brand, s_name
+    """.stripMargin.trim),
+  )
+
+  val qs: Seq[Q] = Seq(
+    q1PricingSummary,
+    q3ShippingPriority,
+    q5NationRevenue,
+    qTopCustomersPerNation,
+    qOrderPriorityCount,
+    qDormantCustomers,
+    qPartSupplierStats,
+  )
+}
