@@ -11,8 +11,7 @@ import graft.sources.Tables
   * behavior/channel/loginState, the numeric id inside `props` plays itemId).
   *
   * Every query's semantics mirror a reference job (file:line cited per
-  * query); the streaming variants of the same operators live in
-  * [[graft.streaming]] and share the library code in [[graft.operators]].
+  * query).
   *
   * Window arithmetic is integral epoch-second math (`ts div 1e9`, aligned to
   * the epoch) rather than Spark's `window()` struct so the DuckDB oracle can
@@ -44,7 +43,7 @@ object EventAnalytics {
   private val oracleBase =
     """WITH base AS (
       |  SELECT event_id, user_id, event_type, value,
-      |         CAST(regexp_extract(props, '(\d+)', 1) AS BIGINT) AS item,
+      |         TRY_CAST(regexp_extract(props, '(\d+)', 1) AS BIGINT) AS item,
       |         epoch_ms(ts)//1000 AS sec, ts
       |  FROM events)""".stripMargin
 

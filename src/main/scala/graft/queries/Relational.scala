@@ -40,7 +40,9 @@ object Relational {
         .filter($"l_shipdate" <= lit("2000-12-31").cast("timestamp_ntz"))
         .groupBy($"l_returnflag", $"l_linestatus")
         .agg(
-          sum($"l_quantity").as("sum_qty"),
+          // l_quantity is integral-valued double (1..50); summing as BIGINT
+          // is exact and order-independent, unlike a raw double sum.
+          sum($"l_quantity".cast("long")).as("sum_qty"),
           sum(centsL($"l_extendedprice")).as("sum_base_cents"),
           sum(centsL($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("sum_disc_cents"),
           sum(centsL($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax")))
@@ -52,12 +54,12 @@ object Relational {
     },
     Some("""
       SELECT l_returnflag, l_linestatus,
-             SUM(l_quantity) AS sum_qty,
+             SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
              CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
              CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
              CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) * 100) AS BIGINT)) AS BIGINT) AS sum_charge_cents,
              COUNT(*) AS count_order,
-             SUM(l_quantity) / COUNT(*) AS avg_qty,
+             SUM(CAST(l_quantity AS BIGINT)) / COUNT(*) AS avg_qty,
              CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT) / 100.0 / COUNT(*) AS avg_price
       FROM lineitem
       WHERE l_shipdate <= TIMESTAMP '2000-12-31'
@@ -110,7 +112,7 @@ object Relational {
       val dims = Tables
         .customer(s, d)
         .join(Tables.nation(s, d), $"c_nationkey" === $"n_nationkey")
-        .join(Tables.region(s, d).filter($"r_name".isin("REGION_0", "REGION_1")),
+        .join(Tables.region(s, d).filter($"r_name".isin("ASIA", "EUROPE")),
               $"n_regionkey" === $"r_regionkey")
         .select($"c_custkey", $"n_name")
       val o = Tables
@@ -134,7 +136,7 @@ object Relational {
       FROM lineitem, orders, customer, nation, region
       WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
         AND c_nationkey = n_nationkey AND n_regionkey = r_regionkey
-        AND r_name IN ('REGION_0', 'REGION_1')
+        AND r_name IN ('ASIA', 'EUROPE')
         AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
       GROUP BY n_name
     """.stripMargin.trim),
@@ -244,13 +246,13 @@ object Relational {
         .join(broadcast(Tables.supplier(s, d)), $"l_suppkey" === $"s_suppkey")
         .groupBy($"p_brand", $"s_name")
         .agg(
-          sum($"l_quantity").as("sum_qty"),
+          sum($"l_quantity".cast("long")).as("sum_qty"),
           count(lit(1)).as("n_lines"),
           countDistinct($"l_orderkey").as("n_orders"),
         )
     },
     Some("""
-      SELECT p_brand, s_name, SUM(l_quantity) AS sum_qty, COUNT(*) AS n_lines,
+      SELECT p_brand, s_name, SUM(CAST(l_quantity AS BIGINT)) AS sum_qty, COUNT(*) AS n_lines,
              COUNT(DISTINCT l_orderkey) AS n_orders
       FROM lineitem, part, supplier
       WHERE l_partkey = p_partkey AND l_suppkey = s_suppkey

@@ -1,0 +1,453 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Text-analysis + deduplication query pack over the `documents` table —
+  * the training-data-pipeline operators (token counting, language ID,
+  * quality scoring, exact/near dedup via MinHash-LSH, n-gram Jaccard,
+  * SimHash fingerprinting) layered on the same engine surface as the
+  * reference's analytics jobs.
+  *
+  * Cross-engine determinism rules (everything here hash-matches a DuckDB
+  * oracle):
+  *   - tokens = non-empty substrings of `split(text, ' ')` — Spark keeps
+  *     trailing empties (limit -1) and DuckDB's string_split does too, and
+  *     both sides drop them with a lambda filter, so token lists agree.
+  *   - all hashing is md5 (identical lowercase hex in both engines); 60-bit
+  *     integer hashes take the first 15 hex chars so the value fits a signed
+  *     64-bit int in both engines (Spark `conv(_,16,10)`, DuckDB
+  *     `('0x'||_)::UBIGINT`).
+  *   - outputs are integers/strings only; ratio-like scores are
+  *     `floor(100 * a / b)` over small-int doubles (bit-identical IEEE).
+  *
+  * Scale notes (100 TB): every operator is a per-row projection followed by
+  * hash aggregation or an equi-join on a derived key (hash, band, shingle) —
+  * no cross join anywhere. The pairwise steps (Jaccard, candidate
+  * verification) only materialize pairs that share a band/shingle bucket,
+  * which is the standard LSH scale path; bucket skew is handled by AQE.
+  */
+object TextOps {
+
+  /** Non-empty tokens of a single-space-separated text. */
+  private val toks: Column = expr("filter(split(text, ' '), x -> x != '')")
+
+  /** 60-bit deterministic hash of a string column (see class docs). */
+  private def h60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
+
+  /** Word 3-gram shingles (distinct), the dedup unit for MinHash/Jaccard.
+    * `element_at` is 1-based like DuckDB's list indexing.
+    */
+  private val shingles: Column = expr(
+    """array_distinct(transform(
+      |  sequence(1, greatest(size(filter(split(text,' '), x -> x != '')) - 2, 0)),
+      |  i -> concat_ws(' ',
+      |         element_at(filter(split(text,' '), x -> x != ''), i),
+      |         element_at(filter(split(text,' '), x -> x != ''), i + 1),
+      |         element_at(filter(split(text,' '), x -> x != ''), i + 2))))""".stripMargin)
+
+  private val oracleToks =
+    "list_filter(string_split(text, ' '), x -> x != '')"
+
+  /** DuckDB equivalent of [[shingles]]. */
+  private val oracleShingles =
+    s"""list_distinct(list_transform(
+       |  generate_series(1, greatest(len($oracleToks) - 2, 0)),
+       |  i -> $oracleToks[i] || ' ' || $oracleToks[i+1] || ' ' || $oracleToks[i+2]))""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Token counting / corpus statistics.
+  // ---------------------------------------------------------------------
+
+  /** Per-(lang, source) corpus stats: docs, token totals, char bounds.
+    * Pure scan→partial agg→final agg; the 100 TB plan is one shuffle of
+    * one row per (lang, source).
+    */
+  val textStats = Q(
+    "t_text_stats",
+    (s, d) => {
+      import s.implicits._
+      docs(s, d)
+        .select(
+          $"lang",
+          $"source",
+          $"n_chars",
+          size(toks).as("n_tokens"),
+          size(array_distinct(toks)).as("n_distinct"),
+        )
+        .groupBy($"lang", $"source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum($"n_tokens").as("sum_tokens"),
+          sum($"n_distinct").as("sum_distinct"),
+          min($"n_chars").as("min_chars"),
+          max($"n_chars").as("max_chars"),
+        )
+    },
+    Some(s"""
+      WITH t AS (
+        SELECT lang, source, n_chars,
+               len($oracleToks) AS n_tokens,
+               len(list_distinct($oracleToks)) AS n_distinct
+        FROM documents)
+      SELECT lang, source, COUNT(*) AS n_docs,
+             SUM(n_tokens) AS sum_tokens, SUM(n_distinct) AS sum_distinct,
+             MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+      FROM t GROUP BY 1, 2
+    """.stripMargin.trim),
+    bench = true,
+  )
+
+  /** Global token frequency top-20 (explode→count→rank): the corpus-level
+    * token-counting surface. Two shuffles: token agg, then a single-partition
+    * rank of the tiny aggregate (safe — cardinality is vocabulary-sized).
+    */
+  val tokenTopK = Q(
+    "t_token_topk",
+    (s, d) => {
+      import s.implicits._
+      val w = Window.orderBy($"cnt".desc, $"token")
+      docs(s, d)
+        .select(explode(toks).as("token"))
+        .groupBy($"token")
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rnk", row_number().over(w))
+        .filter($"rnk" <= 20)
+    },
+    Some(s"""
+      WITH tok AS (SELECT unnest($oracleToks) AS token FROM documents),
+      counted AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY 1)
+      SELECT token, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS rnk
+      FROM counted QUALIFY rnk <= 20
+    """.stripMargin.trim),
+  )
+
+  // ---------------------------------------------------------------------
+  // Language ID — marker-token n-gram heuristic. The marker sets are an
+  // arbitrary-but-fixed heuristic; correctness is "same prediction as the
+  // oracle", scoring quality is not the point of the operator contract.
+  // ---------------------------------------------------------------------
+
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of"),
+    "de" -> Seq("window", "fast", "und"),
+    "fr" -> Seq("table", "part", "le"),
+    "es" -> Seq("data", "line", "el"),
+    "zh" -> Seq("spark", "query", "hash"),
+  )
+
+  val langId = Q(
+    "t_lang_id",
+    (s, d) => {
+      import s.implicits._
+      val scored = markers.foldLeft(docs(s, d).select($"doc_id", toks.as("tk"))) {
+        case (df, (lang, ws)) =>
+          val inSet = ws.map(w => s"x = '$w'").mkString(" or ")
+          df.withColumn(s"s_$lang", expr(s"size(filter(tk, x -> $inSet))"))
+      }
+      val best = markers.map(_._1).foldRight(lit("und")) { case (lang, els) =>
+        val c = col(s"s_$lang")
+        val isMax = markers.map(_._1).map(o => c >= col(s"s_$o")).reduce(_ && _)
+        when(c > 0 && isMax, lit(lang)).otherwise(els)
+      }
+      scored.select(
+        $"doc_id",
+        $"s_en", $"s_de", $"s_fr", $"s_es", $"s_zh",
+        best.as("pred_lang"),
+      )
+    },
+    Some {
+      val scoreCols = markers
+        .map { case (lang, ws) =>
+          val inSet = ws.map(w => s"x = '$w'").mkString(" or ")
+          s"len(list_filter(tk, x -> $inSet)) AS s_$lang"
+        }
+        .mkString(",\n               ")
+      // Mirrors the Spark foldRight: first lang (in marker order) whose
+      // score is positive and >= all others wins; all-zero → 'und'.
+      val pred = markers.map(_._1).foldRight("'und'") { case (lang, els) =>
+        val isMax = markers.map(_._1).map(o => s"s_$lang >= s_$o").mkString(" AND ")
+        s"CASE WHEN s_$lang > 0 AND $isMax THEN '$lang' ELSE $els END"
+      }
+      s"""
+      WITH t AS (SELECT doc_id, $oracleToks AS tk FROM documents),
+      scored AS (
+        SELECT doc_id,
+               $scoreCols
+        FROM t)
+      SELECT doc_id, s_en, s_de, s_fr, s_es, s_zh, $pred AS pred_lang
+      FROM scored
+    """.stripMargin.trim
+    },
+  )
+
+  // ---------------------------------------------------------------------
+  // Quality scoring — length / type-token-ratio / stopword-ratio heuristic.
+  // ---------------------------------------------------------------------
+
+  private val stopwords = Seq("the", "a", "of", "and")
+
+  val qualityScore = Q(
+    "t_quality_score",
+    (s, d) => {
+      import s.implicits._
+      val stopPred = stopwords.map(w => s"x = '$w'").mkString(" or ")
+      docs(s, d)
+        .select(
+          $"doc_id",
+          $"n_chars",
+          size(toks).as("n_tokens"),
+          size(array_distinct(toks)).as("n_distinct"),
+          expr(s"size(filter(filter(split(text,' '), x -> x != ''), x -> $stopPred))")
+            .as("n_stop"),
+        )
+        .withColumn("ttr_pct", floor(lit(100.0) * $"n_distinct" / $"n_tokens").cast("long"))
+        .withColumn("stop_pct", floor(lit(100.0) * $"n_stop" / $"n_tokens").cast("long"))
+        .withColumn(
+          "quality",
+          when($"n_tokens" >= 20 && $"ttr_pct" >= 25 && $"stop_pct" <= 40, lit("good"))
+            .when($"n_tokens" >= 10, lit("fair"))
+            .otherwise(lit("poor")),
+        )
+    },
+    Some {
+      val stopPred = stopwords.map(w => s"x = '$w'").mkString(" or ")
+      s"""
+      WITH t AS (
+        SELECT doc_id, n_chars,
+               len($oracleToks) AS n_tokens,
+               len(list_distinct($oracleToks)) AS n_distinct,
+               len(list_filter($oracleToks, x -> $stopPred)) AS n_stop
+        FROM documents)
+      SELECT doc_id, n_chars, n_tokens, n_distinct, n_stop,
+             CAST(FLOOR(100.0 * n_distinct / n_tokens) AS BIGINT) AS ttr_pct,
+             CAST(FLOOR(100.0 * n_stop / n_tokens) AS BIGINT) AS stop_pct,
+             CASE WHEN n_tokens >= 20 AND FLOOR(100.0 * n_distinct / n_tokens) >= 25
+                       AND FLOOR(100.0 * n_stop / n_tokens) <= 40 THEN 'good'
+                  WHEN n_tokens >= 10 THEN 'fair'
+                  ELSE 'poor' END AS quality
+      FROM t
+    """.stripMargin.trim
+    },
+  )
+
+  // ---------------------------------------------------------------------
+  // Exact dedup — hash-groupBy on md5(text); first doc_id in each content
+  // group is the keeper, the rest are flagged duplicates. One shuffle on
+  // the 128-bit content hash; at 100 TB the hash column shrinks the
+  // shuffle payload to ~48 bytes/row regardless of document size.
+  // ---------------------------------------------------------------------
+
+  val dedupExact = Q(
+    "t_dedup_exact",
+    (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"text_hash").orderBy($"doc_id")
+      docs(s, d)
+        .select($"doc_id", md5($"text").as("text_hash"))
+        .withColumn("rk", row_number().over(w))
+        .withColumn("is_duplicate", $"rk" > 1)
+    },
+    Some("""
+      SELECT doc_id, md5(text) AS text_hash,
+             ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rk,
+             ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) > 1 AS is_duplicate
+      FROM documents
+    """.stripMargin.trim),
+  )
+
+  // ---------------------------------------------------------------------
+  // MinHash + LSH near-dup candidates.
+  //
+  // 12 hash functions (min over shingles of md5(seed || ':' || shingle)),
+  // banded 4 × 3: docs agreeing on all 3 signature slots of any band are
+  // candidates. Pipeline: explode shingles → 12 mins per doc (one agg) →
+  // band keys → self-join per band → distinct pairs. The only join is an
+  // equi-join on the band value; at 100 TB this is the textbook
+  // shingle→minhash→band→bucket-join plan with no cross join.
+  // ---------------------------------------------------------------------
+
+  private val nHashes = 12
+  private val bandSize = 3 // → 4 bands
+
+  val minhashLsh = Q(
+    "t_minhash_lsh",
+    (s, d) => {
+      import s.implicits._
+      val sh = docs(s, d)
+        .select($"doc_id", explode(shingles).as("sh"))
+      val minCols = (0 until nHashes).map(i =>
+        min(md5(concat(lit(i.toString), lit(":"), $"sh"))).as(s"m$i"))
+      val sig = sh.groupBy($"doc_id").agg(minCols.head, minCols.tail: _*)
+      val bands = (0 until nHashes / bandSize).map { b =>
+        val slots = (0 until bandSize).map(j => col(s"m${b * bandSize + j}"))
+        sig.select(
+          $"doc_id",
+          lit(b).as("band"),
+          concat_ws("|", slots: _*).as("bkey"),
+        )
+      }.reduce(_.unionAll(_))
+      val l = bands.select($"band", $"bkey", $"doc_id".as("doc_a"))
+      val r = bands.select($"band".as("band_r"), $"bkey".as("bkey_r"), $"doc_id".as("doc_b"))
+      l.join(r, $"band" === $"band_r" && $"bkey" === $"bkey_r" && $"doc_a" < $"doc_b")
+        .select($"doc_a", $"doc_b")
+        .distinct()
+    },
+    Some {
+      val minCols = (0 until nHashes)
+        .map(i => s"MIN(md5('$i' || ':' || sh)) AS m$i")
+        .mkString(",\n               ")
+      val bandRows = (0 until nHashes / bandSize)
+        .map { b =>
+          val slots = (0 until bandSize).map(j => s"m${b * bandSize + j}").mkString(" || '|' || ")
+          s"SELECT doc_id, $b AS band, $slots AS bkey FROM sig"
+        }
+        .mkString("\n        UNION ALL ")
+      s"""
+      WITH sh AS (
+        SELECT doc_id, unnest($oracleShingles) AS sh FROM documents),
+      sig AS (
+        SELECT doc_id,
+               $minCols
+        FROM sh GROUP BY doc_id),
+      bands AS (
+        $bandRows)
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    """.stripMargin.trim
+    },
+    bench = true,
+  )
+
+  // ---------------------------------------------------------------------
+  // Exact n-gram Jaccard over pairs sharing ≥1 shingle. The shared-shingle
+  // equi-join bounds the pair set (no cross join); `inter * 5 >= union`
+  // keeps the ≥ 0.2 threshold in exact integer math.
+  // ---------------------------------------------------------------------
+
+  val ngramJaccard = Q(
+    "t_ngram_jaccard",
+    (s, d) => {
+      import s.implicits._
+      val sh = docs(s, d).select($"doc_id", explode(shingles).as("sh"))
+      val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+      val inter = sh
+        .join(sh.select($"doc_id".as("doc_b"), $"sh".as("sh_b")),
+              $"sh" === $"sh_b" && $"doc_id" < $"doc_b")
+        .groupBy($"doc_id".as("doc_a"), $"doc_b")
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(broadcast(sizes.select($"doc_id".as("doc_a"), $"n_sh".as("n_a"))), "doc_a")
+        .join(broadcast(sizes.select($"doc_id".as("doc_b"), $"n_sh".as("n_b"))), "doc_b")
+        .withColumn("uni", $"n_a" + $"n_b" - $"inter")
+        .filter($"inter" * 5 >= $"uni")
+        .select($"doc_a", $"doc_b", $"inter", $"uni",
+                floor(lit(100.0) * $"inter" / $"uni").cast("long").as("jaccard_pct"))
+    },
+    Some(s"""
+      WITH sh AS (
+        SELECT doc_id, unnest($oracleShingles) AS sh FROM documents),
+      sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+      inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT doc_a, doc_b, inter, (sa.n_sh + sb.n_sh - inter) AS uni,
+             CAST(FLOOR(100.0 * inter / (sa.n_sh + sb.n_sh - inter)) AS BIGINT) AS jaccard_pct
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE inter * 5 >= (sa.n_sh + sb.n_sh - inter)
+    """.stripMargin.trim),
+  )
+
+  // ---------------------------------------------------------------------
+  // SimHash fingerprint — 60-bit (term-frequency-weighted): bit j of the
+  // fingerprint is 1 iff Σ_tokens (2·bit_j(h60(token)) − 1) > 0. Explodes
+  // each token into 60 (token, bit) rows, aggregates per doc — linear in
+  // corpus size, one shuffle keyed by doc_id.
+  // ---------------------------------------------------------------------
+
+  val simhash = Q(
+    "t_simhash",
+    (s, d) => {
+      import s.implicits._
+      docs(s, d)
+        .select($"doc_id", explode(toks).as("token"))
+        .withColumn("h", h60($"token"))
+        .select($"doc_id", $"h", explode(sequence(lit(0), lit(59))).as("j"))
+        .withColumn("w", (expr("shiftright(h, j)") % 2) * 2 - 1)
+        .groupBy($"doc_id", $"j")
+        .agg(sum($"w").as("ws"))
+        .groupBy($"doc_id")
+        .agg(sum(when($"ws" > 0, expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(lit(0L)))
+          .as("simhash"))
+    },
+    Some(s"""
+      WITH tok AS (
+        SELECT doc_id, unnest($oracleToks) AS token FROM documents),
+      bits AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(token), 1, 15))::UBIGINT::BIGINT AS h,
+               unnest(generate_series(0, 59)) AS j
+        FROM tok),
+      sums AS (
+        SELECT doc_id, j, SUM(((h >> j) % 2) * 2 - 1) AS ws
+        FROM bits GROUP BY 1, 2)
+      SELECT doc_id,
+             SUM(CASE WHEN ws > 0 THEN (1::BIGINT << j) ELSE 0 END) AS simhash
+      FROM sums GROUP BY 1
+    """.stripMargin.trim),
+  )
+
+  // ---------------------------------------------------------------------
+  // Rolling-hash document fingerprint: polynomial hash over the token
+  // stream, folded left-to-right in exact integer math (mod 2^31−1 keeps
+  // every intermediate < 2^36, far from BIGINT overflow in either engine).
+  // Pure per-row projection — embarrassingly parallel at any scale.
+  // ---------------------------------------------------------------------
+
+  val rollingFingerprint = Q(
+    "t_fingerprint",
+    (s, d) => {
+      import s.implicits._
+      docs(s, d).select(
+        $"doc_id",
+        expr(
+          """aggregate(
+            |  filter(split(text, ' '), x -> x != ''),
+            |  CAST(7 AS BIGINT),
+            |  (acc, x) -> (acc * 31 + CAST(conv(substring(md5(x), 1, 15), 16, 10) AS BIGINT) % 1000003)
+            |              % 2147483647)""".stripMargin).as("fingerprint"),
+      )
+    },
+    Some(s"""
+      SELECT doc_id,
+             list_reduce(
+               list_prepend(7::BIGINT,
+                 list_transform($oracleToks,
+                   x -> ('0x' || substr(md5(x), 1, 15))::UBIGINT::BIGINT % 1000003)),
+               (acc, x) -> (acc * 31 + x) % 2147483647) AS fingerprint
+      FROM documents
+    """.stripMargin.trim),
+  )
+
+  val qs: Seq[Q] = Seq(
+    textStats,
+    tokenTopK,
+    langId,
+    qualityScore,
+    dedupExact,
+    minhashLsh,
+    ngramJaccard,
+    simhash,
+    rollingFingerprint,
+  )
+}

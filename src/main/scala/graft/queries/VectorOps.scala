@@ -1,0 +1,303 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Embedding / similarity-search query pack over the `embeddings` table
+  * (64-dim float vectors, int label) — the ANN / near-dup operators a
+  * training-data pipeline needs at 100 TB.
+  *
+  * Cross-engine float determinism: every dot product is computed as a
+  * left-to-right fold of per-element double products (each float is cast to
+  * double first — exact — then multiplied and accumulated as doubles). Spark
+  * (`aggregate(zip_with(...))`) and the DuckDB oracle
+  * (`list_reduce(list_transform(generate_series(1,64), ...))`) perform the
+  * identical IEEE-754 operation sequence, so results are bit-identical; we
+  * still publish similarity as `floor(1e6 * x)` micros (BIGINT) so the
+  * hash-compare never touches a raw double.
+  *
+  * Scale notes (100 TB): brute-force top-k broadcasts the (tiny, fixed)
+  * query set against the full table — one scan, no shuffle of the big side,
+  * partial top-k per partition via the window rank after a repartition on
+  * query_id (k and |queries| are constants). The LSH and IVF variants
+  * restrict candidate generation to an equi-join on a derived bucket key —
+  * the standard route to sub-linear ANN on a cluster; bucket skew falls to
+  * AQE. No O(n²) pair generation anywhere except within-bucket.
+  */
+object VectorOps {
+
+  private val dim = 64
+
+  /** Left-to-right double dot product of two float-array columns. */
+  private def dotd(a: String, b: String): Column =
+    expr(s"""aggregate(
+            |  zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+            |  CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)
+
+  /** DuckDB equivalent of [[dotd]] (1-based list indexing, same fold order
+    * — list_reduce seeds with element 1, and `0.0 + p1 == p1` keeps the sum
+    * sequence numerically identical).
+    */
+  private def oDot(a: String, b: String): String =
+    s"""list_reduce(list_transform(generate_series(1, $dim),
+       |  i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)""".stripMargin
+
+  private def vecs(s: SparkSession, d: String): DataFrame = Tables.embeddings(s, d)
+
+  /** floor(1e6 x) as BIGINT — the hash-safe similarity representation. */
+  private def micros(c: Column): Column = floor(c * lit(1e6)).cast("long")
+
+  // ---------------------------------------------------------------------
+  // Per-vector norms + per-label stats: linear scan, integer-scaled
+  // aggregation (order-independent), one tiny shuffle.
+  // ---------------------------------------------------------------------
+
+  val normStats = Q(
+    "v_norm_stats",
+    (s, d) => {
+      import s.implicits._
+      vecs(s, d)
+        .withColumn("norm2_micros", micros(dotd("embedding", "embedding")))
+        .groupBy($"label")
+        .agg(
+          count(lit(1)).as("n_vecs"),
+          sum($"norm2_micros").as("sum_norm2_micros"),
+          min($"norm2_micros").as("min_norm2_micros"),
+          max($"norm2_micros").as("max_norm2_micros"),
+        )
+    },
+    Some(s"""
+      WITH t AS (
+        SELECT label,
+               CAST(FLOOR(1e6 * ${oDot("embedding", "embedding")}) AS BIGINT) AS norm2_micros
+        FROM embeddings)
+      SELECT label, COUNT(*) AS n_vecs, SUM(norm2_micros) AS sum_norm2_micros,
+             MIN(norm2_micros) AS min_norm2_micros, MAX(norm2_micros) AS max_norm2_micros
+      FROM t GROUP BY 1
+    """.stripMargin.trim),
+  )
+
+  // ---------------------------------------------------------------------
+  // Brute-force cosine top-k — the exact ANN baseline. Query set = vec_id
+  // < 5 (fixed, broadcastable); each data partition scores its vectors
+  // against all queries, then a per-query rank keeps k. At 100 TB the big
+  // side is scanned once and never shuffled in full: only (query, cand,
+  // sim) triples flow into the rank.
+  // ---------------------------------------------------------------------
+
+  private val nQueries = 5
+  private val topK = 10
+
+  val knnBrute = Q(
+    "v_knn_brute",
+    (s, d) => {
+      import s.implicits._
+      val q = vecs(s, d)
+        .filter($"vec_id" < nQueries)
+        .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
+      val cand = vecs(s, d)
+        .select($"vec_id".as("cand_id"), $"embedding".as("c_emb"))
+      val w = Window.partitionBy($"query_id").orderBy($"sim_micros".desc, $"cand_id")
+      cand
+        .join(broadcast(q), $"cand_id" =!= $"query_id")
+        .withColumn(
+          "sim_micros",
+          micros(dotd("q_emb", "c_emb") /
+            (sqrt(dotd("q_emb", "q_emb")) * sqrt(dotd("c_emb", "c_emb")))),
+        )
+        .withColumn("rnk", row_number().over(w))
+        .filter($"rnk" <= topK)
+        .select($"query_id", $"cand_id", $"sim_micros", $"rnk")
+    },
+    Some(s"""
+      WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+                 WHERE vec_id < $nQueries),
+      scored AS (
+        SELECT q.query_id, c.vec_id AS cand_id,
+               CAST(FLOOR(1e6 * (${oDot("q.q_emb", "c.embedding")} /
+                 (sqrt(${oDot("q.q_emb", "q.q_emb")}) * sqrt(${oDot("c.embedding", "c.embedding")}))))
+                 AS BIGINT) AS sim_micros
+        FROM q JOIN embeddings c ON c.vec_id <> q.query_id)
+      SELECT query_id, cand_id, sim_micros,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim_micros DESC, cand_id) AS rnk
+      FROM scored QUALIFY rnk <= $topK
+    """.stripMargin.trim),
+    bench = true,
+  )
+
+  // ---------------------------------------------------------------------
+  // Sign-LSH bucketing: bucket = 8-bit signature of the signs of the first
+  // 8 components (a fixed random-hyperplane family — the axis-aligned
+  // special case keeps the oracle exact). Bucket histogram proves the
+  // partitioner; the ANN variant below joins on the bucket key only.
+  // ---------------------------------------------------------------------
+
+  private val signBits = 8
+
+  private val bucketExpr: Column = expr(
+    (1 to signBits)
+      .map(i => s"(CASE WHEN element_at(embedding, $i) >= 0 THEN 1 ELSE 0 END) * ${1 << (i - 1)}")
+      .mkString(" + "))
+
+  private val oBucket: String =
+    (1 to signBits)
+      .map(i => s"(CASE WHEN embedding[$i] >= 0 THEN 1 ELSE 0 END) * ${1 << (i - 1)}")
+      .mkString(" + ")
+
+  val lshBuckets = Q(
+    "v_lsh_buckets",
+    (s, d) => {
+      import s.implicits._
+      vecs(s, d)
+        .withColumn("bucket", bucketExpr)
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("n_vecs"), min($"vec_id").as("min_vec_id"))
+    },
+    Some(s"""
+      SELECT ($oBucket) AS bucket, COUNT(*) AS n_vecs, MIN(vec_id) AS min_vec_id
+      FROM embeddings GROUP BY 1
+    """.stripMargin.trim),
+  )
+
+  /** ANN via sign-LSH: same queries as [[knnBrute]], but candidates are
+    * restricted to the query's bucket — the recall/latency trade the scale
+    * path makes. Equi-join on bucket, rank within.
+    */
+  val annLsh = Q(
+    "v_ann_lsh",
+    (s, d) => {
+      import s.implicits._
+      val bucketed = vecs(s, d).withColumn("bucket", bucketExpr)
+      val q = bucketed
+        .filter($"vec_id" < nQueries)
+        .select($"vec_id".as("query_id"), $"embedding".as("q_emb"), $"bucket".as("q_bucket"))
+      val w = Window.partitionBy($"query_id").orderBy($"sim_micros".desc, $"cand_id")
+      bucketed
+        .select($"vec_id".as("cand_id"), $"embedding".as("c_emb"), $"bucket")
+        .join(broadcast(q), $"bucket" === $"q_bucket" && $"cand_id" =!= $"query_id")
+        .withColumn(
+          "sim_micros",
+          micros(dotd("q_emb", "c_emb") /
+            (sqrt(dotd("q_emb", "q_emb")) * sqrt(dotd("c_emb", "c_emb")))),
+        )
+        .withColumn("rnk", row_number().over(w))
+        .filter($"rnk" <= topK)
+        .select($"query_id", $"cand_id", $"sim_micros", $"rnk")
+    },
+    Some(s"""
+      WITH b AS (SELECT vec_id, embedding, ($oBucket) AS bucket FROM embeddings),
+      q AS (SELECT vec_id AS query_id, embedding AS q_emb, bucket AS q_bucket FROM b
+            WHERE vec_id < $nQueries),
+      scored AS (
+        SELECT q.query_id, c.vec_id AS cand_id,
+               CAST(FLOOR(1e6 * (${oDot("q.q_emb", "c.embedding")} /
+                 (sqrt(${oDot("q.q_emb", "q.q_emb")}) * sqrt(${oDot("c.embedding", "c.embedding")}))))
+                 AS BIGINT) AS sim_micros
+        FROM q JOIN b c ON c.bucket = q.q_bucket AND c.vec_id <> q.query_id)
+      SELECT query_id, cand_id, sim_micros,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim_micros DESC, cand_id) AS rnk
+      FROM scored QUALIFY rnk <= $topK
+    """.stripMargin.trim),
+  )
+
+  // ---------------------------------------------------------------------
+  // Embedding-cosine near-duplicates: pairs (a<b) in the same sign-bucket
+  // with cosine ≥ 0.90. The bucket equi-join is the candidate bound; at
+  // 100 TB the within-bucket quadratic term is controlled by the number of
+  // sign bits (more bits → smaller buckets → higher speed, lower recall).
+  // ---------------------------------------------------------------------
+
+  // The synthetic embeddings are near-orthogonal random vectors (pairwise
+  // cosine ≈ N(0, 1/64), observed max ≈ 0.48) — 0.25 sits at ~p99 of the
+  // pair distribution so the query emits a real, small near-dup set.
+  private val nearDupThresholdMicros = 250000L
+
+  val nearDupCosine = Q(
+    "v_neardup_cosine",
+    (s, d) => {
+      import s.implicits._
+      val b = vecs(s, d)
+        .withColumn("bucket", bucketExpr)
+        .select($"vec_id", $"embedding", $"bucket")
+      val l = b.select($"vec_id".as("vec_a"), $"embedding".as("emb_a"), $"bucket")
+      val r = b.select($"vec_id".as("vec_b"), $"embedding".as("emb_b"), $"bucket".as("bucket_b"))
+      l.join(r, $"bucket" === $"bucket_b" && $"vec_a" < $"vec_b")
+        .withColumn(
+          "sim_micros",
+          micros(dotd("emb_a", "emb_b") /
+            (sqrt(dotd("emb_a", "emb_a")) * sqrt(dotd("emb_b", "emb_b")))),
+        )
+        .filter($"sim_micros" >= nearDupThresholdMicros)
+        .select($"vec_a", $"vec_b", $"sim_micros")
+    },
+    Some(s"""
+      WITH b AS (SELECT vec_id, embedding, ($oBucket) AS bucket FROM embeddings),
+      pairs AS (
+        SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+               CAST(FLOOR(1e6 * (${oDot("a.embedding", "c.embedding")} /
+                 (sqrt(${oDot("a.embedding", "a.embedding")}) * sqrt(${oDot("c.embedding", "c.embedding")}))))
+                 AS BIGINT) AS sim_micros
+        FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
+      SELECT vec_a, vec_b, sim_micros FROM pairs
+      WHERE sim_micros >= $nearDupThresholdMicros
+    """.stripMargin.trim),
+  )
+
+  // ---------------------------------------------------------------------
+  // IVF-style partitioning: "centroids" = the first 16 vectors (fixed,
+  // deterministic training stand-in); every vector is assigned to its
+  // nearest centroid by L2² (tie → smaller centroid id). Output is the
+  // cell histogram — the partitioner an IVF index would shard by.
+  // ---------------------------------------------------------------------
+
+  private val nCells = 16
+
+  val ivfAssign = Q(
+    "v_ivf_assign",
+    (s, d) => {
+      import s.implicits._
+      val cents = vecs(s, d)
+        .filter($"vec_id" < nCells)
+        .select($"vec_id".as("cell"), $"embedding".as("c_emb"))
+      val w = Window.partitionBy($"vec_id").orderBy($"d2_micros".asc, $"cell".asc)
+      vecs(s, d)
+        .join(broadcast(cents))
+        .withColumn(
+          "d2_micros",
+          micros(dotd("embedding", "embedding") + dotd("c_emb", "c_emb")
+            - lit(2.0) * dotd("embedding", "c_emb")),
+        )
+        .withColumn("rk", row_number().over(w))
+        .filter($"rk" === 1)
+        .groupBy($"cell")
+        .agg(count(lit(1)).as("n_vecs"), min($"vec_id").as("min_vec_id"))
+    },
+    Some(s"""
+      WITH cents AS (SELECT vec_id AS cell, embedding AS c_emb FROM embeddings
+                     WHERE vec_id < $nCells),
+      dists AS (
+        SELECT v.vec_id, c.cell,
+               CAST(FLOOR(1e6 * (${oDot("v.embedding", "v.embedding")} + ${oDot("c.c_emb", "c.c_emb")}
+                 - 2.0 * ${oDot("v.embedding", "c.c_emb")})) AS BIGINT) AS d2_micros
+        FROM embeddings v CROSS JOIN cents c),
+      ranked AS (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2_micros ASC, cell ASC) AS rk
+        FROM dists)
+      SELECT cell, COUNT(*) AS n_vecs, MIN(vec_id) AS min_vec_id
+      FROM ranked WHERE rk = 1 GROUP BY 1
+    """.stripMargin.trim),
+  )
+
+  val qs: Seq[Q] = Seq(
+    normStats,
+    knnBrute,
+    lshBuckets,
+    annLsh,
+    nearDupCosine,
+    ivfAssign,
+  )
+}
