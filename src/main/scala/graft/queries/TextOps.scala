@@ -41,16 +41,25 @@ object TextOps {
 
   private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
 
-  /** Word 3-gram shingles (distinct), the dedup unit for MinHash/Jaccard.
+  /** Word 3-gram shingles (distinct) over a pre-materialized token column —
+    * the dedup unit for MinHash/Jaccard. The token array MUST be a real
+    * column (see [[withShingles]]): inlining the split+filter inside the
+    * per-index lambda would re-tokenize the document once per element
+    * access, turning a linear projection into O(tokens²) per row.
     * `element_at` is 1-based like DuckDB's list indexing.
     */
-  private val shingles: Column = expr(
+  private val shinglesOfTk: Column = expr(
     """array_distinct(transform(
-      |  sequence(1, greatest(size(filter(split(text,' '), x -> x != '')) - 2, 0)),
-      |  i -> concat_ws(' ',
-      |         element_at(filter(split(text,' '), x -> x != ''), i),
-      |         element_at(filter(split(text,' '), x -> x != ''), i + 1),
-      |         element_at(filter(split(text,' '), x -> x != ''), i + 2))))""".stripMargin)
+      |  sequence(1, greatest(size(tk) - 2, 0)),
+      |  i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1), element_at(tk, i + 2))))""".stripMargin)
+
+  /** documents → (doc_id, sh) with one row per distinct shingle. */
+  private def docShingles(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    docs(s, d)
+      .withColumn("tk", toks)
+      .select($"doc_id", explode(shinglesOfTk).as("sh"))
+  }
 
   private val oracleToks =
     "list_filter(string_split(text, ' '), x -> x != '')"
@@ -280,19 +289,18 @@ object TextOps {
     "t_minhash_lsh",
     (s, d) => {
       import s.implicits._
-      val sh = docs(s, d)
-        .select($"doc_id", explode(shingles).as("sh"))
       val minCols = (0 until nHashes).map(i =>
         min(md5(concat(lit(i.toString), lit(":"), $"sh"))).as(s"m$i"))
-      val sig = sh.groupBy($"doc_id").agg(minCols.head, minCols.tail: _*)
-      val bands = (0 until nHashes / bandSize).map { b =>
+      val sig = docShingles(s, d).groupBy($"doc_id").agg(minCols.head, minCols.tail: _*)
+      // One explode per signature row (not a 4-way union re-running the
+      // aggregation per band): (band, bkey) pairs in a single pass.
+      val bandStructs = (0 until nHashes / bandSize).map { b =>
         val slots = (0 until bandSize).map(j => col(s"m${b * bandSize + j}"))
-        sig.select(
-          $"doc_id",
-          lit(b).as("band"),
-          concat_ws("|", slots: _*).as("bkey"),
-        )
-      }.reduce(_.unionAll(_))
+        struct(lit(b).as("band"), concat_ws("|", slots: _*).as("bkey"))
+      }
+      val bands = sig
+        .select($"doc_id", explode(array(bandStructs: _*)).as("bb"))
+        .select($"doc_id", $"bb.band".as("band"), $"bb.bkey".as("bkey"))
       val l = bands.select($"band", $"bkey", $"doc_id".as("doc_a"))
       val r = bands.select($"band".as("band_r"), $"bkey".as("bkey_r"), $"doc_id".as("doc_b"))
       l.join(r, $"band" === $"band_r" && $"bkey" === $"bkey_r" && $"doc_a" < $"doc_b")
@@ -336,7 +344,7 @@ object TextOps {
     "t_ngram_jaccard",
     (s, d) => {
       import s.implicits._
-      val sh = docs(s, d).select($"doc_id", explode(shingles).as("sh"))
+      val sh = docShingles(s, d)
       val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
       val inter = sh
         .join(sh.select($"doc_id".as("doc_b"), $"sh".as("sh_b")),
