@@ -1,0 +1,175 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column support for a training-data pipeline: image/audio/
+  * video travel as opaque `binary` columns with typed metadata, and the
+  * per-asset compute (decode, feature extraction, resize, frame sampling)
+  * runs as partition-batched executor-side transforms.
+  *
+  * ==STUBBED DECODE==
+  * This container ships no image/audio codecs, so [[StubCodec]] is a
+  * clearly-marked deterministic FAKE: it derives pixel/sample values from a
+  * 64-bit FNV-1a hash of the asset bytes. Swap [[StubCodec]] for a real
+  * codec (javacv, TwelveMonkeys, …) and nothing else changes — the Spark
+  * side (schema, partitioning, batch shape, null handling) is real and
+  * tested.
+  *
+  * ==Scale notes==
+  * - Assets are value-heavy: `repartitionByBytes` targets a fixed number of
+  *   bytes per task so one 4 GB video partition can't straggle a stage.
+  * - All transforms are `mapPartitions` over iterators (the JVM analog of
+  *   `mapInPandas` batches): codec init happens once per partition, not per
+  *   row, and nothing materializes the whole partition in memory.
+  * - Derived columns (features, frames) are emitted WITHOUT the source
+  *   bytes so downstream shuffles move kilobytes, not the media payload;
+  *   re-join on assetId when the bytes are needed again.
+  */
+object Multimodal {
+
+  /** An opaque media asset: bytes + typed metadata (nullable per-kind). */
+  final case class MediaAsset(
+      assetId: Long,
+      kind: String, // "image" | "audio" | "video"
+      content: Array[Byte],
+      format: String,
+      width: Int, // images/video; 0 when n/a
+      height: Int,
+      sampleRate: Int, // audio; 0 when n/a
+      durationMs: Long, // audio/video; 0 for stills
+  )
+
+  final case class DecodedImage(assetId: Long, width: Int, height: Int, meanLuma: Double)
+
+  final case class AssetFeatures(assetId: Long, kind: String, features: Array[Float])
+
+  final case class VideoFrame(assetId: Long, frameIdx: Int, tsMs: Long, frameHash: Long)
+
+  /** Deterministic stand-in for a media codec. Every value is a pure
+    * function of the input bytes — tests rely on that determinism.
+    */
+  object StubCodec {
+    /** FNV-1a 64-bit over the payload — the "decode" seed. */
+    def contentHash(bytes: Array[Byte]): Long = {
+      var h = 0xcbf29ce484222325L
+      var i = 0
+      while (i < bytes.length) { h = (h ^ (bytes(i) & 0xff)) * 0x100000001b3L; i += 1 }
+      h
+    }
+
+    /** STUB: real impl would decode pixels; the fake returns a luma mean
+      * derived from the hash (uniform in [0, 255)).
+      */
+    def decodeImage(a: MediaAsset): DecodedImage = {
+      val h = contentHash(a.content)
+      DecodedImage(a.assetId, a.width, a.height, math.floorMod(h, 255000L) / 1000.0)
+    }
+
+    /** STUB: real impl = embedding model inference; the fake expands the
+      * hash into `dim` floats in [-1, 1) via a splitmix64 chain.
+      */
+    def features(a: MediaAsset, dim: Int): Array[Float] = {
+      var x = contentHash(a.content)
+      Array.fill(dim) {
+        x += 0x9e3779b97f4a7c15L
+        var z = x
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        z = z ^ (z >>> 31)
+        (math.floorMod(z, 2000000L) / 1000000.0 - 1.0).toFloat
+      }
+    }
+  }
+
+  /** Spread assets so each task carries ~`targetBytes` of payload —
+    * media tables are bytes-bound, not row-bound, so row-count
+    * partitioning straggles.
+    */
+  def repartitionByBytes(
+      assets: Dataset[MediaAsset],
+      totalBytes: Long,
+      targetBytes: Long = 128L << 20,
+  ): Dataset[MediaAsset] = {
+    val parts = math.max(1, (totalBytes / targetBytes).toInt)
+    assets.repartition(parts, col("assetId"))
+  }
+
+  /** Decode pass: one codec per partition, iterator in / iterator out
+    * (mapInPandas batch shape), media bytes NOT in the output.
+    */
+  def decodeImages(assets: Dataset[MediaAsset]): Dataset[DecodedImage] = {
+    implicit val enc = Encoders.product[DecodedImage]
+    assets
+      .filter(col("kind") === "image")
+      .mapPartitions { it =>
+        // real codec: init native decoder here, once per partition
+        it.map(StubCodec.decodeImage)
+      }
+  }
+
+  /** Feature extraction (any kind) → compact vectors for the ANN/dedup
+    * operators in [[graft.queries.VectorOps]].
+    */
+  def extractFeatures(assets: Dataset[MediaAsset], dim: Int = 64): Dataset[AssetFeatures] = {
+    implicit val enc = Encoders.product[AssetFeatures]
+    assets.mapPartitions { it =>
+      it.map(a => AssetFeatures(a.assetId, a.kind, StubCodec.features(a, dim)))
+    }
+  }
+
+  /** Resize: metadata-true transform; the STUB keeps payload bytes but
+    * rewrites the dimensional metadata (a real impl would re-encode).
+    */
+  def resizeImages(assets: Dataset[MediaAsset], w: Int, h: Int): Dataset[MediaAsset] = {
+    implicit val enc = Encoders.product[MediaAsset]
+    assets.mapPartitions { it =>
+      it.map(a => if (a.kind == "image") a.copy(width = w, height = h) else a)
+    }
+  }
+
+  /** Frame sampling: one row per sampled frame, `everyMs` apart across the
+    * asset's duration — the row explosion happens executor-side and carries
+    * a frame digest, not frame bytes.
+    */
+  def sampleFrames(assets: Dataset[MediaAsset], everyMs: Long = 1000): Dataset[VideoFrame] = {
+    implicit val enc = Encoders.product[VideoFrame]
+    assets
+      .filter(col("kind") === "video")
+      .mapPartitions { it =>
+        it.flatMap { a =>
+          val n = math.max(1L, a.durationMs / everyMs).toInt
+          val h = StubCodec.contentHash(a.content)
+          (0 until n).iterator.map { i =>
+            // real impl: seek + decode frame i*everyMs
+            VideoFrame(a.assetId, i, i * everyMs, h ^ (i.toLong * 0x9e3779b97f4a7c15L))
+          }
+        }
+      }
+  }
+
+  /** Deterministic synthetic asset table (tests + demos): payload bytes
+    * derived from the id, kinds round-robin.
+    */
+  def syntheticAssets(spark: SparkSession, n: Int, payloadBytes: Int = 1024): Dataset[MediaAsset] = {
+    implicit val enc = Encoders.product[MediaAsset]
+    import spark.implicits._
+    spark
+      .range(n)
+      .as[Long]
+      .map { id =>
+        val kind = Seq("image", "audio", "video")(math.floorMod(id, 3L).toInt)
+        val bytes = Array.tabulate[Byte](payloadBytes)(i => ((id * 31 + i) % 251).toByte)
+        MediaAsset(
+          assetId = id,
+          kind = kind,
+          content = bytes,
+          format = if (kind == "image") "png" else if (kind == "audio") "wav" else "mp4",
+          width = if (kind == "audio") 0 else 640,
+          height = if (kind == "audio") 0 else 480,
+          sampleRate = if (kind == "audio") 16000 else 0,
+          durationMs = if (kind == "image") 0L else 5000L,
+        )
+      }
+  }
+}

@@ -1,0 +1,116 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.Row
+
+import graft.model.UserBehavior
+import graft.operators.Windowed
+
+/** Structured-Streaming wiring for the windowed statistics (SURVEY §2.4
+  * W1-W8, §2.6 T1-T3, §2.9 K8).
+  *
+  * Windowed aggregations stream with `window()` + watermark; the per-window
+  * Top-N — which Flink emits as a retract stream
+  * (HotItemsWithSql.java:92) — is re-ranked per micro-batch inside
+  * `foreachBatch`, the Spark-idiomatic equivalent of rank-over-update
+  * (SURVEY §7.2: streaming `row_number` is not incremental in Spark; the
+  * rank input is one row per (window, key) aggregate, so the per-batch
+  * recompute is tiny regardless of event volume).
+  *
+  * Scale notes: the agg state store holds one accumulator per (window,
+  * key); the watermark expires windows older than `delay`, bounding state.
+  * Update mode emits only changed (window, key) rows per batch.
+  */
+object Streams {
+
+  /** Event-time view of a UserBehavior stream (epoch-seconds → timestamp)
+    * with an ascending-style watermark (W1; `delay` > 0 gives W2).
+    */
+  def withEventTime(
+      events: Dataset[UserBehavior],
+      delay: String = "0 seconds",
+  ): DataFrame =
+    events
+      .withColumn("eventTime", timestamp_seconds(col("timestamp")))
+      .withWatermark("eventTime", delay)
+
+  /** Streaming sliding-window count per item (HotItems.java:77-79 shape):
+    * update-mode aggregate, one row per (windowEnd, itemId) per batch.
+    */
+  def hotItemCounts(
+      events: Dataset[UserBehavior],
+      sizeSec: Long = 3600,
+      slideSec: Long = 300,
+      delay: String = "0 seconds",
+  ): DataFrame =
+    withEventTime(events, delay)
+      .filter(col("behavior") === "pv")
+      .groupBy(
+        window(col("eventTime"), s"$sizeSec seconds", s"$slideSec seconds"),
+        col("itemId"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(
+        (unix_timestamp(col("window.end")) * 1000).as("windowEnd"),
+        col("itemId"),
+        col("cnt"))
+
+  /** Per-micro-batch Top-N re-rank over the running aggregate — wire any
+    * sink inside `emit`. This is the K8 retract-stream equivalent: each
+    * batch re-emits the (possibly updated) top-N of every changed window.
+    */
+  def hotItemsTopN(
+      events: Dataset[UserBehavior],
+      topN: Int = 5,
+      sizeSec: Long = 3600,
+      slideSec: Long = 300,
+      delay: String = "0 seconds",
+  )(emit: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    hotItemCounts(events, sizeSec, slideSec, delay).writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: Dataset[Row], id: Long) =>
+        val ranked = Windowed.topNPerWindow(batch.toDF(), col("itemId"), topN)
+        emit(ranked, id)
+        ()
+      }
+
+  /** Streaming tumbling PV count (PageView.java:59-70). Append mode: a
+    * window's final count emits once the watermark passes its end.
+    */
+  def pageViews(
+      events: Dataset[UserBehavior],
+      sizeSec: Long = 3600,
+      delay: String = "0 seconds",
+  ): DataFrame =
+    withEventTime(events, delay)
+      .filter(col("behavior") === "pv")
+      .groupBy(window(col("eventTime"), s"$sizeSec seconds"))
+      .agg(count(lit(1)).as("count"))
+      .select((unix_timestamp(col("window.end")) * 1000).as("windowEnd"), col("count"))
+
+  /** Streaming UV via HLL (UvWithBloomFilter's job, Spark-idiomatic:
+    * SURVEY §2.5 A5) — approx_count_distinct streams in update/append mode,
+    * unlike exact countDistinct which Spark refuses on streams.
+    */
+  def uniqueVisitorsApprox(
+      events: Dataset[UserBehavior],
+      sizeSec: Long = 3600,
+      delay: String = "0 seconds",
+      rsd: Double = 0.01,
+  ): DataFrame =
+    withEventTime(events, delay)
+      .filter(col("behavior") === "pv")
+      .groupBy(window(col("eventTime"), s"$sizeSec seconds"))
+      .agg(approx_count_distinct(col("userId"), rsd).as("uv"))
+      .select((unix_timestamp(col("window.end")) * 1000).as("windowEnd"), col("uv"))
+
+  /** Convenience launcher: console sink (K1 `print()` equivalent). */
+  def toConsole(df: DataFrame, mode: OutputMode = OutputMode.Update()): StreamingQuery =
+    df.writeStream
+      .outputMode(mode)
+      .format("console")
+      .option("truncate", "false")
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .start()
+}

@@ -1,0 +1,118 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.model.UserBehavior
+import graft.operators.Windowed
+import graft.sources.Fixtures
+
+/** Streaming windowed aggregations: parity with the batch operators over
+  * the reference fixture.
+  */
+class StreamsSpec extends SparkSpec {
+
+  private lazy val behaviors =
+    Fixtures
+      .userBehavior(spark, s"$refBase/HotItemsAnalysis/src/main/resources/UserBehaviorTest.csv")
+      .collect()
+      .sortBy(_.timestamp)
+
+  test("streaming hot-item counts converge to the batch aggregate (update mode)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val mem = MemoryStream[UserBehavior]
+    // update mode re-emits changed (window, item) rows; keep the latest per key
+    val latest = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    val q = Streams
+      .hotItemCounts(mem.toDS())
+      .writeStream
+      .outputMode("update")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        b.collect().foreach { r =>
+          latest.synchronized {
+            latest((r.getAs[Long]("windowEnd"), r.getAs[Long]("itemId"))) = r.getAs[Long]("cnt")
+          }
+        }
+        ()
+      }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt-hotitems").toString)
+      .start()
+    try {
+      val (h1, h2) = behaviors.splitAt(behaviors.length / 2)
+      mem.addData(h1.toSeq)
+      q.processAllAvailable()
+      mem.addData(h2.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val batch = Windowed
+      .hotItems(spark.createDataset(behaviors.toSeq), topN = Int.MaxValue)
+      .select("windowEnd", "itemId", "cnt")
+      .collect()
+      .map(r => (r.getAs[Long]("windowEnd"), r.getAs[Long]("itemId")) -> r.getAs[Long]("cnt"))
+      .toMap
+    assert(latest.toMap === batch)
+  }
+
+  test("streaming top-N re-rank matches the batch golden window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val mem = MemoryStream[UserBehavior]
+    val latestTop = scala.collection.mutable.Map.empty[Long, Seq[(Long, Long, Int)]]
+    val q = Streams
+      .hotItemsTopN(mem.toDS(), topN = 3) { (ranked, _) =>
+        ranked.collect().groupBy(_.getAs[Long]("windowEnd")).foreach { case (we, rows) =>
+          latestTop.synchronized {
+            latestTop(we) = rows.toSeq.map(r =>
+              (r.getAs[Long]("itemId"), r.getAs[Long]("cnt"), r.getAs[Int]("rank")))
+          }
+        }
+      }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt-topn").toString)
+      .start()
+    try {
+      mem.addData(behaviors.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // README golden window (09:05 CST): 1715:2, 2244074:2, 3611281:1
+    val golden = latestTop(1511658300000L).map(t => t._1 -> t._2).toMap
+    assert(golden === Map(1715L -> 2L, 2244074L -> 2L, 3611281L -> 1L))
+  }
+
+  test("streaming pageViews appends finalized windows after watermark passes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val mem = MemoryStream[UserBehavior]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = Streams
+      .pageViews(mem.toDS())
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        b.collect().foreach(r => got.synchronized {
+          got += ((r.getAs[Long]("windowEnd"), r.getAs[Long]("count")))
+        })
+        ()
+      }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt-pv").toString)
+      .start()
+    try {
+      mem.addData(behaviors.toSeq)
+      q.processAllAvailable()
+      // watermark is now at the max event time (1511661600); the first
+      // 1h window [00:00, 01:00) closed exactly there — one more batch emits it
+      mem.addData(Seq.empty[UserBehavior])
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(got.toSet === Set((1511661600000L, 9L)))
+  }
+}
