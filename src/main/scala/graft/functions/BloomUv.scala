@@ -1,0 +1,114 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.functions.{call_function => callFn}
+import org.apache.spark.sql.types.{DataType, LongType}
+
+
+/** Bit-exact Spark-native replica of the reference's Bloom-filter UV
+  * (NetworkFlowAnalysis/.../process/UvWithBloomFilter.java:95-161):
+  * single polynomial hash `h = Σ h·seed + char` over `value.toString`,
+  * masked to `cap − 1` (cap = 2^29 bits ≈ 64 MB bitmap in the reference's
+  * Redis), distinct-offset count as the UV estimate.
+  *
+  * Where the reference keeps one external Redis bitmap per window and
+  * round-trips GETBIT/SETBIT per event, this is a native Catalyst
+  * [[TypedImperativeAggregate]]: per-partition partial sets of used
+  * offsets, merged on the reduce side — no external store, no per-event
+  * network hop, and mergeable across 1000 executors. The buffer stores
+  * only the OCCUPIED offsets (sparse set), so memory is
+  * O(distinct-offsets), not the reference's fixed 64 MB per window; the
+  * counted value is identical because the count equals the number of
+  * occupied bits in both designs.
+  *
+  * The Spark-idiomatic default for approximate UV remains
+  * `approx_count_distinct` (HLL++, constant 2-4 KB buffers); this exists
+  * for fidelity with the reference's published numbers (e.g. the
+  * `uv_count[1511661600000] = 17414` checkpoint, README:544-550).
+  */
+final case class BloomUvAggregate(
+    child: Expression,
+    capBits: Int = 29,
+    seed: Int = 61,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0,
+) extends TypedImperativeAggregate[java.util.HashSet[java.lang.Long]] {
+
+  private val mask: Long = (1L << capBits) - 1
+
+  /** UvWithBloomFilter.java:103-108, faithfully: Long overflow wraps the
+    * same way Java's does.
+    */
+  def offsetOf(value: String): Long = {
+    var result = 0L
+    var i = 0
+    while (i < value.length) { result = result * seed + value.charAt(i); i += 1 }
+    result & mask
+  }
+
+  override def createAggregationBuffer(): java.util.HashSet[java.lang.Long] = new java.util.HashSet[java.lang.Long]()
+
+  override def update(buffer: java.util.HashSet[java.lang.Long], input: InternalRow): java.util.HashSet[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) buffer.add(offsetOf(v.toString))
+    buffer
+  }
+
+  override def merge(buffer: java.util.HashSet[java.lang.Long], other: java.util.HashSet[java.lang.Long]): java.util.HashSet[java.lang.Long] = {
+    buffer.addAll(other)
+    buffer
+  }
+
+  override def eval(buffer: java.util.HashSet[java.lang.Long]): Any = buffer.size.toLong
+
+  override def serialize(buffer: java.util.HashSet[java.lang.Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + buffer.size * 8)
+    bb.putInt(buffer.size)
+    val it = buffer.iterator()
+    while (it.hasNext) bb.putLong(it.next())
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.HashSet[java.lang.Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val s = new java.util.HashSet[java.lang.Long](n * 2)
+    var i = 0
+    while (i < n) { s.add(bb.getLong); i += 1 }
+    s
+  }
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+  override def withNewMutableAggBufferOffset(newOffset: Int): BloomUvAggregate =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BloomUvAggregate =
+    copy(inputAggBufferOffset = newOffset)
+  override def prettyName: String = "bloom_uv"
+}
+
+/** Registration + Column API for graft's custom functions. */
+object GraftFunctions {
+
+  /** Registers `bloom_uv(col)` for SQL and [[bloomUv]] use. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("bloom_uv"),
+      new ExpressionInfo(classOf[BloomUvAggregate].getName, "bloom_uv"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, s"bloom_uv expects exactly 1 argument, got ${exprs.length}")
+        BloomUvAggregate(exprs.head)
+      },
+    )
+
+  /** Column-API entry (requires [[register]] once per session). */
+  def bloomUv(c: Column): Column = callFn("bloom_uv", c)
+}
