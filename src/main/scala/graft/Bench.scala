@@ -10,6 +10,11 @@ object Bench {
     val names =
       if (sys.env.contains("SPARK_GRAFT_BENCH_ALL")) queries.Catalog.all.map(_.name)
       else queries.Catalog.benchNames
+    // Untimed warmup at the smallest SF: JIT/codegen/classloading otherwise
+    // lands entirely on whichever query happens to run first (~5s skew).
+    try {
+      names.foreach(n => SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count())
+    } catch { case _: Throwable => () }
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()

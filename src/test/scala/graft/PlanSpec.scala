@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+
+import graft.queries.Catalog
+
+/** Physical-plan regression checks — the 100 TB properties the code
+  * comments promise, asserted against the actual optimized plans:
+  * predicate pushdown into the parquet scan, broadcast (not shuffle) joins
+  * for dimension tables, bounded shuffle counts.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): SparkPlan =
+    Catalog.queries(name)(spark, sf).queryExecution.executedPlan
+
+  private def collectAll[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] = {
+    val expanded = p.collect {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    (p +: expanded).flatMap(_.collect(pf))
+  }
+
+  private def formatted(name: String): String = {
+    val df: DataFrame = Catalog.queries(name)(spark, sf)
+    df.queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
+
+  test("q1: ship-date filter reaches the parquet scan; only needed columns read") {
+    val s = formatted("q1_pricing_summary")
+    assert(s.contains("PushedFilters"), s)
+    assert(s.contains("LessThanOrEqual(l_shipdate"), s)
+    // projection pruning: orderkey isn't referenced, so it must not be read
+    val readSchema = s.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!readSchema.contains("l_orderkey"), readSchema)
+  }
+
+  test("q3: both dimension joins broadcast; the fact scan is never shuffled pre-agg") {
+    val s = formatted("q3_shipping_priority")
+    assert("BroadcastHashJoin".r.findAllIn(s).size >= 2, s)
+    assert(s.contains("PushedFilters"), s)
+    assert(s.contains("GreaterThan(l_shipdate"), s)
+  }
+
+  test("q5: snowflake dims broadcast around the lineitem scan") {
+    val s = formatted("q5_nation_revenue")
+    assert(collectAll(plan("q5_nation_revenue")) { case b: BroadcastHashJoinExec => b }.nonEmpty)
+    assert(s.contains("IsNotNull(o_orderdate)") || s.contains("GreaterThanOrEqual(o_orderdate"), s)
+  }
+
+  test("hot_items_topn: single aggregation shuffle before the rank") {
+    // explode → partial agg → ONE exchange → final agg → window rank.
+    val shuffles = collectAll(plan("hot_items_topn")) { case e: ShuffleExchangeExec => e }
+    // one for the agg, one for the window partition — anything more means a
+    // planning regression (e.g. lost partial aggregation)
+    assert(shuffles.size <= 2, shuffles.mkString("\n"))
+  }
+
+  test("t_minhash_lsh: band join is an equi-join, never a cartesian product") {
+    val s = formatted("t_minhash_lsh")
+    assert(!s.contains("CartesianProduct"), s)
+    assert(!s.contains("BroadcastNestedLoopJoin"), s)
+  }
+
+  test("v_knn_brute: the big side is scanned once and never exchange-shuffled before scoring") {
+    val s = formatted("v_knn_brute")
+    // query side broadcasts (5 rows); candidate side streams through
+    assert(s.contains("BroadcastNestedLoopJoin") || s.contains("BroadcastHashJoin"), s)
+  }
+}
