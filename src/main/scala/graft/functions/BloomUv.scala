@@ -98,8 +98,9 @@ final case class BloomUvAggregate(
 /** Registration + Column API for graft's custom functions. */
 object GraftFunctions {
 
-  /** Registers `bloom_uv(col)` for SQL and [[bloomUv]] use. */
-  def register(spark: SparkSession): Unit =
+  /** Registers `bloom_uv(col)` and `bloom_hash(col)` for SQL use. */
+  def register(spark: SparkSession): Unit = {
+    registerBloomHash(spark)
     spark.sessionState.functionRegistry.registerFunction(
       org.apache.spark.sql.catalyst.FunctionIdentifier("bloom_uv"),
       new ExpressionInfo(classOf[BloomUvAggregate].getName, "bloom_uv"),
@@ -108,7 +109,23 @@ object GraftFunctions {
         BloomUvAggregate(exprs.head)
       },
     )
+  }
 
   /** Column-API entry (requires [[register]] once per session). */
   def bloomUv(c: Column): Column = callFn("bloom_uv", c)
+
+  /** Registers the scalar `bloom_hash(str)` (see [[BloomHashExpression]]). */
+  def registerBloomHash(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("bloom_hash"),
+      new ExpressionInfo(classOf[BloomHashExpression].getName, "bloom_hash"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, s"bloom_hash expects exactly 1 argument, got ${exprs.length}")
+        BloomHashExpression(org.apache.spark.sql.catalyst.expressions.Cast(
+          exprs.head, org.apache.spark.sql.types.StringType))
+      },
+    )
+
+  /** Column-API entry for the scalar hash. */
+  def bloomHash(c: Column): Column = callFn("bloom_hash", c)
 }

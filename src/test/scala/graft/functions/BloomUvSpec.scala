@@ -49,6 +49,31 @@ class BloomUvSpec extends SparkSpec {
     assert(got <= 35000L && got >= 34900L)
   }
 
+  test("bloom_hash scalar (codegen) agrees with the aggregate's hash and the oracle") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val ids = Seq("543462", "662867", "1035", "0", "", "9223372036854775807")
+    val got = ids.toDF("s")
+      .select(GraftFunctions.bloomHash(col("s")).as("h"))
+      .collect().map(_.getLong(0)).toSeq
+    val expected = ids.map(refOffset(_, 61, 29))
+    assert(got === expected)
+    // whole-stage codegen actually compiles it (no interpreted fallback) —
+    // a range source keeps the projection in the physical plan (a local Seq
+    // would constant-fold into a LocalTableScan)
+    val plan = spark.range(10)
+      .select(GraftFunctions.bloomHash(col("id")))
+      .queryExecution.executedPlan.toString
+    // the `*(n)` prefix marks a whole-stage-codegen'd operator in the
+    // compact plan string; the Project hosting bloom_hash must carry it
+    assert(plan.linesIterator.exists(l => l.contains("bloom_hash") && l.trim.startsWith("*(")), plan)
+    // distinct bloom_hash values == bloom_uv over the same data
+    spark.range(5000).select(col("id").cast("string").as("s")).createOrReplaceTempView("bh")
+    val nOffsets = spark.sql("SELECT COUNT(DISTINCT bloom_hash(s)) FROM bh").first().getLong(0)
+    val uv = spark.sql("SELECT bloom_uv(s) FROM bh").first().getLong(0)
+    assert(nOffsets === uv)
+  }
+
   test("bloom_uv per-window grouping reproduces the reference's per-window bitmaps") {
     GraftFunctions.register(spark)
     val ub = Fixtures.userBehavior(
