@@ -292,6 +292,74 @@ object VectorOps {
     """.stripMargin.trim),
   )
 
+  /** IVF search (nprobe=1): each query vector searches only the inverted
+    * list of its own nearest-centroid cell — the index-backed ANN path.
+    * Queries are vec_id in [nCells, nCells+nQueries) so they're disjoint
+    * from the centroid set. In a real deployment the assignment below is a
+    * materialized index table partitioned by cell; recomputing it inline
+    * keeps this query self-contained and oracle-checkable.
+    */
+  val ivfSearch = Q(
+    "v_ivf_search",
+    (s, d) => {
+      import s.implicits._
+      val cents = vecs(s, d)
+        .filter($"vec_id" < nCells)
+        .select($"vec_id".as("cell"), $"embedding".as("c_emb"))
+      val wAssign = Window.partitionBy($"vec_id").orderBy($"d2_micros".asc, $"cell".asc)
+      val assigned = vecs(s, d)
+        .join(broadcast(cents))
+        .withColumn(
+          "d2_micros",
+          micros(dotd("embedding", "embedding") + dotd("c_emb", "c_emb")
+            - lit(2.0) * dotd("embedding", "c_emb")),
+        )
+        .withColumn("rk", row_number().over(wAssign))
+        .filter($"rk" === 1)
+        .select($"vec_id", $"cell", $"embedding")
+      val q = assigned
+        .filter($"vec_id" >= nCells && $"vec_id" < nCells + nQueries)
+        .select($"vec_id".as("query_id"), $"cell".as("q_cell"), $"embedding".as("q_emb"))
+      val wTop = Window.partitionBy($"query_id").orderBy($"sim_micros".desc, $"cand_id")
+      assigned
+        .select($"vec_id".as("cand_id"), $"cell", $"embedding".as("c_emb2"))
+        .join(broadcast(q), $"cell" === $"q_cell" && $"cand_id" =!= $"query_id")
+        .withColumn(
+          "sim_micros",
+          micros(dotd("q_emb", "c_emb2") /
+            (sqrt(dotd("q_emb", "q_emb")) * sqrt(dotd("c_emb2", "c_emb2")))),
+        )
+        .withColumn("rnk", row_number().over(wTop))
+        .filter($"rnk" <= topK)
+        .select($"query_id", $"cand_id", $"sim_micros", $"rnk")
+    },
+    Some(s"""
+      WITH cents AS (SELECT vec_id AS cell, embedding AS c_emb FROM embeddings
+                     WHERE vec_id < $nCells),
+      dists AS (
+        SELECT v.vec_id, v.embedding, c.cell,
+               CAST(FLOOR(1e6 * (${oDot("v.embedding", "v.embedding")} + ${oDot("c.c_emb", "c.c_emb")}
+                 - 2.0 * ${oDot("v.embedding", "c.c_emb")})) AS BIGINT) AS d2_micros
+        FROM embeddings v CROSS JOIN cents c),
+      assigned AS (
+        SELECT vec_id, cell, embedding FROM (
+          SELECT vec_id, cell, embedding,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2_micros ASC, cell ASC) AS rk
+          FROM dists) WHERE rk = 1),
+      q AS (SELECT vec_id AS query_id, cell AS q_cell, embedding AS q_emb FROM assigned
+            WHERE vec_id >= $nCells AND vec_id < ${nCells + nQueries}),
+      scored AS (
+        SELECT q.query_id, a.vec_id AS cand_id,
+               CAST(FLOOR(1e6 * (${oDot("q.q_emb", "a.embedding")} /
+                 (sqrt(${oDot("q.q_emb", "q.q_emb")}) * sqrt(${oDot("a.embedding", "a.embedding")}))))
+                 AS BIGINT) AS sim_micros
+        FROM q JOIN assigned a ON a.cell = q.q_cell AND a.vec_id <> q.query_id)
+      SELECT query_id, cand_id, sim_micros,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim_micros DESC, cand_id) AS rnk
+      FROM scored QUALIFY rnk <= $topK
+    """.stripMargin.trim),
+  )
+
   val qs: Seq[Q] = Seq(
     normStats,
     knnBrute,
@@ -299,5 +367,6 @@ object VectorOps {
     annLsh,
     nearDupCosine,
     ivfAssign,
+    ivfSearch,
   )
 }
