@@ -301,10 +301,22 @@ object TextOps {
       val bands = sig
         .select($"doc_id", explode(array(bandStructs: _*)).as("bb"))
         .select($"doc_id", $"bb.band".as("band"), $"bb.bkey".as("bkey"))
-      val l = bands.select($"band", $"bkey", $"doc_id".as("doc_a"))
-      val r = bands.select($"band".as("band_r"), $"bkey".as("bkey_r"), $"doc_id".as("doc_b"))
-      l.join(r, $"band" === $"band_r" && $"bkey" === $"bkey_r" && $"doc_a" < $"doc_b")
-        .select($"doc_a", $"doc_b")
+      // Pairs come from grouping each band bucket and expanding in-bucket
+      // combinations, NOT from a self-join: a self-join would evaluate the
+      // whole signature aggregation twice (once per side), and at scale the
+      // 12-way min-hash agg is the dominant cost. Buckets are tiny by LSH
+      // construction, so the i<j expansion per bucket is cheap; the sorted
+      // ids array makes doc_a < doc_b by construction.
+      bands
+        .groupBy($"band", $"bkey")
+        .agg(sort_array(collect_list($"doc_id")).as("ids"))
+        .filter(size($"ids") > 1)
+        .select(explode(expr(
+          """flatten(transform(sequence(1, size(ids) - 1),
+            |  i -> transform(sequence(i + 1, size(ids)),
+            |    j -> struct(element_at(ids, i) AS doc_a, element_at(ids, j) AS doc_b))))""".stripMargin))
+          .as("p"))
+        .select($"p.doc_a", $"p.doc_b")
         .distinct()
     },
     Some {
