@@ -105,6 +105,47 @@ object Streams {
       .agg(approx_count_distinct(col("userId"), rsd).as("uv"))
       .select((unix_timestamp(col("window.end")) * 1000).as("windowEnd"), col("uv"))
 
+  /** Late-data audit (SURVEY §2.4 W6): Flink's allowedLateness side output
+    * has no Spark primitive — the windowed aggregation silently drops rows
+    * below the watermark. This companion stream marks events arriving more
+    * than `latenessSec` behind the maximum event time seen so far, so the
+    * drops are observable (tee it to its own sink next to the main query).
+    *
+    * Scale design: a single global max-ts would serialize on one key, so
+    * event time is tracked per hash bucket (`buckets` ≈ executor
+    * parallelism) in flatMapGroupsWithState. A bucket sees ~1/buckets of
+    * the stream, so its local max trails the true global max only while a
+    * bucket is briefly starved — a documented approximation in exchange
+    * for linear scaling (Flink's own lateness marking is per-key-stream
+    * relative to a global watermark, which Spark does not expose in-plan).
+    */
+  def lateAudit(
+      events: Dataset[UserBehavior],
+      latenessSec: Long,
+      buckets: Int = 32,
+  ): Dataset[UserBehavior] = {
+    import org.apache.spark.sql.{Encoders, streaming}
+    implicit val outEnc = Encoders.product[UserBehavior]
+    implicit val stEnc = Encoders.scalaLong
+    events
+      .groupByKey(e => (e.userId % buckets).toInt)(Encoders.scalaInt)
+      .flatMapGroupsWithState[Long, UserBehavior](
+        streaming.OutputMode.Append(),
+        streaming.GroupStateTimeout.NoTimeout()) { (_, it, state: streaming.GroupState[Long]) =>
+        // compare against the max carried over from PREVIOUS batches only:
+        // Spark's watermark advances between micro-batches, so within one
+        // batch nothing is dropped yet — this mirrors which rows the
+        // windowed aggregation will actually discard
+        val prevMax = state.getOption.getOrElse(Long.MinValue)
+        val evs = it.toSeq
+        val late =
+          if (prevMax == Long.MinValue) Seq.empty
+          else evs.filter(_.timestamp < prevMax - latenessSec)
+        state.update(math.max(prevMax, evs.map(_.timestamp).max))
+        late.iterator
+      }
+  }
+
   /** Convenience launcher: console sink (K1 `print()` equivalent). */
   def toConsole(df: DataFrame, mode: OutputMode = OutputMode.Update()): StreamingQuery =
     df.writeStream

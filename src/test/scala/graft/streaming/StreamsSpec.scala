@@ -115,4 +115,40 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
     assert(got.toSet === Set((1511661600000L, 9L)))
   }
+
+  test("lateAudit flags cross-batch stragglers, passes in-batch disorder") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val mem = MemoryStream[UserBehavior]
+    val late = scala.collection.mutable.ArrayBuffer.empty[UserBehavior]
+    val q = Streams
+      .lateAudit(mem.toDS(), latenessSec = 60, buckets = 4)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[UserBehavior], _: Long) =>
+        late.synchronized { late ++= b.collect() }
+        ()
+      }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt-late").toString)
+      .start()
+    try {
+      // batch 1: out-of-order WITHIN the batch - nothing is late yet
+      mem.addData(Seq(
+        UserBehavior(1, 10, 1, "pv", 1000),
+        UserBehavior(1, 11, 1, "pv", 500),
+        UserBehavior(5, 12, 1, "pv", 900)))
+      q.processAllAvailable()
+      assert(late.isEmpty)
+      // batch 2: one straggler >60s behind user-1-bucket's max (1000),
+      // one merely slightly behind (not late), one fresh
+      mem.addData(Seq(
+        UserBehavior(1, 13, 1, "pv", 800),  // 200 behind -> late
+        UserBehavior(1, 14, 1, "pv", 980),  // 20 behind -> fine
+        UserBehavior(1, 15, 1, "pv", 2000)))
+      q.processAllAvailable()
+      assert(late.map(_.itemId).toSet === Set(13L))
+    } finally q.stop()
+  }
 }
