@@ -143,8 +143,7 @@ object Fixtures {
     * text file's lines to a topic in one batch.
     */
   def linesToKafka(s: SparkSession, path: String, bootstrap: String, topic: String): Unit =
-    s.read.text(path)
-      .withColumnRenamed("value", "value")
+    s.read.text(path) // text source yields the `value` column Kafka expects
       .write
       .format("kafka")
       .option("kafka.bootstrap.servers", bootstrap)

@@ -248,6 +248,22 @@ class DetectorSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("fullOuterReconcile covers every event across the three channels") {
+    val df = TxMatcher.fullOuterReconcile(orderEvents, receiptEvents).cache()
+    val matched = df.filter(col("channel") === Out.Main).count()
+    val uLeft = df.filter(col("channel") === Out.UnmatchedLeft).count()
+    val uRight = df.filter(col("channel") === Out.UnmatchedRight).count()
+    val nPays = orderEvents.filter(col("txId") =!= "").count()
+    val nReceipts = receiptEvents.count()
+    // a pay can match several receipts in the interval; conservation is on
+    // the unmatched sides: every pay/receipt appears matched or stranded
+    assert(matched + uLeft >= nPays)
+    assert(matched + uRight >= nReceipts)
+    assert(df.filter(col("channel") === Out.Main)
+      .filter(col("p_txId") =!= col("r_txId")).count() === 0)
+    df.unpersist()
+  }
+
   // ---- ad blacklist ---------------------------------------------------
 
   test("blacklist suppresses clicks at the threshold and warns once") {
