@@ -105,6 +105,26 @@ object Streams {
       .agg(approx_count_distinct(col("userId"), rsd).as("uv"))
       .select((unix_timestamp(col("window.end")) * 1000).as("windowEnd"), col("uv"))
 
+  /** Gap-based sessionization via Spark's native `session_window` — the
+    * streaming counterpart of the batch lag+running-sum formulation in
+    * [[graft.queries.EventAnalytics.sessionize]]. Works identically on a
+    * bounded DataFrame (used for the parity spec) and a stream (state
+    * store merges windows as events arrive; watermark closes sessions).
+    *
+    * Input: any frame with `user_id` and an event-time column `eventTime`.
+    */
+  def sessionize(events: DataFrame, gapSec: Long): DataFrame =
+    events
+      .groupBy(session_window(col("eventTime"), s"$gapSec seconds"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("user_id"),
+        unix_timestamp(col("session_window.start")).as("start_sec"),
+        // session_window.end = last event + gap: subtract the gap to get
+        // the last-event timestamp the batch formulation reports
+        (unix_timestamp(col("session_window.end")) - gapSec).as("end_sec"),
+        col("n_events"))
+
   /** Late-data audit (SURVEY §2.4 W6): Flink's allowedLateness side output
     * has no Spark primitive — the windowed aggregation silently drops rows
     * below the watermark. This companion stream marks events arriving more

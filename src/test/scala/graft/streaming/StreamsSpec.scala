@@ -151,4 +151,24 @@ class StreamsSpec extends SparkSpec {
       assert(late.map(_.itemId).toSet === Set(13L))
     } finally q.stop()
   }
+
+  test("session_window sessionization agrees with the batch lag-based formulation") {
+    import spark.implicits._
+    // run both formulations over the events table (sf0.001)
+    val events = graft.sources.Tables.eventsTimed(spark, "/root/testdata/sf0.001")
+      .withColumnRenamed("event_time", "eventTime")
+    val viaSessionWindow = Streams.sessionize(events, gapSec = 21600)
+      .select("user_id", "start_sec", "end_sec", "n_events")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val viaLag = graft.queries.EventAnalytics.sessionize
+      .spark(spark, "/root/testdata/sf0.001")
+      .select("user_id", "start_sec", "end_sec", "n_events")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(viaSessionWindow === viaLag)
+    assert(viaSessionWindow.nonEmpty)
+  }
 }
