@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
+import org.apache.spark.sql.types.StringType
+
+import graft.functions.{BloomHashExpression, BloomUvAggregate}
+
+/** SparkSessionExtensions hook — the standard deployment path for the
+  * engine's custom Catalyst functions:
+  *
+  * {{{
+  *   spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  * }}}
+  *
+  * makes `bloom_uv` / `bloom_hash` available in every session without any
+  * driver-side `GraftFunctions.register` call (which remains for
+  * programmatic use). This is the (c)-tier extension surface from the
+  * build contract; no custom Rule/Strategy is injected because no
+  * reference capability needs one (SURVEY §4: Catalyst subsumes every
+  * manual optimization the reference hand-codes).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("bloom_uv"),
+      new ExpressionInfo(classOf[BloomUvAggregate].getName, "bloom_uv"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, s"bloom_uv expects exactly 1 argument, got ${exprs.length}")
+        BloomUvAggregate(exprs.head)
+      },
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("bloom_hash"),
+      new ExpressionInfo(classOf[BloomHashExpression].getName, "bloom_hash"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, s"bloom_hash expects exactly 1 argument, got ${exprs.length}")
+        BloomHashExpression(Cast(exprs.head, StringType))
+      },
+    ))
+  }
+}
