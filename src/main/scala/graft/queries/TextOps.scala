@@ -459,6 +459,72 @@ object TextOps {
     """.stripMargin.trim),
   )
 
+  // ---------------------------------------------------------------------
+  // SimHash near-dup pairs: the standard banded-simhash dedup — candidates
+  // share at least one of four 15-bit bands of the 60-bit fingerprint
+  // (pigeonhole: any pair within Hamming distance 3 shares a band;
+  // threshold 6 accepts the recall trade), confirmed by bit_count(a XOR b).
+  // Same shape as MinHash-LSH: band equi-join, no cross join.
+  // ---------------------------------------------------------------------
+
+  private val simhashMaxHamming = 6
+
+  val simhashNearDup = Q(
+    "t_simhash_neardup",
+    (s, d) => {
+      import s.implicits._
+      val fp = docs(s, d)
+        .select($"doc_id", explode(toks).as("token"))
+        .withColumn("h", h60($"token"))
+        .select($"doc_id", $"h", explode(sequence(lit(0), lit(59))).as("j"))
+        .withColumn("w", (expr("shiftright(h, j)") % 2) * 2 - 1)
+        .groupBy($"doc_id", $"j")
+        .agg(sum($"w").as("ws"))
+        .groupBy($"doc_id")
+        .agg(sum(when($"ws" > 0, expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(lit(0L)))
+          .as("fp"))
+      val banded = fp.select(
+        $"doc_id", $"fp",
+        explode(expr("transform(sequence(0, 3), b -> struct(b AS band, shiftright(fp, b * 15) % 32768 AS bkey))")).as("bb"))
+        .select($"doc_id", $"fp", $"bb.band", $"bb.bkey")
+      banded
+        .groupBy($"band", $"bkey")
+        .agg(sort_array(collect_list(struct($"doc_id", $"fp"))).as("ds"))
+        .filter(size($"ds") > 1)
+        .select(explode(expr(
+          """flatten(transform(sequence(1, size(ds) - 1),
+            |  i -> transform(sequence(i + 1, size(ds)),
+            |    j -> struct(element_at(ds, i).doc_id AS doc_a, element_at(ds, j).doc_id AS doc_b,
+            |                bit_count(element_at(ds, i).fp ^ element_at(ds, j).fp) AS hamming))))""".stripMargin))
+          .as("p"))
+        .select($"p.doc_a", $"p.doc_b", $"p.hamming")
+        .filter($"hamming" <= simhashMaxHamming)
+        .distinct()
+    },
+    Some(s"""
+      WITH tok AS (
+        SELECT doc_id, unnest($oracleToks) AS token FROM documents),
+      bits AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(token), 1, 15))::UBIGINT::BIGINT AS h,
+               unnest(generate_series(0, 59)) AS j
+        FROM tok),
+      sums AS (SELECT doc_id, j, SUM(((h >> j) % 2) * 2 - 1) AS ws FROM bits GROUP BY 1, 2),
+      fp AS (SELECT doc_id, SUM(CASE WHEN ws > 0 THEN (1::BIGINT << j) ELSE 0 END) AS fp
+             FROM sums GROUP BY 1),
+      banded AS (
+        SELECT doc_id, fp, b AS band, (fp >> (b * 15)) % 32768 AS bkey
+        FROM fp CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b)),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
+               bit_count(xor(a.fp, c.fp)) AS hamming
+        FROM banded a JOIN banded c
+          ON a.band = c.band AND a.bkey = c.bkey AND a.doc_id < c.doc_id)
+      SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
+      FROM pairs WHERE hamming <= $simhashMaxHamming
+    """.stripMargin.trim),
+  )
+
   val qs: Seq[Q] = Seq(
     textStats,
     tokenTopK,
@@ -468,6 +534,7 @@ object TextOps {
     minhashLsh,
     ngramJaccard,
     simhash,
+    simhashNearDup,
     rollingFingerprint,
   )
 }

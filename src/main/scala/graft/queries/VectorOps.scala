@@ -360,6 +360,48 @@ object VectorOps {
     """.stripMargin.trim),
   )
 
+  /** Document-level embedding near-dup: the dedup-taxonomy entry that ties
+    * the text and vector sides together — embeddings join to documents by
+    * id (vec_id == doc_id in the synthetic tables, as a real pipeline
+    * would carry the document key on its embedding), candidates come from
+    * the same sign-bucket prefilter, and the output is document pairs with
+    * their language tags (a cross-lingual near-dup check falls out free).
+    */
+  val docNearDup = Q(
+    "v_doc_neardup",
+    (s, d) => {
+      import s.implicits._
+      val docs = graft.sources.Tables.documents(s, d).select($"doc_id", $"lang")
+      val b = vecs(s, d)
+        .join(docs, $"vec_id" === $"doc_id")
+        .withColumn("bucket", bucketExpr)
+        .select($"doc_id", $"lang", $"embedding", $"bucket")
+      val l = b.select($"doc_id".as("doc_a"), $"lang".as("lang_a"), $"embedding".as("emb_a"), $"bucket")
+      val r = b.select($"doc_id".as("doc_b"), $"lang".as("lang_b"), $"embedding".as("emb_b"), $"bucket".as("bucket_b"))
+      l.join(r, $"bucket" === $"bucket_b" && $"doc_a" < $"doc_b")
+        .withColumn(
+          "sim_micros",
+          micros(dotd("emb_a", "emb_b") /
+            (sqrt(dotd("emb_a", "emb_a")) * sqrt(dotd("emb_b", "emb_b")))),
+        )
+        .filter($"sim_micros" >= nearDupThresholdMicros)
+        .select($"doc_a", $"doc_b", $"lang_a", $"lang_b", $"sim_micros")
+    },
+    Some(s"""
+      WITH b AS (
+        SELECT d.doc_id, d.lang, e.embedding, ($oBucket) AS bucket
+        FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id),
+      pairs AS (
+        SELECT a.doc_id AS doc_a, c.doc_id AS doc_b, a.lang AS lang_a, c.lang AS lang_b,
+               CAST(FLOOR(1e6 * (${oDot("a.embedding", "c.embedding")} /
+                 (sqrt(${oDot("a.embedding", "a.embedding")}) * sqrt(${oDot("c.embedding", "c.embedding")}))))
+                 AS BIGINT) AS sim_micros
+        FROM b a JOIN b c ON a.bucket = c.bucket AND a.doc_id < c.doc_id)
+      SELECT doc_a, doc_b, lang_a, lang_b, sim_micros FROM pairs
+      WHERE sim_micros >= $nearDupThresholdMicros
+    """.stripMargin.trim),
+  )
+
   val qs: Seq[Q] = Seq(
     normStats,
     knnBrute,
@@ -368,5 +410,6 @@ object VectorOps {
     nearDupCosine,
     ivfAssign,
     ivfSearch,
+    docNearDup,
   )
 }
