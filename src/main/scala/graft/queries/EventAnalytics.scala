@@ -64,7 +64,7 @@ object EventAnalytics {
         .groupBy($"window_start", $"item")
         .agg(count(lit(1)).as("cnt"))
       val w = Window.partitionBy($"window_start").orderBy($"cnt".desc, $"item")
-      counted.withColumn("rn", row_number().over(w)).filter($"rn" <= 5)
+      counted.withColumn("rn", row_number().over(w).cast("long")).filter($"rn" <= 5)
     },
     Some(s"""
       $oracleBase,
@@ -98,7 +98,7 @@ object EventAnalytics {
         counted AS (SELECT window_start, item, COUNT(*) AS cnt FROM hopped GROUP BY 1, 2)
         SELECT window_start, item, cnt, rn FROM (
           SELECT window_start, item, cnt,
-                 ROW_NUMBER() OVER (PARTITION BY window_start ORDER BY cnt DESC, item) AS rn
+                 CAST(ROW_NUMBER() OVER (PARTITION BY window_start ORDER BY cnt DESC, item) AS BIGINT) AS rn
           FROM counted)
         WHERE rn <= 5
       """)

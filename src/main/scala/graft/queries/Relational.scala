@@ -54,7 +54,7 @@ object Relational {
     },
     Some("""
       SELECT l_returnflag, l_linestatus,
-             SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
              CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
              CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
              CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) * 100) AS BIGINT)) AS BIGINT) AS sum_charge_cents,
@@ -161,7 +161,7 @@ object Relational {
         .join(broadcast(Tables.customer(s, d)), $"o_custkey" === $"c_custkey")
         .join(broadcast(Tables.nation(s, d)), $"c_nationkey" === $"n_nationkey")
         .select($"n_name", $"o_custkey", $"rev_cents")
-        .withColumn("rnk", row_number().over(w))
+        .withColumn("rnk", row_number().over(w).cast("long"))
         .filter($"rnk" <= 3)
     },
     Some("""
@@ -252,7 +252,7 @@ object Relational {
         )
     },
     Some("""
-      SELECT p_brand, s_name, SUM(CAST(l_quantity AS BIGINT)) AS sum_qty, COUNT(*) AS n_lines,
+      SELECT p_brand, s_name, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, COUNT(*) AS n_lines,
              COUNT(DISTINCT l_orderkey) AS n_orders
       FROM lineitem, part, supplier
       WHERE l_partkey = p_partkey AND l_suppkey = s_suppkey

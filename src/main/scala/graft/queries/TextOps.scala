@@ -106,7 +106,7 @@ object TextOps {
                len(list_distinct($oracleToks)) AS n_distinct
         FROM documents)
       SELECT lang, source, COUNT(*) AS n_docs,
-             SUM(n_tokens) AS sum_tokens, SUM(n_distinct) AS sum_distinct,
+             CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens, CAST(SUM(n_distinct) AS BIGINT) AS sum_distinct,
              MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
       FROM t GROUP BY 1, 2
     """.stripMargin.trim),
@@ -126,7 +126,7 @@ object TextOps {
         .select(explode(toks).as("token"))
         .groupBy($"token")
         .agg(count(lit(1)).as("cnt"))
-        .withColumn("rnk", row_number().over(w))
+        .withColumn("rnk", row_number().over(w).cast("long"))
         .filter($"rnk" <= 20)
     },
     Some(s"""
@@ -158,7 +158,7 @@ object TextOps {
       val scored = markers.foldLeft(docs(s, d).select($"doc_id", toks.as("tk"))) {
         case (df, (lang, ws)) =>
           val inSet = ws.map(w => s"x = '$w'").mkString(" or ")
-          df.withColumn(s"s_$lang", expr(s"size(filter(tk, x -> $inSet))"))
+          df.withColumn(s"s_$lang", expr(s"CAST(size(filter(tk, x -> $inSet)) AS BIGINT)"))
       }
       val best = markers.map(_._1).foldRight(lit("und")) { case (lang, els) =>
         val c = col(s"s_$lang")
@@ -211,9 +211,9 @@ object TextOps {
         .select(
           $"doc_id",
           $"n_chars",
-          size(toks).as("n_tokens"),
-          size(array_distinct(toks)).as("n_distinct"),
-          expr(s"size(filter(filter(split(text,' '), x -> x != ''), x -> $stopPred))")
+          size(toks).cast("long").as("n_tokens"),
+          size(array_distinct(toks)).cast("long").as("n_distinct"),
+          expr(s"CAST(size(filter(filter(split(text,' '), x -> x != ''), x -> $stopPred)) AS BIGINT)")
             .as("n_stop"),
         )
         .withColumn("ttr_pct", floor(lit(100.0) * $"n_distinct" / $"n_tokens").cast("long"))
@@ -260,7 +260,7 @@ object TextOps {
       val w = Window.partitionBy($"text_hash").orderBy($"doc_id")
       docs(s, d)
         .select($"doc_id", md5($"text").as("text_hash"))
-        .withColumn("rk", row_number().over(w))
+        .withColumn("rk", row_number().over(w).cast("long"))
         .withColumn("is_duplicate", $"rk" > 1)
     },
     Some("""
@@ -422,7 +422,7 @@ object TextOps {
         SELECT doc_id, j, SUM(((h >> j) % 2) * 2 - 1) AS ws
         FROM bits GROUP BY 1, 2)
       SELECT doc_id,
-             SUM(CASE WHEN ws > 0 THEN (1::BIGINT << j) ELSE 0 END) AS simhash
+             CAST(SUM(CASE WHEN ws > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
       FROM sums GROUP BY 1
     """.stripMargin.trim),
   )
@@ -497,7 +497,7 @@ object TextOps {
             |    j -> struct(element_at(ds, i).doc_id AS doc_a, element_at(ds, j).doc_id AS doc_b,
             |                bit_count(element_at(ds, i).fp ^ element_at(ds, j).fp) AS hamming))))""".stripMargin))
           .as("p"))
-        .select($"p.doc_a", $"p.doc_b", $"p.hamming")
+        .select($"p.doc_a", $"p.doc_b", $"p.hamming".cast("long").as("hamming"))
         .filter($"hamming" <= simhashMaxHamming)
         .distinct()
     },

@@ -74,7 +74,7 @@ object VectorOps {
         SELECT label,
                CAST(FLOOR(1e6 * ${oDot("embedding", "embedding")}) AS BIGINT) AS norm2_micros
         FROM embeddings)
-      SELECT label, COUNT(*) AS n_vecs, SUM(norm2_micros) AS sum_norm2_micros,
+      SELECT label, COUNT(*) AS n_vecs, CAST(SUM(norm2_micros) AS BIGINT) AS sum_norm2_micros,
              MIN(norm2_micros) AS min_norm2_micros, MAX(norm2_micros) AS max_norm2_micros
       FROM t GROUP BY 1
     """.stripMargin.trim),
@@ -108,7 +108,7 @@ object VectorOps {
           micros(dotd("q_emb", "c_emb") /
             (sqrt(dotd("q_emb", "q_emb")) * sqrt(dotd("c_emb", "c_emb")))),
         )
-        .withColumn("rnk", row_number().over(w))
+        .withColumn("rnk", row_number().over(w).cast("long"))
         .filter($"rnk" <= topK)
         .select($"query_id", $"cand_id", $"sim_micros", $"rnk")
     },
@@ -183,7 +183,7 @@ object VectorOps {
           micros(dotd("q_emb", "c_emb") /
             (sqrt(dotd("q_emb", "q_emb")) * sqrt(dotd("c_emb", "c_emb")))),
         )
-        .withColumn("rnk", row_number().over(w))
+        .withColumn("rnk", row_number().over(w).cast("long"))
         .filter($"rnk" <= topK)
         .select($"query_id", $"cand_id", $"sim_micros", $"rnk")
     },
@@ -329,7 +329,7 @@ object VectorOps {
           micros(dotd("q_emb", "c_emb2") /
             (sqrt(dotd("q_emb", "q_emb")) * sqrt(dotd("c_emb2", "c_emb2")))),
         )
-        .withColumn("rnk", row_number().over(wTop))
+        .withColumn("rnk", row_number().over(wTop).cast("long"))
         .filter($"rnk" <= topK)
         .select($"query_id", $"cand_id", $"sim_micros", $"rnk")
     },
