@@ -15,6 +15,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     avoided by aggregating `floor(x * 100)` cents as BIGINT instead.
   *   - event time: integral epoch seconds (`ts div 1e9` == `epoch_ms//1000`),
   *     never engine-formatted timestamps.
+  *
+  * Physical dtypes must match too, not just values: Spark's
+  * row_number/size/bit_count emit INT (cast to BIGINT in the query), and
+  * DuckDB's SUM(BIGINT) widens to HUGEINT (wrap every bigint SUM in
+  * CAST(... AS BIGINT) in the oracle).
   */
 final case class Q(
     name: String,
