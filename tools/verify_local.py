@@ -28,6 +28,16 @@ for name in sorted(os.listdir(out_dir)):
     except Exception as e:
         results[name] = f"ORACLE-FAIL: {str(e)[:200]}"
         continue
+    # physical dtypes must match as well as values (DuckDB SUM(BIGINT)
+    # widens to HUGEINT->float64; Spark row_number/size emit int32)
+    dtype_bad = [
+        c for c in sorted(set(spark_df.columns) & set(duck_df.columns))
+        if str(spark_df[c].dtype) != str(duck_df[c].dtype)
+    ]
+    if dtype_bad:
+        results[name] = "DTYPE-MISMATCH: " + ", ".join(
+            f"{c}(spark={spark_df[c].dtype},duck={duck_df[c].dtype})" for c in dtype_bad)
+        continue
     def norm(df):
         df = df.reindex(sorted(df.columns), axis=1)
         for c in df.columns:
