@@ -28,3 +28,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Pass forked programs' stdout straight through (no "[info] " prefix) so
+// the driver can parse Bench's single JSON line as-is.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
