@@ -525,6 +525,80 @@ object TextOps {
     """.stripMargin.trim),
   )
 
+  // ---------------------------------------------------------------------
+  // Composed dedup pipeline: exact dedup FIRST (collapse identical
+  // payloads on the md5 hash — cheap, one shuffle), near-dup candidates
+  // on the survivors only. This is the composition SCALING.md prescribes
+  // for duplicate-heavy corpora: the quadratic within-bucket term of the
+  // LSH stage only ever sees unique texts.
+  // ---------------------------------------------------------------------
+
+  val neardupPostDedup = Q(
+    "t_neardup_post_dedup",
+    (s, d) => {
+      import s.implicits._
+      val keepW = Window.partitionBy($"text_hash").orderBy($"doc_id")
+      val survivors = docs(s, d)
+        .withColumn("text_hash", md5($"text"))
+        .withColumn("rk", row_number().over(keepW))
+        .filter($"rk" === 1)
+        .select($"doc_id", $"text")
+      val minCols = (0 until nHashes).map(i =>
+        min(md5(concat(lit(i.toString), lit(":"), $"sh"))).as(s"m$i"))
+      val sig = survivors
+        .withColumn("tk", toks)
+        .select($"doc_id", explode(shinglesOfTk).as("sh"))
+        .groupBy($"doc_id")
+        .agg(minCols.head, minCols.tail: _*)
+      val bandStructs = (0 until nHashes / bandSize).map { b =>
+        val slots = (0 until bandSize).map(j => col(s"m${b * bandSize + j}"))
+        struct(lit(b).as("band"), concat_ws("|", slots: _*).as("bkey"))
+      }
+      sig
+        .select($"doc_id", explode(array(bandStructs: _*)).as("bb"))
+        .select($"doc_id", $"bb.band".as("band"), $"bb.bkey".as("bkey"))
+        .groupBy($"band", $"bkey")
+        .agg(sort_array(collect_list($"doc_id")).as("ids"))
+        .filter(size($"ids") > 1)
+        .select(explode(expr(
+          """flatten(transform(sequence(1, size(ids) - 1),
+            |  i -> transform(sequence(i + 1, size(ids)),
+            |    j -> struct(element_at(ids, i) AS doc_a, element_at(ids, j) AS doc_b))))""".stripMargin))
+          .as("p"))
+        .select($"p.doc_a", $"p.doc_b")
+        .distinct()
+    },
+    Some {
+      val minCols = (0 until nHashes)
+        .map(i => s"MIN(md5('$i' || ':' || sh)) AS m$i")
+        .mkString(",\n               ")
+      val bandRows = (0 until nHashes / bandSize)
+        .map { b =>
+          val slots = (0 until bandSize).map(j => s"m${b * bandSize + j}").mkString(" || '|' || ")
+          s"SELECT doc_id, $b AS band, $slots AS bkey FROM sig"
+        }
+        .mkString("\n        UNION ALL ")
+      s"""
+      WITH survivors AS (
+        SELECT doc_id, text FROM (
+          SELECT doc_id, text,
+                 ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rk
+          FROM documents) WHERE rk = 1),
+      sh AS (
+        SELECT doc_id, unnest($oracleShingles) AS sh FROM survivors),
+      sig AS (
+        SELECT doc_id,
+               $minCols
+        FROM sh GROUP BY doc_id),
+      bands AS (
+        $bandRows)
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    """.stripMargin.trim
+    },
+  )
+
   val qs: Seq[Q] = Seq(
     textStats,
     tokenTopK,
@@ -535,6 +609,7 @@ object TextOps {
     ngramJaccard,
     simhash,
     simhashNearDup,
+    neardupPostDedup,
     rollingFingerprint,
   )
 }
