@@ -12,9 +12,11 @@ object Bench {
       else queries.Catalog.benchNames
     // Untimed warmup at the smallest SF: JIT/codegen/classloading otherwise
     // lands entirely on whichever query happens to run first (~5s skew).
-    try {
-      names.foreach(n => SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count())
-    } catch { case _: Throwable => () }
+    // Each query warms independently so one failure can't skip the rest.
+    names.foreach { n =>
+      try SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count()
+      catch { case _: Throwable => () }
+    }
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()

@@ -1,6 +1,7 @@
 package graft.multimodal
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column support for a training-data pipeline: image/audio/
@@ -82,17 +83,43 @@ object Multimodal {
     }
   }
 
-  /** Spread assets so each task carries ~`targetBytes` of payload —
-    * media tables are bytes-bound, not row-bound, so row-count
-    * partitioning straggles.
+  /** Spread assets so each task carries ~`targetBytes` of payload — media
+    * tables are bytes-bound, not row-bound, so row-count partitioning
+    * straggles on heterogeneous asset sizes (one 4 GB video vs thousands of
+    * thumbnails).
+    *
+    * Byte-weighted: prefix-sums per-asset payload sizes and assigns each
+    * asset to the byte-bin its cumulative offset falls in, then
+    * range-partitions on the bin. Only a slim `(assetId, bytes)` projection
+    * flows through the single-task global window (~16 bytes/asset — fine up
+    * to hundreds of millions of assets); the bin map is broadcast back so
+    * the payload shuffles exactly once. Partitions are balanced to
+    * `targetBytes` + one asset regardless of size skew; an asset larger
+    * than `targetBytes` still gets a partition to itself.
+    *
+    * `totalBytes` (known from table stats or a prior scan) sizes the
+    * partition count without an extra action over the data.
     */
   def repartitionByBytes(
       assets: Dataset[MediaAsset],
       totalBytes: Long,
       targetBytes: Long = 128L << 20,
   ): Dataset[MediaAsset] = {
-    val parts = math.max(1, (totalBytes / targetBytes).toInt)
-    assets.repartition(parts, col("assetId"))
+    implicit val enc = Encoders.product[MediaAsset]
+    val numBins = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    val w = Window.orderBy(col("assetId"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bins = assets
+      .select(col("assetId"), length(col("content")).cast("long").as("bytes"))
+      .withColumn("cum", sum(col("bytes")).over(w))
+      .select(
+        col("assetId").as("binAssetId"),
+        ((col("cum") - col("bytes")) / targetBytes).cast("long").as("byteBin"))
+    assets
+      .join(broadcast(bins), col("assetId") === col("binAssetId"))
+      .repartitionByRange(numBins, col("byteBin"), col("assetId"))
+      .drop("binAssetId", "byteBin")
+      .as[MediaAsset]
   }
 
   /** Decode pass: one codec per partition, iterator in / iterator out

@@ -8,8 +8,11 @@ import graft.model.{AdClickEvent, BlackListUserWarning}
 /** Click-fraud blacklist filter (SURVEY §2.3 F7 / §2.7 G6 —
   * FilterBlackListUser, AdStatisticsByProvince.java:104-160).
   *
-  * Per (userId, adId): count clicks; once the count reaches `threshold`,
-  * suppress further events and emit ONE warning on the alert channel. The
+  * Per (userId, adId): count clicks; the first `threshold` clicks pass to
+  * the main channel, and from click `threshold + 1` onward events are
+  * suppressed with ONE warning on the alert channel (the reference checks
+  * the pre-increment count against the bound and skips the increment while
+  * suppressing — AdStatisticsByProvince.java:139-152). The
   * reference resets state at the next local midnight via a processing-time
   * timer; here the reset key is the event-time day (deterministic and
   * replayable — the documented semantic delta, same daily cadence).
@@ -42,18 +45,18 @@ object AdBlacklist {
   ): (ClickCount, Seq[AdOut]) = {
     val day = dayOf(e.timestamp)
     val cur = if (st.day == day) st else ClickCount(day, 0L, warningSent = false) // midnight reset
-    val count = cur.count + 1
-    if (count >= threshold) {
+    if (cur.count >= threshold) {
+      // pre-increment count at the bound: suppress this click, warn once,
+      // and leave the count where it is (the reference's early return skips
+      // the increment)
       val warn =
         if (!cur.warningSent)
           Seq(AdOut(Out.Alert, None,
             Some(BlackListUserWarning(e.userId, e.adId, warnMsg(threshold)))))
         else Seq.empty
-      // at/over threshold: suppress the click itself (reference returns
-      // without collecting the event once count >= threshold)
-      (ClickCount(day, count, warningSent = true), warn)
+      (cur.copy(warningSent = true), warn)
     } else
-      (ClickCount(day, count, cur.warningSent), Seq(AdOut(Out.Main, Some(e), None)))
+      (ClickCount(day, cur.count + 1, cur.warningSent), Seq(AdOut(Out.Main, Some(e), None)))
   }
 
   /** Batch: per-(user, ad) time-ordered fold. */

@@ -51,8 +51,38 @@ class MultimodalSpec extends SparkSpec {
 
   test("repartitionByBytes sizes tasks by payload volume") {
     val total = 90L * 2048L
-    val repart = repartitionByBytes(assets, totalBytes = total, targetBytes = 16L * 2048L)
-    assert(repart.rdd.getNumPartitions === (total / (16 * 2048)).toInt)
+    val target = 16L * 2048L
+    val repart = repartitionByBytes(assets, totalBytes = total, targetBytes = target)
+    assert(repart.rdd.getNumPartitions === ((total + target - 1) / target).toInt)
     assert(repart.count() === 90)
+    // byte balance: no partition exceeds targetBytes by more than one asset
+    val partBytes = repart
+      .mapPartitions(it => Iterator.single(it.map(_.content.length.toLong).sum))(
+        org.apache.spark.sql.Encoders.scalaLong)
+      .collect()
+    assert(partBytes.forall(_ <= target + 2048L))
+  }
+
+  test("repartitionByBytes balances a size-skewed corpus") {
+    import spark.implicits._
+    // 4 big assets (64 KiB) among 60 small ones (1 KiB): row-hash
+    // partitioning could land several big ones together; byte-binning can't
+    val skewed = spark
+      .range(64)
+      .map { i =>
+        val bytes = new Array[Byte](if (i % 16 == 0) 65536 else 1024)
+        java.util.Arrays.fill(bytes, i.toByte)
+        MediaAsset(i, "image", bytes, "png", 640, 480, 0, 0L)
+      }
+    val total = skewed.collect().map(_.content.length.toLong).sum
+    val target = 80L * 1024L
+    val repart = repartitionByBytes(skewed, totalBytes = total, targetBytes = target)
+    val partBytes = repart
+      .mapPartitions(it => Iterator.single(it.map(_.content.length.toLong).sum))(
+        org.apache.spark.sql.Encoders.scalaLong)
+      .collect()
+      .filter(_ > 0)
+    assert(repart.count() === 64)
+    assert(partBytes.forall(_ <= target + 65536L))
   }
 }

@@ -279,16 +279,18 @@ class DetectorSpec extends SparkSpec {
       FROM ad_clicks GROUP BY 1, 2, 3
     """).collect().map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getLong(3))).toMap
 
-    // exactly one warning per (user, ad, day) reaching the threshold
-    val overKeys = counts.filter(_._2 >= threshold).keys.map(k => (k._1, k._2)).toSet
+    // exactly one warning per (user, ad, day) EXCEEDING the threshold — the
+    // reference checks the pre-increment count, so click threshold+1 is the
+    // first suppressed one
+    val overKeys = counts.filter(_._2 > threshold).keys.map(k => (k._1, k._2)).toSet
     assert(warnings.map(w => (w.userId, w.adId)).toSet === overKeys)
-    assert(warnings.length === counts.count(_._2 >= threshold))
-    // main stream holds min(n, threshold-1) clicks per key-day
+    assert(warnings.length === counts.count(_._2 > threshold))
+    // main stream holds min(n, threshold) clicks per key-day
     val mainCounts = mains.groupBy(c =>
       (c.userId, c.adId, c.timestamp - math.floorMod(c.timestamp, 86400L)))
       .view.mapValues(_.length.toLong).toMap
     counts.foreach { case (k, n) =>
-      assert(mainCounts.getOrElse(k, 0L) === math.min(n, (threshold - 1).toLong))
+      assert(mainCounts.getOrElse(k, 0L) === math.min(n, threshold.toLong))
     }
   }
 }
