@@ -285,64 +285,86 @@ object TextOps {
   private val nHashes = 12
   private val bandSize = 3 // → 4 bands
 
+  /** The 12 min-hash aggregates: independent salted md5s, min over the hex
+    * string. Two cheaper-looking variants were measured and rejected:
+    * deriving several hashes from one digest doubled false-positive
+    * candidates (correlated bands), and converting to 60-bit longs via
+    * `conv(hex15, 16, 10)` benched ~1.5x SLOWER end-to-end — Conv
+    * round-trips through a decimal string, which costs more per row than
+    * the narrower agg state saves.
+    */
+  private def minhashCols: Seq[Column] = (0 until nHashes).map(i =>
+    min(md5(concat(lit(i.toString), lit(":"), col("sh")))).as(s"m$i"))
+
+  /** (doc_id, sh) shingle rows → candidate pairs via banded LSH.
+    *
+    * One explode per signature row (not a 4-way union re-running the
+    * aggregation per band): (band, bkey) pairs in a single pass. Pairs come
+    * from grouping each band bucket and expanding in-bucket combinations,
+    * NOT from a self-join: a self-join would evaluate the whole signature
+    * aggregation twice (once per side), and at scale the 12-way min-hash
+    * agg is the dominant cost. Buckets are tiny by LSH construction, so the
+    * i<j expansion per bucket is cheap; the sorted ids array makes
+    * doc_a < doc_b by construction.
+    */
+  private def minhashPairs(shingled: DataFrame): DataFrame = {
+    val cols = minhashCols
+    val sig = shingled.groupBy(col("doc_id")).agg(cols.head, cols.tail: _*)
+    val bandStructs = (0 until nHashes / bandSize).map { b =>
+      val slots = (0 until bandSize).map(j => col(s"m${b * bandSize + j}").as(s"k$j"))
+      struct(lit(b).as("band"), struct(slots: _*).as("bkey"))
+    }
+    sig
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+      .groupBy(col("band"), col("bkey"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(sequence(1, size(ids) - 1),
+          |  i -> transform(sequence(i + 1, size(ids)),
+          |    j -> struct(element_at(ids, i) AS doc_a, element_at(ids, j) AS doc_b))))""".stripMargin))
+        .as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+      .distinct()
+  }
+
+  /** DuckDB mirror of [[minhashPairs]] given a `sh(doc_id, sh)` CTE: the
+    * `sig`/`bands` CTEs plus the final distinct-pairs select (band-bucket
+    * equi-join; DuckDB's optimizer CSEs the sig subtree).
+    */
+  private def oracleMinhashTail: String = {
+    val minCols = (0 until nHashes)
+      .map(i => s"MIN(md5('$i' || ':' || sh)) AS m$i")
+      .mkString(",\n               ")
+    val bandRows = (0 until nHashes / bandSize)
+      .map { b =>
+        val slots = (0 until bandSize)
+          .map(j => s"m${b * bandSize + j} AS k$j")
+          .mkString(", ")
+        s"SELECT doc_id, $b AS band, $slots FROM sig"
+      }
+      .mkString("\n        UNION ALL ")
+    s"""sig AS (
+      |        SELECT doc_id,
+      |               $minCols
+      |        FROM sh GROUP BY doc_id),
+      |      bands AS (
+      |        $bandRows)
+      |      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |      FROM bands a JOIN bands b
+      |        ON a.band = b.band AND a.k0 = b.k0 AND a.k1 = b.k1 AND a.k2 = b.k2
+      |       AND a.doc_id < b.doc_id""".stripMargin
+  }
+
   val minhashLsh = Q(
     "t_minhash_lsh",
-    (s, d) => {
-      import s.implicits._
-      val minCols = (0 until nHashes).map(i =>
-        min(md5(concat(lit(i.toString), lit(":"), $"sh"))).as(s"m$i"))
-      val sig = docShingles(s, d).groupBy($"doc_id").agg(minCols.head, minCols.tail: _*)
-      // One explode per signature row (not a 4-way union re-running the
-      // aggregation per band): (band, bkey) pairs in a single pass.
-      val bandStructs = (0 until nHashes / bandSize).map { b =>
-        val slots = (0 until bandSize).map(j => col(s"m${b * bandSize + j}"))
-        struct(lit(b).as("band"), concat_ws("|", slots: _*).as("bkey"))
-      }
-      val bands = sig
-        .select($"doc_id", explode(array(bandStructs: _*)).as("bb"))
-        .select($"doc_id", $"bb.band".as("band"), $"bb.bkey".as("bkey"))
-      // Pairs come from grouping each band bucket and expanding in-bucket
-      // combinations, NOT from a self-join: a self-join would evaluate the
-      // whole signature aggregation twice (once per side), and at scale the
-      // 12-way min-hash agg is the dominant cost. Buckets are tiny by LSH
-      // construction, so the i<j expansion per bucket is cheap; the sorted
-      // ids array makes doc_a < doc_b by construction.
-      bands
-        .groupBy($"band", $"bkey")
-        .agg(sort_array(collect_list($"doc_id")).as("ids"))
-        .filter(size($"ids") > 1)
-        .select(explode(expr(
-          """flatten(transform(sequence(1, size(ids) - 1),
-            |  i -> transform(sequence(i + 1, size(ids)),
-            |    j -> struct(element_at(ids, i) AS doc_a, element_at(ids, j) AS doc_b))))""".stripMargin))
-          .as("p"))
-        .select($"p.doc_a", $"p.doc_b")
-        .distinct()
-    },
-    Some {
-      val minCols = (0 until nHashes)
-        .map(i => s"MIN(md5('$i' || ':' || sh)) AS m$i")
-        .mkString(",\n               ")
-      val bandRows = (0 until nHashes / bandSize)
-        .map { b =>
-          val slots = (0 until bandSize).map(j => s"m${b * bandSize + j}").mkString(" || '|' || ")
-          s"SELECT doc_id, $b AS band, $slots AS bkey FROM sig"
-        }
-        .mkString("\n        UNION ALL ")
-      s"""
+    (s, d) => minhashPairs(docShingles(s, d)),
+    Some(s"""
       WITH sh AS (
         SELECT doc_id, unnest($oracleShingles) AS sh FROM documents),
-      sig AS (
-        SELECT doc_id,
-               $minCols
-        FROM sh GROUP BY doc_id),
-      bands AS (
-        $bandRows)
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a JOIN bands b
-        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-    """.stripMargin.trim
-    },
+      $oracleMinhashTail
+    """.stripMargin.trim),
     bench = true,
   )
 
@@ -543,42 +565,12 @@ object TextOps {
         .withColumn("rk", row_number().over(keepW))
         .filter($"rk" === 1)
         .select($"doc_id", $"text")
-      val minCols = (0 until nHashes).map(i =>
-        min(md5(concat(lit(i.toString), lit(":"), $"sh"))).as(s"m$i"))
-      val sig = survivors
-        .withColumn("tk", toks)
-        .select($"doc_id", explode(shinglesOfTk).as("sh"))
-        .groupBy($"doc_id")
-        .agg(minCols.head, minCols.tail: _*)
-      val bandStructs = (0 until nHashes / bandSize).map { b =>
-        val slots = (0 until bandSize).map(j => col(s"m${b * bandSize + j}"))
-        struct(lit(b).as("band"), concat_ws("|", slots: _*).as("bkey"))
-      }
-      sig
-        .select($"doc_id", explode(array(bandStructs: _*)).as("bb"))
-        .select($"doc_id", $"bb.band".as("band"), $"bb.bkey".as("bkey"))
-        .groupBy($"band", $"bkey")
-        .agg(sort_array(collect_list($"doc_id")).as("ids"))
-        .filter(size($"ids") > 1)
-        .select(explode(expr(
-          """flatten(transform(sequence(1, size(ids) - 1),
-            |  i -> transform(sequence(i + 1, size(ids)),
-            |    j -> struct(element_at(ids, i) AS doc_a, element_at(ids, j) AS doc_b))))""".stripMargin))
-          .as("p"))
-        .select($"p.doc_a", $"p.doc_b")
-        .distinct()
+      minhashPairs(
+        survivors
+          .withColumn("tk", toks)
+          .select($"doc_id", explode(shinglesOfTk).as("sh")))
     },
-    Some {
-      val minCols = (0 until nHashes)
-        .map(i => s"MIN(md5('$i' || ':' || sh)) AS m$i")
-        .mkString(",\n               ")
-      val bandRows = (0 until nHashes / bandSize)
-        .map { b =>
-          val slots = (0 until bandSize).map(j => s"m${b * bandSize + j}").mkString(" || '|' || ")
-          s"SELECT doc_id, $b AS band, $slots AS bkey FROM sig"
-        }
-        .mkString("\n        UNION ALL ")
-      s"""
+    Some(s"""
       WITH survivors AS (
         SELECT doc_id, text FROM (
           SELECT doc_id, text,
@@ -586,17 +578,8 @@ object TextOps {
           FROM documents) WHERE rk = 1),
       sh AS (
         SELECT doc_id, unnest($oracleShingles) AS sh FROM survivors),
-      sig AS (
-        SELECT doc_id,
-               $minCols
-        FROM sh GROUP BY doc_id),
-      bands AS (
-        $bandRows)
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a JOIN bands b
-        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-    """.stripMargin.trim
-    },
+      $oracleMinhashTail
+    """.stripMargin.trim),
   )
 
   val qs: Seq[Q] = Seq(
