@@ -329,11 +329,10 @@ object TextOps {
       .distinct()
   }
 
-  /** DuckDB mirror of [[minhashPairs]] given a `sh(doc_id, sh)` CTE: the
-    * `sig`/`bands` CTEs plus the final distinct-pairs select (band-bucket
-    * equi-join; DuckDB's optimizer CSEs the sig subtree).
+  /** DuckDB `sig`/`bands` CTEs mirroring the signature+banding half of
+    * [[minhashPairs]], given a `sh(doc_id, sh)` CTE.
     */
-  private def oracleMinhashTail: String = {
+  private def oracleMinhashSigBands: String = {
     val minCols = (0 until nHashes)
       .map(i => s"MIN(md5('$i' || ':' || sh)) AS m$i")
       .mkString(",\n               ")
@@ -350,12 +349,22 @@ object TextOps {
       |               $minCols
       |        FROM sh GROUP BY doc_id),
       |      bands AS (
-      |        $bandRows)
-      |      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |        $bandRows)""".stripMargin
+  }
+
+  private val oracleMinhashPairsSelect: String =
+    """SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       |      FROM bands a JOIN bands b
       |        ON a.band = b.band AND a.k0 = b.k0 AND a.k1 = b.k1 AND a.k2 = b.k2
       |       AND a.doc_id < b.doc_id""".stripMargin
-  }
+
+  /** DuckDB mirror of [[minhashPairs]] given a `sh(doc_id, sh)` CTE: the
+    * `sig`/`bands` CTEs plus the final distinct-pairs select (band-bucket
+    * equi-join; DuckDB's optimizer CSEs the sig subtree).
+    */
+  private def oracleMinhashTail: String =
+    s"""$oracleMinhashSigBands
+      |      $oracleMinhashPairsSelect""".stripMargin
 
   val minhashLsh = Q(
     "t_minhash_lsh",
@@ -582,9 +591,130 @@ object TextOps {
     """.stripMargin.trim),
   )
 
+  // ---------------------------------------------------------------------
+  // Full corpus-cleaning pipeline — the end-to-end training-data pass
+  // every stage above exists to serve, composed as ONE declarative plan:
+  // exact dedup → MinHash-LSH near-dup removal (drop the higher doc_id of
+  // every candidate pair) → quality gate. Catalyst sees the whole
+  // pipeline, so the survivor projection is computed once and the
+  // text column never outlives the stage that needs it.
+  //
+  // 100 TB shape: one hash shuffle (exact dedup), one signature agg (one
+  // row per unique doc), one band-bucket agg, one broadcast-able anti-join
+  // of the removed-id set, one final projection. Nothing quadratic except
+  // the LSH in-bucket expansion, which exact dedup has already bounded.
+  // ---------------------------------------------------------------------
+
+  val cleanCorpus = Q(
+    "t_clean_corpus",
+    (s, d) => {
+      import s.implicits._
+      val stopPred = stopwords.map(w => s"x = '$w'").mkString(" or ")
+      val keepW = Window.partitionBy($"text_hash").orderBy($"doc_id")
+      val survivors = docs(s, d)
+        .withColumn("text_hash", md5($"text"))
+        .withColumn("rk", row_number().over(keepW))
+        .filter($"rk" === 1)
+        .select($"doc_id", $"lang", $"source", $"text")
+      val removed = minhashPairs(
+        survivors
+          .withColumn("tk", toks)
+          .select($"doc_id", explode(shinglesOfTk).as("sh")))
+        .select($"doc_b".as("rem_id"))
+        .distinct()
+      survivors
+        .join(removed, $"doc_id" === $"rem_id", "left_anti")
+        .withColumn("tk", toks)
+        .select(
+          $"doc_id",
+          $"lang",
+          $"source",
+          size($"tk").cast("long").as("n_tokens"),
+          size(array_distinct($"tk")).cast("long").as("n_distinct"),
+          expr(s"CAST(size(filter(tk, x -> $stopPred)) AS BIGINT)").as("n_stop"),
+        )
+        .withColumn("ttr_pct", floor(lit(100.0) * $"n_distinct" / $"n_tokens").cast("long"))
+        .withColumn("stop_pct", floor(lit(100.0) * $"n_stop" / $"n_tokens").cast("long"))
+        .withColumn(
+          "quality",
+          when($"n_tokens" >= 20 && $"ttr_pct" >= 25 && $"stop_pct" <= 40, lit("good"))
+            .when($"n_tokens" >= 10, lit("fair"))
+            .otherwise(lit("poor")),
+        )
+        .filter($"quality" =!= "poor")
+    },
+    Some {
+      val stopPred = stopwords.map(w => s"x = '$w'").mkString(" or ")
+      s"""
+      WITH survivors AS (
+        SELECT doc_id, lang, source, text FROM (
+          SELECT doc_id, lang, source, text,
+                 ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rk
+          FROM documents) WHERE rk = 1),
+      sh AS (
+        SELECT doc_id, unnest($oracleShingles) AS sh FROM survivors),
+      $oracleMinhashSigBands,
+      pairs AS (
+        $oracleMinhashPairsSelect),
+      kept AS (
+        SELECT s.* FROM survivors s
+        WHERE NOT EXISTS (SELECT 1 FROM pairs p WHERE p.doc_b = s.doc_id)),
+      t AS (
+        SELECT doc_id, lang, source,
+               len($oracleToks) AS n_tokens,
+               len(list_distinct($oracleToks)) AS n_distinct,
+               len(list_filter($oracleToks, x -> $stopPred)) AS n_stop
+        FROM kept)
+      SELECT * FROM (
+        SELECT doc_id, lang, source, n_tokens, n_distinct, n_stop,
+               CAST(FLOOR(100.0 * n_distinct / n_tokens) AS BIGINT) AS ttr_pct,
+               CAST(FLOOR(100.0 * n_stop / n_tokens) AS BIGINT) AS stop_pct,
+               CASE WHEN n_tokens >= 20 AND FLOOR(100.0 * n_distinct / n_tokens) >= 25
+                         AND FLOOR(100.0 * n_stop / n_tokens) <= 40 THEN 'good'
+                    WHEN n_tokens >= 10 THEN 'fair'
+                    ELSE 'poor' END AS quality
+        FROM t)
+      WHERE quality <> 'poor'
+    """.stripMargin.trim
+    },
+    bench = true,
+  )
+
+  // ---------------------------------------------------------------------
+  // BPE-ish pre-tokenization — the regex family GPT-2-style tokenizers
+  // use ahead of merge rules: letter runs, digit runs, single
+  // non-alphanumeric marks. ASCII-restricted so Java regex (Spark) and
+  // RE2 (DuckDB) agree; the alternatives are disjoint character classes,
+  // so leftmost-first vs leftmost-longest cannot diverge.
+  // ---------------------------------------------------------------------
+
+  private val bpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+  val tokenBpe = Q(
+    "t_token_bpe",
+    (s, d) => {
+      import s.implicits._
+      val w = Window.orderBy($"cnt".desc, $"token")
+      docs(s, d)
+        .select(explode(expr(s"regexp_extract_all(text, '$bpePattern', 0)")).as("token"))
+        .groupBy($"token")
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter($"rnk" <= 20)
+    },
+    Some(s"""
+      WITH tok AS (
+        SELECT unnest(regexp_extract_all(text, '$bpePattern')) AS token FROM documents),
+      counted AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY 1)
+      SELECT token, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS rnk
+      FROM counted QUALIFY rnk <= 20
+    """.stripMargin.trim),
+  )
+
   val qs: Seq[Q] = Seq(
     textStats,
     tokenTopK,
+    tokenBpe,
     langId,
     qualityScore,
     dedupExact,
@@ -593,6 +723,7 @@ object TextOps {
     simhash,
     simhashNearDup,
     neardupPostDedup,
+    cleanCorpus,
     rollingFingerprint,
   )
 }
