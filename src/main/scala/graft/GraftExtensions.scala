@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
 import org.apache.spark.sql.types.StringType
 
-import graft.functions.{BloomHashExpression, BloomUvAggregate}
+import graft.functions.{BloomHashExpression, BloomUvAggregate, DotProductDExpression}
 
 /** SparkSessionExtensions hook — the standard deployment path for the
   * engine's custom Catalyst functions:
@@ -37,6 +37,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => {
         require(exprs.length == 1, s"bloom_hash expects exactly 1 argument, got ${exprs.length}")
         BloomHashExpression(Cast(exprs.head, StringType))
+      },
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("dot_d"),
+      new ExpressionInfo(classOf[DotProductDExpression].getName, "dot_d"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, s"dot_d expects exactly 2 arguments, got ${exprs.length}")
+        DotProductDExpression(exprs.head, exprs(1))
       },
     ))
   }

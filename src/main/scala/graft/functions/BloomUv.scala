@@ -98,9 +98,12 @@ final case class BloomUvAggregate(
 /** Registration + Column API for graft's custom functions. */
 object GraftFunctions {
 
-  /** Registers `bloom_uv(col)` and `bloom_hash(col)` for SQL use. */
+  /** Registers `bloom_uv(col)`, `bloom_hash(col)` and `dot_d(a, b)` for
+    * SQL use.
+    */
   def register(spark: SparkSession): Unit = {
     registerBloomHash(spark)
+    registerDotD(spark)
     spark.sessionState.functionRegistry.registerFunction(
       org.apache.spark.sql.catalyst.FunctionIdentifier("bloom_uv"),
       new ExpressionInfo(classOf[BloomUvAggregate].getName, "bloom_uv"),
@@ -128,4 +131,21 @@ object GraftFunctions {
 
   /** Column-API entry for the scalar hash. */
   def bloomHash(c: Column): Column = callFn("bloom_hash", c)
+
+  /** Registers `dot_d(a, b)` (see [[DotProductDExpression]]). Idempotent —
+    * re-registration replaces the identical builder, so query constructors
+    * call this unconditionally to stay self-contained.
+    */
+  def registerDotD(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("dot_d"),
+      new ExpressionInfo(classOf[DotProductDExpression].getName, "dot_d"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, s"dot_d expects exactly 2 arguments, got ${exprs.length}")
+        DotProductDExpression(exprs.head, exprs(1))
+      },
+    )
+
+  /** Column-API entry for the codegen'd dot product. */
+  def dotD(a: Column, b: Column): Column = callFn("dot_d", a, b)
 }

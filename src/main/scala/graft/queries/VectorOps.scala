@@ -31,11 +31,16 @@ object VectorOps {
 
   private val dim = 64
 
-  /** Left-to-right double dot product of two float-array columns. */
-  private def dotd(a: String, b: String): Column =
-    expr(s"""aggregate(
-            |  zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-            |  CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)
+  /** Left-to-right double dot product of two float-array columns — the
+    * native codegen'd `dot_d` ([[graft.functions.DotProductDExpression]]).
+    * Bit-identical to the declarative `aggregate(zip_with(...))` fold it
+    * replaced (verified raw-double-equal over the corpus), but the HOF
+    * version runs its lambdas on the interpreted expression path
+    * (`CodegenFallback`), per element per row; `dot_d` fuses into
+    * whole-stage codegen. Registration happens in [[vecs]], so every
+    * query is self-contained.
+    */
+  private def dotd(a: String, b: String): Column = expr(s"dot_d($a, $b)")
 
   /** DuckDB equivalent of [[dotd]] (1-based list indexing, same fold order
     * — list_reduce seeds with element 1, and `0.0 + p1 == p1` keeps the sum
@@ -45,7 +50,12 @@ object VectorOps {
     s"""list_reduce(list_transform(generate_series(1, $dim),
        |  i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)""".stripMargin
 
-  private def vecs(s: SparkSession, d: String): DataFrame = Tables.embeddings(s, d)
+  private def vecs(s: SparkSession, d: String): DataFrame = {
+    // every VectorOps query loads embeddings through here, so this is the
+    // one choke point to make `dot_d` resolvable in the session
+    graft.functions.GraftFunctions.registerDotD(s)
+    Tables.embeddings(s, d)
+  }
 
   /** floor(1e6 x) as BIGINT — the hash-safe similarity representation. */
   private def micros(c: Column): Column = floor(c * lit(1e6)).cast("long")
