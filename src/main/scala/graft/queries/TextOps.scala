@@ -53,10 +53,39 @@ object TextOps {
       |  sequence(1, greatest(size(tk) - 2, 0)),
       |  i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1), element_at(tk, i + 2))))""".stripMargin)
 
-  /** documents → (doc_id, sh) with one row per distinct shingle. */
+  /** Fan the input of a shingle+signature stage out to (at least) the
+    * session's parallelism, bypassing AQE's size-based coalescing. The
+    * signature stage runs 12 md5 evaluations per shingle — cost scales
+    * with ROWS, while AQE coalesces on BYTES: a few MB of deduped text
+    * looks tiny, gets squeezed to one or two tasks, and the most CPU-dense
+    * stage in the engine serializes. An explicit REPARTITION_BY_NUM is
+    * exempt from AQE coalescing; `max` keeps an already-wide input at its
+    * width. Measured: t_neardup_post_dedup 2.4 s → 0.9 s at sf0.1.
+    */
+  private def fanOutCpu(df: DataFrame): DataFrame = {
+    val want = math.max(
+      df.sparkSession.sparkContext.defaultParallelism,
+      df.rdd.getNumPartitions)
+    df.repartition(want)
+  }
+
+  /** documents → (doc_id, sh) with one row per distinct shingle.
+    *
+    * The scan is fanned out to the session's parallelism first: shingling
+    * plus 12 md5 evaluations per shingle is the most CPU-dense per-row
+    * work in the engine, and a single-row-group input would otherwise run
+    * ALL of it inside the one-task scan stage (the signature aggregation
+    * is partial-agg'd in the same stage as the scan). This is the one
+    * place where the fan-out exchange measured faster — a blanket
+    * scan-side fan-out made every other query slower (SCALING.md round 3);
+    * on a multi-row-group table the repartition is skipped entirely.
+    */
   private def docShingles(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    docs(s, d)
+    val base = docs(s, d).select($"doc_id", $"text")
+    val want = s.sparkContext.defaultParallelism
+    val fanned = if (base.rdd.getNumPartitions < want) base.repartition(want) else base
+    fanned
       .withColumn("tk", toks)
       .select($"doc_id", explode(shinglesOfTk).as("sh"))
   }
@@ -575,7 +604,7 @@ object TextOps {
         .filter($"rk" === 1)
         .select($"doc_id", $"text")
       minhashPairs(
-        survivors
+        fanOutCpu(survivors)
           .withColumn("tk", toks)
           .select($"doc_id", explode(shinglesOfTk).as("sh")))
     },
@@ -617,7 +646,7 @@ object TextOps {
         .filter($"rk" === 1)
         .select($"doc_id", $"lang", $"source", $"text")
       val removed = minhashPairs(
-        survivors
+        fanOutCpu(survivors)
           .withColumn("tk", toks)
           .select($"doc_id", explode(shinglesOfTk).as("sh")))
         .select($"doc_b".as("rem_id"))
