@@ -166,6 +166,26 @@ object Streams {
       }
   }
 
+  /** Streaming exact deduplication — the streaming half of the dedup
+    * taxonomy (batch: `t_dedup_exact`). The first occurrence of each key
+    * passes; re-occurrences arriving within `delay` of each other are
+    * dropped; a key's state is evicted once the watermark passes its
+    * event time plus `delay`. That eviction is the 100 TB/day point: a
+    * plain streaming `dropDuplicates` keeps every key seen FOREVER, while
+    * this bounds state to (key arrival rate × horizon). A key recurring
+    * after eviction re-emits — exact global dedup over an unbounded
+    * stream is impossible in finite state; the horizon is the contract.
+    */
+  def dedupWithinWatermark(
+      events: DataFrame,
+      keys: Seq[String],
+      eventTimeCol: String,
+      delay: String,
+  ): DataFrame =
+    events
+      .withWatermark(eventTimeCol, delay)
+      .dropDuplicatesWithinWatermark(keys)
+
   /** Convenience launcher: console sink (K1 `print()` equivalent). */
   def toConsole(df: DataFrame, mode: OutputMode = OutputMode.Update()): StreamingQuery =
     df.writeStream

@@ -171,4 +171,50 @@ class StreamsSpec extends SparkSpec {
     assert(viaSessionWindow === viaLag)
     assert(viaSessionWindow.nonEmpty)
   }
+
+  test("dedupWithinWatermark drops in-horizon duplicates, evicts state past it") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val mem = MemoryStream[UserBehavior]
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val deduped = Streams.dedupWithinWatermark(
+      mem.toDS().withColumn("eventTime", timestamp_seconds(col("timestamp"))),
+      keys = Seq("itemId"),
+      eventTimeCol = "eventTime",
+      delay = "100 seconds")
+    val q = deduped.writeStream
+      .outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        seen.synchronized {
+          seen ++= b.collect().map(r => (r.getAs[Long]("itemId"), r.getAs[Long]("timestamp")))
+        }
+        ()
+      }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt-dedup").toString)
+      .start()
+    try {
+      // batch 1: duplicate within the batch dedups to the first arrival
+      mem.addData(Seq(
+        UserBehavior(1, 10, 1, "pv", 1000),
+        UserBehavior(2, 10, 1, "pv", 1010),
+        UserBehavior(3, 11, 1, "pv", 1005)))
+      q.processAllAvailable()
+      assert(seen.map(_._1).sorted === Seq(10L, 11L))
+      // batch 2: item 10 again, within the 100s horizon -> dropped
+      mem.addData(Seq(UserBehavior(4, 10, 1, "pv", 1050)))
+      q.processAllAvailable()
+      assert(seen.count(_._1 == 10L) === 1)
+      // batch 3: advance the watermark far past item 10's expiry
+      mem.addData(Seq(UserBehavior(5, 12, 1, "pv", 5000)))
+      q.processAllAvailable()
+      // batch 4: item 10 recurs AFTER its state was evicted -> re-emitted;
+      // this is the bounded-state contract, not a bug
+      mem.addData(Seq(UserBehavior(6, 10, 1, "pv", 4950)))
+      q.processAllAvailable()
+      assert(seen.count(_._1 == 10L) === 2)
+      assert(seen.map(_._1).count(_ == 12L) === 1)
+    } finally q.stop()
+  }
 }
