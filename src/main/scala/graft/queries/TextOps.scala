@@ -325,6 +325,21 @@ object TextOps {
   private def minhashCols: Seq[Column] = (0 until nHashes).map(i =>
     min(md5(concat(lit(i.toString), lit(":"), col("sh")))).as(s"m$i"))
 
+  /** Mega-bucket guard: a band bucket holding more than this many docs is
+    * skipped entirely instead of pair-expanded. A degenerate bucket (every
+    * doc built from one template agreeing on a whole band) would otherwise
+    * contribute a QUADRATIC number of candidate pairs — the one term of
+    * the LSH plan that can blow up at 100 TB. Skipping is the standard
+    * production treatment (a signature shared by 10^5+ docs carries no
+    * near-dup information, exactly like a stopword in an inverted index);
+    * the cap bounds the explode at ~2×10^9 pairs per bucket worst case.
+    * The linear `collect_list` buffer is still bucket-sized — on
+    * adversarial corpora run exact dedup first (`t_neardup_post_dedup`),
+    * which collapses identical texts before banding. Mirrored in the
+    * DuckDB oracle so both engines drop the same buckets.
+    */
+  private val maxBucket = 1 << 16
+
   /** (doc_id, sh) shingle rows → candidate pairs via banded LSH.
     *
     * One explode per signature row (not a 4-way union re-running the
@@ -333,10 +348,13 @@ object TextOps {
     * NOT from a self-join: a self-join would evaluate the whole signature
     * aggregation twice (once per side), and at scale the 12-way min-hash
     * agg is the dominant cost. Buckets are tiny by LSH construction, so the
-    * i<j expansion per bucket is cheap; the sorted ids array makes
-    * doc_a < doc_b by construction.
+    * i<j expansion per bucket is cheap (and [[maxBucket]]-bounded); the
+    * sorted ids array makes doc_a < doc_b by construction.
     */
-  private def minhashPairs(shingled: DataFrame): DataFrame = {
+  private[queries] def minhashPairs(
+      shingled: DataFrame,
+      cap: Int = maxBucket,
+  ): DataFrame = {
     val cols = minhashCols
     val sig = shingled.groupBy(col("doc_id")).agg(cols.head, cols.tail: _*)
     val bandStructs = (0 until nHashes / bandSize).map { b =>
@@ -348,7 +366,7 @@ object TextOps {
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
       .groupBy(col("band"), col("bkey"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= cap)
       .select(explode(expr(
         """flatten(transform(sequence(1, size(ids) - 1),
           |  i -> transform(sequence(i + 1, size(ids)),
@@ -381,11 +399,18 @@ object TextOps {
       |        $bandRows)""".stripMargin
   }
 
-  private val oracleMinhashPairsSelect: String =
-    """SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  /** Pairs select mirroring the [[maxBucket]] guard: the band self-join is
+    * gated on buckets of 2..maxBucket members, matching the Spark side's
+    * size filter exactly.
+    */
+  private def oracleMinhashPairsSelect: String =
+    s"""SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       |      FROM bands a JOIN bands b
       |        ON a.band = b.band AND a.k0 = b.k0 AND a.k1 = b.k1 AND a.k2 = b.k2
-      |       AND a.doc_id < b.doc_id""".stripMargin
+      |       AND a.doc_id < b.doc_id
+      |      JOIN (SELECT band, k0, k1, k2 FROM bands GROUP BY 1, 2, 3, 4
+      |            HAVING COUNT(*) <= $maxBucket) ok
+      |        ON a.band = ok.band AND a.k0 = ok.k0 AND a.k1 = ok.k1 AND a.k2 = ok.k2""".stripMargin
 
   /** DuckDB mirror of [[minhashPairs]] given a `sh(doc_id, sh)` CTE: the
     * `sig`/`bands` CTEs plus the final distinct-pairs select (band-bucket
