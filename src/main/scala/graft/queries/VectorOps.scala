@@ -264,6 +264,7 @@ object VectorOps {
   // ---------------------------------------------------------------------
 
   private val nCells = 16
+  private val nProbe = 2
 
   val ivfAssign = Q(
     "v_ivf_assign",
@@ -412,6 +413,77 @@ object VectorOps {
     """.stripMargin.trim),
   )
 
+  /** IVF search with nprobe=2: each query probes its TWO nearest-centroid
+    * inverted lists. This is the recall dial of IVF — nprobe=1 misses
+    * neighbors that sit just across a cell boundary from the query;
+    * probing the runner-up cell recovers most of them for ~2× the
+    * candidate work (still |cells|/nprobe-fold less than brute force).
+    * Candidates stay uniquely keyed: each candidate lives in exactly one
+    * cell and a query's probe cells are distinct, so no (query, candidate)
+    * dedup is needed before the rank.
+    */
+  val ivfSearchNprobe = Q(
+    "v_ivf_nprobe",
+    (s, d) => {
+      import s.implicits._
+      val cents = vecs(s, d)
+        .filter($"vec_id" < nCells)
+        .select($"vec_id".as("cell"), $"embedding".as("c_emb"))
+      val wAssign = Window.partitionBy($"vec_id").orderBy($"d2_micros".asc, $"cell".asc)
+      val dists = vecs(s, d)
+        .join(broadcast(cents))
+        .withColumn(
+          "d2_micros",
+          micros(dotd("embedding", "embedding") + dotd("c_emb", "c_emb")
+            - lit(2.0) * dotd("embedding", "c_emb")),
+        )
+        .withColumn("rk", row_number().over(wAssign))
+      val assigned = dists
+        .filter($"rk" === 1)
+        .select($"vec_id", $"cell", $"embedding")
+      val probes = dists
+        .filter($"vec_id" >= nCells && $"vec_id" < nCells + nQueries && $"rk" <= nProbe)
+        .select($"vec_id".as("query_id"), $"cell".as("q_cell"), $"embedding".as("q_emb"))
+      val wTop = Window.partitionBy($"query_id").orderBy($"sim_micros".desc, $"cand_id")
+      assigned
+        .select($"vec_id".as("cand_id"), $"cell", $"embedding".as("c_emb2"))
+        .join(broadcast(probes), $"cell" === $"q_cell" && $"cand_id" =!= $"query_id")
+        .withColumn(
+          "sim_micros",
+          micros(dotd("q_emb", "c_emb2") /
+            (sqrt(dotd("q_emb", "q_emb")) * sqrt(dotd("c_emb2", "c_emb2")))),
+        )
+        .withColumn("rnk", row_number().over(wTop).cast("long"))
+        .filter($"rnk" <= topK)
+        .select($"query_id", $"cand_id", $"sim_micros", $"rnk")
+    },
+    Some(s"""
+      WITH cents AS (SELECT vec_id AS cell, embedding AS c_emb FROM embeddings
+                     WHERE vec_id < $nCells),
+      dists AS (
+        SELECT v.vec_id, v.embedding, c.cell,
+               CAST(FLOOR(1e6 * (${oDot("v.embedding", "v.embedding")} + ${oDot("c.c_emb", "c.c_emb")}
+                 - 2.0 * ${oDot("v.embedding", "c.c_emb")})) AS BIGINT) AS d2_micros
+        FROM embeddings v CROSS JOIN cents c),
+      ranked AS (
+        SELECT vec_id, cell, embedding,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2_micros ASC, cell ASC) AS rk
+        FROM dists),
+      assigned AS (SELECT vec_id, cell, embedding FROM ranked WHERE rk = 1),
+      probes AS (SELECT vec_id AS query_id, cell AS q_cell, embedding AS q_emb FROM ranked
+                 WHERE vec_id >= $nCells AND vec_id < ${nCells + nQueries} AND rk <= $nProbe),
+      scored AS (
+        SELECT p.query_id, a.vec_id AS cand_id,
+               CAST(FLOOR(1e6 * (${oDot("p.q_emb", "a.embedding")} /
+                 (sqrt(${oDot("p.q_emb", "p.q_emb")}) * sqrt(${oDot("a.embedding", "a.embedding")}))))
+                 AS BIGINT) AS sim_micros
+        FROM probes p JOIN assigned a ON a.cell = p.q_cell AND a.vec_id <> p.query_id)
+      SELECT query_id, cand_id, sim_micros,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim_micros DESC, cand_id) AS rnk
+      FROM scored QUALIFY rnk <= $topK
+    """.stripMargin.trim),
+  )
+
   val qs: Seq[Q] = Seq(
     normStats,
     knnBrute,
@@ -420,6 +492,7 @@ object VectorOps {
     nearDupCosine,
     ivfAssign,
     ivfSearch,
+    ivfSearchNprobe,
     docNearDup,
   )
 }
