@@ -74,4 +74,24 @@ class PlanSpec extends SparkSpec {
     // query side broadcasts (5 rows); candidate side streams through
     assert(s.contains("BroadcastNestedLoopJoin") || s.contains("BroadcastHashJoin"), s)
   }
+
+  test("t_clean_corpus: near-dup removal is a broadcast-able anti-join, no cartesian") {
+    val s = formatted("t_clean_corpus")
+    assert(!s.contains("CartesianProduct"), s)
+    assert(!s.contains("BroadcastNestedLoopJoin"), s)
+    // the removed-id set anti-joins against survivors (LeftAnti in-plan)
+    assert(s.contains("LeftAnti"), s)
+  }
+
+  test("v_knn_brute: dot_d scoring stays inside whole-stage codegen") {
+    // the similarity kernel must not fall back to interpreted evaluation —
+    // the *(n) marker on the operator hosting dot_d proves fusion. AQE only
+    // materializes codegen stages once executed, so run the query first.
+    val df = Catalog.queries("v_knn_brute")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // tree-drawing prefixes (`+- `) precede the `*(n)` marker on nested
+    // operators, so match the marker anywhere on the dot_d line
+    assert(p.linesIterator.exists(l => l.contains("dot_d") && l.contains("*(")), p)
+  }
 }
