@@ -25,6 +25,8 @@ class GraftCatalogSpec extends SparkSpec {
     // custom functions reachable from SQL
     assert(spark.sql("SELECT bloom_uv(user_id) FROM events").first().getLong(0) === 15L)
     assert(spark.sql("SELECT bloom_hash('543462')").first().getLong(0) === 398203944L)
+    assert(spark.sql(
+      "SELECT dot_d(embedding, embedding) FROM embeddings WHERE vec_id = 0").first().getDouble(0) > 0.0)
   }
 
   test("re-registering over another SF repoints the views") {
