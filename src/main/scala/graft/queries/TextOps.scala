@@ -82,12 +82,28 @@ object TextOps {
     */
   private def docShingles(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val base = docs(s, d).select($"doc_id", $"text")
-    val want = s.sparkContext.defaultParallelism
-    val fanned = if (base.rdd.getNumPartitions < want) base.repartition(want) else base
-    fanned
+    fannedDocs(s, d)
       .withColumn("tk", toks)
       .select($"doc_id", explode(shinglesOfTk).as("sh"))
+  }
+
+  /** (doc_id, text) with the scan fanned out when parallelism-deficient —
+    * shared entry for every hash-per-token pipeline (see [[docShingles]]).
+    */
+  private def fannedDocs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = docs(s, d).select($"doc_id", $"text")
+    val want = s.sparkContext.defaultParallelism
+    if (base.rdd.getNumPartitions < want) base.repartition(want) else base
+  }
+
+  /** documents → (doc_id, token) rows, scan fanned out: the simhash
+    * pipeline evaluates one md5 per token and then explodes ×60 bit rows
+    * through the partial aggregation in the same stage as the scan.
+    */
+  private def docTokens(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    fannedDocs(s, d).select($"doc_id", explode(toks).as("token"))
   }
 
   private val oracleToks =
@@ -484,8 +500,7 @@ object TextOps {
     "t_simhash",
     (s, d) => {
       import s.implicits._
-      docs(s, d)
-        .select($"doc_id", explode(toks).as("token"))
+      docTokens(s, d)
         .withColumn("h", h60($"token"))
         .select($"doc_id", $"h", explode(sequence(lit(0), lit(59))).as("j"))
         .withColumn("w", (expr("shiftright(h, j)") % 2) * 2 - 1)
@@ -558,8 +573,7 @@ object TextOps {
     "t_simhash_neardup",
     (s, d) => {
       import s.implicits._
-      val fp = docs(s, d)
-        .select($"doc_id", explode(toks).as("token"))
+      val fp = docTokens(s, d)
         .withColumn("h", h60($"token"))
         .select($"doc_id", $"h", explode(sequence(lit(0), lit(59))).as("j"))
         .withColumn("w", (expr("shiftright(h, j)") % 2) * 2 - 1)
