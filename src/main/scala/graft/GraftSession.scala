@@ -39,4 +39,25 @@ object GraftSession {
     s.sparkContext.setLogLevel("WARN")
     s
   }
+
+  /** [[builder]] plus the streaming-state knobs for long-running stateful
+    * queries at scale:
+    *
+    *  - RocksDB state store: the default HDFS-backed provider keeps every
+    *    key's state in executor heap — fine for the reference's 480k-row
+    *    replays, fatal for a 100 TB/day dedup or sessionization window
+    *    whose live state exceeds memory. RocksDB spills to local disk,
+    *    keeps changelogs in the checkpoint, and bounds heap via block
+    *    cache (the provider ships with Spark, no extra dependency).
+    *  - unsaferow format check stays on (detects state-schema drift across
+    *    restarts).
+    */
+  def streamingBuilder(
+      appName: String = "graft-stream",
+      cores: String = "32",
+  ): SparkSession.Builder =
+    builder(appName, cores)
+      .config(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
 }

@@ -217,4 +217,46 @@ class StreamsSpec extends SparkSpec {
       assert(seen.map(_._1).count(_ == 12L) === 1)
     } finally q.stop()
   }
+
+  test("stateful queries run on the RocksDB state store (the 100TB state path)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[UserBehavior]
+      val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val q = Streams.dedupWithinWatermark(
+          mem.toDS().withColumn("eventTime", timestamp_seconds(col("timestamp"))),
+          keys = Seq("itemId"), eventTimeCol = "eventTime", delay = "60 seconds")
+        .writeStream
+        .outputMode("append")
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          seen.synchronized { seen ++= b.collect().map(_.getAs[Long]("itemId")) }
+          ()
+        }
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("ckpt-rocks").toString)
+        .start()
+      try {
+        mem.addData(Seq(
+          UserBehavior(1, 21, 1, "pv", 1000),
+          UserBehavior(2, 21, 1, "pv", 1001),
+          UserBehavior(3, 22, 1, "pv", 1002)))
+        q.processAllAvailable()
+        assert(seen.sorted === Seq(21L, 22L))
+        // the state operator must actually be running RocksDB — its custom
+        // metrics namespace only exists under that provider
+        val metrics = q.lastProgress.stateOperators.head.customMetrics.keySet()
+        assert(metrics.stream().anyMatch(_.startsWith("rocksdb")), metrics.toString)
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
