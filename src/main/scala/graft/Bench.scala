@@ -18,16 +18,20 @@ object Bench {
       catch { case _: Throwable => () }
     }
     // Best-of-3 per query: single-run local timings swing 2-3x with GC and
-    // JIT recompilation; the min is the stable, reproducible figure.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // JIT recompilation; the min is the stable, reproducible figure. Only
+    // SUCCESSFUL reps count - a rep that throws must not publish its
+    // time-to-failure as a (fast-looking) timing. All-failed -> -1 marker.
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
-      val times = (1 to reps).map { _ =>
+      val times = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        try {
+          fn(spark, sfDir).count()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case _: Throwable => None }
       }
-      name -> times.min
+      name -> (if (times.nonEmpty) times.min else -1.0)
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -1,10 +1,11 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Left-to-right double dot product of two `array<float>` columns, as a
   * codegen'd Catalyst expression: `dot_d(a, b)`.
@@ -26,10 +27,10 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * pass) stays in the generated code. Measured: v_knn_brute (scan +
   * score + rank) 0.85 s -> 0.40 s best-of-3 at sf0.1.
   *
-  * Input arrays must be `array<float>`; the registration builder does not
-  * insert casts (Spark 4 keeps `AbstractDataType` private, so no
-  * `ExpectsInputTypes` here — the engine's embedding columns are
-  * float-typed by construction, reference `embeddings.parquet` schema).
+  * Input arrays must be `array<float>`, enforced at analysis time via
+  * `checkInputDataTypes` (Spark 4 keeps `AbstractDataType` private, so no
+  * `ExpectsInputTypes` mixin — but the public check hook suffices; getFloat
+  * on a non-float array would otherwise read garbage strides silently).
   */
 final case class DotProductDExpression(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -37,6 +38,17 @@ final case class DotProductDExpression(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "dot_d"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<float> arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]

@@ -88,23 +88,33 @@ object Multimodal {
     * straggles on heterogeneous asset sizes (one 4 GB video vs thousands of
     * thumbnails).
     *
-    * Byte-weighted: prefix-sums per-asset payload sizes and assigns each
-    * asset to the byte-bin its cumulative offset falls in, then
-    * range-partitions on the bin. Only a slim `(assetId, bytes)` projection
-    * flows through the single-task global window (~16 bytes/asset — fine up
-    * to hundreds of millions of assets); the bin map is broadcast back so
-    * the payload shuffles exactly once. Partitions are balanced to
-    * `targetBytes` + one asset regardless of size skew; an asset larger
-    * than `targetBytes` still gets a partition to itself.
+    * Byte-weighted and EXACT: prefix-sums per-asset payload sizes, assigns
+    * each asset to the byte-bin its cumulative offset falls in, and maps
+    * bin i to partition i with an explicit `Partitioner` — every partition
+    * carries at most `targetBytes` + one asset regardless of size OR
+    * row-count skew (an asset larger than `targetBytes` gets a partition
+    * to itself). A declarative `repartitionByRange` was rejected here:
+    * `RangePartitioner` samples ROWS to place boundaries, so a corpus of
+    * a million thumbnails plus ten single-row 4 GB-video bins puts all its
+    * boundaries in the thumbnail bins and clumps the video bins into one
+    * tail partition.
     *
-    * `totalBytes` (known from table stats or a prior scan) sizes the
-    * partition count without an extra action over the data.
+    * Only a slim `(assetId, bytes)` projection flows through the
+    * single-task global window (~16 bytes/asset — fine up to hundreds of
+    * millions of assets); the bin-map join is left to the planner, which
+    * broadcasts it while it is small and shuffle-joins at the scale where
+    * a per-asset broadcast would break. `totalBytes` (from table stats or
+    * a prior scan) sizes the partition count without an extra action.
+    * Note: the `.rdd` hand-off makes the repartition EAGER under AQE —
+    * upstream stages run when this returns, with their results reused by
+    * the returned Dataset's lineage.
     */
   def repartitionByBytes(
       assets: Dataset[MediaAsset],
       totalBytes: Long,
       targetBytes: Long = 128L << 20,
   ): Dataset[MediaAsset] = {
+    val spark = assets.sparkSession
     implicit val enc = Encoders.product[MediaAsset]
     val numBins = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
     val w = Window.orderBy(col("assetId"))
@@ -115,11 +125,20 @@ object Multimodal {
       .select(
         col("assetId").as("binAssetId"),
         ((col("cum") - col("bytes")) / targetBytes).cast("long").as("byteBin"))
-    assets
-      .join(broadcast(bins), col("assetId") === col("binAssetId"))
-      .repartitionByRange(numBins, col("byteBin"), col("assetId"))
-      .drop("binAssetId", "byteBin")
-      .as[MediaAsset]
+    val keyed = assets
+      .join(bins, col("assetId") === col("binAssetId"))
+      .select(
+        col("byteBin"),
+        struct(
+          col("assetId"), col("kind"), col("content"), col("format"),
+          col("width"), col("height"), col("sampleRate"), col("durationMs")).as("asset"))
+      .as[(Long, MediaAsset)](Encoders.tuple(Encoders.scalaLong, enc))
+    val byBin = new org.apache.spark.Partitioner {
+      override def numPartitions: Int = numBins
+      override def getPartition(key: Any): Int =
+        math.min(numBins - 1, math.max(0, key.asInstanceOf[Long].toInt))
+    }
+    spark.createDataset(keyed.rdd.partitionBy(byBin).map(_._2))
   }
 
   /** Decode pass: one codec per partition, iterator in / iterator out

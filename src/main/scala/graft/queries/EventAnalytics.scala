@@ -210,8 +210,11 @@ object EventAnalytics {
   )
 
   // ---------------------------------------------------------------------
-  // Click-fraud blacklist: (user, item) pairs exceeding a daily click
-  // threshold → warning side channel; main aggregate excludes them.
+  // Click-fraud blacklist: the relational view of the stateful filter
+  // (F7) — same semantics as AdBlacklist.step: the reference checks the
+  // PRE-increment count against the bound, so the first `threshold`
+  // clicks per (user, item, day) pass to the main stream and warning/
+  // suppression starts at click threshold+1.
   // Reference: FilterBlackListUser, AdStatisticsByProvince.java:104-160
   // (threshold 100/day, midnight reset == daily tumbling key here).
   // ---------------------------------------------------------------------
@@ -224,47 +227,48 @@ object EventAnalytics {
       eventsWithItem(s, d)
         .groupBy($"user_id", $"item", tumble($"ts_sec", 86400L))
         .agg(count(lit(1)).as("clicks"))
-        .filter($"clicks" >= blacklistThreshold)
+        .filter($"clicks" > blacklistThreshold)
         .withColumn("warning", concat(lit("click over "), lit(blacklistThreshold), lit(" times today")))
     },
     Some(s"""
       $oracleBase
       SELECT user_id, item, sec - sec % 86400 AS window_start, COUNT(*) AS clicks,
              'click over $blacklistThreshold times today' AS warning
-      FROM base GROUP BY 1, 2, 3 HAVING COUNT(*) >= $blacklistThreshold
+      FROM base GROUP BY 1, 2, 3 HAVING COUNT(*) > $blacklistThreshold
     """.stripMargin.trim),
   )
 
-  /** The main stream with blacklisted (user,item,day) triples filtered out —
-    * the reference's main-output path after the stateful filter (F7); daily
-    * per-item counts.
+  /** The main stream after the stateful filter (F7): the first `threshold`
+    * clicks per (user, item, day) in arrival order pass through (matching
+    * AdBlacklist.step's pre-increment check); daily per-item counts of the
+    * survivors. Arrival order is (ts_sec, event_id) — event_id breaks
+    * same-second ties deterministically in both engines.
     */
   val clicksFiltered = Q(
     "clicks_filtered",
     (s, d) => {
       import s.implicits._
-      val e = eventsWithItem(s, d).withColumn("day", tumble($"ts_sec", 86400L))
-      val black = e.groupBy($"user_id", $"item", $"day")
-        .agg(count(lit(1)).as("clicks"))
-        .filter($"clicks" >= blacklistThreshold)
-        .select($"user_id".as("b_user"), $"item".as("b_item"), $"day".as("b_day"))
-      e.join(black,
-          $"user_id" === $"b_user" && $"item" === $"b_item" && $"day" === $"b_day",
-          "left_anti")
+      val w = Window
+        .partitionBy($"user_id", $"item", $"day")
+        .orderBy($"ts_sec", $"event_id")
+      eventsWithItem(s, d)
+        .withColumn("day", tumble($"ts_sec", 86400L))
+        .withColumn("rk", row_number().over(w))
+        .filter($"rk" <= blacklistThreshold)
         .groupBy($"item", $"day")
         .agg(count(lit(1)).as("cnt"))
         .withColumnRenamed("day", "window_start")
     },
     Some(s"""
       $oracleBase,
-      days AS (SELECT user_id, item, sec - sec % 86400 AS day FROM base),
-      black AS (SELECT user_id, item, day FROM days GROUP BY 1, 2, 3
-                HAVING COUNT(*) >= $blacklistThreshold)
+      days AS (SELECT user_id, item, sec - sec % 86400 AS day, sec, event_id FROM base),
+      kept AS (SELECT item, day FROM (
+        SELECT item, day,
+               ROW_NUMBER() OVER (PARTITION BY user_id, item, day
+                                  ORDER BY sec, event_id) AS rk
+        FROM days) WHERE rk <= $blacklistThreshold)
       SELECT item, day AS window_start, COUNT(*) AS cnt
-      FROM days d
-      WHERE NOT EXISTS (SELECT 1 FROM black b
-                        WHERE b.user_id = d.user_id AND b.item = d.item AND b.day = d.day)
-      GROUP BY 1, 2
+      FROM kept GROUP BY 1, 2
     """.stripMargin.trim),
   )
 

@@ -59,13 +59,20 @@ object TextOps {
     * with ROWS, while AQE coalesces on BYTES: a few MB of deduped text
     * looks tiny, gets squeezed to one or two tasks, and the most CPU-dense
     * stage in the engine serializes. An explicit REPARTITION_BY_NUM is
-    * exempt from AQE coalescing; `max` keeps an already-wide input at its
-    * width. Measured: t_neardup_post_dedup 2.4 s → 0.9 s at sf0.1.
+    * exempt from AQE coalescing, so this repartition is deliberately
+    * UNCONDITIONAL for post-shuffle inputs — the static plan width is
+    * already >= `want`, but AQE would re-squeeze it at runtime. The target
+    * width is read from session conf, never via `df.rdd` — under AQE,
+    * `Dataset.rdd` materializes every upstream exchange as real jobs at
+    * DataFrame-CONSTRUCTION time (the dedup window would run once extra
+    * and be thrown away). Measured: t_neardup_post_dedup 2.4 s → 0.9 s at
+    * sf0.1.
     */
   private def fanOutCpu(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
     val want = math.max(
-      df.sparkSession.sparkContext.defaultParallelism,
-      df.rdd.getNumPartitions)
+      s.sparkContext.defaultParallelism,
+      s.conf.get("spark.sql.shuffle.partitions", "200").toInt)
     df.repartition(want)
   }
 

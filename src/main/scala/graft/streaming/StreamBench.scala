@@ -18,14 +18,19 @@ import graft.sources.Tables
   *
   * Usage: `sbt "runMain graft.streaming.StreamBench [sfDir] [replicas]"`.
   * Bounded micro-batches via maxFilesPerTrigger keep per-batch state
-  * realistic rather than one mega-batch.
+  * realistic rather than one mega-batch. Runs on
+  * [[GraftSession.streamingBuilder]] — the RocksDB state store — so the
+  * published rows/sec measures the configuration documented as the scale
+  * path, not the heap-backed default.
   */
 object StreamBench {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val replicas = args.lift(1).map(_.toInt).getOrElse(5)
-    val spark =
-      GraftSession.local("graft-stream-bench", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    val spark = GraftSession
+      .streamingBuilder("graft-stream-bench", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
     // stage: events replicated with shifted ids (same timestamps — denser
@@ -43,7 +48,9 @@ object StreamBench {
         $"event_type", $"item", $"ts_sec")
     val stage = java.nio.file.Files.createTempDirectory("events-sbench").toString
     replicated.repartition(64).write.mode("overwrite").csv(stage)
-    val totalRows = replicated.count()
+    // derived, not recounted - a count() here would re-execute the cross
+    // join the write already evaluated
+    val totalRows = base.count() * replicas
 
     val schema = "event_id LONG, user_id LONG, event_type STRING, item LONG, ts_sec LONG"
     val outRows = new java.util.concurrent.atomic.AtomicLong(0)
