@@ -254,6 +254,29 @@ object TextOps {
 
   private val stopwords = Seq("the", "a", "of", "and")
 
+  /** Quality-gate projection shared by the batch cleaning pipeline
+    * ([[cleanCorpus]]) and the streaming variant
+    * (`Streams.cleanCorpusStream`): appends `n_tokens`/`n_distinct`/
+    * `n_stop`/`ttr_pct`/`stop_pct`/`quality` to any frame carrying a
+    * `text` column. Pure per-row projection — streaming-safe.
+    */
+  def withQuality(docsWithText: DataFrame): DataFrame = {
+    val stopPred = stopwords.map(w => s"x = '$w'").mkString(" or ")
+    docsWithText
+      .withColumn("tk", toks)
+      .withColumn("n_tokens", size(col("tk")).cast("long"))
+      .withColumn("n_distinct", size(array_distinct(col("tk"))).cast("long"))
+      .withColumn("n_stop", expr(s"CAST(size(filter(tk, x -> $stopPred)) AS BIGINT)"))
+      .withColumn("ttr_pct", floor(lit(100.0) * col("n_distinct") / col("n_tokens")).cast("long"))
+      .withColumn("stop_pct", floor(lit(100.0) * col("n_stop") / col("n_tokens")).cast("long"))
+      .withColumn(
+        "quality",
+        when(col("n_tokens") >= 20 && col("ttr_pct") >= 25 && col("stop_pct") <= 40, lit("good"))
+          .when(col("n_tokens") >= 10, lit("fair"))
+          .otherwise(lit("poor")))
+      .drop("tk")
+  }
+
   val qualityScore = Q(
     "t_quality_score",
     (s, d) => {
@@ -684,7 +707,6 @@ object TextOps {
     "t_clean_corpus",
     (s, d) => {
       import s.implicits._
-      val stopPred = stopwords.map(w => s"x = '$w'").mkString(" or ")
       val keepW = Window.partitionBy($"text_hash").orderBy($"doc_id")
       val survivors = docs(s, d)
         .withColumn("text_hash", md5($"text"))
@@ -697,25 +719,9 @@ object TextOps {
           .select($"doc_id", explode(shinglesOfTk).as("sh")))
         .select($"doc_b".as("rem_id"))
         .distinct()
-      survivors
-        .join(removed, $"doc_id" === $"rem_id", "left_anti")
-        .withColumn("tk", toks)
-        .select(
-          $"doc_id",
-          $"lang",
-          $"source",
-          size($"tk").cast("long").as("n_tokens"),
-          size(array_distinct($"tk")).cast("long").as("n_distinct"),
-          expr(s"CAST(size(filter(tk, x -> $stopPred)) AS BIGINT)").as("n_stop"),
-        )
-        .withColumn("ttr_pct", floor(lit(100.0) * $"n_distinct" / $"n_tokens").cast("long"))
-        .withColumn("stop_pct", floor(lit(100.0) * $"n_stop" / $"n_tokens").cast("long"))
-        .withColumn(
-          "quality",
-          when($"n_tokens" >= 20 && $"ttr_pct" >= 25 && $"stop_pct" <= 40, lit("good"))
-            .when($"n_tokens" >= 10, lit("fair"))
-            .otherwise(lit("poor")),
-        )
+      withQuality(survivors.join(removed, $"doc_id" === $"rem_id", "left_anti"))
+        .select($"doc_id", $"lang", $"source", $"n_tokens", $"n_distinct",
+          $"n_stop", $"ttr_pct", $"stop_pct", $"quality")
         .filter($"quality" =!= "poor")
     },
     Some {

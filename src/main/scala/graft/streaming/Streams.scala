@@ -186,6 +186,33 @@ object Streams {
       .withWatermark(eventTimeCol, delay)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Streaming half of the corpus-cleaning pipeline (`t_clean_corpus` is
+    * the batch whole): watermark-bounded exact dedup on the content hash,
+    * then the SAME quality gate (shared projection —
+    * [[graft.queries.TextOps.withQuality]]). Near-dup removal stays a
+    * batch/periodic compaction pass by design: MinHash banding needs a
+    * global view of the corpus, which finite streaming state cannot hold —
+    * the standard split between an ingest-time filter and an offline
+    * compaction.
+    *
+    * Input must carry `text` plus an event-time column; emits the clean
+    * docs in append mode (first occurrence of each content hash, quality
+    * at least 'fair').
+    */
+  def cleanCorpusStream(
+      docs: DataFrame,
+      eventTimeCol: String,
+      delay: String,
+  ): DataFrame =
+    graft.queries.TextOps
+      .withQuality(
+        dedupWithinWatermark(
+          docs.withColumn("text_hash", md5(col("text"))),
+          keys = Seq("text_hash"),
+          eventTimeCol = eventTimeCol,
+          delay = delay))
+      .filter(col("quality") =!= "poor")
+
   /** Convenience launcher: console sink (K1 `print()` equivalent). */
   def toConsole(df: DataFrame, mode: OutputMode = OutputMode.Update()): StreamingQuery =
     df.writeStream

@@ -218,6 +218,44 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("cleanCorpusStream dedups by content and applies the batch quality gate") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val fair = (1 to 12).map(i => s"tok$i").mkString(" ") // 12 tokens -> 'fair'
+    val mem = MemoryStream[(Long, String, Long)]
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val q = Streams.cleanCorpusStream(
+        mem.toDF().toDF("doc_id", "text", "ts")
+          .withColumn("eventTime", timestamp_seconds(col("ts"))),
+        eventTimeCol = "eventTime",
+        delay = "60 seconds")
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        seen.synchronized {
+          seen ++= b.collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("quality")))
+        }
+        ()
+      }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt-clean").toString)
+      .start()
+    try {
+      mem.addData(Seq(
+        (1L, fair, 1000L),      // passes as 'fair'
+        (2L, fair, 1001L),      // exact duplicate content -> dropped
+        (3L, "too short", 1002L))) // 2 tokens -> 'poor' -> dropped
+      q.processAllAvailable()
+      assert(seen.map(_._1) === Seq(1L))
+      assert(seen.head._2 === "fair")
+      // distinct content passes independently
+      mem.addData(Seq((4L, fair + " extra", 1003L)))
+      q.processAllAvailable()
+      assert(seen.map(_._1).sorted === Seq(1L, 4L))
+    } finally q.stop()
+  }
+
   test("stateful queries run on the RocksDB state store (the 100TB state path)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
