@@ -150,4 +150,47 @@ class DetectorPropertySpec extends SparkSpec {
       }
     }
   }
+
+  private val clickGen: Gen[List[AdClickEvent]] = for {
+    n <- Gen.choose(30, 150)
+    events <- Gen.listOfN(n, for {
+      user <- Gen.choose(1L, 4L)
+      ad <- Gen.choose(1L, 3L)
+      // two event-time days so the midnight reset is exercised
+      ts <- Gen.choose(0L, 2L * 86400L - 1)
+    } yield AdClickEvent(user, ad, "prov", "city", ts))
+  } yield events
+
+  test("blacklist: reference pre-increment semantics hold on random streams") {
+    import spark.implicits._
+    val threshold = 3
+    forAllSeeded(clickGen) { events =>
+      val clicks = events.toDS()
+      val out = AdBlacklist.batch(clicks, threshold).collect()
+      val mains = out.filter(_.channel == Out.Main).flatMap(_.click)
+      val warnings = out.filter(_.channel == Out.Alert).flatMap(_.warning)
+      val byKeyDay = events.groupBy(e =>
+        (e.userId, e.adId, e.timestamp - math.floorMod(e.timestamp, 86400L)))
+      // main carries the FIRST min(n, threshold) clicks per key-day; the
+      // warning fires exactly once, on click threshold+1
+      byKeyDay.foreach { case (k, evs) =>
+        val mainCount = mains.count(c =>
+          (c.userId, c.adId, c.timestamp - math.floorMod(c.timestamp, 86400L)) == k)
+        assert(mainCount === math.min(evs.length, threshold), s"key-day $k")
+      }
+      val overKeys = byKeyDay.filter(_._2.length > threshold).keys
+        .map(k => (k._1, k._2)).toSet
+      assert(warnings.map(w => (w.userId, w.adId)).toSet === overKeys)
+      assert(warnings.length ===
+        byKeyDay.count(_._2.length > threshold))
+      // the main clicks are the time-earliest ones of each key-day
+      byKeyDay.foreach { case (k, evs) =>
+        val kept = mains.filter(c =>
+          (c.userId, c.adId, c.timestamp - math.floorMod(c.timestamp, 86400L)) == k)
+        val expected = evs.sortBy(_.timestamp).take(threshold)
+        assert(kept.map(_.timestamp).sorted.toSeq === expected.map(_.timestamp).sorted.toSeq,
+          s"key-day $k keeps its earliest clicks")
+      }
+    }
+  }
 }
