@@ -24,6 +24,10 @@ object Bench {
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
+      // settle the heap between queries: in long full-catalog runs, garbage
+      // from earlier queries otherwise lands as GC pauses inside later ones
+      // (measured 0.5s -> 3.4s drift on late queries without this)
+      System.gc()
       val times = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
         try {
