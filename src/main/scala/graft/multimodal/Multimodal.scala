@@ -125,13 +125,11 @@ object Multimodal {
       .select(
         col("assetId").as("binAssetId"),
         ((col("cum") - col("bytes")) / targetBytes).cast("long").as("byteBin"))
+    // asset-side columns derived from the encoder schema, not hand-listed
+    val assetCols = enc.schema.fieldNames.map(col)
     val keyed = assets
       .join(bins, col("assetId") === col("binAssetId"))
-      .select(
-        col("byteBin"),
-        struct(
-          col("assetId"), col("kind"), col("content"), col("format"),
-          col("width"), col("height"), col("sampleRate"), col("durationMs")).as("asset"))
+      .select(col("byteBin"), struct(assetCols: _*).as("asset"))
       .as[(Long, MediaAsset)](Encoders.tuple(Encoders.scalaLong, enc))
     val byBin = new org.apache.spark.Partitioner {
       override def numPartitions: Int = numBins

@@ -526,20 +526,27 @@ object TextOps {
   // corpus size, one shuffle keyed by doc_id.
   // ---------------------------------------------------------------------
 
+  /** (doc_id, <outCol>) — the 60-bit tf-weighted SimHash fingerprint of
+    * every document (the pipeline shared verbatim by [[simhash]] and
+    * [[simhashNearDup]]): one md5 per token, ×60 (token, bit) rows, ±1
+    * weights summed per bit, bit j set iff its weight sum is positive.
+    */
+  private def simhashFingerprints(s: SparkSession, d: String, outCol: String): DataFrame = {
+    import s.implicits._
+    docTokens(s, d)
+      .withColumn("h", h60($"token"))
+      .select($"doc_id", $"h", explode(sequence(lit(0), lit(59))).as("j"))
+      .withColumn("w", (expr("shiftright(h, j)") % 2) * 2 - 1)
+      .groupBy($"doc_id", $"j")
+      .agg(sum($"w").as("ws"))
+      .groupBy($"doc_id")
+      .agg(sum(when($"ws" > 0, expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(lit(0L)))
+        .as(outCol))
+  }
+
   val simhash = Q(
     "t_simhash",
-    (s, d) => {
-      import s.implicits._
-      docTokens(s, d)
-        .withColumn("h", h60($"token"))
-        .select($"doc_id", $"h", explode(sequence(lit(0), lit(59))).as("j"))
-        .withColumn("w", (expr("shiftright(h, j)") % 2) * 2 - 1)
-        .groupBy($"doc_id", $"j")
-        .agg(sum($"w").as("ws"))
-        .groupBy($"doc_id")
-        .agg(sum(when($"ws" > 0, expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(lit(0L)))
-          .as("simhash"))
-    },
+    (s, d) => simhashFingerprints(s, d, "simhash"),
     Some(s"""
       WITH tok AS (
         SELECT doc_id, unnest($oracleToks) AS token FROM documents),
@@ -603,15 +610,7 @@ object TextOps {
     "t_simhash_neardup",
     (s, d) => {
       import s.implicits._
-      val fp = docTokens(s, d)
-        .withColumn("h", h60($"token"))
-        .select($"doc_id", $"h", explode(sequence(lit(0), lit(59))).as("j"))
-        .withColumn("w", (expr("shiftright(h, j)") % 2) * 2 - 1)
-        .groupBy($"doc_id", $"j")
-        .agg(sum($"w").as("ws"))
-        .groupBy($"doc_id")
-        .agg(sum(when($"ws" > 0, expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(lit(0L)))
-          .as("fp"))
+      val fp = simhashFingerprints(s, d, "fp")
       val banded = fp.select(
         $"doc_id", $"fp",
         explode(expr("transform(sequence(0, 3), b -> struct(b AS band, shiftright(fp, b * 15) % 32768 AS bkey))")).as("bb"))

@@ -39,7 +39,13 @@ object StreamBench {
       .events(spark, sfDir)
       .withColumn("item", regexp_extract(col("props"), "(\\d+)", 1).cast("long"))
       .select($"event_id", $"user_id", $"event_type", $"item", $"ts_sec")
-    val maxId = base.agg(max($"event_id")).first().getLong(0) + 1
+    // one job for every scalar the staging needs (a second scan per
+    // aggregate would re-run the parquet read + regexp per row)
+    val stats = base.agg(max($"event_id"), count(lit(1)), max($"ts_sec"), min($"ts_sec")).first()
+    require(!stats.isNullAt(0), s"events table under $sfDir is empty")
+    val maxId = stats.getLong(0) + 1
+    val baseRows = stats.getLong(1)
+    val spanSec = stats.getLong(2) - stats.getLong(3)
     val replicated = base
       .crossJoin(spark.range(replicas).select($"id".as("rep")))
       .select(
@@ -50,7 +56,7 @@ object StreamBench {
     replicated.repartition(64).write.mode("overwrite").csv(stage)
     // derived, not recounted - a count() here would re-execute the cross
     // join the write already evaluated
-    val totalRows = base.count() * replicas
+    val totalRows = baseRows * replicas
 
     val schema = "event_id LONG, user_id LONG, event_type STRING, item LONG, ts_sec LONG"
     val outRows = new java.util.concurrent.atomic.AtomicLong(0)
@@ -60,7 +66,13 @@ object StreamBench {
       .option("maxFilesPerTrigger", 8)
       .csv(stage)
       .withColumn("eventTime", timestamp_seconds(col("ts_sec")))
-      .withWatermark("eventTime", "0 seconds")
+      // the staged files hold a RANDOM shuffle of the full time range, so
+      // the watermark delay must cover the whole span or batches after the
+      // first silently DROP almost every row as late and the "throughput"
+      // measures parsing of discarded data (a 0-second watermark here cost
+      // exactly that). Production arrival is roughly ordered and wants a
+      // short delay; an unordered replay wants the span.
+      .withWatermark("eventTime", s"${spanSec + 60} seconds")
       .groupBy(window($"eventTime", "6 hours", "1 hour"), $"item")
       .agg(count(lit(1)).as("cnt"))
       .select(unix_timestamp($"window.end").as("windowEnd"), $"item", $"cnt")
