@@ -153,6 +153,42 @@ object EventAnalytics {
     * sketch), so the driver records a rows-only check; the ScalaTest spec
     * asserts the estimate is within 5% of the exact count.
     */
+  /** The reference's Bloom-filter UV, fully oracle-checked. The bitmap's
+    * set-bit count IS the number of distinct hash offsets, and the hash is
+    * a plain ×61 char-fold over the id's decimal string (no intermediate
+    * masking — UvWithBloomFilter.java:103-108), so DuckDB reproduces it
+    * exactly with a list_reduce over the characters: same fold, same
+    * final 2^29-1 mask, COUNT(DISTINCT offset). Ids are short enough that
+    * the fold never overflows a BIGINT in either engine (Java would wrap,
+    * DuckDB would error — neither path is reached below ~12 digits).
+    * This upgrades the A5 surface from `uv_approx`'s rows-only check to a
+    * hash-matched one; collisions inside the 2^29 space are REPRODUCED,
+    * not approximated, on both sides.
+    */
+  val uvBloom = Q(
+    "uv_bloom",
+    (s, d) => {
+      import s.implicits._
+      graft.functions.GraftFunctions.register(s)
+      Tables.events(s, d)
+        .groupBy(tumble($"ts_sec", 86400L))
+        .agg(expr("bloom_uv(user_id)").as("uv_bloom"))
+    },
+    Some(s"""
+      $oracleBase,
+      offs AS (
+        SELECT sec - sec % 86400 AS window_start,
+               list_reduce(
+                 list_prepend(0::BIGINT,
+                   list_transform(range(1, len(CAST(user_id AS VARCHAR)) + 1),
+                     i -> ascii(CAST(user_id AS VARCHAR)[i]))),
+                 (acc, c) -> acc * 61 + c) & 536870911 AS off
+        FROM base)
+      SELECT window_start, COUNT(DISTINCT off) AS uv_bloom
+      FROM offs GROUP BY 1
+    """.stripMargin.trim),
+  )
+
   val uvApprox = Q(
     "uv_approx",
     (s, d) => {
@@ -467,6 +503,7 @@ object EventAnalytics {
     pageViews,
     uniqueVisitors,
     uvApprox,
+    uvBloom,
     marketingByChannel,
     marketingTotal,
     blacklistUsers,
