@@ -159,8 +159,9 @@ object EventAnalytics {
     * masking — UvWithBloomFilter.java:103-108), so DuckDB reproduces it
     * exactly with a list_reduce over the characters: same fold, same
     * final 2^29-1 mask, COUNT(DISTINCT offset). Ids are short enough that
-    * the fold never overflows a BIGINT in either engine (Java would wrap,
-    * DuckDB would error — neither path is reached below ~12 digits).
+    * the fold never overflows a BIGINT in either engine (Java would wrap
+    * silently, DuckDB would error loudly — neither path is reached until
+    * ids hit ~11 decimal digits; the tables carry ≤4).
     * This upgrades the A5 surface from `uv_approx`'s rows-only check to a
     * hash-matched one; collisions inside the 2^29 space are REPRODUCED,
     * not approximated, on both sides.
