@@ -105,6 +105,29 @@ object Streams {
       .agg(approx_count_distinct(col("userId"), rsd).as("uv"))
       .select((unix_timestamp(col("window.end")) * 1000).as("windowEnd"), col("uv"))
 
+  /** Streaming Bloom-filter UV — the reference's flagship streaming job
+    * (UvWithBloomFilter: Kafka → 1h window → Redis bitmap) in its native
+    * streaming form, via the bit-exact [[graft.functions.BloomUvAggregate]]
+    * (same ×61 hash, same 2^29 mask; collisions reproduced). Update mode:
+    * each micro-batch upserts the running per-window set-bit count, which
+    * is what the reference's per-element FIRE_AND_PURGE trigger emitted.
+    * The aggregate's partial-merge unions offset sets across executors, so
+    * state per (window) is one offset set — the in-engine replacement for
+    * the external Redis bitmap (K6).
+    */
+  def uvBloom(
+      events: Dataset[UserBehavior],
+      sizeSec: Long = 3600,
+      delay: String = "0 seconds",
+  ): DataFrame = {
+    graft.functions.GraftFunctions.register(events.sparkSession)
+    withEventTime(events, delay)
+      .filter(col("behavior") === "pv")
+      .groupBy(window(col("eventTime"), s"$sizeSec seconds"))
+      .agg(expr("bloom_uv(userId)").as("uv"))
+      .select((unix_timestamp(col("window.end")) * 1000).as("windowEnd"), col("uv"))
+  }
+
   /** Gap-based sessionization via Spark's native `session_window` — the
     * streaming counterpart of the batch lag+running-sum formulation in
     * [[graft.queries.EventAnalytics.sessionize]]. Works identically on a

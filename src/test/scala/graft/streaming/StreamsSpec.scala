@@ -218,6 +218,43 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming bloom UV converges to the batch bitmap count (update mode)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    graft.functions.GraftFunctions.register(spark)
+
+    val mem = MemoryStream[UserBehavior]
+    val latest = scala.collection.mutable.Map.empty[Long, Long]
+    val q = Streams.uvBloom(mem.toDS())
+      .writeStream
+      .outputMode("update")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        latest.synchronized {
+          b.collect().foreach(r => latest(r.getAs[Long]("windowEnd")) = r.getAs[Long]("uv"))
+        }
+        ()
+      }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt-uvbloom").toString)
+      .start()
+    try {
+      // two batches so the per-window offset set must merge across batches
+      mem.addData(behaviors.take(behaviors.length / 2).toSeq)
+      q.processAllAvailable()
+      mem.addData(behaviors.drop(behaviors.length / 2).toSeq)
+      q.processAllAvailable()
+      val batch = behaviors.toSeq.toDS()
+        .filter(col("behavior") === "pv")
+        .withColumn("eventTime", timestamp_seconds(col("timestamp")))
+        .groupBy(window(col("eventTime"), "3600 seconds"))
+        .agg(expr("bloom_uv(userId)").as("uv"))
+        .select((unix_timestamp(col("window.end")) * 1000).as("windowEnd"), col("uv"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(latest.toMap === batch)
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("cleanCorpusStream dedups by content and applies the batch quality gate") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
