@@ -147,12 +147,6 @@ object EventAnalytics {
     bench = true,
   )
 
-  /** Approximate distinct (HLL++) — the Spark-idiomatic replacement for the
-    * reference's hand-rolled Redis-backed Bloom filter
-    * (UvWithBloomFilter.java:94-161). Not SQL-oracle-comparable (different
-    * sketch), so the driver records a rows-only check; the ScalaTest spec
-    * asserts the estimate is within 5% of the exact count.
-    */
   /** The reference's Bloom-filter UV, fully oracle-checked. The bitmap's
     * set-bit count IS the number of distinct hash offsets, and the hash is
     * a plain ×61 char-fold over the id's decimal string (no intermediate
@@ -173,7 +167,7 @@ object EventAnalytics {
       graft.functions.GraftFunctions.register(s)
       Tables.events(s, d)
         .groupBy(tumble($"ts_sec", 86400L))
-        .agg(expr("bloom_uv(user_id)").as("uv_bloom"))
+        .agg(graft.functions.GraftFunctions.bloomUv($"user_id").as("uv_bloom"))
     },
     Some(s"""
       $oracleBase,
@@ -190,6 +184,12 @@ object EventAnalytics {
     """.stripMargin.trim),
   )
 
+  /** Approximate distinct (HLL++) — the Spark-idiomatic replacement for the
+    * reference's hand-rolled Redis-backed Bloom filter
+    * (UvWithBloomFilter.java:94-161). Not SQL-oracle-comparable (different
+    * sketch), so the driver records a rows-only check; the ScalaTest spec
+    * asserts the estimate is within 5% of the exact count.
+    */
   val uvApprox = Q(
     "uv_approx",
     (s, d) => {

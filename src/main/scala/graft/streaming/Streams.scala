@@ -124,7 +124,7 @@ object Streams {
     withEventTime(events, delay)
       .filter(col("behavior") === "pv")
       .groupBy(window(col("eventTime"), s"$sizeSec seconds"))
-      .agg(expr("bloom_uv(userId)").as("uv"))
+      .agg(graft.functions.GraftFunctions.bloomUv(col("userId")).as("uv"))
       .select((unix_timestamp(col("window.end")) * 1000).as("windowEnd"), col("uv"))
   }
 

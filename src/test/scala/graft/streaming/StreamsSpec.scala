@@ -243,12 +243,9 @@ class StreamsSpec extends SparkSpec {
       q.processAllAvailable()
       mem.addData(behaviors.drop(behaviors.length / 2).toSeq)
       q.processAllAvailable()
-      val batch = behaviors.toSeq.toDS()
-        .filter(col("behavior") === "pv")
-        .withColumn("eventTime", timestamp_seconds(col("timestamp")))
-        .groupBy(window(col("eventTime"), "3600 seconds"))
-        .agg(expr("bloom_uv(userId)").as("uv"))
-        .select((unix_timestamp(col("window.end")) * 1000).as("windowEnd"), col("uv"))
+      // same definition both sides: Spark drops the watermark node on a
+      // bounded Dataset, so the operator runs as-is in batch
+      val batch = Streams.uvBloom(behaviors.toSeq.toDS())
         .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
       assert(latest.toMap === batch)
       assert(batch.nonEmpty)
