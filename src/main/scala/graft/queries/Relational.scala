@@ -260,10 +260,48 @@ object Relational {
     """.stripMargin.trim),
   )
 
+  /** TPC-H Q6-shaped forecast revenue: the purest pushdown showcase — every
+    * predicate (ship-date range, discount band, quantity cap) reaches the
+    * parquet scan, the projection reads 4 of 11 columns, and the whole
+    * query is one partial→final aggregation with no shuffle of data rows
+    * (one row per partition crosses the wire).
+    *
+    * Determinism: revenue is summed as an exact integer — cents(price) ×
+    * hundredths(discount). Discount hundredths use round(), not a cast:
+    * `0.06 * 100` is `5.999…` in IEEE, which Spark's cast TRUNCATES to 5
+    * while DuckDB's cast rounds to 6; `round()` agrees on both engines.
+    */
+  val q6ForecastRevenue = Q(
+    "q6_forecast_revenue",
+    (s, d) => {
+      import s.implicits._
+      Tables
+        .lineitem(s, d)
+        .filter(
+          $"l_shipdate" >= lit("1996-01-01").cast("timestamp_ntz") &&
+            $"l_shipdate" < lit("1997-01-01").cast("timestamp_ntz") &&
+            $"l_discount".between(0.05, 0.07) && $"l_quantity" < 24)
+        .agg(
+          count(lit(1)).as("n_items"),
+          sum(centsL($"l_extendedprice") * round($"l_discount" * 100).cast("long"))
+            .as("revenue_c4"),
+        )
+    },
+    Some("""
+      SELECT COUNT(*) AS n_items,
+             CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)
+                      * CAST(ROUND(l_discount * 100) AS BIGINT)) AS BIGINT) AS revenue_c4
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """.stripMargin.trim),
+  )
+
   val qs: Seq[Q] = Seq(
     q1PricingSummary,
     q3ShippingPriority,
     q5NationRevenue,
+    q6ForecastRevenue,
     qTopCustomersPerNation,
     qOrderPriorityCount,
     qDormantCustomers,
