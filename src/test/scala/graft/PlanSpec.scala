@@ -75,6 +75,17 @@ class PlanSpec extends SparkSpec {
     assert(s.contains("BroadcastNestedLoopJoin") || s.contains("BroadcastHashJoin"), s)
   }
 
+  test("q6: every predicate pushes to the scan; no data-row shuffle") {
+    val s = formatted("q6_forecast_revenue")
+    assert(s.contains("PushedFilters"), s)
+    assert(s.contains("GreaterThanOrEqual(l_shipdate"), s)
+    assert(s.contains("GreaterThanOrEqual(l_discount"), s)
+    assert(s.contains("LessThan(l_quantity"), s)
+    // single partial->final agg: the only exchange carries one row/partition
+    val shuffles = collectAll(plan("q6_forecast_revenue")) { case e: ShuffleExchangeExec => e }
+    assert(shuffles.size <= 1, shuffles.mkString("\n"))
+  }
+
   test("t_clean_corpus: near-dup removal is a broadcast-able anti-join, no cartesian") {
     val s = formatted("t_clean_corpus")
     assert(!s.contains("CartesianProduct"), s)
