@@ -483,39 +483,83 @@ object TextOps {
   // keeps the ≥ 0.2 threshold in exact integer math.
   // ---------------------------------------------------------------------
 
+  /** (doc_id, sh) shingle rows → exact-Jaccard pairs at >= 20% (integer
+    * threshold `5*inter >= union`): shared-shingle equi-join, per-pair
+    * intersection counts, broadcast size lookups. Shared by the raw query
+    * and the dedup-first composition — on a corpus with exact duplicates
+    * the shared-shingle join multiplies per replica pair (30 s vs 1 s on
+    * the 5× corpus, SCALING.md), so compose with exact dedup first.
+    */
+  private def jaccardPairs(sh: DataFrame): DataFrame = {
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = sh
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
+            col("sh") === col("sh_b") && col("doc_id") < col("doc_b"))
+      .groupBy(col("doc_id").as("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a"))), "doc_a")
+      .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b"))), "doc_b")
+      .withColumn("uni", col("n_a") + col("n_b") - col("inter"))
+      .filter(col("inter") * 5 >= col("uni"))
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"),
+              floor(lit(100.0) * col("inter") / col("uni")).cast("long").as("jaccard_pct"))
+  }
+
+  /** DuckDB mirror of [[jaccardPairs]] given a `sh(doc_id, sh)` CTE. */
+  private val oracleJaccardTail: String =
+    """sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+      |      inter AS (
+      |        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      |        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |        GROUP BY 1, 2)
+      |      SELECT doc_a, doc_b, inter, (sa.n_sh + sb.n_sh - inter) AS uni,
+      |             CAST(FLOOR(100.0 * inter / (sa.n_sh + sb.n_sh - inter)) AS BIGINT) AS jaccard_pct
+      |      FROM inter
+      |      JOIN sizes sa ON sa.doc_id = doc_a
+      |      JOIN sizes sb ON sb.doc_id = doc_b
+      |      WHERE inter * 5 >= (sa.n_sh + sb.n_sh - inter)""".stripMargin
+
   val ngramJaccard = Q(
     "t_ngram_jaccard",
-    (s, d) => {
-      import s.implicits._
-      val sh = docShingles(s, d)
-      val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
-      val inter = sh
-        .join(sh.select($"doc_id".as("doc_b"), $"sh".as("sh_b")),
-              $"sh" === $"sh_b" && $"doc_id" < $"doc_b")
-        .groupBy($"doc_id".as("doc_a"), $"doc_b")
-        .agg(count(lit(1)).as("inter"))
-      inter
-        .join(broadcast(sizes.select($"doc_id".as("doc_a"), $"n_sh".as("n_a"))), "doc_a")
-        .join(broadcast(sizes.select($"doc_id".as("doc_b"), $"n_sh".as("n_b"))), "doc_b")
-        .withColumn("uni", $"n_a" + $"n_b" - $"inter")
-        .filter($"inter" * 5 >= $"uni")
-        .select($"doc_a", $"doc_b", $"inter", $"uni",
-                floor(lit(100.0) * $"inter" / $"uni").cast("long").as("jaccard_pct"))
-    },
+    (s, d) => jaccardPairs(docShingles(s, d)),
     Some(s"""
       WITH sh AS (
         SELECT doc_id, unnest($oracleShingles) AS sh FROM documents),
-      sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
-      inter AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-        GROUP BY 1, 2)
-      SELECT doc_a, doc_b, inter, (sa.n_sh + sb.n_sh - inter) AS uni,
-             CAST(FLOOR(100.0 * inter / (sa.n_sh + sb.n_sh - inter)) AS BIGINT) AS jaccard_pct
-      FROM inter
-      JOIN sizes sa ON sa.doc_id = doc_a
-      JOIN sizes sb ON sb.doc_id = doc_b
-      WHERE inter * 5 >= (sa.n_sh + sb.n_sh - inter)
+      $oracleJaccardTail
+    """.stripMargin.trim),
+  )
+
+  /** Exact dedup → exact Jaccard on the survivors: the composed form that
+    * keeps the shared-shingle join linear on duplicate-heavy corpora (the
+    * 30× measured gap above). This is the VERIFY stage a production
+    * pipeline runs on LSH candidates; here it verifies every survivor
+    * pair that still shares a shingle.
+    */
+  val jaccardPostDedup = Q(
+    "t_jaccard_post_dedup",
+    (s, d) => {
+      import s.implicits._
+      val keepW = Window.partitionBy($"text_hash").orderBy($"doc_id")
+      val survivors = docs(s, d)
+        .withColumn("text_hash", md5($"text"))
+        .withColumn("rk", row_number().over(keepW))
+        .filter($"rk" === 1)
+        .select($"doc_id", $"text")
+      jaccardPairs(
+        fanOutCpu(survivors)
+          .withColumn("tk", toks)
+          .select($"doc_id", explode(shinglesOfTk).as("sh")))
+    },
+    Some(s"""
+      WITH survivors AS (
+        SELECT doc_id, text FROM (
+          SELECT doc_id, text,
+                 ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rk
+          FROM documents) WHERE rk = 1),
+      sh AS (
+        SELECT doc_id, unnest($oracleShingles) AS sh FROM survivors),
+      $oracleJaccardTail
     """.stripMargin.trim),
   )
 
@@ -800,6 +844,7 @@ object TextOps {
     dedupExact,
     minhashLsh,
     ngramJaccard,
+    jaccardPostDedup,
     simhash,
     simhashNearDup,
     neardupPostDedup,
