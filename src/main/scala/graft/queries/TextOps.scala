@@ -76,6 +76,31 @@ object TextOps {
     df.repartition(want)
   }
 
+  /** Exact-dedup survivors: the first doc_id of every distinct text (md5
+    * hash window), full column set — the shared head of every composed
+    * dedup-first pipeline. Downstream projections prune the columns they
+    * don't use.
+    */
+  private def dedupSurvivors(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val keepW = Window.partitionBy($"text_hash").orderBy($"doc_id")
+    docs(s, d)
+      .withColumn("text_hash", md5($"text"))
+      .withColumn("rk", row_number().over(keepW))
+      .filter($"rk" === 1)
+      .select($"doc_id", $"lang", $"source", $"text")
+  }
+
+  /** [[dedupSurvivors]] → (doc_id, sh) shingle rows, fanned out for the
+    * CPU-dense signature/join stages ([[fanOutCpu]]).
+    */
+  private def survivorShingles(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    fanOutCpu(dedupSurvivors(s, d).select($"doc_id", $"text"))
+      .withColumn("tk", toks)
+      .select($"doc_id", explode(shinglesOfTk).as("sh"))
+  }
+
   /** documents → (doc_id, sh) with one row per distinct shingle.
     *
     * The scan is fanned out to the session's parallelism first: shingling
@@ -121,6 +146,18 @@ object TextOps {
     s"""list_distinct(list_transform(
        |  generate_series(1, greatest(len($oracleToks) - 2, 0)),
        |  i -> $oracleToks[i] || ' ' || $oracleToks[i+1] || ' ' || $oracleToks[i+2]))""".stripMargin
+
+  /** DuckDB mirror of [[dedupSurvivors]] + [[survivorShingles]]: the
+    * `survivors`/`sh` CTE pair shared by every composed dedup-first oracle.
+    */
+  private lazy val oracleSurvivorsCte: String =
+    s"""survivors AS (
+      |        SELECT doc_id, lang, source, text FROM (
+      |          SELECT doc_id, lang, source, text,
+      |                 ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rk
+      |          FROM documents) WHERE rk = 1),
+      |      sh AS (
+      |        SELECT doc_id, unnest($oracleShingles) AS sh FROM survivors)""".stripMargin
 
   // ---------------------------------------------------------------------
   // Token counting / corpus statistics.
@@ -538,27 +575,9 @@ object TextOps {
     */
   val jaccardPostDedup = Q(
     "t_jaccard_post_dedup",
-    (s, d) => {
-      import s.implicits._
-      val keepW = Window.partitionBy($"text_hash").orderBy($"doc_id")
-      val survivors = docs(s, d)
-        .withColumn("text_hash", md5($"text"))
-        .withColumn("rk", row_number().over(keepW))
-        .filter($"rk" === 1)
-        .select($"doc_id", $"text")
-      jaccardPairs(
-        fanOutCpu(survivors)
-          .withColumn("tk", toks)
-          .select($"doc_id", explode(shinglesOfTk).as("sh")))
-    },
+    (s, d) => jaccardPairs(survivorShingles(s, d)),
     Some(s"""
-      WITH survivors AS (
-        SELECT doc_id, text FROM (
-          SELECT doc_id, text,
-                 ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rk
-          FROM documents) WHERE rk = 1),
-      sh AS (
-        SELECT doc_id, unnest($oracleShingles) AS sh FROM survivors),
+      WITH $oracleSurvivorsCte,
       $oracleJaccardTail
     """.stripMargin.trim),
   )
@@ -707,27 +726,9 @@ object TextOps {
 
   val neardupPostDedup = Q(
     "t_neardup_post_dedup",
-    (s, d) => {
-      import s.implicits._
-      val keepW = Window.partitionBy($"text_hash").orderBy($"doc_id")
-      val survivors = docs(s, d)
-        .withColumn("text_hash", md5($"text"))
-        .withColumn("rk", row_number().over(keepW))
-        .filter($"rk" === 1)
-        .select($"doc_id", $"text")
-      minhashPairs(
-        fanOutCpu(survivors)
-          .withColumn("tk", toks)
-          .select($"doc_id", explode(shinglesOfTk).as("sh")))
-    },
+    (s, d) => minhashPairs(survivorShingles(s, d)),
     Some(s"""
-      WITH survivors AS (
-        SELECT doc_id, text FROM (
-          SELECT doc_id, text,
-                 ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rk
-          FROM documents) WHERE rk = 1),
-      sh AS (
-        SELECT doc_id, unnest($oracleShingles) AS sh FROM survivors),
+      WITH $oracleSurvivorsCte,
       $oracleMinhashTail
     """.stripMargin.trim),
   )
@@ -750,16 +751,8 @@ object TextOps {
     "t_clean_corpus",
     (s, d) => {
       import s.implicits._
-      val keepW = Window.partitionBy($"text_hash").orderBy($"doc_id")
-      val survivors = docs(s, d)
-        .withColumn("text_hash", md5($"text"))
-        .withColumn("rk", row_number().over(keepW))
-        .filter($"rk" === 1)
-        .select($"doc_id", $"lang", $"source", $"text")
-      val removed = minhashPairs(
-        fanOutCpu(survivors)
-          .withColumn("tk", toks)
-          .select($"doc_id", explode(shinglesOfTk).as("sh")))
+      val survivors = dedupSurvivors(s, d)
+      val removed = minhashPairs(survivorShingles(s, d))
         .select($"doc_b".as("rem_id"))
         .distinct()
       withQuality(survivors.join(removed, $"doc_id" === $"rem_id", "left_anti"))
@@ -770,13 +763,7 @@ object TextOps {
     Some {
       val stopPred = stopwords.map(w => s"x = '$w'").mkString(" or ")
       s"""
-      WITH survivors AS (
-        SELECT doc_id, lang, source, text FROM (
-          SELECT doc_id, lang, source, text,
-                 ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rk
-          FROM documents) WHERE rk = 1),
-      sh AS (
-        SELECT doc_id, unnest($oracleShingles) AS sh FROM survivors),
+      WITH $oracleSurvivorsCte,
       $oracleMinhashSigBands,
       pairs AS (
         $oracleMinhashPairsSelect),
