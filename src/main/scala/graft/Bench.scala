@@ -20,9 +20,11 @@ object Bench {
     // Best-of-3 per query: single-run local timings swing 2-3x with GC and
     // JIT recompilation; the min is the stable, reproducible figure. Only
     // SUCCESSFUL reps count - a rep that throws must not publish its
-    // time-to-failure as a (fast-looking) timing. All-failed -> -1 marker.
+    // time-to-failure as a (fast-looking) timing. All-failed -> null in
+    // `queries` plus an entry in `failed`, so a consumer summing the map
+    // reconciles with `total` and can never mistake a marker for a timing.
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
-    val results = names.map { name =>
+    val results: Seq[(String, Option[Double])] = names.map { name =>
       val fn = SparkEntry.queries(name)
       // settle the heap between queries: in long full-catalog runs, garbage
       // from earlier queries otherwise lands as GC pauses inside later ones
@@ -35,14 +37,15 @@ object Bench {
           Some((System.nanoTime() - t0) / 1e9)
         } catch { case _: Throwable => None }
       }
-      name -> (if (times.nonEmpty) times.min else -1.0)
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      name -> times.minOption
+    }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v.fold("null")(_.toString) }
       .mkString("{", ",", "}")
-    // failed queries carry the -1 marker in `queries` but must not make
-    // the headline total look FASTER by summing in negatives
-    val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.collect { case (k, None) => s"\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.flatMap(_._2).sum
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

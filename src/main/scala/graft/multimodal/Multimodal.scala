@@ -133,8 +133,14 @@ object Multimodal {
       .as[(Long, MediaAsset)](Encoders.tuple(Encoders.scalaLong, enc))
     val byBin = new org.apache.spark.Partitioner {
       override def numPartitions: Int = numBins
+      // Overflow bins — possible when the caller's `totalBytes` stat
+      // understates the real payload — wrap round-robin rather than clamp
+      // into the last partition: a 2x-understated stat then costs every
+      // partition ~2 bins evenly instead of recreating the one straggler
+      // partition this function exists to eliminate. With an accurate
+      // stat every bin is < numBins and the mapping is the identity.
       override def getPartition(key: Any): Int =
-        math.min(numBins - 1, math.max(0, key.asInstanceOf[Long].toInt))
+        math.floorMod(key.asInstanceOf[Long], numBins.toLong).toInt
     }
     spark.createDataset(keyed.rdd.partitionBy(byBin).map(_._2))
   }

@@ -76,7 +76,17 @@ object AdBlacklist {
   }
 
   /** Streaming: flatMapGroupsWithState; the day-roll reset happens on the
-    * first event of the new day (no timer needed — state is keyed by day).
+    * first event of the new day. State is additionally TTL'd with an
+    * event-time timeout at the END of the state's day — the streaming
+    * analog of the reference's midnight clear
+    * (AdStatisticsByProvince.java:132-136): a (user, ad) pair that clicks
+    * once and goes idle would otherwise hold its counter forever, a state
+    * store leak at 100 TB/day of clicks. Removal is semantically free:
+    * [[step]] resets the counter on day change anyway, so a key recreated
+    * by a next-day event starts from the same zero state.
+    *
+    * The input stream must carry a watermark (EventTimeTimeout requires
+    * one) — attach `withWatermark` upstream, as the parity spec does.
     */
   def streaming(clicks: Dataset[AdClickEvent], threshold: Int = 100): Dataset[AdOut] = {
     implicit val stEnc = Encoders.product[ClickCount]
@@ -86,16 +96,26 @@ object AdBlacklist {
       .groupByKey(e => (e.userId, e.adId))
       .flatMapGroupsWithState[ClickCount, AdOut](
         OutputMode.Append(),
-        GroupStateTimeout.NoTimeout()) { (_, events, state: GroupState[ClickCount]) =>
-        var st = state.getOption.getOrElse(ClickCount(-1L, 0L, warningSent = false))
-        val out = Seq.newBuilder[AdOut]
-        events.toSeq.sortBy(_.timestamp).foreach { e =>
-          val (st2, emitted) = step(st, e, threshold)
-          st = st2
-          emitted.foreach(out += _)
+        GroupStateTimeout.EventTimeTimeout()) { (_, events, state: GroupState[ClickCount]) =>
+        if (state.hasTimedOut) {
+          state.remove() // idle past its day's end: drop the counter
+          Iterator.empty
+        } else {
+          var st = state.getOption.getOrElse(ClickCount(-1L, 0L, warningSent = false))
+          val out = Seq.newBuilder[AdOut]
+          events.toSeq.sortBy(_.timestamp).foreach { e =>
+            val (st2, emitted) = step(st, e, threshold)
+            st = st2
+            emitted.foreach(out += _)
+          }
+          state.update(st)
+          // expire when the watermark passes the end of the state's day
+          // (clamped above the current watermark, which Spark requires)
+          state.setTimeoutTimestamp(math.max(
+            (st.day + 86400L) * 1000L,
+            state.getCurrentWatermarkMs() + 1))
+          out.result().iterator
         }
-        state.update(st)
-        out.result().iterator
       }
   }
 }

@@ -64,8 +64,14 @@ object LoginFailDetector {
 
   /** Streaming: same NFA inside flatMapGroupsWithState. Events inside one
     * micro-batch are folded in event-time order; state carries the last
-    * fail across batches. No timers needed — the eager variant emits on
-    * arrival, exactly like the reference's no-timer processElement.
+    * fail across batches. The eager variant emits on arrival (no output
+    * timers, like the reference's no-timer processElement), but the
+    * last-fail state is TTL'd with an event-time timeout at
+    * `lastFail + windowSec`: once the watermark passes that point, any
+    * future fail is necessarily outside the window, so the state can only
+    * ever produce nothing — holding it would leak one row per user that
+    * ever failed once (the reference leaks here too; the TTL is an
+    * improvement, not a fidelity break). Requires a watermarked input.
     */
   def eagerStreaming(
       logins: Dataset[LoginEvent],
@@ -77,19 +83,28 @@ object LoginFailDetector {
       .groupByKey(_.userId)(Encoders.scalaLong)
       .flatMapGroupsWithState[LoginEvent, LoginFailWarning](
         OutputMode.Append(),
-        GroupStateTimeout.NoTimeout()) { (_, events, state: GroupState[LoginEvent]) =>
-        var st: Option[LoginEvent] = state.getOption
-        val out = Seq.newBuilder[LoginFailWarning]
-        events.toSeq.sortBy(e => (e.timestamp, e.loginState)).foreach { e =>
-          val (st2, warn) = eagerStep(st, e, windowSec)
-          st = st2
-          warn.foreach(out += _)
+        GroupStateTimeout.EventTimeTimeout()) { (_, events, state: GroupState[LoginEvent]) =>
+        if (state.hasTimedOut) {
+          state.remove() // watermark passed lastFail + window: state is inert
+          Iterator.empty
+        } else {
+          var st: Option[LoginEvent] = state.getOption
+          val out = Seq.newBuilder[LoginFailWarning]
+          events.toSeq.sortBy(e => (e.timestamp, e.loginState)).foreach { e =>
+            val (st2, warn) = eagerStep(st, e, windowSec)
+            st = st2
+            warn.foreach(out += _)
+          }
+          st match {
+            case Some(f) =>
+              state.update(f)
+              state.setTimeoutTimestamp(math.max(
+                (f.timestamp + windowSec) * 1000L,
+                state.getCurrentWatermarkMs() + 1))
+            case None => state.remove()
+          }
+          out.result().iterator
         }
-        st match {
-          case Some(f) => state.update(f)
-          case None    => state.remove()
-        }
-        out.result().iterator
       }
   }
 

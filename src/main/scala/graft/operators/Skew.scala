@@ -47,10 +47,16 @@ object Skew {
       .agg(sum(col("__partial")).as("distinct_count"))
   }
 
-  /** Salted join for a skewed left key: the left side gets a random-ish
-    * (but deterministic) salt, the right side is exploded `buckets`× so
-    * every (key, salt) pair finds its match. Use when AQE skew-join can't
-    * kick in (e.g. the skew is in a stream-static join).
+  /** Salted join for a skewed left key: the left side gets a deterministic
+    * salt hashed from its FULL row content (not
+    * `monotonically_increasing_id`, which varies with partitioning and
+    * would make reruns non-reproducible), the right side is exploded
+    * `buckets`× so every (key, salt) pair finds its match. Rows that are
+    * bit-identical across all columns land in the same bucket — salting
+    * spreads *distinct* hot-key rows, which is the case that matters (a
+    * hot key whose rows are all identical collapses under any
+    * content-derived salt; pre-aggregate those instead). Use when AQE
+    * skew-join can't kick in (e.g. the skew is in a stream-static join).
     */
   def saltedJoin(
       left: DataFrame,
@@ -58,7 +64,8 @@ object Skew {
       keyCol: String,
       buckets: Int = 8,
   ): DataFrame = {
-    val saltedLeft = left.withColumn("__salt", saltOf(buckets, monotonically_increasing_id()))
+    val saltedLeft =
+      left.withColumn("__salt", saltOf(buckets, left.columns.map(col).toSeq: _*))
     val explodedRight = right.withColumn("__salt", explode(sequence(lit(0), lit(buckets - 1))))
     saltedLeft
       .join(explodedRight,

@@ -126,7 +126,20 @@ object TextOps {
     import s.implicits._
     val base = docs(s, d).select($"doc_id", $"text")
     val want = s.sparkContext.defaultParallelism
-    if (base.rdd.getNumPartitions < want) base.repartition(want) else base
+    // The `.rdd` width probe is only safe while this subtree is
+    // exchange-free (scan + projection): under AQE, `Dataset.rdd` on a
+    // plan WITH exchanges materializes them as real jobs at
+    // DataFrame-construction time (the hazard fanOutCpu documents). Guard
+    // it structurally — if Tables.documents ever grows a shuffle, fan out
+    // unconditionally instead of probing.
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, LeafNode, Project}
+    val scanOnly = base.queryExecution.optimizedPlan.find {
+      case _: Project | _: LFilter | _: LeafNode => false
+      case _ => true
+    }.isEmpty
+    if (!scanOnly) base.repartition(want)
+    else if (base.rdd.getNumPartitions < want) base.repartition(want)
+    else base
   }
 
   /** documents → (doc_id, token) rows, scan fanned out: the simhash
@@ -202,22 +215,48 @@ object TextOps {
     bench = true,
   )
 
+  /** Distributed global top-20 over a (token) row set: aggregate counts,
+    * then rank via `orderBy.limit(k)` — Catalyst compiles that to
+    * `TakeOrderedAndProject`, a per-partition partial top-k merged on the
+    * driver. A raw web corpus's vocabulary is billions of distinct tokens,
+    * so an unpartitioned `Window.orderBy` rank (the obvious formulation)
+    * would funnel every one of them through a single task; here only the k
+    * winners ever leave the executors (bounded by k, not by data), and rnk
+    * is derived from their position driver-side.
+    */
+  private def topTokens(s: SparkSession, tokenRows: DataFrame): DataFrame = {
+    import s.implicits._
+    val winners = rankedTokenAgg(s, tokenRows).collect() // ≤ 20 rows by construction
+    winners.toSeq.zipWithIndex
+      .map { case (r, i) => (r.getString(0), r.getLong(1), (i + 1).toLong) }
+      .toDF("token", "cnt", "rnk")
+  }
+
+  /** The distributed half of [[topTokens]], exposed for plan-shape pinning
+    * (PlanSpec asserts TakeOrderedAndProject, no single-partition exchange).
+    */
+  private[graft] def rankedTokenAgg(s: SparkSession, tokenRows: DataFrame): DataFrame = {
+    import s.implicits._
+    tokenRows
+      .groupBy($"token")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"token")
+      .limit(20)
+  }
+
+  /** Whitespace-token rows for [[tokenTopK]], shared with the PlanSpec pin. */
+  private[graft] def wsTokenRows(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    docs(s, d).select(explode(toks).as("token"))
+  }
+
   /** Global token frequency top-20 (explode→count→rank): the corpus-level
-    * token-counting surface. Two shuffles: token agg, then a single-partition
-    * rank of the tiny aggregate (safe — cardinality is vocabulary-sized).
+    * token-counting surface. One shuffle (token agg) + a distributed
+    * partial top-k ([[topTokens]]).
     */
   val tokenTopK = Q(
     "t_token_topk",
-    (s, d) => {
-      import s.implicits._
-      val w = Window.orderBy($"cnt".desc, $"token")
-      docs(s, d)
-        .select(explode(toks).as("token"))
-        .groupBy($"token")
-        .agg(count(lit(1)).as("cnt"))
-        .withColumn("rnk", row_number().over(w).cast("long"))
-        .filter($"rnk" <= 20)
-    },
+    (s, d) => topTokens(s, wsTokenRows(s, d)),
     Some(s"""
       WITH tok AS (SELECT unnest($oracleToks) AS token FROM documents),
       counted AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY 1)
@@ -413,15 +452,16 @@ object TextOps {
     * doc built from one template agreeing on a whole band) would otherwise
     * contribute a QUADRATIC number of candidate pairs — the one term of
     * the LSH plan that can blow up at 100 TB. Skipping is the standard
-    * production treatment (a signature shared by 10^5+ docs carries no
+    * production treatment (a signature shared by 10^3+ docs carries no
     * near-dup information, exactly like a stopword in an inverted index);
-    * the cap bounds the explode at ~2×10^9 pairs per bucket worst case.
-    * The linear `collect_list` buffer is still bucket-sized — on
-    * adversarial corpora run exact dedup first (`t_neardup_post_dedup`),
-    * which collapses identical texts before banding. Mirrored in the
-    * DuckDB oracle so both engines drop the same buckets.
+    * the cap bounds both the explode (~5×10^5 pairs per bucket worst
+    * case) and the `collect_list` buffer (≤ 1024 ids) so no single task
+    * ever materializes a quadratic bucket. On adversarial corpora run
+    * exact dedup first (`t_neardup_post_dedup`), which collapses identical
+    * texts before banding. Mirrored in the DuckDB oracle so both engines
+    * drop the same buckets.
     */
-  private val maxBucket = 1 << 16
+  private val maxBucket = 1 << 10
 
   /** (doc_id, sh) shingle rows → candidate pairs via banded LSH.
     *
@@ -522,10 +562,14 @@ object TextOps {
 
   /** (doc_id, sh) shingle rows → exact-Jaccard pairs at >= 20% (integer
     * threshold `5*inter >= union`): shared-shingle equi-join, per-pair
-    * intersection counts, broadcast size lookups. Shared by the raw query
-    * and the dedup-first composition — on a corpus with exact duplicates
-    * the shared-shingle join multiplies per replica pair (30 s vs 1 s on
-    * the 5× corpus, SCALING.md), so compose with exact dedup first.
+    * intersection counts, then size lookups joined WITHOUT a broadcast
+    * hint — `sizes` is one row per document, so a forced broadcast would
+    * be a multi-billion-row driver OOM at corpus scale; AQE broadcasts it
+    * while it measures small and falls back to a shuffle join beyond.
+    * Shared by the raw query and the dedup-first composition — on a corpus
+    * with exact duplicates the shared-shingle join multiplies per replica
+    * pair (30 s vs 1 s on the 5× corpus, SCALING.md), so compose with
+    * exact dedup first.
     */
   private def jaccardPairs(sh: DataFrame): DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
@@ -535,8 +579,8 @@ object TextOps {
       .groupBy(col("doc_id").as("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("inter"))
     inter
-      .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a"))), "doc_a")
-      .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b"))), "doc_b")
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
       .withColumn("uni", col("n_a") + col("n_b") - col("inter"))
       .filter(col("inter") * 5 >= col("uni"))
       .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"),
@@ -738,8 +782,14 @@ object TextOps {
   // every stage above exists to serve, composed as ONE declarative plan:
   // exact dedup → MinHash-LSH near-dup removal (drop the higher doc_id of
   // every candidate pair) → quality gate. Catalyst sees the whole
-  // pipeline, so the survivor projection is computed once and the
-  // text column never outlives the stage that needs it.
+  // pipeline, so the text column never outlives the stage that needs it.
+  // The survivor dedup subtree appears on BOTH sides of the anti-join
+  // (kept rows + the shingle/LSH side) and column pruning narrows each
+  // side differently, so the md5 window shuffle runs once per branch —
+  // ReusedExchange cannot match the differently-pruned exchanges. At
+  // scale the remedy is materializing the survivors between stages
+  // (checkpoint / intermediate table), not a hint; within one declarative
+  // plan the duplicated branch is the honest cost of self-reference.
   //
   // 100 TB shape: one hash shuffle (exact dedup), one signature agg (one
   // row per unique doc), one band-bucket agg, one broadcast-able anti-join
@@ -801,18 +851,16 @@ object TextOps {
 
   private val bpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
 
+  /** BPE-token rows for [[tokenBpe]], shared with the PlanSpec pin. */
+  private[graft] def bpeTokenRows(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    docs(s, d)
+      .select(explode(expr(s"regexp_extract_all(text, '$bpePattern', 0)")).as("token"))
+  }
+
   val tokenBpe = Q(
     "t_token_bpe",
-    (s, d) => {
-      import s.implicits._
-      val w = Window.orderBy($"cnt".desc, $"token")
-      docs(s, d)
-        .select(explode(expr(s"regexp_extract_all(text, '$bpePattern', 0)")).as("token"))
-        .groupBy($"token")
-        .agg(count(lit(1)).as("cnt"))
-        .withColumn("rnk", row_number().over(w).cast("long"))
-        .filter($"rnk" <= 20)
-    },
+    (s, d) => topTokens(s, bpeTokenRows(s, d)),
     Some(s"""
       WITH tok AS (
         SELECT unnest(regexp_extract_all(text, '$bpePattern')) AS token FROM documents),

@@ -114,6 +114,15 @@ object Streams {
     * The aggregate's partial-merge unions offset sets across executors, so
     * state per (window) is one offset set — the in-engine replacement for
     * the external Redis bitmap (K6).
+    *
+    * State cost is O(distinct offsets) per open window, NOT the fixed
+    * 64 MB bitmap it replaces: at the reference's stated 1e8-user scale
+    * the serialized set approaches 2^29 entries (~GBs per window). This
+    * variant exists for bit-exact fidelity with the reference's Bloom
+    * counts; the SCALE path for streaming UV is
+    * [[uniqueVisitorsApprox]] (HLL++, KBs of state per window at any
+    * cardinality), or a compressed-bitmap state (RoaringBitmap) if exact
+    * counts are required.
     */
   def uvBloom(
       events: Dataset[UserBehavior],

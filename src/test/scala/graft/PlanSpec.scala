@@ -63,6 +63,21 @@ class PlanSpec extends SparkSpec {
     assert(shuffles.size <= 2, shuffles.mkString("\n"))
   }
 
+  test("token top-k: distributed TakeOrderedAndProject, no single-partition rank") {
+    // the global top-20 must never funnel the full vocabulary through one
+    // task: the rank comes from a per-partition partial top-k (limit after
+    // sort), not an unpartitioned Window
+    import graft.queries.TextOps
+    for (df <- Seq(
+        TextOps.rankedTokenAgg(spark, TextOps.wsTokenRows(spark, sf)),
+        TextOps.rankedTokenAgg(spark, TextOps.bpeTokenRows(spark, sf)))) {
+      val s = df.queryExecution.executedPlan.toString
+      assert(s.contains("TakeOrderedAndProject"), s)
+      assert(!s.contains("SinglePartition"), s)
+      assert(!s.contains("Window"), s)
+    }
+  }
+
   test("t_minhash_lsh: band join is an equi-join, never a cartesian product") {
     val s = formatted("t_minhash_lsh")
     assert(!s.contains("CartesianProduct"), s)

@@ -61,11 +61,23 @@ class DetectorSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
 
     val all = logins.collect().sortBy(_.timestamp)
-    val (h1, h2) = all.splitAt(all.length / 2)
+    // split only where the timestamp strictly increases: after batch 1 the
+    // watermark sits at max(h1), and a batch-2 row at that same timestamp
+    // would be dropped as late (boundary rows straddling a tie are exactly
+    // the rows a real out-of-order source would lose too)
+    var cut = all.length / 2
+    while (cut < all.length && all(cut - 1).timestamp >= all(cut).timestamp) cut += 1
+    val (h1, h2) = all.splitAt(cut)
 
     val mem = MemoryStream[LoginEvent]
+    // the eager NFA TTLs its last-fail state with an event-time timeout,
+    // which requires a watermarked input
+    val withTime = mem.toDS()
+      .withColumn("eventTime", timestamp_seconds(col("timestamp")))
+      .withWatermark("eventTime", "0 seconds")
+      .as[LoginEvent]
     val query = LoginFailDetector
-      .eagerStreaming(mem.toDS(), windowSec = 2)
+      .eagerStreaming(withTime, windowSec = 2)
       .writeStream
       .format("memory")
       .queryName("login_warnings")
@@ -292,5 +304,61 @@ class DetectorSpec extends SparkSpec {
     counts.foreach { case (k, n) =>
       assert(mainCounts.getOrElse(k, 0L) === math.min(n, threshold.toLong))
     }
+  }
+
+  test("blacklist streaming parity with batch; idle counters expire at day end") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+
+    val threshold = 3
+    val all = adClicks.collect().sortBy(_.timestamp)
+    // split at a strictly-increasing timestamp so no batch-2 row ties the
+    // batch-1 watermark (see the login parity test)
+    var cut = all.length / 2
+    while (cut < all.length && all(cut - 1).timestamp >= all(cut).timestamp) cut += 1
+    val (h1, h2) = all.splitAt(cut)
+    // flush click three days past the last fixture event: pushes the
+    // watermark beyond the end of every open day, so every day-keyed
+    // counter's event-time timeout fires; only the flush key's own fresh
+    // state may survive
+    val flush = AdClickEvent(-1L, -1L, "px", "cx", all.last.timestamp + 3 * 86400L)
+
+    val mem = MemoryStream[AdClickEvent]
+    val withTime = mem.toDS()
+      .withColumn("eventTime", timestamp_seconds(col("timestamp")))
+      .withWatermark("eventTime", "0 seconds")
+      .as[AdClickEvent]
+    val query = AdBlacklist.streaming(withTime, threshold)
+      .writeStream
+      .format("memory")
+      .queryName("ad_out_stream")
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt-ad").toString)
+      .start()
+    try {
+      mem.addData(h1.toSeq)
+      query.processAllAvailable()
+      mem.addData(h2.toSeq :+ flush)
+      query.processAllAvailable()
+      // an extra empty batch lets the timeouts registered above fire
+      mem.addData(Seq.empty[AdClickEvent])
+      query.processAllAvailable()
+
+      val streamed = spark.table("ad_out_stream").as[AdBlacklist.AdOut].collect()
+        .filterNot(o => o.click.exists(_.userId == -1L) || o.warning.exists(_.userId == -1L))
+        .toSet
+      val batch = AdBlacklist.batch(adClicks, threshold).collect().toSet
+      assert(streamed === batch)
+
+      // the TTL assertion: all fixture-day counters are gone from the state
+      // store; at most the flush key remains
+      val stateRows = query.recentProgress
+        .filter(_.stateOperators.nonEmpty)
+        .map(_.stateOperators(0).numRowsTotal)
+        .last
+      assert(stateRows <= 1L, s"state rows not expired: $stateRows")
+    } finally query.stop()
   }
 }
