@@ -55,16 +55,24 @@ object EventAnalytics {
   private val hopSize = 21600L
   private val hopSlide = 3600L
 
+  /** (window_start, item, cnt) sliding-window counts — the shared input of
+    * both Top-N formulations below.
+    */
+  private def hotItemCounts(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    eventsWithItem(s, d)
+      .withColumn("window_start", hopStarts($"ts_sec", hopSize, hopSlide))
+      .groupBy($"window_start", $"item")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
   val hotItemsTopN = Q(
     "hot_items_topn",
     (s, d) => {
       import s.implicits._
-      val counted = eventsWithItem(s, d)
-        .withColumn("window_start", hopStarts($"ts_sec", hopSize, hopSlide))
-        .groupBy($"window_start", $"item")
-        .agg(count(lit(1)).as("cnt"))
       val w = Window.partitionBy($"window_start").orderBy($"cnt".desc, $"item")
-      counted.withColumn("rn", row_number().over(w).cast("long")).filter($"rn" <= 5)
+      hotItemCounts(s, d)
+        .withColumn("rn", row_number().over(w).cast("long")).filter($"rn" <= 5)
     },
     Some(s"""
       $oracleBase,
@@ -104,6 +112,85 @@ object EventAnalytics {
       """)
     },
     hotItemsTopN.oracle,
+  )
+
+  /** The same per-window Top-5 through the bounded
+    * [[graft.functions.TopKAggregator]] instead of a rank window (SURVEY
+    * §2.10 — the `AggregateFunction → Aggregator` mapping, wired into the
+    * catalog). The rank-window formulation sorts every (window, item)
+    * aggregate row inside its window partition; this one keeps a 5-element
+    * bound in the aggregation buffer itself, so partial top-5s merge
+    * associatively across partitions (ObjectHashAggregate, no per-window
+    * sort) and a window with 10^8 distinct items never materializes more
+    * than 5 rows per partition. Same output, same oracle — use this
+    * formulation when per-window key cardinality is huge.
+    */
+  val hotItemsTopKAgg = Q(
+    "hot_items_topk_agg",
+    (s, d) => {
+      import s.implicits._
+      val topk = udaf(
+        new graft.functions.TopKAggregator(5),
+        org.apache.spark.sql.Encoders.product[graft.functions.Scored])
+      hotItemCounts(s, d)
+        .groupBy($"window_start")
+        .agg(topk($"item", $"cnt").as("top"))
+        .select($"window_start", posexplode($"top"))
+        .select(
+          $"window_start",
+          $"col.key".as("item"),
+          $"col.cnt".as("cnt"),
+          ($"pos" + 1).cast("long").as("rn"))
+    },
+    hotItemsTopN.oracle,
+  )
+
+  // ---------------------------------------------------------------------
+  // Hot pages: the NetworkFlowAnalysis job end-to-end — apache.log parse →
+  // GET + static-asset filter → 10min/5s hop-window count per url → top 3
+  // per window. Reference: HotPages.java:50-88 (+ TopNHotPages).
+  //
+  // Unlike every other catalog query this one reads the reference's own
+  // 10k-line apache.log fixture (there is no log-shaped table in the sf
+  // dirs), so the sfDir argument is unused and the DuckDB oracle reads the
+  // same file via read_csv — closing the one reference job whose
+  // end-to-end path (text parse included) was previously spec-only.
+  // ---------------------------------------------------------------------
+  private val apacheLogPath =
+    "/root/reference/UserBehaviorAnalysis/NetworkFlowAnalysis/src/main/resources/apache.log"
+
+  val hotPages = Q(
+    "hot_pages",
+    (s, _) => {
+      import s.implicits._
+      val base = graft.sources.Fixtures.apacheLog(s, apacheLogPath)
+        .filter($"method" === "GET" && !$"url".rlike("\\.(css|js|png|ico)$"))
+        .select($"url", ($"timestamp" / 1000).cast("long").as("sec"))
+      val counted = base
+        .withColumn("window_start", hopStarts($"sec", 600L, 5L))
+        .groupBy(($"window_start" + 600L).as("window_end"), $"url")
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy($"window_end").orderBy($"cnt".desc, $"url")
+      counted.withColumn("rn", row_number().over(w).cast("long")).filter($"rn" <= 3)
+    },
+    Some(s"""
+      WITH raw AS (
+        SELECT * FROM read_csv('$apacheLogPath', delim=' ', header=false, quote='',
+          columns={'ip': 'VARCHAR', 'd1': 'VARCHAR', 'uid': 'VARCHAR', 'tstr': 'VARCHAR',
+                   'zone': 'VARCHAR', 'method': 'VARCHAR', 'url': 'VARCHAR'})),
+      base AS (
+        SELECT url, CAST(epoch(strptime(tstr, '%d/%m/%Y:%H:%M:%S')) AS BIGINT) AS sec
+        FROM raw
+        WHERE method = 'GET' AND NOT regexp_matches(url, '\\.(css|js|png|ico)$$')),
+      hopped AS (
+        SELECT url,
+               unnest(generate_series(sec - sec % 5 - 595, sec - sec % 5, 5)) + 600 AS window_end
+        FROM base),
+      counted AS (SELECT window_end, url, COUNT(*) AS cnt FROM hopped GROUP BY 1, 2)
+      SELECT window_end, url, cnt,
+             ROW_NUMBER() OVER (PARTITION BY window_end ORDER BY cnt DESC, url) AS rn
+      FROM counted QUALIFY rn <= 3
+    """.stripMargin.trim),
   )
 
   // ---------------------------------------------------------------------
@@ -501,6 +588,8 @@ object EventAnalytics {
   val qs: Seq[Q] = Seq(
     hotItemsTopN,
     hotItemsSql,
+    hotItemsTopKAgg,
+    hotPages,
     pageViews,
     uniqueVisitors,
     uvApprox,

@@ -1,0 +1,172 @@
+package graft.queries
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.Multimodal
+import graft.multimodal.Multimodal.MediaAsset
+
+/** Multimodal-column queries behind the driver's oracle gate.
+  *
+  * [[Multimodal]]'s transforms (decode, feature extraction, frame
+  * sampling) run over a committed parquet fixture of synthetic assets
+  * (binary payload + typed metadata — the schema a real media table
+  * carries), and every output is reproduced in DuckDB from the same
+  * parquet: the StubCodec chain is a pure function of the asset bytes
+  * (FNV-1a 64 → splitmix64), so the oracle re-derives it with exact
+  * mod-2^64 integer arithmetic over the blob — HUGEINT intermediates for
+  * the wrapping multiplies, signed-BIGINT round-trips for the 64-bit
+  * XORs. Swapping StubCodec for a real codec invalidates only the oracle
+  * SQL, not the Spark plumbing these queries exercise (mapPartitions
+  * batching, binary columns, metadata-driven fan-out).
+  *
+  * Outputs avoid floats except `meanLuma`, which is an integer-valued
+  * division by 1000.0 — bit-identical IEEE on both engines.
+  */
+object MediaOps {
+
+  /** Committed fixture location — generated once by [[ensureAssets]] and
+    * checked into git so the DuckDB oracle reads the identical bytes.
+    */
+  private val fixtureDir = "/root/repo/fixtures/media_assets.parquet"
+  private val nAssets = 300
+  private val featDim = 8
+
+  /** The asset table: write the deterministic synthetic fixture on first
+    * use (parquet dir committed), then always read back from parquet so
+    * Spark and DuckDB see byte-identical content.
+    */
+  private def ensureAssets(s: SparkSession): Dataset[MediaAsset] = {
+    if (!Files.exists(Paths.get(fixtureDir)))
+      Multimodal.syntheticAssets(s, nAssets).coalesce(1)
+        .write.mode("ignore").parquet(fixtureDir)
+    implicit val enc = org.apache.spark.sql.Encoders.product[MediaAsset]
+    s.read.parquet(fixtureDir).as[MediaAsset]
+  }
+
+  // ---- DuckDB mod-2^64 arithmetic helpers ------------------------------
+  // HUGEINT (int128) carries the unsigned 64-bit domain [0, 2^64); the
+  // wrapping multiply splits the left operand into 32-bit halves so no
+  // intermediate exceeds ~2^97; XOR hops through signed BIGINT (the bit
+  // pattern of u - 2^64 equals the unsigned pattern, so native 64-bit xor
+  // is exact).
+
+  private val TWO64 = "18446744073709551616::HUGEINT"
+
+  private def mul64(a: String, b: String): String =
+    s"((($a) % 4294967296::HUGEINT) * ($b) + " +
+      s"((($a) // 4294967296::HUGEINT) * ($b) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % $TWO64"
+
+  private def u2s(x: String): String =
+    s"CAST(CASE WHEN ($x) >= 9223372036854775808::HUGEINT THEN ($x) - $TWO64 ELSE ($x) END AS BIGINT)"
+
+  private def s2u(x: String): String =
+    s"(CASE WHEN ($x) < 0 THEN CAST(($x) AS HUGEINT) + $TWO64 ELSE CAST(($x) AS HUGEINT) END)"
+
+  private def xor64(a: String, b: String): String = s2u(s"xor(${u2s(a)}, ${u2s(b)})")
+
+  private def shr(a: String, n: Int): String = s"(($a) // ${1L << n}::HUGEINT)"
+
+  /** FNV-1a 64 over the blob bytes (mirror of StubCodec.contentHash):
+    * bytes decoded from `hex(content)` two digits at a time, folded with
+    * the wrapping ×0x100000001b3. Only the low byte participates in each
+    * XOR, so that one stays in plain integer math.
+    */
+  private val fnvOverContent: String = {
+    val byteI =
+      "(CAST(strpos('0123456789ABCDEF', substr(hex(content), 2*i-1, 1)) - 1 AS HUGEINT) * 16 + " +
+        "CAST(strpos('0123456789ABCDEF', substr(hex(content), 2*i, 1)) - 1 AS HUGEINT))"
+    val step = mul64(
+      "acc - (acc % 256::HUGEINT) + " +
+        "CAST(xor(CAST(acc % 256::HUGEINT AS BIGINT), CAST(b AS BIGINT)) AS HUGEINT)",
+      "1099511628211::HUGEINT")
+    s"""list_reduce(
+       |  list_prepend(14695981039346656037::HUGEINT,
+       |    list_transform(range(1, octet_length(content)+1), i -> $byteI)),
+       |  (acc, b) -> $step)""".stripMargin
+  }
+
+  /** Shared CTE: every asset row plus `hu`, its unsigned FNV-1a hash. */
+  private val oracleHashed: String =
+    s"""hashed AS (
+       |  SELECT assetId, kind, width, height, durationMs,
+       |         $fnvOverContent AS hu
+       |  FROM read_parquet('$fixtureDir/*.parquet'))""".stripMargin
+
+  // ---- queries ---------------------------------------------------------
+
+  /** Feature extraction through the real mapPartitions plumbing, checked
+    * as an integer checksum: StubCodec.features expands the content hash
+    * through a splitmix64 chain into floats in [-1, 1); `round((f+1)*1e6)`
+    * recovers the pre-float integer exactly (float error ~0.06 ≪ 0.5), so
+    * the checksum is the sum of the chain's raw residues — which the
+    * oracle recomputes without ever touching floats.
+    */
+  val assetFeatures = Q(
+    "m_asset_features",
+    (s, d) => {
+      Multimodal.extractFeatures(ensureAssets(s), dim = featDim)
+        .toDF()
+        .select(
+          col("assetId"),
+          col("kind"),
+          expr(
+            """aggregate(
+              |  transform(features,
+              |    f -> cast(round((cast(f as double) + 1.0d) * 1000000.0d) as bigint)),
+              |  cast(0 as bigint), (a, x) -> a + x)""".stripMargin).as("feat_checksum"))
+    },
+    Some {
+      val x = s"(hu + ${mul64("11400714819323198485::HUGEINT", "j")}) % $TWO64"
+      s"""
+      WITH $oracleHashed,
+      xs AS (
+        SELECT assetId, kind, $x AS x
+        FROM hashed, (SELECT unnest(generate_series(1, $featDim)) AS j)),
+      m1 AS (SELECT assetId, kind, ${mul64(xor64("x", shr("x", 30)), "13787848793156543929::HUGEINT")} AS z1 FROM xs),
+      m2 AS (SELECT assetId, kind, ${mul64(xor64("z1", shr("z1", 27)), "10723151780598845931::HUGEINT")} AS z2 FROM m1),
+      m3 AS (SELECT assetId, kind, ${xor64("z2", shr("z2", 31))} AS z3 FROM m2),
+      ms AS (SELECT assetId, kind, ((${u2s("z3")} % 2000000 + 2000000) % 2000000) AS m FROM m3)
+      SELECT assetId, kind, CAST(SUM(m) AS BIGINT) AS feat_checksum
+      FROM ms GROUP BY assetId, kind
+      """.stripMargin.trim
+    },
+  )
+
+  /** Image decode pass (kind-filtered mapPartitions): dimensional metadata
+    * plus the stub's hash-derived luma mean — `floorMod(h, 255000)/1000.0`,
+    * an integer-valued double both engines divide identically.
+    */
+  val decodeImages = Q(
+    "m_decode_images",
+    (s, d) => Multimodal.decodeImages(ensureAssets(s)).toDF(),
+    Some(s"""
+      WITH $oracleHashed
+      SELECT assetId, width, height,
+             CAST((${u2s("hu")} % 255000 + 255000) % 255000 AS DOUBLE) / 1000.0 AS meanLuma
+      FROM hashed WHERE kind = 'image'
+    """.stripMargin.trim),
+  )
+
+  /** Frame sampling: executor-side row explosion (one row per sampled
+    * frame, digest not bytes). frameHash = h XOR i*golden-ratio-64, both
+    * wrapping — the oracle mirrors the wrap with mul64/xor64.
+    */
+  val frameStats = Q(
+    "m_frame_stats",
+    (s, d) => Multimodal.sampleFrames(ensureAssets(s), everyMs = 1000).toDF(),
+    Some(s"""
+      WITH $oracleHashed,
+      frames AS (
+        SELECT assetId, hu, unnest(generate_series(0, CAST(greatest(durationMs // 1000, 1) AS BIGINT) - 1)) AS i
+        FROM hashed WHERE kind = 'video')
+      SELECT assetId, CAST(i AS INTEGER) AS frameIdx, i * 1000 AS tsMs,
+             ${u2s(xor64("hu", mul64("CAST(i AS HUGEINT)", "11400714819323198485::HUGEINT")))} AS frameHash
+      FROM frames
+    """.stripMargin.trim),
+  )
+
+  val qs: Seq[Q] = Seq(assetFeatures, decodeImages, frameStats)
+}

@@ -63,6 +63,17 @@ class PlanSpec extends SparkSpec {
     assert(shuffles.size <= 2, shuffles.mkString("\n"))
   }
 
+  test("hot_items_topk_agg: bounded partial top-k merge, no per-window sort") {
+    // the TopKAggregator formulation must plan as partial ObjectHashAggregate
+    // (<= K rows of buffer per partition) + one exchange — never a rank
+    // window or a sort of the full (window, item) aggregate
+    val s = plan("hot_items_topk_agg").toString
+    assert(s.contains("ObjectHashAggregate"), s)
+    assert(s.contains("partial_topkaggregator"), s)
+    assert(!s.contains("Window"), s)
+    assert(!s.contains("Sort "), s)
+  }
+
   test("token top-k: distributed TakeOrderedAndProject, no single-partition rank") {
     // the global top-20 must never funnel the full vocabulary through one
     // task: the rank comes from a per-partition partial top-k (limit after
