@@ -143,6 +143,7 @@ object EventAnalytics {
           ($"pos" + 1).cast("long").as("rn"))
     },
     hotItemsTopN.oracle,
+    bench = true,
   )
 
   // ---------------------------------------------------------------------

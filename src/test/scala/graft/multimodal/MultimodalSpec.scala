@@ -85,4 +85,21 @@ class MultimodalSpec extends SparkSpec {
     assert(repart.count() === 64)
     assert(partBytes.forall(_ <= target + 65536L))
   }
+
+  test("repartitionByBytes spreads overflow evenly when totalBytes is understated") {
+    // a 4x-understated stat used to clamp every overflow bin into the LAST
+    // partition (recreating the straggler); the round-robin wrap spreads
+    // them so each partition carries ~overflow-factor bins instead
+    val total = 90L * 2048L
+    val target = 16L * 2048L
+    val repart = repartitionByBytes(assets, totalBytes = total / 4, targetBytes = target)
+    val partBytes = repart
+      .mapPartitions(it => Iterator.single(it.map(_.content.length.toLong).sum))(
+        org.apache.spark.sql.Encoders.scalaLong)
+      .collect()
+    assert(repart.count() === 90)
+    // even spread: no partition carries more than (overflow factor + 1) bins
+    assert(partBytes.forall(_ <= 5L * target))
+    assert(partBytes.count(_ > 0) > 1)
+  }
 }
