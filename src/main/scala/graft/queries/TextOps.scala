@@ -713,7 +713,11 @@ object TextOps {
   // share at least one of four 15-bit bands of the 60-bit fingerprint
   // (pigeonhole: any pair within Hamming distance 3 shares a band;
   // threshold 6 accepts the recall trade), confirmed by bit_count(a XOR b).
-  // Same shape as MinHash-LSH: band equi-join, no cross join.
+  // Same shape as MinHash-LSH: band equi-join, no cross join — and the
+  // same [[maxBucket]] degenerate-bucket guard (a band value shared by
+  // 10^3+ fingerprints is template boilerplate, not near-dup signal, and
+  // would otherwise quadratic-expand inside one task), mirrored in the
+  // oracle.
   // ---------------------------------------------------------------------
 
   private val simhashMaxHamming = 6
@@ -730,7 +734,7 @@ object TextOps {
       banded
         .groupBy($"band", $"bkey")
         .agg(sort_array(collect_list(struct($"doc_id", $"fp"))).as("ds"))
-        .filter(size($"ds") > 1)
+        .filter(size($"ds") > 1 && size($"ds") <= maxBucket)
         .select(explode(expr(
           """flatten(transform(sequence(1, size(ds) - 1),
             |  i -> transform(sequence(i + 1, size(ds)),
@@ -759,7 +763,10 @@ object TextOps {
         SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
                bit_count(xor(a.fp, c.fp)) AS hamming
         FROM banded a JOIN banded c
-          ON a.band = c.band AND a.bkey = c.bkey AND a.doc_id < c.doc_id)
+          ON a.band = c.band AND a.bkey = c.bkey AND a.doc_id < c.doc_id
+        JOIN (SELECT band, bkey FROM banded GROUP BY 1, 2
+              HAVING COUNT(*) <= $maxBucket) ok
+          ON a.band = ok.band AND a.bkey = ok.bkey)
       SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
       FROM pairs WHERE hamming <= $simhashMaxHamming
     """.stripMargin.trim),
