@@ -64,8 +64,21 @@ object Skew {
       keyCol: String,
       buckets: Int = 8,
   ): DataFrame = {
-    val saltedLeft =
-      left.withColumn("__salt", saltOf(buckets, left.columns.map(col).toSeq: _*))
+    // hash() rejects MapType columns (no canonical entry order), so salt
+    // from every hash-supported column; a schema whose rows differ only in
+    // map columns degrades to per-key salting (documented above)
+    import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
+    def hasMap(dt: DataType): Boolean = dt match {
+      case _: MapType => true
+      case s: StructType => s.fields.exists(f => hasMap(f.dataType))
+      case a: ArrayType => hasMap(a.elementType)
+      case _ => false
+    }
+    val hashable = left.schema.fields
+      .filterNot(f => hasMap(f.dataType))
+      .map(f => col(f.name))
+    val saltCols = if (hashable.nonEmpty) hashable.toSeq else Seq(col(keyCol))
+    val saltedLeft = left.withColumn("__salt", saltOf(buckets, saltCols: _*))
     val explodedRight = right.withColumn("__salt", explode(sequence(lit(0), lit(buckets - 1))))
     saltedLeft
       .join(explodedRight,

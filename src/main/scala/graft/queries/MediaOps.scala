@@ -29,8 +29,14 @@ object MediaOps {
 
   /** Committed fixture location — generated once by [[ensureAssets]] and
     * checked into git so the DuckDB oracle reads the identical bytes.
+    * Resolved against the working directory (the repo root for sbt /
+    * spark-shell / the driver), not a hardcoded machine path; a checkout
+    * elsewhere regenerates the same deterministic values on first use and
+    * both engines read whatever file actually sits at this path, so the
+    * compare stays self-consistent either way.
     */
-  private val fixtureDir = "/root/repo/fixtures/media_assets.parquet"
+  private val fixtureDir =
+    Paths.get("fixtures/media_assets.parquet").toAbsolutePath.toString
   private val nAssets = 300
   private val featDim = 8
 

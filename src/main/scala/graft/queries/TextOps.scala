@@ -460,11 +460,13 @@ object TextOps {
     * production treatment (a signature shared by 10^3+ docs carries no
     * near-dup information, exactly like a stopword in an inverted index);
     * the cap bounds both the explode (~5×10^5 pairs per bucket worst
-    * case) and the `collect_list` buffer (≤ 1024 ids) so no single task
-    * ever materializes a quadratic bucket. On adversarial corpora run
-    * exact dedup first (`t_neardup_post_dedup`), which collapses identical
-    * texts before banding. Mirrored in the DuckDB oracle so both engines
-    * drop the same buckets.
+    * case) and — because the gather runs through
+    * [[graft.functions.BoundedCollectAggregator]], whose aggregation
+    * BUFFER is capped, not just its output — the per-task memory, so no
+    * task ever materializes a degenerate bucket even transiently. On
+    * adversarial corpora run exact dedup first (`t_neardup_post_dedup`),
+    * which collapses identical texts before banding. Mirrored in the
+    * DuckDB oracle so both engines drop the same buckets.
     */
   private val maxBucket = 1 << 10
 
@@ -489,12 +491,21 @@ object TextOps {
       val slots = (0 until bandSize).map(j => col(s"m${b * bandSize + j}").as(s"k$j"))
       struct(lit(b).as("band"), struct(slots: _*).as("bkey"))
     }
+    // buffer-capped gather: a bucket past `cap` collapses to empty inside
+    // the aggregation buffer itself (never materialized), then falls to
+    // the size filter exactly like an undersized bucket
+    val boundedIds = {
+      implicit val seqEnc =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+      udaf(new graft.functions.BoundedCollectAggregator[Long](cap),
+        org.apache.spark.sql.Encoders.scalaLong)
+    }
     sig
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
       .groupBy(col("band"), col("bkey"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1 && size(col("ids")) <= cap)
+      .agg(boundedIds(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) > 1)
       .select(explode(expr(
         """flatten(transform(sequence(1, size(ids) - 1),
           |  i -> transform(sequence(i + 1, size(ids)),
@@ -731,15 +742,23 @@ object TextOps {
         $"doc_id", $"fp",
         explode(expr("transform(sequence(0, 3), b -> struct(b AS band, shiftright(fp, b * 15) % 32768 AS bkey))")).as("bb"))
         .select($"doc_id", $"fp", $"bb.band", $"bb.bkey")
+      val boundedPairs = {
+        implicit val seqEnc = org.apache.spark.sql.catalyst.encoders
+          .ExpressionEncoder[Seq[(Long, Long)]]()
+        udaf(new graft.functions.BoundedCollectAggregator[(Long, Long)](maxBucket),
+          org.apache.spark.sql.Encoders.tuple(
+            org.apache.spark.sql.Encoders.scalaLong,
+            org.apache.spark.sql.Encoders.scalaLong))
+      }
       banded
         .groupBy($"band", $"bkey")
-        .agg(sort_array(collect_list(struct($"doc_id", $"fp"))).as("ds"))
-        .filter(size($"ds") > 1 && size($"ds") <= maxBucket)
+        .agg(boundedPairs($"doc_id", $"fp").as("ds"))
+        .filter(size($"ds") > 1)
         .select(explode(expr(
           """flatten(transform(sequence(1, size(ds) - 1),
             |  i -> transform(sequence(i + 1, size(ds)),
-            |    j -> struct(element_at(ds, i).doc_id AS doc_a, element_at(ds, j).doc_id AS doc_b,
-            |                bit_count(element_at(ds, i).fp ^ element_at(ds, j).fp) AS hamming))))""".stripMargin))
+            |    j -> struct(element_at(ds, i)._1 AS doc_a, element_at(ds, j)._1 AS doc_b,
+            |                bit_count(element_at(ds, i)._2 ^ element_at(ds, j)._2) AS hamming))))""".stripMargin))
           .as("p"))
         .select($"p.doc_a", $"p.doc_b", $"p.hamming".cast("long").as("hamming"))
         .filter($"hamming" <= simhashMaxHamming)
