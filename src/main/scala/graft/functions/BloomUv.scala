@@ -98,12 +98,13 @@ final case class BloomUvAggregate(
 /** Registration + Column API for graft's custom functions. */
 object GraftFunctions {
 
-  /** Registers `bloom_uv(col)`, `bloom_hash(col)` and `dot_d(a, b)` for
-    * SQL use.
+  /** Registers `bloom_uv(col)`, `bloom_hash(col)`, `dot_d(a, b)`,
+    * `topk_scored(key, cnt)` and `bounded_collect(id)` for SQL use.
     */
   def register(spark: SparkSession): Unit = {
     registerBloomHash(spark)
     registerDotD(spark)
+    registerAggregators(spark)
     spark.sessionState.functionRegistry.registerFunction(
       org.apache.spark.sql.catalyst.FunctionIdentifier("bloom_uv"),
       new ExpressionInfo(classOf[BloomUvAggregate].getName, "bloom_uv"),
@@ -112,6 +113,24 @@ object GraftFunctions {
         BloomUvAggregate(exprs.head)
       },
     )
+  }
+
+  /** SQL names for the typed aggregators, with the catalog defaults
+    * (top-5 ranking, 2^10 bucket cap): `topk_scored(key, cnt)` returns the
+    * bounded per-group top-5 as an array of (key, cnt) structs;
+    * `bounded_collect(id)` gathers up to 1024 ids and returns empty past
+    * the cap (see [[TopKAggregator]] / [[BoundedCollectAggregator]]).
+    */
+  def registerAggregators(spark: SparkSession): Unit = {
+    spark.udf.register("topk_scored",
+      org.apache.spark.sql.functions.udaf(
+        new TopKAggregator(5), org.apache.spark.sql.Encoders.product[Scored]))
+    implicit val seqEnc =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+    spark.udf.register("bounded_collect",
+      org.apache.spark.sql.functions.udaf(
+        new BoundedCollectAggregator[Long](1 << 10),
+        org.apache.spark.sql.Encoders.scalaLong))
   }
 
   /** Column-API entry (requires [[register]] once per session). */

@@ -27,6 +27,17 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT bloom_hash('543462')").first().getLong(0) === 398203944L)
     assert(spark.sql(
       "SELECT dot_d(embedding, embedding) FROM embeddings WHERE vec_id = 0").first().getDouble(0) > 0.0)
+    // typed aggregators reachable from SQL: bounded gather + bounded top-k
+    assert(spark.sql(
+      "SELECT size(bounded_collect(user_id)) FROM (SELECT user_id FROM events LIMIT 10)")
+      .first().getInt(0) === 10)
+    // a group past the 2^10 cap poisons to empty rather than materializing
+    assert(spark.sql(
+      "SELECT size(bounded_collect(CAST(x AS BIGINT))) FROM (SELECT explode(sequence(1, 2000)) AS x)")
+      .first().getInt(0) === 0)
+    val topScored = spark.sql(
+      "SELECT topk_scored(user_id, event_id) AS t FROM events").first().getSeq[org.apache.spark.sql.Row](0)
+    assert(topScored.length === 5)
   }
 
   test("re-registering over another SF repoints the views") {
