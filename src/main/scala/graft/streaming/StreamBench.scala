@@ -94,6 +94,45 @@ object StreamBench {
       s"""{"metric":"stream_rows_per_sec","value":${(totalRows / secs).toLong},""" +
         s""""unit":"rows/sec","rows":$totalRows,"secs":$secs,""" +
         s""""ranked_out":${outRows.get()},"sf":"$sfDir","replicas":$replicas}""")
+
+    // Second probe: the stateful-detector path — the TTL'd blacklist NFA
+    // (flatMapGroupsWithState + EventTimeTimeout, one counter per
+    // (user, ad, day) key with day-end expiry) over the same replay, so
+    // the per-key state-store path gets its own rows/sec next to the
+    // windowed-aggregation number above.
+    val detOut = new java.util.concurrent.atomic.AtomicLong(0)
+    val t1 = System.nanoTime()
+    val clicks = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 8)
+      .csv(stage)
+      .select(
+        col("user_id").as("userId"),
+        col("item").as("adId"),
+        lit("p").as("province"),
+        lit("c").as("city"),
+        col("ts_sec").as("timestamp"))
+      .withColumn("eventTime", timestamp_seconds(col("timestamp")))
+      .withWatermark("eventTime", s"${spanSec + 60} seconds")
+      .as[graft.model.AdClickEvent]
+    val q2 = graft.operators.AdBlacklist
+      .streaming(clicks, threshold = 100)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[graft.operators.AdBlacklist.AdOut], _: Long) =>
+        detOut.addAndGet(b.count())
+        ()
+      }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt-sbench-det").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination()
+    val secs2 = (System.nanoTime() - t1) / 1e9
+    println(
+      s"""{"metric":"detector_rows_per_sec","value":${(totalRows / secs2).toLong},""" +
+        s""""unit":"rows/sec","rows":$totalRows,"secs":$secs2,""" +
+        s""""out_rows":${detOut.get()},"sf":"$sfDir","replicas":$replicas}""")
     spark.stop()
   }
 }
