@@ -195,6 +195,45 @@ object EventAnalytics {
   )
 
   // ---------------------------------------------------------------------
+  // k-step strict-contiguity CEP (SURVEY §2.8 J3 generalized past the
+  // reference's hard-coded 2-step login pattern): the product-analytics
+  // funnel view → click → purchase as three CONSECUTIVE events of one
+  // user (strict contiguity, ties broken by event_id) spanning at most a
+  // day — Cep.strictBatch with a 3-step pattern, oracled by a double-lag
+  // window (the SQL form of strict contiguity of length 3).
+  // ---------------------------------------------------------------------
+  private val funnelWindowSec = 86400L
+
+  val funnelStrict = Q(
+    "e_funnel_strict",
+    (s, d) => {
+      import s.implicits._
+      val evs = Tables.events(s, d)
+        .select($"event_id", $"user_id", $"event_type", $"ts_sec")
+        .as[(Long, Long, String, Long)]
+      val pattern = Seq("view", "click", "purchase")
+        .map(t => (e: (Long, Long, String, Long)) => e._3 == t)
+      graft.operators.Cep
+        .strictBatch[(Long, Long, String, Long)](evs, _._2, _._4, _._1, pattern, funnelWindowSec)
+        .toDF()
+        .select($"key".as("user_id"), $"firstTs".as("first_sec"), $"lastTs".as("last_sec"))
+    },
+    Some(s"""
+      $oracleBase,
+      o AS (
+        SELECT user_id, event_type, sec,
+               lag(event_type, 2) OVER w AS t2, lag(sec, 2) OVER w AS s2,
+               lag(event_type, 1) OVER w AS t1
+        FROM base
+        WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id))
+      SELECT user_id, s2 AS first_sec, sec AS last_sec
+      FROM o
+      WHERE t2 = 'view' AND t1 = 'click' AND event_type = 'purchase'
+        AND sec - s2 <= $funnelWindowSec
+    """.stripMargin.trim),
+  )
+
+  // ---------------------------------------------------------------------
   // Page views: tumbling-window count of 'view' events.
   // Reference: PageView.java:59-70 (behavior='pv', 1h tumbling count).
   // ---------------------------------------------------------------------
@@ -591,6 +630,7 @@ object EventAnalytics {
     hotItemsSql,
     hotItemsTopKAgg,
     hotPages,
+    funnelStrict,
     pageViews,
     uniqueVisitors,
     uvApprox,
