@@ -234,6 +234,51 @@ object EventAnalytics {
   )
 
   // ---------------------------------------------------------------------
+  // Relaxed-contiguity funnel (CEP followedBy, all-matches semantics):
+  // every ORDERED view → click → purchase triple of one user within the
+  // window, intervening events allowed — per-user completion counts.
+  // Expressed as what it relationally IS: two per-user range joins
+  // (preference (a) of the custom-operator ladder — compose built-ins
+  // when semantics allow; the NFA form above exists for the strict case
+  // Flink's `next` needs). Event order is (sec, event_id) lexicographic
+  // so same-second events order identically in both engines. 100 TB
+  // shape: equi-join on user_id with range predicates — one shuffle key,
+  // no cross join; per-user×window triple counts bound the output.
+  // ---------------------------------------------------------------------
+  val funnelRelaxed = Q(
+    "e_funnel_relaxed",
+    (s, d) => {
+      import s.implicits._
+      val base = Tables.events(s, d).select($"event_id", $"user_id", $"event_type", $"ts_sec")
+      def leg(t: String, a: String) = base
+        .filter($"event_type" === t)
+        .select($"user_id".as(s"${a}_uid"), $"ts_sec".as(s"${a}_sec"), $"event_id".as(s"${a}_id"))
+      def after(a: String, b: String) =
+        (col(s"${b}_sec") > col(s"${a}_sec")) ||
+          (col(s"${b}_sec") === col(s"${a}_sec") && col(s"${b}_id") > col(s"${a}_id"))
+      leg("view", "v")
+        .join(leg("click", "c"), col("c_uid") === col("v_uid") && after("v", "c"))
+        .join(leg("purchase", "p"),
+          col("p_uid") === col("v_uid") && after("c", "p") &&
+            col("p_sec") - col("v_sec") <= funnelWindowSec)
+        .groupBy(col("v_uid").as("user_id"))
+        .agg(count(lit(1)).as("triples"))
+    },
+    Some(s"""
+      $oracleBase
+      SELECT v.user_id, COUNT(*) AS triples
+      FROM base v
+      JOIN base c ON c.user_id = v.user_id AND c.event_type = 'click'
+        AND (c.sec > v.sec OR (c.sec = v.sec AND c.event_id > v.event_id))
+      JOIN base p ON p.user_id = v.user_id AND p.event_type = 'purchase'
+        AND (p.sec > c.sec OR (p.sec = c.sec AND p.event_id > c.event_id))
+        AND p.sec - v.sec <= $funnelWindowSec
+      WHERE v.event_type = 'view'
+      GROUP BY v.user_id
+    """.stripMargin.trim),
+  )
+
+  // ---------------------------------------------------------------------
   // Page views: tumbling-window count of 'view' events.
   // Reference: PageView.java:59-70 (behavior='pv', 1h tumbling count).
   // ---------------------------------------------------------------------
@@ -631,6 +676,7 @@ object EventAnalytics {
     hotItemsTopKAgg,
     hotPages,
     funnelStrict,
+    funnelRelaxed,
     pageViews,
     uniqueVisitors,
     uvApprox,
