@@ -89,6 +89,15 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("e_funnel_relaxed: range joins stay keyed on user_id, never cartesian") {
+    // followedBy-all-matches as relational joins: the ordering/window
+    // predicates must ride as residual conditions on a user_id equi-join,
+    // not degrade the plan to a nested-loop/cartesian pair generator
+    val s = formatted("e_funnel_relaxed")
+    assert(!s.contains("CartesianProduct"), s)
+    assert(!s.contains("BroadcastNestedLoopJoin"), s)
+  }
+
   test("t_minhash_lsh: band join is an equi-join, never a cartesian product") {
     val s = formatted("t_minhash_lsh")
     assert(!s.contains("CartesianProduct"), s)
