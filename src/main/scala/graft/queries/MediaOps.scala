@@ -112,7 +112,7 @@ object MediaOps {
     */
   val assetFeatures = Q(
     "m_asset_features",
-    (s, d) => {
+    (s, _) => {
       Multimodal.extractFeatures(ensureAssets(s), dim = featDim)
         .toDF()
         .select(
@@ -147,7 +147,7 @@ object MediaOps {
     */
   val decodeImages = Q(
     "m_decode_images",
-    (s, d) => Multimodal.decodeImages(ensureAssets(s)).toDF(),
+    (s, _) => Multimodal.decodeImages(ensureAssets(s)).toDF(),
     Some(s"""
       WITH $oracleHashed
       SELECT assetId, width, height,
@@ -162,7 +162,7 @@ object MediaOps {
     */
   val frameStats = Q(
     "m_frame_stats",
-    (s, d) => Multimodal.sampleFrames(ensureAssets(s), everyMs = 1000).toDF(),
+    (s, _) => Multimodal.sampleFrames(ensureAssets(s), everyMs = 1000).toDF(),
     Some(s"""
       WITH $oracleHashed,
       frames AS (
