@@ -157,6 +157,49 @@ object Streams {
         (unix_timestamp(col("session_window.end")) - gapSec).as("end_sec"),
         col("n_events"))
 
+  /** Streaming relaxed-contiguity funnel — the stream-native form of the
+    * `e_funnel_relaxed` catalog query: every ordered step1 → step2 → step3
+    * triple of one user within `windowSec`, computed as CHAINED
+    * stream-stream interval joins (two stateful joins back to back —
+    * Spark 4 multiple-stateful-operator support). Each join carries a
+    * time-bound condition (`later.eventTime` within [earlier.eventTime,
+    * earlier + windowSec]), so both join states evict as the watermark
+    * passes — state per side is (events in the last windowSec), the same
+    * bound Flink's interval join holds. Ties order by (ts_sec, event_id)
+    * exactly like the batch form, so batch↔streaming parity is row-exact.
+    *
+    * Input: a stream with `user_id, event_type, ts_sec, event_id` and a
+    * watermarked `eventTime`. Emits one append-mode row per completed
+    * triple (user_id, first_sec, last_sec) — aggregate downstream
+    * (`groupBy(user_id).count`) for the conversion-count view.
+    */
+  def funnelRelaxed(
+      events: DataFrame,
+      steps: (String, String, String),
+      windowSec: Long,
+  ): DataFrame = {
+    def leg(t: String, a: String) = events
+      .filter(col("event_type") === t)
+      .select(
+        col("user_id").as(s"${a}_uid"),
+        col("ts_sec").as(s"${a}_sec"),
+        col("event_id").as(s"${a}_id"),
+        col("eventTime").as(s"${a}_time"))
+    def after(a: String, b: String) =
+      (col(s"${b}_sec") > col(s"${a}_sec")) ||
+        (col(s"${b}_sec") === col(s"${a}_sec") && col(s"${b}_id") > col(s"${a}_id"))
+    def within(a: String, b: String) =
+      col(s"${b}_time") >= col(s"${a}_time") &&
+        col(s"${b}_time") <= col(s"${a}_time") + expr(s"INTERVAL $windowSec SECONDS")
+    leg(steps._1, "v")
+      .join(leg(steps._2, "c"),
+        col("c_uid") === col("v_uid") && after("v", "c") && within("v", "c"))
+      .join(leg(steps._3, "p"),
+        col("p_uid") === col("v_uid") && after("c", "p") && within("v", "p") &&
+          col("p_sec") - col("v_sec") <= windowSec)
+      .select(col("v_uid").as("user_id"), col("v_sec").as("first_sec"), col("p_sec").as("last_sec"))
+  }
+
   /** Late-data audit (SURVEY §2.4 W6): Flink's allowedLateness side output
     * has no Spark primitive — the windowed aggregation silently drops rows
     * below the watermark. This companion stream marks events arriving more

@@ -8,6 +8,11 @@ import graft.model.UserBehavior
 import graft.operators.Windowed
 import graft.sources.Fixtures
 
+/** events-table row shape for the funnel parity test (top-level so the
+  * MemoryStream encoder derives).
+  */
+final case class FunnelEv(event_id: Long, user_id: Long, event_type: String, ts_sec: Long)
+
 /** Streaming windowed aggregations: parity with the batch operators over
   * the reference fixture.
   */
@@ -331,4 +336,53 @@ class StreamsSpec extends SparkSpec {
       }
     }
   }
+  test("streaming relaxed funnel matches its batch evaluation (chained stream-stream joins)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val evs = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .select($"event_id", $"user_id", $"event_type", $"ts_sec")
+      .as[FunnelEv].collect().sortBy(_.ts_sec)
+    var cut = evs.length / 2
+    while (cut < evs.length && evs(cut - 1).ts_sec >= evs(cut).ts_sec) cut += 1
+    val (h1, h2) = evs.splitAt(cut)
+
+    def timed(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("eventTime", timestamp_seconds(col("ts_sec")))
+      .withWatermark("eventTime", "0 seconds")
+
+    val mem = MemoryStream[FunnelEv]
+    val q = Streams
+      .funnelRelaxed(timed(mem.toDF()), ("view", "click", "purchase"), 86400L)
+      .writeStream
+      .format("memory")
+      .queryName("funnel_stream")
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt-funnel").toString)
+      .start()
+    try {
+      mem.addData(h1.toSeq)
+      q.processAllAvailable()
+      mem.addData(h2.toSeq)
+      q.processAllAvailable()
+      // a far-future no-op event advances the watermark past every pending
+      // join state so all triples are final before comparing
+      mem.addData(Seq(FunnelEv(-1L, -1L, "noop", evs.last.ts_sec + 10 * 86400L)))
+      q.processAllAvailable()
+      mem.addData(Seq.empty[FunnelEv])
+      q.processAllAvailable()
+
+      val streamed = spark.table("funnel_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+      val batch = Streams
+        .funnelRelaxed(timed(spark.createDataset(evs.toIndexedSeq).toDF()),
+          ("view", "click", "purchase"), 86400L)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
 }
