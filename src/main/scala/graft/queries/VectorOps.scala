@@ -225,13 +225,44 @@ object VectorOps {
   // pair distribution so the query emits a real, small near-dup set.
   private val nearDupThresholdMicros = 250000L
 
+  /** Mega-bucket guard for the sign-bucket near-dup joins — the vector
+    * analog of TextOps' LSH bucket cap: a sign bucket holding more than
+    * this many vectors (embedding-space boilerplate — near-identical
+    * template vectors) would make the within-bucket pair join quadratic
+    * in one key; such buckets are skipped entirely, mirrored in the
+    * DuckDB oracles so both engines drop the same buckets. The remedy
+    * for corpora that trip it is more sign bits or exact dedup first —
+    * the same contract as the text side.
+    */
+  private val maxBucketVecs = 1 << 10
+
+  /** Keep only rows of buckets within the [[maxBucketVecs]] cap. The gate
+    * frame has at most 2^signBits (= 256) rows by construction, so the
+    * broadcast hint is safe at ANY corpus size.
+    */
+  private def gateBuckets(b: DataFrame): DataFrame = {
+    val ok = b.groupBy(col("bucket")).agg(count(lit(1)).as("n_b"))
+      .filter(col("n_b") <= maxBucketVecs)
+      .select(col("bucket"))
+    b.join(broadcast(ok), "bucket")
+  }
+
+  /** DuckDB mirror of [[gateBuckets]]: `bg` = rows of `b` whose bucket is
+    * within the cap.
+    */
+  private val oracleGatedBuckets: String =
+    s"""bg AS (
+      |        SELECT b.* FROM b
+      |        JOIN (SELECT bucket FROM b GROUP BY 1 HAVING COUNT(*) <= $maxBucketVecs) ok
+      |          ON b.bucket = ok.bucket)""".stripMargin
+
   val nearDupCosine = Q(
     "v_neardup_cosine",
     (s, d) => {
       import s.implicits._
-      val b = vecs(s, d)
+      val b = gateBuckets(vecs(s, d)
         .withColumn("bucket", bucketExpr)
-        .select($"vec_id", $"embedding", $"bucket")
+        .select($"vec_id", $"embedding", $"bucket"))
       val l = b.select($"vec_id".as("vec_a"), $"embedding".as("emb_a"), $"bucket")
       val r = b.select($"vec_id".as("vec_b"), $"embedding".as("emb_b"), $"bucket".as("bucket_b"))
       l.join(r, $"bucket" === $"bucket_b" && $"vec_a" < $"vec_b")
@@ -245,12 +276,13 @@ object VectorOps {
     },
     Some(s"""
       WITH b AS (SELECT vec_id, embedding, ($oBucket) AS bucket FROM embeddings),
+      $oracleGatedBuckets,
       pairs AS (
         SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
                CAST(FLOOR(1e6 * (${oDot("a.embedding", "c.embedding")} /
                  (sqrt(${oDot("a.embedding", "a.embedding")}) * sqrt(${oDot("c.embedding", "c.embedding")}))))
                  AS BIGINT) AS sim_micros
-        FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
+        FROM bg a JOIN bg c ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
       SELECT vec_a, vec_b, sim_micros FROM pairs
       WHERE sim_micros >= $nearDupThresholdMicros
     """.stripMargin.trim),
@@ -383,10 +415,10 @@ object VectorOps {
     (s, d) => {
       import s.implicits._
       val docs = graft.sources.Tables.documents(s, d).select($"doc_id", $"lang")
-      val b = vecs(s, d)
+      val b = gateBuckets(vecs(s, d)
         .join(docs, $"vec_id" === $"doc_id")
         .withColumn("bucket", bucketExpr)
-        .select($"doc_id", $"lang", $"embedding", $"bucket")
+        .select($"doc_id", $"lang", $"embedding", $"bucket"))
       val l = b.select($"doc_id".as("doc_a"), $"lang".as("lang_a"), $"embedding".as("emb_a"), $"bucket")
       val r = b.select($"doc_id".as("doc_b"), $"lang".as("lang_b"), $"embedding".as("emb_b"), $"bucket".as("bucket_b"))
       l.join(r, $"bucket" === $"bucket_b" && $"doc_a" < $"doc_b")
@@ -402,12 +434,13 @@ object VectorOps {
       WITH b AS (
         SELECT d.doc_id, d.lang, e.embedding, ($oBucket) AS bucket
         FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id),
+      $oracleGatedBuckets,
       pairs AS (
         SELECT a.doc_id AS doc_a, c.doc_id AS doc_b, a.lang AS lang_a, c.lang AS lang_b,
                CAST(FLOOR(1e6 * (${oDot("a.embedding", "c.embedding")} /
                  (sqrt(${oDot("a.embedding", "a.embedding")}) * sqrt(${oDot("c.embedding", "c.embedding")}))))
                  AS BIGINT) AS sim_micros
-        FROM b a JOIN b c ON a.bucket = c.bucket AND a.doc_id < c.doc_id)
+        FROM bg a JOIN bg c ON a.bucket = c.bucket AND a.doc_id < c.doc_id)
       SELECT doc_a, doc_b, lang_a, lang_b, sim_micros FROM pairs
       WHERE sim_micros >= $nearDupThresholdMicros
     """.stripMargin.trim),
