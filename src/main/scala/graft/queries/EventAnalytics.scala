@@ -237,32 +237,29 @@ object EventAnalytics {
   // Relaxed-contiguity funnel (CEP followedBy, all-matches semantics):
   // every ORDERED view → click → purchase triple of one user within the
   // window, intervening events allowed — per-user completion counts.
-  // Expressed as what it relationally IS: two per-user range joins
-  // (preference (a) of the custom-operator ladder — compose built-ins
-  // when semantics allow; the NFA form above exists for the strict case
-  // Flink's `next` needs). Event order is (sec, event_id) lexicographic
+  // The output is a per-user COUNT, so no triple is ever materialized:
+  // [[graft.operators.Funnel.countTriplesBatch]] runs one per-user
+  // ordered scan (O(n log n)/user, linear state) — the relational form
+  // (two per-user range joins, then count) is within-key CUBIC in
+  // hot-user activity and exists only as the DuckDB oracle below and the
+  // FunnelSpec cross-check. Event order is (sec, event_id) lexicographic
   // so same-second events order identically in both engines. 100 TB
-  // shape: equi-join on user_id with range predicates — one shuffle key,
-  // no cross join; per-user×window triple counts bound the output.
+  // shape: ONE shuffle on user_id, no join at all.
   // ---------------------------------------------------------------------
   val funnelRelaxed = Q(
     "e_funnel_relaxed",
     (s, d) => {
       import s.implicits._
-      val base = Tables.events(s, d).select($"event_id", $"user_id", $"event_type", $"ts_sec")
-      def leg(t: String, a: String) = base
-        .filter($"event_type" === t)
-        .select($"user_id".as(s"${a}_uid"), $"ts_sec".as(s"${a}_sec"), $"event_id".as(s"${a}_id"))
-      def after(a: String, b: String) =
-        (col(s"${b}_sec") > col(s"${a}_sec")) ||
-          (col(s"${b}_sec") === col(s"${a}_sec") && col(s"${b}_id") > col(s"${a}_id"))
-      leg("view", "v")
-        .join(leg("click", "c"), col("c_uid") === col("v_uid") && after("v", "c"))
-        .join(leg("purchase", "p"),
-          col("p_uid") === col("v_uid") && after("c", "p") &&
-            col("p_sec") - col("v_sec") <= funnelWindowSec)
-        .groupBy(col("v_uid").as("user_id"))
-        .agg(count(lit(1)).as("triples"))
+      val evs = Tables.events(s, d)
+        .filter($"event_type".isin("view", "click", "purchase"))
+        .select($"event_id", $"user_id", $"event_type", $"ts_sec")
+        .as[(Long, Long, String, Long)]
+      graft.operators.Funnel
+        .countTriplesBatch[(Long, Long, String, Long)](
+          evs, _._2, _._4, _._1,
+          _._3 == "view", _._3 == "click", _._3 == "purchase", funnelWindowSec)
+        .toDF()
+        .select($"key".as("user_id"), $"triples")
     },
     Some(s"""
       $oracleBase
