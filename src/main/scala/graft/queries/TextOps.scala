@@ -491,21 +491,25 @@ object TextOps {
       val slots = (0 until bandSize).map(j => col(s"m${b * bandSize + j}").as(s"k$j"))
       struct(lit(b).as("band"), struct(slots: _*).as("bkey"))
     }
-    // buffer-capped gather: a bucket past `cap` collapses to empty inside
-    // the aggregation buffer itself (never materialized), then falls to
-    // the size filter exactly like an undersized bucket
-    val boundedIds = {
-      implicit val seqEnc =
-        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
-      udaf(new graft.functions.BoundedCollectAggregator[Long](cap),
-        org.apache.spark.sql.Encoders.scalaLong)
-    }
+    // two-phase degenerate-bucket guard: a native window COUNT over the
+    // (band, bkey) partitioning prices every bucket first, mega-buckets
+    // (> cap) drop BEFORE any gather, and survivors gather with the
+    // native collect_list. The window and the groupBy share the same
+    // partitioning, so this is still ONE exchange; the window's
+    // per-partition buffer is a spillable sort, so a degenerate bucket
+    // never occupies an in-memory aggregation buffer — the same memory
+    // guarantee [[graft.functions.BoundedCollectAggregator]] gave (that
+    // aggregator remains the SQL-surface form), without paying UDAF
+    // serialization on the 99.9% of buckets that are small.
+    val byBucket = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("bkey"))
     sig
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+      .withColumn("n", count(lit(1)).over(byBucket))
+      .filter(col("n") > 1 && col("n") <= cap)
       .groupBy(col("band"), col("bkey"))
-      .agg(boundedIds(col("doc_id")).as("ids"))
-      .filter(size(col("ids")) > 1)
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .select(explode(expr(
         """flatten(transform(sequence(1, size(ids) - 1),
           |  i -> transform(sequence(i + 1, size(ids)),
@@ -742,23 +746,21 @@ object TextOps {
         $"doc_id", $"fp",
         explode(expr("transform(sequence(0, 3), b -> struct(b AS band, shiftright(fp, b * 15) % 32768 AS bkey))")).as("bb"))
         .select($"doc_id", $"fp", $"bb.band", $"bb.bkey")
-      val boundedPairs = {
-        implicit val seqEnc = org.apache.spark.sql.catalyst.encoders
-          .ExpressionEncoder[Seq[(Long, Long)]]()
-        udaf(new graft.functions.BoundedCollectAggregator[(Long, Long)](maxBucket),
-          org.apache.spark.sql.Encoders.tuple(
-            org.apache.spark.sql.Encoders.scalaLong,
-            org.apache.spark.sql.Encoders.scalaLong))
-      }
+      // same two-phase window-count guard as [[minhashPairs]]: price the
+      // bucket natively, drop mega-buckets pre-gather, native collect_list
+      // on survivors only (one exchange — shared partitioning)
+      val byBucket = org.apache.spark.sql.expressions.Window
+        .partitionBy($"band", $"bkey")
       banded
+        .withColumn("n", count(lit(1)).over(byBucket))
+        .filter($"n" > 1 && $"n" <= maxBucket)
         .groupBy($"band", $"bkey")
-        .agg(boundedPairs($"doc_id", $"fp").as("ds"))
-        .filter(size($"ds") > 1)
+        .agg(sort_array(collect_list(struct($"doc_id", $"fp"))).as("ds"))
         .select(explode(expr(
           """flatten(transform(sequence(1, size(ds) - 1),
             |  i -> transform(sequence(i + 1, size(ds)),
-            |    j -> struct(element_at(ds, i)._1 AS doc_a, element_at(ds, j)._1 AS doc_b,
-            |                bit_count(element_at(ds, i)._2 ^ element_at(ds, j)._2) AS hamming))))""".stripMargin))
+            |    j -> struct(element_at(ds, i).doc_id AS doc_a, element_at(ds, j).doc_id AS doc_b,
+            |                bit_count(element_at(ds, i).fp ^ element_at(ds, j).fp) AS hamming))))""".stripMargin))
           .as("p"))
         .select($"p.doc_a", $"p.doc_b", $"p.hamming".cast("long").as("hamming"))
         .filter($"hamming" <= simhashMaxHamming)
