@@ -120,6 +120,12 @@ object GraftFunctions {
     * bounded per-group top-5 as an array of (key, cnt) structs;
     * `bounded_collect(id)` gathers up to 1024 ids and returns empty past
     * the cap (see [[TopKAggregator]] / [[BoundedCollectAggregator]]).
+    *
+    * `topk_scored` precondition: keys must be DISTINCT within the group
+    * (feed it pre-aggregated (key, cnt) rows, as the catalog's
+    * `hot_items_topk_agg` does). The aggregator does not dedup — two rows
+    * with the same key are two independent candidates, so raw
+    * un-aggregated rows can surface the same key twice in the top-5.
     */
   def registerAggregators(spark: SparkSession): Unit = {
     spark.udf.register("topk_scored",

@@ -77,8 +77,15 @@ object Skew {
     val hashable = left.schema.fields
       .filterNot(f => hasMap(f.dataType))
       .map(f => col(f.name))
-    val saltCols = if (hashable.nonEmpty) hashable.toSeq else Seq(col(keyCol))
-    val saltedLeft = left.withColumn("__salt", saltOf(buckets, saltCols: _*))
+    // a left side with ONLY map-typed columns can't derive a row-content
+    // salt at all (hash() rejects MapType): salting on the key alone would
+    // put every hot-key row in one bucket — silently defeating the
+    // function — so refuse loudly instead
+    require(
+      hashable.nonEmpty,
+      "saltedJoin needs at least one non-map column on the left side to derive a row-content " +
+        "salt (hash() does not support MapType); project a hashable column first")
+    val saltedLeft = left.withColumn("__salt", saltOf(buckets, hashable.toSeq: _*))
     val explodedRight = right.withColumn("__salt", explode(sequence(lit(0), lit(buckets - 1))))
     saltedLeft
       .join(explodedRight,

@@ -151,14 +151,16 @@ object EventAnalytics {
   // GET + static-asset filter → 10min/5s hop-window count per url → top 3
   // per window. Reference: HotPages.java:50-88 (+ TopNHotPages).
   //
-  // Unlike every other catalog query this one reads the reference's own
-  // 10k-line apache.log fixture (there is no log-shaped table in the sf
-  // dirs), so the sfDir argument is unused and the DuckDB oracle reads the
-  // same file via read_csv — closing the one reference job whose
-  // end-to-end path (text parse included) was previously spec-only.
+  // Unlike every other catalog query this one reads a 10k-line apache.log
+  // fixture (there is no log-shaped table in the sf dirs), so the sfDir
+  // argument is unused and the DuckDB oracle reads the same file via
+  // read_csv — closing the one reference job whose end-to-end path (text
+  // parse included) was previously spec-only. The log is committed under
+  // the repo's fixtures/ dir (like media_assets.parquet) and resolved
+  // against the working directory, so the query runs on any checkout.
   // ---------------------------------------------------------------------
   private val apacheLogPath =
-    "/root/reference/UserBehaviorAnalysis/NetworkFlowAnalysis/src/main/resources/apache.log"
+    java.nio.file.Paths.get("fixtures/apache.log").toAbsolutePath.toString
 
   val hotPages = Q(
     "hot_pages",

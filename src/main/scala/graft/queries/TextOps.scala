@@ -224,17 +224,18 @@ object TextOps {
     * then rank via `orderBy.limit(k)` — Catalyst compiles that to
     * `TakeOrderedAndProject`, a per-partition partial top-k merged on the
     * driver. A raw web corpus's vocabulary is billions of distinct tokens,
-    * so an unpartitioned `Window.orderBy` rank (the obvious formulation)
-    * would funnel every one of them through a single task; here only the k
-    * winners ever leave the executors (bounded by k, not by data), and rnk
-    * is derived from their position driver-side.
+    * so an unpartitioned `Window.orderBy` rank over the RAW counts (the
+    * obvious formulation) would funnel every one of them through a single
+    * task; here only the k winners ever leave the executors (bounded by
+    * k, not by data). The rnk window sits ABOVE the limit, so the
+    * single-task rank only ever sees ≤ k rows — and construction stays
+    * lazy (no eager collect: schema/explain/dump tooling can build this
+    * frame without executing the token aggregation).
     */
   private def topTokens(s: SparkSession, tokenRows: DataFrame): DataFrame = {
     import s.implicits._
-    val winners = rankedTokenAgg(s, tokenRows).collect() // ≤ 20 rows by construction
-    winners.toSeq.zipWithIndex
-      .map { case (r, i) => (r.getString(0), r.getLong(1), (i + 1).toLong) }
-      .toDF("token", "cnt", "rnk")
+    rankedTokenAgg(s, tokenRows)
+      .withColumn("rnk", row_number().over(Window.orderBy($"cnt".desc, $"token")).cast("long"))
   }
 
   /** The distributed half of [[topTokens]], exposed for plan-shape pinning
