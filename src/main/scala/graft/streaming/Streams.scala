@@ -115,14 +115,12 @@ object Streams {
     * state per (window) is one offset set — the in-engine replacement for
     * the external Redis bitmap (K6).
     *
-    * State cost is O(distinct offsets) per open window, NOT the fixed
-    * 64 MB bitmap it replaces: at the reference's stated 1e8-user scale
-    * the serialized set approaches 2^29 entries (~GBs per window). This
-    * variant exists for bit-exact fidelity with the reference's Bloom
-    * counts; the SCALE path for streaming UV is
-    * [[uniqueVisitorsApprox]] (HLL++, KBs of state per window at any
-    * cardinality), or a compressed-bitmap state (RoaringBitmap) if exact
-    * counts are required.
+    * State per open window is one COMPRESSED bitmap (the aggregate's
+    * RoaringBitmap buffer): KBs when sparse, and capped at ~64 MB even
+    * fully dense at 2^29 offsets — i.e. never worse than the Redis bitmap
+    * it replaces, and usually far smaller. [[uniqueVisitorsApprox]]
+    * (HLL++, constant KBs) remains the choice when approximate counts
+    * suffice at any cardinality.
     */
   def uvBloom(
       events: Dataset[UserBehavior],

@@ -74,6 +74,21 @@ class BloomUvSpec extends SparkSpec {
     assert(nOffsets === uv)
   }
 
+  test("bitmap buffer round-trips serialization and compresses dense runs") {
+    val agg = BloomUvAggregate(org.apache.spark.sql.catalyst.expressions.Literal(1))
+    val buf = agg.createAggregationBuffer()
+    // a dense run: RoaringBitmap run-encodes it to O(1), where the old
+    // boxed hash-set buffer serialized 8 bytes per offset (8 MB here)
+    (0 until 1000000).foreach(buf.add)
+    val bytes = agg.serialize(buf)
+    assert(bytes.length < 64 * 1024, s"expected run-compressed buffer, got ${bytes.length}B")
+    val back = agg.deserialize(bytes)
+    assert(back.getLongCardinality === 1000000L)
+    val other = agg.createAggregationBuffer()
+    other.add(999999); other.add(1000001)
+    assert(agg.merge(back, other).getLongCardinality === 1000001L)
+  }
+
   test("bloom_uv per-window grouping reproduces the reference's per-window bitmaps") {
     GraftFunctions.register(spark)
     val ub = Fixtures.userBehavior(
