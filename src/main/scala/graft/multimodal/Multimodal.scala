@@ -1,7 +1,6 @@
 package graft.multimodal
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column support for a training-data pipeline: image/audio/
@@ -99,9 +98,19 @@ object Multimodal {
     * boundaries in the thumbnail bins and clumps the video bins into one
     * tail partition.
     *
-    * Only a slim `(assetId, bytes)` projection flows through the
-    * single-task global window (~16 bytes/asset — fine up to hundreds of
-    * millions of assets); the bin-map join is left to the planner, which
+    * The prefix sum itself is DISTRIBUTED: the slim `(assetId, bytes)`
+    * projection is range-partitioned and sorted on assetId, each
+    * partition's byte sum is collected (one Long per partition), the
+    * driver turns those into exclusive per-partition start offsets, and a
+    * second per-partition pass assigns bins from its own start offset —
+    * no task ever sees more than its slice, so the binning holds at any
+    * asset count (the earlier formulation ran one global-order window
+    * task, documented fine only to ~10^8 assets). The sorted slim RDD is
+    * persisted between the two passes so the range shuffle+sort runs
+    * once (the sampled range boundaries are fixed inside the partitioner
+    * at construction, so a recompute would be identical — the persist is
+    * purely to avoid paying the sort twice).
+    * The bin-map join is left to the planner, which
     * broadcasts it while it is small and shuffle-joins at the scale where
     * a per-asset broadcast would break. `totalBytes` (from table stats or
     * a prior scan) sizes the partition count without an extra action.
@@ -117,14 +126,32 @@ object Multimodal {
     val spark = assets.sparkSession
     implicit val enc = Encoders.product[MediaAsset]
     val numBins = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
-    val w = Window.orderBy(col("assetId"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val bins = assets
+    // distributed exclusive prefix sum over assetId order: range-partition
+    // + sort, per-partition byte totals to the driver (one Long each),
+    // then per-partition bin assignment from the exclusive start offsets
+    val slim = assets
       .select(col("assetId"), length(col("content")).cast("long").as("bytes"))
-      .withColumn("cum", sum(col("bytes")).over(w))
-      .select(
-        col("assetId").as("binAssetId"),
-        ((col("cum") - col("bytes")) / targetBytes).cast("long").as("byteBin"))
+    val sorted = slim
+      .as[(Long, Long)](Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+      .rdd
+      .sortByKey()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val partSums = sorted
+      .mapPartitionsWithIndex((pid, it) => Iterator.single((pid, it.map(_._2).sum)))
+      .collect()
+      .sortBy(_._1)
+      .map(_._2)
+    val startOffsets = partSums.scanLeft(0L)(_ + _) // exclusive prefix per partition
+    val binsRdd = sorted.mapPartitionsWithIndex { (pid, it) =>
+      var cum = startOffsets(pid)
+      it.map { case (id, bytes) =>
+        val bin = cum / targetBytes
+        cum += bytes
+        (id, bin)
+      }
+    }
+    import spark.implicits._
+    val bins = binsRdd.toDF("binAssetId", "byteBin")
     // asset-side columns derived from the encoder schema, not hand-listed
     val assetCols = enc.schema.fieldNames.map(col)
     val keyed = assets
