@@ -1,0 +1,111 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Quantifies the ANN quality dial: recall@10 of the sign-LSH and IVF
+  * variants against the exact brute-force ranking, plus a planted-twin
+  * probe showing the bucketing mechanism retrieves true near-duplicates.
+  *
+  * The synthetic corpus is near-orthogonal random vectors (pairwise
+  * cosine ~ N(0, 1/64)), which is the ADVERSARIAL case for any
+  * bucket-restricted ANN — a random vector's nearest neighbors share no
+  * structure with it, so sign agreement across 8 hyperplanes is rare.
+  * The measured recalls below are therefore data-specific lower bounds;
+  * the planted-twin test shows the high-similarity regime the index is
+  * for (near-dup mining), where recall is 1.0. Numbers are recorded in
+  * SCALING.md.
+  */
+class VectorRecallSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private val k = 10
+
+  private lazy val emb: Map[Long, Array[Float]] =
+    graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      .toMap
+
+  /** Exact top-k by (floor(1e6*cosine) desc, cand_id asc) — the same
+    * integer ranking key the catalog queries use, so ties break
+    * identically.
+    */
+  private def bruteTopK(queryIds: Seq[Long]): Map[Long, Set[Long]] =
+    queryIds.map { q =>
+      val qv = emb(q)
+      val qn = math.sqrt(qv.map(x => x.toDouble * x).sum)
+      val top = emb.iterator
+        .filter(_._1 != q)
+        .map { case (id, v) =>
+          var dot = 0.0
+          var i = 0
+          while (i < v.length) { dot += qv(i).toDouble * v(i); i += 1 }
+          val cn = math.sqrt(v.map(x => x.toDouble * x).sum)
+          (id, math.floor(1e6 * (dot / (qn * cn))).toLong)
+        }
+        .toSeq
+        .sortBy { case (id, sim) => (-sim, id) }
+        .take(k)
+        .map(_._1)
+      q -> top.toSet
+    }.toMap
+
+  private def annTopK(name: String): Map[Long, Set[Long]] =
+    Catalog.queries(name)(spark, sf)
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("cand_id"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.map(_.getLong(1)).toSet }
+
+  private def recallAt10(got: Map[Long, Set[Long]], want: Map[Long, Set[Long]]): Double = {
+    val per = want.map { case (q, truth) =>
+      got.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    per.sum / per.size
+  }
+
+  test("recall@10 of v_ann_lsh and v_ivf_nprobe against exact brute force") {
+    // v_ann_lsh queries are vec_id < 5; IVF probes use vec_id in [16, 21)
+    val lshRecall = recallAt10(annTopK("v_ann_lsh"), bruteTopK(0L until 5L))
+    val ivfRecall = recallAt10(annTopK("v_ivf_nprobe"), bruteTopK(16L until 21L))
+    val ivf1Recall = recallAt10(annTopK("v_ivf_search"), bruteTopK(16L until 21L))
+    info(f"recall@10 sign-LSH(8 bits)=$lshRecall%.2f  IVF(nprobe=2)=$ivfRecall%.2f  IVF(nprobe=1)=$ivf1Recall%.2f")
+    // floors measured on this corpus (lsh=0.02, ivf2=0.36, ivf1=0.30 —
+    // see scaladoc: random vectors are the adversarial case; these pin
+    // the dial's current position, they are not quality targets. The
+    // planted-twin test below is the high-similarity quality gate.)
+    assert(lshRecall <= 1.0 && ivfRecall <= 1.0)
+    assert(ivfRecall >= ivf1Recall, "probing a second cell must not lose candidates")
+    assert(ivfRecall >= 0.2, "nprobe=2 should recover a fifth of true neighbors even on random data")
+  }
+
+  test("planted twins: scaled copies share the sign bucket and rank first") {
+    import spark.implicits._
+    // a scaled copy keeps every component's sign, hence the exact bucket,
+    // and has cosine 1.0 with its original — the near-dup regime the
+    // bucketed index exists for. Recall@1 over the planted set must be 1.
+    val tmp = java.nio.file.Files.createTempDirectory("planted").toString
+    val twins = (0L until 5L).map { i =>
+      (10000L + i, emb(i).map(_ * 1.05f).toSeq, 99)
+    }
+    val base = graft.sources.Tables.embeddings(spark, sf)
+    twins.toDF("vec_id", "embedding", "label")
+      .select(col("vec_id"), col("embedding").cast(base.schema("embedding").dataType), col("label"))
+      .unionByName(base)
+      .write.parquet(s"$tmp/embeddings.parquet")
+
+    val rank1 = Catalog.queries("v_ann_lsh")(spark, tmp)
+      .filter(col("rnk") === 1)
+      .select(col("query_id"), col("cand_id"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    (0L until 5L).foreach { i =>
+      assert(rank1.get(i) === Some(10000L + i), s"query $i should retrieve its planted twin first")
+    }
+  }
+}
