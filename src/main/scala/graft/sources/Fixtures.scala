@@ -120,6 +120,27 @@ object Fixtures {
 
   // ----- non-file sources (SURVEY §2.1 S2-S4) --------------------------
 
+  /** The exact reader options [[kafkaCsv]] wires — exposed so the spec can
+    * pin them even though this sandbox ships no Kafka connector jar or
+    * broker (KafkaWiringSpec asserts the wiring reaches DataSource
+    * resolution under the `kafka` format name and documents the missing
+    * connector as the only gap).
+    */
+  def kafkaOptions(bootstrap: String, topic: String): Map[String, String] = Map(
+    "kafka.bootstrap.servers" -> bootstrap,
+    "subscribe" -> topic,
+    "startingOffsets" -> "latest",
+  )
+
+  /** The parse half of [[kafkaCsv]]: a raw line stream (any transport that
+    * delivers a `value` column — Kafka after `CAST(value AS STRING)`, the
+    * socket source, a MemoryStream in tests) → typed rows via `from_csv`.
+    */
+  def csvLines(lines: DataFrame, schema: StructType): DataFrame =
+    lines
+      .select(from_csv(col("value").cast("string"), schema, Map.empty[String, String]).as("r"))
+      .select(col("r.*"))
+
   /** Kafka line source (HotItems.java:51-58): value bytes → CSV parse with
     * the given schema. Streaming entry — returns the parsed DataFrame; the
     * caller picks the sink/trigger.
@@ -130,14 +151,12 @@ object Fixtures {
       topic: String,
       schema: StructType,
   ): DataFrame =
-    s.readStream
-      .format("kafka")
-      .option("kafka.bootstrap.servers", bootstrap)
-      .option("subscribe", topic)
-      .option("startingOffsets", "latest")
-      .load()
-      .select(from_csv(col("value").cast("string"), schema, Map.empty[String, String]).as("r"))
-      .select(col("r.*"))
+    csvLines(
+      s.readStream
+        .format("kafka")
+        .options(kafkaOptions(bootstrap, topic))
+        .load(),
+      schema)
 
   /** Kafka producer data-loader (KafkaProducerUtil.java:27-47): write a
     * text file's lines to a topic in one batch.
