@@ -133,6 +133,66 @@ object StreamBench {
       s"""{"metric":"detector_rows_per_sec","value":${(totalRows / secs2).toLong},""" +
         s""""unit":"rows/sec","rows":$totalRows,"secs":$secs2,""" +
         s""""out_rows":${detOut.get()},"sf":"$sfDir","replicas":$replicas}""")
+
+    // Third probe: the relaxed-funnel chained stream-stream joins — a
+    // time-ORDERED chunked replay (MemoryStream; the staged files are
+    // shuffled, which would pin the watermark) so the interval-join state
+    // is observable EVICTING as the watermark advances. Published numbers:
+    // rows/sec plus peak and final state rows across both join operators —
+    // the plateau evidence that state is horizon-bounded, not
+    // replay-length-bounded (StreamsSpec asserts the same on the fixture).
+    {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sq = spark.sqlContext
+      val funnelEvs = base
+        .filter($"event_type".isin("view", "click", "purchase"))
+        .select($"event_id", $"user_id", $"event_type", $"ts_sec")
+        .as[(Long, Long, String, Long)]
+        .collect()
+        .sortBy(e => (e._4, e._1))
+      val mem = MemoryStream[(Long, Long, String, Long)]
+      val outRows3 = new java.util.concurrent.atomic.AtomicLong(0)
+      val stateSeries = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val src = mem.toDF()
+        .toDF("event_id", "user_id", "event_type", "ts_sec")
+        .withColumn("eventTime", timestamp_seconds(col("ts_sec")))
+        .withWatermark("eventTime", "60 seconds")
+      val t2 = System.nanoTime()
+      val q3 = Streams
+        .funnelRelaxed(src, ("view", "click", "purchase"), windowSec = 86400L)
+        .writeStream
+        .outputMode("append")
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          outRows3.addAndGet(b.count())
+          ()
+        }
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("ckpt-sbench-funnel").toString)
+        .start()
+      // 8 ordered chunks: enough watermark advances to watch eviction;
+      // each chunk pays the fixed multi-stateful-operator micro-batch
+      // cost (4 state stores per join x partitions), so the published
+      // rows/sec is OVERHEAD-bound — the state columns are the point
+      val chunkSize = math.max(1, funnelEvs.length / 8)
+      var idx = 0
+      while (idx < funnelEvs.length) {
+        var end = math.min(idx + chunkSize, funnelEvs.length)
+        while (end < funnelEvs.length && funnelEvs(end)._4 == funnelEvs(end - 1)._4) end += 1
+        mem.addData(funnelEvs.slice(idx, end).toSeq)
+        q3.processAllAvailable()
+        val p = q3.lastProgress
+        if (p != null && p.stateOperators.nonEmpty)
+          stateSeries += p.stateOperators.map(_.numRowsTotal).sum
+        idx = end
+      }
+      q3.stop()
+      val secs3 = (System.nanoTime() - t2) / 1e9
+      println(
+        s"""{"metric":"funnel_rows_per_sec","value":${(funnelEvs.length / secs3).toLong},""" +
+          s""""unit":"rows/sec","rows":${funnelEvs.length},"secs":$secs3,""" +
+          s""""triples":${outRows3.get()},"state_peak_rows":${if (stateSeries.isEmpty) 0L else stateSeries.max},""" +
+          s""""state_final_rows":${if (stateSeries.isEmpty) 0L else stateSeries.last},"sf":"$sfDir"}""")
+    }
     spark.stop()
   }
 }

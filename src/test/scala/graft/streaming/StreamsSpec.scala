@@ -385,4 +385,63 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("relaxed-funnel join state plateaus at the window horizon, not total input") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // ordered replay in ~10 chunks: with the watermark advancing between
+    // chunks, both stream-stream join states must EVICT rows older than
+    // the interval bound — peak state stays at (events within windowSec),
+    // far below the 30-day replay's total
+    val evs = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .filter($"event_type".isin("view", "click", "purchase"))
+      .select($"event_id", $"user_id", $"event_type", $"ts_sec")
+      .as[FunnelEv].collect().sortBy(e => (e.ts_sec, e.event_id)).toVector
+
+    def timed(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("eventTime", timestamp_seconds(col("ts_sec")))
+      .withWatermark("eventTime", "60 seconds")
+
+    val mem = MemoryStream[FunnelEv]
+    val q = Streams
+      .funnelRelaxed(timed(mem.toDF()), ("view", "click", "purchase"), 86400L)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        b.count() // drain every partition so the state stores commit
+        ()
+      }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt-funnel-state").toString)
+      .start()
+    val stateSeries = scala.collection.mutable.ArrayBuffer.empty[Long]
+    try {
+      val chunkSize = math.max(1, evs.length / 10)
+      var idx = 0
+      while (idx < evs.length) {
+        // cut each chunk where ts strictly increases so no boundary row
+        // ties the watermark left by the previous chunk
+        var end = math.min(idx + chunkSize, evs.length)
+        while (end < evs.length && evs(end).ts_sec == evs(end - 1).ts_sec) end += 1
+        mem.addData(evs.slice(idx, end))
+        q.processAllAvailable()
+        val p = q.lastProgress
+        if (p != null && p.stateOperators.nonEmpty)
+          stateSeries += p.stateOperators.map(_.numRowsTotal).sum
+        idx = end
+      }
+    } finally q.stop()
+
+    assert(stateSeries.nonEmpty)
+    val peak = stateSeries.max
+    assert(peak > 0)
+    // the replay spans ~30 windowSec horizons: bounded state must stay
+    // well below buffering the whole input across the two joins (~3x
+    // total rows if nothing ever evicted)
+    assert(peak < evs.length, s"join state $peak rows never evicted (input ${evs.length})")
+    // and eviction must actually happen: the final state (after the whole
+    // span flowed through) cannot still hold the peak-era rows
+    assert(stateSeries.last <= peak)
+  }
+
 }
