@@ -3,13 +3,25 @@ package graft.operators
 import org.apache.spark.sql.{Dataset, Encoder, Encoders}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
-/** Generic strict-contiguity sequence CEP — the Flink CEP
-  * `begin.next.….next.within(window)` pattern family (SURVEY §2.8 J3) for
-  * ARBITRARY pattern length. The reference only ever needs length 2
-  * (`fail next fail within 2s`, LoginFailWithCep.java:52-69), which
-  * [[LoginFailDetector]] hard-codes as its eager NFA; this operator serves
-  * any k-step strict pattern so a CEP user isn't limited to the two wired
-  * jobs.
+/** Generic sequence CEP — the engine-shaped pattern API covering the
+  * three Flink CEP families the reference hard-codes per job:
+  *
+  *   - STRICT contiguity, `begin.next.….next.within(w)`
+  *     ([[strictBatch]]/[[strictStreaming]]; LoginFailWithCep.java:52-69
+  *     is the k=2 case, generalized to arbitrary k);
+  *   - RELAXED contiguity with a timeout side channel,
+  *     `begin.followedBy.….within(w)` + OutputTag
+  *     ([[followedByBatch]]/[[followedByStreaming]];
+  *     OrderPayTimeOut.java:56-70 is the k=2 case — CepSpec proves
+  *     channel parity with [[OrderPayDetector]] on its expressible
+  *     subset);
+  *   - relaxed ALL-MATCHES counting, when the contract is completion
+  *     counts rather than match lists ([[graft.operators.Funnel]] — the
+  *     within-key-scalable form).
+  *
+  * The dedicated detectors remain the reference-faithful jobs (extra
+  * outcomes like pay-without-create); these operators are the reusable
+  * surface a CEP user programs against.
   *
   * Semantics: a match is k CONSECUTIVE events of one key (strict
   * contiguity — an intervening event of the same key breaks the run) in
@@ -32,6 +44,17 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object Cep {
 
   final case class SeqMatch(key: Long, firstTs: Long, lastTs: Long)
+
+  /** A completed or timed-out relaxed match: `matched` = steps satisfied
+    * (k for Main-channel completions, < k for Timeout-channel partials).
+    */
+  final case class FollowedMatch(key: Long, firstTs: Long, lastTs: Long, matched: Int)
+
+  /** One in-flight relaxed partial match. */
+  final case class Run(firstTs: Long, lastTs: Long, matched: Int)
+
+  /** Serializable streaming state: the active runs of one key. */
+  final case class FollowedState(runs: Seq[Run])
 
   private def slideMatches[E](
       kid: Long,
@@ -63,6 +86,135 @@ object Cep {
       .groupByKey(key)(Encoders.scalaLong)
       .flatMapGroups { (kid, it) =>
         slideMatches(kid, it.toSeq.sortBy(e => (ts(e), tieBreak(e))), ts, steps, windowSec)
+      }
+  }
+
+  // ------------------------------------------------------------------
+  // Relaxed contiguity (`begin.followedBy.….followedBy.within(window)`)
+  // with a timeout side channel — the Flink CEP family OrderPayTimeOut
+  // .java:56-70 uses (create followedBy pay within 15min, timed-out
+  // partials to an OutputTag). Semantics, per key in (ts, tieBreak)
+  // order:
+  //   - every event matching steps(0) OPENS a run;
+  //   - a run at step i advances on the earliest later event satisfying
+  //     steps(i) (intervening non-matching events are skipped — relaxed
+  //     contiguity); runs may share events but do not branch per event
+  //     (greedy-first, the deterministic subset of Flink's all-matches
+  //     expansion — the all-matches COUNT is [[graft.operators.Funnel]]);
+  //   - completion requires last.ts - first.ts < windowSec STRICTLY
+  //     (the deadline-timer view: an event AT first+window has already
+  //     missed the deadline — matches OrderPayDetector's timer);
+  //   - a run whose deadline passes (per-key event time, then the real
+  //     watermark in streaming, then end-of-input in batch) emits its
+  //     partial on the Timeout channel.
+  // The dedicated detectors remain the reference-faithful jobs (the
+  // order detector adds the pay-without-create outcomes CEP cannot see);
+  // CepSpec proves channel-level parity on the expressible subset.
+  // ------------------------------------------------------------------
+
+  /** Shared per-key fold: expire (timer-first, strict <), advance, open. */
+  private def foldFollowed[E](
+      kid: Long,
+      runs0: Vector[Run],
+      sorted: Seq[E],
+      ts: E => Long,
+      steps: Seq[E => Boolean],
+      windowSec: Long,
+  ): (Vector[Run], Vector[Out[FollowedMatch]]) = {
+    val k = steps.length
+    val out = Vector.newBuilder[Out[FollowedMatch]]
+    var runs = runs0
+    sorted.foreach { e =>
+      val t = ts(e)
+      // 1. fire deadline timers strictly below this event's time
+      val (dead, alive) = runs.partition(r => r.firstTs + windowSec < t)
+      dead.foreach(r => out += Out(Out.Timeout, FollowedMatch(kid, r.firstTs, r.lastTs, r.matched)))
+      runs = alive
+      // 2. advance every run whose next step this event satisfies
+      runs = runs.flatMap { r =>
+        if (steps(r.matched)(e) && t - r.firstTs < windowSec) {
+          if (r.matched + 1 == k) {
+            out += Out(Out.Main, FollowedMatch(kid, r.firstTs, t, k))
+            None
+          } else Some(Run(r.firstTs, t, r.matched + 1))
+        } else Some(r)
+      }
+      // 3. open a new run (after advancing — an event never advances the
+      // run it opens: advancement requires a strictly later event)
+      if (steps(0)(e)) {
+        if (k == 1) out += Out(Out.Main, FollowedMatch(kid, t, t, 1))
+        else runs :+= Run(t, t, 1)
+      }
+    }
+    (runs, out.result())
+  }
+
+  /** Batch: end of input is watermark → ∞, so every surviving partial
+    * times out.
+    */
+  def followedByBatch[E](
+      events: Dataset[E],
+      key: E => Long,
+      ts: E => Long,
+      tieBreak: E => Long,
+      steps: Seq[E => Boolean],
+      windowSec: Long,
+  ): Dataset[Out[FollowedMatch]] = {
+    require(steps.nonEmpty, "pattern needs at least one step")
+    implicit val enc = Encoders.product[Out[FollowedMatch]]
+    events
+      .groupByKey(key)(Encoders.scalaLong)
+      .flatMapGroups { (kid, it) =>
+        val (runs, out) = foldFollowed(
+          kid, Vector.empty, it.toSeq.sortBy(e => (ts(e), tieBreak(e))), ts, steps, windowSec)
+        (out ++ runs.map(r =>
+          Out(Out.Timeout, FollowedMatch(kid, r.firstTs, r.lastTs, r.matched)))).iterator
+      }
+  }
+
+  /** Streaming: active runs per key, watermark-expired via
+    * EventTimeTimeout at the earliest run's deadline. State is
+    * windowSec-bounded: every run is at most windowSec old before it
+    * times out. Same cross-batch ordering caveat as [[strictStreaming]].
+    */
+  def followedByStreaming[E](
+      events: Dataset[E],
+      key: E => Long,
+      ts: E => Long,
+      tieBreak: E => Long,
+      steps: Seq[E => Boolean],
+      windowSec: Long,
+  ): Dataset[Out[FollowedMatch]] = {
+    require(steps.nonEmpty, "pattern needs at least one step")
+    implicit val outEnc = Encoders.product[Out[FollowedMatch]]
+    implicit val stEnc = Encoders.product[FollowedState]
+    events
+      .groupByKey(key)(Encoders.scalaLong)
+      .flatMapGroupsWithState[FollowedState, Out[FollowedMatch]](
+        OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) { (kid, it, state: GroupState[FollowedState]) =>
+        val wmSec = state.getCurrentWatermarkMs() / 1000L
+        val prev = state.getOption.map(_.runs.toVector).getOrElse(Vector.empty)
+        // watermark expiry (both on timeout and on data): a run whose
+        // deadline is at/under the watermark can never complete — any
+        // future event has ts > wm >= firstTs + windowSec
+        def expire(runs: Vector[Run]): (Vector[Run], Vector[Out[FollowedMatch]]) = {
+          val (dead, alive) = runs.partition(r => r.firstTs + windowSec <= wmSec)
+          (alive, dead.map(r =>
+            Out(Out.Timeout, FollowedMatch(kid, r.firstTs, r.lastTs, r.matched))))
+        }
+        val (runs1, timedOut) = expire(prev)
+        val (runs2, emitted) =
+          if (state.hasTimedOut) (runs1, Vector.empty[Out[FollowedMatch]])
+          else foldFollowed(
+            kid, runs1, it.toSeq.sortBy(e => (ts(e), tieBreak(e))), ts, steps, windowSec)
+        if (runs2.isEmpty) state.remove()
+        else {
+          state.update(FollowedState(runs2))
+          val nextDeadline = runs2.map(r => (r.firstTs + windowSec) * 1000L).min
+          state.setTimeoutTimestamp(math.max(nextDeadline, state.getCurrentWatermarkMs() + 1))
+        }
+        (timedOut ++ emitted).iterator
       }
   }
 

@@ -101,4 +101,117 @@ class CepSpec extends SparkSpec {
       assert(streamed === batch)
     } finally query.stop()
   }
+
+  // ---- relaxed contiguity (followedBy) + timeout side channel ----
+
+  private lazy val orders =
+    graft.sources.Fixtures.orders(spark, s"$refBase/OrderPayDetect/src/main/resources/OrderLog.csv")
+
+  private val orderTie = (e: graft.model.OrderEvent) => if (e.eventType == "create") 0L else 1L
+  private val createThenPay = Seq(
+    (e: graft.model.OrderEvent) => e.eventType == "create",
+    (e: graft.model.OrderEvent) => e.eventType == "pay")
+
+  test("followedBy reproduces the order-pay channels (parity with the dedicated detector)") {
+    val generic = Cep
+      .followedByBatch[graft.model.OrderEvent](
+        orders, _.orderId, _.timestamp, orderTie, createThenPay, windowSec = 900)
+      .collect()
+    val mainKeys = generic.filter(_.channel == Out.Main).map(_.value.key).toSet
+    val timeoutKeys = generic.filter(_.channel == Out.Timeout).map(_.value.key).toSet
+
+    val det = OrderPayDetector.batch(orders, timeoutSec = 900).collect()
+    val success = det
+      .filter(o => o.channel == Out.Main && o.value.resultState == OrderPayDetector.Success)
+      .map(_.value.orderId).toSet
+    // the CEP view can't see pay-without-create (no run ever opens) —
+    // that outcome is the dedicated detector's value-add; everything the
+    // reference's CEP job (OrderPayTimeOut.java) distinguishes must agree
+    val detTimeout = det
+      .filter(o => o.channel == Out.Timeout &&
+        o.value.resultState != OrderPayDetector.PayedNoCreate)
+      .map(_.value.orderId).toSet
+
+    assert(mainKeys === success)
+    assert(timeoutKeys === detTimeout)
+    assert(mainKeys.nonEmpty && timeoutKeys.nonEmpty)
+    // completed matches carry the full step count, partials fewer
+    assert(generic.filter(_.channel == Out.Main).forall(_.value.matched == 2))
+    assert(generic.filter(_.channel == Out.Timeout).forall(_.value.matched < 2))
+  }
+
+  test("followedBy 3-step: relaxed runs skip intervening events and time out with partials") {
+    import spark.implicits._
+    type Ev = (Long, Long, String, Long) // id, key, type, ts
+    val evs: Seq[Ev] = Seq(
+      // key 1: a(10) noise b(20) noise c(30) -> Main despite intervening events
+      (1L, 1L, "a", 10L), (2L, 1L, "x", 15L), (3L, 1L, "b", 20L),
+      (4L, 1L, "x", 25L), (5L, 1L, "c", 30L),
+      // key 2: a(10) b(20), c arrives at 10+100 (deadline) -> Timeout(2)
+      (6L, 2L, "a", 10L), (7L, 2L, "b", 20L), (8L, 2L, "c", 110L),
+      // key 3: a(10) only -> Timeout(1) at end of input
+      (9L, 3L, "a", 10L),
+    )
+    val steps = Seq("a", "b", "c").map(t => (e: Ev) => e._3 == t)
+    val got = Cep
+      .followedByBatch[Ev](
+        spark.createDataset[(Long, Long, String, Long)](evs.toIndexedSeq), _._2, _._4, _._1,
+        steps, 100L)
+      .collect()
+      .map(o => (o.value.key, o.channel, o.value.matched, o.value.firstTs, o.value.lastTs))
+      .toSet
+    assert(got === Set(
+      (1L, Out.Main, 3, 10L, 30L),
+      (2L, Out.Timeout, 2, 10L, 20L),
+      (3L, Out.Timeout, 1, 10L, 10L)))
+  }
+
+  test("streaming followedBy matches batch across micro-batches (incl. timeout channel)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+
+    val all = orders.collect().sortBy(e => (e.timestamp, orderTie(e)))
+    var cut = all.length / 2
+    while (cut < all.length && all(cut - 1).timestamp >= all(cut).timestamp) cut += 1
+    val (h1, h2) = all.splitAt(cut)
+
+    val mem = MemoryStream[graft.model.OrderEvent]
+    val withTime = mem.toDS()
+      .withColumn("eventTime", timestamp_seconds(col("timestamp")))
+      .withWatermark("eventTime", "0 seconds")
+      .as[graft.model.OrderEvent]
+    val query = Cep
+      .followedByStreaming[graft.model.OrderEvent](
+        withTime, _.orderId, _.timestamp, orderTie, createThenPay, windowSec = 900)
+      .writeStream
+      .format("memory")
+      .queryName("cep_followed")
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt-cep-fb").toString)
+      .start()
+    try {
+      mem.addData(h1.toSeq)
+      query.processAllAvailable()
+      mem.addData(h2.toSeq)
+      query.processAllAvailable()
+      // push the watermark past every open deadline so streaming emits the
+      // same end-of-input timeouts the batch fold emits
+      mem.addData(Seq(graft.model.OrderEvent(-1L, "noop", "", all.last.timestamp + 10000L)))
+      query.processAllAvailable()
+      mem.addData(Seq.empty[graft.model.OrderEvent])
+      query.processAllAvailable()
+
+      val streamed = spark.table("cep_followed").as[Out[Cep.FollowedMatch]].collect()
+        .map(o => (o.channel, o.value)).toSet
+      val batch = Cep
+        .followedByBatch[graft.model.OrderEvent](
+          orders, _.orderId, _.timestamp, orderTie, createThenPay, windowSec = 900)
+        .collect()
+        .map(o => (o.channel, o.value)).toSet
+      assert(streamed === batch)
+      assert(streamed.exists(_._1 == Out.Timeout) && streamed.exists(_._1 == Out.Main))
+    } finally query.stop()
+  }
 }
