@@ -2,7 +2,8 @@ import org.apache.spark.sql.execution.ExplainMode
 val spark2 = graft.GraftSession.local("plans", "32")
 val d = "/root/testdata/sf0.001"
 val names = Seq("q1_pricing_summary", "q3_shipping_priority", "hot_items_topn",
-  "hot_items_topk_agg", "t_minhash_lsh", "t_clean_corpus", "v_knn_brute", "v_ivf_search")
+  "hot_items_topk_agg", "t_minhash_lsh", "t_clean_corpus", "v_knn_brute", "v_ivf_search",
+  "e_funnel_relaxed")
 val sb = new StringBuilder
 sb.append("# PLANS - formatted physical plans of the headline queries\n\n")
 sb.append("Generated from the live Catalyst output at sf0.001 (plan shape is\n")
