@@ -278,6 +278,59 @@ object EventAnalytics {
   )
 
   // ---------------------------------------------------------------------
+  // View→click conversion with abandonment side channel — the generic
+  // relaxed-contiguity CEP operator (Cep.followedByBatch, the Flink
+  // `begin.followedBy.within` + timeout-OutputTag family J4) as a
+  // driver-gated query. Greedy-first run semantics make k=2 exactly
+  // SQL-expressible: each view completes on the EARLIEST strictly-later
+  // click of the same user within the hour (strict <, the deadline-timer
+  // view), else it times out as an abandonment. 100 TB shape: one
+  // shuffle on user_id, per-key ordered fold, state = open runs within
+  // one window — the oracle's view×click join is DuckDB-only.
+  // ---------------------------------------------------------------------
+  private val v2cWindowSec = 3600L
+
+  val viewToClick = Q(
+    "e_view_to_click",
+    (s, d) => {
+      import s.implicits._
+      val evs = Tables.events(s, d)
+        .filter($"event_type".isin("view", "click"))
+        .select($"event_id", $"user_id", $"event_type", $"ts_sec")
+        .as[(Long, Long, String, Long)]
+      val steps = Seq("view", "click")
+        .map(t => (e: (Long, Long, String, Long)) => e._3 == t)
+      graft.operators.Cep
+        .followedByBatch[(Long, Long, String, Long)](evs, _._2, _._4, _._1, steps, v2cWindowSec)
+        .toDF()
+        .select(
+          $"channel",
+          $"value.key".as("user_id"),
+          $"value.firstTs".as("first_sec"),
+          $"value.lastTs".as("last_sec"),
+          $"value.matched".cast("long").as("matched"))
+    },
+    Some(s"""
+      $oracleBase,
+      v AS (SELECT user_id, sec AS vs, event_id AS vid FROM base WHERE event_type = 'view'),
+      c AS (SELECT user_id, sec AS cs, event_id AS cid FROM base WHERE event_type = 'click'),
+      fc AS (
+        SELECT v.user_id, v.vs, v.vid,
+               MIN(c.cs * 100000000 + c.cid) AS k
+        FROM v LEFT JOIN c ON c.user_id = v.user_id
+          AND (c.cs > v.vs OR (c.cs = v.vs AND c.cid > v.vid))
+        GROUP BY 1, 2, 3)
+      SELECT 'main' AS channel, user_id, vs AS first_sec, k // 100000000 AS last_sec,
+             CAST(2 AS BIGINT) AS matched
+      FROM fc WHERE k IS NOT NULL AND k // 100000000 - vs < $v2cWindowSec
+      UNION ALL
+      SELECT 'timeout' AS channel, user_id, vs AS first_sec, vs AS last_sec,
+             CAST(1 AS BIGINT) AS matched
+      FROM fc WHERE k IS NULL OR k // 100000000 - vs >= $v2cWindowSec
+    """.stripMargin.trim),
+  )
+
+  // ---------------------------------------------------------------------
   // Page views: tumbling-window count of 'view' events.
   // Reference: PageView.java:59-70 (behavior='pv', 1h tumbling count).
   // ---------------------------------------------------------------------
@@ -676,6 +729,7 @@ object EventAnalytics {
     hotPages,
     funnelStrict,
     funnelRelaxed,
+    viewToClick,
     pageViews,
     uniqueVisitors,
     uvApprox,
