@@ -88,6 +88,14 @@ object Funnel {
     * event, the step-3 count is taken before the event registers as
     * step-2/step-1, matching the strict `<` ordering of the join form
     * (an event never pairs with itself).
+    *
+    * Shuffle shape: SECONDARY SORT — repartition on the key, sort within
+    * partitions by (key, ts, tieBreak), then one streaming pass with
+    * key-boundary detection. Unlike a `flatMapGroups` + in-group sort,
+    * no task ever materializes a key's full event list: the sort is
+    * Spark's spillable external sorter, and per-key memory is the
+    * step-1/step-2 arrays alone — a 10^8-event bot key costs two long
+    * arrays, not 10^8 buffered objects.
     */
   def countTriplesBatch[E](
       events: Dataset[E],
@@ -99,17 +107,27 @@ object Funnel {
       isLast: E => Boolean,
       windowSec: Long,
   ): Dataset[KeyCount] = {
-    implicit val enc = Encoders.product[KeyCount]
+    implicit val outEnc = Encoders.product[KeyCount]
+    implicit val rowEnc = org.apache.spark.sql.catalyst.encoders
+      .ExpressionEncoder[(Long, Long, Long, Boolean, Boolean, Boolean)]()
+    import org.apache.spark.sql.functions.col
     events
-      .groupByKey(key)(Encoders.scalaLong)
-      .flatMapGroups { (kid, it) =>
-        val c = new TripleCounter(windowSec)
-        it.toSeq.sortBy(e => (ts(e), tieBreak(e))).foreach { e =>
-          if (isLast(e)) c.onLast(ts(e))
-          if (isMid(e)) c.onMid()
-          if (isFirst(e)) c.onFirst(ts(e))
+      .map(e => (key(e), ts(e), tieBreak(e), isFirst(e), isMid(e), isLast(e)))
+      .repartition(col("_1"))
+      .sortWithinPartitions(col("_1"), col("_2"), col("_3"))
+      .mapPartitions { it =>
+        val res = scala.collection.mutable.ArrayBuffer.empty[KeyCount]
+        var cur = 0L
+        var c: TripleCounter = null
+        def flush(): Unit = if (c != null && c.total > 0) res += KeyCount(cur, c.total)
+        it.foreach { case (k, t, _, f, m, l) =>
+          if (c == null || k != cur) { flush(); cur = k; c = new TripleCounter(windowSec) }
+          if (l) c.onLast(t)
+          if (m) c.onMid()
+          if (f) c.onFirst(t)
         }
-        if (c.total > 0) Iterator.single(KeyCount(kid, c.total)) else Iterator.empty
+        flush()
+        res.iterator
       }
   }
 

@@ -91,12 +91,14 @@ class PlanSpec extends SparkSpec {
 
   test("e_funnel_relaxed: counting scan — no join of any kind in the plan") {
     // followedBy-all-matches as a per-user counting scan
-    // (Funnel.countTriplesBatch): one shuffle on user_id feeding
-    // flatMapGroups, never the triple-enumerating join pair whose
-    // within-key output is cubic in hot-user activity
+    // (Funnel.countTriplesBatch): one repartition on user_id + in-partition
+    // sort feeding a streaming mapPartitions boundary scan, never the
+    // triple-enumerating join pair whose within-key output is cubic in
+    // hot-user activity (and never a per-group buffer either)
     val s = formatted("e_funnel_relaxed")
     assert(!s.toLowerCase.contains("join"), s)
-    assert(s.contains("MapGroups"), s)
+    assert(s.contains("MapPartitions"), s)
+    assert(s.contains("Sort"), s)
   }
 
   test("t_minhash_lsh: band join is an equi-join, never a cartesian product") {
