@@ -71,7 +71,40 @@ object Cep {
     }
   }
 
-  /** Batch: per-key time-ordered scan of every k-window. */
+  /** Secondary-sort staging shared by the batch scans: one slim
+    * (key, ts, tieBreak, stepMask) row per event — mask bit i set when
+    * `steps(i)` matches — repartitioned on the key and sorted within
+    * partitions. Predicates evaluate ONCE per event here; the downstream
+    * scan is a pure streaming pass with key-boundary detection, so no
+    * task ever materializes a key's event list (the sort itself is
+    * Spark's spillable external sorter).
+    */
+  private def maskedSorted[E](
+      events: Dataset[E],
+      key: E => Long,
+      ts: E => Long,
+      tieBreak: E => Long,
+      steps: Seq[E => Boolean],
+  ): Dataset[(Long, Long, Long, Long)] = {
+    require(steps.nonEmpty, "pattern needs at least one step")
+    require(steps.length <= 63, "pattern mask is a Long: at most 63 steps")
+    implicit val enc = org.apache.spark.sql.catalyst.encoders
+      .ExpressionEncoder[(Long, Long, Long, Long)]()
+    import org.apache.spark.sql.functions.col
+    events
+      .map { e =>
+        var m = 0L
+        var i = 0
+        while (i < steps.length) { if (steps(i)(e)) m |= (1L << i); i += 1 }
+        (key(e), ts(e), tieBreak(e), m)
+      }
+      .repartition(col("_1"))
+      .sortWithinPartitions(col("_1"), col("_2"), col("_3"))
+  }
+
+  /** Batch: per-key time-ordered scan of every k-window (secondary sort;
+    * per-key memory is the k-event ring buffer alone).
+    */
   def strictBatch[E](
       events: Dataset[E],
       key: E => Long,
@@ -80,13 +113,25 @@ object Cep {
       steps: Seq[E => Boolean],
       windowSec: Long,
   ): Dataset[SeqMatch] = {
-    require(steps.nonEmpty, "pattern needs at least one step")
     implicit val enc = Encoders.product[SeqMatch]
-    events
-      .groupByKey(key)(Encoders.scalaLong)
-      .flatMapGroups { (kid, it) =>
-        slideMatches(kid, it.toSeq.sortBy(e => (ts(e), tieBreak(e))), ts, steps, windowSec)
+    val k = steps.length
+    maskedSorted(events, key, ts, tieBreak, steps).mapPartitions { it =>
+      var cur = 0L
+      var started = false
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)] // (ts, mask)
+      it.flatMap { case (kkey, t, _, m) =>
+        if (!started || kkey != cur) { cur = kkey; started = true; buf.clear() }
+        buf += ((t, m))
+        if (buf.length > k) buf.remove(0)
+        val ok = buf.length == k && t - buf(0)._1 <= windowSec && {
+          var i = 0
+          var all = true
+          while (all && i < k) { all = (buf(i)._2 & (1L << i)) != 0; i += 1 }
+          all
+        }
+        if (ok) Iterator.single(SeqMatch(cur, buf(0)._1, t)) else Iterator.empty
       }
+    }
   }
 
   // ------------------------------------------------------------------
