@@ -30,8 +30,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * windowSec`. Every position is tested, so overlapping matches all emit
   * (Flink's default no-skip after-match strategy).
   *
-  * Scale: the batch path sorts only each key's own events inside
-  * `flatMapGroups` (shuffle keyed like Flink's keyBy); the streaming path
+  * Scale: both batch paths stage through [[maskedSorted]] — repartition
+  * on the key + spillable in-partition sort + a streaming boundary scan —
+  * so no task ever holds a key's event history (shuffle keyed like
+  * Flink's keyBy, memory bounded by the scan state); the streaming path
   * keeps the last k-1 events per key — O(k) state — TTL'd with an
   * event-time timeout `windowSec` past the newest buffered event, since
   * any later event completing a pattern with an older prefix would
@@ -157,27 +159,24 @@ object Cep {
   // CepSpec proves channel-level parity on the expressible subset.
   // ------------------------------------------------------------------
 
-  /** Shared per-key fold: expire (timer-first, strict <), advance, open. */
-  private def foldFollowed[E](
-      kid: Long,
-      runs0: Vector[Run],
-      sorted: Seq[E],
-      ts: E => Long,
-      steps: Seq[E => Boolean],
-      windowSec: Long,
-  ): (Vector[Run], Vector[Out[FollowedMatch]]) = {
-    val k = steps.length
-    val out = Vector.newBuilder[Out[FollowedMatch]]
-    var runs = runs0
-    sorted.foreach { e =>
-      val t = ts(e)
+  /** Shared relaxed-contiguity fold over (ts, stepMask) pairs of ONE key:
+    * expire (timer-first, strict <), advance, open. Mutable so the batch
+    * boundary scan streams events through it one at a time; heap = the
+    * open-runs vector alone, bounded by opens-within-window.
+    */
+  private final class FollowedScan(k: Int, windowSec: Long) {
+    var runs: Vector[Run] = Vector.empty
+    def reset(runs0: Vector[Run]): Unit = runs = runs0
+    /** One (ts, stepMask) event of the current key → emissions. */
+    def step(kid: Long, t: Long, m: Long): Vector[Out[FollowedMatch]] = {
+      val out = Vector.newBuilder[Out[FollowedMatch]]
       // 1. fire deadline timers strictly below this event's time
       val (dead, alive) = runs.partition(r => r.firstTs + windowSec < t)
       dead.foreach(r => out += Out(Out.Timeout, FollowedMatch(kid, r.firstTs, r.lastTs, r.matched)))
       runs = alive
       // 2. advance every run whose next step this event satisfies
       runs = runs.flatMap { r =>
-        if (steps(r.matched)(e) && t - r.firstTs < windowSec) {
+        if ((m & (1L << r.matched)) != 0 && t - r.firstTs < windowSec) {
           if (r.matched + 1 == k) {
             out += Out(Out.Main, FollowedMatch(kid, r.firstTs, t, k))
             None
@@ -186,16 +185,47 @@ object Cep {
       }
       // 3. open a new run (after advancing — an event never advances the
       // run it opens: advancement requires a strictly later event)
-      if (steps(0)(e)) {
+      if ((m & 1L) != 0) {
         if (k == 1) out += Out(Out.Main, FollowedMatch(kid, t, t, 1))
         else runs :+= Run(t, t, 1)
       }
+      out.result()
     }
-    (runs, out.result())
+    /** End of input (batch) — watermark → ∞: every partial times out. */
+    def flush(kid: Long): Vector[Out[FollowedMatch]] = {
+      val o = runs.map(r => Out(Out.Timeout, FollowedMatch(kid, r.firstTs, r.lastTs, r.matched)))
+      runs = Vector.empty
+      o
+    }
+  }
+
+  /** Per-key fold for the streaming path (micro-batch-bounded input). */
+  private def foldFollowed[E](
+      kid: Long,
+      runs0: Vector[Run],
+      sorted: Seq[E],
+      ts: E => Long,
+      steps: Seq[E => Boolean],
+      windowSec: Long,
+  ): (Vector[Run], Vector[Out[FollowedMatch]]) = {
+    val scan = new FollowedScan(steps.length, windowSec)
+    scan.reset(runs0)
+    val out = Vector.newBuilder[Out[FollowedMatch]]
+    sorted.foreach { e =>
+      var m = 0L
+      var i = 0
+      while (i < steps.length) { if (steps(i)(e)) m |= (1L << i); i += 1 }
+      out ++= scan.step(kid, ts(e), m)
+    }
+    (scan.runs, out.result())
   }
 
   /** Batch: end of input is watermark → ∞, so every surviving partial
-    * times out.
+    * times out. Same secondary-sort staging as [[strictBatch]]: the fold
+    * consumes (ts, stepMask) pairs off the spillable in-partition sort
+    * with key-boundary detection, so no task ever materializes a key's
+    * event history — per-key heap is the open-runs vector alone (a bot
+    * key with 10^8 events costs sort spill, not executor heap).
     */
   def followedByBatch[E](
       events: Dataset[E],
@@ -205,16 +235,19 @@ object Cep {
       steps: Seq[E => Boolean],
       windowSec: Long,
   ): Dataset[Out[FollowedMatch]] = {
-    require(steps.nonEmpty, "pattern needs at least one step")
     implicit val enc = Encoders.product[Out[FollowedMatch]]
-    events
-      .groupByKey(key)(Encoders.scalaLong)
-      .flatMapGroups { (kid, it) =>
-        val (runs, out) = foldFollowed(
-          kid, Vector.empty, it.toSeq.sortBy(e => (ts(e), tieBreak(e))), ts, steps, windowSec)
-        (out ++ runs.map(r =>
-          Out(Out.Timeout, FollowedMatch(kid, r.firstTs, r.lastTs, r.matched)))).iterator
-      }
+    val k = steps.length
+    maskedSorted(events, key, ts, tieBreak, steps).mapPartitions { it =>
+      var cur = 0L
+      var started = false
+      val scan = new FollowedScan(k, windowSec)
+      it.flatMap { case (kkey, t, _, m) =>
+        val boundary =
+          if (started && kkey != cur) scan.flush(cur) else Vector.empty[Out[FollowedMatch]]
+        if (!started || kkey != cur) { cur = kkey; started = true }
+        boundary ++ scan.step(cur, t, m)
+      } ++ (if (started) scan.flush(cur) else Vector.empty) // lazy: runs post-exhaustion
+    }
   }
 
   /** Streaming: active runs per key, watermark-expired via

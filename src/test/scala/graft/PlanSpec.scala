@@ -101,6 +101,19 @@ class PlanSpec extends SparkSpec {
     assert(s.contains("Sort"), s)
   }
 
+  test("e_view_to_click: secondary-sort scan — no join, no per-group buffering") {
+    // generic relaxed CEP (Cep.followedByBatch): same staging as the
+    // funnel — repartition on key + spillable in-partition sort feeding a
+    // streaming mapPartitions boundary scan. Never MapGroups (whose
+    // flatMapGroups would materialize a hot key's full history in one
+    // task's heap) and never a join.
+    val s = formatted("e_view_to_click")
+    assert(!s.toLowerCase.contains("join"), s)
+    assert(!s.contains("MapGroups"), s)
+    assert(s.contains("MapPartitions"), s)
+    assert(s.contains("Sort"), s)
+  }
+
   test("t_minhash_lsh: band join is an equi-join, never a cartesian product") {
     val s = formatted("t_minhash_lsh")
     assert(!s.contains("CartesianProduct"), s)
