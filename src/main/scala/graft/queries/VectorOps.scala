@@ -214,6 +214,120 @@ object VectorOps {
   )
 
   // ---------------------------------------------------------------------
+  // OR-amplified multi-table sign-LSH: L independent 8-bit tables, table l
+  // reading components l*8+1 .. l*8+8 (disjoint hyperplane sets — the
+  // axis-aligned family keeps the DuckDB oracle exact). A candidate
+  // qualifies when it shares the query's bucket in ANY table (OR
+  // amplification — the same band/bucket union the banded MinHash in
+  // TextOps.minhashLsh performs for Jaccard): per-table collision
+  // probability p compounds to 1-(1-p)^L, the standard recall repair for
+  // single-table sign-LSH. The query side additionally probes every
+  // Hamming-1 neighbor of its bucket (9 probes/table — multiprobe LSH,
+  // the bucketed analog of IVF's nprobe dial below): a true neighbor
+  // disagreeing on ONE hyperplane of a table is still caught by that
+  // table. Measured in VectorRecallSpec on the adversarial random corpus:
+  // 0.02 (single table) → 0.10 (L=8 union alone, = 1-(1-p)^L at the
+  // measured p≈0.02) → see SCALING.md with multiprobe. Probing is
+  // query-side only: candidate storage stays one slim triple per
+  // (vector, table).
+  //
+  // 100 TB shape: the big side flows as SLIM (vec_id, tbl, bucket) triples
+  // (posexplode of one per-row projection — embeddings are NOT replicated
+  // L times), candidates come from an equi-join on (tbl, bucket) against
+  // the broadcast query keys, and the deduped (query, cand) pair set —
+  // bounded by |queries| × L × bucket width — broadcasts back against the
+  // embedding table for scoring, so the full vectors are scanned once and
+  // never shuffled.
+  // ---------------------------------------------------------------------
+
+  private val nTables = dim / signBits // 8 disjoint 8-bit tables
+
+  /** Bucket of table `l`: sign bits of components l*8+1 .. l*8+8. Table 0
+    * is exactly [[bucketExpr]], so the multi-table candidate set is a
+    * superset of the single-table one (recall can only go up).
+    */
+  private def bucketExprAt(l: Int): Column = expr(
+    (1 to signBits)
+      .map(i =>
+        s"(CASE WHEN element_at(embedding, ${l * signBits + i}) >= 0 THEN 1 ELSE 0 END) * ${1 << (i - 1)}")
+      .mkString(" + "))
+
+  /** DuckDB mirror of [[bucketExprAt]] with the table index as a column. */
+  private def oBucketAt(tbl: String): String =
+    (1 to signBits)
+      .map(i => s"(CASE WHEN embedding[$tbl * $signBits + $i] >= 0 THEN 1 ELSE 0 END) * ${1 << (i - 1)}")
+      .mkString(" + ")
+
+  val annLshMulti = Q(
+    "v_ann_lsh_multi",
+    (s, d) => {
+      import s.implicits._
+      val base = vecs(s, d)
+      val buckets = array((0 until nTables).map(bucketExprAt): _*)
+      val slim = base.select($"vec_id", posexplode(buckets).as(Seq("tbl", "bucket")))
+      // Hamming-1 multiprobe: the query's own bucket (flip 0) plus each
+      // single-bit flip — xor keeps the probe an equi-join key
+      val probes = array((0 to signBits).map(b =>
+        lit(if (b == 0) 0 else 1 << (b - 1))): _*)
+      val qKeys = slim
+        .filter($"vec_id" < nQueries)
+        .select(
+          $"vec_id".as("query_id"),
+          $"tbl".as("q_tbl"),
+          explode(probes).as("flip"),
+          $"bucket")
+        .select($"query_id", $"q_tbl", $"bucket".bitwiseXOR($"flip").as("q_bucket"))
+      val pairs = slim
+        .join(
+          broadcast(qKeys),
+          $"tbl" === $"q_tbl" && $"bucket" === $"q_bucket" && $"vec_id" =!= $"query_id")
+        .select($"query_id", $"vec_id".as("cand_id"))
+        .distinct()
+      val qEmb = base
+        .filter($"vec_id" < nQueries)
+        .select($"vec_id".as("qid"), $"embedding".as("q_emb"))
+      val w = Window.partitionBy($"query_id").orderBy($"sim_micros".desc, $"cand_id")
+      base
+        .select($"vec_id", $"embedding".as("c_emb"))
+        .join(broadcast(pairs), $"vec_id" === $"cand_id")
+        .join(broadcast(qEmb), $"query_id" === $"qid")
+        .withColumn(
+          "sim_micros",
+          micros(dotd("q_emb", "c_emb") /
+            (sqrt(dotd("q_emb", "q_emb")) * sqrt(dotd("c_emb", "c_emb")))),
+        )
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter($"rnk" <= topK)
+        .select($"query_id", $"cand_id", $"sim_micros", $"rnk")
+    },
+    Some(s"""
+      WITH tabs AS (
+        SELECT e.vec_id, t.tbl, (${oBucketAt("t.tbl")}) AS bucket
+        FROM embeddings e
+        CROSS JOIN (SELECT unnest(generate_series(0, ${nTables - 1})) AS tbl) t),
+      q AS (
+        SELECT vec_id AS query_id, tbl, xor(bucket, f.flip) AS bucket
+        FROM tabs
+        CROSS JOIN (SELECT unnest([${(0 to signBits).map(b => if (b == 0) 0 else 1 << (b - 1)).mkString(", ")}]) AS flip) f
+        WHERE vec_id < $nQueries),
+      pairs AS (
+        SELECT DISTINCT q.query_id, c.vec_id AS cand_id
+        FROM q JOIN tabs c ON c.tbl = q.tbl AND c.bucket = q.bucket AND c.vec_id <> q.query_id),
+      scored AS (
+        SELECT p.query_id, p.cand_id,
+               CAST(FLOOR(1e6 * (${oDot("qe.embedding", "ce.embedding")} /
+                 (sqrt(${oDot("qe.embedding", "qe.embedding")}) * sqrt(${oDot("ce.embedding", "ce.embedding")}))))
+                 AS BIGINT) AS sim_micros
+        FROM pairs p
+        JOIN embeddings qe ON qe.vec_id = p.query_id
+        JOIN embeddings ce ON ce.vec_id = p.cand_id)
+      SELECT query_id, cand_id, sim_micros,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim_micros DESC, cand_id) AS rnk
+      FROM scored QUALIFY rnk <= $topK
+    """.stripMargin.trim),
+  )
+
+  // ---------------------------------------------------------------------
   // Embedding-cosine near-duplicates: pairs (a<b) in the same sign-bucket
   // with cosine ≥ 0.90. The bucket equi-join is the candidate bound; at
   // 100 TB the within-bucket quadratic term is controlled by the number of
@@ -522,6 +636,7 @@ object VectorOps {
     knnBrute,
     lshBuckets,
     annLsh,
+    annLshMulti,
     nearDupCosine,
     ivfAssign,
     ivfSearch,

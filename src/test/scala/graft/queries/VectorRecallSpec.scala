@@ -68,19 +68,31 @@ class VectorRecallSpec extends SparkSpec {
     per.sum / per.size
   }
 
-  test("recall@10 of v_ann_lsh and v_ivf_nprobe against exact brute force") {
+  test("recall@10 of v_ann_lsh, v_ann_lsh_multi and v_ivf_nprobe against exact brute force") {
     // v_ann_lsh queries are vec_id < 5; IVF probes use vec_id in [16, 21)
-    val lshRecall = recallAt10(annTopK("v_ann_lsh"), bruteTopK(0L until 5L))
+    val truth = bruteTopK(0L until 5L)
+    val lshRecall = recallAt10(annTopK("v_ann_lsh"), truth)
+    val lshMultiRecall = recallAt10(annTopK("v_ann_lsh_multi"), truth)
     val ivfRecall = recallAt10(annTopK("v_ivf_nprobe"), bruteTopK(16L until 21L))
     val ivf1Recall = recallAt10(annTopK("v_ivf_search"), bruteTopK(16L until 21L))
-    info(f"recall@10 sign-LSH(8 bits)=$lshRecall%.2f  IVF(nprobe=2)=$ivfRecall%.2f  IVF(nprobe=1)=$ivf1Recall%.2f")
-    // floors measured on this corpus (lsh=0.02, ivf2=0.36, ivf1=0.30 —
-    // see scaladoc: random vectors are the adversarial case; these pin
-    // the dial's current position, they are not quality targets. The
-    // planted-twin test below is the high-similarity quality gate.)
+    info(f"recall@10 sign-LSH(8 bits)=$lshRecall%.2f  multi-table(L=8)=$lshMultiRecall%.2f  IVF(nprobe=2)=$ivfRecall%.2f  IVF(nprobe=1)=$ivf1Recall%.2f")
+    // floors measured on this corpus (lsh=0.02, multi=see SCALING.md,
+    // ivf2=0.36, ivf1=0.30 — see scaladoc: random vectors are the
+    // adversarial case; these pin the dial's current position, they are
+    // not quality targets. The planted-twin test below is the
+    // high-similarity quality gate.)
     assert(lshRecall <= 1.0 && ivfRecall <= 1.0)
     assert(ivfRecall >= ivf1Recall, "probing a second cell must not lose candidates")
     assert(ivfRecall >= 0.2, "nprobe=2 should recover a fifth of true neighbors even on random data")
+    // OR-amplification: table 0 of the multi-table index IS the single
+    // table, so the candidate set is a superset — recall cannot drop...
+    assert(lshMultiRecall >= lshRecall, "L-table union must not lose table-0 candidates")
+    // ...and per-table collision probability p compounds to 1-(1-p)^L,
+    // with Hamming-1 multiprobe lifting per-table p from q^8 to
+    // q^7(q + 8(1-q)). Measured on this corpus: union alone 0.10
+    // (= 1-(1-0.02)^8 at the granularity of 50 query-neighbor pairs),
+    // union + multiprobe 0.54 — pinned with slack.
+    assert(lshMultiRecall >= 0.4, "L=8 tables + Hamming-1 multiprobe measured 0.54 here")
   }
 
   test("planted twins: scaled copies share the sign bucket and rank first") {
@@ -98,14 +110,19 @@ class VectorRecallSpec extends SparkSpec {
       .unionByName(base)
       .write.parquet(s"$tmp/embeddings.parquet")
 
-    val rank1 = Catalog.queries("v_ann_lsh")(spark, tmp)
-      .filter(col("rnk") === 1)
-      .select(col("query_id"), col("cand_id"))
-      .collect()
-      .map(r => r.getLong(0) -> r.getLong(1))
-      .toMap
-    (0L until 5L).foreach { i =>
-      assert(rank1.get(i) === Some(10000L + i), s"query $i should retrieve its planted twin first")
+    // a scaled copy agrees on EVERY component's sign, so it collides in
+    // all L tables of the multi-table index too — both variants must
+    // retrieve it at rank 1
+    Seq("v_ann_lsh", "v_ann_lsh_multi").foreach { name =>
+      val rank1 = Catalog.queries(name)(spark, tmp)
+        .filter(col("rnk") === 1)
+        .select(col("query_id"), col("cand_id"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getLong(1))
+        .toMap
+      (0L until 5L).foreach { i =>
+        assert(rank1.get(i) === Some(10000L + i), s"$name: query $i should retrieve its planted twin first")
+      }
     }
   }
 }
