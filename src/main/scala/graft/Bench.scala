@@ -24,7 +24,7 @@ object Bench {
     // `queries` plus an entry in `failed`, so a consumer summing the map
     // reconciles with `total` and can never mistake a marker for a timing.
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
-    val results: Seq[(String, Option[Double])] = names.map { name =>
+    val results: Seq[(String, Seq[Double])] = names.map { name =>
       val fn = SparkEntry.queries(name)
       // settle the heap between queries: in long full-catalog runs, garbage
       // from earlier queries otherwise lands as GC pauses inside later ones
@@ -37,15 +37,20 @@ object Bench {
           Some((System.nanoTime() - t0) / 1e9)
         } catch { case _: Throwable => None }
       }
-      name -> times.minOption
+      name -> times
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v.fold("null")(_.toString) }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v.minOption.fold("null")(_.toString) }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, None) => s"\"" + k + "\"" }
+    // every successful rep, so a reader can see the published number is
+    // min-of-n rather than a single (possibly GC-skewed) run
+    val allReps = results
+      .map { case (k, v) => s"\"" + k + "\":" + v.mkString("[", ",", "]") }
+      .mkString("{", ",", "}")
+    val failed = results.collect { case (k, v) if v.isEmpty => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.flatMap(_._2).sum
+    val total = results.flatMap(_._2.minOption).sum
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$allReps,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

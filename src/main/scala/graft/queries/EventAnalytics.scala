@@ -275,6 +275,7 @@ object EventAnalytics {
       WHERE v.event_type = 'view'
       GROUP BY v.user_id
     """.stripMargin.trim),
+    bench = true,
   )
 
   // ---------------------------------------------------------------------
@@ -328,6 +329,7 @@ object EventAnalytics {
              CAST(1 AS BIGINT) AS matched
       FROM fc WHERE k IS NULL OR k // 100000000 - vs >= $v2cWindowSec
     """.stripMargin.trim),
+    bench = true,
   )
 
   // ---------------------------------------------------------------------
