@@ -169,7 +169,15 @@ object Multimodal {
       override def getPartition(key: Any): Int =
         math.floorMod(key.asInstanceOf[Long], numBins.toLong).toInt
     }
-    spark.createDataset(keyed.rdd.partitionBy(byBin).map(_._2))
+    // EAGER under AQE: .rdd runs the upstream exchanges (including both
+    // passes over `sorted`) right here, so the cached sort blocks are
+    // consumed by the time it returns — unpersist rather than leak them
+    // for the session's lifetime. A post-unpersist recompute (executor
+    // loss) is deterministic: the range boundaries are fixed inside the
+    // partitioner at construction.
+    val keyedRdd = keyed.rdd
+    sorted.unpersist(blocking = false)
+    spark.createDataset(keyedRdd.partitionBy(byBin).map(_._2))
   }
 
   /** Decode pass: one codec per partition, iterator in / iterator out

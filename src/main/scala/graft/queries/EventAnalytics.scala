@@ -159,8 +159,12 @@ object EventAnalytics {
   // the repo's fixtures/ dir (like media_assets.parquet) and resolved
   // against the working directory, so the query runs on any checkout.
   // ---------------------------------------------------------------------
+  // resolved through Fixtures.fixturesDir so a JVM launched outside the
+  // repo root can point at the committed fixtures via -Dgraft.fixtures.dir
+  // or GRAFT_FIXTURES_DIR (both oracle SQL and the Spark read share this)
   private val apacheLogPath =
-    java.nio.file.Paths.get("fixtures/apache.log").toAbsolutePath.toString
+    java.nio.file.Paths.get(graft.sources.Fixtures.fixturesDir, "apache.log")
+      .toAbsolutePath.toString
 
   val hotPages = Q(
     "hot_pages",
@@ -316,18 +320,20 @@ object EventAnalytics {
       v AS (SELECT user_id, sec AS vs, event_id AS vid FROM base WHERE event_type = 'view'),
       c AS (SELECT user_id, sec AS cs, event_id AS cid FROM base WHERE event_type = 'click'),
       fc AS (
-        SELECT v.user_id, v.vs, v.vid,
-               MIN(c.cs * 100000000 + c.cid) AS k
-        FROM v LEFT JOIN c ON c.user_id = v.user_id
-          AND (c.cs > v.vs OR (c.cs = v.vs AND c.cid > v.vid))
-        GROUP BY 1, 2, 3)
-      SELECT 'main' AS channel, user_id, vs AS first_sec, k // 100000000 AS last_sec,
+        SELECT user_id, vs, cs FROM (
+          SELECT v.user_id, v.vs, c.cs,
+                 ROW_NUMBER() OVER (PARTITION BY v.user_id, v.vs, v.vid
+                                    ORDER BY c.cs, c.cid) AS rn
+          FROM v LEFT JOIN c ON c.user_id = v.user_id
+            AND (c.cs > v.vs OR (c.cs = v.vs AND c.cid > v.vid)))
+        WHERE rn = 1)
+      SELECT 'main' AS channel, user_id, vs AS first_sec, cs AS last_sec,
              CAST(2 AS BIGINT) AS matched
-      FROM fc WHERE k IS NOT NULL AND k // 100000000 - vs < $v2cWindowSec
+      FROM fc WHERE cs IS NOT NULL AND cs - vs < $v2cWindowSec
       UNION ALL
       SELECT 'timeout' AS channel, user_id, vs AS first_sec, vs AS last_sec,
              CAST(1 AS BIGINT) AS matched
-      FROM fc WHERE k IS NULL OR k // 100000000 - vs >= $v2cWindowSec
+      FROM fc WHERE cs IS NULL OR cs - vs >= $v2cWindowSec
     """.stripMargin.trim),
     bench = true,
   )

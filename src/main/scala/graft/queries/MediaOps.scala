@@ -29,14 +29,16 @@ object MediaOps {
 
   /** Committed fixture location — generated once by [[ensureAssets]] and
     * checked into git so the DuckDB oracle reads the identical bytes.
-    * Resolved against the working directory (the repo root for sbt /
-    * spark-shell / the driver), not a hardcoded machine path; a checkout
-    * elsewhere regenerates the same deterministic values on first use and
-    * both engines read whatever file actually sits at this path, so the
-    * compare stays self-consistent either way.
+    * Resolved through [[graft.sources.Fixtures.fixturesDir]] (working-dir
+    * `fixtures/` by default, overridable via -Dgraft.fixtures.dir /
+    * GRAFT_FIXTURES_DIR for JVMs launched outside the repo root); a
+    * checkout elsewhere regenerates the same deterministic values on
+    * first use and both engines read whatever file actually sits at this
+    * path, so the compare stays self-consistent either way.
     */
   private val fixtureDir =
-    Paths.get("fixtures/media_assets.parquet").toAbsolutePath.toString
+    Paths.get(graft.sources.Fixtures.fixturesDir, "media_assets.parquet")
+      .toAbsolutePath.toString
   private val nAssets = 300
   private val featDim = 8
 

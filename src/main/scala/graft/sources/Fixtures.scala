@@ -17,6 +17,19 @@ import graft.model._
   */
 object Fixtures {
 
+  /** Base directory of the repo-committed fixtures (`fixtures/apache.log`,
+    * `fixtures/media_assets.parquet`). Defaults to `./fixtures` — the repo
+    * root for sbt / spark-shell / the driver — and is overridable via
+    * `-Dgraft.fixtures.dir=...` or `GRAFT_FIXTURES_DIR=...` for launches
+    * whose working directory is not the repo root (e.g. spark-submit from
+    * elsewhere). Read per call, not captured at object init, so a test
+    * can retarget it.
+    */
+  def fixturesDir: String =
+    sys.props.get("graft.fixtures.dir")
+      .orElse(sys.env.get("GRAFT_FIXTURES_DIR"))
+      .getOrElse("fixtures")
+
   /** Permissive CSV parse leaves nulls in unparseable numeric fields, which
     * would throw NOT_NULL_ASSERT_VIOLATION when deserialized into a bean
     * with primitive fields. Malformed rows are dropped instead (the
