@@ -1,0 +1,50 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Quantifies the one rows-only catalog gate: `uv_approx` (HLL++,
+  * configured rsd = 1%) against the exact per-window distinct count of
+  * `unique_visitors` over the same tumbling day windows at sf0.01.
+  *
+  * HLL++ error is probabilistic — rsd is a standard deviation, not a
+  * bound — so the gate allows 5× the configured rsd per window (the same
+  * tolerated-error framing the reference uses for its Bloom UV, which
+  * under-counts on hash collisions by design; UvWithBloomFilter.java's
+  * 2^29 bitmap). A deterministic corpus makes the measured error stable,
+  * so the assertion is reproducible, not flaky. Measured numbers are
+  * recorded in SCALING.md.
+  */
+class UvApproxErrorSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.01"
+  private val rsd = 0.01
+
+  test("uv_approx per-window error stays within 5x the configured 1% rsd") {
+    val approx = Catalog.queries("uv_approx")(spark, sf)
+      .select(col("window_start"), col("uv_approx"))
+    val exact = Catalog.queries("unique_visitors")(spark, sf)
+      .select(col("window_start"), col("uv"))
+    val errs = approx.join(exact, "window_start")
+      .select(
+        col("window_start"),
+        col("uv"),
+        col("uv_approx"),
+        (abs(col("uv_approx") - col("uv")).cast("double") / col("uv")).as("rel_err"))
+      .collect()
+    assert(errs.nonEmpty, "the windows of uv_approx and unique_visitors must line up")
+    assert(errs.length == approx.count() && errs.length == exact.count(),
+      "every window must appear in both the approximate and exact results")
+    val worst = errs.maxBy(_.getDouble(3))
+    val mean = errs.map(_.getDouble(3)).sum / errs.length
+    info(f"uv_approx vs exact over ${errs.length} windows: mean rel err=$mean%.4f  " +
+      f"worst=${worst.getDouble(3)}%.4f (window=${worst.getLong(0)}, " +
+      f"exact=${worst.getLong(1)}, approx=${worst.getLong(2)})")
+    errs.foreach { r =>
+      assert(r.getDouble(3) <= 5 * rsd,
+        s"window ${r.getLong(0)}: exact=${r.getLong(1)} approx=${r.getLong(2)} " +
+          s"rel_err=${r.getDouble(3)} exceeds 5x rsd")
+    }
+  }
+}
