@@ -24,6 +24,14 @@ import graft.sources.Tables
   * path, not the heap-backed default.
   */
 object StreamBench {
+
+  /** Probe-4 event row. A case class, not a tuple: the product encoder
+    * maps by NAME and tolerates the extra watermark column, while a
+    * Tuple4 deserializer requires an exact field-count match and fails
+    * analysis once `eventTime` is appended.
+    */
+  final case class VcEv(event_id: Long, user_id: Long, event_type: String, ts_sec: Long)
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val replicas = args.lift(1).map(_.toInt).getOrElse(5)
@@ -191,6 +199,70 @@ object StreamBench {
         s"""{"metric":"funnel_rows_per_sec","value":${(funnelEvs.length / secs3).toLong},""" +
           s""""unit":"rows/sec","rows":${funnelEvs.length},"secs":$secs3,""" +
           s""""triples":${outRows3.get()},"state_peak_rows":${if (stateSeries.isEmpty) 0L else stateSeries.max},""" +
+          s""""state_final_rows":${if (stateSeries.isEmpty) 0L else stateSeries.last},"sf":"$sfDir"}""")
+    }
+    // Fourth probe: the generic relaxed CEP (Cep.followedByStreaming —
+    // e_view_to_click's operator) over a time-ORDERED view/click replay.
+    // State is the open-runs vector per user and every run is at most
+    // windowSec old before its deadline fires, so total state rows track
+    // the opens-within-one-window horizon, not the replay length — the
+    // same plateau evidence as the funnel probe above (methodology
+    // shared; numbers recorded in SCALING.md).
+    {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sq = spark.sqlContext
+      val vcEvs = base
+        .filter($"event_type".isin("view", "click"))
+        .select($"event_id", $"user_id", $"event_type", $"ts_sec")
+        .as[VcEv]
+        .collect()
+        .sortBy(e => (e.ts_sec, e.event_id))
+      val mem = MemoryStream[VcEv]
+      // watermark applied AFTER the last object transform so the event-time
+      // column reaches flatMapGroupsWithState's child output
+      val src = mem.toDS()
+        .withColumn("eventTime", timestamp_seconds(col("ts_sec")))
+        .withWatermark("eventTime", "60 seconds")
+        .as[VcEv]
+      val steps = Seq[VcEv => Boolean](_.event_type == "view", _.event_type == "click")
+      val outRows4 = new java.util.concurrent.atomic.AtomicLong(0)
+      val stateSeries = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val t3 = System.nanoTime()
+      val q4 = graft.operators.Cep
+        .followedByStreaming[VcEv](
+          src, _.user_id, _.ts_sec, _.event_id, steps, windowSec = 3600L)
+        .writeStream
+        .outputMode("append")
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[graft.operators.Out[graft.operators.Cep.FollowedMatch]],
+           _: Long) =>
+            outRows4.addAndGet(b.count())
+            ()
+        }
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("ckpt-sbench-cep").toString)
+        .start()
+      // ordered chunks cut where the timestamp strictly increases (a tie
+      // straddling a chunk boundary would be dropped as late in the next
+      // batch — the <= watermark filter)
+      val chunkSize4 = math.max(1, vcEvs.length / 8)
+      var idx4 = 0
+      while (idx4 < vcEvs.length) {
+        var end = math.min(idx4 + chunkSize4, vcEvs.length)
+        while (end < vcEvs.length && vcEvs(end).ts_sec == vcEvs(end - 1).ts_sec) end += 1
+        mem.addData(vcEvs.slice(idx4, end).toSeq)
+        q4.processAllAvailable()
+        val p = q4.lastProgress
+        if (p != null && p.stateOperators.nonEmpty)
+          stateSeries += p.stateOperators.map(_.numRowsTotal).sum
+        idx4 = end
+      }
+      q4.stop()
+      val secs4 = (System.nanoTime() - t3) / 1e9
+      println(
+        s"""{"metric":"cep_followed_rows_per_sec","value":${(vcEvs.length / secs4).toLong},""" +
+          s""""unit":"rows/sec","rows":${vcEvs.length},"secs":$secs4,""" +
+          s""""out_rows":${outRows4.get()},"state_peak_rows":${if (stateSeries.isEmpty) 0L else stateSeries.max},""" +
           s""""state_final_rows":${if (stateSeries.isEmpty) 0L else stateSeries.last},"sf":"$sfDir"}""")
     }
     spark.stop()
