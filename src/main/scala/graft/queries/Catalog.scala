@@ -40,4 +40,15 @@ object Catalog {
     all.flatMap(q => q.oracle.map(q.name -> _)).toMap
 
   lazy val benchNames: Seq[String] = all.filter(_.bench).map(_.name)
+
+  /** Queries whose formatted physical plans are published in PLANS.md.
+    * Single source of truth for tools/dump_plans.scala (the generator)
+    * and PlansDocSpec (the drift check that fails when a published
+    * section no longer matches the live operator tree — regenerate via
+    * tools/regen_plans.sh when it fires).
+    */
+  lazy val plannedNames: Seq[String] = Seq(
+    "q1_pricing_summary", "q3_shipping_priority", "hot_items_topn",
+    "hot_items_topk_agg", "t_minhash_lsh", "t_clean_corpus", "v_knn_brute",
+    "v_ivf_search", "v_ann_lsh_multi", "e_funnel_relaxed", "e_view_to_click")
 }
