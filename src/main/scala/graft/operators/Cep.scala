@@ -159,43 +159,141 @@ object Cep {
   // CepSpec proves channel-level parity on the expressible subset.
   // ------------------------------------------------------------------
 
+  /** One in-flight relaxed partial match, as the scan tracks it. A run
+    * completed or expired in place is tombstoned (`dead`) and dropped
+    * lazily by whichever index sees it next.
+    */
+  private final class RunM(val firstTs: Long, var lastTs: Long, var matched: Int) {
+    var dead: Boolean = false
+  }
+
   /** Shared relaxed-contiguity fold over (ts, stepMask) pairs of ONE key:
     * expire (timer-first, strict <), advance, open. Mutable so the batch
-    * boundary scan streams events through it one at a time; heap = the
-    * open-runs vector alone, bounded by opens-within-window.
+    * boundary scan streams events through it one at a time.
+    *
+    * Runs are indexed two ways so a hot key costs O(1) + O(emissions)
+    * per event rather than an O(open-runs) scan (the Flink-NFA property:
+    * an event only touches states with a matching transition,
+    * OP/process/OrderPayTimeOut.java:56-70 never rescans inert state):
+    *
+    *   - `byStep(i)` holds the runs waiting on step i, so an event with
+    *     mask m touches only the deques named by m's bits — a bot key
+    *     emitting only step-0 events opens runs but never rescans them;
+    *   - `byOpen` holds every run in open order. Opens arrive in event-
+    *     time order and the window is constant, so open order IS
+    *     deadline order and expiry pops from the front. (Cross-batch
+    *     out-of-order opens in streaming can locally break that order;
+    *     such a run's timeout is then detected later in the scan — same
+    *     emission, since an over-deadline run can never advance: the
+    *     `t - firstTs < windowSec` guard — and `flush`/the watermark
+    *     expiry in [[followedByStreaming]] emit any stragglers.)
+    *
+    * Heap = open-runs + not-yet-popped tombstones, both bounded by
+    * opens-within-window; a byStep deque that turns half-dead (expired
+    * runs whose step never fired) is compacted, keeping the lazy
+    * deletion amortized O(1) per death.
     */
-  private final class FollowedScan(k: Int, windowSec: Long) {
-    var runs: Vector[Run] = Vector.empty
-    def reset(runs0: Vector[Run]): Unit = runs = runs0
+  private[operators] final class FollowedScan(k: Int, windowSec: Long) {
+    private val byStep = Array.fill(k)(new java.util.ArrayDeque[RunM]()) // index 0 unused
+    private val byOpen = new java.util.ArrayDeque[RunM]()
+    private val deadIn = new Array[Int](k)
+
+    def reset(runs0: Vector[Run]): Unit = {
+      byOpen.clear()
+      var i = 1
+      while (i < k) { byStep(i).clear(); deadIn(i) = 0; i += 1 }
+      runs0.foreach { r =>
+        val n = new RunM(r.firstTs, r.lastTs, r.matched)
+        byOpen.addLast(n)
+        byStep(n.matched).addLast(n)
+      }
+    }
+
+    /** Live runs in open (firstTs) order — the streaming state snapshot. */
+    def snapshot: Vector[Run] = {
+      val b = Vector.newBuilder[Run]
+      byOpen.forEach(n => if (!n.dead) b += Run(n.firstTs, n.lastTs, n.matched))
+      b.result()
+    }
+
+    private def compact(i: Int): Unit =
+      if (i > 0 && deadIn(i) * 2 > byStep(i).size) {
+        val d = byStep(i)
+        var n = d.size
+        while (n > 0) {
+          val r = d.pollFirst()
+          if (!r.dead) d.addLast(r)
+          n -= 1
+        }
+        deadIn(i) = 0
+      }
+
     /** One (ts, stepMask) event of the current key → emissions. */
     def step(kid: Long, t: Long, m: Long): Vector[Out[FollowedMatch]] = {
       val out = Vector.newBuilder[Out[FollowedMatch]]
-      // 1. fire deadline timers strictly below this event's time
-      val (dead, alive) = runs.partition(r => r.firstTs + windowSec < t)
-      dead.foreach(r => out += Out(Out.Timeout, FollowedMatch(kid, r.firstTs, r.lastTs, r.matched)))
-      runs = alive
-      // 2. advance every run whose next step this event satisfies
-      runs = runs.flatMap { r =>
-        if ((m & (1L << r.matched)) != 0 && t - r.firstTs < windowSec) {
-          if (r.matched + 1 == k) {
-            out += Out(Out.Main, FollowedMatch(kid, r.firstTs, t, k))
-            None
-          } else Some(Run(r.firstTs, t, r.matched + 1))
-        } else Some(r)
+      // 1. fire deadline timers strictly below this event's time: the
+      //    expired runs are exactly byOpen's over-deadline prefix
+      var front = byOpen.peekFirst()
+      while (front != null && (front.dead || front.firstTs + windowSec < t)) {
+        byOpen.pollFirst()
+        if (!front.dead) {
+          out += Out(Out.Timeout, FollowedMatch(kid, front.firstTs, front.lastTs, front.matched))
+          front.dead = true
+          deadIn(front.matched) += 1
+          compact(front.matched)
+        }
+        front = byOpen.peekFirst()
+      }
+      // 2. advance every run whose next step this event satisfies — only
+      //    the deques named by the mask are touched; highest step first
+      //    so a run advanced by this event is not advanced twice by it
+      var i = k - 1
+      while (i >= 1) {
+        if ((m & (1L << i)) != 0) {
+          val d = byStep(i)
+          var n = d.size
+          while (n > 0) {
+            val r = d.pollFirst()
+            n -= 1
+            if (!r.dead) {
+              if (t - r.firstTs < windowSec) {
+                if (i + 1 == k) {
+                  out += Out(Out.Main, FollowedMatch(kid, r.firstTs, t, k))
+                  r.dead = true // byOpen drops the tombstone when it reaches the front
+                } else {
+                  r.matched = i + 1
+                  r.lastTs = t
+                  byStep(i + 1).addLast(r)
+                }
+              } else d.addLast(r) // t == firstTs+window exactly: inert until expiry
+            }
+          }
+          deadIn(i) = 0 // drained; every survivor re-added is live
+        }
+        i -= 1
       }
       // 3. open a new run (after advancing — an event never advances the
       // run it opens: advancement requires a strictly later event)
       if ((m & 1L) != 0) {
         if (k == 1) out += Out(Out.Main, FollowedMatch(kid, t, t, 1))
-        else runs :+= Run(t, t, 1)
+        else {
+          val n = new RunM(t, t, 1)
+          byOpen.addLast(n)
+          byStep(1).addLast(n)
+        }
       }
       out.result()
     }
+
     /** End of input (batch) — watermark → ∞: every partial times out. */
     def flush(kid: Long): Vector[Out[FollowedMatch]] = {
-      val o = runs.map(r => Out(Out.Timeout, FollowedMatch(kid, r.firstTs, r.lastTs, r.matched)))
-      runs = Vector.empty
-      o
+      val out = Vector.newBuilder[Out[FollowedMatch]]
+      byOpen.forEach(n =>
+        if (!n.dead) out += Out(Out.Timeout, FollowedMatch(kid, n.firstTs, n.lastTs, n.matched)))
+      byOpen.clear()
+      var i = 1
+      while (i < k) { byStep(i).clear(); deadIn(i) = 0; i += 1 }
+      out.result()
     }
   }
 
@@ -217,15 +315,17 @@ object Cep {
       while (i < steps.length) { if (steps(i)(e)) m |= (1L << i); i += 1 }
       out ++= scan.step(kid, ts(e), m)
     }
-    (scan.runs, out.result())
+    (scan.snapshot, out.result())
   }
 
   /** Batch: end of input is watermark → ∞, so every surviving partial
     * times out. Same secondary-sort staging as [[strictBatch]]: the fold
     * consumes (ts, stepMask) pairs off the spillable in-partition sort
     * with key-boundary detection, so no task ever materializes a key's
-    * event history — per-key heap is the open-runs vector alone (a bot
-    * key with 10^8 events costs sort spill, not executor heap).
+    * event history — per-key heap is the open-runs index alone, and the
+    * per-event CPU is O(1) + O(emissions) via [[FollowedScan]]'s
+    * step/deadline indexing (a bot key with 10^8 all-step-0 events costs
+    * sort spill, not executor heap or a quadratic rescan).
     */
   def followedByBatch[E](
       events: Dataset[E],
@@ -264,6 +364,7 @@ object Cep {
       windowSec: Long,
   ): Dataset[Out[FollowedMatch]] = {
     require(steps.nonEmpty, "pattern needs at least one step")
+    require(steps.length <= 63, "pattern mask is a Long: at most 63 steps")
     implicit val outEnc = Encoders.product[Out[FollowedMatch]]
     implicit val stEnc = Encoders.product[FollowedState]
     events
