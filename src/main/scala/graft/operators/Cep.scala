@@ -165,6 +165,7 @@ object Cep {
     */
   private final class RunM(val firstTs: Long, var lastTs: Long, var matched: Int) {
     var dead: Boolean = false
+    var ooo: Boolean = false // opened out of byOpen order (cross-batch late open)
   }
 
   /** Shared relaxed-contiguity fold over (ts, stepMask) pairs of ONE key:
@@ -181,12 +182,17 @@ object Cep {
     *     emitting only step-0 events opens runs but never rescans them;
     *   - `byOpen` holds every run in open order. Opens arrive in event-
     *     time order and the window is constant, so open order IS
-    *     deadline order and expiry pops from the front. (Cross-batch
-    *     out-of-order opens in streaming can locally break that order;
-    *     such a run's timeout is then detected later in the scan — same
-    *     emission, since an over-deadline run can never advance: the
-    *     `t - firstTs < windowSec` guard — and `flush`/the watermark
-    *     expiry in [[followedByStreaming]] emit any stragglers.)
+    *     deadline order and expiry pops from the front. `reset` sorts
+    *     restored state by `firstTs`, so the invariant survives resets;
+    *     the only way it breaks is a cross-batch LATE open inside one
+    *     streaming fold (an event older than a restored run). Such a
+    *     run is flagged `ooo`, and while any live `ooo` run exists the
+    *     expiry phase falls back to a full byOpen sweep, so per-key
+    *     event-time timers stay EAGER even through broken order — a
+    *     late-expired run can never be resurrected into a Main by a
+    *     still-later late event after a snapshot/reset round-trip. The
+    *     sweep costs O(open-runs) per event only while a live late open
+    *     exists (bounded by that run's window).
     *
     * Heap = open-runs + not-yet-popped tombstones, both bounded by
     * opens-within-window; a byStep deque that turns half-dead (expired
@@ -197,15 +203,31 @@ object Cep {
     private val byStep = Array.fill(k)(new java.util.ArrayDeque[RunM]()) // index 0 unused
     private val byOpen = new java.util.ArrayDeque[RunM]()
     private val deadIn = new Array[Int](k)
+    private var lastOpenTs = Long.MinValue // max firstTs appended to byOpen
+    private var disorder = 0 // live runs opened out of byOpen order
+
+    /** Tombstone a run, keeping the disorder count exact. */
+    private def kill(r: RunM): Unit = {
+      r.dead = true
+      if (r.ooo) { r.ooo = false; disorder -= 1 }
+    }
 
     def reset(runs0: Vector[Run]): Unit = {
+      // k == 1 never creates runs (step() completes immediately), and
+      // byStep has no index 1 to file them under — enforce locally
+      require(runs0.isEmpty || k > 1, s"k=$k pattern cannot carry open runs")
       byOpen.clear()
       var i = 1
       while (i < k) { byStep(i).clear(); deadIn(i) = 0; i += 1 }
-      runs0.foreach { r =>
+      // restored streaming state can be out of open order (cross-batch
+      // late opens were appended); sort so open order = deadline order
+      lastOpenTs = Long.MinValue
+      disorder = 0
+      runs0.sortBy(_.firstTs).foreach { r =>
         val n = new RunM(r.firstTs, r.lastTs, r.matched)
         byOpen.addLast(n)
         byStep(n.matched).addLast(n)
+        lastOpenTs = n.firstTs
       }
     }
 
@@ -231,18 +253,31 @@ object Cep {
     /** One (ts, stepMask) event of the current key → emissions. */
     def step(kid: Long, t: Long, m: Long): Vector[Out[FollowedMatch]] = {
       val out = Vector.newBuilder[Out[FollowedMatch]]
-      // 1. fire deadline timers strictly below this event's time: the
-      //    expired runs are exactly byOpen's over-deadline prefix
+      // 1. fire deadline timers at/below this event's time (the timer
+      //    fires AT the deadline: an event at first+window has already
+      //    missed it, so such a run is frozen — expiring it now keeps
+      //    per-key event time eager and leaves nothing for a late event
+      //    to resurrect). The expired runs are exactly byOpen's
+      //    over-deadline prefix — unless a live out-of-order open exists,
+      //    in which case sweep the whole index (see class doc).
       var front = byOpen.peekFirst()
-      while (front != null && (front.dead || front.firstTs + windowSec < t)) {
+      while (front != null && (front.dead || front.firstTs + windowSec <= t)) {
         byOpen.pollFirst()
         if (!front.dead) {
           out += Out(Out.Timeout, FollowedMatch(kid, front.firstTs, front.lastTs, front.matched))
-          front.dead = true
+          kill(front)
           deadIn(front.matched) += 1
           compact(front.matched)
         }
         front = byOpen.peekFirst()
+      }
+      if (disorder > 0) byOpen.forEach { r =>
+        if (!r.dead && r.firstTs + windowSec <= t) {
+          out += Out(Out.Timeout, FollowedMatch(kid, r.firstTs, r.lastTs, r.matched))
+          kill(r)
+          deadIn(r.matched) += 1
+          compact(r.matched)
+        }
       }
       // 2. advance every run whose next step this event satisfies — only
       //    the deques named by the mask are touched; highest step first
@@ -256,16 +291,23 @@ object Cep {
             val r = d.pollFirst()
             n -= 1
             if (!r.dead) {
-              if (t - r.firstTs < windowSec) {
-                if (i + 1 == k) {
-                  out += Out(Out.Main, FollowedMatch(kid, r.firstTs, t, k))
-                  r.dead = true // byOpen drops the tombstone when it reaches the front
-                } else {
-                  r.matched = i + 1
-                  r.lastTs = t
-                  byStep(i + 1).addLast(r)
-                }
-              } else d.addLast(r) // t == firstTs+window exactly: inert until expiry
+              if (t - r.firstTs >= windowSec) {
+                // unreachable: phase 1's at-deadline expiry already killed
+                // every such run — kept as a frozen-partial safety net
+                out += Out(Out.Timeout, FollowedMatch(kid, r.firstTs, r.lastTs, r.matched))
+                kill(r) // byOpen drops the tombstone when it reaches the front
+              } else if (t < r.lastTs) {
+                // cross-batch late event older than the run's progress
+                // point: a run advances only on the earliest LATER event
+                d.addLast(r)
+              } else if (i + 1 == k) {
+                out += Out(Out.Main, FollowedMatch(kid, r.firstTs, t, k))
+                kill(r) // byOpen drops the tombstone when it reaches the front
+              } else {
+                r.matched = i + 1
+                r.lastTs = t
+                byStep(i + 1).addLast(r)
+              }
             }
           }
           deadIn(i) = 0 // drained; every survivor re-added is live
@@ -278,6 +320,8 @@ object Cep {
         if (k == 1) out += Out(Out.Main, FollowedMatch(kid, t, t, 1))
         else {
           val n = new RunM(t, t, 1)
+          if (t < lastOpenTs) { n.ooo = true; disorder += 1 }
+          else lastOpenTs = t
           byOpen.addLast(n)
           byStep(1).addLast(n)
         }
@@ -293,6 +337,8 @@ object Cep {
       byOpen.clear()
       var i = 1
       while (i < k) { byStep(i).clear(); deadIn(i) = 0; i += 1 }
+      lastOpenTs = Long.MinValue
+      disorder = 0
       out.result()
     }
   }
