@@ -1,0 +1,98 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.operators.Cep.{FollowedMatch, Run, SeqMatch}
+
+/** Adversarial one-key skew for the secondary-sort CEP paths: a single
+  * bot key holding the entire dataset, driven through the full Spark
+  * operators ([[Cep.strictBatch]]/[[Cep.followedByBatch]]) against
+  * closed forms and the unit-level scan, plus the hot-key CPU probe the
+  * round-6 verdict asked for: >=10^5 single-key all-step-0 events with a
+  * window wide enough that NO run ever expires in-flow — the worst case
+  * for the old O(open-runs)-per-event expiry scan (quadratic: ~n^2/2 run
+  * touches) and O(1)-per-event for the per-step/deadline-indexed scan.
+  * Measured numbers are recorded in SCALING.md ("CEP hot-key probe").
+  */
+class CepSkewSpec extends SparkSpec {
+
+  type Ev = (Long, Long, String, Long) // id, key, type, ts
+
+  private def ds(evs: Seq[Ev]) = {
+    import spark.implicits._
+    spark.createDataset(evs.toIndexedSeq)
+  }
+
+  private val abc = Seq("a", "b", "c").map(t => (e: Ev) => e._3 == t)
+
+  test("bot key, all-step-0: n timeouts, zero mains, no per-run rescans (closed form)") {
+    val n = 100000
+    val evs: Seq[Ev] = (0 until n).map(i => (i.toLong, 1L, "a", i.toLong))
+    // window n: every run stays open until flush — the old quadratic case
+    val out = Cep.followedByBatch[Ev](ds(evs), _._2, _._4, _._1, abc, windowSec = n.toLong)
+      .collect()
+    assert(out.length === n)
+    assert(out.forall(o => o.channel == Out.Timeout && o.value.matched == 1))
+    assert(out.map(_.value.firstTs).toSet === (0L until n.toLong).toSet)
+  }
+
+  test("bot key, all-matching flood: Spark operator equals the unit-level scan") {
+    val n = 50000
+    // every event satisfies every step: maximal advance/emission churn
+    val evs: Seq[Ev] = (0 until n).map(i => (i.toLong, 1L, "abc", i.toLong))
+    val steps = Seq[Ev => Boolean](_ => true, _ => true, _ => true)
+    val got = Cep.followedByBatch[Ev](ds(evs), _._2, _._4, _._1, steps, windowSec = 20L)
+      .collect()
+      .map(o => (o.channel, o.value.firstTs, o.value.lastTs, o.value.matched))
+      .sorted
+
+    val scan = new Cep.FollowedScan(3, 20L)
+    scan.reset(Vector.empty)
+    val want = ((0 until n).flatMap(i => scan.step(1L, i.toLong, 0x7L)) ++ scan.flush(1L))
+      .map(o => (o.channel, o.value.firstTs, o.value.lastTs, o.value.matched))
+      .sorted
+    assert(got.length === want.length)
+    assert(got === want)
+    // pipeline full: every event from index 2 completes the run opened 2 back
+    assert(got.count(_._1 == Out.Main) === n - 2)
+  }
+
+  test("bot key, interleaved strict pattern equals brute force at scale") {
+    val n = 60000
+    val types = Array("a", "b", "c", "x")
+    val rnd = new scala.util.Random(8)
+    val evs: Seq[Ev] = (0 until n).map(i => (i.toLong, 1L, types(rnd.nextInt(4)), i.toLong / 3))
+    val got = Cep.strictBatch[Ev](ds(evs), _._2, _._4, _._1, abc, windowSec = 1L)
+      .collect().map(m => (m.firstTs, m.lastTs)).sorted
+
+    // brute force over the tie-broken order strictBatch's secondary sort uses
+    val sorted = evs.sortBy(e => (e._4, e._1))
+    val want = sorted.sliding(3).collect {
+      case Seq(x, y, z) if x._3 == "a" && y._3 == "b" && z._3 == "c" && z._4 - x._4 <= 1 =>
+        (x._4, z._4)
+    }.toVector.sorted
+    assert(got.toVector === want)
+    assert(want.nonEmpty)
+  }
+
+  test("hot-key probe: all-open scan time grows linearly, not quadratically") {
+    def run(n: Int): Double = {
+      val scan = new Cep.FollowedScan(3, n.toLong) // window >= n: nothing expires
+      scan.reset(Vector.empty)
+      val t0 = System.nanoTime()
+      var i = 0
+      while (i < n) { scan.step(1L, i.toLong, 1L); i += 1 }
+      val opens = scan.snapshot.length
+      val dt = (System.nanoTime() - t0) / 1e9
+      assert(opens === n)
+      dt
+    }
+    run(50000) // JIT warmup
+    val t1 = (1 to 3).map(_ => run(100000)).min
+    val t4 = (1 to 3).map(_ => run(400000)).min
+    info(f"100k all-step-0 events: ${t1}%.4fs; 400k: ${t4}%.4fs; ratio ${t4 / t1}%.1fx")
+    // linear => ~4x; the old per-event expiry scan => ~16x (n^2/2 touches,
+    // ~8e10 at 400k — minutes). Generous bound to keep CI noise out.
+    assert(t4 / t1 < 10.0, f"super-linear hot-key scaling: ${t4 / t1}%.1fx for 4x events")
+    assert(t4 < 5.0, f"400k single-key opens took ${t4}%.2fs — not O(1) per event")
+  }
+}
