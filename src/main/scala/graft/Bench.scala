@@ -26,11 +26,16 @@ object Bench {
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
     val results: Seq[(String, Seq[Double])] = names.map { name =>
       val fn = SparkEntry.queries(name)
-      // settle the heap between queries: in long full-catalog runs, garbage
-      // from earlier queries otherwise lands as GC pauses inside later ones
-      // (measured 0.5s -> 3.4s drift on late queries without this)
-      System.gc()
+      // one untimed rep at the TARGET SF first: the sf0.001 warmup above
+      // covers JIT/codegen but not shuffle-file and page-cache effects at
+      // the measured size, which otherwise land on rep 1 (~2x skew)
+      try fn(spark, sfDir).count() catch { case _: Throwable => () }
       val times = (1 to reps).flatMap { _ =>
+        // settle the heap before EVERY rep, not just per query: carried
+        // garbage otherwise lands as GC pauses inside whichever rep the
+        // collector picks, which is what made published reps swing 4x on
+        // a noisy machine (BENCH_r06/r07)
+        System.gc()
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).count()
@@ -46,11 +51,25 @@ object Bench {
     val allReps = results
       .map { case (k, v) => s"\"" + k + "\":" + v.mkString("[", ",", "]") }
       .mkString("{", ",", "}")
+    // medians + max/min spread: the gate for machine noise — a spread
+    // near 1.0 means the published min is reproducible, not a fluke
+    def median(v: Seq[Double]): Double = {
+      val s = v.sorted
+      if (s.length % 2 == 1) s(s.length / 2) else (s(s.length / 2 - 1) + s(s.length / 2)) / 2
+    }
+    val medians = results
+      .map { case (k, v) => s"\"" + k + "\":" + (if (v.isEmpty) "null" else median(v).toString) }
+      .mkString("{", ",", "}")
+    val spreads = results
+      .map { case (k, v) =>
+        s"\"" + k + "\":" + (if (v.isEmpty) "null" else (v.max / v.min).toString)
+      }
+      .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v.isEmpty => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.flatMap(_._2.minOption).sum
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$allReps,"failed":$failed,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"medians":$medians,"spread":$spreads,"reps":$allReps,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

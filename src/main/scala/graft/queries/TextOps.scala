@@ -792,6 +792,7 @@ object TextOps {
       SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
       FROM pairs WHERE hamming <= $simhashMaxHamming
     """.stripMargin.trim),
+    bench = true,
   )
 
   // ---------------------------------------------------------------------

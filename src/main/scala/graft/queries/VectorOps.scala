@@ -325,6 +325,7 @@ object VectorOps {
              ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim_micros DESC, cand_id) AS rnk
       FROM scored QUALIFY rnk <= $topK
     """.stripMargin.trim),
+    bench = true,
   )
 
   // ---------------------------------------------------------------------
