@@ -207,7 +207,7 @@ object StreamBench {
     // windowSec old before its deadline fires, so total state rows track
     // the opens-within-one-window horizon, not the replay length — the
     // same plateau evidence as the funnel probe above (methodology
-    // shared; numbers recorded in SCALING.md).
+    // shared; numbers recorded in SCALING.md ("CEP streaming state probe")).
     {
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       implicit val sq = spark.sqlContext

@@ -14,7 +14,7 @@ import graft.SparkSpec
   * under-counts on hash collisions by design; UvWithBloomFilter.java's
   * 2^29 bitmap). A deterministic corpus makes the measured error stable,
   * so the assertion is reproducible, not flaky. Measured numbers are
-  * recorded in SCALING.md.
+  * recorded in SCALING.md ("UV approx error quantified").
   */
 class UvApproxErrorSpec extends SparkSpec {
 

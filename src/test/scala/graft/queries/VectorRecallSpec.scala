@@ -15,7 +15,7 @@ import graft.SparkSpec
   * The measured recalls below are therefore data-specific lower bounds;
   * the planted-twin test shows the high-similarity regime the index is
   * for (near-dup mining), where recall is 1.0. Numbers are recorded in
-  * SCALING.md.
+  * SCALING.md ("ANN recall measured").
   */
 class VectorRecallSpec extends SparkSpec {
 
@@ -76,7 +76,8 @@ class VectorRecallSpec extends SparkSpec {
     val ivfRecall = recallAt10(annTopK("v_ivf_nprobe"), bruteTopK(16L until 21L))
     val ivf1Recall = recallAt10(annTopK("v_ivf_search"), bruteTopK(16L until 21L))
     info(f"recall@10 sign-LSH(8 bits)=$lshRecall%.2f  multi-table(L=8)=$lshMultiRecall%.2f  IVF(nprobe=2)=$ivfRecall%.2f  IVF(nprobe=1)=$ivf1Recall%.2f")
-    // floors measured on this corpus (lsh=0.02, multi=see SCALING.md,
+    // floors measured on this corpus (lsh=0.02,
+    // multi=0.54 per SCALING.md ("ANN recall: multiprobe"),
     // ivf2=0.36, ivf1=0.30 — see scaladoc: random vectors are the
     // adversarial case; these pin the dial's current position, they are
     // not quality targets. The planted-twin test below is the
