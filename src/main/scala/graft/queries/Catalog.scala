@@ -49,6 +49,7 @@ object Catalog {
     */
   lazy val plannedNames: Seq[String] = Seq(
     "q1_pricing_summary", "q3_shipping_priority", "hot_items_topn",
-    "hot_items_topk_agg", "t_minhash_lsh", "t_clean_corpus", "v_knn_brute",
+    "hot_items_topk_agg", "t_minhash_lsh", "t_simhash_neardup",
+    "t_clean_corpus", "v_knn_brute",
     "v_ivf_search", "v_ann_lsh_multi", "e_funnel_relaxed", "e_view_to_click")
 }
