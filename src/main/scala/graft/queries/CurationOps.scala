@@ -1,0 +1,189 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Dataset-curation operators — the assignment half of a training-data
+  * pipeline, downstream of cleaning/dedup (`TextOps`): deterministic
+  * train/val/test splitting, per-source quota selection, and token-budget
+  * shard packing. None of these exist in the reference (its analytics
+  * stop at the aggregation layer); they are part of the
+  * beyond-the-reference LLM-pipeline pack the engine targets.
+  *
+  * Scale notes, per operator:
+  *   - split assignment is a pure per-row hash projection — embarrassingly
+  *     parallel, no shuffle at all;
+  *   - source quotas are a per-key bounded rank — the shuffle is keyed by
+  *     `source`, and no task ever sees more than one source's rows
+  *     (skewed mega-sources fall to AQE skew handling);
+  *   - shard packing needs a GLOBAL running total, whose naive form — a
+  *     `Window.orderBy` with no partition — plans as a SinglePartition
+  *     sort that caps out at one task's memory. The implementation here
+  *     is the textbook distributed prefix sum instead (range-partition,
+  *     per-partition scan, one tiny per-partition-totals collect) — the
+  *     same shape as Spark's own `zipWithIndex`. CurationSpec pins both
+  *     the oracle parity and the no-SinglePartition plan property.
+  */
+object CurationOps {
+
+  private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
+
+  /** Cross-engine deterministic 64-bit-ish hash: the md5-hex prefix
+    * bridge used throughout the text pack (Spark `conv(substr(md5(x)))`
+    * == DuckDB `('0x' || substr(md5(x), 1, 15))::UBIGINT`).
+    */
+  private def md5Bucket(col: String, buckets: Int): String =
+    s"CAST(conv(substring(md5(CAST($col AS STRING)), 1, 15), 16, 10) AS BIGINT) % $buckets"
+
+  private def oMd5Bucket(col: String, buckets: Int): String =
+    s"('0x' || substr(md5(CAST($col AS VARCHAR)), 1, 15))::UBIGINT::BIGINT % $buckets"
+
+  // ---------------------------------------------------------------------
+  // Deterministic train/val/test split: hash the STABLE id, never
+  // rand()/row position — re-running on a grown corpus must keep every
+  // existing document's assignment (the property that makes eval sets
+  // trustworthy across dataset versions). 80/10/10 over 1000 hash
+  // buckets.
+  // ---------------------------------------------------------------------
+
+  val splitAssign = Q(
+    "t_split_assign",
+    (s, d) => {
+      import s.implicits._
+      docs(s, d)
+        .select($"doc_id", expr(md5Bucket("doc_id", 1000)).as("bucket"))
+        .withColumn(
+          "split",
+          when($"bucket" < 800, lit("train"))
+            .when($"bucket" < 900, lit("val"))
+            .otherwise(lit("test")))
+    },
+    Some(s"""
+      SELECT doc_id,
+             ${oMd5Bucket("doc_id", 1000)} AS bucket,
+             CASE WHEN ${oMd5Bucket("doc_id", 1000)} < 800 THEN 'train'
+                  WHEN ${oMd5Bucket("doc_id", 1000)} < 900 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    """.stripMargin.trim),
+  )
+
+  // ---------------------------------------------------------------------
+  // Per-source quota: keep the top-N documents of each source by
+  // type-token ratio (the t_quality_score signal), deterministic
+  // tie-break on doc_id. The domain-balancing step of corpus assembly —
+  // without it, one crawl-heavy source dominates the token budget.
+  // ---------------------------------------------------------------------
+
+  private val quotaPerSource = 15
+
+  val sourceQuota = Q(
+    "t_source_quota",
+    (s, d) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"source")
+        .orderBy($"ttr_pct".desc, $"doc_id")
+      docs(s, d)
+        .select(
+          $"doc_id",
+          $"source",
+          expr("CAST(size(array_distinct(filter(split(text, ' '), x -> x != ''))) AS BIGINT)")
+            .as("n_distinct"),
+          expr("CAST(size(filter(split(text, ' '), x -> x != '')) AS BIGINT)").as("n_tokens"),
+        )
+        .withColumn("ttr_pct", floor(lit(100.0) * $"n_distinct" / $"n_tokens").cast("long"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter($"rnk" <= quotaPerSource)
+        .select($"doc_id", $"source", $"ttr_pct", $"rnk")
+    },
+    Some(s"""
+      WITH t AS (
+        SELECT doc_id, source,
+               len(list_distinct(list_filter(string_split(text, ' '), x -> x != ''))) AS n_distinct,
+               len(list_filter(string_split(text, ' '), x -> x != '')) AS n_tokens
+        FROM documents)
+      SELECT doc_id, source,
+             CAST(FLOOR(100.0 * n_distinct / n_tokens) AS BIGINT) AS ttr_pct,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY CAST(FLOOR(100.0 * n_distinct / n_tokens) AS BIGINT) DESC, doc_id)
+               AS BIGINT) AS rnk
+      FROM t QUALIFY rnk <= $quotaPerSource
+    """.stripMargin.trim),
+  )
+
+  // ---------------------------------------------------------------------
+  // Token-budget shard packing: documents in doc_id order are packed
+  // into fixed-token-budget shards (shard = running total DIV budget) —
+  // the step that turns a curated corpus into balanced training files.
+  //
+  // The running total is a global prefix sum. Naively that is
+  //   SUM(n_tokens) OVER (ORDER BY doc_id)  -- one SinglePartition sort
+  // which serializes the whole corpus through one task. Distributed
+  // form, the same three moves as RDD.zipWithIndex:
+  //   1. range-partition + sort by doc_id (spillable external sort);
+  //   2. one sequential scan per partition for the within-partition
+  //      prefix (mapPartitions — per-partition imperative logic is the
+  //      one place it is the right tool; the scan is O(rows), no state);
+  //   3. per-partition token totals — ONE ROW per partition — collected,
+  //      prefix-offset on the driver, broadcast-joined back.
+  // No stage ever holds more than a partition; the only all-data
+  // shuffle is the range exchange the sort needs anyway.
+  // ---------------------------------------------------------------------
+
+  private val shardTokens = 2000L
+
+  val shardPack = Q(
+    "t_shard_pack",
+    (s, d) => {
+      import s.implicits._
+      val counted = docs(s, d)
+        .select(
+          $"doc_id",
+          expr("CAST(size(filter(split(text, ' '), x -> x != '')) AS BIGINT)").as("n_tokens"))
+        .repartitionByRange($"doc_id")
+        .sortWithinPartitions($"doc_id")
+        .as[(Long, Long)]
+      val scanned = counted
+        .mapPartitions { it =>
+          val pid = org.apache.spark.TaskContext.getPartitionId().toLong
+          var run = 0L
+          it.map { case (id, nt) => val before = run; run += nt; (pid, id, nt, before) }
+        }
+        .toDF("pid", "doc_id", "n_tokens", "cum_in")
+      // one row per partition; the collect is O(partitions), not O(rows)
+      val offsets = scanned.groupBy($"pid").agg(sum($"n_tokens").as("total"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .sortBy(_._1)
+        .scanLeft((-1L, 0L)) { case ((_, acc), (pid, tot)) => (pid, acc + tot) }
+        .sliding(2)
+        .collect { case Array((_, prev), (pid, _)) => (pid, prev) }
+        .toSeq
+      val offsetDf = offsets.toDF("pid", "offset")
+      scanned
+        .join(broadcast(offsetDf), "pid")
+        .select(
+          $"doc_id",
+          $"n_tokens",
+          ($"offset" + $"cum_in").as("cum_before"),
+          expr(s"CAST((offset + cum_in) DIV $shardTokens AS BIGINT)").as("shard_id"))
+    },
+    Some(s"""
+      SELECT doc_id,
+             len(list_filter(string_split(text, ' '), x -> x != '')) AS n_tokens,
+             CAST(COALESCE(SUM(len(list_filter(string_split(text, ' '), x -> x != '')))
+               OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum_before,
+             CAST(COALESCE(SUM(len(list_filter(string_split(text, ' '), x -> x != '')))
+               OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               // $shardTokens AS BIGINT) AS shard_id
+      FROM documents
+    """.stripMargin.trim),
+  )
+
+  val qs: Seq[Q] = Seq(splitAssign, sourceQuota, shardPack)
+}

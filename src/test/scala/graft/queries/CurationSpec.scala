@@ -1,0 +1,71 @@
+package graft.queries
+
+import org.apache.spark.sql.execution.ExplainMode
+
+import graft.SparkSpec
+
+/** The curation pack's operator contracts beyond the DuckDB hash-match:
+  * split stability under corpus growth, quota boundedness, and the
+  * distributed-prefix-sum plan shape of the shard packer.
+  */
+class CurationSpec extends SparkSpec {
+
+  test("t_split_assign is stable under corpus growth (same doc, same split)") {
+    // the property that keeps eval sets trustworthy across dataset
+    // versions: hash of the stable id, never rand() or row position
+    val small = Catalog.queries("t_split_assign")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val big = Catalog.queries("t_split_assign")(spark, "/root/testdata/sf0.01")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(small.nonEmpty && small.keySet.subsetOf(big.keySet))
+    small.foreach { case (id, split) => assert(big(id) === split, s"doc $id moved splits") }
+    // and the ratios are near the 80/10/10 design (hash uniformity)
+    val frac = big.values.groupBy(identity).view.mapValues(_.size.toDouble / big.size).toMap
+    assert(frac("train") > 0.7 && frac("train") < 0.9, frac.toString)
+  }
+
+  test("t_source_quota never exceeds the per-source budget and keeps the best") {
+    val rows = Catalog.queries("t_source_quota")(spark, "/root/testdata/sf0.01")
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    val bySource = rows.groupBy(_._1)
+    assert(bySource.nonEmpty)
+    bySource.foreach { case (src, rs) =>
+      assert(rs.length <= 15, s"$src over quota: ${rs.length}")
+      assert(rs.map(_._3).sorted.toSeq === (1L to rs.length).toSeq, s"$src ranks not dense")
+    }
+  }
+
+  test("t_shard_pack: shards are contiguous, budget-bounded, and cover every token") {
+    val rows = Catalog.queries("t_shard_pack")(spark, "/root/testdata/sf0.01")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    // the running total is exact: cum_before is the prefix sum in doc_id order
+    var run = 0L
+    rows.foreach { case (id, nt, cum, _) =>
+      assert(cum === run, s"doc $id prefix drifted: $cum != $run")
+      run += nt
+    }
+    // shard ids are the running total DIV budget: monotone, dense from 0,
+    // and every shard holds <= budget + one document's overhang
+    val shards = rows.map(_._4)
+    assert(shards.head === 0L && shards.zip(shards.tail).forall { case (a, b) => a <= b })
+    val perShard = rows.groupBy(_._4).view.mapValues(_.map(_._2).sum).toMap
+    val maxDoc = rows.map(_._2).max
+    perShard.foreach { case (sid, toks) =>
+      assert(toks <= 2000L + maxDoc, s"shard $sid holds $toks tokens")
+    }
+  }
+
+  test("t_shard_pack plans as a distributed prefix sum: no single-partition stage") {
+    val formatted = Catalog.queries("t_shard_pack")(spark, "/root/testdata/sf0.01")
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // the naive formulation is SUM(...) OVER (ORDER BY doc_id): one global
+    // Window behind an Exchange SinglePartition. The distributed form must
+    // contain neither — range partitioning + broadcast of the per-partition
+    // offsets (one row per partition) instead.
+    assert(!formatted.contains("SinglePartition"), formatted)
+    assert(!formatted.contains("Window"), formatted)
+    assert(formatted.contains("rangepartitioning"), formatted)
+    assert(formatted.contains("BroadcastHashJoin"), formatted)
+  }
+}
