@@ -30,13 +30,9 @@ object CurationOps {
 
   private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
 
-  /** Cross-engine deterministic 64-bit-ish hash: the md5-hex prefix
-    * bridge used throughout the text pack (Spark `conv(substr(md5(x)))`
-    * == DuckDB `('0x' || substr(md5(x), 1, 15))::UBIGINT`).
+  /** DuckDB mirror of [[TextOps.h60]] `% buckets` — the md5-hex prefix
+    * bridge used throughout the text pack.
     */
-  private def md5Bucket(col: String, buckets: Int): String =
-    s"CAST(conv(substring(md5(CAST($col AS STRING)), 1, 15), 16, 10) AS BIGINT) % $buckets"
-
   private def oMd5Bucket(col: String, buckets: Int): String =
     s"('0x' || substr(md5(CAST($col AS VARCHAR)), 1, 15))::UBIGINT::BIGINT % $buckets"
 
@@ -53,7 +49,7 @@ object CurationOps {
     (s, d) => {
       import s.implicits._
       docs(s, d)
-        .select($"doc_id", expr(md5Bucket("doc_id", 1000)).as("bucket"))
+        .select($"doc_id", (TextOps.h60($"doc_id".cast("string")) % 1000).as("bucket"))
         .withColumn(
           "split",
           when($"bucket" < 800, lit("train"))
@@ -90,9 +86,8 @@ object CurationOps {
         .select(
           $"doc_id",
           $"source",
-          expr("CAST(size(array_distinct(filter(split(text, ' '), x -> x != ''))) AS BIGINT)")
-            .as("n_distinct"),
-          expr("CAST(size(filter(split(text, ' '), x -> x != '')) AS BIGINT)").as("n_tokens"),
+          size(array_distinct(TextOps.toks)).cast("long").as("n_distinct"),
+          size(TextOps.toks).cast("long").as("n_tokens"),
         )
         .withColumn("ttr_pct", floor(lit(100.0) * $"n_distinct" / $"n_tokens").cast("long"))
         .withColumn("rnk", row_number().over(w).cast("long"))
@@ -141,12 +136,19 @@ object CurationOps {
     (s, d) => {
       import s.implicits._
       val counted = docs(s, d)
-        .select(
-          $"doc_id",
-          expr("CAST(size(filter(split(text, ' '), x -> x != '')) AS BIGINT)").as("n_tokens"))
+        .select($"doc_id", size(TextOps.toks).cast("long").as("n_tokens"))
         .repartitionByRange($"doc_id")
         .sortWithinPartitions($"doc_id")
         .as[(Long, Long)]
+      // materialize the scan ONCE (the offsets collect below populates the
+      // cache): the offsets job and the returned plan must see the same
+      // partitioning, and RangePartitioner boundaries are sample-based —
+      // two executions of the same lineage sample independently and can
+      // split boundary rows differently, corrupting offset+cum_in (or
+      // dropping rows whose pid was empty in the offsets job). Persisting
+      // fixes the partitioner after the single execution; a lost block
+      // recomputes from the SAME shuffle output. The context cleaner
+      // reclaims the cache when the frame is dropped.
       val scanned = counted
         .mapPartitions { it =>
           val pid = org.apache.spark.TaskContext.getPartitionId().toLong
@@ -154,6 +156,7 @@ object CurationOps {
           it.map { case (id, nt) => val before = run; run += nt; (pid, id, nt, before) }
         }
         .toDF("pid", "doc_id", "n_tokens", "cum_in")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // one row per partition; the collect is O(partitions), not O(rows)
       val offsets = scanned.groupBy($"pid").agg(sum($"n_tokens").as("total"))
         .collect()

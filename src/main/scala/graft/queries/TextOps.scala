@@ -33,10 +33,10 @@ import graft.sources.Tables
 object TextOps {
 
   /** Non-empty tokens of a single-space-separated text. */
-  private val toks: Column = expr("filter(split(text, ' '), x -> x != '')")
+  private[queries] val toks: Column = expr("filter(split(text, ' '), x -> x != '')")
 
   /** 60-bit deterministic hash of a string column (see class docs). */
-  private def h60(c: Column): Column =
+  private[queries] def h60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)

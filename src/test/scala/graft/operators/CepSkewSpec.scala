@@ -93,6 +93,8 @@ class CepSkewSpec extends SparkSpec {
     // linear => ~4x; the old per-event expiry scan => ~16x (n^2/2 touches,
     // ~8e10 at 400k — minutes). Generous bound to keep CI noise out.
     assert(t4 / t1 < 10.0, f"super-linear hot-key scaling: ${t4 / t1}%.1fx for 4x events")
-    assert(t4 < 5.0, f"400k single-key opens took ${t4}%.2fs — not O(1) per event")
+    // machine-independent quadratic backstop only: the old rescan costs
+    // ~8e10 touches here (minutes anywhere); a loaded CI box stays under it
+    assert(t4 < 30.0, f"400k single-key opens took ${t4}%.2fs — not O(1) per event")
   }
 }

@@ -52,6 +52,11 @@ class PartitionPruningSpec extends SparkSpec {
     d
   }
 
+  override def afterAll(): Unit = {
+    try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    finally super.afterAll()
+  }
+
   test("static pruning: a month filter reaches PartitionFilters and shrinks the listing") {
     val part = spark.read.parquet(s"$dir/lineitem_p")
     val months = part.select("ship_month").distinct().count()

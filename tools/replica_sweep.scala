@@ -36,25 +36,42 @@ val queryNames = sys.env
 val s = graft.GraftSession.local("graft-replica-sweep", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
 s.sparkContext.setLogLevel("ERROR")
 
-// ---- build (idempotent: skipped when DEST already has a lineitem) ----
-if (!Files.exists(Paths.get(s"$dest/lineitem.parquet"))) {
+// ---- build ----
+// Idempotency marker written LAST and stamped with (src, replicas): a
+// half-built corpus (crash mid-write) or a rerun with different knobs
+// never silently sweeps the wrong data.
+val marker = Paths.get(s"$dest/_REPLICA_OK")
+val stamp = s"src=$src replicas=$replicas"
+val fresh = Files.exists(marker) &&
+  new String(Files.readAllBytes(marker), "UTF-8").trim == stamp
+if (!fresh) {
   println(s"[replica] building ${replicas}x of $src -> $dest")
+  Files.deleteIfExists(marker)
   Files.createDirectories(Paths.get(dest))
   val dims = Seq("region", "nation", "customer", "supplier", "part")
   dims.foreach { t =>
     s.read.parquet(s"$src/$t.parquet").write.mode("overwrite").parquet(s"$dest/$t.parquet")
   }
-  // key shift: 10x the max key keeps replica spaces disjoint and readable
-  def shifted(table: String, keys: Seq[String]): Unit = {
+  // ONE shared orderkey shift for orders AND lineitem: independently
+  // computed spans would desync the FK the moment one table's max key
+  // drifts (every replicated lineitem row would dangle, silently
+  // understating join query rows). 10x the max keeps spaces readable.
+  val orderSpan = {
+    val o = s.read.parquet(s"$src/orders.parquet").agg(max(col("o_orderkey"))).head.getLong(0)
+    val l = s.read.parquet(s"$src/lineitem.parquet").agg(max(col("l_orderkey"))).head.getLong(0)
+    math.max(o, l) * 10L
+  }
+  def shifted(table: String, keys: Seq[String], spanIn: Long = -1L): Unit = {
     val base = s.read.parquet(s"$src/$table.parquet")
-    val span = base.agg(max(col(keys.head))).head.getLong(0) * 10L
+    val span =
+      if (spanIn > 0) spanIn else base.agg(max(col(keys.head))).head.getLong(0) * 10L
     val all = (0 until replicas)
       .map(i => keys.foldLeft(base)((d, k) => d.withColumn(k, col(k) + lit(i * span))))
       .reduce(_ unionAll _)
     all.write.mode("overwrite").parquet(s"$dest/$table.parquet")
   }
-  shifted("orders", Seq("o_orderkey"))
-  shifted("lineitem", Seq("l_orderkey"))
+  shifted("orders", Seq("o_orderkey"), orderSpan)
+  shifted("lineitem", Seq("l_orderkey"), orderSpan)
   shifted("documents", Seq("doc_id"))
   shifted("embeddings", Seq("vec_id"))
   // events: replicated unshifted is wrong (duplicate event_ids) and the
@@ -62,8 +79,9 @@ if (!Files.exists(Paths.get(s"$dest/lineitem.parquet"))) {
   // the events pack is swept at driver SFs instead - copy single-copy so
   // catalog queries that scan it still resolve
   s.read.parquet(s"$src/events.parquet").write.mode("overwrite").parquet(s"$dest/events.parquet")
+  Files.write(marker, stamp.getBytes("UTF-8"))
   println("[replica] build done")
-} else println(s"[replica] reusing existing $dest")
+} else println(s"[replica] reusing existing $dest ($stamp)")
 
 // ---- sweep ----
 println(s"[replica] sweeping ${queryNames.length} queries, min-of-$reps")
