@@ -186,6 +186,7 @@ object CurationOps {
                // $shardTokens AS BIGINT) AS shard_id
       FROM documents
     """.stripMargin.trim),
+    bench = true, // tracks the distributed-prefix-sum path round-over-round
   )
 
   val qs: Seq[Q] = Seq(splitAssign, sourceQuota, shardPack)
