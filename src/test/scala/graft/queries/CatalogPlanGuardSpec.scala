@@ -1,0 +1,48 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Blanket plan guard over the ENTIRE catalog — every query, not just the
+  * PlanSpec headliners: the two plan shapes that are never acceptable at
+  * 100 TB must not appear anywhere, so a refactor that degrades a
+  * non-headline query (a lost equi-join key quietly turning a band join
+  * into a cross product, a window losing its partition spec) fails the
+  * suite instead of surfacing as a cluster incident.
+  *
+  * - `CartesianProduct` / unbounded `BroadcastNestedLoopJoin`: candidate
+  *   generation throughout the catalog is equi-join on derived keys
+  *   (band, bucket, cell, shingle). The ONLY sanctioned BNLJ is the
+  *   brute-force/IVF ANN family, where joining a provably tiny broadcast
+  *   side (the fixed query/centroid set) against every row IS the
+  *   operator's semantic, and the big side streams through exactly once.
+  * - `SinglePartition` exchanges: nothing in the catalog funnels data
+  *   rows through one task — global ranks are TakeOrderedAndProject,
+  *   global prefix sums are distributed (t_shard_pack), and scalar
+  *   aggregates pre-aggregate to one row per partition before any
+  *   single-partition step would matter. Empirically the string does not
+  *   appear in any of the 58 plans; this pins that.
+  */
+class CatalogPlanGuardSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Broadcast side is the bounded query/centroid set — see class doc. */
+  private val bnljSanctioned =
+    Set("v_knn_brute", "v_ivf_assign", "v_ivf_search", "v_ivf_nprobe")
+
+  test("no catalog query plans a cartesian, a rogue BNLJ, or a single-partition stage") {
+    val offenders = Catalog.all.flatMap { q =>
+      val plan = q.spark(spark, sf).queryExecution.sparkPlan.toString
+      val bad = Seq(
+        "CartesianProduct" -> plan.contains("CartesianProduct"),
+        "SinglePartition" -> plan.contains("SinglePartition"),
+        "BroadcastNestedLoopJoin" ->
+          (plan.contains("BroadcastNestedLoopJoin") && !bnljSanctioned(q.name)),
+      ).collect { case (label, true) => label }
+      if (bad.isEmpty) None else Some(s"${q.name}: ${bad.mkString(", ")}")
+    }
+    assert(offenders.isEmpty, s"scale-hostile plan shapes:\n${offenders.mkString("\n")}")
+    // the sanctioned BNLJs still exist (the guard keeps meaning something)
+    assert(bnljSanctioned.subsetOf(Catalog.all.map(_.name).toSet))
+  }
+}
