@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{Dataset, Encoders}
+
+/** As-of join (point-in-time enrichment): for every PROBE row, the BUILD
+  * row of the same key with the greatest event time at-or-before the
+  * probe's — the temporal join feature stores and training pipelines use
+  * to attach "state as of then" without leaking the future.
+  *
+  * Spark has no native as-of join, and the join formulations all
+  * degenerate at scale: an inequality theta-join plans as a cross
+  * product, and the interval-join + rank form re-buffers per probe. The
+  * scalable formulation is join-FREE — the same secondary-sort boundary
+  * scan as [[Cep.maskedSorted]]: union both sides tagged, repartition on
+  * the key, sort within partitions by (key, ts, side, tie), and
+  * carry the latest build row forward in one streaming pass. One
+  * all-data shuffle (the sort's), O(1) state per key (the carried build
+  * row), no join operator anywhere in the plan.
+  *
+  * Tie rules, pinned by the oracle: a build row AT the probe's timestamp
+  * matches (at-or-before, DuckDB `ASOF JOIN ... ON p.ts >= b.ts`
+  * semantics); among equal-ts build rows the greatest `tie` wins
+  * (deterministic, unlike raw ASOF on ties). Probes with no prior build
+  * emit nulls (left-outer).
+  */
+object AsOf {
+
+  /** One enriched probe row; `matchTs`/`matchId` null when no build row
+    * precedes the probe.
+    */
+  final case class AsOfMatch(
+      key: Long,
+      probeId: Long,
+      probeTs: Long,
+      matchId: Option[Long],
+      matchTs: Option[Long])
+
+  /** Batch as-of enrichment. `tie` must be unique per (key, ts, side) —
+    * an event id — so the carried winner is deterministic.
+    */
+  def lastAtOrBefore[E](
+      events: Dataset[E],
+      key: E => Long,
+      ts: E => Long,
+      tie: E => Long,
+      isProbe: E => Boolean,
+  ): Dataset[AsOfMatch] = {
+    implicit val rowEnc = Encoders.product[(Long, Long, Long, Long)]
+    implicit val outEnc = Encoders.product[AsOfMatch]
+    import org.apache.spark.sql.functions.col
+    events
+      .map(e => (key(e), ts(e), if (isProbe(e)) 1L else 0L, tie(e)))
+      .repartition(col("_1"))
+      // builds (side 0) sort before probes at the same ts: at-or-before
+      .sortWithinPartitions(col("_1"), col("_2"), col("_3"), col("_4"))
+      .mapPartitions { it =>
+        var cur = 0L
+        var started = false
+        var lastTs = 0L
+        var lastId = 0L
+        var has = false
+        it.flatMap { case (k, t, side, id) =>
+          if (!started || k != cur) { cur = k; started = true; has = false }
+          if (side == 0L) {
+            // sort order guarantees non-decreasing (ts, id): always newer
+            lastTs = t; lastId = id; has = true
+            Iterator.empty
+          } else Iterator.single(AsOfMatch(
+            k, id, t,
+            if (has) Some(lastId) else None,
+            if (has) Some(lastTs) else None))
+        }
+      }
+  }
+}

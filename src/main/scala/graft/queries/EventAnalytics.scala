@@ -730,7 +730,54 @@ object EventAnalytics {
     bench = true,
   )
 
+  // ---------------------------------------------------------------------
+  // As-of enrichment: every purchase annotated with the user's most
+  // recent view at-or-before it (the point-in-time join feature stores
+  // use; operators/AsOf.scala documents why the scalable form is a
+  // carry-forward scan, not a join). The oracle reproduces the semantics
+  // with a running MAX over an (sec, event_id) encoding — portable and
+  // tie-deterministic where raw ASOF JOIN is not.
+  // ---------------------------------------------------------------------
+
+  val asofEnrich = Q(
+    "e_asof_enrich",
+    (s, d) => {
+      import s.implicits._
+      val evs = Tables.events(s, d)
+        .filter($"event_type".isin("view", "purchase"))
+        .select($"event_id", $"user_id", $"event_type", $"ts_sec")
+        .as[(Long, Long, String, Long)]
+      graft.operators.AsOf
+        .lastAtOrBefore[(Long, Long, String, Long)](
+          evs, _._2, _._4, _._1, isProbe = _._3 == "purchase")
+        .toDF()
+        .select(
+          $"key".as("user_id"),
+          $"probeId".as("purchase_id"),
+          $"probeTs".as("purchase_ts"),
+          $"matchId".as("view_id"),
+          $"matchTs".as("view_ts"))
+    },
+    Some("""
+      WITH u AS (
+        SELECT user_id, epoch_ms(ts)//1000 AS sec, event_id,
+               CASE WHEN event_type = 'view' THEN 0 ELSE 1 END AS side
+        FROM events WHERE event_type IN ('view', 'purchase')),
+      s AS (
+        SELECT user_id, sec, event_id, side,
+               MAX(CASE WHEN side = 0 THEN sec * 100000000 + event_id END) OVER (
+                 PARTITION BY user_id ORDER BY sec, side, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS enc
+        FROM u)
+      SELECT user_id, event_id AS purchase_id, sec AS purchase_ts,
+             CAST(enc % 100000000 AS BIGINT) AS view_id,
+             CAST(enc // 100000000 AS BIGINT) AS view_ts
+      FROM s WHERE side = 1
+    """.stripMargin.trim),
+  )
+
   val qs: Seq[Q] = Seq(
+    asofEnrich,
     hotItemsTopN,
     hotItemsSql,
     hotItemsTopKAgg,

@@ -1,0 +1,50 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** As-of enrichment semantics at the boundaries the oracle pins: same-ts
+  * inclusion, deterministic tie-break, left-outer nulls — plus the
+  * plan property that makes it scale (no join operator at all).
+  */
+class AsOfSpec extends SparkSpec {
+
+  type Ev = (Long, Long, String, Long) // id, key, type, ts
+
+  private def run(evs: Seq[Ev]) = {
+    import spark.implicits._
+    AsOf.lastAtOrBefore[Ev](
+      spark.createDataset(evs.toIndexedSeq), _._2, _._4, _._1, _._3 == "p")
+      .collect()
+      .map(m => (m.key, m.probeId, m.matchId, m.matchTs))
+      .toSet
+  }
+
+  test("boundary semantics: at-or-before, max-id tie, left-outer nulls") {
+    val got = run(Seq(
+      (1L, 1L, "v", 10L), (2L, 1L, "p", 20L), // plain before
+      (3L, 2L, "v", 30L), (4L, 2L, "p", 30L), // same ts: view matches
+      (5L, 3L, "v", 40L), (6L, 3L, "v", 40L), (7L, 3L, "p", 41L), // tie: max id wins
+      (8L, 4L, "p", 50L), (9L, 4L, "v", 60L), // view only AFTER: null
+      (10L, 5L, "v", 70L), (11L, 5L, "p", 71L), (12L, 5L, "p", 72L), // shared build
+    ))
+    assert(got === Set(
+      (1L, 2L, Some(1L), Some(10L)),
+      (2L, 4L, Some(3L), Some(30L)),
+      (3L, 7L, Some(6L), Some(40L)),
+      (4L, 8L, None, None),
+      (5L, 11L, Some(10L), Some(70L)),
+      (5L, 12L, Some(10L), Some(70L))))
+  }
+
+  test("the plan has no join operator: one shuffle, carry-forward scan") {
+    import spark.implicits._
+    val evs = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .filter($"event_type".isin("view", "purchase"))
+      .select($"event_id", $"user_id", $"event_type", $"ts_sec")
+      .as[Ev]
+    val plan = AsOf.lastAtOrBefore[Ev](evs, _._2, _._4, _._1, _._3 == "p")
+      .queryExecution.sparkPlan.toString
+    assert(!plan.contains("Join"), plan)
+    assert("Exchange".r.findAllIn(plan).size === 1, plan)
+  }
+}
