@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** As-of join (point-in-time enrichment): for every PROBE row, the BUILD
   * row of the same key with the greatest event time at-or-before the
@@ -70,6 +71,49 @@ object AsOf {
             if (has) Some(lastId) else None,
             if (has) Some(lastTs) else None))
         }
+      }
+  }
+
+  /** The latest build row of one key — the streaming state. */
+  final case class AsOfState(ts: Long, id: Long)
+
+  /** Streaming as-of enrichment: flatMapGroupsWithState carrying the
+    * latest build row per key — the "current feature value" pattern. The
+    * state is O(1) per key and deliberately UN-expiring: an as-of match
+    * may reach arbitrarily far back (a user's last view can precede the
+    * purchase by months), so the per-key footprint is 16 bytes forever
+    * rather than windowSec-bounded — the same retention a feature store
+    * keeps. Same cross-batch ordering caveat as the other streaming
+    * operators: events fold in event-time order within a micro-batch,
+    * late cross-batch probes see the state as of arrival.
+    */
+  def lastAtOrBeforeStreaming[E](
+      events: Dataset[E],
+      key: E => Long,
+      ts: E => Long,
+      tie: E => Long,
+      isProbe: E => Boolean,
+  ): Dataset[AsOfMatch] = {
+    implicit val outEnc = Encoders.product[AsOfMatch]
+    implicit val stEnc = Encoders.product[AsOfState]
+    events
+      .groupByKey(key)(Encoders.scalaLong)
+      .flatMapGroupsWithState[AsOfState, AsOfMatch](
+        OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) { (kid, it, state: GroupState[AsOfState]) =>
+        var last = state.getOption.orNull
+        val out = Vector.newBuilder[AsOfMatch]
+        // builds before probes at the same (ts): at-or-before semantics
+        it.toSeq.sortBy(e => (ts(e), if (isProbe(e)) 1L else 0L, tie(e))).foreach { e =>
+          if (isProbe(e)) out += AsOfMatch(
+            kid, tie(e), ts(e),
+            Option(last).map(_.id), Option(last).map(_.ts))
+          else if (last == null || ts(e) > last.ts ||
+            (ts(e) == last.ts && tie(e) > last.id))
+            last = AsOfState(ts(e), tie(e))
+        }
+        if (last != null) state.update(last)
+        out.result().iterator
       }
   }
 }

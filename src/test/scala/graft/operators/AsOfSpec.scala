@@ -36,6 +36,40 @@ class AsOfSpec extends SparkSpec {
       (5L, 12L, Some(10L), Some(70L))))
   }
 
+  test("streaming as-of matches batch across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+
+    val rnd = new scala.util.Random(31)
+    var t = 0L
+    val evs: Vector[Ev] = Vector.tabulate(600) { i =>
+      t += rnd.nextInt(3)
+      (i.toLong, rnd.nextInt(10).toLong + 1L, if (rnd.nextBoolean()) "v" else "p", t)
+    }
+    // split at a strict ts boundary (the ascending-watermark regime)
+    var cut = evs.length / 2
+    while (cut < evs.length && evs(cut - 1)._4 >= evs(cut)._4) cut += 1
+    val (h1, h2) = evs.splitAt(cut)
+
+    val mem = MemoryStream[Ev]
+    val q = AsOf.lastAtOrBeforeStreaming[Ev](mem.toDS(), _._2, _._4, _._1, _._3 == "p")
+      .writeStream.format("memory").queryName("asof_stream").outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt-asof").toString)
+      .start()
+    try {
+      mem.addData(h1); q.processAllAvailable()
+      mem.addData(h2); q.processAllAvailable()
+      val streamed = spark.table("asof_stream").as[AsOf.AsOfMatch].collect().toSet
+      val batch = run(evs).map { case (k, pid, mid, mts) =>
+        AsOf.AsOfMatch(k, pid, evs(pid.toInt)._4, mid, mts)
+      }
+      assert(streamed === batch)
+      assert(streamed.exists(_.matchId.isEmpty) && streamed.exists(_.matchId.nonEmpty))
+    } finally q.stop()
+  }
+
   test("the plan has no join operator: one shuffle, carry-forward scan") {
     import spark.implicits._
     val evs = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
