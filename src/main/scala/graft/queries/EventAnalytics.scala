@@ -774,6 +774,7 @@ object EventAnalytics {
              CAST(enc // 100000000 AS BIGINT) AS view_ts
       FROM s WHERE side = 1
     """.stripMargin.trim),
+    bench = true, // tracks the join-free carry-forward scan plan shape
   )
 
   val qs: Seq[Q] = Seq(
