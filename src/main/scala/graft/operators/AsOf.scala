@@ -84,8 +84,10 @@ object AsOf {
     * purchase by months), so the per-key footprint is 16 bytes forever
     * rather than windowSec-bounded — the same retention a feature store
     * keeps. Same cross-batch ordering caveat as the other streaming
-    * operators: events fold in event-time order within a micro-batch,
-    * late cross-batch probes see the state as of arrival.
+    * operators: events fold in event-time order within a micro-batch; a
+    * late cross-batch probe sees the state as of arrival, EXCEPT that a
+    * build ahead of the probe's own time never matches (the no-future
+    * guard) — it matches null rather than leaking the future.
     */
   def lastAtOrBeforeStreaming[E](
       events: Dataset[E],
@@ -105,10 +107,12 @@ object AsOf {
         val out = Vector.newBuilder[AsOfMatch]
         // builds before probes at the same (ts): at-or-before semantics
         it.toSeq.sortBy(e => (ts(e), if (isProbe(e)) 1L else 0L, tie(e))).foreach { e =>
-          if (isProbe(e)) out += AsOfMatch(
-            kid, tie(e), ts(e),
-            Option(last).map(_.id), Option(last).map(_.ts))
-          else if (last == null || ts(e) > last.ts ||
+          if (isProbe(e)) {
+            // never leak the future: a late cross-batch probe older than
+            // the carried state matches null, not a build ahead of it
+            val m = if (last != null && last.ts <= ts(e)) Some(last) else None
+            out += AsOfMatch(kid, tie(e), ts(e), m.map(_.id), m.map(_.ts))
+          } else if (last == null || ts(e) > last.ts ||
             (ts(e) == last.ts && tie(e) > last.id))
             last = AsOfState(ts(e), tie(e))
         }

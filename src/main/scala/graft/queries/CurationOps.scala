@@ -21,10 +21,11 @@ import graft.sources.Tables
   *   - shard packing needs a GLOBAL running total, whose naive form — a
   *     `Window.orderBy` with no partition — plans as a SinglePartition
   *     sort that caps out at one task's memory. The implementation here
-  *     is the textbook distributed prefix sum instead (range-partition,
-  *     per-partition scan, one tiny per-partition-totals collect) — the
-  *     same shape as Spark's own `zipWithIndex`. CurationSpec pins both
-  *     the oracle parity and the no-SinglePartition plan property.
+  *     is a distributed prefix sum instead: deterministic arithmetic id
+  *     buckets, a one-row-per-bucket totals collect broadcast back as
+  *     offsets, and a bucket-partitioned running-sum window. CurationSpec
+  *     pins both the oracle parity and the no-SinglePartition plan
+  *     property.
   */
 object CurationOps {
 
@@ -118,15 +119,17 @@ object CurationOps {
   // The running total is a global prefix sum. Naively that is
   //   SUM(n_tokens) OVER (ORDER BY doc_id)  -- one SinglePartition sort
   // which serializes the whole corpus through one task. Distributed
-  // form, the same three moves as RDD.zipWithIndex:
-  //   1. range-partition + sort by doc_id (spillable external sort);
-  //   2. one sequential scan per partition for the within-partition
-  //      prefix (mapPartitions — per-partition imperative logic is the
-  //      one place it is the right tool; the scan is O(rows), no state);
-  //   3. per-partition token totals — ONE ROW per partition — collected,
-  //      prefix-offset on the driver, broadcast-joined back.
-  // No stage ever holds more than a partition; the only all-data
-  // shuffle is the range exchange the sort needs anyway.
+  // form: split the id space into ARITHMETIC buckets (from one cheap
+  // max(doc_id) job — deterministic, unlike RangePartitioner's sampled
+  // boundaries, so the offsets job and the output provably agree), then
+  //   1. per-bucket token totals — ONE ROW per bucket — collected,
+  //      prefix-offset on the driver, broadcast-joined back;
+  //   2. the within-bucket prefix as a window partitioned BY BUCKET
+  //      (ordered running sum — spillable, never SinglePartition).
+  // The source is scanned twice (totals + output) rather than cached:
+  // a stateless recompute beats holding a corpus-sized frame pinned
+  // across consumers. Bucket width assumes roughly dense doc ids; id
+  // gaps skew bucket SIZES but never correctness.
   // ---------------------------------------------------------------------
 
   private val shardTokens = 2000L
@@ -137,43 +140,31 @@ object CurationOps {
       import s.implicits._
       val counted = docs(s, d)
         .select($"doc_id", size(TextOps.toks).cast("long").as("n_tokens"))
-        .repartitionByRange($"doc_id")
-        .sortWithinPartitions($"doc_id")
-        .as[(Long, Long)]
-      // materialize the scan ONCE (the offsets collect below populates the
-      // cache): the offsets job and the returned plan must see the same
-      // partitioning, and RangePartitioner boundaries are sample-based —
-      // two executions of the same lineage sample independently and can
-      // split boundary rows differently, corrupting offset+cum_in (or
-      // dropping rows whose pid was empty in the offsets job). Persisting
-      // fixes the partitioner after the single execution; a lost block
-      // recomputes from the SAME shuffle output. The context cleaner
-      // reclaims the cache when the frame is dropped.
-      val scanned = counted
-        .mapPartitions { it =>
-          val pid = org.apache.spark.TaskContext.getPartitionId().toLong
-          var run = 0L
-          it.map { case (id, nt) => val before = run; run += nt; (pid, id, nt, before) }
-        }
-        .toDF("pid", "doc_id", "n_tokens", "cum_in")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // one row per partition; the collect is O(partitions), not O(rows)
-      val offsets = scanned.groupBy($"pid").agg(sum($"n_tokens").as("total"))
+      val nBuckets = math.max(1, s.sessionState.conf.numShufflePartitions)
+      val maxId = counted.agg(max($"doc_id")).head.getLong(0)
+      val width = maxId / nBuckets + 1
+      val bucketed = counted.withColumn("bkt", expr(s"doc_id DIV $width"))
+      // one row per bucket; the collect is O(buckets), not O(rows)
+      val offsets = bucketed.groupBy($"bkt").agg(sum($"n_tokens").as("total"))
         .collect()
         .map(r => (r.getLong(0), r.getLong(1)))
         .sortBy(_._1)
-        .scanLeft((-1L, 0L)) { case ((_, acc), (pid, tot)) => (pid, acc + tot) }
+        .scanLeft((-1L, 0L)) { case ((_, acc), (bkt, tot)) => (bkt, acc + tot) }
         .sliding(2)
-        .collect { case Array((_, prev), (pid, _)) => (pid, prev) }
+        .collect { case Array((_, prev), (bkt, _)) => (bkt, prev) }
         .toSeq
-      val offsetDf = offsets.toDF("pid", "offset")
-      scanned
-        .join(broadcast(offsetDf), "pid")
+      val offsetDf = offsets.toDF("bkt", "offset")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"bkt").orderBy($"doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      bucketed
+        .join(broadcast(offsetDf), "bkt")
+        .withColumn("cum_before", $"offset" + coalesce(sum($"n_tokens").over(w), lit(0L)))
         .select(
           $"doc_id",
           $"n_tokens",
-          ($"offset" + $"cum_in").as("cum_before"),
-          expr(s"CAST((offset + cum_in) DIV $shardTokens AS BIGINT)").as("shard_id"))
+          $"cum_before",
+          expr(s"CAST(cum_before DIV $shardTokens AS BIGINT)").as("shard_id"))
     },
     Some(s"""
       SELECT doc_id,

@@ -736,7 +736,11 @@ object EventAnalytics {
   // use; operators/AsOf.scala documents why the scalable form is a
   // carry-forward scan, not a join). The oracle reproduces the semantics
   // with a running MAX over an (sec, event_id) encoding — portable and
-  // tie-deterministic where raw ASOF JOIN is not.
+  // tie-deterministic where raw ASOF JOIN is not. Encoding capacity:
+  // sec * 1e9 + event_id needs event_id < 1e9 and sec < 9.2e9 (epoch
+  // seconds to year ~2262) to stay inside BIGINT — true for every
+  // driver fixture with 100x headroom on ids; the Spark side is
+  // encoding-free, so only the oracle carries the precondition.
   // ---------------------------------------------------------------------
 
   val asofEnrich = Q(
@@ -765,13 +769,13 @@ object EventAnalytics {
         FROM events WHERE event_type IN ('view', 'purchase')),
       s AS (
         SELECT user_id, sec, event_id, side,
-               MAX(CASE WHEN side = 0 THEN sec * 100000000 + event_id END) OVER (
+               MAX(CASE WHEN side = 0 THEN sec * 1000000000 + event_id END) OVER (
                  PARTITION BY user_id ORDER BY sec, side, event_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS enc
         FROM u)
       SELECT user_id, event_id AS purchase_id, sec AS purchase_ts,
-             CAST(enc % 100000000 AS BIGINT) AS view_id,
-             CAST(enc // 100000000 AS BIGINT) AS view_ts
+             CAST(enc % 1000000000 AS BIGINT) AS view_id,
+             CAST(enc // 1000000000 AS BIGINT) AS view_ts
       FROM s WHERE side = 1
     """.stripMargin.trim),
     bench = true, // tracks the join-free carry-forward scan plan shape

@@ -12,11 +12,13 @@ class AsOfSpec extends SparkSpec {
 
   private def run(evs: Seq[Ev]) = {
     import spark.implicits._
-    AsOf.lastAtOrBefore[Ev](
+    val out = AsOf.lastAtOrBefore[Ev](
       spark.createDataset(evs.toIndexedSeq), _._2, _._4, _._1, _._3 == "p")
       .collect()
       .map(m => (m.key, m.probeId, m.matchId, m.matchTs))
-      .toSet
+    // exactly one emission per probe (a Set comparison would hide dupes)
+    assert(out.length === evs.count(_._3 == "p"))
+    out.toSet
   }
 
   test("boundary semantics: at-or-before, max-id tie, left-outer nulls") {
@@ -61,7 +63,16 @@ class AsOfSpec extends SparkSpec {
     try {
       mem.addData(h1); q.processAllAvailable()
       mem.addData(h2); q.processAllAvailable()
-      val streamed = spark.table("asof_stream").as[AsOf.AsOfMatch].collect().toSet
+      // a late cross-batch probe older than the carried build: the
+      // no-future guard must emit a null match, never matchTs > probeTs
+      mem.addData(Seq((9999L, 999L, "v", t + 100), (9998L, 999L, "p", 1L)))
+      q.processAllAvailable()
+      val all = spark.table("asof_stream").as[AsOf.AsOfMatch].collect()
+      // exactly one emission per probe — Sets would hide duplicates
+      assert(all.length === evs.count(_._3 == "p") + 1)
+      assert(all.forall(m => m.matchTs.forall(_ <= m.probeTs)), "future leak")
+      assert(all.find(_.probeId == 9998L).get.matchId.isEmpty)
+      val streamed = all.filter(_.key != 999L).toSet
       val batch = run(evs).map { case (k, pid, mid, mts) =>
         AsOf.AsOfMatch(k, pid, evs(pid.toInt)._4, mid, mts)
       }

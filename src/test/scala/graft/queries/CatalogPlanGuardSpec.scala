@@ -19,8 +19,9 @@ import graft.SparkSpec
   *   rows through one task — global ranks are TakeOrderedAndProject,
   *   global prefix sums are distributed (t_shard_pack), and scalar
   *   aggregates pre-aggregate to one row per partition before any
-  *   single-partition step would matter. Empirically the string does not
-  *   appear in any of the 58 plans; this pins that.
+  *   single-partition step would matter. Empirically the string appears
+  *   in NO catalog plan; this pins that for every query, present and
+  *   future.
   */
 class CatalogPlanGuardSpec extends SparkSpec {
 

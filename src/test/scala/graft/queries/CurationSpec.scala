@@ -60,12 +60,12 @@ class CurationSpec extends SparkSpec {
     val formatted = Catalog.queries("t_shard_pack")(spark, "/root/testdata/sf0.01")
       .queryExecution.explainString(ExplainMode.fromString("formatted"))
     // the naive formulation is SUM(...) OVER (ORDER BY doc_id): one global
-    // Window behind an Exchange SinglePartition. The distributed form must
-    // contain neither — range partitioning + broadcast of the per-partition
-    // offsets (one row per partition) instead.
+    // Window behind an Exchange SinglePartition. The distributed form has
+    // NO single-partition stage anywhere: the running sum is a window
+    // partitioned by the arithmetic id bucket, and the bucket offsets
+    // (one row per bucket) come back via a broadcast join.
     assert(!formatted.contains("SinglePartition"), formatted)
-    assert(!formatted.contains("Window"), formatted)
-    assert(formatted.contains("rangepartitioning"), formatted)
+    assert(formatted.contains("windowspecdefinition(bkt"), formatted)
     assert(formatted.contains("BroadcastHashJoin"), formatted)
   }
 }

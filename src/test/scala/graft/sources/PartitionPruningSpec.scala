@@ -44,16 +44,22 @@ class PartitionPruningSpec extends SparkSpec {
       (wrapped ++ p.children).flatMap(scans)
   }
 
+  @volatile private var built: Option[String] = None
+
   private lazy val dir: String = {
     val d = Files.createTempDirectory("graft-part").toString
     graft.sources.Tables.lineitem(spark, "/root/testdata/sf0.001")
       .withColumn("ship_month", date_format(col("l_shipdate"), "yyyy-MM"))
       .write.mode("overwrite").partitionBy("ship_month").parquet(s"$d/lineitem_p")
+    built = Some(d)
     d
   }
 
   override def afterAll(): Unit = {
-    try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    // delete only what a test actually created: touching the lazy val here
+    // would WRITE the fixture during teardown (and mask the real failure
+    // if the init throws)
+    try built.foreach(d => org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
     finally super.afterAll()
   }
 
