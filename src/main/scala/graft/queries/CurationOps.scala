@@ -112,6 +112,43 @@ object CurationOps {
   )
 
   // ---------------------------------------------------------------------
+  // Stratified sampling: per-group deterministic downsampling — keep X%
+  // of each language, rebalancing over-represented strata without
+  // rand()'s run-to-run churn. Same stability contract as the split:
+  // the kept set is a pure function of (doc_id, lang), so re-running on
+  // a grown corpus keeps every previously-kept document. A pure per-row
+  // projection+filter — no shuffle, embarrassingly parallel.
+  // ---------------------------------------------------------------------
+
+  private val sampleRates: Seq[(String, Int)] = // percent kept per lang
+    Seq("en" -> 25, "de" -> 50, "fr" -> 50)
+  private val defaultRate = 100
+
+  val stratifiedSample = Q(
+    "t_stratified_sample",
+    (s, d) => {
+      import s.implicits._
+      val rate = sampleRates.foldLeft(lit(defaultRate)) { case (acc, (l, r)) =>
+        when($"lang" === l, lit(r)).otherwise(acc)
+      }
+      docs(s, d)
+        .withColumn("bucket", TextOps.h60($"doc_id".cast("string")) % 100)
+        .filter($"bucket" < rate)
+        .select($"doc_id", $"lang", $"bucket")
+    },
+    Some {
+      val rate = sampleRates.foldLeft(defaultRate.toString) { case (acc, (l, r)) =>
+        s"CASE WHEN lang = '$l' THEN $r ELSE $acc END"
+      }
+      s"""
+      SELECT doc_id, lang, ${oMd5Bucket("doc_id", 100)} AS bucket
+      FROM documents
+      WHERE ${oMd5Bucket("doc_id", 100)} < ($rate)
+    """.stripMargin.trim
+    },
+  )
+
+  // ---------------------------------------------------------------------
   // Token-budget shard packing: documents in doc_id order are packed
   // into fixed-token-budget shards (shard = running total DIV budget) —
   // the step that turns a curated corpus into balanced training files.
@@ -180,5 +217,5 @@ object CurationOps {
     bench = true, // tracks the distributed-prefix-sum path round-over-round
   )
 
-  val qs: Seq[Q] = Seq(splitAssign, sourceQuota, shardPack)
+  val qs: Seq[Q] = Seq(splitAssign, sourceQuota, stratifiedSample, shardPack)
 }

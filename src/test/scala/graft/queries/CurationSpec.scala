@@ -35,6 +35,28 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("t_stratified_sample honors per-lang rates and is stable under growth") {
+    val big = Catalog.queries("t_stratified_sample")(spark, "/root/testdata/sf0.01")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val small = Catalog.queries("t_stratified_sample")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // the keep decision is a pure function of (doc_id, lang): stable
+    // wherever the stratum attribute is. (The sf fixtures are generated
+    // independently, so the same doc_id can carry a different lang —
+    // compare only the rows where it doesn't.)
+    val langBig = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val stableKept = small.filter { case (id, lang) => langBig.get(id).contains(lang) }
+    assert(stableKept.subsetOf(big), "a kept doc with an unchanged stratum must stay kept")
+    assert(stableKept.nonEmpty)
+    // rates approximately honored per stratum (hash uniformity, 500 docs)
+    val total = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = big.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(kept("en").toDouble / total("en") < 0.40, s"en kept ${kept("en")}/${total("en")}")
+    assert(kept("zh") === total("zh").toInt, "un-rated stratum must keep everything")
+  }
+
   test("t_shard_pack: shards are contiguous, budget-bounded, and cover every token") {
     val rows = Catalog.queries("t_shard_pack")(spark, "/root/testdata/sf0.01")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
