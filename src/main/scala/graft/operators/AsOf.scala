@@ -85,9 +85,10 @@ object AsOf {
     * rather than windowSec-bounded — the same retention a feature store
     * keeps. Same cross-batch ordering caveat as the other streaming
     * operators: events fold in event-time order within a micro-batch; a
-    * late cross-batch probe sees the state as of arrival, EXCEPT that a
-    * build ahead of the probe's own time never matches (the no-future
-    * guard) — it matches null rather than leaking the future.
+    * late cross-batch probe matches the newest NON-FUTURE build visible
+    * to it — the carried state if not ahead of the probe, or an older
+    * build from its own batch — and null when every visible build is
+    * ahead of it. The future never leaks into a match.
     */
   def lastAtOrBeforeStreaming[E](
       events: Dataset[E],
@@ -103,20 +104,33 @@ object AsOf {
       .flatMapGroupsWithState[AsOfState, AsOfMatch](
         OutputMode.Append(),
         GroupStateTimeout.NoTimeout()) { (kid, it, state: GroupState[AsOfState]) =>
-        var last = state.getOption.orNull
+        // `carried` = latest build EVER seen (what the state stores);
+        // `inBatch` = latest build folded so far in THIS batch. A probe
+        // matches the best of the two that is not ahead of it: in-batch
+        // builds fold in event-time order, so `inBatch` is always
+        // at-or-before the probe, while `carried` may be a FUTURE build
+        // relative to a late cross-batch probe and is guarded out (a
+        // late probe must match an older build or null — never the
+        // future).
+        var carried = state.getOption.orNull
+        var inBatch: AsOfState = null
+        def newer(a: AsOfState, b: AsOfState): Boolean =
+          b == null || a.ts > b.ts || (a.ts == b.ts && a.id > b.id)
         val out = Vector.newBuilder[AsOfMatch]
         // builds before probes at the same (ts): at-or-before semantics
         it.toSeq.sortBy(e => (ts(e), if (isProbe(e)) 1L else 0L, tie(e))).foreach { e =>
           if (isProbe(e)) {
-            // never leak the future: a late cross-batch probe older than
-            // the carried state matches null, not a build ahead of it
-            val m = if (last != null && last.ts <= ts(e)) Some(last) else None
+            val cands = Seq(Option(inBatch),
+              Option(carried).filter(_.ts <= ts(e))).flatten
+            val m = cands.sortWith(newer).headOption
             out += AsOfMatch(kid, tie(e), ts(e), m.map(_.id), m.map(_.ts))
-          } else if (last == null || ts(e) > last.ts ||
-            (ts(e) == last.ts && tie(e) > last.id))
-            last = AsOfState(ts(e), tie(e))
+          } else {
+            val b = AsOfState(ts(e), tie(e))
+            if (newer(b, inBatch)) inBatch = b
+            if (newer(b, carried)) carried = b
+          }
         }
-        if (last != null) state.update(last)
+        if (carried != null) state.update(carried)
         out.result().iterator
       }
   }

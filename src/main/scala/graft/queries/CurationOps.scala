@@ -178,7 +178,8 @@ object CurationOps {
       val counted = docs(s, d)
         .select($"doc_id", size(TextOps.toks).cast("long").as("n_tokens"))
       val nBuckets = math.max(1, s.sessionState.conf.numShufflePartitions)
-      val maxId = counted.agg(max($"doc_id")).head.getLong(0)
+      val maxRow = counted.agg(max($"doc_id")).head
+      val maxId = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0) // empty table → empty result
       val width = maxId / nBuckets + 1
       val bucketed = counted.withColumn("bkt", expr(s"doc_id DIV $width"))
       // one row per bucket; the collect is O(buckets), not O(rows)

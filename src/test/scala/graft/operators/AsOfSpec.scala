@@ -63,16 +63,24 @@ class AsOfSpec extends SparkSpec {
     try {
       mem.addData(h1); q.processAllAvailable()
       mem.addData(h2); q.processAllAvailable()
-      // a late cross-batch probe older than the carried build: the
-      // no-future guard must emit a null match, never matchTs > probeTs
-      mem.addData(Seq((9999L, 999L, "v", t + 100), (9998L, 999L, "p", 1L)))
+      // late cross-batch probes exercising the no-future guard, with the
+      // blocking build carried from an EARLIER batch (same-batch nulls
+      // would pass even without the guard):
+      //   key 999 — only a future build is visible: null match;
+      //   key 998 — a future carried build PLUS an older build in the
+      //   probe's own batch: the older build must match (the guard must
+      //   not blind the probe to at-or-before builds it folded with)
+      mem.addData(Seq((9999L, 999L, "v", t + 100), (9997L, 998L, "v", t + 100)))
+      q.processAllAvailable()
+      mem.addData(Seq((9998L, 999L, "p", 1L), (9996L, 998L, "v", 1L), (9995L, 998L, "p", 2L)))
       q.processAllAvailable()
       val all = spark.table("asof_stream").as[AsOf.AsOfMatch].collect()
       // exactly one emission per probe — Sets would hide duplicates
-      assert(all.length === evs.count(_._3 == "p") + 1)
+      assert(all.length === evs.count(_._3 == "p") + 2)
       assert(all.forall(m => m.matchTs.forall(_ <= m.probeTs)), "future leak")
       assert(all.find(_.probeId == 9998L).get.matchId.isEmpty)
-      val streamed = all.filter(_.key != 999L).toSet
+      assert(all.find(_.probeId == 9995L).get.matchId === Some(9996L))
+      val streamed = all.filter(m => m.key != 999L && m.key != 998L).toSet
       val batch = run(evs).map { case (k, pid, mid, mts) =>
         AsOf.AsOfMatch(k, pid, evs(pid.toInt)._4, mid, mts)
       }

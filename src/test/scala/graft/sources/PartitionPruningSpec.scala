@@ -48,10 +48,10 @@ class PartitionPruningSpec extends SparkSpec {
 
   private lazy val dir: String = {
     val d = Files.createTempDirectory("graft-part").toString
+    built = Some(d) // before the write: a failed build still gets cleaned up
     graft.sources.Tables.lineitem(spark, "/root/testdata/sf0.001")
       .withColumn("ship_month", date_format(col("l_shipdate"), "yyyy-MM"))
       .write.mode("overwrite").partitionBy("ship_month").parquet(s"$d/lineitem_p")
-    built = Some(d)
     d
   }
 
