@@ -68,8 +68,22 @@ object Bench {
     val failed = results.collect { case (k, v) if v.isEmpty => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.flatMap(_._2.minOption).sum
+    // The driver tail-captures stdout with a fixed-size buffer and parses the
+    // LAST line as the round's bench record. Round 8 put everything (reps +
+    // medians + spread for 17 queries) on that one line and it outgrew the
+    // capture -> BENCH_r08 "parsed": null. So: the full diagnostic blob goes
+    // to a sidecar file and an EARLIER stdout line, and the final line is a
+    // compact summary (total + min-of-reps per query) that stays parseable
+    // no matter how many queries the headline set grows to.
+    val detail =
+      s"""{"metric":"detail","medians":$medians,"spread":$spreads,"reps":$allReps,"sf":"$sfDir"}"""
+    try {
+      val out = java.nio.file.Paths.get("bench_detail.json")
+      java.nio.file.Files.write(out, (detail + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
+    println(detail)
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"medians":$medians,"spread":$spreads,"reps":$allReps,"failed":$failed,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -79,16 +79,22 @@ object AsOf {
 
   /** Streaming as-of enrichment: flatMapGroupsWithState carrying the
     * latest build row per key — the "current feature value" pattern. The
-    * state is O(1) per key and deliberately UN-expiring: an as-of match
+    * state is O(1) per key and by default UN-expiring: an as-of match
     * may reach arbitrarily far back (a user's last view can precede the
     * purchase by months), so the per-key footprint is 16 bytes forever
     * rather than windowSec-bounded — the same retention a feature store
-    * keeps. Same cross-batch ordering caveat as the other streaming
-    * operators: events fold in event-time order within a micro-batch; a
-    * late cross-batch probe matches the newest NON-FUTURE build visible
-    * to it — the carried state if not ahead of the probe, or an older
-    * build from its own batch — and null when every visible build is
-    * ahead of it. The future never leaks into a match.
+    * keeps. At billions of keys that default is a policy, not a law:
+    * pass `maxAgeSec` to expire a key's carried build once the watermark
+    * passes `build.ts + maxAgeSec` without a newer build arriving
+    * (EventTimeTimeout — the input stream must carry a watermark).
+    * Probes after expiry see null matches, the bounded-retention
+    * trade the caller opted into. Same cross-batch ordering caveat as
+    * the other streaming operators: events fold in event-time order
+    * within a micro-batch; a late cross-batch probe matches the newest
+    * NON-FUTURE build visible to it — the carried state if not ahead of
+    * the probe, or an older build from its own batch — and null when
+    * every visible build is ahead of it. The future never leaks into a
+    * match.
     */
   def lastAtOrBeforeStreaming[E](
       events: Dataset[E],
@@ -96,14 +102,24 @@ object AsOf {
       ts: E => Long,
       tie: E => Long,
       isProbe: E => Boolean,
+      maxAgeSec: Option[Long] = None,
   ): Dataset[AsOfMatch] = {
     implicit val outEnc = Encoders.product[AsOfMatch]
     implicit val stEnc = Encoders.product[AsOfState]
+    val timeoutConf =
+      if (maxAgeSec.isDefined) GroupStateTimeout.EventTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     events
       .groupByKey(key)(Encoders.scalaLong)
       .flatMapGroupsWithState[AsOfState, AsOfMatch](
         OutputMode.Append(),
-        GroupStateTimeout.NoTimeout()) { (kid, it, state: GroupState[AsOfState]) =>
+        timeoutConf) { (kid, it, state: GroupState[AsOfState]) =>
+        if (state.hasTimedOut) {
+          // retention horizon reached with no newer build: drop the key's
+          // 16 bytes; later probes for it match null until a new build
+          state.remove()
+          Iterator.empty
+        } else {
         // `carried` = latest build EVER seen (what the state stores);
         // `inBatch` = latest build folded so far in THIS batch. A probe
         // matches the best of the two that is not ahead of it: in-batch
@@ -130,8 +146,19 @@ object AsOf {
             if (newer(b, carried)) carried = b
           }
         }
-        if (carried != null) state.update(carried)
+        if (carried != null) {
+          state.update(carried)
+          // expiry clock restarts from the newest build; clamp above the
+          // current watermark — Spark rejects a timeout already in the
+          // past, so a build arriving later than its own horizon lives
+          // exactly one more micro-batch
+          maxAgeSec.foreach { age =>
+            state.setTimeoutTimestamp(
+              math.max((carried.ts + age) * 1000L, state.getCurrentWatermarkMs() + 1L))
+          }
+        }
         out.result().iterator
+        }
       }
   }
 }

@@ -118,6 +118,12 @@ object CurationOps {
   // the kept set is a pure function of (doc_id, lang), so re-running on
   // a grown corpus keeps every previously-kept document. A pure per-row
   // projection+filter — no shuffle, embarrassingly parallel.
+  //
+  // The hash is SALTED (doc_id || ':sample') so the sample decision is
+  // independent of t_split_assign's h60(doc_id): unsalted, bucket%100 is
+  // correlated with the split's bucket%1000, and any split boundary not a
+  // multiple of 100 would sample some strata at systematically skewed
+  // rates (e.g. an 85/10/5 split would keep 0% of parts of val).
   // ---------------------------------------------------------------------
 
   private val sampleRates: Seq[(String, Int)] = // percent kept per lang
@@ -132,7 +138,9 @@ object CurationOps {
         when($"lang" === l, lit(r)).otherwise(acc)
       }
       docs(s, d)
-        .withColumn("bucket", TextOps.h60($"doc_id".cast("string")) % 100)
+        .withColumn(
+          "bucket",
+          TextOps.h60(concat($"doc_id".cast("string"), lit(":sample"))) % 100)
         .filter($"bucket" < rate)
         .select($"doc_id", $"lang", $"bucket")
     },
@@ -140,10 +148,11 @@ object CurationOps {
       val rate = sampleRates.foldLeft(defaultRate.toString) { case (acc, (l, r)) =>
         s"CASE WHEN lang = '$l' THEN $r ELSE $acc END"
       }
+      val salted = oMd5Bucket("CAST(doc_id AS VARCHAR) || ':sample'", 100)
       s"""
-      SELECT doc_id, lang, ${oMd5Bucket("doc_id", 100)} AS bucket
+      SELECT doc_id, lang, $salted AS bucket
       FROM documents
-      WHERE ${oMd5Bucket("doc_id", 100)} < ($rate)
+      WHERE $salted < ($rate)
     """.stripMargin.trim
     },
   )
@@ -168,6 +177,92 @@ object CurationOps {
   // across consumers. Bucket width assumes roughly dense doc ids; id
   // gaps skew bucket SIZES but never correctness.
   // ---------------------------------------------------------------------
+
+  // ---------------------------------------------------------------------
+  // Eval-contamination check: the op every training-data pipeline runs
+  // before shipping an eval — for each val/test document, how much of its
+  // 3-gram shingle set already appears in ANY train document? High overlap
+  // means the eval doc (or a near-duplicate of it) leaked into train and
+  // its eval score is memorization, not generalization.
+  //
+  // Composition, not new machinery: t_split_assign's hash split (a pure
+  // function of doc_id, so no join is needed to tag shingle rows) +
+  // TextOps' shingle pipeline, overlapped via a shingle equi-join — never
+  // all-pairs. 100 TB shape: one distinct on the train shingle set
+  // (shuffle keyed by shingle), one shingle-keyed equi-join (both sides
+  // corpus-scale, so NO broadcast hint — AQE decides), one doc_id-keyed
+  // count agg. The contaminated threshold is 80% (n_overlap*5 >= n_sh*4):
+  // on a shared-vocabulary corpus background overlap sits near 50% while
+  // leaked near-duplicates sit at 90-100%, so 80% separates signal from
+  // vocabulary noise (distribution measured at sf0.001/sf0.01 — see
+  // ContaminationSpec).
+  // ---------------------------------------------------------------------
+
+  /** Split label as a pure function of the stable id — the same 80/10/10
+    * hash boundaries as [[splitAssign]] (kept in one place so the two can
+    * never drift).
+    */
+  private[queries] def splitOf(idCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val bucket = TextOps.h60(idCol.cast("string")) % 1000
+    when(bucket < 800, lit("train")).when(bucket < 900, lit("val")).otherwise(lit("test"))
+  }
+
+  private def oSplitCase: String =
+    s"""CASE WHEN ${oMd5Bucket("doc_id", 1000)} < 800 THEN 'train'
+       |     WHEN ${oMd5Bucket("doc_id", 1000)} < 900 THEN 'val'
+       |     ELSE 'test' END""".stripMargin
+
+  val contamination = Q(
+    "t_contamination",
+    (s, d) => {
+      import s.implicits._
+      val sh = TextOps.docShingles(s, d).withColumn("split", splitOf($"doc_id"))
+      val trainSh = sh.filter($"split" === "train").select($"sh").distinct()
+        .withColumn("hit", lit(1L))
+      val counts = sh.filter($"split" =!= "train")
+        .join(trainSh, Seq("sh"), "left")
+        .groupBy($"doc_id")
+        .agg(
+          count(lit(1)).as("n_sh"),
+          sum(coalesce($"hit", lit(0L))).as("n_overlap"))
+      // left join from the full eval doc list so shingle-less (tiny) docs
+      // still get a row — absent rows read as "not checked", not "clean"
+      docs(s, d).select($"doc_id", splitOf($"doc_id").as("split"))
+        .filter($"split" =!= "train")
+        .join(counts, Seq("doc_id"), "left")
+        .select(
+          $"doc_id",
+          $"split",
+          coalesce($"n_sh", lit(0L)).as("n_sh"),
+          coalesce($"n_overlap", lit(0L)).as("n_overlap"))
+        .withColumn(
+          "overlap_pct",
+          when($"n_sh" > 0, floor(lit(100.0) * $"n_overlap" / $"n_sh"))
+            .otherwise(lit(0L)).cast("long"))
+        .withColumn("contaminated", $"n_sh" > 0 && $"n_overlap" * 5 >= $"n_sh" * 4)
+    },
+    Some(s"""
+      WITH sh0 AS (SELECT doc_id, unnest(${TextOps.oracleShingles}) AS sh FROM documents),
+      spl AS (SELECT doc_id, $oSplitCase AS split FROM documents),
+      sh AS (SELECT sh0.doc_id, spl.split, sh0.sh FROM sh0 JOIN spl USING (doc_id)),
+      train_sh AS (SELECT DISTINCT sh FROM sh WHERE split = 'train'),
+      cnt AS (
+        SELECT e.doc_id, COUNT(*) AS n_sh, COUNT(t.sh) AS n_overlap
+        FROM (SELECT * FROM sh WHERE split <> 'train') e
+        LEFT JOIN train_sh t ON e.sh = t.sh
+        GROUP BY 1)
+      SELECT s.doc_id, s.split,
+             CAST(COALESCE(c.n_sh, 0) AS BIGINT) AS n_sh,
+             CAST(COALESCE(c.n_overlap, 0) AS BIGINT) AS n_overlap,
+             CAST(CASE WHEN COALESCE(c.n_sh, 0) > 0
+                       THEN FLOOR(100.0 * c.n_overlap / c.n_sh) ELSE 0 END AS BIGINT) AS overlap_pct,
+             (COALESCE(c.n_sh, 0) > 0
+              AND COALESCE(c.n_overlap, 0) * 5 >= COALESCE(c.n_sh, 0) * 4) AS contaminated
+      FROM spl s LEFT JOIN cnt c USING (doc_id)
+      WHERE s.split <> 'train'
+    """.stripMargin.trim),
+    bench = true, // composed shingle join — track it round-over-round
+  )
 
   private val shardTokens = 2000L
 
@@ -218,5 +313,6 @@ object CurationOps {
     bench = true, // tracks the distributed-prefix-sum path round-over-round
   )
 
-  val qs: Seq[Q] = Seq(splitAssign, sourceQuota, stratifiedSample, shardPack)
+  val qs: Seq[Q] =
+    Seq(splitAssign, sourceQuota, stratifiedSample, shardPack, contamination)
 }

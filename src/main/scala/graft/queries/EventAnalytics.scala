@@ -418,9 +418,16 @@ object EventAnalytics {
 
   /** Approximate distinct (HLL++) — the Spark-idiomatic replacement for the
     * reference's hand-rolled Redis-backed Bloom filter
-    * (UvWithBloomFilter.java:94-161). Not SQL-oracle-comparable (different
-    * sketch), so the driver records a rows-only check; the ScalaTest spec
-    * asserts the estimate is within 5% of the exact count.
+    * (UvWithBloomFilter.java:94-161). The raw HLL estimate is not
+    * SQL-oracle-comparable (different sketch), so the published row is the
+    * banded-accuracy form: per window, the exact distinct count plus a
+    * boolean asserting the HLL estimate landed within ±5% of it (5× the
+    * configured 1% rsd — the same tolerated-error framing the reference
+    * uses for its collision-lossy Bloom UV). The boolean is deterministic
+    * on a fixed corpus, so DuckDB gates it fully (oracle side: exact count
+    * + TRUE) — an out-of-band estimate now FAILS the driver's hash gate
+    * instead of slipping through a rows-only check. UvApproxErrorSpec
+    * still quantifies the raw per-window error.
     */
   val uvApprox = Q(
     "uv_approx",
@@ -428,9 +435,21 @@ object EventAnalytics {
       import s.implicits._
       Tables.events(s, d)
         .groupBy(tumble($"ts_sec", 86400L))
-        .agg(approx_count_distinct($"user_id", 0.01).as("uv_approx"))
+        .agg(
+          countDistinct($"user_id").as("uv_exact"),
+          approx_count_distinct($"user_id", 0.01).as("est"))
+        .select(
+          $"window_start",
+          $"uv_exact",
+          (abs($"est" - $"uv_exact").cast("double") <= $"uv_exact" * 0.05)
+            .as("within_band"))
     },
-    None,
+    Some(s"""
+      $oracleBase
+      SELECT sec - sec % 86400 AS window_start,
+             COUNT(DISTINCT user_id) AS uv_exact, TRUE AS within_band
+      FROM base GROUP BY 1
+    """.stripMargin.trim),
   )
 
   // ---------------------------------------------------------------------

@@ -117,7 +117,7 @@ object TextOps {
     * scan-side fan-out made every other query slower (SCALING.md round 3);
     * on a multi-row-group table the repartition is skipped entirely.
     */
-  private def docShingles(s: SparkSession, d: String): DataFrame = {
+  private[queries] def docShingles(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     fannedDocs(s, d)
       .withColumn("tk", toks)
@@ -159,8 +159,8 @@ object TextOps {
   private val oracleToks =
     "list_filter(string_split(text, ' '), x -> x != '')"
 
-  /** DuckDB equivalent of [[shingles]]. */
-  private val oracleShingles =
+  /** DuckDB equivalent of [[shinglesOfTk]]. */
+  private[queries] val oracleShingles =
     s"""list_distinct(list_transform(
        |  generate_series(1, greatest(len($oracleToks) - 2, 0)),
        |  i -> $oracleToks[i] || ' ' || $oracleToks[i+1] || ' ' || $oracleToks[i+2]))""".stripMargin
@@ -425,6 +425,85 @@ object TextOps {
              ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rk,
              ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) > 1 AS is_duplicate
       FROM documents
+    """.stripMargin.trim),
+  )
+
+  // ---------------------------------------------------------------------
+  // Paragraph-level exact dedup — the classic residue doc-level dedup
+  // misses: boilerplate blocks (nav text, license headers) repeated
+  // across otherwise-distinct documents. Split each document into
+  // paragraphs, md5 each, keep only the FIRST occurrence of every
+  // distinct paragraph corpus-wide (order: doc_id, then position), and
+  // reassemble each document from its kept paragraphs.
+  //
+  // The fixture corpus is single-line space-separated text (no \n\n), so
+  // the paragraph unit here is the fixture-appropriate analogue: fixed
+  // 25-token blocks — the same block/line-level granularity production
+  // pipelines (CCNet-style line dedup) use when structural delimiters
+  // are unreliable. A real corpus would swap the chunker for
+  // split(text, '\n\n') and keep the rest of the pipeline unchanged.
+  //
+  // 100 TB shape: explode to paragraph rows (linear), ONE shuffle keyed
+  // by the 128-bit paragraph hash for the first-occurrence window, one
+  // doc_id-keyed reassembly agg. Nothing quadratic; the shuffle payload
+  // is paragraphs, i.e. the corpus itself — the same order as any
+  // rewrite pass.
+  // ---------------------------------------------------------------------
+
+  private val paraTokens = 25
+
+  val dedupPara = Q(
+    "t_dedup_para",
+    (s, d) => {
+      import s.implicits._
+      val paras = fannedDocs(s, d)
+        .withColumn("tk", toks)
+        .filter(size($"tk") > 0)
+        .select(
+          $"doc_id",
+          posexplode(expr(
+            s"""transform(sequence(0, (size(tk) - 1) DIV $paraTokens),
+               |  b -> concat_ws(' ', slice(tk, b * $paraTokens + 1, $paraTokens)))""".stripMargin)))
+        .withColumnRenamed("pos", "para_idx")
+        .withColumnRenamed("col", "para")
+      val firstW = Window.partitionBy($"para_hash").orderBy($"doc_id", $"para_idx")
+      paras
+        .withColumn("para_hash", md5($"para"))
+        .withColumn("keep", row_number().over(firstW) === 1)
+        .groupBy($"doc_id")
+        .agg(
+          count(lit(1)).as("n_paras"),
+          sum(when($"keep", lit(1L)).otherwise(lit(0L))).as("n_kept"),
+          // kept paragraphs in document order; collect_list drops the
+          // nulls the `when` leaves for removed paragraphs
+          array_join(
+            transform(
+              array_sort(collect_list(when($"keep", struct($"para_idx", $"para")))),
+              x => x.getField("para")),
+            " ").as("clean_text"))
+    },
+    Some(s"""
+      WITH tk AS (
+        SELECT doc_id, $oracleToks AS tk FROM documents WHERE len($oracleToks) > 0),
+      idx AS (
+        SELECT doc_id, tk,
+               unnest(generate_series(0, (len(tk) - 1) // $paraTokens)) AS para_idx
+        FROM tk),
+      paras AS (
+        SELECT doc_id, para_idx,
+               array_to_string(
+                 tk[para_idx * $paraTokens + 1 : para_idx * $paraTokens + $paraTokens],
+                 ' ') AS para
+        FROM idx),
+      ranked AS (
+        SELECT doc_id, para_idx, para,
+               ROW_NUMBER() OVER (PARTITION BY md5(para) ORDER BY doc_id, para_idx) AS rk
+        FROM paras)
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_paras,
+             CAST(SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             COALESCE(string_agg(para, ' ' ORDER BY para_idx) FILTER (WHERE rk = 1), '')
+               AS clean_text
+      FROM ranked GROUP BY 1
     """.stripMargin.trim),
   )
 
@@ -917,6 +996,7 @@ object TextOps {
     langId,
     qualityScore,
     dedupExact,
+    dedupPara,
     minhashLsh,
     ngramJaccard,
     jaccardPostDedup,

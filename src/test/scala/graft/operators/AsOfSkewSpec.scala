@@ -1,0 +1,58 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Adversarial one-key skew for the join-free as-of operator (the round-8
+  * verdict's "as-of hot-key probe" ask): a single hot key holding 10^5+
+  * interleaved build+probe events driven through the FULL Spark operator
+  * ([[AsOf.lastAtOrBefore]]: repartition + secondary sort + carry-forward
+  * scan), asserted against the closed form, with a 4× size step pinning
+  * near-linear time. A hot key is single-task sequential by semantics
+  * (same as Flink keyBy), but the per-event work is O(1) — the carried
+  * build row — and the sort is spillable n·log n, so the key is CPU-linear,
+  * never state-quadratic. Measured numbers are recorded in SCALING.md
+  * ("as-of hot-key probe").
+  */
+class AsOfSkewSpec extends SparkSpec {
+
+  type Ev = (Long, Long, String, Long) // id, key, type, ts
+
+  /** Alternating build (even id, ts=i) / probe (odd id, ts=i) on ONE key:
+    * every probe's closed-form match is the immediately preceding build.
+    */
+  private def hotKey(n: Int): Seq[Ev] =
+    (0 until n).map(i => (i.toLong, 1L, if (i % 2 == 1) "p" else "v", i.toLong))
+
+  private def run(n: Int): (Double, Array[AsOf.AsOfMatch]) = {
+    import spark.implicits._
+    val ds = spark.createDataset(hotKey(n).toIndexedSeq)
+    val t0 = System.nanoTime()
+    val out = AsOf.lastAtOrBefore[Ev](ds, _._2, _._4, _._1, _._3 == "p").collect()
+    ((System.nanoTime() - t0) / 1e9, out)
+  }
+
+  test("one key, 100k interleaved build+probe events: closed-form output") {
+    val n = 100000
+    val (_, out) = run(n)
+    assert(out.length === n / 2)
+    out.foreach { m =>
+      assert(m.key === 1L)
+      assert(m.matchId === Some(m.probeId - 1), s"probe ${m.probeId} matched ${m.matchId}")
+      assert(m.matchTs === Some(m.probeTs - 1))
+    }
+  }
+
+  test("as-of hot-key probe: 4x one-key events stays near-linear end-to-end") {
+    run(50000) // JIT + shuffle-path warmup
+    val t1 = (1 to 3).map(_ => run(100000)._1).min
+    val t4 = (1 to 3).map(_ => run(400000)._1).min
+    info(f"100k one-key build+probe: $t1%.3fs; 400k: $t4%.3fs; ratio ${t4 / t1}%.1fx")
+    // linear => ~4x (plus fixed job overhead pushing it BELOW 4x); a
+    // per-probe re-buffering formulation would be ~16x. Generous bound
+    // keeps CI noise out.
+    assert(t4 / t1 < 10.0, f"super-linear as-of hot key: ${t4 / t1}%.1fx for 4x events")
+    // machine-independent backstop: O(1)-per-event carry-forward finishes
+    // 400k events in well under this on any box
+    assert(t4 < 30.0, f"400k one-key as-of events took $t4%.2fs — not O(1) per event")
+  }
+}

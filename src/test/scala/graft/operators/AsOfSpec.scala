@@ -9,6 +9,7 @@ import graft.SparkSpec
 class AsOfSpec extends SparkSpec {
 
   type Ev = (Long, Long, String, Long) // id, key, type, ts
+  type Ev5 = (Long, Long, String, Long, java.sql.Timestamp) // + watermark col
 
   private def run(evs: Seq[Ev]) = {
     import spark.implicits._
@@ -86,6 +87,43 @@ class AsOfSpec extends SparkSpec {
       }
       assert(streamed === batch)
       assert(streamed.exists(_.matchId.isEmpty) && streamed.exists(_.matchId.nonEmpty))
+    } finally q.stop()
+  }
+
+  test("maxAgeSec retention: carried state expires at the horizon, probes after it match null") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_seconds}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+
+    val mem = MemoryStream[Ev]
+    // EventTimeTimeout needs a watermark on the input stream
+    val ds = mem.toDS()
+      .withColumn("ets", timestamp_seconds(col("_4")))
+      .withWatermark("ets", "0 seconds")
+      .as[Ev5]
+    val q = AsOf.lastAtOrBeforeStreaming[Ev5](
+      ds, _._2, _._4, _._1, _._3 == "p", maxAgeSec = Some(10L))
+      .writeStream.format("memory").queryName("asof_ttl").outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt-asof-ttl").toString)
+      .start()
+    try {
+      // b1: key 1 gets a build at ts=100 (expiry horizon 110)
+      mem.addData(Seq((1L, 1L, "v", 100L))); q.processAllAvailable()
+      // b2: a probe INSIDE the horizon matches; watermark advances to 105
+      mem.addData(Seq((2L, 1L, "p", 105L))); q.processAllAvailable()
+      // b3: unrelated key pushes the watermark to 200, past the horizon
+      mem.addData(Seq((3L, 2L, "v", 200L))); q.processAllAvailable()
+      // b4: key 1 has no data while the timeout fires — state is removed
+      mem.addData(Seq((4L, 2L, "v", 201L))); q.processAllAvailable()
+      // b5: a later probe for key 1 now sees NO carried build: null match
+      mem.addData(Seq((5L, 1L, "p", 300L))); q.processAllAvailable()
+      val out = spark.table("asof_ttl").as[AsOf.AsOfMatch].collect()
+      assert(out.find(_.probeId == 2L).get.matchId === Some(1L),
+        "a probe before the horizon must still match the carried build")
+      assert(out.find(_.probeId == 5L).get.matchId.isEmpty,
+        "after expiry the carried build must be gone — bounded retention")
     } finally q.stop()
   }
 

@@ -4,16 +4,20 @@ import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
 
-/** Quantifies the one rows-only catalog gate: `uv_approx` (HLL++,
-  * configured rsd = 1%) against the exact per-window distinct count of
-  * `unique_visitors` over the same tumbling day windows at sf0.01.
+/** Quantifies the `uv_approx` accuracy gate: HLL++ (configured rsd = 1%)
+  * against the exact per-window distinct count over the same tumbling day
+  * windows at sf0.01.
   *
   * HLL++ error is probabilistic — rsd is a standard deviation, not a
   * bound — so the gate allows 5× the configured rsd per window (the same
   * tolerated-error framing the reference uses for its Bloom UV, which
   * under-counts on hash collisions by design; UvWithBloomFilter.java's
   * 2^29 bitmap). A deterministic corpus makes the measured error stable,
-  * so the assertion is reproducible, not flaky. Measured numbers are
+  * so the assertion is reproducible, not flaky. Since round 9 the same
+  * band is baked into the catalog row itself (`within_band` column,
+  * oracle-gated against TRUE); this spec additionally measures the RAW
+  * per-window estimate, which the published row deliberately omits
+  * because DuckDB cannot reproduce the sketch. Measured numbers are
   * recorded in SCALING.md ("UV approx error quantified").
   */
 class UvApproxErrorSpec extends SparkSpec {
@@ -22,8 +26,11 @@ class UvApproxErrorSpec extends SparkSpec {
   private val rsd = 0.01
 
   test("uv_approx per-window error stays within 5x the configured 1% rsd") {
-    val approx = Catalog.queries("uv_approx")(spark, sf)
-      .select(col("window_start"), col("uv_approx"))
+    // raw estimate, recomputed here because the catalog row publishes only
+    // the banded boolean (the estimate itself is not oracle-comparable)
+    val approx = graft.sources.Tables.events(spark, sf)
+      .groupBy((col("ts_sec") - pmod(col("ts_sec"), lit(86400L))).as("window_start"))
+      .agg(approx_count_distinct(col("user_id"), rsd).as("uv_approx"))
     val exact = Catalog.queries("unique_visitors")(spark, sf)
       .select(col("window_start"), col("uv"))
     val errs = approx.join(exact, "window_start")
@@ -46,5 +53,12 @@ class UvApproxErrorSpec extends SparkSpec {
         s"window ${r.getLong(0)}: exact=${r.getLong(1)} approx=${r.getLong(2)} " +
           s"rel_err=${r.getDouble(3)} exceeds 5x rsd")
     }
+  }
+
+  test("catalog uv_approx row publishes the banded boolean, all-true on the fixed corpus") {
+    val rows = Catalog.queries("uv_approx")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Boolean]("within_band")),
+      "every window's HLL estimate must land within the published ±5% band")
   }
 }

@@ -56,20 +56,28 @@ if (!fresh) {
   // computed spans would desync the FK the moment one table's max key
   // drifts (every replicated lineitem row would dangle, silently
   // understating join query rows). 10x the max keeps spaces readable.
-  val orderSpan = {
-    val o = s.read.parquet(s"$src/orders.parquet").agg(max(col("o_orderkey"))).head.getLong(0)
-    val l = s.read.parquet(s"$src/lineitem.parquet").agg(max(col("l_orderkey"))).head.getLong(0)
-    math.max(o, l) * 10L
+  // max over an empty table is NULL (getLong would NPE), and a max key of
+  // 0 would collapse every replica onto the same key space — require a
+  // strictly positive span before replicating (mirrors the shard packer's
+  // empty-input guard)
+  def maxKey(table: String, key: String): Long = {
+    val r = s.read.parquet(s"$src/$table.parquet").agg(max(col(key))).head
+    if (r.isNullAt(0)) 0L else r.getLong(0)
   }
+  val orderSpan =
+    math.max(maxKey("orders", "o_orderkey"), maxKey("lineitem", "l_orderkey")) * 10L
   def shifted(table: String, keys: Seq[String], spanIn: Long = -1L): Unit = {
     val base = s.read.parquet(s"$src/$table.parquet")
-    val span =
-      if (spanIn > 0) spanIn else base.agg(max(col(keys.head))).head.getLong(0) * 10L
+    val span = if (spanIn > 0) spanIn else maxKey(table, keys.head) * 10L
+    require(span > 0L,
+      s"[replica] $table: empty source or max(${keys.head}) = 0 — refusing to " +
+        "replicate onto overlapping key spaces")
     val all = (0 until replicas)
       .map(i => keys.foldLeft(base)((d, k) => d.withColumn(k, col(k) + lit(i * span))))
       .reduce(_ unionAll _)
     all.write.mode("overwrite").parquet(s"$dest/$table.parquet")
   }
+  require(orderSpan > 0L, "[replica] empty orders/lineitem source — nothing to replicate")
   shifted("orders", Seq("o_orderkey"), orderSpan)
   shifted("lineitem", Seq("l_orderkey"), orderSpan)
   shifted("documents", Seq("doc_id"))
