@@ -961,6 +961,98 @@ object TextOps {
   )
 
   // ---------------------------------------------------------------------
+  // Within-document repetition signals — the Gopher/"repetition" family
+  // of quality heuristics: a document whose n-grams repeat internally
+  // (boilerplate loops, keyword stuffing, template fill) is low-value
+  // training data even when its length/TTR pass the coarse quality gate.
+  // Two standard signals: the fraction of 3-grams that are internal
+  // duplicates, and the share of the single most frequent bigram.
+  //
+  // Shape: the trigram signal is a pure per-row projection (no shuffle);
+  // the top-bigram mode needs a per-(doc, bigram) count — explode →
+  // count → per-doc max, two keyed shuffles, both linear. A per-row
+  // higher-order-function mode would be O(tokens²) per document and is
+  // exactly the trap the shingle pipeline's docs warn about.
+  // ---------------------------------------------------------------------
+
+  private val dupTriPctMax = 5L // >=5% duplicated trigrams → repetitive
+  private val topBigramPctMax = 10L // >=10% single-bigram share → repetitive
+
+  val repetition = Q(
+    "t_repetition",
+    (s, d) => {
+      import s.implicits._
+      val base = docs(s, d).select($"doc_id", toks.as("tk"))
+      val tri = base.select(
+        $"doc_id",
+        size($"tk").cast("long").as("n_tokens"),
+        expr("CAST(greatest(size(tk) - 2, 0) AS BIGINT)").as("n_tri"),
+        // guard tiny docs: Spark's sequence(1, 0) DESCENDS ([1, 0]) where
+        // DuckDB's generate_series(1, 0) is empty — never build the ngram
+        // list unless there is at least one
+        when($"tk".isNotNull && size($"tk") >= 3,
+          expr("""CAST(size(array_distinct(transform(
+                 |  sequence(1, size(tk) - 2),
+                 |  i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1),
+                 |                 element_at(tk, i + 2))))) AS BIGINT)""".stripMargin))
+          .otherwise(lit(0L)).as("n_tri_dist"))
+      val btop = base
+        .filter(size($"tk") >= 2)
+        .select($"doc_id", explode(expr(
+          """transform(sequence(1, size(tk) - 1),
+            |  i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1)))""".stripMargin))
+          .as("bg"))
+        .groupBy($"doc_id", $"bg").agg(count(lit(1)).as("c"))
+        .groupBy($"doc_id").agg(max($"c").as("top_c"), sum($"c").as("n_bg"))
+      tri.join(btop, Seq("doc_id"), "left")
+        .withColumn(
+          "dup_tri_pct",
+          when($"n_tri" > 0, floor(lit(100.0) * ($"n_tri" - $"n_tri_dist") / $"n_tri"))
+            .otherwise(lit(0L)).cast("long"))
+        .withColumn(
+          "top_bigram_pct",
+          when(coalesce($"n_bg", lit(0L)) > 0, floor(lit(100.0) * $"top_c" / $"n_bg"))
+            .otherwise(lit(0L)).cast("long"))
+        .withColumn(
+          "repetitive",
+          $"dup_tri_pct" >= dupTriPctMax || $"top_bigram_pct" >= topBigramPctMax)
+        .select($"doc_id", $"n_tokens", $"dup_tri_pct", $"top_bigram_pct", $"repetitive")
+    },
+    Some(s"""
+      WITH t AS (SELECT doc_id, $oracleToks AS tk FROM documents),
+      tri AS (
+        SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+               greatest(len(tk) - 2, 0) AS n_tri,
+               len(list_distinct(list_transform(
+                 generate_series(1, greatest(len(tk) - 2, 0)),
+                 i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS n_tri_dist
+        FROM t),
+      bg AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, greatest(len(tk) - 1, 0)),
+                 i -> tk[i] || ' ' || tk[i+1])) AS bg
+        FROM t),
+      bcnt AS (SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+      btop AS (SELECT doc_id, MAX(c) AS top_c, CAST(SUM(c) AS BIGINT) AS n_bg
+               FROM bcnt GROUP BY 1)
+      SELECT tri.doc_id, n_tokens,
+             CASE WHEN n_tri > 0
+                  THEN CAST(FLOOR(100.0 * (n_tri - n_tri_dist) / n_tri) AS BIGINT)
+                  ELSE 0 END AS dup_tri_pct,
+             CASE WHEN COALESCE(n_bg, 0) > 0
+                  THEN CAST(FLOOR(100.0 * top_c / n_bg) AS BIGINT)
+                  ELSE 0 END AS top_bigram_pct,
+             (CASE WHEN n_tri > 0
+                   THEN FLOOR(100.0 * (n_tri - n_tri_dist) / n_tri)
+                   ELSE 0 END >= $dupTriPctMax
+              OR CASE WHEN COALESCE(n_bg, 0) > 0
+                      THEN FLOOR(100.0 * top_c / n_bg)
+                      ELSE 0 END >= $topBigramPctMax) AS repetitive
+      FROM tri LEFT JOIN btop ON tri.doc_id = btop.doc_id
+    """.stripMargin.trim),
+  )
+
+  // ---------------------------------------------------------------------
   // BPE-ish pre-tokenization — the regex family GPT-2-style tokenizers
   // use ahead of merge rules: letter runs, digit runs, single
   // non-alphanumeric marks. ASCII-restricted so Java regex (Spark) and
@@ -997,6 +1089,7 @@ object TextOps {
     qualityScore,
     dedupExact,
     dedupPara,
+    repetition,
     minhashLsh,
     ngramJaccard,
     jaccardPostDedup,

@@ -27,4 +27,30 @@ class TextOpsSpec extends SparkSpec {
     // doc_a < doc_b by construction
     assert(pairs.filter("doc_a >= doc_b").count() === 0)
   }
+
+  test("t_repetition signals match a brute-force per-doc recount") {
+    val sf = "/root/testdata/sf0.01"
+    val got = Catalog.queries("t_repetition")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("dup_tri_pct"), r.getAs[Long]("top_bigram_pct"),
+          r.getAs[Boolean]("repetitive"))).toMap
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(got.size === docs.length)
+    docs.foreach { case (id, text) =>
+      val tk = text.split(" ").filter(_.nonEmpty)
+      val tris = tk.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSeq
+      val dupPct =
+        if (tris.isEmpty) 0L
+        else math.floor(100.0 * (tris.size - tris.distinct.size) / tris.size).toLong
+      val bgs = tk.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+      val topPct =
+        if (bgs.isEmpty) 0L
+        else math.floor(100.0 * bgs.groupBy(identity).values.map(_.size).max / bgs.size).toLong
+      assert(got(id) === ((dupPct, topPct, dupPct >= 5 || topPct >= 10)), s"doc $id")
+    }
+    // the signal must discriminate on this corpus: flags a minority, not none
+    val flagged = got.values.count(_._3)
+    assert(flagged > 0 && flagged < got.size / 4, s"flagged $flagged of ${got.size}")
+  }
 }

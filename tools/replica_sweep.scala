@@ -57,7 +57,7 @@ if (!fresh) {
   // drifts (every replicated lineitem row would dangle, silently
   // understating join query rows). 10x the max keeps spaces readable.
   // max over an empty table is NULL (getLong would NPE), and a max key of
-  // 0 would collapse every replica onto the same key space — require a
+  // 0 would collapse every replica onto the same key space - require a
   // strictly positive span before replicating (mirrors the shard packer's
   // empty-input guard)
   def maxKey(table: String, key: String): Long = {
@@ -70,14 +70,14 @@ if (!fresh) {
     val base = s.read.parquet(s"$src/$table.parquet")
     val span = if (spanIn > 0) spanIn else maxKey(table, keys.head) * 10L
     require(span > 0L,
-      s"[replica] $table: empty source or max(${keys.head}) = 0 — refusing to " +
+      s"[replica] $table: empty source or max(${keys.head}) = 0 - refusing to " +
         "replicate onto overlapping key spaces")
     val all = (0 until replicas)
       .map(i => keys.foldLeft(base)((d, k) => d.withColumn(k, col(k) + lit(i * span))))
       .reduce(_ unionAll _)
     all.write.mode("overwrite").parquet(s"$dest/$table.parquet")
   }
-  require(orderSpan > 0L, "[replica] empty orders/lineitem source — nothing to replicate")
+  require(orderSpan > 0L, "[replica] empty orders/lineitem source - nothing to replicate")
   shifted("orders", Seq("o_orderkey"), orderSpan)
   shifted("lineitem", Seq("l_orderkey"), orderSpan)
   shifted("documents", Seq("doc_id"))
