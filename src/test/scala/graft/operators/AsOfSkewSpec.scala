@@ -10,8 +10,8 @@ import graft.SparkSpec
   * near-linear time. A hot key is single-task sequential by semantics
   * (same as Flink keyBy), but the per-event work is O(1) — the carried
   * build row — and the sort is spillable n·log n, so the key is CPU-linear,
-  * never state-quadratic. Measured numbers are recorded in SCALING.md
-  * ("as-of hot-key probe").
+  * never state-quadratic. Measured numbers are recorded in
+  * SCALING.md ("as-of hot-key probe").
   */
 class AsOfSkewSpec extends SparkSpec {
 
