@@ -158,6 +158,87 @@ object CurationOps {
   )
 
   // ---------------------------------------------------------------------
+  // Domain mixing — the data-mixture step of corpus assembly (the Pile /
+  // Dolma pattern): given target mixture WEIGHTS over the listed sources,
+  // find the largest total token budget B whose per-source needs
+  // (w_s/W · B) fit inside each source's actual supply T_s — i.e.
+  // B = min_s floor(T_s · W / w_s), the binding-source rule — then keep
+  // a deterministic salted-hash fraction of each source's documents that
+  // lands the budget. Unlisted sources are not part of the mixture and
+  // are dropped (a mixture definition is a whitelist). All math is exact
+  // integer (floor divisions), so DuckDB reproduces the rates bit-for-bit.
+  //
+  // 100 TB shape: one per-source token agg (20 rows — domains are
+  // low-cardinality) collected to the driver O(|sources|) — the same
+  // sanctioned one-row-per-bucket hand-off as the shard packer (a
+  // constant-key self-join formulation was tried and Catalyst folds the
+  // literal key away, planning the BroadcastNestedLoopJoin the plan guard
+  // bans) — then one broadcast join of the ≤|sources| rate table onto the
+  // corpus scan with a per-row hash filter. No corpus-sized shuffle at all.
+  // ---------------------------------------------------------------------
+
+  private val mixWeights: Seq[(String, Long)] = // relative target weights
+    Seq("src0" -> 40L, "src1" -> 20L, "src2" -> 10L, "src3" -> 5L)
+  private val mixW: Long = mixWeights.map(_._2).sum
+
+  val domainMix = Q(
+    "t_domain_mix",
+    (s, d) => {
+      import s.implicits._
+      val weightCol = mixWeights.foldLeft(lit(null).cast("long")) {
+        case (acc, (src, w)) => when($"source" === src, lit(w)).otherwise(acc)
+      }
+      val counted = docs(s, d)
+        .select($"doc_id", $"source", weightCol.as("w"))
+        .filter($"w".isNotNull)
+      // one row per LISTED source — the collect is O(|mixWeights|), never
+      // O(rows), mirroring the shard packer's bucket-offset hand-off
+      val totals = docs(s, d)
+        .select($"source", weightCol.as("w"), size(TextOps.toks).cast("long").as("n_tokens"))
+        .filter($"w".isNotNull)
+        .groupBy($"source", $"w")
+        .agg(sum($"n_tokens").as("toks"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      val rates =
+        if (totals.isEmpty) Seq.empty[(String, Long)].toDF("source", "rate_pct")
+        else {
+          val b = totals.map { case (_, w, toks) => toks * mixW / w }.min
+          totals.toSeq
+            .map { case (src, w, toks) => (src, 100L * (w * b / mixW) / toks) }
+            .toDF("source", "rate_pct")
+        }
+      counted
+        .join(broadcast(rates), "source")
+        .withColumn(
+          "bucket",
+          TextOps.h60(concat($"doc_id".cast("string"), lit(":mix"))) % 100)
+        .filter($"bucket" < $"rate_pct")
+        .select($"doc_id", $"source", $"rate_pct", $"bucket")
+    },
+    Some {
+      val weightsValues = mixWeights
+        .map { case (s0, w) => s"('$s0', ${w}::BIGINT)" }.mkString(", ")
+      val salted = oMd5Bucket("CAST(doc_id AS VARCHAR) || ':mix'", 100)
+      s"""
+      WITH weights(source, w) AS (VALUES $weightsValues),
+      totals AS (
+        SELECT d.source, w.w,
+               CAST(SUM(len(list_filter(string_split(d.text, ' '), x -> x != ''))) AS BIGINT) AS toks
+        FROM documents d JOIN weights w ON d.source = w.source
+        GROUP BY 1, 2),
+      budget AS (SELECT MIN(toks * $mixW // w) AS b FROM totals),
+      rates AS (
+        SELECT t.source, (100 * (t.w * b.b // $mixW)) // t.toks AS rate_pct
+        FROM totals t CROSS JOIN budget b)
+      SELECT d.doc_id, d.source, r.rate_pct, $salted AS bucket
+      FROM documents d JOIN rates r ON d.source = r.source
+      WHERE $salted < r.rate_pct
+    """.stripMargin.trim
+    },
+  )
+
+  // ---------------------------------------------------------------------
   // Token-budget shard packing: documents in doc_id order are packed
   // into fixed-token-budget shards (shard = running total DIV budget) —
   // the step that turns a curated corpus into balanced training files.
@@ -314,5 +395,5 @@ object CurationOps {
   )
 
   val qs: Seq[Q] =
-    Seq(splitAssign, sourceQuota, stratifiedSample, shardPack, contamination)
+    Seq(splitAssign, sourceQuota, stratifiedSample, shardPack, contamination, domainMix)
 }

