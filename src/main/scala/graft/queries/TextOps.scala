@@ -443,36 +443,41 @@ object TextOps {
 
   private val paraTokens = 25
 
+  /** The operator core over any (doc_id, text) frame — exposed so the
+    * property spec can drive planted-boilerplate corpora through the real
+    * plan (the catalog entry wires it to the fanned documents scan).
+    */
+  private[queries] def dedupParaOn(docsDf: DataFrame): DataFrame = {
+    val paras = docsDf
+      .withColumn("tk", toks)
+      .filter(size(col("tk")) > 0)
+      .select(
+        col("doc_id"),
+        posexplode(expr(
+          s"""transform(sequence(0, (size(tk) - 1) DIV $paraTokens),
+             |  b -> concat_ws(' ', slice(tk, b * $paraTokens + 1, $paraTokens)))""".stripMargin)))
+      .withColumnRenamed("pos", "para_idx")
+      .withColumnRenamed("col", "para")
+    val firstW = Window.partitionBy(col("para_hash")).orderBy(col("doc_id"), col("para_idx"))
+    paras
+      .withColumn("para_hash", md5(col("para")))
+      .withColumn("keep", row_number().over(firstW) === 1)
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_paras"),
+        sum(when(col("keep"), lit(1L)).otherwise(lit(0L))).as("n_kept"),
+        // kept paragraphs in document order; collect_list drops the
+        // nulls the `when` leaves for removed paragraphs
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("keep"), struct(col("para_idx"), col("para"))))),
+            x => x.getField("para")),
+          " ").as("clean_text"))
+  }
+
   val dedupPara = Q(
     "t_dedup_para",
-    (s, d) => {
-      import s.implicits._
-      val paras = fannedDocs(s, d)
-        .withColumn("tk", toks)
-        .filter(size($"tk") > 0)
-        .select(
-          $"doc_id",
-          posexplode(expr(
-            s"""transform(sequence(0, (size(tk) - 1) DIV $paraTokens),
-               |  b -> concat_ws(' ', slice(tk, b * $paraTokens + 1, $paraTokens)))""".stripMargin)))
-        .withColumnRenamed("pos", "para_idx")
-        .withColumnRenamed("col", "para")
-      val firstW = Window.partitionBy($"para_hash").orderBy($"doc_id", $"para_idx")
-      paras
-        .withColumn("para_hash", md5($"para"))
-        .withColumn("keep", row_number().over(firstW) === 1)
-        .groupBy($"doc_id")
-        .agg(
-          count(lit(1)).as("n_paras"),
-          sum(when($"keep", lit(1L)).otherwise(lit(0L))).as("n_kept"),
-          // kept paragraphs in document order; collect_list drops the
-          // nulls the `when` leaves for removed paragraphs
-          array_join(
-            transform(
-              array_sort(collect_list(when($"keep", struct($"para_idx", $"para")))),
-              x => x.getField("para")),
-            " ").as("clean_text"))
-    },
+    (s, d) => dedupParaOn(fannedDocs(s, d)),
     Some(s"""
       WITH tk AS (
         SELECT doc_id, $oracleToks AS tk FROM documents WHERE len($oracleToks) > 0),
