@@ -388,9 +388,10 @@ object EventAnalytics {
     * the fold never overflows a BIGINT in either engine (Java would wrap
     * silently, DuckDB would error loudly — neither path is reached until
     * ids hit ~11 decimal digits; the tables carry ≤4).
-    * This upgrades the A5 surface from `uv_approx`'s rows-only check to a
-    * hash-matched one; collisions inside the 2^29 space are REPRODUCED,
-    * not approximated, on both sides.
+    * This gives the A5 surface a fully hash-matched row (and since round
+    * 9 `uv_approx` is hash-gated too, via its banded-accuracy boolean);
+    * collisions inside the 2^29 space are REPRODUCED, not approximated,
+    * on both sides.
     */
   val uvBloom = Q(
     "uv_bloom",

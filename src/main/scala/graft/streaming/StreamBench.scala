@@ -265,6 +265,68 @@ object StreamBench {
           s""""out_rows":${outRows4.get()},"state_peak_rows":${if (stateSeries.isEmpty) 0L else stateSeries.max},""" +
           s""""state_final_rows":${if (stateSeries.isEmpty) 0L else stateSeries.last},"sf":"$sfDir"}""")
     }
+
+    // Fifth probe: streaming as-of retention — the round-9 maxAgeSec knob
+    // measured head-to-head. Same ordered view/click replay, through
+    // AsOf.lastAtOrBeforeStreaming twice: un-expiring (the feature-store
+    // default — state is one 16-byte row per key EVER built, so the final
+    // count equals the distinct build-key cardinality) and maxAgeSec=3600
+    // (EventTimeTimeout — state tracks only keys built within the last
+    // hour of event time, the bounded-retention trade). Numbers recorded
+    // in SCALING.md ("as-of streaming retention probe").
+    {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sq = spark.sqlContext
+      val vcEvs = base
+        .filter($"event_type".isin("view", "click"))
+        .select($"event_id", $"user_id", $"event_type", $"ts_sec")
+        .as[VcEv]
+        .collect()
+        .sortBy(e => (e.ts_sec, e.event_id))
+      Seq(("asof_unexpiring", None), ("asof_ttl_1h", Some(3600L))).foreach {
+        case (label, ttl) =>
+          val mem = MemoryStream[VcEv]
+          val src = mem.toDS()
+            .withColumn("eventTime", timestamp_seconds(col("ts_sec")))
+            .withWatermark("eventTime", "60 seconds")
+            .as[VcEv]
+          val outRows5 = new java.util.concurrent.atomic.AtomicLong(0)
+          val stateSeries = scala.collection.mutable.ArrayBuffer.empty[Long]
+          val t4 = System.nanoTime()
+          val q5 = graft.operators.AsOf
+            .lastAtOrBeforeStreaming[VcEv](
+              src, _.user_id, _.ts_sec, _.event_id, _.event_type == "click", maxAgeSec = ttl)
+            .writeStream
+            .outputMode("append")
+            .foreachBatch {
+              (b: org.apache.spark.sql.Dataset[graft.operators.AsOf.AsOfMatch], _: Long) =>
+                outRows5.addAndGet(b.count())
+                ()
+            }
+            .option("checkpointLocation",
+              java.nio.file.Files.createTempDirectory(s"ckpt-sbench-$label").toString)
+            .start()
+          val chunkSize5 = math.max(1, vcEvs.length / 8)
+          var idx5 = 0
+          while (idx5 < vcEvs.length) {
+            var end = math.min(idx5 + chunkSize5, vcEvs.length)
+            while (end < vcEvs.length && vcEvs(end).ts_sec == vcEvs(end - 1).ts_sec) end += 1
+            mem.addData(vcEvs.slice(idx5, end).toSeq)
+            q5.processAllAvailable()
+            val p = q5.lastProgress
+            if (p != null && p.stateOperators.nonEmpty)
+              stateSeries += p.stateOperators.map(_.numRowsTotal).sum
+            idx5 = end
+          }
+          q5.stop()
+          val secs5 = (System.nanoTime() - t4) / 1e9
+          println(
+            s"""{"metric":"${label}_rows_per_sec","value":${(vcEvs.length / secs5).toLong},""" +
+              s""""unit":"rows/sec","rows":${vcEvs.length},"secs":$secs5,""" +
+              s""""out_rows":${outRows5.get()},"state_peak_rows":${if (stateSeries.isEmpty) 0L else stateSeries.max},""" +
+              s""""state_final_rows":${if (stateSeries.isEmpty) 0L else stateSeries.last},"sf":"$sfDir"}""")
+      }
+    }
     spark.stop()
   }
 }
