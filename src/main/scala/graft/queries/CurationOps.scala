@@ -205,7 +205,13 @@ object CurationOps {
         else {
           val b = totals.map { case (_, w, toks) => toks * mixW / w }.min
           totals.toSeq
-            .map { case (src, w, toks) => (src, 100L * (w * b / mixW) / toks) }
+            // a listed source whose documents are all token-less supplies
+            // nothing: rate 0, never a division by zero (it also binds
+            // B to 0, emptying the mix — a mixture cannot be satisfied
+            // when a mandated ingredient is missing)
+            .map { case (src, w, toks) =>
+              (src, if (toks == 0) 0L else 100L * (w * b / mixW) / toks)
+            }
             .toDF("source", "rate_pct")
         }
       counted
@@ -229,7 +235,9 @@ object CurationOps {
         GROUP BY 1, 2),
       budget AS (SELECT MIN(toks * $mixW // w) AS b FROM totals),
       rates AS (
-        SELECT t.source, (100 * (t.w * b.b // $mixW)) // t.toks AS rate_pct
+        SELECT t.source,
+               CASE WHEN t.toks = 0 THEN 0
+                    ELSE (100 * (t.w * b.b // $mixW)) // t.toks END AS rate_pct
         FROM totals t CROSS JOIN budget b)
       SELECT d.doc_id, d.source, r.rate_pct, $salted AS bucket
       FROM documents d JOIN rates r ON d.source = r.source
@@ -293,35 +301,45 @@ object CurationOps {
        |     WHEN ${oMd5Bucket("doc_id", 1000)} < 900 THEN 'val'
        |     ELSE 'test' END""".stripMargin
 
+  /** The operator core over any (doc_id, text) frame — exposed for the
+    * differential property spec (planted cross-split duplicates through
+    * the real plan); the catalog entry wires it to the fanned scan.
+    * `evalList` (defaults to `docsDf`) feeds the final doc-list join —
+    * the catalog passes the raw table here so that branch stays a pruned
+    * doc_id-only scan instead of inheriting the shingle side's CPU
+    * fan-out exchange.
+    */
+  private[queries] def contaminationOn(docsDf: DataFrame, evalList: DataFrame = null): DataFrame = {
+    val evalDf = Option(evalList).getOrElse(docsDf)
+    val sh = TextOps.shinglesOfDf(docsDf).withColumn("split", splitOf(col("doc_id")))
+    val trainSh = sh.filter(col("split") === "train").select(col("sh")).distinct()
+      .withColumn("hit", lit(1L))
+    val counts = sh.filter(col("split") =!= "train")
+      .join(trainSh, Seq("sh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_sh"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_overlap"))
+    // left join from the full eval doc list so shingle-less (tiny) docs
+    // still get a row — absent rows read as "not checked", not "clean"
+    evalDf.select(col("doc_id"), splitOf(col("doc_id")).as("split"))
+      .filter(col("split") =!= "train")
+      .join(counts, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("split"),
+        coalesce(col("n_sh"), lit(0L)).as("n_sh"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      .withColumn(
+        "overlap_pct",
+        when(col("n_sh") > 0, floor(lit(100.0) * col("n_overlap") / col("n_sh")))
+          .otherwise(lit(0L)).cast("long"))
+      .withColumn("contaminated", col("n_sh") > 0 && col("n_overlap") * 5 >= col("n_sh") * 4)
+  }
+
   val contamination = Q(
     "t_contamination",
-    (s, d) => {
-      import s.implicits._
-      val sh = TextOps.docShingles(s, d).withColumn("split", splitOf($"doc_id"))
-      val trainSh = sh.filter($"split" === "train").select($"sh").distinct()
-        .withColumn("hit", lit(1L))
-      val counts = sh.filter($"split" =!= "train")
-        .join(trainSh, Seq("sh"), "left")
-        .groupBy($"doc_id")
-        .agg(
-          count(lit(1)).as("n_sh"),
-          sum(coalesce($"hit", lit(0L))).as("n_overlap"))
-      // left join from the full eval doc list so shingle-less (tiny) docs
-      // still get a row — absent rows read as "not checked", not "clean"
-      docs(s, d).select($"doc_id", splitOf($"doc_id").as("split"))
-        .filter($"split" =!= "train")
-        .join(counts, Seq("doc_id"), "left")
-        .select(
-          $"doc_id",
-          $"split",
-          coalesce($"n_sh", lit(0L)).as("n_sh"),
-          coalesce($"n_overlap", lit(0L)).as("n_overlap"))
-        .withColumn(
-          "overlap_pct",
-          when($"n_sh" > 0, floor(lit(100.0) * $"n_overlap" / $"n_sh"))
-            .otherwise(lit(0L)).cast("long"))
-        .withColumn("contaminated", $"n_sh" > 0 && $"n_overlap" * 5 >= $"n_sh" * 4)
-    },
+    (s, d) => contaminationOn(TextOps.fannedDocsOf(s, d), docs(s, d)),
     Some(s"""
       WITH sh0 AS (SELECT doc_id, unnest(${TextOps.oracleShingles}) AS sh FROM documents),
       spl AS (SELECT doc_id, $oSplitCase AS split FROM documents),

@@ -117,16 +117,24 @@ object TextOps {
     * scan-side fan-out made every other query slower (SCALING.md round 3);
     * on a multi-row-group table the repartition is skipped entirely.
     */
-  private[queries] def docShingles(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    fannedDocs(s, d)
+  private[queries] def docShingles(s: SparkSession, d: String): DataFrame =
+    shinglesOfDf(fannedDocs(s, d))
+
+  /** Shingle rows of any (doc_id, text) frame — the [[docShingles]] core,
+    * exposed so property specs can drive planted corpora through the real
+    * consumers (contamination, LSH).
+    */
+  private[queries] def shinglesOfDf(docsDf: DataFrame): DataFrame =
+    docsDf
       .withColumn("tk", toks)
-      .select($"doc_id", explode(shinglesOfTk).as("sh"))
-  }
+      .select(col("doc_id"), explode(shinglesOfTk).as("sh"))
 
   /** (doc_id, text) with the scan fanned out when parallelism-deficient —
-    * shared entry for every hash-per-token pipeline (see [[docShingles]]).
+    * shared entry for every hash-per-token pipeline (see [[docShingles]];
+    * `fannedDocsOf` is the cross-pack alias CurationOps wires through).
     */
+  private[queries] def fannedDocsOf(s: SparkSession, d: String): DataFrame = fannedDocs(s, d)
+
   private def fannedDocs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val base = docs(s, d).select($"doc_id", $"text")
