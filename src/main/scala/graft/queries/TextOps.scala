@@ -987,6 +987,58 @@ object TextOps {
   )
 
   // ---------------------------------------------------------------------
+  // Per-stratum length quantiles — the threshold-setting statistic every
+  // cleaning pipeline computes before choosing its min/max-length gates
+  // (exact discrete quantiles, type-1: smallest x with cum-count ≥
+  // ceil(q·n)). The scale-correct formulation is a HISTOGRAM + cumulative
+  // sum, not a per-group sort: grouping on (lang, n_tokens) first shrinks
+  // the window's input to the DISTINCT value count (bounded by the metric
+  // range, not the corpus), so the per-lang ordered window never sees
+  // corpus-sized partitions — the naive rank-per-document window would
+  // funnel each language's full document set through one task. Integer
+  // math only (ceil via (n·q + 99) DIV 100), so DuckDB matches exactly
+  // where interpolated quantile_cont could drift.
+  // ---------------------------------------------------------------------
+
+  val lengthQuantiles = Q(
+    "t_length_quantiles",
+    (s, d) => {
+      import s.implicits._
+      val hist = docs(s, d)
+        .select($"lang", size(toks).cast("long").as("n_tokens"))
+        .groupBy($"lang", $"n_tokens")
+        .agg(count(lit(1)).as("c"))
+      val wCum = Window.partitionBy($"lang").orderBy($"n_tokens")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy($"lang")
+      hist
+        .withColumn("cum", sum($"c").over(wCum))
+        .withColumn("n", sum($"c").over(wAll))
+        .groupBy($"lang")
+        .agg(
+          max($"n").as("n_docs"),
+          min(when($"cum" >= expr("(n * 50 + 99) DIV 100"), $"n_tokens")).as("p50"),
+          min(when($"cum" >= expr("(n * 90 + 99) DIV 100"), $"n_tokens")).as("p90"),
+          min(when($"cum" >= expr("(n * 99 + 99) DIV 100"), $"n_tokens")).as("p99"))
+    },
+    Some(s"""
+      WITH t AS (SELECT lang, len($oracleToks) AS n_tokens FROM documents),
+      hist AS (SELECT lang, n_tokens, COUNT(*) AS c FROM t GROUP BY 1, 2),
+      cum AS (
+        SELECT lang, n_tokens, c,
+               CAST(SUM(c) OVER (PARTITION BY lang ORDER BY n_tokens
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+               CAST(SUM(c) OVER (PARTITION BY lang) AS BIGINT) AS n
+      FROM hist)
+      SELECT lang, MAX(n) AS n_docs,
+             CAST(MIN(CASE WHEN cum >= (n * 50 + 99) // 100 THEN n_tokens END) AS BIGINT) AS p50,
+             CAST(MIN(CASE WHEN cum >= (n * 90 + 99) // 100 THEN n_tokens END) AS BIGINT) AS p90,
+             CAST(MIN(CASE WHEN cum >= (n * 99 + 99) // 100 THEN n_tokens END) AS BIGINT) AS p99
+      FROM cum GROUP BY 1
+    """.stripMargin.trim),
+  )
+
+  // ---------------------------------------------------------------------
   // Within-document repetition signals — the Gopher/"repetition" family
   // of quality heuristics: a document whose n-grams repeat internally
   // (boilerplate loops, keyword stuffing, template fill) is low-value
@@ -1116,6 +1168,7 @@ object TextOps {
     dedupExact,
     dedupPara,
     repetition,
+    lengthQuantiles,
     minhashLsh,
     ngramJaccard,
     jaccardPostDedup,

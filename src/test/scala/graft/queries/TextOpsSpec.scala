@@ -53,4 +53,24 @@ class TextOpsSpec extends SparkSpec {
     val flagged = got.values.count(_._3)
     assert(flagged > 0 && flagged < got.size / 4, s"flagged $flagged of ${got.size}")
   }
+
+  test("t_length_quantiles equals sorted brute-force type-1 quantiles per lang") {
+    val sf = "/root/testdata/sf0.01"
+    val got = Catalog.queries("t_length_quantiles")(spark, sf).collect()
+      .map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("p50"), r.getAs[Long]("p90"),
+          r.getAs[Long]("p99"))).toMap
+    val byLang = spark.read.parquet(s"$sf/documents.parquet")
+      .collect()
+      .map(r => r.getString(2) -> r.getString(1).split(" ").count(_.nonEmpty).toLong)
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toIndexedSeq).toMap
+    assert(got.keySet === byLang.keySet)
+    byLang.foreach { case (lang, vals) =>
+      val n = vals.length
+      def q(pct: Int): Long = vals(((n.toLong * pct + 99) / 100).toInt - 1)
+      assert(got(lang) === ((n.toLong, q(50), q(90), q(99))), s"lang $lang")
+      // quantiles are monotone and within the observed range
+      assert(got(lang)._2 <= got(lang)._3 && got(lang)._3 <= got(lang)._4)
+    }
+  }
 }
