@@ -286,6 +286,45 @@ object Streams {
           delay = delay))
       .filter(col("quality") =!= "poor")
 
+  /** Streaming paragraph-grain dedup (the ingest-time twin of batch
+    * `t_dedup_para`): explode each arriving document into paragraph
+    * blocks, keep the FIRST occurrence of every distinct paragraph within
+    * the watermark horizon, emit kept (doc_id, para_idx, para) rows in
+    * append mode. Reassembly into documents stays a batch compaction
+    * concern by design — streaming training-data ingest writes
+    * paragraph-grain records, and stitching them back per doc would be a
+    * second stateful aggregation holding every open document's paragraphs
+    * in state for no consumer benefit (the same ingest-filter /
+    * offline-compaction split as [[cleanCorpusStream]]'s near-dup half).
+    * State is one row per distinct paragraph hash inside the horizon —
+    * watermark-evicted, like [[dedupWithinWatermark]]; a boilerplate
+    * block recurring beyond the horizon re-emits once per horizon, the
+    * bounded-state trade every streaming dedup makes.
+    *
+    * Input must carry `doc_id`, `text`, and an event-time column.
+    */
+  def dedupParaStream(
+      docs: DataFrame,
+      eventTimeCol: String,
+      delay: String,
+      paraTokens: Int = 25,
+  ): DataFrame = {
+    val paras = docs
+      .withColumn("tk", expr("filter(split(text, ' '), x -> x != '')"))
+      .filter(size(col("tk")) > 0)
+      .select(
+        col("doc_id"),
+        col(eventTimeCol),
+        posexplode(expr(
+          s"""transform(sequence(0, (size(tk) - 1) DIV $paraTokens),
+             |  b -> concat_ws(' ', slice(tk, b * $paraTokens + 1, $paraTokens)))""".stripMargin)))
+      .withColumnRenamed("pos", "para_idx")
+      .withColumnRenamed("col", "para")
+      .withColumn("para_hash", md5(col("para")))
+    dedupWithinWatermark(paras, Seq("para_hash"), eventTimeCol, delay)
+      .select(col("doc_id"), col("para_idx"), col("para"))
+  }
+
   /** Convenience launcher: console sink (K1 `print()` equivalent). */
   def toConsole(df: DataFrame, mode: OutputMode = OutputMode.Update()): StreamingQuery =
     df.writeStream

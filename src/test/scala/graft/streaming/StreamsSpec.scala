@@ -223,6 +223,54 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupParaStream keeps first occurrences of paragraph blocks across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // three paragraph blocks of exactly 25 tokens; B is the shared boilerplate
+    def block(tag: String) = (1 to 25).map(i => s"$tag$i").mkString(" ")
+    val (a, b, c) = (block("a"), block("b"), block("c"))
+
+    val mem = MemoryStream[(Long, String, Long)]
+    val kept = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, String)]
+    val out = Streams.dedupParaStream(
+      mem.toDS().toDF("doc_id", "text", "ts")
+        .withColumn("eventTime", timestamp_seconds(col("ts"))),
+      eventTimeCol = "eventTime",
+      delay = "100 seconds")
+    val q = out.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        kept.synchronized {
+          kept ++= batch.collect().map(r =>
+            (r.getAs[Long]("doc_id"), r.getAs[Int]("para_idx"), r.getAs[String]("para")))
+        }
+        ()
+      }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt-dedup-para").toString)
+      .start()
+    try {
+      // batch 1: doc 1 = [A, B]; doc 2 = [B, C] — the shared boilerplate B
+      // survives exactly once (WHICH copy wins within one micro-batch is
+      // arbitrary — dropDuplicates keeps the first encountered per
+      // partition order — so assert the invariant, not the owner), A and
+      // C are fresh and kept
+      mem.addData(Seq((1L, s"$a $b", 1000L), (2L, s"$b $c", 1005L)))
+      q.processAllAvailable()
+      assert(kept.size === 3)
+      assert(kept.map(_._3).toSet === Set(a, b, c))
+      assert(kept.count(_._3 == b) === 1)
+      // batch 2: doc 3 repeats B within the horizon -> fully dropped; its
+      // fresh tail block (shorter than a full block) is kept
+      val tail = "x1 x2 x3"
+      mem.addData(Seq((3L, s"$b $tail", 1050L)))
+      q.processAllAvailable()
+      assert(kept.count(_._3 == b) === 1, "in-horizon boilerplate must not re-emit")
+      assert(kept.exists(k => k._1 == 3L && k._3 == tail), "the ragged fresh tail is kept")
+    } finally q.stop()
+  }
+
   test("streaming bloom UV converges to the batch bitmap count (update mode)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
