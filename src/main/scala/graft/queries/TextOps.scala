@@ -660,6 +660,82 @@ object TextOps {
   )
 
   // ---------------------------------------------------------------------
+  // Near-dup CLUSTER resolution — the step that turns candidate PAIRS
+  // into a dedup decision: connected components over the pair graph,
+  // cluster representative = min doc_id, keep one doc per cluster. A
+  // pipeline that stops at pairs hasn't deduped anything; transitively
+  // linked near-dups (A~B, B~C) must collapse to ONE keeper even though
+  // (A,C) was never a candidate pair.
+  //
+  // Spark formulation: iterative min-label propagation — per round, every
+  // vertex takes the min of its own label and its neighbors' labels (one
+  // equi-join + one agg per round, both keyed shuffles), until a round
+  // changes nothing. Convergence needs O(component diameter) rounds;
+  // near-dup components are dup-clusters (tiny diameter), so a handful.
+  // Two scale guards: `localCheckpoint` per round truncates the lineage
+  // an iterative plan otherwise grows without bound, and the per-round
+  // driver check is a COUNT, never the labels. The oracle is a DuckDB
+  // recursive CTE computing reachability min — exact same fixpoint.
+  // ---------------------------------------------------------------------
+
+  /** (v, rep) for every vertex of `edges` (cols doc_a, doc_b): rep = min
+    * doc_id of the vertex's connected component. Exposed for the property
+    * spec (random graphs vs union-find).
+    */
+  private[queries] def connectedComponents(edges: DataFrame, maxRounds: Int = 50): DataFrame = {
+    val und = edges.select(col("doc_a").as("v"), col("doc_b").as("nbr"))
+      .union(edges.select(col("doc_b").as("v"), col("doc_a").as("nbr")))
+      .localCheckpoint(true)
+    var labels = und.select(col("v")).distinct().withColumn("lbl", col("v"))
+      .localCheckpoint(true)
+    var round = 0
+    var changed = 1L
+    while (changed > 0 && round < maxRounds) {
+      val nbrLbl = und
+        .join(labels.select(col("v").as("nbr"), col("lbl")), "nbr")
+        .select(col("v"), col("lbl"))
+      val next = labels.select(col("v"), col("lbl"))
+        .union(nbrLbl)
+        .groupBy(col("v")).agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint(true)
+      changed = next.join(labels.withColumnRenamed("lbl", "old"), "v")
+        .filter(col("lbl") < col("old")).count()
+      labels = next
+      round += 1
+    }
+    require(changed == 0, s"connectedComponents did not converge in $maxRounds rounds")
+    labels.select(col("v"), col("lbl").as("rep"))
+  }
+
+  val neardupClusters = Q(
+    "t_neardup_clusters",
+    (s, d) => {
+      import s.implicits._
+      connectedComponents(minhashPairs(docShingles(s, d)))
+        .select(
+          $"v".as("doc_id"),
+          $"rep",
+          ($"v" === $"rep").as("is_kept"))
+    },
+    Some(s"""
+      WITH RECURSIVE sh AS (
+        SELECT doc_id, unnest($oracleShingles) AS sh FROM documents),
+      $oracleMinhashSigBands,
+      pairs AS (
+        $oracleMinhashPairsSelect),
+      und AS (
+        SELECT doc_a AS v, doc_b AS nbr FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs),
+      reach(v, r) AS (
+        SELECT v, v FROM (SELECT DISTINCT v FROM und)
+        UNION
+        SELECT u.v, reach.r FROM und u JOIN reach ON u.nbr = reach.v)
+      SELECT v AS doc_id, MIN(r) AS rep, v = MIN(r) AS is_kept
+      FROM reach GROUP BY v
+    """.stripMargin.trim),
+  )
+
+  // ---------------------------------------------------------------------
   // Exact n-gram Jaccard over pairs sharing ≥1 shingle. The shared-shingle
   // equi-join bounds the pair set (no cross join); `inter * 5 >= union`
   // keeps the ≥ 0.2 threshold in exact integer math.
@@ -1170,6 +1246,7 @@ object TextOps {
     repetition,
     lengthQuantiles,
     minhashLsh,
+    neardupClusters,
     ngramJaccard,
     jaccardPostDedup,
     simhash,
