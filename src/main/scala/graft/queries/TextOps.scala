@@ -676,6 +676,12 @@ object TextOps {
   // an iterative plan otherwise grows without bound, and the per-round
   // driver check is a COUNT, never the labels. The oracle is a DuckDB
   // recursive CTE computing reachability min — exact same fixpoint.
+  //
+  // Relationship to t_clean_corpus's simpler policy (anti-join on every
+  // pair's doc_b): that keeps every LOCAL minimum — a doc smaller than
+  // all its direct neighbors survives even when a smaller doc sits two
+  // hops away (edges (2,3),(1,3): the anti-join keeps 1 AND 2; clusters
+  // keep only 1). Cluster resolution is the strictly stronger dedup.
   // ---------------------------------------------------------------------
 
   /** (v, rep) for every vertex of `edges` (cols doc_a, doc_b): rep = min
@@ -733,6 +739,7 @@ object TextOps {
       SELECT v AS doc_id, MIN(r) AS rep, v = MIN(r) AS is_kept
       FROM reach GROUP BY v
     """.stripMargin.trim),
+    bench = true, // iterative op: track rounds x (join+agg) cost per round
   )
 
   // ---------------------------------------------------------------------
