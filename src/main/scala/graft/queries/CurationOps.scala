@@ -365,38 +365,47 @@ object CurationOps {
 
   private val shardTokens = 2000L
 
+  /** The distributed-prefix-sum core over any (doc_id, n_tokens) frame —
+    * exposed so the composed curation pipeline reuses the exact same
+    * packing path the standalone query verifies.
+    */
+  private[queries] def shardPackOn(counted: DataFrame): DataFrame = {
+    val s = counted.sparkSession
+    import s.implicits._
+    val nBuckets = math.max(1, s.sessionState.conf.numShufflePartitions)
+    val maxRow = counted.agg(max($"doc_id")).head
+    val maxId = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0) // empty table → empty result
+    val width = maxId / nBuckets + 1
+    val bucketed = counted.withColumn("bkt", expr(s"doc_id DIV $width"))
+    // one row per bucket; the collect is O(buckets), not O(rows)
+    val offsets = bucketed.groupBy($"bkt").agg(sum($"n_tokens").as("total"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1)
+      .scanLeft((-1L, 0L)) { case ((_, acc), (bkt, tot)) => (bkt, acc + tot) }
+      .sliding(2)
+      .collect { case Array((_, prev), (bkt, _)) => (bkt, prev) }
+      .toSeq
+    val offsetDf = offsets.toDF("bkt", "offset")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"bkt").orderBy($"doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    bucketed
+      .join(broadcast(offsetDf), "bkt")
+      .withColumn("cum_before", $"offset" + coalesce(sum($"n_tokens").over(w), lit(0L)))
+      .select(
+        $"doc_id",
+        $"n_tokens",
+        $"cum_before",
+        expr(s"CAST(cum_before DIV $shardTokens AS BIGINT)").as("shard_id"))
+  }
+
   val shardPack = Q(
     "t_shard_pack",
     (s, d) => {
       import s.implicits._
-      val counted = docs(s, d)
-        .select($"doc_id", size(TextOps.toks).cast("long").as("n_tokens"))
-      val nBuckets = math.max(1, s.sessionState.conf.numShufflePartitions)
-      val maxRow = counted.agg(max($"doc_id")).head
-      val maxId = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0) // empty table → empty result
-      val width = maxId / nBuckets + 1
-      val bucketed = counted.withColumn("bkt", expr(s"doc_id DIV $width"))
-      // one row per bucket; the collect is O(buckets), not O(rows)
-      val offsets = bucketed.groupBy($"bkt").agg(sum($"n_tokens").as("total"))
-        .collect()
-        .map(r => (r.getLong(0), r.getLong(1)))
-        .sortBy(_._1)
-        .scanLeft((-1L, 0L)) { case ((_, acc), (bkt, tot)) => (bkt, acc + tot) }
-        .sliding(2)
-        .collect { case Array((_, prev), (bkt, _)) => (bkt, prev) }
-        .toSeq
-      val offsetDf = offsets.toDF("bkt", "offset")
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy($"bkt").orderBy($"doc_id")
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-      bucketed
-        .join(broadcast(offsetDf), "bkt")
-        .withColumn("cum_before", $"offset" + coalesce(sum($"n_tokens").over(w), lit(0L)))
-        .select(
-          $"doc_id",
-          $"n_tokens",
-          $"cum_before",
-          expr(s"CAST(cum_before DIV $shardTokens AS BIGINT)").as("shard_id"))
+      shardPackOn(docs(s, d)
+        .select($"doc_id", size(TextOps.toks).cast("long").as("n_tokens")))
     },
     Some(s"""
       SELECT doc_id,
@@ -412,6 +421,62 @@ object CurationOps {
     bench = true, // tracks the distributed-prefix-sum path round-over-round
   )
 
+  // ---------------------------------------------------------------------
+  // Composed curation pipeline — the counterpart of `t_clean_corpus` for
+  // the assignment half: exact dedup → quality gate → hash split → the
+  // TRAIN partition packed into token-budget shards, as ONE declarative
+  // plan. This is "corpus in, training files out": every stage is an
+  // operator this pack already verifies standalone; the composition
+  // proves they chain without re-materialization tricks (the only
+  // driver hand-offs are the shard packer's O(buckets) offsets).
+  //
+  // 100 TB shape: the dedup hash shuffle, a per-row quality projection,
+  // a per-row split projection (pure hash, no shuffle), then the
+  // distributed prefix sum — no stage sees more than the survivors, and
+  // the prefix sum's window stays bucket-partitioned (blanket-pinned by
+  // CatalogPlanGuardSpec like every catalog query).
+  // ---------------------------------------------------------------------
+
+  val curateCorpus = Q(
+    "t_curate_corpus",
+    (s, d) => {
+      import s.implicits._
+      val good = TextOps.withQuality(TextOps.dedupSurvivors(s, d))
+        .filter($"quality" =!= "poor")
+      val train = good.filter(splitOf($"doc_id") === "train")
+      shardPackOn(train.select($"doc_id", $"n_tokens"))
+    },
+    Some {
+      val oToks = TextOps.oracleToks
+      val stopPred = TextOps.stopwords.map(w => s"x = '$w'").mkString(" or ")
+      val prefix =
+        s"""COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+           |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)""".stripMargin
+      s"""
+      WITH ${TextOps.oracleSurvivorsCte},
+      t AS (
+        SELECT doc_id,
+               len($oToks) AS n_tokens,
+               len(list_distinct($oToks)) AS n_distinct,
+               len(list_filter($oToks, x -> $stopPred)) AS n_stop
+        FROM survivors),
+      good AS (
+        SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens FROM t
+        WHERE CASE WHEN n_tokens >= 20 AND FLOOR(100.0 * n_distinct / n_tokens) >= 25
+                        AND FLOOR(100.0 * n_stop / n_tokens) <= 40 THEN 'good'
+                   WHEN n_tokens >= 10 THEN 'fair'
+                   ELSE 'poor' END <> 'poor'),
+      train AS (
+        SELECT doc_id, n_tokens FROM good WHERE ($oSplitCase) = 'train')
+      SELECT doc_id, n_tokens,
+             CAST($prefix AS BIGINT) AS cum_before,
+             CAST($prefix // $shardTokens AS BIGINT) AS shard_id
+      FROM train
+    """.stripMargin.trim
+    },
+  )
+
   val qs: Seq[Q] =
-    Seq(splitAssign, sourceQuota, stratifiedSample, shardPack, contamination, domainMix)
+    Seq(splitAssign, sourceQuota, stratifiedSample, shardPack, contamination,
+      domainMix, curateCorpus)
 }

@@ -81,7 +81,7 @@ object TextOps {
     * dedup-first pipeline. Downstream projections prune the columns they
     * don't use.
     */
-  private def dedupSurvivors(s: SparkSession, d: String): DataFrame = {
+  private[queries] def dedupSurvivors(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val keepW = Window.partitionBy($"text_hash").orderBy($"doc_id")
     docs(s, d)
@@ -155,7 +155,7 @@ object TextOps {
     else base
   }
 
-  private val oracleToks =
+  private[queries] val oracleToks =
     "list_filter(string_split(text, ' '), x -> x != '')"
 
   /** DuckDB equivalent of [[shinglesOfTk]]. */
@@ -167,7 +167,7 @@ object TextOps {
   /** DuckDB mirror of [[dedupSurvivors]] + [[survivorShingles]]: the
     * `survivors`/`sh` CTE pair shared by every composed dedup-first oracle.
     */
-  private lazy val oracleSurvivorsCte: String =
+  private[queries] lazy val oracleSurvivorsCte: String =
     s"""survivors AS (
       |        SELECT doc_id, lang, source, text FROM (
       |          SELECT doc_id, lang, source, text,
@@ -333,7 +333,7 @@ object TextOps {
   // Quality scoring — length / type-token-ratio / stopword-ratio heuristic.
   // ---------------------------------------------------------------------
 
-  private val stopwords = Seq("the", "a", "of", "and")
+  private[queries] val stopwords = Seq("the", "a", "of", "and")
 
   /** Quality-gate projection shared by the batch cleaning pipeline
     * ([[cleanCorpus]]) and the streaming variant

@@ -106,6 +106,31 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("t_curate_corpus composes its verified stages consistently") {
+    val sf = "/root/testdata/sf0.01"
+    val rows = Catalog.queries("t_curate_corpus")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    // membership = dedup keepers ∩ quality != poor ∩ split == train,
+    // each taken from the STANDALONE verified queries
+    val keepers = Catalog.queries("t_dedup_exact")(spark, sf)
+      .filter(!org.apache.spark.sql.functions.col("is_duplicate"))
+      .collect().map(_.getLong(0)).toSet
+    val notPoor = Catalog.queries("t_quality_score")(spark, sf)
+      .filter("quality <> 'poor'").collect().map(_.getLong(0)).toSet
+    val train = Catalog.queries("t_split_assign")(spark, sf)
+      .filter("split = 'train'").collect().map(_.getLong(0)).toSet
+    assert(rows.map(_._1).toSet === (keepers & notPoor & train))
+    // and the packing is the exact prefix sum over that membership
+    var run = 0L
+    rows.foreach { case (id, nt, cum, sid) =>
+      assert(cum === run, s"doc $id prefix drifted")
+      assert(sid === cum / 2000L, s"doc $id shard id")
+      run += nt
+    }
+    assert(rows.nonEmpty && rows.length < 500, "the gates must actually exclude docs")
+  }
+
   test("t_shard_pack plans as a distributed prefix sum: no single-partition stage") {
     val formatted = Catalog.queries("t_shard_pack")(spark, "/root/testdata/sf0.01")
       .queryExecution.explainString(ExplainMode.fromString("formatted"))
