@@ -474,6 +474,7 @@ object CurationOps {
       FROM train
     """.stripMargin.trim
     },
+    bench = true, // the composed flagship, like t_clean_corpus
   )
 
   val qs: Seq[Q] =
