@@ -667,15 +667,25 @@ object TextOps {
   // linked near-dups (A~B, B~C) must collapse to ONE keeper even though
   // (A,C) was never a candidate pair.
   //
-  // Spark formulation: iterative min-label propagation — per round, every
-  // vertex takes the min of its own label and its neighbors' labels (one
-  // equi-join + one agg per round, both keyed shuffles), until a round
-  // changes nothing. Convergence needs O(component diameter) rounds;
-  // near-dup components are dup-clusters (tiny diameter), so a handful.
-  // Two scale guards: `localCheckpoint` per round truncates the lineage
-  // an iterative plan otherwise grows without bound, and the per-round
-  // driver check is a COUNT, never the labels. The oracle is a DuckDB
-  // recursive CTE computing reachability min — exact same fixpoint.
+  // Spark formulation: min-label propagation WITH pointer doubling — per
+  // round, (a) every vertex takes the min of its own and its neighbors'
+  // labels (one equi-join + one agg), then (b) shortcuts through its own
+  // label's label (`lbl := lbl(lbl)`, a self-join on the unique-keyed
+  // label table). The hop alone needs O(component diameter) rounds — a
+  // template-drift CHAIN of near-dups degrades linearly; the shortcut
+  // roughly doubles the distance a label travels per round, so
+  // convergence is O(log diameter) on ANY graph shape (a 200-hop chain
+  // converges in 8 rounds — ConnectedComponentsSpec pins ≤ 10). Hitting
+  // `maxRounds` no longer throws: the result is returned as-is with a
+  // `converged = false` flag, so a pathological input degrades to
+  // under-merged clusters instead of killing the query.
+  // Two scale guards: per-round checkpointing truncates the lineage an
+  // iterative plan otherwise grows without bound (`localCheckpoint` by
+  // default; pass `checkpointDir` for a reliable HDFS-style checkpoint
+  // that survives executor loss — localCheckpoint blocks die with their
+  // executor, killing a long iterative job at cluster scale), and the
+  // per-round driver check is a COUNT, never the labels. The oracle is a
+  // DuckDB recursive CTE computing reachability min — exact same fixpoint.
   //
   // Relationship to t_clean_corpus's simpler policy (anti-join on every
   // pair's doc_b): that keeps every LOCAL minimum — a doc smaller than
@@ -684,33 +694,66 @@ object TextOps {
   // keep only 1). Cluster resolution is the strictly stronger dedup.
   // ---------------------------------------------------------------------
 
-  /** (v, rep) for every vertex of `edges` (cols doc_a, doc_b): rep = min
-    * doc_id of the vertex's connected component. Exposed for the property
-    * spec (random graphs vs union-find).
+  /** Labels + the round count and convergence status — exposed so the
+    * spec can pin the logarithmic round bound directly.
     */
-  private[queries] def connectedComponents(edges: DataFrame, maxRounds: Int = 50): DataFrame = {
-    val und = edges.select(col("doc_a").as("v"), col("doc_b").as("nbr"))
-      .union(edges.select(col("doc_b").as("v"), col("doc_a").as("nbr")))
-      .localCheckpoint(true)
-    var labels = und.select(col("v")).distinct().withColumn("lbl", col("v"))
-      .localCheckpoint(true)
+  private[queries] final case class CcResult(labels: DataFrame, rounds: Int, converged: Boolean)
+
+  private[queries] def connectedComponentsStats(
+      edges: DataFrame,
+      maxRounds: Int = 50,
+      checkpointDir: Option[String] = None): CcResult = {
+    val persist: DataFrame => DataFrame = checkpointDir match {
+      case Some(dir) =>
+        edges.sparkSession.sparkContext.setCheckpointDir(dir)
+        df => df.checkpoint(true)
+      case None => df => df.localCheckpoint(true)
+    }
+    val und = persist(
+      edges.select(col("doc_a").as("v"), col("doc_b").as("nbr"))
+        .union(edges.select(col("doc_b").as("v"), col("doc_a").as("nbr"))))
+    var labels = persist(und.select(col("v")).distinct().withColumn("lbl", col("v")))
     var round = 0
     var changed = 1L
     while (changed > 0 && round < maxRounds) {
+      // hop: min over own + neighbors' labels
       val nbrLbl = und
         .join(labels.select(col("v").as("nbr"), col("lbl")), "nbr")
         .select(col("v"), col("lbl"))
-      val next = labels.select(col("v"), col("lbl"))
+      val hopped = labels.select(col("v"), col("lbl"))
         .union(nbrLbl)
         .groupBy(col("v")).agg(min(col("lbl")).as("lbl"))
-        .localCheckpoint(true)
+      // shortcut (pointer doubling): lbl := lbl(lbl). The build side is
+      // keyed by the UNIQUE vertex id, so the probe's hot late-round lbl
+      // keys fan out to at most one match each (no row explosion; shuffle
+      // skew falls to AQE). Labels are always component-member ids, so
+      // the lookup stays within the component and only ever decreases.
+      val next = persist(
+        hopped
+          .join(
+            hopped.select(col("v").as("l2"), col("lbl").as("lbl2")),
+            col("lbl") === col("l2"), "left")
+          .select(col("v"), least(col("lbl"), coalesce(col("lbl2"), col("lbl"))).as("lbl")))
       changed = next.join(labels.withColumnRenamed("lbl", "old"), "v")
         .filter(col("lbl") < col("old")).count()
       labels = next
       round += 1
     }
-    require(changed == 0, s"connectedComponents did not converge in $maxRounds rounds")
-    labels.select(col("v"), col("lbl").as("rep"))
+    CcResult(labels, round, changed == 0)
+  }
+
+  /** (v, rep, converged) for every vertex of `edges` (cols doc_a, doc_b):
+    * rep = min doc_id of the vertex's connected component; `converged` is
+    * false only when `maxRounds` was exhausted with labels still moving
+    * (result then under-merges — degraded, not thrown). Exposed for the
+    * property spec (random graphs vs union-find).
+    */
+  private[queries] def connectedComponents(
+      edges: DataFrame,
+      maxRounds: Int = 50,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val r = connectedComponentsStats(edges, maxRounds, checkpointDir)
+    r.labels.select(col("v"), col("lbl").as("rep"), lit(r.converged).as("converged"))
   }
 
   val neardupClusters = Q(
@@ -721,7 +764,8 @@ object TextOps {
         .select(
           $"v".as("doc_id"),
           $"rep",
-          ($"v" === $"rep").as("is_kept"))
+          ($"v" === $"rep").as("is_kept"),
+          $"converged")
     },
     Some(s"""
       WITH RECURSIVE sh AS (
@@ -736,7 +780,7 @@ object TextOps {
         SELECT v, v FROM (SELECT DISTINCT v FROM und)
         UNION
         SELECT u.v, reach.r FROM und u JOIN reach ON u.nbr = reach.v)
-      SELECT v AS doc_id, MIN(r) AS rep, v = MIN(r) AS is_kept
+      SELECT v AS doc_id, MIN(r) AS rep, v = MIN(r) AS is_kept, TRUE AS converged
       FROM reach GROUP BY v
     """.stripMargin.trim),
     bench = true, // iterative op: track rounds x (join+agg) cost per round

@@ -56,6 +56,48 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(got2.filter(_._1 < 100L).values.toSet === Set(0L))
   }
 
+  test("pointer doubling: a 200-hop chain converges in O(log diameter) rounds") {
+    import spark.implicits._
+    val chain = (0L until 200L).map(i => (i, i + 1))
+    val df = spark.createDataset(chain.toIndexedSeq).toDF("doc_a", "doc_b")
+    val r = TextOps.connectedComponentsStats(df)
+    assert(r.converged, "201-vertex chain must converge")
+    assert(r.rounds <= 10, s"log-round bound: got ${r.rounds} rounds for diameter 200")
+    val labels = r.labels.collect().map(x => x.getAs[Long]("v") -> x.getAs[Long]("lbl")).toMap
+    assert(labels.size === 201)
+    assert(labels.values.toSet === Set(0L))
+  }
+
+  test("exhausting maxRounds degrades to converged=false instead of throwing") {
+    import spark.implicits._
+    val chain = (0L until 40L).map(i => (i, i + 1))
+    val df = spark.createDataset(chain.toIndexedSeq).toDF("doc_a", "doc_b")
+    val r = TextOps.connectedComponentsStats(df, maxRounds = 1)
+    assert(!r.converged, "one round cannot close a 40-hop chain")
+    assert(r.rounds === 1)
+    // the partial labels still come back (under-merged, never wrong-vertex)
+    assert(r.labels.count() === 41)
+    val flagged = TextOps.connectedComponents(df, maxRounds = 1)
+      .select("converged").distinct().collect().map(_.getBoolean(0)).toSeq
+    assert(flagged === Seq(false))
+  }
+
+  test("reliable checkpointDir option produces identical components") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(60)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    val df = spark.createDataset(edges.toIndexedSeq).toDF("doc_a", "doc_b")
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
+    try {
+      val reliable = TextOps.connectedComponents(df, checkpointDir = Some(dir))
+        .collect().map(x => x.getAs[Long]("v") -> x.getAs[Long]("rep")).toMap
+      assert(reliable === unionFind(edges))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("t_neardup_clusters keeps exactly one doc per cluster, consistent with the pair set") {
     val sf = "/root/testdata/sf0.01"
     val pairs = Catalog.queries("t_minhash_lsh")(spark, sf).collect()
