@@ -7,9 +7,16 @@ object Bench {
     val spark = GraftSession.local("graft-bench", cpus)
     // Headline set only (Catalog.benchNames); a full-catalog run is
     // available via SPARK_GRAFT_BENCH_ALL=1.
-    val names =
+    val names0 =
       if (sys.env.contains("SPARK_GRAFT_BENCH_ALL")) queries.Catalog.all.map(_.name)
       else queries.Catalog.benchNames
+    // comma-separated subset filter for targeted A/B runs (tooling only;
+    // the driver never sets it, so round benches always run the full set)
+    val names = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+      case Some(only) => val want = only.split(",").map(_.trim).toSet
+        names0.filter(want)
+      case None => names0
+    }
     // Untimed warmup at the smallest SF: JIT/codegen/classloading otherwise
     // lands entirely on whichever query happens to run first (~5s skew).
     // Each query warms independently so one failure can't skip the rest.
