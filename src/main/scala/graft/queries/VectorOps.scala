@@ -417,19 +417,8 @@ object VectorOps {
     "v_ivf_assign",
     (s, d) => {
       import s.implicits._
-      val cents = vecs(s, d)
-        .filter($"vec_id" < nCells)
-        .select($"vec_id".as("cell"), $"embedding".as("c_emb"))
-      val w = Window.partitionBy($"vec_id").orderBy($"d2_micros".asc, $"cell".asc)
-      vecs(s, d)
-        .join(broadcast(cents))
-        .withColumn(
-          "d2_micros",
-          micros(dotd("embedding", "embedding") + dotd("c_emb", "c_emb")
-            - lit(2.0) * dotd("embedding", "c_emb")),
-        )
-        .withColumn("rk", row_number().over(w))
-        .filter($"rk" === 1)
+      // assignment core shared with t_semantic_dedup — see [[ivfCells]]
+      ivfCells(vecs(s, d))
         .groupBy($"cell")
         .agg(count(lit(1)).as("n_vecs"), min($"vec_id").as("min_vec_id"))
     },
@@ -632,6 +621,127 @@ object VectorOps {
     """.stripMargin.trim),
   )
 
+  // ---------------------------------------------------------------------
+  // Semantic (embedding-space) dedup — the SemDeDup pass (Abbas et al.
+  // 2023) that catches PARAPHRASE duplicates lexical MinHash/SimHash
+  // cannot: same meaning, different words → near-identical embeddings,
+  // disjoint shingle sets. Composition of machinery this pack already
+  // verifies standalone: IVF centroid assignment (v_ivf_assign) buckets
+  // the corpus into cells, within-cell cosine pairs (v_neardup_cosine's
+  // join shape, keyed by cell instead of sign bucket) generate the
+  // candidate edges, connectedComponents (TextOps' pointer-doubling
+  // resolver) collapses transitive chains, keep-one = component min.
+  //
+  // 100 TB shape: the assignment is the sanctioned broadcast-centroids
+  // scan; the pair join is an equi-join on cell (never all-pairs), with
+  // the same mega-bucket cap as the sign-bucket near-dups (an over-full
+  // cell is skipped — the remedy is MORE CENTROIDS, which is also how
+  // SemDeDup keeps within-cluster work bounded: k grows ~sqrt(n) with
+  // the corpus, so cells stay O(sqrt n) and the quadratic term is
+  // O(n^1.5 / k) total, distributed); the component resolver is
+  // O(log diameter) rounds of keyed shuffles. The within-cell restriction
+  // is the approximation knob — recall vs the brute-force pair set is
+  // measured in SemanticDedupSpec and recorded in SCALING.md.
+  // ---------------------------------------------------------------------
+
+  /** Nearest-centroid cell assignment over any embeddings-shaped frame
+    * (vec_id, embedding) — v_ivf_assign's core, exposed for composition
+    * and the planted-twin spec. Centroids = the first [[nCells]] vectors.
+    */
+  private[queries] def ivfCells(emb: DataFrame): DataFrame = {
+    val cents = emb.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cell"), col("embedding").as("c_emb"))
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("d2_micros").asc, col("cell").asc)
+    emb
+      .join(broadcast(cents))
+      .withColumn(
+        "d2_micros",
+        micros(dotd("embedding", "embedding") + dotd("c_emb", "c_emb")
+          - lit(2.0) * dotd("embedding", "c_emb")),
+      )
+      .withColumn("rk", row_number().over(wAssign))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("cell"), col("embedding"))
+  }
+
+  /** Within-cell cosine pairs at the near-dup threshold — the semantic
+    * candidate edge set. Cells over [[maxBucketVecs]] are skipped (same
+    * cap + remedy as the sign-bucket joins).
+    */
+  private[queries] def semanticPairs(emb: DataFrame): DataFrame = {
+    val assigned = ivfCells(emb)
+    val ok = assigned.groupBy(col("cell")).agg(count(lit(1)).as("n_c"))
+      .filter(col("n_c") <= maxBucketVecs)
+      .select(col("cell"))
+    val ag = assigned.join(broadcast(ok), "cell")
+    val l = ag.select(col("vec_id").as("doc_a"), col("embedding").as("emb_a"), col("cell"))
+    val r = ag.select(col("vec_id").as("doc_b"), col("embedding").as("emb_b"), col("cell").as("cell_b"))
+    l.join(r, col("cell") === col("cell_b") && col("doc_a") < col("doc_b"))
+      .withColumn(
+        "sim_micros",
+        micros(dotd("emb_a", "emb_b") /
+          (sqrt(dotd("emb_a", "emb_a")) * sqrt(dotd("emb_b", "emb_b")))),
+      )
+      .filter(col("sim_micros") >= nearDupThresholdMicros)
+      .select(col("doc_a"), col("doc_b"))
+  }
+
+  /** Full semantic dedup over any embeddings-shaped frame: every vec_id
+    * with its component representative and keep decision; vectors in no
+    * pair keep themselves. Exposed for the planted-twin spec.
+    */
+  private[queries] def semanticDedupOn(emb: DataFrame): DataFrame = {
+    val cc = TextOps.connectedComponentsStats(semanticPairs(emb))
+    emb.select(col("vec_id").as("doc_id"))
+      .join(cc.labels.select(col("v").as("doc_id"), col("lbl").as("rep0")), Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("rep0"), col("doc_id")).as("rep"),
+        (col("doc_id") === coalesce(col("rep0"), col("doc_id"))).as("is_kept"),
+        lit(cc.converged).as("converged"))
+  }
+
+  val semanticDedup = Q(
+    "t_semantic_dedup",
+    (s, d) => semanticDedupOn(vecs(s, d)),
+    Some(s"""
+      WITH RECURSIVE cents AS (SELECT vec_id AS cell, embedding AS c_emb FROM embeddings
+                     WHERE vec_id < $nCells),
+      dists AS (
+        SELECT v.vec_id, v.embedding, c.cell,
+               CAST(FLOOR(1e6 * (${oDot("v.embedding", "v.embedding")} + ${oDot("c.c_emb", "c.c_emb")}
+                 - 2.0 * ${oDot("v.embedding", "c.c_emb")})) AS BIGINT) AS d2_micros
+        FROM embeddings v CROSS JOIN cents c),
+      assigned AS (
+        SELECT vec_id, cell, embedding FROM (
+          SELECT vec_id, cell, embedding,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2_micros ASC, cell ASC) AS rk
+          FROM dists) WHERE rk = 1),
+      ok AS (SELECT cell FROM assigned GROUP BY 1 HAVING COUNT(*) <= $maxBucketVecs),
+      ag AS (SELECT a.* FROM assigned a JOIN ok USING (cell)),
+      pairs AS (
+        SELECT a.vec_id AS doc_a, c.vec_id AS doc_b
+        FROM ag a JOIN ag c ON a.cell = c.cell AND a.vec_id < c.vec_id
+        WHERE CAST(FLOOR(1e6 * (${oDot("a.embedding", "c.embedding")} /
+                (sqrt(${oDot("a.embedding", "a.embedding")}) * sqrt(${oDot("c.embedding", "c.embedding")}))))
+              AS BIGINT) >= $nearDupThresholdMicros),
+      und AS (
+        SELECT doc_a AS v, doc_b AS nbr FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs),
+      reach(v, r) AS (
+        SELECT v, v FROM (SELECT DISTINCT v FROM und)
+        UNION
+        SELECT u.v, reach.r FROM und u JOIN reach ON u.nbr = reach.v),
+      comp AS (SELECT v, MIN(r) AS rep FROM reach GROUP BY v)
+      SELECT e.vec_id AS doc_id,
+             COALESCE(c.rep, e.vec_id) AS rep,
+             e.vec_id = COALESCE(c.rep, e.vec_id) AS is_kept,
+             TRUE AS converged
+      FROM embeddings e LEFT JOIN comp c ON c.v = e.vec_id
+    """.stripMargin.trim),
+    bench = true, // the embedding-side dedup flagship (assignment + CC)
+  )
+
   val qs: Seq[Q] = Seq(
     normStats,
     knnBrute,
@@ -643,5 +753,6 @@ object VectorOps {
     ivfSearch,
     ivfSearchNprobe,
     docNearDup,
+    semanticDedup,
   )
 }

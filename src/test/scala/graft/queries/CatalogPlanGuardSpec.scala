@@ -29,7 +29,8 @@ class CatalogPlanGuardSpec extends SparkSpec {
 
   /** Broadcast side is the bounded query/centroid set — see class doc. */
   private val bnljSanctioned =
-    Set("v_knn_brute", "v_ivf_assign", "v_ivf_search", "v_ivf_nprobe")
+    Set("v_knn_brute", "v_ivf_assign", "v_ivf_search", "v_ivf_nprobe",
+      "t_semantic_dedup")
 
   test("no catalog query plans a cartesian, a rogue BNLJ, or a single-partition stage") {
     val offenders = Catalog.all.flatMap { q =>

@@ -1,0 +1,130 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Semantic-dedup quality probes: (1) planted paraphrase twins — clusters
+  * of near-identical embeddings — must collapse to one keeper per group
+  * through the REAL operator plan (assignment → within-cell pairs →
+  * components), while near-orthogonal noise survives untouched; (2) the
+  * within-cell restriction's recall against the brute-force all-pairs
+  * cosine set is measured (recorded in SCALING.md) and pinned at a floor;
+  * precision must be exact, because within-cell candidates are scored
+  * with the same exact cosine as brute force.
+  */
+class SemanticDedupSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private val thresholdMicros = 250000L
+
+  test("planted twin groups collapse to one keeper; noise vectors survive") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    def vec(): Array[Float] = Array.fill(64)(rnd.nextGaussian().toFloat)
+    def jitter(v: Array[Float]): Array[Float] =
+      v.map(x => x + (rnd.nextGaussian() * 0.001).toFloat)
+    // ids 0-15 double as the centroids (the operator's convention);
+    // 5 twin groups of 3 (a base vector + tiny jitter = cosine ~0.9998);
+    // 20 independent noise vectors (pairwise cosine ~ N(0, 1/64))
+    val cents = (0 until 16).map(i => (i.toLong, vec()))
+    val twinBase = Seq.fill(5)(vec())
+    val twins = twinBase.zipWithIndex.flatMap { case (v, g) =>
+      (0 until 3).map(j => ((100 + g * 10 + j).toLong, jitter(v)))
+    }
+    val noise = (200 until 220).map(i => (i.toLong, vec()))
+    val emb = spark.createDataset((cents ++ twins ++ noise).toIndexedSeq)
+      .toDF("vec_id", "embedding")
+    graft.functions.GraftFunctions.registerDotD(spark)
+    val out = VectorOps.semanticDedupOn(emb).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rep"), r.getAs[Boolean]("is_kept")))
+    assert(out.length === cents.size + twins.size + noise.size)
+    // ground truth: union-find over the operator's own pair set (twins may
+    // legitimately absorb a nearby centroid/noise vector at a 0.25
+    // threshold — what matters is component structure + keep-one)
+    val pairs = VectorOps.semanticPairs(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = out.map(_._1).map(v => v -> find(v)).toMap
+    assert(out.map(r => r._1 -> r._2).toMap === expected,
+      "operator components must equal union-find over its own pair set")
+    // a twin group is only guaranteed to collapse when all members share
+    // a cell — a base vector sitting ON a Voronoi boundary can split its
+    // jittered copies across cells (the SemDeDup approximation; the real
+    // remedy is multiple clusterings). With jitter << assignment margin
+    // this is rare; require at least 4 of 5 groups fully collapsed and
+    // every group to collapse into at most 2 components.
+    val groupComponents = (0 until 5).map { g =>
+      val ids = (0 until 3).map(j => (100 + g * 10 + j).toLong)
+      out.filter(r => ids.contains(r._1)).map(_._2).toSet.size
+    }
+    assert(groupComponents.count(_ == 1) >= 4, s"components per group: $groupComponents")
+    assert(groupComponents.forall(_ <= 2), s"components per group: $groupComponents")
+    // keep-one: exactly one keeper per component, and it is the rep itself
+    out.groupBy(_._2).foreach { case (rep, members) =>
+      assert(members.count(_._3) === 1, s"component $rep keeper count")
+      assert(members.filter(_._3).head._1 === rep, s"component $rep keeper is rep")
+    }
+    // most noise vectors stay singletons — the 0.25 threshold sits at 2
+    // sigma of the N(0, 1/64) pair-cosine distribution, so a few chance
+    // absorptions are expected; the floor pins that the threshold does
+    // real work without over-fitting one seed
+    assert(out.count(r => r._1 >= 200 && r._2 == r._1 && r._3) >= 12)
+  }
+
+  test("within-cell pair recall vs brute force: exact precision, measured floor") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    // brute-force pair set at the operator's own integer threshold
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val brute = (for {
+      i <- emb.indices.iterator
+      j <- (i + 1) until emb.length
+      if math.floor(1e6 * cos(emb(i)._2, emb(j)._2)) >= thresholdMicros
+    } yield {
+      val (a, b) = (emb(i)._1, emb(j)._1)
+      (math.min(a, b), math.max(a, b))
+    }).toSet
+    val got = VectorOps.semanticPairs(graft.sources.Tables.embeddings(spark, sf))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(brute), "within-cell pairs must be exact-cosine true pairs")
+    assert(brute.nonEmpty, "threshold must select a non-empty pair set at sf0.001")
+    val recall = got.size.toDouble / brute.size
+    info(s"semantic pair recall@cell: $recall (${got.size}/${brute.size})")
+    // near-orthogonal random vectors are the adversarial case for any
+    // single-assignment partition (see VectorRecallSpec); the floor pins
+    // the measured behavior so a regression in the assignment or the
+    // pair join fails loudly rather than silently shrinking the edge set
+    assert(recall >= 0.10, s"recall collapsed: $recall")
+  }
+
+  test("t_semantic_dedup covers every embedding exactly once at sf0.01") {
+    val out = Catalog.queries("t_semantic_dedup")(spark, "/root/testdata/sf0.01")
+      .collect()
+    val n = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.01").count()
+    assert(out.length.toLong === n)
+    assert(out.map(_.getAs[Long]("doc_id")).distinct.length.toLong === n)
+    val keptReps = out.filter(_.getAs[Boolean]("is_kept")).map(_.getAs[Long]("rep")).toSet
+    val allReps = out.map(_.getAs[Long]("rep")).toSet
+    assert(keptReps === allReps, "every component must surface exactly its min-id keeper")
+    assert(out.forall(_.getAs[Boolean]("converged")))
+  }
+}
