@@ -1286,12 +1286,80 @@ object TextOps {
     """.stripMargin.trim),
   )
 
+  // ---------------------------------------------------------------------
+  // PII scrub — the C4/Dolma-style redaction pass every shipped corpus
+  // runs before training: emails, IPv4 addresses, and phone numbers are
+  // replaced with redaction tokens, with per-document counts of each
+  // category. A pure per-row projection (regexp_count + regexp_replace,
+  // all codegen'd) — zero shuffle, embarrassingly parallel, the cheapest
+  // possible 100 TB shape (one scan, one write; payload = the corpus,
+  // which is the floor for any rewrite pass).
+  //
+  // The three regexes are deliberately ASCII-simple so Java (Spark) and
+  // RE2 (DuckDB) agree byte-for-byte: no backrefs, no lookaround, no
+  // unicode classes — just classes, bounded quantifiers and \b. Scrub
+  // order is email → IP → phone, each stage counting on ITS OWN input
+  // (the text the previous stage produced), so the counts are exactly
+  // the number of replacements each stage performed — an IP-shaped
+  // fragment inside an already-redacted email can never double-count.
+  // The synthetic corpus contains no PII (counts are all zero, which
+  // both engines must agree on); PiiScrubPropertySpec drives planted
+  // emails/phones/IPs through the same core and pins hand-computed
+  // redactions.
+  // ---------------------------------------------------------------------
+
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private val phoneRe = "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b"
+
+  /** (doc_id, scrubbed, n_emails, n_ips, n_phones, n_redacted) over any
+    * (doc_id, text) frame — the operator core, exposed for the planted-PII
+    * property spec.
+    */
+  private[queries] def piiScrubOn(docsDf: DataFrame): DataFrame = {
+    val afterEmail = regexp_replace(col("text"), emailRe, "<EMAIL>")
+    docsDf
+      .withColumn("n_emails", regexp_count(col("text"), lit(emailRe)).cast("long"))
+      .withColumn("t1", afterEmail)
+      .withColumn("n_ips", regexp_count(col("t1"), lit(ipRe)).cast("long"))
+      .withColumn("t2", regexp_replace(col("t1"), ipRe, "<IP>"))
+      .withColumn("n_phones", regexp_count(col("t2"), lit(phoneRe)).cast("long"))
+      .withColumn("scrubbed", regexp_replace(col("t2"), phoneRe, "<PHONE>"))
+      .withColumn("n_redacted", col("n_emails") + col("n_ips") + col("n_phones"))
+      .select(col("doc_id"), col("scrubbed"), col("n_emails"), col("n_ips"),
+        col("n_phones"), col("n_redacted"))
+  }
+
+  val piiScrub = Q(
+    "t_pii_scrub",
+    (s, d) => piiScrubOn(docs(s, d).select(col("doc_id"), col("text"))),
+    Some(s"""
+      WITH t AS (
+        SELECT doc_id, text,
+               CAST(len(regexp_extract_all(text, '$emailRe')) AS BIGINT) AS n_emails,
+               regexp_replace(text, '$emailRe', '<EMAIL>', 'g') AS t1
+        FROM documents),
+      u AS (
+        SELECT doc_id, n_emails,
+               CAST(len(regexp_extract_all(t1, '$ipRe')) AS BIGINT) AS n_ips,
+               regexp_replace(t1, '$ipRe', '<IP>', 'g') AS t2
+        FROM t)
+      SELECT doc_id,
+             regexp_replace(t2, '$phoneRe', '<PHONE>', 'g') AS scrubbed,
+             n_emails, n_ips,
+             CAST(len(regexp_extract_all(t2, '$phoneRe')) AS BIGINT) AS n_phones,
+             n_emails + n_ips + CAST(len(regexp_extract_all(t2, '$phoneRe')) AS BIGINT) AS n_redacted
+      FROM u
+    """.stripMargin.trim),
+  )
+
   val qs: Seq[Q] = Seq(
     textStats,
     tokenTopK,
     tokenBpe,
     langId,
     qualityScore,
+    piiScrub,
     dedupExact,
     dedupPara,
     repetition,
