@@ -42,6 +42,8 @@ object Multimodal {
 
   final case class DecodedImage(assetId: Long, width: Int, height: Int, meanLuma: Double)
 
+  final case class ImageHash(assetId: Long, dhash: Long)
+
   final case class AssetFeatures(assetId: Long, kind: String, features: Array[Float])
 
   final case class VideoFrame(assetId: Long, frameIdx: Int, tsMs: Long, frameHash: Long)
@@ -64,6 +66,40 @@ object Multimodal {
     def decodeImage(a: MediaAsset): DecodedImage = {
       val h = contentHash(a.content)
       DecodedImage(a.assetId, a.width, a.height, math.floorMod(h, 255000L) / 1000.0)
+    }
+
+    /** STUB: real impl decodes and downsamples to a w×h grayscale grid;
+      * the fake samples w·h evenly-spaced payload bytes. Unlike the
+      * hash-derived stubs above, this one is deliberately
+      * LOCALITY-PRESERVING — payloads differing in a few bytes yield
+      * grids differing in at most those sampled cells — because that is
+      * the property perceptual hashing exists to exploit (a re-encoded /
+      * lightly-edited image decodes to nearly the same pixels).
+      */
+    def grayPixels(a: MediaAsset, w: Int = 9, h: Int = 8): Array[Int] = {
+      val n = w * h
+      val len = a.content.length
+      Array.tabulate(n)(i => a.content((i.toLong * len / n).toInt) & 0xff)
+    }
+
+    /** dHash (difference hash): 8×8 bits over a 9×8 luma grid, bit r·8+c
+      * set when the right neighbor is strictly brighter. Robust to global
+      * brightness/contrast shifts (only ORDER between neighbors matters)
+      * — the standard cheap perceptual fingerprint.
+      */
+    def dhash(a: MediaAsset): Long = {
+      val px = grayPixels(a)
+      var bits = 0L
+      var r = 0
+      while (r < 8) {
+        var c = 0
+        while (c < 8) {
+          if (px(r * 9 + c + 1) > px(r * 9 + c)) bits |= 1L << (r * 8 + c)
+          c += 1
+        }
+        r += 1
+      }
+      bits
     }
 
     /** STUB: real impl = embedding model inference; the fake expands the
@@ -190,6 +226,21 @@ object Multimodal {
       .mapPartitions { it =>
         // real codec: init native decoder here, once per partition
         it.map(StubCodec.decodeImage)
+      }
+  }
+
+  /** Perceptual-hash pass: one 64-bit dHash per image, computed
+    * executor-side from the decoded grid ([[StubCodec.dhash]]); output
+    * carries the digest, never the media bytes, so the downstream
+    * near-dup join shuffles 16 bytes per image.
+    */
+  def perceptualHashes(assets: Dataset[MediaAsset]): Dataset[ImageHash] = {
+    implicit val enc = Encoders.product[ImageHash]
+    assets
+      .filter(col("kind") === "image")
+      .mapPartitions { it =>
+        // real codec: init native decoder here, once per partition
+        it.map(a => ImageHash(a.assetId, StubCodec.dhash(a)))
       }
   }
 

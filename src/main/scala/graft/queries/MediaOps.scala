@@ -176,5 +176,154 @@ object MediaOps {
     """.stripMargin.trim),
   )
 
-  val qs: Seq[Q] = Seq(assetFeatures, decodeImages, frameStats)
+  // ---------------------------------------------------------------------
+  // Image perceptual-hash near-dup — extends dedup to the multimodal
+  // columns: dHash (8×8 difference bits over the decoded 9×8 luma grid,
+  // StubCodec.grayPixels being the clearly-marked locality-preserving
+  // decode stand-in) + Hamming banding exactly like t_simhash_neardup:
+  // 8 bands of 8 bits, so any pair within Hamming ≤ 7 shares at least
+  // one band verbatim (k+1-bands guarantee) and candidates come from a
+  // band equi-join, never all-pairs. Verification is exact
+  // bit_count(xor) ≤ 6.
+  //
+  // Fixture: 100 pseudo-random base images + 10 "visible edit" variants
+  // (two bytes at SAMPLED grid cells changed → dHash within 4 bits) +
+  // 10 "metadata-only" variants (a byte the decoder never samples →
+  // identical dHash; the EXIF-edit case perceptual hashing exists to
+  // catch where byte-exact dedup fails). Committed parquet, so both
+  // engines read identical bytes; the oracle re-derives pixels, dHash,
+  // bands, and the banded join in DuckDB integer math.
+  //
+  // 100 TB shape: hash pass is one scan emitting 16 bytes/image; band
+  // join is keyed by (band, 8-bit value) with the same mega-bucket cap
+  // + remedy (more/wider bands) as the text-side LSH; the hash join
+  // back to digests shuffles digests, never media bytes.
+  // ---------------------------------------------------------------------
+
+  private val variantsDir =
+    Paths.get(graft.sources.Fixtures.fixturesDir, "media_variants.parquet")
+      .toAbsolutePath.toString
+  private val nBaseImages = 100
+  private val payloadLen = 1024
+  private val hammingMax = 6L
+  private val nBands = 8
+  private val maxBandBucket = 1 << 10
+
+  private def mkImage(id: Long, bytes: Array[Byte]): MediaAsset =
+    MediaAsset(id, "image", bytes, "png", 640, 480, 0, 0L)
+
+  /** Well-mixed pseudo-random payload (splitmix-style) — base images must
+    * be mutually unrelated so the only near-dup pairs are the planted
+    * ones (an affine byte pattern would make rotated grids collide).
+    */
+  private def payload(id: Long): Array[Byte] = Array.tabulate[Byte](payloadLen) { i =>
+    var z = id * 0x9e3779b97f4a7c15L + i * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 30)) * 0x94d049bb133111ebL
+    (z >>> 24).toByte
+  }
+
+  /** Byte offsets sampled by the 9×8 grid: pixel i reads byte
+    * i·len/72 — offsets 142 and 568 are pixels 10 and 40; offset 17 is
+    * never sampled.
+    */
+  private def ensureVariants(s: SparkSession): Dataset[MediaAsset] = {
+    implicit val enc = org.apache.spark.sql.Encoders.product[MediaAsset]
+    if (!Files.exists(Paths.get(variantsDir))) {
+      val base = (0 until nBaseImages).map(i => mkImage(i.toLong, payload(i.toLong)))
+      val visibleEdits = (0 until 10).map { i =>
+        val b = payload(i.toLong)
+        // top-bit flips (±128): large luma moves at two sampled cells, so
+        // most (not all — it depends on the neighbors) flip comparisons
+        b(142) = (b(142) ^ 0x80).toByte
+        b(568) = (b(568) ^ 0x80).toByte
+        mkImage(200L + i, b)
+      }
+      val metaEdits = (0 until 10).map { i =>
+        val b = payload(10L + i)
+        b(17) = (b(17) + 3).toByte
+        mkImage(300L + i, b)
+      }
+      s.createDataset(base ++ visibleEdits ++ metaEdits).coalesce(1)
+        .write.mode("ignore").parquet(variantsDir)
+    }
+    s.read.parquet(variantsDir).as[MediaAsset]
+  }
+
+  /** 2^(8j) and 2^b literal lists — DuckDB-side shift tables (HUGEINT,
+    * so bit 63 never overflows the signed domain).
+    */
+  private val oPow8: String =
+    (0 until nBands).map(j => s"${BigInt(1) << (8 * j)}::HUGEINT").mkString("[", ", ", "]")
+  private val oPowBit: String =
+    (0 until 64).map(b => s"${BigInt(1) << b}::HUGEINT").mkString("[", ", ", "]")
+
+  /** Unsigned byte at sampled offset `(i·len)//72` of the blob, via the
+    * same hex-digit decode as [[fnvOverContent]] (1-based substr; byte k
+    * sits at hex chars 2k+1, 2k+2 for 0-based k).
+    */
+  private def oPixAt(i: String): String = {
+    val k = s"(($i) * octet_length(content)) // 72"
+    s"""((strpos('0123456789ABCDEF', substr(hex(content), CAST(2*($k)+1 AS INTEGER), 1)) - 1) * 16
+       | + (strpos('0123456789ABCDEF', substr(hex(content), CAST(2*($k)+2 AS INTEGER), 1)) - 1))""".stripMargin
+  }
+
+  val imageNearDup = Q(
+    "m_image_neardup",
+    (s, _) => {
+      import s.implicits._
+      val hashes = Multimodal.perceptualHashes(ensureVariants(s)).toDF()
+      val bandArr = array((0 until nBands).map(j =>
+        shiftrightunsigned($"dhash", j * 8).bitwiseAND(lit(255L))): _*)
+      val bands = hashes.select($"assetId", posexplode(bandArr).as(Seq("band", "bval")))
+      // mega-bucket cap (≤ 2048 (band, value) keys — broadcast is safe at
+      // any corpus size), same contract as the text-side LSH: an over-full
+      // band bucket (boilerplate imagery) is skipped; remedy = wider bands
+      val ok = bands.groupBy($"band", $"bval").agg(count(lit(1)).as("n_b"))
+        .filter($"n_b" <= maxBandBucket)
+        .select($"band", $"bval")
+      val gated = bands.join(broadcast(ok), Seq("band", "bval"))
+      val cand = gated.select($"assetId".as("asset_a"), $"band", $"bval")
+        .join(
+          gated.select($"assetId".as("asset_b"), $"band".as("band_b"), $"bval".as("bval_b")),
+          $"band" === $"band_b" && $"bval" === $"bval_b" && $"asset_a" < $"asset_b")
+        .select($"asset_a", $"asset_b")
+        .distinct()
+      cand
+        .join(hashes.select($"assetId".as("asset_a"), $"dhash".as("dhash_a")), "asset_a")
+        .join(hashes.select($"assetId".as("asset_b"), $"dhash".as("dhash_b")), "asset_b")
+        .withColumn("hamming", expr("CAST(bit_count(dhash_a ^ dhash_b) AS BIGINT)"))
+        .filter($"hamming" <= hammingMax)
+        .select($"asset_a", $"asset_b", $"hamming")
+    },
+    Some(s"""
+      WITH px AS (
+        SELECT assetId, list_transform(range(0, 72), i -> ${oPixAt("i")}) AS p
+        FROM read_parquet('$variantsDir/*.parquet') WHERE kind = 'image'),
+      dh AS (
+        SELECT assetId,
+               list_reduce(list_prepend(0::HUGEINT, list_transform(range(0, 64),
+                 b -> CASE WHEN p[CAST((b // 8) * 9 + (b % 8) AS INTEGER) + 2]
+                              > p[CAST((b // 8) * 9 + (b % 8) AS INTEGER) + 1]
+                           THEN $oPowBit[CAST(b AS INTEGER) + 1] ELSE 0::HUGEINT END)),
+                 (acc, x) -> acc + x) AS hu
+        FROM px),
+      dhs AS (SELECT assetId, hu, ${u2s("hu")} AS dhash FROM dh),
+      bands AS (
+        SELECT assetId, j AS band, CAST((hu // $oPow8[CAST(j AS INTEGER) + 1]) % 256 AS BIGINT) AS bval
+        FROM dhs, (SELECT unnest(generate_series(0, ${nBands - 1})) AS j)),
+      ok AS (SELECT band, bval FROM bands GROUP BY 1, 2 HAVING COUNT(*) <= $maxBandBucket),
+      gb AS (SELECT b.* FROM bands b JOIN ok USING (band, bval)),
+      cand AS (
+        SELECT DISTINCT a.assetId AS asset_a, c.assetId AS asset_b
+        FROM gb a JOIN gb c ON a.band = c.band AND a.bval = c.bval AND a.assetId < c.assetId)
+      SELECT cand.asset_a, cand.asset_b,
+             CAST(bit_count(xor(x.dhash, y.dhash)) AS BIGINT) AS hamming
+      FROM cand
+      JOIN dhs x ON x.assetId = cand.asset_a
+      JOIN dhs y ON y.assetId = cand.asset_b
+      WHERE bit_count(xor(x.dhash, y.dhash)) <= $hammingMax
+    """.stripMargin.trim),
+  )
+
+  val qs: Seq[Q] = Seq(assetFeatures, decodeImages, frameStats, imageNearDup)
 }
