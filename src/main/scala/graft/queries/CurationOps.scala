@@ -49,20 +49,17 @@ object CurationOps {
     "t_split_assign",
     (s, d) => {
       import s.implicits._
+      // both columns derive from splitOf/splitBucketOf — the published
+      // split and t_contamination's train set share ONE definition, so
+      // editing a boundary can never desynchronize them
       docs(s, d)
-        .select($"doc_id", (TextOps.h60($"doc_id".cast("string")) % 1000).as("bucket"))
-        .withColumn(
-          "split",
-          when($"bucket" < 800, lit("train"))
-            .when($"bucket" < 900, lit("val"))
-            .otherwise(lit("test")))
+        .select($"doc_id", splitBucketOf($"doc_id").as("bucket"),
+          splitOf($"doc_id").as("split"))
     },
     Some(s"""
       SELECT doc_id,
              ${oMd5Bucket("doc_id", 1000)} AS bucket,
-             CASE WHEN ${oMd5Bucket("doc_id", 1000)} < 800 THEN 'train'
-                  WHEN ${oMd5Bucket("doc_id", 1000)} < 900 THEN 'val'
-                  ELSE 'test' END AS split
+             $oSplitCase AS split
       FROM documents
     """.stripMargin.trim),
   )
@@ -181,67 +178,88 @@ object CurationOps {
     Seq("src0" -> 40L, "src1" -> 20L, "src2" -> 10L, "src3" -> 5L)
   private val mixW: Long = mixWeights.map(_._2).sum
 
+  /** Parts-per-million rate granularity. The earlier percent form (100
+    * hash buckets) quantized each source's budget by up to ~1% — ~1 TB
+    * per source at corpus scale; ppm makes that 10^-6 for free, since
+    * the hash already has 60 bits. Driver-side rate math runs in BigInt
+    * (10^6 · token-counts exceeds 2^63 once a source holds ~10^13
+    * tokens — exactly the 100 TB regime); the DuckDB mirror hops through
+    * HUGEINT for the same reason.
+    */
+  private val mixDenom = 1000000L
+
+  /** The mixing core over any (doc_id, source, text) frame — exposed for
+    * the quantization/missing-source specs. A listed source ABSENT from
+    * the frame contributes zero tokens exactly like a listed source whose
+    * rows are token-less: both bind the budget to 0 and empty the mix (a
+    * mixture cannot be satisfied when a mandated ingredient is missing) —
+    * the whitelist is left-joined against the observed totals so the two
+    * cases can never diverge.
+    */
+  private[queries] def domainMixOn(docsDf: DataFrame, weights: Seq[(String, Long)]): DataFrame = {
+    require(weights.nonEmpty, "a mixture needs at least one listed source")
+    val sp = docsDf.sparkSession
+    import sp.implicits._
+    val wSum = weights.map(_._2).sum
+    val weightCol = weights.foldLeft(lit(null).cast("long")) {
+      case (acc, (src, w)) => when(col("source") === src, lit(w)).otherwise(acc)
+    }
+    val counted = docsDf
+      .select(col("doc_id"), col("source"), weightCol.as("w"))
+      .filter(col("w").isNotNull)
+    // one row per LISTED source — the collect is O(|weights|), never
+    // O(rows), mirroring the shard packer's bucket-offset hand-off
+    val present = docsDf
+      .select(col("source"), size(TextOps.toks).cast("long").as("n_tokens"))
+      .filter(weightCol.isNotNull)
+      .groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("toks"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    val totals = weights.map { case (src, w) => (src, w, present.getOrElse(src, 0L)) }
+    val b = totals.map { case (_, w, toks) => BigInt(toks) * wSum / w }.min
+    val rates = totals
+      .map { case (src, w, toks) =>
+        (src, if (toks == 0) 0L else (BigInt(mixDenom) * (w * b / wSum) / toks).toLong)
+      }
+      .toDF("source", "rate_ppm")
+    counted
+      .join(broadcast(rates), "source")
+      .withColumn(
+        "bucket",
+        TextOps.h60(concat($"doc_id".cast("string"), lit(":mix"))) % mixDenom)
+      .filter($"bucket" < $"rate_ppm")
+      .select($"doc_id", $"source", $"rate_ppm", $"bucket")
+  }
+
   val domainMix = Q(
     "t_domain_mix",
-    (s, d) => {
-      import s.implicits._
-      val weightCol = mixWeights.foldLeft(lit(null).cast("long")) {
-        case (acc, (src, w)) => when($"source" === src, lit(w)).otherwise(acc)
-      }
-      val counted = docs(s, d)
-        .select($"doc_id", $"source", weightCol.as("w"))
-        .filter($"w".isNotNull)
-      // one row per LISTED source — the collect is O(|mixWeights|), never
-      // O(rows), mirroring the shard packer's bucket-offset hand-off
-      val totals = docs(s, d)
-        .select($"source", weightCol.as("w"), size(TextOps.toks).cast("long").as("n_tokens"))
-        .filter($"w".isNotNull)
-        .groupBy($"source", $"w")
-        .agg(sum($"n_tokens").as("toks"))
-        .collect()
-        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-      val rates =
-        if (totals.isEmpty) Seq.empty[(String, Long)].toDF("source", "rate_pct")
-        else {
-          val b = totals.map { case (_, w, toks) => toks * mixW / w }.min
-          totals.toSeq
-            // a listed source whose documents are all token-less supplies
-            // nothing: rate 0, never a division by zero (it also binds
-            // B to 0, emptying the mix — a mixture cannot be satisfied
-            // when a mandated ingredient is missing)
-            .map { case (src, w, toks) =>
-              (src, if (toks == 0) 0L else 100L * (w * b / mixW) / toks)
-            }
-            .toDF("source", "rate_pct")
-        }
-      counted
-        .join(broadcast(rates), "source")
-        .withColumn(
-          "bucket",
-          TextOps.h60(concat($"doc_id".cast("string"), lit(":mix"))) % 100)
-        .filter($"bucket" < $"rate_pct")
-        .select($"doc_id", $"source", $"rate_pct", $"bucket")
-    },
+    (s, d) => domainMixOn(docs(s, d), mixWeights),
     Some {
       val weightsValues = mixWeights
         .map { case (s0, w) => s"('$s0', ${w}::BIGINT)" }.mkString(", ")
-      val salted = oMd5Bucket("CAST(doc_id AS VARCHAR) || ':mix'", 100)
+      val salted = oMd5Bucket("CAST(doc_id AS VARCHAR) || ':mix'", mixDenom.toInt)
       s"""
       WITH weights(source, w) AS (VALUES $weightsValues),
-      totals AS (
-        SELECT d.source, w.w,
+      observed AS (
+        SELECT d.source,
                CAST(SUM(len(list_filter(string_split(d.text, ' '), x -> x != ''))) AS BIGINT) AS toks
         FROM documents d JOIN weights w ON d.source = w.source
-        GROUP BY 1, 2),
-      budget AS (SELECT MIN(toks * $mixW // w) AS b FROM totals),
+        GROUP BY 1),
+      totals AS (
+        SELECT w.source, w.w, COALESCE(o.toks, 0) AS toks
+        FROM weights w LEFT JOIN observed o ON w.source = o.source),
+      budget AS (SELECT MIN(CAST(toks AS HUGEINT) * $mixW // w) AS b FROM totals),
       rates AS (
         SELECT t.source,
                CASE WHEN t.toks = 0 THEN 0
-                    ELSE (100 * (t.w * b.b // $mixW)) // t.toks END AS rate_pct
+                    ELSE CAST(($mixDenom::HUGEINT * (CAST(t.w AS HUGEINT) * b.b // $mixW))
+                              // t.toks AS BIGINT) END AS rate_ppm
         FROM totals t CROSS JOIN budget b)
-      SELECT d.doc_id, d.source, r.rate_pct, $salted AS bucket
+      SELECT d.doc_id, d.source, r.rate_ppm, $salted AS bucket
       FROM documents d JOIN rates r ON d.source = r.source
-      WHERE $salted < r.rate_pct
+      WHERE $salted < r.rate_ppm
     """.stripMargin.trim
     },
   )
@@ -287,12 +305,18 @@ object CurationOps {
   // ContaminationSpec).
   // ---------------------------------------------------------------------
 
-  /** Split label as a pure function of the stable id — the same 80/10/10
-    * hash boundaries as [[splitAssign]] (kept in one place so the two can
-    * never drift).
+  /** Split bucket (0-999) of the stable id — the shared base of
+    * [[splitOf]] and [[splitAssign]].
+    */
+  private[queries] def splitBucketOf(idCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    TextOps.h60(idCol.cast("string")) % 1000
+
+  /** Split label as a pure function of the stable id — [[splitAssign]]
+    * and t_contamination both build on THIS definition (single source of
+    * truth; there is no second copy of the 80/10/10 boundaries anywhere).
     */
   private[queries] def splitOf(idCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val bucket = TextOps.h60(idCol.cast("string")) % 1000
+    val bucket = splitBucketOf(idCol)
     when(bucket < 800, lit("train")).when(bucket < 900, lit("val")).otherwise(lit("test"))
   }
 

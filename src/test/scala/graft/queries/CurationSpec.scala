@@ -73,16 +73,43 @@ class CurationSpec extends SparkSpec {
       .view.mapValues(_.map(_.getString(1).split(" ").count(_.nonEmpty).toLong).sum)
       .toMap
     val b = weights.map { case (s0, w) => toks(s0) * W / w }.min
-    val wantRate = weights.map { case (s0, w) => s0 -> 100L * (w * b / W) / toks(s0) }
+    val wantRate = weights.map { case (s0, w) => s0 -> 1000000L * (w * b / W) / toks(s0) }
     val gotRate = rows.groupBy(_._2).view.mapValues(_.head._3).toMap
     assert(gotRate === wantRate, s"got $gotRate want $wantRate")
     // the binding source is kept (nearly) whole; the others scale by weight
-    assert(gotRate.values.max >= 95, "some source must bind the budget")
+    assert(gotRate.values.max >= 950000L, "some source must bind the budget")
     assert(gotRate("src0") > gotRate("src1") && gotRate("src1") > gotRate("src2")
       && gotRate("src2") > gotRate("src3") && gotRate("src3") > 0)
     // every kept doc actually passes its source's salted-hash gate
-    rows.foreach { case (_, _, rate) => assert(rate >= 0 && rate <= 100) }
+    rows.foreach { case (_, _, rate) => assert(rate >= 0 && rate <= 1000000L) }
     assert(rows.nonEmpty)
+  }
+
+  test("t_domain_mix: ppm rates recover budget a percent-granularity mix truncates to zero") {
+    import spark.implicits._
+    // src0 supplies 3 tokens, src1 supplies 1000 (one per doc). Equal
+    // weights -> budget 6, need 3 from each. Percent form: rate(src1) =
+    // floor(100*3/1000) = 0 -> the whole src1 allocation vanishes. Ppm:
+    // 3000 ppm keeps ~3 docs.
+    val docsDf = ((0 until 3).map(i => (i.toLong, "src0", "a")) ++
+      (100 until 1100).map(i => (i.toLong, "src1", "tok")))
+      .toDF("doc_id", "source", "text")
+    val rows = CurationOps.domainMixOn(docsDf, Seq("src0" -> 1L, "src1" -> 1L))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val rate = rows.groupBy(_._2).view.mapValues(_.head._3).toMap
+    assert(rate.get("src1").contains(3000L), s"ppm rate: $rate")
+    assert(100L * 3 / 1000 === 0L, "the percent form would zero this source")
+    assert(rows.count(_._2 == "src1") >= 1, "ppm granularity must keep a src1 share")
+  }
+
+  test("t_domain_mix: a mandated source absent from the corpus empties the mix") {
+    import spark.implicits._
+    val docsDf = (0 until 50).map(i => (i.toLong, "src0", "some tokens here"))
+      .toDF("doc_id", "source", "text")
+    // src1 is listed but supplies no rows at all: same contract as a
+    // token-less source - the budget binds to 0 and nothing is kept
+    val rows = CurationOps.domainMixOn(docsDf, Seq("src0" -> 1L, "src1" -> 1L))
+    assert(rows.count() === 0L, "missing mandated ingredient must empty the mix")
   }
 
   test("t_shard_pack: shards are contiguous, budget-bounded, and cover every token") {
