@@ -447,19 +447,46 @@ object CurationOps {
 
   // ---------------------------------------------------------------------
   // Composed curation pipeline — the counterpart of `t_clean_corpus` for
-  // the assignment half: exact dedup → quality gate → hash split → the
-  // TRAIN partition packed into token-budget shards, as ONE declarative
-  // plan. This is "corpus in, training files out": every stage is an
-  // operator this pack already verifies standalone; the composition
-  // proves they chain without re-materialization tricks (the only
-  // driver hand-offs are the shard packer's O(buckets) offsets).
+  // the assignment half: exact dedup → quality gate → hash split →
+  // train-side DECONTAMINATION (drop train docs whose shingle set is
+  // ≥ 80% covered by the held-out splits — shipping them would leak the
+  // eval into training, the mirror image of t_contamination's eval-side
+  // score) → the clean TRAIN partition packed into token-budget shards,
+  // as ONE declarative plan. This is "corpus in, training files out":
+  // every stage is an operator this pack already verifies standalone;
+  // the composition proves they chain without re-materialization tricks
+  // (the only driver hand-offs are the shard packer's O(buckets)
+  // offsets).
   //
   // 100 TB shape: the dedup hash shuffle, a per-row quality projection,
-  // a per-row split projection (pure hash, no shuffle), then the
-  // distributed prefix sum — no stage sees more than the survivors, and
-  // the prefix sum's window stays bucket-partitioned (blanket-pinned by
-  // CatalogPlanGuardSpec like every catalog query).
+  // a per-row split projection (pure hash, no shuffle), one distinct on
+  // the held-out shingle set + one shingle equi-join + doc-keyed agg
+  // (t_contamination's verified shape, roles swapped), a broadcast-able
+  // anti-join of the leaky-id set, then the distributed prefix sum — no
+  // stage sees more than the survivors, and the prefix sum's window
+  // stays bucket-partitioned (blanket-pinned by CatalogPlanGuardSpec
+  // like every catalog query). The curated frame feeds BOTH the shingle
+  // branch and the packing branch, so it is lazily localCheckpoint'ed
+  // once (same two-consumer economics as t_clean_corpus's survivors).
   // ---------------------------------------------------------------------
+
+  /** Train docs of `docsDf` (doc_id, text, …) whose shingle set is ≥ 80%
+    * covered by the held-out splits' shingle set — the leak direction a
+    * train shard must not ship. Mirror of [[contaminationOn]] with the
+    * roles swapped; shingle-less docs have nothing to leak and never
+    * match.
+    */
+  private[queries] def contaminatedTrainOn(docsDf: DataFrame): DataFrame = {
+    val sh = TextOps.shinglesOfDf(docsDf).withColumn("split", splitOf(col("doc_id")))
+    val evalSh = sh.filter(col("split") =!= "train").select(col("sh")).distinct()
+      .withColumn("hit", lit(1L))
+    sh.filter(col("split") === "train")
+      .join(evalSh, Seq("sh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sh"), sum(coalesce(col("hit"), lit(0L))).as("n_overlap"))
+      .filter(col("n_overlap") * 5 >= col("n_sh") * 4)
+      .select(col("doc_id"))
+  }
 
   val curateCorpus = Q(
     "t_curate_corpus",
@@ -467,7 +494,11 @@ object CurationOps {
       import s.implicits._
       val good = TextOps.withQuality(TextOps.dedupSurvivors(s, d))
         .filter($"quality" =!= "poor")
+        .localCheckpoint(false) // two consumers: shingle branch + packing
+      val leaky = contaminatedTrainOn(good.select($"doc_id", $"text"))
+        .withColumnRenamed("doc_id", "leak_id")
       val train = good.filter(splitOf($"doc_id") === "train")
+        .join(leaky, $"doc_id" === $"leak_id", "left_anti")
       shardPackOn(train.select($"doc_id", $"n_tokens"))
     },
     Some {
@@ -490,8 +521,21 @@ object CurationOps {
                         AND FLOOR(100.0 * n_stop / n_tokens) <= 40 THEN 'good'
                    WHEN n_tokens >= 10 THEN 'fair'
                    ELSE 'poor' END <> 'poor'),
+      gsh AS (
+        SELECT sv.doc_id, unnest(${TextOps.oracleShingles}) AS sh
+        FROM survivors sv JOIN good g ON sv.doc_id = g.doc_id),
+      esh AS (
+        SELECT DISTINCT sh FROM gsh WHERE ($oSplitCase) <> 'train'),
+      leaky AS (
+        SELECT g.doc_id
+        FROM (SELECT * FROM gsh WHERE ($oSplitCase) = 'train') g
+        LEFT JOIN esh e ON g.sh = e.sh
+        GROUP BY g.doc_id
+        HAVING COUNT(e.sh) * 5 >= COUNT(*) * 4),
       train AS (
-        SELECT doc_id, n_tokens FROM good WHERE ($oSplitCase) = 'train')
+        SELECT doc_id, n_tokens FROM good
+        WHERE ($oSplitCase) = 'train'
+          AND doc_id NOT IN (SELECT doc_id FROM leaky))
       SELECT doc_id, n_tokens,
              CAST($prefix AS BIGINT) AS cum_before,
              CAST($prefix // $shardTokens AS BIGINT) AS shard_id
