@@ -497,9 +497,14 @@ object CurationOps {
         .localCheckpoint(false) // two consumers: shingle branch + packing
       val leaky = contaminatedTrainOn(good.select($"doc_id", $"text"))
         .withColumnRenamed("doc_id", "leak_id")
+      // the packer scans its input twice (offsets + output); materialize
+      // the slim decontaminated id/token frame once so the shingle join
+      // above doesn't execute per pass (measured 3.0 s → 1.5 s at sf0.1)
       val train = good.filter(splitOf($"doc_id") === "train")
         .join(leaky, $"doc_id" === $"leak_id", "left_anti")
-      shardPackOn(train.select($"doc_id", $"n_tokens"))
+        .select($"doc_id", $"n_tokens")
+        .localCheckpoint(false)
+      shardPackOn(train)
     },
     Some {
       val oToks = TextOps.oracleToks

@@ -641,7 +641,8 @@ object VectorOps {
   // O(n^1.5 / k) total, distributed); the component resolver is
   // O(log diameter) rounds of keyed shuffles. The within-cell restriction
   // is the approximation knob — recall vs the brute-force pair set is
-  // measured in SemanticDedupSpec and recorded in SCALING.md.
+  // measured in SemanticDedupSpec and recorded in
+  // SCALING.md ("semantic dedup recall").
   // ---------------------------------------------------------------------
 
   /** Nearest-centroid cell assignment over any embeddings-shaped frame

@@ -9,7 +9,8 @@ import graft.SparkSpec
   * through the REAL operator plan (assignment → within-cell pairs →
   * components), while near-orthogonal noise survives untouched; (2) the
   * within-cell restriction's recall against the brute-force all-pairs
-  * cosine set is measured (recorded in SCALING.md) and pinned at a floor;
+  * cosine set is measured — recorded in SCALING.md ("semantic dedup recall")
+  * — and pinned at a floor;
   * precision must be exact, because within-cell candidates are scored
   * with the same exact cosine as brute force.
   */
