@@ -1316,7 +1316,7 @@ object TextOps {
     * (doc_id, text) frame — the operator core, exposed for the planted-PII
     * property spec.
     */
-  private[queries] def piiScrubOn(docsDf: DataFrame): DataFrame = {
+  private[graft] def piiScrubOn(docsDf: DataFrame): DataFrame = {
     val afterEmail = regexp_replace(col("text"), emailRe, "<EMAIL>")
     docsDf
       .withColumn("n_emails", regexp_count(col("text"), lit(emailRe)).cast("long"))

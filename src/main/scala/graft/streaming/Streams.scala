@@ -325,6 +325,16 @@ object Streams {
       .select(col("doc_id"), col("para_idx"), col("para"))
   }
 
+  /** Streaming PII scrub (the ingest-time twin of batch `t_pii_scrub`):
+    * a pure stateless per-row projection, so it runs identically in
+    * append mode with NO state, NO watermark requirement, and no
+    * semantic delta from the batch form — the one corpus-rewrite pass
+    * that is trivially streaming-safe. Input must carry `doc_id` and
+    * `text`; emits the scrubbed text plus per-category redaction counts.
+    */
+  def piiScrubStream(docs: DataFrame): DataFrame =
+    graft.queries.TextOps.piiScrubOn(docs)
+
   /** Convenience launcher: console sink (K1 `print()` equivalent). */
   def toConsole(df: DataFrame, mode: OutputMode = OutputMode.Update()): StreamingQuery =
     df.writeStream

@@ -492,4 +492,46 @@ class StreamsSpec extends SparkSpec {
     assert(stateSeries.last <= peak)
   }
 
+  test("piiScrubStream redacts identically to the batch operator, stateless append") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val mem = MemoryStream[(Long, String)]
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+    val q = Streams.piiScrubStream(mem.toDF().toDF("doc_id", "text"))
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        seen.synchronized {
+          seen ++= b.collect().map(r =>
+            (r.getAs[Long]("doc_id"), r.getAs[String]("scrubbed"), r.getAs[Long]("n_redacted")))
+        }
+        ()
+      }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt-pii").toString)
+      .start()
+    try {
+      mem.addData(Seq(
+        (1L, "mail bob@x.io from 10.0.0.1"),
+        (2L, "clean text")))
+      q.processAllAvailable()
+      // second batch: same doc content again — stateless, so it re-emits
+      // (no dedup semantics, exactly like running the batch scrub twice)
+      mem.addData(Seq((3L, "mail bob@x.io from 10.0.0.1")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = seen.sortBy(_._1)
+    assert(got.map(_._1) === Seq(1L, 2L, 3L))
+    assert(got(0)._2 === "mail <EMAIL> from <IP>" && got(0)._3 === 2L)
+    assert(got(1)._2 === "clean text" && got(1)._3 === 0L)
+    assert(got(2)._2 === got(0)._2, "stateless projection: identical input, identical output")
+    // batch parity on the same rows through the same core
+    val batch = graft.queries.TextOps.piiScrubOn(
+        Seq((1L, "mail bob@x.io from 10.0.0.1"), (2L, "clean text")).toDF("doc_id", "text"))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("scrubbed")))
+      .sortBy(_._1)
+    assert(batch.map(_._2).toSeq === got.take(2).map(_._2).toSeq)
+  }
+
 }
