@@ -48,6 +48,8 @@ object Multimodal {
 
   final case class VideoFrame(assetId: Long, frameIdx: Int, tsMs: Long, frameHash: Long)
 
+  final case class FrameDigest(assetId: Long, frameIdx: Int, frameDigest: Long)
+
   /** Deterministic stand-in for a media codec. Every value is a pure
     * function of the input bytes — tests rely on that determinism.
     */
@@ -279,6 +281,35 @@ object Multimodal {
           (0 until n).iterator.map { i =>
             // real impl: seek + decode frame i*everyMs
             VideoFrame(a.assetId, i, i * everyMs, h ^ (i.toLong * 0x9e3779b97f4a7c15L))
+          }
+        }
+      }
+  }
+
+  /** Per-frame content digests for video near-dup: frame i's digest is
+    * the FNV-1a hash of the payload slice [i·bytesPerFrame,
+    * (i+1)·bytesPerFrame) — like [[StubCodec.grayPixels]], deliberately
+    * LOCALITY-PRESERVING (a real impl hashes each decoded frame; frames
+    * untouched by an edit keep their digest, and a tail-trimmed copy
+    * keeps every remaining frame's digest — the two properties
+    * frame-overlap dedup exploits). One row per frame, digest only,
+    * never the media bytes.
+    */
+  def videoFrameDigests(
+      assets: Dataset[MediaAsset],
+      frameMs: Long = 1000,
+      bytesPerFrame: Int = 200,
+  ): Dataset[FrameDigest] = {
+    implicit val enc = Encoders.product[FrameDigest]
+    assets
+      .filter(col("kind") === "video")
+      .mapPartitions { it =>
+        it.flatMap { a =>
+          val n = math.max(1L, a.durationMs / frameMs).toInt
+          (0 until n).iterator.map { i =>
+            val d = StubCodec.contentHash(
+              a.content.slice(i * bytesPerFrame, (i + 1) * bytesPerFrame))
+            FrameDigest(a.assetId, i, d)
           }
         }
       }

@@ -325,5 +325,140 @@ object MediaOps {
     """.stripMargin.trim),
   )
 
-  val qs: Seq[Q] = Seq(assetFeatures, decodeImages, frameStats, imageNearDup)
+  // ---------------------------------------------------------------------
+  // Video near-dup by frame overlap — the containment cousin of the
+  // image dHash pass: two videos are near-dups when the smaller one's
+  // distinct frame-digest set is ≥ 60% contained in the other's
+  // (re-encodes keep untouched frames' digests; a tail-trim keeps ALL
+  // its remaining frames — containment, not Jaccard, is the right
+  // measure for clips). Candidates come from a shared-digest equi-join
+  // (the n-gram Jaccard shape on frame digests), with the usual
+  // mega-bucket cap: a digest present in more than the cap's worth of
+  // videos (boilerplate intro/outro frames) is skipped; the remedy is
+  // longer frame windows.
+  //
+  // 100 TB shape: one digest pass (16 bytes/frame out, never media
+  // bytes), one distinct, one digest-keyed equi-join + pair agg, one
+  // size join with NO broadcast hint (both sides video-count-scale —
+  // AQE decides). Never all-pairs.
+  // ---------------------------------------------------------------------
+
+  private val videoVariantsDir =
+    Paths.get(graft.sources.Fixtures.fixturesDir, "media_video_variants.parquet")
+      .toAbsolutePath.toString
+  private val nBaseVideos = 60
+  private val videoBytes = 1000 // 5 frames x 200 bytes/frame
+  private val containmentPct = 60L
+  private val maxDigestVideos = 1 << 10
+
+  private def mkVideo(id: Long, bytes: Array[Byte], durationMs: Long): MediaAsset =
+    MediaAsset(id, "video", bytes, "mp4", 640, 480, 0, durationMs)
+
+  private def videoPayload(id: Long): Array[Byte] = Array.tabulate[Byte](videoBytes) { i =>
+    var z = (id + 7000L) * 0x9e3779b97f4a7c15L + i * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 30)) * 0x94d049bb133111ebL
+    (z >>> 24).toByte
+  }
+
+  /** 60 pseudo-random base videos (5 s = 5 frames) + 10 "re-encode"
+    * variants (one byte of frame 2's slice flipped → 4/5 frames shared,
+    * 80% containment) + 10 "tail-trim" variants (same payload, 4 s → the
+    * 4 remaining frames all shared, 100% containment of the smaller).
+    */
+  private def ensureVideoVariants(s: SparkSession): Dataset[MediaAsset] = {
+    implicit val enc = org.apache.spark.sql.Encoders.product[MediaAsset]
+    if (!Files.exists(Paths.get(videoVariantsDir))) {
+      val base = (0 until nBaseVideos).map(i => mkVideo(i.toLong, videoPayload(i.toLong), 5000L))
+      val reencodes = (0 until 10).map { i =>
+        val b = videoPayload(i.toLong)
+        b(450) = (b(450) ^ 0x80).toByte // inside frame 2's [400, 600) slice
+        mkVideo(200L + i, b, 5000L)
+      }
+      val trims = (0 until 10).map { i =>
+        mkVideo(300L + i, videoPayload(10L + i), 4000L)
+      }
+      s.createDataset(base ++ reencodes ++ trims).coalesce(1)
+        .write.mode("ignore").parquet(videoVariantsDir)
+    }
+    s.read.parquet(videoVariantsDir).as[MediaAsset]
+  }
+
+  /** FNV-1a over the byte slice [lo0, hi0) of the blob (0-based, hi
+    * exclusive) — [[fnvOverContent]] generalized to a sub-range; an
+    * empty slice reduces to the FNV basis, matching the Scala side.
+    * `lo0`/`hi0` are SQL expressions over the enclosing row.
+    */
+  private def fnvOverSlice(lo0: String, hi0: String): String = {
+    val byteAt =
+      "(CAST(strpos('0123456789ABCDEF', substr(hex(content), CAST(2*bi-1 AS INTEGER), 1)) - 1 AS HUGEINT) * 16 + " +
+        "CAST(strpos('0123456789ABCDEF', substr(hex(content), CAST(2*bi AS INTEGER), 1)) - 1 AS HUGEINT))"
+    val step = mul64(
+      "acc - (acc % 256::HUGEINT) + " +
+        "CAST(xor(CAST(acc % 256::HUGEINT AS BIGINT), CAST(b AS BIGINT)) AS HUGEINT)",
+      "1099511628211::HUGEINT")
+    s"""list_reduce(
+       |  list_prepend(14695981039346656037::HUGEINT,
+       |    list_transform(range(CAST(($lo0)+1 AS BIGINT), CAST(($hi0)+1 AS BIGINT)),
+       |      bi -> $byteAt)),
+       |  (acc, b) -> $step)""".stripMargin
+  }
+
+  val videoNearDup = Q(
+    "m_video_neardup",
+    (s, _) => {
+      import s.implicits._
+      val fd = Multimodal.videoFrameDigests(ensureVideoVariants(s)).toDF()
+        .select($"assetId", $"frameDigest").distinct()
+      val sizes = fd.groupBy($"assetId").agg(count(lit(1)).as("n_frames"))
+      val ok = fd.groupBy($"frameDigest").agg(count(lit(1)).as("n_v"))
+        .filter($"n_v" <= maxDigestVideos)
+        .select($"frameDigest")
+      val g = fd.join(broadcast(ok), "frameDigest")
+      val shared = g.select($"assetId".as("asset_a"), $"frameDigest")
+        .join(
+          g.select($"assetId".as("asset_b"), $"frameDigest".as("fd_b")),
+          $"frameDigest" === $"fd_b" && $"asset_a" < $"asset_b")
+        .groupBy($"asset_a", $"asset_b")
+        .agg(count(lit(1)).as("n_shared"))
+      shared
+        .join(sizes.select($"assetId".as("asset_a"), $"n_frames".as("n_a")), "asset_a")
+        .join(sizes.select($"assetId".as("asset_b"), $"n_frames".as("n_b")), "asset_b")
+        .filter($"n_shared" * 5 >= least($"n_a", $"n_b") * 3)
+        .select(
+          $"asset_a", $"asset_b", $"n_shared",
+          floor(lit(100.0) * $"n_shared" / least($"n_a", $"n_b")).cast("long")
+            .as("containment_pct"))
+    },
+    Some {
+      val nFrames = "CAST(greatest(durationMs // 1000, 1) AS BIGINT)"
+      s"""
+      WITH v AS (
+        SELECT assetId, content, durationMs
+        FROM read_parquet('$videoVariantsDir/*.parquet') WHERE kind = 'video'),
+      f0 AS (
+        SELECT assetId, content, unnest(generate_series(0, $nFrames - 1)) AS i
+        FROM v),
+      fd AS (
+        SELECT DISTINCT assetId,
+               ${u2s(fnvOverSlice("i*200", "least((i+1)*200, octet_length(content))"))} AS frameDigest
+        FROM f0),
+      sizes AS (SELECT assetId, COUNT(*) AS n_frames FROM fd GROUP BY 1),
+      ok AS (SELECT frameDigest FROM fd GROUP BY 1 HAVING COUNT(*) <= $maxDigestVideos),
+      g AS (SELECT fd.* FROM fd JOIN ok USING (frameDigest)),
+      shared AS (
+        SELECT a.assetId AS asset_a, b.assetId AS asset_b, COUNT(*) AS n_shared
+        FROM g a JOIN g b ON a.frameDigest = b.frameDigest AND a.assetId < b.assetId
+        GROUP BY 1, 2)
+      SELECT s.asset_a, s.asset_b, CAST(s.n_shared AS BIGINT) AS n_shared,
+             CAST(FLOOR(100.0 * s.n_shared / least(x.n_frames, y.n_frames)) AS BIGINT)
+               AS containment_pct
+      FROM shared s
+      JOIN sizes x ON x.assetId = s.asset_a
+      JOIN sizes y ON y.assetId = s.asset_b
+      WHERE s.n_shared * 5 >= least(x.n_frames, y.n_frames) * 3
+    """.stripMargin.trim
+    },
+  )
+
+  val qs: Seq[Q] = Seq(assetFeatures, decodeImages, frameStats, imageNearDup, videoNearDup)
 }
