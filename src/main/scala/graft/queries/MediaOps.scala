@@ -267,61 +267,113 @@ object MediaOps {
        | + (strpos('0123456789ABCDEF', substr(hex(content), CAST(2*($k)+2 AS INTEGER), 1)) - 1))""".stripMargin
   }
 
+  /** Banded dHash near-dup pairs over the variants fixture — shared by
+    * the pair query and the cluster-resolution composition.
+    */
+  private def imagePairs(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val hashes = Multimodal.perceptualHashes(ensureVariants(s)).toDF()
+    val bandArr = array((0 until nBands).map(j =>
+      shiftrightunsigned($"dhash", j * 8).bitwiseAND(lit(255L))): _*)
+    val bands = hashes.select($"assetId", posexplode(bandArr).as(Seq("band", "bval")))
+    // mega-bucket cap (≤ 2048 (band, value) keys — broadcast is safe at
+    // any corpus size), same contract as the text-side LSH: an over-full
+    // band bucket (boilerplate imagery) is skipped; remedy = wider bands
+    val ok = bands.groupBy($"band", $"bval").agg(count(lit(1)).as("n_b"))
+      .filter($"n_b" <= maxBandBucket)
+      .select($"band", $"bval")
+    val gated = bands.join(broadcast(ok), Seq("band", "bval"))
+    val cand = gated.select($"assetId".as("asset_a"), $"band", $"bval")
+      .join(
+        gated.select($"assetId".as("asset_b"), $"band".as("band_b"), $"bval".as("bval_b")),
+        $"band" === $"band_b" && $"bval" === $"bval_b" && $"asset_a" < $"asset_b")
+      .select($"asset_a", $"asset_b")
+      .distinct()
+    cand
+      .join(hashes.select($"assetId".as("asset_a"), $"dhash".as("dhash_a")), "asset_a")
+      .join(hashes.select($"assetId".as("asset_b"), $"dhash".as("dhash_b")), "asset_b")
+      .withColumn("hamming", expr("CAST(bit_count(dhash_a ^ dhash_b) AS BIGINT)"))
+      .filter($"hamming" <= hammingMax)
+      .select($"asset_a", $"asset_b", $"hamming")
+  }
+
+  /** Shared oracle CTE chain: pixels → dHash → bands → gated band join →
+    * exact-Hamming pairs at the threshold (asset_a < asset_b).
+    */
+  private val oracleImagePairsCtes: String =
+    s"""px AS (
+       |        SELECT assetId, list_transform(range(0, 72), i -> ${oPixAt("i")}) AS p
+       |        FROM read_parquet('$variantsDir/*.parquet') WHERE kind = 'image'),
+       |      dh AS (
+       |        SELECT assetId,
+       |               list_reduce(list_prepend(0::HUGEINT, list_transform(range(0, 64),
+       |                 b -> CASE WHEN p[CAST((b // 8) * 9 + (b % 8) AS INTEGER) + 2]
+       |                              > p[CAST((b // 8) * 9 + (b % 8) AS INTEGER) + 1]
+       |                           THEN $oPowBit[CAST(b AS INTEGER) + 1] ELSE 0::HUGEINT END)),
+       |                 (acc, x) -> acc + x) AS hu
+       |        FROM px),
+       |      dhs AS (SELECT assetId, hu, ${u2s("hu")} AS dhash FROM dh),
+       |      bands AS (
+       |        SELECT assetId, j AS band, CAST((hu // $oPow8[CAST(j AS INTEGER) + 1]) % 256 AS BIGINT) AS bval
+       |        FROM dhs, (SELECT unnest(generate_series(0, ${nBands - 1})) AS j)),
+       |      ok AS (SELECT band, bval FROM bands GROUP BY 1, 2 HAVING COUNT(*) <= $maxBandBucket),
+       |      gb AS (SELECT b.* FROM bands b JOIN ok USING (band, bval)),
+       |      cand AS (
+       |        SELECT DISTINCT a.assetId AS asset_a, c.assetId AS asset_b
+       |        FROM gb a JOIN gb c ON a.band = c.band AND a.bval = c.bval AND a.assetId < c.assetId),
+       |      ipairs AS (
+       |        SELECT cand.asset_a, cand.asset_b,
+       |               CAST(bit_count(xor(x.dhash, y.dhash)) AS BIGINT) AS hamming
+       |        FROM cand
+       |        JOIN dhs x ON x.assetId = cand.asset_a
+       |        JOIN dhs y ON y.assetId = cand.asset_b
+       |        WHERE bit_count(xor(x.dhash, y.dhash)) <= $hammingMax)""".stripMargin
+
   val imageNearDup = Q(
     "m_image_neardup",
+    (s, _) => imagePairs(s),
+    Some(s"""
+      WITH $oracleImagePairsCtes
+      SELECT asset_a, asset_b, hamming FROM ipairs
+    """.stripMargin.trim),
+  )
+
+  /** Perceptual-cluster resolution — the pairs→decision step for images,
+    * exactly like `t_neardup_clusters` for text: connected components
+    * over the dHash pair graph (pointer-doubling resolver), keeper = min
+    * assetId per cluster; images in no pair keep themselves.
+    */
+  val imageDedup = Q(
+    "m_image_dedup",
     (s, _) => {
       import s.implicits._
-      val hashes = Multimodal.perceptualHashes(ensureVariants(s)).toDF()
-      val bandArr = array((0 until nBands).map(j =>
-        shiftrightunsigned($"dhash", j * 8).bitwiseAND(lit(255L))): _*)
-      val bands = hashes.select($"assetId", posexplode(bandArr).as(Seq("band", "bval")))
-      // mega-bucket cap (≤ 2048 (band, value) keys — broadcast is safe at
-      // any corpus size), same contract as the text-side LSH: an over-full
-      // band bucket (boilerplate imagery) is skipped; remedy = wider bands
-      val ok = bands.groupBy($"band", $"bval").agg(count(lit(1)).as("n_b"))
-        .filter($"n_b" <= maxBandBucket)
-        .select($"band", $"bval")
-      val gated = bands.join(broadcast(ok), Seq("band", "bval"))
-      val cand = gated.select($"assetId".as("asset_a"), $"band", $"bval")
-        .join(
-          gated.select($"assetId".as("asset_b"), $"band".as("band_b"), $"bval".as("bval_b")),
-          $"band" === $"band_b" && $"bval" === $"bval_b" && $"asset_a" < $"asset_b")
-        .select($"asset_a", $"asset_b")
-        .distinct()
-      cand
-        .join(hashes.select($"assetId".as("asset_a"), $"dhash".as("dhash_a")), "asset_a")
-        .join(hashes.select($"assetId".as("asset_b"), $"dhash".as("dhash_b")), "asset_b")
-        .withColumn("hamming", expr("CAST(bit_count(dhash_a ^ dhash_b) AS BIGINT)"))
-        .filter($"hamming" <= hammingMax)
-        .select($"asset_a", $"asset_b", $"hamming")
+      val pairs = imagePairs(s)
+        .select($"asset_a".as("doc_a"), $"asset_b".as("doc_b"))
+      val cc = TextOps.connectedComponentsStats(pairs)
+      Multimodal.perceptualHashes(ensureVariants(s)).toDF()
+        .select($"assetId")
+        .join(cc.labels.select($"v".as("assetId"), $"lbl".as("rep0")), Seq("assetId"), "left")
+        .select(
+          $"assetId",
+          coalesce($"rep0", $"assetId").as("rep"),
+          ($"assetId" === coalesce($"rep0", $"assetId")).as("is_kept"),
+          lit(cc.converged).as("converged"))
     },
     Some(s"""
-      WITH px AS (
-        SELECT assetId, list_transform(range(0, 72), i -> ${oPixAt("i")}) AS p
-        FROM read_parquet('$variantsDir/*.parquet') WHERE kind = 'image'),
-      dh AS (
-        SELECT assetId,
-               list_reduce(list_prepend(0::HUGEINT, list_transform(range(0, 64),
-                 b -> CASE WHEN p[CAST((b // 8) * 9 + (b % 8) AS INTEGER) + 2]
-                              > p[CAST((b // 8) * 9 + (b % 8) AS INTEGER) + 1]
-                           THEN $oPowBit[CAST(b AS INTEGER) + 1] ELSE 0::HUGEINT END)),
-                 (acc, x) -> acc + x) AS hu
-        FROM px),
-      dhs AS (SELECT assetId, hu, ${u2s("hu")} AS dhash FROM dh),
-      bands AS (
-        SELECT assetId, j AS band, CAST((hu // $oPow8[CAST(j AS INTEGER) + 1]) % 256 AS BIGINT) AS bval
-        FROM dhs, (SELECT unnest(generate_series(0, ${nBands - 1})) AS j)),
-      ok AS (SELECT band, bval FROM bands GROUP BY 1, 2 HAVING COUNT(*) <= $maxBandBucket),
-      gb AS (SELECT b.* FROM bands b JOIN ok USING (band, bval)),
-      cand AS (
-        SELECT DISTINCT a.assetId AS asset_a, c.assetId AS asset_b
-        FROM gb a JOIN gb c ON a.band = c.band AND a.bval = c.bval AND a.assetId < c.assetId)
-      SELECT cand.asset_a, cand.asset_b,
-             CAST(bit_count(xor(x.dhash, y.dhash)) AS BIGINT) AS hamming
-      FROM cand
-      JOIN dhs x ON x.assetId = cand.asset_a
-      JOIN dhs y ON y.assetId = cand.asset_b
-      WHERE bit_count(xor(x.dhash, y.dhash)) <= $hammingMax
+      WITH RECURSIVE $oracleImagePairsCtes,
+      und AS (
+        SELECT asset_a AS v, asset_b AS nbr FROM ipairs
+        UNION SELECT asset_b, asset_a FROM ipairs),
+      reach(v, r) AS (
+        SELECT v, v FROM (SELECT DISTINCT v FROM und)
+        UNION
+        SELECT u.v, reach.r FROM und u JOIN reach ON u.nbr = reach.v),
+      comp AS (SELECT v, MIN(r) AS rep FROM reach GROUP BY v)
+      SELECT d.assetId,
+             COALESCE(c.rep, d.assetId) AS rep,
+             d.assetId = COALESCE(c.rep, d.assetId) AS is_kept,
+             TRUE AS converged
+      FROM dhs d LEFT JOIN comp c ON c.v = d.assetId
     """.stripMargin.trim),
   )
 
@@ -460,5 +512,6 @@ object MediaOps {
     },
   )
 
-  val qs: Seq[Q] = Seq(assetFeatures, decodeImages, frameStats, imageNearDup, videoNearDup)
+  val qs: Seq[Q] = Seq(assetFeatures, decodeImages, frameStats, imageNearDup,
+    imageDedup, videoNearDup)
 }

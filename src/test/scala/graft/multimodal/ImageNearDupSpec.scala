@@ -65,4 +65,29 @@ class ImageNearDupSpec extends SparkSpec {
       assert(meta.exists(_._3 === 0L), s"metadata-edit pair $i must be a perceptual exact dup")
     }
   }
+
+  test("m_image_dedup resolves pairs into one keeper per perceptual cluster") {
+    val pairs = Catalog.queries("m_image_neardup")(spark, "unused").collect()
+      .map(r => (r.getAs[Long]("asset_a"), r.getAs[Long]("asset_b")))
+    val out = Catalog.queries("m_image_dedup")(spark, "unused").collect()
+      .map(r => (r.getAs[Long]("assetId"), r.getAs[Long]("rep"), r.getAs[Boolean]("is_kept")))
+    assert(out.length === 120, "every image exactly once")
+    // union-find ground truth over the pair set
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    assert(out.map(r => r._1 -> r._2).toMap === out.map(_._1).map(v => v -> find(v)).toMap)
+    out.groupBy(_._2).foreach { case (rep, members) =>
+      assert(members.count(_._3) === 1, s"cluster $rep keeper count")
+      assert(members.filter(_._3).head._1 === rep, s"cluster $rep keeper is rep")
+    }
+    // the 20 planted variants collapse: exactly 100 keepers survive
+    assert(out.count(_._3) === 100, s"keepers: ${out.count(_._3)}")
+  }
 }
