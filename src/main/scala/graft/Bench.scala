@@ -13,8 +13,15 @@ object Bench {
     // comma-separated subset filter for targeted A/B runs (tooling only;
     // the driver never sets it, so round benches always run the full set)
     val names = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
-      case Some(only) => val want = only.split(",").map(_.trim).toSet
-        names0.filter(want)
+      case Some(only) =>
+        val want = only.split(",").map(_.trim).filter(_.nonEmpty).toSet
+        val got = names0.filter(want)
+        val unknown = want -- got.toSet
+        // fail fast: a typo'd name silently timing zero queries would
+        // publish an empty-but-"successful" record into an A/B log
+        require(unknown.isEmpty,
+          s"SPARK_GRAFT_BENCH_ONLY names not in the selected set: ${unknown.mkString(", ")}")
+        got
       case None => names0
     }
     // Untimed warmup at the smallest SF: JIT/codegen/classloading otherwise

@@ -293,7 +293,12 @@ object Multimodal {
     * untouched by an edit keep their digest, and a tail-trimmed copy
     * keeps every remaining frame's digest — the two properties
     * frame-overlap dedup exploits). One row per frame, digest only,
-    * never the media bytes.
+    * never the media bytes. The frame count is clamped to the payload
+    * (`ceil(len / bytesPerFrame)`): without the clamp, every
+    * past-end-of-payload frame of every duration-overstated video would
+    * hash the empty slice to the identical FNV basis, and unrelated
+    * videos would "share" those phantom frames straight through the
+    * containment threshold.
     */
   def videoFrameDigests(
       assets: Dataset[MediaAsset],
@@ -305,7 +310,8 @@ object Multimodal {
       .filter(col("kind") === "video")
       .mapPartitions { it =>
         it.flatMap { a =>
-          val n = math.max(1L, a.durationMs / frameMs).toInt
+          val payloadFrames = (a.content.length.toLong + bytesPerFrame - 1) / bytesPerFrame
+          val n = math.max(1L, math.min(a.durationMs / frameMs, payloadFrames)).toInt
           (0 until n).iterator.map { i =>
             val d = StubCodec.contentHash(
               a.content.slice(i * bytesPerFrame, (i + 1) * bytesPerFrame))

@@ -198,6 +198,8 @@ object CurationOps {
     */
   private[queries] def domainMixOn(docsDf: DataFrame, weights: Seq[(String, Long)]): DataFrame = {
     require(weights.nonEmpty, "a mixture needs at least one listed source")
+    require(weights.forall(_._2 > 0),
+      s"mixture weights must be positive: ${weights.filter(_._2 <= 0)}")
     val sp = docsDf.sparkSession
     import sp.implicits._
     val wSum = weights.map(_._2).sum
@@ -470,22 +472,38 @@ object CurationOps {
   // once (same two-consumer economics as t_clean_corpus's survivors).
   // ---------------------------------------------------------------------
 
-  /** Train docs of `docsDf` (doc_id, text, …) whose shingle set is ≥ 80%
-    * covered by the held-out splits' shingle set — the leak direction a
-    * train shard must not ship. Mirror of [[contaminationOn]] with the
-    * roles swapped; shingle-less docs have nothing to leak and never
-    * match.
+  /** Train docs of `trainDocs` (doc_id, text) that cover ≥ 80% of SOME
+    * held-out document's shingle set — the leak direction a train shard
+    * must not ship. Two deliberate asymmetries vs the naive "train doc
+    * mostly covered by eval shingles" mirror:
+    *
+    *   - the threshold is on the EVAL doc's size, so a small eval doc
+    *     fully embedded in a large train doc is caught (the train doc's
+    *     own coverage would sit near 0% and ship the leak);
+    *   - `evalDocs` should be the RAW held-out corpus, not a post-dedup
+    *     frame: exact dedup keeps the lowest doc_id, so a train doc
+    *     byte-identical to an eval doc usually EATS the eval copy — its
+    *     shingles must still count as held-out or the verbatim leak
+    *     ships.
+    *
+    * Plan shape: shared-shingle equi-join (the [[TextOps]] Jaccard
+    * bound — only pairs sharing ≥ 1 shingle materialize), per-(train,
+    * eval) overlap counts, eval-size join with no broadcast hint. A
+    * boilerplate shingle shared corpus-wide inflates the pair set the
+    * same way it does for n-gram Jaccard; the remedy is the same —
+    * dedup/clean first (the flagship feeds post-dedup train docs).
     */
-  private[queries] def contaminatedTrainOn(docsDf: DataFrame): DataFrame = {
-    val sh = TextOps.shinglesOfDf(docsDf).withColumn("split", splitOf(col("doc_id")))
-    val evalSh = sh.filter(col("split") =!= "train").select(col("sh")).distinct()
-      .withColumn("hit", lit(1L))
-    sh.filter(col("split") === "train")
-      .join(evalSh, Seq("sh"), "left")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_sh"), sum(coalesce(col("hit"), lit(0L))).as("n_overlap"))
-      .filter(col("n_overlap") * 5 >= col("n_sh") * 4)
-      .select(col("doc_id"))
+  private[queries] def contaminatedTrainOn(trainDocs: DataFrame, evalDocs: DataFrame): DataFrame = {
+    val tsh = TextOps.shinglesOfDf(trainDocs).select(col("doc_id").as("t_id"), col("sh"))
+    val esh = TextOps.shinglesOfDf(evalDocs).select(col("doc_id").as("e_id"), col("sh"))
+    val eSizes = esh.groupBy(col("e_id")).agg(count(lit(1)).as("e_sh"))
+    tsh.join(esh, "sh")
+      .groupBy(col("t_id"), col("e_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .join(eSizes, "e_id")
+      .filter(col("n_overlap") * 5 >= col("e_sh") * 4)
+      .select(col("t_id").as("doc_id"))
+      .distinct()
   }
 
   val curateCorpus = Q(
@@ -495,7 +513,12 @@ object CurationOps {
       val good = TextOps.withQuality(TextOps.dedupSurvivors(s, d))
         .filter($"quality" =!= "poor")
         .localCheckpoint(false) // two consumers: shingle branch + packing
-      val leaky = contaminatedTrainOn(good.select($"doc_id", $"text"))
+      // train side = what we ship (post-dedup, quality-passed train docs);
+      // eval side = the RAW held-out corpus (see contaminatedTrainOn for
+      // why it must not be the deduped frame)
+      val leaky = contaminatedTrainOn(
+          good.filter(splitOf($"doc_id") === "train").select($"doc_id", $"text"),
+          docs(s, d).filter(splitOf($"doc_id") =!= "train").select($"doc_id", $"text"))
         .withColumnRenamed("doc_id", "leak_id")
       // the packer scans its input twice (offsets + output); materialize
       // the slim decontaminated id/token frame once so the shingle join
@@ -526,17 +549,22 @@ object CurationOps {
                         AND FLOOR(100.0 * n_stop / n_tokens) <= 40 THEN 'good'
                    WHEN n_tokens >= 10 THEN 'fair'
                    ELSE 'poor' END <> 'poor'),
-      gsh AS (
-        SELECT sv.doc_id, unnest(${TextOps.oracleShingles}) AS sh
-        FROM survivors sv JOIN good g ON sv.doc_id = g.doc_id),
+      tsh AS (
+        SELECT doc_id AS t_id, unnest(${TextOps.oracleShingles}) AS sh
+        FROM survivors JOIN good USING (doc_id)
+        WHERE ($oSplitCase) = 'train'),
       esh AS (
-        SELECT DISTINCT sh FROM gsh WHERE ($oSplitCase) <> 'train'),
+        SELECT doc_id AS e_id, unnest(${TextOps.oracleShingles}) AS sh
+        FROM documents WHERE ($oSplitCase) <> 'train'),
+      esizes AS (SELECT e_id, COUNT(*) AS e_sh FROM esh GROUP BY 1),
+      ov AS (
+        SELECT t.t_id, e.e_id, COUNT(*) AS n_overlap
+        FROM tsh t JOIN esh e ON t.sh = e.sh
+        GROUP BY 1, 2),
       leaky AS (
-        SELECT g.doc_id
-        FROM (SELECT * FROM gsh WHERE ($oSplitCase) = 'train') g
-        LEFT JOIN esh e ON g.sh = e.sh
-        GROUP BY g.doc_id
-        HAVING COUNT(e.sh) * 5 >= COUNT(*) * 4),
+        SELECT DISTINCT ov.t_id AS doc_id
+        FROM ov JOIN esizes USING (e_id)
+        WHERE ov.n_overlap * 5 >= esizes.e_sh * 4),
       train AS (
         SELECT doc_id, n_tokens FROM good
         WHERE ($oSplitCase) = 'train'

@@ -212,15 +212,20 @@ object MediaOps {
   private def mkImage(id: Long, bytes: Array[Byte]): MediaAsset =
     MediaAsset(id, "image", bytes, "png", 640, 480, 0, 0L)
 
-  /** Well-mixed pseudo-random payload (splitmix-style) — base images must
-    * be mutually unrelated so the only near-dup pairs are the planted
-    * ones (an affine byte pattern would make rotated grids collide).
+  /** Well-mixed pseudo-random payload (splitmix-style) — fixture bases
+    * must be mutually unrelated so the only near-dup pairs are the
+    * planted ones (an affine byte pattern would make rotated grids
+    * collide). One generator serves both the image and video fixtures,
+    * disambiguated by seed.
     */
-  private def payload(id: Long): Array[Byte] = Array.tabulate[Byte](payloadLen) { i =>
-    var z = id * 0x9e3779b97f4a7c15L + i * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 30)) * 0x94d049bb133111ebL
-    (z >>> 24).toByte
-  }
+  private def mixedPayload(id: Long, len: Int, seed: Long): Array[Byte] =
+    Array.tabulate[Byte](len) { i =>
+      var z = (id + seed) * 0x9e3779b97f4a7c15L + i * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 30)) * 0x94d049bb133111ebL
+      (z >>> 24).toByte
+    }
+
+  private def payload(id: Long): Array[Byte] = mixedPayload(id, payloadLen, 0L)
 
   /** Byte offsets sampled by the 9×8 grid: pixel i reads byte
     * i·len/72 — offsets 142 and 568 are pixels 10 and 40; offset 17 is
@@ -267,12 +272,21 @@ object MediaOps {
        | + (strpos('0123456789ABCDEF', substr(hex(content), CAST(2*($k)+2 AS INTEGER), 1)) - 1))""".stripMargin
   }
 
-  /** Banded dHash near-dup pairs over the variants fixture — shared by
-    * the pair query and the cluster-resolution composition.
+  /** One decode+dHash pass, lazily materialized: the digest frame feeds
+    * the band generation AND both verification joins (and the dedup
+    * composition's id list) — without the checkpoint the scan-side
+    * subtree has no Exchange for ReuseExchange to match and the decode
+    * pass (the dominant cost on a real media table) executes once per
+    * consumer.
     */
-  private def imagePairs(s: SparkSession): DataFrame = {
+  private def imageHashes(s: SparkSession): DataFrame =
+    Multimodal.perceptualHashes(ensureVariants(s)).toDF().localCheckpoint(false)
+
+  /** Banded dHash near-dup pairs — shared by the pair query and the
+    * cluster-resolution composition.
+    */
+  private def imagePairs(s: SparkSession, hashes: DataFrame): DataFrame = {
     import s.implicits._
-    val hashes = Multimodal.perceptualHashes(ensureVariants(s)).toDF()
     val bandArr = array((0 until nBands).map(j =>
       shiftrightunsigned($"dhash", j * 8).bitwiseAND(lit(255L))): _*)
     val bands = hashes.select($"assetId", posexplode(bandArr).as(Seq("band", "bval")))
@@ -331,7 +345,7 @@ object MediaOps {
 
   val imageNearDup = Q(
     "m_image_neardup",
-    (s, _) => imagePairs(s),
+    (s, _) => imagePairs(s, imageHashes(s)),
     Some(s"""
       WITH $oracleImagePairsCtes
       SELECT asset_a, asset_b, hamming FROM ipairs
@@ -347,10 +361,11 @@ object MediaOps {
     "m_image_dedup",
     (s, _) => {
       import s.implicits._
-      val pairs = imagePairs(s)
+      val hashes = imageHashes(s) // ONE decode pass for pairs + id list
+      val pairs = imagePairs(s, hashes)
         .select($"asset_a".as("doc_a"), $"asset_b".as("doc_b"))
       val cc = TextOps.connectedComponentsStats(pairs)
-      Multimodal.perceptualHashes(ensureVariants(s)).toDF()
+      hashes
         .select($"assetId")
         .join(cc.labels.select($"v".as("assetId"), $"lbl".as("rep0")), Seq("assetId"), "left")
         .select(
@@ -406,11 +421,7 @@ object MediaOps {
   private def mkVideo(id: Long, bytes: Array[Byte], durationMs: Long): MediaAsset =
     MediaAsset(id, "video", bytes, "mp4", 640, 480, 0, durationMs)
 
-  private def videoPayload(id: Long): Array[Byte] = Array.tabulate[Byte](videoBytes) { i =>
-    var z = (id + 7000L) * 0x9e3779b97f4a7c15L + i * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 30)) * 0x94d049bb133111ebL
-    (z >>> 24).toByte
-  }
+  private def videoPayload(id: Long): Array[Byte] = mixedPayload(id, videoBytes, 7000L)
 
   /** 60 pseudo-random base videos (5 s = 5 frames) + 10 "re-encode"
     * variants (one byte of frame 2's slice flipped → 4/5 frames shared,
@@ -459,8 +470,10 @@ object MediaOps {
     "m_video_neardup",
     (s, _) => {
       import s.implicits._
+      // one digest pass for sizes, the cap agg, and both join sides
       val fd = Multimodal.videoFrameDigests(ensureVideoVariants(s)).toDF()
         .select($"assetId", $"frameDigest").distinct()
+        .localCheckpoint(false)
       val sizes = fd.groupBy($"assetId").agg(count(lit(1)).as("n_frames"))
       val ok = fd.groupBy($"frameDigest").agg(count(lit(1)).as("n_v"))
         .filter($"n_v" <= maxDigestVideos)
@@ -482,7 +495,9 @@ object MediaOps {
             .as("containment_pct"))
     },
     Some {
-      val nFrames = "CAST(greatest(durationMs // 1000, 1) AS BIGINT)"
+      // frame count clamped to the payload, mirroring videoFrameDigests
+      val nFrames =
+        "CAST(greatest(least(durationMs // 1000, (octet_length(content) + 199) // 200), 1) AS BIGINT)"
       s"""
       WITH v AS (
         SELECT assetId, content, durationMs

@@ -703,6 +703,14 @@ object TextOps {
       edges: DataFrame,
       maxRounds: Int = 50,
       checkpointDir: Option[String] = None): CcResult = {
+    // Reliable-checkpoint caveats, deliberate: setCheckpointDir is
+    // SESSION-GLOBAL (later checkpointing code in the same session
+    // writes under this dir too), and each round's files persist until
+    // application exit unless the app enables
+    // spark.cleaner.referenceTracking.cleanCheckpoints — both standard
+    // Spark behavior for reliable checkpoints, acceptable for the long
+    // iterative cluster jobs the option exists for, and why
+    // localCheckpoint stays the default.
     val persist: DataFrame => DataFrame = checkpointDir match {
       case Some(dir) =>
         edges.sparkSession.sparkContext.setCheckpointDir(dir)
@@ -1330,15 +1338,14 @@ object TextOps {
         col("n_phones"), col("n_redacted"))
   }
 
-  val piiScrub = Q(
-    "t_pii_scrub",
-    (s, d) => piiScrubOn(docs(s, d).select(col("doc_id"), col("text"))),
-    Some(s"""
+  /** The scrub oracle over any FROM-able relation with (doc_id, text). */
+  private def oraclePiiSql(from: String): String =
+    s"""
       WITH t AS (
         SELECT doc_id, text,
                CAST(len(regexp_extract_all(text, '$emailRe')) AS BIGINT) AS n_emails,
                regexp_replace(text, '$emailRe', '<EMAIL>', 'g') AS t1
-        FROM documents),
+        FROM $from),
       u AS (
         SELECT doc_id, n_emails,
                CAST(len(regexp_extract_all(t1, '$ipRe')) AS BIGINT) AS n_ips,
@@ -1350,7 +1357,46 @@ object TextOps {
              CAST(len(regexp_extract_all(t2, '$phoneRe')) AS BIGINT) AS n_phones,
              n_emails + n_ips + CAST(len(regexp_extract_all(t2, '$phoneRe')) AS BIGINT) AS n_redacted
       FROM u
-    """.stripMargin.trim),
+    """.stripMargin.trim
+
+  val piiScrub = Q(
+    "t_pii_scrub",
+    (s, d) => piiScrubOn(docs(s, d).select(col("doc_id"), col("text"))),
+    Some(oraclePiiSql("documents")),
+  )
+
+  /** The synthetic corpus is PII-free, so `t_pii_scrub` hash-matches on
+    * all-zero counts — it cannot catch a Java-vs-RE2 regex divergence.
+    * This committed fixture of planted PII (the property spec's cases,
+    * including the adversarial shapes) makes the cross-engine regex and
+    * staged-count parity REAL: both engines scrub actual PII every round.
+    */
+  private val piiFixtureDir =
+    java.nio.file.Paths.get(graft.sources.Fixtures.fixturesDir, "pii_planted.parquet")
+      .toAbsolutePath.toString
+
+  private def ensurePiiFixture(s: SparkSession): DataFrame = {
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(piiFixtureDir))) {
+      import s.implicits._
+      Seq(
+        (0L, "no pii here at all"),
+        (1L, "mail me at alice.smith+spam@example.co.uk today"),
+        (2L, "server 10.0.255.3 and 192.168.1.1."),
+        (3L, "call 555-123-4567 or 555.123.4567 or 555 123 4567"),
+        (4L, "root@10.0.0.12 logged in from 10.0.0.13"),
+        (5L, "bob@x.io 1.2.3.4 555-000-1111"),
+        (6L, "dial 123.456.7890 now"),
+        (7L, "id ab1.2.3.4cd stays"),
+        (8L, "twice bob@x.io carol@y.org and again bob@x.io"),
+      ).toDF("doc_id", "text").coalesce(1).write.mode("ignore").parquet(piiFixtureDir)
+    }
+    s.read.parquet(piiFixtureDir)
+  }
+
+  val piiPlanted = Q(
+    "t_pii_planted",
+    (s, _) => piiScrubOn(ensurePiiFixture(s)),
+    Some(oraclePiiSql(s"read_parquet('$piiFixtureDir/*.parquet')")),
   )
 
   val qs: Seq[Q] = Seq(
@@ -1360,6 +1406,7 @@ object TextOps {
     langId,
     qualityScore,
     piiScrub,
+    piiPlanted,
     dedupExact,
     dedupPara,
     repetition,

@@ -670,7 +670,9 @@ object VectorOps {
     * cap + remedy as the sign-bucket joins).
     */
   private[queries] def semanticPairs(emb: DataFrame): DataFrame = {
-    val assigned = ivfCells(emb)
+    // one assignment pass for the cap agg and both join sides (the
+    // broadcast-centroids scan would otherwise re-run per consumer)
+    val assigned = ivfCells(emb).localCheckpoint(false)
     val ok = assigned.groupBy(col("cell")).agg(count(lit(1)).as("n_c"))
       .filter(col("n_c") <= maxBucketVecs)
       .select(col("cell"))

@@ -147,18 +147,21 @@ class CurationSpec extends SparkSpec {
       .filter("quality <> 'poor'").collect().map(_.getLong(0)).toSet
     val train = Catalog.queries("t_split_assign")(spark, sf)
       .filter("split = 'train'").collect().map(_.getLong(0)).toSet
-    // decontamination stage: drop train docs >= 80% shingle-covered by the
-    // held-out splits, recomputed brute-force from the raw table
+    // decontamination stage: drop any shipped train doc covering >= 80%
+    // of SOME raw held-out doc's shingles, recomputed brute-force from
+    // the raw table (eval side is the RAW corpus — dedup may have eaten
+    // an eval doc's byte-identical copy)
     val curated = keepers & notPoor
     val textOf = spark.read.parquet(s"$sf/documents.parquet")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     def shinglesOf(t: String): Set[String] =
       t.split(" ").filter(_.nonEmpty).sliding(3).filter(_.length == 3)
         .map(_.mkString(" ")).toSet
-    val evalSh = (curated -- train).flatMap(id => shinglesOf(textOf(id)))
+    val evalShSets = (textOf.keySet -- train).toSeq
+      .map(id => shinglesOf(textOf(id))).filter(_.nonEmpty)
     val leaky = (curated & train).filter { id =>
       val sh = shinglesOf(textOf(id))
-      sh.nonEmpty && sh.count(evalSh) * 5 >= sh.size * 4
+      evalShSets.exists(e => (sh & e).size * 5 >= e.size * 4)
     }
     assert(rows.map(_._1).toSet === (curated & train) -- leaky)
     // and the packing is the exact prefix sum over that membership
