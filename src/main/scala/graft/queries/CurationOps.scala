@@ -493,18 +493,88 @@ object CurationOps {
     * same way it does for n-gram Jaccard; the remedy is the same —
     * dedup/clean first (the flagship feeds post-dedup train docs).
     */
-  private[queries] def contaminatedTrainOn(trainDocs: DataFrame, evalDocs: DataFrame): DataFrame = {
-    val tsh = TextOps.shinglesOfDf(trainDocs).select(col("doc_id").as("t_id"), col("sh"))
-    val esh = TextOps.shinglesOfDf(evalDocs).select(col("doc_id").as("e_id"), col("sh"))
-    val eSizes = esh.groupBy(col("e_id")).agg(count(lit(1)).as("e_sh"))
+  /** Per-(train, eval) leak pairs at the ≥ 80% threshold, with the
+    * overlap evidence — the report a pipeline audits before shipping.
+    */
+  private[queries] def trainLeakPairs(trainDocs: DataFrame, evalDocs: DataFrame): DataFrame = {
+    val tsh = TextOps.shinglesOfDf(trainDocs).select(col("doc_id").as("train_id"), col("sh"))
+    val esh = TextOps.shinglesOfDf(evalDocs).select(col("doc_id").as("eval_id"), col("sh"))
+    val eSizes = esh.groupBy(col("eval_id")).agg(count(lit(1)).as("e_sh"))
     tsh.join(esh, "sh")
-      .groupBy(col("t_id"), col("e_id"))
+      .groupBy(col("train_id"), col("eval_id"))
       .agg(count(lit(1)).as("n_overlap"))
-      .join(eSizes, "e_id")
+      .join(eSizes, "eval_id")
       .filter(col("n_overlap") * 5 >= col("e_sh") * 4)
-      .select(col("t_id").as("doc_id"))
-      .distinct()
+      .select(
+        col("train_id"), col("eval_id"), col("n_overlap"), col("e_sh"),
+        floor(lit(100.0) * col("n_overlap") / col("e_sh")).cast("long").as("coverage_pct"))
   }
+
+  private[queries] def contaminatedTrainOn(trainDocs: DataFrame, evalDocs: DataFrame): DataFrame =
+    trainLeakPairs(trainDocs, evalDocs)
+      .select(col("train_id").as("doc_id"))
+      .distinct()
+
+  /** Shared oracle chain: dedup survivors → quality gate → shipped-train
+    * shingles vs RAW held-out shingles → per-pair overlap (`ov`) +
+    * held-out sizes (`esizes`). Used by the flagship and t_train_leaks.
+    */
+  private def oracleShippedTrainLeakCtes: String = {
+    val oToks = TextOps.oracleToks
+    val stopPred = TextOps.stopwords.map(w => s"x = '$w'").mkString(" or ")
+    s"""${TextOps.oracleSurvivorsCte},
+       |      t AS (
+       |        SELECT doc_id,
+       |               len($oToks) AS n_tokens,
+       |               len(list_distinct($oToks)) AS n_distinct,
+       |               len(list_filter($oToks, x -> $stopPred)) AS n_stop
+       |        FROM survivors),
+       |      good AS (
+       |        SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens FROM t
+       |        WHERE CASE WHEN n_tokens >= 20 AND FLOOR(100.0 * n_distinct / n_tokens) >= 25
+       |                        AND FLOOR(100.0 * n_stop / n_tokens) <= 40 THEN 'good'
+       |                   WHEN n_tokens >= 10 THEN 'fair'
+       |                   ELSE 'poor' END <> 'poor'),
+       |      tsh AS (
+       |        SELECT doc_id AS t_id, unnest(${TextOps.oracleShingles}) AS sh
+       |        FROM survivors JOIN good USING (doc_id)
+       |        WHERE ($oSplitCase) = 'train'),
+       |      esh AS (
+       |        SELECT doc_id AS e_id, unnest(${TextOps.oracleShingles}) AS sh
+       |        FROM documents WHERE ($oSplitCase) <> 'train'),
+       |      esizes AS (SELECT e_id, COUNT(*) AS e_sh FROM esh GROUP BY 1),
+       |      ov AS (
+       |        SELECT t.t_id, e.e_id, COUNT(*) AS n_overlap
+       |        FROM tsh t JOIN esh e ON t.sh = e.sh
+       |        GROUP BY 1, 2)""".stripMargin
+  }
+
+  /** The leak REPORT as a first-class oracled row: every (shipped train
+    * doc, raw held-out doc) pair the flagship's decontamination stage
+    * acts on, with the overlap evidence — so the corrected criterion is
+    * hash-gated on its own, not only through the flagship's packed
+    * output.
+    */
+  val trainLeaks = Q(
+    "t_train_leaks",
+    (s, d) => {
+      import s.implicits._
+      val good = TextOps.withQuality(TextOps.dedupSurvivors(s, d))
+        .filter($"quality" =!= "poor")
+      trainLeakPairs(
+        good.filter(splitOf($"doc_id") === "train").select($"doc_id", $"text"),
+        docs(s, d).filter(splitOf($"doc_id") =!= "train").select($"doc_id", $"text"))
+    },
+    Some(s"""
+      WITH $oracleShippedTrainLeakCtes
+      SELECT ov.t_id AS train_id, ov.e_id AS eval_id,
+             CAST(ov.n_overlap AS BIGINT) AS n_overlap,
+             CAST(esizes.e_sh AS BIGINT) AS e_sh,
+             CAST(FLOOR(100.0 * ov.n_overlap / esizes.e_sh) AS BIGINT) AS coverage_pct
+      FROM ov JOIN esizes USING (e_id)
+      WHERE ov.n_overlap * 5 >= esizes.e_sh * 4
+    """.stripMargin.trim),
+  )
 
   val curateCorpus = Q(
     "t_curate_corpus",
@@ -530,37 +600,11 @@ object CurationOps {
       shardPackOn(train)
     },
     Some {
-      val oToks = TextOps.oracleToks
-      val stopPred = TextOps.stopwords.map(w => s"x = '$w'").mkString(" or ")
       val prefix =
         s"""COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
            |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)""".stripMargin
       s"""
-      WITH ${TextOps.oracleSurvivorsCte},
-      t AS (
-        SELECT doc_id,
-               len($oToks) AS n_tokens,
-               len(list_distinct($oToks)) AS n_distinct,
-               len(list_filter($oToks, x -> $stopPred)) AS n_stop
-        FROM survivors),
-      good AS (
-        SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens FROM t
-        WHERE CASE WHEN n_tokens >= 20 AND FLOOR(100.0 * n_distinct / n_tokens) >= 25
-                        AND FLOOR(100.0 * n_stop / n_tokens) <= 40 THEN 'good'
-                   WHEN n_tokens >= 10 THEN 'fair'
-                   ELSE 'poor' END <> 'poor'),
-      tsh AS (
-        SELECT doc_id AS t_id, unnest(${TextOps.oracleShingles}) AS sh
-        FROM survivors JOIN good USING (doc_id)
-        WHERE ($oSplitCase) = 'train'),
-      esh AS (
-        SELECT doc_id AS e_id, unnest(${TextOps.oracleShingles}) AS sh
-        FROM documents WHERE ($oSplitCase) <> 'train'),
-      esizes AS (SELECT e_id, COUNT(*) AS e_sh FROM esh GROUP BY 1),
-      ov AS (
-        SELECT t.t_id, e.e_id, COUNT(*) AS n_overlap
-        FROM tsh t JOIN esh e ON t.sh = e.sh
-        GROUP BY 1, 2),
+      WITH $oracleShippedTrainLeakCtes,
       leaky AS (
         SELECT DISTINCT ov.t_id AS doc_id
         FROM ov JOIN esizes USING (e_id)
@@ -580,5 +624,5 @@ object CurationOps {
 
   val qs: Seq[Q] =
     Seq(splitAssign, sourceQuota, stratifiedSample, shardPack, contamination,
-      domainMix, curateCorpus)
+      domainMix, trainLeaks, curateCorpus)
 }
