@@ -50,6 +50,8 @@ object Multimodal {
 
   final case class FrameDigest(assetId: Long, frameIdx: Int, frameDigest: Long)
 
+  final case class AudioWindow(assetId: Long, winIdx: Int, winDigest: Long)
+
   /** Deterministic stand-in for a media codec. Every value is a pure
     * function of the input bytes — tests rely on that determinism.
     */
@@ -316,6 +318,39 @@ object Multimodal {
             val d = StubCodec.contentHash(
               a.content.slice(i * bytesPerFrame, (i + 1) * bytesPerFrame))
             FrameDigest(a.assetId, i, d)
+          }
+        }
+      }
+  }
+
+  /** Overlapping-window digests for audio near-dup — the fingerprint
+    * shape differs from video's fixed frames on purpose: audio edits
+    * rarely align to any frame grid, so fingerprints hash OVERLAPPING
+    * windows (hop = half the window), the audio analog of text
+    * shingling. Two properties fall out: a local edit invalidates at
+    * most window/hop (= 2) windows, and a clip trimmed at any
+    * hop-aligned offset keeps ALL its remaining window digests —
+    * shift-invariance at hop granularity, which fixed frames cannot
+    * give. A payload shorter than one window hashes whole as its single
+    * window. Digest rows only, never the samples.
+    */
+  def audioWindowDigests(
+      assets: Dataset[MediaAsset],
+      windowBytes: Int = 256,
+      hopBytes: Int = 128,
+  ): Dataset[AudioWindow] = {
+    implicit val enc = Encoders.product[AudioWindow]
+    assets
+      .filter(col("kind") === "audio")
+      .mapPartitions { it =>
+        it.flatMap { a =>
+          val len = a.content.length
+          val nFull = if (len >= windowBytes) (len - windowBytes) / hopBytes + 1 else 0
+          val n = math.max(1, nFull)
+          (0 until n).iterator.map { i =>
+            val lo = i * hopBytes
+            val hi = math.min(lo + windowBytes, len)
+            AudioWindow(a.assetId, i, StubCodec.contentHash(a.content.slice(lo, hi)))
           }
         }
       }

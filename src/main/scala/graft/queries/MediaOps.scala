@@ -527,6 +527,112 @@ object MediaOps {
     },
   )
 
+  // ---------------------------------------------------------------------
+  // Audio near-dup by overlapping-window fingerprints — completes the
+  // modality set (text/embedding/image/video/audio). Same containment
+  // join as the video pass, but over OVERLAPPING window digests
+  // (hop = window/2, the audio analog of text shingling — see
+  // Multimodal.audioWindowDigests): a local edit costs ≤ 2 windows and
+  // a hop-aligned trim keeps every remaining digest, so trims land at
+  // 100% containment where a fixed frame grid would shatter them.
+  // ---------------------------------------------------------------------
+
+  private val audioVariantsDir =
+    Paths.get(graft.sources.Fixtures.fixturesDir, "media_audio_variants.parquet")
+      .toAbsolutePath.toString
+  private val nBaseAudio = 60
+  private val audioBytes = 2048 // 15 overlapping 256-byte windows at hop 128
+
+  private def mkAudio(id: Long, bytes: Array[Byte]): MediaAsset =
+    MediaAsset(id, "audio", bytes, "wav", 0, 0, 16000, 5000L)
+
+  private def audioPayload(id: Long): Array[Byte] = mixedPayload(id, audioBytes, 9000L)
+
+  /** 60 pseudo-random base clips + 10 one-byte edits (byte 640 lives in
+    * windows 4 and 5 → 13/15 shared, 86%) + 10 hop-aligned head-trims
+    * (drop the first 128 bytes → every one of the 14 remaining windows
+    * shared, 100% — the shift-invariance case).
+    */
+  private def ensureAudioVariants(s: SparkSession): Dataset[MediaAsset] = {
+    implicit val enc = org.apache.spark.sql.Encoders.product[MediaAsset]
+    if (!Files.exists(Paths.get(audioVariantsDir))) {
+      val base = (0 until nBaseAudio).map(i => mkAudio(i.toLong, audioPayload(i.toLong)))
+      val edits = (0 until 10).map { i =>
+        val b = audioPayload(i.toLong)
+        b(640) = (b(640) ^ 0x80).toByte
+        mkAudio(200L + i, b)
+      }
+      val trims = (0 until 10).map { i =>
+        mkAudio(300L + i, audioPayload(10L + i).drop(128))
+      }
+      s.createDataset(base ++ edits ++ trims).coalesce(1)
+        .write.mode("ignore").parquet(audioVariantsDir)
+    }
+    s.read.parquet(audioVariantsDir).as[MediaAsset]
+  }
+
+  val audioNearDup = Q(
+    "m_audio_neardup",
+    (s, _) => {
+      import s.implicits._
+      // one digest pass for sizes, the cap agg, and both join sides
+      val wd = Multimodal.audioWindowDigests(ensureAudioVariants(s)).toDF()
+        .select($"assetId", $"winDigest").distinct()
+        .localCheckpoint(false)
+      val sizes = wd.groupBy($"assetId").agg(count(lit(1)).as("n_wins"))
+      val ok = wd.groupBy($"winDigest").agg(count(lit(1)).as("n_a"))
+        .filter($"n_a" <= maxDigestVideos)
+        .select($"winDigest")
+      val g = wd.join(broadcast(ok), "winDigest")
+      val shared = g.select($"assetId".as("asset_a"), $"winDigest")
+        .join(
+          g.select($"assetId".as("asset_b"), $"winDigest".as("wd_b")),
+          $"winDigest" === $"wd_b" && $"asset_a" < $"asset_b")
+        .groupBy($"asset_a", $"asset_b")
+        .agg(count(lit(1)).as("n_shared"))
+      shared
+        .join(sizes.select($"assetId".as("asset_a"), $"n_wins".as("n_a")), "asset_a")
+        .join(sizes.select($"assetId".as("asset_b"), $"n_wins".as("n_b")), "asset_b")
+        .filter($"n_shared" * 5 >= least($"n_a", $"n_b") * 3)
+        .select(
+          $"asset_a", $"asset_b", $"n_shared",
+          floor(lit(100.0) * $"n_shared" / least($"n_a", $"n_b")).cast("long")
+            .as("containment_pct"))
+    },
+    Some {
+      val nWins =
+        """CAST(greatest(CASE WHEN octet_length(content) >= 256
+          |                   THEN (octet_length(content) - 256) // 128 + 1
+          |                   ELSE 0 END, 1) AS BIGINT)""".stripMargin
+      s"""
+      WITH a AS (
+        SELECT assetId, content
+        FROM read_parquet('$audioVariantsDir/*.parquet') WHERE kind = 'audio'),
+      w0 AS (
+        SELECT assetId, content, unnest(generate_series(0, $nWins - 1)) AS i
+        FROM a),
+      wd AS (
+        SELECT DISTINCT assetId,
+               ${u2s(fnvOverSlice("i*128", "least(i*128 + 256, octet_length(content))"))} AS winDigest
+        FROM w0),
+      sizes AS (SELECT assetId, COUNT(*) AS n_wins FROM wd GROUP BY 1),
+      ok AS (SELECT winDigest FROM wd GROUP BY 1 HAVING COUNT(*) <= $maxDigestVideos),
+      g AS (SELECT wd.* FROM wd JOIN ok USING (winDigest)),
+      shared AS (
+        SELECT a.assetId AS asset_a, b.assetId AS asset_b, COUNT(*) AS n_shared
+        FROM g a JOIN g b ON a.winDigest = b.winDigest AND a.assetId < b.assetId
+        GROUP BY 1, 2)
+      SELECT s.asset_a, s.asset_b, CAST(s.n_shared AS BIGINT) AS n_shared,
+             CAST(FLOOR(100.0 * s.n_shared / least(x.n_wins, y.n_wins)) AS BIGINT)
+               AS containment_pct
+      FROM shared s
+      JOIN sizes x ON x.assetId = s.asset_a
+      JOIN sizes y ON y.assetId = s.asset_b
+      WHERE s.n_shared * 5 >= least(x.n_wins, y.n_wins) * 3
+    """.stripMargin.trim
+    },
+  )
+
   val qs: Seq[Q] = Seq(assetFeatures, decodeImages, frameStats, imageNearDup,
-    imageDedup, videoNearDup)
+    imageDedup, videoNearDup, audioNearDup)
 }
