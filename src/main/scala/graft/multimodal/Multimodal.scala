@@ -332,7 +332,11 @@ object Multimodal {
     * hop-aligned offset keeps ALL its remaining window digests —
     * shift-invariance at hop granularity, which fixed frames cannot
     * give. A payload shorter than one window hashes whole as its single
-    * window. Digest rows only, never the samples.
+    * window; a ragged tail past the last full window gets one final
+    * PARTIAL window (ceil-based count), so every payload byte is
+    * covered — a tail-only edit must invalidate a digest, the same
+    * every-byte-covered rule as videoFrameDigests' clamp. Digest rows
+    * only, never the samples.
     */
   def audioWindowDigests(
       assets: Dataset[MediaAsset],
@@ -345,8 +349,9 @@ object Multimodal {
       .mapPartitions { it =>
         it.flatMap { a =>
           val len = a.content.length
-          val nFull = if (len >= windowBytes) (len - windowBytes) / hopBytes + 1 else 0
-          val n = math.max(1, nFull)
+          val n =
+            if (len >= windowBytes) (len - windowBytes + hopBytes - 1) / hopBytes + 1
+            else 1
           (0 until n).iterator.map { i =>
             val lo = i * hopBytes
             val hi = math.min(lo + windowBytes, len)

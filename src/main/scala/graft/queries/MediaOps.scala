@@ -415,8 +415,59 @@ object MediaOps {
       .toAbsolutePath.toString
   private val nBaseVideos = 60
   private val videoBytes = 1000 // 5 frames x 200 bytes/frame
-  private val containmentPct = 60L
-  private val maxDigestVideos = 1 << 10
+  private val maxDigestAssets = 1 << 10
+
+  /** Capped shared-digest containment join over (assetId, digest) rows —
+    * the ONE implementation behind the video and audio near-dup passes:
+    * distinct digests (lazily materialized once for sizes, the cap agg
+    * and both join sides), mega-digest cap (boilerplate frames/windows
+    * skipped), a<b self-join, per-pair shared counts, and the ≥ 60%
+    * containment-of-the-smaller filter (containment, not Jaccard, so a
+    * trimmed clip still matches its source).
+    */
+  private def containmentPairs(digestRows: DataFrame): DataFrame = {
+    val s = digestRows.sparkSession
+    import s.implicits._
+    val dg = digestRows.toDF("assetId", "digest").distinct().localCheckpoint(false)
+    val sizes = dg.groupBy($"assetId").agg(count(lit(1)).as("n_dig"))
+    val ok = dg.groupBy($"digest").agg(count(lit(1)).as("n_a"))
+      .filter($"n_a" <= maxDigestAssets)
+      .select($"digest")
+    val g = dg.join(broadcast(ok), "digest")
+    val shared = g.select($"assetId".as("asset_a"), $"digest")
+      .join(
+        g.select($"assetId".as("asset_b"), $"digest".as("d_b")),
+        $"digest" === $"d_b" && $"asset_a" < $"asset_b")
+      .groupBy($"asset_a", $"asset_b")
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(sizes.select($"assetId".as("asset_a"), $"n_dig".as("n_a")), "asset_a")
+      .join(sizes.select($"assetId".as("asset_b"), $"n_dig".as("n_b")), "asset_b")
+      .filter($"n_shared" * 5 >= least($"n_a", $"n_b") * 3)
+      .select(
+        $"asset_a", $"asset_b", $"n_shared",
+        floor(lit(100.0) * $"n_shared" / least($"n_a", $"n_b")).cast("long")
+          .as("containment_pct"))
+  }
+
+  /** DuckDB mirror of [[containmentPairs]] over a CTE `dg(assetId,
+    * digest)` — append after the digest CTEs.
+    */
+  private def oracleContainmentTail: String =
+    s"""sizes AS (SELECT assetId, COUNT(*) AS n_dig FROM dg GROUP BY 1),
+       |      ok AS (SELECT digest FROM dg GROUP BY 1 HAVING COUNT(*) <= $maxDigestAssets),
+       |      g AS (SELECT dg.* FROM dg JOIN ok USING (digest)),
+       |      shared AS (
+       |        SELECT a.assetId AS asset_a, b.assetId AS asset_b, COUNT(*) AS n_shared
+       |        FROM g a JOIN g b ON a.digest = b.digest AND a.assetId < b.assetId
+       |        GROUP BY 1, 2)
+       |      SELECT s.asset_a, s.asset_b, CAST(s.n_shared AS BIGINT) AS n_shared,
+       |             CAST(FLOOR(100.0 * s.n_shared / least(x.n_dig, y.n_dig)) AS BIGINT)
+       |               AS containment_pct
+       |      FROM shared s
+       |      JOIN sizes x ON x.assetId = s.asset_a
+       |      JOIN sizes y ON y.assetId = s.asset_b
+       |      WHERE s.n_shared * 5 >= least(x.n_dig, y.n_dig) * 3""".stripMargin
 
   private def mkVideo(id: Long, bytes: Array[Byte], durationMs: Long): MediaAsset =
     MediaAsset(id, "video", bytes, "mp4", 640, 480, 0, durationMs)
@@ -470,29 +521,9 @@ object MediaOps {
     "m_video_neardup",
     (s, _) => {
       import s.implicits._
-      // one digest pass for sizes, the cap agg, and both join sides
-      val fd = Multimodal.videoFrameDigests(ensureVideoVariants(s)).toDF()
-        .select($"assetId", $"frameDigest").distinct()
-        .localCheckpoint(false)
-      val sizes = fd.groupBy($"assetId").agg(count(lit(1)).as("n_frames"))
-      val ok = fd.groupBy($"frameDigest").agg(count(lit(1)).as("n_v"))
-        .filter($"n_v" <= maxDigestVideos)
-        .select($"frameDigest")
-      val g = fd.join(broadcast(ok), "frameDigest")
-      val shared = g.select($"assetId".as("asset_a"), $"frameDigest")
-        .join(
-          g.select($"assetId".as("asset_b"), $"frameDigest".as("fd_b")),
-          $"frameDigest" === $"fd_b" && $"asset_a" < $"asset_b")
-        .groupBy($"asset_a", $"asset_b")
-        .agg(count(lit(1)).as("n_shared"))
-      shared
-        .join(sizes.select($"assetId".as("asset_a"), $"n_frames".as("n_a")), "asset_a")
-        .join(sizes.select($"assetId".as("asset_b"), $"n_frames".as("n_b")), "asset_b")
-        .filter($"n_shared" * 5 >= least($"n_a", $"n_b") * 3)
-        .select(
-          $"asset_a", $"asset_b", $"n_shared",
-          floor(lit(100.0) * $"n_shared" / least($"n_a", $"n_b")).cast("long")
-            .as("containment_pct"))
+      containmentPairs(
+        Multimodal.videoFrameDigests(ensureVideoVariants(s)).toDF()
+          .select($"assetId", $"frameDigest"))
     },
     Some {
       // frame count clamped to the payload, mirroring videoFrameDigests
@@ -505,24 +536,11 @@ object MediaOps {
       f0 AS (
         SELECT assetId, content, unnest(generate_series(0, $nFrames - 1)) AS i
         FROM v),
-      fd AS (
+      dg AS (
         SELECT DISTINCT assetId,
-               ${u2s(fnvOverSlice("i*200", "least((i+1)*200, octet_length(content))"))} AS frameDigest
+               ${u2s(fnvOverSlice("i*200", "least((i+1)*200, octet_length(content))"))} AS digest
         FROM f0),
-      sizes AS (SELECT assetId, COUNT(*) AS n_frames FROM fd GROUP BY 1),
-      ok AS (SELECT frameDigest FROM fd GROUP BY 1 HAVING COUNT(*) <= $maxDigestVideos),
-      g AS (SELECT fd.* FROM fd JOIN ok USING (frameDigest)),
-      shared AS (
-        SELECT a.assetId AS asset_a, b.assetId AS asset_b, COUNT(*) AS n_shared
-        FROM g a JOIN g b ON a.frameDigest = b.frameDigest AND a.assetId < b.assetId
-        GROUP BY 1, 2)
-      SELECT s.asset_a, s.asset_b, CAST(s.n_shared AS BIGINT) AS n_shared,
-             CAST(FLOOR(100.0 * s.n_shared / least(x.n_frames, y.n_frames)) AS BIGINT)
-               AS containment_pct
-      FROM shared s
-      JOIN sizes x ON x.assetId = s.asset_a
-      JOIN sizes y ON y.assetId = s.asset_b
-      WHERE s.n_shared * 5 >= least(x.n_frames, y.n_frames) * 3
+      $oracleContainmentTail
     """.stripMargin.trim
     },
   )
@@ -575,35 +593,17 @@ object MediaOps {
     "m_audio_neardup",
     (s, _) => {
       import s.implicits._
-      // one digest pass for sizes, the cap agg, and both join sides
-      val wd = Multimodal.audioWindowDigests(ensureAudioVariants(s)).toDF()
-        .select($"assetId", $"winDigest").distinct()
-        .localCheckpoint(false)
-      val sizes = wd.groupBy($"assetId").agg(count(lit(1)).as("n_wins"))
-      val ok = wd.groupBy($"winDigest").agg(count(lit(1)).as("n_a"))
-        .filter($"n_a" <= maxDigestVideos)
-        .select($"winDigest")
-      val g = wd.join(broadcast(ok), "winDigest")
-      val shared = g.select($"assetId".as("asset_a"), $"winDigest")
-        .join(
-          g.select($"assetId".as("asset_b"), $"winDigest".as("wd_b")),
-          $"winDigest" === $"wd_b" && $"asset_a" < $"asset_b")
-        .groupBy($"asset_a", $"asset_b")
-        .agg(count(lit(1)).as("n_shared"))
-      shared
-        .join(sizes.select($"assetId".as("asset_a"), $"n_wins".as("n_a")), "asset_a")
-        .join(sizes.select($"assetId".as("asset_b"), $"n_wins".as("n_b")), "asset_b")
-        .filter($"n_shared" * 5 >= least($"n_a", $"n_b") * 3)
-        .select(
-          $"asset_a", $"asset_b", $"n_shared",
-          floor(lit(100.0) * $"n_shared" / least($"n_a", $"n_b")).cast("long")
-            .as("containment_pct"))
+      containmentPairs(
+        Multimodal.audioWindowDigests(ensureAudioVariants(s)).toDF()
+          .select($"assetId", $"winDigest"))
     },
     Some {
+      // ceil-based window count, mirroring audioWindowDigests: a ragged
+      // tail past the last full window gets one final partial window
       val nWins =
-        """CAST(greatest(CASE WHEN octet_length(content) >= 256
-          |                   THEN (octet_length(content) - 256) // 128 + 1
-          |                   ELSE 0 END, 1) AS BIGINT)""".stripMargin
+        """CAST(CASE WHEN octet_length(content) >= 256
+          |          THEN (octet_length(content) - 256 + 127) // 128 + 1
+          |          ELSE 1 END AS BIGINT)""".stripMargin
       s"""
       WITH a AS (
         SELECT assetId, content
@@ -611,24 +611,11 @@ object MediaOps {
       w0 AS (
         SELECT assetId, content, unnest(generate_series(0, $nWins - 1)) AS i
         FROM a),
-      wd AS (
+      dg AS (
         SELECT DISTINCT assetId,
-               ${u2s(fnvOverSlice("i*128", "least(i*128 + 256, octet_length(content))"))} AS winDigest
+               ${u2s(fnvOverSlice("i*128", "least(i*128 + 256, octet_length(content))"))} AS digest
         FROM w0),
-      sizes AS (SELECT assetId, COUNT(*) AS n_wins FROM wd GROUP BY 1),
-      ok AS (SELECT winDigest FROM wd GROUP BY 1 HAVING COUNT(*) <= $maxDigestVideos),
-      g AS (SELECT wd.* FROM wd JOIN ok USING (winDigest)),
-      shared AS (
-        SELECT a.assetId AS asset_a, b.assetId AS asset_b, COUNT(*) AS n_shared
-        FROM g a JOIN g b ON a.winDigest = b.winDigest AND a.assetId < b.assetId
-        GROUP BY 1, 2)
-      SELECT s.asset_a, s.asset_b, CAST(s.n_shared AS BIGINT) AS n_shared,
-             CAST(FLOOR(100.0 * s.n_shared / least(x.n_wins, y.n_wins)) AS BIGINT)
-               AS containment_pct
-      FROM shared s
-      JOIN sizes x ON x.assetId = s.asset_a
-      JOIN sizes y ON y.assetId = s.asset_b
-      WHERE s.n_shared * 5 >= least(x.n_wins, y.n_wins) * 3
+      $oracleContainmentTail
     """.stripMargin.trim
     },
   )
