@@ -34,7 +34,7 @@ object CurationOps {
   /** DuckDB mirror of [[TextOps.h60]] `% buckets` — the md5-hex prefix
     * bridge used throughout the text pack.
     */
-  private def oMd5Bucket(col: String, buckets: Int): String =
+  private[queries] def oMd5Bucket(col: String, buckets: Int): String =
     s"('0x' || substr(md5(CAST($col AS VARCHAR)), 1, 15))::UBIGINT::BIGINT % $buckets"
 
   // ---------------------------------------------------------------------

@@ -1399,6 +1399,187 @@ object TextOps {
     Some(oraclePiiSql(s"read_parquet('$piiFixtureDir/*.parquet')")),
   )
 
+  // ---------------------------------------------------------------------
+  // Incremental (delta) ingest dedup — the day-2 shape of every corpus
+  // build: a new crawl batch lands AFTER the base corpus is curated, and
+  // must be deduplicated against it WITHOUT re-deduplicating the base.
+  // Every delta doc gets a verdict: `dup_of_base` (content already in the
+  // corpus), `dup_in_delta` (a second copy inside the batch itself — the
+  // first occurrence by doc_id is the one kept), or `kept`.
+  //
+  // 100 TB shape: the base side reduces to its distinct content-hash set
+  // (one shuffle, ~16 bytes/doc — the persistent "corpus index" a real
+  // pipeline stores between ingests), the delta side takes one
+  // first-occurrence window and one LEFT equi-join, BOTH keyed on the
+  // same text_hash, so the exchange is reused across the window and the
+  // join. No broadcast hint: the base index is corpus-sized (AQE decides).
+  // ---------------------------------------------------------------------
+
+  /** Stable batch tag: ~20% of docs (md5-bucket 8-9 of 10 on doc_id) form
+    * the incoming delta, the rest the already-curated base. A different
+    * modulus of the same h60 as the 1000-bucket split assignment, so batch
+    * membership correlates with neither split nor sample.
+    */
+  private val batchOf: Column =
+    when(h60(col("doc_id").cast("string")) % 10 >= 8, lit("delta"))
+      .otherwise(lit("base"))
+
+  /** The operator core over any (doc_id, text, batch∈{base,delta}) frame —
+    * exposed so DeltaDedupSpec can drive planted base/delta corpora
+    * through the real plan (the catalog entry wires in the hash-derived
+    * batch tag).
+    */
+  private[queries] def deltaDedupOn(tagged0: DataFrame): DataFrame = {
+    val s = tagged0.sparkSession
+    import s.implicits._
+    val tagged = tagged0.select($"doc_id", md5($"text").as("text_hash"), $"batch")
+    val baseIndex = tagged.filter($"batch" === "base").select($"text_hash").distinct()
+    val w = Window.partitionBy($"text_hash").orderBy($"doc_id")
+    tagged
+      .filter($"batch" === "delta")
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .join(baseIndex.withColumn("in_base", lit(true)), Seq("text_hash"), "left")
+      .select(
+        $"doc_id",
+        $"text_hash",
+        when($"in_base", lit("dup_of_base"))
+          .when($"rk" > 1, lit("dup_in_delta"))
+          .otherwise(lit("kept"))
+          .as("verdict"),
+      )
+  }
+
+  val deltaDedup = Q(
+    "t_delta_dedup",
+    (s, d) =>
+      deltaDedupOn(docs(s, d).select(col("doc_id"), col("text"), batchOf.as("batch"))),
+    Some(s"""
+      WITH t AS (
+        SELECT doc_id, md5(text) AS text_hash,
+               CASE WHEN ${CurationOps.oMd5Bucket("doc_id", 10)} >= 8
+                    THEN 'delta' ELSE 'base' END AS batch
+        FROM documents),
+      b AS (SELECT DISTINCT text_hash FROM t WHERE batch = 'base'),
+      d AS (
+        SELECT doc_id, text_hash,
+               ROW_NUMBER() OVER (PARTITION BY text_hash ORDER BY doc_id) AS rk
+        FROM t WHERE batch = 'delta')
+      SELECT d.doc_id, d.text_hash,
+             CASE WHEN b.text_hash IS NOT NULL THEN 'dup_of_base'
+                  WHEN d.rk > 1 THEN 'dup_in_delta'
+                  ELSE 'kept' END AS verdict
+      FROM d LEFT JOIN b USING (text_hash)
+    """.stripMargin.trim),
+  )
+
+  // ---------------------------------------------------------------------
+  // Unigram-LM document scoring — the integer-exact stand-in for the
+  // CCNet/KenLM perplexity filter: score each document by its mean token
+  // unigram probability under the corpus's own unigram model,
+  //   score_ppm = floor(1e6 * (1/n) * Σ_t cnt(t)/N)
+  //             = (1e6 * Σ_t cnt(t)) div (n_toks * N)
+  // — all-integer, so it hash-matches across engines (a float log/ln
+  // would differ in the last ulp between the JVM and DuckDB libm; the
+  // mean-probability form ranks documents the same way for filtering:
+  // low score = rare/gibberish tokens, high = common-word text). At a
+  // true 100 TB corpus 1e6*Σcnt and n*N near int64 range; production
+  // would widen the two products to DECIMAL(38,0) — same plan.
+  //
+  // 100 TB shape: one token-keyed count shuffle (the unigram model), a
+  // token-keyed equi-join back to the token stream — vocabulary is
+  // billions of distinct tokens, so NO broadcast hint (AQE decides) —
+  // then a doc-keyed agg. The corpus total N is a one-row scalar agg
+  // (one row per partition pre-agg) grafted on via an explicit
+  // one-row broadcast cross join — the sanctioned tiny-side BNLJ class
+  // (broadcasting one row, never data; see CatalogPlanGuardSpec).
+  // ---------------------------------------------------------------------
+
+  /** The operator core over any (doc_id, text) frame — exposed so
+    * UnigramLmSpec can check hand-computed scores on a planted corpus.
+    */
+  private[queries] def unigramLmOn(docsDf: DataFrame): DataFrame = {
+    val s = docsDf.sparkSession
+    import s.implicits._
+    val tokRows = docsDf.select($"doc_id", explode(toks).as("token"))
+    val cnts = tokRows.groupBy($"token").agg(count(lit(1)).as("cnt"))
+    val total = cnts.agg(sum($"cnt").cast("long").as("n_total"))
+    tokRows
+      .join(cnts, "token")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).cast("long").as("n_toks"), sum($"cnt").cast("long").as("sum_cnt"))
+      // ONE broadcast row (the corpus total) against the per-doc stream —
+      // the sanctioned tiny-side BNLJ class (CatalogPlanGuardSpec)
+      .crossJoin(broadcast(total))
+      .select(
+        $"doc_id", $"n_toks", $"sum_cnt",
+        expr("(1000000 * sum_cnt) div (n_toks * n_total)").as("score_ppm"))
+  }
+
+  val unigramLm = Q(
+    "t_unigram_lm",
+    (s, d) => unigramLmOn(fannedDocs(s, d)),
+    Some(s"""
+      WITH tok AS (SELECT doc_id, unnest($oracleToks) AS token FROM documents),
+      cnts AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY 1),
+      n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM cnts),
+      perdoc AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks,
+               CAST(SUM(cnt) AS BIGINT) AS sum_cnt
+        FROM tok JOIN cnts USING (token) GROUP BY 1)
+      SELECT doc_id, n_toks, sum_cnt,
+             CAST((1000000 * sum_cnt) // (n_toks * n_total) AS BIGINT) AS score_ppm
+      FROM perdoc, n
+    """.stripMargin.trim),
+  )
+
+  // ---------------------------------------------------------------------
+  // Boilerplate fraction — the Dolma/RefinedWeb-style duplicated-text
+  // signal at SIGNAL grain (no rewrite): for each document, the share of
+  // its distinct word-3-gram shingles that also occur in at least one
+  // OTHER document. Near-100% = mirror/template page; mid-range = shared
+  // nav/license blocks (what t_dedup_para would strip); low = original
+  // text. Complements t_repetition (WITHIN-doc loops) with the
+  // ACROSS-doc counterpart.
+  //
+  // 100 TB shape: shingle rows (linear) → one shingle-keyed document-
+  // frequency shuffle → shingle-keyed equi-join back (no broadcast —
+  // shingle space is corpus-scale; AQE decides) → doc-keyed agg. Same
+  // plan class as t_contamination; per-doc shingles are already distinct
+  // (shinglesOfTk), so COUNT(*) per shingle IS document frequency.
+  // ---------------------------------------------------------------------
+
+  /** The operator core over any (doc_id, sh) shingle-row frame — exposed
+    * so BoilerplateSpec can drive planted template corpora through the
+    * real plan.
+    */
+  private[queries] def boilerplateOn(sh: DataFrame): DataFrame = {
+    val s = sh.sparkSession
+    import s.implicits._
+    val docFreq = sh.groupBy($"sh").agg(count(lit(1)).as("df"))
+    sh.join(docFreq, "sh")
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).cast("long").as("n_shingles"),
+        sum(when($"df" >= 2, 1L).otherwise(0L)).cast("long").as("n_shared"),
+      )
+      .withColumn("boiler_pct", expr("(100 * n_shared) div n_shingles"))
+  }
+
+  val boilerplate = Q(
+    "t_boilerplate",
+    (s, d) => boilerplateOn(docShingles(s, d)),
+    Some(s"""
+      WITH sh AS (SELECT doc_id, unnest($oracleShingles) AS sh FROM documents),
+      sdf AS (SELECT sh, COUNT(*) AS df FROM sh GROUP BY 1)
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+             CAST(SUM(CASE WHEN sdf.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+             CAST((100 * SUM(CASE WHEN sdf.df >= 2 THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT)
+               AS boiler_pct
+      FROM sh JOIN sdf USING (sh)
+      GROUP BY doc_id
+    """.stripMargin.trim),
+  )
+
   val qs: Seq[Q] = Seq(
     textStats,
     tokenTopK,
@@ -1420,5 +1601,8 @@ object TextOps {
     neardupPostDedup,
     cleanCorpus,
     rollingFingerprint,
+    deltaDedup,
+    unigramLm,
+    boilerplate,
   )
 }

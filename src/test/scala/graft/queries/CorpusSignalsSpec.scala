@@ -1,0 +1,94 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Planted-corpus coverage for the round-10 corpus-signal additions:
+  * incremental (delta) ingest dedup, unigram-LM scoring, and the
+  * across-doc boilerplate fraction — hand-computed expectations driven
+  * through the real operator cores.
+  */
+class CorpusSignalsSpec extends SparkSpec {
+
+  test("deltaDedupOn: base collision, in-batch dup, and fresh content each verdict correctly") {
+    import spark.implicits._
+    val tagged = Seq(
+      // base corpus
+      (0L, "alpha beta gamma", "base"),
+      (1L, "delta epsilon zeta", "base"),
+      // delta batch
+      (10L, "alpha beta gamma", "delta"), // exact copy of base doc 0
+      (11L, "eta theta iota", "delta"), // fresh -> kept
+      (12L, "eta theta iota", "delta"), // second copy inside the batch
+      (13L, "kappa lambda mu", "delta"), // fresh -> kept
+    ).toDF("doc_id", "text", "batch")
+    val got = TextOps.deltaDedupOn(tagged).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("verdict")).toMap
+    assert(got === Map(
+      10L -> "dup_of_base",
+      11L -> "kept",
+      12L -> "dup_in_delta",
+      13L -> "kept",
+    ))
+  }
+
+  test("deltaDedupOn: a doc dup'd in base AND in delta reports dup_of_base (base wins)") {
+    import spark.implicits._
+    val tagged = Seq(
+      (0L, "same text here", "base"),
+      (10L, "same text here", "delta"),
+      (11L, "same text here", "delta"),
+    ).toDF("doc_id", "text", "batch")
+    val got = TextOps.deltaDedupOn(tagged).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("verdict")).toMap
+    assert(got === Map(10L -> "dup_of_base", 11L -> "dup_of_base"))
+  }
+
+  test("unigramLmOn: hand-computed mean-probability scores; common text outscores rare") {
+    import spark.implicits._
+    // corpus tokens: a a b | c  ->  cnt(a)=2 cnt(b)=1 cnt(c)=1, N=4
+    val docs = Seq((0L, "a a b"), (1L, "c")).toDF("doc_id", "text")
+    val got = TextOps.unigramLmOn(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_toks"), r.getAs[Long]("sum_cnt"), r.getAs[Long]("score_ppm"))))
+      .toMap
+    // doc0: n=3, S=2+2+1=5, score = 5_000_000 / 12 = 416666
+    // doc1: n=1, S=1,       score = 1_000_000 / 4  = 250000
+    assert(got(0L) === ((3L, 5L, 416666L)))
+    assert(got(1L) === ((1L, 1L, 250000L)))
+  }
+
+  test("unigramLmOn: all-identical docs score the maximum 1e6 ppm") {
+    import spark.implicits._
+    val docs = (0 until 5).map(i => (i.toLong, "x x x")).toDF("doc_id", "text")
+    val got = TextOps.unigramLmOn(docs).collect()
+    assert(got.length === 5)
+    // every token is 'x': cnt=N, so mean probability is exactly 1
+    assert(got.forall(_.getAs[Long]("score_ppm") === 1000000L))
+  }
+
+  test("boilerplateOn: shared template shingles raise boiler_pct; unique text stays 0") {
+    import spark.implicits._
+    // doc 0/1 share the shingle "x y z"; doc 2 is fully unique
+    val sh = Seq(
+      (0L, "x y z"), (0L, "y z w"),
+      (1L, "x y z"), (1L, "y z q"),
+      (2L, "p q r"),
+    ).toDF("doc_id", "sh")
+    val got = TextOps.boilerplateOn(sh).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_shingles"), r.getAs[Long]("n_shared"), r.getAs[Long]("boiler_pct"))))
+      .toMap
+    assert(got(0L) === ((2L, 1L, 50L)))
+    assert(got(1L) === ((2L, 1L, 50L)))
+    assert(got(2L) === ((1L, 0L, 0L)))
+  }
+
+  test("boilerplateOn: an exact mirror pair reports 100% on both sides") {
+    import spark.implicits._
+    val sh = Seq((0L, "a b c"), (0L, "b c d"), (1L, "a b c"), (1L, "b c d"))
+      .toDF("doc_id", "sh")
+    val got = TextOps.boilerplateOn(sh).collect()
+    assert(got.length === 2)
+    assert(got.forall(_.getAs[Long]("boiler_pct") === 100L))
+  }
+}
