@@ -1530,6 +1530,7 @@ object TextOps {
              CAST((1000000 * sum_cnt) // (n_toks * n_total) AS BIGINT) AS score_ppm
       FROM perdoc, n
     """.stripMargin.trim),
+    bench = true,
   )
 
   // ---------------------------------------------------------------------
@@ -1578,6 +1579,7 @@ object TextOps {
       FROM sh JOIN sdf USING (sh)
       GROUP BY doc_id
     """.stripMargin.trim),
+    bench = true,
   )
 
   val qs: Seq[Q] = Seq(

@@ -335,6 +335,39 @@ object Streams {
   def piiScrubStream(docs: DataFrame): DataFrame =
     graft.queries.TextOps.piiScrubOn(docs)
 
+  /** Streaming half of incremental ingest dedup (batch whole:
+    * `t_delta_dedup`): the arriving delta batch is deduplicated against
+    * the STATIC base-corpus index — the persistent distinct-content-hash
+    * artifact (`text_hash` column) a pipeline stores between ingests —
+    * via a stream-static LEFT ANTI join, then within-stream duplicates
+    * are dropped inside the watermark horizon. Emits only the kept docs
+    * (the ingest-filter contract; batch `t_delta_dedup` is where per-doc
+    * verdicts live — streaming append mode cannot label a row
+    * `dup_in_delta` after its keeper already emitted).
+    *
+    * State is one row per distinct fresh content hash inside the horizon,
+    * watermark-evicted; the base index itself is NOT state — Spark
+    * re-reads the static side per micro-batch, so the index can be
+    * arbitrarily large (and refreshed by a concurrent compaction job)
+    * without touching the state store.
+    *
+    * Input must carry `text` plus an event-time column; `baseIndex` must
+    * carry `text_hash`.
+    */
+  def deltaDedupStream(
+      delta: DataFrame,
+      baseIndex: DataFrame,
+      eventTimeCol: String,
+      delay: String,
+  ): DataFrame =
+    dedupWithinWatermark(
+      delta
+        .withColumn("text_hash", md5(col("text")))
+        .join(baseIndex.select("text_hash").distinct(), Seq("text_hash"), "left_anti"),
+      keys = Seq("text_hash"),
+      eventTimeCol = eventTimeCol,
+      delay = delay)
+
   /** Convenience launcher: console sink (K1 `print()` equivalent). */
   def toConsole(df: DataFrame, mode: OutputMode = OutputMode.Update()): StreamingQuery =
     df.writeStream

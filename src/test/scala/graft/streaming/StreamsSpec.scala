@@ -343,6 +343,48 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("deltaDedupStream drops base collisions via the static index and in-stream dups") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // the persistent base-corpus index: distinct content hashes
+    val baseIndex = Seq("already in corpus", "also in corpus")
+      .toDF("text").select(md5(col("text")).as("text_hash"))
+
+    val mem = MemoryStream[(Long, String, Long)]
+    val kept = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = Streams.deltaDedupStream(
+        mem.toDF().toDF("doc_id", "text", "ts")
+          .withColumn("eventTime", timestamp_seconds(col("ts"))),
+        baseIndex,
+        eventTimeCol = "eventTime",
+        delay = "60 seconds")
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        kept.synchronized { kept ++= b.collect().map(_.getAs[Long]("doc_id")) }
+        ()
+      }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt-delta").toString)
+      .start()
+    try {
+      mem.addData(Seq(
+        (10L, "already in corpus", 1000L), // collides with the base index -> dropped
+        (11L, "fresh content", 1001L))) //     fresh -> kept
+      q.processAllAvailable()
+      assert(kept.sorted === Seq(11L))
+      // second batch: an in-stream repeat of the kept doc AND another
+      // base collision both drop; new content passes
+      mem.addData(Seq(
+        (12L, "fresh content", 1002L),
+        (13L, "also in corpus", 1003L),
+        (14L, "brand new", 1004L)))
+      q.processAllAvailable()
+      assert(kept.sorted === Seq(11L, 14L))
+    } finally q.stop()
+  }
+
   test("stateful queries run on the RocksDB state store (the 100TB state path)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
