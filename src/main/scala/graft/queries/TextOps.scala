@@ -1582,6 +1582,89 @@ object TextOps {
     bench = true,
   )
 
+  // ---------------------------------------------------------------------
+  // Collocation mining — corpus-level phrase discovery by pointwise
+  // lift, the integer PMI surrogate: for each bigram seen at least
+  // minPairCount times,
+  //   lift_ppm = (1e6 * cnt_ab * N) div (cnt_a * cnt_b)
+  //            = 1e6 * P(a,b) / (P(a)·P(b))
+  // whose log is exactly PMI — log is monotone, so ranking by lift IS
+  // ranking by PMI, without the cross-engine float drift a log would
+  // bring (same determinism rule as t_unigram_lm). Top-20 by
+  // (lift desc, bigram).
+  //
+  // 100 TB shape: one bigram-count shuffle + one unigram-count shuffle;
+  // the support filter (cnt_ab ≥ minPairCount) runs BEFORE the two
+  // token-keyed joins back to the unigram model, collapsing the join
+  // input from the bigram space to the frequent-phrase set; no broadcast
+  // hint on the unigram side (vocabulary is corpus-scale — AQE decides);
+  // the global rank is orderBy+limit = TakeOrderedAndProject (per-
+  // partition partial top-k, only k rows ever reach one task), with the
+  // rnk window above the limit like t_token_topk. The corpus total rides
+  // the same sanctioned one-row broadcast as t_unigram_lm.
+  // ---------------------------------------------------------------------
+
+  private val minPairCount = 5
+
+  /** The operator core over any (doc_id, text) frame — exposed so
+    * CorpusSignalsSpec can check hand-computed lifts on a planted corpus.
+    */
+  private[queries] def collocationsOn(docsDf: DataFrame, minCount: Long = minPairCount): DataFrame = {
+    val s = docsDf.sparkSession
+    import s.implicits._
+    val tk = docsDf.withColumn("tk", toks)
+    val uni = tk.select(explode($"tk").as("w")).groupBy($"w").agg(count(lit(1)).as("cnt_w"))
+    val total = uni.agg(sum($"cnt_w").cast("long").as("n_total"))
+    val bi = tk
+      .filter(size($"tk") >= 2)
+      .select(explode(expr(
+        """transform(sequence(1, size(tk) - 1),
+          |  i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1)))""".stripMargin))
+        .as("bigram"))
+      .groupBy($"bigram").agg(count(lit(1)).as("cnt_ab"))
+      .filter($"cnt_ab" >= minCount)
+    bi
+      .withColumn("wa", expr("split(bigram, ' ')[0]"))
+      .withColumn("wb", expr("split(bigram, ' ')[1]"))
+      .join(uni.select($"w".as("wa"), $"cnt_w".as("cnt_a")), "wa")
+      .join(uni.select($"w".as("wb"), $"cnt_w".as("cnt_b")), "wb")
+      .crossJoin(broadcast(total))
+      .select(
+        $"bigram", $"cnt_ab", $"cnt_a", $"cnt_b",
+        expr("(1000000 * cnt_ab * n_total) div (cnt_a * cnt_b)").as("lift_ppm"))
+      .orderBy($"lift_ppm".desc, $"bigram")
+      .limit(20)
+      .withColumn("rnk", row_number().over(Window.orderBy($"lift_ppm".desc, $"bigram")).cast("long"))
+  }
+
+  val collocations = Q(
+    "t_collocations",
+    (s, d) => collocationsOn(fannedDocs(s, d)),
+    Some(s"""
+      WITH tok AS (SELECT unnest($oracleToks) AS w FROM documents),
+      uni AS (SELECT w, COUNT(*) AS cnt_w FROM tok GROUP BY 1),
+      n AS (SELECT CAST(SUM(cnt_w) AS BIGINT) AS n_total FROM uni),
+      bi0 AS (
+        SELECT unnest(list_transform(generate_series(1, greatest(len(tk) - 1, 0)),
+                 i -> tk[i] || ' ' || tk[i+1])) AS bigram
+        FROM (SELECT $oracleToks AS tk FROM documents)),
+      bi AS (SELECT bigram, COUNT(*) AS cnt_ab FROM bi0
+             GROUP BY 1 HAVING COUNT(*) >= $minPairCount),
+      scored AS (
+        SELECT bigram, CAST(cnt_ab AS BIGINT) AS cnt_ab,
+               ua.cnt_w AS cnt_a, ub.cnt_w AS cnt_b,
+               CAST((1000000 * cnt_ab * n_total) // (ua.cnt_w * ub.cnt_w) AS BIGINT)
+                 AS lift_ppm
+        FROM bi
+        JOIN uni ua ON ua.w = string_split(bigram, ' ')[1]
+        JOIN uni ub ON ub.w = string_split(bigram, ' ')[2]
+        CROSS JOIN n)
+      SELECT bigram, cnt_ab, cnt_a, cnt_b, lift_ppm,
+             ROW_NUMBER() OVER (ORDER BY lift_ppm DESC, bigram) AS rnk
+      FROM scored QUALIFY rnk <= 20
+    """.stripMargin.trim),
+  )
+
   val qs: Seq[Q] = Seq(
     textStats,
     tokenTopK,
@@ -1606,5 +1689,6 @@ object TextOps {
     deltaDedup,
     unigramLm,
     boilerplate,
+    collocations,
   )
 }

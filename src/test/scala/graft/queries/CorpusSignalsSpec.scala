@@ -83,6 +83,33 @@ class CorpusSignalsSpec extends SparkSpec {
     assert(got(2L) === ((1L, 0L, 0L)))
   }
 
+  test("collocationsOn: hand-computed lift; support filter prunes rare bigrams") {
+    import spark.implicits._
+    // bigram "a b" x5 (support >= 5), "a c" x1 (pruned)
+    val docs = ((0 until 5).map(i => (i.toLong, "a b")) :+ (5L, "a c")).toDF("doc_id", "text")
+    val got = TextOps.collocationsOn(docs).collect()
+    assert(got.length === 1)
+    val r = got.head
+    assert(r.getAs[String]("bigram") === "a b")
+    // cnt_ab=5, cnt_a=6, cnt_b=5, N=12 -> lift = 1e6*5*12/(6*5) = 2_000_000
+    assert(r.getAs[Long]("cnt_ab") === 5L)
+    assert(r.getAs[Long]("lift_ppm") === 2000000L)
+    assert(r.getAs[Long]("rnk") === 1L)
+  }
+
+  test("collocationsOn: an exclusive pair out-lifts a diluted one") {
+    import spark.implicits._
+    // "x y": x only ever precedes y. "p q": p also pairs with z half the time.
+    val texts = Seq.fill(3)("x y") ++ Seq.fill(3)("p q") ++ Seq.fill(3)("p z")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = TextOps.collocationsOn(docs, minCount = 1L).collect()
+      .map(r => r.getAs[String]("bigram") -> r.getAs[Long]("lift_ppm")).toMap
+    // N=18: lift(x y) = 1e6*3*18/(3*3) = 6e6 ; lift(p q) = 1e6*3*18/(6*3) = 3e6
+    assert(got("x y") === 6000000L)
+    assert(got("p q") === 3000000L)
+    assert(got("x y") > got("p q"))
+  }
+
   test("boilerplateOn: an exact mirror pair reports 100% on both sides") {
     import spark.implicits._
     val sh = Seq((0L, "a b c"), (0L, "b c d"), (1L, "a b c"), (1L, "b c d"))
