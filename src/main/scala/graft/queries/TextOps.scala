@@ -158,6 +158,21 @@ object TextOps {
   private[queries] val oracleToks =
     "list_filter(string_split(text, ' '), x -> x != '')"
 
+  /** Word bigrams over a pre-materialized token column `tk` — shared by
+    * t_repetition and t_collocations. Guard the consumer with
+    * `size(tk) >= 2`: Spark's sequence(1, 0) DESCENDS ([1, 0]) where
+    * DuckDB's generate_series(1, 0) is empty.
+    */
+  private[queries] val bigramsOfTk: Column = expr(
+    """transform(sequence(1, size(tk) - 1),
+      |  i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1)))""".stripMargin)
+
+  /** DuckDB equivalent of [[bigramsOfTk]] over a `tk` list column (safe on
+    * tiny docs as-is — generate_series(1, 0) is already empty in DuckDB).
+    */
+  private[queries] val oracleBigramsOfTk: String =
+    "list_transform(generate_series(1, greatest(len(tk) - 1, 0)), i -> tk[i] || ' ' || tk[i+1])"
+
   /** DuckDB equivalent of [[shinglesOfTk]]. */
   private[queries] val oracleShingles =
     s"""list_distinct(list_transform(
@@ -1211,10 +1226,7 @@ object TextOps {
           .otherwise(lit(0L)).as("n_tri_dist"))
       val btop = base
         .filter(size($"tk") >= 2)
-        .select($"doc_id", explode(expr(
-          """transform(sequence(1, size(tk) - 1),
-            |  i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1)))""".stripMargin))
-          .as("bg"))
+        .select($"doc_id", explode(bigramsOfTk).as("bg"))
         .groupBy($"doc_id", $"bg").agg(count(lit(1)).as("c"))
         .groupBy($"doc_id").agg(max($"c").as("top_c"), sum($"c").as("n_bg"))
       tri.join(btop, Seq("doc_id"), "left")
@@ -1241,9 +1253,7 @@ object TextOps {
                  i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS n_tri_dist
         FROM t),
       bg AS (
-        SELECT doc_id,
-               unnest(list_transform(generate_series(1, greatest(len(tk) - 1, 0)),
-                 i -> tk[i] || ' ' || tk[i+1])) AS bg
+        SELECT doc_id, unnest($oracleBigramsOfTk) AS bg
         FROM t),
       bcnt AS (SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY 1, 2),
       btop AS (SELECT doc_id, MAX(c) AS top_c, CAST(SUM(c) AS BIGINT) AS n_bg
@@ -1415,13 +1425,15 @@ object TextOps {
   // join. No broadcast hint: the base index is corpus-sized (AQE decides).
   // ---------------------------------------------------------------------
 
-  /** Stable batch tag: ~20% of docs (md5-bucket 8-9 of 10 on doc_id) form
-    * the incoming delta, the rest the already-curated base. A different
-    * modulus of the same h60 as the 1000-bucket split assignment, so batch
-    * membership correlates with neither split nor sample.
+  /** Stable batch tag: ~20% of docs (salted md5-bucket 8-9 of 10) form
+    * the incoming delta, the rest the already-curated base. The hash is
+    * SALTED (doc_id || ':batch') — the same rule as the sample hash
+    * (CurationOps): an unsalted `% 10` would be a pure function of the
+    * split's `% 1000` bucket, so any future split boundary that is not a
+    * multiple of 10 would skew which split strata land in the delta.
     */
   private val batchOf: Column =
-    when(h60(col("doc_id").cast("string")) % 10 >= 8, lit("delta"))
+    when(h60(concat(col("doc_id").cast("string"), lit(":batch"))) % 10 >= 8, lit("delta"))
       .otherwise(lit("base"))
 
   /** The operator core over any (doc_id, text, batch∈{base,delta}) frame —
@@ -1456,7 +1468,7 @@ object TextOps {
     Some(s"""
       WITH t AS (
         SELECT doc_id, md5(text) AS text_hash,
-               CASE WHEN ${CurationOps.oMd5Bucket("doc_id", 10)} >= 8
+               CASE WHEN ${CurationOps.oMd5Bucket("CAST(doc_id AS VARCHAR) || ':batch'", 10)} >= 8
                     THEN 'delta' ELSE 'base' END AS batch
         FROM documents),
       b AS (SELECT DISTINCT text_hash FROM t WHERE batch = 'base'),
@@ -1593,6 +1605,13 @@ object TextOps {
   // bring (same determinism rule as t_unigram_lm). Top-20 by
   // (lift desc, bigram).
   //
+  // Overflow caveat (stronger than t_unigram_lm's, since N is multiplied
+  // directly): 1e6·cnt_ab·N exceeds int64 once N reaches ~1e12 tokens
+  // even at minimum support — and Spark (non-ANSI) would WRAP while
+  // DuckDB errors. A true 100 TB corpus must widen the two products to
+  // DECIMAL(38,0) (same plan, exact integer math in both engines); at
+  // every driver-tested SF the products stay far inside int64.
+  //
   // 100 TB shape: one bigram-count shuffle + one unigram-count shuffle;
   // the support filter (cnt_ab ≥ minPairCount) runs BEFORE the two
   // token-keyed joins back to the unigram model, collapsing the join
@@ -1617,10 +1636,7 @@ object TextOps {
     val total = uni.agg(sum($"cnt_w").cast("long").as("n_total"))
     val bi = tk
       .filter(size($"tk") >= 2)
-      .select(explode(expr(
-        """transform(sequence(1, size(tk) - 1),
-          |  i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1)))""".stripMargin))
-        .as("bigram"))
+      .select(explode(bigramsOfTk).as("bigram"))
       .groupBy($"bigram").agg(count(lit(1)).as("cnt_ab"))
       .filter($"cnt_ab" >= minCount)
     bi
@@ -1645,8 +1661,7 @@ object TextOps {
       uni AS (SELECT w, COUNT(*) AS cnt_w FROM tok GROUP BY 1),
       n AS (SELECT CAST(SUM(cnt_w) AS BIGINT) AS n_total FROM uni),
       bi0 AS (
-        SELECT unnest(list_transform(generate_series(1, greatest(len(tk) - 1, 0)),
-                 i -> tk[i] || ' ' || tk[i+1])) AS bigram
+        SELECT unnest($oracleBigramsOfTk) AS bigram
         FROM (SELECT $oracleToks AS tk FROM documents)),
       bi AS (SELECT bigram, COUNT(*) AS cnt_ab FROM bi0
              GROUP BY 1 HAVING COUNT(*) >= $minPairCount),

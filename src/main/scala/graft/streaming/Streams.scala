@@ -363,7 +363,10 @@ object Streams {
     dedupWithinWatermark(
       delta
         .withColumn("text_hash", md5(col("text")))
-        .join(baseIndex.select("text_hash").distinct(), Seq("text_hash"), "left_anti"),
+        // no distinct() on the index: LEFT ANTI is insensitive to static-
+        // side duplicates, and a distinct would re-shuffle the corpus-
+        // sized index on EVERY micro-batch
+        .join(baseIndex.select("text_hash"), Seq("text_hash"), "left_anti"),
       keys = Seq("text_hash"),
       eventTimeCol = eventTimeCol,
       delay = delay)
