@@ -49,9 +49,15 @@ object TextOps {
     * `element_at` is 1-based like DuckDB's list indexing.
     */
   private val shinglesOfTk: Column = expr(
-    """array_distinct(transform(
-      |  sequence(1, greatest(size(tk) - 2, 0)),
-      |  i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1), element_at(tk, i + 2))))""".stripMargin)
+    // the CASE guard, not greatest(): Spark's sequence(1, 0) DESCENDS
+    // ([1, 0]) where DuckDB's generate_series(1, 0) is empty, so the
+    // greatest(size - 2, 0) form still built [1, 0] on a < 3-token doc
+    // and element_at(tk, 3) crashed the whole query — empty array
+    // matches the oracle's no-rows-after-unnest exactly
+    """CASE WHEN size(tk) >= 3 THEN array_distinct(transform(
+      |  sequence(1, size(tk) - 2),
+      |  i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1), element_at(tk, i + 2))))
+      |ELSE CAST(array() AS array<string>) END""".stripMargin)
 
   /** Fan the input of a shingle+signature stage out to (at least) the
     * session's parallelism, bypassing AQE's size-based coalescing. The
@@ -581,16 +587,26 @@ object TextOps {
     * i<j expansion per bucket is cheap (and [[maxBucket]]-bounded); the
     * sorted ids array makes doc_a < doc_b by construction.
     */
-  private[queries] def minhashPairs(
-      shingled: DataFrame,
-      cap: Int = maxBucket,
-  ): DataFrame = {
+  /** (doc_id, band, bkey) LSH band rows of a shingle frame — the
+    * signature+banding half shared by [[minhashPairs]] (within-corpus
+    * pairs) and [[deltaNearDupOn]] (delta-vs-base membership).
+    */
+  private[queries] def minhashBandRows(shingled: DataFrame): DataFrame = {
     val cols = minhashCols
     val sig = shingled.groupBy(col("doc_id")).agg(cols.head, cols.tail: _*)
     val bandStructs = (0 until nHashes / bandSize).map { b =>
       val slots = (0 until bandSize).map(j => col(s"m${b * bandSize + j}").as(s"k$j"))
       struct(lit(b).as("band"), struct(slots: _*).as("bkey"))
     }
+    sig
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+  }
+
+  private[queries] def minhashPairs(
+      shingled: DataFrame,
+      cap: Int = maxBucket,
+  ): DataFrame = {
     // two-phase degenerate-bucket guard: a native window COUNT over the
     // (band, bkey) partitioning prices every bucket first, mega-buckets
     // (> cap) drop BEFORE any gather, and survivors gather with the
@@ -603,9 +619,7 @@ object TextOps {
     // serialization on the 99.9% of buckets that are small.
     val byBucket = org.apache.spark.sql.expressions.Window
       .partitionBy(col("band"), col("bkey"))
-    sig
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    minhashBandRows(shingled)
       .withColumn("n", count(lit(1)).over(byBucket))
       .filter(col("n") > 1 && col("n") <= cap)
       .groupBy(col("band"), col("bkey"))
@@ -1485,6 +1499,87 @@ object TextOps {
   )
 
   // ---------------------------------------------------------------------
+  // Incremental NEAR-dup dedup — the LSH-grain half of day-2 ingest
+  // (t_delta_dedup is the exact-hash half): every delta doc is checked
+  // for MinHash band collisions against the BASE corpus's band buckets,
+  // the same candidate criterion as t_minhash_lsh, but cross-set only —
+  // base-base and delta-delta collisions are never materialized. Verdict
+  // per delta doc: `neardup_of_base` (shares at least one band bucket
+  // with a base doc) or `kept`.
+  //
+  // 100 TB shape: ONE signature aggregation over base+delta (at real
+  // scale the base band rows are the stored LSH INDEX — written once at
+  // curation time, read here, exactly like the exact-hash index of
+  // t_delta_dedup), a window-priced mega-bucket cap shared with
+  // t_minhash_lsh (boilerplate buckets skipped), then delta band rows
+  // equi-joined against the DISTINCT base bucket set and collapsed to
+  // distinct delta doc ids — output is bounded by the delta, never by
+  // base×delta.
+  // ---------------------------------------------------------------------
+
+  /** The operator core over any (doc_id, text, batch∈{base,delta}) frame. */
+  private[queries] def deltaNearDupOn(tagged: DataFrame, cap: Int = maxBucket): DataFrame = {
+    val s = tagged.sparkSession
+    import s.implicits._
+    val byBucket = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("bkey"))
+    val priced = minhashBandRows(shinglesOfDf(tagged.select($"doc_id", $"text")))
+      .join(tagged.select($"doc_id", $"batch"), "doc_id")
+      .withColumn("n", count(lit(1)).over(byBucket))
+      .filter($"n" <= cap)
+    val cands = priced
+      .filter($"batch" === "delta")
+      .select($"doc_id", $"band", $"bkey")
+      .join(
+        priced.filter($"batch" === "base").select($"band", $"bkey").distinct(),
+        Seq("band", "bkey"))
+      .select($"doc_id")
+      .distinct()
+    tagged
+      .filter($"batch" === "delta")
+      .select($"doc_id")
+      .join(cands.withColumn("hit", lit(true)), Seq("doc_id"), "left")
+      .select(
+        $"doc_id",
+        when($"hit", lit("neardup_of_base")).otherwise(lit("kept")).as("verdict"))
+  }
+
+  val deltaNearDup = Q(
+    "t_delta_neardup",
+    (s, d) =>
+      deltaNearDupOn(fannedDocs(s, d).withColumn("batch", batchOf)),
+    Some {
+      val kCols = (0 until bandSize).map(j => s"k$j").mkString(", ")
+      s"""
+      WITH doc0 AS (
+        SELECT doc_id, text,
+               CASE WHEN ${CurationOps.oMd5Bucket("CAST(doc_id AS VARCHAR) || ':batch'", 10)} >= 8
+                    THEN 'delta' ELSE 'base' END AS batch
+        FROM documents),
+      sh AS (SELECT doc_id, unnest($oracleShingles) AS sh FROM doc0),
+      $oracleMinhashSigBands,
+      priced AS (
+        SELECT bands.*, COUNT(*) OVER (PARTITION BY band, $kCols) AS n
+        FROM bands),
+      ok AS (
+        SELECT priced.*, doc0.batch FROM priced JOIN doc0 USING (doc_id)
+        WHERE n <= $maxBucket),
+      basebuckets AS (
+        SELECT DISTINCT band, $kCols FROM ok WHERE batch = 'base'),
+      cand AS (
+        SELECT DISTINCT ok.doc_id FROM ok
+        JOIN basebuckets USING (band, $kCols)
+        WHERE ok.batch = 'delta')
+      SELECT d.doc_id,
+             CASE WHEN c.doc_id IS NOT NULL THEN 'neardup_of_base'
+                  ELSE 'kept' END AS verdict
+      FROM doc0 d LEFT JOIN cand c USING (doc_id)
+      WHERE d.batch = 'delta'
+    """.stripMargin.trim
+    },
+  )
+
+  // ---------------------------------------------------------------------
   // Unigram-LM document scoring — the integer-exact stand-in for the
   // CCNet/KenLM perplexity filter: score each document by its mean token
   // unigram probability under the corpus's own unigram model,
@@ -1702,6 +1797,7 @@ object TextOps {
     cleanCorpus,
     rollingFingerprint,
     deltaDedup,
+    deltaNearDup,
     unigramLm,
     boilerplate,
     collocations,

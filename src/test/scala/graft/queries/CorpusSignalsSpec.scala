@@ -43,6 +43,41 @@ class CorpusSignalsSpec extends SparkSpec {
     assert(got === Map(10L -> "dup_of_base", 11L -> "dup_of_base"))
   }
 
+  test("deltaNearDupOn: a near-identical delta doc collides with base; fresh vocab is kept") {
+    import spark.implicits._
+    def long(tag: String, n: Int) = (1 to n).map(i => s"$tag$i").mkString(" ")
+    val baseText = long("w", 30)
+    val tagged = Seq(
+      (0L, baseText, "base"),
+      (1L, long("z", 30), "base"),
+      // exact copy: all 12 minhashes equal -> collides in every band
+      (10L, baseText, "delta"),
+      // disjoint vocabulary: zero shared shingles -> kept
+      (11L, long("q", 30), "delta"),
+    ).toDF("doc_id", "text", "batch")
+    val got = TextOps.deltaNearDupOn(tagged).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("verdict")).toMap
+    assert(got === Map(10L -> "neardup_of_base", 11L -> "kept"))
+  }
+
+  test("deltaNearDupOn: mega-bucket cap skips boilerplate collisions; tiny docs are kept") {
+    import spark.implicits._
+    val boiler = (1 to 30).map(i => s"b$i").mkString(" ")
+    val base = (0 until 40).map(i => (i.toLong, boiler, "base"))
+    val tagged = (base ++ Seq(
+      (100L, boiler, "delta"), // collides only through the over-cap bucket
+      (101L, "one two", "delta"), // < 3 tokens -> no shingles -> kept
+    )).toDF("doc_id", "text", "batch")
+    // every band bucket holds 41 members; cap=40 drops them all
+    val got = TextOps.deltaNearDupOn(tagged, cap = 40).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("verdict")).toMap
+    assert(got === Map(100L -> "kept", 101L -> "kept"))
+    // with the cap above the bucket size the collision is seen again
+    val got2 = TextOps.deltaNearDupOn(tagged, cap = 50).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("verdict")).toMap
+    assert(got2(100L) === "neardup_of_base")
+  }
+
   test("unigramLmOn: hand-computed mean-probability scores; common text outscores rare") {
     import spark.implicits._
     // corpus tokens: a a b | c  ->  cnt(a)=2 cnt(b)=1 cnt(c)=1, N=4
