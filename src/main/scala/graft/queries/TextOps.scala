@@ -576,20 +576,12 @@ object TextOps {
     */
   private val maxBucket = 1 << 10
 
-  /** (doc_id, sh) shingle rows → candidate pairs via banded LSH.
-    *
-    * One explode per signature row (not a 4-way union re-running the
-    * aggregation per band): (band, bkey) pairs in a single pass. Pairs come
-    * from grouping each band bucket and expanding in-bucket combinations,
-    * NOT from a self-join: a self-join would evaluate the whole signature
-    * aggregation twice (once per side), and at scale the 12-way min-hash
-    * agg is the dominant cost. Buckets are tiny by LSH construction, so the
-    * i<j expansion per bucket is cheap (and [[maxBucket]]-bounded); the
-    * sorted ids array makes doc_a < doc_b by construction.
-    */
   /** (doc_id, band, bkey) LSH band rows of a shingle frame — the
     * signature+banding half shared by [[minhashPairs]] (within-corpus
     * pairs) and [[deltaNearDupOn]] (delta-vs-base membership).
+    *
+    * One explode per signature row (not a 4-way union re-running the
+    * aggregation per band): (band, bkey) pairs in a single pass.
     */
   private[queries] def minhashBandRows(shingled: DataFrame): DataFrame = {
     val cols = minhashCols
@@ -603,24 +595,40 @@ object TextOps {
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
   }
 
+  /** Band rows with a per-bucket size column `n` — the window-priced
+    * half of the two-phase degenerate-bucket guard, shared by
+    * [[minhashPairs]] and [[deltaNearDupOn]] so the cap semantics
+    * (count EVERY row in the bucket, cap before any gather) can never
+    * drift between the two. A native window COUNT over the (band, bkey)
+    * partitioning prices every bucket; callers drop mega-buckets
+    * (n > cap) BEFORE any gather/join. The window's per-partition
+    * buffer is a spillable sort, so a degenerate bucket never occupies
+    * an in-memory aggregation buffer — the same memory guarantee
+    * [[graft.functions.BoundedCollectAggregator]] gave (that aggregator
+    * remains the SQL-surface form), without paying UDAF serialization
+    * on the 99.9% of buckets that are small.
+    */
+  private[queries] def pricedBandRows(shingled: DataFrame): DataFrame = {
+    val byBucket = Window.partitionBy(col("band"), col("bkey"))
+    minhashBandRows(shingled).withColumn("n", count(lit(1)).over(byBucket))
+  }
+
+  /** Priced band rows → candidate pairs via banded LSH.
+    *
+    * Pairs come from grouping each band bucket and expanding in-bucket
+    * combinations, NOT from a self-join: a self-join would evaluate the
+    * whole signature aggregation twice (once per side), and at scale the
+    * 12-way min-hash agg is the dominant cost. The window and the groupBy
+    * share the same partitioning, so pricing + gather is still ONE
+    * exchange. Buckets are tiny by LSH construction, so the i<j expansion
+    * per bucket is cheap (and [[maxBucket]]-bounded); the sorted ids
+    * array makes doc_a < doc_b by construction.
+    */
   private[queries] def minhashPairs(
       shingled: DataFrame,
       cap: Int = maxBucket,
   ): DataFrame = {
-    // two-phase degenerate-bucket guard: a native window COUNT over the
-    // (band, bkey) partitioning prices every bucket first, mega-buckets
-    // (> cap) drop BEFORE any gather, and survivors gather with the
-    // native collect_list. The window and the groupBy share the same
-    // partitioning, so this is still ONE exchange; the window's
-    // per-partition buffer is a spillable sort, so a degenerate bucket
-    // never occupies an in-memory aggregation buffer — the same memory
-    // guarantee [[graft.functions.BoundedCollectAggregator]] gave (that
-    // aggregator remains the SQL-surface form), without paying UDAF
-    // serialization on the 99.9% of buckets that are small.
-    val byBucket = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("band"), col("bkey"))
-    minhashBandRows(shingled)
-      .withColumn("n", count(lit(1)).over(byBucket))
+    pricedBandRows(shingled)
       .filter(col("n") > 1 && col("n") <= cap)
       .groupBy(col("band"), col("bkey"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
@@ -1511,29 +1519,35 @@ object TextOps {
   // scale the base band rows are the stored LSH INDEX — written once at
   // curation time, read here, exactly like the exact-hash index of
   // t_delta_dedup), a window-priced mega-bucket cap shared with
-  // t_minhash_lsh (boilerplate buckets skipped), then delta band rows
-  // equi-joined against the DISTINCT base bucket set and collapsed to
-  // distinct delta doc ids — output is bounded by the delta, never by
-  // base×delta.
+  // t_minhash_lsh (boilerplate buckets skipped), then ONE more agg over
+  // the same (band, bkey) partitioning computing, per bucket, whether a
+  // base row is present and the (cap-bounded) set of delta doc ids —
+  // NOT a delta-side × base-side self-join, which would either evaluate
+  // the signature pipeline twice or gamble the whole query's cost on
+  // ReuseExchange firing (measured: it does not under AQE here — the
+  // initial r10 self-join form ran the shingle explode + 12-way minhash
+  // agg twice, visible as doubled Generate/HashAggregate subtrees in
+  // the final plan). Single-pass by construction beats single-pass by
+  // optimizer luck. Output is bounded by the delta, never base×delta.
   // ---------------------------------------------------------------------
 
   /** The operator core over any (doc_id, text, batch∈{base,delta}) frame. */
   private[queries] def deltaNearDupOn(tagged: DataFrame, cap: Int = maxBucket): DataFrame = {
     val s = tagged.sparkSession
     import s.implicits._
-    val byBucket = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("band"), col("bkey"))
-    val priced = minhashBandRows(shinglesOfDf(tagged.select($"doc_id", $"text")))
-      .join(tagged.select($"doc_id", $"batch"), "doc_id")
-      .withColumn("n", count(lit(1)).over(byBucket))
+    // collect_set skips nulls, so the when() projects delta ids only;
+    // the gather runs strictly after the n <= cap filter, so no bucket
+    // ever materializes more than `cap` ids. Window + groupBy share the
+    // (band, bkey) partitioning — still one exchange for both.
+    val cands = pricedBandRows(shinglesOfDf(tagged.select($"doc_id", $"text")))
       .filter($"n" <= cap)
-    val cands = priced
-      .filter($"batch" === "delta")
-      .select($"doc_id", $"band", $"bkey")
-      .join(
-        priced.filter($"batch" === "base").select($"band", $"bkey").distinct(),
-        Seq("band", "bkey"))
-      .select($"doc_id")
+      .join(tagged.select($"doc_id", $"batch"), "doc_id")
+      .groupBy($"band", $"bkey")
+      .agg(
+        max(when($"batch" === "base", lit(1)).otherwise(lit(0))).as("has_base"),
+        collect_set(when($"batch" === "delta", $"doc_id")).as("delta_ids"))
+      .filter($"has_base" === 1)
+      .select(explode($"delta_ids").as("doc_id"))
       .distinct()
     tagged
       .filter($"batch" === "delta")
