@@ -832,6 +832,95 @@ object TextOps {
   )
 
   // ---------------------------------------------------------------------
+  // Keep-BEST dedup — cluster resolution with a quality-aware keeper
+  // policy. t_neardup_clusters keeps the min doc_id per cluster: simple,
+  // deterministic, and what a hash-keyed pipeline does by default — but
+  // a curation pipeline wants to keep the BEST copy of each near-dup
+  // cluster, not the numerically smallest id (the CCNet/RefinedWeb
+  // policy: among near-duplicate page captures, keep the longest /
+  // highest-quality one). Keeper = first doc per cluster ordered by
+  // (quality class good<fair<poor, then n_tokens DESC, then doc_id for
+  // determinism). Singleton docs (no candidate pair) are their own
+  // cluster and trivially kept, so the output covers the WHOLE corpus —
+  // this is the full dedup decision surface, not just the pair graph.
+  //
+  // 100 TB shape: everything t_neardup_clusters pays, plus one per-row
+  // quality projection, one doc-keyed left join grafting rep onto the
+  // corpus (graph vertices are a subset of docs; AQE picks the join), and
+  // one rank window partitioned by cluster rep. Window partitions are
+  // cluster-sized; the window's sort buffer spills, so a mega-cluster
+  // degrades to disk, never OOM — same guarantee as every other window
+  // in the pack.
+  // ---------------------------------------------------------------------
+
+  /** The keep-best core over any (doc_id, text) frame — exposed so the
+    * spec can plant a cluster whose lowest doc_id is a low-quality copy
+    * and pin that the keeper policy genuinely diverges from keep-min.
+    */
+  private[queries] def keepBestOn(docsDf: DataFrame): DataFrame = {
+    val s = docsDf.sparkSession
+    import s.implicits._
+    val cc = connectedComponents(minhashPairs(shinglesOfDf(docsDf.select($"doc_id", $"text"))))
+      .select($"v".as("doc_id"), $"rep")
+    val qRank = when($"quality" === "good", lit(0))
+      .when($"quality" === "fair", lit(1))
+      .otherwise(lit(2))
+    val w = Window.partitionBy($"rep")
+      .orderBy(qRank.asc, $"n_tokens".desc, $"doc_id".asc)
+    withQuality(docsDf)
+      .select($"doc_id", $"n_tokens", $"quality")
+      .join(cc, Seq("doc_id"), "left")
+      .withColumn("rep", coalesce($"rep", $"doc_id"))
+      .withColumn("rk", row_number().over(w))
+      .select($"doc_id", $"rep", $"quality", $"n_tokens", ($"rk" === 1).as("is_kept"))
+  }
+
+  val dedupKeepBest = Q(
+    "t_dedup_keep_best",
+    (s, d) => keepBestOn(fannedDocs(s, d)),
+    Some {
+      val stopPred = stopwords.map(w => s"x = '$w'").mkString(" or ")
+      s"""
+      WITH RECURSIVE sh AS (
+        SELECT doc_id, unnest($oracleShingles) AS sh FROM documents),
+      $oracleMinhashSigBands,
+      pairs AS (
+        $oracleMinhashPairsSelect),
+      und AS (
+        SELECT doc_a AS v, doc_b AS nbr FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs),
+      reach(v, r) AS (
+        SELECT v, v FROM (SELECT DISTINCT v FROM und)
+        UNION
+        SELECT u.v, reach.r FROM und u JOIN reach ON u.nbr = reach.v),
+      cc AS (SELECT v AS doc_id, MIN(r) AS rep FROM reach GROUP BY v),
+      scored AS (
+        SELECT doc_id,
+               len($oracleToks) AS n_tokens,
+               len(list_distinct($oracleToks)) AS n_distinct,
+               len(list_filter($oracleToks, x -> $stopPred)) AS n_stop
+        FROM documents),
+      q AS (
+        SELECT doc_id, n_tokens,
+               CASE WHEN n_tokens >= 20 AND FLOOR(100.0 * n_distinct / n_tokens) >= 25
+                         AND FLOOR(100.0 * n_stop / n_tokens) <= 40 THEN 'good'
+                    WHEN n_tokens >= 10 THEN 'fair'
+                    ELSE 'poor' END AS quality
+        FROM scored),
+      j AS (
+        SELECT q.doc_id, COALESCE(cc.rep, q.doc_id) AS rep, q.quality, q.n_tokens
+        FROM q LEFT JOIN cc USING (doc_id))
+      SELECT doc_id, rep, quality, n_tokens,
+             ROW_NUMBER() OVER (
+               PARTITION BY rep
+               ORDER BY CASE quality WHEN 'good' THEN 0 WHEN 'fair' THEN 1 ELSE 2 END,
+                        n_tokens DESC, doc_id) = 1 AS is_kept
+      FROM j
+    """.stripMargin.trim
+    },
+  )
+
+  // ---------------------------------------------------------------------
   // Exact n-gram Jaccard over pairs sharing ≥1 shingle. The shared-shingle
   // equi-join bounds the pair set (no cross join); `inter * 5 >= union`
   // keeps the ≥ 0.2 threshold in exact integer math.
@@ -1803,6 +1892,7 @@ object TextOps {
     lengthQuantiles,
     minhashLsh,
     neardupClusters,
+    dedupKeepBest,
     ngramJaccard,
     jaccardPostDedup,
     simhash,

@@ -73,4 +73,32 @@ class TextOpsSpec extends SparkSpec {
       assert(got(lang)._2 <= got(lang)._3 && got(lang)._3 <= got(lang)._4)
     }
   }
+
+  test("keep-best keeper diverges from keep-min when the lowest id is the worst copy") {
+    import spark.implicits._
+    // 25 distinct words -> 'good' quality; doc 1 is the SAME text padded
+    // with stopword spam (stop_pct blows the 'good' gate -> 'fair'), docs
+    // 2 and 3 are identical clean copies, doc 9 is unrelated. LSH links
+    // {1,2,3} (shared base shingles dominate the minima), so keep-min
+    // would keep doc 1 — the keep-best policy must keep doc 2 instead
+    // (first 'good' by (quality, n_tokens DESC, doc_id)).
+    val base = (1 to 25).map(i => s"w$i").mkString(" ")
+    val spam = Seq.fill(18)("the").mkString(" ")
+    val docsDf = Seq(
+      (1L, s"$base $spam"),
+      (2L, base),
+      (3L, base),
+      (9L, (1 to 25).map(i => s"z$i").mkString(" ")),
+    ).toDF("doc_id", "text")
+    val got = TextOps.keepBestOn(docsDf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("rep"), r.getAs[String]("quality"), r.getAs[Boolean]("is_kept"))))
+      .toMap
+    assert(got(1L)._1 === 1L && got(2L)._1 === 1L && got(3L)._1 === 1L,
+      s"docs 1-3 must form one cluster labeled by min id 1: $got")
+    assert(got(1L)._2 === "fair" && got(2L)._2 === "good")
+    assert(!got(1L)._3, "keep-min would keep doc 1; keep-best must not")
+    assert(got(2L)._3 && !got(3L)._3, "doc 2 is the first 'good' copy")
+    assert(got(9L)._1 === 9L && got(9L)._3, "singletons are their own kept cluster")
+  }
 }
