@@ -745,6 +745,94 @@ object VectorOps {
     bench = true, // the embedding-side dedup flagship (assignment + CC)
   )
 
+  // ---------------------------------------------------------------------
+  // One Lloyd (k-means) iteration — the operator that TRAINS the IVF
+  // centroids the ANN/semantic-dedup pack consumes. v_ivf_assign et al.
+  // read centroids as given; at 100 TB those centroids come from exactly
+  // this step run a few dozen times over a sample. Output per (cell,
+  // dimension): member count, old and new centroid component, and the
+  // per-dimension movement — the convergence signal a training driver
+  // watches. All arithmetic is fixed-point micros: each float component
+  // is quantized to floor(1e6 x) BIGINT BEFORE summing, so the per-cell
+  // sums are order-independent integers (a float sum would differ
+  // run-to-run under Spark's nondeterministic partial-agg order and
+  // could never hash-match DuckDB); the mean divides two exact integers
+  // with one final floor. Precision cost vs float means: < 1e-6 per
+  // component per step — noise against k-means' own sampling error.
+  //
+  // 100 TB shape: [[ivfCells]] assignment (broadcast centroids), then
+  // posexplode to (cell, dim) rows and ONE hash agg keyed by (cell, dim)
+  // — partial-agg combines map-side, so the exchange carries at most
+  // nCells x dim x partitions rows, never the corpus; old centroids
+  // re-join by cell (broadcast). Every centroid is also a member vector
+  // (distance 0 to itself), so no cell is ever empty and the mean is
+  // always defined.
+  // ---------------------------------------------------------------------
+
+  /** The Lloyd-step core over any embeddings-shaped frame — exposed so
+    * the spec can drive a planted corpus through the real plan and
+    * recount it brute-force.
+    */
+  private[queries] def kmeansStepOn(emb: DataFrame): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val comp = ivfCells(emb)
+      .select($"cell", posexplode($"embedding").as(Seq("d0", "x")))
+      .select(
+        $"cell",
+        ($"d0" + 1).cast("long").as("d"),
+        floor(lit(1e6) * $"x".cast("double")).cast("long").as("x_micros"))
+      .groupBy($"cell", $"d")
+      .agg(count(lit(1)).as("n_vecs"), sum($"x_micros").as("sum_micros"))
+      .withColumn("c_new_micros", floor($"sum_micros" * lit(1.0) / $"n_vecs").cast("long"))
+    val oldC = emb
+      .filter($"vec_id" < nCells)
+      .select($"vec_id".as("cell"), posexplode($"embedding").as(Seq("d0", "x")))
+      .select(
+        $"cell",
+        ($"d0" + 1).cast("long").as("d"),
+        floor(lit(1e6) * $"x".cast("double")).cast("long").as("c_old_micros"))
+    comp
+      .join(broadcast(oldC), Seq("cell", "d"))
+      .select(
+        $"cell", $"d", $"n_vecs", $"c_old_micros", $"c_new_micros",
+        abs($"c_new_micros" - $"c_old_micros").as("shift_micros"))
+  }
+
+  val kmeansStep = Q(
+    "v_kmeans_step",
+    (s, d) => kmeansStepOn(vecs(s, d)),
+    Some(s"""
+      WITH cents AS (SELECT vec_id AS cell, embedding AS c_emb FROM embeddings
+                     WHERE vec_id < $nCells),
+      dists AS (
+        SELECT v.vec_id, v.embedding, c.cell,
+               CAST(FLOOR(1e6 * (${oDot("v.embedding", "v.embedding")} + ${oDot("c.c_emb", "c.c_emb")}
+                 - 2.0 * ${oDot("v.embedding", "c.c_emb")})) AS BIGINT) AS d2_micros
+        FROM embeddings v CROSS JOIN cents c),
+      assigned AS (
+        SELECT vec_id, cell, embedding FROM (
+          SELECT vec_id, cell, embedding,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2_micros ASC, cell ASC) AS rk
+          FROM dists) WHERE rk = 1),
+      dims AS (SELECT unnest(generate_series(1, $dim)) AS d),
+      comp AS (
+        SELECT a.cell, CAST(dims.d AS BIGINT) AS d,
+               COUNT(*) AS n_vecs,
+               CAST(SUM(CAST(FLOOR(1e6 * a.embedding[dims.d]) AS BIGINT)) AS BIGINT) AS sum_micros
+        FROM assigned a CROSS JOIN dims
+        GROUP BY 1, 2),
+      oldc AS (
+        SELECT c.cell, CAST(dims.d AS BIGINT) AS d,
+               CAST(FLOOR(1e6 * c.c_emb[dims.d]) AS BIGINT) AS c_old_micros
+        FROM cents c CROSS JOIN dims)
+      SELECT comp.cell, comp.d, comp.n_vecs, oldc.c_old_micros,
+             CAST(FLOOR(1.0 * sum_micros / n_vecs) AS BIGINT) AS c_new_micros,
+             ABS(CAST(FLOOR(1.0 * sum_micros / n_vecs) AS BIGINT) - oldc.c_old_micros) AS shift_micros
+      FROM comp JOIN oldc USING (cell, d)
+    """.stripMargin.trim),
+  )
+
   val qs: Seq[Q] = Seq(
     normStats,
     knnBrute,
@@ -757,5 +845,6 @@ object VectorOps {
     ivfSearchNprobe,
     docNearDup,
     semanticDedup,
+    kmeansStep,
   )
 }
