@@ -622,6 +622,76 @@ object VectorOps {
   )
 
   // ---------------------------------------------------------------------
+  // IVF recall audit — recall@k of the nprobe=2 search against the EXACT
+  // brute-force top-k for the SAME query set, as a hash-gated catalog row
+  // rather than a spec-only floor. This is the metric an index operator
+  // watches when tuning nprobe/nCells: the approximate path's results are
+  // joined against the ground truth and counted per query. At 100 TB the
+  // ground truth obviously isn't recomputed corpus-wide per tuning run —
+  // it's brute force over THIS fixed probe query set only (one scan,
+  // broadcast queries, same shape as v_knn_brute), which is exactly how
+  // production recall audits work: a small held-out query panel scored
+  // exactly, the index scored approximately, recall measured on the panel.
+  // All-integer output (hit counts + floor-percent), so it hash-matches.
+  // ---------------------------------------------------------------------
+
+  val ivfRecall = Q(
+    "v_ivf_recall",
+    (s, d) => {
+      import s.implicits._
+      // exact ground truth for the IVF query panel (ids disjoint from the
+      // centroid set, same as v_ivf_search/_nprobe)
+      val q = vecs(s, d)
+        .filter($"vec_id" >= nCells && $"vec_id" < nCells + nQueries)
+        .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
+      val w = Window.partitionBy($"query_id").orderBy($"sim_micros".desc, $"cand_id")
+      val truth = vecs(s, d)
+        .select($"vec_id".as("cand_id"), $"embedding".as("c_emb"))
+        .join(broadcast(q), $"cand_id" =!= $"query_id")
+        .withColumn(
+          "sim_micros",
+          micros(dotd("q_emb", "c_emb") /
+            (sqrt(dotd("q_emb", "q_emb")) * sqrt(dotd("c_emb", "c_emb")))),
+        )
+        .withColumn("rnk", row_number().over(w))
+        .filter($"rnk" <= topK)
+        .select($"query_id", $"cand_id", lit(1L).as("hit"))
+      // the approximate side IS the published v_ivf_nprobe definition —
+      // the audit can never drift from the operator it audits
+      ivfSearchNprobe.spark(s, d)
+        .join(broadcast(truth), Seq("query_id", "cand_id"), "left")
+        .groupBy($"query_id")
+        .agg(
+          count(lit(1)).as("n_returned"),
+          count($"hit").as("n_hit"))
+        .withColumn("recall_pct", floor(lit(100.0) * $"n_hit" / lit(topK)).cast("long"))
+    },
+    Some(s"""
+      WITH ivf AS (SELECT query_id, cand_id FROM (${ivfSearchNprobe.oracle.get})),
+      q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+            WHERE vec_id >= $nCells AND vec_id < ${nCells + nQueries}),
+      t_scored AS (
+        SELECT q.query_id, c.vec_id AS cand_id,
+               CAST(FLOOR(1e6 * (${oDot("q.q_emb", "c.embedding")} /
+                 (sqrt(${oDot("q.q_emb", "q.q_emb")}) * sqrt(${oDot("c.embedding", "c.embedding")}))))
+                 AS BIGINT) AS sim_micros
+        FROM q JOIN embeddings c ON c.vec_id <> q.query_id),
+      truth AS (
+        SELECT query_id, cand_id FROM (
+          SELECT query_id, cand_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim_micros DESC, cand_id) AS rnk
+          FROM t_scored) WHERE rnk <= $topK)
+      SELECT i.query_id,
+             COUNT(*) AS n_returned,
+             COUNT(t.cand_id) AS n_hit,
+             CAST(FLOOR(100.0 * COUNT(t.cand_id) / $topK) AS BIGINT) AS recall_pct
+      FROM ivf i LEFT JOIN truth t
+        ON i.query_id = t.query_id AND i.cand_id = t.cand_id
+      GROUP BY 1
+    """.stripMargin.trim),
+  )
+
+  // ---------------------------------------------------------------------
   // Semantic (embedding-space) dedup — the SemDeDup pass (Abbas et al.
   // 2023) that catches PARAPHRASE duplicates lexical MinHash/SimHash
   // cannot: same meaning, different words → near-identical embeddings,
@@ -843,6 +913,7 @@ object VectorOps {
     ivfAssign,
     ivfSearch,
     ivfSearchNprobe,
+    ivfRecall,
     docNearDup,
     semanticDedup,
     kmeansStep,

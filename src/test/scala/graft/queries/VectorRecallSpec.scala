@@ -96,6 +96,25 @@ class VectorRecallSpec extends SparkSpec {
     assert(lshMultiRecall >= 0.4, "L=8 tables + Hamming-1 multiprobe measured 0.54 here")
   }
 
+  test("v_ivf_recall rows equal a recount from v_ivf_nprobe and exact brute force") {
+    // the catalog audit row must be exactly |ivf top-k ∩ brute top-k| per
+    // query — recounted here from the published nprobe results and this
+    // suite's own independent exact ranking
+    val truth = bruteTopK(16L until 21L)
+    val ivf = annTopK("v_ivf_nprobe")
+    val audit = Catalog.queries("v_ivf_recall")(spark, sf)
+      .collect()
+      .map(r => r.getAs[Long]("query_id") ->
+        ((r.getAs[Long]("n_returned"), r.getAs[Long]("n_hit"), r.getAs[Long]("recall_pct"))))
+      .toMap
+    assert(audit.keySet === (16L until 21L).toSet, "one audit row per panel query")
+    (16L until 21L).foreach { q =>
+      val hits = ivf(q).intersect(truth(q)).size.toLong
+      assert(audit(q) === ((k.toLong, hits, math.floor(100.0 * hits / k).toLong)),
+        s"query $q: audit row must match the set-intersection recount")
+    }
+  }
+
   test("planted twins: scaled copies share the sign bucket and rank first") {
     import spark.implicits._
     // a scaled copy keeps every component's sign, hence the exact bucket,
