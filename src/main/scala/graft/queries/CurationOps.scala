@@ -391,11 +391,15 @@ object CurationOps {
 
   private val shardTokens = 2000L
 
-  /** The distributed-prefix-sum core over any (doc_id, n_tokens) frame —
-    * exposed so the composed curation pipeline reuses the exact same
-    * packing path the standalone query verifies.
+  /** The distributed-prefix-sum core over any (doc_id, n_tokens) frame:
+    * (doc_id, n_tokens, cum_before) where cum_before is the global
+    * running token total over doc_id order — computed WITHOUT a
+    * SinglePartition window (deterministic arithmetic id buckets,
+    * O(buckets) offsets collected and broadcast back, bucket-partitioned
+    * running-sum window). Shared by the shard packer and the
+    * sequence packer, so both verified consumers ride one path.
     */
-  private[queries] def shardPackOn(counted: DataFrame): DataFrame = {
+  private[queries] def prefixSumOn(counted: DataFrame): DataFrame = {
     val s = counted.sparkSession
     import s.implicits._
     val nBuckets = math.max(1, s.sessionState.conf.numShufflePartitions)
@@ -419,12 +423,16 @@ object CurationOps {
     bucketed
       .join(broadcast(offsetDf), "bkt")
       .withColumn("cum_before", $"offset" + coalesce(sum($"n_tokens").over(w), lit(0L)))
-      .select(
-        $"doc_id",
-        $"n_tokens",
-        $"cum_before",
-        expr(s"CAST(cum_before DIV $shardTokens AS BIGINT)").as("shard_id"))
+      .select($"doc_id", $"n_tokens", $"cum_before")
   }
+
+  /** Token-budget shard assignment over any (doc_id, n_tokens) frame —
+    * exposed so the composed curation pipeline reuses the exact same
+    * packing path the standalone query verifies.
+    */
+  private[queries] def shardPackOn(counted: DataFrame): DataFrame =
+    prefixSumOn(counted)
+      .withColumn("shard_id", expr(s"CAST(cum_before DIV $shardTokens AS BIGINT)"))
 
   val shardPack = Q(
     "t_shard_pack",
