@@ -28,19 +28,36 @@ object Tables {
 
   /** `events` with a derived `ts_sec` (epoch seconds, Long).
     *
-    * The parquet column is TIMESTAMP(NANOS); with
-    * `spark.sql.legacy.parquet.nanosAsLong=true` Spark reads it as an epoch-
-    * nanos Long. We derive integral epoch seconds with `div` (exact integer
-    * division — a double roundtrip would lose precision above 2^53 ns) so
-    * window arithmetic is bit-identical to the DuckDB oracle's
-    * `epoch_ms(ts)//1000`.
+    * The generator has shipped the `ts` column two ways: TIMESTAMP(NANOS)
+    * (read as an epoch-nanos Long under
+    * `spark.sql.legacy.parquet.nanosAsLong=true`) and plain TIMESTAMP(MICROS)
+    * (read as TimestampType). Both derivations use exact integer division —
+    * a double roundtrip would lose precision above 2^53 — so window
+    * arithmetic stays bit-identical to the DuckDB oracle's
+    * `epoch_ms(ts)//1000`. Raw `ts` is kept only for intra-key ordering
+    * (both readings order identically).
     */
-  def events(s: SparkSession, d: String): DataFrame =
-    apply(s, d, "events").withColumn("ts_sec", expr("ts div 1000000000"))
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = apply(s, d, "events")
+    // TIMESTAMP_NTZ casts to TimestampType through the session zone (pinned
+    // UTC in GraftSession), so unix_micros sees the same wall-clock epoch
+    // DuckDB's naive epoch_ms(ts) computes.
+    val tsSec = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000000000")
+      case _ => expr("unix_micros(cast(ts as timestamp)) div 1000000")
+    }
+    raw.withColumn("ts_sec", tsSec)
+  }
 
   /** `events` with a proper TimestampType event-time column for the
     * streaming/window()-based operators (micro-second truncation).
     */
-  def eventsTimed(s: SparkSession, d: String): DataFrame =
-    events(s, d).withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+  def eventsTimed(s: SparkSession, d: String): DataFrame = {
+    val withSec = events(s, d)
+    val et = withSec.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => timestamp_micros(expr("ts div 1000"))
+      case _                                   => col("ts").cast("timestamp")
+    }
+    withSec.withColumn("event_time", et)
+  }
 }
