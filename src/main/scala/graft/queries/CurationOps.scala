@@ -630,7 +630,78 @@ object CurationOps {
     bench = true, // the composed flagship, like t_clean_corpus
   )
 
+  // ---------------------------------------------------------------------
+  // Fixed-length sequence packing — the GPT-style concat-and-chunk step
+  // that turns a curated corpus into training sequences: all documents
+  // are laid end-to-end in doc_id order and the token stream is cut at
+  // fixed context-length boundaries (seqLen tokens). A document spanning
+  // a boundary is SPLIT: it emits one (doc_id, seq_id) segment per
+  // overlapped sequence with the in-doc token offset and length, which
+  // is exactly what a loader needs to materialize sequence seq_id
+  // without ever seeing the global order. Complements t_shard_pack
+  // (whole-doc token-budget shards): shards never split docs, sequences
+  // always fill to exactly seqLen (except the tail).
+  //
+  // 100 TB shape: the same distributed prefix sum as t_shard_pack
+  // (O(buckets) driver hand-off, bucket-partitioned window — never a
+  // SinglePartition sort), then a per-row explode of the overlapped
+  // sequence ids: a doc of n tokens emits n/seqLen + 1 segments, so the
+  // output is (corpus tokens)/seqLen + (doc count) rows — linear, and
+  // every segment is derived by pure integer arithmetic on (cum_before,
+  // n_tokens) with no further shuffle.
+  // ---------------------------------------------------------------------
+
+  private val seqLen = 512L
+
+  /** Segment layout over any (doc_id, n_tokens) frame — exposed so the
+    * property spec can drive planted layouts through the real plan.
+    */
+  private[queries] def seqPackOn(counted: DataFrame): DataFrame = {
+    val s = counted.sparkSession
+    import s.implicits._
+    prefixSumOn(counted)
+      .filter($"n_tokens" > 0L) // empty docs own no token span
+      .withColumn("seq_id", explode(sequence(
+        expr(s"cum_before DIV $seqLen"),
+        expr(s"(cum_before + n_tokens - 1) DIV $seqLen"))))
+      .select(
+        $"doc_id", $"seq_id",
+        greatest($"seq_id" * seqLen - $"cum_before", lit(0L)).as("seg_start"),
+        (least(($"seq_id" + 1) * seqLen, $"cum_before" + $"n_tokens")
+          - greatest($"seq_id" * seqLen, $"cum_before")).as("seg_len"))
+  }
+
+  val seqPack = Q(
+    "t_seq_pack",
+    (s, d) => {
+      import s.implicits._
+      seqPackOn(docs(s, d)
+        .select($"doc_id", size(TextOps.toks).cast("long").as("n_tokens")))
+    },
+    Some(s"""
+      WITH counted AS (
+        SELECT doc_id,
+               CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS BIGINT) AS n_tokens
+        FROM documents),
+      pre AS (
+        SELECT doc_id, n_tokens,
+               CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+        FROM counted),
+      seg AS (
+        SELECT doc_id, n_tokens, cum_before,
+               unnest(range(cum_before // $seqLen, (cum_before + n_tokens - 1) // $seqLen + 1)) AS seq_id
+        FROM pre WHERE n_tokens > 0)
+      SELECT doc_id, CAST(seq_id AS BIGINT) AS seq_id,
+             CAST(GREATEST(seq_id * $seqLen - cum_before, 0) AS BIGINT) AS seg_start,
+             CAST(LEAST((seq_id + 1) * $seqLen, cum_before + n_tokens)
+               - GREATEST(seq_id * $seqLen, cum_before) AS BIGINT) AS seg_len
+      FROM seg
+    """.stripMargin.trim),
+    bench = true, // tracks the prefix-sum + segment-explode path
+  )
+
   val qs: Seq[Q] =
-    Seq(splitAssign, sourceQuota, stratifiedSample, shardPack, contamination,
-      domainMix, trainLeaks, curateCorpus)
+    Seq(splitAssign, sourceQuota, stratifiedSample, shardPack, seqPack,
+      contamination, domainMix, trainLeaks, curateCorpus)
 }

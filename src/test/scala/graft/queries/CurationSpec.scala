@@ -133,6 +133,55 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("t_seq_pack: sequences fill to exactly 512 tokens and cover every doc") {
+    val rows = Catalog.queries("t_seq_pack")(spark, "/root/testdata/sf0.01")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // per doc: segments are contiguous from offset 0 and cover all tokens
+    val nTok = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .selectExpr("doc_id", "CAST(size(filter(split(text,' '), x -> x != '')) AS LONG) AS n")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.groupBy(_._1).foreach { case (id, segs) =>
+      val ordered = segs.sortBy(_._2)
+      assert(ordered.map(_._2).distinct.length === ordered.length, s"doc $id repeats a seq")
+      var off = 0L
+      ordered.foreach { case (_, _, start, len) =>
+        assert(start === off, s"doc $id segment gap at $off")
+        assert(len > 0L)
+        off += len
+      }
+      assert(off === nTok(id), s"doc $id covered $off of ${nTok(id)} tokens")
+    }
+    // per sequence: every sequence but the last holds exactly 512 tokens,
+    // and sequence ids are dense from 0
+    val bySeq = rows.groupBy(_._2).view.mapValues(_.map(_._4).sum).toMap
+    val maxSeq = bySeq.keys.max
+    assert(bySeq.keySet === (0L to maxSeq).toSet, "sequence ids not dense")
+    bySeq.foreach { case (sid, toks) =>
+      if (sid < maxSeq) assert(toks === 512L, s"seq $sid holds $toks tokens")
+      else assert(toks <= 512L && toks > 0L, s"tail seq holds $toks tokens")
+    }
+  }
+
+  test("seqPackOn: planted boundary-spanning layout resolves to hand-computed segments") {
+    import spark.implicits._
+    // 100 + 500 crosses the first boundary inside doc 2; doc 3 spans two
+    // boundaries end-to-end; doc 4 is an exact tail
+    val counted = Seq((1L, 100L), (2L, 500L), (3L, 1024L), (4L, 3L), (5L, 0L))
+      .toDF("doc_id", "n_tokens")
+    val got = CurationOps.seqPackOn(counted)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val want = Set(
+      (1L, 0L, 0L, 100L),             // [0,100)
+      (2L, 0L, 0L, 412L),             // [100,512)
+      (2L, 1L, 412L, 88L),            // [512,600)
+      (3L, 1L, 0L, 424L),             // [600,1024)
+      (3L, 2L, 424L, 512L),           // [1024,1536)
+      (3L, 3L, 936L, 88L),            // [1536,1624)
+      (4L, 3L, 0L, 3L),               // [1624,1627) — empty doc 5 emits nothing
+    )
+    assert(got === want)
+  }
+
   test("t_curate_corpus composes its verified stages consistently") {
     val sf = "/root/testdata/sf0.01"
     val rows = Catalog.queries("t_curate_corpus")(spark, sf)
