@@ -38,18 +38,33 @@ object Bench {
     // `queries` plus an entry in `failed`, so a consumer summing the map
     // reconciles with `total` and can never mistake a marker for a timing.
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
+    // Reset session-held executor state between reps. localCheckpoint'ing
+    // operators (the CC loop, the composed flagships) leave cached-RDD
+    // blocks behind; the ContextCleaner reclaims them only asynchronously
+    // after GC, so over a 20+-query run dead blocks from earlier queries
+    // steal unified memory from the one being timed (measured: the same
+    // 4-query subset ran 2.5x faster than inside the full catalog sweep,
+    // BENCH_r10/r11). Dropping dead blocks synchronously isolates each
+    // rep the way a per-job cluster session would be isolated.
+    def reset(): Unit = {
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      System.gc()
+    }
     val results: Seq[(String, Seq[Double])] = names.map { name =>
       val fn = SparkEntry.queries(name)
       // one untimed rep at the TARGET SF first: the sf0.001 warmup above
       // covers JIT/codegen but not shuffle-file and page-cache effects at
       // the measured size, which otherwise land on rep 1 (~2x skew)
+      reset()
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
       val times = (1 to reps).flatMap { _ =>
         // settle the heap before EVERY rep, not just per query: carried
         // garbage otherwise lands as GC pauses inside whichever rep the
         // collector picks, which is what made published reps swing 4x on
         // a noisy machine (BENCH_r06/r07)
-        System.gc()
+        reset()
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).count()
