@@ -292,6 +292,63 @@ object TextOps {
   )
 
   // ---------------------------------------------------------------------
+  // Heavy-hitter tokens by Misra-Gries sketch — the approximate twin of
+  // t_token_topk, for vocabularies where exact counting's one-row-per-
+  // distinct-token shuffle is the bottleneck (n-gram vocabularies in the
+  // trillions at 100 TB). The sketch's partial states are k entries per
+  // partition regardless of vocabulary; the exchange carries
+  // O(k x partitions) rows total.
+  //
+  // The sketch's surviving set and estimates depend on Spark's merge
+  // order, so the query output is the ORDER-INDEPENDENT contract only —
+  // the same discipline as uv_approx's banded gate: for every provably
+  // heavy token (true cnt > N/(k+1), which the MG bound says MUST
+  // survive), emit the exact count plus three theorem booleans
+  // (membership, est<=true, true-est<=N/(k+1)). A broken sketch flips a
+  // boolean and fails the hash gate; MisraGriesSpec drives the eviction
+  // and merge paths on planted Zipf corpora where vocab >> k. The exact
+  // count join exists only to GRADE the sketch — production use is the
+  // sketch alone (one pass, no token shuffle).
+  // ---------------------------------------------------------------------
+
+  private val mgK = 32
+
+  val tokenHeavy = Q(
+    "t_token_heavy",
+    (s, d) => {
+      import s.implicits._
+      val tokenRows = wsTokenRows(s, d)
+      val sketch = tokenRows.select($"token").as[String]
+        .select(new graft.functions.MisraGriesAggregator(mgK).toColumn.name("sk"))
+        .toDF("sk")
+        .select(explode($"sk").as("e"))
+        .select($"e.token".as("token"), $"e.est".as("est"))
+      val total = tokenRows.agg(count(lit(1)).as("n"))
+      tokenRows
+        .groupBy($"token").agg(count(lit(1)).as("cnt"))
+        // ONE broadcast row (the stream length) — the sanctioned
+        // tiny-side BNLJ class (CatalogPlanGuardSpec)
+        .crossJoin(broadcast(total))
+        .filter($"cnt" * (mgK + 1) > $"n") // provably heavy: cnt > N/(k+1)
+        .join(sketch, Seq("token"), "left")
+        .select(
+          $"token",
+          $"cnt",
+          $"est".isNotNull.as("in_sketch"),
+          (coalesce($"est", lit(0L)) <= $"cnt").as("est_lb_ok"),
+          (($"cnt" - coalesce($"est", lit(0L))) * (mgK + 1) <= $"n").as("est_ub_ok"))
+    },
+    Some(s"""
+      WITH tok AS (SELECT unnest($oracleToks) AS token FROM documents),
+      cnts AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY 1),
+      n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tok)
+      SELECT token, CAST(cnt AS BIGINT) AS cnt,
+             TRUE AS in_sketch, TRUE AS est_lb_ok, TRUE AS est_ub_ok
+      FROM cnts, n WHERE cnt * ${mgK + 1} > n
+    """.stripMargin.trim),
+  )
+
+  // ---------------------------------------------------------------------
   // Language ID — marker-token n-gram heuristic. The marker sets are an
   // arbitrary-but-fixed heuristic; correctness is "same prediction as the
   // oracle", scoring quality is not the point of the operator contract.
@@ -1881,6 +1938,7 @@ object TextOps {
   val qs: Seq[Q] = Seq(
     textStats,
     tokenTopK,
+    tokenHeavy,
     tokenBpe,
     langId,
     qualityScore,

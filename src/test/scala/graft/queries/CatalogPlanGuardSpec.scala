@@ -28,14 +28,14 @@ class CatalogPlanGuardSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
 
   /** Broadcast side is the bounded query/centroid set — see class doc.
-    * `t_unigram_lm` / `t_collocations` are sanctioned tighter still:
-    * their broadcast side is the ONE-row corpus-total scalar crossed
-    * onto the scored stream.
+    * `t_unigram_lm` / `t_collocations` / `t_token_heavy` are sanctioned
+    * tighter still: their broadcast side is the ONE-row corpus-total
+    * scalar crossed onto the scored stream.
     */
   private val bnljSanctioned =
     Set("v_knn_brute", "v_ivf_assign", "v_ivf_search", "v_ivf_nprobe",
       "v_ivf_recall", "v_kmeans_step", "t_semantic_dedup", "t_unigram_lm",
-      "t_collocations")
+      "t_collocations", "t_token_heavy")
 
   test("no catalog query plans a cartesian, a rogue BNLJ, or a single-partition stage") {
     val offenders = Catalog.all.flatMap { q =>
