@@ -177,6 +177,48 @@ class StreamsSpec extends SparkSpec {
     assert(viaSessionWindow.nonEmpty)
   }
 
+  test("sessionize live: a bridging event merges pending sessions; the watermark finalizes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val mem = MemoryStream[(Long, Long)] // (user_id, sec)
+    val done = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    val src = mem.toDF().toDF("user_id", "sec")
+      .withColumn("eventTime", timestamp_seconds(col("sec")))
+      .withWatermark("eventTime", "300 seconds")
+    val q = Streams.sessionize(src, gapSec = 60)
+      .select("user_id", "start_sec", "end_sec", "n_events")
+      .writeStream
+      .outputMode("append") // sessions emit exactly once, when closed
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        done.synchronized {
+          done ++= b.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        }
+        ()
+      }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt-sess").toString)
+      .start()
+    try {
+      // batch 1: two DISJOINT pending sessions for user 1 — [100,160) and
+      // [220,280) don't touch (160 < 220) — plus user 2's singleton
+      mem.addData(Seq((1L, 100L), (1L, 220L), (2L, 100L)))
+      q.processAllAvailable()
+      assert(done.isEmpty, "nothing may emit while sessions are open")
+      // batch 2: 130 and 170 bridge the two windows ([130,190) overlaps
+      // both [100,160) and [170,230), which overlaps [220,280)) — the
+      // state store must MERGE all four events into one pending session
+      mem.addData(Seq((1L, 130L), (1L, 170L)))
+      q.processAllAvailable()
+      assert(done.isEmpty)
+      // batch 3: watermark jumps to 1000-300=700 > 280 — both users'
+      // sessions close; end_sec is the LAST EVENT (window end minus gap)
+      mem.addData(Seq((1L, 1000L)))
+      q.processAllAvailable()
+      assert(done.toSet === Set((1L, 100L, 220L, 4L), (2L, 100L, 100L, 1L)))
+    } finally q.stop()
+  }
+
   test("dedupWithinWatermark drops in-horizon duplicates, evicts state past it") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
