@@ -155,6 +155,50 @@ object CurationOps {
   )
 
   // ---------------------------------------------------------------------
+  // Exact-k stratified sampling — the fixed-COUNT counterpart of
+  // t_stratified_sample's fixed-RATE keep: exactly k documents per
+  // stratum (fewer only when the stratum is smaller than k), chosen by
+  // salted-hash order so the draw is uniform, deterministic, and stable
+  // under reruns. Eval-set construction wants this form (: "give me
+  // exactly 40 per language"), where a rate draw only hits k in
+  // expectation.
+  //
+  // 100 TB shape: one shuffle keyed by the stratum, and the per-stratum
+  // rank is BOUNDED — every task ranks one stratum's rows and emits at
+  // most k, the same bounded-rank class as t_source_quota (skewed
+  // mega-strata fall to AQE skew handling). Unlike a global sort-and-
+  // take, nothing funnels through a single partition.
+  // ---------------------------------------------------------------------
+
+  private val exactK = 40L
+
+  val sampleExactK = Q(
+    "t_sample_exact_k",
+    (s, d) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"lang")
+        .orderBy(
+          TextOps.h60(concat($"doc_id".cast("string"), lit(":ksample"))).asc,
+          $"doc_id".asc) // total order even on 60-bit hash collisions
+      docs(s, d)
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter($"rk" <= exactK)
+        .select($"doc_id", $"lang", $"rk")
+    },
+    Some {
+      val h = s"('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':ksample'), 1, 15))::UBIGINT::BIGINT"
+      s"""
+      SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk FROM (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY $h, doc_id) AS rk
+        FROM documents)
+      WHERE rk <= $exactK
+    """.stripMargin.trim
+    },
+  )
+
+  // ---------------------------------------------------------------------
   // Domain mixing — the data-mixture step of corpus assembly (the Pile /
   // Dolma pattern): given target mixture WEIGHTS over the listed sources,
   // find the largest total token budget B whose per-source needs
@@ -702,6 +746,6 @@ object CurationOps {
   )
 
   val qs: Seq[Q] =
-    Seq(splitAssign, sourceQuota, stratifiedSample, shardPack, seqPack,
-      contamination, domainMix, trainLeaks, curateCorpus)
+    Seq(splitAssign, sourceQuota, stratifiedSample, sampleExactK, shardPack,
+      seqPack, contamination, domainMix, trainLeaks, curateCorpus)
 }

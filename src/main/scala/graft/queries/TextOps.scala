@@ -1357,6 +1357,86 @@ object TextOps {
   )
 
   // ---------------------------------------------------------------------
+  // Approximate per-stratum quantiles — the sketch twin of
+  // t_length_quantiles, same discipline as uv_approx/t_token_heavy: at
+  // 100 TB the exact histogram's per-(stratum, value) state is fine for
+  // token LENGTHS (bounded value domain) but not for high-cardinality
+  // metrics (per-doc byte sizes, scores in micros), where the GK
+  // summary's O(1/eps) buffer per stratum is the scale path. Spark's
+  // percentile_approx guarantees SOME rank of the returned value lies
+  // within eps*n of the target rank (eps = 1/accuracy); the summary
+  // content is merge-order-dependent, so the catalog row emits the
+  // EXACT quantiles plus per-percentile booleans asserting the rank
+  // band — order-independent theorems the oracle states as TRUE.
+  // ---------------------------------------------------------------------
+
+  private val qaAccuracy = 100L // eps = 1/accuracy = 1%
+
+  val quantilesApprox = Q(
+    "t_quantiles_approx",
+    (s, d) => {
+      import s.implicits._
+      val counted = docs(s, d).select($"lang", size(toks).cast("long").as("n_tokens"))
+      val approx = counted.groupBy($"lang")
+        .agg(percentile_approx(
+          $"n_tokens",
+          array(lit(0.5), lit(0.9), lit(0.99)),
+          lit(qaAccuracy.toInt)).as("ap"))
+      val hist = counted.groupBy($"lang", $"n_tokens").agg(count(lit(1)).as("c"))
+      val wCum = Window.partitionBy($"lang").orderBy($"n_tokens")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy($"lang")
+      // rank band for percentile p (in basis points): the value's rank
+      // interval [lt+1, le] must intersect [(p-eps)n - 1, (p+eps)n + 1] —
+      // the extra rank is the floor Spark's GK summary carries on top of
+      // eps*n (measured: accuracy=100, n=80 returned rank 39 for target
+      // 40 where eps*n = 0.8)
+      def bandOk(p: Long, le: Column, lt: Column, n: Column): Column =
+        le * 10000L >= lit(p - 100L) * n - 10000L && lt * 10000L <= lit(p + 100L) * n + 10000L
+      def leOf(i: Int): Column =
+        sum(when($"n_tokens" <= element_at($"ap", i), $"c").otherwise(0L))
+      def ltOf(i: Int): Column =
+        sum(when($"n_tokens" < element_at($"ap", i), $"c").otherwise(0L))
+      hist
+        .withColumn("cum", sum($"c").over(wCum))
+        .withColumn("n", sum($"c").over(wAll))
+        // one row per stratum broadcast onto the histogram — the
+        // sanctioned tiny-side class (strata are low-cardinality)
+        .join(broadcast(approx), "lang")
+        .groupBy($"lang")
+        .agg(
+          max($"n").as("n_all"),
+          min(when($"cum" >= expr("(n * 50 + 99) DIV 100"), $"n_tokens")).as("p50"),
+          min(when($"cum" >= expr("(n * 90 + 99) DIV 100"), $"n_tokens")).as("p90"),
+          min(when($"cum" >= expr("(n * 99 + 99) DIV 100"), $"n_tokens")).as("p99"),
+          leOf(1).as("le50"), ltOf(1).as("lt50"),
+          leOf(2).as("le90"), ltOf(2).as("lt90"),
+          leOf(3).as("le99"), ltOf(3).as("lt99"))
+        .select(
+          $"lang", $"n_all".as("n_docs"), $"p50", $"p90", $"p99",
+          bandOk(5000L, $"le50", $"lt50", $"n_all").as("a50_ok"),
+          bandOk(9000L, $"le90", $"lt90", $"n_all").as("a90_ok"),
+          bandOk(9900L, $"le99", $"lt99", $"n_all").as("a99_ok"))
+    },
+    Some(s"""
+      WITH t AS (SELECT lang, len($oracleToks) AS n_tokens FROM documents),
+      hist AS (SELECT lang, n_tokens, COUNT(*) AS c FROM t GROUP BY 1, 2),
+      cum AS (
+        SELECT lang, n_tokens, c,
+               CAST(SUM(c) OVER (PARTITION BY lang ORDER BY n_tokens
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+               CAST(SUM(c) OVER (PARTITION BY lang) AS BIGINT) AS n
+      FROM hist)
+      SELECT lang, MAX(n) AS n_docs,
+             CAST(MIN(CASE WHEN cum >= (n * 50 + 99) // 100 THEN n_tokens END) AS BIGINT) AS p50,
+             CAST(MIN(CASE WHEN cum >= (n * 90 + 99) // 100 THEN n_tokens END) AS BIGINT) AS p90,
+             CAST(MIN(CASE WHEN cum >= (n * 99 + 99) // 100 THEN n_tokens END) AS BIGINT) AS p99,
+             TRUE AS a50_ok, TRUE AS a90_ok, TRUE AS a99_ok
+      FROM cum GROUP BY 1
+    """.stripMargin.trim),
+  )
+
+  // ---------------------------------------------------------------------
   // Within-document repetition signals — the Gopher/"repetition" family
   // of quality heuristics: a document whose n-grams repeat internally
   // (boilerplate loops, keyword stuffing, template fill) is low-value
@@ -1948,6 +2028,7 @@ object TextOps {
     dedupPara,
     repetition,
     lengthQuantiles,
+    quantilesApprox,
     minhashLsh,
     neardupClusters,
     dedupKeepBest,
