@@ -701,7 +701,7 @@ object TextOps {
   /** DuckDB `sig`/`bands` CTEs mirroring the signature+banding half of
     * [[minhashPairs]], given a `sh(doc_id, sh)` CTE.
     */
-  private def oracleMinhashSigBands: String = {
+  private[queries] def oracleMinhashSigBands: String = {
     val minCols = (0 until nHashes)
       .map(i => s"MIN(md5('$i' || ':' || sh)) AS m$i")
       .mkString(",\n               ")
@@ -725,7 +725,7 @@ object TextOps {
     * gated on buckets of 2..maxBucket members, matching the Spark side's
     * size filter exactly.
     */
-  private def oracleMinhashPairsSelect: String =
+  private[queries] def oracleMinhashPairsSelect: String =
     s"""SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       |      FROM bands a JOIN bands b
       |        ON a.band = b.band AND a.k0 = b.k0 AND a.k1 = b.k1 AND a.k2 = b.k2

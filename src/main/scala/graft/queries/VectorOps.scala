@@ -903,6 +903,113 @@ object VectorOps {
     """.stripMargin.trim),
   )
 
+  // ---------------------------------------------------------------------
+  // Multi-modality dedup — the round-trip of the whole dedup pack: EXACT
+  // (byte-identical text), LEXICAL (MinHash-LSH shingle near-dup), and
+  // SEMANTIC (embedding-space near-dup) edges resolved TOGETHER through
+  // one connected-components pass, keep-one per component. This is what
+  // a production corpus actually needs: a paraphrase chain A =exact= B
+  // =lexical= C =semantic= D must collapse to ONE survivor, which three
+  // independent dedup passes cannot do (each sees only its own edges;
+  // keep-min per modality can keep three different "survivors" of the
+  // same transitive cluster).
+  //
+  // 100 TB shape: strictly the union of its parts, all individually
+  // pinned — the exact edges are one hash-window pass, the lexical edges
+  // the banded equi-join, the semantic edges the broadcast-centroid
+  // assignment + within-cell join (docs without an embedding simply
+  // contribute no semantic edges), and the union feeds the O(log n)
+  // pointer-doubling resolver. No stage is new; the composition adds one
+  // union and nothing else.
+  // ---------------------------------------------------------------------
+
+  /** The composed core over any (doc_id, text) + (vec_id, embedding)
+    * frames — exposed so the spec can plant a cross-modality chain that
+    * only the COMPOSED resolution collapses.
+    */
+  private[queries] def multimodalDedupOn(docsDf: DataFrame, emb: DataFrame): DataFrame = {
+    val s = docsDf.sparkSession
+    import s.implicits._
+    val exactEdges = docsDf
+      .withColumn("text_hash", md5($"text"))
+      .withColumn("rep", min($"doc_id").over(Window.partitionBy($"text_hash")))
+      .filter($"doc_id" =!= $"rep")
+      .select($"rep".as("doc_a"), $"doc_id".as("doc_b"))
+    val lexEdges = TextOps.minhashPairs(TextOps.shinglesOfDf(docsDf))
+    // docs without an embedding row contribute no semantic edges
+    val docVecs = emb.join(docsDf.select($"doc_id"), $"vec_id" === $"doc_id")
+      .select($"vec_id", $"embedding")
+    val semEdges = semanticPairs(docVecs)
+    val cc = TextOps.connectedComponentsStats(
+      exactEdges.union(lexEdges).union(semEdges))
+    docsDf.select($"doc_id")
+      .join(cc.labels.select($"v".as("doc_id"), $"lbl".as("rep0")), Seq("doc_id"), "left")
+      .select(
+        $"doc_id",
+        coalesce($"rep0", $"doc_id").as("rep"),
+        ($"doc_id" === coalesce($"rep0", $"doc_id")).as("is_kept"),
+        lit(cc.converged).as("converged"))
+  }
+
+  val dedupMultimodal = Q(
+    "t_dedup_multimodal",
+    (s, d) => multimodalDedupOn(
+      Tables.documents(s, d).select(col("doc_id"), col("text")),
+      vecs(s, d)),
+    Some(s"""
+      WITH RECURSIVE sh AS (
+        SELECT doc_id, unnest(${TextOps.oracleShingles}) AS sh FROM documents),
+      ${TextOps.oracleMinhashSigBands},
+      lex_pairs AS (
+        ${TextOps.oracleMinhashPairsSelect}),
+      eh AS (SELECT doc_id, md5(text) AS h FROM documents),
+      er AS (SELECT h, MIN(doc_id) AS rep FROM eh GROUP BY 1),
+      exact_pairs AS (
+        SELECT er.rep AS doc_a, eh.doc_id AS doc_b
+        FROM eh JOIN er USING (h) WHERE eh.doc_id <> er.rep),
+      emb AS (
+        SELECT e.vec_id, e.embedding FROM embeddings e
+        JOIN documents d ON e.vec_id = d.doc_id),
+      cents AS (SELECT vec_id AS cell, embedding AS c_emb FROM emb WHERE vec_id < $nCells),
+      dists AS (
+        SELECT v.vec_id, v.embedding, c.cell,
+               CAST(FLOOR(1e6 * (${oDot("v.embedding", "v.embedding")} + ${oDot("c.c_emb", "c.c_emb")}
+                 - 2.0 * ${oDot("v.embedding", "c.c_emb")})) AS BIGINT) AS d2_micros
+        FROM emb v CROSS JOIN cents c),
+      assigned AS (
+        SELECT vec_id, cell, embedding FROM (
+          SELECT vec_id, cell, embedding,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2_micros ASC, cell ASC) AS rk
+          FROM dists) WHERE rk = 1),
+      ok AS (SELECT cell FROM assigned GROUP BY 1 HAVING COUNT(*) <= $maxBucketVecs),
+      ag AS (SELECT a.* FROM assigned a JOIN ok USING (cell)),
+      sem_pairs AS (
+        SELECT a.vec_id AS doc_a, c.vec_id AS doc_b
+        FROM ag a JOIN ag c ON a.cell = c.cell AND a.vec_id < c.vec_id
+        WHERE CAST(FLOOR(1e6 * (${oDot("a.embedding", "c.embedding")} /
+                (sqrt(${oDot("a.embedding", "a.embedding")}) * sqrt(${oDot("c.embedding", "c.embedding")}))))
+              AS BIGINT) >= $nearDupThresholdMicros),
+      pairs AS (
+        SELECT doc_a, doc_b FROM lex_pairs
+        UNION SELECT doc_a, doc_b FROM exact_pairs
+        UNION SELECT doc_a, doc_b FROM sem_pairs),
+      und AS (
+        SELECT doc_a AS v, doc_b AS nbr FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs),
+      reach(v, r) AS (
+        SELECT v, v FROM (SELECT DISTINCT v FROM und)
+        UNION
+        SELECT u.v, reach.r FROM und u JOIN reach ON u.nbr = reach.v),
+      comp AS (SELECT v, MIN(r) AS rep FROM reach GROUP BY v)
+      SELECT d.doc_id,
+             COALESCE(c.rep, d.doc_id) AS rep,
+             d.doc_id = COALESCE(c.rep, d.doc_id) AS is_kept,
+             TRUE AS converged
+      FROM documents d LEFT JOIN comp c ON c.v = d.doc_id
+    """.stripMargin.trim),
+    bench = true, // the composed dedup flagship: all three edge modalities + CC
+  )
+
   val qs: Seq[Q] = Seq(
     normStats,
     knnBrute,
@@ -917,5 +1024,6 @@ object VectorOps {
     docNearDup,
     semanticDedup,
     kmeansStep,
+    dedupMultimodal,
   )
 }
