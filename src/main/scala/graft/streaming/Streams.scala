@@ -259,6 +259,21 @@ object Streams {
       .withWatermark(eventTimeCol, delay)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Running heavy-hitter sketch over a token stream — the streaming twin
+    * of `t_token_heavy`: the Misra-Gries buffer IS the aggregation state
+    * (k counters, merged associatively as micro-batches arrive), so state
+    * is O(k) forever regardless of vocabulary — the property that makes
+    * frequent-token monitoring viable on an unbounded stream where an
+    * exact running count would grow with the distinct-token count.
+    * Update mode re-emits the sketch each batch; the mergeable-summaries
+    * bound holds over the CUMULATIVE stream at every emission
+    * (StreamsSpec drives this per-batch).
+    */
+  def tokenHeavyStream(tokens: DataFrame, k: Int): DataFrame = {
+    val mg = udaf(new graft.functions.MisraGriesAggregator(k))
+    tokens.select(mg(col("token")).as("sk"))
+  }
+
   /** Streaming half of the corpus-cleaning pipeline (`t_clean_corpus` is
     * the batch whole): watermark-bounded exact dedup on the content hash,
     * then the SAME quality gate (shared projection —

@@ -219,6 +219,49 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("tokenHeavyStream: MG bound holds over the cumulative stream at every batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val k = 8
+    val mem = MemoryStream[String]
+    @volatile var latest: Map[String, Long] = Map.empty
+    val q = Streams.tokenHeavyStream(mem.toDF().toDF("token"), k)
+      .writeStream
+      .outputMode("update")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        b.collect().headOption.foreach { r =>
+          latest = r.getSeq[org.apache.spark.sql.Row](0)
+            .map(e => e.getString(0) -> e.getLong(1)).toMap
+        }
+        ()
+      }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt-mg").toString)
+      .start()
+    try {
+      // three zipf-ish chunks over a 60-token vocabulary (>> k): the
+      // sketch state must absorb each batch and keep the bound on the
+      // TOTAL stream so far
+      val exact = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+      for (chunk <- 1 to 3) {
+        val batch = (1 to 60).flatMap(i => Seq.fill(600 / i / chunk + 1)(s"w$i"))
+        batch.foreach(t => exact(t) += 1L)
+        mem.addData(batch)
+        q.processAllAvailable()
+        val n = exact.values.sum
+        assert(latest.size <= k && latest.nonEmpty)
+        exact.filter { case (_, c) => c * (k + 1) > n }.keys.foreach { t =>
+          assert(latest.contains(t), s"chunk $chunk: heavy $t missing from state")
+        }
+        latest.foreach { case (t, est) =>
+          assert(est <= exact(t), s"chunk $chunk: $t overcounted")
+          assert((exact(t) - est) * (k + 1) <= n, s"chunk $chunk: $t error over bound")
+        }
+      }
+    } finally q.stop()
+  }
+
   test("dedupWithinWatermark drops in-horizon duplicates, evicts state past it") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
