@@ -24,7 +24,17 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame   = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = apply(s, d, "lineitem")
   def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+
+  /** `embeddings` with the vector column pinned to array<float> — the type
+    * the codegen'd dot_d kernel requires. The cast is a no-op while the
+    * generator ships float32 (Catalyst folds the redundant cast away) and
+    * insurance against a regen shipping float64, which would otherwise
+    * fail every vector query at analysis — the same breakage class as the
+    * events `ts` type change this guard's sibling above absorbs.
+    */
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    apply(s, d, "embeddings")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
 
   /** `events` with a derived `ts_sec` (epoch seconds, Long).
     *
