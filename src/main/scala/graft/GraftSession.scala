@@ -13,10 +13,12 @@ import org.apache.spark.sql.SparkSession
   *  - AQE on: runtime shuffle-partition coalescing, skew-join splitting, and
   *    runtime join-strategy switches are exactly the features that keep these
   *    plans healthy at 100 TB where static planning guesses wrong.
-  *  - `nanosAsLong`: the synthetic `events` table carries parquet
-  *    TIMESTAMP(NANOS) which Spark 4 otherwise refuses; we read it as an
-  *    epoch-nanos Long and derive event-time columns from it (see
-  *    [[graft.sources.Tables.events]]).
+  *  - `nanosAsLong`: the synthetic `events` table has shipped `ts` as
+  *    parquet TIMESTAMP(NANOS), which Spark 4 refuses without this flag
+  *    (read as an epoch-nanos Long). Current testdata ships
+  *    TIMESTAMP_NTZ micros instead, where the flag is inert —
+  *    [[graft.sources.Tables.events]] adapts to whichever type the scan
+  *    presents, and keeping the flag makes the session safe for both.
   *  - UTC session timezone so window arithmetic matches the DuckDB oracle.
   */
 object GraftSession {
