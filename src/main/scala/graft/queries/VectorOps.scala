@@ -1010,6 +1010,99 @@ object VectorOps {
     bench = true, // the composed dedup flagship: all three edge modalities + CC
   )
 
+  // ---------------------------------------------------------------------
+  // Incremental SEMANTIC dedup — the embedding-space member of the
+  // delta-ingest family (t_delta_dedup = exact hash, t_delta_neardup =
+  // lexical LSH): every delta vector is checked for near-dup cosine
+  // against the BASE corpus within its IVF cell, cross-set only —
+  // base-base and delta-delta pairs are never materialized (the base is
+  // already deduped; delta-delta resolution happens when the delta is
+  // folded into the next full pass). Verdict per delta vector:
+  // `neardup_of_base` or `kept`.
+  //
+  // Centroids follow the pack's fixed convention (first nCells vectors);
+  // in production they are the trained index the base corpus already
+  // uses, so delta assignment needs no retraining — exactly why IVF
+  // makes incremental ingest cheap: one broadcast-centroid scan over the
+  // DELTA, a cell-keyed equi-join against base cells, nothing corpus².
+  // ---------------------------------------------------------------------
+
+  private val vBatchOf: Column =
+    when(TextOps.h60(concat(col("vec_id").cast("string"), lit(":batch"))) % 10 >= 8,
+      lit("delta")).otherwise(lit("base"))
+
+  /** The operator core over any (vec_id, embedding, batch∈{base,delta})
+    * frame — exposed so the spec can drive planted base/delta sets
+    * through the real plan.
+    */
+  private[queries] def deltaSemanticOn(tagged: DataFrame): DataFrame = {
+    val s = tagged.sparkSession
+    import s.implicits._
+    // one assignment pass for the cap agg and both join sides (same
+    // single-pass-by-construction economics as semanticPairs)
+    val assigned = ivfCells(tagged.select($"vec_id", $"embedding"))
+      .join(tagged.select($"vec_id", $"batch"), "vec_id")
+      .localCheckpoint(false)
+    val ok = assigned.groupBy($"cell").agg(count(lit(1)).as("n_c"))
+      .filter($"n_c" <= maxBucketVecs)
+      .select($"cell")
+    val ag = assigned.join(broadcast(ok), "cell")
+    val deltaSide = ag.filter($"batch" === "delta")
+      .select($"vec_id".as("d_id"), $"embedding".as("d_emb"), $"cell")
+    val baseSide = ag.filter($"batch" === "base")
+      .select($"vec_id".as("b_id"), $"embedding".as("b_emb"), $"cell".as("cell_b"))
+    val cand = deltaSide.join(baseSide, $"cell" === $"cell_b")
+      .withColumn(
+        "sim_micros",
+        micros(dotd("d_emb", "b_emb") /
+          (sqrt(dotd("d_emb", "d_emb")) * sqrt(dotd("b_emb", "b_emb")))))
+      .filter($"sim_micros" >= nearDupThresholdMicros)
+      .select($"d_id".as("vec_id"))
+      .distinct()
+    tagged.filter($"batch" === "delta").select($"vec_id")
+      .join(cand.withColumn("hit", lit(1)), Seq("vec_id"), "left")
+      .select(
+        $"vec_id",
+        when($"hit".isNotNull, lit("neardup_of_base")).otherwise(lit("kept")).as("verdict"))
+  }
+
+  val deltaSemantic = Q(
+    "t_delta_semantic",
+    (s, d) => deltaSemanticOn(vecs(s, d).withColumn("batch", vBatchOf)),
+    Some(s"""
+      WITH emb0 AS (
+        SELECT vec_id, embedding,
+               CASE WHEN ${CurationOps.oMd5Bucket("CAST(vec_id AS VARCHAR) || ':batch'", 10)} >= 8
+                    THEN 'delta' ELSE 'base' END AS batch
+        FROM embeddings),
+      cents AS (SELECT vec_id AS cell, embedding AS c_emb FROM embeddings
+                WHERE vec_id < $nCells),
+      dists AS (
+        SELECT v.vec_id, v.embedding, c.cell,
+               CAST(FLOOR(1e6 * (${oDot("v.embedding", "v.embedding")} + ${oDot("c.c_emb", "c.c_emb")}
+                 - 2.0 * ${oDot("v.embedding", "c.c_emb")})) AS BIGINT) AS d2_micros
+        FROM embeddings v CROSS JOIN cents c),
+      assigned AS (
+        SELECT vec_id, cell, embedding FROM (
+          SELECT vec_id, cell, embedding,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2_micros ASC, cell ASC) AS rk
+          FROM dists) WHERE rk = 1),
+      ok AS (SELECT cell FROM assigned GROUP BY 1 HAVING COUNT(*) <= $maxBucketVecs),
+      ag AS (SELECT a.vec_id, a.cell, a.embedding, e.batch
+             FROM assigned a JOIN ok USING (cell) JOIN emb0 e USING (vec_id)),
+      cand AS (
+        SELECT DISTINCT a.vec_id
+        FROM ag a JOIN ag b ON a.cell = b.cell AND a.batch = 'delta' AND b.batch = 'base'
+        WHERE CAST(FLOOR(1e6 * (${oDot("a.embedding", "b.embedding")} /
+                (sqrt(${oDot("a.embedding", "a.embedding")}) * sqrt(${oDot("b.embedding", "b.embedding")}))))
+              AS BIGINT) >= $nearDupThresholdMicros)
+      SELECT e.vec_id,
+             CASE WHEN c.vec_id IS NOT NULL THEN 'neardup_of_base' ELSE 'kept' END AS verdict
+      FROM emb0 e LEFT JOIN cand c USING (vec_id)
+      WHERE e.batch = 'delta'
+    """.stripMargin.trim),
+  )
+
   val qs: Seq[Q] = Seq(
     normStats,
     knnBrute,
@@ -1025,5 +1118,6 @@ object VectorOps {
     semanticDedup,
     kmeansStep,
     dedupMultimodal,
+    deltaSemantic,
   )
 }
