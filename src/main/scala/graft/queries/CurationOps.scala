@@ -628,49 +628,56 @@ object CurationOps {
     """.stripMargin.trim),
   )
 
+  /** The curated train frame (doc_id, n_tokens) the flagship packers
+    * consume: dedup survivors → quality gate → train split →
+    * decontamination anti-join, localCheckpoint'ed once because every
+    * packer scans its input twice (offsets + output) and the shingle
+    * join must not execute per pass (measured 3.0 s → 1.5 s at sf0.1).
+    */
+  private def curatedTrain(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val good = TextOps.withQuality(TextOps.dedupSurvivors(s, d))
+      .filter($"quality" =!= "poor")
+      .localCheckpoint(false) // two consumers: shingle branch + packing
+    // train side = what we ship (post-dedup, quality-passed train docs);
+    // eval side = the RAW held-out corpus (see contaminatedTrainOn for
+    // why it must not be the deduped frame)
+    val leaky = contaminatedTrainOn(
+        good.filter(splitOf($"doc_id") === "train").select($"doc_id", $"text"),
+        docs(s, d).filter(splitOf($"doc_id") =!= "train").select($"doc_id", $"text"))
+      .withColumnRenamed("doc_id", "leak_id")
+    good.filter(splitOf($"doc_id") === "train")
+      .join(leaky, $"doc_id" === $"leak_id", "left_anti")
+      .select($"doc_id", $"n_tokens")
+      .localCheckpoint(false)
+  }
+
+  /** DuckDB `train` CTE chain mirroring [[curatedTrain]]. */
+  private def oracleCuratedTrainCtes: String =
+    s"""$oracleShippedTrainLeakCtes,
+      |      leaky AS (
+      |        SELECT DISTINCT ov.t_id AS doc_id
+      |        FROM ov JOIN esizes USING (e_id)
+      |        WHERE ov.n_overlap * 5 >= esizes.e_sh * 4),
+      |      train AS (
+      |        SELECT doc_id, n_tokens FROM good
+      |        WHERE ($oSplitCase) = 'train'
+      |          AND doc_id NOT IN (SELECT doc_id FROM leaky))""".stripMargin
+
+  private val oraclePrefixOverTrain =
+    s"""COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)""".stripMargin
+
   val curateCorpus = Q(
     "t_curate_corpus",
-    (s, d) => {
-      import s.implicits._
-      val good = TextOps.withQuality(TextOps.dedupSurvivors(s, d))
-        .filter($"quality" =!= "poor")
-        .localCheckpoint(false) // two consumers: shingle branch + packing
-      // train side = what we ship (post-dedup, quality-passed train docs);
-      // eval side = the RAW held-out corpus (see contaminatedTrainOn for
-      // why it must not be the deduped frame)
-      val leaky = contaminatedTrainOn(
-          good.filter(splitOf($"doc_id") === "train").select($"doc_id", $"text"),
-          docs(s, d).filter(splitOf($"doc_id") =!= "train").select($"doc_id", $"text"))
-        .withColumnRenamed("doc_id", "leak_id")
-      // the packer scans its input twice (offsets + output); materialize
-      // the slim decontaminated id/token frame once so the shingle join
-      // above doesn't execute per pass (measured 3.0 s → 1.5 s at sf0.1)
-      val train = good.filter(splitOf($"doc_id") === "train")
-        .join(leaky, $"doc_id" === $"leak_id", "left_anti")
-        .select($"doc_id", $"n_tokens")
-        .localCheckpoint(false)
-      shardPackOn(train)
-    },
-    Some {
-      val prefix =
-        s"""COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
-           |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)""".stripMargin
-      s"""
-      WITH $oracleShippedTrainLeakCtes,
-      leaky AS (
-        SELECT DISTINCT ov.t_id AS doc_id
-        FROM ov JOIN esizes USING (e_id)
-        WHERE ov.n_overlap * 5 >= esizes.e_sh * 4),
-      train AS (
-        SELECT doc_id, n_tokens FROM good
-        WHERE ($oSplitCase) = 'train'
-          AND doc_id NOT IN (SELECT doc_id FROM leaky))
+    (s, d) => shardPackOn(curatedTrain(s, d)),
+    Some(s"""
+      WITH $oracleCuratedTrainCtes
       SELECT doc_id, n_tokens,
-             CAST($prefix AS BIGINT) AS cum_before,
-             CAST($prefix // $shardTokens AS BIGINT) AS shard_id
+             CAST($oraclePrefixOverTrain AS BIGINT) AS cum_before,
+             CAST($oraclePrefixOverTrain // $shardTokens AS BIGINT) AS shard_id
       FROM train
-    """.stripMargin.trim
-    },
+    """.stripMargin.trim),
     bench = true, // the composed flagship, like t_clean_corpus
   )
 
@@ -745,7 +752,37 @@ object CurationOps {
     bench = true, // tracks the prefix-sum + segment-explode path
   )
 
+  // ---------------------------------------------------------------------
+  // The flagship's sequence-grain sibling: the same curated train frame
+  // (dedup → quality → split → decontaminate), packed into fixed-length
+  // training SEQUENCES instead of whole-doc shards — "corpus in,
+  // trainer-ready segment layout out" as one declarative plan. Identical
+  // scale shape to t_curate_corpus with the segment explode grafted on.
+  // ---------------------------------------------------------------------
+
+  val curateSequences = Q(
+    "t_curate_sequences",
+    (s, d) => seqPackOn(curatedTrain(s, d)),
+    Some(s"""
+      WITH $oracleCuratedTrainCtes,
+      pre AS (
+        SELECT doc_id, n_tokens,
+               CAST($oraclePrefixOverTrain AS BIGINT) AS cum_before
+        FROM train),
+      seg AS (
+        SELECT doc_id, n_tokens, cum_before,
+               unnest(range(cum_before // $seqLen, (cum_before + n_tokens - 1) // $seqLen + 1)) AS seq_id
+        FROM pre WHERE n_tokens > 0)
+      SELECT doc_id, CAST(seq_id AS BIGINT) AS seq_id,
+             CAST(GREATEST(seq_id * $seqLen - cum_before, 0) AS BIGINT) AS seg_start,
+             CAST(LEAST((seq_id + 1) * $seqLen, cum_before + n_tokens)
+               - GREATEST(seq_id * $seqLen, cum_before) AS BIGINT) AS seg_len
+      FROM seg
+    """.stripMargin.trim),
+  )
+
   val qs: Seq[Q] =
     Seq(splitAssign, sourceQuota, stratifiedSample, sampleExactK, shardPack,
-      seqPack, contamination, domainMix, trainLeaks, curateCorpus)
+      seqPack, contamination, domainMix, trainLeaks, curateCorpus,
+      curateSequences)
 }

@@ -223,6 +223,18 @@ class CurationSpec extends SparkSpec {
     assert(rows.nonEmpty && rows.length < 500, "the gates must actually exclude docs")
   }
 
+  test("t_curate_sequences covers exactly the shard flagship's docs, token-for-token") {
+    val sf = "/root/testdata/sf0.01"
+    val shards = Catalog.queries("t_curate_corpus")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val segs = Catalog.queries("t_curate_sequences")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(3)))
+    val perDoc = segs.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    // same curated train frame: every non-empty doc appears with its full
+    // token count split across sequences
+    assert(perDoc === shards.filter(_._2 > 0L), "sequence coverage drifted from the shard flagship")
+  }
+
   test("t_shard_pack plans as a distributed prefix sum: no single-partition stage") {
     val formatted = Catalog.queries("t_shard_pack")(spark, "/root/testdata/sf0.01")
       .queryExecution.explainString(ExplainMode.fromString("formatted"))
