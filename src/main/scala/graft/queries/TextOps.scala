@@ -889,6 +889,59 @@ object TextOps {
   )
 
   // ---------------------------------------------------------------------
+  // Dup-cluster size histogram — the corpus-duplication report every
+  // dedup pass publishes (what fraction of the corpus is duplicated, and
+  // in what cluster sizes): resolve near-dup components, then count
+  // clusters per size, singletons included so the rows sum to the whole
+  // corpus. One line answers "how much does dedup save?" —
+  // sum(n_docs - n_clusters) docs removed at keep-one.
+  //
+  // 100 TB shape: everything t_neardup_clusters pays, plus two keyed
+  // count aggs (rep, then size) whose inputs shrink at each step
+  // (corpus → clusters → distinct sizes). Nothing new shuffles.
+  // ---------------------------------------------------------------------
+
+  val dedupStats = Q(
+    "t_dedup_stats",
+    (s, d) => {
+      import s.implicits._
+      val labels = connectedComponents(minhashPairs(docShingles(s, d)))
+        .select($"v".as("doc_id"), $"rep")
+      docs(s, d).select($"doc_id")
+        .join(labels, Seq("doc_id"), "left")
+        .select($"doc_id", coalesce($"rep", $"doc_id").as("rep"))
+        .groupBy($"rep").agg(count(lit(1)).as("cluster_size"))
+        .groupBy($"cluster_size").agg(count(lit(1)).as("n_clusters"))
+        .select(
+          $"cluster_size",
+          $"n_clusters",
+          ($"cluster_size" * $"n_clusters").as("n_docs"))
+    },
+    Some(s"""
+      WITH RECURSIVE sh AS (
+        SELECT doc_id, unnest($oracleShingles) AS sh FROM documents),
+      $oracleMinhashSigBands,
+      pairs AS (
+        $oracleMinhashPairsSelect),
+      und AS (
+        SELECT doc_a AS v, doc_b AS nbr FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs),
+      reach(v, r) AS (
+        SELECT v, v FROM (SELECT DISTINCT v FROM und)
+        UNION
+        SELECT u.v, reach.r FROM und u JOIN reach ON u.nbr = reach.v),
+      comp AS (SELECT v, MIN(r) AS rep FROM reach GROUP BY v),
+      sized AS (
+        SELECT COALESCE(c.rep, d.doc_id) AS rep, COUNT(*) AS cluster_size
+        FROM documents d LEFT JOIN comp c ON c.v = d.doc_id
+        GROUP BY 1)
+      SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+             CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
+      FROM sized GROUP BY 1
+    """.stripMargin.trim),
+  )
+
+  // ---------------------------------------------------------------------
   // Keep-BEST dedup — cluster resolution with a quality-aware keeper
   // policy. t_neardup_clusters keeps the min doc_id per cluster: simple,
   // deterministic, and what a hash-keyed pipeline does by default — but
@@ -2031,6 +2084,7 @@ object TextOps {
     quantilesApprox,
     minhashLsh,
     neardupClusters,
+    dedupStats,
     dedupKeepBest,
     ngramJaccard,
     jaccardPostDedup,
