@@ -133,6 +133,34 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("t_sample_exact_k: exactly min(k, stratum size) per stratum, stable under growth") {
+    val sf = "/root/testdata/sf0.01"
+    val rows = Catalog.queries("t_sample_exact_k")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val strata = spark.read.parquet(s"$sf/documents.parquet")
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = rows.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    strata.foreach { case (lang, n) =>
+      assert(got(lang) === math.min(40L, n), s"$lang drew ${got(lang)} of $n")
+    }
+    // ranks dense from 1 per stratum (deterministic total order)
+    rows.groupBy(_._2).foreach { case (lang, rs) =>
+      assert(rs.map(_._3).sorted.toSeq === (1L to rs.length).toSeq, s"$lang ranks not dense")
+    }
+    // growth stability: the hash ORDER is per-doc stable, so a doc kept at
+    // rank r in the small corpus can only keep or improve eligibility when
+    // the same (doc, lang) pair exists in the bigger corpus with rank <= r
+    // being not guaranteed — what IS guaranteed: the small-corpus draw of a
+    // stratum is a prefix of the same hash order, so any doc ranked ABOVE a
+    // kept doc in the big corpus was also ranked above it in the small one.
+    // Pin the weaker invariant that holds across independently generated
+    // fixtures: the draw is a pure function of the corpus (re-running is
+    // identical).
+    val again = Catalog.queries("t_sample_exact_k")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(again.toSet === rows.toSet)
+  }
+
   test("t_seq_pack: sequences fill to exactly 512 tokens and cover every doc") {
     val rows = Catalog.queries("t_seq_pack")(spark, "/root/testdata/sf0.01")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))

@@ -74,6 +74,46 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("t_quantiles_approx: exact columns equal t_length_quantiles, theorem booleans hold") {
+    val sf = "/root/testdata/sf0.01"
+    val approx = Catalog.queries("t_quantiles_approx")(spark, sf).collect()
+      .map(r => r.getAs[String]("lang") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("p50"), r.getAs[Long]("p90"),
+          r.getAs[Long]("p99")),
+          (r.getAs[Boolean]("a50_ok"), r.getAs[Boolean]("a90_ok"),
+            r.getAs[Boolean]("a99_ok")))).toMap
+    val exact = Catalog.queries("t_length_quantiles")(spark, sf).collect()
+      .map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("p50"), r.getAs[Long]("p90"),
+          r.getAs[Long]("p99"))).toMap
+    assert(approx.keySet === exact.keySet)
+    approx.foreach { case (lang, (ex, bands)) =>
+      assert(ex === exact(lang), s"$lang exact columns drifted from t_length_quantiles")
+      assert(bands === ((true, true, true)), s"$lang GK rank band violated")
+    }
+  }
+
+  test("t_dedup_stats histogram reconciles with the resolver's clusters") {
+    val sf = "/root/testdata/sf0.01"
+    val hist = Catalog.queries("t_dedup_stats")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val clusters = Catalog.queries("t_neardup_clusters")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rep")))
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    // rows sum to the corpus; n_docs = size * count per row
+    assert(hist.map(_._3).sum === nDocs)
+    hist.foreach { case (size, n, docs) => assert(docs === size * n) }
+    // the non-singleton part of the histogram equals a recount of the
+    // resolver's own components (the resolver output covers only docs in
+    // at least one pair; singletons are the remainder)
+    val sizes = clusters.groupBy(_._2).map(_._2.size.toLong)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    hist.filter(_._1 > 1L).foreach { case (size, n, _) =>
+      assert(sizes(size) === n, s"size-$size cluster count drifted")
+    }
+    assert(hist.exists(_._1 > 1L), "fixture has near-dup clusters; histogram must show them")
+  }
+
   test("keep-best keeper diverges from keep-min when the lowest id is the worst copy") {
     import spark.implicits._
     // 25 distinct words -> 'good' quality; doc 1 is the SAME text padded
