@@ -953,9 +953,10 @@ object VectorOps {
 
   val dedupMultimodal = Q(
     "t_dedup_multimodal",
-    (s, d) => multimodalDedupOn(
-      Tables.documents(s, d).select(col("doc_id"), col("text")),
-      vecs(s, d)),
+    // fanned docs: the lexical branch's per-token signature pipeline is
+    // the CPU-heavy stage and must not inherit the scan's partition count
+    // (measured 2.9 s -> 0.8 s at sf0.1 — same lesson as docShingles)
+    (s, d) => multimodalDedupOn(TextOps.fannedDocsOf(s, d), vecs(s, d)),
     Some(s"""
       WITH RECURSIVE sh AS (
         SELECT doc_id, unnest(${TextOps.oracleShingles}) AS sh FROM documents),
