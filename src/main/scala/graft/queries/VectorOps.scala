@@ -719,7 +719,7 @@ object VectorOps {
     * (vec_id, embedding) — v_ivf_assign's core, exposed for composition
     * and the planted-twin spec. Centroids = the first [[nCells]] vectors.
     */
-  private[queries] def ivfCells(emb: DataFrame): DataFrame = {
+  private[graft] def ivfCells(emb: DataFrame): DataFrame = {
     val cents = emb.filter(col("vec_id") < nCells)
       .select(col("vec_id").as("cell"), col("embedding").as("c_emb"))
     val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("d2_micros").asc, col("cell").asc)

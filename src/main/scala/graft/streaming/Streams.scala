@@ -259,6 +259,40 @@ object Streams {
       .withWatermark(eventTimeCol, delay)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Streaming IVF cell assignment — the vector pack's stream-native
+    * surface: every arriving embedding is tagged with its nearest
+    * centroid (the same floored-micros distance + lowest-cell tiebreak as
+    * the batch [[graft.queries.VectorOps]] assignment, so batch and
+    * stream route a vector to the SAME cell). The trained centroids are a
+    * driver-side literal folded into the plan — the sanctioned
+    * O(|cells|) hand-off — which makes this a STATELESS projection:
+    * append mode, no watermark, no state store. This is the ingest path
+    * of a live vector index at 100 TB: route on arrival, compact
+    * per-cell files periodically in batch.
+    */
+  def ivfAssignStream(vecStream: DataFrame, centroids: Seq[(Long, Array[Float])]): DataFrame = {
+    val centsCol = array(centroids.sortBy(_._1).map { case (id, v) =>
+      struct(lit(id).as("cell"), typedLit(v).as("c_emb"))
+    }: _*)
+    // fold over the centroid array: strict < on floored micros keeps the
+    // EARLIEST (lowest-cell) centroid on ties — identical to the batch
+    // ORDER BY d2_micros ASC, cell ASC rank
+    vecStream
+      .withColumn("cents", centsCol)
+      .withColumn("best", expr(
+        """aggregate(
+          |  cents,
+          |  struct(CAST(-1 AS BIGINT) AS cell, CAST(NULL AS BIGINT) AS d2),
+          |  (acc, c) -> CASE WHEN acc.d2 IS NULL
+          |       OR CAST(FLOOR(1000000 * (dot_d(embedding, embedding) + dot_d(c.c_emb, c.c_emb)
+          |            - 2.0 * dot_d(embedding, c.c_emb))) AS BIGINT) < acc.d2
+          |    THEN struct(c.cell AS cell,
+          |                CAST(FLOOR(1000000 * (dot_d(embedding, embedding) + dot_d(c.c_emb, c.c_emb)
+          |                  - 2.0 * dot_d(embedding, c.c_emb))) AS BIGINT) AS d2)
+          |    ELSE acc END)""".stripMargin))
+      .select(col("vec_id"), col("best.cell").as("cell"), col("embedding"))
+  }
+
   /** Running heavy-hitter sketch over a token stream — the streaming twin
     * of `t_token_heavy`: the Misra-Gries buffer IS the aggregation state
     * (k counters, merged associatively as micro-batches arrive), so state

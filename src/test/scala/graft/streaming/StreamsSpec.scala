@@ -219,6 +219,40 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ivfAssignStream routes live vectors to the same cells as the batch assignment") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    graft.functions.GraftFunctions.registerDotD(spark)
+
+    val sf = "/root/testdata/sf0.001"
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val centroids = emb.filter(col("vec_id") < 16)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    val batch = graft.queries.VectorOps.ivfCells(emb).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cell")).toMap
+
+    val all = emb.collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val mem = MemoryStream[(Long, Array[Float])]
+    val got = scala.collection.mutable.Map.empty[Long, Long]
+    val q = Streams.ivfAssignStream(mem.toDF().toDF("vec_id", "embedding"), centroids)
+      .writeStream
+      .outputMode("append") // stateless projection: append needs no watermark
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        got.synchronized { b.collect().foreach(r => got(r.getLong(0)) = r.getLong(1)) }
+        ()
+      }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt-ivf").toString)
+      .start()
+    try {
+      val (h1, h2) = all.splitAt(all.length / 2)
+      mem.addData(h1.toIndexedSeq); q.processAllAvailable()
+      mem.addData(h2.toIndexedSeq); q.processAllAvailable()
+      assert(got.size === batch.size)
+      assert(got.toMap === batch, "stream routing diverged from the batch assignment")
+    } finally q.stop()
+  }
+
   test("tokenHeavyStream: MG bound holds over the cumulative stream at every batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
