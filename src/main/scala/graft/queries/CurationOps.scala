@@ -781,6 +781,37 @@ object CurationOps {
     """.stripMargin.trim),
   )
 
+  // ---------------------------------------------------------------------
+  // Shard writer — the sink step of the curation pipeline: materialize a
+  // packed corpus as one parquet directory per shard
+  // (`shard_id=<n>/part-*.parquet`), which is exactly the layout a
+  // training loader consumes (list the shard dirs, read them in id
+  // order) and what the cluster's writers produce without any
+  // driver-side file juggling: `partitionBy` routes rows to their shard
+  // directory, and the pre-`repartition` on the partition column means
+  // each shard is written by ONE task as ONE file — no small-file spray
+  // (the default would write up to `shuffle.partitions` fragments per
+  // shard), no global sort, no SinglePartition funnel. Docs stay
+  // id-ordered WITHIN a shard file via sortWithinPartitions, which a
+  // sequential reader of the shard observes.
+  // ---------------------------------------------------------------------
+
+  /** Write any frame carrying a `shard_id` column as one directory per
+    * shard. Returns the written row count (an action — the write runs).
+    */
+  def writeShards(packed: DataFrame, path: String): Long = {
+    val s = packed.sparkSession
+    import s.implicits._
+    packed
+      .repartition($"shard_id")
+      .sortWithinPartitions($"shard_id", $"doc_id")
+      .write
+      .mode("overwrite")
+      .partitionBy("shard_id")
+      .parquet(path)
+    s.read.parquet(path).count()
+  }
+
   val qs: Seq[Q] =
     Seq(splitAssign, sourceQuota, stratifiedSample, sampleExactK, shardPack,
       seqPack, contamination, domainMix, trainLeaks, curateCorpus,

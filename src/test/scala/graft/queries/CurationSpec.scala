@@ -263,6 +263,31 @@ class CurationSpec extends SparkSpec {
     assert(perDoc === shards.filter(_._2 > 0L), "sequence coverage drifted from the shard flagship")
   }
 
+  test("writeShards materializes one directory and one file per shard, round-trips exactly") {
+    val sf = "/root/testdata/sf0.01"
+    val packed = Catalog.queries("t_shard_pack")(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("shards").toString
+    val n = CurationOps.writeShards(packed, dir)
+    assert(n === packed.count())
+    // layout: shard_id=<n> directories, exactly one data file each
+    val shardDirs = new java.io.File(dir).listFiles().filter(_.getName.startsWith("shard_id="))
+    val expected = packed.select("shard_id").distinct().count()
+    assert(shardDirs.length.toLong === expected)
+    shardDirs.foreach { sd =>
+      val files = sd.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length === 1, s"${sd.getName} fragmented into ${files.length} files")
+    }
+    // round-trip equality (shard_id comes back as a partition column,
+    // whose type is re-INFERRED from the directory names as int — cast)
+    val back = spark.read.parquet(dir)
+      .withColumn("shard_id", org.apache.spark.sql.functions.col("shard_id").cast("long"))
+      .select("doc_id", "n_tokens", "cum_before", "shard_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val orig = packed.select("doc_id", "n_tokens", "cum_before", "shard_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(back === orig)
+  }
+
   test("t_shard_pack plans as a distributed prefix sum: no single-partition stage") {
     val formatted = Catalog.queries("t_shard_pack")(spark, "/root/testdata/sf0.01")
       .queryExecution.explainString(ExplainMode.fromString("formatted"))
