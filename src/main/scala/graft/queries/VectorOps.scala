@@ -1104,6 +1104,88 @@ object VectorOps {
     """.stripMargin.trim),
   )
 
+  /** Nearest-centroid assignment against an EXPLICIT centroid set — the
+    * parameterized core [[ivfCells]] specializes with its first-nCells
+    * convention. Same floored-micros distance + lowest-cell tiebreak.
+    */
+  private[graft] def ivfCellsWith(
+      emb: DataFrame,
+      centroids: Seq[(Long, Array[Float])]): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val cents = centroids.toDF("cell", "c_emb")
+    val wAssign = Window.partitionBy($"vec_id").orderBy($"d2_micros".asc, $"cell".asc)
+    emb
+      .join(broadcast(cents))
+      .withColumn(
+        "d2_micros",
+        micros(dotd("embedding", "embedding") + dotd("c_emb", "c_emb")
+          - lit(2.0) * dotd("embedding", "c_emb")))
+      .withColumn("rk", row_number().over(wAssign))
+      .filter($"rk" === 1)
+      .select($"vec_id", $"cell", $"embedding")
+  }
+
+  /** Multi-step Lloyd trainer — the driver loop that turns
+    * [[kmeansStepOn]]'s single iteration into usable IVF centroids:
+    * assign → per-(cell, dim) integer-micros means → new centroids,
+    * repeated `steps` times. Per-step driver traffic is the nCells x dim
+    * mean table (the sanctioned O(cells x dim) hand-off — 1,024 rows at
+    * the catalog's 16 x 64); the corpus itself only ever flows through
+    * the broadcast-centroid assignment scan and one keyed partial-agg
+    * shuffle per step, identical to the v_kmeans_step plan.
+    *
+    * Determinism: every mean is floor(sum(floor(1e6 x)) / n) — the same
+    * order-independent fixed-point arithmetic as the catalog row, so a
+    * re-run (or a different partitioning) trains bit-identical centroids.
+    * Step 1 against the untouched corpus equals `v_kmeans_step`'s
+    * published `c_new_micros` exactly (KmeansTrainSpec pins this).
+    *
+    * Returns the trained centroids plus the max component shift (micros)
+    * per step — the convergence signal a caller thresholds.
+    */
+  def kmeansTrain(
+      emb: DataFrame,
+      steps: Int): (Seq[(Long, Array[Float])], Seq[Long]) = {
+    val s = emb.sparkSession
+    import s.implicits._
+    graft.functions.GraftFunctions.registerDotD(s)
+    var cents: Seq[(Long, Array[Float])] = emb.filter($"vec_id" < nCells)
+      .select($"vec_id", $"embedding")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1).toSeq
+    val shifts = scala.collection.mutable.ArrayBuffer.empty[Long]
+    for (_ <- 1 to steps) {
+      val means = ivfCellsWith(emb, cents)
+        .select($"cell", posexplode($"embedding").as(Seq("d0", "x")))
+        .select($"cell", $"d0",
+          floor(lit(1e6) * $"x".cast("double")).cast("long").as("x_micros"))
+        .groupBy($"cell", $"d0")
+        .agg(count(lit(1)).as("n"), sum($"x_micros").as("s"))
+        .withColumn("m", floor($"s" * lit(1.0) / $"n").cast("long"))
+        .select($"cell", $"d0", $"m")
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      val next = cents.map { case (cell, old) =>
+        val byDim = means.collect { case (c, d0, m) if c == cell => d0 -> m }.toMap
+        // a cell that lost every member keeps its centroid (can't happen
+        // while centroids are member vectors, but explicit > implicit)
+        val v = Array.tabulate(old.length)(d0 =>
+          byDim.get(d0).map(_ / 1e6).getOrElse(old(d0).toDouble))
+        (cell, v.map(_.toFloat))
+      }
+      val shift = cents.zip(next).map { case ((_, a), (_, b)) =>
+        a.zip(b).map { case (x, y) =>
+          math.abs(math.floor(1e6 * x) - math.floor(1e6 * y)).toLong
+        }.max
+      }.max
+      shifts += shift
+      cents = next
+    }
+    (cents, shifts.toSeq)
+  }
+
   val qs: Seq[Q] = Seq(
     normStats,
     knnBrute,
