@@ -2068,6 +2068,167 @@ object TextOps {
     """.stripMargin.trim),
   )
 
+  // ---------------------------------------------------------------------
+  // Token-window chunking — documents → fixed-size training sequences,
+  // the projection between a cleaned corpus and a tokenizer: overlapping
+  // windows of `chunkSize` tokens advancing by `chunkStride` (the
+  // trailing window keeps whatever remains, so every token lands in at
+  // least one chunk and boundary context is preserved by the overlap).
+  // Chunk identity is (doc_id, chunk_id) with chunk_id derived from the
+  // window start — stable under re-runs and corpus growth, never a
+  // row-position.
+  //
+  // 100 TB shape: a pure per-row projection + explode (the chunk fan-out
+  // any chunker pays — output ~ corpus x size/stride), zero shuffles;
+  // chains into t_seq_pack (chunk rows -> fixed-length packed sequences)
+  // or t_dedup_para-style chunk-grain dedup without re-tokenizing.
+  // ---------------------------------------------------------------------
+
+  private val chunkSize = 32
+  private val chunkStride = 24
+
+  /** The operator core over any (doc_id, text) frame — exposed for the
+    * planted-boundary spec and the streaming twin (chunking is stateless,
+    * so the exact same projection serves `readStream` unchanged).
+    */
+  private[queries] def chunksOf(docsDf: DataFrame): DataFrame = {
+    val s = docsDf.sparkSession
+    import s.implicits._
+    docsDf
+      .withColumn("tk", toks)
+      .filter(size($"tk") > 0)
+      .select($"doc_id", $"tk",
+        explode(expr(s"sequence(1, size(tk), $chunkStride)")).as("start"))
+      .select(
+        $"doc_id",
+        expr(s"CAST((start - 1) div $chunkStride AS BIGINT)").as("chunk_id"),
+        expr(s"slice(tk, start, $chunkSize)").as("ck"))
+      .select(
+        $"doc_id", $"chunk_id",
+        size($"ck").cast("long").as("n_chunk_tokens"),
+        md5(concat_ws(" ", $"ck")).as("chunk_hash"))
+  }
+
+  val chunk = Q(
+    "t_chunk",
+    (s, d) => chunksOf(docs(s, d).select(col("doc_id"), col("text"))),
+    Some(s"""
+      WITH t AS (SELECT doc_id, $oracleToks AS tk FROM documents),
+      nz AS (SELECT doc_id, tk FROM t WHERE len(tk) > 0),
+      st AS (SELECT doc_id, tk,
+                    unnest(generate_series(1, len(tk), $chunkStride)) AS start
+             FROM nz)
+      SELECT doc_id,
+             CAST((start - 1) // $chunkStride AS BIGINT) AS chunk_id,
+             CAST(len(tk[start:start+${chunkSize - 1}]) AS BIGINT) AS n_chunk_tokens,
+             md5(array_to_string(tk[start:start+${chunkSize - 1}], ' ')) AS chunk_hash
+      FROM st
+    """.stripMargin.trim),
+  )
+
+  // ---------------------------------------------------------------------
+  // DSIR-style importance weighting — rank every raw document by how
+  // much its hashed-unigram profile looks like a TARGET domain (Xie et
+  // al. 2023, "Data Selection for Language Models via Importance
+  // Resampling"): tokens hash into a fixed bucket space, the target and
+  // raw corpora each induce a smoothed bucket distribution, and a
+  // document's weight is its mean per-token likelihood ratio
+  //   r(b) = p_target(b) / p_raw(b)    (add-one smoothing both sides).
+  // DSIR's log-importance weight Σ log r is replaced by the mean ratio
+  // Σ r / n — the same substitution t_collocations makes for PMI: log is
+  // transcendental (last-ulp drift between JVM and DuckDB libm breaks
+  // hash-gating) while the ratio form uses only IEEE-exact +,*,/ on
+  // exactly-represented integers, and ranks "target-like" documents the
+  // same direction. The fixed bucket space (not per-token vocab) is the
+  // paper's own trick and the scale story: the model is B rows, period.
+  //
+  // 100 TB shape: one token-bucket agg (B=256 rows out of a corpus-sized
+  // stream, partial-agg'd map-side), a one-row totals scalar crossed on
+  // via the sanctioned tiny-side BNLJ (CatalogPlanGuardSpec), the B-row
+  // score table broadcast onto the token stream (map-side join, no
+  // shuffle of the corpus), and one doc-keyed agg. The 1e6-scaled ratio
+  // products stay far inside int64 here; production widens the two
+  // divisions to DECIMAL(38,9) — same plan (t_unigram_lm's note).
+  // ---------------------------------------------------------------------
+
+  private val dsirBuckets = 256
+  private[queries] val dsirTargetSources: Seq[String] = Seq("src1", "src2")
+
+  /** The operator core over any (doc_id, text) frame plus a target-set
+    * predicate — exposed so the spec can drive a planted target/raw
+    * corpus with known bucket collisions through the real plan.
+    */
+  private[queries] def dsirWeightsOn(docsDf: DataFrame, isTarget: Column): DataFrame = {
+    val s = docsDf.sparkSession
+    import s.implicits._
+    val tokRows = docsDf
+      .select($"doc_id", isTarget.as("is_target"), explode(toks).as("token"))
+      .withColumn("bucket", h60($"token") % dsirBuckets)
+    val perBucket = tokRows
+      .groupBy($"bucket")
+      .agg(
+        count(lit(1)).cast("long").as("c_r"),
+        sum(when($"is_target", 1L).otherwise(0L)).cast("long").as("c_t"))
+    val totals = perBucket.agg(
+      sum($"c_r").cast("long").as("n_r"),
+      sum($"c_t").cast("long").as("n_t"))
+    val scores = perBucket
+      .crossJoin(broadcast(totals))
+      .select(
+        $"bucket",
+        expr(s"""CAST(FLOOR(1000000 * ((c_t + 1.0) / (n_t + $dsirBuckets))
+                 / ((c_r + 1.0) / (n_r + $dsirBuckets))) AS BIGINT)""").as("r_ppm"))
+    tokRows
+      .join(broadcast(scores), "bucket")
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).cast("long").as("n_toks"),
+        sum($"r_ppm").cast("long").as("sum_ppm"))
+      .select($"doc_id", $"n_toks", $"sum_ppm",
+        expr("sum_ppm div n_toks").as("dsir_ppm"))
+  }
+
+  val dsirWeight = Q(
+    "t_dsir_weight",
+    (s, d) => {
+      import s.implicits._
+      // one fanned scan carrying source along — never a corpus self-join
+      // to re-attach metadata (same economics as fannedDocs, one pass)
+      dsirWeightsOn(
+        fanOutCpu(docs(s, d).select($"doc_id", $"text", $"source")),
+        col("source").isin(dsirTargetSources: _*))
+    },
+    Some {
+      val targets = dsirTargetSources.map(x => s"'$x'").mkString(", ")
+      s"""
+      WITH tok AS (
+        SELECT doc_id, source IN ($targets) AS is_target,
+               unnest($oracleToks) AS token
+        FROM documents),
+      tb AS (
+        SELECT doc_id, is_target,
+               ('0x' || substr(md5(token), 1, 15))::UBIGINT::BIGINT % $dsirBuckets AS bucket
+        FROM tok),
+      pb AS (
+        SELECT bucket, CAST(COUNT(*) AS BIGINT) AS c_r,
+               CAST(SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS c_t
+        FROM tb GROUP BY 1),
+      tot AS (SELECT CAST(SUM(c_r) AS BIGINT) AS n_r,
+                     CAST(SUM(c_t) AS BIGINT) AS n_t FROM pb),
+      sc AS (
+        SELECT bucket,
+               CAST(FLOOR(1000000 * ((c_t + 1.0) / (n_t + $dsirBuckets))
+                 / ((c_r + 1.0) / (n_r + $dsirBuckets))) AS BIGINT) AS r_ppm
+        FROM pb, tot)
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks,
+             CAST(SUM(r_ppm) AS BIGINT) AS sum_ppm,
+             CAST(SUM(r_ppm) // COUNT(*) AS BIGINT) AS dsir_ppm
+      FROM tb JOIN sc USING (bucket)
+      GROUP BY doc_id
+    """.stripMargin.trim
+    },
+  )
+
   val qs: Seq[Q] = Seq(
     textStats,
     tokenTopK,
@@ -2098,5 +2259,7 @@ object TextOps {
     unigramLm,
     boilerplate,
     collocations,
+    chunk,
+    dsirWeight,
   )
 }

@@ -1186,6 +1186,69 @@ object VectorOps {
     (cents, shifts.toSeq)
   }
 
+  // ---------------------------------------------------------------------
+  // Cluster-balanced sampling — the embedding-space diversity pass
+  // (DataComp/MetaCLIP-style balancing): web-scale corpora are dominated
+  // by a few dense clusters (boilerplate templates, one over-crawled
+  // topic); capping every cluster's contribution at `balanceCap`
+  // expected members flattens that head while keeping tail clusters
+  // whole. Membership = the pack's IVF cell assignment; the keep
+  // decision is a DETERMINISTIC hash gate at rate min(1, cap/|cell|) —
+  // the stable-id sampling rule t_stratified_sample pins (re-runs and
+  // corpus growth never flip an existing vector's verdict, rand() would).
+  //
+  // 100 TB shape: one broadcast-centroid assignment pass over the
+  // vectors, a |cells|-row size agg broadcast back, and a per-row hash
+  // gate — the corpus is never shuffled. Emits verdict rows (not just
+  // survivors) so the same frame audits the rates.
+  // ---------------------------------------------------------------------
+
+  private val balanceCap = 24
+
+  /** The operator core over any (vec_id, embedding) frame — exposed so
+    * the spec can plant skewed/tiny cells and check rates + determinism.
+    */
+  private[queries] def clusterBalanceOn(emb: DataFrame): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val assigned = ivfCells(emb).select($"vec_id", $"cell")
+    val sizes = assigned.groupBy($"cell").agg(count(lit(1)).cast("long").as("n_c"))
+    assigned
+      .join(broadcast(sizes), "cell")
+      .withColumn("rate_ppm",
+        expr(s"CAST(least(1000000, (1000000 * $balanceCap) div n_c) AS BIGINT)"))
+      .withColumn("bucket",
+        TextOps.h60(concat($"vec_id".cast("string"), lit(":cb"))) % 1000000L)
+      .select($"vec_id", $"cell", $"n_c", $"rate_ppm",
+        ($"bucket" < $"rate_ppm").as("is_kept"))
+  }
+
+  val clusterBalance = Q(
+    "v_cluster_balance",
+    (s, d) => clusterBalanceOn(vecs(s, d)),
+    Some(s"""
+      WITH cents AS (SELECT vec_id AS cell, embedding AS c_emb FROM embeddings
+                     WHERE vec_id < $nCells),
+      dists AS (
+        SELECT v.vec_id, c.cell,
+               CAST(FLOOR(1e6 * (${oDot("v.embedding", "v.embedding")} + ${oDot("c.c_emb", "c.c_emb")}
+                 - 2.0 * ${oDot("v.embedding", "c.c_emb")})) AS BIGINT) AS d2_micros
+        FROM embeddings v CROSS JOIN cents c),
+      assigned AS (
+        SELECT vec_id, cell FROM (
+          SELECT vec_id, cell,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2_micros ASC, cell ASC) AS rk
+          FROM dists) WHERE rk = 1),
+      sizes AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_c FROM assigned GROUP BY 1)
+      SELECT a.vec_id, a.cell, s.n_c,
+             CAST(LEAST(1000000, (1000000 * $balanceCap) // s.n_c) AS BIGINT) AS rate_ppm,
+             (('0x' || substr(md5(CAST(a.vec_id AS VARCHAR) || ':cb'), 1, 15))::UBIGINT::BIGINT
+               % 1000000)
+               < CAST(LEAST(1000000, (1000000 * $balanceCap) // s.n_c) AS BIGINT) AS is_kept
+      FROM assigned a JOIN sizes s USING (cell)
+    """.stripMargin.trim),
+  )
+
   val qs: Seq[Q] = Seq(
     normStats,
     knnBrute,
@@ -1202,5 +1265,6 @@ object VectorOps {
     kmeansStep,
     dedupMultimodal,
     deltaSemantic,
+    clusterBalance,
   )
 }
