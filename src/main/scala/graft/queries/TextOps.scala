@@ -2091,7 +2091,7 @@ object TextOps {
     * planted-boundary spec and the streaming twin (chunking is stateless,
     * so the exact same projection serves `readStream` unchanged).
     */
-  private[queries] def chunksOf(docsDf: DataFrame): DataFrame = {
+  private[graft] def chunksOf(docsDf: DataFrame): DataFrame = {
     val s = docsDf.sparkSession
     import s.implicits._
     docsDf
@@ -2154,11 +2154,13 @@ object TextOps {
   private val dsirBuckets = 256
   private[queries] val dsirTargetSources: Seq[String] = Seq("src1", "src2")
 
-  /** The operator core over any (doc_id, text) frame plus a target-set
-    * predicate — exposed so the spec can drive a planted target/raw
-    * corpus with known bucket collisions through the real plan.
+  /** (token rows, per-bucket score table, totals) for a corpus + target
+    * predicate — the shared trunk of the batch query and the frozen-model
+    * export ([[dsirModelOf]]).
     */
-  private[queries] def dsirWeightsOn(docsDf: DataFrame, isTarget: Column): DataFrame = {
+  private def dsirParts(
+      docsDf: DataFrame,
+      isTarget: Column): (DataFrame, DataFrame, DataFrame) = {
     val s = docsDf.sparkSession
     import s.implicits._
     val tokRows = docsDf
@@ -2178,6 +2180,17 @@ object TextOps {
         $"bucket",
         expr(s"""CAST(FLOOR(1000000 * ((c_t + 1.0) / (n_t + $dsirBuckets))
                  / ((c_r + 1.0) / (n_r + $dsirBuckets))) AS BIGINT)""").as("r_ppm"))
+    (tokRows, scores, totals)
+  }
+
+  /** The operator core over any (doc_id, text) frame plus a target-set
+    * predicate — exposed so the spec can drive a planted target/raw
+    * corpus with known bucket collisions through the real plan.
+    */
+  private[graft] def dsirWeightsOn(docsDf: DataFrame, isTarget: Column): DataFrame = {
+    val s = docsDf.sparkSession
+    import s.implicits._
+    val (tokRows, scores, _) = dsirParts(docsDf, isTarget)
     tokRows
       .join(broadcast(scores), "bucket")
       .groupBy($"doc_id")
@@ -2185,6 +2198,53 @@ object TextOps {
         count(lit(1)).cast("long").as("n_toks"),
         sum($"r_ppm").cast("long").as("sum_ppm"))
       .select($"doc_id", $"n_toks", $"sum_ppm",
+        expr("sum_ppm div n_toks").as("dsir_ppm"))
+  }
+
+  /** Export the FROZEN importance model a deployment scores new data
+    * with: the per-bucket ratio table plus the unseen-bucket default
+    * (the smoothed ratio at c_t = c_r = 0). The hand-off is O(B) rows —
+    * the model is 256 longs by construction, never vocabulary-sized —
+    * so collecting it to the driver is the sanctioned tiny-literal
+    * class (same as ivfAssignStream's centroid hand-off).
+    */
+  private[graft] def dsirModelOf(
+      docsDf: DataFrame,
+      isTarget: Column): (Seq[(Long, Long)], Long) = {
+    val (_, scores, totals) = dsirParts(docsDf, isTarget)
+    val model = scores.collect()
+      .map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("r_ppm"))).toSeq
+    val t = totals.collect().head
+    val (nR, nT) = (t.getAs[Long]("n_r"), t.getAs[Long]("n_t"))
+    val default = math.floor(1000000 * (1.0 / (nT + dsirBuckets))
+      / (1.0 / (nR + dsirBuckets))).toLong
+    (model, default)
+  }
+
+  /** Score any (doc_id, text) frame against a frozen [[dsirModelOf]]
+    * model as a PURE per-row projection (map-literal lookup + fold) —
+    * no shuffle, no state, so the identical column works on a stream
+    * ([[graft.streaming.Streams.dsirScoreStream]]) and in batch. Output
+    * schema matches [[dsirWeightsOn]].
+    */
+  private[graft] def dsirScoreWith(
+      docsDf: DataFrame,
+      model: Seq[(Long, Long)],
+      defaultPpm: Long): DataFrame = {
+    val mdl = map(model.sortBy(_._1).flatMap { case (b, r) =>
+      Seq(lit(b), lit(r))
+    }: _*)
+    docsDf
+      .withColumn("tk", toks)
+      .filter(size(col("tk")) > 0)
+      .withColumn("mdl", mdl)
+      .withColumn("n_toks", size(col("tk")).cast("long"))
+      .withColumn("sum_ppm", expr(
+        s"""aggregate(tk, CAST(0 AS BIGINT), (acc, t) ->
+           |  acc + coalesce(
+           |    mdl[CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT) % $dsirBuckets],
+           |    CAST($defaultPpm AS BIGINT)))""".stripMargin))
+      .select(col("doc_id"), col("n_toks"), col("sum_ppm"),
         expr("sum_ppm div n_toks").as("dsir_ppm"))
   }
 

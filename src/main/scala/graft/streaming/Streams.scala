@@ -384,6 +384,34 @@ object Streams {
   def piiScrubStream(docs: DataFrame): DataFrame =
     graft.queries.TextOps.piiScrubOn(docs)
 
+  /** Streaming token-window chunking (the ingest-time twin of batch
+    * `t_chunk`): chunking is a stateless per-row projection + explode,
+    * so the BATCH operator core runs unchanged on a stream — append
+    * mode, no watermark, no state. This is the ingest shape of a
+    * training-data pipeline that chunks on arrival and ships chunk
+    * records to the packer. Input must carry `doc_id` and `text`.
+    */
+  def chunkStream(docs: DataFrame): DataFrame =
+    graft.queries.TextOps.chunksOf(docs)
+
+  /** Streaming DSIR scoring (the deployment half of batch
+    * `t_dsir_weight`): new documents are scored against a FROZEN
+    * importance model — the O(256)-entry bucket-ratio table
+    * `TextOps.dsirModelOf` exports from the batch fit — folded into the
+    * plan as a map literal, so scoring is a pure per-row lookup+fold:
+    * append mode, no state, no shuffle. Retraining stays a periodic
+    * batch job by design (the model needs corpus-global counts), the
+    * same fit-offline / score-online split every production importance
+    * sampler uses; `defaultPpm` prices tokens from buckets the fit
+    * never saw (the smoothed ratio at zero counts).
+    */
+  def dsirScoreStream(
+      docs: DataFrame,
+      model: Seq[(Long, Long)],
+      defaultPpm: Long,
+  ): DataFrame =
+    graft.queries.TextOps.dsirScoreWith(docs, model, defaultPpm)
+
   /** Streaming half of incremental ingest dedup (batch whole:
     * `t_delta_dedup`): the arriving delta batch is deduplicated against
     * the STATIC base-corpus index — the persistent distinct-content-hash
