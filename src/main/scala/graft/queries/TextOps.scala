@@ -2289,6 +2289,75 @@ object TextOps {
     },
   )
 
+  // ---------------------------------------------------------------------
+  // Bigram-LM document scoring — the fidelity step above t_unigram_lm:
+  // score each document by its mean bigram conditional probability under
+  // the corpus's own MLE bigram model,
+  //   p(b|a) = cnt(a b) / ctx(a),  ctx(a) = Σ_b cnt(a b)
+  // (so p sums to 1 per context), integer-scaled per bigram BEFORE the
+  // per-doc sum (floor(1e6·p) per bigram, then an exact integer mean) —
+  // the same cross-engine determinism rule as t_unigram_lm, and the same
+  // production widening note (1e6·cnt near int64 at true corpus scale →
+  // DECIMAL(38,0), same plan). What the extra order buys: a bag of
+  // common words in scrambled order scores HIGH under a unigram model
+  // and LOW here — the word-salad/SEO-spam discriminator a real quality
+  // pipeline layers on top of unigram perplexity (the spec plants
+  // exactly that corpus). Documents under 2 tokens have no bigrams and
+  // emit nothing, mirrored in the oracle.
+  //
+  // 100 TB shape: one bigram-keyed count shuffle (the model), a
+  // |model|-input context agg (head-keyed, input is the MODEL not the
+  // corpus), a head-keyed model-to-context equi-join and a bigram-keyed
+  // join back to the bigram stream — both vocabulary-scale, so NO
+  // broadcast hints (AQE decides) — then one doc-keyed agg.
+  // ---------------------------------------------------------------------
+
+  /** The operator core over any (doc_id, text) frame — exposed for the
+    * planted fluent-vs-scrambled spec.
+    */
+  private[graft] def bigramLmOn(docsDf: DataFrame): DataFrame = {
+    val s = docsDf.sparkSession
+    import s.implicits._
+    val bg = docsDf
+      .withColumn("tk", toks)
+      .filter(size($"tk") >= 2)
+      .select($"doc_id", explode(bigramsOfTk).as("bg"))
+    val bgCnt = bg.groupBy($"bg").agg(count(lit(1)).cast("long").as("cnt_ab"))
+    val ctx = bgCnt
+      .groupBy(substring_index($"bg", " ", 1).as("a"))
+      .agg(sum($"cnt_ab").cast("long").as("ctx_a"))
+    val scored = bgCnt
+      .join(ctx, substring_index($"bg", " ", 1) === $"a")
+      .select($"bg", expr("(1000000 * cnt_ab) div ctx_a").as("p_ppm"))
+    bg.join(scored, "bg")
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).cast("long").as("n_bigrams"),
+        sum($"p_ppm").cast("long").as("sum_ppm"))
+      .select($"doc_id", $"n_bigrams", $"sum_ppm",
+        expr("sum_ppm div n_bigrams").as("bigram_ppm"))
+  }
+
+  val bigramLm = Q(
+    "t_bigram_lm",
+    (s, d) => bigramLmOn(fannedDocs(s, d)),
+    Some(s"""
+      WITH t AS (SELECT doc_id, $oracleToks AS tk FROM documents),
+      d2 AS (SELECT doc_id, tk FROM t WHERE len(tk) >= 2),
+      bgr AS (SELECT doc_id, unnest($oracleBigramsOfTk) AS bg FROM d2),
+      bc AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS cnt_ab FROM bgr GROUP BY 1),
+      cc AS (SELECT split_part(bg, ' ', 1) AS a, CAST(SUM(cnt_ab) AS BIGINT) AS ctx_a
+             FROM bc GROUP BY 1),
+      sc AS (SELECT bg, CAST((1000000 * cnt_ab) // ctx_a AS BIGINT) AS p_ppm
+             FROM bc JOIN cc ON split_part(bc.bg, ' ', 1) = cc.a)
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             CAST(SUM(p_ppm) AS BIGINT) AS sum_ppm,
+             CAST(SUM(p_ppm) // COUNT(*) AS BIGINT) AS bigram_ppm
+      FROM bgr JOIN sc USING (bg)
+      GROUP BY doc_id
+    """.stripMargin.trim),
+  )
+
   val qs: Seq[Q] = Seq(
     textStats,
     tokenTopK,
@@ -2321,5 +2390,6 @@ object TextOps {
     collocations,
     chunk,
     dsirWeight,
+    bigramLm,
   )
 }
