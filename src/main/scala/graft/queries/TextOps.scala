@@ -2358,6 +2358,170 @@ object TextOps {
     """.stripMargin.trim),
   )
 
+  // ---------------------------------------------------------------------
+  // BPE tokenizer induction — the real merge-learning loop (Sennrich et
+  // al. 2016) behind t_token_bpe's regex pre-tokenizer: learn `nMerges`
+  // byte-pair merges from the corpus, then encode text with the trained
+  // table. The trainer is the engine's third driver-loop iterative op
+  // (CC, kmeansTrain, this), and the scale shape is what makes
+  // distributed BPE viable:
+  //
+  //  - ALL rounds run over the VOCABULARY table (one row per distinct
+  //    word with its corpus frequency), never the corpus — the corpus is
+  //    touched exactly once, by the word-count shuffle. A web-scale
+  //    corpus has ~1e8 distinct words vs ~1e13 running words; this is
+  //    the 1e5x reduction every production BPE trainer (HF tokenizers,
+  //    SentencePiece) exploits, expressed as one groupBy.
+  //  - per round: one pair-explode + keyed agg over the vocab, a top-1
+  //    TakeOrderedAndProject, and a per-row fold rewriting the chosen
+  //    pair — O(1) rows to the driver per round (the argmax pair).
+  //  - lineage is truncated per round (localCheckpoint, same as the CC
+  //    loop) so `nMerges` rounds never stack into one giant plan.
+  //
+  // Pair weights count adjacent POSITIONS (the reference algorithm's
+  // zip-with-tail), ties break (weight desc, p1, p2) — deterministic, so
+  // re-runs train the identical merge table. BpeTrainSpec pins the loop
+  // against an independent in-test reference implementation on the
+  // classic low/lower/newest/widest corpus.
+  // ---------------------------------------------------------------------
+
+  /** Learn `nMerges` BPE merges from a (doc_id, text) frame. Returns the
+    * ordered merge table — merge rank = position in the list.
+    */
+  def bpeTrain(docsDf: DataFrame, nMerges: Int): Seq[(String, String)] = {
+    val s = docsDf.sparkSession
+    import s.implicits._
+    var vocab = docsDf
+      .select(explode(toks).as("word"))
+      .groupBy($"word")
+      .agg(count(lit(1)).cast("long").as("cnt"))
+      .withColumn("syms",
+        expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+      .select($"word", $"cnt", $"syms")
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var exhausted = false
+    while (!exhausted && merges.length < nMerges) {
+      val top = vocab
+        .filter(size($"syms") >= 2)
+        .select($"cnt", explode(expr(
+          """transform(sequence(1, size(syms) - 1),
+            |  i -> struct(element_at(syms, i) AS p1, element_at(syms, i + 1) AS p2))"""
+            .stripMargin)).as("pr"))
+        .groupBy($"pr.p1".as("p1"), $"pr.p2".as("p2"))
+        .agg(sum($"cnt").as("w"))
+        .orderBy($"w".desc, $"p1", $"p2")
+        .limit(1)
+        .collect()
+      if (top.isEmpty) exhausted = true // every word fully merged
+      else {
+        val (a, b) = (top.head.getAs[String]("p1"), top.head.getAs[String]("p2"))
+        merges += ((a, b))
+        // the pair rides in as a one-row broadcast (no literal escaping
+        // hazards); the fold is the standard greedy left-to-right merge
+        val pair = Seq((a, b, a + b)).toDF("mp_a", "mp_b", "mp_m")
+        val next = vocab
+          .crossJoin(broadcast(pair))
+          .withColumn("syms", expr(
+            """aggregate(syms, CAST(array() AS array<string>),
+              |  (acc, x) -> CASE
+              |    WHEN size(acc) > 0 AND element_at(acc, -1) = mp_a AND x = mp_b
+              |    THEN concat(slice(acc, 1, size(acc) - 1), array(mp_m))
+              |    ELSE concat(acc, array(x)) END)""".stripMargin))
+          .select($"word", $"cnt", $"syms")
+          .localCheckpoint(true)
+        vocab.unpersist()
+        vocab = next
+      }
+    }
+    vocab.unpersist()
+    merges.toSeq
+  }
+
+  /** The trainer's round-1 argmax as an oracled catalog query: the
+    * highest-weight adjacent character pair over the word-frequency
+    * table, tie-broken (weight desc, p1, p2) — exactly the first row
+    * [[bpeTrain]] would merge, so the loop's selection rule is pinned
+    * cross-engine the way v_kmeans_step pins one Lloyd iteration.
+    */
+  val bpeTopPair = Q(
+    "t_bpe_top_pair",
+    (s, d) => {
+      import s.implicits._
+      docs(s, d)
+        .select(explode(toks).as("word"))
+        .groupBy($"word")
+        .agg(count(lit(1)).cast("long").as("cnt"))
+        .filter(length($"word") >= 2)
+        .select($"cnt", explode(expr(
+          """transform(sequence(1, length(word) - 1),
+            |  i -> struct(substring(word, i, 1) AS p1, substring(word, i + 1, 1) AS p2))"""
+            .stripMargin)).as("pr"))
+        .groupBy($"pr.p1".as("p1"), $"pr.p2".as("p2"))
+        .agg(sum($"cnt").cast("long").as("w"))
+        .orderBy($"w".desc, $"p1", $"p2")
+        .limit(1)
+    },
+    Some(s"""
+      WITH tok AS (SELECT unnest($oracleToks) AS word FROM documents),
+      wc AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY 1),
+      pr AS (SELECT substr(word, i, 1) AS p1, substr(word, i + 1, 1) AS p2, cnt
+             FROM (SELECT word, cnt, unnest(generate_series(1, len(word) - 1)) AS i
+                   FROM wc WHERE len(word) >= 2)),
+      agg AS (SELECT p1, p2, CAST(SUM(cnt) AS BIGINT) AS w FROM pr GROUP BY 1, 2)
+      SELECT p1, p2, w FROM agg ORDER BY w DESC, p1, p2 LIMIT 1
+    """.stripMargin.trim),
+  )
+
+  /** Encode a (doc_id, text) frame with a trained merge table: per word,
+    * repeatedly merge the lowest-rank adjacent pair until none applies —
+    * the standard BPE encode. This is genuine per-partition imperative
+    * logic (the merge cascade is data-dependent and unbounded-depth, so
+    * neither a fixed expression tree nor a join expresses it) — the
+    * sanctioned `mapPartitions` class: the merge table broadcasts as
+    * O(nMerges) ranks, encoding is per-row CPU with a per-partition word
+    * cache (Zipf re-use: most running words repeat), zero shuffles.
+    * Output: (doc_id, bpe_tokens array<string>); `concat_ws('', tokens)`
+    * of each word is the word itself (round-trip, spec-pinned).
+    */
+  def bpeEncode(docsDf: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val s = docsDf.sparkSession
+    import s.implicits._
+    val ranks = merges.zipWithIndex.toMap
+    val bcRanks = s.sparkContext.broadcast(ranks)
+    docsDf
+      .select($"doc_id", toks.as("tk"))
+      .as[(Long, Seq[String])]
+      .mapPartitions { it =>
+        val rk = bcRanks.value
+        val cache = scala.collection.mutable.HashMap.empty[String, Seq[String]]
+        def encodeWord(w: String): Seq[String] =
+          cache.getOrElseUpdate(w, {
+            var syms = w.map(_.toString).toVector
+            var done = false
+            while (!done && syms.length >= 2) {
+              val best = syms.zip(syms.tail).flatMap(p => rk.get(p).map(p -> _))
+                .sortBy(_._2).headOption
+              best match {
+                case None => done = true
+                case Some(((a, b), _)) =>
+                  val out = Vector.newBuilder[String]
+                  var i = 0
+                  while (i < syms.length) {
+                    if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+                      out += (a + b); i += 2
+                    } else { out += syms(i); i += 1 }
+                  }
+                  syms = out.result()
+              }
+            }
+            syms
+          })
+        it.map { case (id, tk) => (id, tk.flatMap(encodeWord)) }
+      }
+      .toDF("doc_id", "bpe_tokens")
+  }
+
   val qs: Seq[Q] = Seq(
     textStats,
     tokenTopK,
@@ -2391,5 +2555,6 @@ object TextOps {
     chunk,
     dsirWeight,
     bigramLm,
+    bpeTopPair,
   )
 }

@@ -1,0 +1,98 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** The BPE trainer against an independent in-test reference implementation
+  * (same algorithm, plain Scala collections) on the classic
+  * low/lower/newest/widest corpus, plus the encode round-trip and
+  * rank-priority invariants.
+  */
+class BpeTrainSpec extends SparkSpec {
+
+  /** Reference BPE learner: position-pair counts, tie-break
+    * (weight desc, p1, p2), greedy left-to-right merge.
+    */
+  private def refBpe(words: Map[String, Long], n: Int): Seq[(String, String)] = {
+    var vocab: Map[Vector[String], Long] =
+      words.map { case (w, c) => (w.map(_.toString).toVector, c) }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var stop = false
+    while (!stop && out.length < n) {
+      val pairs = vocab.toSeq
+        .flatMap { case (syms, c) => syms.zip(syms.tail).map(_ -> c) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+      if (pairs.isEmpty) stop = true
+      else {
+        val ((a, b), _) = pairs.minBy { case ((x, y), w) => (-w, x, y) }
+        out += ((a, b))
+        vocab = vocab.map { case (syms, c) =>
+          val nb = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+              nb += (a + b); i += 2
+            } else { nb += syms(i); i += 1 }
+          }
+          (nb.result(), c)
+        }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap // merged words can collide
+      }
+    }
+    out.toSeq
+  }
+
+  private val corpusWords =
+    Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+
+  test("distributed trainer learns the reference merge table") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    // the words arrive scattered across documents — grouping is the op's job
+    val docsIn = rnd.shuffle(corpusWords).grouped(3).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toSeq
+    val df = docsIn.toDF("doc_id", "text")
+    val wordCounts = corpusWords.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val expected = refBpe(wordCounts, 10)
+    val got = TextOps.bpeTrain(df, 10)
+    assert(got === expected)
+    // the classic corpus's famous first merges include ('e','s') and
+    // ('es','t') — sanity that we're learning the suffix structure
+    assert(got.contains(("e", "s")) && got.contains(("es", "t")))
+  }
+
+  test("trainer is deterministic and exhausts gracefully") {
+    import spark.implicits._
+    val df = Seq((1L, "ab ab ba")).toDF("doc_id", "text")
+    val a = TextOps.bpeTrain(df, 50)
+    val b = TextOps.bpeTrain(df, 50)
+    assert(a === b)
+    // 2-char words: one merge each possible, then every word is a single
+    // symbol — the loop must stop well short of 50
+    assert(a.length <= 2 && a.nonEmpty)
+  }
+
+  test("encode applies merges by rank and round-trips the text") {
+    import spark.implicits._
+    val train = corpusWords.grouped(4).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toSeq
+      .toDF("doc_id", "text")
+    val merges = TextOps.bpeTrain(train, 10)
+    val docsIn = Seq(
+      (1L, "lowest newest low"), // 'lowest' unseen: shares learned subwords
+      (2L, "zzz"),               // fully novel: stays characters
+    )
+    val out = TextOps.bpeEncode(docsIn.toDF("doc_id", "text"), merges)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getSeq[String](1))
+      .toMap
+    // round-trip: concatenating tokens reproduces the whitespace-stripped text
+    docsIn.foreach { case (id, text) =>
+      assert(out(id).mkString === text.replace(" ", ""), s"doc $id")
+    }
+    // novel word = characters (no merge applies)
+    assert(out(2L) === Seq("z", "z", "z"))
+    // trained suffix shows up as one token inside the unseen word
+    assert(out(1L).contains("est") || out(1L).exists(_.endsWith("est")))
+  }
+}
