@@ -2522,6 +2522,64 @@ object TextOps {
       .toDF("doc_id", "bpe_tokens")
   }
 
+  // ---------------------------------------------------------------------
+  // TF-IDF keyword extraction — per-document top-3 terms by term
+  // frequency x inverse document frequency, the retrieval/indexing
+  // surface of the text pack. IDF uses the integer surrogate
+  // (1e6·N) div df in place of log(N/df) — the familiar transcendental
+  // substitution (t_collocations' lift, t_dsir_weight's ratio): within a
+  // document, rare-in-corpus terms still dominate common ones, and the
+  // score hash-matches across engines. Ties break on the token, so the
+  // top-3 is fully deterministic.
+  //
+  // 100 TB shape: one (doc, token) tf agg, one token-keyed df agg
+  // (vocabulary-scale join back — NO broadcast hint, AQE decides), the
+  // one-row doc-count scalar via the sanctioned tiny-side BNLJ, then a
+  // doc-partitioned rank window whose partitions are DOC-sized (bounded
+  // by the longest document, never corpus-sized — the same
+  // window-input-bounding rule as t_length_quantiles).
+  // ---------------------------------------------------------------------
+
+  /** The operator core over any (doc_id, text) frame. */
+  private[graft] def tfidfTopKOn(docsDf: DataFrame, k: Int = 3): DataFrame = {
+    val s = docsDf.sparkSession
+    import s.implicits._
+    val tf = docsDf
+      .select($"doc_id", explode(toks).as("token"))
+      .groupBy($"doc_id", $"token")
+      .agg(count(lit(1)).cast("long").as("tf"))
+    val df = tf.groupBy($"token").agg(count(lit(1)).cast("long").as("df"))
+    val nDocs = docsDf.agg(count(lit(1)).cast("long").as("n_docs"))
+    val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"token")
+    tf.join(df, "token")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", expr("tf * ((1000000 * n_docs) div df)"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter($"rnk" <= k)
+      .select($"doc_id", $"rnk", $"token", $"tf", $"df", $"score")
+  }
+
+  val tfidfTopK = Q(
+    "t_tfidf_topk",
+    (s, d) => tfidfTopKOn(fannedDocs(s, d)),
+    Some(s"""
+      WITH tok AS (SELECT doc_id, unnest($oracleToks) AS token FROM documents),
+      tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+             FROM tok GROUP BY 1, 2),
+      dfr AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+      SELECT doc_id, rnk, token, tf, df, score FROM (
+        SELECT tf.doc_id, tf.token, tf.tf, dfr.df,
+               CAST(tf.tf * ((1000000 * n.n_docs) // dfr.df) AS BIGINT) AS score,
+               CAST(ROW_NUMBER() OVER (
+                 PARTITION BY tf.doc_id
+                 ORDER BY tf.tf * ((1000000 * n.n_docs) // dfr.df) DESC, tf.token)
+                 AS BIGINT) AS rnk
+        FROM tf JOIN dfr USING (token), n)
+      WHERE rnk <= 3
+    """.stripMargin.trim),
+  )
+
   val qs: Seq[Q] = Seq(
     textStats,
     tokenTopK,
@@ -2556,5 +2614,6 @@ object TextOps {
     dsirWeight,
     bigramLm,
     bpeTopPair,
+    tfidfTopK,
   )
 }

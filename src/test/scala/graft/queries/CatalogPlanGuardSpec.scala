@@ -36,7 +36,7 @@ class CatalogPlanGuardSpec extends SparkSpec {
     Set("v_knn_brute", "v_ivf_assign", "v_ivf_search", "v_ivf_nprobe",
       "v_ivf_recall", "v_kmeans_step", "t_semantic_dedup", "t_dedup_multimodal",
       "t_delta_semantic", "t_unigram_lm", "t_collocations", "t_token_heavy",
-      "v_cluster_balance", "t_dsir_weight")
+      "v_cluster_balance", "t_dsir_weight", "t_tfidf_topk")
 
   test("no catalog query plans a cartesian, a rogue BNLJ, or a single-partition stage") {
     val offenders = Catalog.all.flatMap { q =>
