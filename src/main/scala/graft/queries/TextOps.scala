@@ -2580,6 +2580,114 @@ object TextOps {
     """.stripMargin.trim),
   )
 
+  // ---------------------------------------------------------------------
+  // Cross-document repeated-substring detection (Lee et al. 2021,
+  // "Deduplicating Training Data Makes Language Models Better") — the
+  // SPAN-grain dedup signal the doc-level (t_dedup_exact) and
+  // paragraph-level (t_dedup_para) passes can't see: a boilerplate
+  // sentence embedded mid-document repeats verbatim across the corpus
+  // without any paragraph or document being byte-identical. The
+  // suffix-array formulation is inherently single-machine; the
+  // distributed equivalent is fixed-width token windows (stride 1) hashed
+  // and counted corpus-wide — a window repeated ANYWHERE (across docs or
+  // within one) marks its span duplicated, and per-doc duplicated
+  // coverage is the merged-interval length of its duplicated windows.
+  //
+  // 100 TB shape: the window explode is linear in corpus tokens (the
+  // CPU-dense stage — fanned out like the shingle pipelines); ONE shuffle
+  // keyed by the 128-bit window hash counts repeats; the coverage merge
+  // is a per-doc ordered window over only the DUPLICATED positions (a
+  // corpus-wide rank never appears). Output is one row per document —
+  // the drop/keep gate a cleaning pass filters on.
+  // ---------------------------------------------------------------------
+
+  private val winW = 20 // window width in tokens (Lee et al. use 50 on web-scale docs)
+
+  /** The detection core over any (doc_id, text) frame — exposed for the
+    * planted-span property spec.
+    */
+  private[queries] def substringDupOn(docsDf: DataFrame): DataFrame = {
+    val s = docsDf.sparkSession
+    import s.implicits._
+    val base = fanOutCpu(docsDf.select(col("doc_id"), col("text")))
+      .withColumn("tk", toks)
+    // one struct per window start: (start, md5 of the 20-token span).
+    // CASE guard, not greatest(): sequence(1, 0) DESCENDS in Spark.
+    val winsCol = expr(
+      s"""CASE WHEN size(tk) >= $winW THEN transform(
+         |  sequence(1, size(tk) - ${winW - 1}),
+         |  i -> named_struct('start', i, 'h', md5(concat_ws(' ', slice(tk, i, $winW)))))
+         |ELSE CAST(array() AS array<struct<start:int,h:string>>) END""".stripMargin)
+    val wins = base
+      .select($"doc_id", explode(winsCol).as("w"))
+      .select($"doc_id", $"w.start".as("start"), $"w.h".as("h"))
+    val dup = wins
+      .withColumn("c", count(lit(1)).over(Window.partitionBy($"h")))
+      .filter($"c" > 1)
+      .select($"doc_id", $"start", ($"start" + winW - 1).as("fin"))
+    // classic merged-interval length: starts are unique per doc, so the
+    // running max of prior ends tells how much of [start, fin] is new
+    val wCov = Window.partitionBy($"doc_id").orderBy($"start")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val covAgg = dup
+      .withColumn("prev_max", max($"fin").over(wCov))
+      .withColumn("add",
+        greatest(lit(0), $"fin" - greatest(coalesce($"prev_max", lit(0)), $"start" - 1)))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_dup_wins0"), sum($"add").as("dup_tokens0"))
+    base
+      .select($"doc_id",
+        size($"tk").cast("long").as("n_tokens"),
+        greatest(size($"tk") - (winW - 1), lit(0)).cast("long").as("n_wins"))
+      .join(covAgg, Seq("doc_id"), "left")
+      .withColumn("n_dup_wins", coalesce($"n_dup_wins0", lit(0L)).cast("long"))
+      .withColumn("dup_tokens", coalesce($"dup_tokens0", lit(0L)).cast("long"))
+      .withColumn("dup_pct",
+        floor(lit(100.0) * $"dup_tokens" / $"n_tokens").cast("long"))
+      .select($"doc_id", $"n_tokens", $"n_wins", $"n_dup_wins", $"dup_tokens",
+        $"dup_pct", ($"dup_pct" >= 20).as("flag_dup"))
+  }
+
+  val substringDup = Q(
+    "t_substring_dup",
+    // the core fans its own input out (fanOutCpu) — no pre-fanned frame
+    (s, d) => substringDupOn(docs(s, d)),
+    Some(s"""
+      WITH t AS (SELECT doc_id, $oracleToks AS tk FROM documents),
+      idx AS (
+        SELECT doc_id, tk,
+               unnest(generate_series(1, greatest(len(tk) - ${winW - 1}, 0))) AS start
+        FROM t),
+      wins AS (
+        SELECT doc_id, start, start + ${winW - 1} AS fin,
+               md5(array_to_string(tk[start:start + ${winW - 1}], ' ')) AS h
+        FROM idx),
+      dup AS (
+        SELECT doc_id, start, fin FROM (
+          SELECT *, COUNT(*) OVER (PARTITION BY h) AS c FROM wins) WHERE c > 1),
+      cov AS (
+        SELECT doc_id, start, fin,
+               MAX(fin) OVER (PARTITION BY doc_id ORDER BY start
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+        FROM dup),
+      agg AS (
+        SELECT doc_id, COUNT(*) AS n_dup_wins,
+               SUM(GREATEST(0, fin - GREATEST(COALESCE(prev_max, 0), start - 1))) AS dup_tokens
+        FROM cov GROUP BY 1),
+      stats AS (
+        SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+               CAST(GREATEST(len(tk) - ${winW - 1}, 0) AS BIGINT) AS n_wins
+        FROM t)
+      SELECT s.doc_id, s.n_tokens, s.n_wins,
+             CAST(COALESCE(a.n_dup_wins, 0) AS BIGINT) AS n_dup_wins,
+             CAST(COALESCE(a.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+             CAST(FLOOR(100.0 * COALESCE(a.dup_tokens, 0) / s.n_tokens) AS BIGINT) AS dup_pct,
+             (CAST(FLOOR(100.0 * COALESCE(a.dup_tokens, 0) / s.n_tokens) AS BIGINT) >= 20) AS flag_dup
+      FROM stats s LEFT JOIN agg a USING (doc_id)
+    """.stripMargin.trim),
+    bench = true, // the window explode + 128-bit-hash shuffle is CPU-dense — track it
+  )
+
   val qs: Seq[Q] = Seq(
     textStats,
     tokenTopK,
@@ -2615,5 +2723,6 @@ object TextOps {
     bigramLm,
     bpeTopPair,
     tfidfTopK,
+    substringDup,
   )
 }

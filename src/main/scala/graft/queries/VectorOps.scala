@@ -1249,6 +1249,237 @@ object VectorOps {
     """.stripMargin.trim),
   )
 
+  // ---------------------------------------------------------------------
+  // Product quantization (Jégou et al. 2011, "Product Quantization for
+  // Nearest Neighbor Search") — the compression half of the IVF-PQ index
+  // every billion-vector ANN deployment runs. The 64-dim vector is split
+  // into 4 disjoint 16-dim subspaces; each sub-vector is snapped to its
+  // nearest of 16 per-subspace codewords, so a 256-byte float vector
+  // becomes 4 code bytes (64× compression) and search scans CODES, not
+  // floats. Codebook = the sub-vectors of the first 16 vectors — the same
+  // fixed deterministic training stand-in the IVF family uses for its
+  // centroids (a production codebook comes from kmeansTrain per subspace;
+  // the assignment/search plans below are identical either way).
+  //
+  // 100 TB shape: encoding is ONE scan — codewords (64 tiny rows)
+  // broadcast, argmin via a partial-aggregatable min(struct) keyed by
+  // (vec, sub) where all of a vector's rows are map-side co-located (no
+  // window over n×m×k rows, no shuffle of the corpus). Search is the
+  // standard ADC (asymmetric distance) scan: a per-query lookup table of
+  // query-sub-to-codeword distances (|q|×m×k = 320 rows) broadcasts
+  // against the code table, and the exchange carries only the partially
+  // aggregated (query, vec) sums. Exact fixed-point micros everywhere:
+  // per-subspace distances are floored to BIGINT before the ADC sum, so
+  // the sum is order-independent and hash-matches DuckDB.
+  // ---------------------------------------------------------------------
+
+  private val pqM = 4 // subspaces
+  private val pqSubDim = dim / pqM // 16 dims each
+  private val pqK = 16 // codewords per subspace
+
+  /** DuckDB dot product over [[pqSubDim]]-length list slices — same
+    * left-to-right double fold as [[oDot]], shorter range.
+    */
+  private def oDotSub(a: String, b: String): String =
+    s"""list_reduce(list_transform(generate_series(1, $pqSubDim),
+       |  i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)""".stripMargin
+
+  /** (sub, code, c_sub) codeword frame — 64 rows, always broadcast. */
+  private def pqCodewords(emb: DataFrame): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    emb
+      .filter($"vec_id" < pqK)
+      .select(
+        $"vec_id".as("code"),
+        explode(sequence(lit(0), lit(pqM - 1))).as("sub"),
+        $"embedding".as("c_full"))
+      .select($"code", $"sub",
+        expr(s"slice(c_full, sub * $pqSubDim + 1, $pqSubDim)").as("c_sub"))
+  }
+
+  /** Per-(vector, subspace) sliced frame. */
+  private def pqSubVectors(emb: DataFrame, idCol: String): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    emb
+      .select(
+        col("vec_id").as(idCol),
+        explode(sequence(lit(0), lit(pqM - 1))).as("sub"),
+        $"embedding".as("v_full"))
+      .select(col(idCol), $"sub",
+        expr(s"slice(v_full, sub * $pqSubDim + 1, $pqSubDim)").as("v_sub"))
+  }
+
+  /** The encode core over any embeddings-shaped frame: (vec_id, sub,
+    * code, err_micros) — argmin codeword per subspace, tie → smaller
+    * code. Exposed for the spec (planted-codeword corpus through the
+    * real plan) and reused verbatim by the ADC search below.
+    */
+  private[queries] def pqCodesOn(emb: DataFrame): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    pqSubVectors(emb, "vec_id")
+      .join(broadcast(pqCodewords(emb)), Seq("sub"))
+      .withColumn(
+        "d2_micros",
+        micros(dotd("v_sub", "v_sub") + dotd("c_sub", "c_sub")
+          - lit(2.0) * dotd("v_sub", "c_sub")))
+      // argmin WITHOUT a window: min over (d2, code) structs is a
+      // partial-aggregatable agg, and every (vec, sub) group's k rows are
+      // map-side co-located (they came from exploding one row), so the
+      // exchange carries n×m pre-combined rows, never n×m×k
+      .groupBy($"vec_id", $"sub")
+      .agg(min(struct($"d2_micros", $"code")).as("best"))
+      .select(
+        $"vec_id",
+        $"sub".cast("long").as("sub"),
+        $"best.code".as("code"),
+        $"best.d2_micros".as("err_micros"))
+  }
+
+  /** Shared oracle CTE chain: subs/cw/vsub/scored/codes — the DuckDB
+    * mirror of [[pqCodesOn]], reused by all three PQ oracles.
+    */
+  private def oPqCodesCte: String =
+    s"""subs AS (SELECT unnest(generate_series(0, ${pqM - 1})) AS sub),
+       |      cw AS (
+       |        SELECT s.sub, c.vec_id AS code,
+       |               list_slice(c.embedding, s.sub * $pqSubDim + 1, s.sub * $pqSubDim + $pqSubDim) AS c_sub
+       |        FROM embeddings c CROSS JOIN subs s WHERE c.vec_id < $pqK),
+       |      vsub AS (
+       |        SELECT v.vec_id, s.sub,
+       |               list_slice(v.embedding, s.sub * $pqSubDim + 1, s.sub * $pqSubDim + $pqSubDim) AS v_sub
+       |        FROM embeddings v CROSS JOIN subs s),
+       |      pq_scored AS (
+       |        SELECT vsub.vec_id, vsub.sub, cw.code,
+       |               CAST(FLOOR(1e6 * (${oDotSub("v_sub", "v_sub")} + ${oDotSub("c_sub", "c_sub")}
+       |                 - 2.0 * ${oDotSub("v_sub", "c_sub")})) AS BIGINT) AS d2_micros
+       |        FROM vsub JOIN cw ON vsub.sub = cw.sub),
+       |      codes AS (
+       |        SELECT vec_id, CAST(sub AS BIGINT) AS sub, code, d2_micros AS err_micros FROM (
+       |          SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+       |                                       ORDER BY d2_micros ASC, code ASC) AS rk
+       |          FROM pq_scored) WHERE rk = 1)""".stripMargin
+
+  val pqEncode = Q(
+    "v_pq_encode",
+    (s, d) => pqCodesOn(vecs(s, d)),
+    Some(s"""
+      WITH $oPqCodesCte
+      SELECT vec_id, sub, code, err_micros FROM codes
+    """.stripMargin.trim),
+  )
+
+  /** ADC top-k: distance(query, vec) ≈ Σ_sub d2(query_sub,
+    * codeword[code(vec, sub)]). The query panel is the IVF family's
+    * (vec_id in [nCells, nCells+nQueries), disjoint from the codeword
+    * ids); candidates are the whole encoded corpus minus self.
+    */
+  /** The ADC-search core over any embeddings-shaped frame — exposed for
+    * the brute-force differential spec.
+    */
+  private[queries] def pqSearchOn(emb: DataFrame): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val q = pqSubVectors(
+      emb.filter($"vec_id" >= pqK && $"vec_id" < pqK + nQueries), "query_id")
+    val lut = q
+      .join(broadcast(pqCodewords(emb)), Seq("sub"))
+      .withColumn(
+        "d2_micros",
+        micros(dotd("v_sub", "v_sub") + dotd("c_sub", "c_sub")
+          - lit(2.0) * dotd("v_sub", "c_sub")))
+      .select($"query_id", $"sub".cast("long").as("sub"), $"code", $"d2_micros")
+    val w = Window.partitionBy($"query_id").orderBy($"adc_micros".asc, $"cand_id")
+    pqCodesOn(emb)
+      .join(broadcast(lut), Seq("sub", "code"))
+      .filter($"vec_id" =!= $"query_id")
+      .groupBy($"query_id", $"vec_id")
+      .agg(sum($"d2_micros").as("adc_micros"))
+      .select($"query_id", $"vec_id".as("cand_id"), $"adc_micros")
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter($"rnk" <= topK)
+  }
+
+  val pqSearch = Q(
+    "v_pq_search",
+    (s, d) => pqSearchOn(vecs(s, d)),
+    Some(s"""
+      WITH $oPqCodesCte,
+      q AS (
+        SELECT v.vec_id AS query_id, CAST(s.sub AS BIGINT) AS sub,
+               list_slice(v.embedding, s.sub * $pqSubDim + 1, s.sub * $pqSubDim + $pqSubDim) AS q_sub
+        FROM embeddings v CROSS JOIN subs s
+        WHERE v.vec_id >= $pqK AND v.vec_id < ${pqK + nQueries}),
+      lut AS (
+        SELECT q.query_id, q.sub, cw.code,
+               CAST(FLOOR(1e6 * (${oDotSub("q_sub", "q_sub")} + ${oDotSub("c_sub", "c_sub")}
+                 - 2.0 * ${oDotSub("q_sub", "c_sub")})) AS BIGINT) AS d2_micros
+        FROM q JOIN cw ON q.sub = cw.sub),
+      adc AS (
+        SELECT l.query_id, c.vec_id AS cand_id, CAST(SUM(l.d2_micros) AS BIGINT) AS adc_micros
+        FROM codes c JOIN lut l ON c.sub = l.sub AND c.code = l.code AND c.vec_id <> l.query_id
+        GROUP BY 1, 2)
+      SELECT query_id, cand_id, adc_micros,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_micros ASC, cand_id ASC) AS rnk
+      FROM adc QUALIFY rnk <= $topK
+    """.stripMargin.trim),
+    bench = true, // the ADC scan is the 100 TB ANN hot path — track it
+  )
+
+  /** Recall audit of the ADC search against exact L2² top-k on the same
+    * query panel — the same honesty gate v_ivf_recall applies to IVF
+    * (PQ trades recall for 64× compression; the audit quantifies it).
+    */
+  val pqRecall = Q(
+    "v_pq_recall",
+    (s, d) => {
+      import s.implicits._
+      val q = vecs(s, d)
+        .filter($"vec_id" >= pqK && $"vec_id" < pqK + nQueries)
+        .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
+      val w = Window.partitionBy($"query_id").orderBy($"d2x_micros".asc, $"cand_id")
+      val truth = vecs(s, d)
+        .select($"vec_id".as("cand_id"), $"embedding".as("c_emb"))
+        .join(broadcast(q), $"cand_id" =!= $"query_id")
+        .withColumn(
+          "d2x_micros",
+          micros(dotd("q_emb", "q_emb") + dotd("c_emb", "c_emb")
+            - lit(2.0) * dotd("q_emb", "c_emb")))
+        .withColumn("rnk", row_number().over(w))
+        .filter($"rnk" <= topK)
+        .select($"query_id", $"cand_id", lit(1L).as("hit"))
+      pqSearch.spark(s, d)
+        .join(broadcast(truth), Seq("query_id", "cand_id"), "left")
+        .groupBy($"query_id")
+        .agg(count(lit(1)).as("n_returned"), count($"hit").as("n_hit"))
+        .withColumn("recall_pct", floor(lit(100.0) * $"n_hit" / lit(topK)).cast("long"))
+    },
+    Some(s"""
+      WITH pq AS (SELECT query_id, cand_id FROM (${pqSearch.oracle.get})),
+      q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+            WHERE vec_id >= $pqK AND vec_id < ${pqK + nQueries}),
+      t_scored AS (
+        SELECT q.query_id, c.vec_id AS cand_id,
+               CAST(FLOOR(1e6 * (${oDot("q.q_emb", "q.q_emb")} + ${oDot("c.embedding", "c.embedding")}
+                 - 2.0 * ${oDot("q.q_emb", "c.embedding")})) AS BIGINT) AS d2x_micros
+        FROM q JOIN embeddings c ON c.vec_id <> q.query_id),
+      truth AS (
+        SELECT query_id, cand_id FROM (
+          SELECT query_id, cand_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d2x_micros ASC, cand_id) AS rnk
+          FROM t_scored) WHERE rnk <= $topK)
+      SELECT p.query_id,
+             COUNT(*) AS n_returned,
+             COUNT(t.cand_id) AS n_hit,
+             CAST(FLOOR(100.0 * COUNT(t.cand_id) / $topK) AS BIGINT) AS recall_pct
+      FROM pq p LEFT JOIN truth t
+        ON p.query_id = t.query_id AND p.cand_id = t.cand_id
+      GROUP BY 1
+    """.stripMargin.trim),
+  )
+
   val qs: Seq[Q] = Seq(
     normStats,
     knnBrute,
@@ -1266,5 +1497,8 @@ object VectorOps {
     dedupMultimodal,
     deltaSemantic,
     clusterBalance,
+    pqEncode,
+    pqSearch,
+    pqRecall,
   )
 }

@@ -1,0 +1,110 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Property tests for the product-quantization pack: a planted corpus
+  * whose vectors are exact concatenations of codeword sub-vectors must
+  * encode to those codes with zero error, and the ADC search must equal
+  * an independent brute-force reimplementation of the fixed-point ADC
+  * contract (per-subspace floored micros, summed, top-k by (adc, id)).
+  */
+class PqSpec extends SparkSpec {
+
+  private val dim = 64
+  private val m = 4
+  private val subDim = 16
+  private val k = 16
+  private val nQueries = 5
+  private val topK = 10
+
+  /** Left-to-right float->double dot product — the dot_d contract. */
+  private def dot(a: Array[Float], b: Array[Float]): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+    acc
+  }
+
+  private def d2Micros(a: Array[Float], b: Array[Float]): Long =
+    math.floor(1e6 * (dot(a, a) + dot(b, b) - 2.0 * dot(a, b))).toLong
+
+  private def mkVecs(n: Int, seed: Int): IndexedSeq[Array[Float]] = {
+    val rnd = new scala.util.Random(seed)
+    IndexedSeq.fill(n)(Array.fill(dim)(rnd.nextFloat() * 2f - 1f))
+  }
+
+  private def toDf(vecs: Seq[(Long, Array[Float])]) = {
+    import spark.implicits._
+    graft.functions.GraftFunctions.registerDotD(spark)
+    vecs.toDF("vec_id", "embedding")
+  }
+
+  test("vectors assembled from codeword slices encode to those codes with zero error") {
+    val rnd = new scala.util.Random(11)
+    val codewords = mkVecs(k, 7) // vec_id 0..15 = the codebook
+    // 30 planted vectors: each subspace copies a chosen codeword's slice
+    val chosen = IndexedSeq.fill(30)(Array.fill(m)(rnd.nextInt(k)))
+    val planted = chosen.zipWithIndex.map { case (codes, i) =>
+      val v = new Array[Float](dim)
+      for (s <- 0 until m; j <- 0 until subDim)
+        v(s * subDim + j) = codewords(codes(s))(s * subDim + j)
+      (16L + i, v)
+    }
+    val df = toDf(codewords.zipWithIndex.map { case (v, i) => (i.toLong, v) } ++ planted)
+    val out = VectorOps.pqCodesOn(df).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("sub")) ->
+        (r.getAs[Long]("code"), r.getAs[Long]("err_micros"))).toMap
+    // every (vector, subspace) has a row
+    assert(out.size == (k + 30) * m)
+    chosen.zipWithIndex.foreach { case (codes, i) =>
+      for (s <- 0 until m) {
+        val (code, err) = out((16L + i, s.toLong))
+        assert(code == codes(s).toLong, s"vec=${16 + i} sub=$s")
+        assert(err == 0L, s"vec=${16 + i} sub=$s err=$err")
+      }
+    }
+    // the codewords themselves snap to themselves
+    for (c <- 0 until k; s <- 0 until m)
+      assert(out((c.toLong, s.toLong)) == ((c.toLong, 0L)))
+  }
+
+  test("ADC search equals the brute-force fixed-point ADC contract") {
+    val vecs = mkVecs(60, 23).zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    val byId = vecs.toMap
+    val codewords = (0 until k).map(i => byId(i.toLong))
+    def slice(v: Array[Float], s: Int): Array[Float] =
+      v.slice(s * subDim, (s + 1) * subDim)
+    // brute codes: argmin codeword per subspace, tie -> smaller code
+    def codesOf(v: Array[Float]): IndexedSeq[Int] =
+      (0 until m).map { s =>
+        (0 until k).minBy(c => (d2Micros(slice(v, s), slice(codewords(c), s)), c))
+      }
+    val allCodes = vecs.map { case (id, v) => id -> codesOf(v) }.toMap
+    // brute ADC top-k per query
+    val expected = (k until k + nQueries).flatMap { q =>
+      val qv = byId(q.toLong)
+      val scored = vecs.filter(_._1 != q.toLong).map { case (id, _) =>
+        val adc = (0 until m).map { s =>
+          d2Micros(slice(qv, s), slice(codewords(allCodes(id)(s)), s))
+        }.sum
+        (id, adc)
+      }
+      scored.sortBy { case (id, adc) => (adc, id) }.take(topK).zipWithIndex
+        .map { case ((id, adc), r) => (q.toLong, id, adc, r + 1L) }
+    }.toSet
+    val got = VectorOps.pqSearchOn(toDf(vecs)).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"),
+        r.getAs[Long]("adc_micros"), r.getAs[Long]("rnk"))).toSet
+    assert(got == expected)
+  }
+
+  test("recall audit over the fixture corpus: 10 returned per query, recall sane") {
+    val out = VectorOps.pqRecall.spark(spark, "/root/testdata/sf0.001").collect()
+    assert(out.length == nQueries)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_returned") == topK.toLong)
+      val pct = r.getAs[Long]("recall_pct")
+      assert(pct >= 0L && pct <= 100L)
+    }
+  }
+}
