@@ -105,6 +105,7 @@ object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     registerBloomHash(spark)
     registerDotD(spark)
+    registerNfc(spark)
     registerAggregators(spark)
     spark.sessionState.functionRegistry.registerFunction(
       org.apache.spark.sql.catalyst.FunctionIdentifier("bloom_uv"),
@@ -174,4 +175,20 @@ object GraftFunctions {
 
   /** Column-API entry for the codegen'd dot product. */
   def dotD(a: Column, b: Column): Column = callFn("dot_d", a, b)
+
+  /** Registers `nfc(str)` (see [[NfcNormalizeExpression]]). Idempotent,
+    * same contract as [[registerDotD]].
+    */
+  def registerNfc(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("nfc"),
+      new ExpressionInfo(classOf[NfcNormalizeExpression].getName, "nfc"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, s"nfc expects exactly 1 argument, got ${exprs.length}")
+        NfcNormalizeExpression(exprs.head)
+      },
+    )
+
+  /** Column-API entry for the codegen'd NFC normalizer. */
+  def nfc(c: Column): Column = callFn("nfc", c)
 }

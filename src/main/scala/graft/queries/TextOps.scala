@@ -2688,6 +2688,59 @@ object TextOps {
     bench = true, // the window explode + 128-bit-hash shuffle is CPU-dense — track it
   )
 
+  // ---------------------------------------------------------------------
+  // Normalized dedup key (CCNet, Wenzek et al. 2020) — exact-dedup's blind
+  // spot is cosmetic variation: the same article recrawled with different
+  // capitalization, punctuation, or whitespace hashes differently. The
+  // normalization pipeline is NFC (the codegen'd `nfc` expression —
+  // Spark has no built-in; see functions/NfcNormalize.scala) → lowercase
+  // → punctuation to space → whitespace collapse → trim, and the dedup
+  // key is the md5 of the result. Output marks, per doc, how many docs
+  // share its key and whether it's the canonical (min doc_id) holder —
+  // i.e. normalized exact dedup, ready to compose exactly like
+  // t_dedup_exact.
+  //
+  // 100 TB shape: a pure per-row projection (all codegen'd, including the
+  // NFC step) plus ONE shuffle on the 128-bit key for the group stats.
+  // ---------------------------------------------------------------------
+
+  val normKey = Q(
+    "t_norm_key",
+    (s, d) => {
+      import s.implicits._
+      graft.functions.GraftFunctions.registerNfc(s)
+      val normText = trim(
+        regexp_replace(
+          regexp_replace(lower(expr("nfc(text)")), "[^a-z0-9 ]", " "),
+          " +", " "))
+      val w = Window.partitionBy($"norm_key")
+      docs(s, d)
+        .select($"doc_id", $"text", normText.as("norm_text"))
+        .select(
+          $"doc_id",
+          md5($"norm_text").as("norm_key"),
+          length($"text").cast("long").as("n_chars_raw"),
+          length($"norm_text").cast("long").as("n_chars_norm"),
+          ($"norm_text" =!= $"text").as("changed"))
+        .withColumn("n_key_docs", count(lit(1)).over(w))
+        .withColumn("is_canonical", $"doc_id" === min($"doc_id").over(w))
+    },
+    Some("""
+      WITH n AS (
+        SELECT doc_id, text,
+               trim(regexp_replace(regexp_replace(lower(nfc_normalize(text)),
+                 '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text
+        FROM documents)
+      SELECT doc_id, md5(norm_text) AS norm_key,
+             CAST(length(text) AS BIGINT) AS n_chars_raw,
+             CAST(length(norm_text) AS BIGINT) AS n_chars_norm,
+             (norm_text <> text) AS changed,
+             CAST(COUNT(*) OVER (PARTITION BY md5(norm_text)) AS BIGINT) AS n_key_docs,
+             (doc_id = MIN(doc_id) OVER (PARTITION BY md5(norm_text))) AS is_canonical
+      FROM n
+    """.stripMargin.trim),
+  )
+
   val qs: Seq[Q] = Seq(
     textStats,
     tokenTopK,
@@ -2724,5 +2777,6 @@ object TextOps {
     bpeTopPair,
     tfidfTopK,
     substringDup,
+    normKey,
   )
 }
