@@ -2606,21 +2606,31 @@ object TextOps {
   /** The detection core over any (doc_id, text) frame — exposed for the
     * planted-span property spec.
     */
-  private[queries] def substringDupOn(docsDf: DataFrame): DataFrame = {
-    val s = docsDf.sparkSession
-    import s.implicits._
-    val base = fanOutCpu(docsDf.select(col("doc_id"), col("text")))
-      .withColumn("tk", toks)
-    // one struct per window start: (start, md5 of the 20-token span).
-    // CASE guard, not greatest(): sequence(1, 0) DESCENDS in Spark.
+  /** (doc_id, text) → tokenized base frame, fanned for the CPU-dense
+    * window-hash stage.
+    */
+  private def tokenizedBase(docsDf: DataFrame): DataFrame =
+    fanOutCpu(docsDf.select(col("doc_id"), col("text"))).withColumn("tk", toks)
+
+  /** base-with-tk → one row per stride-1 window: (doc_id, start, h).
+    * CASE guard, not greatest(): sequence(1, 0) DESCENDS in Spark.
+    */
+  private def tokenWindows(base: DataFrame): DataFrame = {
     val winsCol = expr(
       s"""CASE WHEN size(tk) >= $winW THEN transform(
          |  sequence(1, size(tk) - ${winW - 1}),
          |  i -> named_struct('start', i, 'h', md5(concat_ws(' ', slice(tk, i, $winW)))))
          |ELSE CAST(array() AS array<struct<start:int,h:string>>) END""".stripMargin)
-    val wins = base
-      .select($"doc_id", explode(winsCol).as("w"))
-      .select($"doc_id", $"w.start".as("start"), $"w.h".as("h"))
+    base
+      .select(col("doc_id"), explode(winsCol).as("w"))
+      .select(col("doc_id"), col("w.start").as("start"), col("w.h").as("h"))
+  }
+
+  private[queries] def substringDupOn(docsDf: DataFrame): DataFrame = {
+    val s = docsDf.sparkSession
+    import s.implicits._
+    val base = tokenizedBase(docsDf)
+    val wins = tokenWindows(base)
     val dup = wins
       .withColumn("c", count(lit(1)).over(Window.partitionBy($"h")))
       .filter($"c" > 1)
@@ -2741,6 +2751,87 @@ object TextOps {
     """.stripMargin.trim),
   )
 
+  // ---------------------------------------------------------------------
+  // Repeated-substring SCRUB — the rewrite pass t_substring_dup's signal
+  // feeds (Lee et al. 2021 keep-first-occurrence semantics): every
+  // duplicated window's globally-FIRST occurrence (min (doc_id, start))
+  // keeps its tokens; every other occurrence's span is cut from its
+  // document. Unlike flag-and-drop, this salvages mostly-unique documents
+  // that embed one boilerplate sentence.
+  //
+  // 100 TB shape: the same linear window pipeline, ONE shuffle on the
+  // window hash (count + first-occurrence rank in a single window pass),
+  // then the scrub spans collect per doc — a list bounded by the doc's
+  // own window count, never corpus-sized — and the token filter is a
+  // per-row HOF over (tokens × spans), all doc-local. No token-level
+  // shuffle: spans travel keyed by doc_id, tokens never leave their row.
+  // ---------------------------------------------------------------------
+
+  /** The scrub core over any (doc_id, text) frame — exposed for the
+    * planted-span property spec.
+    */
+  private[queries] def substringScrubOn(docsDf: DataFrame): DataFrame = {
+    val s = docsDf.sparkSession
+    import s.implicits._
+    val base = tokenizedBase(docsDf)
+    val wH = Window.partitionBy($"h")
+    val marked = tokenWindows(base)
+      .withColumn("c", count(lit(1)).over(wH))
+      .withColumn("rk", row_number().over(wH.orderBy($"doc_id", $"start")))
+    val spans = marked
+      .filter($"c" > 1 && $"rk" > 1)
+      .select($"doc_id", $"start", ($"start" + winW - 1).as("fin"))
+      .groupBy($"doc_id")
+      .agg(sort_array(collect_list(struct($"start", $"fin"))).as("ivs0"))
+    base
+      .join(spans, Seq("doc_id"), "left")
+      .withColumn("ivs",
+        coalesce($"ivs0", expr("CAST(array() AS array<struct<start:int,fin:int>>)")))
+      .withColumn("kept", expr(
+        """filter(transform(tk, (t, i) -> named_struct('t', t, 'p', i + 1)),
+          |  x -> NOT exists(ivs, v -> x.p >= v.start AND x.p <= v.fin))""".stripMargin))
+      .select(
+        $"doc_id",
+        size($"tk").cast("long").as("n_tokens"),
+        (size($"tk") - size($"kept")).cast("long").as("n_scrubbed"),
+        concat_ws(" ", expr("transform(kept, x -> x.t)")).as("clean_text"))
+  }
+
+  val substringScrub = Q(
+    "t_substring_scrub",
+    (s, d) => substringScrubOn(docs(s, d)),
+    Some(s"""
+      WITH t AS (SELECT doc_id, $oracleToks AS tk FROM documents),
+      idx AS (
+        SELECT doc_id, tk,
+               unnest(generate_series(1, greatest(len(tk) - ${winW - 1}, 0))) AS start
+        FROM t),
+      wins AS (
+        SELECT doc_id, start, start + ${winW - 1} AS fin,
+               md5(array_to_string(tk[start:start + ${winW - 1}], ' ')) AS h
+        FROM idx),
+      marked AS (
+        SELECT *, COUNT(*) OVER (PARTITION BY h) AS c,
+               ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, start) AS rk
+        FROM wins),
+      scrub AS (SELECT doc_id, start, fin FROM marked WHERE c > 1 AND rk > 1),
+      pos AS (
+        SELECT doc_id, tk, unnest(generate_series(1, len(tk))) AS p
+        FROM t),
+      kept AS (
+        SELECT p.doc_id, p.p, p.tk[p.p] AS tok,
+               NOT EXISTS (SELECT 1 FROM scrub s
+                           WHERE s.doc_id = p.doc_id
+                             AND p.p BETWEEN s.start AND s.fin) AS keep
+        FROM pos p)
+      SELECT t.doc_id, CAST(len(t.tk) AS BIGINT) AS n_tokens,
+             CAST(len(t.tk) - COUNT(*) FILTER (WHERE k.keep) AS BIGINT) AS n_scrubbed,
+             COALESCE(string_agg(k.tok, ' ' ORDER BY k.p) FILTER (WHERE k.keep), '') AS clean_text
+      FROM t LEFT JOIN kept k ON k.doc_id = t.doc_id
+      GROUP BY t.doc_id, len(t.tk)
+    """.stripMargin.trim),
+  )
+
   val qs: Seq[Q] = Seq(
     textStats,
     tokenTopK,
@@ -2778,5 +2869,6 @@ object TextOps {
     tfidfTopK,
     substringDup,
     normKey,
+    substringScrub,
   )
 }

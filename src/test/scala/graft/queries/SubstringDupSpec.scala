@@ -76,6 +76,70 @@ class SubstringDupSpec extends SparkSpec {
     assert(out(7L)._4 >= 2L * W)
   }
 
+  /** Brute-force scrub: doc_id -> (n_tokens, n_scrubbed, clean_text),
+    * keep-first-occurrence per duplicated window text.
+    */
+  private def bruteScrub(docs: Seq[(Long, String)]): Map[Long, (Long, Long, String)] = {
+    val wins = docs.flatMap { case (id, t) =>
+      val tk = t.split(" ").filter(_.nonEmpty)
+      if (tk.length >= W)
+        (0 to tk.length - W).map(i => (id, i + 1, tk.slice(i, i + W).mkString(" ")))
+      else Nil
+    }
+    val byText = wins.groupBy(_._3)
+    val scrub = wins.filter { case (id, st, txt) =>
+      val occ = byText(txt)
+      occ.size > 1 && occ.map(w => (w._1, w._2)).min != ((id, st))
+    }.groupBy(_._1)
+    docs.map { case (id, t) =>
+      val tk = t.split(" ").filter(_.nonEmpty)
+      val ivs = scrub.getOrElse(id, Nil).map(w => (w._2, w._2 + W - 1))
+      val keptIdx = (1 to tk.length).filterNot(p => ivs.exists(v => p >= v._1 && p <= v._2))
+      id -> (tk.length.toLong, (tk.length - keptIdx.size).toLong,
+        keptIdx.map(p => tk(p - 1)).mkString(" "))
+    }.toMap
+  }
+
+  private def runScrub(docs: Seq[(Long, String)]): Map[Long, (Long, Long, String)] = {
+    import spark.implicits._
+    val df = spark.createDataset(docs.toIndexedSeq).toDF("doc_id", "text")
+    TextOps.substringScrubOn(df).collect().map { r =>
+      r.getAs[Long]("doc_id") -> (
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("n_scrubbed"),
+        r.getAs[String]("clean_text"))
+    }.toMap
+  }
+
+  test("scrub keeps the first occurrence intact and cuts the later one") {
+    val span = (1 to W).map(i => s"s$i").mkString(" ")
+    val a = span + " " + (1 to 10).map(i => s"a$i").mkString(" ")
+    val b = (1 to 5).map(i => s"b$i").mkString(" ") + " " + span
+    val out = runScrub(Seq((1L, a), (2L, b)))
+    // doc 1 owns the span (first occurrence) -> untouched
+    assert(out(1L) == ((30L, 0L, a)))
+    // doc 2 loses exactly the 20 span tokens
+    assert(out(2L) == ((25L, W.toLong, (1 to 5).map(i => s"b$i").mkString(" "))))
+  }
+
+  test("scrub on random corpora with planted spans equals brute force") {
+    val vocab = Array("a", "b", "c", "d", "e", "f", "g", "h", "i", "j")
+    for (seed <- 6 to 10) {
+      val rnd = new scala.util.Random(seed)
+      val planted = Seq.tabulate(3)(_ =>
+        Array.fill(W + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+      val docs: Seq[(Long, String)] = (0L until 30L).map { id =>
+        val parts = (0 until 1 + rnd.nextInt(3)).map { _ =>
+          if (rnd.nextInt(3) == 0) planted(rnd.nextInt(planted.length))
+          else Array.fill(10 + rnd.nextInt(40))(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+        }
+        (id, parts.mkString(" "))
+      }
+      val expected = bruteScrub(docs)
+      val got = runScrub(docs)
+      assert(got == expected, s"seed=$seed")
+    }
+  }
+
   test("random corpora with planted spans: operator equals brute force") {
     val vocab = Array("a", "b", "c", "d", "e", "f", "g", "h", "i", "j")
     for (seed <- 1 to 5) {
