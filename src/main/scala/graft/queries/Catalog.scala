@@ -55,5 +55,6 @@ object Catalog {
     "v_ivf_search", "v_ann_lsh_multi", "e_funnel_relaxed", "e_view_to_click",
     "e_asof_enrich", "t_contamination", "t_curate_corpus", "t_delta_dedup",
     "t_unigram_lm", "t_boilerplate", "t_delta_neardup", "v_kmeans_step",
-    "t_seq_pack", "t_dedup_multimodal", "t_delta_semantic", "t_token_heavy")
+    "t_seq_pack", "t_dedup_multimodal", "t_delta_semantic", "t_token_heavy",
+    "v_pq_search", "t_substring_dup")
 }

@@ -2601,7 +2601,7 @@ object TextOps {
   // the drop/keep gate a cleaning pass filters on.
   // ---------------------------------------------------------------------
 
-  private val winW = 20 // window width in tokens (Lee et al. use 50 on web-scale docs)
+  private[graft] val winW = 20 // window width in tokens (Lee et al. use 50 on web-scale docs)
 
   /** The detection core over any (doc_id, text) frame — exposed for the
     * planted-span property spec.
@@ -2611,6 +2611,21 @@ object TextOps {
     */
   private def tokenizedBase(docsDf: DataFrame): DataFrame =
     fanOutCpu(docsDf.select(col("doc_id"), col("text"))).withColumn("tk", toks)
+
+  /** The persisted span-index artifact of a curated base corpus: the
+    * distinct window hashes (one shuffle). Day-2 ingest checks arriving
+    * docs against THIS instead of re-hashing the base — see
+    * [[graft.streaming.Streams.substringScrubSpansStream]].
+    */
+  private[graft] def substringIndexOn(docsDf: DataFrame): DataFrame =
+    tokenWindows(tokenizedBase(docsDf)).select("h").distinct()
+
+  /** Stream-safe window rows over a (doc_id, text) frame: the same
+    * stride-1 window pipeline without the batch fan-out repartition
+    * (micro-batches take their parallelism from the source).
+    */
+  private[graft] def streamTokenWindows(docsDf: DataFrame): DataFrame =
+    tokenWindows(docsDf.select(col("doc_id"), col("text")).withColumn("tk", toks))
 
   /** base-with-tk → one row per stride-1 window: (doc_id, start, h).
     * CASE guard, not greatest(): sequence(1, 0) DESCENDS in Spark.

@@ -1325,17 +1325,26 @@ object VectorOps {
         "d2_micros",
         micros(dotd("v_sub", "v_sub") + dotd("c_sub", "c_sub")
           - lit(2.0) * dotd("v_sub", "c_sub")))
-      // argmin WITHOUT a window: min over (d2, code) structs is a
-      // partial-aggregatable agg, and every (vec, sub) group's k rows are
-      // map-side co-located (they came from exploding one row), so the
-      // exchange carries n×m pre-combined rows, never n×m×k
+      // argmin WITHOUT a window: (d2, code) packed into ONE long —
+      // packed = d2 * k + code is order-isomorphic to the (d2, code)
+      // lexicographic tie-break because code < k — so the argmin is a
+      // plain min(long), which HASH-aggregates (a min over a struct
+      // column falls back to SortAggregate: it would sort every
+      // partition of the n×m×k scored rows). Partial agg combines
+      // map-side — every (vec, sub) group's k rows are co-located (they
+      // came from exploding one row), so the exchange carries n×m
+      // pre-combined rows, never n×m×k.
+      .withColumn("packed", $"d2_micros" * lit(pqK.toLong) + $"code")
       .groupBy($"vec_id", $"sub")
-      .agg(min(struct($"d2_micros", $"code")).as("best"))
+      .agg(min($"packed").as("p"))
+      // pmod (not %) decodes correctly even if float fuzz makes a
+      // zero distance floor to -1 micros
+      .withColumn("code", pmod($"p", lit(pqK.toLong)))
       .select(
         $"vec_id",
         $"sub".cast("long").as("sub"),
-        $"best.code".as("code"),
-        $"best.d2_micros".as("err_micros"))
+        $"code",
+        expr(s"(p - code) div ${pqK}L").as("err_micros"))
   }
 
   /** Shared oracle CTE chain: subs/cw/vsub/scored/codes — the DuckDB
@@ -1376,21 +1385,29 @@ object VectorOps {
     * (vec_id in [nCells, nCells+nQueries), disjoint from the codeword
     * ids); candidates are the whole encoded corpus minus self.
     */
-  /** The ADC-search core over any embeddings-shaped frame — exposed for
-    * the brute-force differential spec.
+  /** Per-query ADC lookup table: (query_id, sub, code, d2_micros) —
+    * |queries|×m×k rows, always broadcast.
     */
-  private[queries] def pqSearchOn(emb: DataFrame): DataFrame = {
+  private def pqLut(emb: DataFrame): DataFrame = {
     val s = emb.sparkSession
     import s.implicits._
-    val q = pqSubVectors(
+    pqSubVectors(
       emb.filter($"vec_id" >= pqK && $"vec_id" < pqK + nQueries), "query_id")
-    val lut = q
       .join(broadcast(pqCodewords(emb)), Seq("sub"))
       .withColumn(
         "d2_micros",
         micros(dotd("v_sub", "v_sub") + dotd("c_sub", "c_sub")
           - lit(2.0) * dotd("v_sub", "c_sub")))
       .select($"query_id", $"sub".cast("long").as("sub"), $"code", $"d2_micros")
+  }
+
+  /** The ADC-search core over any embeddings-shaped frame — exposed for
+    * the brute-force differential spec.
+    */
+  private[queries] def pqSearchOn(emb: DataFrame): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val lut = pqLut(emb)
     val w = Window.partitionBy($"query_id").orderBy($"adc_micros".asc, $"cand_id")
     pqCodesOn(emb)
       .join(broadcast(lut), Seq("sub", "code"))
@@ -1480,6 +1497,101 @@ object VectorOps {
     """.stripMargin.trim),
   )
 
+  // ---------------------------------------------------------------------
+  // IVF-PQ search — the composed index every billion-vector deployment
+  // actually runs (FAISS's IVFxx,PQyy): the IVF half prunes the search to
+  // nprobe inverted lists (candidate generation never touches most of the
+  // corpus), the PQ half scores those candidates from 4-byte codes via
+  // the broadcast ADC lookup table (the scan reads codes, not floats —
+  // 64× less memory traffic). Strictly a composition of the two verified
+  // halves: v_ivf_nprobe's probed-cell candidate join + v_pq_search's
+  // LUT scoring; no new plan shape.
+  //
+  // 100 TB shape: assignment and codes are materialized index tables in a
+  // real deployment (recomputed inline here to stay self-contained, like
+  // v_ivf_search); the per-query work is |probed cells| code scans + an
+  // O(candidates) partial-agg — the only corpus-wide passes are the
+  // index builds themselves.
+  // ---------------------------------------------------------------------
+
+  /** The composed core — exposed for the differential spec. */
+  private[queries] def ivfPqSearchOn(emb: DataFrame): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val cents = emb
+      .filter($"vec_id" < nCells)
+      .select($"vec_id".as("cell"), $"embedding".as("c_emb"))
+    val wAssign = Window.partitionBy($"vec_id").orderBy($"d2c_micros".asc, $"cell".asc)
+    val dists = emb
+      .join(broadcast(cents))
+      .withColumn(
+        "d2c_micros",
+        micros(dotd("embedding", "embedding") + dotd("c_emb", "c_emb")
+          - lit(2.0) * dotd("embedding", "c_emb")))
+      .withColumn("rk", row_number().over(wAssign))
+    val assigned = dists.filter($"rk" === 1).select($"vec_id".as("cand_id"), $"cell")
+    val probes = dists
+      .filter($"vec_id" >= nCells && $"vec_id" < nCells + nQueries && $"rk" <= nProbe)
+      .select($"vec_id".as("query_id"), $"cell".as("q_cell"))
+    val cands = assigned
+      .join(broadcast(probes), $"cell" === $"q_cell" && $"cand_id" =!= $"query_id")
+      .select($"query_id", $"cand_id")
+    val w = Window.partitionBy($"query_id").orderBy($"adc_micros".asc, $"cand_id")
+    pqCodesOn(emb)
+      .withColumnRenamed("vec_id", "cand_id")
+      .join(cands, Seq("cand_id"))
+      .join(broadcast(pqLut(emb)), Seq("query_id", "sub", "code"))
+      .groupBy($"query_id", $"cand_id")
+      .agg(sum($"d2_micros").as("adc_micros"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter($"rnk" <= topK)
+      .select($"query_id", $"cand_id", $"adc_micros", $"rnk")
+  }
+
+  val ivfPqSearch = Q(
+    "v_ivfpq_search",
+    (s, d) => ivfPqSearchOn(vecs(s, d)),
+    Some(s"""
+      WITH cents AS (SELECT vec_id AS cell, embedding AS c_emb FROM embeddings
+                     WHERE vec_id < $nCells),
+      dists AS (
+        SELECT v.vec_id, v.embedding, c.cell,
+               CAST(FLOOR(1e6 * (${oDot("v.embedding", "v.embedding")} + ${oDot("c.c_emb", "c.c_emb")}
+                 - 2.0 * ${oDot("v.embedding", "c.c_emb")})) AS BIGINT) AS d2c_micros
+        FROM embeddings v CROSS JOIN cents c),
+      ranked AS (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2c_micros ASC, cell ASC) AS rk
+        FROM dists),
+      assigned AS (SELECT vec_id AS cand_id, cell FROM ranked WHERE rk = 1),
+      probes AS (SELECT vec_id AS query_id, cell AS q_cell FROM ranked
+                 WHERE vec_id >= $nCells AND vec_id < ${nCells + nQueries} AND rk <= $nProbe),
+      cands AS (
+        SELECT p.query_id, a.cand_id
+        FROM probes p JOIN assigned a ON a.cell = p.q_cell AND a.cand_id <> p.query_id),
+      $oPqCodesCte,
+      q AS (
+        SELECT v.vec_id AS query_id, CAST(s.sub AS BIGINT) AS sub,
+               list_slice(v.embedding, s.sub * $pqSubDim + 1, s.sub * $pqSubDim + $pqSubDim) AS q_sub
+        FROM embeddings v CROSS JOIN subs s
+        WHERE v.vec_id >= $pqK AND v.vec_id < ${pqK + nQueries}),
+      lut AS (
+        SELECT q.query_id, q.sub, cw.code,
+               CAST(FLOOR(1e6 * (${oDotSub("q_sub", "q_sub")} + ${oDotSub("c_sub", "c_sub")}
+                 - 2.0 * ${oDotSub("q_sub", "c_sub")})) AS BIGINT) AS d2_micros
+        FROM q JOIN cw ON q.sub = cw.sub),
+      adc AS (
+        SELECT cd.query_id, cd.cand_id, CAST(SUM(l.d2_micros) AS BIGINT) AS adc_micros
+        FROM (SELECT c.query_id, c.cand_id, k.sub, k.code
+              FROM cands c JOIN codes k ON k.vec_id = c.cand_id) cd
+        JOIN lut l ON l.query_id = cd.query_id AND l.sub = cd.sub AND l.code = cd.code
+        GROUP BY 1, 2)
+      SELECT query_id, cand_id, adc_micros,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_micros ASC, cand_id ASC) AS rnk
+      FROM adc QUALIFY rnk <= $topK
+    """.stripMargin.trim),
+  )
+
   val qs: Seq[Q] = Seq(
     normStats,
     knnBrute,
@@ -1500,5 +1612,6 @@ object VectorOps {
     pqEncode,
     pqSearch,
     pqRecall,
+    ivfPqSearch,
   )
 }

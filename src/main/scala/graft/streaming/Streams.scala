@@ -448,6 +448,30 @@ object Streams {
       eventTimeCol = eventTimeCol,
       delay = delay)
 
+  /** Day-2 SPAN-grain scrub, ingest half: arriving docs' stride-1 token
+    * windows checked against the FROZEN curated-base span index
+    * ([[graft.queries.TextOps.substringIndexOn]]'s distinct window
+    * hashes, re-read per micro-batch like [[deltaDedupStream]]'s index —
+    * corpus-sized and hot-swappable, never in the state store). Emits
+    * span-grain scrub rows (doc_id, start, fin): every window of an
+    * arriving doc whose 20-token text already exists in the base is a
+    * span the base owns (keep-first semantics — the base, being first,
+    * keeps; the newcomer is cut). Stateless stream-static equi-join on
+    * the hash, zero state, append mode.
+    *
+    * The ingest/compaction split mirrors dedupParaStream: the stream
+    * marks spans, the batch compaction pass applies them (reassembling
+    * scrubbed text needs the doc's full span set, which is exactly what
+    * this emits per doc). In-stream cross-doc repeats are deliberately
+    * left to the next batch compaction — tracking them live would mean
+    * unbounded window-hash state for spans that mostly never repeat.
+    */
+  def substringScrubSpansStream(delta: DataFrame, baseSpanIndex: DataFrame): DataFrame =
+    graft.queries.TextOps.streamTokenWindows(delta)
+      .join(baseSpanIndex.select("h"), Seq("h"))
+      .select(col("doc_id"), col("start"),
+        (col("start") + graft.queries.TextOps.winW - 1).as("fin"))
+
   /** Convenience launcher: console sink (K1 `print()` equivalent). */
   def toConsole(df: DataFrame, mode: OutputMode = OutputMode.Update()): StreamingQuery =
     df.writeStream

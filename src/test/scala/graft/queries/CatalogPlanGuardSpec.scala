@@ -36,7 +36,12 @@ class CatalogPlanGuardSpec extends SparkSpec {
     Set("v_knn_brute", "v_ivf_assign", "v_ivf_search", "v_ivf_nprobe",
       "v_ivf_recall", "v_kmeans_step", "t_semantic_dedup", "t_dedup_multimodal",
       "t_delta_semantic", "t_unigram_lm", "t_collocations", "t_token_heavy",
-      "v_cluster_balance", "t_dsir_weight", "t_tfidf_topk")
+      "v_cluster_balance", "t_dsir_weight", "t_tfidf_topk",
+      // PQ recall audit: same exact-ground-truth shape as v_ivf_recall —
+      // the broadcast side is the fixed 5-query panel; the composed
+      // IVF-PQ search inherits the centroid-assignment cross from the
+      // IVF family (broadcast side = the 16 centroids)
+      "v_pq_recall", "v_ivfpq_search")
 
   test("no catalog query plans a cartesian, a rogue BNLJ, or a single-partition stage") {
     val offenders = Catalog.all.flatMap { q =>

@@ -98,6 +98,43 @@ class PqSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("IVF-PQ search equals the brute-force composition of both contracts") {
+    val nCells = 16
+    val nProbe = 2
+    val vecs = mkVecs(80, 31).zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    val byId = vecs.toMap
+    val codewords = (0 until k).map(i => byId(i.toLong))
+    def slice(v: Array[Float], s: Int): Array[Float] =
+      v.slice(s * subDim, (s + 1) * subDim)
+    def codesOf(v: Array[Float]): IndexedSeq[Int] =
+      (0 until m).map { s =>
+        (0 until k).minBy(c => (d2Micros(slice(v, s), slice(codewords(c), s)), c))
+      }
+    // IVF half: full-vector distance to the 16 centroid vectors
+    def cellRanks(v: Array[Float]): IndexedSeq[Int] =
+      (0 until nCells).sortBy(c => (d2Micros(v, byId(c.toLong)), c))
+    val cellOf = vecs.map { case (id, v) => id -> cellRanks(v).head }.toMap
+    val allCodes = vecs.map { case (id, v) => id -> codesOf(v) }.toMap
+    val expected = (nCells until nCells + nQueries).flatMap { q =>
+      val qv = byId(q.toLong)
+      val probed = cellRanks(qv).take(nProbe).toSet
+      val scored = vecs
+        .filter { case (id, _) => id != q.toLong && probed.contains(cellOf(id)) }
+        .map { case (id, _) =>
+          val adc = (0 until m).map { s =>
+            d2Micros(slice(qv, s), slice(codewords(allCodes(id)(s)), s))
+          }.sum
+          (id, adc)
+        }
+      scored.sortBy { case (id, adc) => (adc, id) }.take(topK).zipWithIndex
+        .map { case ((id, adc), r) => (q.toLong, id, adc, r + 1L) }
+    }.toSet
+    val got = VectorOps.ivfPqSearchOn(toDf(vecs)).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"),
+        r.getAs[Long]("adc_micros"), r.getAs[Long]("rnk"))).toSet
+    assert(got == expected)
+  }
+
   test("recall audit over the fixture corpus: 10 returned per query, recall sane") {
     val out = VectorOps.pqRecall.spark(spark, "/root/testdata/sf0.001").collect()
     assert(out.length == nQueries)

@@ -504,6 +504,48 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("substringScrubSpansStream emits exactly the base-owned spans, statelessly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val W = graft.queries.TextOps.winW
+    val span = (1 to W).map(i => s"s$i").mkString(" ")
+    // the frozen index: distinct window hashes of the curated base
+    val baseIndex = graft.queries.TextOps.substringIndexOn(
+      Seq((100L, (1 to 8).map(i => s"pre$i").mkString(" ") + " " + span))
+        .toDF("doc_id", "text"))
+
+    val mem = MemoryStream[(Long, String)]
+    val spans = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Int)]
+    val q = Streams.substringScrubSpansStream(
+        mem.toDF().toDF("doc_id", "text"), baseIndex)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        spans.synchronized {
+          spans ++= b.collect().map(r => (r.getAs[Long]("doc_id"),
+            r.getAs[Int]("start"), r.getAs[Int]("fin")))
+        }
+        ()
+      }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt-sspan").toString)
+      .start()
+    try {
+      mem.addData(Seq(
+        // embeds the base span after 5 fresh tokens -> ONE owned window at start 6
+        (20L, (1 to 5).map(i => s"x$i").mkString(" ") + " " + span),
+        // entirely fresh content -> no spans
+        (21L, (1 to 40).map(i => s"y$i").mkString(" "))))
+      q.processAllAvailable()
+      assert(spans.toList == List((20L, 6, 6 + W - 1)))
+      // a later batch embedding the span at the very front
+      mem.addData(Seq((22L, span + " " + (1 to 6).map(i => s"z$i").mkString(" "))))
+      q.processAllAvailable()
+      assert(spans.sorted.toList == List((20L, 6, 6 + W - 1), (22L, 1, W)))
+    } finally q.stop()
+  }
+
   test("stateful queries run on the RocksDB state store (the 100TB state path)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
