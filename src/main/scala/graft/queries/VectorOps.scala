@@ -1273,8 +1273,8 @@ object VectorOps {
   // the sum is order-independent and hash-matches DuckDB.
   // ---------------------------------------------------------------------
 
-  private val pqM = 4 // subspaces
-  private val pqSubDim = dim / pqM // 16 dims each
+  private[graft] val pqM = 4 // subspaces
+  private[graft] val pqSubDim = dim / pqM // 16 dims each
   private val pqK = 16 // codewords per subspace
 
   /** DuckDB dot product over [[pqSubDim]]-length list slices — same
@@ -1316,7 +1316,7 @@ object VectorOps {
     * code. Exposed for the spec (planted-codeword corpus through the
     * real plan) and reused verbatim by the ADC search below.
     */
-  private[queries] def pqCodesOn(emb: DataFrame): DataFrame = {
+  private[graft] def pqCodesOn(emb: DataFrame): DataFrame = {
     val s = emb.sparkSession
     import s.implicits._
     pqSubVectors(emb, "vec_id")
@@ -1385,6 +1385,17 @@ object VectorOps {
     * (vec_id in [nCells, nCells+nQueries), disjoint from the codeword
     * ids); candidates are the whole encoded corpus minus self.
     */
+  /** The trained codebook as a driver-side value: (sub, code, c_sub) —
+    * m×k = 64 tiny rows, the O(codebook) hand-off the streaming encoder
+    * folds into its plan (same sanctioned pattern as ivfAssignStream's
+    * centroid literal).
+    */
+  private[graft] def pqCodebook(emb: DataFrame): Seq[(Int, Long, Array[Float])] =
+    pqCodewords(emb).collect().map { r =>
+      (r.getAs[Int]("sub"), r.getAs[Long]("code"),
+        r.getAs[scala.collection.Seq[Float]]("c_sub").toArray)
+    }.toSeq.sortBy(c => (c._1, c._2))
+
   /** Per-query ADC lookup table: (query_id, sub, code, d2_micros) —
     * |queries|×m×k rows, always broadcast.
     */

@@ -293,6 +293,46 @@ object Streams {
       .select(col("vec_id"), col("best.cell").as("cell"), col("embedding"))
   }
 
+  /** Streaming PQ encode — the code-generation half of a live IVF-PQ
+    * index's ingest path: arriving embeddings are quantized to their
+    * (sub, code) rows against a FROZEN trained codebook
+    * ([[graft.queries.VectorOps.pqCodebook]]'s m×k = 64-entry driver
+    * hand-off, folded into the plan as a literal like ivfAssignStream's
+    * centroids), so encoding is a STATELESS per-row projection: append
+    * mode, no watermark, no state store, no shuffle. Output schema
+    * matches the batch encoder (vec_id, sub, code, err_micros) — the
+    * fold keeps the earliest (lowest-code) codeword on distance ties,
+    * identical to batch's packed-long (d2, code) min.
+    */
+  def pqEncodeStream(
+      vecStream: DataFrame,
+      codebook: Seq[(Int, Long, Array[Float])]): DataFrame = {
+    val m = graft.queries.VectorOps.pqM
+    val subDim = graft.queries.VectorOps.pqSubDim
+    val cwCol = array(codebook.sortBy(c => (c._1, c._2)).map { case (s, c, v) =>
+      struct(lit(s).as("sub"), lit(c).as("code"), typedLit(v).as("c_sub"))
+    }: _*)
+    val d2 = (vs: String) =>
+      s"""CAST(FLOOR(1000000 * (dot_d($vs, $vs) + dot_d(c.c_sub, c.c_sub)
+         |  - 2.0 * dot_d($vs, c.c_sub))) AS BIGINT)""".stripMargin
+    vecStream
+      .withColumn("cw", cwCol)
+      .withColumn("codes", expr(
+        s"""transform(sequence(0, ${m - 1}, 1), s ->
+           |  aggregate(
+           |    filter(cw, c -> c.sub = s),
+           |    struct(CAST(s AS BIGINT) AS sub, CAST(-1 AS BIGINT) AS code,
+           |           CAST(NULL AS BIGINT) AS d2),
+           |    (acc, c) -> CASE WHEN acc.d2 IS NULL
+           |        OR ${d2(s"slice(embedding, s * $subDim + 1, $subDim)")} < acc.d2
+           |      THEN struct(acc.sub AS sub, c.code AS code,
+           |                  ${d2(s"slice(embedding, s * $subDim + 1, $subDim)")} AS d2)
+           |      ELSE acc END))""".stripMargin))
+      .select(col("vec_id"), explode(col("codes")).as("c"))
+      .select(col("vec_id"), col("c.sub").as("sub"), col("c.code").as("code"),
+        col("c.d2").as("err_micros"))
+  }
+
   /** Running heavy-hitter sketch over a token stream — the streaming twin
     * of `t_token_heavy`: the Misra-Gries buffer IS the aggregation state
     * (k counters, merged associatively as micro-batches arrive), so state

@@ -253,6 +253,43 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("pqEncodeStream quantizes live vectors to the same codes as the batch encoder") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    graft.functions.GraftFunctions.registerDotD(spark)
+
+    val sf = "/root/testdata/sf0.001"
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val codebook = graft.queries.VectorOps.pqCodebook(emb)
+    val batch = graft.queries.VectorOps.pqCodesOn(emb).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("sub")) ->
+        (r.getAs[Long]("code"), r.getAs[Long]("err_micros"))).toMap
+
+    val all = emb.collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val mem = MemoryStream[(Long, Array[Float])]
+    val got = scala.collection.mutable.Map.empty[(Long, Long), (Long, Long)]
+    val q = Streams.pqEncodeStream(mem.toDF().toDF("vec_id", "embedding"), codebook)
+      .writeStream
+      .outputMode("append") // stateless projection
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        got.synchronized {
+          b.collect().foreach(r => got((r.getLong(0), r.getLong(1))) =
+            (r.getLong(2), r.getLong(3)))
+        }
+        ()
+      }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt-pq").toString)
+      .start()
+    try {
+      val (h1, h2) = all.splitAt(all.length / 2)
+      mem.addData(h1.toIndexedSeq); q.processAllAvailable()
+      mem.addData(h2.toIndexedSeq); q.processAllAvailable()
+      assert(got.size === batch.size)
+      assert(got.toMap === batch, "stream codes diverged from the batch encoder")
+    } finally q.stop()
+  }
+
   test("tokenHeavyStream: MG bound holds over the cumulative stream at every batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
