@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
 import org.apache.spark.sql.types.StringType
 
-import graft.functions.{BloomHashExpression, BloomUvAggregate, DotProductDExpression}
+import graft.functions.{BloomHashExpression, BloomUvAggregate, DotProductDExpression, NfcNormalizeExpression}
 
 /** SparkSessionExtensions hook — the standard deployment path for the
   * engine's custom Catalyst functions:
@@ -14,7 +14,7 @@ import graft.functions.{BloomHashExpression, BloomUvAggregate, DotProductDExpres
   *   spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
   * }}}
   *
-  * makes `bloom_uv` / `bloom_hash` available in every session without any
+  * makes `bloom_uv` / `bloom_hash` / `nfc` / `dot_d` available in every session without any
   * driver-side `GraftFunctions.register` call (which remains for
   * programmatic use). This is the (c)-tier extension surface from the
   * build contract; no custom Rule/Strategy is injected because no
@@ -37,6 +37,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => {
         require(exprs.length == 1, s"bloom_hash expects exactly 1 argument, got ${exprs.length}")
         BloomHashExpression(Cast(exprs.head, StringType))
+      },
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("nfc"),
+      new ExpressionInfo(classOf[NfcNormalizeExpression].getName, "nfc"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, s"nfc expects exactly 1 argument, got ${exprs.length}")
+        NfcNormalizeExpression(exprs.head)
       },
     ))
     ext.injectFunction((
