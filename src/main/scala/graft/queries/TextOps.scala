@@ -2641,6 +2641,30 @@ object TextOps {
       .select(col("doc_id"), col("w.start").as("start"), col("w.h").as("h"))
   }
 
+  /** (doc_id, start, fin) span rows → per-doc merged-interval stats
+    * (doc_id, n_spans, cov_tokens). Classic merged-interval length:
+    * starts are unique per doc, so the running max of prior ends tells
+    * how much of [start, fin] is new. Shared by the corpus-wide dup
+    * signal and the delta-vs-base variant.
+    */
+  private def mergedCoverage(spans: DataFrame): DataFrame = {
+    val wCov = Window.partitionBy(col("doc_id")).orderBy(col("start"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    spans
+      .withColumn("prev_max", max(col("fin")).over(wCov))
+      .withColumn("add",
+        greatest(lit(0),
+          col("fin") - greatest(coalesce(col("prev_max"), lit(0)), col("start") - 1)))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"), sum(col("add")).as("cov_tokens"))
+  }
+
+  /** base-with-tk frame → per-doc (doc_id, n_tokens, n_wins) stats. */
+  private def windowStats(base: DataFrame): DataFrame =
+    base.select(col("doc_id"),
+      size(col("tk")).cast("long").as("n_tokens"),
+      greatest(size(col("tk")) - (winW - 1), lit(0)).cast("long").as("n_wins"))
+
   private[queries] def substringDupOn(docsDf: DataFrame): DataFrame = {
     val s = docsDf.sparkSession
     import s.implicits._
@@ -2650,23 +2674,10 @@ object TextOps {
       .withColumn("c", count(lit(1)).over(Window.partitionBy($"h")))
       .filter($"c" > 1)
       .select($"doc_id", $"start", ($"start" + winW - 1).as("fin"))
-    // classic merged-interval length: starts are unique per doc, so the
-    // running max of prior ends tells how much of [start, fin] is new
-    val wCov = Window.partitionBy($"doc_id").orderBy($"start")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val covAgg = dup
-      .withColumn("prev_max", max($"fin").over(wCov))
-      .withColumn("add",
-        greatest(lit(0), $"fin" - greatest(coalesce($"prev_max", lit(0)), $"start" - 1)))
-      .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_dup_wins0"), sum($"add").as("dup_tokens0"))
-    base
-      .select($"doc_id",
-        size($"tk").cast("long").as("n_tokens"),
-        greatest(size($"tk") - (winW - 1), lit(0)).cast("long").as("n_wins"))
-      .join(covAgg, Seq("doc_id"), "left")
-      .withColumn("n_dup_wins", coalesce($"n_dup_wins0", lit(0L)).cast("long"))
-      .withColumn("dup_tokens", coalesce($"dup_tokens0", lit(0L)).cast("long"))
+    windowStats(base)
+      .join(mergedCoverage(dup), Seq("doc_id"), "left")
+      .withColumn("n_dup_wins", coalesce($"n_spans", lit(0L)).cast("long"))
+      .withColumn("dup_tokens", coalesce($"cov_tokens", lit(0L)).cast("long"))
       .withColumn("dup_pct",
         floor(lit(100.0) * $"dup_tokens" / $"n_tokens").cast("long"))
       .select($"doc_id", $"n_tokens", $"n_wins", $"n_dup_wins", $"dup_tokens",
@@ -2847,6 +2858,180 @@ object TextOps {
     """.stripMargin.trim),
   )
 
+  // ---------------------------------------------------------------------
+  // Incremental SPAN-grain ingest check — the 4th grain of the delta
+  // family (exact t_delta_dedup, lexical t_delta_neardup, semantic
+  // t_delta_semantic, span THIS): arriving docs' stride-1 windows checked
+  // against the BASE corpus's span index, cross-set only — base×base and
+  // delta×delta repeats never materialize (the former is curation-time
+  // work already done, the latter is the next compaction's job). At scale
+  // the base side IS the stored distinct-window-hash index
+  // ([[substringIndexOn]] — the same artifact the streaming twin reads);
+  // recomputing it inline keeps the row self-contained. Output is
+  // per-delta-doc base-owned coverage — the "how much of this new doc is
+  // already in the corpus verbatim" signal.
+  // ---------------------------------------------------------------------
+
+  /** The core over any (doc_id, text, batch∈{base,delta}) frame. */
+  private[queries] def deltaSubstringOn(tagged: DataFrame): DataFrame = {
+    val s = tagged.sparkSession
+    import s.implicits._
+    val baseIdx = tokenWindows(tokenizedBase(tagged.filter($"batch" === "base")))
+      .select($"h").distinct()
+    val deltaBase = tokenizedBase(tagged.filter($"batch" === "delta"))
+    val hits = tokenWindows(deltaBase)
+      .join(baseIdx, Seq("h"))
+      .select($"doc_id", $"start", ($"start" + winW - 1).as("fin"))
+    windowStats(deltaBase)
+      .join(mergedCoverage(hits), Seq("doc_id"), "left")
+      .select(
+        $"doc_id", $"n_tokens", $"n_wins",
+        coalesce($"n_spans", lit(0L)).cast("long").as("n_base_wins"),
+        coalesce($"cov_tokens", lit(0L)).cast("long").as("base_cov_tokens"),
+        floor(lit(100.0) * coalesce($"cov_tokens", lit(0L)) / $"n_tokens")
+          .cast("long").as("base_cov_pct"))
+      .withColumn("flag_dup", $"base_cov_pct" >= 20)
+  }
+
+  val deltaSubstring = Q(
+    "t_delta_substring",
+    (s, d) =>
+      deltaSubstringOn(docs(s, d).select(col("doc_id"), col("text"), batchOf.as("batch"))),
+    Some(s"""
+      WITH t AS (
+        SELECT doc_id, $oracleToks AS tk,
+               CASE WHEN ${CurationOps.oMd5Bucket("CAST(doc_id AS VARCHAR) || ':batch'", 10)} >= 8
+                    THEN 'delta' ELSE 'base' END AS batch
+        FROM documents),
+      bidx AS (
+        SELECT DISTINCT md5(array_to_string(tk[start:start + ${winW - 1}], ' ')) AS h
+        FROM (SELECT doc_id, tk,
+                     unnest(generate_series(1, greatest(len(tk) - ${winW - 1}, 0))) AS start
+              FROM t WHERE batch = 'base')),
+      dwins AS (
+        SELECT doc_id, start, start + ${winW - 1} AS fin,
+               md5(array_to_string(tk[start:start + ${winW - 1}], ' ')) AS h
+        FROM (SELECT doc_id, tk,
+                     unnest(generate_series(1, greatest(len(tk) - ${winW - 1}, 0))) AS start
+              FROM t WHERE batch = 'delta')),
+      hits AS (SELECT d.doc_id, d.start, d.fin FROM dwins d JOIN bidx b USING (h)),
+      cov AS (
+        SELECT doc_id, start, fin,
+               MAX(fin) OVER (PARTITION BY doc_id ORDER BY start
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+        FROM hits),
+      agg AS (
+        SELECT doc_id, COUNT(*) AS n_base_wins,
+               SUM(GREATEST(0, fin - GREATEST(COALESCE(prev_max, 0), start - 1))) AS base_cov_tokens
+        FROM cov GROUP BY 1),
+      stats AS (
+        SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+               CAST(GREATEST(len(tk) - ${winW - 1}, 0) AS BIGINT) AS n_wins
+        FROM t WHERE batch = 'delta')
+      SELECT s.doc_id, s.n_tokens, s.n_wins,
+             CAST(COALESCE(a.n_base_wins, 0) AS BIGINT) AS n_base_wins,
+             CAST(COALESCE(a.base_cov_tokens, 0) AS BIGINT) AS base_cov_tokens,
+             CAST(FLOOR(100.0 * COALESCE(a.base_cov_tokens, 0) / s.n_tokens) AS BIGINT) AS base_cov_pct,
+             (CAST(FLOOR(100.0 * COALESCE(a.base_cov_tokens, 0) / s.n_tokens) AS BIGINT) >= 20) AS flag_dup
+      FROM stats s LEFT JOIN agg a USING (doc_id)
+    """.stripMargin.trim),
+  )
+
+  // ---------------------------------------------------------------------
+  // Per-source corpus report — the observability rollup every pipeline
+  // prints before anyone decides mixing weights or quota caps: for each
+  // source, volume (docs/tokens), exact-dup involvement, the quality-gate
+  // class mix (same gate as t_quality_score/t_clean_corpus — shared
+  // definition, not a copy), a token-weighted distinct ratio, and the
+  // language profile (distinct langs + dominant lang). This is the table
+  // t_domain_mix's weights are chosen FROM.
+  //
+  // 100 TB shape: one corpus-wide text-hash shuffle (dup involvement),
+  // one (source, lang) agg + per-source rank over |sources|x|langs| rows
+  // (never corpus-sized), one source-keyed final agg — output is
+  // O(|sources|).
+  // ---------------------------------------------------------------------
+
+  val sourceReport = Q(
+    "t_source_report",
+    (s, d) => {
+      import s.implicits._
+      val perDoc = withQuality(docs(s, d))
+        .withColumn("is_dup",
+          count(lit(1)).over(Window.partitionBy(md5($"text"))) > 1)
+      val bySource = perDoc
+        .groupBy($"source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum($"n_tokens").as("n_tokens"),
+          sum(when($"is_dup", 1L).otherwise(0L)).as("n_dup_docs"),
+          sum(when($"quality" === "good", 1L).otherwise(0L)).as("n_good"),
+          sum(when($"quality" === "fair", 1L).otherwise(0L)).as("n_fair"),
+          sum(when($"quality" === "poor", 1L).otherwise(0L)).as("n_poor"),
+          sum($"n_distinct").as("sum_distinct"))
+      val wLang = Window.partitionBy($"source")
+      val langTop = docs(s, d)
+        .groupBy($"source", $"lang")
+        .agg(count(lit(1)).as("n_l"))
+        .withColumn("n_langs", count(lit(1)).over(wLang))
+        .withColumn("rk",
+          row_number().over(wLang.orderBy($"n_l".desc, $"lang".asc)))
+        .filter($"rk" === 1)
+        .select($"source", $"n_langs", $"lang".as("top_lang"))
+      bySource
+        .join(langTop, Seq("source"))
+        .select(
+          $"source", $"n_docs", $"n_tokens", $"n_dup_docs",
+          floor(lit(100.0) * $"n_dup_docs" / $"n_docs").cast("long").as("dup_pct"),
+          $"n_good", $"n_fair", $"n_poor",
+          floor(lit(1e6) * $"sum_distinct" / $"n_tokens").cast("long").as("ttr_ppm"),
+          $"n_langs", $"top_lang")
+    },
+    Some {
+      val stopPred = stopwords.map(w => s"x = '$w'").mkString(" or ")
+      s"""
+      WITH per_doc AS (
+        SELECT doc_id, source, lang,
+               len($oracleToks) AS n_tokens,
+               len(list_distinct($oracleToks)) AS n_distinct,
+               len(list_filter($oracleToks, x -> $stopPred)) AS n_stop,
+               COUNT(*) OVER (PARTITION BY md5(text)) > 1 AS is_dup
+        FROM documents),
+      classed AS (
+        SELECT *,
+               CASE WHEN n_tokens >= 20 AND FLOOR(100.0 * n_distinct / n_tokens) >= 25
+                         AND FLOOR(100.0 * n_stop / n_tokens) <= 40 THEN 'good'
+                    WHEN n_tokens >= 10 THEN 'fair'
+                    ELSE 'poor' END AS quality
+        FROM per_doc),
+      by_source AS (
+        SELECT source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+               CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+               CAST(SUM(CASE WHEN quality = 'good' THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
+               CAST(SUM(CASE WHEN quality = 'fair' THEN 1 ELSE 0 END) AS BIGINT) AS n_fair,
+               CAST(SUM(CASE WHEN quality = 'poor' THEN 1 ELSE 0 END) AS BIGINT) AS n_poor,
+               CAST(SUM(n_distinct) AS BIGINT) AS sum_distinct
+        FROM classed GROUP BY 1),
+      lang_counts AS (
+        SELECT source, lang, COUNT(*) AS n_l FROM documents GROUP BY 1, 2),
+      lang_top AS (
+        SELECT source, n_langs, lang AS top_lang FROM (
+          SELECT source, lang,
+                 CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n_langs,
+                 ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_l DESC, lang ASC) AS rk
+          FROM lang_counts) WHERE rk = 1)
+      SELECT b.source, b.n_docs, b.n_tokens, b.n_dup_docs,
+             CAST(FLOOR(100.0 * b.n_dup_docs / b.n_docs) AS BIGINT) AS dup_pct,
+             b.n_good, b.n_fair, b.n_poor,
+             CAST(FLOOR(1e6 * b.sum_distinct / b.n_tokens) AS BIGINT) AS ttr_ppm,
+             l.n_langs, l.top_lang
+      FROM by_source b JOIN lang_top l USING (source)
+    """.stripMargin.trim
+    },
+  )
+
   val qs: Seq[Q] = Seq(
     textStats,
     tokenTopK,
@@ -2885,5 +3070,7 @@ object TextOps {
     substringDup,
     normKey,
     substringScrub,
+    sourceReport,
+    deltaSubstring,
   )
 }

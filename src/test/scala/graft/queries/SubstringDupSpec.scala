@@ -140,6 +140,27 @@ class SubstringDupSpec extends SparkSpec {
     }
   }
 
+  test("delta-vs-base spans: only cross-set coverage counts, delta-delta repeats ignored") {
+    import spark.implicits._
+    val span = (1 to W).map(i => s"k$i").mkString(" ")
+    val tagged = Seq(
+      (1L, (1 to 10).map(i => s"b$i").mkString(" ") + " " + span, "base"),
+      // delta doc embedding the base span after 5 fresh tokens
+      (10L, (1 to 5).map(i => s"d$i").mkString(" ") + " " + span, "delta"),
+      // two delta docs sharing a span that is NOT in the base -> no hits
+      (11L, (1 to 30).map(i => s"e$i").mkString(" "), "delta"),
+      (12L, (1 to 30).map(i => s"e$i").mkString(" "), "delta"),
+    ).toDF("doc_id", "text", "batch")
+    val out = TextOps.deltaSubstringOn(tagged).collect().map { r =>
+      r.getAs[Long]("doc_id") -> (r.getAs[Long]("n_base_wins"),
+        r.getAs[Long]("base_cov_tokens"), r.getAs[Boolean]("flag_dup"))
+    }.toMap
+    assert(out.keySet == Set(10L, 11L, 12L)) // base docs produce no rows
+    assert(out(10L) == ((1L, W.toLong, true))) // 20/25 tokens covered
+    assert(out(11L) == ((0L, 0L, false))) // delta-delta repeat: not counted
+    assert(out(12L) == ((0L, 0L, false)))
+  }
+
   test("random corpora with planted spans: operator equals brute force") {
     val vocab = Array("a", "b", "c", "d", "e", "f", "g", "h", "i", "j")
     for (seed <- 1 to 5) {
