@@ -327,6 +327,105 @@ object StreamBench {
               s""""state_final_rows":${if (stateSeries.isEmpty) 0L else stateSeries.last},"sf":"$sfDir"}""")
       }
     }
+    // Sixth probe: streaming PQ encode — the live-index ingest path's
+    // quantization throughput. Embeddings replicated with shifted ids,
+    // staged as a parquet file stream, driven through pqEncodeStream
+    // (frozen codebook folded into the plan) with AvailableNow. The
+    // probe publishes rows/sec AND the state-store row count, which must
+    // be ZERO: encoding is a pure projection, so a live index ingests at
+    // scan speed with no state to checkpoint or recover. Numbers in
+    // SCALING.md ("streaming ingest probes: PQ encode + span scrub").
+    {
+      graft.functions.GraftFunctions.registerDotD(spark)
+      val emb = Tables.embeddings(spark, sfDir)
+      val codebook = graft.queries.VectorOps.pqCodebook(emb)
+      val maxVec = emb.agg(max($"vec_id")).first().getLong(0) + 1
+      val vecRep = emb
+        .crossJoin(spark.range(replicas).select($"id".as("rep")))
+        .select(($"vec_id" + $"rep" * maxVec).as("vec_id"), $"embedding")
+      val stage6 = java.nio.file.Files.createTempDirectory("emb-sbench").toString
+      vecRep.repartition(32).write.mode("overwrite").parquet(stage6)
+      val nVecs = emb.count() * replicas
+      val outRows6 = new java.util.concurrent.atomic.AtomicLong(0)
+      var statePeak6 = 0L
+      val t6 = System.nanoTime()
+      val q6 = Streams
+        .pqEncodeStream(
+          spark.readStream
+            .schema("vec_id LONG, embedding ARRAY<FLOAT>")
+            .option("maxFilesPerTrigger", 8)
+            .parquet(stage6),
+          codebook)
+        .writeStream
+        .outputMode("append")
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          outRows6.addAndGet(b.count())
+          ()
+        }
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("ckpt-sbench-pq").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q6.awaitTermination()
+      val p6 = q6.lastProgress
+      if (p6 != null && p6.stateOperators.nonEmpty)
+        statePeak6 = p6.stateOperators.map(_.numRowsTotal).sum
+      val secs6 = (System.nanoTime() - t6) / 1e9
+      println(
+        s"""{"metric":"pq_encode_rows_per_sec","value":${(nVecs / secs6).toLong},""" +
+          s""""unit":"rows/sec","rows":$nVecs,"secs":$secs6,""" +
+          s""""out_rows":${outRows6.get()},"state_rows":$statePeak6,"sf":"$sfDir"}""")
+    }
+
+    // Seventh probe: streaming span scrub — day-2 span-grain ingest
+    // against the STORED base index (written to parquet and re-read as
+    // the static join side, exactly the artifact shape a deployment
+    // uses). Documents replicated with shifted ids; every replica doc's
+    // windows hit the base index, so this is the worst-case emit rate.
+    // State must again be ZERO (stateless stream-static equi-join).
+    {
+      val docsDf = Tables.documents(spark, sfDir).select($"doc_id", $"text")
+      val idxDir = java.nio.file.Files.createTempDirectory("spanidx-sbench").toString
+      graft.queries.TextOps.substringIndexOn(docsDf)
+        .write.mode("overwrite").parquet(idxDir)
+      val baseIdx = spark.read.parquet(idxDir)
+      val maxDoc = docsDf.agg(max($"doc_id")).first().getLong(0) + 1
+      val docRep = docsDf
+        .crossJoin(spark.range(replicas).select($"id".as("rep")))
+        .select(($"doc_id" + $"rep" * maxDoc).as("doc_id"), $"text")
+      val stage7 = java.nio.file.Files.createTempDirectory("docs-sbench").toString
+      docRep.repartition(32).write.mode("overwrite").parquet(stage7)
+      val nDocs = docsDf.count() * replicas
+      val outRows7 = new java.util.concurrent.atomic.AtomicLong(0)
+      var statePeak7 = 0L
+      val t7 = System.nanoTime()
+      val q7 = Streams
+        .substringScrubSpansStream(
+          spark.readStream
+            .schema("doc_id LONG, text STRING")
+            .option("maxFilesPerTrigger", 8)
+            .parquet(stage7),
+          baseIdx)
+        .writeStream
+        .outputMode("append")
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          outRows7.addAndGet(b.count())
+          ()
+        }
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("ckpt-sbench-span").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q7.awaitTermination()
+      val p7 = q7.lastProgress
+      if (p7 != null && p7.stateOperators.nonEmpty)
+        statePeak7 = p7.stateOperators.map(_.numRowsTotal).sum
+      val secs7 = (System.nanoTime() - t7) / 1e9
+      println(
+        s"""{"metric":"span_scrub_docs_per_sec","value":${(nDocs / secs7).toLong},""" +
+          s""""unit":"rows/sec","rows":$nDocs,"secs":$secs7,""" +
+          s""""out_spans":${outRows7.get()},"state_rows":$statePeak7,"sf":"$sfDir"}""")
+    }
     spark.stop()
   }
 }
