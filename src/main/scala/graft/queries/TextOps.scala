@@ -815,9 +815,20 @@ object TextOps {
       edges.select(col("doc_a").as("v"), col("doc_b").as("nbr"))
         .union(edges.select(col("doc_b").as("v"), col("doc_a").as("nbr"))))
     var labels = persist(und.select(col("v")).distinct().withColumn("lbl", col("v")))
+    // Convergence signal: labels only ever DECREASE (min over a set
+    // containing the own label; the shortcut takes least), so the label
+    // SUM strictly decreases iff any vertex changed — one decimal
+    // aggregate per round instead of a labels⋈labels join + count
+    // (decimal, not long: at 10^12 vertices x 2^40 ids a long sum
+    // overflows).
+    def lblSum(df: DataFrame): java.math.BigDecimal = {
+      val r = df.agg(sum(col("lbl").cast("decimal(38,0)"))).head()
+      if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
+    }
+    var prevSum = lblSum(labels)
     var round = 0
-    var changed = 1L
-    while (changed > 0 && round < maxRounds) {
+    var changed = true
+    while (changed && round < maxRounds) {
       // hop: min over own + neighbors' labels
       val nbrLbl = und
         .join(labels.select(col("v").as("nbr"), col("lbl")), "nbr")
@@ -836,12 +847,13 @@ object TextOps {
             hopped.select(col("v").as("l2"), col("lbl").as("lbl2")),
             col("lbl") === col("l2"), "left")
           .select(col("v"), least(col("lbl"), coalesce(col("lbl2"), col("lbl"))).as("lbl")))
-      changed = next.join(labels.withColumnRenamed("lbl", "old"), "v")
-        .filter(col("lbl") < col("old")).count()
+      val nextSum = lblSum(next)
+      changed = nextSum.compareTo(prevSum) != 0
+      prevSum = nextSum
       labels = next
       round += 1
     }
-    CcResult(labels, round, changed == 0)
+    CcResult(labels, round, !changed)
   }
 
   /** (v, rep, converged) for every vertex of `edges` (cols doc_a, doc_b):
