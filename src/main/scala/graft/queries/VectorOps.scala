@@ -1603,6 +1603,92 @@ object VectorOps {
     """.stripMargin.trim),
   )
 
+  // ---------------------------------------------------------------------
+  // Cluster topic labeling — the corpus-exploration surface (data-map
+  // style): for each IVF cell, the terms most over-represented among its
+  // documents' vocabularies, scored by document-frequency lift
+  // `(df_cell / n_c) / (df_all / n_total)` in exact integer ppm (log of
+  // lift is PMI and log is monotone — the t_collocations convention, so
+  // the ranking is float-free). Cross-pack composition: the embedding
+  // clusters (v_ivf_assign's cells) label themselves with TextOps'
+  // token pipeline.
+  //
+  // 100 TB shape: assignment = broadcast-centroid scan; per-(cell,
+  // token) and per-token dfs are two keyed aggs (map-side combined);
+  // the df join is token-keyed with NO broadcast hint (vocabulary
+  // scale); cell sizes and the one-row total ride the sanctioned tiny
+  // broadcasts; final rank partitions by cell over the support-filtered
+  // candidate set, never the corpus. Long-arithmetic caveat (same class
+  // as t_unigram_lm, documented there): the ppm product assumes
+  // 1e6·df_cell·n_total fits a long — at extreme corpus scale widen to
+  // decimal the way t_domain_mix does.
+  // ---------------------------------------------------------------------
+
+  private val topicSupport = 3
+  private val topicsPerCell = 3
+
+  val clusterTopics = Q(
+    "t_cluster_topics",
+    (s, d) => {
+      import s.implicits._
+      val docsDf = graft.sources.Tables.documents(s, d).select($"doc_id", $"text")
+      val docCells = docsDf
+        .join(ivfCells(vecs(s, d)).select($"vec_id", $"cell"), $"doc_id" === $"vec_id")
+        .select($"doc_id", $"cell", $"text")
+      val docToks = docCells
+        .withColumn("tk", TextOps.toks)
+        .select($"doc_id", $"cell", explode(array_distinct($"tk")).as("token"))
+      val cellSizes = docCells.groupBy($"cell").agg(count(lit(1)).as("n_c"))
+      val total = docCells.agg(count(lit(1)).as("n_total"))
+      val dfCell = docToks.groupBy($"cell", $"token").agg(count(lit(1)).as("df_cell"))
+      val dfAll = docToks.groupBy($"token").agg(count(lit(1)).as("df_all"))
+      val w = Window.partitionBy($"cell").orderBy($"lift_ppm".desc, $"token".asc)
+      dfCell
+        .filter($"df_cell" >= topicSupport)
+        .join(dfAll, Seq("token"))
+        .join(broadcast(cellSizes), Seq("cell"))
+        .crossJoin(broadcast(total))
+        .withColumn("lift_ppm",
+          expr("(1000000 * df_cell * n_total) div (n_c * df_all)"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter($"rk" <= topicsPerCell)
+        .select($"cell", $"token", $"df_cell", $"n_c", $"lift_ppm", $"rk")
+    },
+    Some(s"""
+      WITH cents AS (SELECT vec_id AS cell, embedding AS c_emb FROM embeddings
+                     WHERE vec_id < $nCells),
+      dists AS (
+        SELECT v.vec_id, c.cell,
+               CAST(FLOOR(1e6 * (${oDot("v.embedding", "v.embedding")} + ${oDot("c.c_emb", "c.c_emb")}
+                 - 2.0 * ${oDot("v.embedding", "c.c_emb")})) AS BIGINT) AS d2_micros
+        FROM embeddings v CROSS JOIN cents c),
+      assigned AS (
+        SELECT vec_id, cell FROM (
+          SELECT vec_id, cell,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2_micros ASC, cell ASC) AS rk
+          FROM dists) WHERE rk = 1),
+      dc AS (
+        SELECT d.doc_id, a.cell, ${TextOps.oracleToks} AS tk
+        FROM documents d JOIN assigned a ON a.vec_id = d.doc_id),
+      toks AS (SELECT doc_id, cell, unnest(list_distinct(tk)) AS token FROM dc),
+      sizes AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_c FROM dc GROUP BY 1),
+      total AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM dc),
+      dfc AS (SELECT cell, token, CAST(COUNT(*) AS BIGINT) AS df_cell FROM toks GROUP BY 1, 2),
+      dfa AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df_all FROM toks GROUP BY 1),
+      scored AS (
+        SELECT dfc.cell, dfc.token, dfc.df_cell, s.n_c,
+               CAST((1000000 * dfc.df_cell * t.n_total) // (s.n_c * dfa.df_all) AS BIGINT) AS lift_ppm
+        FROM dfc
+        JOIN dfa USING (token)
+        JOIN sizes s USING (cell)
+        CROSS JOIN total t
+        WHERE dfc.df_cell >= $topicSupport)
+      SELECT cell, token, df_cell, n_c, lift_ppm,
+             ROW_NUMBER() OVER (PARTITION BY cell ORDER BY lift_ppm DESC, token ASC) AS rk
+      FROM scored QUALIFY rk <= $topicsPerCell
+    """.stripMargin.trim),
+  )
+
   val qs: Seq[Q] = Seq(
     normStats,
     knnBrute,
@@ -1624,5 +1710,6 @@ object VectorOps {
     pqSearch,
     pqRecall,
     ivfPqSearch,
+    clusterTopics,
   )
 }

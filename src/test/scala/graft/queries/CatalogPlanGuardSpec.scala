@@ -41,7 +41,9 @@ class CatalogPlanGuardSpec extends SparkSpec {
       // the broadcast side is the fixed 5-query panel; the composed
       // IVF-PQ search inherits the centroid-assignment cross from the
       // IVF family (broadcast side = the 16 centroids)
-      "v_pq_recall", "v_ivfpq_search")
+      "v_pq_recall", "v_ivfpq_search",
+      // cluster topics: centroid-assignment cross + the one-row corpus total
+      "t_cluster_topics")
 
   test("no catalog query plans a cartesian, a rogue BNLJ, or a single-partition stage") {
     val offenders = Catalog.all.flatMap { q =>
