@@ -1604,6 +1604,179 @@ object VectorOps {
   )
 
   // ---------------------------------------------------------------------
+  // Residual IVF-PQ — the textbook IVFADC form (Jégou et al. 2011 §IV):
+  // PQ quantizes the RESIDUAL v − centroid(cell(v)) instead of the raw
+  // vector. Residuals concentrate near the origin regardless of which
+  // cell a vector lives in, so the same 16-codeword budget spends its
+  // resolution on local displacement, not on re-encoding the coarse
+  // position the IVF assignment already captured — the reason every
+  // production IVF-PQ index encodes residuals. Search mirrors it: the
+  // query's residual is taken PER PROBED CELL (q − that cell's
+  // centroid), giving a per-(query, cell) ADC lookup table.
+  //
+  // Deterministic codebook: residual sub-vectors of the 16 vectors after
+  // the query panel (ids [nCells+nQueries, nCells+nQueries+pqK)) — the
+  // centroid vectors themselves are useless here (their residuals are
+  // identically zero), which is itself a property the spec pins.
+  //
+  // 100 TB shape: identical to v_ivfpq_search — the residual projection
+  // is a per-row zip_with at INDEX-BUILD time (the scan side still reads
+  // only codes), the LUT grows to |q|×nprobe×m×k = 640 rows (still a
+  // broadcast literal), and candidate generation stays the probed-cell
+  // equi-join.
+  // ---------------------------------------------------------------------
+
+  private val resCbLo = nCells + nQueries // first codebook-source id
+
+  /** Element-wise float difference (IEEE single, bit-identical in the
+    * DuckDB mirror where FLOAT - FLOAT is also single-precision).
+    */
+  private def residOf(a: String, b: String): Column =
+    expr(s"zip_with($a, $b, (x, y) -> x - y)")
+
+  /** The composed core — exposed for the differential spec. */
+  private[queries] def ivfPqResidualSearchOn(emb: DataFrame): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val cents = emb
+      .filter($"vec_id" < nCells)
+      .select($"vec_id".as("cell"), $"embedding".as("c_emb"))
+    val wAssign = Window.partitionBy($"vec_id").orderBy($"d2c_micros".asc, $"cell".asc)
+    val dists = emb
+      .join(broadcast(cents))
+      .withColumn(
+        "d2c_micros",
+        micros(dotd("embedding", "embedding") + dotd("c_emb", "c_emb")
+          - lit(2.0) * dotd("embedding", "c_emb")))
+      .withColumn("rk", row_number().over(wAssign))
+    val resid = dists
+      .filter($"rk" === 1)
+      .withColumn("r_emb", residOf("embedding", "c_emb"))
+      .select($"vec_id", $"cell", $"r_emb")
+    val cw = resid
+      .filter($"vec_id" >= resCbLo && $"vec_id" < resCbLo + pqK)
+      .select(
+        $"vec_id".as("code"),
+        explode(sequence(lit(0), lit(pqM - 1))).as("sub"),
+        $"r_emb".as("c_full"))
+      .select($"code", $"sub",
+        expr(s"slice(c_full, sub * $pqSubDim + 1, $pqSubDim)").as("c_sub"))
+    val codes = resid
+      .select($"vec_id", $"cell",
+        explode(sequence(lit(0), lit(pqM - 1))).as("sub"), $"r_emb".as("v_full"))
+      .select($"vec_id", $"cell", $"sub",
+        expr(s"slice(v_full, sub * $pqSubDim + 1, $pqSubDim)").as("v_sub"))
+      .join(broadcast(cw), Seq("sub"))
+      .withColumn(
+        "d2_micros",
+        micros(dotd("v_sub", "v_sub") + dotd("c_sub", "c_sub")
+          - lit(2.0) * dotd("v_sub", "c_sub")))
+      // packed-long argmin — see pqCodesOn. code ids here are the raw
+      // source vec_ids in [resCbLo, resCbLo+pqK); subtract the base so
+      // the pack factor stays pqK
+      .withColumn("packed",
+        $"d2_micros" * lit(pqK.toLong) + ($"code" - lit(resCbLo.toLong)))
+      .groupBy($"vec_id", $"cell", $"sub")
+      .agg(min($"packed").as("p"))
+      .withColumn("code0", pmod($"p", lit(pqK.toLong)))
+      .select($"vec_id", $"cell", $"sub".cast("long").as("sub"),
+        ($"code0" + resCbLo).as("code"))
+    val probes = dists
+      .filter($"vec_id" >= nCells && $"vec_id" < nCells + nQueries && $"rk" <= nProbe)
+      .select($"vec_id".as("query_id"), $"cell", $"embedding".as("q_emb"),
+        $"c_emb".as("p_emb"))
+    val lut = probes
+      .withColumn("qr", residOf("q_emb", "p_emb"))
+      .select($"query_id", $"cell",
+        explode(sequence(lit(0), lit(pqM - 1))).as("sub"), $"qr".as("q_full"))
+      .select($"query_id", $"cell", $"sub",
+        expr(s"slice(q_full, sub * $pqSubDim + 1, $pqSubDim)").as("q_sub"))
+      .join(broadcast(cw), Seq("sub"))
+      .withColumn(
+        "d2_micros",
+        micros(dotd("q_sub", "q_sub") + dotd("c_sub", "c_sub")
+          - lit(2.0) * dotd("q_sub", "c_sub")))
+      .select($"query_id", $"cell", $"sub".cast("long").as("sub"), $"code", $"d2_micros")
+    val w = Window.partitionBy($"query_id").orderBy($"adc_micros".asc, $"cand_id")
+    codes
+      .withColumnRenamed("vec_id", "cand_id")
+      .join(broadcast(probes.select($"query_id", $"cell")), Seq("cell"))
+      .filter($"cand_id" =!= $"query_id")
+      .join(broadcast(lut), Seq("query_id", "cell", "sub", "code"))
+      .groupBy($"query_id", $"cand_id")
+      .agg(sum($"d2_micros").as("adc_micros"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter($"rnk" <= topK)
+      .select($"query_id", $"cand_id", $"adc_micros", $"rnk")
+  }
+
+  val ivfPqResidualSearch = Q(
+    "v_ivfpq_residual",
+    (s, d) => ivfPqResidualSearchOn(vecs(s, d)),
+    Some(s"""
+      WITH cents AS (SELECT vec_id AS cell, embedding AS c_emb FROM embeddings
+                     WHERE vec_id < $nCells),
+      dists AS (
+        SELECT v.vec_id, v.embedding, c.cell, c.c_emb,
+               CAST(FLOOR(1e6 * (${oDot("v.embedding", "v.embedding")} + ${oDot("c.c_emb", "c.c_emb")}
+                 - 2.0 * ${oDot("v.embedding", "c.c_emb")})) AS BIGINT) AS d2c_micros
+        FROM embeddings v CROSS JOIN cents c),
+      ranked AS (
+        SELECT vec_id, embedding, cell, c_emb,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2c_micros ASC, cell ASC) AS rk
+        FROM dists),
+      resid AS (
+        SELECT vec_id, cell,
+               list_transform(generate_series(1, $dim),
+                 i -> embedding[i] - c_emb[i]) AS r_emb
+        FROM ranked WHERE rk = 1),
+      subs AS (SELECT unnest(generate_series(0, ${pqM - 1})) AS sub),
+      cw AS (
+        SELECT r.vec_id AS code, s.sub,
+               list_slice(r.r_emb, s.sub * $pqSubDim + 1, s.sub * $pqSubDim + $pqSubDim) AS c_sub
+        FROM resid r CROSS JOIN subs s
+        WHERE r.vec_id >= $resCbLo AND r.vec_id < ${resCbLo + pqK}),
+      vsub AS (
+        SELECT r.vec_id, r.cell, s.sub,
+               list_slice(r.r_emb, s.sub * $pqSubDim + 1, s.sub * $pqSubDim + $pqSubDim) AS v_sub
+        FROM resid r CROSS JOIN subs s),
+      rscored AS (
+        SELECT vsub.vec_id, vsub.cell, vsub.sub, cw.code,
+               CAST(FLOOR(1e6 * (${oDotSub("v_sub", "v_sub")} + ${oDotSub("c_sub", "c_sub")}
+                 - 2.0 * ${oDotSub("v_sub", "c_sub")})) AS BIGINT) AS d2_micros
+        FROM vsub JOIN cw ON vsub.sub = cw.sub),
+      codes AS (
+        SELECT vec_id, cell, CAST(sub AS BIGINT) AS sub, code FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                       ORDER BY d2_micros ASC, code ASC) AS rr
+          FROM rscored) WHERE rr = 1),
+      probes AS (
+        SELECT vec_id AS query_id, cell,
+               list_transform(generate_series(1, $dim),
+                 i -> embedding[i] - c_emb[i]) AS qr
+        FROM ranked
+        WHERE vec_id >= $nCells AND vec_id < ${nCells + nQueries} AND rk <= $nProbe),
+      lut AS (
+        SELECT p.query_id, p.cell, CAST(p.sub AS BIGINT) AS sub, cw.code,
+               CAST(FLOOR(1e6 * (${oDotSub("q_sub", "q_sub")} + ${oDotSub("c_sub", "c_sub")}
+                 - 2.0 * ${oDotSub("q_sub", "c_sub")})) AS BIGINT) AS d2_micros
+        FROM (SELECT p0.query_id, p0.cell, s0.sub,
+                     list_slice(p0.qr, s0.sub * $pqSubDim + 1, s0.sub * $pqSubDim + $pqSubDim) AS q_sub
+              FROM probes p0 CROSS JOIN subs s0) p
+        JOIN cw ON p.sub = cw.sub),
+      adc AS (
+        SELECT l.query_id, k.vec_id AS cand_id, CAST(SUM(l.d2_micros) AS BIGINT) AS adc_micros
+        FROM codes k
+        JOIN lut l ON l.cell = k.cell AND l.sub = k.sub AND l.code = k.code
+                   AND k.vec_id <> l.query_id
+        GROUP BY 1, 2)
+      SELECT query_id, cand_id, adc_micros,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_micros ASC, cand_id ASC) AS rnk
+      FROM adc QUALIFY rnk <= $topK
+    """.stripMargin.trim),
+  )
+
+  // ---------------------------------------------------------------------
   // Cluster topic labeling — the corpus-exploration surface (data-map
   // style): for each IVF cell, the terms most over-represented among its
   // documents' vocabularies, scored by document-frequency lift
@@ -1710,6 +1883,7 @@ object VectorOps {
     pqSearch,
     pqRecall,
     ivfPqSearch,
+    ivfPqResidualSearch,
     clusterTopics,
   )
 }

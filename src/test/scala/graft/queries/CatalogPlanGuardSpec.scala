@@ -41,7 +41,7 @@ class CatalogPlanGuardSpec extends SparkSpec {
       // the broadcast side is the fixed 5-query panel; the composed
       // IVF-PQ search inherits the centroid-assignment cross from the
       // IVF family (broadcast side = the 16 centroids)
-      "v_pq_recall", "v_ivfpq_search",
+      "v_pq_recall", "v_ivfpq_search", "v_ivfpq_residual",
       // cluster topics: centroid-assignment cross + the one-row corpus total
       "t_cluster_topics")
 

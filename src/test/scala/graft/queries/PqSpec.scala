@@ -135,6 +135,54 @@ class PqSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("residual IVF-PQ equals the brute-force residual composition; centroid residuals are zero") {
+    val nCells = 16
+    val nProbe = 2
+    val cbLo = nCells + nQueries // 21
+    val vecs = mkVecs(80, 47).zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    val byId = vecs.toMap
+    def sub(v: Array[Float], s: Int): Array[Float] =
+      v.slice(s * subDim, (s + 1) * subDim)
+    def cellRanks(v: Array[Float]): IndexedSeq[Int] =
+      (0 until nCells).sortBy(c => (d2Micros(v, byId(c.toLong)), c))
+    val cellOf = vecs.map { case (id, v) => id -> cellRanks(v).head }.toMap
+    // residual in FLOAT arithmetic (the zip_with contract)
+    def residual(v: Array[Float], cell: Int): Array[Float] = {
+      val c = byId(cell.toLong)
+      Array.tabulate(v.length)(i => v(i) - c(i))
+    }
+    val residOf = vecs.map { case (id, v) => id -> residual(v, cellOf(id)) }.toMap
+    // centroids' own residuals are identically zero (why they can't source the codebook)
+    for (c <- 0 until nCells) assert(residOf(c.toLong).forall(_ == 0f))
+    val codebook = (cbLo until cbLo + k).map(i => residOf(i.toLong))
+    def codesOf(r: Array[Float]): IndexedSeq[Int] =
+      (0 until m).map { s =>
+        (0 until k).minBy(c => (d2Micros(sub(r, s), sub(codebook(c), s)), c))
+      }
+    val allCodes = vecs.map { case (id, _) => id -> codesOf(residOf(id)) }.toMap
+    val expected = (nCells until nCells + nQueries).flatMap { q =>
+      val qv = byId(q.toLong)
+      val probed = cellRanks(qv).take(nProbe)
+      val scored = probed.flatMap { cell =>
+        val qr = residual(qv, cell)
+        vecs
+          .filter { case (id, _) => id != q.toLong && cellOf(id) == cell }
+          .map { case (id, _) =>
+            val adc = (0 until m).map { s =>
+              d2Micros(sub(qr, s), sub(codebook(allCodes(id)(s) ), s))
+            }.sum
+            (id, adc)
+          }
+      }
+      scored.sortBy { case (id, adc) => (adc, id) }.take(topK).zipWithIndex
+        .map { case ((id, adc), r) => (q.toLong, id, adc, r + 1L) }
+    }.toSet
+    val got = VectorOps.ivfPqResidualSearchOn(toDf(vecs)).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"),
+        r.getAs[Long]("adc_micros"), r.getAs[Long]("rnk"))).toSet
+    assert(got == expected)
+  }
+
   test("recall audit over the fixture corpus: 10 returned per query, recall sane") {
     val out = VectorOps.pqRecall.spark(spark, "/root/testdata/sf0.001").collect()
     assert(out.length == nQueries)
