@@ -21,7 +21,12 @@ object GraftCatalog {
     * event-time columns) and the custom function registry.
     */
   def register(spark: SparkSession, dir: String): Unit = {
-    tableNames.foreach(n => Tables(spark, dir, n).createOrReplaceTempView(n))
+    // embeddings goes through its guarded loader (array<float> pin), not
+    // the raw scan — the SQL surface must survive a float64 regen exactly
+    // like the programmatic one
+    tableNames.filterNot(_ == "embeddings")
+      .foreach(n => Tables(spark, dir, n).createOrReplaceTempView(n))
+    Tables.embeddings(spark, dir).createOrReplaceTempView("embeddings")
     Tables.events(spark, dir).createOrReplaceTempView("events")
     Tables.eventsTimed(spark, dir).createOrReplaceTempView("events_timed")
     GraftFunctions.register(spark)
