@@ -1777,6 +1777,92 @@ object VectorOps {
   )
 
   // ---------------------------------------------------------------------
+  // Stored IVF-PQ index — the artifact path the inline catalog rows
+  // deliberately sidestep ("recomputed inline to stay self-contained"):
+  // a real deployment builds the index ONCE and every search reads only
+  // stored tables. writeIvfPqIndex materializes the four artifacts —
+  // centroids (16 rows), codewords (64 rows), and the code table
+  // PARTITIONED BY CELL, which is the physical inverted-list layout: a
+  // probe's `cell IN (...)` filter becomes parquet partition pruning, so
+  // a search touches only its probed cells' directories and the
+  // 100 TB-corpus code table is never scanned whole. Each cell is
+  // repartitioned to one writer task (the writeShards no-small-files
+  // pattern).
+  // ---------------------------------------------------------------------
+
+  /** Build + persist the IVF-PQ index artifacts under `path`. */
+  def writeIvfPqIndex(emb: DataFrame, path: String): Unit = {
+    val s = emb.sparkSession
+    import s.implicits._
+    emb.filter($"vec_id" < nCells)
+      .select($"vec_id".as("cell"), $"embedding".as("c_emb"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    pqCodewords(emb)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/codewords")
+    pqCodesOn(emb)
+      .join(ivfCells(emb).select($"vec_id", $"cell"), Seq("vec_id"))
+      .repartition($"cell")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
+  }
+
+  /** ADC search against the STORED index: probes and the lookup table
+    * are computed from the live query vectors against the stored
+    * centroid/codeword tables (tiny, broadcast); candidates come from
+    * the stored code table with the probed cells pushed down as a
+    * partition filter (the probed-cell set is an O(|q|·nprobe) driver
+    * hand-off, same sanctioned class as the shard packer's offsets).
+    * Identical ranking contract to [[ivfPqSearchOn]] — the parity spec
+    * pins it.
+    */
+  def ivfPqSearchFromIndex(s: SparkSession, path: String, queries: DataFrame): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.registerDotD(s)
+    val cents = s.read.parquet(s"$path/centroids")
+    val cw = s.read.parquet(s"$path/codewords")
+    val wProbe = Window.partitionBy($"query_id").orderBy($"d2c_micros".asc, $"cell".asc)
+    val probes = queries
+      .select($"query_id", $"embedding".as("q_emb"))
+      .join(broadcast(cents))
+      .withColumn(
+        "d2c_micros",
+        micros(dotd("q_emb", "q_emb") + dotd("c_emb", "c_emb")
+          - lit(2.0) * dotd("q_emb", "c_emb")))
+      .withColumn("rk", row_number().over(wProbe))
+      .filter($"rk" <= nProbe)
+      .select($"query_id", $"cell", $"q_emb")
+    val lut = probes
+      .select($"query_id",
+        explode(sequence(lit(0), lit(pqM - 1))).as("sub"), $"q_emb".as("q_full"))
+      .distinct() // a query probing 2 cells needs each sub-slice once
+      .select($"query_id", $"sub",
+        expr(s"slice(q_full, sub * $pqSubDim + 1, $pqSubDim)").as("q_sub"))
+      .join(broadcast(cw), Seq("sub"))
+      .withColumn(
+        "d2_micros",
+        micros(dotd("q_sub", "q_sub") + dotd("c_sub", "c_sub")
+          - lit(2.0) * dotd("q_sub", "c_sub")))
+      .select($"query_id", $"sub".cast("long").as("sub"), $"code", $"d2_micros")
+    // O(|q|·nprobe) driver hand-off -> a LITERAL partition filter the
+    // parquet source prunes directories with
+    val probedCells = probes.select($"cell").distinct().collect().map(_.getLong(0))
+    val cand = s.read.parquet(s"$path/codes")
+      .filter($"cell".isin(probedCells: _*))
+    val w = Window.partitionBy($"query_id").orderBy($"adc_micros".asc, $"cand_id")
+    cand
+      .withColumnRenamed("vec_id", "cand_id")
+      .join(broadcast(probes.select($"query_id", $"cell")), Seq("cell"))
+      .filter($"cand_id" =!= $"query_id")
+      .join(broadcast(lut), Seq("query_id", "sub", "code"))
+      .groupBy($"query_id", $"cand_id")
+      .agg(sum($"d2_micros").as("adc_micros"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter($"rnk" <= topK)
+      .select($"query_id", $"cand_id", $"adc_micros", $"rnk")
+  }
+
+  // ---------------------------------------------------------------------
   // Cluster topic labeling — the corpus-exploration surface (data-map
   // style): for each IVF cell, the terms most over-represented among its
   // documents' vocabularies, scored by document-frequency lift

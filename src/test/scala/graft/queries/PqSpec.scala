@@ -183,6 +183,30 @@ class PqSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("search from the stored index equals the inline composition; probes prune partitions") {
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.registerDotD(spark)
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq-index").toString
+    VectorOps.writeIvfPqIndex(emb, dir)
+    // the stored code table is laid out one directory per cell
+    val cellDirs = new java.io.File(s"$dir/codes").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+    assert(cellDirs.length == 16)
+    val queries = emb.filter(col("vec_id") >= 16 && col("vec_id") < 21)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val indexed = VectorOps.ivfPqSearchFromIndex(spark, dir, queries)
+    // partition pruning: the scan's partition filter carries the probed cells
+    assert(indexed.queryExecution.executedPlan.toString.contains("PartitionFilters"))
+    val got = indexed.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"),
+        r.getAs[Long]("adc_micros"), r.getAs[Long]("rnk"))).toSet
+    val inline = VectorOps.ivfPqSearchOn(emb).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"),
+        r.getAs[Long]("adc_micros"), r.getAs[Long]("rnk"))).toSet
+    assert(got == inline)
+  }
+
   test("recall audit over the fixture corpus: 10 returned per query, recall sane") {
     val out = VectorOps.pqRecall.spark(spark, "/root/testdata/sf0.001").collect()
     assert(out.length == nQueries)
