@@ -1,0 +1,266 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Behavioral-graph analytics over the `events` table — the
+  * user-journey layer a product-analytics engine builds on top of the
+  * reference's per-event jobs (hot items, sessions, funnels): the
+  * page-transition graph, its PageRank, cohort retention, rolling
+  * active users, and item co-occurrence.
+  *
+  * All scores are exact integer arithmetic (ppm fixed point, integer
+  * `div`) so every query hash-matches a DuckDB oracle — the same
+  * discipline as the kmeans/IVF micros math (`VectorOps.kmeansTrain`).
+  *
+  * Scale notes per operator inline; the common shape is: project events
+  * down to (user, item/day) first, aggregate to the GRAPH/DAY grain
+  * (thousands of rows at any corpus size — node and day cardinality,
+  * not event cardinality), and only then run the iterative/windowed
+  * logic on that reduced frame. The raw event log is touched exactly
+  * once per query.
+  */
+object GraphOps {
+
+  /** events + `item` (numeric id inside the props JSON) + day — the
+    * shared projection. Mirrors EventAnalytics.eventsWithItem.
+    */
+  private def ev(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("item", regexp_extract(col("props"), "(\\d+)", 1).cast("long"))
+      .withColumn("day", expr("ts_sec div 86400"))
+
+  private val oracleBase =
+    """WITH base AS (
+      |  SELECT event_id, user_id, event_type,
+      |         TRY_CAST(regexp_extract(props, '(\d+)', 1) AS BIGINT) AS item,
+      |         epoch_ms(ts)//1000 AS sec,
+      |         (epoch_ms(ts)//1000)//86400 AS day
+      |  FROM events)""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // PageRank over the item-transition graph. Nodes = distinct items;
+  // edges = consecutive events per user (ordered by time, event_id
+  // tiebreak), weighted by transition count. Fixed-point ppm ranks with
+  // damping 0.85 over `prIters` synchronous iterations:
+  //
+  //   rank_0(v)   = 1_000_000
+  //   rank_i+1(v) = 150_000 + Σ_{(u,v,w)} ((rank_i(u)*85 div 100) * w) div out_w(u)
+  //
+  // Every op is BIGINT mul/div-floor on positive values, so Spark and
+  // DuckDB agree bit-for-bit and the sum is order-independent. Dangling
+  // nodes' mass evaporates (the standard simplification; ranks are a
+  // relative ordering, not a distribution — documented, determinism
+  // unaffected).
+  //
+  // 100 TB shape: the event log collapses to the (src, dst, w) edge
+  // list in ONE shuffle (per-user lead + pair count) — after that every
+  // iteration joins the |V|-row rank frame to the |E|-row edge frame
+  // and re-aggregates; the raw log is never revisited. |V|/|E| are
+  // item-catalog-sized, not corpus-sized. Iterations use the same
+  // localCheckpoint lineage truncation as the connected-components
+  // loop (TextOps.connectedComponents); per-iteration driver traffic is
+  // zero (no collect — the loop is a fixed count, not a convergence
+  // poll).
+  // ---------------------------------------------------------------------
+  private val prIters = 5
+
+  /** The iterative core over an explicit edge list — exposed so the spec
+    * can pin hand-computed ranks on a tiny graph.
+    */
+  private[queries] def pageRankOn(
+      nodes: DataFrame, // (item)
+      edges: DataFrame, // (src, dst, w)
+      iters: Int): DataFrame = {
+    val s = nodes.sparkSession
+    import s.implicits._
+    val outW = edges.groupBy($"src").agg(sum($"w").as("out_w"))
+    val e = edges.join(outW, "src").localCheckpoint()
+    var ranks = nodes.select($"item", lit(1000000L).as("rank_ppm"))
+    for (_ <- 1 to iters) {
+      val contrib = e
+        .join(ranks.withColumnRenamed("item", "src"), "src")
+        .withColumn("c", expr("(((rank_ppm * 85) div 100) * w) div out_w"))
+        .groupBy($"dst")
+        .agg(sum($"c").as("in_sum"))
+      ranks = nodes
+        .join(contrib.withColumnRenamed("dst", "item"), Seq("item"), "left")
+        .select($"item",
+          (lit(150000L) + coalesce($"in_sum", lit(0L))).as("rank_ppm"))
+        .localCheckpoint()
+    }
+    ranks
+  }
+
+  /** (src, dst, w) transition edges from the event log: one per-user
+    * ordered pass (a single shuffle on user_id), self-loops dropped.
+    */
+  private[queries] def transitionEdges(evs: DataFrame): DataFrame = {
+    val s = evs.sparkSession
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts_sec", $"event_id")
+    evs
+      .filter($"item".isNotNull)
+      .select($"user_id", $"ts_sec", $"event_id", $"item")
+      .withColumn("nxt", lead($"item", 1).over(w))
+      .filter($"nxt".isNotNull && $"nxt" =!= $"item")
+      .groupBy($"item".as("src"), $"nxt".as("dst"))
+      .agg(count(lit(1)).as("w"))
+  }
+
+  val pageRank = Q(
+    "e_pagerank",
+    (s, d) => {
+      import s.implicits._
+      val evs = ev(s, d)
+      val nodes = evs.filter($"item".isNotNull).select($"item").distinct()
+      pageRankOn(nodes, transitionEdges(evs), prIters)
+    },
+    Some {
+      // unrolled iterations: rN is rank after N synchronous updates
+      val iterCtes = (1 to prIters).map { i =>
+        s"""r$i AS (
+           |  SELECT n.item,
+           |         CAST(150000 + COALESCE(SUM((((r.rank_ppm * 85) // 100) * ew.w) // ew.out_w), 0) AS BIGINT) AS rank_ppm
+           |  FROM n
+           |  LEFT JOIN ew ON ew.dst = n.item
+           |  LEFT JOIN r${i - 1} r ON r.item = ew.src
+           |  GROUP BY n.item)""".stripMargin
+      }.mkString(",\n      ")
+      s"""
+      $oracleBase,
+      seq AS (
+        SELECT user_id, item,
+               LEAD(item) OVER (PARTITION BY user_id ORDER BY sec, event_id) AS nxt
+        FROM base WHERE item IS NOT NULL),
+      e AS (
+        SELECT item AS src, nxt AS dst, COUNT(*) AS w
+        FROM seq WHERE nxt IS NOT NULL AND nxt <> item GROUP BY 1, 2),
+      ow AS (SELECT src, CAST(SUM(w) AS BIGINT) AS out_w FROM e GROUP BY 1),
+      ew AS (SELECT e.src, e.dst, e.w, ow.out_w FROM e JOIN ow USING (src)),
+      n AS (SELECT DISTINCT item FROM base WHERE item IS NOT NULL),
+      r0 AS (SELECT item, CAST(1000000 AS BIGINT) AS rank_ppm FROM n),
+      $iterCtes
+      SELECT item, rank_ppm FROM r$prIters
+    """.stripMargin.trim
+    },
+    bench = true, // tracks the iterative edge-join plan (graph workload)
+  )
+
+  // ---------------------------------------------------------------------
+  // Cohort retention: users grouped by first-active day; for each
+  // (cohort_day, day_offset) the count of cohort members active at that
+  // offset. The standard retention triangle.
+  //
+  // 100 TB shape: the log reduces to distinct (user, day) in one
+  // map-side-combined shuffle; the cohort min and the offset count are
+  // then user-grain aggregations — exchange-compatible (both keyed on
+  // user first, then re-keyed on the tiny (cohort, offset) grain).
+  // ---------------------------------------------------------------------
+  val cohortRetention = Q(
+    "e_cohort_retention",
+    (s, d) => {
+      import s.implicits._
+      val userDays = ev(s, d).select($"user_id", $"day").distinct()
+      val cohorts = userDays.groupBy($"user_id").agg(min($"day").as("cohort_day"))
+      userDays
+        .join(cohorts, "user_id")
+        .groupBy($"cohort_day", ($"day" - $"cohort_day").as("day_offset"))
+        .agg(count(lit(1)).as("n_users")) // (user, day) is distinct already
+    },
+    Some(s"""
+      $oracleBase,
+      user_days AS (SELECT DISTINCT user_id, day FROM base),
+      cohorts AS (SELECT user_id, MIN(day) AS cohort_day FROM user_days GROUP BY 1)
+      SELECT c.cohort_day, u.day - c.cohort_day AS day_offset, COUNT(*) AS n_users
+      FROM user_days u JOIN cohorts c USING (user_id)
+      GROUP BY 1, 2
+    """.stripMargin.trim),
+  )
+
+  // ---------------------------------------------------------------------
+  // Rolling active users: per day, distinct actives that day (DAU) and
+  // over the trailing 7 days (WAU). The Spark side uses the SCALABLE
+  // form — each (user, day) is exploded into the ≤7 future days it
+  // covers, then one distinct + count — never a range join (a range
+  // join over a 100 TB log would re-scan per day). The oracle states
+  // the same semantics as the naive BETWEEN join, which is fine over
+  // sf0.01 but is exactly the plan the Spark side exists to avoid.
+  // Output is restricted to days that actually occur (trailing-window
+  // days past the log's end would otherwise appear with partial data).
+  // ---------------------------------------------------------------------
+  val rollingActive = Q(
+    "e_rolling_active",
+    (s, d) => {
+      import s.implicits._
+      val userDays = ev(s, d).select($"user_id", $"day").distinct()
+      val days = userDays.select($"day").distinct()
+      val dau = userDays.groupBy($"day").agg(count(lit(1)).as("dau"))
+      val wau = userDays
+        .withColumn("cover_day", explode(sequence($"day", $"day" + 6)))
+        .select($"user_id", $"cover_day").distinct()
+        .groupBy($"cover_day".as("day"))
+        .agg(count(lit(1)).as("wau7"))
+      days.join(dau, "day").join(wau, "day")
+    },
+    Some(s"""
+      $oracleBase,
+      user_days AS (SELECT DISTINCT user_id, day FROM base),
+      days AS (SELECT DISTINCT day FROM user_days),
+      dau AS (SELECT day, COUNT(*) AS dau FROM user_days GROUP BY 1),
+      wau AS (
+        SELECT d.day, COUNT(DISTINCT u.user_id) AS wau7
+        FROM days d JOIN user_days u ON u.day BETWEEN d.day - 6 AND d.day
+        GROUP BY 1)
+      SELECT day, dau, wau7 FROM dau JOIN wau USING (day)
+    """.stripMargin.trim),
+  )
+
+  // ---------------------------------------------------------------------
+  // Item co-occurrence: for every unordered item pair, the number of
+  // users who interacted with BOTH — the classic item-item
+  // collaborative-filtering signal — reported as the global top 20 by
+  // support.
+  //
+  // 100 TB shape: the log reduces to distinct (user, item) first; the
+  // pair join is per-user (equi-join on user_id), so cost is
+  // Σ_u d_u² where d_u is the user's DISTINCT-item degree — bounded by
+  // the item-catalog size, not the event count. For web-scale catalogs
+  // the standard mitigation is capping d_u (drop bot-grade users)
+  // before pairing; the synthetic catalog (~100 items) doesn't need it.
+  // Final top-k is a TakeOrderedAndProject, no global sort.
+  // ---------------------------------------------------------------------
+  private val cooccurK = 20
+
+  val itemCooccur = Q(
+    "e_item_cooccur",
+    (s, d) => {
+      import s.implicits._
+      val ui = ev(s, d).filter($"item".isNotNull)
+        .select($"user_id", $"item").distinct()
+      val a = ui.select($"user_id", $"item".as("i1"))
+      val b = ui.select($"user_id", $"item".as("i2"))
+      a.join(b, "user_id")
+        .filter($"i1" < $"i2")
+        .groupBy($"i1", $"i2")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy($"n_users".desc, $"i1", $"i2")
+        .limit(cooccurK)
+    },
+    Some(s"""
+      $oracleBase,
+      ui AS (SELECT DISTINCT user_id, item FROM base WHERE item IS NOT NULL),
+      pairs AS (
+        SELECT a.item AS i1, b.item AS i2, COUNT(*) AS n_users
+        FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item < b.item
+        GROUP BY 1, 2)
+      SELECT i1, i2, n_users FROM pairs
+      ORDER BY n_users DESC, i1, i2 LIMIT $cooccurK
+    """.stripMargin.trim),
+  )
+
+  val qs: Seq[Q] = Seq(pageRank, cohortRetention, rollingActive, itemCooccur)
+}

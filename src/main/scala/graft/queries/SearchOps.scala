@@ -1,0 +1,157 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Search / retrieval over the corpus: inverted-index boolean search,
+  * TF-IDF ranking, and blocked fuzzy entity resolution. These are the
+  * query-side siblings of the curation passes — the same posting-list
+  * and blocking disciplines, pointed at retrieval instead of dedup.
+  *
+  * Scoring is exact integer arithmetic (idf in ppm by integer division)
+  * so every query hash-matches its DuckDB oracle. The rational
+  * `idf_ppm = (N * 1e6) div df` is the log-free idf surrogate — the
+  * SAME monotone-in-1/df ordering per term as ln(N/df), chosen because
+  * ln is not correctly-rounded IEEE and would break cross-engine hash
+  * equality (Catalog header); documented, not hidden.
+  */
+object SearchOps {
+
+  private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
+
+  /** The standing query — three mid-frequency corpus terms. */
+  private val queryTerms = Seq("spark", "join", "window")
+  private val termsSql = queryTerms.map(t => s"'$t'").mkString(", ")
+
+  /** Per-(doc, query-term) term frequencies — the probed slice of the
+    * inverted index. One explode + one keyed count; the filter on the
+    * query terms happens BEFORE the shuffle, so the shuffled volume is
+    * docs x |query| at most, not the token stream.
+    */
+  private def probedPostings(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    docs(s, d)
+      .select($"doc_id", explode(TextOps.toks).as("t"))
+      .filter($"t".isin(queryTerms: _*))
+      .groupBy($"doc_id", $"t")
+      .agg(count(lit(1)).as("tf"))
+  }
+
+  private val oracleTok =
+    s"""tok AS (
+       |  SELECT doc_id, unnest(${TextOps.oracleToks}) AS t FROM documents),
+       |m AS (
+       |  SELECT doc_id, t, COUNT(*) AS tf FROM tok
+       |  WHERE t IN ($termsSql) GROUP BY 1, 2)""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Conjunctive boolean search: docs containing ALL query terms, with
+  // the summed term frequency. The HAVING count(distinct term) = |q|
+  // form is the standard posting-list intersection expressed
+  // relationally — at scale each term's postings arrive pre-sharded by
+  // doc_id from the same shuffle, so the intersection is a single
+  // keyed aggregation, never a per-term join chain.
+  // ---------------------------------------------------------------------
+  val boolSearch = Q(
+    "t_bool_search",
+    (s, d) => {
+      import s.implicits._
+      probedPostings(s, d)
+        .groupBy($"doc_id")
+        .agg(
+          count(lit(1)).as("n_terms"), // (doc, t) grain is distinct by construction
+          sum($"tf").as("tf_total"))
+        .filter($"n_terms" === queryTerms.length.toLong)
+        .select($"doc_id", $"tf_total")
+    },
+    Some(s"""
+      WITH $oracleTok
+      SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS tf_total
+      FROM m GROUP BY 1 HAVING COUNT(DISTINCT t) = ${queryTerms.length}
+    """.stripMargin.trim),
+  )
+
+  // ---------------------------------------------------------------------
+  // TF-IDF ranked retrieval: score(d) = Σ_t tf(d,t) * idf_ppm(t) over
+  // the query terms, idf_ppm = (N * 1e6) div df(t), top 15 by (score,
+  // doc_id). df comes from the probed postings themselves (distinct
+  // docs per term — 3 rows, broadcast); N is the corpus count, a
+  // 1-row driver hand-off, same sanction class as the kmeans centroid
+  // literals. Final top-k is TakeOrderedAndProject.
+  // ---------------------------------------------------------------------
+  private val searchK = 15
+
+  val tfidfSearch = Q(
+    "t_tfidf_search",
+    (s, d) => {
+      import s.implicits._
+      val postings = probedPostings(s, d)
+      val n = docs(s, d).count()
+      val df = postings.groupBy($"t").agg(count(lit(1)).as("df"))
+        .withColumn("idf_ppm", expr(s"($n * 1000000) div df"))
+      postings
+        .join(broadcast(df.select($"t", $"idf_ppm")), "t")
+        .groupBy($"doc_id")
+        .agg(sum($"tf" * $"idf_ppm").as("score_ppm"))
+        .orderBy($"score_ppm".desc, $"doc_id")
+        .limit(searchK)
+    },
+    Some(s"""
+      WITH $oracleTok,
+      n AS (SELECT COUNT(*) AS n FROM documents),
+      df AS (
+        SELECT t, ((SELECT n FROM n) * 1000000) // COUNT(*) AS idf_ppm
+        FROM m GROUP BY t)
+      SELECT doc_id, CAST(SUM(m.tf * df.idf_ppm) AS BIGINT) AS score_ppm
+      FROM m JOIN df USING (t)
+      GROUP BY 1 ORDER BY score_ppm DESC, doc_id LIMIT $searchK
+    """.stripMargin.trim),
+  )
+
+  // ---------------------------------------------------------------------
+  // Blocked fuzzy entity resolution over part names: candidate pairs
+  // share a blocking key (last name token), match = edit distance <= 2.
+  // The resolution runs at the NAME grain — the part table collapses to
+  // its distinct names first (64 names for 2,000 rows at sf0.01; the
+  // row-grain pairing would be 53,000 pairs and quadratic in duplicate
+  // count at 100 TB, name-grain is quadratic only in the VOCABULARY
+  // within a block). Row support per name is joined back after
+  // matching. Both engines implement classic DP levenshtein — integer,
+  // bit-identical.
+  // ---------------------------------------------------------------------
+  private val editMax = 2
+
+  val entityResolution = Q(
+    "t_entity_resolution",
+    (s, d) => {
+      import s.implicits._
+      val names = Tables.part(s, d)
+        .groupBy($"p_name").agg(count(lit(1)).as("n_rows"))
+        .withColumn("blk", element_at(split($"p_name", " "), -1))
+      val a = names.select($"blk", $"p_name".as("name_a"), $"n_rows".as("n_a"))
+      val b = names.select($"blk", $"p_name".as("name_b"), $"n_rows".as("n_b"))
+      a.join(b, "blk")
+        .filter($"name_a" < $"name_b")
+        .withColumn("dist", levenshtein($"name_a", $"name_b").cast("long"))
+        .filter($"dist" <= editMax)
+        .select($"name_a", $"name_b", $"dist", $"n_a", $"n_b")
+    },
+    Some(s"""
+      WITH names AS (
+        SELECT p_name, COUNT(*) AS n_rows,
+               string_split(p_name, ' ')[-1] AS blk
+        FROM part GROUP BY 1),
+      pairs AS (
+        SELECT a.p_name AS name_a, b.p_name AS name_b,
+               CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
+               a.n_rows AS n_a, b.n_rows AS n_b
+        FROM names a JOIN names b
+          ON a.blk = b.blk AND a.p_name < b.p_name)
+      SELECT name_a, name_b, dist, n_a, n_b FROM pairs WHERE dist <= $editMax
+    """.stripMargin.trim),
+  )
+
+  val qs: Seq[Q] = Seq(boolSearch, tfidfSearch, entityResolution)
+}

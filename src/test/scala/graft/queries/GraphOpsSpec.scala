@@ -1,0 +1,95 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** GraphOps — hand-computed PageRank pin on a tiny graph, edge-extraction
+  * semantics, and planted cohort/rolling/co-occurrence fixtures.
+  */
+class GraphOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("pageRankOn reproduces hand-computed fixed-point ranks on a 3-cycle with a dangler") {
+    // Graph: 1 -> 2 (w=1), 2 -> 3 (w=1), 3 -> 1 (w=1), and dangling node 4
+    // (in-edge 1 -> 4 w=1 so node 1 splits its mass; 4 has no out-edges).
+    val nodes = Seq(1L, 2L, 3L, 4L).toDF("item")
+    val edges = Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 1L, 1L), (1L, 4L, 1L))
+      .toDF("src", "dst", "w")
+
+    // Hand iteration of rank' = 150000 + Σ ((rank*85 div 100)*w) div out_w:
+    def step(r: Map[Long, Long]): Map[Long, Long] = {
+      def share(u: Long): Long = r(u) * 85 / 100
+      Map(
+        1L -> (150000L + share(3L)),          // from 3 (out_w=1)
+        2L -> (150000L + share(1L) / 2),      // from 1 (out_w=2)
+        3L -> (150000L + share(2L)),          // from 2 (out_w=1)
+        4L -> (150000L + share(1L) / 2),
+      )
+    }
+    var expect = Map(1L -> 1000000L, 2L -> 1000000L, 3L -> 1000000L, 4L -> 1000000L)
+    for (_ <- 1 to 3) expect = step(expect)
+
+    val got = GraphOps.pageRankOn(nodes, edges, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expect)
+    // the cycle members outrank the dangler (it only receives half of 1's mass)
+    assert(got(3L) > got(4L))
+  }
+
+  test("transitionEdges orders by time within user, drops self-loops, counts repeats") {
+    val evs = Seq(
+      // user 1: a -> b -> b -> a  (self-loop b->b dropped)
+      (1L, 10L, 100L, 7L), (2L, 20L, 100L, 8L), (3L, 30L, 100L, 8L), (4L, 40L, 100L, 7L),
+      // user 2: a -> b again (cross-user edges never form)
+      (5L, 10L, 200L, 7L), (6L, 20L, 200L, 8L),
+    ).toDF("event_id", "ts_sec", "user_id", "item")
+    val got = GraphOps.transitionEdges(evs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === Map((7L, 8L) -> 2L, (8L, 7L) -> 1L))
+  }
+
+  test("catalog cohort retention: offset-0 row equals cohort size; counts never exceed it") {
+    val df = Catalog.queries("e_cohort_retention")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val cohortSizes = df.collect { case ((c, 0L), n) => c -> n }
+    assert(cohortSizes.nonEmpty)
+    df.foreach { case ((c, off), n) =>
+      assert(off >= 0L)
+      assert(n <= cohortSizes(c), s"cohort $c offset $off exceeds cohort size")
+    }
+  }
+
+  test("catalog rolling active: wau7 >= dau, and wau7 equals brute-force 7-day distinct") {
+    val rows = Catalog.queries("e_rolling_active")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    val ud = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .select($"user_id", expr("ts_sec div 86400").as("day")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    rows.foreach { case (day, dau, wau) =>
+      assert(wau >= dau)
+      val brute = ud.filter { case (_, d) => d >= day - 6 && d <= day }.map(_._1).distinct.length
+      assert(wau === brute.toLong, s"day $day")
+    }
+  }
+
+  test("catalog item co-occurrence: support equals brute-force user-set intersection") {
+    val rows = Catalog.queries("e_item_cooccur")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length === 20)
+    val ui = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .withColumn("item", regexp_extract($"props", "(\\d+)", 1).cast("long"))
+      .filter($"item".isNotNull)
+      .select($"user_id", $"item").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byItem = ui.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    rows.foreach { case (i1, i2, n) =>
+      assert(i1 < i2)
+      assert(n === (byItem(i1) & byItem(i2)).size.toLong)
+    }
+    // descending support, deterministic tiebreak
+    assert(rows.map(_._3).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
+  }
+}

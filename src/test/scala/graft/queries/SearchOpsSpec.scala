@@ -1,0 +1,77 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** SearchOps — brute-force scoring parity and fuzzy-match verification
+  * against an independent in-JVM implementation.
+  */
+class SearchOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def docTokens: Array[(Long, Array[String])] =
+    graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", $"text")
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty))
+
+  test("t_bool_search equals brute-force conjunctive match with summed tf") {
+    val terms = Set("spark", "join", "window")
+    val expect = docTokens.flatMap { case (id, tks) =>
+      val tf = tks.filter(terms).groupBy(identity).view.mapValues(_.length.toLong).toMap
+      if (tf.keySet == terms) Some(id -> tf.values.sum) else None
+    }.toMap
+    val got = Catalog.queries("t_bool_search")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expect)
+    assert(got.nonEmpty)
+  }
+
+  test("t_tfidf_search equals brute-force integer tf-idf top-k") {
+    val terms = Seq("spark", "join", "window")
+    val toks = docTokens
+    val n = toks.length.toLong
+    val tf = toks.map { case (id, tks) =>
+      id -> terms.map(t => t -> tks.count(_ == t).toLong).filter(_._2 > 0).toMap
+    }.filter(_._2.nonEmpty)
+    val df = terms.map(t => t -> tf.count(_._2.contains(t)).toLong).toMap
+    val scores = tf.map { case (id, m) =>
+      id -> m.map { case (t, f) => f * (n * 1000000L / df(t)) }.sum
+    }
+    val expect = scores.sortBy { case (id, sc) => (-sc, id) }.take(15)
+    val got = Catalog.queries("t_tfidf_search")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq === expect.toSeq)
+  }
+
+  test("t_entity_resolution pairs are verified by an independent edit-distance") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1)(i => Array.tabulate(b.length + 1)(j =>
+        if (i == 0) j else if (j == 0) i else 0))
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val names = graft.sources.Tables.part(spark, sf)
+      .groupBy($"p_name").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // independent candidate set: same blocking rule, local verification
+    val expect = (for {
+      a <- names.keys; b <- names.keys
+      if a < b && a.split(" ").last == b.split(" ").last && lev(a, b) <= 2
+    } yield (a, b)).toSet
+    val got = Catalog.queries("t_entity_resolution")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.map(p => (p._1, p._2)).toSet === expect)
+    got.foreach { case (a, b, dist, na, nb) =>
+      assert(dist === lev(a, b).toLong)
+      assert(na === names(a) && nb === names(b))
+    }
+    assert(got.nonEmpty)
+  }
+}
