@@ -262,5 +262,83 @@ object GraphOps {
     """.stripMargin.trim),
   )
 
-  val qs: Seq[Q] = Seq(pageRank, cohortRetention, rollingActive, itemCooccur)
+  // ---------------------------------------------------------------------
+  // Markov next-item model: per source item, the top-3 most likely next
+  // items with transition probability in ppm — the "users who viewed X
+  // next viewed Y" surface. Pure reuse of the transition edge list
+  // (one shuffle over the log) + a |V|-partitioned rank; probabilities
+  // are integer ppm (w * 1e6 div out_w), bit-identical cross-engine.
+  // ---------------------------------------------------------------------
+  val markovNext = Q(
+    "e_markov_next",
+    (s, d) => {
+      import s.implicits._
+      val edges = transitionEdges(ev(s, d))
+      val outW = edges.groupBy($"src").agg(sum($"w").as("out_w"))
+      val wRank = Window.partitionBy($"src").orderBy($"w".desc, $"dst")
+      edges.join(outW, "src")
+        .withColumn("p_ppm", expr("(w * 1000000) div out_w"))
+        .withColumn("rk", row_number().over(wRank).cast("long"))
+        .filter($"rk" <= 3)
+        .select($"src", $"rk", $"dst", $"w", $"p_ppm")
+    },
+    Some(s"""
+      $oracleBase,
+      seq AS (
+        SELECT user_id, item,
+               LEAD(item) OVER (PARTITION BY user_id ORDER BY sec, event_id) AS nxt
+        FROM base WHERE item IS NOT NULL),
+      e AS (
+        SELECT item AS src, nxt AS dst, COUNT(*) AS w
+        FROM seq WHERE nxt IS NOT NULL AND nxt <> item GROUP BY 1, 2),
+      ow AS (SELECT src, CAST(SUM(w) AS BIGINT) AS out_w FROM e GROUP BY 1),
+      ranked AS (
+        SELECT e.src, e.dst, e.w, (e.w * 1000000) // ow.out_w AS p_ppm,
+               CAST(ROW_NUMBER() OVER (
+                 PARTITION BY e.src ORDER BY e.w DESC, e.dst) AS BIGINT) AS rk
+        FROM e JOIN ow USING (src))
+      SELECT src, rk, dst, w, p_ppm FROM ranked WHERE rk <= 3
+    """.stripMargin.trim),
+  )
+
+  // ---------------------------------------------------------------------
+  // Top user journeys: the 20 most frequent 3-step item paths
+  // (sequential pattern mining at fixed length). Two stacked leads in
+  // ONE per-user window pass (same single shuffle as the edge list),
+  // then a path count + top-k — never a self-join of the log against
+  // itself, which is the naive path-mining trap at scale.
+  // ---------------------------------------------------------------------
+  private val pathK = 20
+
+  val pathTopN = Q(
+    "e_path_topn",
+    (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts_sec", $"event_id")
+      ev(s, d)
+        .filter($"item".isNotNull)
+        .select($"user_id", $"ts_sec", $"event_id", $"item")
+        .withColumn("i2", lead($"item", 1).over(w))
+        .withColumn("i3", lead($"item", 2).over(w))
+        .filter($"i2".isNotNull && $"i3".isNotNull)
+        .groupBy($"item".as("s1"), $"i2".as("s2"), $"i3".as("s3"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"s1", $"s2", $"s3")
+        .limit(pathK)
+    },
+    Some(s"""
+      $oracleBase,
+      seq AS (
+        SELECT item AS s1,
+               LEAD(item, 1) OVER (PARTITION BY user_id ORDER BY sec, event_id) AS s2,
+               LEAD(item, 2) OVER (PARTITION BY user_id ORDER BY sec, event_id) AS s3
+        FROM base WHERE item IS NOT NULL)
+      SELECT s1, s2, s3, COUNT(*) AS n FROM seq
+      WHERE s2 IS NOT NULL AND s3 IS NOT NULL
+      GROUP BY 1, 2, 3 ORDER BY n DESC, s1, s2, s3 LIMIT $pathK
+    """.stripMargin.trim),
+  )
+
+  val qs: Seq[Q] = Seq(
+    pageRank, cohortRetention, rollingActive, itemCooccur, markovNext, pathTopN)
 }

@@ -75,6 +75,37 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  test("markov next: ppm probabilities per src sum to <= 1e6 and rank by weight") {
+    val rows = Catalog.queries("e_markov_next")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      assert(g.length <= 3)
+      // floors only lose mass; a top-3 slice can never exceed the full ppm
+      assert(g.map(_._5).sum <= 1000000L)
+      val sorted = g.sortBy(_._2)
+      assert(sorted.map(_._4).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
+    }
+  }
+
+  test("path top-n equals brute-force 3-step path counting") {
+    val evs = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .withColumn("item", regexp_extract($"props", "(\\d+)", 1).cast("long"))
+      .filter($"item".isNotNull)
+      .select($"user_id", $"ts_sec", $"event_id", $"item")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val paths = evs.groupBy(_._1).values.flatMap { g =>
+      g.sortBy(e => (e._2, e._3)).map(_._4).sliding(3).filter(_.length == 3)
+        .map(p => (p(0), p(1), p(2)))
+    }.toSeq.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val expect = paths.toSeq
+      .sortBy { case ((a, b, c), n) => (-n, a, b, c) }.take(20)
+      .map { case ((a, b, c), n) => (a, b, c, n) }
+    val got = Catalog.queries("e_path_topn")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === expect)
+  }
+
   test("catalog item co-occurrence: support equals brute-force user-set intersection") {
     val rows = Catalog.queries("e_item_cooccur")(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
