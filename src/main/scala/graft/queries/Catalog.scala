@@ -32,7 +32,8 @@ final case class Q(
 object Catalog {
   def all: Seq[Q] =
     Relational.qs ++ EventAnalytics.qs ++ GraphOps.qs ++ TextOps.qs ++
-      SearchOps.qs ++ CurationOps.qs ++ VectorOps.qs ++ MediaOps.qs
+      SearchOps.qs ++ LearnOps.qs ++ CurationOps.qs ++ VectorOps.qs ++
+      MediaOps.qs
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.spark).toMap
