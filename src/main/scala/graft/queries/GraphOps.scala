@@ -98,7 +98,7 @@ object GraphOps {
   /** (src, dst, w) transition edges from the event log: one per-user
     * ordered pass (a single shuffle on user_id), self-loops dropped.
     */
-  private[queries] def transitionEdges(evs: DataFrame): DataFrame = {
+  private[graft] def transitionEdges(evs: DataFrame): DataFrame = {
     val s = evs.sparkSession
     import s.implicits._
     val w = Window.partitionBy($"user_id").orderBy($"ts_sec", $"event_id")
@@ -339,6 +339,70 @@ object GraphOps {
     """.stripMargin.trim),
   )
 
+  // ---------------------------------------------------------------------
+  // Volume-anomaly days per event type: robust median/MAD outlier flag
+  // on daily event counts (median ± 3·MAD — the robust z-score every
+  // ops dashboard runs; mean/stddev would need non-portable doubles AND
+  // be corrupted by the very outliers it hunts). Medians are the exact
+  // lower median via rank-within-stratum — the ranked frame is the
+  // (type, day) COUNT table, i.e. bounded by days x types, never
+  // event-scale, so the ordered windows are safe at any corpus size
+  // (and per-stratum, so no single-partition funnel).
+  // ---------------------------------------------------------------------
+  val anomalyDays = Q(
+    "e_anomaly_days",
+    (s, d) => {
+      import s.implicits._
+      val counts = ev(s, d)
+        .groupBy($"event_type", $"day")
+        .agg(count(lit(1)).as("n_events"))
+      val wAll = Window.partitionBy($"event_type")
+      def lowerMedian(df: DataFrame, of: String, as: String): DataFrame = {
+        val wRank = Window.partitionBy($"event_type").orderBy(col(of), $"day")
+        df.withColumn("rn", row_number().over(wRank).cast("long"))
+          .withColumn("m", count(lit(1)).over(wAll))
+          .groupBy($"event_type")
+          .agg(min(when($"rn" === expr("(m + 1) div 2"), col(of))).as(as))
+      }
+      val med = lowerMedian(counts, "n_events", "med")
+      val dev = counts.join(med, "event_type")
+        .withColumn("dev", abs($"n_events" - $"med"))
+      val mad = lowerMedian(dev, "dev", "mad")
+      dev.join(mad, "event_type")
+        .select($"event_type", $"day", $"n_events", $"med", $"dev", $"mad",
+          ($"dev" > lit(3L) * $"mad").as("is_outlier"))
+    },
+    Some(s"""
+      $oracleBase,
+      counts AS (
+        SELECT event_type, day, COUNT(*) AS n_events FROM base GROUP BY 1, 2),
+      medr AS (
+        SELECT event_type, n_events,
+               CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY n_events, day) AS BIGINT) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS m
+        FROM counts),
+      med AS (
+        SELECT event_type, MIN(CASE WHEN rn = (m + 1) // 2 THEN n_events END) AS med
+        FROM medr GROUP BY 1),
+      dev AS (
+        SELECT c.event_type, c.day, c.n_events, med.med,
+               ABS(c.n_events - med.med) AS dev
+        FROM counts c JOIN med USING (event_type)),
+      madr AS (
+        SELECT event_type, dev,
+               CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dev, day) AS BIGINT) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS m
+        FROM dev),
+      mad AS (
+        SELECT event_type, MIN(CASE WHEN rn = (m + 1) // 2 THEN dev END) AS mad
+        FROM madr GROUP BY 1)
+      SELECT d.event_type, d.day, d.n_events, d.med, d.dev, mad.mad,
+             d.dev > 3 * mad.mad AS is_outlier
+      FROM dev d JOIN mad USING (event_type)
+    """.stripMargin.trim),
+  )
+
   val qs: Seq[Q] = Seq(
-    pageRank, cohortRetention, rollingActive, itemCooccur, markovNext, pathTopN)
+    pageRank, cohortRetention, rollingActive, itemCooccur, markovNext,
+    pathTopN, anomalyDays)
 }

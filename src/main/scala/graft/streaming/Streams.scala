@@ -512,6 +512,58 @@ object Streams {
       .select(col("doc_id"), col("start"),
         (col("start") + graft.queries.TextOps.winW - 1).as("fin"))
 
+  /** Per-user item-transition state for [[transitionStream]]. */
+  final case class TransState(ts: Long, id: Long, item: Long)
+  final case class TransEdge(user_id: Long, src: Long, dst: Long, ts_sec: Long)
+
+  /** Streaming item-transition edges — the live ingest half of the
+    * behavioral graph ([[graft.queries.GraphOps.transitionEdges]] is the
+    * batch compactor): per user, 16 bytes of state carry the latest
+    * (ts, event_id, item), and each arriving event whose item differs
+    * from the carried one emits a (src, dst) edge row. Downstream a
+    * windowed count per (src, dst) turns the edge stream into live
+    * Markov/PageRank input; state is one row per ACTIVE user, the
+    * same bound as the sessionizer.
+    *
+    * Same cross-batch ordering contract as the other stateful twins:
+    * events fold in event-time order within a micro-batch (batch parity
+    * holds when micro-batch boundaries respect event-time order); a
+    * late cross-batch event chains off the carried newest item rather
+    * than splicing into history — lateness changes edge attribution,
+    * never edge-count conservation (exactly one edge per event after
+    * the user's first when items differ).
+    *
+    * Input columns: user_id, ts_sec, event_id, item.
+    */
+  def transitionStream(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.{Encoders, streaming}
+    implicit val outEnc = Encoders.product[TransEdge]
+    implicit val stEnc = Encoders.product[TransState]
+    events
+      .select(col("user_id").cast("long"), col("ts_sec").cast("long"),
+        col("event_id").cast("long"), col("item").cast("long"))
+      .as[(Long, Long, Long, Long)](
+        Encoders.product[(Long, Long, Long, Long)])
+      .groupByKey(_._1)(Encoders.scalaLong)
+      .flatMapGroupsWithState[TransState, TransEdge](
+        OutputMode.Append(),
+        streaming.GroupStateTimeout.NoTimeout()) {
+        (uid, it, state: streaming.GroupState[TransState]) =>
+          var last = state.getOption.orNull
+          val out = Vector.newBuilder[TransEdge]
+          it.toSeq.sortBy(e => (e._2, e._3)).foreach { case (_, ts, id, item) =>
+            if (last != null && last.item != item)
+              out += TransEdge(uid, last.item, item, ts)
+            // self-loop emits nothing but still advances the carried item
+            // (matches the batch lead() semantics exactly)
+            last = TransState(ts, id, item)
+          }
+          if (last != null) state.update(last)
+          out.result().iterator
+      }
+      .toDF()
+  }
+
   /** Convenience launcher: console sink (K1 `print()` equivalent). */
   def toConsole(df: DataFrame, mode: OutputMode = OutputMode.Update()): StreamingQuery =
     df.writeStream

@@ -106,6 +106,27 @@ class GraphOpsSpec extends SparkSpec {
     assert(got.toSeq === expect)
   }
 
+  test("anomaly days: med/mad are exact lower medians; flag matches the rule") {
+    val rows = Catalog.queries("e_anomaly_days")(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      def lowerMedian(xs: Seq[Long]): Long = xs.sorted.apply((xs.length + 1) / 2 - 1)
+      val med = lowerMedian(g.map(_._3).toSeq)
+      assert(g.forall(_._4 == med))
+      val mad = lowerMedian(g.map(r => math.abs(r._3 - med)).toSeq)
+      assert(g.forall(_._6 == mad))
+      g.foreach { case (_, _, n, m, dev, md, flag) =>
+        assert(dev === math.abs(n - m))
+        assert(flag === (dev > 3 * md))
+      }
+    }
+    // the truncated final day is a genuine planted-by-reality outlier
+    assert(rows.exists(_._7), "expected at least one outlier day")
+  }
+
   test("catalog item co-occurrence: support equals brute-force user-set intersection") {
     val rows = Catalog.queries("e_item_cooccur")(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

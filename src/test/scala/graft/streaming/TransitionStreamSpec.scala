@@ -1,0 +1,63 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Row shape for the transition-stream parity test (top-level so the
+  * MemoryStream encoder derives).
+  */
+final case class TransEv(user_id: Long, ts_sec: Long, event_id: Long, item: Long)
+
+/** Streaming item-transition edges: live parity with the batch edge list
+  * when micro-batch boundaries respect event-time order.
+  */
+class TransitionStreamSpec extends SparkSpec {
+
+  test("transitionStream edges aggregate to the batch transitionEdges counts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val evs = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .withColumn("item", regexp_extract($"props", "(\\d+)", 1).cast("long"))
+      .filter($"item".isNotNull)
+      .select($"user_id", $"ts_sec", $"event_id", $"item")
+
+    val rows = evs.as[TransEv].collect().sortBy(e => (e.ts_sec, e.event_id))
+
+    val mem = MemoryStream[TransEv]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val q = Streams.transitionStream(mem.toDF())
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        b.collect().foreach { r =>
+          got.synchronized {
+            got += ((r.getAs[Long]("user_id"), r.getAs[Long]("src"), r.getAs[Long]("dst")))
+          }
+        }
+        ()
+      }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt-trans").toString)
+      .start()
+    try {
+      // three time-ordered chunks: edges must also form ACROSS batch
+      // boundaries (carried per-user state), not just within them
+      rows.grouped(math.max(1, rows.length / 3 + 1)).foreach { chunk =>
+        mem.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val streamed = got.groupBy(e => (e._2, e._3)).view.mapValues(_.size.toLong).toMap
+    val batch = graft.queries.GraphOps.transitionEdges(evs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(streamed === batch)
+    // cross-batch formation actually happened: more edges than any one
+    // batch could produce alone requires carried state (first chunk has
+    // at most chunkSize-1 in-chunk edges per user)
+    assert(got.nonEmpty)
+  }
+}
