@@ -402,7 +402,72 @@ object GraphOps {
     """.stripMargin.trim),
   )
 
+  // ---------------------------------------------------------------------
+  // Triangle counting + local clustering coefficient over the
+  // undirected transition graph. Triangles enumerate once each via the
+  // ordered wedge join (a<b<c): edges (a,b) ⋈ (b,c) ⋈ closing (a,c) —
+  // the standard relational triangle query; at web scale the same plan
+  // runs after degree-ordering the edge list (each edge oriented
+  // low-degree → high-degree) which bounds the wedge fan-out, noted
+  // here because the item graph is catalog-sized and needs neither.
+  // cc_ppm = 2·tri·1e6 div (deg·(deg−1)) — all integer.
+  // ---------------------------------------------------------------------
+  val clustering = Q(
+    "e_clustering",
+    (s, d) => {
+      import s.implicits._
+      val und = transitionEdges(ev(s, d))
+        .select(least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"))
+        .distinct()
+      val tri = und.as("e1")
+        .join(und.as("e2"), $"e1.b" === $"e2.a")
+        .join(und.as("e3"), $"e3.a" === $"e1.a" && $"e3.b" === $"e2.b")
+        .select($"e1.a".as("x"), $"e1.b".as("y"), $"e2.b".as("z"))
+      val triPerNode = tri
+        .select(explode(array($"x", $"y", $"z")).as("node"))
+        .groupBy($"node").agg(count(lit(1)).as("n_tri"))
+      val degrees = und
+        .select(explode(array($"a", $"b")).as("node"))
+        .groupBy($"node").agg(count(lit(1)).as("degree"))
+      degrees.join(triPerNode, Seq("node"), "left")
+        .select($"node", $"degree",
+          coalesce($"n_tri", lit(0L)).as("n_tri"),
+          when($"degree" >= 2,
+            expr("(2 * coalesce(n_tri, 0) * 1000000) div (degree * (degree - 1))"))
+            .otherwise(0L).as("cc_ppm"))
+    },
+    Some(s"""
+      $oracleBase,
+      seq AS (
+        SELECT user_id, item,
+               LEAD(item) OVER (PARTITION BY user_id ORDER BY sec, event_id) AS nxt
+        FROM base WHERE item IS NOT NULL),
+      und AS (
+        SELECT DISTINCT LEAST(item, nxt) AS a, GREATEST(item, nxt) AS b
+        FROM seq WHERE nxt IS NOT NULL AND nxt <> item),
+      tri AS (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM und e1
+        JOIN und e2 ON e1.b = e2.a
+        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+      tpn AS (
+        SELECT node, COUNT(*) AS n_tri FROM (
+          SELECT x AS node FROM tri UNION ALL
+          SELECT y FROM tri UNION ALL
+          SELECT z FROM tri) GROUP BY 1),
+      deg AS (
+        SELECT node, COUNT(*) AS degree FROM (
+          SELECT a AS node FROM und UNION ALL SELECT b FROM und) GROUP BY 1)
+      SELECT deg.node, deg.degree,
+             COALESCE(tpn.n_tri, 0) AS n_tri,
+             CASE WHEN deg.degree >= 2
+                  THEN (2 * COALESCE(tpn.n_tri, 0) * 1000000) // (deg.degree * (deg.degree - 1))
+                  ELSE 0 END AS cc_ppm
+      FROM deg LEFT JOIN tpn USING (node)
+    """.stripMargin.trim),
+  )
+
   val qs: Seq[Q] = Seq(
     pageRank, cohortRetention, rollingActive, itemCooccur, markovNext,
-    pathTopN, anomalyDays)
+    pathTopN, anomalyDays, clustering)
 }

@@ -127,6 +127,34 @@ class GraphOpsSpec extends SparkSpec {
     assert(rows.exists(_._7), "expected at least one outlier day")
   }
 
+  test("clustering: triangle counts equal brute-force enumeration on sf0.001") {
+    val edges = GraphOps.transitionEdges(
+      graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+        .withColumn("item", regexp_extract($"props", "(\\d+)", 1).cast("long"))
+        .filter($"item".isNotNull)
+        .select($"user_id", $"ts_sec", $"event_id", $"item"))
+      .collect().map(r => (math.min(r.getLong(0), r.getLong(1)), math.max(r.getLong(0), r.getLong(1))))
+      .toSet
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      .withDefaultValue(Set.empty[Long])
+    def neighbors(n: Long): Set[Long] =
+      edges.collect { case (a, b) if a == n => b; case (a, b) if b == n => a }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2))
+    val triPerNode = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for ((a, b) <- edges; c <- adj(b) if adj(a).contains(c)) {
+      triPerNode(a) += 1; triPerNode(b) += 1; triPerNode(c) += 1
+    }
+    val got = Catalog.queries("e_clustering")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    got.foreach { case (node, deg, nTri, ccPpm) =>
+      assert(deg === neighbors(node).size.toLong)
+      assert(nTri === triPerNode(node))
+      val expectCc = if (deg >= 2) 2 * nTri * 1000000L / (deg * (deg - 1)) else 0L
+      assert(ccPpm === expectCc)
+    }
+  }
+
   test("catalog item co-occurrence: support equals brute-force user-set intersection") {
     val rows = Catalog.queries("e_item_cooccur")(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
