@@ -80,7 +80,7 @@ object GraphOps {
     val outW = edges.groupBy($"src").agg(sum($"w").as("out_w"))
     val e = edges.join(outW, "src").localCheckpoint()
     var ranks = nodes.select($"item", lit(1000000L).as("rank_ppm"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contrib = e
         .join(ranks.withColumnRenamed("item", "src"), "src")
         .withColumn("c", expr("(((rank_ppm * 85) div 100) * w) div out_w"))
@@ -90,7 +90,9 @@ object GraphOps {
         .join(contrib.withColumnRenamed("dst", "item"), Seq("item"), "left")
         .select($"item",
           (lit(150000L) + coalesce($"in_sum", lit(0L))).as("rank_ppm"))
-        .localCheckpoint()
+      // truncate lineage BETWEEN iterations only — the returned frame
+      // keeps the last iteration's live plan (the shape PLANS.md pins)
+      if (i < iters) ranks = ranks.localCheckpoint()
     }
     ranks
   }
