@@ -6,8 +6,8 @@ import graft.SparkSpec
 
 /** Timing probe for the iterative PageRank: edge-build cost vs
   * per-iteration cost at the bench SF. Gated like the other perf
-  * probes — recorded numbers live in SCALING.md ("Round-12: PageRank
-  * iteration economics").
+  * probes — recorded numbers live in
+  * SCALING.md ("PageRank iteration economics").
   */
 class PageRankPerfSpec extends SparkSpec {
 
