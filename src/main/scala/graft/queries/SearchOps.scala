@@ -153,5 +153,73 @@ object SearchOps {
     """.stripMargin.trim),
   )
 
+  // ---------------------------------------------------------------------
+  // Stored inverted index — the artifact path (the text sibling of the
+  // stored IVF-PQ index): postings are written PARTITIONED BY a term
+  // hash bucket, so a query's terms prune to their buckets as parquet
+  // partition filters and a search scans only the directories its
+  // terms live in — the physical inverted-list layout. Term df stats
+  // and the 1-row corpus count ride along as tiny side tables.
+  // ---------------------------------------------------------------------
+  private[queries] val indexBuckets = 64
+
+  /** Driver-side twin of [[TextOps.h60]] (md5 hex prefix as a 60-bit
+    * long) — needed to route QUERY terms to their stored buckets
+    * without a Spark job; bucket parity is spec-pinned.
+    */
+  private[graft] def jvmH60(t: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(15), 16)
+  }
+
+  /** Materialize the index artifacts under `path`: bucket-partitioned
+    * postings (doc_id, t, tf), the term df table, and the corpus count.
+    */
+  def writePostingsIndex(docsDf: DataFrame, path: String): Unit = {
+    val s = docsDf.sparkSession
+    import s.implicits._
+    val postings = docsDf
+      .select($"doc_id", explode(TextOps.toks).as("t"))
+      .groupBy($"doc_id", $"t")
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("bucket", pmod(TextOps.h60($"t"), lit(indexBuckets.toLong)))
+    postings
+      .repartition($"bucket")
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/postings")
+    postings
+      .groupBy($"t").agg(count(lit(1)).as("df"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/terms")
+    docsDf.agg(count(lit(1)).as("n_docs"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/corpus")
+  }
+
+  /** TF-IDF top-k against the STORED index — same ranking contract as
+    * [[tfidfSearch]] (the parity spec pins it), but the posting scan is
+    * pruned to the query terms' buckets via partition filters: at 100 TB
+    * the postings table is corpus-sized while a query reads only
+    * |terms| directories of it.
+    */
+  def tfidfSearchFromIndex(
+      s: SparkSession, path: String, terms: Seq[String], k: Int): DataFrame = {
+    import s.implicits._
+    val buckets = terms.map(t => jvmH60(t) % indexBuckets).distinct
+    val postings = s.read.parquet(s"$path/postings")
+      .filter($"bucket".isin(buckets: _*)) // parquet partition pruning
+      .filter($"t".isin(terms: _*))
+    val n = s.read.parquet(s"$path/corpus").first().getLong(0)
+    val df = s.read.parquet(s"$path/terms")
+      .filter($"t".isin(terms: _*))
+      .withColumn("idf_ppm", expr(s"($n * 1000000) div df"))
+    postings
+      .join(broadcast(df.select($"t", $"idf_ppm")), "t")
+      .groupBy($"doc_id")
+      .agg(sum($"tf" * $"idf_ppm").as("score_ppm"))
+      .orderBy($"score_ppm".desc, $"doc_id")
+      .limit(k)
+  }
+
   val qs: Seq[Q] = Seq(boolSearch, tfidfSearch, entityResolution)
 }

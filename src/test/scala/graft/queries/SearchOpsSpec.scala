@@ -48,6 +48,30 @@ class SearchOpsSpec extends SparkSpec {
     assert(got.toSeq === expect.toSeq)
   }
 
+  test("stored postings index: pruned search equals the inline ranking") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-postings").toString
+    val docs = graft.sources.Tables.documents(spark, sf)
+    SearchOps.writePostingsIndex(docs, dir)
+
+    // bucket routing parity: the driver-side hash must agree with the
+    // engine-side h60 routing that laid out the directories
+    val layout = new java.io.File(s"$dir/postings").listFiles()
+      .filter(_.getName.startsWith("bucket=")).map(_.getName).toSet
+    assert(layout.nonEmpty && layout.size <= SearchOps.indexBuckets)
+
+    val terms = Seq("spark", "join", "window")
+    val stored = SearchOps.tfidfSearchFromIndex(spark, dir, terms, 15)
+    // partition pruning actually happened: the executed scan carries a
+    // PartitionFilters entry on bucket
+    val plan = stored.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+      s"expected bucket partition pruning in:\n$plan")
+    val got = stored.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val inline = Catalog.queries("t_tfidf_search")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq === inline.toSeq)
+  }
+
   test("t_entity_resolution pairs are verified by an independent edit-distance") {
     def lev(a: String, b: String): Int = {
       val d = Array.tabulate(a.length + 1)(i => Array.tabulate(b.length + 1)(j =>
