@@ -801,8 +801,68 @@ object EventAnalytics {
     bench = true, // tracks the join-free carry-forward scan plan shape
   )
 
+  // ---------------------------------------------------------------------
+  // Last-touch revenue attribution: every purchase's revenue credited
+  // to the item of the user's most recent view at-or-before it — the
+  // standard marketing-attribution rollup, composed from the SAME
+  // as-of carry-forward scan e_asof_enrich verifies (no range join;
+  // the only additions are two pruned equi-joins to fetch the view's
+  // item and the purchase's value). Unattributed purchases (no prior
+  // view) land in the -1 bucket rather than vanishing — conservation
+  // is auditable. Revenue in exact cents (floor(value·100)).
+  // ---------------------------------------------------------------------
+  val attribution = Q(
+    "e_attribution",
+    (s, d) => {
+      import s.implicits._
+      val evs = eventsWithItem(s, d)
+      val vp = evs.filter($"event_type".isin("view", "purchase"))
+        .select($"event_id", $"user_id", $"event_type", $"ts_sec")
+        .as[(Long, Long, String, Long)]
+      val matches = graft.operators.AsOf
+        .lastAtOrBefore[(Long, Long, String, Long)](
+          vp, _._2, _._4, _._1, isProbe = _._3 == "purchase")
+        .toDF()
+      val viewItems = evs.filter($"event_type" === "view")
+        .select($"event_id".as("view_id"), $"item")
+      val purchaseVal = evs.filter($"event_type" === "purchase")
+        .select($"event_id".as("purchase_id"),
+          floor($"value" * 100).cast("long").as("cents"))
+      matches
+        .select($"probeId".as("purchase_id"), $"matchId".as("view_id"))
+        .join(purchaseVal, "purchase_id")
+        .join(viewItems, Seq("view_id"), "left")
+        .groupBy(coalesce($"item", lit(-1L)).as("item"))
+        .agg(count(lit(1)).as("n_purchases"), sum($"cents").as("rev_cents"))
+    },
+    Some(s"""
+      $oracleBase,
+      u AS (
+        SELECT user_id, sec, event_id, value,
+               CASE WHEN event_type = 'view' THEN 0 ELSE 1 END AS side
+        FROM base WHERE event_type IN ('view', 'purchase')),
+      s AS (
+        SELECT user_id, sec, event_id, value, side,
+               MAX(CASE WHEN side = 0 THEN sec * 1000000000 + event_id END) OVER (
+                 PARTITION BY user_id ORDER BY sec, side, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS enc
+        FROM u),
+      p AS (
+        SELECT CAST(FLOOR(value * 100) AS BIGINT) AS cents,
+               CAST(enc % 1000000000 AS BIGINT) AS view_id
+        FROM s WHERE side = 1),
+      v AS (SELECT event_id AS view_id, item FROM base WHERE event_type = 'view')
+      SELECT COALESCE(v.item, -1) AS item,
+             COUNT(*) AS n_purchases,
+             CAST(SUM(p.cents) AS BIGINT) AS rev_cents
+      FROM p LEFT JOIN v USING (view_id)
+      GROUP BY 1
+    """.stripMargin.trim),
+  )
+
   val qs: Seq[Q] = Seq(
     asofEnrich,
+    attribution,
     hotItemsTopN,
     hotItemsSql,
     hotItemsTopKAgg,

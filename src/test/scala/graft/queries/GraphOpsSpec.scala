@@ -155,6 +155,35 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  test("attribution conserves purchases and revenue; credits match brute-force last views") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = Catalog.queries("e_attribution")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val evs = graft.sources.Tables.events(spark, sf)
+      .withColumn("item", regexp_extract($"props", "(\\d+)", 1).cast("long"))
+      .select($"event_id", $"user_id", $"event_type", $"ts_sec", $"item",
+        floor($"value" * 100).cast("long").as("cents"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    val purchases = evs.filter(_._3 == "purchase")
+    // conservation: every purchase lands in exactly one bucket
+    assert(rows.map(_._2).sum === purchases.length.toLong)
+    assert(rows.map(_._3).sum === purchases.map(_._6).sum)
+    // brute-force credit: most recent view at-or-before, (sec, event_id) order
+    val byUser = evs.filter(_._3 == "view").groupBy(_._2)
+    val expect = scala.collection.mutable.Map.empty[Long, (Long, Long)].withDefaultValue((0L, 0L))
+    purchases.foreach { case (pid, uid, _, psec, _, cents) =>
+      // at-or-before on sec: views at the purchase's own second count
+      // (oracle orders by sec, side, event_id with views first)
+      val last = byUser.getOrElse(uid, Array.empty)
+        .filter(v => v._4 <= psec)
+        .sortBy(v => (v._4, v._1)).lastOption
+      val item = last.map(_._5).getOrElse(-1L)
+      val (n, c) = expect(item); expect(item) = (n + 1, c + cents)
+    }
+    assert(rows.map(r => r._1 -> (r._2, r._3)).toMap === expect.toMap)
+  }
+
   test("catalog item co-occurrence: support equals brute-force user-set intersection") {
     val rows = Catalog.queries("e_item_cooccur")(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
