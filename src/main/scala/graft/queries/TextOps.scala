@@ -1823,6 +1823,59 @@ object TextOps {
   // ---------------------------------------------------------------------
 
   /** The operator core over any (doc_id, text, batch∈{base,delta}) frame. */
+  /** The batch-tagged docs frame the delta-ingest specs share (the same
+    * hash split the t_delta_* catalog rows use).
+    */
+  private[graft] def taggedForSpec(s: SparkSession, d: String): DataFrame =
+    fannedDocs(s, d).withColumn("batch", batchOf)
+
+  /** Write the base corpus's LSH index: raw band rows plus per-bucket
+    * base counts — the persisted artifact a day-2 ingest probes instead
+    * of re-signing the whole base corpus (the stored sibling of
+    * [[deltaNearDupOn]], completing the stored-index triad with the
+    * postings index and the IVF-PQ index). At 100 TB the band rows are
+    * ~nBands x 8 B/doc; the bucket-count table is smaller still.
+    */
+  def writeLshIndex(base: DataFrame, path: String): Unit = {
+    val rows = minhashBandRows(shinglesOfDf(base.select(col("doc_id"), col("text"))))
+    rows.write.mode("overwrite").parquet(s"$path/bands")
+    rows.groupBy(col("band"), col("bkey"))
+      .agg(count(lit(1)).as("n_base"))
+      .write.mode("overwrite").parquet(s"$path/bucket_counts")
+  }
+
+  /** Day-2 near-dup ingest against the STORED index: only the delta is
+    * shingled and signed; candidate buckets come from joining the
+    * delta's band rows to the stored bucket counts. Cap semantics are
+    * IDENTICAL to [[deltaNearDupOn]] — the mega-bucket guard applies to
+    * the COMBINED (base + delta) bucket size, with n_base read from the
+    * index instead of recomputed — so the parity spec can demand exact
+    * verdict equality, not just agreement-in-distribution.
+    */
+  def deltaNearDupFromIndex(
+      delta: DataFrame, path: String, cap: Int = maxBucket): DataFrame = {
+    val s = delta.sparkSession
+    import s.implicits._
+    val deltaRows =
+      minhashBandRows(shinglesOfDf(delta.select($"doc_id", $"text")))
+    val nDelta = deltaRows.groupBy($"band", $"bkey")
+      .agg(count(lit(1)).as("n_delta"))
+    val counts = s.read.parquet(s"$path/bucket_counts")
+    val hitBuckets = nDelta
+      .join(counts, Seq("band", "bkey"), "left")
+      .withColumn("n", $"n_delta" + coalesce($"n_base", lit(0L)))
+      .filter($"n" <= cap && $"n_base".isNotNull)
+      .select($"band", $"bkey")
+    val cands = deltaRows
+      .join(hitBuckets, Seq("band", "bkey"))
+      .select($"doc_id").distinct()
+    delta.select($"doc_id")
+      .join(cands.withColumn("hit", lit(true)), Seq("doc_id"), "left")
+      .select(
+        $"doc_id",
+        when($"hit", lit("neardup_of_base")).otherwise(lit("kept")).as("verdict"))
+  }
+
   private[queries] def deltaNearDupOn(tagged: DataFrame, cap: Int = maxBucket): DataFrame = {
     val s = tagged.sparkSession
     import s.implicits._

@@ -9,6 +9,22 @@ import graft.SparkSpec
   */
 class CorpusSignalsSpec extends SparkSpec {
 
+  test("stored LSH index: deltaNearDupFromIndex verdicts equal the inline deltaNearDupOn") {
+    import spark.implicits._
+    val tagged = TextOps.taggedForSpec(spark, "/root/testdata/sf0.001")
+    val base = tagged.filter($"batch" === "base").select($"doc_id", $"text")
+    val delta = tagged.filter($"batch" === "delta").select($"doc_id", $"text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-lsh-idx").toString
+    TextOps.writeLshIndex(base, dir)
+    val stored = TextOps.deltaNearDupFromIndex(delta, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val inline = TextOps.deltaNearDupOn(tagged)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(stored === inline)
+    assert(stored.values.exists(_ == "neardup_of_base"),
+      "fixture should contain at least one cross-batch near-dup")
+  }
+
   test("deltaDedupOn: base collision, in-batch dup, and fresh content each verdict correctly") {
     import spark.implicits._
     val tagged = Seq(
