@@ -860,9 +860,86 @@ object EventAnalytics {
     """.stripMargin.trim),
   )
 
+  // ---------------------------------------------------------------------
+  // Funnel conversion-rate rollup: how many users reach each stage of
+  // view → click-after-view → full view-click-purchase triple (within
+  // the funnel window), with ppm conversion from the previous stage.
+  // Stage 2 is an order test, exact via the (sec, event_id) BIGINT
+  // encoding (same capacity precondition as the as-of oracle:
+  // event_id < 1e9); stage 3 reuses the verified CEP triple counter.
+  // All three flags aggregate in ONE pass over the per-user frame —
+  // no scalar-frame cross joins — and the ppm rates derive from the
+  // sums in the same select, so the output is a single exact row.
+  // ---------------------------------------------------------------------
+  val funnelRates = Q(
+    "e_funnel_rates",
+    (s, d) => {
+      import s.implicits._
+      val evs = Tables.events(s, d)
+        .filter($"event_type".isin("view", "click", "purchase"))
+        .select($"event_id", $"user_id", $"event_type", $"ts_sec")
+      val enc = $"ts_sec" * lit(1000000000L) + $"event_id"
+      val perUser = evs.groupBy($"user_id").agg(
+        min(when($"event_type" === "view", enc)).as("min_v"),
+        max(when($"event_type" === "click", enc)).as("max_c"))
+      val triples = graft.operators.Funnel
+        .countTriplesBatch[(Long, Long, String, Long)](
+          evs.as[(Long, Long, String, Long)], _._2, _._4, _._1,
+          _._3 == "view", _._3 == "click", _._3 == "purchase", funnelWindowSec)
+        .toDF()
+        .select($"key".as("user_id"), $"triples")
+      perUser
+        .join(triples, Seq("user_id"), "left")
+        .select(
+          when($"min_v".isNotNull, 1L).otherwise(0L).as("s1"),
+          when($"min_v".isNotNull && $"max_c" > $"min_v", 1L).otherwise(0L).as("s2"),
+          when(coalesce($"triples", lit(0L)) > 0, 1L).otherwise(0L).as("s3"))
+        .agg(sum($"s1").as("n_view"), sum($"s2").as("n_click"), sum($"s3").as("n_funnel"))
+        .select($"n_view", $"n_click", $"n_funnel",
+          expr("CASE WHEN n_view > 0 THEN (n_click * 1000000) div n_view END").as("conv1_ppm"),
+          expr("CASE WHEN n_click > 0 THEN (n_funnel * 1000000) div n_click END").as("conv2_ppm"))
+    },
+    Some(s"""
+      $oracleBase,
+      u AS (
+        SELECT user_id, event_type, sec * 1000000000 + event_id AS enc
+        FROM base WHERE event_type IN ('view', 'click', 'purchase')),
+      per_user AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view' THEN enc END) AS min_v,
+               MAX(CASE WHEN event_type = 'click' THEN enc END) AS max_c
+        FROM u GROUP BY 1),
+      tri AS (
+        SELECT v.user_id, COUNT(*) AS triples
+        FROM base v
+        JOIN base c ON c.user_id = v.user_id AND c.event_type = 'click'
+          AND (c.sec > v.sec OR (c.sec = v.sec AND c.event_id > v.event_id))
+        JOIN base p ON p.user_id = v.user_id AND p.event_type = 'purchase'
+          AND (p.sec > c.sec OR (p.sec = c.sec AND p.event_id > c.event_id))
+          AND p.sec - v.sec <= $funnelWindowSec
+        WHERE v.event_type = 'view'
+        GROUP BY 1),
+      flags AS (
+        SELECT CASE WHEN pu.min_v IS NOT NULL THEN 1 ELSE 0 END AS s1,
+               CASE WHEN pu.min_v IS NOT NULL AND pu.max_c > pu.min_v THEN 1 ELSE 0 END AS s2,
+               CASE WHEN COALESCE(tri.triples, 0) > 0 THEN 1 ELSE 0 END AS s3
+        FROM per_user pu LEFT JOIN tri USING (user_id)),
+      sums AS (
+        SELECT CAST(SUM(s1) AS BIGINT) AS n_view,
+               CAST(SUM(s2) AS BIGINT) AS n_click,
+               CAST(SUM(s3) AS BIGINT) AS n_funnel
+        FROM flags)
+      SELECT n_view, n_click, n_funnel,
+             CASE WHEN n_view > 0 THEN (n_click * 1000000) // n_view END AS conv1_ppm,
+             CASE WHEN n_click > 0 THEN (n_funnel * 1000000) // n_click END AS conv2_ppm
+      FROM sums
+    """.stripMargin.trim),
+  )
+
   val qs: Seq[Q] = Seq(
     asofEnrich,
     attribution,
+    funnelRates,
     hotItemsTopN,
     hotItemsSql,
     hotItemsTopKAgg,

@@ -184,6 +184,17 @@ class GraphOpsSpec extends SparkSpec {
     assert(rows.map(r => r._1 -> (r._2, r._3)).toMap === expect.toMap)
   }
 
+  test("funnel rates: monotone stages; stage 3 equals the verified funnel's user count") {
+    val sf = "/root/testdata/sf0.001"
+    val r = Catalog.queries("e_funnel_rates")(spark, sf).collect().head
+    val (nView, nClick, nFunnel) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nView >= nClick && nClick >= nFunnel && nFunnel > 0)
+    assert(r.getLong(3) === nClick * 1000000L / nView)
+    assert(r.getLong(4) === nFunnel * 1000000L / nClick)
+    val funnelUsers = Catalog.queries("e_funnel_relaxed")(spark, sf).count()
+    assert(nFunnel === funnelUsers)
+  }
+
   test("catalog item co-occurrence: support equals brute-force user-set intersection") {
     val rows = Catalog.queries("e_item_cooccur")(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
