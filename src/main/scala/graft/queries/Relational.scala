@@ -297,7 +297,53 @@ object Relational {
     """.stripMargin.trim),
   )
 
+  // ---------------------------------------------------------------------
+  // Column profiler — the data-quality pass a warehouse runs on ingest:
+  // per numeric column, row/null/distinct counts and exact cents
+  // min/max/sum, in ONE scan (the columns unpivot into (column, cents)
+  // rows via a map explode, then a single keyed aggregation — not one
+  // scan per column). Distinct counts are per (column, value) partials
+  // first, so the exchange carries distinct values, not rows.
+  // ---------------------------------------------------------------------
+  private val profileCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  val qProfile = Q(
+    "q_profile_lineitem",
+    (s, d) => {
+      import s.implicits._
+      val mapEntries = profileCols.flatMap(c =>
+        Seq(lit(c), floor(col(c) * 100).cast("long")))
+      Tables.lineitem(s, d)
+        .select(explode(map(mapEntries: _*)).as(Seq("column", "cents")))
+        .groupBy($"column")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(when($"cents".isNull, 1L).otherwise(0L)).as("n_null"),
+          count_distinct($"cents").as("n_distinct"),
+          min($"cents").as("min_cents"),
+          max($"cents").as("max_cents"),
+          sum($"cents").as("sum_cents"))
+    },
+    Some {
+      val perCol = profileCols.map(c =>
+        s"SELECT '$c' AS col, CAST(FLOOR($c * 100) AS BIGINT) AS cents FROM lineitem")
+        .mkString(" UNION ALL ")
+      s"""
+      WITH u AS ($perCol)
+      SELECT col AS "column",
+             COUNT(*) AS n_rows,
+             CAST(SUM(CASE WHEN cents IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+             COUNT(DISTINCT cents) AS n_distinct,
+             MIN(cents) AS min_cents,
+             MAX(cents) AS max_cents,
+             CAST(SUM(cents) AS BIGINT) AS sum_cents
+      FROM u GROUP BY 1
+    """.stripMargin.trim
+    },
+  )
+
   val qs: Seq[Q] = Seq(
+    qProfile,
     q1PricingSummary,
     q3ShippingPriority,
     q5NationRevenue,

@@ -89,8 +89,10 @@ object SearchOps {
       import s.implicits._
       val postings = probedPostings(s, d)
       val n = docs(s, d).count()
+      // ${n}L: an interpolated INT literal would overflow 2^31 at
+      // corpus sizes past ~2k docs under ANSI mode (caught at sf0.1)
       val df = postings.groupBy($"t").agg(count(lit(1)).as("df"))
-        .withColumn("idf_ppm", expr(s"($n * 1000000) div df"))
+        .withColumn("idf_ppm", expr(s"(${n}L * 1000000L) div df"))
       postings
         .join(broadcast(df.select($"t", $"idf_ppm")), "t")
         .groupBy($"doc_id")
@@ -212,7 +214,7 @@ object SearchOps {
     val n = s.read.parquet(s"$path/corpus").first().getLong(0)
     val df = s.read.parquet(s"$path/terms")
       .filter($"t".isin(terms: _*))
-      .withColumn("idf_ppm", expr(s"($n * 1000000) div df"))
+      .withColumn("idf_ppm", expr(s"(${n}L * 1000000L) div df"))
     postings
       .join(broadcast(df.select($"t", $"idf_ppm")), "t")
       .groupBy($"doc_id")
