@@ -469,7 +469,55 @@ object GraphOps {
     """.stripMargin.trim),
   )
 
+  // ---------------------------------------------------------------------
+  // Exact value quantiles per event type (p50/p90/p99 of cents) — the
+  // same histogram + cumulative-sum discipline as t_length_quantiles:
+  // grouping on (type, cents) first shrinks the ordered window's input
+  // to the DISTINCT value count per stratum, so no corpus-sized window
+  // partitions. Type-1 discrete quantiles, ceil via integer arithmetic.
+  // ---------------------------------------------------------------------
+  val valueQuantiles = Q(
+    "e_value_quantiles",
+    (s, d) => {
+      import s.implicits._
+      val hist = Tables.events(s, d)
+        .select($"event_type", floor($"value" * 100).cast("long").as("cents"))
+        .groupBy($"event_type", $"cents")
+        .agg(count(lit(1)).as("c"))
+      val wCum = Window.partitionBy($"event_type").orderBy($"cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy($"event_type")
+      hist
+        .withColumn("cum", sum($"c").over(wCum))
+        .withColumn("n", sum($"c").over(wAll))
+        .groupBy($"event_type")
+        .agg(
+          max($"n").as("n_events"),
+          min(when($"cum" >= expr("(n * 50 + 99) DIV 100"), $"cents")).as("p50_cents"),
+          min(when($"cum" >= expr("(n * 90 + 99) DIV 100"), $"cents")).as("p90_cents"),
+          min(when($"cum" >= expr("(n * 99 + 99) DIV 100"), $"cents")).as("p99_cents"))
+    },
+    Some(s"""
+      $oracleBase,
+      t AS (
+        SELECT event_type, CAST(FLOOR(value * 100) AS BIGINT) AS cents
+        FROM events),
+      hist AS (SELECT event_type, cents, COUNT(*) AS c FROM t GROUP BY 1, 2),
+      cum AS (
+        SELECT event_type, cents, c,
+               CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY cents
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+               CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        FROM hist)
+      SELECT event_type, MAX(n) AS n_events,
+             CAST(MIN(CASE WHEN cum >= (n * 50 + 99) // 100 THEN cents END) AS BIGINT) AS p50_cents,
+             CAST(MIN(CASE WHEN cum >= (n * 90 + 99) // 100 THEN cents END) AS BIGINT) AS p90_cents,
+             CAST(MIN(CASE WHEN cum >= (n * 99 + 99) // 100 THEN cents END) AS BIGINT) AS p99_cents
+      FROM cum GROUP BY 1
+    """.stripMargin.trim),
+  )
+
   val qs: Seq[Q] = Seq(
     pageRank, cohortRetention, rollingActive, itemCooccur, markovNext,
-    pathTopN, anomalyDays, clustering)
+    pathTopN, anomalyDays, clustering, valueQuantiles)
 }

@@ -342,8 +342,41 @@ object Relational {
     },
   )
 
+  // ---------------------------------------------------------------------
+  // ROLLUP lattice — the multi-level subtotal shape (per (flag, status),
+  // per flag, grand total) in ONE pass: Spark's Expand operator emits
+  // each row once per grouping set BEFORE the partial aggregation, so
+  // the exchange still carries one row per (grouping, key), never the
+  // fact table; DuckDB's ROLLUP matches the NULL-marker convention
+  // exactly. grouping_id disambiguates a real NULL key from a subtotal
+  // marker (none exist in this data, but the column is the contract).
+  // ---------------------------------------------------------------------
+  val qRevenueRollup = Q(
+    "q_revenue_rollup",
+    (s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .select($"l_returnflag", $"l_linestatus",
+          centsL($"l_extendedprice").cast("long").as("cents"))
+        .rollup($"l_returnflag", $"l_linestatus")
+        .agg(
+          grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n_items"),
+          sum($"cents").as("rev_cents"))
+    },
+    Some("""
+      SELECT l_returnflag, l_linestatus,
+             CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+             COUNT(*) AS n_items,
+             CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+      FROM lineitem
+      GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """.stripMargin.trim),
+  )
+
   val qs: Seq[Q] = Seq(
     qProfile,
+    qRevenueRollup,
     q1PricingSummary,
     q3ShippingPriority,
     q5NationRevenue,
