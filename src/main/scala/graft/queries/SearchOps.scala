@@ -134,10 +134,15 @@ object SearchOps {
         .withColumn("blk", element_at(split($"p_name", " "), -1))
       val a = names.select($"blk", $"p_name".as("name_a"), $"n_rows".as("n_a"))
       val b = names.select($"blk", $"p_name".as("name_b"), $"n_rows".as("n_b"))
+      // thresholded levenshtein: banded DP with early exit — O(k·n) per
+      // pair instead of O(n²), and mismatches (the overwhelming
+      // majority at scale) abandon as soon as the band exceeds k.
+      // Returns the exact distance when <= k, -1 otherwise.
       a.join(b, "blk")
         .filter($"name_a" < $"name_b")
-        .withColumn("dist", levenshtein($"name_a", $"name_b").cast("long"))
-        .filter($"dist" <= editMax)
+        .withColumn("dist",
+          levenshtein($"name_a", $"name_b", editMax).cast("long"))
+        .filter($"dist" >= 0)
         .select($"name_a", $"name_b", $"dist", $"n_a", $"n_b")
     },
     Some(s"""
