@@ -564,6 +564,62 @@ object Streams {
       .toDF()
   }
 
+  /** Per-user last-view state for [[attributionStream]]. */
+  final case class AttribState(ts: Long, id: Long, item: Long)
+  final case class AttribHit(user_id: Long, purchase_id: Long, item: Long, cents: Long)
+
+  /** Streaming last-touch attribution — the live twin of the oracle-gated
+    * batch `e_attribution`: per user, 24 bytes of state carry the latest
+    * view's (ts, event_id, item); each purchase emits its revenue
+    * credited to that item (-1 when no prior view). Same
+    * future-never-leaks contract as the streaming as-of: a late
+    * cross-batch purchase matches the carried view only if it is not
+    * AHEAD of the purchase — otherwise the best in-batch view, or -1.
+    *
+    * Input columns: event_id, user_id, event_type ('view'/'purchase'),
+    * ts_sec, item, cents.
+    */
+  def attributionStream(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.{Encoders, streaming}
+    implicit val outEnc = Encoders.product[AttribHit]
+    implicit val stEnc = Encoders.product[AttribState]
+    events
+      .select(col("event_id").cast("long"), col("user_id").cast("long"),
+        col("event_type"), col("ts_sec").cast("long"),
+        col("item").cast("long"), col("cents").cast("long"))
+      .as[(Long, Long, String, Long, Long, Long)](
+        Encoders.product[(Long, Long, String, Long, Long, Long)])
+      .groupByKey(_._2)(Encoders.scalaLong)
+      .flatMapGroupsWithState[AttribState, AttribHit](
+        OutputMode.Append(),
+        streaming.GroupStateTimeout.NoTimeout()) {
+        (uid, it, state: streaming.GroupState[AttribState]) =>
+          var carried = state.getOption.orNull
+          var inBatch: AttribState = null
+          def newer(a: AttribState, b: AttribState): Boolean =
+            b == null || a.ts > b.ts || (a.ts == b.ts && a.id > b.id)
+          val out = Vector.newBuilder[AttribHit]
+          // views fold before purchases at the same second (at-or-before)
+          it.toSeq
+            .sortBy(e => (e._4, if (e._3 == "purchase") 1L else 0L, e._1))
+            .foreach { case (id, _, typ, ts, item, cents) =>
+              if (typ == "view") {
+                val v = AttribState(ts, id, item)
+                if (newer(v, inBatch)) inBatch = v
+                if (newer(v, carried)) carried = v
+              } else if (typ == "purchase") {
+                val cands = Seq(Option(inBatch),
+                  Option(carried).filter(_.ts <= ts)).flatten
+                val m = cands.sortWith(newer).headOption
+                out += AttribHit(uid, id, m.map(_.item).getOrElse(-1L), cents)
+              }
+            }
+          if (carried != null) state.update(carried)
+          out.result().iterator
+      }
+      .toDF()
+  }
+
   /** Convenience launcher: console sink (K1 `print()` equivalent). */
   def toConsole(df: DataFrame, mode: OutputMode = OutputMode.Update()): StreamingQuery =
     df.writeStream

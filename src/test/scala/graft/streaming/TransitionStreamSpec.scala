@@ -10,6 +10,11 @@ import graft.SparkSpec
   */
 final case class TransEv(user_id: Long, ts_sec: Long, event_id: Long, item: Long)
 
+/** Row shape for the attribution-stream parity test. */
+final case class AttribEv(
+    event_id: Long, user_id: Long, event_type: String,
+    ts_sec: Long, item: Long, cents: Long)
+
 /** Streaming item-transition edges: live parity with the batch edge list
   * when micro-batch boundaries respect event-time order.
   */
@@ -59,5 +64,45 @@ class TransitionStreamSpec extends SparkSpec {
     // batch could produce alone requires carried state (first chunk has
     // at most chunkSize-1 in-chunk edges per user)
     assert(got.nonEmpty)
+  }
+
+  test("attributionStream credits aggregate to the batch e_attribution rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val evs = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .filter($"event_type".isin("view", "purchase"))
+      .withColumn("item",
+        coalesce(regexp_extract($"props", "(\\d+)", 1).cast("long"), lit(-1L)))
+      .select($"event_id", $"user_id", $"event_type", $"ts_sec", $"item",
+        floor($"value" * 100).cast("long").as("cents"))
+      .as[AttribEv].collect().sortBy(e => (e.ts_sec, e.event_id))
+
+    val mem = MemoryStream[AttribEv]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = Streams.attributionStream(mem.toDF())
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        b.collect().foreach { r =>
+          got.synchronized { got += ((r.getAs[Long]("item"), r.getAs[Long]("cents"))) }
+        }
+        ()
+      }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt-attrib").toString)
+      .start()
+    try {
+      evs.grouped(math.max(1, evs.length / 3 + 1)).foreach { chunk =>
+        mem.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val streamed = got.groupBy(_._1).view
+      .mapValues(g => (g.size.toLong, g.map(_._2).sum)).toMap
+    val batch = graft.queries.Catalog.queries("e_attribution")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(streamed === batch)
   }
 }
