@@ -374,9 +374,43 @@ object Relational {
     """.stripMargin.trim),
   )
 
+  // ---------------------------------------------------------------------
+  // Customer revenue deciles per nation — NTILE coverage: deterministic
+  // (revenue DESC, custkey tiebreak) so the bucket assignment — which
+  // depends on row ORDER, not just values — is identical cross-engine.
+  // Partitioned by nation, so no global-order funnel; a global decile
+  // would use the histogram/two-phase form instead.
+  // ---------------------------------------------------------------------
+  val qCustomerDeciles = Q(
+    "q_customer_deciles",
+    (s, d) => {
+      import s.implicits._
+      val rev = Tables.orders(s, d)
+        .select($"o_custkey", centsL($"o_totalprice").cast("long").as("cents"))
+        .groupBy($"o_custkey").agg(sum($"cents").as("rev_cents"))
+      val w = Window.partitionBy($"c_nationkey")
+        .orderBy($"rev_cents".desc, $"c_custkey")
+      Tables.customer(s, d)
+        .join(rev, $"c_custkey" === $"o_custkey", "inner")
+        .select($"c_custkey", $"c_nationkey", $"rev_cents")
+        .withColumn("decile", ntile(10).over(w).cast("long"))
+    },
+    Some("""
+      WITH rev AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+        FROM orders GROUP BY 1)
+      SELECT c_custkey, c_nationkey, rev_cents,
+             CAST(NTILE(10) OVER (PARTITION BY c_nationkey
+               ORDER BY rev_cents DESC, c_custkey) AS BIGINT) AS decile
+      FROM customer JOIN rev ON c_custkey = o_custkey
+    """.stripMargin.trim),
+  )
+
   val qs: Seq[Q] = Seq(
     qProfile,
     qRevenueRollup,
+    qCustomerDeciles,
     q1PricingSummary,
     q3ShippingPriority,
     q5NationRevenue,
