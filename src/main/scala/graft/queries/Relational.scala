@@ -407,10 +407,47 @@ object Relational {
     """.stripMargin.trim),
   )
 
+  // ---------------------------------------------------------------------
+  // Customers above their nation's average balance — the correlated
+  // scalar-subquery shape, expressed as the aggregate-then-rejoin plan
+  // Catalyst decorrelates to anyway: per-nation exact cents averages
+  // (floor of an integer sum over a count — bit-portable) broadcast
+  // back onto the customer scan. The oracle keeps the correlated
+  // subquery form, pinning that both formulations agree.
+  // ---------------------------------------------------------------------
+  val qAboveNationAvg = Q(
+    "q_above_nation_avg",
+    (s, d) => {
+      import s.implicits._
+      val cust = Tables.customer(s, d)
+        .select($"c_custkey", $"c_nationkey",
+          centsL($"c_acctbal").cast("long").as("bal_cents"))
+      val avgs = cust.groupBy($"c_nationkey")
+        .agg(floor(sum($"bal_cents") * lit(1.0) / count(lit(1))).cast("long")
+          .as("avg_cents"))
+      cust.join(broadcast(avgs), "c_nationkey")
+        .filter($"bal_cents" > $"avg_cents")
+        .select($"c_custkey", $"c_nationkey", $"bal_cents", $"avg_cents")
+    },
+    Some("""
+      WITH c AS (
+        SELECT c_custkey, c_nationkey,
+               CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS bal_cents
+        FROM customer)
+      SELECT c_custkey, c_nationkey, bal_cents,
+             (SELECT CAST(FLOOR(SUM(bal_cents) * 1.0 / COUNT(*)) AS BIGINT)
+              FROM c c2 WHERE c2.c_nationkey = c.c_nationkey) AS avg_cents
+      FROM c
+      WHERE bal_cents > (SELECT FLOOR(SUM(bal_cents) * 1.0 / COUNT(*))
+                         FROM c c2 WHERE c2.c_nationkey = c.c_nationkey)
+    """.stripMargin.trim),
+  )
+
   val qs: Seq[Q] = Seq(
     qProfile,
     qRevenueRollup,
     qCustomerDeciles,
+    qAboveNationAvg,
     q1PricingSummary,
     q3ShippingPriority,
     q5NationRevenue,

@@ -1823,6 +1823,59 @@ object TextOps {
   // ---------------------------------------------------------------------
 
   /** The operator core over any (doc_id, text, batch∈{base,delta}) frame. */
+  // ---------------------------------------------------------------------
+  // Snapshot diff — the day-over-day corpus reconciliation an ingest
+  // pipeline runs between two table versions: per doc_id, one of
+  // added / removed / changed / unchanged by content hash. One full
+  // outer equi-join on doc_id; the hashes travel, never the text. The
+  // "new" snapshot here is a deterministic transformation of the same
+  // table (drop ids %10=0, revise text of %7=0, add %13=0 under new
+  // ids) so the oracle reproduces both sides exactly — the operator
+  // core takes ANY two (doc_id, text) frames.
+  // ---------------------------------------------------------------------
+  private[graft] def snapshotDiffOn(oldSnap: DataFrame, newSnap: DataFrame): DataFrame = {
+    val o = oldSnap.select(col("doc_id"), md5(col("text")).as("h_old"))
+    val n = newSnap.select(col("doc_id"), md5(col("text")).as("h_new"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("h_old").isNull, "added")
+          .when(col("h_new").isNull, "removed")
+          .when(col("h_old") === col("h_new"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
+  val snapshotDiff = Q(
+    "t_snapshot_diff",
+    (s, d) => {
+      import s.implicits._
+      val old = docs(s, d).select($"doc_id", $"text")
+      val kept = old.filter($"doc_id" % 10 =!= 0)
+        .select($"doc_id",
+          when($"doc_id" % 7 === 0, concat($"text", lit(" rev2")))
+            .otherwise($"text").as("text"))
+      val added = old.filter($"doc_id" % 13 === 0)
+        .select(($"doc_id" + 1000000L).as("doc_id"), $"text")
+      snapshotDiffOn(old, kept.unionByName(added))
+    },
+    Some("""
+      WITH old AS (SELECT doc_id, text FROM documents),
+      news AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0 THEN text || ' rev2' ELSE text END AS text
+        FROM old WHERE doc_id % 10 <> 0
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text FROM old WHERE doc_id % 13 = 0),
+      o AS (SELECT doc_id, md5(text) AS h_old FROM old),
+      n AS (SELECT doc_id, md5(text) AS h_new FROM news)
+      SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+             CASE WHEN o.doc_id IS NULL THEN 'added'
+                  WHEN n.doc_id IS NULL THEN 'removed'
+                  WHEN h_old = h_new THEN 'unchanged'
+                  ELSE 'changed' END AS status
+      FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+    """.stripMargin.trim),
+  )
+
   /** The batch-tagged docs frame the delta-ingest specs share (the same
     * hash split the t_delta_* catalog rows use).
     */
@@ -3098,6 +3151,7 @@ object TextOps {
   )
 
   val qs: Seq[Q] = Seq(
+    snapshotDiff,
     textStats,
     tokenTopK,
     tokenHeavy,
