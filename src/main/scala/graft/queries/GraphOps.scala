@@ -517,7 +517,38 @@ object GraphOps {
     """.stripMargin.trim),
   )
 
+  // ---------------------------------------------------------------------
+  // Incremental aggregate maintenance — the materialized-view day-2
+  // economics: yesterday's stored (type, day) counts merged with
+  // today's delta batch by an additive full-outer merge, instead of
+  // recomputing over the whole log. The Spark side RUNS the
+  // incremental path (base agg ⊎ delta agg); the ORACLE recomputes
+  // from scratch — the hash gate IS the proof that merge == recompute.
+  // At 100 TB the base agg is the stored artifact (day x type grain);
+  // only the delta's log rows are touched.
+  // ---------------------------------------------------------------------
+  val incrAgg = Q(
+    "t_incr_agg",
+    (s, d) => {
+      import s.implicits._
+      val evs = ev(s, d).select($"event_type", $"day")
+      val split = evs.agg(max($"day")).first().getLong(0)
+      val oldAgg = evs.filter($"day" < split)
+        .groupBy($"event_type", $"day").agg(count(lit(1)).as("n_old"))
+      val deltaAgg = evs.filter($"day" >= split)
+        .groupBy($"event_type", $"day").agg(count(lit(1)).as("n_new"))
+      oldAgg.join(deltaAgg, Seq("event_type", "day"), "full_outer")
+        .select($"event_type", $"day",
+          (coalesce($"n_old", lit(0L)) + coalesce($"n_new", lit(0L))).as("n_events"))
+    },
+    Some(s"""
+      $oracleBase
+      SELECT event_type, day, COUNT(*) AS n_events
+      FROM base GROUP BY 1, 2
+    """.stripMargin.trim),
+  )
+
   val qs: Seq[Q] = Seq(
     pageRank, cohortRetention, rollingActive, itemCooccur, markovNext,
-    pathTopN, anomalyDays, clustering, valueQuantiles)
+    pathTopN, anomalyDays, clustering, valueQuantiles, incrAgg)
 }

@@ -426,6 +426,46 @@ object StreamBench {
           s""""unit":"rows/sec","rows":$nDocs,"secs":$secs7,""" +
           s""""out_spans":${outRows7.get()},"state_rows":$statePeak7,"sf":"$sfDir"}""")
     }
+    // Eighth probe: streaming last-touch attribution — the behavioral
+    // state family's live surface. Replays the staged event CSV through
+    // attributionStream; state is ONE row per active user (the 24-byte
+    // last-view carry), so the published state_rows must equal the
+    // replicated user count, NOT scale with events — the plateau that
+    // makes the operator runnable forever.
+    {
+      val outRows8 = new java.util.concurrent.atomic.AtomicLong(0)
+      var statePeak8 = 0L
+      val nUsers = replicated.select($"user_id").distinct().count()
+      val t8 = System.nanoTime()
+      val q8 = Streams
+        .attributionStream(
+          spark.readStream
+            .schema(schema)
+            .option("maxFilesPerTrigger", 8)
+            .csv(stage)
+            .filter($"event_type".isin("view", "purchase"))
+            .withColumn("cents", $"event_id" % 10000L)) // deterministic stand-in value
+        .writeStream
+        .outputMode("append")
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          outRows8.addAndGet(b.count())
+          ()
+        }
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("ckpt-sbench-attrib").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q8.awaitTermination()
+      val p8 = q8.lastProgress
+      if (p8 != null && p8.stateOperators.nonEmpty)
+        statePeak8 = p8.stateOperators.map(_.numRowsTotal).sum
+      val secs8 = (System.nanoTime() - t8) / 1e9
+      println(
+        s"""{"metric":"attribution_rows_per_sec","value":${(totalRows / secs8).toLong},""" +
+          s""""unit":"rows/sec","rows":$totalRows,"secs":$secs8,""" +
+          s""""credits":${outRows8.get()},"state_rows":$statePeak8,""" +
+          s""""active_users":$nUsers,"sf":"$sfDir"}""")
+    }
     spark.stop()
   }
 }
