@@ -742,6 +742,76 @@ object TextOps {
     s"""$oracleMinhashSigBands
       |      $oracleMinhashPairsSelect""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // LSH precision audit — "is my dedup lying to me": every MinHash
+  // candidate pair is scored with its TRUE shingle Jaccard, rolled up
+  // to a one-row precision summary (candidates, true near-dups at the
+  // >= 50% gate, precision pct). The true-Jaccard join is restricted
+  // to the CANDIDATE pairs (cand ⋈ shingles(doc_a) ⋈ shingles(doc_b)
+  // on the shingle key), so its cost is bounded by candidate volume x
+  // doc shingle count — never the all-shared-shingle-pairs blowup.
+  // The standard acceptance gate every production LSH deployment
+  // monitors; a banding-parameter regression shows up here first.
+  // ---------------------------------------------------------------------
+  val lshPrecision = Q(
+    "t_lsh_precision",
+    (s, d) => {
+      import s.implicits._
+      val shing = docShingles(s, d).localCheckpoint(false)
+      val cands = minhashPairs(shing).select($"doc_a", $"doc_b")
+      val sizes = shing.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+      val inter = cands
+        .join(shing.select($"doc_id".as("doc_a"), $"sh"), "doc_a")
+        .join(shing.select($"doc_id".as("doc_b"), $"sh"), Seq("doc_b", "sh"))
+        .groupBy($"doc_a", $"doc_b")
+        .agg(count(lit(1)).as("inter"))
+      cands
+        .join(inter, Seq("doc_a", "doc_b"), "left")
+        .join(sizes.withColumnRenamed("doc_id", "doc_a")
+          .withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b")
+          .withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .select(coalesce($"inter", lit(0L)).as("i"), $"n_a", $"n_b")
+        .select((floor(lit(100.0) * $"i" / ($"n_a" + $"n_b" - $"i")))
+          .cast("long").as("jaccard_pct"))
+        .agg(
+          count(lit(1)).as("n_candidates"),
+          sum(when($"jaccard_pct" >= 50, 1L).otherwise(0L)).as("n_true"))
+        .select($"n_candidates", $"n_true",
+          expr("CASE WHEN n_candidates > 0 THEN (100 * n_true) div n_candidates END")
+            .as("precision_pct"))
+    },
+    Some(s"""
+      WITH sh AS (
+        SELECT doc_id, unnest($oracleShingles) AS sh FROM documents),
+      $oracleMinhashSigBands,
+      cand AS (
+        $oracleMinhashPairsSelect),
+      sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+      inter AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.doc_a
+        JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
+        GROUP BY 1, 2),
+      scored AS (
+        SELECT CAST(FLOOR(100.0 * COALESCE(i, 0) /
+                 (sa.n_sh + sb.n_sh - COALESCE(i, 0))) AS BIGINT) AS jaccard_pct
+        FROM cand c
+        LEFT JOIN inter USING (doc_a, doc_b)
+        JOIN sizes sa ON sa.doc_id = c.doc_a
+        JOIN sizes sb ON sb.doc_id = c.doc_b),
+      sums AS (
+        SELECT COUNT(*) AS n_candidates,
+               CAST(SUM(CASE WHEN jaccard_pct >= 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_true
+        FROM scored)
+      SELECT n_candidates, n_true,
+             CASE WHEN n_candidates > 0
+                  THEN (100 * n_true) // n_candidates END AS precision_pct
+      FROM sums
+    """.stripMargin.trim),
+  )
+
   val minhashLsh = Q(
     "t_minhash_lsh",
     (s, d) => minhashPairs(docShingles(s, d)),
@@ -3152,6 +3222,7 @@ object TextOps {
 
   val qs: Seq[Q] = Seq(
     snapshotDiff,
+    lshPrecision,
     textStats,
     tokenTopK,
     tokenHeavy,
