@@ -812,6 +812,62 @@ object TextOps {
     """.stripMargin.trim),
   )
 
+  // ---------------------------------------------------------------------
+  // LSH recall audit — precision's sibling: of the TRUE near-dup pairs
+  // (exact shingle Jaccard >= 50%, from the shared-shingle join the
+  // n-gram verifier already runs), how many did the MinHash banding
+  // actually surface as candidates. Together with t_lsh_precision this
+  // is the full quality contract of the banded index; a banding change
+  // that silently trades recall for speed shows up as this row moving.
+  // The exact-pair join is the audit's cost (quadratic in genuine
+  // duplication, like every exact verifier here) — production samples
+  // the corpus for this audit; the catalog runs it whole at test SF.
+  // ---------------------------------------------------------------------
+  val lshRecall = Q(
+    "t_lsh_recall",
+    (s, d) => {
+      import s.implicits._
+      val shing = docShingles(s, d).localCheckpoint(false)
+      val truePairs = jaccardPairs(shing)
+        .filter($"jaccard_pct" >= 50)
+        .select($"doc_a", $"doc_b")
+      val cands = minhashPairs(shing)
+        .select($"doc_a", $"doc_b").withColumn("caught", lit(1L))
+      truePairs
+        .join(cands, Seq("doc_a", "doc_b"), "left")
+        .agg(
+          count(lit(1)).as("n_true"),
+          sum(coalesce($"caught", lit(0L))).as("n_caught"))
+        .select($"n_true", $"n_caught",
+          expr("CASE WHEN n_true > 0 THEN (100 * n_caught) div n_true END")
+            .as("recall_pct"))
+    },
+    Some(s"""
+      WITH sh AS (
+        SELECT doc_id, unnest($oracleShingles) AS sh FROM documents),
+      $oracleMinhashSigBands,
+      cand AS (
+        $oracleMinhashPairsSelect),
+      sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+      xinter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      tp AS (
+        SELECT doc_a, doc_b FROM xinter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE FLOOR(100.0 * inter / (sa.n_sh + sb.n_sh - inter)) >= 50),
+      sums AS (
+        SELECT COUNT(*) AS n_true,
+               CAST(SUM(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_caught
+        FROM tp LEFT JOIN cand c USING (doc_a, doc_b))
+      SELECT n_true, n_caught,
+             CASE WHEN n_true > 0 THEN (100 * n_caught) // n_true END AS recall_pct
+      FROM sums
+    """.stripMargin.trim),
+  )
+
   val minhashLsh = Q(
     "t_minhash_lsh",
     (s, d) => minhashPairs(docShingles(s, d)),
@@ -3223,6 +3279,7 @@ object TextOps {
   val qs: Seq[Q] = Seq(
     snapshotDiff,
     lshPrecision,
+    lshRecall,
     textStats,
     tokenTopK,
     tokenHeavy,
