@@ -858,6 +858,7 @@ object EventAnalytics {
       FROM p LEFT JOIN v USING (view_id)
       GROUP BY 1
     """.stripMargin.trim),
+    bench = true, // tracks the as-of + pruned-equi-join composition
   )
 
   // ---------------------------------------------------------------------

@@ -262,6 +262,7 @@ object GraphOps {
       SELECT i1, i2, n_users FROM pairs
       ORDER BY n_users DESC, i1, i2 LIMIT $cooccurK
     """.stripMargin.trim),
+    bench = true, // tracks the pair join at the distinct (user, item) grain
   )
 
   // ---------------------------------------------------------------------
@@ -467,6 +468,7 @@ object GraphOps {
                   ELSE 0 END AS cc_ppm
       FROM deg LEFT JOIN tpn USING (node)
     """.stripMargin.trim),
+    bench = true, // tracks the ordered wedge join (graph triangle workload)
   )
 
   // ---------------------------------------------------------------------

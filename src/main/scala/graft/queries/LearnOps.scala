@@ -119,6 +119,7 @@ object LearnOps {
         FROM f JOIN lab USING (doc_id) GROUP BY 1)
       SELECT fa, fb, s FROM xtx UNION ALL SELECT fa, fb, s FROM xty
     """.stripMargin.trim),
+    bench = true, // tracks the k-rows/doc self-join training aggregation
   )
 
   /** Solve the normal equations from the stats rows into ppm weights —
