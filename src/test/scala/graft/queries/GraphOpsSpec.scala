@@ -38,6 +38,21 @@ class GraphOpsSpec extends SparkSpec {
     assert(got(3L) > got(4L))
   }
 
+  test("pageRank is partitioning-invariant: shuffled input yields bit-identical ranks") {
+    val nodes = (1L to 40L).toDF("item")
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(200)((rnd.nextInt(40) + 1L, rnd.nextInt(40) + 1L))
+      .filter(e => e._1 != e._2)
+      .groupBy(identity).map { case (e, g) => (e._1, e._2, g.size.toLong) }.toSeq
+    val a = GraphOps.pageRankOn(nodes, edges.toDF("src", "dst", "w"), 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = GraphOps.pageRankOn(
+      nodes.repartition(7),
+      scala.util.Random.shuffle(edges).toDF("src", "dst", "w").repartition(5), 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b) // integer fixed-point sums are order-independent
+  }
+
   test("transitionEdges orders by time within user, drops self-loops, counts repeats") {
     val evs = Seq(
       // user 1: a -> b -> b -> a  (self-loop b->b dropped)
