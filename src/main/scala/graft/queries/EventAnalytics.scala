@@ -937,9 +937,81 @@ object EventAnalytics {
     """.stripMargin.trim),
   )
 
+  // ---------------------------------------------------------------------
+  // Multi-touch (linear) attribution — last-touch's sibling: each
+  // purchase's cents split EQUALLY across all of the user's views in
+  // the trailing day, integer-exactly: every view gets cents div n and
+  // the EARLIEST view carries the remainder, so per-purchase credit
+  // conserves to the cent by construction (the spec asserts it).
+  // Unattributed purchases keep full credit in the -1 bucket. The
+  // per-user purchase x in-window-view join is bounded by the lookback
+  // window — the documented cost of any multi-touch model.
+  // ---------------------------------------------------------------------
+  private val attribWindowSec = 86400L
+
+  val attributionLinear = Q(
+    "e_attribution_linear",
+    (s, d) => {
+      import s.implicits._
+      val evs = eventsWithItem(s, d)
+      val enc = $"ts_sec" * lit(1000000000L) + $"event_id"
+      val views = evs.filter($"event_type" === "view")
+        .select($"user_id", $"item", $"ts_sec".as("v_sec"), enc.as("v_enc"))
+      val purchases = evs.filter($"event_type" === "purchase")
+        .select($"user_id", $"event_id".as("purchase_id"), $"ts_sec".as("p_sec"),
+          enc.as("p_enc"), floor($"value" * 100).cast("long").as("cents"))
+      val pairs = purchases.join(views, "user_id")
+        .filter($"v_enc" < $"p_enc" && $"p_sec" - $"v_sec" <= attribWindowSec)
+      val wN = Window.partitionBy($"purchase_id")
+      val wRank = Window.partitionBy($"purchase_id").orderBy($"v_enc")
+      val credited = pairs
+        .withColumn("n", count(lit(1)).over(wN))
+        .withColumn("rv", row_number().over(wRank))
+        .select($"item",
+          (expr("cents div n") +
+            when($"rv" === 1, $"cents" % $"n").otherwise(0L)).as("credit"))
+      val unattributed = purchases
+        .join(pairs.select($"purchase_id").distinct(), Seq("purchase_id"), "left_anti")
+        .select(lit(-1L).as("item"), $"cents".as("credit"))
+      credited.unionByName(unattributed)
+        .groupBy($"item")
+        .agg(count(lit(1)).as("n_touches"), sum($"credit").as("rev_cents"))
+    },
+    Some(s"""
+      $oracleBase,
+      v AS (
+        SELECT user_id, item, sec AS v_sec,
+               sec * 1000000000 + event_id AS v_enc
+        FROM base WHERE event_type = 'view'),
+      p AS (
+        SELECT user_id, event_id AS purchase_id, sec AS p_sec,
+               sec * 1000000000 + event_id AS p_enc,
+               CAST(FLOOR(value * 100) AS BIGINT) AS cents
+        FROM base WHERE event_type = 'purchase'),
+      pairs AS (
+        SELECT p.purchase_id, p.cents, v.item, v.v_enc
+        FROM p JOIN v ON p.user_id = v.user_id
+        WHERE v.v_enc < p.p_enc AND p.p_sec - v.v_sec <= $attribWindowSec),
+      credited AS (
+        SELECT item,
+               cents // COUNT(*) OVER (PARTITION BY purchase_id)
+                 + CASE WHEN ROW_NUMBER() OVER (PARTITION BY purchase_id ORDER BY v_enc) = 1
+                        THEN cents % COUNT(*) OVER (PARTITION BY purchase_id)
+                        ELSE 0 END AS credit
+        FROM pairs),
+      unattributed AS (
+        SELECT -1 AS item, cents AS credit FROM p
+        WHERE NOT EXISTS (SELECT 1 FROM pairs WHERE pairs.purchase_id = p.purchase_id)),
+      u AS (SELECT * FROM credited UNION ALL SELECT * FROM unattributed)
+      SELECT item, COUNT(*) AS n_touches, CAST(SUM(credit) AS BIGINT) AS rev_cents
+      FROM u GROUP BY 1
+    """.stripMargin.trim),
+  )
+
   val qs: Seq[Q] = Seq(
     asofEnrich,
     attribution,
+    attributionLinear,
     funnelRates,
     hotItemsTopN,
     hotItemsSql,

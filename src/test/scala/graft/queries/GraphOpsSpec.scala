@@ -210,6 +210,19 @@ class GraphOpsSpec extends SparkSpec {
     assert(nFunnel === funnelUsers)
   }
 
+  test("linear attribution conserves revenue to the cent") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = Catalog.queries("e_attribution_linear")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val totalCents = graft.sources.Tables.events(spark, sf)
+      .filter($"event_type" === "purchase")
+      .select(floor($"value" * 100).cast("long").as("c"))
+      .collect().map(_.getLong(0)).sum
+    // every purchase's cents land somewhere (splits + remainders + -1 bucket)
+    assert(rows.map(_._3).sum === totalCents)
+    assert(rows.exists(_._1 == -1L) || rows.nonEmpty)
+  }
+
   test("catalog item co-occurrence: support equals brute-force user-set intersection") {
     val rows = Catalog.queries("e_item_cooccur")(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
