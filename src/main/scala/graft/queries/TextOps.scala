@@ -2178,6 +2178,55 @@ object TextOps {
   )
 
   // ---------------------------------------------------------------------
+  // CCNet-style LM buckets — the head/middle/tail split CCNet runs per
+  // language on LM scores before choosing which tercile to train on.
+  // Scores come from the verified unigram-LM core; the terciles are
+  // exact BY RANK (ntile(3) per language, deterministic (score, doc_id)
+  // order), which sidesteps the global-score-quantile problem: score
+  // values are corpus-cardinality so a value-histogram window would see
+  // corpus-sized partitions, but the per-language rank window is the
+  // partitioned form the engine allows. Production CCNet samples for
+  // thresholds; rank-terciles are the exact equivalent on the full set.
+  // ---------------------------------------------------------------------
+  val ccnetBuckets = Q(
+    "t_ccnet_buckets",
+    (s, d) => {
+      import s.implicits._
+      val scored = unigramLmOn(fannedDocs(s, d))
+        .join(docs(s, d).select($"doc_id", $"lang"), "doc_id")
+      val w = Window.partitionBy($"lang").orderBy($"score_ppm".desc, $"doc_id")
+      scored
+        .withColumn("tercile", ntile(3).over(w).cast("long"))
+        .select($"doc_id", $"lang", $"score_ppm",
+          when($"tercile" === 1, "head")
+            .when($"tercile" === 2, "middle")
+            .otherwise("tail").as("bucket"))
+    },
+    Some(s"""
+      WITH tok AS (SELECT doc_id, unnest($oracleToks) AS token FROM documents),
+      cnts AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY 1),
+      n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM cnts),
+      perdoc AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks,
+               CAST(SUM(cnt) AS BIGINT) AS sum_cnt
+        FROM tok JOIN cnts USING (token) GROUP BY 1),
+      scored AS (
+        SELECT d.doc_id, d.lang,
+               CAST((1000000 * sum_cnt) // (n_toks * n_total) AS BIGINT) AS score_ppm
+        FROM perdoc JOIN documents d USING (doc_id), n),
+      ranked AS (
+        SELECT doc_id, lang, score_ppm,
+               NTILE(3) OVER (PARTITION BY lang
+                 ORDER BY score_ppm DESC, doc_id) AS tercile
+        FROM scored)
+      SELECT doc_id, lang, score_ppm,
+             CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                  ELSE 'tail' END AS bucket
+      FROM ranked
+    """.stripMargin.trim),
+  )
+
+  // ---------------------------------------------------------------------
   // Boilerplate fraction — the Dolma/RefinedWeb-style duplicated-text
   // signal at SIGNAL grain (no rewrite): for each document, the share of
   // its distinct word-3-gram shingles that also occur in at least one
@@ -3280,6 +3329,7 @@ object TextOps {
     snapshotDiff,
     lshPrecision,
     lshRecall,
+    ccnetBuckets,
     textStats,
     tokenTopK,
     tokenHeavy,
