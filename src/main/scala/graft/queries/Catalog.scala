@@ -58,5 +58,6 @@ object Catalog {
     "t_unigram_lm", "t_boilerplate", "t_delta_neardup", "v_kmeans_step",
     "t_seq_pack", "t_dedup_multimodal", "t_delta_semantic", "t_token_heavy",
     "v_pq_search", "t_substring_dup", "t_substring_scrub", "v_ivfpq_residual",
-    "t_cluster_topics", "e_pagerank", "t_linreg_stats", "e_clustering")
+    "t_cluster_topics", "e_pagerank", "t_linreg_stats", "e_clustering",
+    "e_item_cooccur", "e_attribution")
 }
