@@ -550,7 +550,67 @@ object GraphOps {
     """.stripMargin.trim),
   )
 
+  // ---------------------------------------------------------------------
+  // Item-to-item recommendations — the classic co-occurrence recommender
+  // as a full query: for each user, the top-3 items they have NOT
+  // touched, scored by summed co-occurrence support with the items they
+  // have. All frames run at the distinct (user, item) / item-pair
+  // grain; the anti-join removes already-seen items; the final rank is
+  // a bounded per-user window. At catalog scale the pair table is
+  // |items|², the standard item-item CF regime (items ≪ users).
+  // ---------------------------------------------------------------------
+  private val recK = 3
+
+  val recommendations = Q(
+    "e_recommendations",
+    (s, d) => {
+      import s.implicits._
+      val ui = ev(s, d).filter($"item".isNotNull)
+        .select($"user_id", $"item").distinct()
+      val pairs = ui.select($"user_id", $"item".as("i1"))
+        .join(ui.select($"user_id", $"item".as("i2")), "user_id")
+        .filter($"i1" < $"i2")
+        .groupBy($"i1", $"i2").agg(count(lit(1)).as("n"))
+      val sym = pairs.select($"i1".as("item"), $"i2".as("rec"), $"n")
+        .unionByName(pairs.select($"i2".as("item"), $"i1".as("rec"), $"n"))
+      val scored = ui.join(sym, "item")
+        .groupBy($"user_id", $"rec")
+        .agg(sum($"n").as("score"))
+        .join(ui.select($"user_id", $"item".as("rec")), Seq("user_id", "rec"), "left_anti")
+      val w = Window.partitionBy($"user_id").orderBy($"score".desc, $"rec")
+      scored
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter($"rk" <= recK)
+        .select($"user_id", $"rk", $"rec".as("item"), $"score")
+    },
+    Some(s"""
+      $oracleBase,
+      ui AS (SELECT DISTINCT user_id, item FROM base WHERE item IS NOT NULL),
+      pairs AS (
+        SELECT a.item AS i1, b.item AS i2, COUNT(*) AS n
+        FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item < b.item
+        GROUP BY 1, 2),
+      sym AS (
+        SELECT i1 AS item, i2 AS rec, n FROM pairs
+        UNION ALL SELECT i2, i1, n FROM pairs),
+      scored AS (
+        SELECT ui.user_id, sym.rec, CAST(SUM(sym.n) AS BIGINT) AS score
+        FROM ui JOIN sym USING (item)
+        GROUP BY 1, 2),
+      fresh AS (
+        SELECT s.* FROM scored s
+        WHERE NOT EXISTS (SELECT 1 FROM ui WHERE ui.user_id = s.user_id AND ui.item = s.rec)),
+      ranked AS (
+        SELECT user_id, rec, score,
+               CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                 ORDER BY score DESC, rec) AS BIGINT) AS rk
+        FROM fresh)
+      SELECT user_id, rk, rec AS item, score FROM ranked WHERE rk <= $recK
+    """.stripMargin.trim),
+  )
+
   val qs: Seq[Q] = Seq(
     pageRank, cohortRetention, rollingActive, itemCooccur, markovNext,
-    pathTopN, anomalyDays, clustering, valueQuantiles, incrAgg)
+    pathTopN, anomalyDays, clustering, valueQuantiles, incrAgg,
+    recommendations)
 }
