@@ -43,7 +43,10 @@ class CatalogPlanGuardSpec extends SparkSpec {
       // IVF family (broadcast side = the 16 centroids)
       "v_pq_recall", "v_ivfpq_search", "v_ivfpq_residual",
       // cluster topics: centroid-assignment cross + the one-row corpus total
-      "t_cluster_topics")
+      "t_cluster_topics",
+      // CCNet buckets compose the unigram-LM core, inheriting its
+      // sanctioned one-row corpus-total cross
+      "t_ccnet_buckets")
 
   test("no catalog query plans a cartesian, a rogue BNLJ, or a single-partition stage") {
     val offenders = Catalog.all.flatMap { q =>
