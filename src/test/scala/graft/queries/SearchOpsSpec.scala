@@ -72,6 +72,33 @@ class SearchOpsSpec extends SparkSpec {
     assert(got.toSeq === inline.toSeq)
   }
 
+  test("entity resolution on planted typos: close variants match, far ones don't") {
+    import org.apache.spark.sql.functions.{col, count, lit, element_at, split, levenshtein}
+    // a tiny synthetic part table: canonical names + 1-edit typos (same
+    // block), plus a 4-edit variant that must NOT match
+    val parts = Seq(
+      "steel widget", "steol widget",      // 1 edit apart
+      "brass gadget", "bras gadget",       // 1 edit
+      "green gizmo", "graan gizmo",        // 2 edits
+      "purple gizmo",                      // 4+ edits from graan/green
+      "lonely sprocket",                   // no partner in block
+    ).zipWithIndex.map { case (n, i) => (i.toLong, n) }.toDF("p_partkey", "p_name")
+    val names = parts.groupBy(col("p_name")).agg(count(lit(1)).as("n_rows"))
+      .withColumn("blk", element_at(split(col("p_name"), " "), -1))
+    val a = names.select(col("blk"), col("p_name").as("name_a"))
+    val b = names.select(col("blk"), col("p_name").as("name_b"))
+    val got = a.join(b, "blk")
+      .filter(col("name_a") < col("name_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b"), 2).cast("long"))
+      .filter(col("dist") >= 0)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSet
+    assert(got.contains(("steel widget", "steol widget")))
+    assert(got.contains(("bras gadget", "brass gadget")))
+    assert(got.contains(("graan gizmo", "green gizmo")))
+    assert(!got.exists { case (x, y) => Set(x, y) == Set("purple gizmo", "green gizmo") })
+    assert(!got.exists { case (x, y) => x.contains("sprocket") || y.contains("sprocket") })
+  }
+
   test("t_entity_resolution pairs are verified by an independent edit-distance") {
     def lev(a: String, b: String): Int = {
       val d = Array.tabulate(a.length + 1)(i => Array.tabulate(b.length + 1)(j =>

@@ -105,4 +105,50 @@ class TransitionStreamSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(streamed === batch)
   }
+
+  test("attributionStream late view: no retro credit, but future purchases see it") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[AttribEv]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val q = Streams.attributionStream(mem.toDF())
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        b.collect().foreach { r =>
+          got.synchronized {
+            got += ((r.getAs[Long]("purchase_id"), r.getAs[Long]("item"), r.getAs[Long]("cents")))
+          }
+        }
+        ()
+      }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt-attrib-late").toString)
+      .start()
+    try {
+      // batch 1: a purchase with no view yet -> unattributed (-1)
+      mem.addData(AttribEv(10L, 1L, "purchase", 100L, -1L, 500L))
+      q.processAllAvailable()
+      // batch 2: a LATE view (ts=50, before the already-credited purchase)
+      // plus a purchase after it -> the late view must credit the NEW
+      // purchase (carried state, not ahead of it) but never retro-credit
+      mem.addData(AttribEv(11L, 1L, "view", 50L, 7L, 0L))
+      mem.addData(AttribEv(12L, 1L, "purchase", 200L, -1L, 300L))
+      q.processAllAvailable()
+      // batch 3: a FUTURE view (ts=1000) then a late purchase at 900 ->
+      // the 16-byte state holds only the NEWEST view, which is ahead of
+      // the purchase and guarded out; older views are gone from state,
+      // so the purchase lands unattributed — the documented single-slot
+      // trade (same contract as the streaming as-of): the future never
+      // leaks, at the price of late probes behind a newer build
+      mem.addData(AttribEv(13L, 1L, "view", 1000L, 9L, 0L))
+      q.processAllAvailable()
+      mem.addData(AttribEv(14L, 1L, "purchase", 900L, -1L, 200L))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(got.toList === List(
+      (10L, -1L, 500L), // nothing to credit yet
+      (12L, 7L, 300L),  // late view credits the later purchase
+      (14L, -1L, 200L), // future view never leaks backward; old view evicted
+    ))
+  }
 }
