@@ -228,5 +228,71 @@ object SearchOps {
       .limit(k)
   }
 
-  val qs: Seq[Q] = Seq(boolSearch, tfidfSearch, entityResolution)
+  // ---------------------------------------------------------------------
+  // Entity canonicalization — resolution's second half: fuzzy-match
+  // pairs become CLUSTERS (min-label propagation over the match graph,
+  // the same resolver discipline as t_neardup_clusters, here at the
+  // name grain with lexicographic-min canonical names), and every name
+  // maps to its cluster's canonical form — the master-data "golden
+  // record" assignment. Six synchronous hops, exactly unrolled in the
+  // oracle, so the result hashes even independently of convergence
+  // analysis (typo blocks are stars/short chains — 6 hops is ample and
+  // the spec checks full convergence on the fixture).
+  // ---------------------------------------------------------------------
+  private val canonRounds = 6
+
+  val entityCanon = Q(
+    "t_entity_canon",
+    (s, d) => {
+      import s.implicits._
+      val names = Tables.part(s, d).select($"p_name").distinct()
+        .withColumn("blk", element_at(split($"p_name", " "), -1))
+      val a = names.select($"blk", $"p_name".as("name_a"))
+      val b = names.select($"blk", $"p_name".as("name_b"))
+      val pairs = a.join(b, "blk")
+        .filter($"name_a" < $"name_b")
+        .filter(levenshtein($"name_a", $"name_b", editMax) >= 0)
+        .select($"name_a", $"name_b")
+      val und = pairs.select($"name_a".as("v"), $"name_b".as("nbr"))
+        .unionByName(pairs.select($"name_b".as("v"), $"name_a".as("nbr")))
+        .localCheckpoint()
+      var lbl = names.select($"p_name".as("v"), $"p_name".as("lbl"))
+      for (i <- 1 to canonRounds) {
+        val nbrMin = und
+          .join(lbl.select($"v".as("nbr"), $"lbl".as("nlbl")), "nbr")
+          .groupBy($"v").agg(min($"nlbl").as("nmin"))
+        lbl = lbl.join(nbrMin, Seq("v"), "left")
+          .select($"v", least($"lbl", coalesce($"nmin", $"lbl")).as("lbl"))
+        if (i < canonRounds) lbl = lbl.localCheckpoint()
+      }
+      lbl.select($"v".as("name"), $"lbl".as("canon"))
+    },
+    Some {
+      val rounds = (1 to canonRounds).map { i =>
+        s"""l$i AS (
+           |  SELECT l.v, LEAST(l.lbl, COALESCE(MIN(n.lbl), l.lbl)) AS lbl
+           |  FROM l${i - 1} l
+           |  LEFT JOIN und ON und.v = l.v
+           |  LEFT JOIN l${i - 1} n ON n.v = und.nbr
+           |  GROUP BY l.v, l.lbl)""".stripMargin
+      }.mkString(",\n      ")
+      s"""
+      WITH names AS (
+        SELECT DISTINCT p_name, string_split(p_name, ' ')[-1] AS blk FROM part),
+      pairs AS (
+        SELECT a.p_name AS name_a, b.p_name AS name_b
+        FROM names a JOIN names b
+          ON a.blk = b.blk AND a.p_name < b.p_name
+        WHERE levenshtein(a.p_name, b.p_name) <= $editMax),
+      und AS (
+        SELECT name_a AS v, name_b AS nbr FROM pairs
+        UNION ALL SELECT name_b, name_a FROM pairs),
+      l0 AS (SELECT p_name AS v, p_name AS lbl FROM names),
+      $rounds
+      SELECT v AS name, lbl AS canon FROM l$canonRounds
+    """.stripMargin.trim
+    },
+  )
+
+  val qs: Seq[Q] = Seq(boolSearch, tfidfSearch, entityResolution, entityCanon)
 }

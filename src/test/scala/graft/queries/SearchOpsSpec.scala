@@ -99,6 +99,35 @@ class SearchOpsSpec extends SparkSpec {
     assert(!got.exists { case (x, y) => x.contains("sprocket") || y.contains("sprocket") })
   }
 
+  test("entity canon equals brute-force union-find over the match graph") {
+    def lev2(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1)(i => Array.tabulate(b.length + 1)(j =>
+        if (i == 0) j else if (j == 0) i else 0))
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val names = graft.sources.Tables.part(spark, sf)
+      .select($"p_name").distinct().collect().map(_.getString(0))
+    val parent = scala.collection.mutable.Map(names.map(n => n -> n): _*)
+    def find(x: String): String =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    for {
+      a <- names; b <- names
+      if a < b && a.split(" ").last == b.split(" ").last && lev2(a, b) <= 2
+    } { val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra) = rb }
+    val expect = names.map { n =>
+      val root = find(n)
+      n -> names.filter(m => find(m) == root).min // lexicographic canon
+    }.toMap
+    val got = Catalog.queries("t_entity_canon")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got === expect)
+    // clusters actually formed (some canon != self)
+    assert(got.exists { case (n, c) => n != c })
+  }
+
   test("t_entity_resolution pairs are verified by an independent edit-distance") {
     def lev(a: String, b: String): Int = {
       val d = Array.tabulate(a.length + 1)(i => Array.tabulate(b.length + 1)(j =>
