@@ -97,6 +97,87 @@ object GraphOps {
     ranks
   }
 
+  /** Personalized PageRank core: teleport mass returns only to the SEED
+    * set (seed rows carry `is_seed = 1`), so ranks measure relatedness
+    * TO the seeds rather than global centrality. Same fixed-point
+    * integer update as [[pageRankOn]]; non-seeds start at 0.
+    */
+  private[queries] def pageRankSeededOn(
+      nodes: DataFrame, // (item, is_seed)
+      edges: DataFrame, // (src, dst, w)
+      iters: Int): DataFrame = {
+    val s = nodes.sparkSession
+    import s.implicits._
+    val outW = edges.groupBy($"src").agg(sum($"w").as("out_w"))
+    val e = edges.join(outW, "src").localCheckpoint()
+    var ranks = nodes.select($"item", $"is_seed",
+      ($"is_seed" * lit(1000000L)).as("rank_ppm"))
+    for (i <- 1 to iters) {
+      val contrib = e
+        .join(ranks.select($"item".as("src"), $"rank_ppm"), "src")
+        .withColumn("c", expr("(((rank_ppm * 85) div 100) * w) div out_w"))
+        .groupBy($"dst")
+        .agg(sum($"c").as("in_sum"))
+      ranks = nodes
+        .join(contrib.withColumnRenamed("dst", "item"), Seq("item"), "left")
+        .select($"item", $"is_seed",
+          ($"is_seed" * lit(150000L) + coalesce($"in_sum", lit(0L))).as("rank_ppm"))
+      if (i < iters) ranks = ranks.localCheckpoint()
+    }
+    ranks.select($"item", $"is_seed", $"rank_ppm")
+  }
+
+  val pageRankSeeded = Q(
+    "e_ppr_seeded",
+    (s, d) => {
+      import s.implicits._
+      val evs = ev(s, d)
+      val counts = evs.filter($"item".isNotNull)
+        .groupBy($"item").agg(count(lit(1)).as("cnt"))
+      // seeds = top-3 items by volume; the rank window runs over the
+      // |items|-row count table (catalog-sized, the same bounded-input
+      // argument as the anomaly medians)
+      val seeds = counts
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(lit(1)).orderBy($"cnt".desc, $"item")))
+        .select($"item", when($"rk" <= 3, 1L).otherwise(0L).as("is_seed"))
+      pageRankSeededOn(seeds, transitionEdges(evs), prIters)
+    },
+    Some {
+      val iterCtes = (1 to prIters).map { i =>
+        s"""r$i AS (
+           |  SELECT n.item, n.is_seed,
+           |         CAST(n.is_seed * 150000 + COALESCE(SUM((((r.rank_ppm * 85) // 100) * ew.w) // ew.out_w), 0) AS BIGINT) AS rank_ppm
+           |  FROM n
+           |  LEFT JOIN ew ON ew.dst = n.item
+           |  LEFT JOIN r${i - 1} r ON r.item = ew.src
+           |  GROUP BY n.item, n.is_seed)""".stripMargin
+      }.mkString(",\n      ")
+      s"""
+      $oracleBase,
+      seq AS (
+        SELECT user_id, item,
+               LEAD(item) OVER (PARTITION BY user_id ORDER BY sec, event_id) AS nxt
+        FROM base WHERE item IS NOT NULL),
+      e AS (
+        SELECT item AS src, nxt AS dst, COUNT(*) AS w
+        FROM seq WHERE nxt IS NOT NULL AND nxt <> item GROUP BY 1, 2),
+      ow AS (SELECT src, CAST(SUM(w) AS BIGINT) AS out_w FROM e GROUP BY 1),
+      ew AS (SELECT e.src, e.dst, e.w, ow.out_w FROM e JOIN ow USING (src)),
+      cnts AS (
+        SELECT item, COUNT(*) AS cnt FROM base WHERE item IS NOT NULL GROUP BY 1),
+      n AS (
+        SELECT item,
+               CASE WHEN ROW_NUMBER() OVER (ORDER BY cnt DESC, item) <= 3
+                    THEN 1 ELSE 0 END AS is_seed
+        FROM cnts),
+      r0 AS (SELECT item, is_seed, CAST(is_seed * 1000000 AS BIGINT) AS rank_ppm FROM n),
+      $iterCtes
+      SELECT item, CAST(is_seed AS BIGINT) AS is_seed, rank_ppm FROM r$prIters
+    """.stripMargin.trim
+    },
+  )
+
   /** (src, dst, w) transition edges from the event log: one per-user
     * ordered pass (a single shuffle on user_id), self-loops dropped.
     */
@@ -612,5 +693,5 @@ object GraphOps {
   val qs: Seq[Q] = Seq(
     pageRank, cohortRetention, rollingActive, itemCooccur, markovNext,
     pathTopN, anomalyDays, clustering, valueQuantiles, incrAgg,
-    recommendations)
+    recommendations, pageRankSeeded)
 }

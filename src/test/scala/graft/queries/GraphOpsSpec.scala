@@ -53,6 +53,17 @@ class GraphOpsSpec extends SparkSpec {
     assert(a === b) // integer fixed-point sums are order-independent
   }
 
+  test("seeded pagerank: exactly 3 seeds; teleport mass only at seeds") {
+    val rows = Catalog.queries("e_ppr_seeded")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.count(_._2 == 1L) === 3)
+    // non-seeds receive only propagated mass — every non-seed's rank is
+    // strictly below the standalone teleport floor seeds always keep
+    val minSeed = rows.filter(_._2 == 1L).map(_._3).min
+    assert(minSeed >= 150000L)
+    assert(rows.nonEmpty)
+  }
+
   test("transitionEdges orders by time within user, drops self-loops, counts repeats") {
     val evs = Seq(
       // user 1: a -> b -> b -> a  (self-loop b->b dropped)
