@@ -178,6 +178,122 @@ object GraphOps {
     },
   )
 
+  // ---------------------------------------------------------------------
+  // BFS hop distance from the highest-volume item over the undirected
+  // transition graph — "how far is every product from the traffic
+  // hub". Six synchronous relaxation rounds (dist = min(dist,
+  // neighbor+1)), exactly unrolled in the oracle like the PageRank
+  // CTEs; unreached items report -1. Each round is one |E|-grain
+  // equi-join + agg on graph-sized frames.
+  // ---------------------------------------------------------------------
+  private val bfsRounds = 6
+
+  val bfsHops = Q(
+    "e_bfs_hops",
+    (s, d) => {
+      import s.implicits._
+      val evs = ev(s, d)
+      val counts = evs.filter($"item".isNotNull)
+        .groupBy($"item").agg(count(lit(1)).as("cnt"))
+      val seed = counts
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(lit(1)).orderBy($"cnt".desc, $"item")))
+        .select($"item", when($"rk" === 1, 0L).otherwise(lit(999L)).as("dist"))
+      val edges = transitionEdges(evs)
+      val und = edges.select($"src".as("v"), $"dst".as("nbr"))
+        .unionByName(edges.select($"dst".as("v"), $"src".as("nbr")))
+        .distinct()
+        .localCheckpoint()
+      var dist = seed
+      for (i <- 1 to bfsRounds) {
+        val relax = und
+          .join(dist.select($"item".as("nbr"), $"dist".as("nd")), "nbr")
+          .groupBy($"v").agg(min($"nd" + 1L).as("via"))
+        dist = dist
+          .join(relax.withColumnRenamed("v", "item"), Seq("item"), "left")
+          .select($"item", least($"dist", coalesce($"via", $"dist")).as("dist"))
+        if (i < bfsRounds) dist = dist.localCheckpoint()
+      }
+      dist.select($"item",
+        when($"dist" >= 999L, -1L).otherwise($"dist").as("hops"))
+    },
+    Some {
+      val rounds = (1 to bfsRounds).map { i =>
+        s"""d$i AS (
+           |  SELECT d.item, LEAST(d.dist, COALESCE(MIN(n.dist + 1), d.dist)) AS dist
+           |  FROM d${i - 1} d
+           |  LEFT JOIN und ON und.v = d.item
+           |  LEFT JOIN d${i - 1} n ON n.item = und.nbr
+           |  GROUP BY d.item, d.dist)""".stripMargin
+      }.mkString(",\n      ")
+      s"""
+      $oracleBase,
+      seq AS (
+        SELECT user_id, item,
+               LEAD(item) OVER (PARTITION BY user_id ORDER BY sec, event_id) AS nxt
+        FROM base WHERE item IS NOT NULL),
+      e AS (
+        SELECT item AS src, nxt AS dst, COUNT(*) AS w
+        FROM seq WHERE nxt IS NOT NULL AND nxt <> item GROUP BY 1, 2),
+      und AS (
+        SELECT DISTINCT src AS v, dst AS nbr FROM e
+        UNION SELECT DISTINCT dst, src FROM e),
+      cnts AS (
+        SELECT item, COUNT(*) AS cnt FROM base WHERE item IS NOT NULL GROUP BY 1),
+      d0 AS (
+        SELECT item,
+               CASE WHEN ROW_NUMBER() OVER (ORDER BY cnt DESC, item) = 1
+                    THEN CAST(0 AS BIGINT) ELSE CAST(999 AS BIGINT) END AS dist
+        FROM cnts),
+      $rounds
+      SELECT item, CASE WHEN dist >= 999 THEN -1 ELSE dist END AS hops FROM d$bfsRounds
+    """.stripMargin.trim
+    },
+  )
+
+  // ---------------------------------------------------------------------
+  // View-to-purchase latency histogram: hour buckets of (purchase -
+  // most recent prior view) per converting purchase — the funnel-speed
+  // distribution. Composes the as-of carry-forward scan; output is the
+  // bounded 25-row bucket table (24 trailing-day hour buckets + the
+  // beyond-a-day tail), so no corpus-sized ordered windows.
+  // ---------------------------------------------------------------------
+  val timeToConvert = Q(
+    "e_time_to_convert",
+    (s, d) => {
+      import s.implicits._
+      val evs = Tables.events(s, d)
+        .filter($"event_type".isin("view", "purchase"))
+        .select($"event_id", $"user_id", $"event_type", $"ts_sec")
+        .as[(Long, Long, String, Long)]
+      graft.operators.AsOf
+        .lastAtOrBefore[(Long, Long, String, Long)](
+          evs, _._2, _._4, _._1, isProbe = _._3 == "purchase")
+        .toDF()
+        .filter($"matchTs".isNotNull)
+        .select(expr("(probeTs - matchTs) div 3600").as("hours"))
+        .select(least($"hours", lit(24L)).as("hour_bucket"))
+        .groupBy($"hour_bucket")
+        .agg(count(lit(1)).as("n_purchases"))
+    },
+    Some("""
+      WITH u AS (
+        SELECT user_id, epoch_ms(ts)//1000 AS sec, event_id,
+               CASE WHEN event_type = 'view' THEN 0 ELSE 1 END AS side
+        FROM events WHERE event_type IN ('view', 'purchase')),
+      s AS (
+        SELECT user_id, sec, side,
+               MAX(CASE WHEN side = 0 THEN sec * 1000000000 + event_id END) OVER (
+                 PARTITION BY user_id ORDER BY sec, side, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS enc
+        FROM u),
+      lat AS (
+        SELECT LEAST((sec - enc // 1000000000) // 3600, 24) AS hour_bucket
+        FROM s WHERE side = 1 AND enc IS NOT NULL)
+      SELECT hour_bucket, COUNT(*) AS n_purchases FROM lat GROUP BY 1
+    """.stripMargin.trim),
+  )
+
   /** (src, dst, w) transition edges from the event log: one per-user
     * ordered pass (a single shuffle on user_id), self-loops dropped.
     */
@@ -693,5 +809,5 @@ object GraphOps {
   val qs: Seq[Q] = Seq(
     pageRank, cohortRetention, rollingActive, itemCooccur, markovNext,
     pathTopN, anomalyDays, clustering, valueQuantiles, incrAgg,
-    recommendations, pageRankSeeded)
+    recommendations, pageRankSeeded, bfsHops, timeToConvert)
 }
