@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
 import org.apache.spark.sql.types.StringType
 
-import graft.functions.{BloomHashExpression, BloomUvAggregate, DotProductDExpression, NfcNormalizeExpression}
+import graft.functions.{BloomHashExpression, BloomUvAggregate, DamerauLevenshteinExpression, DotProductDExpression, NfcNormalizeExpression}
 
 /** SparkSessionExtensions hook — the standard deployment path for the
   * engine's custom Catalyst functions:
@@ -45,6 +45,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => {
         require(exprs.length == 1, s"nfc expects exactly 1 argument, got ${exprs.length}")
         NfcNormalizeExpression(exprs.head)
+      },
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("dl_distance"),
+      new ExpressionInfo(classOf[DamerauLevenshteinExpression].getName, "dl_distance"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, s"dl_distance expects exactly 2 arguments, got ${exprs.length}")
+        DamerauLevenshteinExpression(exprs.head, exprs(1))
       },
     ))
     ext.injectFunction((

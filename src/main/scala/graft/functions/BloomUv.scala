@@ -191,4 +191,20 @@ object GraftFunctions {
 
   /** Column-API entry for the codegen'd NFC normalizer. */
   def nfc(c: Column): Column = callFn("nfc", c)
+
+  /** Registers `dl_distance(a, b)` (see [[DamerauLevenshteinExpression]]).
+    * Idempotent, same contract as [[registerDotD]].
+    */
+  def registerDlDistance(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("dl_distance"),
+      new ExpressionInfo(classOf[DamerauLevenshteinExpression].getName, "dl_distance"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, s"dl_distance expects exactly 2 arguments, got ${exprs.length}")
+        DamerauLevenshteinExpression(exprs.head, exprs(1))
+      },
+    )
+
+  /** Column-API entry for the codegen'd Damerau-Levenshtein distance. */
+  def dlDistance(a: Column, b: Column): Column = callFn("dl_distance", a, b)
 }

@@ -294,5 +294,43 @@ object SearchOps {
     },
   )
 
-  val qs: Seq[Q] = Seq(boolSearch, tfidfSearch, entityResolution, entityCanon)
+  // ---------------------------------------------------------------------
+  // Transposition-aware entity matching — t_entity_resolution with the
+  // HUMAN-typo edit model: `dl_distance`, the custom codegen'd
+  // Damerau-Levenshtein expression (Spark has no built-in; the
+  // transposed "wdiget" is 1 DL edit but 2 plain edits). Emitting BOTH
+  // distances per blocked pair hash-gates the custom expression's every
+  // output value against DuckDB's independent damerau_levenshtein
+  // implementation — the strongest cross-engine check a custom
+  // Expression can get.
+  // ---------------------------------------------------------------------
+  val entityTypos = Q(
+    "t_entity_typos",
+    (s, d) => {
+      import s.implicits._
+      graft.functions.GraftFunctions.registerDlDistance(s)
+      val names = Tables.part(s, d).select($"p_name").distinct()
+        .withColumn("blk", element_at(split($"p_name", " "), -1))
+      val a = names.select($"blk", $"p_name".as("name_a"))
+      val b = names.select($"blk", $"p_name".as("name_b"))
+      a.join(b, "blk")
+        .filter($"name_a" < $"name_b")
+        .withColumn("lev", levenshtein($"name_a", $"name_b").cast("long"))
+        .withColumn("dl", expr("CAST(dl_distance(name_a, name_b) AS BIGINT)"))
+        .filter($"dl" <= editMax)
+        .select($"name_a", $"name_b", $"lev", $"dl")
+    },
+    Some(s"""
+      WITH names AS (
+        SELECT DISTINCT p_name, string_split(p_name, ' ')[-1] AS blk FROM part)
+      SELECT a.p_name AS name_a, b.p_name AS name_b,
+             CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS lev,
+             CAST(damerau_levenshtein(a.p_name, b.p_name) AS BIGINT) AS dl
+      FROM names a JOIN names b ON a.blk = b.blk AND a.p_name < b.p_name
+      WHERE damerau_levenshtein(a.p_name, b.p_name) <= $editMax
+    """.stripMargin.trim),
+  )
+
+  val qs: Seq[Q] = Seq(
+    boolSearch, tfidfSearch, entityResolution, entityCanon, entityTypos)
 }
