@@ -106,6 +106,7 @@ object GraftFunctions {
     registerBloomHash(spark)
     registerDotD(spark)
     registerNfc(spark)
+    registerDlDistance(spark)
     registerAggregators(spark)
     spark.sessionState.functionRegistry.registerFunction(
       org.apache.spark.sql.catalyst.FunctionIdentifier("bloom_uv"),
