@@ -868,6 +868,66 @@ object TextOps {
     """.stripMargin.trim),
   )
 
+  // ---------------------------------------------------------------------
+  // Dedup evidence — explainability for a dedup verdict: for the
+  // STRONGEST candidate pair (max true Jaccard, deterministic tiebreak)
+  // emit the actual shared shingles, i.e. the overlapping text a
+  // reviewer checks before trusting the pipeline's delete list. The
+  // winner is a 1-row frame; the evidence join is two 1-row-broadcast
+  // equi-joins against the shingle table — the audit costs one pair's
+  // shingles regardless of corpus size.
+  // ---------------------------------------------------------------------
+  val dedupEvidence = Q(
+    "t_dedup_evidence",
+    (s, d) => {
+      import s.implicits._
+      val shing = docShingles(s, d).localCheckpoint(false)
+      val sizes = shing.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+      val cands = minhashPairs(shing).select($"doc_a", $"doc_b")
+      val winner = cands
+        .join(shing.select($"doc_id".as("doc_a"), $"sh"), "doc_a")
+        .join(shing.select($"doc_id".as("doc_b"), $"sh"), Seq("doc_b", "sh"))
+        .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("inter"))
+        .join(sizes.select($"doc_id".as("doc_a"), $"n_sh".as("n_a")), "doc_a")
+        .join(sizes.select($"doc_id".as("doc_b"), $"n_sh".as("n_b")), "doc_b")
+        .withColumn("jaccard_pct",
+          floor(lit(100.0) * $"inter" / ($"n_a" + $"n_b" - $"inter")).cast("long"))
+        .orderBy($"jaccard_pct".desc, $"doc_a", $"doc_b")
+        .limit(1)
+        .select($"doc_a", $"doc_b", $"jaccard_pct")
+      winner
+        .join(shing.select($"doc_id".as("doc_a"), $"sh"), "doc_a")
+        .join(shing.select($"doc_id".as("doc_b"), $"sh"), Seq("doc_b", "sh"))
+        .select($"doc_a", $"doc_b", $"jaccard_pct", $"sh".as("shared_shingle"))
+    },
+    Some(s"""
+      WITH sh AS (
+        SELECT doc_id, unnest($oracleShingles) AS sh FROM documents),
+      $oracleMinhashSigBands,
+      cand AS (
+        $oracleMinhashPairsSelect),
+      sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+      xinter AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.doc_a
+        JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
+        GROUP BY 1, 2),
+      winner AS (
+        SELECT x.doc_a, x.doc_b,
+               CAST(FLOOR(100.0 * inter / (sa.n_sh + sb.n_sh - inter)) AS BIGINT) AS jaccard_pct
+        FROM xinter x
+        JOIN sizes sa ON sa.doc_id = x.doc_a
+        JOIN sizes sb ON sb.doc_id = x.doc_b
+        ORDER BY jaccard_pct DESC, x.doc_a, x.doc_b
+        LIMIT 1)
+      SELECT w.doc_a, w.doc_b, w.jaccard_pct, a.sh AS shared_shingle
+      FROM winner w
+      JOIN sh a ON a.doc_id = w.doc_a
+      JOIN sh b ON b.doc_id = w.doc_b AND b.sh = a.sh
+    """.stripMargin.trim),
+  )
+
   val minhashLsh = Q(
     "t_minhash_lsh",
     (s, d) => minhashPairs(docShingles(s, d)),
@@ -3329,6 +3389,7 @@ object TextOps {
     snapshotDiff,
     lshPrecision,
     lshRecall,
+    dedupEvidence,
     ccnetBuckets,
     textStats,
     tokenTopK,
