@@ -64,6 +64,18 @@ class GraphOpsSpec extends SparkSpec {
     assert(rows.nonEmpty)
   }
 
+  test("stored graph: pageRankFromGraph equals the inline e_pagerank ranks") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-graph").toString
+    val evs = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .withColumn("item", regexp_extract($"props", "(\\d+)", 1).cast("long"))
+    GraphOps.writeTransitionGraph(evs, dir)
+    val stored = GraphOps.pageRankFromGraph(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val inline = Catalog.queries("e_pagerank")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stored === inline)
+  }
+
   test("transitionEdges orders by time within user, drops self-loops, counts repeats") {
     val evs = Seq(
       // user 1: a -> b -> b -> a  (self-loop b->b dropped)
