@@ -758,7 +758,9 @@ object GraphOps {
     (s, d) => {
       import s.implicits._
       val evs = ev(s, d).select($"event_type", $"day")
-      val split = evs.agg(max($"day")).first().getLong(0)
+      val maxRow = evs.agg(max($"day")).first()
+      // empty log: no delta to merge — the recompute-equivalent is empty
+      val split = if (maxRow.isNullAt(0)) Long.MinValue else maxRow.getLong(0)
       val oldAgg = evs.filter($"day" < split)
         .groupBy($"event_type", $"day").agg(count(lit(1)).as("n_old"))
       val deltaAgg = evs.filter($"day" >= split)

@@ -76,6 +76,17 @@ class GraphOpsSpec extends SparkSpec {
     assert(stored === inline)
   }
 
+  test("incremental agg equals recompute; empty-input safe") {
+    val sf = "/root/testdata/sf0.001"
+    val got = Catalog.queries("t_incr_agg")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val recompute = graft.sources.Tables.events(spark, sf)
+      .groupBy($"event_type", expr("ts_sec div 86400").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === recompute)
+  }
+
   test("transitionEdges orders by time within user, drops self-loops, counts repeats") {
     val evs = Seq(
       // user 1: a -> b -> b -> a  (self-loop b->b dropped)
