@@ -66,6 +66,61 @@ class TransitionStreamSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("stateful chain: windowed edge counts on top of transitionStream (live Markov input)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val evs = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .withColumn("item", regexp_extract($"props", "(\\d+)", 1).cast("long"))
+      .filter($"item".isNotNull)
+      .select($"user_id", $"ts_sec", $"event_id", $"item")
+    val rows = evs.as[TransEv].collect().sortBy(e => (e.ts_sec, e.event_id))
+
+    val mem = MemoryStream[TransEv]
+    val latest = scala.collection.mutable.Map.empty[(Long, Long, Long), Long]
+    // second stateful stage: tumbling 6h windows over the EDGE stream —
+    // watermark re-attached to the emitted event time (the documented
+    // append-mode chaining pattern)
+    val q = Streams.transitionStream(mem.toDF())
+      .withColumn("event_time", timestamp_seconds($"ts_sec"))
+      .withWatermark("event_time", "10 seconds")
+      .groupBy(window($"event_time", "6 hours"), $"src", $"dst")
+      .agg(count(lit(1)).as("cnt"))
+      .select(unix_timestamp($"window.start").as("ws"), $"src", $"dst", $"cnt")
+      .writeStream
+      .outputMode("update")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        b.collect().foreach { r =>
+          latest.synchronized {
+            latest((r.getAs[Long]("ws"), r.getAs[Long]("src"), r.getAs[Long]("dst"))) =
+              r.getAs[Long]("cnt")
+          }
+        }
+        ()
+      }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt-trans-win").toString)
+      .start()
+    try {
+      rows.grouped(math.max(1, rows.length / 3 + 1)).foreach { chunk =>
+        mem.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    // batch equivalent: edges at event grain, windowed the same way
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts_sec", $"event_id")
+    val batch = evs
+      .withColumn("nxt", lead($"item", 1).over(w))
+      .withColumn("nxt_ts", lead($"ts_sec", 1).over(w))
+      .filter($"nxt".isNotNull && $"nxt" =!= $"item")
+      .groupBy(expr("(nxt_ts div 21600) * 21600").as("ws"), $"item".as("src"), $"nxt".as("dst"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3)).toMap
+    assert(latest.toMap === batch)
+  }
+
   test("attributionStream credits aggregate to the batch e_attribution rows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
