@@ -443,11 +443,84 @@ object Relational {
     """.stripMargin.trim),
   )
 
+  // ---------------------------------------------------------------------
+  // PIVOT — market segments as columns, one revenue column per segment
+  // per nation. Spark's pivot with an EXPLICIT value list (an implicit
+  // list would scan once extra to discover values — never acceptable at
+  // 100 TB); the oracle states the same thing as conditional
+  // aggregation, which is also exactly what Catalyst lowers pivot to.
+  // ---------------------------------------------------------------------
+  private val mktSegments =
+    Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+
+  val qSegmentPivot = Q(
+    "q_segment_pivot",
+    (s, d) => {
+      import s.implicits._
+      Tables.orders(s, d)
+        .join(Tables.customer(s, d), $"o_custkey" === $"c_custkey")
+        .select($"c_nationkey", $"c_mktsegment",
+          centsL($"o_totalprice").cast("long").as("cents"))
+        .groupBy($"c_nationkey")
+        .pivot("c_mktsegment", mktSegments)
+        .agg(coalesce(sum($"cents"), lit(0L)))
+        .select($"c_nationkey" +: mktSegments.map(m =>
+          col(m).as(s"rev_${m.toLowerCase}")): _*)
+    },
+    Some {
+      val cols = mktSegments.map(m =>
+        s"""CAST(COALESCE(SUM(CASE WHEN c_mktsegment = '$m'
+           |  THEN CAST(FLOOR(o_totalprice * 100) AS BIGINT) END), 0) AS BIGINT)
+           |  AS rev_${m.toLowerCase}""".stripMargin).mkString(",\n             ")
+      s"""
+      SELECT c_nationkey,
+             $cols
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1
+    """.stripMargin.trim
+    },
+  )
+
+  // ---------------------------------------------------------------------
+  // Month-over-month revenue growth — the time-series growth join
+  // WITHOUT a global-order window: monthly totals self-join on
+  // month-1 (an equi-join on the tiny month table), growth in ppm.
+  // First month reports null growth.
+  // ---------------------------------------------------------------------
+  val qMonthlyGrowth = Q(
+    "q_monthly_growth",
+    (s, d) => {
+      import s.implicits._
+      val monthly = Tables.orders(s, d)
+        .select(expr("CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT)").as("m"),
+          centsL($"o_totalprice").cast("long").as("cents"))
+        .groupBy($"m").agg(sum($"cents").as("rev_cents"))
+      monthly
+        .join(monthly.select(($"m" + 1).as("m"), $"rev_cents".as("prev_cents")),
+          Seq("m"), "left")
+        .select($"m", $"rev_cents", $"prev_cents",
+          expr("CASE WHEN prev_cents > 0 THEN ((rev_cents - prev_cents) * 1000000) div prev_cents END")
+            .as("growth_ppm"))
+    },
+    Some("""
+      WITH monthly AS (
+        SELECT year(o_orderdate) * 12 + month(o_orderdate) - 1 AS m,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+        FROM orders GROUP BY 1)
+      SELECT c.m, c.rev_cents, p.rev_cents AS prev_cents,
+             CASE WHEN p.rev_cents > 0
+                  THEN ((c.rev_cents - p.rev_cents) * 1000000) // p.rev_cents END AS growth_ppm
+      FROM monthly c LEFT JOIN monthly p ON p.m = c.m - 1
+    """.stripMargin.trim),
+  )
+
   val qs: Seq[Q] = Seq(
     qProfile,
     qRevenueRollup,
     qCustomerDeciles,
     qAboveNationAvg,
+    qSegmentPivot,
+    qMonthlyGrowth,
     q1PricingSummary,
     q3ShippingPriority,
     q5NationRevenue,

@@ -895,6 +895,11 @@ object TextOps {
         .orderBy($"jaccard_pct".desc, $"doc_a", $"doc_b")
         .limit(1)
         .select($"doc_a", $"doc_b", $"jaccard_pct")
+        // eager: the 1-row winner pins the heavy candidate/Jaccard
+        // subtree to exactly ONE execution regardless of how many
+        // downstream evidence joins reference it (warm sf0.1 ~1.7 s,
+        // in family with the t_lsh_* audits)
+        .localCheckpoint()
       winner
         .join(shing.select($"doc_id".as("doc_a"), $"sh"), "doc_a")
         .join(shing.select($"doc_id".as("doc_b"), $"sh"), Seq("doc_b", "sh"))
