@@ -835,8 +835,40 @@ object GraphOps {
     """.stripMargin.trim),
   )
 
+  // ---------------------------------------------------------------------
+  // Day-of-week seasonality profile per event type — counts and the
+  // per-type share in ppm. dow = day % 7 (epoch-aligned integer; day 0
+  // = a Thursday — documented convention, bit-portable where engine
+  // dayofweek() conventions are not).
+  // ---------------------------------------------------------------------
+  val dowProfile = Q(
+    "e_dow_profile",
+    (s, d) => {
+      import s.implicits._
+      val counts = ev(s, d)
+        .groupBy($"event_type", ($"day" % 7).as("dow"))
+        .agg(count(lit(1)).as("n_events"))
+      val totals = counts.groupBy($"event_type").agg(sum($"n_events").as("total"))
+      counts.join(broadcast(totals), "event_type")
+        .select($"event_type", $"dow", $"n_events",
+          expr("(n_events * 1000000) div total").as("share_ppm"))
+    },
+    Some(s"""
+      $oracleBase,
+      counts AS (
+        SELECT event_type, day % 7 AS dow, COUNT(*) AS n_events
+        FROM base GROUP BY 1, 2),
+      totals AS (
+        SELECT event_type, CAST(SUM(n_events) AS BIGINT) AS total
+        FROM counts GROUP BY 1)
+      SELECT c.event_type, c.dow, c.n_events,
+             (c.n_events * 1000000) // t.total AS share_ppm
+      FROM counts c JOIN totals t USING (event_type)
+    """.stripMargin.trim),
+  )
+
   val qs: Seq[Q] = Seq(
     pageRank, cohortRetention, rollingActive, itemCooccur, markovNext,
     pathTopN, anomalyDays, clustering, valueQuantiles, incrAgg,
-    recommendations, pageRankSeeded, bfsHops, timeToConvert)
+    recommendations, pageRankSeeded, bfsHops, timeToConvert, dowProfile)
 }

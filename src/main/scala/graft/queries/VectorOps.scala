@@ -439,6 +439,51 @@ object VectorOps {
     """.stripMargin.trim),
   )
 
+  // ---------------------------------------------------------------------
+  // Index balance report -- "is my IVF index skewed": one row with cell
+  // count, vector total, min/max cell sizes, and the max-vs-mean skew
+  // in ppm ((max * n_cells * 1e6) div total -- exact integer). The
+  // observability row an operator checks before trusting nprobe latency
+  // (one hot cell = one slow probe); scale cost is the assignment pass
+  // the index build already runs.
+  // ---------------------------------------------------------------------
+  val indexBalance = Q(
+    "v_index_balance",
+    (s, d) => {
+      import s.implicits._
+      ivfCells(vecs(s, d))
+        .groupBy($"cell").agg(count(lit(1)).as("n"))
+        .agg(
+          count(lit(1)).as("n_cells"),
+          sum($"n").as("n_vecs"),
+          min($"n").as("min_cell"),
+          max($"n").as("max_cell"))
+        .select($"n_cells", $"n_vecs", $"min_cell", $"max_cell",
+          expr("(max_cell * n_cells * 1000000) div n_vecs").as("skew_ppm"))
+    },
+    Some(s"""
+      WITH cents AS (SELECT vec_id AS cell, embedding AS c_emb FROM embeddings
+                     WHERE vec_id < $nCells),
+      dists AS (
+        SELECT v.vec_id, c.cell,
+               CAST(FLOOR(1e6 * (${oDot("v.embedding", "v.embedding")} + ${oDot("c.c_emb", "c.c_emb")}
+                 - 2.0 * ${oDot("v.embedding", "c.c_emb")})) AS BIGINT) AS d2_micros
+        FROM embeddings v CROSS JOIN cents c),
+      ranked AS (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2_micros ASC, cell ASC) AS rk
+        FROM dists),
+      sizes AS (SELECT cell, COUNT(*) AS n FROM ranked WHERE rk = 1 GROUP BY 1),
+      sums AS (
+        SELECT COUNT(*) AS n_cells, CAST(SUM(n) AS BIGINT) AS n_vecs,
+               MIN(n) AS min_cell, MAX(n) AS max_cell
+        FROM sizes)
+      SELECT n_cells, n_vecs, min_cell, max_cell,
+             (max_cell * n_cells * 1000000) // n_vecs AS skew_ppm
+      FROM sums
+    """.stripMargin.trim),
+  )
+
   /** IVF search (nprobe=1): each query vector searches only the inverted
     * list of its own nearest-centroid cell — the index-backed ANN path.
     * Queries are vec_id in [nCells, nCells+nQueries) so they're disjoint
@@ -1949,6 +1994,7 @@ object VectorOps {
   )
 
   val qs: Seq[Q] = Seq(
+    indexBalance,
     normStats,
     knnBrute,
     lshBuckets,

@@ -46,7 +46,9 @@ class CatalogPlanGuardSpec extends SparkSpec {
       "t_cluster_topics",
       // CCNet buckets compose the unigram-LM core, inheriting its
       // sanctioned one-row corpus-total cross
-      "t_ccnet_buckets")
+      "t_ccnet_buckets",
+      // index balance inherits the IVF family's centroid-assignment cross
+      "v_index_balance")
 
   test("no catalog query plans a cartesian, a rogue BNLJ, or a single-partition stage") {
     val offenders = Catalog.all.flatMap { q =>
