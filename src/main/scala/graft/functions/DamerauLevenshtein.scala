@@ -1,9 +1,10 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
-import org.apache.spark.sql.types.{DataType, IntegerType}
+import org.apache.spark.sql.types.{DataType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Unrestricted Damerau-Levenshtein distance (Lowrance-Wagner, with the
@@ -18,41 +19,58 @@ import org.apache.spark.unsafe.types.UTF8String
   * pair. Operates on Java chars (sufficient for the BMP; the corpus's
   * entity names are ASCII — documented bound, same as the built-in
   * levenshtein's).
+  *
+  * Hot-path allocation: the DP matrix is ONE flat int[(la+2)*(lb+2)]
+  * (not a ragged 2-D array), and the "last row this char was seen in"
+  * alphabet table is a primitive int[128] for all-ASCII inputs
+  * (zero-init == never-seen, consistent with the 1-based matrix rows);
+  * only rows containing a non-ASCII char pay for the boxed HashMap
+  * fallback.
   */
 object DamerauLevenshtein {
   def distance(sa: String, sb: String): Int = {
-    val (a, b) = (sa, sb)
-    val (la, lb) = (a.length, b.length)
+    val (la, lb) = (sa.length, sb.length)
     if (la == 0) return lb
     if (lb == 0) return la
     val inf = la + lb
-    val d = Array.ofDim[Int](la + 2, lb + 2)
-    d(0)(0) = inf
+    val w = lb + 2
+    val d = new Array[Int]((la + 2) * w)
+    d(0) = inf
     var i = 0
-    while (i <= la) { d(i + 1)(1) = i; d(i + 1)(0) = inf; i += 1 }
+    while (i <= la) { d((i + 1) * w + 1) = i; d((i + 1) * w) = inf; i += 1 }
     var j = 0
-    while (j <= lb) { d(1)(j + 1) = j; d(0)(j + 1) = inf; j += 1 }
-    val da = new java.util.HashMap[Character, Integer]()
+    while (j <= lb) { d(w + j + 1) = j; d(j + 1) = inf; j += 1 }
+    var ascii = true
+    i = 0
+    while (ascii && i < la) { if (sa.charAt(i) >= 128) ascii = false; i += 1 }
+    j = 0
+    while (ascii && j < lb) { if (sb.charAt(j) >= 128) ascii = false; j += 1 }
+    val tbl: Array[Int] = if (ascii) new Array[Int](128) else null
+    val da =
+      if (ascii) null else new java.util.HashMap[Character, Integer]()
     i = 1
     while (i <= la) {
       var db = 0
       j = 1
       while (j <= lb) {
-        val k = { val v = da.get(b.charAt(j - 1)); if (v == null) 0 else v.intValue }
+        val bc = sb.charAt(j - 1)
+        val k =
+          if (tbl != null) tbl(bc)
+          else { val v = da.get(bc); if (v == null) 0 else v.intValue }
         val l = db
         var cost = 1
-        if (a.charAt(i - 1) == b.charAt(j - 1)) { cost = 0; db = j }
-        val sub = d(i)(j) + cost
-        val ins = d(i + 1)(j) + 1
-        val del = d(i)(j + 1) + 1
-        val trans = d(k)(l) + (i - k - 1) + 1 + (j - l - 1)
-        d(i + 1)(j + 1) = math.min(math.min(sub, ins), math.min(del, trans))
+        if (sa.charAt(i - 1) == bc) { cost = 0; db = j }
+        val sub = d(i * w + j) + cost
+        val ins = d((i + 1) * w + j) + 1
+        val del = d(i * w + j + 1) + 1
+        val trans = d(k * w + l) + (i - k - 1) + 1 + (j - l - 1)
+        d((i + 1) * w + j + 1) = math.min(math.min(sub, ins), math.min(del, trans))
         j += 1
       }
-      da.put(a.charAt(i - 1), i)
+      if (tbl != null) tbl(sa.charAt(i - 1)) = i else da.put(sa.charAt(i - 1), i)
       i += 1
     }
-    d(la + 1)(lb + 1)
+    d((la + 1) * w + lb + 1)
   }
 }
 
@@ -61,13 +79,29 @@ object DamerauLevenshtein {
   * is the edit model for human typos ("wdiget" is one transposition,
   * two substitutions). (b)-tier extension path like [[NfcNormalizeExpression]]:
   * the generated code calls the static kernel inside whole-stage
-  * codegen, no UDF boxing.
+  * codegen, no UDF boxing. Arguments must be strings, enforced at
+  * analysis time via `checkInputDataTypes` (the Spark-4-public
+  * alternative to the private `ExpectsInputTypes` machinery — same
+  * choice as [[DotProductDExpression]]); without it a non-string
+  * argument would surface as a runtime ClassCastException inside
+  * generated code.
   */
 final case class DamerauLevenshteinExpression(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = IntegerType
   override def prettyName: String = "dl_distance"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case _: StringType => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two string arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
 
   override protected def nullSafeEval(l: Any, r: Any): Any =
     DamerauLevenshtein.distance(

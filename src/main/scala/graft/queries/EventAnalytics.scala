@@ -35,6 +35,20 @@ object EventAnalytics {
     explode(sequence(wmax - lit(size) + lit(slide), wmax, lit(slide)))
   }
 
+  /** Packed (ts_sec, event_id) total order as one BIGINT. Capacity
+    * precondition: event_id < 1e9, else the encoding silently corrupts
+    * ordering — so the bound is ASSERTED per row (raise_error in the
+    * over-bound branch; null-typed branch coerces to BIGINT, and the
+    * guard is a codegen'd conditional, not a UDF). The oracle keeps the
+    * bare packed form: DuckDB sees the same rows, so the Spark-side
+    * assert covers both engines.
+    */
+  private def packedTsEvent(tsSec: Column, eventId: Column): Column =
+    when(eventId < lit(1000000000L), tsSec * lit(1000000000L) + eventId)
+      .otherwise(raise_error(concat(
+        lit("event_id >= 1e9 overflows packed (ts_sec,event_id) encoding: "),
+        eventId.cast("string"))))
+
   /** events + `item` (the numeric id parsed out of the props JSON). */
   private def eventsWithItem(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
@@ -879,7 +893,7 @@ object EventAnalytics {
       val evs = Tables.events(s, d)
         .filter($"event_type".isin("view", "click", "purchase"))
         .select($"event_id", $"user_id", $"event_type", $"ts_sec")
-      val enc = $"ts_sec" * lit(1000000000L) + $"event_id"
+      val enc = packedTsEvent($"ts_sec", $"event_id")
       val perUser = evs.groupBy($"user_id").agg(
         min(when($"event_type" === "view", enc)).as("min_v"),
         max(when($"event_type" === "click", enc)).as("max_c"))
@@ -954,7 +968,7 @@ object EventAnalytics {
     (s, d) => {
       import s.implicits._
       val evs = eventsWithItem(s, d)
-      val enc = $"ts_sec" * lit(1000000000L) + $"event_id"
+      val enc = packedTsEvent($"ts_sec", $"event_id")
       val views = evs.filter($"event_type" === "view")
         .select($"user_id", $"item", $"ts_sec".as("v_sec"), enc.as("v_enc"))
       val purchases = evs.filter($"event_type" === "purchase")

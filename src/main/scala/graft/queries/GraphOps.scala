@@ -185,6 +185,14 @@ object GraphOps {
   // neighbor+1)), exactly unrolled in the oracle like the PageRank
   // CTEs; unreached items report -1. Each round is one |E|-grain
   // equi-join + agg on graph-sized frames.
+  //
+  // Sentinel caveat: 999 is both the "unvisited" initial distance and
+  // the unreached marker, and only `bfsRounds` rounds run — so -1 means
+  // "not reached WITHIN bfsRounds hops", conflating truly-disconnected
+  // nodes with nodes 7+ hops out. Fine here by measurement (the
+  // transition graph's hub radius is < 6 at every tested SF; the oracle
+  // would hash-mismatch otherwise); raise bfsRounds if deeper radii
+  // ever matter.
   // ---------------------------------------------------------------------
   private val bfsRounds = 6
 

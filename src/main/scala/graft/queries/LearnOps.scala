@@ -26,8 +26,11 @@ import graft.sources.Tables
 object LearnOps {
 
   /** Feature vocabulary: tf of three mid-frequency terms + total token
-    * count + bias. `__len__`/`__bias__` sort after the tf terms, which
-    * keeps the feature order stable everywhere.
+    * count + bias. Feature names are ordered by the same string
+    * comparison in both engines (Spark and DuckDB compare `f` bytewise,
+    * so `__len__`/`__bias__` — ASCII '_' < 'a'..'z' — sort BEFORE the
+    * tf terms in both); only that cross-engine consistency matters, not
+    * which group comes first.
     */
   private[queries] val tfTerms = Seq("data", "join", "spark")
   private[queries] val featNames = tfTerms ++ Seq("__len__", "__bias__")
