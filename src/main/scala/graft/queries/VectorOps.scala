@@ -446,21 +446,36 @@ object VectorOps {
   // observability row an operator checks before trusting nprobe latency
   // (one hot cell = one slow probe); scale cost is the assignment pass
   // the index build already runs.
+  //
+  // It also reports the SEMANTIC-DEDUP CAP exposure: [[semanticPairs]]
+  // silently skips cells over [[maxBucketVecs]] (the right call — the
+  // alternative is a quadratic join), which at 100 TB with a drifted or
+  // mis-sized codebook could zero semantic recall with no signal. So
+  // the balance row counts the over-cap cells and the vectors inside
+  // them (= vectors with NO pairing eligibility); an operator alerts on
+  // n_dropped_vecs > 0 and retrains with more centroids.
   // ---------------------------------------------------------------------
+
+  /** The balance report over any embeddings-shaped frame — exposed so
+    * the spec can plant an over-cap cell and assert it is reported.
+    */
+  private[queries] def indexBalanceOn(emb: DataFrame): DataFrame =
+    ivfCells(emb)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      .agg(
+        count(lit(1)).as("n_cells"),
+        sum(col("n")).as("n_vecs"),
+        min(col("n")).as("min_cell"),
+        max(col("n")).as("max_cell"),
+        sum(when(col("n") > maxBucketVecs, 1L).otherwise(0L)).as("n_overcap_cells"),
+        sum(when(col("n") > maxBucketVecs, col("n")).otherwise(0L)).as("n_dropped_vecs"))
+      .select(col("n_cells"), col("n_vecs"), col("min_cell"), col("max_cell"),
+        expr("(max_cell * n_cells * 1000000) div n_vecs").as("skew_ppm"),
+        col("n_overcap_cells"), col("n_dropped_vecs"))
+
   val indexBalance = Q(
     "v_index_balance",
-    (s, d) => {
-      import s.implicits._
-      ivfCells(vecs(s, d))
-        .groupBy($"cell").agg(count(lit(1)).as("n"))
-        .agg(
-          count(lit(1)).as("n_cells"),
-          sum($"n").as("n_vecs"),
-          min($"n").as("min_cell"),
-          max($"n").as("max_cell"))
-        .select($"n_cells", $"n_vecs", $"min_cell", $"max_cell",
-          expr("(max_cell * n_cells * 1000000) div n_vecs").as("skew_ppm"))
-    },
+    (s, d) => indexBalanceOn(vecs(s, d)),
     Some(s"""
       WITH cents AS (SELECT vec_id AS cell, embedding AS c_emb FROM embeddings
                      WHERE vec_id < $nCells),
@@ -476,10 +491,13 @@ object VectorOps {
       sizes AS (SELECT cell, COUNT(*) AS n FROM ranked WHERE rk = 1 GROUP BY 1),
       sums AS (
         SELECT COUNT(*) AS n_cells, CAST(SUM(n) AS BIGINT) AS n_vecs,
-               MIN(n) AS min_cell, MAX(n) AS max_cell
+               MIN(n) AS min_cell, MAX(n) AS max_cell,
+               CAST(SUM(CASE WHEN n > $maxBucketVecs THEN 1 ELSE 0 END) AS BIGINT) AS n_overcap_cells,
+               CAST(SUM(CASE WHEN n > $maxBucketVecs THEN n ELSE 0 END) AS BIGINT) AS n_dropped_vecs
         FROM sizes)
       SELECT n_cells, n_vecs, min_cell, max_cell,
-             (max_cell * n_cells * 1000000) // n_vecs AS skew_ppm
+             (max_cell * n_cells * 1000000) // n_vecs AS skew_ppm,
+             n_overcap_cells, n_dropped_vecs
       FROM sums
     """.stripMargin.trim),
   )

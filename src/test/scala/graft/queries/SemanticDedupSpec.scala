@@ -117,6 +117,39 @@ class SemanticDedupSpec extends SparkSpec {
     assert(recall >= 0.10, s"recall collapsed: $recall")
   }
 
+  test("over-cap cell loses pairing eligibility AND is reported by the balance row") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def vec(): Array[Float] = Array.fill(8)(rnd.nextGaussian().toFloat)
+    def jitter(v: Array[Float]): Array[Float] =
+      v.map(x => x + (rnd.nextGaussian() * 0.001).toFloat)
+    val cents = (0 until 16).map(i => (i.toLong, vec()))
+    // 1030 vectors hugging centroid 0 -> cell 0 holds 1 + 1030 > 1024
+    val flood = (0 until 1030).map(i => ((1000 + i).toLong, jitter(cents(0)._2)))
+    // a twin pair hugging centroid 5 -> stays under cap, must still pair
+    val twins = Seq((5000L, jitter(cents(5)._2)), (5001L, jitter(cents(5)._2)))
+    val emb = spark.createDataset((cents ++ flood ++ twins).toIndexedSeq)
+      .toDF("vec_id", "embedding")
+    graft.functions.GraftFunctions.registerDotD(spark)
+    val cellSizes = VectorOps.ivfCells(emb)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val overCap = cellSizes.filter(_._2 > 1024)
+    assert(overCap.keySet === Set(0L), s"planted flood must over-fill exactly cell 0: $cellSizes")
+    // the silent part, now asserted: no pair touches a flooded vector...
+    val pairs = VectorOps.semanticPairs(emb)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(!pairs.exists { case (a, b) => (a >= 1000 && a < 3000) || (b >= 1000 && b < 3000) },
+      "over-cap cell members must be excluded from pairing")
+    // ...while an under-cap cell still pairs normally
+    assert(pairs.contains((5000L, 5001L)), s"under-cap twin pair missing: ${pairs.toSeq}")
+    // ...and the balance report surfaces exactly what was dropped
+    val bal = VectorOps.indexBalanceOn(emb).collect().head
+    assert(bal.getAs[Long]("n_overcap_cells") === 1L)
+    assert(bal.getAs[Long]("n_dropped_vecs") === overCap(0L))
+    assert(bal.getAs[Long]("max_cell") === overCap(0L))
+  }
+
   test("t_semantic_dedup covers every embedding exactly once at sf0.01") {
     val out = Catalog.queries("t_semantic_dedup")(spark, "/root/testdata/sf0.01")
       .collect()
