@@ -24,10 +24,19 @@ object Bench {
         got
       case None => names0
     }
+    // Full-catalog one-rep sweep (per-round regression radar for the
+    // ~75% of the catalog outside the headline set): on by default for
+    // plain per-round runs; redundant under BENCH_ALL (everything is
+    // already in `names`) and wrong for targeted BENCH_ONLY A/B runs.
+    val sweepNames: Seq[String] =
+      if (sys.env.contains("SPARK_GRAFT_BENCH_ALL") ||
+          sys.env.contains("SPARK_GRAFT_BENCH_ONLY") ||
+          sys.env.contains("SPARK_GRAFT_BENCH_NOSWEEP")) Seq.empty
+      else queries.Catalog.all.map(_.name).filterNot(names.toSet)
     // Untimed warmup at the smallest SF: JIT/codegen/classloading otherwise
     // lands entirely on whichever query happens to run first (~5s skew).
     // Each query warms independently so one failure can't skip the rest.
-    names.foreach { n =>
+    (names ++ sweepNames).foreach { n =>
       try SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count()
       catch { case _: Throwable => () }
     }
@@ -52,6 +61,20 @@ object Bench {
         .foreach(_.unpersist(blocking = true))
       System.gc()
     }
+    // Spread gate: the published figure is min-of-reps, so what must be
+    // reproducible is the FAST cluster of reps, not the noise outliers.
+    // After the base reps, keep adding reps (up to `maxReps`) while the
+    // 3 fastest successful reps still disagree by more than the gate —
+    // BENCH_r11's t_dedup_multimodal [11.9, 5.0, 5.1] showed a single
+    // GC/JIT-skewed rep can land anywhere in the sequence (t_boilerplate's
+    // outlier was rep 2), so a fixed warm-up can't bound the spread; only
+    // re-measuring can. All reps are still published verbatim.
+    val spreadGate = sys.env.getOrElse("SPARK_GRAFT_BENCH_SPREAD_GATE", "1.5").toDouble
+    val maxReps = reps + 3
+    def fastSpread(v: Seq[Double]): Double = {
+      val best = v.sorted.take(3)
+      if (best.isEmpty) 1.0 else best.max / best.min
+    }
     val results: Seq[(String, Seq[Double])] = names.map { name =>
       val fn = SparkEntry.queries(name)
       // one untimed rep at the TARGET SF first: the sf0.001 warmup above
@@ -59,7 +82,7 @@ object Bench {
       // the measured size, which otherwise land on rep 1 (~2x skew)
       reset()
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
-      val times = (1 to reps).flatMap { _ =>
+      def rep(): Option[Double] = {
         // settle the heap before EVERY rep, not just per query: carried
         // garbage otherwise lands as GC pauses inside whichever rep the
         // collector picks, which is what made published reps swing 4x on
@@ -70,6 +93,12 @@ object Bench {
           fn(spark, sfDir).count()
           Some((System.nanoTime() - t0) / 1e9)
         } catch { case _: Throwable => None }
+      }
+      var times = (1 to reps).flatMap(_ => rep())
+      var attempts = reps
+      while (times.nonEmpty && fastSpread(times) > spreadGate && attempts < maxReps) {
+        times = times ++ rep()
+        attempts += 1
       }
       name -> times
     }
@@ -94,6 +123,27 @@ object Bench {
         s"\"" + k + "\":" + (if (v.isEmpty) "null" else (v.max / v.min).toString)
       }
       .mkString("{", ",", "}")
+    // the gated metric: agreement of the 3 fastest reps (what min-of-reps
+    // actually depends on); the adaptive loop above drives this <= gate
+    val spreadsFast = results
+      .map { case (k, v) =>
+        s"\"" + k + "\":" + (if (v.isEmpty) "null" else fastSpread(v).toString)
+      }
+      .mkString("{", ",", "}")
+    // One-rep full-catalog sweep (after the headline loop so its cache
+    // pollution can't touch the gated figures). Per-query isolation via
+    // the same reset(); a failed sweep query publishes null, not absence,
+    // so a disappeared query is distinguishable from a skipped sweep.
+    val sweepTimes: Seq[(String, Option[Double])] = sweepNames.map { n =>
+      val fn = SparkEntry.queries(n)
+      reset()
+      val t0 = System.nanoTime()
+      n -> (try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+            catch { case _: Throwable => None })
+    }
+    val sweepJson = sweepTimes
+      .map { case (k, v) => s"\"" + k + "\":" + v.fold("null")(_.toString) }
+      .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v.isEmpty => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.flatMap(_._2.minOption).sum
@@ -105,10 +155,16 @@ object Bench {
     // compact summary (total + min-of-reps per query) that stays parseable
     // no matter how many queries the headline set grows to.
     val detail =
-      s"""{"metric":"detail","medians":$medians,"spread":$spreads,"reps":$allReps,"sf":"$sfDir"}"""
+      s"""{"metric":"detail","medians":$medians,"spread":$spreads,"spread_fast3":$spreadsFast,"reps":$allReps,"sweep":$sweepJson,"sf":"$sfDir"}"""
     try {
       val out = java.nio.file.Paths.get("bench_detail.json")
       java.nio.file.Files.write(out, (detail + "\n").getBytes("UTF-8"))
+      // full-catalog regression radar as its own round-diffable artifact:
+      // headline mins + sweep one-reps = a time for every catalog query
+      val sweepOut = java.nio.file.Paths.get("sweep_latest.json")
+      val sweepDoc =
+        s"""{"sf":"$sfDir","headline_min":$qs,"sweep_1rep":$sweepJson}"""
+      java.nio.file.Files.write(sweepOut, (sweepDoc + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     println(detail)
     println(
