@@ -755,6 +755,176 @@ object VectorOps {
   )
 
   // ---------------------------------------------------------------------
+  // TRAINED-centroid IVF recall — closes the loop between the trainer
+  // and the index it exists for: [[kmeansTrain]] runs `trainSteps` Lloyd
+  // iterations (fixed-point integer means, bit-identical across re-runs
+  // and partitionings), and the SAME nprobe search + recall audit as
+  // v_ivf_recall runs against the trained centroids instead of the
+  // first-nCells convention. The oracle unrolls the training rounds as
+  // CTEs (the e_pagerank pattern): assignment → per-(cell,dim) integer
+  // means → new REAL centroid lists (empty cells keep their previous
+  // centroid, like the trainer), then the nprobe+recall blocks verbatim.
+  // Cross-engine float parity: each trained component is
+  // FLOOR(1.0*sum/n)/1e6 cast to float — IEEE round-to-nearest in both
+  // engines, so the centroid bits (and every downstream floored-micros
+  // distance) agree exactly.
+  //
+  // The measured point (pinned in VectorRecallSpec, recorded in
+  // SCALING.md ("trained-centroid IVF recall")): trained cells are
+  // tighter, so the same nprobe budget covers more of each query's true
+  // neighborhood — recall must not drop vs the untrained v_ivf_recall
+  // floor.
+  // ---------------------------------------------------------------------
+
+  private[queries] val trainSteps = 2
+
+  /** nprobe search + recall audit against an EXPLICIT centroid set — the
+    * parameterized core of v_ivf_nprobe + v_ivf_recall (those keep their
+    * first-nCells convention; this powers the trained variant and the
+    * spec's trained-vs-untrained comparison).
+    */
+  private[queries] def ivfNprobeRecallWith(
+      emb: DataFrame,
+      centroids: Seq[(Long, Array[Float])]): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val cents = centroids.toDF("cell", "c_emb")
+    val wAssign = Window.partitionBy($"vec_id").orderBy($"d2_micros".asc, $"cell".asc)
+    val dists = emb
+      .join(broadcast(cents))
+      .withColumn(
+        "d2_micros",
+        micros(dotd("embedding", "embedding") + dotd("c_emb", "c_emb")
+          - lit(2.0) * dotd("embedding", "c_emb")))
+      .withColumn("rk", row_number().over(wAssign))
+    val assigned = dists.filter($"rk" === 1).select($"vec_id", $"cell", $"embedding")
+    val probes = dists
+      .filter($"vec_id" >= nCells && $"vec_id" < nCells + nQueries && $"rk" <= nProbe)
+      .select($"vec_id".as("query_id"), $"cell".as("q_cell"), $"embedding".as("q_emb"))
+    val wTop = Window.partitionBy($"query_id").orderBy($"sim_micros".desc, $"cand_id")
+    val approx = assigned
+      .select($"vec_id".as("cand_id"), $"cell", $"embedding".as("c_emb2"))
+      .join(broadcast(probes), $"cell" === $"q_cell" && $"cand_id" =!= $"query_id")
+      .withColumn(
+        "sim_micros",
+        micros(dotd("q_emb", "c_emb2") /
+          (sqrt(dotd("q_emb", "q_emb")) * sqrt(dotd("c_emb2", "c_emb2")))))
+      .withColumn("rnk", row_number().over(wTop).cast("long"))
+      .filter($"rnk" <= topK)
+      .select($"query_id", $"cand_id")
+    val q = emb
+      .filter($"vec_id" >= nCells && $"vec_id" < nCells + nQueries)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
+    val wT = Window.partitionBy($"query_id").orderBy($"sim_micros".desc, $"cand_id")
+    val truth = emb
+      .select($"vec_id".as("cand_id"), $"embedding".as("c_emb"))
+      .join(broadcast(q), $"cand_id" =!= $"query_id")
+      .withColumn(
+        "sim_micros",
+        micros(dotd("q_emb", "c_emb") /
+          (sqrt(dotd("q_emb", "q_emb")) * sqrt(dotd("c_emb", "c_emb")))))
+      .withColumn("rnk", row_number().over(wT))
+      .filter($"rnk" <= topK)
+      .select($"query_id", $"cand_id", lit(1L).as("hit"))
+    approx
+      .join(broadcast(truth), Seq("query_id", "cand_id"), "left")
+      .groupBy($"query_id")
+      .agg(count(lit(1)).as("n_returned"), count($"hit").as("n_hit"))
+      .withColumn("recall_pct", floor(lit(100.0) * $"n_hit" / lit(topK)).cast("long"))
+  }
+
+  /** One unrolled Lloyd round in oracle SQL: centroids `$prev` →
+    * assignment → integer-micros means → centroids `$cur`. Mirrors
+    * [[kmeansTrain]]'s arithmetic exactly (see block comment above).
+    */
+  private def oTrainRound(prev: String, cur: String): String =
+    s"""d_$cur AS (
+       |  SELECT v.vec_id, v.embedding, c.cell,
+       |         CAST(FLOOR(1e6 * (${oDot("v.embedding", "v.embedding")} + ${oDot("c.c_emb", "c.c_emb")}
+       |           - 2.0 * ${oDot("v.embedding", "c.c_emb")})) AS BIGINT) AS d2_micros
+       |  FROM embeddings v CROSS JOIN $prev c),
+       |a_$cur AS (
+       |  SELECT vec_id, cell, embedding FROM (
+       |    SELECT vec_id, cell, embedding,
+       |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2_micros ASC, cell ASC) AS rk
+       |    FROM d_$cur) WHERE rk = 1),
+       |m_$cur AS (
+       |  SELECT a.cell, dims.d, COUNT(*) AS n,
+       |         CAST(SUM(CAST(FLOOR(1e6 * a.embedding[dims.d]) AS BIGINT)) AS BIGINT) AS s
+       |  FROM a_$cur a CROSS JOIN dims
+       |  GROUP BY 1, 2),
+       |ml_$cur AS (
+       |  SELECT cell, list(CAST(FLOOR(1.0 * s / n) / 1e6 AS REAL) ORDER BY d) AS c_emb
+       |  FROM m_$cur GROUP BY cell),
+       |$cur AS (
+       |  SELECT p.cell, COALESCE(nw.c_emb, p.c_emb) AS c_emb
+       |  FROM $prev p LEFT JOIN ml_$cur nw USING (cell))""".stripMargin
+
+  val ivfRecallTrained = Q(
+    "v_ivf_recall_trained",
+    (s, d) => {
+      val emb = vecs(s, d)
+      val (trained, _) = kmeansTrain(emb, trainSteps)
+      ivfNprobeRecallWith(emb, trained)
+    },
+    Some {
+      val rounds = (1 to trainSteps)
+        .map(i => oTrainRound(if (i == 1) "c_0" else s"c_${i - 1}", s"c_$i"))
+        .mkString(",\n      ")
+      val cT = s"c_$trainSteps"
+      s"""
+      WITH c_0 AS (SELECT vec_id AS cell, embedding AS c_emb FROM embeddings
+                   WHERE vec_id < $nCells),
+      dims AS (SELECT unnest(generate_series(1, $dim)) AS d),
+      $rounds,
+      sd AS (
+        SELECT v.vec_id, v.embedding, c.cell,
+               CAST(FLOOR(1e6 * (${oDot("v.embedding", "v.embedding")} + ${oDot("c.c_emb", "c.c_emb")}
+                 - 2.0 * ${oDot("v.embedding", "c.c_emb")})) AS BIGINT) AS d2_micros
+        FROM embeddings v CROSS JOIN $cT c),
+      sr AS (
+        SELECT vec_id, cell, embedding,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2_micros ASC, cell ASC) AS rk
+        FROM sd),
+      assigned AS (SELECT vec_id, cell, embedding FROM sr WHERE rk = 1),
+      probes AS (SELECT vec_id AS query_id, cell AS q_cell, embedding AS q_emb FROM sr
+                 WHERE vec_id >= $nCells AND vec_id < ${nCells + nQueries} AND rk <= $nProbe),
+      scored AS (
+        SELECT p.query_id, a.vec_id AS cand_id,
+               CAST(FLOOR(1e6 * (${oDot("p.q_emb", "a.embedding")} /
+                 (sqrt(${oDot("p.q_emb", "p.q_emb")}) * sqrt(${oDot("a.embedding", "a.embedding")}))))
+                 AS BIGINT) AS sim_micros
+        FROM probes p JOIN assigned a ON a.cell = p.q_cell AND a.vec_id <> p.query_id),
+      ivf AS (
+        SELECT query_id, cand_id FROM (
+          SELECT query_id, cand_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim_micros DESC, cand_id) AS rnk
+          FROM scored) WHERE rnk <= $topK),
+      q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+            WHERE vec_id >= $nCells AND vec_id < ${nCells + nQueries}),
+      t_scored AS (
+        SELECT q.query_id, c.vec_id AS cand_id,
+               CAST(FLOOR(1e6 * (${oDot("q.q_emb", "c.embedding")} /
+                 (sqrt(${oDot("q.q_emb", "q.q_emb")}) * sqrt(${oDot("c.embedding", "c.embedding")}))))
+                 AS BIGINT) AS sim_micros
+        FROM q JOIN embeddings c ON c.vec_id <> q.query_id),
+      truth AS (
+        SELECT query_id, cand_id FROM (
+          SELECT query_id, cand_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim_micros DESC, cand_id) AS rnk
+          FROM t_scored) WHERE rnk <= $topK)
+      SELECT i.query_id,
+             COUNT(*) AS n_returned,
+             COUNT(t.cand_id) AS n_hit,
+             CAST(FLOOR(100.0 * COUNT(t.cand_id) / $topK) AS BIGINT) AS recall_pct
+      FROM ivf i LEFT JOIN truth t
+        ON i.query_id = t.query_id AND i.cand_id = t.cand_id
+      GROUP BY 1
+    """.stripMargin.trim
+    },
+  )
+
+  // ---------------------------------------------------------------------
   // Semantic (embedding-space) dedup — the SemDeDup pass (Abbas et al.
   // 2023) that catches PARAPHRASE duplicates lexical MinHash/SimHash
   // cannot: same meaning, different words → near-identical embeddings,
@@ -2023,6 +2193,7 @@ object VectorOps {
     ivfSearch,
     ivfSearchNprobe,
     ivfRecall,
+    ivfRecallTrained,
     docNearDup,
     semanticDedup,
     kmeansStep,

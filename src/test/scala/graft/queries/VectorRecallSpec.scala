@@ -115,6 +115,24 @@ class VectorRecallSpec extends SparkSpec {
     }
   }
 
+  test("trained centroids do not lose recall vs the untrained floor") {
+    // the judge metric for v_ivf_recall_trained: 2 Lloyd steps must not
+    // make the same nprobe budget WORSE — measured uplift is recorded in
+    // SCALING.md ("trained-centroid IVF recall"): 18->23 / 12->15 /
+    // 17->18 hits of 50 at sf0.001/0.01/0.1
+    def hits(name: String): Long = Catalog.queries(name)(spark, sf)
+      .collect().map(_.getAs[Long]("n_hit")).sum
+    val untrained = hits("v_ivf_recall")
+    val trained = hits("v_ivf_recall_trained")
+    info(s"panel hits of 50: untrained=$untrained trained=$trained")
+    assert(trained >= untrained,
+      s"training regressed recall: $trained < $untrained")
+    // and the audit must cover the whole panel with full result lists
+    val rows = Catalog.queries("v_ivf_recall_trained")(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("query_id")).toSet === (16L until 21L).toSet)
+    assert(rows.forall(_.getAs[Long]("n_returned") === k.toLong))
+  }
+
   test("planted twins: scaled copies share the sign bucket and rank first") {
     import spark.implicits._
     // a scaled copy keeps every component's sign, hence the exact bucket,
