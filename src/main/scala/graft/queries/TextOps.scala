@@ -2831,6 +2831,163 @@ object TextOps {
     """.stripMargin.trim),
   )
 
+  /** Adjacent-pair struct list of symbol column `c`, empty for words of
+    * fewer than 2 symbols (Spark's sequence(1, 0) DESCENDS, so the guard
+    * is a CASE, not a filter).
+    */
+  private def pairsOfExpr(c: String): String =
+    s"""CASE WHEN size($c) >= 2 THEN transform(sequence(1, size($c) - 1),
+       |    i -> struct(element_at($c, i) AS p1, element_at($c, i + 1) AS p2))
+       |  ELSE CAST(array() AS array<struct<p1: string, p2: string>>) END""".stripMargin
+
+  /** [[bpeTrain]] with INCREMENTALLY MAINTAINED pair counts — how real
+    * tokenizer trainers (HF tokenizers, SentencePiece) make 50k merge
+    * rounds tractable: after the one-time vocab pair count, each round
+    * (1) takes the argmax from the MAINTAINED pair table, (2) rewrites
+    * only words that actually CONTAIN the merged pair, and (3) applies
+    * the delta (those words' old pairs negative, new pairs positive) to
+    * the pair table. The per-round explode+shuffle-agg is proportional
+    * to the AFFECTED words (a vanishing fraction once the head pairs are
+    * merged), not the whole vocabulary — [[bpeTrain]] recounts every
+    * pair of every word every round. Per-round cost measured in
+    * SCALING.md ("incremental BPE"); BpeTrainSpec pins merge-table
+    * equality with the recount trainer, and t_bpe_merges hash-gates 3
+    * rounds (selection weights included) against an unrolled-CTE oracle.
+    *
+    * Returns (p1, p2, weight-at-selection) per merge, in merge order.
+    */
+  def bpeTrainIncremental(
+      docsDf: DataFrame,
+      nMerges: Int): Seq[(String, String, Long)] = {
+    val s = docsDf.sparkSession
+    import s.implicits._
+    var state = docsDf
+      .select(explode(toks).as("word"))
+      .groupBy($"word")
+      .agg(count(lit(1)).cast("long").as("cnt"))
+      .withColumn("syms",
+        expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+      .select($"word", $"cnt", $"syms")
+      .localCheckpoint(true)
+    var stateCkpt = state // the checkpointed frame to release each round
+    var pairCounts = state
+      .select($"cnt", explode(expr(pairsOfExpr("syms"))).as("pr"))
+      .groupBy($"pr.p1".as("p1"), $"pr.p2".as("p2"))
+      .agg(sum($"cnt").as("w"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var exhausted = false
+    while (!exhausted && merges.length < nMerges) {
+      val top = pairCounts.orderBy($"w".desc, $"p1", $"p2").limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b) = (top.head.getAs[String]("p1"), top.head.getAs[String]("p2"))
+        merges += ((a, b, top.head.getAs[Long]("w")))
+        val pair = Seq((a, b, a + b)).toDF("mp_a", "mp_b", "mp_m")
+        // one pass over the vocab: detect + rewrite; checkpointed so the
+        // vocab projection and the delta both read the materialized rows
+        val upd = state
+          .crossJoin(broadcast(pair))
+          .withColumn("hit", expr(
+            """CASE WHEN size(syms) >= 2 THEN exists(
+              |    transform(sequence(1, size(syms) - 1),
+              |      i -> element_at(syms, i) = mp_a AND element_at(syms, i + 1) = mp_b),
+              |    x -> x)
+              |  ELSE false END""".stripMargin))
+          .withColumn("syms2", when($"hit", expr(
+            """aggregate(syms, CAST(array() AS array<string>),
+              |  (acc, x) -> CASE
+              |    WHEN size(acc) > 0 AND element_at(acc, -1) = mp_a AND x = mp_b
+              |    THEN concat(slice(acc, 1, size(acc) - 1), array(mp_m))
+              |    ELSE concat(acc, array(x)) END)""".stripMargin)).otherwise($"syms"))
+          .select($"word", $"cnt", $"syms", $"syms2", $"hit")
+          .localCheckpoint(true)
+        // the incremental step: only hit words contribute count changes
+        val delta = upd
+          .filter($"hit")
+          .select($"cnt", explode(expr(
+            s"""concat(
+               |  transform(${pairsOfExpr("syms")},
+               |    p -> struct(p.p1 AS p1, p.p2 AS p2, CAST(-1 AS BIGINT) AS sgn)),
+               |  transform(${pairsOfExpr("syms2")},
+               |    p -> struct(p.p1 AS p1, p.p2 AS p2, CAST(1 AS BIGINT) AS sgn)))""".stripMargin)).as("dp"))
+          .groupBy($"dp.p1".as("p1"), $"dp.p2".as("p2"))
+          .agg(sum($"dp.sgn" * $"cnt").as("w"))
+        val pcNext = pairCounts
+          .unionByName(delta)
+          .groupBy($"p1", $"p2")
+          .agg(sum($"w").as("w"))
+          .filter($"w" > 0)
+          .localCheckpoint(true)
+        pairCounts.unpersist()
+        stateCkpt.unpersist()
+        pairCounts = pcNext
+        stateCkpt = upd
+        state = upd.select($"word", $"cnt", $"syms2".as("syms"))
+      }
+    }
+    pairCounts.unpersist()
+    stateCkpt.unpersist()
+    merges.toSeq
+  }
+
+  /** Three unrolled merge rounds of the INCREMENTAL trainer as a
+    * hash-gated catalog row: (rank, p1, p2, w-at-selection). The oracle
+    * unrolls each round over a chr(31)-joined symbol string — DuckDB's
+    * leftmost non-overlapping `replace` of `p1||sep||p2` equals the
+    * trainer's greedy left-to-right fold on the explicit-boundary
+    * representation (sep = an ASCII unit separator no corpus token
+    * contains). Pinning all three rows pins the MAINTAINED pair table:
+    * a wrong round-2/3 delta surfaces as a wrong pair or weight.
+    */
+  private val bpeMergeRounds = 3
+
+  val bpeMerges = Q(
+    "t_bpe_merges",
+    (s, d) => {
+      import s.implicits._
+      bpeTrainIncremental(docs(s, d), bpeMergeRounds)
+        .zipWithIndex
+        .map { case ((p1, p2, w), i) => ((i + 1).toLong, p1, p2, w) }
+        .toDF("rank", "p1", "p2", "w")
+    },
+    Some {
+      val sep = "chr(31)"
+      val rounds = (1 to bpeMergeRounds).map { r =>
+        val prev = s"s_${r - 1}"
+        val rewrite =
+          if (r == bpeMergeRounds) "" // the last selection needs no rewrite
+          else s""",
+             |s_$r AS (
+             |  SELECT word, cnt,
+             |         replace(sym_str,
+             |                 (SELECT p1 FROM t_$r) || $sep || (SELECT p2 FROM t_$r),
+             |                 (SELECT p1 FROM t_$r) || (SELECT p2 FROM t_$r)) AS sym_str
+             |  FROM $prev)""".stripMargin
+        s"""l_$r AS (SELECT cnt, string_split(sym_str, $sep) AS ls FROM $prev),
+           |p_$r AS (
+           |  SELECT ls[i] AS p1, ls[i + 1] AS p2, cnt
+           |  FROM (SELECT cnt, ls, unnest(generate_series(1, len(ls) - 1)) AS i
+           |        FROM l_$r WHERE len(ls) >= 2)),
+           |t_$r AS (
+           |  SELECT CAST($r AS BIGINT) AS rank, p1, p2, CAST(SUM(cnt) AS BIGINT) AS w
+           |  FROM p_$r GROUP BY p1, p2
+           |  ORDER BY w DESC, p1, p2 LIMIT 1)$rewrite""".stripMargin
+      }.mkString(",\n      ")
+      s"""
+      WITH tok AS (SELECT unnest($oracleToks) AS word FROM documents),
+      wc AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY 1),
+      s_0 AS (
+        SELECT word, cnt,
+               array_to_string(list_transform(generate_series(1, len(word)),
+                                              i -> substr(word, i, 1)), $sep) AS sym_str
+        FROM wc),
+      $rounds
+      SELECT * FROM t_1 UNION ALL SELECT * FROM t_2 UNION ALL SELECT * FROM t_3
+    """.stripMargin.trim
+    },
+  )
+
   /** Encode a (doc_id, text) frame with a trained merge table: per word,
     * repeatedly merge the lowest-rank adjacent pair until none applies —
     * the standard BPE encode. This is genuine per-partition imperative
@@ -3429,6 +3586,7 @@ object TextOps {
     dsirWeight,
     bigramLm,
     bpeTopPair,
+    bpeMerges,
     tfidfTopK,
     substringDup,
     normKey,
