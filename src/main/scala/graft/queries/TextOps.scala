@@ -631,7 +631,7 @@ object TextOps {
     * which collapses identical texts before banding. Mirrored in the
     * DuckDB oracle so both engines drop the same buckets.
     */
-  private val maxBucket = 1 << 10
+  private[graft] val maxBucket = 1 << 10
 
   /** (doc_id, band, bkey) LSH band rows of a shingle frame — the
     * signature+banding half shared by [[minhashPairs]] (within-corpus
@@ -640,6 +640,35 @@ object TextOps {
     * One explode per signature row (not a 4-way union re-running the
     * aggregation per band): (band, bkey) pairs in a single pass.
     */
+  /** Per-row LSH band rows of a (doc_id, text, ...) frame — the batch
+    * signature's groupBy(min over exploded shingles) re-expressed as
+    * `array_min` over the per-row shingle array, so it is a PURE
+    * PROJECTION: no aggregation, no state, legal in a streaming plan
+    * (the ingest half [[graft.streaming.Streams.deltaNearDupStream]]
+    * runs it per micro-batch). Row-for-row equal to [[minhashBandRows]]
+    * (same md5 stream, same band packing; lexicographic min over a
+    * group == array_min over the array of distinct shingles) — pinned in
+    * StreamsSpec. Docs under 3 tokens produce no band rows, same as the
+    * batch path's empty explode. Passthrough columns survive.
+    */
+  private[graft] def streamBandRows(docsDf: DataFrame): DataFrame = {
+    val keep = docsDf.columns.map(col)
+    val sigCols = (0 until nHashes).map { i =>
+      array_min(expr(s"transform(sh_arr, x -> md5(concat('$i', ':', x)))")).as(s"m$i")
+    }
+    val bandStructs = (0 until nHashes / bandSize).map { b =>
+      val slots = (0 until bandSize).map(j => col(s"m${b * bandSize + j}").as(s"k$j"))
+      struct(lit(b).as("band"), struct(slots: _*).as("bkey"))
+    }
+    docsDf
+      .withColumn("tk", toks)
+      .withColumn("sh_arr", shinglesOfTk)
+      .filter(size(col("sh_arr")) >= 1)
+      .select(keep ++ sigCols: _*)
+      .select(keep :+ explode(array(bandStructs: _*)).as("bb"): _*)
+      .select(keep :+ col("bb.band").as("band") :+ col("bb.bkey").as("bkey"): _*)
+  }
+
   private[queries] def minhashBandRows(shingled: DataFrame): DataFrame = {
     val cols = minhashCols
     val sig = shingled.groupBy(col("doc_id")).agg(cols.head, cols.tail: _*)

@@ -512,6 +512,43 @@ object Streams {
       .select(col("doc_id"), col("start"),
         (col("start") + graft.queries.TextOps.winW - 1).as("fin"))
 
+  /** Day-2 LEXICAL near-dup ingest, streaming half (batch whole:
+    * [[graft.queries.TextOps.deltaNearDupFromIndex]]): each arriving doc
+    * is signed per row ([[graft.queries.TextOps.streamBandRows]] — the
+    * signature as a pure projection, so no aggregation state) and its
+    * band keys probe the STORED LSH index's bucket-count table
+    * (`writeLshIndex`; re-read per micro-batch like the other static
+    * indexes — corpus-sized, hot-swappable, never in the state store).
+    * A band hit in a bucket the base populates within the mega-bucket
+    * cap marks the arrival `neardup_of_base`; the left SEMI join emits
+    * each matching band row once and the watermark-bounded key dedup
+    * collapses multi-band hits to one verdict row per doc.
+    *
+    * Marker contract like [[substringScrubSpansStream]]: the stream
+    * emits the FLAGGED arrivals (keep-set = delta minus marks, applied
+    * by the batch compaction pass). Per-arrival cap semantics equal the
+    * batch operator's at n_delta = 1 — a live stream admits docs
+    * independently, so the batch run's within-delta bucket crowding
+    * (n_delta > 1 tipping a bucket over cap) is compaction's concern,
+    * not ingest's.
+    */
+  def deltaNearDupStream(
+      delta: DataFrame,
+      lshIndexPath: String,
+      eventTimeCol: String,
+      delay: String,
+  ): DataFrame = {
+    val s = delta.sparkSession
+    val withinCap = s.read.parquet(s"$lshIndexPath/bucket_counts")
+      .filter(col("n_base") + 1 <= graft.queries.TextOps.maxBucket)
+      .select("band", "bkey")
+    val hits = graft.queries.TextOps.streamBandRows(delta)
+      .join(withinCap, Seq("band", "bkey"), "left_semi")
+      .select(col("doc_id"), col(eventTimeCol))
+    dedupWithinWatermark(hits, Seq("doc_id"), eventTimeCol, delay)
+      .withColumn("verdict", lit("neardup_of_base"))
+  }
+
   /** Per-user item-transition state for [[transitionStream]]. */
   final case class TransState(ts: Long, id: Long, item: Long)
   final case class TransEdge(user_id: Long, src: Long, dst: Long, ts_sec: Long)

@@ -15,6 +15,25 @@ class TextOpsSpec extends SparkSpec {
     (1 to 300).flatMap(i => shingles.map(s => (i.toLong, s))).toDF("doc_id", "sh")
   }
 
+  test("streamBandRows equals the batch signature row-for-row") {
+    import spark.implicits._
+    // varied lengths incl. a doc under 3 tokens (no shingles -> no rows)
+    val probe = Seq(
+      (1L, (1 to 12).map(i => s"w1_$i").mkString(" ")),
+      (2L, (1 to 5).map(i => s"w2_$i").mkString(" ")),
+      (3L, "three tokens here"),
+      (4L, "too short")).toDF("doc_id", "text")
+    val batchRows = TextOps.minhashBandRows(TextOps.shinglesOfDf(probe))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getStruct(2).toString)).toSet
+    val streamRows = TextOps.streamBandRows(probe)
+      .select($"doc_id", $"band", $"bkey")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getStruct(2).toString)).toSet
+    assert(streamRows === batchRows,
+      "per-row projection signature must equal the batch groupBy(min) signature")
+    assert(!batchRows.exists(_._1 == 4L), "sub-3-token docs sign nothing")
+    assert(batchRows.exists(_._1 == 3L), "3-token docs sign exactly one shingle")
+  }
+
   test("mega-bucket guard drops over-cap buckets entirely") {
     val pairs = TextOps.minhashPairs(degenerateShingles, cap = 100)
     assert(pairs.count() === 0)

@@ -541,6 +541,55 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("deltaNearDupStream flags exactly the batch operator's neardup set via the stored index") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    def doc(seed: Int): String = (1 to 12).map(i => s"w${seed}_$i").mkString(" ")
+    val base = Seq((1L, doc(1)), (2L, doc(2)), (3L, doc(3))).toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("lsh-idx").toString
+    graft.queries.TextOps.writeLshIndex(base, idx)
+
+    // (band-row parity of streamBandRows vs the batch signature is
+    // pinned in TextOpsSpec, which can see the private[queries] batch
+    // half; this test pins the composed verdict parity)
+
+    // delta: two base copies (flag), two fresh docs (pass), split across
+    // micro-batches; a short doc (< 3 tokens) must pass (no signature)
+    val delta = Seq(
+      (10L, doc(1), 1000L), (11L, doc(7), 1001L),
+      (12L, doc(2), 1002L), (13L, doc(8), 1003L), (14L, "too short", 1004L))
+    val expected = graft.queries.TextOps
+      .deltaNearDupFromIndex(delta.toDF("doc_id", "text", "ts"), idx)
+      .filter($"verdict" === "neardup_of_base")
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+
+    val mem = MemoryStream[(Long, String, Long)]
+    val flagged = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = Streams.deltaNearDupStream(
+        mem.toDF().toDF("doc_id", "text", "ts")
+          .withColumn("eventTime", timestamp_seconds(col("ts"))),
+        idx, eventTimeCol = "eventTime", delay = "60 seconds")
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        flagged.synchronized { flagged ++= b.collect().map(_.getAs[Long]("doc_id")) }
+        ()
+      }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt-neardup").toString)
+      .start()
+    try {
+      mem.addData(delta.take(2))
+      q.processAllAvailable()
+      mem.addData(delta.drop(2))
+      q.processAllAvailable()
+      assert(flagged.toSet === expected, "stream marks must equal the batch verdict set")
+      assert(expected === Set(10L, 12L), "the planted base copies and only them")
+      assert(flagged.size === flagged.toSet.size, "one mark per doc despite multi-band hits")
+    } finally q.stop()
+  }
+
   test("substringScrubSpansStream emits exactly the base-owned spans, statelessly") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
