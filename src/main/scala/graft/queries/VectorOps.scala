@@ -1549,11 +1549,17 @@ object VectorOps {
     * code. Exposed for the spec (planted-codeword corpus through the
     * real plan) and reused verbatim by the ADC search below.
     */
-  private[graft] def pqCodesOn(emb: DataFrame): DataFrame = {
+  private[graft] def pqCodesOn(emb: DataFrame): DataFrame =
+    pqCodesWith(emb, pqCodewords(emb))
+
+  /** [[pqCodesOn]] against an EXPLICIT (sub, code, c_sub) codeword frame
+    * — powers the trained-codebook variant below.
+    */
+  private[graft] def pqCodesWith(emb: DataFrame, cw: DataFrame): DataFrame = {
     val s = emb.sparkSession
     import s.implicits._
     pqSubVectors(emb, "vec_id")
-      .join(broadcast(pqCodewords(emb)), Seq("sub"))
+      .join(broadcast(cw), Seq("sub"))
       .withColumn(
         "d2_micros",
         micros(dotd("v_sub", "v_sub") + dotd("c_sub", "c_sub")
@@ -1632,12 +1638,15 @@ object VectorOps {
   /** Per-query ADC lookup table: (query_id, sub, code, d2_micros) —
     * |queries|×m×k rows, always broadcast.
     */
-  private def pqLut(emb: DataFrame): DataFrame = {
+  private def pqLut(emb: DataFrame): DataFrame =
+    pqLutWith(emb, pqCodewords(emb))
+
+  private def pqLutWith(emb: DataFrame, cw: DataFrame): DataFrame = {
     val s = emb.sparkSession
     import s.implicits._
     pqSubVectors(
       emb.filter($"vec_id" >= pqK && $"vec_id" < pqK + nQueries), "query_id")
-      .join(broadcast(pqCodewords(emb)), Seq("sub"))
+      .join(broadcast(cw), Seq("sub"))
       .withColumn(
         "d2_micros",
         micros(dotd("v_sub", "v_sub") + dotd("c_sub", "c_sub")
@@ -1739,6 +1748,172 @@ object VectorOps {
         ON p.query_id = t.query_id AND p.cand_id = t.cand_id
       GROUP BY 1
     """.stripMargin.trim),
+  )
+
+  // ---------------------------------------------------------------------
+  // TRAINED-codebook PQ recall — the PQ sibling of v_ivf_recall_trained:
+  // [[kmeansTrain]] runs per SUBSPACE (the 16-dim slices are independent
+  // k-means problems — exactly how FAISS trains PQ codebooks), and the
+  // same ADC search + recall audit as v_pq_recall runs against the
+  // trained codewords. The oracle trains all four subspaces in ONE CTE
+  // chain keyed by (sub, cell) — independent subspaces make the keyed
+  // form equal the per-subspace driver loops — then reruns the
+  // v_pq_search blocks with the trained codeword table. Measured uplift
+  // in SCALING.md ("trained-centroid IVF recall" section, PQ rows);
+  // VectorRecallSpec pins trained >= untrained on the panel.
+  // ---------------------------------------------------------------------
+
+  /** Per-subspace trained codewords as a (sub, code, c_sub) frame. */
+  private def trainedPqCodewords(emb: DataFrame): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    (0 until pqM).flatMap { b =>
+      val sub = emb.select($"vec_id",
+        expr(s"slice(embedding, ${b * pqSubDim} + 1, $pqSubDim)").as("embedding"))
+      kmeansTrain(sub, trainSteps)._1.map { case (code, arr) => (b, code, arr) }
+    }.toDF("sub", "code", "c_sub")
+  }
+
+  /** ADC search against an explicit codeword frame — [[pqSearchOn]]'s
+    * parameterized core.
+    */
+  private[queries] def pqSearchWith(emb: DataFrame, cw: DataFrame): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val lut = pqLutWith(emb, cw)
+    val w = Window.partitionBy($"query_id").orderBy($"adc_micros".asc, $"cand_id")
+    pqCodesWith(emb, cw)
+      .join(broadcast(lut), Seq("sub", "code"))
+      .filter($"vec_id" =!= $"query_id")
+      .groupBy($"query_id", $"vec_id")
+      .agg(sum($"d2_micros").as("adc_micros"))
+      .select($"query_id", $"vec_id".as("cand_id"), $"adc_micros")
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter($"rnk" <= topK)
+  }
+
+  /** One unrolled per-subspace Lloyd round in oracle SQL, keyed by
+    * (sub, cell) — [[oTrainRound]]'s PQ twin over [[pqSubDim]]-length
+    * slices (`pdims` = 1..pqSubDim).
+    */
+  private def oPqTrainRound(prev: String, cur: String): String =
+    s"""pd_$cur AS (
+       |  SELECT sv.vec_id, sv.sub, sv.v_sub, p.cell,
+       |         CAST(FLOOR(1e6 * (${oDotSub("sv.v_sub", "sv.v_sub")} + ${oDotSub("p.c_emb", "p.c_emb")}
+       |           - 2.0 * ${oDotSub("sv.v_sub", "p.c_emb")})) AS BIGINT) AS d2_micros
+       |  FROM sv JOIN $prev p ON sv.sub = p.sub),
+       |pa_$cur AS (
+       |  SELECT vec_id, sub, cell, v_sub FROM (
+       |    SELECT vec_id, sub, cell, v_sub,
+       |           ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2_micros ASC, cell ASC) AS rk
+       |    FROM pd_$cur) WHERE rk = 1),
+       |pm_$cur AS (
+       |  SELECT a.sub, a.cell, pdims.d, COUNT(*) AS n,
+       |         CAST(SUM(CAST(FLOOR(1e6 * a.v_sub[pdims.d]) AS BIGINT)) AS BIGINT) AS s
+       |  FROM pa_$cur a CROSS JOIN pdims
+       |  GROUP BY 1, 2, 3),
+       |pl_$cur AS (
+       |  SELECT sub, cell, list(CAST(FLOOR(1.0 * s / n) / 1e6 AS REAL) ORDER BY d) AS c_emb
+       |  FROM pm_$cur GROUP BY 1, 2),
+       |$cur AS (
+       |  SELECT p.sub, p.cell, COALESCE(nw.c_emb, p.c_emb) AS c_emb
+       |  FROM $prev p LEFT JOIN pl_$cur nw ON nw.sub = p.sub AND nw.cell = p.cell)""".stripMargin
+
+  val pqRecallTrained = Q(
+    "v_pq_recall_trained",
+    (s, d) => {
+      import s.implicits._
+      val emb = vecs(s, d)
+      val cw = trainedPqCodewords(emb)
+      val q = emb
+        .filter($"vec_id" >= pqK && $"vec_id" < pqK + nQueries)
+        .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
+      val w = Window.partitionBy($"query_id").orderBy($"d2x_micros".asc, $"cand_id")
+      val truth = emb
+        .select($"vec_id".as("cand_id"), $"embedding".as("c_emb"))
+        .join(broadcast(q), $"cand_id" =!= $"query_id")
+        .withColumn(
+          "d2x_micros",
+          micros(dotd("q_emb", "q_emb") + dotd("c_emb", "c_emb")
+            - lit(2.0) * dotd("q_emb", "c_emb")))
+        .withColumn("rnk", row_number().over(w))
+        .filter($"rnk" <= topK)
+        .select($"query_id", $"cand_id", lit(1L).as("hit"))
+      pqSearchWith(emb, cw)
+        .join(broadcast(truth), Seq("query_id", "cand_id"), "left")
+        .groupBy($"query_id")
+        .agg(count(lit(1)).as("n_returned"), count($"hit").as("n_hit"))
+        .withColumn("recall_pct", floor(lit(100.0) * $"n_hit" / lit(topK)).cast("long"))
+    },
+    Some {
+      val rounds = (1 to trainSteps)
+        .map(i => oPqTrainRound(if (i == 1) "pc_0" else s"pc_${i - 1}", s"pc_$i"))
+        .mkString(",\n      ")
+      val cT = s"pc_$trainSteps"
+      s"""
+      WITH subs AS (SELECT unnest(generate_series(0, ${pqM - 1})) AS sub),
+      pdims AS (SELECT unnest(generate_series(1, $pqSubDim)) AS d),
+      sv AS (
+        SELECT v.vec_id, s.sub,
+               list_slice(v.embedding, s.sub * $pqSubDim + 1, s.sub * $pqSubDim + $pqSubDim) AS v_sub
+        FROM embeddings v CROSS JOIN subs s),
+      pc_0 AS (
+        SELECT s.sub, c.vec_id AS cell,
+               list_slice(c.embedding, s.sub * $pqSubDim + 1, s.sub * $pqSubDim + $pqSubDim) AS c_emb
+        FROM embeddings c CROSS JOIN subs s WHERE c.vec_id < $pqK),
+      $rounds,
+      cwt AS (SELECT sub, cell AS code, c_emb AS c_sub FROM $cT),
+      t_scored2 AS (
+        SELECT sv.vec_id, sv.sub, cwt.code,
+               CAST(FLOOR(1e6 * (${oDotSub("sv.v_sub", "sv.v_sub")} + ${oDotSub("cwt.c_sub", "cwt.c_sub")}
+                 - 2.0 * ${oDotSub("sv.v_sub", "cwt.c_sub")})) AS BIGINT) AS d2_micros
+        FROM sv JOIN cwt ON sv.sub = cwt.sub),
+      codes AS (
+        SELECT vec_id, CAST(sub AS BIGINT) AS sub, code FROM (
+          SELECT vec_id, sub, code,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                    ORDER BY d2_micros ASC, code ASC) AS rk
+          FROM t_scored2) WHERE rk = 1),
+      q AS (
+        SELECT v.vec_id AS query_id, CAST(s.sub AS BIGINT) AS sub,
+               list_slice(v.embedding, s.sub * $pqSubDim + 1, s.sub * $pqSubDim + $pqSubDim) AS q_sub
+        FROM embeddings v CROSS JOIN subs s
+        WHERE v.vec_id >= $pqK AND v.vec_id < ${pqK + nQueries}),
+      lut AS (
+        SELECT q.query_id, q.sub, cwt.code,
+               CAST(FLOOR(1e6 * (${oDotSub("q.q_sub", "q.q_sub")} + ${oDotSub("cwt.c_sub", "cwt.c_sub")}
+                 - 2.0 * ${oDotSub("q.q_sub", "cwt.c_sub")})) AS BIGINT) AS d2_micros
+        FROM q JOIN cwt ON q.sub = CAST(cwt.sub AS BIGINT)),
+      adc AS (
+        SELECT l.query_id, c.vec_id AS cand_id, CAST(SUM(l.d2_micros) AS BIGINT) AS adc_micros
+        FROM codes c JOIN lut l ON c.sub = l.sub AND c.code = l.code AND c.vec_id <> l.query_id
+        GROUP BY 1, 2),
+      pq AS (
+        SELECT query_id, cand_id FROM (
+          SELECT query_id, cand_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_micros ASC, cand_id ASC) AS rnk
+          FROM adc) WHERE rnk <= $topK),
+      qf AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+             WHERE vec_id >= $pqK AND vec_id < ${pqK + nQueries}),
+      t_scored AS (
+        SELECT qf.query_id, c.vec_id AS cand_id,
+               CAST(FLOOR(1e6 * (${oDot("qf.q_emb", "qf.q_emb")} + ${oDot("c.embedding", "c.embedding")}
+                 - 2.0 * ${oDot("qf.q_emb", "c.embedding")})) AS BIGINT) AS d2x_micros
+        FROM qf JOIN embeddings c ON c.vec_id <> qf.query_id),
+      truth AS (
+        SELECT query_id, cand_id FROM (
+          SELECT query_id, cand_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d2x_micros ASC, cand_id) AS rnk
+          FROM t_scored) WHERE rnk <= $topK)
+      SELECT p.query_id,
+             COUNT(*) AS n_returned,
+             COUNT(t.cand_id) AS n_hit,
+             CAST(FLOOR(100.0 * COUNT(t.cand_id) / $topK) AS BIGINT) AS recall_pct
+      FROM pq p LEFT JOIN truth t
+        ON p.query_id = t.query_id AND p.cand_id = t.cand_id
+      GROUP BY 1
+    """.stripMargin.trim
+    },
   )
 
   // ---------------------------------------------------------------------
@@ -2203,6 +2378,7 @@ object VectorOps {
     pqEncode,
     pqSearch,
     pqRecall,
+    pqRecallTrained,
     ivfPqSearch,
     ivfPqResidualSearch,
     clusterTopics,

@@ -466,6 +466,110 @@ object StreamBench {
           s""""credits":${outRows8.get()},"state_rows":$statePeak8,""" +
           s""""active_users":$nUsers,"sf":"$sfDir"}""")
     }
+    // Ninth probe: the late-data audit under a replayed out-of-order
+    // storm — quantified evidence for the W6 semantic delta (Flink
+    // allowedLateness re-fire vs Spark drop-at-watermark + audit tee).
+    // The replicated events are re-sequenced into an ARRIVAL order where
+    // 10% of rows (user_id % 10 == 0) arrive an hour of stream time
+    // late, fed in event-arrival order via MemoryStream chunks so the
+    // watermark advances between micro-batches exactly as live ingest
+    // would. Two measurements over the SAME arrival sequence:
+    //   (a) ground truth: a tumbling windowed count at the same lateness
+    //       budget (plus a far-future flush sentinel so every window
+    //       finalizes); total minus emitted = rows the aggregation
+    //       actually discarded, and
+    //   (b) the audit: rows lateAudit flags.
+    // The two are DIFFERENT grains by design — the agg drops an event
+    // only once its whole window is finalized, the audit marks per event
+    // against its bucket's running max — so the probe publishes both
+    // fractions; the audit must flag at least the window-grain drops
+    // minus the bucket-lag approximation documented on lateAudit.
+    {
+      import graft.model.UserBehavior
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = spark.sqlContext
+      import org.apache.spark.sql.{Dataset, Row}
+      val latenessSec = 600L
+      val chunkRows = 50000
+      val baseEvents = replicated
+        .select($"user_id", coalesce($"item", lit(0L)).as("item"), $"event_type", $"ts_sec")
+
+      def storm(mode: String, stormDelaySec: Long): Unit = {
+        val arrival = baseEvents
+          .withColumn("arrival",
+            $"ts_sec" + when($"user_id" % 10 === 0, lit(stormDelaySec)).otherwise(lit(0L)))
+          .orderBy($"arrival", $"user_id")
+          .collect()
+          .map(r => UserBehavior(r.getLong(0), r.getLong(1), 0, r.getString(2), r.getLong(3)))
+        val chunks = arrival.grouped(chunkRows).toSeq
+        val maxTs = arrival.map(_.timestamp).max
+
+        // (a) ground truth: what the windowed aggregation actually discards
+        val memA = MemoryStream[UserBehavior]
+        val emitted = new java.util.concurrent.atomic.AtomicLong(0)
+        val qa = Streams.withEventTime(memA.toDS(), s"$latenessSec seconds")
+          .groupBy(window(col("eventTime"), "3600 seconds"))
+          .agg(count(lit(1)).as("cnt"))
+          .writeStream
+          .outputMode("append")
+          .foreachBatch { (b: Dataset[Row], _: Long) =>
+            emitted.addAndGet(b.collect().map(_.getAs[Long]("cnt")).sum)
+            ()
+          }
+          .option("checkpointLocation",
+            java.nio.file.Files.createTempDirectory("ckpt-sbench-late-a").toString)
+          .start()
+        val t9 = System.nanoTime()
+        chunks.foreach { c => memA.addData(c); qa.processAllAvailable() }
+        // two flush sentinels: the first pushes the watermark past every
+        // real window, the second finalizes the first's own window
+        memA.addData(Seq(UserBehavior(1L, 0L, 0, "flush", maxTs + 100 * latenessSec)))
+        qa.processAllAvailable()
+        memA.addData(Seq(UserBehavior(1L, 0L, 0, "flush2", maxTs + 200 * latenessSec)))
+        qa.processAllAvailable()
+        val secs9 = (System.nanoTime() - t9) / 1e9
+        qa.stop()
+        val kept = emitted.get() - 1 // minus the finalized first sentinel
+        val dropped = arrival.length - kept
+
+        // (b) the audit's marks over the same storm
+        val memB = MemoryStream[UserBehavior]
+        val flagged = new java.util.concurrent.atomic.AtomicLong(0)
+        val qb = Streams.lateAudit(memB.toDS(), latenessSec)
+          .writeStream
+          .outputMode("append")
+          .foreachBatch { (b: Dataset[UserBehavior], _: Long) =>
+            flagged.addAndGet(b.count())
+            ()
+          }
+          .option("checkpointLocation",
+            java.nio.file.Files.createTempDirectory("ckpt-sbench-late-b").toString)
+          .start()
+        chunks.foreach { c => memB.addData(c); qb.processAllAvailable() }
+        qb.stop()
+        val n = arrival.length
+        println(
+          s"""{"metric":"late_audit_storm","mode":"$mode","rows":$n,""" +
+            s""""late_injected":${arrival.count(_.userId % 10 == 0)},""" +
+            s""""agg_dropped":$dropped,"agg_dropped_ppm":${dropped * 1000000L / n},""" +
+            s""""audit_flagged":${flagged.get()},"audit_flagged_ppm":${flagged.get() * 1000000L / n},""" +
+            s""""lateness_sec":$latenessSec,"storm_delay_sec":$stormDelaySec,"secs":$secs9,"sf":"$sfDir"}""")
+      }
+
+      // span of one micro-batch in stream time, for sizing the two storms
+      val tsStats = baseEvents.agg(min($"ts_sec"), max($"ts_sec")).first()
+      val chunkSpanSec =
+        (tsStats.getLong(1) - tsStats.getLong(0)) * chunkRows / math.max(totalRows, 1L)
+      // intra-batch storm: stragglers lag a real hour but land in the
+      // SAME micro-batch as their peers — Spark's batch-granularity
+      // watermark forgives nearly all of them (the measured Flink delta:
+      // a per-record watermark would not)
+      storm("intra_batch", 3600L)
+      // cross-batch storm: stragglers arrive ~3 micro-batches late, far
+      // beyond the lateness budget — the agg must drop ~all of them and
+      // the audit must flag ~the same set (bucket-lag approximation aside)
+      storm("cross_batch", 3 * chunkSpanSec)
+    }
     spark.stop()
   }
 }

@@ -49,9 +49,10 @@ class CatalogPlanGuardSpec extends SparkSpec {
       "t_ccnet_buckets",
       // index balance inherits the IVF family's centroid-assignment cross
       "v_index_balance",
-      // trained-centroid recall audit: same centroid-assignment cross +
-      // fixed-query-panel truth as v_ivf_recall, centroids from kmeansTrain
-      "v_ivf_recall_trained")
+      // trained-centroid recall audits: same centroid-assignment cross +
+      // fixed-query-panel truth as v_ivf_recall/v_pq_recall, centroids
+      // and codebooks from kmeansTrain
+      "v_ivf_recall_trained", "v_pq_recall_trained")
 
   test("no catalog query plans a cartesian, a rogue BNLJ, or a single-partition stage") {
     val offenders = Catalog.all.flatMap { q =>

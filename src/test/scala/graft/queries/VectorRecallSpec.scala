@@ -116,21 +116,25 @@ class VectorRecallSpec extends SparkSpec {
   }
 
   test("trained centroids do not lose recall vs the untrained floor") {
-    // the judge metric for v_ivf_recall_trained: 2 Lloyd steps must not
-    // make the same nprobe budget WORSE — measured uplift is recorded in
-    // SCALING.md ("trained-centroid IVF recall"): 18->23 / 12->15 /
-    // 17->18 hits of 50 at sf0.001/0.01/0.1
+    // the judge metric for v_ivf_recall_trained / v_pq_recall_trained:
+    // 2 Lloyd steps must not make the same search budget WORSE — the
+    // uplift is in SCALING.md ("trained-centroid IVF recall") and
+    // SCALING.md ("trained-codebook PQ recall"): IVF 18->23 / 12->15 /
+    // 17->18 and PQ 3->3 / 5->7 / 2->3 hits of 50 at sf0.001/0.01/0.1
     def hits(name: String): Long = Catalog.queries(name)(spark, sf)
       .collect().map(_.getAs[Long]("n_hit")).sum
-    val untrained = hits("v_ivf_recall")
-    val trained = hits("v_ivf_recall_trained")
-    info(s"panel hits of 50: untrained=$untrained trained=$trained")
-    assert(trained >= untrained,
-      s"training regressed recall: $trained < $untrained")
-    // and the audit must cover the whole panel with full result lists
-    val rows = Catalog.queries("v_ivf_recall_trained")(spark, sf).collect()
-    assert(rows.map(_.getAs[Long]("query_id")).toSet === (16L until 21L).toSet)
-    assert(rows.forall(_.getAs[Long]("n_returned") === k.toLong))
+    Seq("v_ivf_recall" -> "v_ivf_recall_trained",
+        "v_pq_recall" -> "v_pq_recall_trained").foreach { case (un, tr) =>
+      val untrained = hits(un)
+      val trained = hits(tr)
+      info(s"$tr panel hits of 50: untrained=$untrained trained=$trained")
+      assert(trained >= untrained,
+        s"$tr: training regressed recall: $trained < $untrained")
+      // and the audit must cover the whole panel with full result lists
+      val rows = Catalog.queries(tr)(spark, sf).collect()
+      assert(rows.map(_.getAs[Long]("query_id")).toSet === (16L until 21L).toSet)
+      assert(rows.forall(_.getAs[Long]("n_returned") === k.toLong))
+    }
   }
 
   test("planted twins: scaled copies share the sign bucket and rank first") {
