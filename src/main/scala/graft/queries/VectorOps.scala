@@ -502,6 +502,90 @@ object VectorOps {
     """.stripMargin.trim),
   )
 
+  // ---------------------------------------------------------------------
+  // Codebook drift monitor — the day-2 companion of v_index_balance:
+  // assign the BASE and DELTA batches (the pack's standard hash split)
+  // with the SAME centroids and compare their cell-share distributions.
+  // Total-variation distance in ppm is the alert an operator thresholds:
+  // arriving data that no longer distributes like the data the codebook
+  // was built for is exactly the condition that silently inflates cells
+  // past the pairing cap (n_dropped_vecs on v_index_balance) and decays
+  // nprobe recall — this row sees the drift BEFORE those symptoms. One
+  // assignment scan + a 16-row agg; integer ppm throughout.
+  // ---------------------------------------------------------------------
+
+  private val driftCellPpm = 20000L // 2% absolute share shift = drifted
+
+  /** The drift report over any (vec_id, embedding, batch∈{base,delta})
+    * frame — exposed so the spec can plant a drifted delta and assert
+    * the alert fires.
+    */
+  private[queries] def indexDriftOn(tagged: DataFrame): DataFrame = {
+    val perCell = ivfCells(tagged.select(col("vec_id"), col("embedding")))
+      .join(tagged.select(col("vec_id"), col("batch")), "vec_id")
+      .groupBy(col("cell"))
+      .agg(
+        sum(when(col("batch") === "base", 1L).otherwise(0L)).as("n_base"),
+        sum(when(col("batch") === "delta", 1L).otherwise(0L)).as("n_delta"))
+    val tot = perCell.agg(
+      sum(col("n_base")).as("nb"), sum(col("n_delta")).as("nd"))
+    perCell
+      .crossJoin(broadcast(tot)) // the sanctioned one-row scalar cross
+      .withColumn("sb", expr("(1000000 * n_base) div nb"))
+      .withColumn("sd", expr("(1000000 * n_delta) div nd"))
+      .groupBy(col("nb"), col("nd"))
+      .agg(
+        expr("CAST(SUM(ABS(sb - sd)) div 2 AS BIGINT)").as("tv_ppm"),
+        max(abs(col("sb") - col("sd"))).as("max_cell_drift_ppm"),
+        sum(when(abs(col("sb") - col("sd")) > driftCellPpm, 1L).otherwise(0L))
+          .as("n_cells_drifted"))
+      .select(col("nb").as("n_base"), col("nd").as("n_delta"),
+        col("tv_ppm"), col("max_cell_drift_ppm"), col("n_cells_drifted"))
+  }
+
+  val indexDrift = Q(
+    "v_index_drift",
+    (s, d) => indexDriftOn(vecs(s, d).withColumn("batch", vBatchOf)),
+    Some(s"""
+      WITH emb0 AS (
+        SELECT vec_id,
+               CASE WHEN ${CurationOps.oMd5Bucket("CAST(vec_id AS VARCHAR) || ':batch'", 10)} >= 8
+                    THEN 'delta' ELSE 'base' END AS batch
+        FROM embeddings),
+      cents AS (SELECT vec_id AS cell, embedding AS c_emb FROM embeddings
+                WHERE vec_id < $nCells),
+      dists AS (
+        SELECT v.vec_id, c.cell,
+               CAST(FLOOR(1e6 * (${oDot("v.embedding", "v.embedding")} + ${oDot("c.c_emb", "c.c_emb")}
+                 - 2.0 * ${oDot("v.embedding", "c.c_emb")})) AS BIGINT) AS d2_micros
+        FROM embeddings v CROSS JOIN cents c),
+      assigned AS (
+        SELECT vec_id, cell FROM (
+          SELECT vec_id, cell,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2_micros ASC, cell ASC) AS rk
+          FROM dists) WHERE rk = 1),
+      per_cell AS (
+        SELECT a.cell,
+               CAST(SUM(CASE WHEN e.batch = 'base' THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+               CAST(SUM(CASE WHEN e.batch = 'delta' THEN 1 ELSE 0 END) AS BIGINT) AS n_delta
+        FROM assigned a JOIN emb0 e USING (vec_id)
+        GROUP BY 1),
+      tot AS (SELECT CAST(SUM(n_base) AS BIGINT) AS nb,
+                     CAST(SUM(n_delta) AS BIGINT) AS nd FROM per_cell),
+      shares AS (
+        SELECT cell, nb, nd,
+               (1000000 * n_base) // nb AS sb,
+               (1000000 * n_delta) // nd AS sd
+        FROM per_cell CROSS JOIN tot)
+      SELECT nb AS n_base, nd AS n_delta,
+             CAST(SUM(ABS(sb - sd)) // 2 AS BIGINT) AS tv_ppm,
+             CAST(MAX(ABS(sb - sd)) AS BIGINT) AS max_cell_drift_ppm,
+             CAST(SUM(CASE WHEN ABS(sb - sd) > $driftCellPpm THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_cells_drifted
+      FROM shares GROUP BY nb, nd
+    """.stripMargin.trim),
+  )
+
   /** IVF search (nprobe=1): each query vector searches only the inverted
     * list of its own nearest-centroid cell — the index-backed ANN path.
     * Queries are vec_id in [nCells, nCells+nQueries) so they're disjoint
@@ -2358,6 +2442,7 @@ object VectorOps {
 
   val qs: Seq[Q] = Seq(
     indexBalance,
+    indexDrift,
     normStats,
     knnBrute,
     lshBuckets,

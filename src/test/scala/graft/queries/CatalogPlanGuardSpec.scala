@@ -47,8 +47,9 @@ class CatalogPlanGuardSpec extends SparkSpec {
       // CCNet buckets compose the unigram-LM core, inheriting its
       // sanctioned one-row corpus-total cross
       "t_ccnet_buckets",
-      // index balance inherits the IVF family's centroid-assignment cross
-      "v_index_balance",
+      // index balance/drift inherit the IVF family's centroid-assignment
+      // cross; drift adds the one-row totals scalar cross
+      "v_index_balance", "v_index_drift",
       // trained-centroid recall audits: same centroid-assignment cross +
       // fixed-query-panel truth as v_ivf_recall/v_pq_recall, centroids
       // and codebooks from kmeansTrain

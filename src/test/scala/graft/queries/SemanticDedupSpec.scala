@@ -150,6 +150,38 @@ class SemanticDedupSpec extends SparkSpec {
     assert(bal.getAs[Long]("max_cell") === overCap(0L))
   }
 
+  test("index drift monitor: same-distribution delta is quiet, drifted delta alerts") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    def vec(): Array[Float] = Array.fill(8)(rnd.nextGaussian().toFloat)
+    def jitter(v: Array[Float]): Array[Float] =
+      v.map(x => x + (rnd.nextGaussian() * 0.001).toFloat)
+    val cents = (0 until 16).map(i => (i.toLong, vec()))
+    // base: 320 vectors spread evenly (20 hugging each centroid)
+    val base = (0 until 320).map(i => ((100 + i).toLong, jitter(cents(i % 16)._2)))
+    // quiet delta: 80 vectors with the SAME even spread
+    val quiet = (0 until 80).map(i => ((1000 + i).toLong, jitter(cents(i % 16)._2)))
+    // drifted delta: 80 vectors ALL hugging centroid 3
+    val drifted = (0 until 80).map(i => ((2000 + i).toLong, jitter(cents(3)._2)))
+    def frame(delta: Seq[(Long, Array[Float])]) =
+      spark.createDataset((cents ++ base).toIndexedSeq).toDF("vec_id", "embedding")
+        .withColumn("batch", lit("base"))
+        .unionByName(spark.createDataset(delta.toIndexedSeq)
+          .toDF("vec_id", "embedding").withColumn("batch", lit("delta")))
+    graft.functions.GraftFunctions.registerDotD(spark)
+    def report(delta: Seq[(Long, Array[Float])]) = {
+      val r = VectorOps.indexDriftOn(frame(delta)).collect().head
+      (r.getAs[Long]("tv_ppm"), r.getAs[Long]("n_cells_drifted"))
+    }
+    val (tvQuiet, cellsQuiet) = report(quiet)
+    val (tvDrift, cellsDrift) = report(drifted)
+    info(s"quiet tv=$tvQuiet ppm cells=$cellsQuiet; drifted tv=$tvDrift ppm cells=$cellsDrift")
+    assert(cellsQuiet === 0L, s"even delta must not alert (tv=$tvQuiet)")
+    assert(tvDrift > 800000L, "an all-one-cell delta is ~15/16 total variation")
+    assert(cellsDrift >= 2L, "the flooded cell and the starved ones must flag")
+    assert(tvDrift > tvQuiet * 10)
+  }
+
   test("t_semantic_dedup covers every embedding exactly once at sf0.01") {
     val out = Catalog.queries("t_semantic_dedup")(spark, "/root/testdata/sf0.01")
       .collect()
