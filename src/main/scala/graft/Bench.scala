@@ -36,7 +36,12 @@ object Bench {
     // Untimed warmup at the smallest SF: JIT/codegen/classloading otherwise
     // lands entirely on whichever query happens to run first (~5s skew).
     // Each query warms independently so one failure can't skip the rest.
-    (names ++ sweepNames).foreach { n =>
+    // HEADLINE QUERIES ONLY here: warming the full catalog before the
+    // gated loop measurably slowed every headline rep ~25% (codegen
+    // cache + loaded-class pressure from 115 extra plans; measured
+    // 34.2s vs 27.3s total, round 12) — the sweep warms itself later,
+    // after the headline numbers are already banked.
+    names.foreach { n =>
       try SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count()
       catch { case _: Throwable => () }
     }
@@ -130,10 +135,15 @@ object Bench {
         s"\"" + k + "\":" + (if (v.isEmpty) "null" else fastSpread(v).toString)
       }
       .mkString("{", ",", "}")
-    // One-rep full-catalog sweep (after the headline loop so its cache
-    // pollution can't touch the gated figures). Per-query isolation via
-    // the same reset(); a failed sweep query publishes null, not absence,
-    // so a disappeared query is distinguishable from a skipped sweep.
+    // One-rep full-catalog sweep (after the headline loop so its warmup
+    // and cache pollution can't touch the gated figures). Per-query
+    // isolation via the same reset(); a failed sweep query publishes
+    // null, not absence, so a disappeared query is distinguishable from
+    // a skipped sweep.
+    sweepNames.foreach { n =>
+      try SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count()
+      catch { case _: Throwable => () }
+    }
     val sweepTimes: Seq[(String, Option[Double])] = sweepNames.map { n =>
       val fn = SparkEntry.queries(n)
       reset()
