@@ -1847,15 +1847,52 @@ object VectorOps {
   // VectorRecallSpec pins trained >= untrained on the panel.
   // ---------------------------------------------------------------------
 
-  /** Per-subspace trained codewords as a (sub, code, c_sub) frame. */
+  /** Per-subspace trained codewords as a (sub, code, c_sub) frame.
+    *
+    * All four subspaces train in ONE keyed job per Lloyd round —
+    * assignment ranked per (vec, sub), means keyed by (sub, cell, dim)
+    * — instead of four sequential [[kmeansTrain]] loops: the subspaces
+    * are independent k-means problems, so keying by `sub` computes the
+    * identical fixed-point arithmetic (same floored-micros distances,
+    * same (d2 asc, code asc) tiebreak, same integer means, same
+    * empty-cell inherit) while scanning the corpus 2x instead of 8x.
+    * Measured: v_pq_recall_trained 3.26 s -> see SCALING.md
+    * ("trained-codebook PQ recall"). Driver traffic per round is the
+    * m x k x subDim mean table (1,024 rows).
+    */
   private def trainedPqCodewords(emb: DataFrame): DataFrame = {
     val s = emb.sparkSession
     import s.implicits._
-    (0 until pqM).flatMap { b =>
-      val sub = emb.select($"vec_id",
-        expr(s"slice(embedding, ${b * pqSubDim} + 1, $pqSubDim)").as("embedding"))
-      kmeansTrain(sub, trainSteps)._1.map { case (code, arr) => (b, code, arr) }
-    }.toDF("sub", "code", "c_sub")
+    graft.functions.GraftFunctions.registerDotD(s)
+    var cw: Seq[(Int, Long, Array[Float])] = pqCodebook(emb)
+    for (_ <- 1 to trainSteps) {
+      val cwDf = cw.toDF("sub", "code", "c_sub")
+      val wA = Window.partitionBy($"vec_id", $"sub").orderBy($"d2_micros".asc, $"code".asc)
+      val means = pqSubVectors(emb, "vec_id")
+        .join(broadcast(cwDf), Seq("sub"))
+        .withColumn(
+          "d2_micros",
+          micros(dotd("v_sub", "v_sub") + dotd("c_sub", "c_sub")
+            - lit(2.0) * dotd("v_sub", "c_sub")))
+        .withColumn("rk", row_number().over(wA))
+        .filter($"rk" === 1)
+        .select($"sub", $"code".as("cell"), posexplode($"v_sub").as(Seq("d0", "x")))
+        .select($"sub", $"cell", $"d0",
+          floor(lit(1e6) * $"x".cast("double")).cast("long").as("xm"))
+        .groupBy($"sub", $"cell", $"d0")
+        .agg(count(lit(1)).as("n"), sum($"xm").as("sm"))
+        .withColumn("m", floor($"sm" * lit(1.0) / $"n").cast("long"))
+        .select($"sub", $"cell", $"d0", $"m")
+        .collect()
+        .map(r => ((r.getInt(0), r.getLong(1), r.getInt(2)), r.getLong(3)))
+        .toMap
+      cw = cw.map { case (sub, code, old) =>
+        val v = Array.tabulate(old.length)(d0 =>
+          means.get((sub, code, d0)).map(_ / 1e6).getOrElse(old(d0).toDouble))
+        (sub, code, v.map(_.toFloat))
+      }
+    }
+    cw.toDF("sub", "code", "c_sub")
   }
 
   /** ADC search against an explicit codeword frame — [[pqSearchOn]]'s
