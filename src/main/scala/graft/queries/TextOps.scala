@@ -2117,6 +2117,33 @@ object TextOps {
       .write.mode("overwrite").parquet(s"$path/bucket_counts")
   }
 
+  /** Fold an ADMITTED delta into the stored LSH index — the write half
+    * of the day-2 loop [[deltaNearDupFromIndex]] reads: the delta's
+    * band rows append to `bands`, and `bucket_counts` is rewritten as
+    * old-counts ⊕ delta-counts (a full-outer merge on (band, bkey) —
+    * the count table is ~one row per occupied bucket, far smaller than
+    * the corpus, and rewriting it is how a real ingest cycle compacts;
+    * the band-row table itself only ever APPENDS). After the append,
+    * copies of the delta's docs collide with the index exactly like
+    * copies of the original base — CorpusSignalsSpec closes that loop.
+    * Caller contract: append only docs the ingest KEPT, else the index
+    * accumulates the duplicates it exists to reject.
+    */
+  def appendLshIndex(keptDelta: DataFrame, path: String): Unit = {
+    val s = keptDelta.sparkSession
+    val rows = minhashBandRows(shinglesOfDf(keptDelta.select(col("doc_id"), col("text"))))
+      .localCheckpoint(true) // two consumers + the source dir is being rewritten
+    rows.write.mode("append").parquet(s"$path/bands")
+    val deltaCounts = rows.groupBy(col("band"), col("bkey"))
+      .agg(count(lit(1)).as("n_add"))
+    val merged = s.read.parquet(s"$path/bucket_counts")
+      .join(deltaCounts, Seq("band", "bkey"), "full_outer")
+      .select(col("band"), col("bkey"),
+        (coalesce(col("n_base"), lit(0L)) + coalesce(col("n_add"), lit(0L))).as("n_base"))
+      .localCheckpoint(true) // materialize BEFORE overwriting the input dir
+    merged.write.mode("overwrite").parquet(s"$path/bucket_counts")
+  }
+
   /** Day-2 near-dup ingest against the STORED index: only the delta is
     * shingled and signed; candidate buckets come from joining the
     * delta's band rows to the stored bucket counts. Cap semantics are

@@ -25,6 +25,36 @@ class CorpusSignalsSpec extends SparkSpec {
       "fixture should contain at least one cross-batch near-dup")
   }
 
+  test("appendLshIndex: admitted delta docs reject THEIR OWN copies on the next ingest") {
+    import spark.implicits._
+    def doc(seed: Int): String = (1 to 12).map(i => s"a${seed}_$i").mkString(" ")
+    val base = Seq((1L, doc(1)), (2L, doc(2))).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-lsh-append").toString
+    TextOps.writeLshIndex(base, dir)
+    // ingest 1: one base copy (flagged), one fresh doc (kept)
+    val d1 = Seq((10L, doc(1)), (11L, doc(7))).toDF("doc_id", "text")
+    val v1 = TextOps.deltaNearDupFromIndex(d1, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(v1 === Map(10L -> "neardup_of_base", 11L -> "kept"))
+    // fold ONLY the kept doc into the index
+    TextOps.appendLshIndex(d1.filter($"doc_id" === 11L), dir)
+    // ingest 2: a copy of the admitted doc 11 must now be rejected,
+    // the original base still rejects, fresh still passes
+    val d2 = Seq((20L, doc(7)), (21L, doc(2)), (22L, doc(9))).toDF("doc_id", "text")
+    val v2 = TextOps.deltaNearDupFromIndex(d2, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(v2 === Map(20L -> "neardup_of_base", 21L -> "neardup_of_base", 22L -> "kept"))
+    // the merged count table is consistent: every bucket's n_base equals
+    // a recount over the appended band rows
+    import org.apache.spark.sql.functions.{count, lit}
+    val recount = spark.read.parquet(s"$dir/bands")
+      .groupBy($"band", $"bkey").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getStruct(1).toString) -> r.getLong(2)).toMap
+    val stored = spark.read.parquet(s"$dir/bucket_counts")
+      .collect().map(r => (r.getInt(0), r.getStruct(1).toString) -> r.getLong(2)).toMap
+    assert(stored === recount, "bucket_counts must equal a recount of bands")
+  }
+
   test("deltaDedupOn: base collision, in-batch dup, and fresh content each verdict correctly") {
     import spark.implicits._
     val tagged = Seq(
