@@ -2336,6 +2336,30 @@ object VectorOps {
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
   }
 
+  /** Fold new vectors into the stored IVF-PQ index — the vector-side
+    * sibling of `TextOps.appendLshIndex`: arrivals are assigned and
+    * encoded with the STORED centroid/codeword tables (never re-derived
+    * — the index's convention is whatever it was built or trained with,
+    * and re-deriving from the union corpus would silently re-key every
+    * existing cell), then appended into the partitioned code table.
+    * Append touches only the arrivals' cell directories; the
+    * centroid/codeword artifacts are immutable. Equal by construction
+    * to rebuilding on the union corpus while the first-pqK ids are
+    * unchanged — PqSpec pins code-table equality and search parity.
+    */
+  def appendIvfPqIndex(newVecs: DataFrame, path: String): Unit = {
+    val s = newVecs.sparkSession
+    import s.implicits._
+    graft.functions.GraftFunctions.registerDotD(s)
+    val cents = s.read.parquet(s"$path/centroids").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq.sortBy(_._1)
+    val cw = s.read.parquet(s"$path/codewords")
+    pqCodesWith(newVecs, cw)
+      .join(ivfCellsWith(newVecs, cents).select($"vec_id", $"cell"), Seq("vec_id"))
+      .repartition($"cell")
+      .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
+  }
+
   /** ADC search against the STORED index: probes and the lookup table
     * are computed from the live query vectors against the stored
     * centroid/codeword tables (tiny, broadcast); candidates come from

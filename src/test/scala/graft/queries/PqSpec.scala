@@ -207,6 +207,34 @@ class PqSpec extends SparkSpec {
     assert(got == inline)
   }
 
+  test("appendIvfPqIndex equals rebuilding on the union corpus; search parity holds") {
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.registerDotD(spark)
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val maxId = emb.agg(max(col("vec_id"))).head().getLong(0)
+    // the arrivals: 30 existing vectors re-shipped under fresh high ids
+    val arrivals = emb.filter(col("vec_id") % 7 === 0).limit(30)
+      .select((col("vec_id") + maxId + 1).as("vec_id"), col("embedding"),
+        col("label"))
+    val appended = java.nio.file.Files.createTempDirectory("ivfpq-app").toString
+    VectorOps.writeIvfPqIndex(emb, appended)
+    VectorOps.appendIvfPqIndex(arrivals, appended)
+    val rebuilt = java.nio.file.Files.createTempDirectory("ivfpq-reb").toString
+    VectorOps.writeIvfPqIndex(emb.unionByName(arrivals), rebuilt)
+    def codes(dir: String) = spark.read.parquet(s"$dir/codes")
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("sub"),
+        r.getAs[Long]("code"), r.getAs[Long]("err_micros"), r.getAs[Long]("cell"))).toSet
+    assert(codes(appended) === codes(rebuilt),
+      "append with stored artifacts must equal a union-corpus rebuild")
+    // search parity over the grown index
+    val queries = emb.filter(col("vec_id") >= 16 && col("vec_id") < 21)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    def hits(dir: String) = VectorOps.ivfPqSearchFromIndex(spark, dir, queries)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"),
+        r.getAs[Long]("rnk"))).toSet
+    assert(hits(appended) === hits(rebuilt))
+  }
+
   test("recall audit over the fixture corpus: 10 returned per query, recall sane") {
     val out = VectorOps.pqRecall.spark(spark, "/root/testdata/sf0.001").collect()
     assert(out.length == nQueries)
