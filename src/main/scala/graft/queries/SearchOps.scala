@@ -203,6 +203,39 @@ object SearchOps {
       .write.mode("overwrite").parquet(s"$path/corpus")
   }
 
+  /** Fold NEW docs into the stored postings index — the text-search
+    * member of the index-append triad (`TextOps.appendLshIndex`,
+    * `VectorOps.appendIvfPqIndex`): the arrivals' postings append into
+    * their bucket directories, the term-df table is full-outer-merged,
+    * and the corpus count advances. Caller contract: doc_ids are new
+    * (an already-indexed doc would double its postings — dedup is the
+    * ingest filter's job, upstream of indexing). Equal by construction
+    * to a union-corpus rebuild; SearchOpsSpec pins search parity and
+    * artifact-recount equality.
+    */
+  def appendPostingsIndex(newDocs: DataFrame, path: String): Unit = {
+    val s = newDocs.sparkSession
+    import s.implicits._
+    val postings = newDocs
+      .select($"doc_id", explode(TextOps.toks).as("t"))
+      .groupBy($"doc_id", $"t")
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("bucket", pmod(TextOps.h60($"t"), lit(indexBuckets.toLong)))
+      .localCheckpoint(true) // one pass feeds the append AND the df delta
+    postings
+      .repartition($"bucket")
+      .write.mode("append").partitionBy("bucket").parquet(s"$path/postings")
+    val merged = s.read.parquet(s"$path/terms")
+      .join(postings.groupBy($"t").agg(count(lit(1)).as("df_add")), Seq("t"), "full_outer")
+      .select($"t",
+        (coalesce($"df", lit(0L)) + coalesce($"df_add", lit(0L))).as("df"))
+      .localCheckpoint(true) // materialize BEFORE overwriting the input dir
+    merged.coalesce(1).write.mode("overwrite").parquet(s"$path/terms")
+    val n = s.read.parquet(s"$path/corpus").first().getLong(0) +
+      newDocs.agg(count(lit(1))).first().getLong(0)
+    Seq(n).toDF("n_docs").coalesce(1).write.mode("overwrite").parquet(s"$path/corpus")
+  }
+
   /** TF-IDF top-k against the STORED index — same ranking contract as
     * [[tfidfSearch]] (the parity spec pins it), but the posting scan is
     * pruned to the query terms' buckets via partition filters: at 100 TB

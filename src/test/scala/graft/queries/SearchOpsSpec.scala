@@ -72,6 +72,33 @@ class SearchOpsSpec extends SparkSpec {
     assert(got.toSeq === inline.toSeq)
   }
 
+  test("appendPostingsIndex equals a union-corpus rebuild; search parity holds") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, sf).select($"doc_id", $"text")
+    val maxId = docs.agg(max($"doc_id")).head().getLong(0)
+    val arrivals = docs.filter($"doc_id" % 5 === 0).limit(40)
+      .select(($"doc_id" + maxId + 1).as("doc_id"), $"text")
+    val appended = java.nio.file.Files.createTempDirectory("postings-app").toString
+    SearchOps.writePostingsIndex(docs, appended)
+    SearchOps.appendPostingsIndex(arrivals, appended)
+    val rebuilt = java.nio.file.Files.createTempDirectory("postings-reb").toString
+    SearchOps.writePostingsIndex(docs.unionByName(arrivals), rebuilt)
+    def terms(dir: String) = spark.read.parquet(s"$dir/terms")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(terms(appended) === terms(rebuilt), "merged df table must equal a rebuild's")
+    def corpus(dir: String) = spark.read.parquet(s"$dir/corpus").first().getLong(0)
+    assert(corpus(appended) === corpus(rebuilt))
+    def postings(dir: String) = spark.read.parquet(s"$dir/postings")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("t"),
+        r.getAs[Long]("tf"), r.getAs[Long]("bucket"))).toSet
+    assert(postings(appended) === postings(rebuilt))
+    val q = Seq("spark", "join", "window")
+    def top(dir: String) = SearchOps.tfidfSearchFromIndex(spark, dir, q, 15)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(top(appended) === top(rebuilt))
+  }
+
   test("entity resolution on planted typos: close variants match, far ones don't") {
     import org.apache.spark.sql.functions.{col, count, lit, element_at, split, levenshtein}
     // a tiny synthetic part table: canonical names + 1-edit typos (same
