@@ -319,6 +319,38 @@ object GraphOps {
       .write.mode("overwrite").parquet(s"$path/nodes")
   }
 
+  /** Fold a NEW slice of the event log into the stored transition graph
+    * (the behavioral-graph member of the stored-index append family).
+    * Carry convention — what makes append EXACT, not approximate:
+    * `deltaWithCarry` contains, per user, their latest event of the
+    * already-ingested log followed by the new slice's events. The
+    * per-user lead() then emits exactly the boundary transition (last
+    * old event → first new event) plus the new slice's transitions —
+    * no transition is missed at the ingest boundary and none double-
+    * counts (the carry event's outgoing edge was never counted before:
+    * it was the slice's last event). Edge weights full-outer merge,
+    * nodes union — both checkpointed before overwriting their own
+    * input dirs. GraphOpsSpec pins edge/node/rank equality with a
+    * full-log rebuild. The streaming twin (`transitionStream`) holds
+    * the same carry as its 16-byte per-user state.
+    */
+  def appendTransitionGraph(deltaWithCarry: DataFrame, path: String): Unit = {
+    val s = deltaWithCarry.sparkSession
+    import s.implicits._
+    val merged = s.read.parquet(s"$path/edges")
+      .join(transitionEdges(deltaWithCarry).withColumnRenamed("w", "w_add"),
+        Seq("src", "dst"), "full_outer")
+      .select($"src", $"dst",
+        (coalesce($"w", lit(0L)) + coalesce($"w_add", lit(0L))).as("w"))
+      .localCheckpoint(true)
+    merged.write.mode("overwrite").parquet(s"$path/edges")
+    val nodes = s.read.parquet(s"$path/nodes")
+      .unionByName(deltaWithCarry.filter($"item".isNotNull).select($"item"))
+      .distinct()
+      .localCheckpoint(true)
+    nodes.write.mode("overwrite").parquet(s"$path/nodes")
+  }
+
   /** PageRank against the STORED graph — identical ranking contract to
     * the inline `e_pagerank` (the parity spec pins it); touches only
     * the persisted graph-sized tables.

@@ -76,6 +76,34 @@ class GraphOpsSpec extends SparkSpec {
     assert(stored === inline)
   }
 
+  test("appendTransitionGraph with the carry convention equals a full-log rebuild") {
+    val evs = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .withColumn("item", regexp_extract($"props", "(\\d+)", 1).cast("long"))
+    // split the log at its median day; carry = each user's latest early event
+    val split = evs.agg(expr("percentile_approx(ts_sec, 0.5)")).head().getLong(0)
+    val early = evs.filter($"ts_sec" < split)
+    val late = evs.filter($"ts_sec" >= split)
+    val wLast = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts_sec".desc, $"event_id".desc)
+    val carry = early.withColumn("rk", row_number().over(wLast)).filter($"rk" === 1).drop("rk")
+    val appended = java.nio.file.Files.createTempDirectory("graph-app").toString
+    GraphOps.writeTransitionGraph(early, appended)
+    GraphOps.appendTransitionGraph(carry.unionByName(late), appended)
+    val rebuilt = java.nio.file.Files.createTempDirectory("graph-reb").toString
+    GraphOps.writeTransitionGraph(evs, rebuilt)
+    def edges(dir: String) = spark.read.parquet(s"$dir/edges")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // append keeps zero-weight rows only if a merge produced them; filter both
+    assert(edges(appended).filter(_._2 > 0) === edges(rebuilt).filter(_._2 > 0),
+      "boundary-carried append must reproduce the full-log edge weights")
+    def nodes(dir: String) = spark.read.parquet(s"$dir/nodes")
+      .collect().map(_.getLong(0)).toSet
+    assert(nodes(appended) === nodes(rebuilt))
+    def ranks(dir: String) = GraphOps.pageRankFromGraph(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ranks(appended) === ranks(rebuilt))
+  }
+
   test("incremental agg equals recompute; empty-input safe") {
     val sf = "/root/testdata/sf0.001"
     val got = Catalog.queries("t_incr_agg")(spark, sf)
