@@ -2238,6 +2238,84 @@ object TextOps {
   )
 
   // ---------------------------------------------------------------------
+  // Day-3 ingest — the APPEND path hash-gated end to end: slice the
+  // corpus into base / day-2 delta / day-3 delta (same hash family as
+  // batchOf; day-3 == batchOf's delta, so this row extends, not
+  // re-keys, the established split). The query builds the stored index
+  // from base, screens day-2 against it, folds ONLY day-2's keepers in
+  // via appendLshIndex, then screens day-3 against the GROWN index and
+  // emits day-3's verdicts. A day-3 copy of an admitted day-2 doc must
+  // flag, a copy of a REJECTED day-2 doc must flag only if it also
+  // collides with base-or-kept buckets — semantics the oracle recomputes
+  // from scratch (bucket counts over base + kept-day-2), so a wrong
+  // merge in the append shows up as a hash mismatch, not just a spec
+  // failure. The temp index dir is per-invocation, same convention as
+  // the other stored-artifact rows.
+  // ---------------------------------------------------------------------
+  private val sliceOf: Column = {
+    val b = h60(concat(col("doc_id").cast("string"), lit(":batch"))) % 10
+    when(b >= 8, lit("d2")).when(b >= 6, lit("d1")).otherwise(lit("base"))
+  }
+
+  val deltaNearDupDay3 = Q(
+    "t_delta_neardup_day3",
+    (s, d) => {
+      import s.implicits._
+      val sliced = fannedDocs(s, d).withColumn("slice", sliceOf)
+      val base = sliced.filter($"slice" === "base").select($"doc_id", $"text")
+      val d1 = sliced.filter($"slice" === "d1").select($"doc_id", $"text")
+      val d2 = sliced.filter($"slice" === "d2").select($"doc_id", $"text")
+      val dir = java.nio.file.Files.createTempDirectory("graft-lsh-day3").toString
+      writeLshIndex(base, dir)
+      val kept1 = d1.join(
+        deltaNearDupFromIndex(d1, dir).filter($"verdict" === "kept").select($"doc_id"),
+        "doc_id")
+      appendLshIndex(kept1, dir)
+      deltaNearDupFromIndex(d2, dir)
+    },
+    Some {
+      val kCols = (0 until bandSize).map(j => s"k$j").mkString(", ")
+      s"""
+      WITH doc0 AS (
+        SELECT doc_id, text,
+               CASE WHEN ${CurationOps.oMd5Bucket("CAST(doc_id AS VARCHAR) || ':batch'", 10)} >= 8 THEN 'd2'
+                    WHEN ${CurationOps.oMd5Bucket("CAST(doc_id AS VARCHAR) || ':batch'", 10)} >= 6 THEN 'd1'
+                    ELSE 'base' END AS slice
+        FROM documents),
+      sh AS (SELECT doc_id, unnest($oracleShingles) AS sh FROM doc0),
+      $oracleMinhashSigBands,
+      bd AS (SELECT bands.*, doc0.slice FROM bands JOIN doc0 USING (doc_id)),
+      bc AS (
+        SELECT band, $kCols,
+               SUM(CASE WHEN slice = 'base' THEN 1 ELSE 0 END) AS n_base0,
+               SUM(CASE WHEN slice = 'd1' THEN 1 ELSE 0 END) AS n_d1,
+               SUM(CASE WHEN slice = 'd2' THEN 1 ELSE 0 END) AS n_d2
+        FROM bd GROUP BY band, $kCols),
+      hit1 AS (
+        SELECT DISTINCT bd.doc_id FROM bd JOIN bc USING (band, $kCols)
+        WHERE bd.slice = 'd1' AND bc.n_base0 >= 1
+          AND bc.n_d1 + bc.n_base0 <= $maxBucket),
+      idx2 AS (
+        SELECT band, $kCols, COUNT(*) AS n_idx
+        FROM bd
+        WHERE slice = 'base'
+           OR (slice = 'd1' AND doc_id NOT IN (SELECT doc_id FROM hit1))
+        GROUP BY band, $kCols),
+      hit2 AS (
+        SELECT DISTINCT bd.doc_id FROM bd
+        JOIN idx2 USING (band, $kCols)
+        JOIN bc USING (band, $kCols)
+        WHERE bd.slice = 'd2' AND bc.n_d2 + idx2.n_idx <= $maxBucket)
+      SELECT d.doc_id,
+             CASE WHEN h.doc_id IS NOT NULL THEN 'neardup_of_base'
+                  ELSE 'kept' END AS verdict
+      FROM doc0 d LEFT JOIN hit2 h USING (doc_id)
+      WHERE d.slice = 'd2'
+    """.stripMargin.trim
+    },
+  )
+
+  // ---------------------------------------------------------------------
   // Unigram-LM document scoring — the integer-exact stand-in for the
   // CCNet/KenLM perplexity filter: score each document by its mean token
   // unigram probability under the corpus's own unigram model,
@@ -3635,6 +3713,7 @@ object TextOps {
     rollingFingerprint,
     deltaDedup,
     deltaNearDup,
+    deltaNearDupDay3,
     unigramLm,
     boilerplate,
     collocations,
