@@ -2316,6 +2316,58 @@ object TextOps {
   )
 
   // ---------------------------------------------------------------------
+  // Token-distribution drift — the TEXT sibling of v_index_drift: the
+  // base and delta slices' unigram share distributions compared token
+  // by token, top-10 movers by absolute share shift (ppm). The ingest
+  // radar that catches a content-mix change (new language, new
+  // boilerplate family, a scraper gone wrong) before it reaches
+  // training. One token-keyed count shuffle + the sanctioned one-row
+  // totals cross; top-10 is TakeOrderedAndProject, no global window.
+  // ---------------------------------------------------------------------
+  val tokenDrift = Q(
+    "t_token_drift",
+    (s, d) => {
+      import s.implicits._
+      val counts = fannedDocs(s, d).withColumn("batch", batchOf)
+        .select($"batch", explode(toks).as("t"))
+        .groupBy($"t")
+        .agg(
+          sum(when($"batch" === "base", 1L).otherwise(0L)).as("nb"),
+          sum(when($"batch" === "delta", 1L).otherwise(0L)).as("nd"))
+      val tot = counts.agg(sum($"nb").as("tb"), sum($"nd").as("td"))
+      counts
+        .crossJoin(broadcast(tot)) // one-row totals: the sanctioned cross
+        .select($"t", $"nb", $"nd",
+          expr("(1000000 * nb) div tb").as("sb_ppm"),
+          expr("(1000000 * nd) div td").as("sd_ppm"))
+        .withColumn("drift_ppm", abs($"sb_ppm" - $"sd_ppm"))
+        .orderBy($"drift_ppm".desc, $"t")
+        .limit(10)
+    },
+    Some(s"""
+      WITH doc0 AS (
+        SELECT text,
+               CASE WHEN ${CurationOps.oMd5Bucket("CAST(doc_id AS VARCHAR) || ':batch'", 10)} >= 8
+                    THEN 'delta' ELSE 'base' END AS batch
+        FROM documents),
+      tk AS (SELECT batch, unnest($oracleToks) AS t FROM doc0),
+      counts AS (
+        SELECT t,
+               CAST(SUM(CASE WHEN batch = 'base' THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+               CAST(SUM(CASE WHEN batch = 'delta' THEN 1 ELSE 0 END) AS BIGINT) AS nd
+        FROM tk GROUP BY 1),
+      tot AS (SELECT CAST(SUM(nb) AS BIGINT) AS tb, CAST(SUM(nd) AS BIGINT) AS td FROM counts)
+      SELECT t, nb, nd,
+             (1000000 * nb) // tb AS sb_ppm,
+             (1000000 * nd) // td AS sd_ppm,
+             ABS((1000000 * nb) // tb - (1000000 * nd) // td) AS drift_ppm
+      FROM counts CROSS JOIN tot
+      ORDER BY drift_ppm DESC, t
+      LIMIT 10
+    """.stripMargin.trim),
+  )
+
+  // ---------------------------------------------------------------------
   // Unigram-LM document scoring — the integer-exact stand-in for the
   // CCNet/KenLM perplexity filter: score each document by its mean token
   // unigram probability under the corpus's own unigram model,
@@ -3714,6 +3766,7 @@ object TextOps {
     deltaDedup,
     deltaNearDup,
     deltaNearDupDay3,
+    tokenDrift,
     unigramLm,
     boilerplate,
     collocations,

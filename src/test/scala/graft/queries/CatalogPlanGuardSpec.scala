@@ -49,7 +49,7 @@ class CatalogPlanGuardSpec extends SparkSpec {
       "t_ccnet_buckets",
       // index balance/drift inherit the IVF family's centroid-assignment
       // cross; drift adds the one-row totals scalar cross
-      "v_index_balance", "v_index_drift",
+      "v_index_balance", "v_index_drift", "t_token_drift",
       // trained-centroid recall audits: same centroid-assignment cross +
       // fixed-query-panel truth as v_ivf_recall/v_pq_recall, centroids
       // and codebooks from kmeansTrain
