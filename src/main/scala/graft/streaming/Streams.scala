@@ -270,7 +270,16 @@ object Streams {
     * of a live vector index at 100 TB: route on arrival, compact
     * per-cell files periodically in batch.
     */
-  def ivfAssignStream(vecStream: DataFrame, centroids: Seq[(Long, Array[Float])]): DataFrame = {
+  def ivfAssignStream(vecStream: DataFrame, centroids: Seq[(Long, Array[Float])]): DataFrame =
+    ivfAssignStreamKeep(vecStream, centroids)
+      .select(col("vec_id"), col("cell"), col("embedding"))
+
+  /** [[ivfAssignStream]] with every input column preserved (+ `cell`) —
+    * the composable core ([[indexDriftStream]] needs the event-time
+    * column to survive the assignment).
+    */
+  def ivfAssignStreamKeep(
+      vecStream: DataFrame, centroids: Seq[(Long, Array[Float])]): DataFrame = {
     val centsCol = array(centroids.sortBy(_._1).map { case (id, v) =>
       struct(lit(id).as("cell"), typedLit(v).as("c_emb"))
     }: _*)
@@ -290,7 +299,52 @@ object Streams {
           |                CAST(FLOOR(1000000 * (dot_d(embedding, embedding) + dot_d(c.c_emb, c.c_emb)
           |                  - 2.0 * dot_d(embedding, c.c_emb))) AS BIGINT) AS d2)
           |    ELSE acc END)""".stripMargin))
-      .select(col("vec_id"), col("best.cell").as("cell"), col("embedding"))
+      .withColumn("cell", col("best.cell"))
+      .drop("cents", "best")
+  }
+
+  /** Live codebook-drift monitor — the streaming twin of the batch
+    * `v_index_drift` row: arrivals route to cells statelessly
+    * ([[ivfAssignStreamKeep]]'s literal centroids), per-(window, cell)
+    * counts aggregate under the watermark, and a SECOND stateful
+    * aggregation per window (Spark's chained windowed-aggregation
+    * support) folds each finalized histogram against the stored base
+    * shares — an O(nCells) literal, same sanctioned hand-off class as
+    * the centroids — into one drift row per window: (window, n_delta,
+    * tv_ppm). An operator alerts on tv_ppm crossing a threshold within
+    * minutes of a bad ingest instead of at the next batch audit. State
+    * is nCells rows per open window plus one row per closing window.
+    */
+  def indexDriftStream(
+      vecStream: DataFrame,
+      centroids: Seq[(Long, Array[Float])],
+      baseShares: Seq[(Long, Long)],
+      windowSec: Long,
+      eventTimeCol: String,
+      delay: String,
+  ): DataFrame = {
+    val shareMap = map(baseShares.sortBy(_._1).flatMap { case (c, s) =>
+      Seq(lit(c), lit(s))
+    }: _*)
+    val cellIds = baseShares.map(_._1).sorted
+    ivfAssignStreamKeep(vecStream, centroids)
+      .withWatermark(eventTimeCol, delay)
+      .groupBy(window(col(eventTimeCol), s"$windowSec seconds"), col("cell"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("window"))
+      .agg(
+        collect_list(struct(col("cell"), col("n"))).as("cells"),
+        sum(col("n")).as("n_delta"))
+      .withColumn("base_shares", shareMap)
+      .withColumn("tv_ppm", expr(
+        s"""aggregate(
+           |  transform(array(${cellIds.mkString(", ")}), c -> abs(
+           |    coalesce(try_element_at(base_shares, c), 0L)
+           |    - (1000000 * coalesce(
+           |         aggregate(filter(cells, x -> x.cell = c), 0L, (a, x) -> a + x.n),
+           |         0L)) div n_delta)),
+           |  0L, (acc, x) -> acc + x) div 2""".stripMargin))
+      .select(col("window"), col("n_delta"), col("tv_ppm"))
   }
 
   /** Streaming PQ encode — the code-generation half of a live IVF-PQ

@@ -253,6 +253,56 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("indexDriftStream: in-distribution window is quiet, drifted window alerts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    graft.functions.GraftFunctions.registerDotD(spark)
+    val rnd = new scala.util.Random(17)
+    def vec(): Array[Float] = Array.fill(8)(rnd.nextGaussian().toFloat)
+    def jitter(v: Array[Float]): Array[Float] =
+      v.map(x => x + (rnd.nextGaussian() * 0.001).toFloat)
+    val cents = (0 until 16).map(i => (i.toLong, vec()))
+    // stored base shares: uniform 10 vectors/cell -> 62_500 ppm each
+    val baseShares = (0L until 16L).map(c => c -> 62500L)
+    // window A (in-distribution): 2 vectors per cell; window B: all on cell 5
+    val winA = (0 until 32).map(i =>
+      ((100 + i).toLong, jitter(cents(i % 16)._2), (i * 10).toLong))
+    val winB = (0 until 32).map(i =>
+      ((200 + i).toLong, jitter(cents(5)._2), (3600 + i * 10).toLong))
+    val flush = Seq((999L, jitter(cents(0)._2), 99999L))
+
+    val mem = MemoryStream[(Long, Array[Float], Long)]
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val q = Streams.indexDriftStream(
+        mem.toDF().toDF("vec_id", "embedding", "ts")
+          .withColumn("eventTime", timestamp_seconds(col("ts"))),
+        cents, baseShares, windowSec = 3600L,
+        eventTimeCol = "eventTime", delay = "0 seconds")
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        rows.synchronized {
+          rows ++= b.collect().map(r => (
+            r.getStruct(0).getTimestamp(0).getTime / 1000,
+            r.getAs[Long]("n_delta"), r.getAs[Long]("tv_ppm")))
+        }
+        ()
+      }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt-drift").toString)
+      .start()
+    try {
+      mem.addData(winA); q.processAllAvailable()
+      mem.addData(winB); q.processAllAvailable()
+      mem.addData(flush); q.processAllAvailable()
+      val byWin = rows.map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(byWin.keySet === Set(0L, 3600L), s"two finalized windows: $rows")
+      assert(byWin(0L) === ((32L, 0L)), "in-distribution window must be quiet")
+      assert(byWin(3600L) === ((32L, 937500L)),
+        "all-one-cell window: tv = (|62500-1e6| + 15*62500)/2")
+    } finally q.stop()
+  }
+
   test("pqEncodeStream quantizes live vectors to the same codes as the batch encoder") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
