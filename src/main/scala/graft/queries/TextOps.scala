@@ -2365,6 +2365,7 @@ object TextOps {
       ORDER BY drift_ppm DESC, t
       LIMIT 10
     """.stripMargin.trim),
+    bench = true, // the ingest drift radar (token-keyed count + top-10)
   )
 
   // ---------------------------------------------------------------------

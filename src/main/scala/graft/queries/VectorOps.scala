@@ -1006,6 +1006,7 @@ object VectorOps {
       GROUP BY 1
     """.stripMargin.trim
     },
+    bench = true, // the trained-index audit flagship (2 Lloyd rounds + search)
   )
 
   // ---------------------------------------------------------------------
