@@ -102,6 +102,19 @@ class GraphOpsSpec extends SparkSpec {
     def ranks(dir: String) = GraphOps.pageRankFromGraph(spark, dir)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(ranks(appended) === ranks(rebuilt))
+    // second slice boundary: re-split the late half and append in two
+    // carried steps — still equal to the one-shot rebuild (associative)
+    val split2 = late.agg(expr("percentile_approx(ts_sec, 0.5)")).head().getLong(0)
+    val mid = late.filter($"ts_sec" < split2)
+    val tail = late.filter($"ts_sec" >= split2)
+    val carryMid = early.unionByName(mid)
+      .withColumn("rk", row_number().over(wLast)).filter($"rk" === 1).drop("rk")
+    val appended2 = java.nio.file.Files.createTempDirectory("graph-app2").toString
+    GraphOps.writeTransitionGraph(early, appended2)
+    GraphOps.appendTransitionGraph(carry.unionByName(mid), appended2)
+    GraphOps.appendTransitionGraph(carryMid.unionByName(tail), appended2)
+    assert(edges(appended2).filter(_._2 > 0) === edges(rebuilt).filter(_._2 > 0))
+    assert(ranks(appended2) === ranks(rebuilt))
   }
 
   test("incremental agg equals recompute; empty-input safe") {

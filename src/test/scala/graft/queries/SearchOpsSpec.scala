@@ -97,6 +97,17 @@ class SearchOpsSpec extends SparkSpec {
     def top(dir: String) = SearchOps.tfidfSearchFromIndex(spark, dir, q, 15)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(top(appended) === top(rebuilt))
+    // a SECOND successive append must still equal one big rebuild —
+    // the df merge is associative, not just correct once
+    val arrivals2 = docs.filter($"doc_id" % 7 === 0).limit(25)
+      .select(($"doc_id" + 2 * (maxId + 1)).as("doc_id"), $"text")
+    SearchOps.appendPostingsIndex(arrivals2, appended)
+    val rebuilt2 = java.nio.file.Files.createTempDirectory("postings-reb2").toString
+    SearchOps.writePostingsIndex(docs.unionByName(arrivals).unionByName(arrivals2), rebuilt2)
+    assert(terms(appended) === terms(rebuilt2))
+    assert(corpus(appended) === corpus(rebuilt2))
+    assert(postings(appended) === postings(rebuilt2))
+    assert(top(appended) === top(rebuilt2))
   }
 
   test("entity resolution on planted typos: close variants match, far ones don't") {
