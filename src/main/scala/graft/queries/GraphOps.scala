@@ -332,7 +332,9 @@ object GraphOps {
     * nodes union — both checkpointed before overwriting their own
     * input dirs. GraphOpsSpec pins edge/node/rank equality with a
     * full-log rebuild. The streaming twin (`transitionStream`) holds
-    * the same carry as its 16-byte per-user state.
+    * the same carry as its 16-byte per-user state. Crash caveat as
+    * `TextOps.appendLshIndex`: edges rewrite before nodes — commit
+    * marker in production.
     */
   def appendTransitionGraph(deltaWithCarry: DataFrame, path: String): Unit = {
     val s = deltaWithCarry.sparkSession

@@ -211,7 +211,9 @@ object SearchOps {
     * (an already-indexed doc would double its postings — dedup is the
     * ingest filter's job, upstream of indexing). Equal by construction
     * to a union-corpus rebuild; SearchOpsSpec pins search parity and
-    * artifact-recount equality.
+    * artifact-recount equality. Same crash-atomicity caveat as
+    * `TextOps.appendLshIndex`: postings append before the df/corpus
+    * rewrites — wrap in a commit marker in production.
     */
   def appendPostingsIndex(newDocs: DataFrame, path: String): Unit = {
     val s = newDocs.sparkSession

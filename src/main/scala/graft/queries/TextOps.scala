@@ -2128,6 +2128,13 @@ object TextOps {
     * copies of the original base — CorpusSignalsSpec closes that loop.
     * Caller contract: append only docs the ingest KEPT, else the index
     * accumulates the duplicates it exists to reject.
+    *
+    * Not crash-atomic: bands append before counts rewrite, so a failure
+    * between the two leaves counts stale (screens behave as if the
+    * append never happened; the orphan band rows are inert until the
+    * next successful counts rewrite). Re-running a FAILED append is NOT
+    * idempotent (bands would duplicate) — production wraps the pair in
+    * a manifest/commit-marker, the standard table-format move.
     */
   def appendLshIndex(keptDelta: DataFrame, path: String): Unit = {
     val s = keptDelta.sparkSession

@@ -2347,6 +2347,9 @@ object VectorOps {
     * centroid/codeword artifacts are immutable. Equal by construction
     * to rebuilding on the union corpus while the first-pqK ids are
     * unchanged — PqSpec pins code-table equality and search parity.
+    * Single-write append (codes only; centroids/codewords immutable),
+    * so the only crash hazard is a partial parquet append — which the
+    * parquet committer already makes all-or-nothing per job.
     */
   def appendIvfPqIndex(newVecs: DataFrame, path: String): Unit = {
     val s = newVecs.sparkSession
