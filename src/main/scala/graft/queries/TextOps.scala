@@ -3135,6 +3135,43 @@ object TextOps {
     * a wrong round-2/3 delta surfaces as a wrong pair or weight.
     */
   private val bpeMergeRounds = 3
+  private val oBpeSep = "chr(31)"
+
+  /** One unrolled trainer round in oracle SQL (pair count + argmax,
+    * optionally the rewrite into `s_$r`) — shared by t_bpe_merges and
+    * t_bpe_encode.
+    */
+  private def oBpeRound(r: Int, withRewrite: Boolean): String = {
+    val prev = s"s_${r - 1}"
+    val rewrite =
+      if (!withRewrite) ""
+      else s""",
+         |s_$r AS (
+         |  SELECT word, cnt,
+         |         replace(sym_str,
+         |                 (SELECT p1 FROM t_$r) || $oBpeSep || (SELECT p2 FROM t_$r),
+         |                 (SELECT p1 FROM t_$r) || (SELECT p2 FROM t_$r)) AS sym_str
+         |  FROM $prev)""".stripMargin
+    s"""l_$r AS (SELECT cnt, string_split(sym_str, $oBpeSep) AS ls FROM $prev),
+       |p_$r AS (
+       |  SELECT ls[i] AS p1, ls[i + 1] AS p2, cnt
+       |  FROM (SELECT cnt, ls, unnest(generate_series(1, len(ls) - 1)) AS i
+       |        FROM l_$r WHERE len(ls) >= 2)),
+       |t_$r AS (
+       |  SELECT CAST($r AS BIGINT) AS rank, p1, p2, CAST(SUM(cnt) AS BIGINT) AS w
+       |  FROM p_$r GROUP BY p1, p2
+       |  ORDER BY w DESC, p1, p2 LIMIT 1)$rewrite""".stripMargin
+  }
+
+  /** The shared head: word counts + chr(31)-joined initial symbols. */
+  private def oBpeHead: String =
+    s"""tok AS (SELECT unnest($oracleToks) AS word FROM documents),
+       |      wc AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY 1),
+       |      s_0 AS (
+       |        SELECT word, cnt,
+       |               array_to_string(list_transform(generate_series(1, len(word)),
+       |                                              i -> substr(word, i, 1)), $oBpeSep) AS sym_str
+       |        FROM wc)""".stripMargin
 
   val bpeMerges = Q(
     "t_bpe_merges",
@@ -3146,38 +3183,59 @@ object TextOps {
         .toDF("rank", "p1", "p2", "w")
     },
     Some {
-      val sep = "chr(31)"
-      val rounds = (1 to bpeMergeRounds).map { r =>
-        val prev = s"s_${r - 1}"
-        val rewrite =
-          if (r == bpeMergeRounds) "" // the last selection needs no rewrite
-          else s""",
-             |s_$r AS (
-             |  SELECT word, cnt,
-             |         replace(sym_str,
-             |                 (SELECT p1 FROM t_$r) || $sep || (SELECT p2 FROM t_$r),
-             |                 (SELECT p1 FROM t_$r) || (SELECT p2 FROM t_$r)) AS sym_str
-             |  FROM $prev)""".stripMargin
-        s"""l_$r AS (SELECT cnt, string_split(sym_str, $sep) AS ls FROM $prev),
-           |p_$r AS (
-           |  SELECT ls[i] AS p1, ls[i + 1] AS p2, cnt
-           |  FROM (SELECT cnt, ls, unnest(generate_series(1, len(ls) - 1)) AS i
-           |        FROM l_$r WHERE len(ls) >= 2)),
-           |t_$r AS (
-           |  SELECT CAST($r AS BIGINT) AS rank, p1, p2, CAST(SUM(cnt) AS BIGINT) AS w
-           |  FROM p_$r GROUP BY p1, p2
-           |  ORDER BY w DESC, p1, p2 LIMIT 1)$rewrite""".stripMargin
-      }.mkString(",\n      ")
+      val rounds = (1 to bpeMergeRounds)
+        .map(r => oBpeRound(r, withRewrite = r < bpeMergeRounds))
+        .mkString(",\n      ")
       s"""
-      WITH tok AS (SELECT unnest($oracleToks) AS word FROM documents),
-      wc AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY 1),
-      s_0 AS (
-        SELECT word, cnt,
-               array_to_string(list_transform(generate_series(1, len(word)),
-                                              i -> substr(word, i, 1)), $sep) AS sym_str
-        FROM wc),
+      WITH $oBpeHead,
       $rounds
       SELECT * FROM t_1 UNION ALL SELECT * FROM t_2 UNION ALL SELECT * FROM t_3
+    """.stripMargin.trim
+    },
+  )
+
+  // ---------------------------------------------------------------------
+  // BPE ENCODE hash-gated — converts the encode path (a mapPartitions
+  // kernel, previously spec-only) into an oracle-checked surface: train
+  // bpeMergeRounds merges, encode every document, emit per-doc piece
+  // counts. The oracle applies the trained merges to each DISTINCT word
+  // as rank-ordered string replaces on the chr(31)-joined symbols —
+  // equal to the kernel's priority loop because one left-to-right
+  // replace pass is its own fixpoint for a pair, and later merges can
+  // never resurrect an earlier pair (merged symbols are strictly longer
+  // strings) — then joins the per-word piece counts back to the doc
+  // word stream. Encoding cost at scale rides the per-partition word
+  // cache (Zipf reuse); the oracle's distinct-word table is the same
+  // idea relationally.
+  // ---------------------------------------------------------------------
+  val bpeEncodeStats = Q(
+    "t_bpe_encode",
+    (s, d) => {
+      import s.implicits._
+      val merges = bpeTrainIncremental(docs(s, d), bpeMergeRounds)
+        .map(m => (m._1, m._2))
+      bpeEncode(docs(s, d), merges)
+        .select($"doc_id",
+          expr("CAST(size(bpe_tokens) AS BIGINT)").as("n_pieces"))
+    },
+    Some {
+      val rounds = (1 to bpeMergeRounds)
+        .map(r => oBpeRound(r, withRewrite = true))
+        .mkString(",\n      ")
+      s"""
+      WITH $oBpeHead,
+      $rounds,
+      enc AS (
+        SELECT word,
+               CAST(len(string_split(sym_str, $oBpeSep)) AS BIGINT) AS n_pieces
+        FROM s_$bpeMergeRounds),
+      docw AS (SELECT doc_id, unnest($oracleToks) AS word FROM documents)
+      SELECT doc.doc_id,
+             CAST(COALESCE(SUM(e.n_pieces), 0) AS BIGINT) AS n_pieces
+      FROM documents doc
+      LEFT JOIN docw w ON w.doc_id = doc.doc_id
+      LEFT JOIN enc e ON e.word = w.word
+      GROUP BY 1
     """.stripMargin.trim
     },
   )
@@ -3775,6 +3833,7 @@ object TextOps {
     deltaNearDup,
     deltaNearDupDay3,
     tokenDrift,
+    bpeEncodeStats,
     unigramLm,
     boilerplate,
     collocations,
