@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -109,6 +110,289 @@ object SearchOps {
       SELECT doc_id, CAST(SUM(m.tf * df.idf_ppm) AS BIGINT) AS score_ppm
       FROM m JOIN df USING (t)
       GROUP BY 1 ORDER BY score_ppm DESC, doc_id LIMIT $searchK
+    """.stripMargin.trim),
+  )
+
+  // ---------------------------------------------------------------------
+  // Okapi BM25 ranked retrieval — TF-IDF's (t_tfidf_search) saturating,
+  // length-normalized upgrade and the default lexical ranker in every
+  // production search stack. With k1 = 6/5 and b = 3/4 the per-term
+  // saturation tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)) clears to the
+  // EXACT integer rational
+  //
+  //   sat_pp6 = (22e6·tf·TL) div (10·tf·TL + 3·TL + 9·dl·N)
+  //
+  // (TL = total corpus tokens, N = docs, dl = this doc's length) — no
+  // floats anywhere, so Spark and DuckDB agree bit-for-bit. idf keeps the
+  // pack's log-free ppm surrogate (object docs). Overflow bound: ANSI
+  // mode throws past 22e6·tf·TL ≥ 2^63, i.e. tf·TL ≥ 4.2e11 — at 100 TB
+  // TL is computed per-shard or the math moves to DECIMAL(38); at every
+  // test SF the headroom is > 10^5.
+  //
+  // Scale shape: one corpus scan for (TL, N) — a 1-row driver hand-off,
+  // same sanction class as tfidfSearch's count — and one for the probed
+  // postings; doc length rides the postings rows (derived in the same
+  // projection, no second join). Final top-k = TakeOrderedAndProject;
+  // the rnk window sits ABOVE the limit (t_token_topk discipline), so
+  // ranking sees ≤ k rows.
+  // ---------------------------------------------------------------------
+
+  /** (doc_id, dl, t, tf) for the standing query terms, dl = doc token
+    * length carried from the same tokenize pass.
+    */
+  private def probedPostingsWithLen(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    docs(s, d)
+      .select($"doc_id", TextOps.toks.as("tk"))
+      .withColumn("dl", size($"tk").cast("long"))
+      .select($"doc_id", $"dl", explode($"tk").as("t"))
+      .filter($"t".isin(queryTerms: _*))
+      .groupBy($"doc_id", $"dl", $"t")
+      .agg(count(lit(1)).as("tf"))
+  }
+
+  /** (totalTokens, nDocs) — the 1-row corpus-stats hand-off. */
+  private def corpusStats(s: SparkSession, d: String): (Long, Long) = {
+    import s.implicits._
+    val r = docs(s, d)
+      .select(size(TextOps.toks).cast("long").as("dl"))
+      .agg(sum($"dl"), count(lit(1)))
+      .first()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** BM25-scored docs for the standing query: (doc_id, score_pp12). */
+  private def bm25Scored(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (tl, n) = corpusStats(s, d)
+    val postings = probedPostingsWithLen(s, d)
+    val dfT = postings.groupBy($"t").agg(count(lit(1)).as("df"))
+      .withColumn("idf_ppm", expr(s"(${n}L * 1000000L) div df"))
+    postings
+      .join(broadcast(dfT.select($"t", $"idf_ppm")), "t")
+      .withColumn("sat_pp6", expr(
+        s"(22000000L * tf * ${tl}L) div (10L * tf * ${tl}L + 3L * ${tl}L + 9L * dl * ${n}L)"))
+      .groupBy($"doc_id")
+      .agg(sum($"idf_ppm" * $"sat_pp6").as("score_pp12"))
+  }
+
+  /** Oracle CTE block shared by the BM25-scored queries: tok/c/m/dfa plus
+    * the per-(doc, term) saturation. `mWhere` restricts the scored term
+    * set (query terms for bm25/rrf; joined dynamically for PRF).
+    */
+  private def oracleBm25Core: String =
+    s"""tok AS (SELECT doc_id, ${TextOps.oracleToks} AS tk FROM documents),
+       |c AS (SELECT CAST(SUM(len(tk)) AS BIGINT) AS tl,
+       |             CAST(COUNT(*) AS BIGINT) AS n FROM tok),
+       |p AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl, unnest(tk) AS t FROM tok),
+       |m AS (SELECT doc_id, dl, t, COUNT(*) AS tf FROM p GROUP BY 1, 2, 3),
+       |dfa AS (
+       |  SELECT t, ((SELECT n FROM c) * 1000000) // COUNT(*) AS idf_ppm
+       |  FROM m GROUP BY t)""".stripMargin
+
+  private def oracleSat: String =
+    s"""((22000000 * m.tf * (SELECT tl FROM c)) //
+       |  (10 * m.tf * (SELECT tl FROM c) + 3 * (SELECT tl FROM c)
+       |   + 9 * m.dl * (SELECT n FROM c)))""".stripMargin
+
+  val bm25Search = Q(
+    "t_bm25_search",
+    (s, d) => {
+      import s.implicits._
+      bm25Scored(s, d)
+        .orderBy($"score_pp12".desc, $"doc_id")
+        .limit(searchK)
+        .withColumn("rnk",
+          row_number().over(Window.orderBy($"score_pp12".desc, $"doc_id")).cast("long"))
+    },
+    Some(s"""
+      WITH $oracleBm25Core,
+      scored AS (
+        SELECT m.doc_id, CAST(SUM(dfa.idf_ppm * $oracleSat) AS BIGINT) AS score_pp12
+        FROM m JOIN dfa USING (t) WHERE m.t IN ($termsSql) GROUP BY 1)
+      SELECT doc_id, score_pp12,
+             ROW_NUMBER() OVER (ORDER BY score_pp12 DESC, doc_id) AS rnk
+      FROM scored QUALIFY rnk <= $searchK
+    """.stripMargin.trim),
+    bench = true,
+  )
+
+  // ---------------------------------------------------------------------
+  // Hybrid retrieval via reciprocal-rank fusion — the standard way a
+  // training-data / RAG pipeline combines a lexical ranker with a dense
+  // embedding ranker without comparable score scales: each list
+  // contributes 1/(60 + rank) (the canonical RRF constant), here in exact
+  // ppm integers. Sparse list = BM25 top-20; dense list = cosine top-20
+  // against a held-out probe (vec 0's embedding; doc 0 is excluded from
+  // both lists so the probe can't retrieve itself). Absent ranks
+  // contribute 0 and surface as -1.
+  //
+  // Scale shape: the dense side scans embeddings once against a 1-row
+  // broadcast probe (sanctioned BNLJ, v_knn_brute class); both lists are
+  // k-bounded by TakeOrderedAndProject before any rank window or the
+  // 20x20 full-outer fuse.
+  // ---------------------------------------------------------------------
+
+  private val fusionPool = 20
+  private val fusionK = 10
+  private val probeId = 0L
+  private val rrfC = 60L
+
+  val rrfFusion = Q(
+    "t_rrf_fusion",
+    (s, d) => {
+      import s.implicits._
+      graft.functions.GraftFunctions.registerDotD(s)
+      val sparse = bm25Scored(s, d)
+        .filter($"doc_id" =!= probeId)
+        .orderBy($"score_pp12".desc, $"doc_id")
+        .limit(fusionPool)
+        .withColumn("rank_sparse",
+          row_number().over(Window.orderBy($"score_pp12".desc, $"doc_id")).cast("long"))
+        .select($"doc_id", $"rank_sparse")
+      val qv = Tables.embeddings(s, d)
+        .filter($"vec_id" === probeId)
+        .select($"embedding".as("q_emb"))
+      val dense = Tables.embeddings(s, d)
+        .filter($"vec_id" =!= probeId)
+        .join(Tables.documents(s, d).select($"doc_id"), $"vec_id" === $"doc_id")
+        .join(broadcast(qv))
+        .withColumn("sim_micros",
+          VectorOps.micros(VectorOps.dotd("q_emb", "embedding") /
+            (sqrt(VectorOps.dotd("q_emb", "q_emb")) *
+              sqrt(VectorOps.dotd("embedding", "embedding")))))
+        .orderBy($"sim_micros".desc, $"doc_id")
+        .limit(fusionPool)
+        .withColumn("rank_dense",
+          row_number().over(Window.orderBy($"sim_micros".desc, $"doc_id")).cast("long"))
+        .select($"doc_id", $"rank_dense")
+      sparse.join(dense, Seq("doc_id"), "full_outer")
+        .withColumn("rrf_ppm", expr(
+          s"coalesce(1000000L div (${rrfC}L + rank_sparse), 0L) + " +
+            s"coalesce(1000000L div (${rrfC}L + rank_dense), 0L)"))
+        .orderBy($"rrf_ppm".desc, $"doc_id")
+        .limit(fusionK)
+        .withColumn("rnk",
+          row_number().over(Window.orderBy($"rrf_ppm".desc, $"doc_id")).cast("long"))
+        .select($"doc_id",
+          coalesce($"rank_sparse", lit(-1L)).as("rank_sparse"),
+          coalesce($"rank_dense", lit(-1L)).as("rank_dense"),
+          $"rrf_ppm", $"rnk")
+    },
+    Some(s"""
+      WITH $oracleBm25Core,
+      scored AS (
+        SELECT m.doc_id, CAST(SUM(dfa.idf_ppm * $oracleSat) AS BIGINT) AS score_pp12
+        FROM m JOIN dfa USING (t)
+        WHERE m.t IN ($termsSql) AND m.doc_id <> $probeId GROUP BY 1),
+      sp AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY score_pp12 DESC, doc_id) AS rank_sparse
+        FROM scored QUALIFY rank_sparse <= $fusionPool),
+      q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = $probeId),
+      sim AS (
+        SELECT dd.doc_id,
+               CAST(FLOOR(1e6 * (${VectorOps.oDot("q.q_emb", "e.embedding")} /
+                 (sqrt(${VectorOps.oDot("q.q_emb", "q.q_emb")}) *
+                  sqrt(${VectorOps.oDot("e.embedding", "e.embedding")})))) AS BIGINT)
+                 AS sim_micros
+        FROM embeddings e JOIN documents dd ON e.vec_id = dd.doc_id, q
+        WHERE e.vec_id <> $probeId),
+      dn AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY sim_micros DESC, doc_id) AS rank_dense
+        FROM sim QUALIFY rank_dense <= $fusionPool),
+      f AS (
+        SELECT COALESCE(sp.doc_id, dn.doc_id) AS doc_id,
+               sp.rank_sparse, dn.rank_dense,
+               COALESCE(1000000 // ($rrfC + sp.rank_sparse), 0)
+                 + COALESCE(1000000 // ($rrfC + dn.rank_dense), 0) AS rrf_ppm
+        FROM sp FULL JOIN dn ON sp.doc_id = dn.doc_id)
+      SELECT doc_id,
+             COALESCE(rank_sparse, -1) AS rank_sparse,
+             COALESCE(rank_dense, -1) AS rank_dense,
+             CAST(rrf_ppm AS BIGINT) AS rrf_ppm,
+             ROW_NUMBER() OVER (ORDER BY rrf_ppm DESC, doc_id) AS rnk
+      FROM f QUALIFY rnk <= $fusionK
+    """.stripMargin.trim),
+    bench = true,
+  )
+
+  // ---------------------------------------------------------------------
+  // Pseudo-relevance feedback (Rocchio-style query expansion): retrieve
+  // with the standing query, take the top-10 feedback docs, promote
+  // their 2 heaviest non-query terms (by summed tf, ties by term) into
+  // the query, retrieve again with the expanded 5-term query. The whole
+  // two-round dataflow is ONE lazy plan — the feedback set and the
+  // expansion terms stay distributed (k-bounded TakeOrderedAndProject
+  // results broadcast back into the postings), never a driver collect.
+  //
+  // Scale shape: the full-vocabulary postings/df tables are built once
+  // and feed both rounds (the stored-postings-index shape); every join
+  // against them is on a k-bounded broadcast side (10 feedback docs, 5
+  // terms).
+  // ---------------------------------------------------------------------
+
+  private val prfFeedbackDocs = 10
+  private val prfExpandTerms = 2
+
+  val prfExpand = Q(
+    "t_prf_expand",
+    (s, d) => {
+      import s.implicits._
+      val (tl, n) = corpusStats(s, d)
+      val postingsAll = docs(s, d)
+        .select($"doc_id", TextOps.toks.as("tk"))
+        .withColumn("dl", size($"tk").cast("long"))
+        .select($"doc_id", $"dl", explode($"tk").as("t"))
+        .groupBy($"doc_id", $"dl", $"t")
+        .agg(count(lit(1)).as("tf"))
+      val dfAll = postingsAll.groupBy($"t").agg(count(lit(1)).as("df"))
+        .withColumn("idf_ppm", expr(s"(${n}L * 1000000L) div df"))
+        .select($"t", $"idf_ppm")
+      def score(posts: DataFrame): DataFrame =
+        posts
+          .withColumn("sat_pp6", expr(
+            s"(22000000L * tf * ${tl}L) div (10L * tf * ${tl}L + 3L * ${tl}L + 9L * dl * ${n}L)"))
+          .groupBy($"doc_id")
+          .agg(sum($"idf_ppm" * $"sat_pp6").as("score_pp12"))
+      val round1 = score(
+        postingsAll.filter($"t".isin(queryTerms: _*))
+          .join(broadcast(dfAll.filter($"t".isin(queryTerms: _*))), "t"))
+      val fb = round1.orderBy($"score_pp12".desc, $"doc_id").limit(prfFeedbackDocs)
+        .select($"doc_id")
+      val expansion = postingsAll
+        .join(broadcast(fb), "doc_id")
+        .filter(!$"t".isin(queryTerms: _*))
+        .groupBy($"t").agg(sum($"tf").as("fb_tf"))
+        .orderBy($"fb_tf".desc, $"t")
+        .limit(prfExpandTerms)
+        .select($"t")
+      val terms2 = expansion.unionByName(queryTerms.toDF("t"))
+      val idf2 = broadcast(dfAll.join(broadcast(terms2), "t"))
+      score(postingsAll.join(idf2, "t"))
+        .orderBy($"score_pp12".desc, $"doc_id")
+        .limit(searchK)
+        .withColumn("rnk",
+          row_number().over(Window.orderBy($"score_pp12".desc, $"doc_id")).cast("long"))
+    },
+    Some(s"""
+      WITH $oracleBm25Core,
+      s1 AS (
+        SELECT m.doc_id, CAST(SUM(dfa.idf_ppm * $oracleSat) AS BIGINT) AS score
+        FROM m JOIN dfa USING (t) WHERE m.t IN ($termsSql) GROUP BY 1),
+      fb AS (SELECT doc_id FROM s1 ORDER BY score DESC, doc_id LIMIT $prfFeedbackDocs),
+      ex AS (
+        SELECT m.t FROM m JOIN fb USING (doc_id)
+        WHERE m.t NOT IN ($termsSql)
+        GROUP BY m.t ORDER BY CAST(SUM(m.tf) AS BIGINT) DESC, m.t LIMIT $prfExpandTerms),
+      t2 AS (SELECT t FROM ex UNION ALL SELECT unnest([$termsSql]) AS t),
+      s2 AS (
+        SELECT m.doc_id, CAST(SUM(dfa.idf_ppm * $oracleSat) AS BIGINT) AS score_pp12
+        FROM m JOIN dfa USING (t) JOIN t2 USING (t) GROUP BY 1)
+      SELECT doc_id, score_pp12,
+             ROW_NUMBER() OVER (ORDER BY score_pp12 DESC, doc_id) AS rnk
+      FROM s2 QUALIFY rnk <= $searchK
     """.stripMargin.trim),
   )
 
@@ -367,5 +651,6 @@ object SearchOps {
   )
 
   val qs: Seq[Q] = Seq(
-    boolSearch, tfidfSearch, entityResolution, entityCanon, entityTypos)
+    boolSearch, tfidfSearch, bm25Search, rrfFusion, prfExpand,
+    entityResolution, entityCanon, entityTypos)
 }

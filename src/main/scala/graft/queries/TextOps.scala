@@ -3799,7 +3799,49 @@ object TextOps {
     },
   )
 
+  // ---------------------------------------------------------------------
+  // Cross-document n-gram novelty — the corpus-wide complement of
+  // t_repetition's intra-document signal: what fraction of a document's
+  // distinct 3-gram shingles appear in NO other document. Low novelty
+  // means the doc is assembled from corpus-common phrasing (boilerplate,
+  // near-duplicate families the doc-grain dedup keeps); high novelty
+  // marks unique content worth oversampling — and, inverted, a
+  // memorization-risk signal for eval-set construction. Same per-mille
+  // discipline as the quality scores: exact integer ppm only.
+  //
+  // Scale shape: the shingle-df table is the contamination/LSH shingle
+  // shuffle (one corpus-sized equi-join on the 3-gram key); docs with
+  // < 3 tokens have no shingles and drop out, matching the oracle's
+  // unnest-of-empty-list. df == 1 (not a separate anti-join) reads
+  // novelty straight off the count.
+  // ---------------------------------------------------------------------
+
+  val shingleNovelty = Q(
+    "t_shingle_novelty",
+    (s, d) => {
+      import s.implicits._
+      val sh = docShingles(s, d) // (doc_id, sh) — distinct within a doc
+      val dfsh = sh.groupBy($"sh").agg(count(lit(1)).as("sdf"))
+      sh.join(dfsh, "sh")
+        .groupBy($"doc_id")
+        .agg(
+          count(lit(1)).as("n_shingles"),
+          sum(when($"sdf" === 1L, 1L).otherwise(0L)).as("n_novel"))
+        .withColumn("novelty_ppm", expr("(n_novel * 1000000L) div n_shingles"))
+    },
+    Some(s"""
+      WITH shr AS (SELECT doc_id, unnest($oracleShingles) AS sh FROM documents),
+      dfsh AS (SELECT sh, COUNT(*) AS sdf FROM shr GROUP BY 1)
+      SELECT s.doc_id, COUNT(*) AS n_shingles,
+             CAST(SUM(CASE WHEN d.sdf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+             CAST((CAST(SUM(CASE WHEN d.sdf = 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+               // COUNT(*) AS BIGINT) AS novelty_ppm
+      FROM shr s JOIN dfsh d USING (sh) GROUP BY 1
+    """.stripMargin.trim),
+  )
+
   val qs: Seq[Q] = Seq(
+    shingleNovelty,
     snapshotDiff,
     lshPrecision,
     lshRecall,

@@ -40,13 +40,13 @@ object VectorOps {
     * whole-stage codegen. Registration happens in [[vecs]], so every
     * query is self-contained.
     */
-  private def dotd(a: String, b: String): Column = expr(s"dot_d($a, $b)")
+  private[queries] def dotd(a: String, b: String): Column = expr(s"dot_d($a, $b)")
 
   /** DuckDB equivalent of [[dotd]] (1-based list indexing, same fold order
     * — list_reduce seeds with element 1, and `0.0 + p1 == p1` keeps the sum
     * sequence numerically identical).
     */
-  private def oDot(a: String, b: String): String =
+  private[queries] def oDot(a: String, b: String): String =
     s"""list_reduce(list_transform(generate_series(1, $dim),
        |  i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)""".stripMargin
 
@@ -58,7 +58,7 @@ object VectorOps {
   }
 
   /** floor(1e6 x) as BIGINT — the hash-safe similarity representation. */
-  private def micros(c: Column): Column = floor(c * lit(1e6)).cast("long")
+  private[queries] def micros(c: Column): Column = floor(c * lit(1e6)).cast("long")
 
   // ---------------------------------------------------------------------
   // Per-vector norms + per-label stats: linear scan, integer-scaled

@@ -53,7 +53,11 @@ class CatalogPlanGuardSpec extends SparkSpec {
       // trained-centroid recall audits: same centroid-assignment cross +
       // fixed-query-panel truth as v_ivf_recall/v_pq_recall, centroids
       // and codebooks from kmeansTrain
-      "v_ivf_recall_trained", "v_pq_recall_trained")
+      "v_ivf_recall_trained", "v_pq_recall_trained",
+      // hybrid retrieval: the dense list scores the corpus against a
+      // 1-row broadcast probe vector — the v_knn_brute shape at its
+      // smallest possible broadcast side
+      "t_rrf_fusion")
 
   test("no catalog query plans a cartesian, a rogue BNLJ, or a single-partition stage") {
     val offenders = Catalog.all.flatMap { q =>
