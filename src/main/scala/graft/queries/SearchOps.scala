@@ -465,14 +465,23 @@ object SearchOps {
   }
 
   /** Materialize the index artifacts under `path`: bucket-partitioned
-    * postings (doc_id, t, tf), the term df table, and the corpus count.
+    * postings (doc_id, dl, t, tf), the term df table, and the corpus
+    * stats row (n_docs, total_tokens).
+    *
+    * Doc length is DENORMALIZED onto every posting row (the norms-file
+    * alternative would make every ranked search re-join a corpus-sized
+    * doclen table; 8 bytes/posting of RLE-friendly parquet is the
+    * cheaper side of that trade) — it makes the stored index BM25-ready
+    * ([[bm25SearchFromIndex]]) while tf-idf just ignores the column.
     */
   def writePostingsIndex(docsDf: DataFrame, path: String): Unit = {
     val s = docsDf.sparkSession
     import s.implicits._
     val postings = docsDf
-      .select($"doc_id", explode(TextOps.toks).as("t"))
-      .groupBy($"doc_id", $"t")
+      .select($"doc_id", TextOps.toks.as("tk"))
+      .withColumn("dl", size($"tk").cast("long"))
+      .select($"doc_id", $"dl", explode($"tk").as("t"))
+      .groupBy($"doc_id", $"dl", $"t")
       .agg(count(lit(1)).as("tf"))
       .withColumn("bucket", pmod(TextOps.h60($"t"), lit(indexBuckets.toLong)))
     postings
@@ -482,7 +491,9 @@ object SearchOps {
       .groupBy($"t").agg(count(lit(1)).as("df"))
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/terms")
-    docsDf.agg(count(lit(1)).as("n_docs"))
+    docsDf
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(size(TextOps.toks).cast("long")), lit(0L)).as("total_tokens"))
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/corpus")
   }
@@ -503,8 +514,10 @@ object SearchOps {
     val s = newDocs.sparkSession
     import s.implicits._
     val postings = newDocs
-      .select($"doc_id", explode(TextOps.toks).as("t"))
-      .groupBy($"doc_id", $"t")
+      .select($"doc_id", TextOps.toks.as("tk"))
+      .withColumn("dl", size($"tk").cast("long"))
+      .select($"doc_id", $"dl", explode($"tk").as("t"))
+      .groupBy($"doc_id", $"dl", $"t")
       .agg(count(lit(1)).as("tf"))
       .withColumn("bucket", pmod(TextOps.h60($"t"), lit(indexBuckets.toLong)))
       .localCheckpoint(true) // one pass feeds the append AND the df delta
@@ -517,9 +530,18 @@ object SearchOps {
         (coalesce($"df", lit(0L)) + coalesce($"df_add", lit(0L))).as("df"))
       .localCheckpoint(true) // materialize BEFORE overwriting the input dir
     merged.coalesce(1).write.mode("overwrite").parquet(s"$path/terms")
-    val n = s.read.parquet(s"$path/corpus").first().getLong(0) +
-      newDocs.agg(count(lit(1))).first().getLong(0)
-    Seq(n).toDF("n_docs").coalesce(1).write.mode("overwrite").parquet(s"$path/corpus")
+    // Σ tf over the new postings == the arrivals' token count — the
+    // corpus-total advance reuses the checkpointed pass, no re-tokenize
+    val old = s.read.parquet(s"$path/corpus").first()
+    val add = postings
+      .agg(countDistinct($"doc_id"), coalesce(sum($"tf"), lit(0L))).first()
+    // doc-count advance counts ALL arrivals (a < 1-token doc posts
+    // nothing but is still a corpus member)
+    val nNew = newDocs.agg(count(lit(1))).first().getLong(0)
+    assert(add.getLong(0) <= nNew)
+    Seq((old.getLong(0) + nNew, old.getLong(1) + add.getLong(1)))
+      .toDF("n_docs", "total_tokens")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/corpus")
   }
 
   /** TF-IDF top-k against the STORED index — same ranking contract as
@@ -544,6 +566,34 @@ object SearchOps {
       .groupBy($"doc_id")
       .agg(sum($"tf" * $"idf_ppm").as("score_ppm"))
       .orderBy($"score_ppm".desc, $"doc_id")
+      .limit(k)
+  }
+
+  /** BM25 top-k against the STORED index — same ranking contract as
+    * [[bm25Search]] (spec-pinned parity), with the same bucket pruning
+    * as [[tfidfSearchFromIndex]]. Doc length comes straight off the
+    * posting rows (denormalized at write time), so ranked retrieval
+    * stays a |terms|-directory scan: no corpus-sized norms join.
+    */
+  def bm25SearchFromIndex(
+      s: SparkSession, path: String, terms: Seq[String], k: Int): DataFrame = {
+    import s.implicits._
+    val buckets = terms.map(t => jvmH60(t) % indexBuckets).distinct
+    val postings = s.read.parquet(s"$path/postings")
+      .filter($"bucket".isin(buckets: _*)) // parquet partition pruning
+      .filter($"t".isin(terms: _*))
+    val stats = s.read.parquet(s"$path/corpus").first()
+    val (n, tl) = (stats.getAs[Long]("n_docs"), stats.getAs[Long]("total_tokens"))
+    val df = s.read.parquet(s"$path/terms")
+      .filter($"t".isin(terms: _*))
+      .withColumn("idf_ppm", expr(s"(${n}L * 1000000L) div df"))
+    postings
+      .join(broadcast(df.select($"t", $"idf_ppm")), "t")
+      .withColumn("sat_pp6", expr(
+        s"(22000000L * tf * ${tl}L) div (10L * tf * ${tl}L + 3L * ${tl}L + 9L * dl * ${n}L)"))
+      .groupBy($"doc_id")
+      .agg(sum($"idf_ppm" * $"sat_pp6").as("score_pp12"))
+      .orderBy($"score_pp12".desc, $"doc_id")
       .limit(k)
   }
 

@@ -33,7 +33,7 @@ import graft.sources.Tables
 object TextOps {
 
   /** Non-empty tokens of a single-space-separated text. */
-  private[queries] val toks: Column = expr("filter(split(text, ' '), x -> x != '')")
+  private[graft] val toks: Column = expr("filter(split(text, ' '), x -> x != '')")
 
   /** 60-bit deterministic hash of a string column (see class docs). */
   private[queries] def h60(c: Column): Column =

@@ -603,6 +603,60 @@ object Streams {
       .withColumn("verdict", lit("neardup_of_base"))
   }
 
+  /** Standing-query relevance alerting (selective dissemination): each
+    * arriving document is BM25-scored against a fixed query using the
+    * STORED postings index's statistics ([[graft.queries.SearchOps
+    * .writePostingsIndex]] — idf from the term-df table, length
+    * normalization from the corpus stats row), and documents matching at
+    * least one query term emit (doc_id, score_pp12). The routing half of
+    * search: instead of queries probing the corpus, the corpus streams
+    * past the query.
+    *
+    * Entirely STATELESS — per-term tf and doc length are pure
+    * projections over the token array (|terms| is a small constant), so
+    * there is no aggregation state, no shuffle, and no watermark
+    * requirement: this composes onto any ingest stream at line rate.
+    * Index stats are read once at stream construction (|terms| + 1 rows,
+    * the sanctioned bounded hand-off class); scores are the same exact
+    * integer rational as [[graft.queries.SearchOps.bm25SearchFromIndex]]
+    * — StreamsSpec pins per-doc equality against the batch ranker under
+    * identical stats. Terms the index has never seen score 0 (df is
+    * undefined), matching the batch searcher's inner join on the term
+    * table.
+    *
+    * Input columns: doc_id, text.
+    */
+  def bm25AlertStream(
+      delta: DataFrame, postingsIndexPath: String, terms: Seq[String]): DataFrame = {
+    val s = delta.sparkSession
+    val stats = s.read.parquet(s"$postingsIndexPath/corpus").first()
+    val n = stats.getAs[Long]("n_docs")
+    val tl = stats.getAs[Long]("total_tokens")
+    val idf: Map[String, Long] = s.read.parquet(s"$postingsIndexPath/terms")
+      .filter(col("t").isin(terms: _*))
+      .collect()
+      .map(r => r.getAs[String]("t") -> (n * 1000000L / r.getAs[Long]("df")))
+      .toMap
+    val base = delta
+      .withColumn("tk", graft.queries.TextOps.toks)
+      .withColumn("dl", size(col("tk")).cast("long"))
+    val withTf = terms.zipWithIndex.foldLeft(base) { case (acc, (t, i)) =>
+      acc.withColumn(s"tf_$i", size(filter(col("tk"), x => x === lit(t))).cast("long"))
+    }
+    val scoreExpr = terms.zipWithIndex
+      .collect { case (t, i) if idf.contains(t) =>
+        s"(${idf(t)}L * ((22000000L * tf_$i * ${tl}L) div " +
+          s"(10L * tf_$i * ${tl}L + 3L * ${tl}L + 9L * dl * ${n}L)))"
+      } match {
+      case Nil => "0L" // no query term indexed: nothing can score
+      case es  => es.mkString(" + ")
+    }
+    withTf
+      .withColumn("score_pp12", expr(scoreExpr))
+      .filter(col("score_pp12") > 0L)
+      .select(col("doc_id"), col("score_pp12"))
+  }
+
   /** Per-user item-transition state for [[transitionStream]]. */
   final case class TransState(ts: Long, id: Long, item: Long)
   final case class TransEdge(user_id: Long, src: Long, dst: Long, ts_sec: Long)

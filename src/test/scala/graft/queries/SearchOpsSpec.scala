@@ -70,6 +70,18 @@ class SearchOpsSpec extends SparkSpec {
     val inline = Catalog.queries("t_tfidf_search")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(got.toSeq === inline.toSeq)
+
+    // the SAME stored artifacts serve BM25 (dl denormalized on the
+    // posting rows): ranked parity with the inline t_bm25_search, and
+    // the same bucket pruning
+    val bm = SearchOps.bm25SearchFromIndex(spark, dir, terms, 15)
+    val bmPlan = bm.queryExecution.executedPlan.toString
+    assert(bmPlan.contains("PartitionFilters") && bmPlan.contains("bucket"),
+      s"expected bucket partition pruning in:\n$bmPlan")
+    val bmGot = bm.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val bmInline = Catalog.queries("t_bm25_search")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(bmGot.toSeq === bmInline.toSeq)
   }
 
   test("appendPostingsIndex equals a union-corpus rebuild; search parity holds") {
@@ -87,16 +99,23 @@ class SearchOpsSpec extends SparkSpec {
     def terms(dir: String) = spark.read.parquet(s"$dir/terms")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(terms(appended) === terms(rebuilt), "merged df table must equal a rebuild's")
-    def corpus(dir: String) = spark.read.parquet(s"$dir/corpus").first().getLong(0)
+    def corpus(dir: String) = {
+      val r = spark.read.parquet(s"$dir/corpus").first()
+      (r.getAs[Long]("n_docs"), r.getAs[Long]("total_tokens"))
+    }
     assert(corpus(appended) === corpus(rebuilt))
     def postings(dir: String) = spark.read.parquet(s"$dir/postings")
-      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("t"),
-        r.getAs[Long]("tf"), r.getAs[Long]("bucket"))).toSet
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("dl"),
+        r.getAs[String]("t"), r.getAs[Long]("tf"), r.getAs[Long]("bucket"))).toSet
     assert(postings(appended) === postings(rebuilt))
     val q = Seq("spark", "join", "window")
     def top(dir: String) = SearchOps.tfidfSearchFromIndex(spark, dir, q, 15)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(top(appended) === top(rebuilt))
+    def topBm(dir: String) = SearchOps.bm25SearchFromIndex(spark, dir, q, 15)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(topBm(appended) === topBm(rebuilt),
+      "BM25 over the appended index must equal the rebuild (df, dl AND corpus totals merged)")
     // a SECOND successive append must still equal one big rebuild —
     // the df merge is associative, not just correct once
     val arrivals2 = docs.filter($"doc_id" % 7 === 0).limit(25)

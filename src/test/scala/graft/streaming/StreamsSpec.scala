@@ -873,4 +873,46 @@ class StreamsSpec extends SparkSpec {
     assert(batch.map(_._2).toSeq === got.take(2).map(_._2).toSeq)
   }
 
+  test("bm25AlertStream scores arrivals exactly as the stored-index batch ranker") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (1L, "spark join window alpha beta"),
+      (2L, "spark spark join gamma delta epsilon zeta eta theta iota"),
+      (3L, "alpha beta gamma delta"), // no query terms -> never emits
+      (4L, "window window window kappa"),
+      (5L, "join lambda"),
+    )
+    val idx = java.nio.file.Files.createTempDirectory("bm25-idx").toString
+    graft.queries.SearchOps.writePostingsIndex(corpus.toDF("doc_id", "text"), idx)
+    // 'neverseen' is absent from the index: it must contribute 0, exactly
+    // like the batch searcher's inner join against the term table
+    val terms = Seq("spark", "join", "window", "neverseen")
+    val expected = graft.queries.SearchOps.bm25SearchFromIndex(spark, idx, terms, 15)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+    val mem = MemoryStream[(Long, String)]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = Streams.bm25AlertStream(mem.toDF().toDF("doc_id", "text"), idx, terms)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        out.synchronized { out ++= b.collect().map(r => (r.getLong(0), r.getLong(1))) }
+        ()
+      }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt-bm25").toString)
+      .start()
+    try {
+      mem.addData(corpus.take(2))
+      q.processAllAvailable()
+      mem.addData(corpus.drop(2))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(out.sortBy(t => (-t._2, t._1)).toSeq === expected,
+      "per-doc streaming scores must equal the stored-index batch ranking")
+    assert(!out.exists(_._1 == 3L), "a doc with no query terms emits nothing")
+    assert(out.size === 4)
+  }
+
 }
