@@ -2096,6 +2096,105 @@ object TextOps {
     """.stripMargin.trim),
   )
 
+  // ---------------------------------------------------------------------
+  // SCD2 dimension history — snapshot_diff's day-2 big sibling: given a
+  // SEQUENCE of corpus snapshots, build the slowly-changing-dimension
+  // type-2 table warehouses keep for every dimension: one row per
+  // (doc, contiguous content version) with its validity window and a
+  // current-row flag. Three deterministic snapshot days (day 0 = the
+  // table; day 1 = t_snapshot_diff's transformation; day 2 = a second
+  // drop/revise/add pass over day 1) so the oracle reproduces every
+  // side exactly.
+  //
+  // Version boundaries are lag()-detected per doc (content hash changed
+  // OR a presence gap — a doc that disappears and returns starts a new
+  // version, the SCD2 convention); a running sum of boundaries numbers
+  // the versions, and one groupBy collapses each run to
+  // [valid_from, valid_to]. All windows partition by doc_id — keyed,
+  // 3 rows per key, no skew; at 100 TB the snapshots are separate table
+  // versions and this is one union + one keyed window + one keyed agg.
+  // ---------------------------------------------------------------------
+
+  /** The SCD2 core over any (doc_id, d, h) snapshot-membership frame:
+    * version boundaries (hash change or presence gap), running version
+    * numbers, one row per run with its validity window. Exposed so the
+    * spec can drive planted histories — gaps, reverts, single-day lives
+    * — the deterministic catalog snapshots can't express.
+    */
+  private[graft] def scd2On(snaps: DataFrame, lastDay: Long): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("d"))
+    snaps
+      .withColumn("is_new",
+        when(lag(col("h"), 1).over(w).isNull
+          || lag(col("h"), 1).over(w) =!= col("h")
+          || lag(col("d"), 1).over(w) =!= col("d") - 1L, 1L).otherwise(0L))
+      .withColumn("version",
+        sum(col("is_new")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("version"))
+      .agg(
+        min(col("h")).as("content_hash"), // constant within a run
+        min(col("d")).as("valid_from"),
+        max(col("d")).as("valid_to"))
+      .withColumn("is_current", col("valid_to") === lastDay)
+  }
+
+  val scd2History = Q(
+    "t_scd2_history",
+    (s, d) => {
+      import s.implicits._
+      val d0 = docs(s, d).select($"doc_id", $"text")
+      val d1 = d0.filter($"doc_id" % 10 =!= 0)
+        .select($"doc_id",
+          when($"doc_id" % 7 === 0, concat($"text", lit(" rev2")))
+            .otherwise($"text").as("text"))
+        .unionByName(d0.filter($"doc_id" % 13 === 0)
+          .select(($"doc_id" + 1000000L).as("doc_id"), $"text"))
+      val d2 = d1.filter($"doc_id" % 11 =!= 0)
+        .select($"doc_id",
+          when($"doc_id" % 5 === 0, concat($"text", lit(" rev3")))
+            .otherwise($"text").as("text"))
+        .unionByName(d1.filter($"doc_id" % 17 === 0)
+          .select(($"doc_id" + 2000000L).as("doc_id"), $"text"))
+      val snaps = d0.withColumn("d", lit(0L))
+        .unionByName(d1.withColumn("d", lit(1L)))
+        .unionByName(d2.withColumn("d", lit(2L)))
+        .select($"doc_id", $"d", md5($"text").as("h"))
+      scd2On(snaps, lastDay = 2L)
+    },
+    Some("""
+      WITH d0 AS (SELECT doc_id, text FROM documents),
+      d1 AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0 THEN text || ' rev2' ELSE text END AS text
+        FROM d0 WHERE doc_id % 10 <> 0
+        UNION ALL SELECT doc_id + 1000000, text FROM d0 WHERE doc_id % 13 = 0),
+      d2 AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 5 = 0 THEN text || ' rev3' ELSE text END AS text
+        FROM d1 WHERE doc_id % 11 <> 0
+        UNION ALL SELECT doc_id + 2000000, text FROM d1 WHERE doc_id % 17 = 0),
+      snaps AS (
+        SELECT doc_id, CAST(0 AS BIGINT) AS d, md5(text) AS h FROM d0
+        UNION ALL SELECT doc_id, 1, md5(text) FROM d1
+        UNION ALL SELECT doc_id, 2, md5(text) FROM d2),
+      marked AS (
+        SELECT doc_id, d, h,
+               CASE WHEN LAG(h) OVER w IS NULL OR LAG(h) OVER w <> h
+                         OR LAG(d) OVER w <> d - 1
+                    THEN 1 ELSE 0 END AS is_new
+        FROM snaps WINDOW w AS (PARTITION BY doc_id ORDER BY d)),
+      ver AS (
+        SELECT doc_id, d, h,
+               SUM(is_new) OVER (PARTITION BY doc_id ORDER BY d
+                                 ROWS UNBOUNDED PRECEDING) AS version
+        FROM marked)
+      SELECT doc_id, CAST(version AS BIGINT) AS version, MIN(h) AS content_hash,
+             MIN(d) AS valid_from, MAX(d) AS valid_to,
+             MAX(d) = 2 AS is_current
+      FROM ver GROUP BY doc_id, version
+    """.stripMargin.trim),
+  )
+
   /** The batch-tagged docs frame the delta-ingest specs share (the same
     * hash split the t_delta_* catalog rows use).
     */
@@ -3842,6 +3941,7 @@ object TextOps {
 
   val qs: Seq[Q] = Seq(
     shingleNovelty,
+    scd2History,
     snapshotDiff,
     lshPrecision,
     lshRecall,

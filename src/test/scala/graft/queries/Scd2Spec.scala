@@ -1,0 +1,97 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** SCD2 dimension-history build — planted histories exercising every
+  * version-boundary rule (content change, presence gap, revert, late
+  * add, single-day life) plus brute-force parity on the fixture corpus.
+  */
+class Scd2Spec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("scd2On: planted histories hit every boundary rule") {
+    // (doc_id, day, hash)
+    val snaps = Seq(
+      // doc 1: unchanged across all days -> one current row 0..2
+      (1L, 0L, "a"), (1L, 1L, "a"), (1L, 2L, "a"),
+      // doc 2: changed at day 2 -> two versions, second current
+      (2L, 0L, "a"), (2L, 1L, "a"), (2L, 2L, "b"),
+      // doc 3: removed after day 0 -> one closed row, not current
+      (3L, 0L, "a"),
+      // doc 4: added at day 2 -> one current row 2..2
+      (4L, 2L, "a"),
+      // doc 5: present day 0 and 2, SAME hash but a presence gap ->
+      // two versions (the SCD2 re-add convention), second current
+      (5L, 0L, "a"), (5L, 2L, "a"),
+      // doc 6: a -> b -> a revert: three versions even though the
+      // content hash repeats
+      (6L, 0L, "a"), (6L, 1L, "b"), (6L, 2L, "a"),
+    ).toDF("doc_id", "d", "h")
+    val got = TextOps.scd2On(snaps, lastDay = 2L)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("version")) ->
+        ((r.getAs[String]("content_hash"), r.getAs[Long]("valid_from"),
+          r.getAs[Long]("valid_to"), r.getAs[Boolean]("is_current"))))
+      .toMap
+    assert(got((1L, 1L)) === (("a", 0L, 2L, true)))
+    assert(got((2L, 1L)) === (("a", 0L, 1L, false)))
+    assert(got((2L, 2L)) === (("b", 2L, 2L, true)))
+    assert(got((3L, 1L)) === (("a", 0L, 0L, false)))
+    assert(got((4L, 1L)) === (("a", 2L, 2L, true)))
+    assert(got((5L, 1L)) === (("a", 0L, 0L, false)))
+    assert(got((5L, 2L)) === (("a", 2L, 2L, true)))
+    assert(got((6L, 1L)) === (("a", 0L, 0L, false)))
+    assert(got((6L, 2L)) === (("b", 1L, 1L, false)))
+    assert(got((6L, 3L)) === (("a", 2L, 2L, true)))
+    assert(got.size === 10)
+  }
+
+  test("t_scd2_history equals a brute-force per-doc run-length scan") {
+    // independently rebuild the three snapshots and the expected runs
+    val base = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", $"text")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val day0 = base.toMap
+    val day1 = (base.filter(_._1 % 10 != 0).map { case (id, t) =>
+      id -> (if (id % 7 == 0) t + " rev2" else t)
+    } ++ base.filter(_._1 % 13 == 0).map { case (id, t) => (id + 1000000L) -> t }).toMap
+    val day2 = (day1.toSeq.filter(_._1 % 11 != 0).map { case (id, t) =>
+      id -> (if (id % 5 == 0) t + " rev3" else t)
+    } ++ day1.toSeq.filter(_._1 % 17 == 0).map { case (id, t) => (id + 2000000L) -> t }).toMap
+    val days = Seq(day0, day1, day2)
+    val allIds = days.flatMap(_.keySet).distinct
+    val expect = allIds.flatMap { id =>
+      val presence = (0 to 2).flatMap(d => days(d).get(id).map(t => (d.toLong, md5hex(t))))
+      // split into runs: new run on gap or hash change
+      val runs = presence.foldLeft(Vector.empty[Vector[(Long, String)]]) {
+        case (acc, (d, h)) =>
+          if (acc.nonEmpty && acc.last.last._2 == h && acc.last.last._1 == d - 1)
+            acc.init :+ (acc.last :+ ((d, h)))
+          else acc :+ Vector((d, h))
+      }
+      runs.zipWithIndex.map { case (run, i) =>
+        (id, (i + 1).toLong) ->
+          ((run.head._2, run.head._1, run.last._1, run.last._1 == 2L))
+      }
+    }.toMap
+    val got = Catalog.queries("t_scd2_history")(spark, sf)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("version")) ->
+        ((r.getAs[String]("content_hash"), r.getAs[Long]("valid_from"),
+          r.getAs[Long]("valid_to"), r.getAs[Boolean]("is_current"))))
+      .toMap
+    assert(got === expect)
+    // the fixture must actually exercise all four lifecycle shapes
+    val shapes = got.values.toSeq
+    assert(shapes.exists(v => v._2 == 0L && v._3 == 2L && v._4), "survivor")
+    assert(shapes.exists(v => !v._4), "closed version")
+    assert(shapes.exists(v => v._2 > 0L), "late add")
+    assert(got.keySet.exists(_._2 >= 2L), "multi-version doc")
+  }
+}
