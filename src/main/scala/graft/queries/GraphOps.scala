@@ -909,8 +909,74 @@ object GraphOps {
     """.stripMargin.trim),
   )
 
+  // ---------------------------------------------------------------------
+  // Item communities — connected components over the co-occurrence graph
+  // thresholded at minSupport shared users: the behavior-derived item
+  // taxonomy a recommender or curation pipeline groups by. The resolver
+  // is the SAME pointer-doubling CC as the near-dup clusters
+  // (TextOps.connectedComponents — O(log diameter) rounds), pointed at
+  // the behavioral graph; the support threshold prunes the noise edges
+  // that would otherwise merge everything through one promiscuous user
+  // pair. Singleton items (no qualifying edge) are their own community,
+  // so rows cover the full item universe.
+  //
+  // 100 TB shape: the pair join runs at the distinct (user, item) grain
+  // like e_item_cooccur (items << users); CC cost is graph-sized only.
+  // The oracle computes TRUE components (recursive CTE), so the gate
+  // also pins convergence, not just per-round parity.
+  // ---------------------------------------------------------------------
+  private val commMinSupport = 2L
+
+  val communities = Q(
+    "e_communities",
+    (s, d) => {
+      import s.implicits._
+      val ui = ev(s, d).filter($"item".isNotNull)
+        .select($"user_id", $"item").distinct()
+      val edges = ui.select($"user_id", $"item".as("i1"))
+        .join(ui.select($"user_id", $"item".as("i2")), "user_id")
+        .filter($"i1" < $"i2")
+        .groupBy($"i1", $"i2").agg(count(lit(1)).as("n_users"))
+        .filter($"n_users" >= commMinSupport)
+        .select($"i1".as("doc_a"), $"i2".as("doc_b"))
+      val labels = TextOps.connectedComponents(edges)
+        .select($"v".as("item"), $"rep", $"converged")
+      val lbl = ui.select($"item").distinct()
+        .join(labels, Seq("item"), "left")
+        .select($"item",
+          coalesce($"rep", $"item").as("community"),
+          coalesce($"converged", lit(true)).as("converged"))
+      val sizes = lbl.groupBy($"community").agg(count(lit(1)).as("community_size"))
+      lbl.join(sizes, "community")
+        .select($"item", $"community", $"community_size", $"converged")
+    },
+    Some(s"""
+      ${oracleBase.replaceFirst("WITH ", "WITH RECURSIVE ")},
+      ui AS (SELECT DISTINCT user_id, item FROM base WHERE item IS NOT NULL),
+      pairs AS (
+        SELECT a.item AS i1, b.item AS i2, COUNT(*) AS n_users
+        FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item < b.item
+        GROUP BY 1, 2),
+      ed AS (SELECT i1, i2 FROM pairs WHERE n_users >= $commMinSupport),
+      und AS (SELECT i1 AS v, i2 AS nbr FROM ed UNION SELECT i2, i1 FROM ed),
+      reach(v, r) AS (
+        SELECT v, v FROM (SELECT DISTINCT v FROM und)
+        UNION
+        SELECT u.v, reach.r FROM und u JOIN reach ON u.nbr = reach.v),
+      comp AS (SELECT v, MIN(r) AS rep FROM reach GROUP BY v),
+      items AS (SELECT DISTINCT item FROM ui),
+      lbl AS (
+        SELECT i.item, COALESCE(c.rep, i.item) AS community
+        FROM items i LEFT JOIN comp c ON c.v = i.item),
+      sizes AS (SELECT community, COUNT(*) AS community_size FROM lbl GROUP BY 1)
+      SELECT l.item, l.community, s.community_size, TRUE AS converged
+      FROM lbl l JOIN sizes s USING (community)
+    """.stripMargin.trim),
+  )
+
   val qs: Seq[Q] = Seq(
     pageRank, cohortRetention, rollingActive, itemCooccur, markovNext,
     pathTopN, anomalyDays, clustering, valueQuantiles, incrAgg,
-    recommendations, pageRankSeeded, bfsHops, timeToConvert, dowProfile)
+    recommendations, pageRankSeeded, bfsHops, timeToConvert, dowProfile,
+    communities)
 }

@@ -319,6 +319,59 @@ object SearchOps {
   )
 
   // ---------------------------------------------------------------------
+  // Exact-phrase ranked retrieval — the adjacency-aware query class the
+  // bag-of-words rankers above cannot express ("spark join" as a
+  // contiguous phrase, not two terms anywhere). Positions come straight
+  // off the token array in the same tokenize pass (a positional-postings
+  // scan without materializing positions): the occurrence count is a
+  // pure pre-shuffle projection per doc, then the usual
+  // TakeOrderedAndProject + rank-above-limit. The CASE guard mirrors
+  // shinglesOfTk's: Spark's sequence(1, 0) DESCENDS where DuckDB's
+  // generate_series(1, 0) is empty.
+  // ---------------------------------------------------------------------
+
+  private val phraseTerms = Seq("spark", "join")
+
+  val phraseSearch = Q(
+    "t_phrase_search",
+    (s, d) => {
+      import s.implicits._
+      val adj = (1 to phraseTerms.length).zip(phraseTerms).map { case (off, w) =>
+        s"element_at(tk, i + ${off - 1}) = '$w'"
+      }.mkString(" AND ")
+      docs(s, d)
+        .select($"doc_id", TextOps.toks.as("tk"))
+        .withColumn("phrase_tf", expr(
+          s"""CASE WHEN size(tk) >= ${phraseTerms.length}
+             |THEN cast(size(filter(sequence(1, size(tk) - ${phraseTerms.length - 1}),
+             |  i -> $adj)) AS BIGINT) ELSE 0L END""".stripMargin))
+        .filter($"phrase_tf" > 0L)
+        .select($"doc_id", $"phrase_tf")
+        .orderBy($"phrase_tf".desc, $"doc_id")
+        .limit(searchK)
+        .withColumn("rnk",
+          row_number().over(Window.orderBy($"phrase_tf".desc, $"doc_id")).cast("long"))
+    },
+    Some {
+      val adj = (1 to phraseTerms.length).zip(phraseTerms).map { case (off, w) =>
+        s"tk[i + ${off - 1}] = '$w'"
+      }.mkString(" AND ")
+      s"""
+      WITH tok AS (SELECT doc_id, ${TextOps.oracleToks} AS tk FROM documents),
+      hits AS (
+        SELECT doc_id,
+               CAST(len(list_filter(
+                 generate_series(1, greatest(len(tk) - ${phraseTerms.length - 1}, 0)),
+                 i -> $adj)) AS BIGINT) AS phrase_tf
+        FROM tok)
+      SELECT doc_id, phrase_tf,
+             ROW_NUMBER() OVER (ORDER BY phrase_tf DESC, doc_id) AS rnk
+      FROM hits WHERE phrase_tf > 0 QUALIFY rnk <= $searchK
+    """.stripMargin.trim
+    },
+  )
+
+  // ---------------------------------------------------------------------
   // Pseudo-relevance feedback (Rocchio-style query expansion): retrieve
   // with the standing query, take the top-10 feedback docs, promote
   // their 2 heaviest non-query terms (by summed tf, ties by term) into
@@ -701,6 +754,6 @@ object SearchOps {
   )
 
   val qs: Seq[Q] = Seq(
-    boolSearch, tfidfSearch, bm25Search, rrfFusion, prfExpand,
+    boolSearch, tfidfSearch, bm25Search, rrfFusion, prfExpand, phraseSearch,
     entityResolution, entityCanon, entityTypos)
 }

@@ -315,4 +315,46 @@ class GraphOpsSpec extends SparkSpec {
     // descending support, deterministic tiebreak
     assert(rows.map(_._3).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
   }
+
+  test("e_communities equals brute-force union-find over the thresholded co-occur graph") {
+    val sf = "/root/testdata/sf0.001"
+    // independently rebuild the (user, item) pairs the operator derives
+    val ui = graft.sources.Tables.events(spark, sf)
+      .selectExpr("user_id",
+        "TRY_CAST(regexp_extract(props, '(\\\\d+)', 1) AS BIGINT) AS item")
+      .where("item IS NOT NULL")
+      .distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byUser = ui.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val support = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    byUser.values.foreach { items =>
+      for (i <- items.indices; j <- i + 1 until items.length)
+        support((items(i), items(j))) = support.getOrElse((items(i), items(j)), 0L) + 1L
+    }
+    val items = ui.map(_._2).distinct
+    val parent = scala.collection.mutable.Map(items.map(i => i -> i): _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    // NB: .collect on the Map with a tuple result would rebuild a Map and
+    // silently collapse edges sharing a source — iterate explicitly
+    support.iterator.foreach { case ((a, b), n) =>
+      if (n >= 2L) {
+        val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+    }
+    val expectComm = items.map(i => i -> find(i)).toMap
+    val expectSizes = expectComm.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = Catalog.queries("e_communities")(spark, sf)
+      .collect()
+      .map(r => r.getAs[Long]("item") ->
+        ((r.getAs[Long]("community"), r.getAs[Long]("community_size"), r.getAs[Boolean]("converged"))))
+      .toMap
+    assert(got.keySet === items.toSet)
+    got.foreach { case (item, (comm, size, conv)) =>
+      assert(comm === expectComm(item), s"item $item community")
+      assert(size === expectSizes(expectComm(item)), s"item $item community size")
+      assert(conv)
+    }
+    // the fixture graph must be non-trivial in both directions
+    assert(expectSizes.values.exists(_ > 1L), "at least one multi-item community")
+  }
 }

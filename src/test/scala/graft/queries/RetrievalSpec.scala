@@ -158,6 +158,34 @@ class RetrievalSpec extends SparkSpec {
     assert(got(4L) === ((4L, 3L, 750000L)))
   }
 
+  test("t_phrase_search: adjacency is real — scattered or reordered terms don't match") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-phrase").toString
+    Seq(
+      (1L, "spark join here and spark join there", "en", "web", 38L), // tf 2
+      (2L, "a spark join b", "en", "web", 14L), // tf 1
+      (3L, "spark x join", "en", "web", 12L), // scattered -> no match
+      (4L, "join spark", "en", "web", 10L), // reversed -> no match
+      (5L, "spark", "en", "web", 5L), // shorter than the phrase
+      (6L, "", "en", "web", 0L), // empty text -> no tokens
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = Catalog.queries("t_phrase_search")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq((1L, 2L, 1L), (2L, 1L, 2L)))
+  }
+
+  test("t_phrase_search parity with a brute-force sliding scan on the fixture") {
+    val expect = docToks.map { case (id, tk) =>
+      id -> tk.sliding(2).count(w => w.length == 2 && w(0) == "spark" && w(1) == "join").toLong
+    }.filter(_._2 > 0)
+      .sortBy { case (id, tf) => (-tf, id) }.take(15)
+      .zipWithIndex.map { case ((id, tf), i) => (id, tf, (i + 1).toLong) }
+    val got = Catalog.queries("t_phrase_search")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === expect)
+    assert(got.nonEmpty)
+  }
+
   test("t_shingle_novelty parity with brute force on the fixture") {
     val shingles = docToks.map { case (id, tk) =>
       id -> tk.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
