@@ -495,40 +495,130 @@ object GraphOps {
   //
   // 100 TB shape: the log reduces to distinct (user, item) first; the
   // pair join is per-user (equi-join on user_id), so cost is
-  // Σ_u d_u² where d_u is the user's DISTINCT-item degree — bounded by
-  // the item-catalog size, not the event count. For web-scale catalogs
-  // the standard mitigation is capping d_u (drop bot-grade users)
-  // before pairing; the synthetic catalog (~100 items) doesn't need it.
-  // Final top-k is a TakeOrderedAndProject, no global sort.
+  // Σ_u d_u² where d_u is the user's DISTINCT-item degree. That sum is
+  // the family's one skew hazard: a single bot-grade user with 10⁵
+  // distinct items is 5·10⁹ pairs in ONE join group, which AQE cannot
+  // split (one key = one group). So every pair-join query in this file
+  // caps d_u first ([[cappedUi]]): users above `maxUserDegree` are
+  // dropped from PAIRING entirely (their co-visit signal is bot noise,
+  // the standard CF mitigation), bounding every join group at cap²
+  // pairs. The cap is mirrored in each oracle; `e_degree_cap_audit`
+  // surfaces how many users it removed. Final top-k is a
+  // TakeOrderedAndProject, no global sort.
   // ---------------------------------------------------------------------
   private val cooccurK = 20
+
+  /** Per-user distinct-item degree cap for the pair-join family
+    * (e_item_cooccur / e_recommendations / e_communities). 100 =
+    * "touched over 100 distinct items" — bot-grade for a human-scale
+    * catalog session log; the fixture's max organic degree is 67, so at
+    * test SFs the cap removes nobody (all three oracles stay
+    * bit-identical) while the planted-bot spec pins the firing path.
+    */
+  private[graft] val maxUserDegree = 100L
+
+  /** Drop bot-grade users from a distinct (user_id, item) frame before
+    * pairing. The degree count is a window over user_id — the SAME key
+    * the pair self-join shuffles on, so the window's exchange is the
+    * join's exchange (no extra shuffle), and the filter runs before any
+    * pair is formed: a capped user contributes zero join rows, not
+    * cap-many.
+    */
+  private[graft] def cappedUi(ui: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    ui.withColumn("deg", count(lit(1)).over(w))
+      .filter(col("deg") <= maxUserDegree)
+      .drop("deg")
+  }
+
+  /** Oracle mirror of [[cappedUi]] over a CTE named `ui`. */
+  private def oracleCappedUi: String =
+    s"""uic AS (
+       |  SELECT user_id, item FROM (
+       |    SELECT user_id, item,
+       |           COUNT(*) OVER (PARTITION BY user_id) AS deg FROM ui)
+       |  WHERE deg <= $maxUserDegree)""".stripMargin
+
+  /** Unordered co-visited item pairs with user support, from an ALREADY
+    * capped (user_id, item) frame — the shared pair generator. Exposed
+    * (with [[cappedUi]]) so the planted-bot spec can drive the capped
+    * path the fixtures never trigger.
+    */
+  private[graft] def pairSupport(uic: DataFrame): DataFrame =
+    uic.select(col("user_id"), col("item").as("i1"))
+      .join(uic.select(col("user_id"), col("item").as("i2")), "user_id")
+      .filter(col("i1") < col("i2"))
+      .groupBy(col("i1"), col("i2"))
+      .agg(count(lit(1)).as("n_users"))
+
+  private def distinctUi(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    ev(s, d).filter($"item".isNotNull)
+      .select($"user_id", $"item").distinct()
+  }
 
   val itemCooccur = Q(
     "e_item_cooccur",
     (s, d) => {
       import s.implicits._
-      val ui = ev(s, d).filter($"item".isNotNull)
-        .select($"user_id", $"item").distinct()
-      val a = ui.select($"user_id", $"item".as("i1"))
-      val b = ui.select($"user_id", $"item".as("i2"))
-      a.join(b, "user_id")
-        .filter($"i1" < $"i2")
-        .groupBy($"i1", $"i2")
-        .agg(count(lit(1)).as("n_users"))
+      pairSupport(cappedUi(distinctUi(s, d)))
         .orderBy($"n_users".desc, $"i1", $"i2")
         .limit(cooccurK)
     },
     Some(s"""
       $oracleBase,
       ui AS (SELECT DISTINCT user_id, item FROM base WHERE item IS NOT NULL),
+      $oracleCappedUi,
       pairs AS (
         SELECT a.item AS i1, b.item AS i2, COUNT(*) AS n_users
-        FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item < b.item
+        FROM uic a JOIN uic b ON a.user_id = b.user_id AND a.item < b.item
         GROUP BY 1, 2)
       SELECT i1, i2, n_users FROM pairs
       ORDER BY n_users DESC, i1, i2 LIMIT $cooccurK
     """.stripMargin.trim),
     bench = true, // tracks the pair join at the distinct (user, item) grain
+  )
+
+  // ---------------------------------------------------------------------
+  // Degree-cap observability: how much did the pair-join family's
+  // bot-cap remove? One row — user count, capped-user count, the
+  // pairing work the cap averted (Σ d_u² over capped users, in pair
+  // units), and the max organic degree. The companion every silent
+  // filter needs: a pipeline operator can alert on n_capped_users
+  // jumping, and the 100 TB operator reads avoided_pairs as the cost
+  // the cap saved. Grain: one global agg over the user-degree frame
+  // (|users| rows) — free at any scale.
+  // ---------------------------------------------------------------------
+  /** The audit aggregation over any distinct (user_id, item) frame —
+    * exposed so the planted-bot spec can pin the capped-path numbers
+    * the organic fixtures never produce.
+    */
+  private[graft] def degreeCapAuditOn(ui: DataFrame): DataFrame =
+    ui.groupBy(col("user_id")).agg(count(lit(1)).as("deg"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        coalesce(sum(when(col("deg") > maxUserDegree, 1L).otherwise(0L)), lit(0L))
+          .as("n_capped_users"),
+        coalesce(sum(when(col("deg") > maxUserDegree,
+          expr("(deg * (deg - 1L)) div 2L")).otherwise(0L)), lit(0L))
+          .as("avoided_pairs"),
+        coalesce(max(col("deg")), lit(0L)).as("max_degree"))
+
+  val degreeCapAudit = Q(
+    "e_degree_cap_audit",
+    (s, d) => degreeCapAuditOn(distinctUi(s, d)),
+    Some(s"""
+      $oracleBase,
+      ui AS (SELECT DISTINCT user_id, item FROM base WHERE item IS NOT NULL),
+      deg AS (SELECT user_id, COUNT(*) AS d FROM ui GROUP BY 1)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(COALESCE(SUM(CASE WHEN d > $maxUserDegree THEN 1 ELSE 0 END), 0)
+               AS BIGINT) AS n_capped_users,
+             CAST(COALESCE(SUM(CASE WHEN d > $maxUserDegree THEN d * (d - 1) // 2
+               ELSE 0 END), 0) AS BIGINT) AS avoided_pairs,
+             CAST(COALESCE(MAX(d), 0) AS BIGINT) AS max_degree
+      FROM deg
+    """.stripMargin.trim),
   )
 
   // ---------------------------------------------------------------------
@@ -826,6 +916,10 @@ object GraphOps {
   // grain; the anti-join removes already-seen items; the final rank is
   // a bounded per-user window. At catalog scale the pair table is
   // |items|², the standard item-item CF regime (items ≪ users).
+  // The pair generator runs over the degree-capped user set ([[cappedUi]]
+  // — bot co-visits are noise in the support model); SCORING keeps the
+  // full user set (capped users still receive recommendations, their
+  // per-user join is linear, not quadratic).
   // ---------------------------------------------------------------------
   private val recK = 3
 
@@ -833,12 +927,8 @@ object GraphOps {
     "e_recommendations",
     (s, d) => {
       import s.implicits._
-      val ui = ev(s, d).filter($"item".isNotNull)
-        .select($"user_id", $"item").distinct()
-      val pairs = ui.select($"user_id", $"item".as("i1"))
-        .join(ui.select($"user_id", $"item".as("i2")), "user_id")
-        .filter($"i1" < $"i2")
-        .groupBy($"i1", $"i2").agg(count(lit(1)).as("n"))
+      val ui = distinctUi(s, d)
+      val pairs = pairSupport(cappedUi(ui)).withColumnRenamed("n_users", "n")
       val sym = pairs.select($"i1".as("item"), $"i2".as("rec"), $"n")
         .unionByName(pairs.select($"i2".as("item"), $"i1".as("rec"), $"n"))
       val scored = ui.join(sym, "item")
@@ -854,9 +944,10 @@ object GraphOps {
     Some(s"""
       $oracleBase,
       ui AS (SELECT DISTINCT user_id, item FROM base WHERE item IS NOT NULL),
+      $oracleCappedUi,
       pairs AS (
         SELECT a.item AS i1, b.item AS i2, COUNT(*) AS n
-        FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item < b.item
+        FROM uic a JOIN uic b ON a.user_id = b.user_id AND a.item < b.item
         GROUP BY 1, 2),
       sym AS (
         SELECT i1 AS item, i2 AS rec, n FROM pairs
@@ -921,9 +1012,14 @@ object GraphOps {
   // so rows cover the full item universe.
   //
   // 100 TB shape: the pair join runs at the distinct (user, item) grain
-  // like e_item_cooccur (items << users); CC cost is graph-sized only.
-  // The oracle computes TRUE components (recursive CTE), so the gate
-  // also pins convergence, not just per-round parity.
+  // like e_item_cooccur (items << users), degree-capped by [[cappedUi]]
+  // (a bot's promiscuous co-visits would also BRIDGE unrelated
+  // communities, so the cap is a quality fix here, not just a cost
+  // one); CC cost is graph-sized only. The item universe for labeling
+  // stays UNcapped — a capped user's items still appear, as singletons
+  // unless organic edges connect them. The oracle computes TRUE
+  // components (recursive CTE), so the gate also pins convergence, not
+  // just per-round parity.
   // ---------------------------------------------------------------------
   private val commMinSupport = 2L
 
@@ -931,12 +1027,8 @@ object GraphOps {
     "e_communities",
     (s, d) => {
       import s.implicits._
-      val ui = ev(s, d).filter($"item".isNotNull)
-        .select($"user_id", $"item").distinct()
-      val edges = ui.select($"user_id", $"item".as("i1"))
-        .join(ui.select($"user_id", $"item".as("i2")), "user_id")
-        .filter($"i1" < $"i2")
-        .groupBy($"i1", $"i2").agg(count(lit(1)).as("n_users"))
+      val ui = distinctUi(s, d)
+      val edges = pairSupport(cappedUi(ui))
         .filter($"n_users" >= commMinSupport)
         .select($"i1".as("doc_a"), $"i2".as("doc_b"))
       val labels = TextOps.connectedComponents(edges)
@@ -953,9 +1045,10 @@ object GraphOps {
     Some(s"""
       ${oracleBase.replaceFirst("WITH ", "WITH RECURSIVE ")},
       ui AS (SELECT DISTINCT user_id, item FROM base WHERE item IS NOT NULL),
+      $oracleCappedUi,
       pairs AS (
         SELECT a.item AS i1, b.item AS i2, COUNT(*) AS n_users
-        FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item < b.item
+        FROM uic a JOIN uic b ON a.user_id = b.user_id AND a.item < b.item
         GROUP BY 1, 2),
       ed AS (SELECT i1, i2 FROM pairs WHERE n_users >= $commMinSupport),
       und AS (SELECT i1 AS v, i2 AS nbr FROM ed UNION SELECT i2, i1 FROM ed),
@@ -978,5 +1071,5 @@ object GraphOps {
     pageRank, cohortRetention, rollingActive, itemCooccur, markovNext,
     pathTopN, anomalyDays, clustering, valueQuantiles, incrAgg,
     recommendations, pageRankSeeded, bfsHops, timeToConvert, dowProfile,
-    communities)
+    communities, degreeCapAudit)
 }

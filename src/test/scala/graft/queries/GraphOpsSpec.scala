@@ -357,4 +357,49 @@ class GraphOpsSpec extends SparkSpec {
     // the fixture graph must be non-trivial in both directions
     assert(expectSizes.values.exists(_ > 1L), "at least one multi-item community")
   }
+
+  test("degree cap: a planted bot user is dropped from pairing; organic pairs unchanged") {
+    // 3 organic users over 4 items + one bot touching maxUserDegree+50
+    // distinct items (including the organic ones, so uncapped pairing
+    // would BOTH inflate organic supports and bridge everything).
+    val organic = Seq(
+      (1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L), (3L, 11L), (3L, 12L), (3L, 13L))
+    val bot = (0 until (GraphOps.maxUserDegree + 50L).toInt)
+      .map(i => (99L, 10L + i.toLong))
+    val ui = (organic ++ bot).toDF("user_id", "item")
+
+    val capped = GraphOps.cappedUi(ui).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(capped.toSet === organic.toSet, "bot rows removed, organic rows intact")
+
+    val pairs = GraphOps.pairSupport(GraphOps.cappedUi(ui))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // brute-force supports over the ORGANIC users only
+    val expect = organic.groupBy(_._1).values.flatMap { rows =>
+      val items = rows.map(_._2).sorted
+      for (i <- items.indices; j <- i + 1 until items.length) yield (items(i), items(j))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(pairs === expect)
+    // uncapped pairing would have produced bot-bridged pairs like (12, 13+k)
+    assert(!pairs.contains((12L, 14L)), "no bot-only pair survives")
+
+    // a user AT the cap is kept (cap is inclusive)
+    val atCap = (0 until GraphOps.maxUserDegree.toInt).map(i => (7L, 100L + i.toLong))
+    assert(GraphOps.cappedUi(atCap.toDF("user_id", "item")).count()
+      === GraphOps.maxUserDegree)
+
+    // the audit surfaces exactly the one capped user and the work avoided
+    val cap = GraphOps.maxUserDegree
+    val botDeg = cap + 50L
+    val a = GraphOps.degreeCapAuditOn(ui).collect().head
+    assert(a.getAs[Long]("n_users") === 4L)
+    assert(a.getAs[Long]("n_capped_users") === 1L)
+    assert(a.getAs[Long]("avoided_pairs") === botDeg * (botDeg - 1L) / 2L)
+    assert(a.getAs[Long]("max_degree") === botDeg)
+    // and on the organic catalog the cap removes nobody (the contract
+    // that keeps all three pair-join oracles bit-identical at test SFs)
+    val cat = Catalog.queries("e_degree_cap_audit")(spark, "/root/testdata/sf0.001")
+      .collect().head
+    assert(cat.getAs[Long]("n_capped_users") === 0L)
+    assert(cat.getAs[Long]("max_degree") <= cap)
+  }
 }
