@@ -105,8 +105,25 @@ object Bench {
         times = times ++ rep()
         attempts += 1
       }
+      // Still over the gate after maxReps = sustained machine-load noise,
+      // not a one-off outlier. Retry the whole measurement ONCE (a fresh
+      // batch of `reps` after a settle pause — transient load is usually
+      // gone seconds later); BENCH_r13 published 6 gate-violating queries
+      // that an idle rerun showed were pure load artifacts.
+      if (times.nonEmpty && fastSpread(times) > spreadGate) {
+        Thread.sleep(2000)
+        times = times ++ (1 to reps).flatMap(_ => rep())
+      }
       name -> times
     }
+    // Queries whose FINAL fast-3 spread still violates the gate: their
+    // published min is load-contaminated, not reproducible. They publish
+    // (a number beats absence) but carry the flag so a round-over-round
+    // comparison can exclude them instead of chasing phantom regressions.
+    val noisyNames = results.collect {
+      case (k, v) if v.nonEmpty && fastSpread(v) > spreadGate => k
+    }
+    val noisy = noisyNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v.minOption.fold("null")(_.toString) }
       .mkString("{", ",", "}")
     // every successful rep, so a reader can see the published number is
@@ -165,7 +182,7 @@ object Bench {
     // compact summary (total + min-of-reps per query) that stays parseable
     // no matter how many queries the headline set grows to.
     val detail =
-      s"""{"metric":"detail","medians":$medians,"spread":$spreads,"spread_fast3":$spreadsFast,"reps":$allReps,"sweep":$sweepJson,"sf":"$sfDir"}"""
+      s"""{"metric":"detail","medians":$medians,"spread":$spreads,"spread_fast3":$spreadsFast,"noisy":$noisy,"reps":$allReps,"sweep":$sweepJson,"sf":"$sfDir"}"""
     try {
       val out = java.nio.file.Paths.get("bench_detail.json")
       java.nio.file.Files.write(out, (detail + "\n").getBytes("UTF-8"))
@@ -178,7 +195,7 @@ object Bench {
     } catch { case _: Throwable => () }
     println(detail)
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"noisy":$noisy,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1065,6 +1065,7 @@ object GraphOps {
       SELECT l.item, l.community, s.community_size, TRUE AS converged
       FROM lbl l JOIN sizes s USING (community)
     """.stripMargin.trim),
+    bench = true, // pair join + iterative CC over the behavioral graph
   )
 
   val qs: Seq[Q] = Seq(

@@ -2193,6 +2193,7 @@ object TextOps {
              MAX(d) = 2 AS is_current
       FROM ver GROUP BY doc_id, version
     """.stripMargin.trim),
+    bench = true, // multi-snapshot keyed-window shape the headline set lacks
   )
 
   /** The batch-tagged docs frame the delta-ingest specs share (the same
