@@ -311,12 +311,14 @@ object GraphOps {
     * the graph).
     */
   def writeTransitionGraph(evs: DataFrame, path: String): Unit = {
+    import graft.sources.IndexManifest
     val s = evs.sparkSession
     import s.implicits._
     transitionEdges(evs)
-      .write.mode("overwrite").parquet(s"$path/edges")
+      .write.mode("overwrite").parquet(IndexManifest.epochDir(path, "edges", 0L))
     evs.filter($"item".isNotNull).select($"item").distinct()
-      .write.mode("overwrite").parquet(s"$path/nodes")
+      .write.mode("overwrite").parquet(IndexManifest.epochDir(path, "nodes", 0L))
+    IndexManifest.commit(path, 0L)
   }
 
   /** Fold a NEW slice of the event log into the stored transition graph
@@ -329,39 +331,53 @@ object GraphOps {
     * no transition is missed at the ingest boundary and none double-
     * counts (the carry event's outgoing edge was never counted before:
     * it was the slice's last event). Edge weights full-outer merge,
-    * nodes union — both checkpointed before overwriting their own
-    * input dirs. GraphOpsSpec pins edge/node/rank equality with a
+    * nodes union. GraphOpsSpec pins edge/node/rank equality with a
     * full-log rebuild. The streaming twin (`transitionStream`) holds
-    * the same carry as its 16-byte per-user state. Crash caveat as
-    * `TextOps.appendLshIndex`: edges rewrite before nodes — commit
-    * marker in production.
+    * the same carry as its 16-byte per-user state. Crash-atomic via
+    * [[graft.sources.IndexManifest]]: both merged tables stage into
+    * epoch e's directories (reading the committed e-1 copies — no
+    * self-overwrite, so the old pre-materialization checkpoints are
+    * gone too), the manifest flips last; a failed append is invisible
+    * and its retry overwrites the orphan stage.
     */
   def appendTransitionGraph(deltaWithCarry: DataFrame, path: String): Unit = {
+    import graft.sources.IndexManifest
+    val e = IndexManifest.committedEpoch(path) + 1L
+    stageTransitionAppend(deltaWithCarry, path, e)
+    IndexManifest.commit(path, e)
+  }
+
+  /** Stage (but do NOT commit) epoch `e` of a transition-graph append —
+    * exposed for the atomicity spec.
+    */
+  private[graft] def stageTransitionAppend(
+      deltaWithCarry: DataFrame, path: String, e: Long): Unit = {
+    import graft.sources.IndexManifest
     val s = deltaWithCarry.sparkSession
     import s.implicits._
-    val merged = s.read.parquet(s"$path/edges")
+    IndexManifest.readRewrite(s, path, "edges")
       .join(transitionEdges(deltaWithCarry).withColumnRenamed("w", "w_add"),
         Seq("src", "dst"), "full_outer")
       .select($"src", $"dst",
         (coalesce($"w", lit(0L)) + coalesce($"w_add", lit(0L))).as("w"))
-      .localCheckpoint(true)
-    merged.write.mode("overwrite").parquet(s"$path/edges")
-    val nodes = s.read.parquet(s"$path/nodes")
+      .write.mode("overwrite").parquet(IndexManifest.epochDir(path, "edges", e))
+    IndexManifest.readRewrite(s, path, "nodes")
       .unionByName(deltaWithCarry.filter($"item".isNotNull).select($"item"))
       .distinct()
-      .localCheckpoint(true)
-    nodes.write.mode("overwrite").parquet(s"$path/nodes")
+      .write.mode("overwrite").parquet(IndexManifest.epochDir(path, "nodes", e))
   }
 
   /** PageRank against the STORED graph — identical ranking contract to
     * the inline `e_pagerank` (the parity spec pins it); touches only
-    * the persisted graph-sized tables.
+    * the persisted graph-sized tables at their committed epoch.
     */
-  def pageRankFromGraph(s: SparkSession, path: String): DataFrame =
+  def pageRankFromGraph(s: SparkSession, path: String): DataFrame = {
+    import graft.sources.IndexManifest
     pageRankOn(
-      s.read.parquet(s"$path/nodes"),
-      s.read.parquet(s"$path/edges"),
+      IndexManifest.readRewrite(s, path, "nodes"),
+      IndexManifest.readRewrite(s, path, "edges"),
       prIters)
+  }
 
   /** (src, dst, w) transition edges from the event log: one per-user
     * ordered pass (a single shuffle on user_id), self-loops dropped.

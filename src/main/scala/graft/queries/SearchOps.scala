@@ -124,10 +124,20 @@ object SearchOps {
   //
   // (TL = total corpus tokens, N = docs, dl = this doc's length) — no
   // floats anywhere, so Spark and DuckDB agree bit-for-bit. idf keeps the
-  // pack's log-free ppm surrogate (object docs). Overflow bound: ANSI
-  // mode throws past 22e6·tf·TL ≥ 2^63, i.e. tf·TL ≥ 4.2e11 — at 100 TB
-  // TL is computed per-shard or the math moves to DECIMAL(38); at every
-  // test SF the headroom is > 10^5.
+  // pack's log-free ppm surrogate (object docs). Overflow bounds (ANSI
+  // mode throws rather than wraps, so these are availability bounds, not
+  // correctness ones):
+  //   - saturation numerator: 22e6·tf·TL ≥ 2^63 at tf·TL ≥ 4.2e11;
+  //   - summed score: a df=1 term has idf_ppm = N·1e6 and sat_pp6 up to
+  //     2.2e6, so ONE posting can contribute ~2.2e12·N — the per-doc
+  //     Σ idf_ppm·sat_pp6 overflows int64 around N ≥ 4.2e6 docs even
+  //     when the saturation bound holds. The standing query uses
+  //     mid-frequency terms, but prfExpand scores dynamically promoted
+  //     expansion terms through the same expression, where a rare term
+  //     CAN carry df=1.
+  // At 100 TB both move together: TL/N computed per-shard or the score
+  // accumulation widened to DECIMAL(38) (idf capping is the lossy
+  // alternative). At every test SF the headroom is > 10^5 on both.
   //
   // Scale shape: one corpus scan for (TL, N) — a 1-row driver hand-off,
   // same sanction class as tfidfSearch's count — and one for the probed
@@ -517,9 +527,35 @@ object SearchOps {
     java.lang.Long.parseLong(hex.take(15), 16)
   }
 
+  /** POSITIONAL posting rows for a docs frame: (doc_id, dl, t, tf,
+    * positions, bucket). Positions are the term's 0-based token offsets
+    * (sorted int array) — what [[phraseSearchFromIndex]] intersects;
+    * they ride the same tokenize pass that already derives dl and tf,
+    * so storing them costs no extra scan, only ~4 B/occurrence of
+    * delta-friendly parquet (the standard positional-index trade every
+    * production engine takes for phrase/proximity queries).
+    */
+  private def positionalPostings(docsDf: DataFrame): DataFrame = {
+    val s = docsDf.sparkSession
+    import s.implicits._
+    docsDf
+      .select($"doc_id", TextOps.toks.as("tk"))
+      .withColumn("dl", size($"tk").cast("long"))
+      .select($"doc_id", $"dl", posexplode($"tk"))
+      .groupBy($"doc_id", $"dl", $"col".as("t"))
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list($"pos".cast("int"))).as("positions"))
+      .withColumn("bucket", pmod(TextOps.h60($"t"), lit(indexBuckets.toLong)))
+  }
+
   /** Materialize the index artifacts under `path`: bucket-partitioned
-    * postings (doc_id, dl, t, tf), the term df table, and the corpus
-    * stats row (n_docs, total_tokens).
+    * positional postings (doc_id, dl, t, tf, positions), the term df
+    * table, and the corpus stats row (n_docs, total_tokens) — all under
+    * the [[graft.sources.IndexManifest]] commit protocol (postings
+    * append-only, terms/corpus rewrite-per-epoch; the manifest flip is
+    * the commit point, and its format version fails old-layout readers
+    * fast instead of letting a missing column surface as an opaque
+    * schema error).
     *
     * Doc length is DENORMALIZED onto every posting row (the norms-file
     * alternative would make every ranked search re-join a corpus-sized
@@ -528,64 +564,53 @@ object SearchOps {
     * ([[bm25SearchFromIndex]]) while tf-idf just ignores the column.
     */
   def writePostingsIndex(docsDf: DataFrame, path: String): Unit = {
+    import graft.sources.IndexManifest
     val s = docsDf.sparkSession
     import s.implicits._
-    val postings = docsDf
-      .select($"doc_id", TextOps.toks.as("tk"))
-      .withColumn("dl", size($"tk").cast("long"))
-      .select($"doc_id", $"dl", explode($"tk").as("t"))
-      .groupBy($"doc_id", $"dl", $"t")
-      .agg(count(lit(1)).as("tf"))
-      .withColumn("bucket", pmod(TextOps.h60($"t"), lit(indexBuckets.toLong)))
+    val postings = positionalPostings(docsDf)
     postings
       .repartition($"bucket")
-      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/postings")
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(IndexManifest.epochDir(path, "postings", 0L))
     postings
       .groupBy($"t").agg(count(lit(1)).as("df"))
       .coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/terms")
+      .write.mode("overwrite").parquet(IndexManifest.epochDir(path, "terms", 0L))
     docsDf
       .agg(count(lit(1)).as("n_docs"),
         coalesce(sum(size(TextOps.toks).cast("long")), lit(0L)).as("total_tokens"))
       .coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/corpus")
+      .write.mode("overwrite").parquet(IndexManifest.epochDir(path, "corpus", 0L))
+    IndexManifest.commit(path, 0L)
   }
 
-  /** Fold NEW docs into the stored postings index — the text-search
-    * member of the index-append triad (`TextOps.appendLshIndex`,
-    * `VectorOps.appendIvfPqIndex`): the arrivals' postings append into
-    * their bucket directories, the term-df table is full-outer-merged,
-    * and the corpus count advances. Caller contract: doc_ids are new
-    * (an already-indexed doc would double its postings — dedup is the
-    * ingest filter's job, upstream of indexing). Equal by construction
-    * to a union-corpus rebuild; SearchOpsSpec pins search parity and
-    * artifact-recount equality. Same crash-atomicity caveat as
-    * `TextOps.appendLshIndex`: postings append before the df/corpus
-    * rewrites — wrap in a commit marker in production.
+  /** Stage (but do NOT commit) epoch `e` of a postings append — the
+    * arrivals' positional postings into `postings/epoch=e` (bucket
+    * directories nested below), a full merged term-df copy into
+    * `terms/epoch=e`, and the advanced corpus row into
+    * `corpus/epoch=e`. All three writes are overwrite-mode into e's own
+    * directories; readers stay on e-1 until the manifest flips.
+    * Exposed for the atomicity spec, which kills the append here.
     */
-  def appendPostingsIndex(newDocs: DataFrame, path: String): Unit = {
+  private[graft] def stagePostingsAppend(newDocs: DataFrame, path: String, e: Long): Unit = {
+    import graft.sources.IndexManifest
     val s = newDocs.sparkSession
     import s.implicits._
-    val postings = newDocs
-      .select($"doc_id", TextOps.toks.as("tk"))
-      .withColumn("dl", size($"tk").cast("long"))
-      .select($"doc_id", $"dl", explode($"tk").as("t"))
-      .groupBy($"doc_id", $"dl", $"t")
-      .agg(count(lit(1)).as("tf"))
-      .withColumn("bucket", pmod(TextOps.h60($"t"), lit(indexBuckets.toLong)))
+    val postings = positionalPostings(newDocs)
       .localCheckpoint(true) // one pass feeds the append AND the df delta
     postings
       .repartition($"bucket")
-      .write.mode("append").partitionBy("bucket").parquet(s"$path/postings")
-    val merged = s.read.parquet(s"$path/terms")
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(IndexManifest.epochDir(path, "postings", e))
+    IndexManifest.readRewrite(s, path, "terms")
       .join(postings.groupBy($"t").agg(count(lit(1)).as("df_add")), Seq("t"), "full_outer")
       .select($"t",
         (coalesce($"df", lit(0L)) + coalesce($"df_add", lit(0L))).as("df"))
-      .localCheckpoint(true) // materialize BEFORE overwriting the input dir
-    merged.coalesce(1).write.mode("overwrite").parquet(s"$path/terms")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(IndexManifest.epochDir(path, "terms", e))
     // Σ tf over the new postings == the arrivals' token count — the
     // corpus-total advance reuses the checkpointed pass, no re-tokenize
-    val old = s.read.parquet(s"$path/corpus").first()
+    val old = IndexManifest.readRewrite(s, path, "corpus").first()
     val add = postings
       .agg(countDistinct($"doc_id"), coalesce(sum($"tf"), lit(0L))).first()
     // doc-count advance counts ALL arrivals (a < 1-token doc posts
@@ -594,7 +619,26 @@ object SearchOps {
     assert(add.getLong(0) <= nNew)
     Seq((old.getLong(0) + nNew, old.getLong(1) + add.getLong(1)))
       .toDF("n_docs", "total_tokens")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/corpus")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(IndexManifest.epochDir(path, "corpus", e))
+  }
+
+  /** Fold NEW docs into the stored postings index — the text-search
+    * member of the index-append family (`TextOps.appendLshIndex`,
+    * `VectorOps.appendIvfPqIndex`, `GraphOps.appendTransitionGraph`).
+    * Caller contract: doc_ids are new (an already-indexed doc would
+    * double its postings — dedup is the ingest filter's job, upstream
+    * of indexing). Equal by construction to a union-corpus rebuild;
+    * SearchOpsSpec pins search parity and artifact-recount equality.
+    * Crash-atomic via [[graft.sources.IndexManifest]]: stage first,
+    * manifest flip last; a failed append is invisible to readers and
+    * its retry overwrites the orphan stage (no double-count).
+    */
+  def appendPostingsIndex(newDocs: DataFrame, path: String): Unit = {
+    import graft.sources.IndexManifest
+    val e = IndexManifest.committedEpoch(path) + 1L
+    stagePostingsAppend(newDocs, path, e)
+    IndexManifest.commit(path, e)
   }
 
   /** TF-IDF top-k against the STORED index — same ranking contract as
@@ -605,13 +649,14 @@ object SearchOps {
     */
   def tfidfSearchFromIndex(
       s: SparkSession, path: String, terms: Seq[String], k: Int): DataFrame = {
+    import graft.sources.IndexManifest
     import s.implicits._
     val buckets = terms.map(t => jvmH60(t) % indexBuckets).distinct
-    val postings = s.read.parquet(s"$path/postings")
+    val postings = IndexManifest.readAppendOnly(s, path, "postings")
       .filter($"bucket".isin(buckets: _*)) // parquet partition pruning
       .filter($"t".isin(terms: _*))
-    val n = s.read.parquet(s"$path/corpus").first().getLong(0)
-    val df = s.read.parquet(s"$path/terms")
+    val n = IndexManifest.readRewrite(s, path, "corpus").first().getLong(0)
+    val df = IndexManifest.readRewrite(s, path, "terms")
       .filter($"t".isin(terms: _*))
       .withColumn("idf_ppm", expr(s"(${n}L * 1000000L) div df"))
     postings
@@ -630,14 +675,15 @@ object SearchOps {
     */
   def bm25SearchFromIndex(
       s: SparkSession, path: String, terms: Seq[String], k: Int): DataFrame = {
+    import graft.sources.IndexManifest
     import s.implicits._
     val buckets = terms.map(t => jvmH60(t) % indexBuckets).distinct
-    val postings = s.read.parquet(s"$path/postings")
+    val postings = IndexManifest.readAppendOnly(s, path, "postings")
       .filter($"bucket".isin(buckets: _*)) // parquet partition pruning
       .filter($"t".isin(terms: _*))
-    val stats = s.read.parquet(s"$path/corpus").first()
+    val stats = IndexManifest.readRewrite(s, path, "corpus").first()
     val (n, tl) = (stats.getAs[Long]("n_docs"), stats.getAs[Long]("total_tokens"))
-    val df = s.read.parquet(s"$path/terms")
+    val df = IndexManifest.readRewrite(s, path, "terms")
       .filter($"t".isin(terms: _*))
       .withColumn("idf_ppm", expr(s"(${n}L * 1000000L) div df"))
     postings
@@ -648,6 +694,49 @@ object SearchOps {
       .agg(sum($"idf_ppm" * $"sat_pp6").as("score_pp12"))
       .orderBy($"score_pp12".desc, $"doc_id")
       .limit(k)
+  }
+
+  /** Exact-phrase top-k against the STORED index — the query class that
+    * motivated positional postings: [[phraseSearch]]'s inline form
+    * scans every doc's token array, while this reads ONLY the phrase
+    * terms' bucket directories and intersects position lists. Per
+    * phrase slot i, the slot's postings shift their positions by -i;
+    * a doc's phrase occurrences are then exactly the positions common
+    * to all slots, so `phrase_tf = |∩ shifted positions|` — computed
+    * per doc after a |phrase|-way posting-list equi-join on doc_id
+    * (each side pre-filtered to one term: the classic intersection
+    * evaluation, never corpus-sized). Identical ranking contract to
+    * [[phraseSearch]] (spec-pinned parity, including repeated-term
+    * phrases, which reuse one term's postings in several slots).
+    */
+  def phraseSearchFromIndex(
+      s: SparkSession, path: String, phrase: Seq[String], k: Int): DataFrame = {
+    import graft.sources.IndexManifest
+    import s.implicits._
+    require(phrase.nonEmpty, "empty phrase")
+    val buckets = phrase.map(t => jvmH60(t) % indexBuckets).distinct
+    val posts = IndexManifest.readAppendOnly(s, path, "postings")
+      .filter($"bucket".isin(buckets: _*)) // parquet partition pruning
+      .filter($"t".isin(phrase.distinct: _*))
+      .select($"doc_id", $"t", $"positions")
+    val slots = phrase.zipWithIndex.map { case (t, i) =>
+      posts.filter($"t" === t)
+        .select($"doc_id",
+          (if (i == 0) $"positions"
+           else transform($"positions", p => p - lit(i))).as(s"pos_$i"))
+    }
+    val joined = slots.reduce((a, b) => a.join(b, "doc_id"))
+    val inter = (1 until phrase.length).foldLeft(col("pos_0")) { (acc, i) =>
+      array_intersect(acc, col(s"pos_$i"))
+    }
+    joined
+      .withColumn("phrase_tf", size(inter).cast("long"))
+      .filter($"phrase_tf" > 0L)
+      .select($"doc_id", $"phrase_tf")
+      .orderBy($"phrase_tf".desc, $"doc_id")
+      .limit(k)
+      .withColumn("rnk",
+        row_number().over(Window.orderBy($"phrase_tf".desc, $"doc_id")).cast("long"))
   }
 
   // ---------------------------------------------------------------------

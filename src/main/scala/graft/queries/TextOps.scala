@@ -2208,47 +2208,67 @@ object TextOps {
     * [[deltaNearDupOn]], completing the stored-index triad with the
     * postings index and the IVF-PQ index). At 100 TB the band rows are
     * ~nBands x 8 B/doc; the bucket-count table is smaller still.
+    * Both components land as epoch 0 under the
+    * [[graft.sources.IndexManifest]] commit protocol (bands append-only,
+    * counts rewrite-per-epoch); the manifest flip is the commit point.
     */
   def writeLshIndex(base: DataFrame, path: String): Unit = {
+    import graft.sources.IndexManifest
     val rows = minhashBandRows(shinglesOfDf(base.select(col("doc_id"), col("text"))))
-    rows.write.mode("overwrite").parquet(s"$path/bands")
+    rows.write.mode("overwrite").parquet(IndexManifest.epochDir(path, "bands", 0L))
     rows.groupBy(col("band"), col("bkey"))
       .agg(count(lit(1)).as("n_base"))
-      .write.mode("overwrite").parquet(s"$path/bucket_counts")
+      .write.mode("overwrite")
+      .parquet(IndexManifest.epochDir(path, "bucket_counts", 0L))
+    IndexManifest.commit(path, 0L)
   }
 
-  /** Fold an ADMITTED delta into the stored LSH index — the write half
-    * of the day-2 loop [[deltaNearDupFromIndex]] reads: the delta's
-    * band rows append to `bands`, and `bucket_counts` is rewritten as
-    * old-counts ⊕ delta-counts (a full-outer merge on (band, bkey) —
-    * the count table is ~one row per occupied bucket, far smaller than
-    * the corpus, and rewriting it is how a real ingest cycle compacts;
-    * the band-row table itself only ever APPENDS). After the append,
-    * copies of the delta's docs collide with the index exactly like
-    * copies of the original base — CorpusSignalsSpec closes that loop.
-    * Caller contract: append only docs the ingest KEPT, else the index
-    * accumulates the duplicates it exists to reject.
-    *
-    * Not crash-atomic: bands append before counts rewrite, so a failure
-    * between the two leaves counts stale (screens behave as if the
-    * append never happened; the orphan band rows are inert until the
-    * next successful counts rewrite). Re-running a FAILED append is NOT
-    * idempotent (bands would duplicate) — production wraps the pair in
-    * a manifest/commit-marker, the standard table-format move.
+  /** Stage (but do NOT commit) epoch `e` of an LSH append: the delta's
+    * band rows land under `bands/epoch=e`, and a FULL merged copy of
+    * the bucket counts (old ⊕ delta — the count table is ~one row per
+    * occupied bucket, far smaller than the corpus) lands under
+    * `bucket_counts/epoch=e`. Readers keep resolving epoch e-1 until
+    * [[appendLshIndex]] flips the manifest; both writes are
+    * overwrite-mode into e's own directories, so a crashed stage is
+    * re-runnable without double-counting. Exposed for the atomicity
+    * spec, which kills the append exactly here.
     */
-  def appendLshIndex(keptDelta: DataFrame, path: String): Unit = {
+  private[graft] def stageLshAppend(keptDelta: DataFrame, path: String, e: Long): Unit = {
+    import graft.sources.IndexManifest
     val s = keptDelta.sparkSession
     val rows = minhashBandRows(shinglesOfDf(keptDelta.select(col("doc_id"), col("text"))))
-      .localCheckpoint(true) // two consumers + the source dir is being rewritten
-    rows.write.mode("append").parquet(s"$path/bands")
+      .localCheckpoint(true) // one signing pass feeds bands AND the counts merge
+    rows.write.mode("overwrite").parquet(IndexManifest.epochDir(path, "bands", e))
     val deltaCounts = rows.groupBy(col("band"), col("bkey"))
       .agg(count(lit(1)).as("n_add"))
-    val merged = s.read.parquet(s"$path/bucket_counts")
+    // reads committed epoch e-1, writes epoch e: no self-overwrite, so no
+    // pre-materialization checkpoint needed (snapshot isolation for free)
+    IndexManifest.readRewrite(s, path, "bucket_counts")
       .join(deltaCounts, Seq("band", "bkey"), "full_outer")
       .select(col("band"), col("bkey"),
         (coalesce(col("n_base"), lit(0L)) + coalesce(col("n_add"), lit(0L))).as("n_base"))
-      .localCheckpoint(true) // materialize BEFORE overwriting the input dir
-    merged.write.mode("overwrite").parquet(s"$path/bucket_counts")
+      .write.mode("overwrite")
+      .parquet(IndexManifest.epochDir(path, "bucket_counts", e))
+  }
+
+  /** Fold an ADMITTED delta into the stored LSH index — the write half
+    * of the day-2 loop [[deltaNearDupFromIndex]] reads. After the
+    * append, copies of the delta's docs collide with the index exactly
+    * like copies of the original base — CorpusSignalsSpec closes that
+    * loop. Caller contract: append only docs the ingest KEPT, else the
+    * index accumulates the duplicates it exists to reject.
+    *
+    * Crash-atomic via [[graft.sources.IndexManifest]]: data stages into
+    * epoch e's directories first, the manifest flips last. A failure
+    * anywhere before the flip leaves readers on epoch e-1 and the
+    * orphan stage inert; re-running the append overwrites the stage and
+    * commits — idempotent retry, no duplicate band rows.
+    */
+  def appendLshIndex(keptDelta: DataFrame, path: String): Unit = {
+    import graft.sources.IndexManifest
+    val e = IndexManifest.committedEpoch(path) + 1L
+    stageLshAppend(keptDelta, path, e)
+    IndexManifest.commit(path, e)
   }
 
   /** Day-2 near-dup ingest against the STORED index: only the delta is
@@ -2267,7 +2287,7 @@ object TextOps {
       minhashBandRows(shinglesOfDf(delta.select($"doc_id", $"text")))
     val nDelta = deltaRows.groupBy($"band", $"bkey")
       .agg(count(lit(1)).as("n_delta"))
-    val counts = s.read.parquet(s"$path/bucket_counts")
+    val counts = graft.sources.IndexManifest.readRewrite(s, path, "bucket_counts")
     val hitBuckets = nDelta
       .join(counts, Seq("band", "bkey"), "left")
       .withColumn("n", $"n_delta" + coalesce($"n_base", lit(0L)))

@@ -2320,8 +2320,15 @@ object VectorOps {
   // pattern).
   // ---------------------------------------------------------------------
 
-  /** Build + persist the IVF-PQ index artifacts under `path`. */
+  /** Build + persist the IVF-PQ index artifacts under `path`, with the
+    * [[graft.sources.IndexManifest]] commit protocol: centroids and
+    * codewords are IMMUTABLE plain directories (written once here,
+    * never touched by append — re-deriving them would re-key every
+    * cell), the code table is append-only under epoch directories, and
+    * the manifest flip is the commit point.
+    */
   def writeIvfPqIndex(emb: DataFrame, path: String): Unit = {
+    import graft.sources.IndexManifest
     val s = emb.sparkSession
     import s.implicits._
     emb.filter($"vec_id" < nCells)
@@ -2334,7 +2341,9 @@ object VectorOps {
     pqCodesOn(emb)
       .join(ivfCells(emb).select($"vec_id", $"cell"), Seq("vec_id"))
       .repartition($"cell")
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(IndexManifest.epochDir(path, "codes", 0L))
+    IndexManifest.commit(path, 0L)
   }
 
   /** Fold new vectors into the stored IVF-PQ index — the vector-side
@@ -2347,11 +2356,23 @@ object VectorOps {
     * centroid/codeword artifacts are immutable. Equal by construction
     * to rebuilding on the union corpus while the first-pqK ids are
     * unchanged — PqSpec pins code-table equality and search parity.
-    * Single-write append (codes only; centroids/codewords immutable),
-    * so the only crash hazard is a partial parquet append — which the
-    * parquet committer already makes all-or-nothing per job.
+    * Crash-atomic via [[graft.sources.IndexManifest]]: the arrivals'
+    * codes stage into their own epoch directory, the manifest flips
+    * last; a failed append is invisible and its retry overwrites the
+    * orphan stage.
     */
   def appendIvfPqIndex(newVecs: DataFrame, path: String): Unit = {
+    import graft.sources.IndexManifest
+    val e = IndexManifest.committedEpoch(path) + 1L
+    stageIvfPqAppend(newVecs, path, e)
+    IndexManifest.commit(path, e)
+  }
+
+  /** Stage (but do NOT commit) epoch `e` of an IVF-PQ append — exposed
+    * for the atomicity spec.
+    */
+  private[graft] def stageIvfPqAppend(newVecs: DataFrame, path: String, e: Long): Unit = {
+    import graft.sources.IndexManifest
     val s = newVecs.sparkSession
     import s.implicits._
     graft.functions.GraftFunctions.registerDotD(s)
@@ -2361,7 +2382,8 @@ object VectorOps {
     pqCodesWith(newVecs, cw)
       .join(ivfCellsWith(newVecs, cents).select($"vec_id", $"cell"), Seq("vec_id"))
       .repartition($"cell")
-      .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(IndexManifest.epochDir(path, "codes", e))
   }
 
   /** ADC search against the STORED index: probes and the lookup table
@@ -2404,7 +2426,7 @@ object VectorOps {
     // O(|q|·nprobe) driver hand-off -> a LITERAL partition filter the
     // parquet source prunes directories with
     val probedCells = probes.select($"cell").distinct().collect().map(_.getLong(0))
-    val cand = s.read.parquet(s"$path/codes")
+    val cand = graft.sources.IndexManifest.readAppendOnly(s, path, "codes")
       .filter($"cell".isin(probedCells: _*))
     val w = Window.partitionBy($"query_id").orderBy($"adc_micros".asc, $"cand_id")
     cand

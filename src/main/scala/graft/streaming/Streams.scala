@@ -593,7 +593,8 @@ object Streams {
       delay: String,
   ): DataFrame = {
     val s = delta.sparkSession
-    val withinCap = s.read.parquet(s"$lshIndexPath/bucket_counts")
+    val withinCap = graft.sources.IndexManifest
+      .readRewrite(s, lshIndexPath, "bucket_counts")
       .filter(col("n_base") + 1 <= graft.queries.TextOps.maxBucket)
       .select("band", "bkey")
     val hits = graft.queries.TextOps.streamBandRows(delta)
@@ -624,19 +625,45 @@ object Streams {
     * undefined), matching the batch searcher's inner join on the term
     * table.
     *
+    * STALENESS CONTRACT: because the stats are baked into the plan at
+    * construction, a stream that outlives an `appendPostingsIndex`
+    * cycle keeps scoring with the old idf — rebuild the stream after an
+    * append, or use [[bm25AlertBatchScorer]] with `foreachBatch`, which
+    * re-resolves the committed stats every micro-batch and follows
+    * appends live.
+    *
     * Input columns: doc_id, text.
     */
   def bm25AlertStream(
+      delta: DataFrame, postingsIndexPath: String, terms: Seq[String]): DataFrame =
+    scoreAgainstIndexStats(delta, postingsIndexPath, terms)
+
+  /** The scoring projection against the index's CURRENTLY COMMITTED
+    * stats — resolved fresh on every call (manifest first, then the
+    * |terms| + 1 stat rows). An index built from an EMPTY corpus (n = 0
+    * or tl = 0 — every saturation denominator would be 0) short-circuits
+    * to the always-empty frame instead of letting ANSI mode throw
+    * divide-by-zero on the first matching arrival.
+    */
+  private def scoreAgainstIndexStats(
       delta: DataFrame, postingsIndexPath: String, terms: Seq[String]): DataFrame = {
+    import graft.sources.IndexManifest
     val s = delta.sparkSession
-    val stats = s.read.parquet(s"$postingsIndexPath/corpus").first()
+    val stats = IndexManifest.readRewrite(s, postingsIndexPath, "corpus").first()
     val n = stats.getAs[Long]("n_docs")
     val tl = stats.getAs[Long]("total_tokens")
-    val idf: Map[String, Long] = s.read.parquet(s"$postingsIndexPath/terms")
-      .filter(col("t").isin(terms: _*))
-      .collect()
-      .map(r => r.getAs[String]("t") -> (n * 1000000L / r.getAs[Long]("df")))
-      .toMap
+    val idf: Map[String, Long] =
+      if (n == 0L || tl == 0L) Map.empty
+      else IndexManifest.readRewrite(s, postingsIndexPath, "terms")
+        .filter(col("t").isin(terms: _*))
+        .collect()
+        .map(r => r.getAs[String]("t") -> (n * 1000000L / r.getAs[Long]("df")))
+        .toMap
+    if (idf.isEmpty) {
+      // empty corpus or no indexed query term: nothing can ever score —
+      // return the filtered-empty frame (same schema), no div expression
+      return delta.filter(lit(false)).select(col("doc_id"), lit(0L).as("score_pp12"))
+    }
     val base = delta
       .withColumn("tk", graft.queries.TextOps.toks)
       .withColumn("dl", size(col("tk")).cast("long"))
@@ -647,15 +674,33 @@ object Streams {
       .collect { case (t, i) if idf.contains(t) =>
         s"(${idf(t)}L * ((22000000L * tf_$i * ${tl}L) div " +
           s"(10L * tf_$i * ${tl}L + 3L * ${tl}L + 9L * dl * ${n}L)))"
-      } match {
-      case Nil => "0L" // no query term indexed: nothing can score
-      case es  => es.mkString(" + ")
-    }
+      }.mkString(" + ")
     withTf
       .withColumn("score_pp12", expr(scoreExpr))
       .filter(col("score_pp12") > 0L)
       .select(col("doc_id"), col("score_pp12"))
   }
+
+  /** Fresh-stats standing-query alerting: a `foreachBatch` body that
+    * re-reads the index's committed corpus/term stats EVERY micro-batch
+    * (a manifest read + |terms| + 1 rows — negligible against any batch)
+    * and hands the scored batch to `sink`. This is the long-running
+    * form of [[bm25AlertStream]]: after `appendPostingsIndex` folds a
+    * day's arrivals in, the NEXT micro-batch scores with the advanced
+    * idf/length stats automatically (StreamsSpec pins exactly that:
+    * append mid-stream, post-append batches match the batch ranker
+    * under the new stats). Usage:
+    *
+    * {{{
+    * deltaStream.writeStream
+    *   .foreachBatch(Streams.bm25AlertBatchScorer(path, terms)(sink))
+    *   .start()
+    * }}}
+    */
+  def bm25AlertBatchScorer(postingsIndexPath: String, terms: Seq[String])(
+      sink: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit =
+    (batch, batchId) =>
+      sink(scoreAgainstIndexStats(batch, postingsIndexPath, terms), batchId)
 
   /** Per-user item-transition state for [[transitionStream]]. */
   final case class TransState(ts: Long, id: Long, item: Long)

@@ -47,10 +47,10 @@ class CorpusSignalsSpec extends SparkSpec {
     // the merged count table is consistent: every bucket's n_base equals
     // a recount over the appended band rows
     import org.apache.spark.sql.functions.{count, lit}
-    val recount = spark.read.parquet(s"$dir/bands")
+    val recount = graft.sources.IndexManifest.readAppendOnly(spark, dir, "bands")
       .groupBy($"band", $"bkey").agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getInt(0), r.getStruct(1).toString) -> r.getLong(2)).toMap
-    val stored = spark.read.parquet(s"$dir/bucket_counts")
+    val stored = graft.sources.IndexManifest.readRewrite(spark, dir, "bucket_counts")
       .collect().map(r => (r.getInt(0), r.getStruct(1).toString) -> r.getLong(2)).toMap
     assert(stored === recount, "bucket_counts must equal a recount of bands")
   }

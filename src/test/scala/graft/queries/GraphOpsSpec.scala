@@ -91,12 +91,12 @@ class GraphOpsSpec extends SparkSpec {
     GraphOps.appendTransitionGraph(carry.unionByName(late), appended)
     val rebuilt = java.nio.file.Files.createTempDirectory("graph-reb").toString
     GraphOps.writeTransitionGraph(evs, rebuilt)
-    def edges(dir: String) = spark.read.parquet(s"$dir/edges")
+    def edges(dir: String) = graft.sources.IndexManifest.readRewrite(spark, dir, "edges")
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     // append keeps zero-weight rows only if a merge produced them; filter both
     assert(edges(appended).filter(_._2 > 0) === edges(rebuilt).filter(_._2 > 0),
       "boundary-carried append must reproduce the full-log edge weights")
-    def nodes(dir: String) = spark.read.parquet(s"$dir/nodes")
+    def nodes(dir: String) = graft.sources.IndexManifest.readRewrite(spark, dir, "nodes")
       .collect().map(_.getLong(0)).toSet
     assert(nodes(appended) === nodes(rebuilt))
     def ranks(dir: String) = GraphOps.pageRankFromGraph(spark, dir)

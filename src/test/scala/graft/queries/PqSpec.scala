@@ -190,7 +190,7 @@ class PqSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("ivfpq-index").toString
     VectorOps.writeIvfPqIndex(emb, dir)
     // the stored code table is laid out one directory per cell
-    val cellDirs = new java.io.File(s"$dir/codes").listFiles()
+    val cellDirs = new java.io.File(s"$dir/codes/epoch=0").listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("cell="))
     assert(cellDirs.length == 16)
     val queries = emb.filter(col("vec_id") >= 16 && col("vec_id") < 21)
@@ -221,9 +221,10 @@ class PqSpec extends SparkSpec {
     VectorOps.appendIvfPqIndex(arrivals, appended)
     val rebuilt = java.nio.file.Files.createTempDirectory("ivfpq-reb").toString
     VectorOps.writeIvfPqIndex(emb.unionByName(arrivals), rebuilt)
-    def codes(dir: String) = spark.read.parquet(s"$dir/codes")
+    def codes(dir: String) = graft.sources.IndexManifest.readAppendOnly(spark, dir, "codes")
       .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("sub"),
-        r.getAs[Long]("code"), r.getAs[Long]("err_micros"), r.getAs[Long]("cell"))).toSet
+        r.getAs[Long]("code"), r.getAs[Long]("err_micros"),
+        r.getAs[Number]("cell").longValue)).toSet
     assert(codes(appended) === codes(rebuilt),
       "append with stored artifacts must equal a union-corpus rebuild")
     // search parity over the grown index

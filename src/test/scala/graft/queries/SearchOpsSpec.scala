@@ -55,7 +55,7 @@ class SearchOpsSpec extends SparkSpec {
 
     // bucket routing parity: the driver-side hash must agree with the
     // engine-side h60 routing that laid out the directories
-    val layout = new java.io.File(s"$dir/postings").listFiles()
+    val layout = new java.io.File(s"$dir/postings/epoch=0").listFiles()
       .filter(_.getName.startsWith("bucket=")).map(_.getName).toSet
     assert(layout.nonEmpty && layout.size <= SearchOps.indexBuckets)
 
@@ -84,6 +84,43 @@ class SearchOpsSpec extends SparkSpec {
     assert(bmGot.toSeq === bmInline.toSeq)
   }
 
+  test("phraseSearchFromIndex equals the inline phrase ranking; buckets prune") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-phrase-idx").toString
+    SearchOps.writePostingsIndex(graft.sources.Tables.documents(spark, sf), dir)
+    val stored = SearchOps.phraseSearchFromIndex(spark, dir, Seq("spark", "join"), 15)
+    // the phrase path reads only its terms' bucket directories — the
+    // whole point of storing positions (the inline form scans the corpus)
+    val plan = stored.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+      s"expected bucket partition pruning in:\n$plan")
+    val got = stored.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val inline = Catalog.queries("t_phrase_search")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === inline.toSeq)
+  }
+
+  test("phraseSearchFromIndex: repeated-term, overlapping and longer phrases count exactly") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b a"), // "a b a" at offsets 0 and 2 (overlapping) -> 2
+      (2L, "a b a c"),   // -> 1
+      (3L, "a a a a"),   // no "a b a"; "a a a" at 0,1 -> 2
+      (4L, "b a b c"),   // -> 0
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-phrase-tiny").toString
+    SearchOps.writePostingsIndex(docs, dir)
+    def run(phrase: Seq[String]) =
+      SearchOps.phraseSearchFromIndex(spark, dir, phrase, 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // repeated term in two slots reuses the same posting list shifted twice
+    assert(run(Seq("a", "b", "a")) === Seq((1L, 2L, 1L), (2L, 1L, 2L)))
+    assert(run(Seq("a", "a", "a")) === Seq((3L, 2L, 1L)))
+    // single-term phrase degenerates to plain tf ranking
+    assert(run(Seq("a")) === Seq((3L, 4L, 1L), (1L, 3L, 2L), (2L, 2L, 3L), (4L, 1L, 4L)))
+    // phrase containing an unindexed term matches nothing
+    assert(run(Seq("a", "zz")).isEmpty)
+  }
+
   test("appendPostingsIndex equals a union-corpus rebuild; search parity holds") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
@@ -96,17 +133,19 @@ class SearchOpsSpec extends SparkSpec {
     SearchOps.appendPostingsIndex(arrivals, appended)
     val rebuilt = java.nio.file.Files.createTempDirectory("postings-reb").toString
     SearchOps.writePostingsIndex(docs.unionByName(arrivals), rebuilt)
-    def terms(dir: String) = spark.read.parquet(s"$dir/terms")
+    def terms(dir: String) = graft.sources.IndexManifest.readRewrite(spark, dir, "terms")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(terms(appended) === terms(rebuilt), "merged df table must equal a rebuild's")
     def corpus(dir: String) = {
-      val r = spark.read.parquet(s"$dir/corpus").first()
+      val r = graft.sources.IndexManifest.readRewrite(spark, dir, "corpus").first()
       (r.getAs[Long]("n_docs"), r.getAs[Long]("total_tokens"))
     }
     assert(corpus(appended) === corpus(rebuilt))
-    def postings(dir: String) = spark.read.parquet(s"$dir/postings")
-      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("dl"),
-        r.getAs[String]("t"), r.getAs[Long]("tf"), r.getAs[Long]("bucket"))).toSet
+    def postings(dir: String) =
+      graft.sources.IndexManifest.readAppendOnly(spark, dir, "postings")
+        .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("dl"),
+          r.getAs[String]("t"), r.getAs[Long]("tf"),
+          r.getAs[Seq[Int]]("positions"), r.getAs[Number]("bucket").longValue)).toSet
     assert(postings(appended) === postings(rebuilt))
     val q = Seq("spark", "join", "window")
     def top(dir: String) = SearchOps.tfidfSearchFromIndex(spark, dir, q, 15)

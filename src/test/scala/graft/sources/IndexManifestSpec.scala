@@ -1,0 +1,149 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.queries.{GraphOps, SearchOps, TextOps, VectorOps}
+
+/** The commit-marker protocol: fail-fast on unreadable stock, and the
+  * kill-between-the-writes drill for every appender — stage an epoch
+  * WITHOUT committing (exactly what a crash mid-append leaves behind),
+  * prove readers still see the old index, then retry the full append
+  * and prove the result equals a union-corpus rebuild (the retry
+  * overwrote the orphan stage instead of double-counting it).
+  */
+class IndexManifestSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("reader fails fast on a missing manifest and on format-version skew") {
+    val none = tmp("manifest-none")
+    val e1 = intercept[IllegalStateException](IndexManifest.committedEpoch(none))
+    assert(e1.getMessage.contains("rebuild the index"))
+
+    val old = tmp("manifest-old")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(old, "_graft_manifest.json"),
+      """{"format_version": 1, "epoch": 3}""".getBytes("UTF-8"))
+    val e2 = intercept[IllegalStateException](IndexManifest.committedEpoch(old))
+    assert(e2.getMessage.contains("format_version 1"))
+    assert(e2.getMessage.contains("rebuild the index"))
+  }
+
+  test("commit flips atomically and read round-trips the state") {
+    val dir = tmp("manifest-rt")
+    IndexManifest.commit(dir, 0L)
+    assert(IndexManifest.committedEpoch(dir) === 0L)
+    IndexManifest.commit(dir, 7L)
+    assert(IndexManifest.read(dir) ===
+      Some(IndexManifest.State(IndexManifest.FormatVersion, 7L)))
+  }
+
+  test("killed LSH append: invisible to readers; retry equals a union rebuild") {
+    def doc(seed: Int): String = (1 to 12).map(i => s"w${seed}_$i").mkString(" ")
+    val base = Seq((1L, doc(1)), (2L, doc(2))).toDF("doc_id", "text")
+    val delta = Seq((11L, doc(7)), (12L, doc(8))).toDF("doc_id", "text")
+    val probe = Seq((20L, doc(7)), (21L, doc(2)), (22L, doc(9))).toDF("doc_id", "text")
+
+    val dir = tmp("lsh-kill")
+    TextOps.writeLshIndex(base, dir)
+    def verdicts() = TextOps.deltaNearDupFromIndex(probe, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val before = verdicts()
+    assert(before === Map(20L -> "kept", 21L -> "neardup_of_base", 22L -> "kept"))
+
+    // crash: stage epoch 1, never commit — the screen must not move
+    TextOps.stageLshAppend(delta, dir, 1L)
+    assert(IndexManifest.committedEpoch(dir) === 0L)
+    assert(verdicts() === before, "uncommitted stage leaked into reads")
+
+    // retry the FULL append (stage again + commit) — copies of the delta
+    // now collide, and the index equals one built from the union corpus
+    TextOps.appendLshIndex(delta, dir)
+    assert(IndexManifest.committedEpoch(dir) === 1L)
+    assert(verdicts() === Map(
+      20L -> "neardup_of_base", 21L -> "neardup_of_base", 22L -> "kept"))
+    val rebuilt = tmp("lsh-reb")
+    TextOps.writeLshIndex(base.unionByName(delta), rebuilt)
+    def counts(d: String) = IndexManifest.readRewrite(spark, d, "bucket_counts")
+      .collect().map(r => (r.getInt(0), r.getStruct(1).toString) -> r.getLong(2)).toMap
+    assert(counts(dir) === counts(rebuilt),
+      "retry after kill must not double-count the staged bands")
+    // and the raw band rows agree with the counts (no orphan duplicates)
+    val recount = IndexManifest.readAppendOnly(spark, dir, "bands")
+      .groupBy($"band", $"bkey").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getStruct(1).toString) -> r.getLong(2)).toMap
+    assert(recount === counts(dir))
+  }
+
+  test("killed postings append: invisible; retry equals a union rebuild") {
+    val docs = Seq(
+      (1L, "spark join window spark"), (2L, "join window filter"),
+      (3L, "spark filter")).toDF("doc_id", "text")
+    val delta = Seq((10L, "spark spark join"), (11L, "window")).toDF("doc_id", "text")
+    val q = Seq("spark", "join", "window")
+
+    val dir = tmp("post-kill")
+    SearchOps.writePostingsIndex(docs, dir)
+    def top(d: String) = SearchOps.bm25SearchFromIndex(spark, d, q, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val before = top(dir)
+
+    SearchOps.stagePostingsAppend(delta, dir, 1L)
+    assert(IndexManifest.committedEpoch(dir) === 0L)
+    assert(top(dir) === before, "uncommitted postings stage leaked into search")
+
+    SearchOps.appendPostingsIndex(delta, dir)
+    val rebuilt = tmp("post-reb")
+    SearchOps.writePostingsIndex(docs.unionByName(delta), rebuilt)
+    assert(top(dir) === top(rebuilt))
+    def corpus(d: String) = {
+      val r = IndexManifest.readRewrite(spark, d, "corpus").first()
+      (r.getLong(0), r.getLong(1))
+    }
+    assert(corpus(dir) === corpus(rebuilt),
+      "retry must not double-advance the corpus totals")
+  }
+
+  test("killed IVF-PQ and transition-graph appends: invisible; retry clean") {
+    // IVF-PQ: stage codes for new vectors without committing
+    graft.functions.GraftFunctions.registerDotD(spark)
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val maxId = emb.agg(max($"vec_id")).head().getLong(0)
+    val arrivals = emb.filter($"vec_id" % 11 === 0).limit(10)
+      .select(($"vec_id" + maxId + 1).as("vec_id"), $"embedding", $"label")
+    val vdir = tmp("ivfpq-kill")
+    VectorOps.writeIvfPqIndex(emb, vdir)
+    def nCodes(d: String) = IndexManifest.readAppendOnly(spark, d, "codes").count()
+    val n0 = nCodes(vdir)
+    VectorOps.stageIvfPqAppend(arrivals, vdir, 1L)
+    assert(nCodes(vdir) === n0, "uncommitted codes visible")
+    VectorOps.appendIvfPqIndex(arrivals, vdir)
+    val vreb = tmp("ivfpq-reb")
+    VectorOps.writeIvfPqIndex(emb.unionByName(arrivals), vreb)
+    assert(nCodes(vdir) === nCodes(vreb), "retry double-counted codes")
+
+    // transition graph: stage a delta merge without committing
+    val evs = Seq(
+      (1L, 100L, 1L, 5L), (1L, 101L, 2L, 6L), (2L, 100L, 3L, 5L), (2L, 102L, 4L, 7L))
+      .toDF("user_id", "ts_sec", "event_id", "item")
+    val late = Seq((1L, 103L, 5L, 7L)).toDF("user_id", "ts_sec", "event_id", "item")
+    val carry = Seq((1L, 101L, 2L, 6L), (2L, 102L, 4L, 7L))
+      .toDF("user_id", "ts_sec", "event_id", "item")
+    val gdir = tmp("graph-kill")
+    GraphOps.writeTransitionGraph(evs, gdir)
+    def w(d: String) = IndexManifest.readRewrite(spark, d, "edges")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val w0 = w(gdir)
+    GraphOps.stageTransitionAppend(carry.unionByName(late), gdir, 1L)
+    assert(w(gdir) === w0, "uncommitted edge merge visible")
+    GraphOps.appendTransitionGraph(carry.unionByName(late), gdir)
+    val greb = tmp("graph-reb")
+    GraphOps.writeTransitionGraph(evs.unionByName(late), greb)
+    assert(w(gdir).filter(_._2 > 0) === w(greb).filter(_._2 > 0),
+      "retry after kill must equal the full-log rebuild")
+  }
+}

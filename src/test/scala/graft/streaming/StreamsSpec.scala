@@ -915,4 +915,71 @@ class StreamsSpec extends SparkSpec {
     assert(out.size === 4)
   }
 
+  test("bm25AlertBatchScorer follows an index append mid-stream (fresh idf per batch)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (1L, "spark join window alpha beta"),
+      (2L, "spark spark join gamma delta"),
+      (3L, "window kappa lambda"))
+    val idx = java.nio.file.Files.createTempDirectory("bm25-fresh-idx").toString
+    graft.queries.SearchOps.writePostingsIndex(corpus.toDF("doc_id", "text"), idx)
+    val terms = Seq("spark", "join")
+    // the day's arrivals shift idf (spark df 2->5, n 3->6, tl advances)
+    val arrivals = Seq(
+      (10L, "spark epsilon"), (11L, "spark zeta"), (12L, "spark eta theta"))
+
+    def probeScore(id: Long): Long =
+      // bm25AlertStream bakes the CURRENTLY committed stats into a plan —
+      // on a batch frame that is exactly "score this doc under today's
+      // stats", the oracle for what each micro-batch must have seen
+      Streams.bm25AlertStream(
+        Seq((id, "spark join mu")).toDF("doc_id", "text"), idx, terms)
+        .collect().map(_.getLong(1)).head
+
+    val expOld = probeScore(100L)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .outputMode("append")
+      .foreachBatch(Streams.bm25AlertBatchScorer(idx, terms) { (scored, batchId) =>
+        out.synchronized {
+          out ++= scored.collect().map(r => (batchId, r.getLong(0), r.getLong(1)))
+        }
+        ()
+      })
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt-bm25f").toString)
+      .start()
+    try {
+      mem.addData(Seq((100L, "spark join mu")))
+      q.processAllAvailable()
+      // fold the arrivals in mid-stream: the manifest flips to epoch 1
+      graft.queries.SearchOps.appendPostingsIndex(
+        arrivals.toDF("doc_id", "text"), idx)
+      mem.addData(Seq((101L, "spark join mu")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val expNew = probeScore(101L)
+    assert(expNew !== expOld, "fixture must actually move the stats")
+    val byDoc = out.map(t => t._2 -> t._3).toMap
+    assert(byDoc(100L) === expOld, "pre-append batch scores with the old stats")
+    assert(byDoc(101L) === expNew,
+      "post-append batch must score with the ADVANCED stats, not construction-time ones")
+  }
+
+  test("bm25AlertStream on an empty-corpus index emits nothing instead of dividing by zero") {
+    import spark.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("bm25-empty-idx").toString
+    graft.queries.SearchOps.writePostingsIndex(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), idx)
+    // an arrival full of would-be query terms: with n = tl = 0 every
+    // saturation denominator is 0 — the short-circuit must return the
+    // empty frame, not an ANSI divide-by-zero
+    val got = Streams.bm25AlertStream(
+      Seq((1L, "spark join spark")).toDF("doc_id", "text"),
+      idx, Seq("spark", "join")).collect()
+    assert(got.isEmpty)
+  }
+
 }
