@@ -2064,27 +2064,41 @@ object TextOps {
           .otherwise("changed").as("status"))
   }
 
+  /** Disjoint id namespace for synthetic "added" snapshot docs:
+    * max(doc_id) + 1, computed once (1-row driver hand-off, mirrored as
+    * a scalar subquery in the oracles). A FIXED offset (the old 1e6)
+    * would collide with real ids on corpora past that size, giving
+    * duplicate (doc_id, day) snapshot rows whose window ordering — and
+    * therefore the whole versioning — becomes nondeterministic.
+    */
+  private def syntheticIdOffset(s: SparkSession, d: String): Long = {
+    val r = docs(s, d).agg(max(col("doc_id"))).first()
+    if (r.isNullAt(0)) 1L else r.getLong(0) + 1L
+  }
+  private val oracleIdOffset = "(SELECT MAX(doc_id) + 1 FROM documents)"
+
   val snapshotDiff = Q(
     "t_snapshot_diff",
     (s, d) => {
       import s.implicits._
+      val off = syntheticIdOffset(s, d)
       val old = docs(s, d).select($"doc_id", $"text")
       val kept = old.filter($"doc_id" % 10 =!= 0)
         .select($"doc_id",
           when($"doc_id" % 7 === 0, concat($"text", lit(" rev2")))
             .otherwise($"text").as("text"))
       val added = old.filter($"doc_id" % 13 === 0)
-        .select(($"doc_id" + 1000000L).as("doc_id"), $"text")
+        .select(($"doc_id" + off).as("doc_id"), $"text")
       snapshotDiffOn(old, kept.unionByName(added))
     },
-    Some("""
+    Some(s"""
       WITH old AS (SELECT doc_id, text FROM documents),
       news AS (
         SELECT doc_id,
                CASE WHEN doc_id % 7 = 0 THEN text || ' rev2' ELSE text END AS text
         FROM old WHERE doc_id % 10 <> 0
         UNION ALL
-        SELECT doc_id + 1000000 AS doc_id, text FROM old WHERE doc_id % 13 = 0),
+        SELECT doc_id + $oracleIdOffset AS doc_id, text FROM old WHERE doc_id % 13 = 0),
       o AS (SELECT doc_id, md5(text) AS h_old FROM old),
       n AS (SELECT doc_id, md5(text) AS h_new FROM news)
       SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
@@ -2138,41 +2152,54 @@ object TextOps {
       .withColumn("is_current", col("valid_to") === lastDay)
   }
 
+  /** The three deterministic snapshot days the SCD2 catalog row (and
+    * its append spec) share. Added ids use [[syntheticIdOffset]]
+    * multiples: day-1 additions land in (off, 2·off), day-2 additions
+    * (derived from day 1) below 2·off + off·2 — disjoint from every
+    * real and day-1 id at ANY corpus size.
+    */
+  private[graft] def scd2SnapshotDays(s: SparkSession, d: String): Seq[DataFrame] = {
+    import s.implicits._
+    val off = syntheticIdOffset(s, d)
+    val d0 = docs(s, d).select($"doc_id", $"text")
+    val d1 = d0.filter($"doc_id" % 10 =!= 0)
+      .select($"doc_id",
+        when($"doc_id" % 7 === 0, concat($"text", lit(" rev2")))
+          .otherwise($"text").as("text"))
+      .unionByName(d0.filter($"doc_id" % 13 === 0)
+        .select(($"doc_id" + off).as("doc_id"), $"text"))
+    val d2 = d1.filter($"doc_id" % 11 =!= 0)
+      .select($"doc_id",
+        when($"doc_id" % 5 === 0, concat($"text", lit(" rev3")))
+          .otherwise($"text").as("text"))
+      .unionByName(d1.filter($"doc_id" % 17 === 0)
+        .select(($"doc_id" + 2L * off).as("doc_id"), $"text"))
+    Seq(d0, d1, d2)
+  }
+
   val scd2History = Q(
     "t_scd2_history",
     (s, d) => {
       import s.implicits._
-      val d0 = docs(s, d).select($"doc_id", $"text")
-      val d1 = d0.filter($"doc_id" % 10 =!= 0)
-        .select($"doc_id",
-          when($"doc_id" % 7 === 0, concat($"text", lit(" rev2")))
-            .otherwise($"text").as("text"))
-        .unionByName(d0.filter($"doc_id" % 13 === 0)
-          .select(($"doc_id" + 1000000L).as("doc_id"), $"text"))
-      val d2 = d1.filter($"doc_id" % 11 =!= 0)
-        .select($"doc_id",
-          when($"doc_id" % 5 === 0, concat($"text", lit(" rev3")))
-            .otherwise($"text").as("text"))
-        .unionByName(d1.filter($"doc_id" % 17 === 0)
-          .select(($"doc_id" + 2000000L).as("doc_id"), $"text"))
-      val snaps = d0.withColumn("d", lit(0L))
-        .unionByName(d1.withColumn("d", lit(1L)))
-        .unionByName(d2.withColumn("d", lit(2L)))
+      val days = scd2SnapshotDays(s, d)
+      val snaps = days.zipWithIndex
+        .map { case (df, i) => df.withColumn("d", lit(i.toLong)) }
+        .reduce(_ unionByName _)
         .select($"doc_id", $"d", md5($"text").as("h"))
       scd2On(snaps, lastDay = 2L)
     },
-    Some("""
+    Some(s"""
       WITH d0 AS (SELECT doc_id, text FROM documents),
       d1 AS (
         SELECT doc_id,
                CASE WHEN doc_id % 7 = 0 THEN text || ' rev2' ELSE text END AS text
         FROM d0 WHERE doc_id % 10 <> 0
-        UNION ALL SELECT doc_id + 1000000, text FROM d0 WHERE doc_id % 13 = 0),
+        UNION ALL SELECT doc_id + $oracleIdOffset, text FROM d0 WHERE doc_id % 13 = 0),
       d2 AS (
         SELECT doc_id,
                CASE WHEN doc_id % 5 = 0 THEN text || ' rev3' ELSE text END AS text
         FROM d1 WHERE doc_id % 11 <> 0
-        UNION ALL SELECT doc_id + 2000000, text FROM d1 WHERE doc_id % 17 = 0),
+        UNION ALL SELECT doc_id + 2 * $oracleIdOffset, text FROM d1 WHERE doc_id % 17 = 0),
       snaps AS (
         SELECT doc_id, CAST(0 AS BIGINT) AS d, md5(text) AS h FROM d0
         UNION ALL SELECT doc_id, 1, md5(text) FROM d1
@@ -2195,6 +2222,119 @@ object TextOps {
     """.stripMargin.trim),
     bench = true, // multi-snapshot keyed-window shape the headline set lacks
   )
+
+  // ---------------------------------------------------------------------
+  // Stored SCD2 table with INCREMENTAL append — scd2On's day-2
+  // discipline (the same lifecycle the four stored indexes follow):
+  // at 100 TB you fold snapshot day N into the stored dimension table
+  // without rescanning history. Layout under the IndexManifest commit
+  // protocol:
+  //
+  //   latest/  (rewrite)  one row per doc: its NEWEST version row
+  //                       (doc_id, version, content_hash, valid_from,
+  //                       valid_to) — open or closed; |docs|-sized.
+  //   closed/  (append)   version rows strictly superseded by a newer
+  //                       version of the same doc; append-only, never
+  //                       rescanned by the fold.
+  //   meta/    (rewrite)  1 row: last_day appended (drives is_current
+  //                       at read time, scd2On's valid_to = lastDay
+  //                       convention).
+  //
+  // The fold is ONE full-outer equi-join of `latest` with the day's
+  // snapshot hashes — keyed on doc_id, no windows, history untouched:
+  //   - absent today            -> latest row unchanged
+  //   - new doc                 -> version 1, [day, day]
+  //   - same hash, contiguous   -> extend valid_to = day
+  //   - changed hash OR presence gap -> old row to closed,
+  //                                version+1 opens [day, day]
+  // (a doc that disappears and returns starts a new version even with
+  // unchanged content — the same gap convention scd2On lag-detects).
+  // Scd2AppendSpec pins write+append+append equal to the scd2On full
+  // rebuild on the catalog's three snapshot days, plus planted gap /
+  // revert / reappear histories.
+  // ---------------------------------------------------------------------
+
+  private def scd2Versions(snap: DataFrame, day: Long): DataFrame =
+    snap.select(col("doc_id"), md5(col("text")).as("content_hash"),
+      lit(1L).as("version"), lit(day).as("valid_from"), lit(day).as("valid_to"))
+
+  /** Initialize the stored SCD2 table from the first snapshot day. */
+  def writeScd2(snap: DataFrame, day: Long, path: String): Unit = {
+    import graft.sources.IndexManifest
+    val s = snap.sparkSession
+    import s.implicits._
+    val v = scd2Versions(snap, day)
+    v.write.mode("overwrite").parquet(IndexManifest.epochDir(path, "latest", 0L))
+    v.filter(lit(false)) // closed starts empty, schema-carrying
+      .write.mode("overwrite").parquet(IndexManifest.epochDir(path, "closed", 0L))
+    Seq(day).toDF("last_day")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(IndexManifest.epochDir(path, "meta", 0L))
+    IndexManifest.commit(path, 0L)
+  }
+
+  /** Stage (but do NOT commit) epoch `e` of an SCD2 fold — exposed for
+    * the atomicity drill. Caller contract: `day` is strictly greater
+    * than the stored last_day (snapshots fold in order).
+    */
+  private[graft] def stageScd2Append(
+      snap: DataFrame, day: Long, path: String, e: Long): Unit = {
+    import graft.sources.IndexManifest
+    val s = snap.sparkSession
+    import s.implicits._
+    val latest = IndexManifest.readRewrite(s, path, "latest")
+    val today = snap.select(col("doc_id"), md5(col("text")).as("h_new"))
+    val j = latest.join(today, Seq("doc_id"), "full_outer")
+      .localCheckpoint(true) // one join feeds latest-rewrite AND closed-append
+    val extend = col("h_new").isNotNull && col("content_hash").isNotNull &&
+      col("h_new") === col("content_hash") && col("valid_to") === day - 1L
+    val supersede = col("h_new").isNotNull && col("content_hash").isNotNull && !extend
+    val newLatest = j.select(col("doc_id"),
+      when(col("content_hash").isNull || supersede, col("h_new"))
+        .otherwise(col("content_hash")).as("content_hash"),
+      when(col("content_hash").isNull, lit(1L))
+        .when(supersede, col("version") + 1L)
+        .otherwise(col("version")).as("version"),
+      when(col("content_hash").isNull || supersede, lit(day))
+        .otherwise(col("valid_from")).as("valid_from"),
+      when(col("content_hash").isNull || supersede, lit(day))
+        .when(extend, lit(day))
+        .otherwise(col("valid_to")).as("valid_to"))
+    newLatest.write.mode("overwrite")
+      .parquet(IndexManifest.epochDir(path, "latest", e))
+    j.filter(supersede)
+      .select(col("doc_id"), col("content_hash"), col("version"),
+        col("valid_from"), col("valid_to"))
+      .write.mode("overwrite").parquet(IndexManifest.epochDir(path, "closed", e))
+    Seq(day).toDF("last_day")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(IndexManifest.epochDir(path, "meta", e))
+  }
+
+  /** Fold snapshot `day` into the stored SCD2 table. Crash-atomic via
+    * the manifest: stage epoch e, flip last; a killed fold is invisible
+    * and its retry overwrites the orphan stage.
+    */
+  def appendScd2Snapshot(snap: DataFrame, day: Long, path: String): Unit = {
+    import graft.sources.IndexManifest
+    val e = IndexManifest.committedEpoch(path) + 1L
+    stageScd2Append(snap, day, path, e)
+    IndexManifest.commit(path, e)
+  }
+
+  /** The full SCD2 history from the stored table — closed ∪ latest with
+    * scd2On's exact output contract (is_current = valid_to == last_day),
+    * so the append spec can demand frame equality with a full rebuild.
+    */
+  def readScd2(s: SparkSession, path: String): DataFrame = {
+    import graft.sources.IndexManifest
+    val lastDay = IndexManifest.readRewrite(s, path, "meta").first().getLong(0)
+    IndexManifest.readAppendOnly(s, path, "closed")
+      .unionByName(IndexManifest.readRewrite(s, path, "latest"))
+      .select(col("doc_id"), col("version"), col("content_hash"),
+        col("valid_from"), col("valid_to"),
+        (col("valid_to") === lastDay).as("is_current"))
+  }
 
   /** The batch-tagged docs frame the delta-ingest specs share (the same
     * hash split the t_delta_* catalog rows use).

@@ -57,13 +57,16 @@ class Scd2Spec extends SparkSpec {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5")
         .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // the synthetic-add offset is max(doc_id)+1 (collision-proof at any
+    // corpus size), mirrored from the operator
+    val off = base.map(_._1).max + 1L
     val day0 = base.toMap
     val day1 = (base.filter(_._1 % 10 != 0).map { case (id, t) =>
       id -> (if (id % 7 == 0) t + " rev2" else t)
-    } ++ base.filter(_._1 % 13 == 0).map { case (id, t) => (id + 1000000L) -> t }).toMap
+    } ++ base.filter(_._1 % 13 == 0).map { case (id, t) => (id + off) -> t }).toMap
     val day2 = (day1.toSeq.filter(_._1 % 11 != 0).map { case (id, t) =>
       id -> (if (id % 5 == 0) t + " rev3" else t)
-    } ++ day1.toSeq.filter(_._1 % 17 == 0).map { case (id, t) => (id + 2000000L) -> t }).toMap
+    } ++ day1.toSeq.filter(_._1 % 17 == 0).map { case (id, t) => (id + 2L * off) -> t }).toMap
     val days = Seq(day0, day1, day2)
     val allIds = days.flatMap(_.keySet).distinct
     val expect = allIds.flatMap { id =>
@@ -93,5 +96,72 @@ class Scd2Spec extends SparkSpec {
     assert(shapes.exists(v => !v._4), "closed version")
     assert(shapes.exists(v => v._2 > 0L), "late add")
     assert(got.keySet.exists(_._2 >= 2L), "multi-version doc")
+  }
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def histSet(df: org.apache.spark.sql.DataFrame) =
+    df.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("version"),
+        r.getAs[String]("content_hash"), r.getAs[Long]("valid_from"),
+        r.getAs[Long]("valid_to"), r.getAs[Boolean]("is_current")))
+      .toSet
+
+  test("stored SCD2 fold: write + append + append equals the full scd2On rebuild") {
+    val days = TextOps.scd2SnapshotDays(spark, sf)
+    val dir = tmp("scd2-store")
+    TextOps.writeScd2(days(0), 0L, dir)
+    TextOps.appendScd2Snapshot(days(1), 1L, dir)
+    TextOps.appendScd2Snapshot(days(2), 2L, dir)
+    val got = histSet(TextOps.readScd2(spark, dir))
+    val rebuild = histSet(Catalog.queries("t_scd2_history")(spark, sf))
+    assert(got === rebuild,
+      "incremental fold must reproduce the full-history rebuild exactly")
+    // the fold's plan never touches closed history: only latest + snapshot
+    assert(rebuild.nonEmpty)
+  }
+
+  test("stored SCD2 fold: planted gap / revert / reappear histories match scd2On") {
+    // same lifecycle matrix as the scd2On planted test, as (doc_id, text)
+    // snapshots folded through the stored table
+    val day0 = Seq((1L, "a"), (2L, "a"), (3L, "a"), (5L, "a"), (6L, "a"))
+    val day1 = Seq((1L, "a"), (2L, "a"), (6L, "b"))
+    val day2 = Seq((1L, "a"), (2L, "b"), (4L, "a"), (5L, "a"), (6L, "a"))
+    val dir = tmp("scd2-planted")
+    TextOps.writeScd2(day0.toDF("doc_id", "text"), 0L, dir)
+    TextOps.appendScd2Snapshot(day1.toDF("doc_id", "text"), 1L, dir)
+    TextOps.appendScd2Snapshot(day2.toDF("doc_id", "text"), 2L, dir)
+    val snaps = Seq((day0, 0L), (day1, 1L), (day2, 2L)).flatMap { case (d, i) =>
+      d.map { case (id, t) => (id, i, t) }
+    }.toDF("doc_id", "d", "text")
+      .select($"doc_id", $"d", org.apache.spark.sql.functions.md5($"text").as("h"))
+    assert(histSet(TextOps.readScd2(spark, dir))
+      === histSet(TextOps.scd2On(snaps, lastDay = 2L)))
+    // sanity on the hard rules through the STORED path
+    val byKey = TextOps.readScd2(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("version")) ->
+        ((r.getAs[Long]("valid_from"), r.getAs[Long]("valid_to"),
+          r.getAs[Boolean]("is_current")))).toMap
+    assert(byKey((5L, 2L)) === ((2L, 2L, true)), "gap reappear = new version")
+    assert(byKey((6L, 3L)) === ((2L, 2L, true)), "revert = third version")
+    assert(byKey((3L, 1L)) === ((0L, 0L, false)), "removed doc stays closed")
+  }
+
+  test("killed SCD2 fold is invisible; retry equals the rebuild") {
+    val days = TextOps.scd2SnapshotDays(spark, sf)
+    val dir = tmp("scd2-kill")
+    TextOps.writeScd2(days(0), 0L, dir)
+    TextOps.appendScd2Snapshot(days(1), 1L, dir)
+    val before = histSet(TextOps.readScd2(spark, dir))
+    // crash: stage day 2 without committing
+    TextOps.stageScd2Append(days(2), 2L, dir, 2L)
+    assert(graft.sources.IndexManifest.committedEpoch(dir) === 1L)
+    assert(histSet(TextOps.readScd2(spark, dir)) === before,
+      "uncommitted fold leaked into reads")
+    // retry the full fold: overwrites the orphan stage, then commits
+    TextOps.appendScd2Snapshot(days(2), 2L, dir)
+    assert(histSet(TextOps.readScd2(spark, dir))
+      === histSet(Catalog.queries("t_scd2_history")(spark, sf)))
   }
 }
