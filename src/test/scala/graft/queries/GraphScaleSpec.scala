@@ -38,12 +38,54 @@ class GraphScaleSpec extends SparkSpec {
       val tEdges = time(GraphOps.transitionEdges(evs).count())
       val tCo = time {
         val ui = evs.select($"user_id", $"item").distinct()
-        ui.select($"user_id", $"item".as("i1"))
-          .join(ui.select($"user_id", $"item".as("i2")), "user_id")
-          .filter($"i1" < $"i2")
-          .groupBy($"i1", $"i2").agg(count(lit(1)).as("n")).count()
+        GraphOps.pairSupport(GraphOps.cappedUi(ui)).count()
       }
-      info(f"k=$k edges=$tEdges%.2f s cooccur=$tCo%.2f s rows=${evs.count()}")
+      // the e_communities core: capped pairs -> threshold -> pointer-
+      // doubling CC (the part the round-13 verdict asked to sweep)
+      val tComm = time {
+        val ui = evs.select($"user_id", $"item").distinct()
+        val edges = GraphOps.pairSupport(GraphOps.cappedUi(ui))
+          .filter($"n_users" >= 2L)
+          .select($"i1".as("doc_a"), $"i2".as("doc_b"))
+        TextOps.connectedComponents(edges).count()
+      }
+      info(f"k=$k edges=$tEdges%.2f s cooccur=$tCo%.2f s communities=$tComm%.2f s rows=${evs.count()}")
+    }
+    succeed
+  }
+
+  test("degree cap kills the bot-skew blowup: capped time flat, uncapped quadratic") {
+    assume(sys.env.get("GRAFT_PERF_TESTS").contains("1"),
+      "timing probe gated behind GRAFT_PERF_TESTS=1 (see SCALING.md for recorded numbers)")
+    import spark.implicits._
+    val d = "/root/testdata/sf0.1"
+    val organic = graft.sources.Tables.events(spark, d)
+      .withColumn("item", regexp_extract($"props", "(\\d+)", 1).cast("long"))
+      .filter($"item".isNotNull)
+      .select($"user_id", $"item").distinct()
+      .localCheckpoint()
+    def time(f: => Long): Double = {
+      val t0 = System.nanoTime; f; (System.nanoTime - t0) / 1e9
+    }
+    def uncappedCount(ui: org.apache.spark.sql.DataFrame): Long =
+      ui.select($"user_id", $"item".as("i1"))
+        .join(ui.select($"user_id", $"item".as("i2")), "user_id")
+        .filter($"i1" < $"i2")
+        .groupBy($"i1", $"i2").agg(count(lit(1)).as("n")).count()
+    // warmup both plan shapes
+    GraphOps.pairSupport(GraphOps.cappedUi(organic)).count()
+    uncappedCount(organic)
+    val t0c = time(GraphOps.pairSupport(GraphOps.cappedUi(organic)).count())
+    val t0u = time(uncappedCount(organic))
+    for (botDeg <- Seq(2000L, 8000L)) {
+      // one bot-grade user over synthetic items beyond the organic catalog
+      val bot = spark.range(botDeg)
+        .select(lit(999999999L).as("user_id"), ($"id" + 100000L).as("item"))
+      val ui = organic.unionByName(bot).localCheckpoint()
+      val tCap = time(GraphOps.pairSupport(GraphOps.cappedUi(ui)).count())
+      val tRaw = time(uncappedCount(ui))
+      info(f"botDeg=$botDeg capped=$tCap%.2f s (organic $t0c%.2f) " +
+        f"uncapped=$tRaw%.2f s (organic $t0u%.2f, ${botDeg * (botDeg - 1) / 2} bot pairs)")
     }
     succeed
   }
