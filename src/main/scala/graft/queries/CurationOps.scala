@@ -628,6 +628,54 @@ object CurationOps {
     """.stripMargin.trim),
   )
 
+  // ---------------------------------------------------------------------
+  // Curation funnel observability — the drop-count audit every silent
+  // multi-stage filter owes its operator (the text-pipeline sibling of
+  // e_degree_cap_audit and v_index_balance): one row per pipeline
+  // stage of the t_curate_corpus flagship with the surviving doc count,
+  // so a day-over-day diff localizes WHERE the corpus shrank (dedup?
+  // quality? decontamination?) before anyone debugs the packed output.
+  // Five independent global aggregates over the same lazily-shared
+  // stage frames the flagship composes — counts only, no extra
+  // corpus-sized shuffle beyond what the stages themselves run.
+  // ---------------------------------------------------------------------
+  val curateFunnel = Q(
+    "t_curate_funnel",
+    (s, d) => {
+      import s.implicits._
+      val raw = docs(s, d)
+      val surv = TextOps.dedupSurvivors(s, d)
+      val good = TextOps.withQuality(surv).filter($"quality" =!= "poor")
+        .localCheckpoint(false) // three consumers below
+      val train = good.filter(splitOf($"doc_id") === "train")
+        .select($"doc_id", $"text")
+      val leaky = contaminatedTrainOn(
+          train,
+          docs(s, d).filter(splitOf($"doc_id") =!= "train").select($"doc_id", $"text"))
+        .withColumnRenamed("doc_id", "leak_id")
+      val shipped = train.join(leaky, $"doc_id" === $"leak_id", "left_anti")
+      def stage(ord: Long, name: String, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("n_docs"))
+          .select(lit(ord).as("stage_ord"), lit(name).as("stage"), $"n_docs")
+      stage(1L, "raw", raw)
+        .unionByName(stage(2L, "post_dedup", surv))
+        .unionByName(stage(3L, "quality_pass", good))
+        .unionByName(stage(4L, "train_split", train))
+        .unionByName(stage(5L, "decontaminated", shipped))
+    },
+    Some(s"""
+      WITH $oracleCuratedTrainCtes
+      SELECT * FROM (
+        SELECT CAST(1 AS BIGINT) AS stage_ord, 'raw' AS stage,
+               CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_docs
+        UNION ALL SELECT 2, 'post_dedup', (SELECT COUNT(*) FROM survivors)
+        UNION ALL SELECT 3, 'quality_pass', (SELECT COUNT(*) FROM good)
+        UNION ALL SELECT 4, 'train_split',
+          (SELECT COUNT(*) FROM good WHERE ($oSplitCase) = 'train')
+        UNION ALL SELECT 5, 'decontaminated', (SELECT COUNT(*) FROM train))
+    """.stripMargin.trim),
+  )
+
   /** The curated train frame (doc_id, n_tokens) the flagship packers
     * consume: dedup survivors → quality gate → train split →
     * decontamination anti-join, localCheckpoint'ed once because every
@@ -815,5 +863,5 @@ object CurationOps {
   val qs: Seq[Q] =
     Seq(splitAssign, sourceQuota, stratifiedSample, sampleExactK, shardPack,
       seqPack, contamination, domainMix, trainLeaks, curateCorpus,
-      curateSequences)
+      curateSequences, curateFunnel)
 }

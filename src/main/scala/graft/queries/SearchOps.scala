@@ -382,6 +382,90 @@ object SearchOps {
   )
 
   // ---------------------------------------------------------------------
+  // Proximity ("near") ranked retrieval — the slop-window query class
+  // between bag-of-words and exact phrase: how often does `join` follow
+  // `spark` within `proxSlop` tokens? near_tf counts ORDERED position
+  // pairs (p1 < p2 <= p1 + slop) — the standard directional NEAR
+  // operator, and the degenerate slop=1 case is exactly the 2-term
+  // phrase count. Like phraseSearch the occurrence count is a pure
+  // pre-shuffle projection per doc (nested higher-order functions over
+  // the token array — no explode, no shuffle until the top-k); the
+  // stored-index twin [[proximitySearchFromIndex]] reads two position
+  // lists instead. The CASE guard mirrors phraseSearch's (Spark's
+  // sequence(1, 0) DESCENDS and ANSI element_at throws on an empty
+  // array; DuckDB's generate_series(1, 0) is empty).
+  // ---------------------------------------------------------------------
+
+  private val proxTerms = ("spark", "join")
+  private val proxSlop = 3
+
+  /** near_tf over two 1-based (or any same-base) position arrays. */
+  private def nearAgg(p1: String, p2: String): String =
+    s"aggregate($p1, 0L, (acc, x) -> acc + size(filter($p2, y -> y > x AND y <= x + $proxSlop)))"
+
+  val proximitySearch = Q(
+    "t_proximity_search",
+    (s, d) => {
+      import s.implicits._
+      def posOf(t: String) =
+        s"filter(sequence(1, size(tk)), i -> element_at(tk, i) = '$t')"
+      docs(s, d)
+        .select($"doc_id", TextOps.toks.as("tk"))
+        .withColumn("near_tf", expr(
+          s"""CASE WHEN size(tk) >= 1
+             |THEN ${nearAgg(posOf(proxTerms._1), posOf(proxTerms._2))}
+             |ELSE 0L END""".stripMargin))
+        .filter($"near_tf" > 0L)
+        .select($"doc_id", $"near_tf")
+        .orderBy($"near_tf".desc, $"doc_id")
+        .limit(searchK)
+        .withColumn("rnk",
+          row_number().over(Window.orderBy($"near_tf".desc, $"doc_id")).cast("long"))
+    },
+    Some {
+      def oPos(t: String) = s"list_filter(generate_series(1, len(tk)), i -> tk[i] = '$t')"
+      s"""
+      WITH tok AS (SELECT doc_id, ${TextOps.oracleToks} AS tk FROM documents),
+      hits AS (
+        SELECT doc_id,
+               CAST(COALESCE(list_sum(list_transform(${oPos(proxTerms._1)},
+                 x -> len(list_filter(${oPos(proxTerms._2)},
+                   y -> y > x AND y <= x + $proxSlop)))), 0) AS BIGINT) AS near_tf
+        FROM tok)
+      SELECT doc_id, near_tf,
+             ROW_NUMBER() OVER (ORDER BY near_tf DESC, doc_id) AS rnk
+      FROM hits WHERE near_tf > 0 QUALIFY rnk <= $searchK
+    """.stripMargin.trim
+    },
+  )
+
+  /** Proximity top-k against the STORED index — the second query class
+    * the positional postings pay for: two bucket-pruned position lists
+    * joined on doc_id, same near_tf aggregate as [[proximitySearch]]
+    * (spec-pinned parity; stored positions are 0-based, the inline scan
+    * 1-based — distances are base-invariant).
+    */
+  def proximitySearchFromIndex(
+      s: SparkSession, path: String, t1: String, t2: String, k: Int): DataFrame = {
+    import graft.sources.IndexManifest
+    import s.implicits._
+    val buckets = Seq(t1, t2).map(t => jvmH60(t) % indexBuckets).distinct
+    val posts = IndexManifest.readAppendOnly(s, path, "postings")
+      .filter($"bucket".isin(buckets: _*))
+      .filter($"t".isin(Seq(t1, t2).distinct: _*))
+      .select($"doc_id", $"t", $"positions")
+    posts.filter($"t" === t1).select($"doc_id", $"positions".as("p1"))
+      .join(posts.filter($"t" === t2).select($"doc_id", $"positions".as("p2")), "doc_id")
+      .withColumn("near_tf", expr(nearAgg("p1", "p2")))
+      .filter($"near_tf" > 0L)
+      .select($"doc_id", $"near_tf")
+      .orderBy($"near_tf".desc, $"doc_id")
+      .limit(k)
+      .withColumn("rnk",
+        row_number().over(Window.orderBy($"near_tf".desc, $"doc_id")).cast("long"))
+  }
+
+  // ---------------------------------------------------------------------
   // Pseudo-relevance feedback (Rocchio-style query expansion): retrieve
   // with the standing query, take the top-10 feedback docs, promote
   // their 2 heaviest non-query terms (by summed tf, ties by term) into
@@ -844,5 +928,5 @@ object SearchOps {
 
   val qs: Seq[Q] = Seq(
     boolSearch, tfidfSearch, bm25Search, rrfFusion, prfExpand, phraseSearch,
-    entityResolution, entityCanon, entityTypos)
+    proximitySearch, entityResolution, entityCanon, entityTypos)
 }

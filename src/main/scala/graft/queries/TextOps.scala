@@ -2336,6 +2336,44 @@ object TextOps {
         (col("valid_to") === lastDay).as("is_current"))
   }
 
+  /** Time-travel read over an SCD2 history frame: corpus membership as
+    * of `day` — (doc_id, content_hash) of every doc with a version
+    * valid on that day. Presence gaps are genuinely absent (no version
+    * window covers a gap day), so as-of(d) over the history EQUALS the
+    * original day-d snapshot — the information-completeness property
+    * `t_scd2_asof` oracle-gates and Scd2Spec pins per day against both
+    * the inline and the stored table. Plan: one partition-prunable
+    * range filter over the history, no windows, no joins.
+    */
+  def scd2AsOf(history: DataFrame, day: Long): DataFrame =
+    history
+      .filter(col("valid_from") <= day && col("valid_to") >= day)
+      .select(col("doc_id"), col("content_hash"))
+
+  val scd2AsOfQ = Q(
+    "t_scd2_asof",
+    (s, d) => {
+      import s.implicits._
+      val snaps = scd2SnapshotDays(s, d).zipWithIndex
+        .map { case (df, i) => df.withColumn("d", lit(i.toLong)) }
+        .reduce(_ unionByName _)
+        .select($"doc_id", $"d", md5($"text").as("h"))
+      // day 1 is the interesting probe: mid-history, after adds/revisions
+      // and before the day-2 churn — the round-trip must reproduce its
+      // membership exactly from version windows alone
+      scd2AsOf(scd2On(snaps, lastDay = 2L), day = 1L)
+    },
+    Some(s"""
+      WITH d0 AS (SELECT doc_id, text FROM documents),
+      d1 AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0 THEN text || ' rev2' ELSE text END AS text
+        FROM d0 WHERE doc_id % 10 <> 0
+        UNION ALL SELECT doc_id + $oracleIdOffset, text FROM d0 WHERE doc_id % 13 = 0)
+      SELECT doc_id, md5(text) AS content_hash FROM d1
+    """.stripMargin.trim),
+  )
+
   /** The batch-tagged docs frame the delta-ingest specs share (the same
     * hash split the t_delta_* catalog rows use).
     */
@@ -4103,6 +4141,7 @@ object TextOps {
   val qs: Seq[Q] = Seq(
     shingleNovelty,
     scd2History,
+    scd2AsOfQ,
     snapshotDiff,
     lshPrecision,
     lshRecall,

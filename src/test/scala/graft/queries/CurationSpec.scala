@@ -300,4 +300,27 @@ class CurationSpec extends SparkSpec {
     assert(formatted.contains("windowspecdefinition(bkt"), formatted)
     assert(formatted.contains("BroadcastHashJoin"), formatted)
   }
+
+  test("t_curate_funnel: monotone stage counts; final stage equals the flagship's docs") {
+    val d = "/root/testdata/sf0.001"
+    val rows = Catalog.queries("t_curate_funnel")(spark, d)
+      .collect()
+      .map(r => r.getAs[Long]("stage_ord") ->
+        ((r.getAs[String]("stage"), r.getAs[Long]("n_docs"))))
+      .toMap
+    assert(rows.keySet === Set(1L, 2L, 3L, 4L, 5L))
+    assert(rows(1L)._1 === "raw" && rows(5L)._1 === "decontaminated")
+    // each stage only ever removes docs (the funnel property), except the
+    // train split which removes val/test — strictly a subset too
+    val counts = (1L to 5L).map(rows(_)._2)
+    assert(counts.sliding(2).forall(w => w(0) >= w(1)), counts.toString)
+    // the funnel's terminal count IS the flagship's shipped doc count
+    val packed = Catalog.queries("t_curate_corpus")(spark, d).count()
+    assert(rows(5L)._2 === packed,
+      "decontaminated stage must equal the packed corpus cardinality")
+    // the fixture exercises a real drop at the split stage (the sf0.001
+    // corpus happens to carry no exact duplicates, so dedup is <=)
+    assert(rows(2L)._2 <= rows(1L)._2)
+    assert(rows(4L)._2 < rows(3L)._2)
+  }
 }

@@ -148,6 +148,28 @@ class Scd2Spec extends SparkSpec {
     assert(byKey((3L, 1L)) === ((0L, 0L, false)), "removed doc stays closed")
   }
 
+  test("scd2AsOf round-trips every snapshot day, including across a presence gap") {
+    val day0 = Seq((1L, "a"), (2L, "a"), (3L, "a"), (5L, "a"), (6L, "a"))
+    val day1 = Seq((1L, "a"), (2L, "a"), (6L, "b"))
+    val day2 = Seq((1L, "a"), (2L, "b"), (4L, "a"), (5L, "a"), (6L, "a"))
+    val dir = tmp("scd2-asof")
+    TextOps.writeScd2(day0.toDF("doc_id", "text"), 0L, dir)
+    TextOps.appendScd2Snapshot(day1.toDF("doc_id", "text"), 1L, dir)
+    TextOps.appendScd2Snapshot(day2.toDF("doc_id", "text"), 2L, dir)
+    val hist = TextOps.readScd2(spark, dir)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    Seq((day0, 0L), (day1, 1L), (day2, 2L)).foreach { case (snap, d) =>
+      val got = TextOps.scd2AsOf(hist, d)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toSet
+      val expect = snap.map { case (id, t) => id -> md5hex(t) }.toSet
+      assert(got === expect, s"as-of day $d must equal that day's snapshot")
+    }
+    // doc 5 is ABSENT on day 1 (the gap day): no version window covers it
+    assert(!TextOps.scd2AsOf(hist, 1L).collect().map(_.getLong(0)).contains(5L))
+  }
+
   test("killed SCD2 fold is invisible; retry equals the rebuild") {
     val days = TextOps.scd2SnapshotDays(spark, sf)
     val dir = tmp("scd2-kill")

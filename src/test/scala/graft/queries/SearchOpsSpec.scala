@@ -121,6 +121,34 @@ class SearchOpsSpec extends SparkSpec {
     assert(run(Seq("a", "zz")).isEmpty)
   }
 
+  test("proximitySearchFromIndex equals the inline slop ranking; hand-checked pairs") {
+    import spark.implicits._
+    // hand-check the pair counting first (slop = 3, directional)
+    val docs = Seq(
+      (1L, "spark a join spark join"), // p1=[1,4] p2=[3,5]: 1->3, 4->5 => 2
+      (2L, "join spark"),              // join BEFORE spark only => 0
+      (3L, "spark a b c join"),        // distance 4 > slop => 0
+      (4L, "spark join"),              // => 1
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-prox-tiny").toString
+    SearchOps.writePostingsIndex(docs, dir)
+    val tiny = SearchOps.proximitySearchFromIndex(spark, dir, "spark", "join", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(tiny === Seq((1L, 2L, 1L), (4L, 1L, 2L)))
+
+    // fixture-corpus parity: stored twin == inline catalog ranking
+    val big = java.nio.file.Files.createTempDirectory("graft-prox-idx").toString
+    SearchOps.writePostingsIndex(graft.sources.Tables.documents(spark, sf), big)
+    val stored = SearchOps.proximitySearchFromIndex(spark, big, "spark", "join", 15)
+    val plan = stored.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+      s"expected bucket partition pruning in:\n$plan")
+    val got = stored.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val inline = Catalog.queries("t_proximity_search")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === inline.toSeq)
+  }
+
   test("appendPostingsIndex equals a union-corpus rebuild; search parity holds") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
