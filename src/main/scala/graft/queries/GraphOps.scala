@@ -344,7 +344,7 @@ object GraphOps {
     import graft.sources.IndexManifest
     val e = IndexManifest.committedEpoch(path) + 1L
     stageTransitionAppend(deltaWithCarry, path, e)
-    IndexManifest.commit(path, e)
+    IndexManifest.advance(path, e)
   }
 
   /** Stage (but do NOT commit) epoch `e` of a transition-graph append —

@@ -722,8 +722,19 @@ object SearchOps {
     import graft.sources.IndexManifest
     val e = IndexManifest.committedEpoch(path) + 1L
     stagePostingsAppend(newDocs, path, e)
-    IndexManifest.commit(path, e)
+    IndexManifest.advance(path, e)
   }
+
+  /** Fold the accreted posting epochs into one bucket-partitioned
+    * directory and raise the window floor (terms/corpus copied
+    * forward). After N daily appends each bucket holds N small files
+    * per epoch level; compaction restores the one-directory-per-bucket
+    * layout searches prune into.
+    */
+  def compactPostingsIndex(s: SparkSession, path: String): Unit =
+    graft.sources.IndexManifest.compact(
+      s, path, appendOnly = Seq("postings" -> Seq("bucket")),
+      rewrite = Seq("terms", "corpus"))
 
   /** TF-IDF top-k against the STORED index — same ranking contract as
     * [[tfidfSearch]] (the parity spec pins it), but the posting scan is

@@ -2319,8 +2319,16 @@ object TextOps {
     import graft.sources.IndexManifest
     val e = IndexManifest.committedEpoch(path) + 1L
     stageScd2Append(snap, day, path, e)
-    IndexManifest.commit(path, e)
+    IndexManifest.advance(path, e)
   }
+
+  /** Fold the accreted closed-row epochs into one directory and raise
+    * the window floor (latest/meta copied forward) — the SCD2 member of
+    * the compaction family.
+    */
+  def compactScd2(s: SparkSession, path: String): Unit =
+    graft.sources.IndexManifest.compact(
+      s, path, appendOnly = Seq("closed" -> Seq.empty), rewrite = Seq("latest", "meta"))
 
   /** The full SCD2 history from the stored table — closed ∪ latest with
     * scd2On's exact output contract (is_current = valid_to == last_day),
@@ -2446,8 +2454,17 @@ object TextOps {
     import graft.sources.IndexManifest
     val e = IndexManifest.committedEpoch(path) + 1L
     stageLshAppend(keptDelta, path, e)
-    IndexManifest.commit(path, e)
+    IndexManifest.advance(path, e)
   }
+
+  /** Fold the accreted band-row epochs into one fresh directory and
+    * raise the manifest's window floor (counts copied forward) — run
+    * after N appends to stop small-file/directory accretion. Reader
+    * equality is the manifest's contract; IndexManifestSpec pins it.
+    */
+  def compactLshIndex(s: SparkSession, path: String): Unit =
+    graft.sources.IndexManifest.compact(
+      s, path, appendOnly = Seq("bands" -> Seq.empty), rewrite = Seq("bucket_counts"))
 
   /** Day-2 near-dup ingest against the STORED index: only the delta is
     * shingled and signed; candidate buckets come from joining the

@@ -2365,8 +2365,16 @@ object VectorOps {
     import graft.sources.IndexManifest
     val e = IndexManifest.committedEpoch(path) + 1L
     stageIvfPqAppend(newVecs, path, e)
-    IndexManifest.commit(path, e)
+    IndexManifest.advance(path, e)
   }
+
+  /** Fold the accreted code epochs into one cell-partitioned directory
+    * and raise the window floor (centroids/codewords are immutable
+    * plain directories — untouched).
+    */
+  def compactIvfPqIndex(s: SparkSession, path: String): Unit =
+    graft.sources.IndexManifest.compact(
+      s, path, appendOnly = Seq("codes" -> Seq("cell")), rewrite = Seq.empty)
 
   /** Stage (but do NOT commit) epoch `e` of an IVF-PQ append — exposed
     * for the atomicity spec.

@@ -60,12 +60,19 @@ object IndexManifest {
     */
   val FormatVersion = 2
 
-  final case class State(formatVersion: Int, epoch: Long)
+  /** `baseEpoch`: the FLOOR of the committed window — append-only
+    * readers scan epochs in [baseEpoch, epoch]. 0 until a compaction
+    * rebases the index (the compactor folds every live epoch into one
+    * fresh directory and raises the floor past the stale ones, which
+    * become invisible garbage a janitor can delete at leisure).
+    */
+  final case class State(formatVersion: Int, epoch: Long, baseEpoch: Long = 0L)
 
   private def manifestFile(path: String) = Paths.get(path, "_graft_manifest.json")
 
-  /** Parse the manifest if present. Hand-rolled parse of the two-field
+  /** Parse the manifest if present. Hand-rolled parse of the three-field
     * object this module itself writes — no JSON library surface.
+    * `base_epoch` defaults to 0 when absent (pre-compaction manifests).
     */
   def read(path: String): Option[State] = {
     val f = manifestFile(path)
@@ -75,18 +82,18 @@ object IndexManifest {
       def field(k: String): Option[Long] =
         s""""$k"\\s*:\\s*(-?\\d+)""".r.findFirstMatchIn(s).map(_.group(1).toLong)
       for (v <- field("format_version"); e <- field("epoch"))
-        yield State(v.toInt, e)
+        yield State(v.toInt, e, field("base_epoch").getOrElse(0L))
     }
   }
 
-  /** The committed epoch, or fail fast when the index is unreadable by
+  /** The committed state, or fail fast when the index is unreadable by
     * this build (missing manifest = pre-manifest stock or a build that
     * crashed before its first commit; version skew = older artifact
     * schema). Both mean: rebuild the index.
     */
-  def committedEpoch(path: String): Long = read(path) match {
-    case Some(State(FormatVersion, e)) => e
-    case Some(State(v, _)) =>
+  def committedState(path: String): State = read(path) match {
+    case Some(st @ State(FormatVersion, _, _)) => st
+    case Some(State(v, _, _)) =>
       throw new IllegalStateException(
         s"index at $path has format_version $v, this build reads $FormatVersion " +
           "- rebuild the index (write*Index) before searching it")
@@ -96,14 +103,17 @@ object IndexManifest {
           "format or its build crashed before commit; rebuild the index (write*Index)")
   }
 
-  /** Flip the manifest to `epoch` — the commit point. Write-then-rename
-    * so a crash mid-commit leaves either the old manifest or the new
-    * one, never a torn file.
+  /** The committed epoch (see [[committedState]] for the failure modes). */
+  def committedEpoch(path: String): Long = committedState(path).epoch
+
+  /** Flip the manifest to `epoch` (window floor `baseEpoch`) — the
+    * commit point. Write-then-rename so a crash mid-commit leaves
+    * either the old manifest or the new one, never a torn file.
     */
-  def commit(path: String, epoch: Long): Unit = {
+  def commit(path: String, epoch: Long, baseEpoch: Long = 0L): Unit = {
     Files.createDirectories(Paths.get(path))
     val body =
-      s"""{"format_version": $FormatVersion, "epoch": $epoch}\n"""
+      s"""{"format_version": $FormatVersion, "epoch": $epoch, "base_epoch": $baseEpoch}\n"""
     val tmp = Paths.get(path, s"._graft_manifest.$epoch.tmp")
     Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, manifestFile(path),
@@ -118,15 +128,74 @@ object IndexManifest {
   def readRewrite(s: SparkSession, path: String, component: String): DataFrame =
     s.read.parquet(epochDir(path, component, committedEpoch(path)))
 
-  /** Read an APPEND-ONLY component: all epochs up to the committed one,
-    * pruned at the directory level (epoch is a discovered partition
-    * column against `basePath`; nested partition columns like
-    * `bucket` survive and still prune).
+  /** Advance the committed ceiling to `epoch`, PRESERVING the window
+    * floor — what every appender's commit must use: committing with the
+    * default floor of 0 after a compaction would resurrect the
+    * superseded pre-compaction epochs and double-count them (the
+    * compaction spec's kill shot — it caught exactly this).
+    */
+  def advance(path: String, epoch: Long): Unit =
+    commit(path, epoch, committedState(path).baseEpoch)
+
+  /** Stage (but do NOT commit) a compaction into epoch `e`: every
+    * append-only component's committed window folds into ONE fresh
+    * directory `component/epoch=e` (re-laid-out on its partition
+    * columns), and every rewrite component is copied forward to its
+    * `epoch=e` twin. All writes are overwrite-mode into e's own
+    * directories — a crashed stage is invisible and re-runnable, the
+    * same discipline as the appenders'.
+    */
+  def stageCompact(
+      s: SparkSession,
+      path: String,
+      appendOnly: Seq[(String, Seq[String])],
+      rewrite: Seq[String],
+      e: Long): Unit = {
+    appendOnly.foreach { case (comp, parts) =>
+      val df = readAppendOnly(s, path, comp)
+      val writer =
+        if (parts.nonEmpty)
+          df.repartition(parts.map(col): _*).write.partitionBy(parts: _*)
+        else df.write
+      writer.mode("overwrite").parquet(epochDir(path, comp, e))
+    }
+    rewrite.foreach { comp =>
+      readRewrite(s, path, comp)
+        .write.mode("overwrite").parquet(epochDir(path, comp, e))
+    }
+  }
+
+  /** Compact an index in place: fold the committed epoch window into a
+    * single fresh epoch and RAISE THE WINDOW FLOOR past the superseded
+    * directories (base_epoch = epoch = e). Readers see the old window
+    * until the atomic manifest flip, then only the compacted copy; the
+    * stale epoch directories are garbage outside the committed window —
+    * deletable by any janitor at leisure, never read again. This is the
+    * day-N lifecycle completion for the append family: appends accrete
+    * epoch directories (and small files) forever without it.
+    */
+  def compact(
+      s: SparkSession,
+      path: String,
+      appendOnly: Seq[(String, Seq[String])],
+      rewrite: Seq[String]): Unit = {
+    val e = committedState(path).epoch + 1L
+    stageCompact(s, path, appendOnly, rewrite, e)
+    commit(path, e, baseEpoch = e)
+  }
+
+  /** Read an APPEND-ONLY component: the committed epoch window
+    * [baseEpoch, epoch], pruned at the directory level (epoch is a
+    * discovered partition column against `basePath`; nested partition
+    * columns like `bucket` survive and still prune). Epochs below the
+    * floor are a compaction's superseded inputs; epochs above the
+    * ceiling are uncommitted stages — both invisible.
     */
   def readAppendOnly(s: SparkSession, path: String, component: String): DataFrame = {
+    val st = committedState(path)
     val base = s"$path/$component"
     s.read.option("basePath", base).parquet(base)
-      .filter(col("epoch") <= committedEpoch(path))
+      .filter(col("epoch") >= st.baseEpoch && col("epoch") <= st.epoch)
       .drop("epoch")
   }
 }

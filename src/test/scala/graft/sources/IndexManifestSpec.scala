@@ -108,6 +108,102 @@ class IndexManifestSpec extends SparkSpec {
       "retry must not double-advance the corpus totals")
   }
 
+  test("compaction: reader equality, raised window floor, appendable after, kill-safe") {
+    val docs = Seq(
+      (1L, "spark join window alpha"), (2L, "join window beta"),
+      (3L, "spark gamma")).toDF("doc_id", "text")
+    val day2 = Seq((10L, "spark delta"), (11L, "join epsilon")).toDF("doc_id", "text")
+    val day3 = Seq((20L, "window zeta spark")).toDF("doc_id", "text")
+    val q = Seq("spark", "join", "window")
+    val dir = tmp("post-compact")
+    SearchOps.writePostingsIndex(docs, dir)
+    SearchOps.appendPostingsIndex(day2, dir)
+    SearchOps.appendPostingsIndex(day3, dir)
+    def top(d: String) = SearchOps.bm25SearchFromIndex(spark, d, q, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    def posts(d: String) = IndexManifest.readAppendOnly(spark, d, "postings")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("t"),
+        r.getAs[Long]("tf"))).toSet
+    val beforeTop = top(dir)
+    val beforePosts = posts(dir)
+
+    // kill drill: stage the compaction without committing — reads frozen
+    IndexManifest.stageCompact(spark, dir,
+      Seq("postings" -> Seq("bucket")), Seq("terms", "corpus"), e = 3L)
+    assert(IndexManifest.committedState(dir) === IndexManifest.State(2, 2L, 0L))
+    assert(top(dir) === beforeTop && posts(dir) === beforePosts,
+      "uncommitted compaction leaked into reads")
+
+    // real compaction (stages again over the orphan, then flips)
+    SearchOps.compactPostingsIndex(spark, dir)
+    assert(IndexManifest.committedState(dir) === IndexManifest.State(2, 3L, 3L),
+      "compaction must raise the window floor to its own epoch")
+    assert(top(dir) === beforeTop, "compaction changed search results")
+    assert(posts(dir) === beforePosts, "compaction changed the posting rows")
+    // the compacted window reads exactly ONE epoch level
+    val dirs = new java.io.File(s"$dir/postings").listFiles()
+      .filter(_.getName.startsWith("epoch=")).map(_.getName).toSet
+    assert(dirs.contains("epoch=3"))
+
+    // the index stays appendable and union-equal after compaction
+    val day4 = Seq((30L, "spark join")).toDF("doc_id", "text")
+    SearchOps.appendPostingsIndex(day4, dir)
+    val rebuilt = tmp("post-compact-reb")
+    SearchOps.writePostingsIndex(
+      docs.unionByName(day2).unionByName(day3).unionByName(day4), rebuilt)
+    assert(top(dir) === top(rebuilt))
+    assert(posts(dir) === posts(rebuilt))
+  }
+
+  test("compaction across the other families: LSH, IVF-PQ, SCD2 read-equal") {
+    // LSH
+    def doc(seed: Int): String = (1 to 12).map(i => s"c${seed}_$i").mkString(" ")
+    val base = Seq((1L, doc(1)), (2L, doc(2))).toDF("doc_id", "text")
+    val probe = Seq((20L, doc(2)), (21L, doc(9))).toDF("doc_id", "text")
+    val ldir = tmp("lsh-compact")
+    TextOps.writeLshIndex(base, ldir)
+    TextOps.appendLshIndex(Seq((11L, doc(7))).toDF("doc_id", "text"), ldir)
+    def verdicts() = TextOps.deltaNearDupFromIndex(probe, ldir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val vBefore = verdicts()
+    TextOps.compactLshIndex(spark, ldir)
+    assert(verdicts() === vBefore)
+    assert(IndexManifest.committedState(ldir).baseEpoch === 2L)
+
+    // IVF-PQ
+    graft.functions.GraftFunctions.registerDotD(spark)
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val maxId = emb.agg(max($"vec_id")).head().getLong(0)
+    val arrivals = emb.filter($"vec_id" % 13 === 0).limit(8)
+      .select(($"vec_id" + maxId + 1).as("vec_id"), $"embedding", $"label")
+    val vdir = tmp("ivfpq-compact")
+    VectorOps.writeIvfPqIndex(emb, vdir)
+    VectorOps.appendIvfPqIndex(arrivals, vdir)
+    def codes(d: String) = IndexManifest.readAppendOnly(spark, d, "codes")
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("sub"),
+        r.getAs[Long]("code"))).toSet
+    val cBefore = codes(vdir)
+    VectorOps.compactIvfPqIndex(spark, vdir)
+    assert(codes(vdir) === cBefore)
+
+    // SCD2
+    val sdir = tmp("scd2-compact")
+    TextOps.writeScd2(Seq((1L, "a"), (2L, "a")).toDF("doc_id", "text"), 0L, sdir)
+    TextOps.appendScd2Snapshot(Seq((1L, "b"), (3L, "a")).toDF("doc_id", "text"), 1L, sdir)
+    TextOps.appendScd2Snapshot(Seq((1L, "b"), (3L, "b")).toDF("doc_id", "text"), 2L, sdir)
+    def hist(d: String) = TextOps.readScd2(spark, d)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("version"),
+        r.getAs[String]("content_hash"), r.getAs[Long]("valid_from"),
+        r.getAs[Long]("valid_to"), r.getAs[Boolean]("is_current"))).toSet
+    val hBefore = hist(sdir)
+    TextOps.compactScd2(spark, sdir)
+    assert(hist(sdir) === hBefore)
+    // still foldable after compaction
+    TextOps.appendScd2Snapshot(Seq((1L, "b")).toDF("doc_id", "text"), 3L, sdir)
+    assert(hist(sdir).exists(t => t._1 == 1L && t._5 == 3L && t._6))
+    assert(hist(sdir).exists(t => t._1 == 3L && !t._6), "doc 3 closed after day 3 absence")
+  }
+
   test("killed IVF-PQ and transition-graph appends: invisible; retry clean") {
     // IVF-PQ: stage codes for new vectors without committing
     graft.functions.GraftFunctions.registerDotD(spark)
