@@ -702,6 +702,63 @@ object Streams {
     (batch, batchId) =>
       sink(scoreAgainstIndexStats(batch, postingsIndexPath, terms), batchId)
 
+  /** Per-doc latest-version state for [[scd2Stream]]. */
+  final case class Scd2State(version: Long, hash: String, validFrom: Long, validTo: Long)
+  final case class Scd2Closed(
+      doc_id: Long, version: Long, content_hash: String,
+      valid_from: Long, valid_to: Long)
+
+  /** Streaming SCD2 fold — the live twin of the stored-table fold
+    * ([[graft.queries.TextOps.appendScd2Snapshot]]): per doc, the state
+    * carries the NEWEST version row; each arriving (doc_id, d, text)
+    * snapshot membership either extends it (same hash, contiguous day),
+    * or supersedes it — emitting the old version as a CLOSED row, the
+    * same rows the stored fold appends to its `closed` component
+    * (StreamsSpec pins set equality). Presence gaps resolve exactly like
+    * the batch operators': a doc with no arrival on day d simply has no
+    * invocation — the gap is detected at its NEXT arrival (d' > valid_to
+    * + 1 starts a new version, the scd2On re-add convention), so absence
+    * needs no day barrier. `is_current` is inherently a read-time
+    * property (it depends on the last day), so the stream emits only
+    * closure facts; the open rows are the state itself.
+    *
+    * Ordering contract as the other stateful twins: arrivals fold in
+    * day order within a micro-batch; cross-batch, days must not regress
+    * per doc (snapshot ingest is day-ordered by construction).
+    *
+    * Input columns: doc_id, d, text.
+    */
+  def scd2Stream(snaps: DataFrame): DataFrame = {
+    import org.apache.spark.sql.{Encoders, streaming}
+    implicit val outEnc = Encoders.product[Scd2Closed]
+    implicit val stEnc = Encoders.product[Scd2State]
+    snaps
+      .select(col("doc_id").cast("long"), col("d").cast("long"),
+        md5(col("text")).as("h"))
+      .as[(Long, Long, String)](Encoders.product[(Long, Long, String)])
+      .groupByKey(_._1)(Encoders.scalaLong)
+      .flatMapGroupsWithState[Scd2State, Scd2Closed](
+        OutputMode.Append(),
+        streaming.GroupStateTimeout.NoTimeout()) {
+        (id, it, state: streaming.GroupState[Scd2State]) =>
+          var cur = state.getOption.orNull
+          val out = Vector.newBuilder[Scd2Closed]
+          it.toSeq.sortBy(_._2).foreach { case (_, d, h) =>
+            if (cur == null) cur = Scd2State(1L, h, d, d)
+            else if (d <= cur.validTo) () // duplicate same-day arrival: first wins
+            else if (h == cur.hash && d == cur.validTo + 1L)
+              cur = cur.copy(validTo = d)
+            else {
+              out += Scd2Closed(id, cur.version, cur.hash, cur.validFrom, cur.validTo)
+              cur = Scd2State(cur.version + 1L, h, d, d)
+            }
+          }
+          if (cur != null) state.update(cur)
+          out.result().iterator
+      }
+      .toDF()
+  }
+
   /** Per-user item-transition state for [[transitionStream]]. */
   final case class TransState(ts: Long, id: Long, item: Long)
   final case class TransEdge(user_id: Long, src: Long, dst: Long, ts_sec: Long)

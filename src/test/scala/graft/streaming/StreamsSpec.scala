@@ -968,6 +968,59 @@ class StreamsSpec extends SparkSpec {
       "post-append batch must score with the ADVANCED stats, not construction-time ones")
   }
 
+  test("scd2Stream emits exactly the stored fold's closed rows across batch boundaries") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // same lifecycle matrix as the Scd2Spec planted test: extend, change,
+    // removal, late add, gap-reappear, revert
+    val day0 = Seq((1L, "a"), (2L, "a"), (3L, "a"), (5L, "a"), (6L, "a"))
+    val day1 = Seq((1L, "a"), (2L, "a"), (6L, "b"))
+    val day2 = Seq((1L, "a"), (2L, "b"), (4L, "a"), (5L, "a"), (6L, "a"))
+
+    // the batch ground truth: the stored fold's closed component
+    val dir = java.nio.file.Files.createTempDirectory("scd2-stream").toString
+    graft.queries.TextOps.writeScd2(day0.toDF("doc_id", "text"), 0L, dir)
+    graft.queries.TextOps.appendScd2Snapshot(day1.toDF("doc_id", "text"), 1L, dir)
+    graft.queries.TextOps.appendScd2Snapshot(day2.toDF("doc_id", "text"), 2L, dir)
+    val expected = graft.sources.IndexManifest.readAppendOnly(spark, dir, "closed")
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("version"),
+        r.getAs[String]("content_hash"), r.getAs[Long]("valid_from"),
+        r.getAs[Long]("valid_to"))).toSet
+
+    val mem = MemoryStream[(Long, Long, String)]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String, Long, Long)]
+    val q = Streams.scd2Stream(mem.toDF().toDF("doc_id", "d", "text"))
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        out.synchronized {
+          out ++= b.collect().map(r => (r.getLong(0), r.getLong(1),
+            r.getString(2), r.getLong(3), r.getLong(4)))
+        }
+        ()
+      }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt-scd2").toString)
+      .start()
+    try {
+      // one micro-batch per snapshot day — closures must chain across
+      // batch boundaries through the carried state
+      mem.addData(day0.map { case (id, t) => (id, 0L, t) })
+      q.processAllAvailable()
+      mem.addData(day1.map { case (id, t) => (id, 1L, t) })
+      q.processAllAvailable()
+      mem.addData(day2.map { case (id, t) => (id, 2L, t) })
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(out.toSet === expected,
+      "streaming closures must equal the stored fold's closed component")
+    // doc 3 (removed, never reappears) correctly has NO closure yet —
+    // its version is still the open state, exactly like the stored latest
+    assert(!out.exists(_._1 == 3L))
+    // the revert doc closed twice: a->b at day 1, b->a at day 2
+    assert(out.count(_._1 == 6L) === 2)
+  }
+
   test("bm25AlertStream on an empty-corpus index emits nothing instead of dividing by zero") {
     import spark.implicits._
     val idx = java.nio.file.Files.createTempDirectory("bm25-empty-idx").toString
