@@ -184,6 +184,45 @@ object IndexManifest {
     commit(path, e, baseEpoch = e)
   }
 
+  /** Delete epoch directories strictly BELOW the committed window floor
+    * — the janitor half of [[compact]]. Only ever touches epochs no
+    * reader can resolve again (the floor is monotone: appends preserve
+    * it, compactions raise it), so vacuum is safe to run any time,
+    * including concurrently with readers mid-query on local/HDFS
+    * semantics (open files keep serving; the standard
+    * retention-window caveat for object stores — delay vacuum past the
+    * longest query — is a deployment knob, not a protocol change).
+    * Epochs ABOVE the ceiling are never touched: they may be another
+    * writer's in-flight stage. Returns the number of directories
+    * removed.
+    */
+  def vacuum(path: String): Long = {
+    import scala.jdk.CollectionConverters._
+    import scala.util.Using
+    val floor = committedState(path).baseEpoch
+    val root = Paths.get(path)
+    if (!Files.exists(root)) return 0L
+    def ls(p: java.nio.file.Path): Seq[java.nio.file.Path] =
+      Using.resource(Files.list(p))(_.iterator().asScala.toVector)
+    var removed = 0L
+    ls(root).filter(Files.isDirectory(_)).foreach { compDir =>
+      ls(compDir).foreach { epochDir =>
+        val name = epochDir.getFileName.toString
+        val digits = name.stripPrefix("epoch=")
+        if (name.startsWith("epoch=") && digits.nonEmpty &&
+          digits.forall(_.isDigit) && digits.toLong < floor) {
+          // depth-first delete of the stale epoch directory
+          Using.resource(Files.walk(epochDir)) { st =>
+            st.sorted(java.util.Comparator.reverseOrder())
+              .forEach(p => Files.delete(p))
+          }
+          removed += 1L
+        }
+      }
+    }
+    removed
+  }
+
   /** Read an APPEND-ONLY component: the committed epoch window
     * [baseEpoch, epoch], pruned at the directory level (epoch is a
     * discovered partition column against `basePath`; nested partition

@@ -204,6 +204,32 @@ class IndexManifestSpec extends SparkSpec {
     assert(hist(sdir).exists(t => t._1 == 3L && !t._6), "doc 3 closed after day 3 absence")
   }
 
+  test("vacuum removes only sub-floor epochs; reads unchanged; in-flight stages survive") {
+    val docs = Seq((1L, "spark join"), (2L, "window alpha")).toDF("doc_id", "text")
+    val dir = tmp("post-vacuum")
+    SearchOps.writePostingsIndex(docs, dir)
+    SearchOps.appendPostingsIndex(Seq((10L, "spark beta")).toDF("doc_id", "text"), dir)
+    // nothing below the floor yet: vacuum is a no-op
+    assert(IndexManifest.vacuum(dir) === 0L)
+    SearchOps.compactPostingsIndex(spark, dir) // floor -> 2
+    // an in-flight (uncommitted) stage ABOVE the ceiling must survive
+    SearchOps.stagePostingsAppend(Seq((11L, "join gamma")).toDF("doc_id", "text"), dir, 9L)
+    def top() = SearchOps.bm25SearchFromIndex(spark, dir, Seq("spark", "join"), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val before = top()
+    val removed = IndexManifest.vacuum(dir)
+    // postings epochs 0,1 + terms 0,1 + corpus 0,1 = 6 stale directories
+    assert(removed === 6L, s"expected 6 stale epoch dirs removed, got $removed")
+    assert(top() === before, "vacuum changed reads")
+    val leftPost = new java.io.File(s"$dir/postings").listFiles()
+      .map(_.getName).filter(_.startsWith("epoch=")).toSet
+    assert(leftPost === Set("epoch=2", "epoch=9"),
+      "compacted window and the in-flight stage must both survive")
+    // the survived stage still commits cleanly afterwards
+    SearchOps.appendPostingsIndex(Seq((11L, "join gamma")).toDF("doc_id", "text"), dir)
+    assert(top().nonEmpty)
+  }
+
   test("killed IVF-PQ and transition-graph appends: invisible; retry clean") {
     // IVF-PQ: stage codes for new vectors without committing
     graft.functions.GraftFunctions.registerDotD(spark)
