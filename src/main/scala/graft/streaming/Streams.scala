@@ -702,6 +702,56 @@ object Streams {
     (batch, batchId) =>
       sink(scoreAgainstIndexStats(batch, postingsIndexPath, terms), batchId)
 
+  /** Standing PHRASE query over an ingest stream — the adjacency-aware
+    * sibling of [[bm25AlertStream]]: each arriving doc emits
+    * (doc_id, phrase_tf) when the exact phrase occurs. Entirely
+    * stateless AND index-free — unlike BM25 there are no corpus stats
+    * in a phrase count, so the projection needs nothing but the
+    * arrival's own tokens: pure line-rate routing that composes onto
+    * any stream. Occurrence counting is the same guarded
+    * window-position form as the batch `t_phrase_search`
+    * (StreamsSpec pins per-doc equality).
+    *
+    * Input columns: doc_id, text.
+    */
+  def phraseAlertStream(delta: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "empty phrase")
+    val adj = (1 to phrase.length).zip(phrase).map { case (off, w) =>
+      s"element_at(tk, i + ${off - 1}) = '$w'"
+    }.mkString(" AND ")
+    delta
+      .withColumn("tk", graft.queries.TextOps.toks)
+      .withColumn("phrase_tf", expr(
+        s"""CASE WHEN size(tk) >= ${phrase.length}
+           |THEN cast(size(filter(sequence(1, size(tk) - ${phrase.length - 1}),
+           |  i -> $adj)) AS BIGINT) ELSE 0L END""".stripMargin))
+      .filter(col("phrase_tf") > 0L)
+      .select(col("doc_id"), col("phrase_tf"))
+  }
+
+  /** Standing PROXIMITY query over an ingest stream — [[phraseAlertStream]]
+    * with a slop window: emits (doc_id, near_tf) counting ordered
+    * `t1 .. t2` position pairs within `slop` tokens (the directional
+    * NEAR operator, `t_proximity_search`'s exact semantics — the spec
+    * pins per-doc equality). Stateless, index-free, line-rate.
+    *
+    * Input columns: doc_id, text.
+    */
+  def proximityAlertStream(
+      delta: DataFrame, t1: String, t2: String, slop: Int): DataFrame = {
+    def posOf(t: String) =
+      s"filter(sequence(1, size(tk)), i -> element_at(tk, i) = '$t')"
+    delta
+      .withColumn("tk", graft.queries.TextOps.toks)
+      .withColumn("near_tf", expr(
+        s"""CASE WHEN size(tk) >= 1
+           |THEN aggregate(${posOf(t1)}, 0L,
+           |  (acc, x) -> acc + size(filter(${posOf(t2)}, y -> y > x AND y <= x + $slop)))
+           |ELSE 0L END""".stripMargin))
+      .filter(col("near_tf") > 0L)
+      .select(col("doc_id"), col("near_tf"))
+  }
+
   /** Per-doc latest-version state for [[scd2Stream]]. */
   final case class Scd2State(version: Long, hash: String, validFrom: Long, validTo: Long)
   final case class Scd2Closed(

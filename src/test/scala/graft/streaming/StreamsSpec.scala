@@ -968,6 +968,57 @@ class StreamsSpec extends SparkSpec {
       "post-append batch must score with the ADVANCED stats, not construction-time ones")
   }
 
+  test("phrase and proximity alert streams match their batch rankers per doc, statelessly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+
+    // batch ground truth: UNRANKED per-doc counts from the catalog cores
+    val phraseExpect = graft.queries.Catalog.queries("t_phrase_search")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val proxExpect = graft.queries.Catalog.queries("t_proximity_search")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    def drive(mk: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+        : Map[Long, Long] = {
+      val mem = MemoryStream[(Long, String)]
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      val q = mk(mem.toDF().toDF("doc_id", "text")).writeStream
+        .outputMode("append")
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          out.synchronized { out ++= b.collect().map(r => (r.getLong(0), r.getLong(1))) }
+          ()
+        }
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("ckpt-alert").toString)
+        .start()
+      try {
+        val (h, t) = docs.splitAt(docs.length / 2)
+        mem.addData(h.toSeq); q.processAllAvailable()
+        mem.addData(t.toSeq); q.processAllAvailable()
+      } finally q.stop()
+      out.toMap
+    }
+
+    val phraseGot = drive(Streams.phraseAlertStream(_, Seq("spark", "join")))
+    // the batch query is top-15-ranked; the stream is unranked — every
+    // ranked row must appear in the stream with the same count, and the
+    // stream must emit at least as many docs
+    phraseExpect.foreach { case (id, tf) =>
+      assert(phraseGot.get(id).contains(tf), s"phrase doc $id")
+    }
+    assert(phraseGot.size >= phraseExpect.size)
+    assert(phraseGot.values.forall(_ > 0L))
+
+    val proxGot = drive(Streams.proximityAlertStream(_, "spark", "join", 3))
+    proxExpect.foreach { case (id, tf) =>
+      assert(proxGot.get(id).contains(tf), s"proximity doc $id")
+    }
+    assert(proxGot.size >= proxExpect.size)
+  }
+
   test("scd2Stream emits exactly the stored fold's closed rows across batch boundaries") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
