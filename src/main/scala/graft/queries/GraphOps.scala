@@ -596,6 +596,121 @@ object GraphOps {
   )
 
   // ---------------------------------------------------------------------
+  // Stored co-occurrence index with INCREMENTAL fold — the day-2
+  // discipline applied to the pair-join family: at 100 TB you fold a
+  // new event slice into the stored pair-support table without
+  // re-pairing the whole history. Components under the IndexManifest
+  // protocol:
+  //
+  //   ui/      (append) distinct (user_id, item) rows ever seen
+  //   degrees/ (rewrite) per-user distinct-item degree
+  //   pairs/   (rewrite) (i1, i2, n_users) support over CAP-ELIGIBLE
+  //            users only — catalog²-bounded, the queryable artifact
+  //
+  // The fold's correctness hinge is the DEGREE CAP: eligibility is not
+  // monotone (a user crossing maxUserDegree must RETRACT every pair
+  // they previously supported). The uniform per-user contribution
+  //
+  //   (eligible after ? pairs(items_after) : ∅)
+  //     − (eligible before ? pairs(items_before) : ∅)
+  //
+  // handles every case in one formula — new user (+full), normal growth
+  // (+full − old = the new pairs only), cap crossing (− old = full
+  // retraction), already-capped (0). Only users WITH delta rows are
+  // touched, and each touched user's pair work is ≤ cap² by
+  // construction (an ineligible user's item set is never paired), so
+  // the fold is |affected users|·cap² regardless of history size.
+  // CooccurIndexSpec pins fold == full rebuild, including a planted
+  // cap-crossing retraction.
+  // ---------------------------------------------------------------------
+
+  /** Build + persist the co-occurrence index from an event frame. */
+  def writeCooccurIndex(evs: DataFrame, path: String): Unit = {
+    import graft.sources.IndexManifest
+    val s = evs.sparkSession
+    import s.implicits._
+    val ui = evs.filter($"item".isNotNull)
+      .select($"user_id", $"item").distinct()
+      .localCheckpoint(true) // three consumers: ui, degrees, pairs
+    ui.write.mode("overwrite").parquet(IndexManifest.epochDir(path, "ui", 0L))
+    ui.groupBy($"user_id").agg(count(lit(1)).as("deg"))
+      .write.mode("overwrite").parquet(IndexManifest.epochDir(path, "degrees", 0L))
+    pairSupport(cappedUi(ui))
+      .write.mode("overwrite").parquet(IndexManifest.epochDir(path, "pairs", 0L))
+    IndexManifest.commit(path, 0L)
+  }
+
+  /** Stage (but do NOT commit) epoch `e` of a co-occurrence fold —
+    * exposed for the atomicity drill.
+    */
+  private[graft] def stageCooccurAppend(deltaEvs: DataFrame, path: String, e: Long): Unit = {
+    import graft.sources.IndexManifest
+    val s = deltaEvs.sparkSession
+    import s.implicits._
+    val newRows = deltaEvs.filter($"item".isNotNull)
+      .select($"user_id", $"item").distinct()
+    val oldUi = IndexManifest.readAppendOnly(s, path, "ui")
+    // strictly-new (user, item) rows; users they belong to are the ONLY
+    // users whose contribution can change
+    val delta = newRows.join(oldUi, Seq("user_id", "item"), "left_anti")
+      .localCheckpoint(true) // feeds the ui append AND the pair fold
+    delta.write.mode("overwrite").parquet(IndexManifest.epochDir(path, "ui", e))
+    val affected = delta.select($"user_id").distinct()
+    // items_before / items_after for affected users only — each bounded
+    // reads: an already-over-cap user is read but never paired
+    val oldItems = oldUi.join(affected, Seq("user_id"), "left_semi")
+      .localCheckpoint(true)
+    val fullItems = oldItems.unionByName(delta).localCheckpoint(true)
+    val degNew = fullItems.groupBy($"user_id").agg(count(lit(1)).as("deg"))
+    // degrees table: merge the affected users' new degrees over the old
+    val degMerged = IndexManifest.readRewrite(s, path, "degrees")
+      .join(degNew.withColumnRenamed("deg", "deg_new"), Seq("user_id"), "full_outer")
+      .select($"user_id", coalesce($"deg_new", $"deg").as("deg"))
+    degMerged.write.mode("overwrite")
+      .parquet(IndexManifest.epochDir(path, "degrees", e))
+    // per-user contribution = capped pairs(after) − capped pairs(before)
+    val addPairs = pairSupport(cappedUi(fullItems))
+      .withColumnRenamed("n_users", "n_add")
+    val subPairs = pairSupport(cappedUi(oldItems))
+      .withColumnRenamed("n_users", "n_sub")
+    val contrib = addPairs.join(subPairs, Seq("i1", "i2"), "full_outer")
+      .select($"i1", $"i2",
+        (coalesce($"n_add", lit(0L)) - coalesce($"n_sub", lit(0L))).as("n_delta"))
+      .filter($"n_delta" =!= 0L)
+    val merged = IndexManifest.readRewrite(s, path, "pairs")
+      .join(contrib, Seq("i1", "i2"), "full_outer")
+      .select($"i1", $"i2",
+        (coalesce($"n_users", lit(0L)) + coalesce($"n_delta", lit(0L))).as("n_users"))
+      .filter($"n_users" > 0L) // a fully-retracted pair leaves the table
+    merged.write.mode("overwrite").parquet(IndexManifest.epochDir(path, "pairs", e))
+  }
+
+  /** Fold a new event slice into the stored co-occurrence index.
+    * Crash-atomic via the manifest (stage, then advance). Caller
+    * contract: `deltaEvs` is the new slice only (rows already folded
+    * are harmless — the anti-join drops known (user, item) pairs — but
+    * wasteful).
+    */
+  def appendCooccurIndex(deltaEvs: DataFrame, path: String): Unit = {
+    import graft.sources.IndexManifest
+    val e = IndexManifest.committedEpoch(path) + 1L
+    stageCooccurAppend(deltaEvs, path, e)
+    IndexManifest.advance(path, e)
+  }
+
+  /** Top-k co-visited pairs from the STORED index — e_item_cooccur's
+    * ranking contract over the persisted pair table (the spec pins
+    * equality); reads the catalog²-bounded artifact only.
+    */
+  def cooccurTopKFromIndex(s: SparkSession, path: String, k: Int): DataFrame = {
+    import graft.sources.IndexManifest
+    import s.implicits._
+    IndexManifest.readRewrite(s, path, "pairs")
+      .orderBy($"n_users".desc, $"i1", $"i2")
+      .limit(k)
+  }
+
+  // ---------------------------------------------------------------------
   // Degree-cap observability: how much did the pair-join family's
   // bot-cap remove? One row — user count, capped-user count, the
   // pairing work the cap averted (Σ d_u² over capped users, in pair

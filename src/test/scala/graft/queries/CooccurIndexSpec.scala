@@ -1,0 +1,100 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.IndexManifest
+
+/** Stored co-occurrence index: incremental fold == full rebuild, with
+  * the hard case pinned — a user CROSSING the degree cap mid-history
+  * must retract every pair they previously supported.
+  */
+class CooccurIndexSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def evFrame(rows: Seq[(Long, Long)]) =
+    rows.toDF("user_id", "item")
+
+  private def pairsOf(dir: String): Map[(Long, Long), Long] =
+    IndexManifest.readRewrite(spark, dir, "pairs")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+
+  test("fold equals full rebuild on the fixture event log, split at the time median") {
+    val evs = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .withColumn("item", regexp_extract($"props", "(\\d+)", 1).cast("long"))
+    val split = evs.agg(expr("percentile_approx(ts_sec, 0.5)")).head().getLong(0)
+    val early = evs.filter($"ts_sec" < split)
+    val late = evs.filter($"ts_sec" >= split)
+
+    val inc = tmp("cooccur-inc")
+    GraphOps.writeCooccurIndex(early, inc)
+    GraphOps.appendCooccurIndex(late, inc)
+    val reb = tmp("cooccur-reb")
+    GraphOps.writeCooccurIndex(evs, reb)
+    assert(pairsOf(inc) === pairsOf(reb),
+      "incremental fold must reproduce the full-log pair supports")
+
+    // the stored top-k equals the inline catalog ranking
+    val stored = GraphOps.cooccurTopKFromIndex(spark, inc, 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val inline = Catalog.queries("e_item_cooccur")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(stored === inline)
+
+    // degrees table equals a recount over the accumulated ui rows
+    val deg = IndexManifest.readRewrite(spark, inc, "degrees")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val recount = IndexManifest.readAppendOnly(spark, inc, "ui")
+      .groupBy($"user_id").agg(count(lit(1)).as("deg"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(deg === recount)
+  }
+
+  test("cap crossing retracts previous pairs; fold still equals rebuild") {
+    val cap = GraphOps.maxUserDegree
+    // day 1: user 7 is a heavy-but-eligible user (cap-1 items incl. 1,2);
+    // user 8 co-visits items 1,2 -> pair (1,2) supported by BOTH
+    val day1 = evFrame(
+      (0 until (cap - 1L).toInt).map(i => (7L, 1L + i)) ++ Seq((8L, 1L), (8L, 2L)))
+    // day 2: user 7 grows past the cap -> ineligible; their supports
+    // must vanish. user 8 untouched.
+    val day2 = evFrame((0 until 10).map(i => (7L, 1000L + i)))
+
+    val inc = tmp("cooccur-cross")
+    GraphOps.writeCooccurIndex(day1, inc)
+    val before = pairsOf(inc)
+    assert(before((1L, 2L)) === 2L, "both users support (1,2) on day 1")
+    assert(before.size > 1, "user 7's eligible pairs exist on day 1")
+
+    GraphOps.appendCooccurIndex(day2, inc)
+    val after = pairsOf(inc)
+    assert(after === Map((1L, 2L) -> 1L),
+      "crossing the cap must retract ALL of user 7's pairs; user 8's survives")
+
+    // and the fold agrees with a from-scratch rebuild of the union log
+    val reb = tmp("cooccur-cross-reb")
+    GraphOps.writeCooccurIndex(day1.unionByName(day2), reb)
+    assert(after === pairsOf(reb))
+
+    // a later slice from the now-ineligible user changes nothing
+    GraphOps.appendCooccurIndex(evFrame(Seq((7L, 5000L))), inc)
+    assert(pairsOf(inc) === after)
+  }
+
+  test("killed fold is invisible; retry clean") {
+    val day1 = evFrame(Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L)))
+    val day2 = evFrame(Seq((3L, 10L), (3L, 11L)))
+    val dir = tmp("cooccur-kill")
+    GraphOps.writeCooccurIndex(day1, dir)
+    val before = pairsOf(dir)
+    GraphOps.stageCooccurAppend(day2, dir, 1L)
+    assert(IndexManifest.committedEpoch(dir) === 0L)
+    assert(pairsOf(dir) === before, "uncommitted fold leaked")
+    GraphOps.appendCooccurIndex(day2, dir)
+    assert(pairsOf(dir) === Map((10L, 11L) -> 3L))
+  }
+}
