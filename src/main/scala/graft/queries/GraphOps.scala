@@ -710,6 +710,58 @@ object GraphOps {
       .limit(k)
   }
 
+  /** Item communities from the STORED index — e_communities' contract
+    * (support threshold → pointer-doubling CC → sizes) over the
+    * persisted pair table: after a fold, the whole query is graph-sized
+    * reads, the event log is never touched. Spec-pinned equal to the
+    * inline catalog row.
+    */
+  def communitiesFromIndex(
+      s: SparkSession, path: String, minSupport: Long = commMinSupport): DataFrame = {
+    import graft.sources.IndexManifest
+    import s.implicits._
+    val edges = IndexManifest.readRewrite(s, path, "pairs")
+      .filter($"n_users" >= minSupport)
+      .select($"i1".as("doc_a"), $"i2".as("doc_b"))
+    val labels = TextOps.connectedComponents(edges)
+      .select($"v".as("item"), $"rep", $"converged")
+    val lbl = IndexManifest.readAppendOnly(s, path, "ui")
+      .select($"item").distinct()
+      .join(labels, Seq("item"), "left")
+      .select($"item",
+        coalesce($"rep", $"item").as("community"),
+        coalesce($"converged", lit(true)).as("converged"))
+    val sizes = lbl.groupBy($"community").agg(count(lit(1)).as("community_size"))
+    lbl.join(sizes, "community")
+      .select($"item", $"community", $"community_size", $"converged")
+  }
+
+  /** Item-to-item recommendations from the STORED index —
+    * e_recommendations' contract with the pair table read instead of
+    * re-paired: scoring joins the full (uncapped) ui rows against the
+    * stored supports, the anti-join removes seen items, rank per user.
+    * Spec-pinned equal to the inline catalog row.
+    */
+  def recommendationsFromIndex(
+      s: SparkSession, path: String, k: Int = recK): DataFrame = {
+    import graft.sources.IndexManifest
+    import s.implicits._
+    val ui = IndexManifest.readAppendOnly(s, path, "ui")
+    val pairs = IndexManifest.readRewrite(s, path, "pairs")
+      .withColumnRenamed("n_users", "n")
+    val sym = pairs.select($"i1".as("item"), $"i2".as("rec"), $"n")
+      .unionByName(pairs.select($"i2".as("item"), $"i1".as("rec"), $"n"))
+    val scored = ui.join(sym, "item")
+      .groupBy($"user_id", $"rec")
+      .agg(sum($"n").as("score"))
+      .join(ui.select($"user_id", $"item".as("rec")), Seq("user_id", "rec"), "left_anti")
+    val w = Window.partitionBy($"user_id").orderBy($"score".desc, $"rec")
+    scored
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= k)
+      .select($"user_id", $"rk", $"rec".as("item"), $"score")
+  }
+
   // ---------------------------------------------------------------------
   // Degree-cap observability: how much did the pair-join family's
   // bot-cap remove? One row — user count, capped-user count, the

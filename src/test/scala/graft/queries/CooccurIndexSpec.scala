@@ -45,6 +45,18 @@ class CooccurIndexSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(stored === inline)
 
+    // the whole downstream family runs off the stored artifact too
+    val commStored = GraphOps.communitiesFromIndex(spark, inc)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
+    val commInline = Catalog.queries("e_communities")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
+    assert(commStored === commInline)
+    val recStored = GraphOps.recommendationsFromIndex(spark, inc)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val recInline = Catalog.queries("e_recommendations")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(recStored === recInline)
+
     // degrees table equals a recount over the accumulated ui rows
     val deg = IndexManifest.readRewrite(spark, inc, "degrees")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
