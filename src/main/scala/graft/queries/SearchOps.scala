@@ -355,12 +355,16 @@ object SearchOps {
           s"""CASE WHEN size(tk) >= ${phraseTerms.length}
              |THEN cast(size(filter(sequence(1, size(tk) - ${phraseTerms.length - 1}),
              |  i -> $adj)) AS BIGINT) ELSE 0L END""".stripMargin))
-        .filter($"phrase_tf" > 0L)
         .select($"doc_id", $"phrase_tf")
         .orderBy($"phrase_tf".desc, $"doc_id")
         .limit(searchK)
         .withColumn("rnk",
           row_number().over(Window.orderBy($"phrase_tf".desc, $"doc_id")).cast("long"))
+        // above the rank: positives sort before zeros (identical rows +
+        // ranks), and the Window blocks predicate pushdown, so the
+        // occurrence scan runs once per doc instead of twice (pushed
+        // filter + projection re-derive tokens and the window count)
+        .filter($"phrase_tf" > 0L)
     },
     Some {
       val adj = (1 to phraseTerms.length).zip(phraseTerms).map { case (off, w) =>
@@ -399,28 +403,62 @@ object SearchOps {
   private val proxTerms = ("spark", "join")
   private val proxSlop = 3
 
-  /** near_tf over two 1-based (or any same-base) position arrays. */
+  /** near_tf over two 1-based (or any same-base) position arrays —
+    * the nested-lambda pair count. Fine over STORED position columns
+    * (small materialized arrays); for inline token-derived positions
+    * use [[nearIntersect]] instead: predicate pushdown substitutes
+    * column definitions into this lambda's body, where the inner
+    * filter re-evaluates per OUTER position — O(|p1|·|tk|) per doc
+    * (measured: the catalog's worst query, 6.9 s at sf0.1, vs 1.9 s
+    * for the intersect form).
+    */
   private def nearAgg(p1: String, p2: String): String =
     s"aggregate($p1, 0L, (acc, x) -> acc + size(filter($p2, y -> y > x AND y <= x + $proxSlop)))"
+
+  /** near_tf as Σ_{s=1..slop} |p1 ∩ (p2 − s)| — the same ordered-pair
+    * count (positions are distinct, and each (x, y) pair matches at
+    * exactly one shift s = y − x), expressed as `slop` copies of the
+    * phrase-search intersect primitive with NO nested lambda: however
+    * the optimizer substitutes the position definitions, every pass
+    * stays linear in |tk|.
+    */
+  private[graft] def nearIntersect(p1: String, p2: String, slop: Int): String =
+    (1 to slop)
+      .map(s => s"size(array_intersect($p1, transform($p2, y -> y - $s)))")
+      .mkString("cast(", " + ", " AS bigint)")
+
+  /** Guarded positions-of-term projection: one O(|tk|) pass per term.
+    * HOISTED into its own column before the pair aggregate — inlining
+    * it in the aggregate lambda re-evaluates the whole inner filter per
+    * OUTER position (O(|p1|·|tk|) per doc: measured 6.0 s vs 1.9 s at
+    * sf0.1, the catalog's worst query until hoisted). The CASE guard is
+    * phraseSearch's (Spark's sequence(1, 0) DESCENDS; ANSI element_at
+    * throws on an empty array).
+    */
+  private def guardedPosOf(t: String): String =
+    s"""CASE WHEN size(tk) >= 1
+       |THEN filter(sequence(1, size(tk)), i -> element_at(tk, i) = '$t')
+       |ELSE cast(array() AS array<int>) END""".stripMargin
 
   val proximitySearch = Q(
     "t_proximity_search",
     (s, d) => {
       import s.implicits._
-      def posOf(t: String) =
-        s"filter(sequence(1, size(tk)), i -> element_at(tk, i) = '$t')"
       docs(s, d)
         .select($"doc_id", TextOps.toks.as("tk"))
-        .withColumn("near_tf", expr(
-          s"""CASE WHEN size(tk) >= 1
-             |THEN ${nearAgg(posOf(proxTerms._1), posOf(proxTerms._2))}
-             |ELSE 0L END""".stripMargin))
-        .filter($"near_tf" > 0L)
+        .withColumn("p1", expr(guardedPosOf(proxTerms._1)))
+        .withColumn("p2", expr(guardedPosOf(proxTerms._2)))
+        .withColumn("near_tf", expr(nearIntersect("p1", "p2", proxSlop)))
         .select($"doc_id", $"near_tf")
         .orderBy($"near_tf".desc, $"doc_id")
         .limit(searchK)
         .withColumn("rnk",
           row_number().over(Window.orderBy($"near_tf".desc, $"doc_id")).cast("long"))
+        // positives sort before zeros, so filtering ABOVE the rank keeps
+        // identical rows and ranks — and the Window blocks predicate
+        // pushdown, so near_tf is computed exactly once per doc instead
+        // of re-derived (tokens and all) inside a pushed-down filter
+        .filter($"near_tf" > 0L)
     },
     Some {
       def oPos(t: String) = s"list_filter(generate_series(1, len(tk)), i -> tk[i] = '$t')"

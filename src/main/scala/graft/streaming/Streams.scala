@@ -739,15 +739,20 @@ object Streams {
     */
   def proximityAlertStream(
       delta: DataFrame, t1: String, t2: String, slop: Int): DataFrame = {
+    // the intersect formulation (SearchOps.nearIntersect): however the
+    // optimizer substitutes these column definitions into the pushed
+    // filter, every pass stays linear in |tk| — the nested-lambda pair
+    // count would go quadratic under exactly that substitution
     def posOf(t: String) =
-      s"filter(sequence(1, size(tk)), i -> element_at(tk, i) = '$t')"
+      s"""CASE WHEN size(tk) >= 1
+         |THEN filter(sequence(1, size(tk)), i -> element_at(tk, i) = '$t')
+         |ELSE cast(array() AS array<int>) END""".stripMargin
     delta
       .withColumn("tk", graft.queries.TextOps.toks)
-      .withColumn("near_tf", expr(
-        s"""CASE WHEN size(tk) >= 1
-           |THEN aggregate(${posOf(t1)}, 0L,
-           |  (acc, x) -> acc + size(filter(${posOf(t2)}, y -> y > x AND y <= x + $slop)))
-           |ELSE 0L END""".stripMargin))
+      .withColumn("p1", expr(posOf(t1)))
+      .withColumn("p2", expr(posOf(t2)))
+      .withColumn("near_tf",
+        expr(graft.queries.SearchOps.nearIntersect("p1", "p2", slop)))
       .filter(col("near_tf") > 0L)
       .select(col("doc_id"), col("near_tf"))
   }
