@@ -170,6 +170,38 @@ class Scd2Spec extends SparkSpec {
     assert(!TextOps.scd2AsOf(hist, 1L).collect().map(_.getLong(0)).contains(5L))
   }
 
+  test("property: random presence/content histories — day-by-day fold equals scd2On") {
+    // 40 docs x 5 days, each (doc, day) independently present with a
+    // random 3-letter payload: exercises every boundary interleaving
+    // (multi-gap, revert-across-gap, last-day birth, first-day death)
+    // far beyond the planted matrix. Seeded: failures reproduce.
+    val rnd = new scala.util.Random(20260814)
+    val days = 5
+    val hist: Seq[(Long, Long, String)] = for {
+      doc <- 1L to 40L
+      day <- 0L until days.toLong
+      if rnd.nextDouble() < 0.6
+    } yield (doc, day, ("abc" (rnd.nextInt(3))).toString * 3)
+    // day-by-day incremental fold through the stored table. writeScd2
+    // seeds day 0; a doc ABSENT on day 0 simply first appears at its
+    // first present day — the fold's new-doc branch.
+    val byDay = (0L until days.toLong)
+      .map(d => d -> hist.filter(_._2 == d).map(t => (t._1, t._3)))
+    val dir = tmp("scd2-prop")
+    TextOps.writeScd2(byDay.head._2.toDF("doc_id", "text"), 0L, dir)
+    byDay.tail.foreach { case (d, snap) =>
+      TextOps.appendScd2Snapshot(snap.toDF("doc_id", "text"), d, dir)
+    }
+    val snaps = hist.toDF("doc_id", "d", "text")
+      .select($"doc_id", $"d", org.apache.spark.sql.functions.md5($"text").as("h"))
+    val expect = histSet(TextOps.scd2On(snaps, lastDay = days - 1L))
+    assert(histSet(TextOps.readScd2(spark, dir)) === expect)
+    // the random history must actually contain the hard shapes
+    val versionsPerDoc = expect.groupBy(_._1).view.mapValues(_.size)
+    assert(versionsPerDoc.values.exists(_ >= 3), "multi-version docs generated")
+    assert(expect.exists(v => v._4 == v._5 && !v._6), "closed single-day versions generated")
+  }
+
   test("killed SCD2 fold is invisible; retry equals the rebuild") {
     val days = TextOps.scd2SnapshotDays(spark, sf)
     val dir = tmp("scd2-kill")
