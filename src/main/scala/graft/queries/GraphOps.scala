@@ -540,10 +540,10 @@ object GraphOps {
     * pair is formed: a capped user contributes zero join rows, not
     * cap-many.
     */
-  private[graft] def cappedUi(ui: DataFrame): DataFrame = {
+  private[graft] def cappedUi(ui: DataFrame, cap: Long = maxUserDegree): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
     ui.withColumn("deg", count(lit(1)).over(w))
-      .filter(col("deg") <= maxUserDegree)
+      .filter(col("deg") <= cap)
       .drop("deg")
   }
 
@@ -625,7 +625,8 @@ object GraphOps {
   // ---------------------------------------------------------------------
 
   /** Build + persist the co-occurrence index from an event frame. */
-  def writeCooccurIndex(evs: DataFrame, path: String): Unit = {
+  def writeCooccurIndex(evs: DataFrame, path: String,
+      cap: Long = maxUserDegree): Unit = {
     import graft.sources.IndexManifest
     val s = evs.sparkSession
     import s.implicits._
@@ -635,7 +636,7 @@ object GraphOps {
     ui.write.mode("overwrite").parquet(IndexManifest.epochDir(path, "ui", 0L))
     ui.groupBy($"user_id").agg(count(lit(1)).as("deg"))
       .write.mode("overwrite").parquet(IndexManifest.epochDir(path, "degrees", 0L))
-    pairSupport(cappedUi(ui))
+    pairSupport(cappedUi(ui, cap))
       .write.mode("overwrite").parquet(IndexManifest.epochDir(path, "pairs", 0L))
     IndexManifest.commit(path, 0L)
   }
@@ -643,7 +644,8 @@ object GraphOps {
   /** Stage (but do NOT commit) epoch `e` of a co-occurrence fold —
     * exposed for the atomicity drill.
     */
-  private[graft] def stageCooccurAppend(deltaEvs: DataFrame, path: String, e: Long): Unit = {
+  private[graft] def stageCooccurAppend(deltaEvs: DataFrame, path: String, e: Long,
+      cap: Long = maxUserDegree): Unit = {
     import graft.sources.IndexManifest
     val s = deltaEvs.sparkSession
     import s.implicits._
@@ -669,9 +671,9 @@ object GraphOps {
     degMerged.write.mode("overwrite")
       .parquet(IndexManifest.epochDir(path, "degrees", e))
     // per-user contribution = capped pairs(after) − capped pairs(before)
-    val addPairs = pairSupport(cappedUi(fullItems))
+    val addPairs = pairSupport(cappedUi(fullItems, cap))
       .withColumnRenamed("n_users", "n_add")
-    val subPairs = pairSupport(cappedUi(oldItems))
+    val subPairs = pairSupport(cappedUi(oldItems, cap))
       .withColumnRenamed("n_users", "n_sub")
     val contrib = addPairs.join(subPairs, Seq("i1", "i2"), "full_outer")
       .select($"i1", $"i2",
@@ -691,10 +693,11 @@ object GraphOps {
     * are harmless — the anti-join drops known (user, item) pairs — but
     * wasteful).
     */
-  def appendCooccurIndex(deltaEvs: DataFrame, path: String): Unit = {
+  def appendCooccurIndex(deltaEvs: DataFrame, path: String,
+      cap: Long = maxUserDegree): Unit = {
     import graft.sources.IndexManifest
     val e = IndexManifest.committedEpoch(path) + 1L
-    stageCooccurAppend(deltaEvs, path, e)
+    stageCooccurAppend(deltaEvs, path, e, cap)
     IndexManifest.advance(path, e)
   }
 

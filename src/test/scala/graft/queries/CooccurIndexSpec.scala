@@ -97,6 +97,42 @@ class CooccurIndexSpec extends SparkSpec {
     assert(pairsOf(inc) === after)
   }
 
+  test("property: random slices under a tiny cap — fold chain equals rebuild every step") {
+    // 8 users x items 1..10, three random slices, cap = 3: eligibility
+    // flips in BOTH directions of visibility (users cross the cap at
+    // random points, some in slice 1, some never), so the retraction
+    // formula is exercised at every fold, not just in the planted case.
+    // Seeded: failures reproduce.
+    val rnd = new scala.util.Random(424242)
+    // light users (1-4) stay under the cap in expectation; heavy users
+    // (5-8) cross it at random points across the slices
+    val slices: Seq[Seq[(Long, Long)]] = Seq.fill(3) {
+      (for {
+        u <- 1L to 8L
+        i <- 1L to 10L
+        if rnd.nextDouble() < (if (u <= 4L) 0.08 else 0.30)
+      } yield (u, i)).toSeq
+    }
+    val cap = 3L
+    val inc = tmp("cooccur-prop")
+    GraphOps.writeCooccurIndex(evFrame(slices.head), inc, cap)
+    slices.tail.zipWithIndex.foreach { case (slice, i) =>
+      GraphOps.appendCooccurIndex(evFrame(slice), inc, cap)
+      // EVERY intermediate state must equal a from-scratch rebuild of
+      // the prefix — not just the final one (an error that cancels out
+      // would otherwise hide)
+      val reb = tmp(s"cooccur-prop-reb$i")
+      GraphOps.writeCooccurIndex(
+        evFrame(slices.take(i + 2).flatten), reb, cap)
+      assert(pairsOf(inc) === pairsOf(reb), s"diverged after fold ${i + 1}")
+    }
+    // the random data must actually cross the cap somewhere
+    val finalDeg = IndexManifest.readRewrite(spark, inc, "degrees")
+      .collect().map(r => r.getLong(1))
+    assert(finalDeg.exists(_ > cap), "fixture never crossed the cap — weaken nothing")
+    assert(finalDeg.exists(_ <= cap), "some users must stay eligible")
+  }
+
   test("killed fold is invisible; retry clean") {
     val day1 = evFrame(Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L)))
     val day2 = evFrame(Seq((3L, 10L), (3L, 11L)))
