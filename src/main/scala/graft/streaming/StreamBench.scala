@@ -570,6 +570,52 @@ object StreamBench {
       // the audit must flag ~the same set (bucket-lag approximation aside)
       storm("cross_batch", 3 * chunkSpanSec)
     }
+
+    // Tenth probe: standing-query alert routing — the documents table
+    // replayed through the three alert projections (phrase, proximity,
+    // BM25-from-stored-stats). All three are stateless per-doc
+    // projections, so rows/sec here IS the line-rate number the
+    // "composes onto any ingest stream" claim owes; numbers recorded in
+    // SCALING.md ("alert-stream routing probe").
+    locally {
+      val docsBase = Tables.documents(spark, sfDir).select($"doc_id", $"text")
+      val dStats = docsBase.agg(max($"doc_id"), count(lit(1))).first()
+      val dMax = dStats.getLong(0) + 1
+      val dRows = dStats.getLong(1) * replicas
+      val staged = docsBase
+        .crossJoin(spark.range(replicas).select($"id".as("rep")))
+        .select(($"doc_id" + $"rep" * dMax).as("doc_id"), $"text")
+      val dStage = java.nio.file.Files.createTempDirectory("docs-sbench").toString
+      staged.repartition(64).write.mode("overwrite").parquet(dStage)
+      val idx = java.nio.file.Files.createTempDirectory("sbench-postings").toString
+      graft.queries.SearchOps.writePostingsIndex(docsBase, idx)
+      def alertProbe(tag: String)(mk: org.apache.spark.sql.DataFrame
+          => org.apache.spark.sql.DataFrame): Unit = {
+        val hits = new java.util.concurrent.atomic.AtomicLong(0)
+        val tA = System.nanoTime()
+        val qa = mk(spark.readStream
+            .schema("doc_id LONG, text STRING").parquet(dStage))
+          .writeStream
+          .outputMode("append")
+          .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            hits.addAndGet(b.count())
+            ()
+          }
+          .option("checkpointLocation",
+            java.nio.file.Files.createTempDirectory(s"ckpt-sbench-$tag").toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        qa.awaitTermination()
+        val secsA = (System.nanoTime() - tA) / 1e9
+        println(
+          s"""{"metric":"alert_rows_per_sec","alert":"$tag",""" +
+            s""""value":${(dRows / secsA).toLong},"unit":"rows/sec",""" +
+            s""""rows":$dRows,"hits":${hits.get()},"secs":$secsA,"sf":"$sfDir"}""")
+      }
+      alertProbe("phrase")(Streams.phraseAlertStream(_, Seq("spark", "join")))
+      alertProbe("proximity")(Streams.proximityAlertStream(_, "spark", "join", 3))
+      alertProbe("bm25")(Streams.bm25AlertStream(_, idx, Seq("spark", "join", "window")))
+    }
     spark.stop()
   }
 }
