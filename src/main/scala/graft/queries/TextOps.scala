@@ -2252,6 +2252,20 @@ object TextOps {
   // Scd2AppendSpec pins write+append+append equal to the scd2On full
   // rebuild on the catalog's three snapshot days, plus planted gap /
   // revert / reappear histories.
+  //
+  // 100 TB cost honesty: the daily `latest` rewrite is O(|docs|) — and
+  // that is ASYMPTOTICALLY INHERENT to this convention, not a layout
+  // choice: valid_to is the doc's last-seen day (what makes presence
+  // gaps detectable at the next arrival), so every doc present in
+  // today's snapshot updates its latest row daily regardless of
+  // storage. A merge-on-read split was considered and rejected: the
+  // update volume IS the present-snapshot size, so deltas don't
+  // shrink the write, they only defer it to read-time resolution. The
+  // real waste is long-dead docs riding the rewrite forever; at
+  // deployment scale, partition `latest` by a doc_id hash bucket and
+  // age dormant buckets out of the daily rewrite (bucket-level
+  // carry-forward) — a layout refinement under the same manifest
+  // protocol, not a semantics change.
   // ---------------------------------------------------------------------
 
   private def scd2Versions(snap: DataFrame, day: Long): DataFrame =
