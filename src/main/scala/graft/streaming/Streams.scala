@@ -757,6 +757,71 @@ object Streams {
       .select(col("doc_id"), col("near_tf"))
   }
 
+  /** Per-user state for [[cooccurStream]]: the user's distinct items
+    * while cap-eligible (≤ cap entries — the state bound IS the degree
+    * cap), or the empty list + flag once bot-grade.
+    */
+  final case class CooccurState(items: Seq[Long], ineligible: Boolean)
+  final case class PairDelta(i1: Long, i2: Long, delta: Long)
+
+  /** Streaming co-occurrence maintenance — the live twin of
+    * [[graft.queries.GraphOps.appendCooccurIndex]], expressed as a
+    * RETRACTION stream (the reference's retract-stream concept pointed
+    * at the capped pair family): each arriving (user_id, item) emits
+    * `+1` deltas for the new item × the user's carried items, and a
+    * user CROSSING `cap` emits `-1` for every pair they previously
+    * supported, then contributes nothing ever again. Summing deltas per
+    * (i1, i2) downstream (update mode) therefore equals the stored
+    * fold's pair table at every prefix — the spec drives the SAME
+    * random slices through both and checks equality per batch.
+    *
+    * State: ≤ cap item ids per eligible user (the cap bounds the state,
+    * not just the join); an ineligible user is 1 flag. Per-arrival
+    * emissions ≤ cap deltas, crossing emits C(cap, 2) once. Degrees
+    * only grow, so ineligibility is absorbing — no re-admission logic.
+    *
+    * Input columns: user_id, item.
+    */
+  def cooccurStream(
+      ui: DataFrame,
+      cap: Long = graft.queries.GraphOps.maxUserDegree): DataFrame = {
+    import org.apache.spark.sql.{Encoders, streaming}
+    implicit val outEnc = Encoders.product[PairDelta]
+    implicit val stEnc = Encoders.product[CooccurState]
+    ui.select(col("user_id").cast("long"), col("item").cast("long"))
+      .as[(Long, Long)](Encoders.product[(Long, Long)])
+      .groupByKey(_._1)(Encoders.scalaLong)
+      .flatMapGroupsWithState[CooccurState, PairDelta](
+        OutputMode.Append(),
+        streaming.GroupStateTimeout.NoTimeout()) {
+        (_, it, state: streaming.GroupState[CooccurState]) =>
+          var st = state.getOption.getOrElse(CooccurState(Vector.empty, false))
+          val out = Vector.newBuilder[PairDelta]
+          // deterministic fold order (item id) so batch-boundary placement
+          // never changes WHICH pairs exist, only when they are emitted
+          it.map(_._2).toSeq.distinct.sorted.foreach { item =>
+            if (!st.ineligible && !st.items.contains(item)) {
+              if (st.items.length + 1L <= cap) {
+                st.items.foreach { prev =>
+                  out += PairDelta(math.min(prev, item), math.max(prev, item), 1L)
+                }
+                st = st.copy(items = st.items :+ item)
+              } else {
+                // crossing: retract every pair this user ever supported
+                for (a <- st.items.indices; b <- a + 1 until st.items.length)
+                  out += PairDelta(
+                    math.min(st.items(a), st.items(b)),
+                    math.max(st.items(a), st.items(b)), -1L)
+                st = CooccurState(Vector.empty, ineligible = true)
+              }
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+      .toDF()
+  }
+
   /** Per-doc latest-version state for [[scd2Stream]]. */
   final case class Scd2State(version: Long, hash: String, validFrom: Long, validTo: Long)
   final case class Scd2Closed(

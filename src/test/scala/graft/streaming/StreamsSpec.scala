@@ -1019,6 +1019,65 @@ class StreamsSpec extends SparkSpec {
     assert(proxGot.size >= proxExpect.size)
   }
 
+  test("cooccurStream delta sums equal the stored fold's pair table at every batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // same regime as CooccurIndexSpec's property test: random slices
+    // under a tiny cap, light + heavy users, so crossings (retraction
+    // storms) land at random batch positions
+    val rnd = new scala.util.Random(777)
+    val cap = 3L
+    val slices: Seq[Seq[(Long, Long)]] = Seq.fill(3) {
+      (for {
+        u <- 1L to 8L
+        i <- 1L to 10L
+        if rnd.nextDouble() < (if (u <= 4L) 0.08 else 0.30)
+      } yield (u, i)).toSeq
+    }
+    val mem = MemoryStream[(Long, Long)]
+    val sums = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    val perBatch = scala.collection.mutable.ArrayBuffer.empty[Map[(Long, Long), Long]]
+    val q = Streams.cooccurStream(mem.toDF().toDF("user_id", "item"), cap)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val rows = b.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+        sums.synchronized {
+          rows.foreach { case (k, d) => sums(k) = sums.getOrElse(k, 0L) + d }
+          perBatch += sums.filter(_._2 > 0L).toMap
+        }
+        ()
+      }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt-cooccur").toString)
+      .start()
+    try {
+      slices.foreach { s => mem.addData(s); q.processAllAvailable() }
+    } finally q.stop()
+    assert(perBatch.length === 3)
+
+    // the batch ground truth at each prefix: the stored incremental fold
+    def foldPrefix(n: Int): Map[(Long, Long), Long] = {
+      val dir = java.nio.file.Files.createTempDirectory(s"cooccur-sb$n").toString
+      graft.queries.GraphOps.writeCooccurIndex(
+        slices.head.toDF("user_id", "item"), dir, cap)
+      slices.slice(1, n).foreach { s =>
+        graft.queries.GraphOps.appendCooccurIndex(s.toDF("user_id", "item"), dir, cap)
+      }
+      graft.sources.IndexManifest.readRewrite(spark, dir, "pairs")
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    }
+    (1 to 3).foreach { n =>
+      assert(perBatch(n - 1) === foldPrefix(n),
+        s"stream delta sums diverged from the stored fold after batch $n")
+    }
+    // the run must actually contain a retraction (a crossing user)
+    assert(sums.values.exists(_ == 0L) ||
+      perBatch.sliding(2).exists(w => w.length == 2 &&
+        w(0).keySet.exists(k => !w(1).keySet.contains(k))),
+      "fixture produced no retraction — regenerate the slices")
+  }
+
   test("scd2Stream emits exactly the stored fold's closed rows across batch boundaries") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
