@@ -149,6 +149,46 @@ class SearchOpsSpec extends SparkSpec {
     assert(got.toSeq === inline.toSeq)
   }
 
+  test("property: phrase and proximity counts equal brute force on random corpora") {
+    import spark.implicits._
+    // 60 docs over a 4-token vocab, lengths 0..12 (empty docs included —
+    // the ANSI element_at guard's hard case); seeded for reproducibility
+    val rnd = new scala.util.Random(140814)
+    val vocab = Vector("a", "b", "c", "d")
+    val docs = (1L to 60L).map { id =>
+      id -> Vector.fill(rnd.nextInt(13))(vocab(rnd.nextInt(vocab.length)))
+    }
+    val df = docs.map { case (id, tks) => (id, tks.mkString(" ")) }.toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-prop-idx").toString
+    SearchOps.writePostingsIndex(df, dir)
+
+    def brutePhrase(tks: Vector[String], ph: Seq[String]): Long =
+      if (tks.length < ph.length) 0L
+      else (0 to tks.length - ph.length).count(i => ph.indices.forall(j => tks(i + j) == ph(j))).toLong
+    def bruteNear(tks: Vector[String], t1: String, t2: String, slop: Int): Long = {
+      val p1 = tks.indices.filter(tks(_) == t1)
+      val p2 = tks.indices.filter(tks(_) == t2)
+      p1.map(x => p2.count(y => y > x && y <= x + slop).toLong).sum
+    }
+
+    for (ph <- Seq(Seq("a", "b"), Seq("a", "a"), Seq("b", "a", "b"))) {
+      val expect = docs.map { case (id, tks) => id -> brutePhrase(tks, ph) }
+        .filter(_._2 > 0).sortBy { case (id, tf) => (-tf, id) }
+      val got = SearchOps.phraseSearchFromIndex(spark, dir, ph, 1000)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got === expect, s"phrase $ph")
+    }
+    for ((t1, t2) <- Seq(("a", "b"), ("c", "c"), ("d", "a"))) {
+      val expect = docs.map { case (id, tks) => id -> bruteNear(tks, t1, t2, 3) }
+        .filter(_._2 > 0).sortBy { case (id, tf) => (-tf, id) }
+      val got = SearchOps.proximitySearchFromIndex(spark, dir, t1, t2, 1000)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got === expect, s"near ($t1, $t2)")
+    }
+    // the random fixture must include empty and single-token docs
+    assert(docs.exists(_._2.isEmpty) && docs.exists(_._2.length == 1))
+  }
+
   test("appendPostingsIndex equals a union-corpus rebuild; search parity holds") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
