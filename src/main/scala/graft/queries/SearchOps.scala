@@ -412,8 +412,8 @@ object SearchOps {
     * (measured: the catalog's worst query, 6.9 s at sf0.1, vs 1.9 s
     * for the intersect form).
     */
-  private def nearAgg(p1: String, p2: String): String =
-    s"aggregate($p1, 0L, (acc, x) -> acc + size(filter($p2, y -> y > x AND y <= x + $proxSlop)))"
+  private def nearAgg(p1: String, p2: String, slop: Int = proxSlop): String =
+    s"aggregate($p1, 0L, (acc, x) -> acc + size(filter($p2, y -> y > x AND y <= x + $slop)))"
 
   /** near_tf as Σ_{s=1..slop} |p1 ∩ (p2 − s)| — the same ordered-pair
     * count (positions are distinct, and each (x, y) pair matches at
@@ -484,7 +484,8 @@ object SearchOps {
     * 1-based — distances are base-invariant).
     */
   def proximitySearchFromIndex(
-      s: SparkSession, path: String, t1: String, t2: String, k: Int): DataFrame = {
+      s: SparkSession, path: String, t1: String, t2: String, k: Int,
+      slop: Int = proxSlop): DataFrame = {
     import graft.sources.IndexManifest
     import s.implicits._
     val buckets = Seq(t1, t2).map(t => jvmH60(t) % indexBuckets).distinct
@@ -494,7 +495,7 @@ object SearchOps {
       .select($"doc_id", $"t", $"positions")
     posts.filter($"t" === t1).select($"doc_id", $"positions".as("p1"))
       .join(posts.filter($"t" === t2).select($"doc_id", $"positions".as("p2")), "doc_id")
-      .withColumn("near_tf", expr(nearAgg("p1", "p2")))
+      .withColumn("near_tf", expr(nearAgg("p1", "p2", slop)))
       .filter($"near_tf" > 0L)
       .select($"doc_id", $"near_tf")
       .orderBy($"near_tf".desc, $"doc_id")
