@@ -2480,6 +2480,115 @@ object TextOps {
     graft.sources.IndexManifest.compact(
       s, path, appendOnly = Seq("bands" -> Seq.empty), rewrite = Seq("bucket_counts"))
 
+  // ---------------------------------------------------------------------
+  // Stored shingle-df index — the day-2 form of t_shingle_novelty:
+  // "how novel are TODAY'S arrivals against the historical corpus"
+  // without re-shingling history. One component under the manifest:
+  //
+  //   shingle_counts/ (append-only, partitioned by a shingle-hash
+  //   bucket): per-epoch (sh, n) doc-frequency counts. Counts are
+  //   ADDITIVE, so appends never rewrite anything — a reader sums
+  //   across committed epochs, and compaction just re-sums into one
+  //   directory. The artifact is shingle-VOCABULARY-sized (aggregated),
+  //   not token-stream-sized.
+  //
+  // deltaNoveltyFromIndex is the screen: the delta's distinct-in-doc
+  // shingles left-join the summed counts on the shingle key (the same
+  // one-equi-join class as the batch operator, but the corpus side is
+  // the pre-aggregated stored table); a shingle with no stored row is
+  // novel-vs-base. The day-2 loop: screen arrivals, keep the novel
+  // ones, fold them in with appendShingleIndex — after which their
+  // copies score novelty 0 (ShingleIndexSpec closes that loop).
+  // ---------------------------------------------------------------------
+
+  private def shingleCounts(docsDf: DataFrame): DataFrame =
+    shinglesOfDf(docsDf)
+      .groupBy(col("sh")).agg(count(lit(1)).as("n"))
+      .withColumn("bucket", pmod(h60(col("sh")), lit(64L)))
+
+  /** Build + persist the shingle-df index from a base corpus. */
+  def writeShingleIndex(base: DataFrame, path: String): Unit = {
+    import graft.sources.IndexManifest
+    shingleCounts(base)
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(IndexManifest.epochDir(path, "shingle_counts", 0L))
+    IndexManifest.commit(path, 0L)
+  }
+
+  /** Stage (but do NOT commit) epoch `e` of a shingle-count append —
+    * exposed for the atomicity drill. Additive counts: the stage is
+    * just the DELTA's own counts in e's directory, no merge read.
+    */
+  private[graft] def stageShingleAppend(delta: DataFrame, path: String, e: Long): Unit = {
+    import graft.sources.IndexManifest
+    shingleCounts(delta)
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(IndexManifest.epochDir(path, "shingle_counts", e))
+  }
+
+  /** Fold new docs' shingle counts into the stored index (additive —
+    * caller contract as the other appenders: fold each doc once).
+    */
+  def appendShingleIndex(delta: DataFrame, path: String): Unit = {
+    import graft.sources.IndexManifest
+    val e = IndexManifest.committedEpoch(path) + 1L
+    stageShingleAppend(delta, path, e)
+    IndexManifest.advance(path, e)
+  }
+
+  /** Re-sum the committed epoch window into one directory and raise the
+    * window floor — the summing compactor (the generic layout-only
+    * compact would keep duplicate shingle rows across folded epochs;
+    * correct for a summing reader, but this restores one-row-per-
+    * shingle).
+    */
+  def compactShingleIndex(s: SparkSession, path: String): Unit = {
+    import graft.sources.IndexManifest
+    val e = IndexManifest.committedEpoch(path) + 1L
+    storedShingleDf(s, path)
+      .withColumnRenamed("sdf", "n") // back to the component schema
+      .withColumn("bucket", pmod(h60(col("sh")), lit(64L)))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(IndexManifest.epochDir(path, "shingle_counts", e))
+    IndexManifest.commit(path, e, baseEpoch = e)
+  }
+
+  /** The summed (sh, sdf) view of the committed window. */
+  private[graft] def storedShingleDf(s: SparkSession, path: String): DataFrame =
+    graft.sources.IndexManifest.readAppendOnly(s, path, "shingle_counts")
+      .groupBy(col("sh")).agg(sum(col("n")).as("sdf"))
+
+  /** Per-arrival novelty vs the STORED corpus: (doc_id, n_shingles,
+    * n_known, novelty_ppm) — novelty = fraction of the doc's distinct
+    * shingles absent from the index (note the semantic shift from
+    * t_shingle_novelty's within-corpus df == 1: here the reference set
+    * is the historical corpus, the ingest-prioritization form). Docs
+    * with < 3 tokens have no shingles and drop out, like the batch
+    * operator.
+    */
+  def deltaNoveltyFromIndex(delta: DataFrame, path: String): DataFrame = {
+    val s = delta.sparkSession
+    shinglesOfDf(delta.select(col("doc_id"), col("text")))
+      .join(storedShingleDf(s, path), Seq("sh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("sdf").isNotNull, 1L).otherwise(0L)).as("n_known"))
+      .withColumn("novelty_ppm",
+        expr("((n_shingles - n_known) * 1000000L) div n_shingles"))
+  }
+
+  /** Fresh-stats streaming form: a `foreachBatch` body scoring each
+    * micro-batch's docs against the CURRENTLY COMMITTED index (the
+    * bm25AlertBatchScorer discipline — follows appends live).
+    */
+  def noveltyBatchScorer(path: String)(
+      sink: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit =
+    (batch, batchId) => sink(deltaNoveltyFromIndex(batch, path), batchId)
+
   /** Day-2 near-dup ingest against the STORED index: only the delta is
     * shingled and signed; candidate buckets come from joining the
     * delta's band rows to the stored bucket counts. Cap semantics are

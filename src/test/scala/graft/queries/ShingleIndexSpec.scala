@@ -1,0 +1,93 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.IndexManifest
+
+/** Stored shingle-df index: additive append parity, brute-force novelty,
+  * the day-2 admit-then-reject loop, the summing compactor, and the
+  * kill drill.
+  */
+class ShingleIndexSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def countsOf(dir: String): Map[String, Long] =
+    TextOps.storedShingleDf(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  private def shinglesScala(text: String): Set[String] = {
+    val tk = text.split(" ").filter(_.nonEmpty)
+    (0 to tk.length - 3).map(i => s"${tk(i)} ${tk(i + 1)} ${tk(i + 2)}").toSet
+  }
+
+  test("append equals a union rebuild; novelty equals brute force; tiny docs drop") {
+    val base = Seq(
+      (1L, "a b c d e"), (2L, "c d e f"), (3L, "x y z w")).toDF("doc_id", "text")
+    val d1 = Seq((10L, "b c d x")).toDF("doc_id", "text")
+    val inc = tmp("shingle-inc")
+    TextOps.writeShingleIndex(base, inc)
+    TextOps.appendShingleIndex(d1, inc)
+    val reb = tmp("shingle-reb")
+    TextOps.writeShingleIndex(base.unionByName(d1), reb)
+    assert(countsOf(inc) === countsOf(reb),
+      "additive epochs must sum to the union-corpus counts")
+
+    // brute-force novelty of a fresh probe against the grown index
+    val probe = Seq(
+      (20L, "a b c d q"),   // shingles: 2 known ('a b c','b c d'), 1 novel
+      (21L, "q r s t"),     // all novel
+      (22L, "c d"),         // < 3 tokens: no shingles, drops out
+    ).toDF("doc_id", "text")
+    val baseShingles = (Seq("a b c d e", "c d e f", "x y z w", "b c d x"))
+      .flatMap(shinglesScala).toSet
+    val got = TextOps.deltaNoveltyFromIndex(probe, inc)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_shingles"), r.getAs[Long]("n_known"),
+          r.getAs[Long]("novelty_ppm")))).toMap
+    val expect = Seq((20L, "a b c d q"), (21L, "q r s t")).map { case (id, t) =>
+      val sh = shinglesScala(t)
+      val known = sh.count(baseShingles).toLong
+      id -> ((sh.size.toLong, known, (sh.size - known) * 1000000L / sh.size))
+    }.toMap
+    assert(got === expect)
+    assert(!got.contains(22L), "a sub-3-token doc has no shingles")
+
+    // day-2 loop: fold the novel probe in; its copy now scores 0
+    TextOps.appendShingleIndex(probe.filter($"doc_id" === 21L), inc)
+    val copy = TextOps.deltaNoveltyFromIndex(
+      Seq((30L, "q r s t")).toDF("doc_id", "text"), inc).collect().head
+    assert(copy.getAs[Long]("novelty_ppm") === 0L,
+      "an admitted doc's copy must not look novel again")
+  }
+
+  test("summing compactor: counts equal, one row per shingle, floor raised; kill-safe") {
+    val base = Seq((1L, "a b c d"), (2L, "b c d e")).toDF("doc_id", "text")
+    val d1 = Seq((10L, "a b c e")).toDF("doc_id", "text")
+    val dir = tmp("shingle-compact")
+    TextOps.writeShingleIndex(base, dir)
+    TextOps.appendShingleIndex(d1, dir)
+    val before = countsOf(dir)
+    assert(before("a b c") === 2L, "shared shingle counted across epochs")
+
+    // kill drill: stage an append without committing
+    TextOps.stageShingleAppend(Seq((20L, "a b c")).toDF("doc_id", "text"), dir, 9L)
+    assert(countsOf(dir) === before, "uncommitted stage leaked")
+
+    TextOps.compactShingleIndex(spark, dir)
+    assert(countsOf(dir) === before, "compaction changed the summed counts")
+    val st = IndexManifest.committedState(dir)
+    assert(st.baseEpoch === st.epoch && st.baseEpoch >= 2L)
+    // one physical row per shingle again (the epochs were re-summed)
+    val rows = IndexManifest.readAppendOnly(spark, dir, "shingle_counts").count()
+    assert(rows === before.size.toLong)
+    // still appendable after
+    TextOps.appendShingleIndex(Seq((30L, "e f g h")).toDF("doc_id", "text"), dir)
+    assert(countsOf(dir)("e f g") === 1L)
+    assert(countsOf(dir)("a b c") === 2L)
+  }
+}
