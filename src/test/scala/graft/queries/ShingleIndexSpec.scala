@@ -65,6 +65,40 @@ class ShingleIndexSpec extends SparkSpec {
       "an admitted doc's copy must not look novel again")
   }
 
+  test("noveltyBatchScorer follows an index append mid-stream") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = tmp("shingle-stream")
+    TextOps.writeShingleIndex(
+      Seq((1L, "a b c d")).toDF("doc_id", "text"), dir)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .outputMode("append")
+      .foreachBatch(TextOps.noveltyBatchScorer(dir) { (scored, batchId) =>
+        out.synchronized {
+          out ++= scored.collect()
+            .map(r => (batchId, r.getLong(0), r.getAs[Long]("novelty_ppm")))
+        }
+        ()
+      })
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt-nvl").toString)
+      .start()
+    try {
+      mem.addData(Seq((10L, "q r s t"))) // all novel against {a b c d}
+      q.processAllAvailable()
+      // fold the arrival in mid-stream; the NEXT batch must see it
+      TextOps.appendShingleIndex(Seq((10L, "q r s t")).toDF("doc_id", "text"), dir)
+      mem.addData(Seq((20L, "q r s t"))) // copy: 0 novelty under fresh stats
+      q.processAllAvailable()
+    } finally q.stop()
+    val byDoc = out.map(t => t._2 -> t._3).toMap
+    assert(byDoc(10L) === 1000000L, "pre-append batch: fully novel")
+    assert(byDoc(20L) === 0L,
+      "post-append batch must score against the ADVANCED counts")
+  }
+
   test("summing compactor: counts equal, one row per shingle, floor raised; kill-safe") {
     val base = Seq((1L, "a b c d"), (2L, "b c d e")).toDF("doc_id", "text")
     val d1 = Seq((10L, "a b c e")).toDF("doc_id", "text")
