@@ -2561,6 +2561,48 @@ object TextOps {
     graft.sources.IndexManifest.readAppendOnly(s, path, "shingle_counts")
       .groupBy(col("sh")).agg(sum(col("n")).as("sdf"))
 
+  /** The inline operator core of [[deltaNoveltyFromIndex]] over a
+    * (doc_id, text, batch∈{base,delta}) frame — the oracle-gated half
+    * of the family (`t_delta_novelty`), and what the parity spec pins
+    * the stored path against: novelty of each delta doc's distinct
+    * shingles vs the BASE set, one equi-join on the shingle key.
+    */
+  private[graft] def deltaNoveltyOn(tagged: DataFrame): DataFrame = {
+    val sh = shinglesOfDf(tagged.select(col("doc_id"), col("text")))
+      .join(tagged.select(col("doc_id"), col("batch")), "doc_id")
+    val baseSh = sh.filter(col("batch") === "base").select(col("sh")).distinct()
+    sh.filter(col("batch") === "delta")
+      .join(baseSh.withColumn("known", lit(1L)), Seq("sh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        coalesce(sum(col("known")), lit(0L)).as("n_known"))
+      .withColumn("novelty_ppm",
+        expr("((n_shingles - n_known) * 1000000L) div n_shingles"))
+  }
+
+  val deltaNovelty = Q(
+    "t_delta_novelty",
+    (s, d) => deltaNoveltyOn(fannedDocs(s, d).withColumn("batch", batchOf)),
+    Some(s"""
+      WITH doc0 AS (
+        SELECT doc_id, text,
+               CASE WHEN ${CurationOps.oMd5Bucket("CAST(doc_id AS VARCHAR) || ':batch'", 10)} >= 8
+                    THEN 'delta' ELSE 'base' END AS batch
+        FROM documents),
+      shr AS (SELECT doc_id, unnest($oracleShingles) AS sh FROM doc0),
+      wb AS (SELECT shr.doc_id, shr.sh, doc0.batch FROM shr JOIN doc0 USING (doc_id)),
+      bs AS (SELECT DISTINCT sh FROM wb WHERE batch = 'base'),
+      dd AS (
+        SELECT wb.doc_id, CASE WHEN bs.sh IS NOT NULL THEN 1 ELSE 0 END AS known
+        FROM wb LEFT JOIN bs USING (sh) WHERE wb.batch = 'delta')
+      SELECT doc_id, COUNT(*) AS n_shingles,
+             CAST(SUM(known) AS BIGINT) AS n_known,
+             CAST(((COUNT(*) - SUM(known)) * 1000000) // COUNT(*) AS BIGINT) AS novelty_ppm
+      FROM dd GROUP BY 1
+    """.stripMargin.trim),
+  )
+
   /** Per-arrival novelty vs the STORED corpus: (doc_id, n_shingles,
     * n_known, novelty_ppm) — novelty = fraction of the doc's distinct
     * shingles absent from the index (note the semantic shift from
@@ -4280,6 +4322,7 @@ object TextOps {
 
   val qs: Seq[Q] = Seq(
     shingleNovelty,
+    deltaNovelty,
     scd2History,
     scd2AsOfQ,
     snapshotDiff,

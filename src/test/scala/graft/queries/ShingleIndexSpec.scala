@@ -65,6 +65,24 @@ class ShingleIndexSpec extends SparkSpec {
       "an admitted doc's copy must not look novel again")
   }
 
+  test("deltaNoveltyFromIndex equals the oracle-gated inline operator on the hash split") {
+    val sf = "/root/testdata/sf0.001"
+    val tagged = TextOps.taggedForSpec(spark, sf)
+    val idx = tmp("shingle-parity")
+    TextOps.writeShingleIndex(
+      tagged.filter($"batch" === "base").select($"doc_id", $"text"), idx)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getAs[Long]("n_shingles"),
+        r.getAs[Long]("n_known"), r.getAs[Long]("novelty_ppm"))).toSet
+    val stored = rows(TextOps.deltaNoveltyFromIndex(
+      tagged.filter($"batch" === "delta").select($"doc_id", $"text"), idx))
+    val inline = rows(Catalog.queries("t_delta_novelty")(spark, sf))
+    assert(stored === inline,
+      "stored screen must equal the oracle-gated inline operator")
+    assert(inline.nonEmpty && inline.exists(_._4 > 0L) && inline.exists(_._3 > 0L),
+      "fixture must contain both novel and known shingles")
+  }
+
   test("noveltyBatchScorer follows an index append mid-stream") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
