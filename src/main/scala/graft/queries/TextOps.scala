@@ -2603,6 +2603,67 @@ object TextOps {
     """.stripMargin.trim),
   )
 
+  /** Admission threshold for the novelty day-3 lifecycle: keep a doc
+    * when the majority of its shingles are unseen.
+    */
+  private val noveltyKeepPpm = 500000L
+
+  /** The novelty index's day-3 lifecycle, hash-gated end to end like
+    * t_delta_neardup_day3: build the base index, screen day 2, fold in
+    * ONLY the majority-novel keepers, screen day 3 against the GROWN
+    * index. The oracle recomputes the whole lifecycle from scratch
+    * (base shingles ∪ kept-day-2 shingles as day-3's known set), so a
+    * wrong merge in appendShingleIndex is a hash mismatch, not just a
+    * spec failure.
+    */
+  val deltaNoveltyDay3 = Q(
+    "t_delta_novelty_day3",
+    (s, d) => {
+      import s.implicits._
+      val sliced = fannedDocs(s, d).withColumn("slice", sliceOf)
+      val base = sliced.filter($"slice" === "base").select($"doc_id", $"text")
+      val d1 = sliced.filter($"slice" === "d1").select($"doc_id", $"text")
+      val d2 = sliced.filter($"slice" === "d2").select($"doc_id", $"text")
+      val dir = java.nio.file.Files.createTempDirectory("graft-shingle-day3").toString
+      writeShingleIndex(base, dir)
+      val kept1 = d1.join(
+        deltaNoveltyFromIndex(d1, dir)
+          .filter($"novelty_ppm" >= noveltyKeepPpm).select($"doc_id"),
+        "doc_id")
+      appendShingleIndex(kept1, dir)
+      deltaNoveltyFromIndex(d2, dir)
+    },
+    Some(s"""
+      WITH doc0 AS (
+        SELECT doc_id, text,
+               CASE WHEN ${CurationOps.oMd5Bucket("CAST(doc_id AS VARCHAR) || ':batch'", 10)} >= 8 THEN 'd2'
+                    WHEN ${CurationOps.oMd5Bucket("CAST(doc_id AS VARCHAR) || ':batch'", 10)} >= 6 THEN 'd1'
+                    ELSE 'base' END AS slice
+        FROM documents),
+      shr AS (SELECT doc_id, unnest($oracleShingles) AS sh FROM doc0),
+      wb AS (SELECT shr.doc_id, shr.sh, doc0.slice FROM shr JOIN doc0 USING (doc_id)),
+      bs AS (SELECT DISTINCT sh FROM wb WHERE slice = 'base'),
+      d1n AS (
+        SELECT wb.doc_id, COUNT(*) AS n_sh,
+               SUM(CASE WHEN bs.sh IS NOT NULL THEN 1 ELSE 0 END) AS n_known
+        FROM wb LEFT JOIN bs USING (sh) WHERE wb.slice = 'd1' GROUP BY 1),
+      kept1 AS (
+        SELECT doc_id FROM d1n
+        WHERE ((n_sh - n_known) * 1000000) // n_sh >= $noveltyKeepPpm),
+      known2 AS (
+        SELECT sh FROM bs
+        UNION
+        SELECT wb.sh FROM wb JOIN kept1 USING (doc_id) WHERE wb.slice = 'd1'),
+      dd AS (
+        SELECT wb.doc_id, CASE WHEN k.sh IS NOT NULL THEN 1 ELSE 0 END AS known
+        FROM wb LEFT JOIN known2 k USING (sh) WHERE wb.slice = 'd2')
+      SELECT doc_id, COUNT(*) AS n_shingles,
+             CAST(SUM(known) AS BIGINT) AS n_known,
+             CAST(((COUNT(*) - SUM(known)) * 1000000) // COUNT(*) AS BIGINT) AS novelty_ppm
+      FROM dd GROUP BY 1
+    """.stripMargin.trim),
+  )
+
   /** Per-arrival novelty vs the STORED corpus: (doc_id, n_shingles,
     * n_known, novelty_ppm) — novelty = fraction of the doc's distinct
     * shingles absent from the index (note the semantic shift from
@@ -4323,6 +4384,7 @@ object TextOps {
   val qs: Seq[Q] = Seq(
     shingleNovelty,
     deltaNovelty,
+    deltaNoveltyDay3,
     scd2History,
     scd2AsOfQ,
     snapshotDiff,
