@@ -318,7 +318,7 @@ object GraphOps {
       .write.mode("overwrite").parquet(IndexManifest.epochDir(path, "edges", 0L))
     evs.filter($"item".isNotNull).select($"item").distinct()
       .write.mode("overwrite").parquet(IndexManifest.epochDir(path, "nodes", 0L))
-    IndexManifest.commit(path, 0L)
+    IndexManifest.commit(path, 0L, fmt = IndexManifest.Transition)
   }
 
   /** Fold a NEW slice of the event log into the stored transition graph
@@ -339,12 +339,16 @@ object GraphOps {
     * self-overwrite, so the old pre-materialization checkpoints are
     * gone too), the manifest flips last; a failed append is invisible
     * and its retry overwrites the orphan stage.
+    * Replay hazard (IndexManifest writer contract): retry idempotence
+    * covers appends that crashed BEFORE the manifest flip; re-running
+    * an append that already COMMITTED folds the same delta in twice.
+    * The caller's ingest ledger must not re-feed committed batches.
     */
   def appendTransitionGraph(deltaWithCarry: DataFrame, path: String): Unit = {
     import graft.sources.IndexManifest
-    val e = IndexManifest.committedEpoch(path) + 1L
+    val e = IndexManifest.committedEpoch(path, IndexManifest.Transition) + 1L
     stageTransitionAppend(deltaWithCarry, path, e)
-    IndexManifest.advance(path, e)
+    IndexManifest.advance(path, e, IndexManifest.Transition)
   }
 
   /** Stage (but do NOT commit) epoch `e` of a transition-graph append —
@@ -355,13 +359,13 @@ object GraphOps {
     import graft.sources.IndexManifest
     val s = deltaWithCarry.sparkSession
     import s.implicits._
-    IndexManifest.readRewrite(s, path, "edges")
+    IndexManifest.readRewrite(s, path, "edges", IndexManifest.Transition)
       .join(transitionEdges(deltaWithCarry).withColumnRenamed("w", "w_add"),
         Seq("src", "dst"), "full_outer")
       .select($"src", $"dst",
         (coalesce($"w", lit(0L)) + coalesce($"w_add", lit(0L))).as("w"))
       .write.mode("overwrite").parquet(IndexManifest.epochDir(path, "edges", e))
-    IndexManifest.readRewrite(s, path, "nodes")
+    IndexManifest.readRewrite(s, path, "nodes", IndexManifest.Transition)
       .unionByName(deltaWithCarry.filter($"item".isNotNull).select($"item"))
       .distinct()
       .write.mode("overwrite").parquet(IndexManifest.epochDir(path, "nodes", e))
@@ -374,8 +378,8 @@ object GraphOps {
   def pageRankFromGraph(s: SparkSession, path: String): DataFrame = {
     import graft.sources.IndexManifest
     pageRankOn(
-      IndexManifest.readRewrite(s, path, "nodes"),
-      IndexManifest.readRewrite(s, path, "edges"),
+      IndexManifest.readRewrite(s, path, "nodes", IndexManifest.Transition),
+      IndexManifest.readRewrite(s, path, "edges", IndexManifest.Transition),
       prIters)
   }
 
@@ -638,7 +642,7 @@ object GraphOps {
       .write.mode("overwrite").parquet(IndexManifest.epochDir(path, "degrees", 0L))
     pairSupport(cappedUi(ui, cap))
       .write.mode("overwrite").parquet(IndexManifest.epochDir(path, "pairs", 0L))
-    IndexManifest.commit(path, 0L)
+    IndexManifest.commit(path, 0L, fmt = IndexManifest.Cooccur)
   }
 
   /** Stage (but do NOT commit) epoch `e` of a co-occurrence fold —
@@ -651,7 +655,7 @@ object GraphOps {
     import s.implicits._
     val newRows = deltaEvs.filter($"item".isNotNull)
       .select($"user_id", $"item").distinct()
-    val oldUi = IndexManifest.readAppendOnly(s, path, "ui")
+    val oldUi = IndexManifest.readAppendOnly(s, path, "ui", IndexManifest.Cooccur)
     // strictly-new (user, item) rows; users they belong to are the ONLY
     // users whose contribution can change
     val delta = newRows.join(oldUi, Seq("user_id", "item"), "left_anti")
@@ -665,7 +669,7 @@ object GraphOps {
     val fullItems = oldItems.unionByName(delta).localCheckpoint(true)
     val degNew = fullItems.groupBy($"user_id").agg(count(lit(1)).as("deg"))
     // degrees table: merge the affected users' new degrees over the old
-    val degMerged = IndexManifest.readRewrite(s, path, "degrees")
+    val degMerged = IndexManifest.readRewrite(s, path, "degrees", IndexManifest.Cooccur)
       .join(degNew.withColumnRenamed("deg", "deg_new"), Seq("user_id"), "full_outer")
       .select($"user_id", coalesce($"deg_new", $"deg").as("deg"))
     degMerged.write.mode("overwrite")
@@ -679,7 +683,7 @@ object GraphOps {
       .select($"i1", $"i2",
         (coalesce($"n_add", lit(0L)) - coalesce($"n_sub", lit(0L))).as("n_delta"))
       .filter($"n_delta" =!= 0L)
-    val merged = IndexManifest.readRewrite(s, path, "pairs")
+    val merged = IndexManifest.readRewrite(s, path, "pairs", IndexManifest.Cooccur)
       .join(contrib, Seq("i1", "i2"), "full_outer")
       .select($"i1", $"i2",
         (coalesce($"n_users", lit(0L)) + coalesce($"n_delta", lit(0L))).as("n_users"))
@@ -692,13 +696,17 @@ object GraphOps {
     * contract: `deltaEvs` is the new slice only (rows already folded
     * are harmless — the anti-join drops known (user, item) pairs — but
     * wasteful).
+    * Replay hazard (IndexManifest writer contract): retry idempotence
+    * covers appends that crashed BEFORE the manifest flip; re-running
+    * an append that already COMMITTED folds the same delta in twice.
+    * The caller's ingest ledger must not re-feed committed batches.
     */
   def appendCooccurIndex(deltaEvs: DataFrame, path: String,
       cap: Long = maxUserDegree): Unit = {
     import graft.sources.IndexManifest
-    val e = IndexManifest.committedEpoch(path) + 1L
+    val e = IndexManifest.committedEpoch(path, IndexManifest.Cooccur) + 1L
     stageCooccurAppend(deltaEvs, path, e, cap)
-    IndexManifest.advance(path, e)
+    IndexManifest.advance(path, e, IndexManifest.Cooccur)
   }
 
   /** Top-k co-visited pairs from the STORED index — e_item_cooccur's
@@ -708,7 +716,7 @@ object GraphOps {
   def cooccurTopKFromIndex(s: SparkSession, path: String, k: Int): DataFrame = {
     import graft.sources.IndexManifest
     import s.implicits._
-    IndexManifest.readRewrite(s, path, "pairs")
+    IndexManifest.readRewrite(s, path, "pairs", IndexManifest.Cooccur)
       .orderBy($"n_users".desc, $"i1", $"i2")
       .limit(k)
   }
@@ -723,12 +731,12 @@ object GraphOps {
       s: SparkSession, path: String, minSupport: Long = commMinSupport): DataFrame = {
     import graft.sources.IndexManifest
     import s.implicits._
-    val edges = IndexManifest.readRewrite(s, path, "pairs")
+    val edges = IndexManifest.readRewrite(s, path, "pairs", IndexManifest.Cooccur)
       .filter($"n_users" >= minSupport)
       .select($"i1".as("doc_a"), $"i2".as("doc_b"))
     val labels = TextOps.connectedComponents(edges)
       .select($"v".as("item"), $"rep", $"converged")
-    val lbl = IndexManifest.readAppendOnly(s, path, "ui")
+    val lbl = IndexManifest.readAppendOnly(s, path, "ui", IndexManifest.Cooccur)
       .select($"item").distinct()
       .join(labels, Seq("item"), "left")
       .select($"item",
@@ -749,8 +757,8 @@ object GraphOps {
       s: SparkSession, path: String, k: Int = recK): DataFrame = {
     import graft.sources.IndexManifest
     import s.implicits._
-    val ui = IndexManifest.readAppendOnly(s, path, "ui")
-    val pairs = IndexManifest.readRewrite(s, path, "pairs")
+    val ui = IndexManifest.readAppendOnly(s, path, "ui", IndexManifest.Cooccur)
+    val pairs = IndexManifest.readRewrite(s, path, "pairs", IndexManifest.Cooccur)
       .withColumnRenamed("n_users", "n")
     val sym = pairs.select($"i1".as("item"), $"i2".as("rec"), $"n")
       .unionByName(pairs.select($"i2".as("item"), $"i1".as("rec"), $"n"))

@@ -489,7 +489,7 @@ object SearchOps {
     import graft.sources.IndexManifest
     import s.implicits._
     val buckets = Seq(t1, t2).map(t => jvmH60(t) % indexBuckets).distinct
-    val posts = IndexManifest.readAppendOnly(s, path, "postings")
+    val posts = IndexManifest.readAppendOnly(s, path, "postings", IndexManifest.Postings)
       .filter($"bucket".isin(buckets: _*))
       .filter($"t".isin(Seq(t1, t2).distinct: _*))
       .select($"doc_id", $"t", $"positions")
@@ -704,7 +704,7 @@ object SearchOps {
         coalesce(sum(size(TextOps.toks).cast("long")), lit(0L)).as("total_tokens"))
       .coalesce(1)
       .write.mode("overwrite").parquet(IndexManifest.epochDir(path, "corpus", 0L))
-    IndexManifest.commit(path, 0L)
+    IndexManifest.commit(path, 0L, fmt = graft.sources.IndexManifest.Postings)
   }
 
   /** Stage (but do NOT commit) epoch `e` of a postings append — the
@@ -725,7 +725,7 @@ object SearchOps {
       .repartition($"bucket")
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(IndexManifest.epochDir(path, "postings", e))
-    IndexManifest.readRewrite(s, path, "terms")
+    IndexManifest.readRewrite(s, path, "terms", IndexManifest.Postings)
       .join(postings.groupBy($"t").agg(count(lit(1)).as("df_add")), Seq("t"), "full_outer")
       .select($"t",
         (coalesce($"df", lit(0L)) + coalesce($"df_add", lit(0L))).as("df"))
@@ -733,7 +733,7 @@ object SearchOps {
       .write.mode("overwrite").parquet(IndexManifest.epochDir(path, "terms", e))
     // Σ tf over the new postings == the arrivals' token count — the
     // corpus-total advance reuses the checkpointed pass, no re-tokenize
-    val old = IndexManifest.readRewrite(s, path, "corpus").first()
+    val old = IndexManifest.readRewrite(s, path, "corpus", IndexManifest.Postings).first()
     val add = postings
       .agg(countDistinct($"doc_id"), coalesce(sum($"tf"), lit(0L))).first()
     // doc-count advance counts ALL arrivals (a < 1-token doc posts
@@ -756,12 +756,16 @@ object SearchOps {
     * Crash-atomic via [[graft.sources.IndexManifest]]: stage first,
     * manifest flip last; a failed append is invisible to readers and
     * its retry overwrites the orphan stage (no double-count).
+    * Replay hazard (IndexManifest writer contract): retry idempotence
+    * covers appends that crashed BEFORE the manifest flip; re-running
+    * an append that already COMMITTED folds the same delta in twice.
+    * The caller's ingest ledger must not re-feed committed batches.
     */
   def appendPostingsIndex(newDocs: DataFrame, path: String): Unit = {
     import graft.sources.IndexManifest
-    val e = IndexManifest.committedEpoch(path) + 1L
+    val e = IndexManifest.committedEpoch(path, IndexManifest.Postings) + 1L
     stagePostingsAppend(newDocs, path, e)
-    IndexManifest.advance(path, e)
+    IndexManifest.advance(path, e, IndexManifest.Postings)
   }
 
   /** Fold the accreted posting epochs into one bucket-partitioned
@@ -773,7 +777,7 @@ object SearchOps {
   def compactPostingsIndex(s: SparkSession, path: String): Unit =
     graft.sources.IndexManifest.compact(
       s, path, appendOnly = Seq("postings" -> Seq("bucket")),
-      rewrite = Seq("terms", "corpus"))
+      rewrite = Seq("terms", "corpus"), fmt = graft.sources.IndexManifest.Postings)
 
   /** TF-IDF top-k against the STORED index — same ranking contract as
     * [[tfidfSearch]] (the parity spec pins it), but the posting scan is
@@ -786,11 +790,11 @@ object SearchOps {
     import graft.sources.IndexManifest
     import s.implicits._
     val buckets = terms.map(t => jvmH60(t) % indexBuckets).distinct
-    val postings = IndexManifest.readAppendOnly(s, path, "postings")
+    val postings = IndexManifest.readAppendOnly(s, path, "postings", IndexManifest.Postings)
       .filter($"bucket".isin(buckets: _*)) // parquet partition pruning
       .filter($"t".isin(terms: _*))
-    val n = IndexManifest.readRewrite(s, path, "corpus").first().getLong(0)
-    val df = IndexManifest.readRewrite(s, path, "terms")
+    val n = IndexManifest.readRewrite(s, path, "corpus", IndexManifest.Postings).first().getLong(0)
+    val df = IndexManifest.readRewrite(s, path, "terms", IndexManifest.Postings)
       .filter($"t".isin(terms: _*))
       .withColumn("idf_ppm", expr(s"(${n}L * 1000000L) div df"))
     postings
@@ -812,12 +816,12 @@ object SearchOps {
     import graft.sources.IndexManifest
     import s.implicits._
     val buckets = terms.map(t => jvmH60(t) % indexBuckets).distinct
-    val postings = IndexManifest.readAppendOnly(s, path, "postings")
+    val postings = IndexManifest.readAppendOnly(s, path, "postings", IndexManifest.Postings)
       .filter($"bucket".isin(buckets: _*)) // parquet partition pruning
       .filter($"t".isin(terms: _*))
-    val stats = IndexManifest.readRewrite(s, path, "corpus").first()
+    val stats = IndexManifest.readRewrite(s, path, "corpus", IndexManifest.Postings).first()
     val (n, tl) = (stats.getAs[Long]("n_docs"), stats.getAs[Long]("total_tokens"))
-    val df = IndexManifest.readRewrite(s, path, "terms")
+    val df = IndexManifest.readRewrite(s, path, "terms", IndexManifest.Postings)
       .filter($"t".isin(terms: _*))
       .withColumn("idf_ppm", expr(s"(${n}L * 1000000L) div df"))
     postings
@@ -849,7 +853,7 @@ object SearchOps {
     import s.implicits._
     require(phrase.nonEmpty, "empty phrase")
     val buckets = phrase.map(t => jvmH60(t) % indexBuckets).distinct
-    val posts = IndexManifest.readAppendOnly(s, path, "postings")
+    val posts = IndexManifest.readAppendOnly(s, path, "postings", IndexManifest.Postings)
       .filter($"bucket".isin(buckets: _*)) // parquet partition pruning
       .filter($"t".isin(phrase.distinct: _*))
       .select($"doc_id", $"t", $"positions")

@@ -2284,7 +2284,7 @@ object TextOps {
     Seq(day).toDF("last_day")
       .coalesce(1)
       .write.mode("overwrite").parquet(IndexManifest.epochDir(path, "meta", 0L))
-    IndexManifest.commit(path, 0L)
+    IndexManifest.commit(path, 0L, fmt = IndexManifest.Scd2)
   }
 
   /** Stage (but do NOT commit) epoch `e` of an SCD2 fold — exposed for
@@ -2296,7 +2296,7 @@ object TextOps {
     import graft.sources.IndexManifest
     val s = snap.sparkSession
     import s.implicits._
-    val latest = IndexManifest.readRewrite(s, path, "latest")
+    val latest = IndexManifest.readRewrite(s, path, "latest", IndexManifest.Scd2)
     val today = snap.select(col("doc_id"), md5(col("text")).as("h_new"))
     val j = latest.join(today, Seq("doc_id"), "full_outer")
       .localCheckpoint(true) // one join feeds latest-rewrite AND closed-append
@@ -2328,12 +2328,25 @@ object TextOps {
   /** Fold snapshot `day` into the stored SCD2 table. Crash-atomic via
     * the manifest: stage epoch e, flip last; a killed fold is invisible
     * and its retry overwrites the orphan stage.
+    *
+    * The stored `meta.last_day` doubles as a replay fence: folding a
+    * day at or below it is either a replay of an append that already
+    * COMMITTED (which would emit a spurious version + closed row —
+    * same-hash/same-day hits the supersede branch) or out-of-order
+    * ingest; both fail here instead of silently corrupting history.
     */
   def appendScd2Snapshot(snap: DataFrame, day: Long, path: String): Unit = {
     import graft.sources.IndexManifest
-    val e = IndexManifest.committedEpoch(path) + 1L
+    val lastDay = IndexManifest.readRewrite(
+      snap.sparkSession, path, "meta", IndexManifest.Scd2).first().getLong(0)
+    if (day <= lastDay)
+      throw new IllegalArgumentException(
+        s"appendScd2Snapshot(day=$day) but the stored table already folded " +
+          s"day $lastDay - replaying a committed append (or misordered ingest) " +
+          "would double-count; snapshots fold in strictly increasing day order")
+    val e = IndexManifest.committedEpoch(path, IndexManifest.Scd2) + 1L
     stageScd2Append(snap, day, path, e)
-    IndexManifest.advance(path, e)
+    IndexManifest.advance(path, e, IndexManifest.Scd2)
   }
 
   /** Fold the accreted closed-row epochs into one directory and raise
@@ -2342,7 +2355,8 @@ object TextOps {
     */
   def compactScd2(s: SparkSession, path: String): Unit =
     graft.sources.IndexManifest.compact(
-      s, path, appendOnly = Seq("closed" -> Seq.empty), rewrite = Seq("latest", "meta"))
+      s, path, appendOnly = Seq("closed" -> Seq.empty), rewrite = Seq("latest", "meta"),
+      fmt = graft.sources.IndexManifest.Scd2)
 
   /** The full SCD2 history from the stored table — closed ∪ latest with
     * scd2On's exact output contract (is_current = valid_to == last_day),
@@ -2350,9 +2364,9 @@ object TextOps {
     */
   def readScd2(s: SparkSession, path: String): DataFrame = {
     import graft.sources.IndexManifest
-    val lastDay = IndexManifest.readRewrite(s, path, "meta").first().getLong(0)
-    IndexManifest.readAppendOnly(s, path, "closed")
-      .unionByName(IndexManifest.readRewrite(s, path, "latest"))
+    val lastDay = IndexManifest.readRewrite(s, path, "meta", IndexManifest.Scd2).first().getLong(0)
+    IndexManifest.readAppendOnly(s, path, "closed", IndexManifest.Scd2)
+      .unionByName(IndexManifest.readRewrite(s, path, "latest", IndexManifest.Scd2))
       .select(col("doc_id"), col("version"), col("content_hash"),
         col("valid_from"), col("valid_to"),
         (col("valid_to") === lastDay).as("is_current"))
@@ -2420,7 +2434,7 @@ object TextOps {
       .agg(count(lit(1)).as("n_base"))
       .write.mode("overwrite")
       .parquet(IndexManifest.epochDir(path, "bucket_counts", 0L))
-    IndexManifest.commit(path, 0L)
+    IndexManifest.commit(path, 0L, fmt = IndexManifest.Lsh)
   }
 
   /** Stage (but do NOT commit) epoch `e` of an LSH append: the delta's
@@ -2443,7 +2457,7 @@ object TextOps {
       .agg(count(lit(1)).as("n_add"))
     // reads committed epoch e-1, writes epoch e: no self-overwrite, so no
     // pre-materialization checkpoint needed (snapshot isolation for free)
-    IndexManifest.readRewrite(s, path, "bucket_counts")
+    IndexManifest.readRewrite(s, path, "bucket_counts", graft.sources.IndexManifest.Lsh)
       .join(deltaCounts, Seq("band", "bkey"), "full_outer")
       .select(col("band"), col("bkey"),
         (coalesce(col("n_base"), lit(0L)) + coalesce(col("n_add"), lit(0L))).as("n_base"))
@@ -2463,12 +2477,16 @@ object TextOps {
     * anywhere before the flip leaves readers on epoch e-1 and the
     * orphan stage inert; re-running the append overwrites the stage and
     * commits — idempotent retry, no duplicate band rows.
+    * Replay hazard (IndexManifest writer contract): retry idempotence
+    * covers appends that crashed BEFORE the manifest flip; re-running
+    * an append that already COMMITTED folds the same delta in twice.
+    * The caller's ingest ledger must not re-feed committed batches.
     */
   def appendLshIndex(keptDelta: DataFrame, path: String): Unit = {
     import graft.sources.IndexManifest
-    val e = IndexManifest.committedEpoch(path) + 1L
+    val e = IndexManifest.committedEpoch(path, IndexManifest.Lsh) + 1L
     stageLshAppend(keptDelta, path, e)
-    IndexManifest.advance(path, e)
+    IndexManifest.advance(path, e, IndexManifest.Lsh)
   }
 
   /** Fold the accreted band-row epochs into one fresh directory and
@@ -2478,7 +2496,8 @@ object TextOps {
     */
   def compactLshIndex(s: SparkSession, path: String): Unit =
     graft.sources.IndexManifest.compact(
-      s, path, appendOnly = Seq("bands" -> Seq.empty), rewrite = Seq("bucket_counts"))
+      s, path, appendOnly = Seq("bands" -> Seq.empty), rewrite = Seq("bucket_counts"),
+      fmt = graft.sources.IndexManifest.Lsh)
 
   // ---------------------------------------------------------------------
   // Stored shingle-df index — the day-2 form of t_shingle_novelty:
@@ -2513,7 +2532,7 @@ object TextOps {
       .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(IndexManifest.epochDir(path, "shingle_counts", 0L))
-    IndexManifest.commit(path, 0L)
+    IndexManifest.commit(path, 0L, fmt = IndexManifest.Shingle)
   }
 
   /** Stage (but do NOT commit) epoch `e` of a shingle-count append —
@@ -2530,12 +2549,16 @@ object TextOps {
 
   /** Fold new docs' shingle counts into the stored index (additive —
     * caller contract as the other appenders: fold each doc once).
+    * Replay hazard (IndexManifest writer contract): retry idempotence
+    * covers appends that crashed BEFORE the manifest flip; re-running
+    * an append that already COMMITTED folds the same delta in twice.
+    * The caller's ingest ledger must not re-feed committed batches.
     */
   def appendShingleIndex(delta: DataFrame, path: String): Unit = {
     import graft.sources.IndexManifest
-    val e = IndexManifest.committedEpoch(path) + 1L
+    val e = IndexManifest.committedEpoch(path, IndexManifest.Shingle) + 1L
     stageShingleAppend(delta, path, e)
-    IndexManifest.advance(path, e)
+    IndexManifest.advance(path, e, IndexManifest.Shingle)
   }
 
   /** Re-sum the committed epoch window into one directory and raise the
@@ -2546,19 +2569,19 @@ object TextOps {
     */
   def compactShingleIndex(s: SparkSession, path: String): Unit = {
     import graft.sources.IndexManifest
-    val e = IndexManifest.committedEpoch(path) + 1L
+    val e = IndexManifest.committedEpoch(path, IndexManifest.Shingle) + 1L
     storedShingleDf(s, path)
       .withColumnRenamed("sdf", "n") // back to the component schema
       .withColumn("bucket", pmod(h60(col("sh")), lit(64L)))
       .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(IndexManifest.epochDir(path, "shingle_counts", e))
-    IndexManifest.commit(path, e, baseEpoch = e)
+    IndexManifest.commit(path, e, baseEpoch = e, fmt = IndexManifest.Shingle)
   }
 
   /** The summed (sh, sdf) view of the committed window. */
   private[graft] def storedShingleDf(s: SparkSession, path: String): DataFrame =
-    graft.sources.IndexManifest.readAppendOnly(s, path, "shingle_counts")
+    graft.sources.IndexManifest.readAppendOnly(s, path, "shingle_counts", graft.sources.IndexManifest.Shingle)
       .groupBy(col("sh")).agg(sum(col("n")).as("sdf"))
 
   /** The inline operator core of [[deltaNoveltyFromIndex]] over a
@@ -2624,7 +2647,7 @@ object TextOps {
       val base = sliced.filter($"slice" === "base").select($"doc_id", $"text")
       val d1 = sliced.filter($"slice" === "d1").select($"doc_id", $"text")
       val d2 = sliced.filter($"slice" === "d2").select($"doc_id", $"text")
-      val dir = java.nio.file.Files.createTempDirectory("graft-shingle-day3").toString
+      val dir = graft.sources.Scratch.dir("graft-shingle-day3")
       writeShingleIndex(base, dir)
       val kept1 = d1.join(
         deltaNoveltyFromIndex(d1, dir)
@@ -2708,7 +2731,7 @@ object TextOps {
       minhashBandRows(shinglesOfDf(delta.select($"doc_id", $"text")))
     val nDelta = deltaRows.groupBy($"band", $"bkey")
       .agg(count(lit(1)).as("n_delta"))
-    val counts = graft.sources.IndexManifest.readRewrite(s, path, "bucket_counts")
+    val counts = graft.sources.IndexManifest.readRewrite(s, path, "bucket_counts", graft.sources.IndexManifest.Lsh)
     val hitBuckets = nDelta
       .join(counts, Seq("band", "bkey"), "left")
       .withColumn("n", $"n_delta" + coalesce($"n_base", lit(0L)))
@@ -2813,7 +2836,7 @@ object TextOps {
       val base = sliced.filter($"slice" === "base").select($"doc_id", $"text")
       val d1 = sliced.filter($"slice" === "d1").select($"doc_id", $"text")
       val d2 = sliced.filter($"slice" === "d2").select($"doc_id", $"text")
-      val dir = java.nio.file.Files.createTempDirectory("graft-lsh-day3").toString
+      val dir = graft.sources.Scratch.dir("graft-lsh-day3")
       writeLshIndex(base, dir)
       val kept1 = d1.join(
         deltaNearDupFromIndex(d1, dir).filter($"verdict" === "kept").select($"doc_id"),

@@ -2343,7 +2343,7 @@ object VectorOps {
       .repartition($"cell")
       .write.mode("overwrite").partitionBy("cell")
       .parquet(IndexManifest.epochDir(path, "codes", 0L))
-    IndexManifest.commit(path, 0L)
+    IndexManifest.commit(path, 0L, fmt = IndexManifest.IvfPq)
   }
 
   /** Fold new vectors into the stored IVF-PQ index — the vector-side
@@ -2360,12 +2360,16 @@ object VectorOps {
     * codes stage into their own epoch directory, the manifest flips
     * last; a failed append is invisible and its retry overwrites the
     * orphan stage.
+    * Replay hazard (IndexManifest writer contract): retry idempotence
+    * covers appends that crashed BEFORE the manifest flip; re-running
+    * an append that already COMMITTED folds the same delta in twice.
+    * The caller's ingest ledger must not re-feed committed batches.
     */
   def appendIvfPqIndex(newVecs: DataFrame, path: String): Unit = {
     import graft.sources.IndexManifest
-    val e = IndexManifest.committedEpoch(path) + 1L
+    val e = IndexManifest.committedEpoch(path, IndexManifest.IvfPq) + 1L
     stageIvfPqAppend(newVecs, path, e)
-    IndexManifest.advance(path, e)
+    IndexManifest.advance(path, e, IndexManifest.IvfPq)
   }
 
   /** Fold the accreted code epochs into one cell-partitioned directory
@@ -2374,7 +2378,8 @@ object VectorOps {
     */
   def compactIvfPqIndex(s: SparkSession, path: String): Unit =
     graft.sources.IndexManifest.compact(
-      s, path, appendOnly = Seq("codes" -> Seq("cell")), rewrite = Seq.empty)
+      s, path, appendOnly = Seq("codes" -> Seq("cell")), rewrite = Seq.empty,
+      fmt = graft.sources.IndexManifest.IvfPq)
 
   /** Stage (but do NOT commit) epoch `e` of an IVF-PQ append — exposed
     * for the atomicity spec.
@@ -2434,7 +2439,7 @@ object VectorOps {
     // O(|q|·nprobe) driver hand-off -> a LITERAL partition filter the
     // parquet source prunes directories with
     val probedCells = probes.select($"cell").distinct().collect().map(_.getLong(0))
-    val cand = graft.sources.IndexManifest.readAppendOnly(s, path, "codes")
+    val cand = graft.sources.IndexManifest.readAppendOnly(s, path, "codes", graft.sources.IndexManifest.IvfPq)
       .filter($"cell".isin(probedCells: _*))
     val w = Window.partitionBy($"query_id").orderBy($"adc_micros".asc, $"cand_id")
     cand

@@ -51,22 +51,75 @@ import org.apache.spark.sql.functions.col
   * Epoch values are compared against old stock: a pre-manifest index
   * has no `_graft_manifest.json` and no `epoch=` level, so the fail-fast
   * triggers before any schema confusion can.
+  *
+  * **Writer contract: SINGLE WRITER PER INDEX.** The protocol provides
+  * snapshot isolation for READERS, not coordination between writers —
+  * two concurrent appenders both compute `committedEpoch + 1`, stage
+  * into the same epoch directory, and clobber each other mid-write.
+  * [[advance]] and [[compact]] therefore re-check the committed epoch
+  * at commit time and throw [[java.util.ConcurrentModificationException]]
+  * when another commit landed since the stage began — an optimistic
+  * guard that turns the common lost-update races into loud failures
+  * (the check-then-rename window is not a lock; deployments wanting
+  * true multi-writer put a lease in front, the same adaptation every
+  * manifest-based table format documents).
+  *
+  * **Committed-replay hazard.** Idempotent retry covers appends that
+  * crashed BEFORE the manifest flip (the orphan stage is overwritten).
+  * Replaying an append whose flip already COMMITTED is a different
+  * event: the retry computes the NEXT epoch and folds the same delta in
+  * twice (postings n_docs/df double-advance, shingle counts double-add,
+  * SCD2 emits a spurious version). Appenders whose meta carries a
+  * natural high-water mark enforce this (SCD2 requires
+  * `day > stored last_day`); the others state the hazard at their
+  * append entry points — the caller's ingest ledger (what fed which
+  * append) is the line of defense, exactly as for any at-least-once
+  * ingest into a non-idempotent fold.
   */
 object IndexManifest {
 
-  /** Bump when a stored artifact's schema changes incompatibly.
-    * Version 2 = manifest protocol + positional postings (`positions`
-    * on posting rows, `dl` denormalized).
+  /** Default artifact format version — the expectation used when a call
+    * site doesn't name its index family. Family-specific bumps belong
+    * on the [[Format]] constants below, NOT here: bumping this value
+    * would force-invalidate every family's on-disk stock at once.
     */
   val FormatVersion = 2
+
+  /** One stored-index family's identity: the `family` tag written into
+    * (and checked against) the manifest, plus the artifact format
+    * version the current build reads/writes FOR THAT FAMILY. Versions
+    * are per family so a schema change in one artifact (the postings
+    * `positions` column that motivated version 2) only invalidates that
+    * family's indexes — the others keep resolving their unchanged
+    * layouts.
+    */
+  final case class Format(family: String, version: Int)
+
+  /** Wildcard format: matches any family tag at the default version.
+    * Used by generic tooling (and pre-family call sites); real index
+    * code should pass its family constant so cross-family path mixups
+    * fail fast instead of mis-reading a foreign layout.
+    */
+  val AnyFamily = Format("", FormatVersion)
+
+  val Lsh        = Format("lsh", 2)
+  val Shingle    = Format("shingle", 2)
+  val Postings   = Format("postings", 2)
+  val IvfPq      = Format("ivfpq", 2)
+  val Transition = Format("transition", 2)
+  val Cooccur    = Format("cooccur", 2)
+  val Scd2       = Format("scd2", 2)
 
   /** `baseEpoch`: the FLOOR of the committed window — append-only
     * readers scan epochs in [baseEpoch, epoch]. 0 until a compaction
     * rebases the index (the compactor folds every live epoch into one
     * fresh directory and raises the floor past the stale ones, which
     * become invisible garbage a janitor can delete at leisure).
+    * `family` is empty for manifests written before the family tag
+    * existed (readers then check version only).
     */
-  final case class State(formatVersion: Int, epoch: Long, baseEpoch: Long = 0L)
+  final case class State(
+      formatVersion: Int, epoch: Long, baseEpoch: Long = 0L, family: String = "")
 
   private def manifestFile(path: String) = Paths.get(path, "_graft_manifest.json")
 
@@ -81,21 +134,31 @@ object IndexManifest {
       val s = new String(Files.readAllBytes(f), StandardCharsets.UTF_8)
       def field(k: String): Option[Long] =
         s""""$k"\\s*:\\s*(-?\\d+)""".r.findFirstMatchIn(s).map(_.group(1).toLong)
+      val fam = """"family"\s*:\s*"([^"]*)"""".r
+        .findFirstMatchIn(s).map(_.group(1)).getOrElse("")
       for (v <- field("format_version"); e <- field("epoch"))
-        yield State(v.toInt, e, field("base_epoch").getOrElse(0L))
+        yield State(v.toInt, e, field("base_epoch").getOrElse(0L), fam)
     }
   }
 
   /** The committed state, or fail fast when the index is unreadable by
     * this build (missing manifest = pre-manifest stock or a build that
     * crashed before its first commit; version skew = older artifact
-    * schema). Both mean: rebuild the index.
+    * schema for THAT family; family skew = the path points at a
+    * different index kind). All mean: rebuild, or fix the path.
     */
-  def committedState(path: String): State = read(path) match {
-    case Some(st @ State(FormatVersion, _, _)) => st
-    case Some(State(v, _, _)) =>
+  def committedState(path: String, fmt: Format = AnyFamily): State = read(path) match {
+    case Some(st) if st.formatVersion == fmt.version &&
+        (fmt.family.isEmpty || st.family.isEmpty || st.family == fmt.family) => st
+    case Some(st) if fmt.family.nonEmpty && st.family.nonEmpty &&
+        st.family != fmt.family =>
       throw new IllegalStateException(
-        s"index at $path has format_version $v, this build reads $FormatVersion " +
+        s"index at $path is family '${st.family}', this reader expects " +
+          s"'${fmt.family}' - wrong index path")
+    case Some(st) =>
+      throw new IllegalStateException(
+        s"index at $path has format_version ${st.formatVersion}, this build reads " +
+          s"${fmt.version} for ${if (fmt.family.isEmpty) "it" else s"family '${fmt.family}'"} " +
           "- rebuild the index (write*Index) before searching it")
     case None =>
       throw new IllegalStateException(
@@ -104,16 +167,22 @@ object IndexManifest {
   }
 
   /** The committed epoch (see [[committedState]] for the failure modes). */
-  def committedEpoch(path: String): Long = committedState(path).epoch
+  def committedEpoch(path: String, fmt: Format = AnyFamily): Long =
+    committedState(path, fmt).epoch
 
   /** Flip the manifest to `epoch` (window floor `baseEpoch`) — the
     * commit point. Write-then-rename so a crash mid-commit leaves
     * either the old manifest or the new one, never a torn file.
+    * Unconditional — the initial-build entry point; incremental writers
+    * go through [[advance]]/[[compact]], which guard against a
+    * concurrent commit first.
     */
-  def commit(path: String, epoch: Long, baseEpoch: Long = 0L): Unit = {
+  def commit(path: String, epoch: Long, baseEpoch: Long = 0L,
+      fmt: Format = AnyFamily): Unit = {
     Files.createDirectories(Paths.get(path))
+    val famField = if (fmt.family.isEmpty) "" else s""" "family": "${fmt.family}","""
     val body =
-      s"""{"format_version": $FormatVersion, "epoch": $epoch, "base_epoch": $baseEpoch}\n"""
+      s"""{$famField "format_version": ${fmt.version}, "epoch": $epoch, "base_epoch": $baseEpoch}\n"""
     val tmp = Paths.get(path, s"._graft_manifest.$epoch.tmp")
     Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, manifestFile(path),
@@ -125,17 +194,31 @@ object IndexManifest {
     s"$path/$component/epoch=$epoch"
 
   /** Read a REWRITE component: exactly the committed epoch's full copy. */
-  def readRewrite(s: SparkSession, path: String, component: String): DataFrame =
-    s.read.parquet(epochDir(path, component, committedEpoch(path)))
+  def readRewrite(s: SparkSession, path: String, component: String,
+      fmt: Format = AnyFamily): DataFrame =
+    s.read.parquet(epochDir(path, component, committedEpoch(path, fmt)))
 
   /** Advance the committed ceiling to `epoch`, PRESERVING the window
     * floor — what every appender's commit must use: committing with the
     * default floor of 0 after a compaction would resurrect the
     * superseded pre-compaction epochs and double-count them (the
     * compaction spec's kill shot — it caught exactly this).
+    *
+    * Single-writer guard: the committed epoch is re-read HERE, at the
+    * commit point, and must still be `epoch - 1` (the value the caller
+    * staged against). A concurrent append or compaction that landed
+    * since the stage began fails this append loudly instead of letting
+    * it commit a stage built on a superseded snapshot.
     */
-  def advance(path: String, epoch: Long): Unit =
-    commit(path, epoch, committedState(path).baseEpoch)
+  def advance(path: String, epoch: Long, fmt: Format = AnyFamily): Unit = {
+    val st = committedState(path, fmt)
+    if (st.epoch != epoch - 1L)
+      throw new java.util.ConcurrentModificationException(
+        s"index at $path: staged epoch $epoch expected committed epoch ${epoch - 1L} " +
+          s"but found ${st.epoch} - another writer committed since this append staged; " +
+          "re-run the append against the new committed state (single-writer contract)")
+    commit(path, epoch, st.baseEpoch, fmt)
+  }
 
   /** Stage (but do NOT commit) a compaction into epoch `e`: every
     * append-only component's committed window folds into ONE fresh
@@ -150,9 +233,10 @@ object IndexManifest {
       path: String,
       appendOnly: Seq[(String, Seq[String])],
       rewrite: Seq[String],
-      e: Long): Unit = {
+      e: Long,
+      fmt: Format = AnyFamily): Unit = {
     appendOnly.foreach { case (comp, parts) =>
-      val df = readAppendOnly(s, path, comp)
+      val df = readAppendOnly(s, path, comp, fmt)
       val writer =
         if (parts.nonEmpty)
           df.repartition(parts.map(col): _*).write.partitionBy(parts: _*)
@@ -160,7 +244,7 @@ object IndexManifest {
       writer.mode("overwrite").parquet(epochDir(path, comp, e))
     }
     rewrite.foreach { comp =>
-      readRewrite(s, path, comp)
+      readRewrite(s, path, comp, fmt)
         .write.mode("overwrite").parquet(epochDir(path, comp, e))
     }
   }
@@ -178,10 +262,20 @@ object IndexManifest {
       s: SparkSession,
       path: String,
       appendOnly: Seq[(String, Seq[String])],
-      rewrite: Seq[String]): Unit = {
-    val e = committedState(path).epoch + 1L
-    stageCompact(s, path, appendOnly, rewrite, e)
-    commit(path, e, baseEpoch = e)
+      rewrite: Seq[String],
+      fmt: Format = AnyFamily): Unit = {
+    val e = committedState(path, fmt).epoch + 1L
+    stageCompact(s, path, appendOnly, rewrite, e, fmt)
+    // same optimistic commit-time guard as advance(): a writer that
+    // landed while the fold ran would be silently erased by the floor
+    // raise — fail the compaction loudly instead and let it re-run.
+    val st = committedState(path, fmt)
+    if (st.epoch != e - 1L)
+      throw new java.util.ConcurrentModificationException(
+        s"index at $path: compaction staged epoch $e over committed ${e - 1L} " +
+          s"but found ${st.epoch} at commit time - a concurrent append landed; " +
+          "re-run the compaction (single-writer contract)")
+    commit(path, e, baseEpoch = e, fmt)
   }
 
   /** Delete epoch directories strictly BELOW the committed window floor
@@ -196,10 +290,10 @@ object IndexManifest {
     * writer's in-flight stage. Returns the number of directories
     * removed.
     */
-  def vacuum(path: String): Long = {
+  def vacuum(path: String, fmt: Format = AnyFamily): Long = {
     import scala.jdk.CollectionConverters._
     import scala.util.Using
-    val floor = committedState(path).baseEpoch
+    val floor = committedState(path, fmt).baseEpoch
     val root = Paths.get(path)
     if (!Files.exists(root)) return 0L
     def ls(p: java.nio.file.Path): Seq[java.nio.file.Path] =
@@ -230,8 +324,9 @@ object IndexManifest {
     * floor are a compaction's superseded inputs; epochs above the
     * ceiling are uncommitted stages — both invisible.
     */
-  def readAppendOnly(s: SparkSession, path: String, component: String): DataFrame = {
-    val st = committedState(path)
+  def readAppendOnly(s: SparkSession, path: String, component: String,
+      fmt: Format = AnyFamily): DataFrame = {
+    val st = committedState(path, fmt)
     val base = s"$path/$component"
     s.read.option("basePath", base).parquet(base)
       .filter(col("epoch") >= st.baseEpoch && col("epoch") <= st.epoch)

@@ -594,7 +594,7 @@ object Streams {
   ): DataFrame = {
     val s = delta.sparkSession
     val withinCap = graft.sources.IndexManifest
-      .readRewrite(s, lshIndexPath, "bucket_counts")
+      .readRewrite(s, lshIndexPath, "bucket_counts", graft.sources.IndexManifest.Lsh)
       .filter(col("n_base") + 1 <= graft.queries.TextOps.maxBucket)
       .select("band", "bkey")
     val hits = graft.queries.TextOps.streamBandRows(delta)
@@ -649,12 +649,12 @@ object Streams {
       delta: DataFrame, postingsIndexPath: String, terms: Seq[String]): DataFrame = {
     import graft.sources.IndexManifest
     val s = delta.sparkSession
-    val stats = IndexManifest.readRewrite(s, postingsIndexPath, "corpus").first()
+    val stats = IndexManifest.readRewrite(s, postingsIndexPath, "corpus", IndexManifest.Postings).first()
     val n = stats.getAs[Long]("n_docs")
     val tl = stats.getAs[Long]("total_tokens")
     val idf: Map[String, Long] =
       if (n == 0L || tl == 0L) Map.empty
-      else IndexManifest.readRewrite(s, postingsIndexPath, "terms")
+      else IndexManifest.readRewrite(s, postingsIndexPath, "terms", IndexManifest.Postings)
         .filter(col("t").isin(terms: _*))
         .collect()
         .map(r => r.getAs[String]("t") -> (n * 1000000L / r.getAs[Long]("df")))
@@ -844,7 +844,11 @@ object Streams {
     *
     * Ordering contract as the other stateful twins: arrivals fold in
     * day order within a micro-batch; cross-batch, days must not regress
-    * per doc (snapshot ingest is day-ordered by construction).
+    * per doc (snapshot ingest is day-ordered by construction). A
+    * same-day re-arrival is a duplicate (first wins); a REGRESSED day
+    * is a contract violation and FAILS the query — the stored fold
+    * fences the same event on meta.last_day, and silently dropping it
+    * here would let the stream diverge from the stored table.
     *
     * Input columns: doc_id, d, text.
     */
@@ -865,7 +869,18 @@ object Streams {
           val out = Vector.newBuilder[Scd2Closed]
           it.toSeq.sortBy(_._2).foreach { case (_, d, h) =>
             if (cur == null) cur = Scd2State(1L, h, d, d)
-            else if (d <= cur.validTo) () // duplicate same-day arrival: first wins
+            else if (d == cur.validTo) () // duplicate same-day arrival: first wins
+            else if (d < cur.validTo)
+              // a regressed day is NOT a duplicate — it violates the
+              // documented per-doc day-ordering contract, and silently
+              // dropping it would diverge from the stored fold (which
+              // fences replays on meta.last_day). Fail the query so
+              // misordered ingest is detectable, matching the batch
+              // appender's behavior.
+              throw new IllegalStateException(
+                s"scd2Stream: doc $id arrived with day $d after folding day " +
+                  s"${cur.validTo} - misordered snapshot ingest (cross-batch " +
+                  "days must not regress per doc)")
             else if (h == cur.hash && d == cur.validTo + 1L)
               cur = cur.copy(validTo = d)
             else {

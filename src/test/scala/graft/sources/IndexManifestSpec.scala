@@ -130,13 +130,13 @@ class IndexManifestSpec extends SparkSpec {
     // kill drill: stage the compaction without committing — reads frozen
     IndexManifest.stageCompact(spark, dir,
       Seq("postings" -> Seq("bucket")), Seq("terms", "corpus"), e = 3L)
-    assert(IndexManifest.committedState(dir) === IndexManifest.State(2, 2L, 0L))
+    assert(IndexManifest.committedState(dir) === IndexManifest.State(2, 2L, 0L, "postings"))
     assert(top(dir) === beforeTop && posts(dir) === beforePosts,
       "uncommitted compaction leaked into reads")
 
     // real compaction (stages again over the orphan, then flips)
     SearchOps.compactPostingsIndex(spark, dir)
-    assert(IndexManifest.committedState(dir) === IndexManifest.State(2, 3L, 3L),
+    assert(IndexManifest.committedState(dir) === IndexManifest.State(2, 3L, 3L, "postings"),
       "compaction must raise the window floor to its own epoch")
     assert(top(dir) === beforeTop, "compaction changed search results")
     assert(posts(dir) === beforePosts, "compaction changed the posting rows")

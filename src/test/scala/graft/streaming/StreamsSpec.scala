@@ -1131,6 +1131,35 @@ class StreamsSpec extends SparkSpec {
     assert(out.count(_._1 == 6L) === 2)
   }
 
+  test("scd2Stream fails loudly on a regressed day instead of silently dropping it") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String)]
+    val q = Streams.scd2Stream(mem.toDF().toDF("doc_id", "d", "text"))
+      .writeStream
+      .outputMode("append")
+      .format("noop")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt-scd2-reg").toString)
+      .start()
+    try {
+      // a same-day re-arrival IS a duplicate: first wins, no failure
+      mem.addData(Seq((1L, 2L, "a"), (1L, 2L, "conflicting")))
+      q.processAllAvailable()
+      // a REGRESSED day violates the ordering contract — the query must
+      // fail (the stored fold fences the same event on meta.last_day;
+      // dropping it here would let the stream diverge silently)
+      mem.addData(Seq((1L, 1L, "b")))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+        q.processAllAvailable())
+      def causes(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty
+        else Option(t.getMessage).toSeq ++ causes(t.getCause)
+      assert(causes(e).exists(_.contains("misordered snapshot ingest")),
+        s"expected the ordering-violation failure, got: ${causes(e)}")
+    } finally q.stop()
+  }
+
   test("bm25AlertStream on an empty-corpus index emits nothing instead of dividing by zero") {
     import spark.implicits._
     val idx = java.nio.file.Files.createTempDirectory("bm25-empty-idx").toString
