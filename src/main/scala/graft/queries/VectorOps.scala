@@ -101,27 +101,34 @@ object VectorOps {
   private val nQueries = 5
   private val topK = 10
 
+  /** Exact cosine top-k for the fixed query set — the ANN ground truth
+    * every recall audit (IVF, PQ, and the round-15 quantization family)
+    * compares against. Broadcast-probe scan shape: the corpus is read
+    * once, never shuffled in full.
+    */
+  private[queries] def exactCosTopK(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val q = vecs(s, d)
+      .filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
+    val cand = vecs(s, d)
+      .select($"vec_id".as("cand_id"), $"embedding".as("c_emb"))
+    val w = Window.partitionBy($"query_id").orderBy($"sim_micros".desc, $"cand_id")
+    cand
+      .join(broadcast(q), $"cand_id" =!= $"query_id")
+      .withColumn(
+        "sim_micros",
+        micros(dotd("q_emb", "c_emb") /
+          (sqrt(dotd("q_emb", "q_emb")) * sqrt(dotd("c_emb", "c_emb")))),
+      )
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter($"rnk" <= topK)
+      .select($"query_id", $"cand_id", $"sim_micros", $"rnk")
+  }
+
   val knnBrute = Q(
     "v_knn_brute",
-    (s, d) => {
-      import s.implicits._
-      val q = vecs(s, d)
-        .filter($"vec_id" < nQueries)
-        .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
-      val cand = vecs(s, d)
-        .select($"vec_id".as("cand_id"), $"embedding".as("c_emb"))
-      val w = Window.partitionBy($"query_id").orderBy($"sim_micros".desc, $"cand_id")
-      cand
-        .join(broadcast(q), $"cand_id" =!= $"query_id")
-        .withColumn(
-          "sim_micros",
-          micros(dotd("q_emb", "c_emb") /
-            (sqrt(dotd("q_emb", "q_emb")) * sqrt(dotd("c_emb", "c_emb")))),
-        )
-        .withColumn("rnk", row_number().over(w).cast("long"))
-        .filter($"rnk" <= topK)
-        .select($"query_id", $"cand_id", $"sim_micros", $"rnk")
-    },
+    (s, d) => exactCosTopK(s, d),
     Some(s"""
       WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
                  WHERE vec_id < $nQueries),
@@ -2540,7 +2547,333 @@ object VectorOps {
     """.stripMargin.trim),
   )
 
+  // ---------------------------------------------------------------------
+  // Compressed-vector search — the 100 TB memory/IO ladder. A raw float
+  // corpus is 4 B/dim/vec; binary quantization (1 bit/dim) cuts the
+  // candidate scan 32x, scalar int8 quantization 4x, Matryoshka-style
+  // dimension truncation by dim_kept/dim — and each lossy tier is only
+  // usable if its recall against exact float cosine is MEASURED, so each
+  // search op ships with a recall audit against [[exactCosTopK]] (the
+  // FAISS SQ8/binary + MRL playbook: scan the compressed tier, re-rank
+  // the short list against floats; here the audit IS that contract
+  // check). Scale shape: quantization params come from one 128-partial-
+  // aggregate scan (no explode, no corpus shuffle); packing/encoding is
+  // a pure projection; search is the same broadcast-probe scan as
+  // knnBrute. Every output is integer-exact (pack words, Hamming
+  // distances, int8 dot products, overlap counts) — no float reaches
+  // the hash compare.
+  // ---------------------------------------------------------------------
+
+  /** One 32-bit half of the sign-bit pack (bits are 1 where the
+    * component is >= 0). Two BIGINT halves instead of one 64-bit word:
+    * bit 63 would need the sign bit and 2^63 overflows both engines'
+    * BIGINT literals — two halves keep every value comfortably positive
+    * and the XOR/popcount math identical.
+    */
+  private def packHalf(from: Int): Column = expr(
+    (0 until 32).map { j =>
+      s"(CASE WHEN element_at(embedding, ${from + j}) >= 0 THEN ${1L << j}L ELSE 0L END)"
+    }.mkString(" + "))
+
+  private def oPackHalf(from: Int): String =
+    (0 until 32).map { j =>
+      s"(CASE WHEN embedding[${from + j}] >= 0 THEN ${1L << j}::BIGINT ELSE 0::BIGINT END)"
+    }.mkString(" + ")
+
+  /** (vec_id, w_lo, w_hi): the 64-dim corpus packed to 64 bits/vector. */
+  private def bqPacked(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    vecs(s, d).select($"vec_id", packHalf(1).as("w_lo"), packHalf(33).as("w_hi"))
+  }
+
+  /** Binary-quantized top-k: Hamming distance over the packed words,
+    * ties broken on cand_id. At scale this is THE cheap first tier: the
+    * scan reads 8 bytes/vector and the distance is two XOR+popcounts.
+    */
+  private def bqTopK(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val packed = bqPacked(s, d)
+    val q = packed.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"w_lo".as("q_lo"), $"w_hi".as("q_hi"))
+    val w = Window.partitionBy($"query_id").orderBy($"hamming".asc, $"cand_id".asc)
+    packed.select($"vec_id".as("cand_id"), $"w_lo", $"w_hi")
+      .join(broadcast(q), $"cand_id" =!= $"query_id")
+      .withColumn("hamming",
+        (bit_count($"q_lo".bitwiseXOR($"w_lo")) +
+          bit_count($"q_hi".bitwiseXOR($"w_hi"))).cast("long"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter($"rnk" <= topK)
+      .select($"query_id", $"cand_id", $"hamming", $"rnk")
+  }
+
+  private def oracleBqCtes: String =
+    s"""packed AS (SELECT vec_id, ${oPackHalf(1)} AS w_lo, ${oPackHalf(33)} AS w_hi
+       |           FROM embeddings),
+       |bq AS (SELECT vec_id AS query_id, w_lo AS q_lo, w_hi AS q_hi FROM packed
+       |       WHERE vec_id < $nQueries),
+       |bscored AS (
+       |  SELECT bq.query_id, c.vec_id AS cand_id,
+       |         CAST(bit_count(xor(bq.q_lo, c.w_lo)) + bit_count(xor(bq.q_hi, c.w_hi))
+       |           AS BIGINT) AS hamming
+       |  FROM bq JOIN packed c ON c.vec_id <> bq.query_id),
+       |bqk AS (
+       |  SELECT query_id, cand_id, hamming,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY hamming ASC, cand_id) AS rnk
+       |  FROM bscored QUALIFY rnk <= $topK)""".stripMargin
+
+  val bqSearch = Q(
+    "v_bq_search",
+    (s, d) => bqTopK(s, d),
+    Some(s"""
+      WITH $oracleBqCtes
+      SELECT query_id, cand_id, hamming, rnk FROM bqk
+    """.stripMargin.trim),
+    bench = true,
+  )
+
+  /** The exact-cosine CTE block shared by the recall audits (the same
+    * integer-micros formula as the v_knn_brute oracle).
+    */
+  private def oracleExactCtes: String =
+    s"""eq AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+       |       WHERE vec_id < $nQueries),
+       |escored AS (
+       |  SELECT eq.query_id, c.vec_id AS cand_id,
+       |         CAST(FLOOR(1e6 * (${oDot("eq.q_emb", "c.embedding")} /
+       |           (sqrt(${oDot("eq.q_emb", "eq.q_emb")}) * sqrt(${oDot("c.embedding", "c.embedding")}))))
+       |           AS BIGINT) AS sim_micros
+       |  FROM eq JOIN embeddings c ON c.vec_id <> eq.query_id),
+       |exact AS (
+       |  SELECT query_id, cand_id,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim_micros DESC, cand_id) AS rnk
+       |  FROM escored QUALIFY rnk <= $topK)""".stripMargin
+
+  /** recall@k of a compressed tier against [[exactCosTopK]]:
+    * (query_id, n_exact, n_overlap, recall_ppm).
+    */
+  private def recallAudit(exact: DataFrame, approx: DataFrame): DataFrame = {
+    val s = exact.sparkSession
+    import s.implicits._
+    exact.select($"query_id", $"cand_id")
+      .join(approx.select($"query_id", $"cand_id").withColumn("hit", lit(1L)),
+        Seq("query_id", "cand_id"), "left")
+      .groupBy($"query_id")
+      .agg(
+        count(lit(1)).as("n_exact"),
+        sum(coalesce($"hit", lit(0L))).as("n_overlap"))
+      .withColumn("recall_ppm", expr("(n_overlap * 1000000L) div n_exact"))
+  }
+
+  private def oracleRecallTail(approxCte: String): String =
+    s"""SELECT e.query_id, COUNT(*) AS n_exact,
+       |       CAST(SUM(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+       |       (CAST(SUM(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+       |         // COUNT(*) AS recall_ppm
+       |FROM exact e LEFT JOIN $approxCte a
+       |  ON a.query_id = e.query_id AND a.cand_id = e.cand_id
+       |GROUP BY 1""".stripMargin
+
+  val bqRecall = Q(
+    "v_bq_recall",
+    (s, d) => recallAudit(exactCosTopK(s, d), bqTopK(s, d)),
+    Some(s"""
+      WITH $oracleBqCtes,
+      $oracleExactCtes
+      ${oracleRecallTail("bqk")}
+    """.stripMargin.trim),
+  )
+
+  /** Per-dim (lo, hi) as two double arrays — ONE scan, 128 partial
+    * aggregates, no explode: the scalable way to fit quantization
+    * params (an explode-then-groupBy would shuffle corpus x dim rows).
+    */
+  private def sq8Stats(s: SparkSession, d: String): DataFrame =
+    vecs(s, d).agg(
+      array((1 to dim).map(i => min(element_at(col("embedding"), i)).cast("double")): _*).as("lo"),
+      array((1 to dim).map(i => max(element_at(col("embedding"), i)).cast("double")): _*).as("hi"))
+
+  val sq8StatsQ = Q(
+    "v_sq8_stats",
+    (s, d) => {
+      import s.implicits._
+      sq8Stats(s, d)
+        .select(posexplode(arrays_zip($"lo", $"hi")))
+        .select(($"pos" + 1).cast("long").as("dim_idx"),
+          micros(col("col.lo")).as("lo_micros"),
+          micros(col("col.hi")).as("hi_micros"))
+    },
+    Some(s"""
+      WITH pd AS (
+        SELECT i AS dim_idx, CAST(MIN(embedding[i]) AS DOUBLE) AS lo,
+               CAST(MAX(embedding[i]) AS DOUBLE) AS hi
+        FROM embeddings, generate_series(1, $dim) AS t(i) GROUP BY 1)
+      SELECT CAST(dim_idx AS BIGINT) AS dim_idx,
+             CAST(FLOOR(1e6 * lo) AS BIGINT) AS lo_micros,
+             CAST(FLOOR(1e6 * hi) AS BIGINT) AS hi_micros
+      FROM pd
+    """.stripMargin.trim),
+  )
+
+  /** (vec_id, codes): int8 scalar quantization, c_i = floor(255 (x_i -
+    * lo_i) / (hi_i - lo_i)) in [0, 255] (lo/hi are corpus min/max, so no
+    * clamp is needed; a degenerate constant dim codes to 0). The stats
+    * row rides a broadcast cross join — 1 row against the scan.
+    */
+  private def sq8Codes(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    vecs(s, d)
+      .crossJoin(broadcast(sq8Stats(s, d)))
+      .withColumn("codes", expr(
+        """transform(embedding, (x, i) ->
+          |  CASE WHEN hi[i] > lo[i]
+          |       THEN CAST(floor((CAST(x AS DOUBLE) - lo[i]) * 255.0D / (hi[i] - lo[i])) AS BIGINT)
+          |       ELSE 0L END)""".stripMargin))
+      .select($"vec_id", $"codes")
+  }
+
+  private def oracleSq8Ctes: String =
+    s"""pd AS (
+       |  SELECT i, CAST(MIN(embedding[i]) AS DOUBLE) AS lo,
+       |         CAST(MAX(embedding[i]) AS DOUBLE) AS hi
+       |  FROM embeddings, generate_series(1, $dim) AS t(i) GROUP BY 1),
+       |st AS (SELECT list(lo ORDER BY i) AS lo, list(hi ORDER BY i) AS hi FROM pd),
+       |codes AS (
+       |  SELECT vec_id, list_transform(generate_series(1, $dim), i ->
+       |    CASE WHEN st.hi[i] > st.lo[i]
+       |         THEN CAST(FLOOR((CAST(embedding[i] AS DOUBLE) - st.lo[i]) * 255.0 / (st.hi[i] - st.lo[i])) AS BIGINT)
+       |         ELSE 0 END) AS codes
+       |  FROM embeddings, st)""".stripMargin
+
+  /** SQ8 top-k: cosine over the DEQUANTIZED reconstructions x̂_i =
+    * lo_i + (c_i + 0.5)(hi_i - lo_i)/255 — the standard decode (raw
+    * symmetric code dot products rank poorly because the [0,255] shift
+    * buries the direction information: measured recall@10 was 0-2/10 raw
+    * vs 10/10 decoded on this corpus). All double math is the same
+    * left-to-right IEEE sequence in both engines; only integer micros
+    * reach the output.
+    */
+  private def sq8TopK(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val coded = sq8Codes(s, d)
+    val q = coded.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"codes".as("q_codes"))
+    def recon(codesCol: String) = expr(
+      s"""transform($codesCol, (c, i) ->
+         |  lo[i] + (CAST(c AS DOUBLE) + 0.5D) * (hi[i] - lo[i]) / 255.0D)""".stripMargin)
+    def dotD(a: String, b: String) = expr(
+      s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+    val w = Window.partitionBy($"query_id").orderBy($"sim_micros".desc, $"cand_id".asc)
+    coded.select($"vec_id".as("cand_id"), $"codes".as("c_codes"))
+      .join(broadcast(q), $"cand_id" =!= $"query_id")
+      .crossJoin(broadcast(sq8Stats(s, d)))
+      .withColumn("qr", recon("q_codes"))
+      .withColumn("cr", recon("c_codes"))
+      .withColumn("sim_micros",
+        micros(dotD("qr", "cr") / (sqrt(dotD("qr", "qr")) * sqrt(dotD("cr", "cr")))))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter($"rnk" <= topK)
+      .select($"query_id", $"cand_id", $"sim_micros", $"rnk")
+  }
+
+  private def oracleSq8TopKCtes: String = {
+    def oRecon(codes: String) =
+      s"""list_transform(generate_series(1, $dim), i ->
+         |    st.lo[i] + (CAST($codes[i] AS DOUBLE) + 0.5) * (st.hi[i] - st.lo[i]) / 255.0)""".stripMargin
+    s"""$oracleSq8Ctes,
+       |sq AS (SELECT vec_id AS query_id, codes AS q_codes FROM codes
+       |       WHERE vec_id < $nQueries),
+       |srecon AS (
+       |  SELECT sq.query_id, c.vec_id AS cand_id,
+       |         ${oRecon("sq.q_codes")} AS qr,
+       |         ${oRecon("c.codes")} AS cr
+       |  FROM sq JOIN codes c ON c.vec_id <> sq.query_id, st),
+       |sscored AS (
+       |  SELECT query_id, cand_id,
+       |         CAST(FLOOR(1e6 * (${oDot("qr", "cr")} /
+       |           (sqrt(${oDot("qr", "qr")}) * sqrt(${oDot("cr", "cr")})))) AS BIGINT) AS sim_micros
+       |  FROM srecon),
+       |sqk AS (
+       |  SELECT query_id, cand_id, sim_micros,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim_micros DESC, cand_id) AS rnk
+       |  FROM sscored QUALIFY rnk <= $topK)""".stripMargin
+  }
+
+  val sq8Search = Q(
+    "v_sq8_search",
+    (s, d) => sq8TopK(s, d),
+    Some(s"""
+      WITH $oracleSq8TopKCtes
+      SELECT query_id, cand_id, sim_micros, rnk FROM sqk
+    """.stripMargin.trim),
+    bench = true,
+  )
+
+  val sq8Recall = Q(
+    "v_sq8_recall",
+    (s, d) => recallAudit(exactCosTopK(s, d), sq8TopK(s, d)),
+    Some(s"""
+      WITH $oracleSq8TopKCtes,
+      $oracleExactCtes
+      ${oracleRecallTail("sqk")}
+    """.stripMargin.trim),
+  )
+
+  /** Matryoshka truncation: cosine over the FIRST `mrlDim` components
+    * only — the MRL deployment shape (embeddings trained so prefixes
+    * are usable sub-embeddings; the audit measures what this corpus's
+    * prefixes actually retain).
+    */
+  private val mrlDim = 32
+
+  private def oDotK(a: String, b: String, k: Int): String =
+    s"""list_reduce(list_transform(generate_series(1, $k),
+       |  i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)""".stripMargin
+
+  private def mrlTopK(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sliced = vecs(s, d)
+      .select($"vec_id", slice($"embedding", 1, mrlDim).as("emb32"))
+    val q = sliced.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"emb32".as("q_emb"))
+    val w = Window.partitionBy($"query_id").orderBy($"sim_micros".desc, $"cand_id")
+    sliced.select($"vec_id".as("cand_id"), $"emb32".as("c_emb"))
+      .join(broadcast(q), $"cand_id" =!= $"query_id")
+      .withColumn("sim_micros",
+        micros(dotd("q_emb", "c_emb") /
+          (sqrt(dotd("q_emb", "q_emb")) * sqrt(dotd("c_emb", "c_emb")))))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter($"rnk" <= topK)
+      .select($"query_id", $"cand_id", $"sim_micros", $"rnk")
+  }
+
+  val mrlRecall = Q(
+    "v_mrl_recall",
+    (s, d) => recallAudit(exactCosTopK(s, d), mrlTopK(s, d)),
+    Some(s"""
+      WITH mq AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+                  WHERE vec_id < $nQueries),
+      mscored AS (
+        SELECT mq.query_id, c.vec_id AS cand_id,
+               CAST(FLOOR(1e6 * (${oDotK("mq.q_emb", "c.embedding", mrlDim)} /
+                 (sqrt(${oDotK("mq.q_emb", "mq.q_emb", mrlDim)}) * sqrt(${oDotK("c.embedding", "c.embedding", mrlDim)}))))
+                 AS BIGINT) AS sim_micros
+        FROM mq JOIN embeddings c ON c.vec_id <> mq.query_id),
+      mqk AS (
+        SELECT query_id, cand_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim_micros DESC, cand_id) AS rnk
+        FROM mscored QUALIFY rnk <= $topK),
+      $oracleExactCtes
+      ${oracleRecallTail("mqk")}
+    """.stripMargin.trim),
+  )
+
   val qs: Seq[Q] = Seq(
+    bqSearch,
+    bqRecall,
+    sq8StatsQ,
+    sq8Search,
+    sq8Recall,
+    mrlRecall,
     indexBalance,
     indexDrift,
     normStats,
