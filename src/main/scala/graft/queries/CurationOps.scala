@@ -860,8 +860,65 @@ object CurationOps {
     s.read.parquet(path).count()
   }
 
+  // ---------------------------------------------------------------------
+  // Temperature-flattened mixture (α = 1/2) — the multilingual/domain
+  // rebalancing rule (sample ∝ T_s^α, α < 1): big domains are
+  // down-weighted, small ones surfaced, without hand-written weights.
+  // Derivation is data-driven — w_s = floor(sqrt(T_s)) — then the
+  // binding-source budget and salted-hash admission are EXACTLY
+  // [[domainMixOn]]: one extra tiny per-source agg (O(|sources|) rows
+  // collected) computes the weights, and the whitelist is "every source
+  // with at least one token". sqrt runs in IEEE double (correctly
+  // rounded, so both engines agree bit-for-bit) and everything after is
+  // the same exact integer math as t_domain_mix.
+  // ---------------------------------------------------------------------
+
+  private[queries] def temperatureMixOn(docsDf: DataFrame): DataFrame = {
+    val totals = docsDf
+      .select(col("source"), size(TextOps.toks).cast("long").as("n_tokens"))
+      .groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("toks"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .filter(_._2 > 0L)
+      .sortBy(_._1)
+    val weights = totals.toSeq.map { case (s0, t) =>
+      s0 -> math.floor(math.sqrt(t.toDouble)).toLong
+    }
+    domainMixOn(docsDf, weights)
+  }
+
+  val temperatureMix = Q(
+    "t_temperature_mix",
+    (s, d) => temperatureMixOn(docs(s, d)),
+    Some {
+      val salted = oMd5Bucket("CAST(d.doc_id AS VARCHAR) || ':mix'", mixDenom.toInt)
+      s"""
+      WITH obs AS (
+        SELECT source,
+               CAST(SUM(len(list_filter(string_split(text, ' '), x -> x != ''))) AS BIGINT) AS toks
+        FROM documents GROUP BY 1),
+      wts AS (
+        SELECT source, CAST(FLOOR(SQRT(CAST(toks AS DOUBLE))) AS BIGINT) AS w, toks
+        FROM obs WHERE toks > 0),
+      wsum AS (SELECT CAST(SUM(w) AS BIGINT) AS ws FROM wts),
+      budget AS (
+        SELECT MIN(CAST(t.toks AS HUGEINT) * s.ws // t.w) AS b
+        FROM wts t CROSS JOIN wsum s),
+      rates AS (
+        SELECT t.source,
+               CAST(($mixDenom::HUGEINT * (CAST(t.w AS HUGEINT) * b.b // s.ws))
+                    // t.toks AS BIGINT) AS rate_ppm
+        FROM wts t CROSS JOIN budget b CROSS JOIN wsum s)
+      SELECT d.doc_id, d.source, r.rate_ppm, $salted AS bucket
+      FROM documents d JOIN rates r ON d.source = r.source
+      WHERE $salted < r.rate_ppm
+    """.stripMargin.trim
+    },
+  )
+
   val qs: Seq[Q] =
     Seq(splitAssign, sourceQuota, stratifiedSample, sampleExactK, shardPack,
-      seqPack, contamination, domainMix, trainLeaks, curateCorpus,
-      curateSequences, curateFunnel)
+      seqPack, contamination, domainMix, temperatureMix, trainLeaks,
+      curateCorpus, curateSequences, curateFunnel)
 }

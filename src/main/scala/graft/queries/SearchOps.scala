@@ -980,7 +980,73 @@ object SearchOps {
     """.stripMargin.trim),
   )
 
+  // ---------------------------------------------------------------------
+  // Ranking-quality audit — the eval harness every retrieval stack runs
+  // before trusting a ranker change: each standing term is a single-term
+  // query, relevance is data-derived (tf >= mrrRelTf — heavy users of
+  // the term), and the ranker under audit is the BM25 saturation order.
+  // Per query: hit counts at 10/15, first relevant rank, reciprocal
+  // rank and precision@10 — all exact integers (rr in ppm via integer
+  // division, never a float). Scale shape: the postings projection
+  // (already term-filtered at the scan) feeds one per-term rank window
+  // (partitioned by term — spillable, never SinglePartition) and two
+  // tiny per-term aggs; output is |terms| rows.
+  // ---------------------------------------------------------------------
+
+  private val mrrRelTf = 3L
+
+  val searchMrr = Q(
+    "t_search_mrr",
+    (s, d) => {
+      import s.implicits._
+      val posts = probedPostingsWithLen(s, d)
+      val (tl, n) = corpusStats(s, d)
+      val w = Window.partitionBy($"t").orderBy($"sat_pp6".desc, $"doc_id".asc)
+      val ranked = posts
+        .withColumn("sat_pp6", expr(
+          s"(22000000L * tf * ${tl}L) div (10L * tf * ${tl}L + 3L * ${tl}L + 9L * dl * ${n}L)"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter($"rnk" <= searchK)
+        .withColumn("rel", ($"tf" >= mrrRelTf).cast("long"))
+      val nRel = posts.filter($"tf" >= mrrRelTf)
+        .groupBy($"t").agg(count(lit(1)).as("n_rel"))
+      ranked.groupBy($"t")
+        .agg(
+          sum($"rel").as("n_hits15"),
+          sum(when($"rnk" <= 10L, $"rel").otherwise(lit(0L))).as("n_hits10"),
+          coalesce(min(when($"rel" === 1L, $"rnk")), lit(0L)).as("first_rank"))
+        .join(nRel, Seq("t"), "left")
+        .select($"t".as("term"),
+          coalesce($"n_rel", lit(0L)).as("n_rel"),
+          $"n_hits15", $"n_hits10", $"first_rank",
+          expr("CASE WHEN first_rank > 0 THEN 1000000L div first_rank ELSE 0L END")
+            .as("rr_ppm"),
+          ($"n_hits10" * lit(100000L)).as("prec10_ppm"))
+    },
+    Some(s"""
+      WITH $oracleBm25Core,
+      ranked AS (
+        SELECT m.doc_id, m.t, m.tf,
+               ROW_NUMBER() OVER (PARTITION BY m.t ORDER BY $oracleSat DESC, m.doc_id) AS rnk
+        FROM m JOIN c ON TRUE WHERE m.t IN ($termsSql) QUALIFY rnk <= $searchK),
+      relc AS (
+        SELECT t, CAST(COUNT(*) AS BIGINT) AS n_rel FROM m
+        WHERE t IN ($termsSql) AND tf >= $mrrRelTf GROUP BY 1),
+      agg AS (
+        SELECT t,
+               CAST(SUM(CASE WHEN tf >= $mrrRelTf THEN 1 ELSE 0 END) AS BIGINT) AS n_hits15,
+               CAST(SUM(CASE WHEN rnk <= 10 AND tf >= $mrrRelTf THEN 1 ELSE 0 END) AS BIGINT) AS n_hits10,
+               CAST(COALESCE(MIN(CASE WHEN tf >= $mrrRelTf THEN rnk END), 0) AS BIGINT) AS first_rank
+        FROM ranked GROUP BY 1)
+      SELECT a.t AS term, CAST(COALESCE(r.n_rel, 0) AS BIGINT) AS n_rel,
+             a.n_hits15, a.n_hits10, a.first_rank,
+             CAST(CASE WHEN a.first_rank > 0 THEN 1000000 // a.first_rank ELSE 0 END AS BIGINT) AS rr_ppm,
+             a.n_hits10 * 100000 AS prec10_ppm
+      FROM agg a LEFT JOIN relc r ON a.t = r.t
+    """.stripMargin.trim),
+  )
+
   val qs: Seq[Q] = Seq(
     boolSearch, tfidfSearch, bm25Search, rrfFusion, prfExpand, phraseSearch,
-    proximitySearch, entityResolution, entityCanon, entityTypos)
+    proximitySearch, entityResolution, entityCanon, entityTypos, searchMrr)
 }
