@@ -60,5 +60,6 @@ object Catalog {
     "v_pq_search", "t_substring_dup", "t_substring_scrub", "v_ivfpq_residual",
     "t_cluster_topics", "e_pagerank", "t_linreg_stats", "e_clustering",
     "e_item_cooccur", "e_attribution", "v_ivf_recall_trained", "t_token_drift",
-    "t_bm25_search", "e_communities", "t_scd2_history", "t_proximity_search")
+    "t_bm25_search", "e_communities", "t_scd2_history", "t_proximity_search",
+    "v_bq_search", "v_sq8_search", "t_temperature_mix")
 }

@@ -2581,10 +2581,10 @@ object VectorOps {
     }.mkString(" + ")
 
   /** (vec_id, w_lo, w_hi): the 64-dim corpus packed to 64 bits/vector. */
-  private def bqPacked(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    vecs(s, d).select($"vec_id", packHalf(1).as("w_lo"), packHalf(33).as("w_hi"))
-  }
+  private[queries] def bqPackedOn(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), packHalf(1).as("w_lo"), packHalf(33).as("w_hi"))
+
+  private def bqPacked(s: SparkSession, d: String): DataFrame = bqPackedOn(vecs(s, d))
 
   /** Binary-quantized top-k: Hamming distance over the packed words,
     * ties broken on cand_id. At scale this is THE cheap first tier: the
@@ -2687,10 +2687,12 @@ object VectorOps {
     * aggregates, no explode: the scalable way to fit quantization
     * params (an explode-then-groupBy would shuffle corpus x dim rows).
     */
-  private def sq8Stats(s: SparkSession, d: String): DataFrame =
-    vecs(s, d).agg(
+  private[queries] def sq8StatsOn(emb: DataFrame): DataFrame =
+    emb.agg(
       array((1 to dim).map(i => min(element_at(col("embedding"), i)).cast("double")): _*).as("lo"),
       array((1 to dim).map(i => max(element_at(col("embedding"), i)).cast("double")): _*).as("hi"))
+
+  private def sq8Stats(s: SparkSession, d: String): DataFrame = sq8StatsOn(vecs(s, d))
 
   val sq8StatsQ = Q(
     "v_sq8_stats",
@@ -2719,10 +2721,11 @@ object VectorOps {
     * clamp is needed; a degenerate constant dim codes to 0). The stats
     * row rides a broadcast cross join — 1 row against the scan.
     */
-  private def sq8Codes(s: SparkSession, d: String): DataFrame = {
+  private[queries] def sq8CodesOn(emb: DataFrame): DataFrame = {
+    val s = emb.sparkSession
     import s.implicits._
-    vecs(s, d)
-      .crossJoin(broadcast(sq8Stats(s, d)))
+    emb
+      .crossJoin(broadcast(sq8StatsOn(emb)))
       .withColumn("codes", expr(
         """transform(embedding, (x, i) ->
           |  CASE WHEN hi[i] > lo[i]
@@ -2730,6 +2733,8 @@ object VectorOps {
           |       ELSE 0L END)""".stripMargin))
       .select($"vec_id", $"codes")
   }
+
+  private def sq8Codes(s: SparkSession, d: String): DataFrame = sq8CodesOn(vecs(s, d))
 
   private def oracleSq8Ctes: String =
     s"""pd AS (

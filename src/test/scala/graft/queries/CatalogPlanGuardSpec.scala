@@ -57,7 +57,12 @@ class CatalogPlanGuardSpec extends SparkSpec {
       // hybrid retrieval: the dense list scores the corpus against a
       // 1-row broadcast probe vector — the v_knn_brute shape at its
       // smallest possible broadcast side
-      "t_rrf_fusion")
+      "t_rrf_fusion",
+      // compressed-tier searches + their recall audits: identical
+      // fixed-5-query broadcast panel as v_knn_brute (the sq8 pair adds
+      // the 1-row quantization-stats cross)
+      "v_bq_search", "v_bq_recall", "v_sq8_search", "v_sq8_recall",
+      "v_mrl_recall")
 
   test("no catalog query plans a cartesian, a rogue BNLJ, or a single-partition stage") {
     val offenders = Catalog.all.flatMap { q =>
