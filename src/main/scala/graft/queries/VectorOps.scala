@@ -2872,8 +2872,175 @@ object VectorOps {
     """.stripMargin.trim),
   )
 
+  // ---------------------------------------------------------------------
+  // Stored binary-quantization index — the compressed tier as a DAY-2
+  // artifact: pack once, store 8 bytes/vector under the manifest
+  // protocol, and screen every day's arrivals against ALL of history by
+  // Hamming distance WITHOUT an all-pairs scan. Candidate generation is
+  // the multi-index pigeonhole (the simhash-dedup construction): split
+  // the 64-bit word into 4 disjoint 16-bit bands — any pair within
+  // Hamming distance 3 agrees EXACTLY on at least one band, so a 4-way
+  // band equi-join finds every such pair with ZERO false negatives, and
+  // the exact Hamming filter on the joined pairs discards band-collision
+  // false positives (so the screen equals brute force, cheaply). At
+  // 100 TB the stored side is 8 B/vector and candidates are keyed on
+  // (band, bkey) — the same banded-equi-join class as MinHash LSH,
+  // never corpus².
+  // ---------------------------------------------------------------------
+
+  /** Screen radius. 3 is the largest distance the 4-band pigeonhole
+    * covers exactly; a wider radius needs more/narrower bands (denser
+    * collisions) — the standard knob trade.
+    */
+  private val bqRadius = 3L
+
+  private[queries] def writeBqIndex(emb: DataFrame, path: String): Unit = {
+    import graft.sources.IndexManifest
+    bqPackedOn(emb).write.mode("overwrite")
+      .parquet(IndexManifest.epochDir(path, "words", 0L))
+    IndexManifest.commit(path, 0L, fmt = IndexManifest.Bq)
+  }
+
+  /** Stage (but do NOT commit) epoch `e` — exposed for the kill drill. */
+  private[queries] def stageBqAppend(delta: DataFrame, path: String, e: Long): Unit =
+    bqPackedOn(delta).write.mode("overwrite")
+      .parquet(graft.sources.IndexManifest.epochDir(path, "words", e))
+
+  /** Fold a day's arrivals into the stored words. Crash-atomic via the
+    * manifest (stage epoch e, flip last).
+    * Replay hazard (IndexManifest writer contract): retry idempotence
+    * covers appends that crashed BEFORE the manifest flip; re-running
+    * an append that already COMMITTED stores the same words twice and
+    * the screen starts flagging the batch against itself.
+    */
+  def appendBqIndex(delta: DataFrame, path: String): Unit = {
+    import graft.sources.IndexManifest
+    val e = IndexManifest.committedEpoch(path, IndexManifest.Bq) + 1L
+    stageBqAppend(delta, path, e)
+    IndexManifest.advance(path, e, IndexManifest.Bq)
+  }
+
+  def compactBqIndex(s: SparkSession, path: String): Unit =
+    graft.sources.IndexManifest.compact(
+      s, path, appendOnly = Seq("words" -> Seq.empty), rewrite = Seq.empty,
+      fmt = graft.sources.IndexManifest.Bq)
+
+  private[queries] def storedBqWords(s: SparkSession, path: String): DataFrame =
+    graft.sources.IndexManifest.readAppendOnly(
+      s, path, "words", graft.sources.IndexManifest.Bq)
+
+  /** The 4 x 16-bit band rows of a packed frame (exact integer
+    * splits — div/mod on the two 32-bit halves).
+    */
+  private def bqBandRows(packed: DataFrame): DataFrame =
+    packed
+      .select(col("vec_id"), col("w_lo"), col("w_hi"),
+        explode(array(
+          struct(lit(0).as("band"), (col("w_lo") % 65536L).as("bkey")),
+          struct(lit(1).as("band"), expr("w_lo div 65536L").as("bkey")),
+          struct(lit(2).as("band"), (col("w_hi") % 65536L).as("bkey")),
+          struct(lit(3).as("band"), expr("w_hi div 65536L").as("bkey")))).as("bk"))
+      .select(col("vec_id"), col("w_lo"), col("w_hi"),
+        col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+
+  /** (vec_id, verdict) for a delta screened against the stored words:
+    * `neardup_of_base` when some stored vector is within [[bqRadius]],
+    * else `kept`. Exactly equal to a brute-force Hamming screen (the
+    * pigeonhole argument above), at banded-equi-join cost.
+    */
+  private[queries] def bqNearDupFromIndex(delta: DataFrame, path: String): DataFrame = {
+    val s = delta.sparkSession
+    import s.implicits._
+    val dBands = bqBandRows(bqPackedOn(delta))
+      .select($"vec_id".as("d_id"), $"w_lo".as("d_lo"), $"w_hi".as("d_hi"),
+        $"band", $"bkey")
+    val bBands = bqBandRows(storedBqWords(s, path))
+      .select($"vec_id".as("b_id"), $"w_lo".as("b_lo"), $"w_hi".as("b_hi"),
+        $"band", $"bkey")
+    val hits = dBands.join(bBands, Seq("band", "bkey"))
+      .select($"d_id", $"d_lo", $"d_hi", $"b_id", $"b_lo", $"b_hi")
+      .distinct() // a close pair agrees on several bands
+      .withColumn("hamming",
+        (bit_count($"d_lo".bitwiseXOR($"b_lo")) +
+          bit_count($"d_hi".bitwiseXOR($"b_hi"))).cast("long"))
+      .filter($"hamming" <= bqRadius)
+      .select($"d_id".as("vec_id"))
+      .distinct()
+    delta.select($"vec_id")
+      .join(hits.withColumn("hit", lit(1)), Seq("vec_id"), "left")
+      .select($"vec_id",
+        when($"hit".isNotNull, lit("neardup_of_base")).otherwise(lit("kept"))
+          .as("verdict"))
+  }
+
+  /** Planted-delta screen through the STORED index: arrivals are
+    * 3-dim sign perturbations of every 7th corpus vector (within the
+    * radius — MUST be flagged; pigeonhole guarantees the banded join
+    * surfaces them) and full negations of every 11th (Hamming ~64 from
+    * everything, incl. other base vectors — the measured max same-sign
+    * agreement on this corpus leaves >= 14 bits — MUST be kept). The
+    * corpus itself has no sign-space near-dups (min cross Hamming 14),
+    * so the plants are what make the verdict set non-degenerate.
+    */
+  val bqDeltaNearDup = Q(
+    "v_bq_delta_neardup",
+    (s, d) => {
+      import s.implicits._
+      val base = vecs(s, d).select($"vec_id", $"embedding")
+      val off = base.agg(max($"vec_id")).first().getLong(0) + 1L
+      val dup = base.filter($"vec_id" % 7 === 3)
+        .withColumn("r", ($"vec_id" % 21).cast("int"))
+        .select(($"vec_id" + off).as("vec_id"),
+          expr("""transform(embedding, (x, i) ->
+            |  CASE WHEN i + 1 = 1 + r OR i + 1 = 22 + r OR i + 1 = 43 + r
+            |       THEN -x ELSE x END)""".stripMargin).as("embedding"))
+      val novel = base.filter($"vec_id" % 11 === 5)
+        .select(($"vec_id" + lit(2L) * off).as("vec_id"),
+          expr("transform(embedding, x -> -x)").as("embedding"))
+      val dir = graft.sources.Scratch.dir("graft-bq-idx")
+      writeBqIndex(base, dir)
+      bqNearDupFromIndex(dup.unionByName(novel), dir)
+    },
+    Some(s"""
+      WITH off AS (SELECT MAX(vec_id) + 1 AS o FROM embeddings),
+      dup AS (
+        SELECT b.vec_id + o.o AS vec_id,
+               list_transform(generate_series(1, $dim), i ->
+                 CASE WHEN i = 1 + b.vec_id % 21 OR i = 22 + b.vec_id % 21
+                        OR i = 43 + b.vec_id % 21
+                      THEN -embedding[i] ELSE embedding[i] END) AS embedding
+        FROM embeddings b, off o WHERE b.vec_id % 7 = 3),
+      novel AS (
+        SELECT b.vec_id + 2 * o.o AS vec_id,
+               list_transform(embedding, x -> -x) AS embedding
+        FROM embeddings b, off o WHERE b.vec_id % 11 = 5),
+      delta AS (SELECT * FROM dup UNION ALL SELECT * FROM novel),
+      bw AS (SELECT vec_id, ${oPackHalf(1)} AS w_lo, ${oPackHalf(33)} AS w_hi
+             FROM embeddings),
+      dw AS (SELECT vec_id, ${oPackHalf(1)} AS w_lo, ${oPackHalf(33)} AS w_hi
+             FROM delta),
+      bb AS (SELECT vec_id, w_lo, w_hi, i AS band,
+               CASE i WHEN 0 THEN w_lo % 65536 WHEN 1 THEN w_lo // 65536
+                      WHEN 2 THEN w_hi % 65536 ELSE w_hi // 65536 END AS bkey
+             FROM bw, generate_series(0, 3) t(i)),
+      db AS (SELECT vec_id, w_lo, w_hi, i AS band,
+               CASE i WHEN 0 THEN w_lo % 65536 WHEN 1 THEN w_lo // 65536
+                      WHEN 2 THEN w_hi % 65536 ELSE w_hi // 65536 END AS bkey
+             FROM dw, generate_series(0, 3) t(i)),
+      hits AS (
+        SELECT DISTINCT d.vec_id
+        FROM db d JOIN bb b ON d.band = b.band AND d.bkey = b.bkey
+        WHERE CAST(bit_count(xor(d.w_lo, b.w_lo)) + bit_count(xor(d.w_hi, b.w_hi))
+                AS BIGINT) <= $bqRadius)
+      SELECT d.vec_id,
+             CASE WHEN h.vec_id IS NOT NULL THEN 'neardup_of_base' ELSE 'kept' END AS verdict
+      FROM delta d LEFT JOIN hits h ON d.vec_id = h.vec_id
+    """.stripMargin.trim),
+  )
+
   val qs: Seq[Q] = Seq(
     bqSearch,
+    bqDeltaNearDup,
     bqRecall,
     sq8StatsQ,
     sq8Search,

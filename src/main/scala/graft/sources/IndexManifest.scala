@@ -109,6 +109,7 @@ object IndexManifest {
   val Transition = Format("transition", 2)
   val Cooccur    = Format("cooccur", 2)
   val Scd2       = Format("scd2", 2)
+  val Bq         = Format("bq", 2)
 
   /** `baseEpoch`: the FLOOR of the committed window — append-only
     * readers scan epochs in [baseEpoch, epoch]. 0 until a compaction

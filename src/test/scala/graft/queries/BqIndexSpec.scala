@@ -1,0 +1,93 @@
+package graft.queries
+
+import graft.SparkSpec
+import graft.sources.IndexManifest
+
+/** The stored binary-quantization index: the banded screen must EQUAL a
+  * brute-force Hamming screen (the 4-band pigeonhole claims zero false
+  * negatives at radius 3; the exact filter kills false positives — so
+  * exact set equality is the contract, not recall), appends must equal
+  * a union rebuild, and a killed append must be invisible then
+  * retry-safe — the same drill as the other index families.
+  */
+class BqIndexSpec extends SparkSpec {
+
+  private val rnd = new scala.util.Random(57)
+  private def vec(): Array[Float] = Array.fill(64)(rnd.nextGaussian().toFloat)
+  private def flip(v: Array[Float], dims: Seq[Int]): Array[Float] = {
+    val w = v.clone()
+    dims.foreach(d => w(d) = -w(d))
+    w
+  }
+  private def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+
+  private def screen(delta: Seq[(Long, Array[Float])], dir: String) = {
+    import spark.implicits._
+    VectorOps.bqNearDupFromIndex(
+      spark.createDataset(delta).toDF("vec_id", "embedding"), dir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+  }
+
+  test("banded screen equals brute force: planted distances 0-3 flagged, 4+ only via luck") {
+    import spark.implicits._
+    val base = (0L until 80L).map(i => (i, vec()))
+    val dir = tmp("bq-idx")
+    VectorOps.writeBqIndex(spark.createDataset(base).toDF("vec_id", "embedding"), dir)
+    // plants at exact sign-distance 0..5 from base vectors, plus fresh noise
+    val plants = (0 to 5).map { k =>
+      (1000L + k, flip(base(k.toInt * 7)._2, Seq.tabulate(k)(j => j * 11 + 1)))
+    }
+    val noise = (2000L until 2010L).map(i => (i, vec()))
+    val delta = plants ++ noise
+    val got = screen(delta, dir)
+    // independent brute force over the sign patterns
+    val baseSigns = base.map { case (_, v) => v.map(_ >= 0f) }
+    def minHam(v: Array[Float]): Int = {
+      val s = v.map(_ >= 0f)
+      baseSigns.map(b => b.zip(s).count { case (x, y) => x != y }).min
+    }
+    delta.foreach { case (id, v) =>
+      val expect = if (minHam(v) <= 3) "neardup_of_base" else "kept"
+      assert(got(id) === expect, s"vec $id minHam=${minHam(v)}")
+    }
+    // the distance-0..3 plants are all flagged (pigeonhole completeness)
+    (0 to 3).foreach(k => assert(got(1000L + k) === "neardup_of_base", s"dist $k"))
+  }
+
+  test("append equals union rebuild; killed append invisible, retry safe") {
+    import spark.implicits._
+    val base = (0L until 40L).map(i => (i, vec()))
+    val day2 = (100L until 120L).map(i => (i, vec()))
+    val dir = tmp("bq-app")
+    val reb = tmp("bq-reb")
+    def df(rows: Seq[(Long, Array[Float])]) =
+      spark.createDataset(rows).toDF("vec_id", "embedding")
+    VectorOps.writeBqIndex(df(base), dir)
+
+    // probe within distance 2 of a day-2 vector: invisible until commit
+    val probe = Seq((9000L, flip(day2.head._2, Seq(3, 30))))
+
+    // kill drill: stage without committing — the screen must not move
+    VectorOps.stageBqAppend(df(day2), dir, 1L)
+    assert(IndexManifest.committedEpoch(dir, IndexManifest.Bq) === 0L)
+    assert(screen(probe, dir)(9000L) === "kept",
+      "uncommitted stage leaked into the screen")
+
+    // retry the full append: now the probe collides
+    VectorOps.appendBqIndex(df(day2), dir)
+    assert(IndexManifest.committedEpoch(dir, IndexManifest.Bq) === 1L)
+    assert(screen(probe, dir)(9000L) === "neardup_of_base")
+
+    // stored words equal a union rebuild, bit for bit
+    VectorOps.writeBqIndex(df(base ++ day2), reb)
+    def words(p: String) = VectorOps.storedBqWords(spark, p)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(words(dir) === words(reb))
+
+    // compaction folds the epochs and stays read-equal
+    VectorOps.compactBqIndex(spark, dir)
+    assert(IndexManifest.committedState(dir, IndexManifest.Bq).baseEpoch === 2L)
+    assert(words(dir) === words(reb))
+    assert(screen(probe, dir)(9000L) === "neardup_of_base")
+  }
+}
