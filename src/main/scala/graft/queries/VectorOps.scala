@@ -2892,9 +2892,9 @@ object VectorOps {
     * covers exactly; a wider radius needs more/narrower bands (denser
     * collisions) — the standard knob trade.
     */
-  private val bqRadius = 3L
+  private[graft] val bqRadius = 3L
 
-  private[queries] def writeBqIndex(emb: DataFrame, path: String): Unit = {
+  private[graft] def writeBqIndex(emb: DataFrame, path: String): Unit = {
     import graft.sources.IndexManifest
     bqPackedOn(emb).write.mode("overwrite")
       .parquet(IndexManifest.epochDir(path, "words", 0L))
@@ -2925,30 +2925,40 @@ object VectorOps {
       s, path, appendOnly = Seq("words" -> Seq.empty), rewrite = Seq.empty,
       fmt = graft.sources.IndexManifest.Bq)
 
-  private[queries] def storedBqWords(s: SparkSession, path: String): DataFrame =
+  private[graft] def storedBqWords(s: SparkSession, path: String): DataFrame =
     graft.sources.IndexManifest.readAppendOnly(
       s, path, "words", graft.sources.IndexManifest.Bq)
 
   /** The 4 x 16-bit band rows of a packed frame (exact integer
     * splits — div/mod on the two 32-bit halves).
     */
-  private def bqBandRows(packed: DataFrame): DataFrame =
+  private[graft] def bqBandRows(packed: DataFrame): DataFrame =
     packed
-      .select(col("vec_id"), col("w_lo"), col("w_hi"),
-        explode(array(
-          struct(lit(0).as("band"), (col("w_lo") % 65536L).as("bkey")),
-          struct(lit(1).as("band"), expr("w_lo div 65536L").as("bkey")),
-          struct(lit(2).as("band"), (col("w_hi") % 65536L).as("bkey")),
-          struct(lit(3).as("band"), expr("w_hi div 65536L").as("bkey")))).as("bk"))
-      .select(col("vec_id"), col("w_lo"), col("w_hi"),
-        col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+      .withColumn("bk", explode(array(
+        struct(lit(0).as("band"), (col("w_lo") % 65536L).as("bkey")),
+        struct(lit(1).as("band"), expr("w_lo div 65536L").as("bkey")),
+        struct(lit(2).as("band"), (col("w_hi") % 65536L).as("bkey")),
+        struct(lit(3).as("band"), expr("w_hi div 65536L").as("bkey")))))
+      .withColumn("band", col("bk.band"))
+      .withColumn("bkey", col("bk.bkey"))
+      .drop("bk")
+
+  /** Band rows of an arbitrary (vec_id, embedding, ...) frame — the
+    * pack replaces the embedding; every OTHER column rides along (the
+    * streaming twin keeps its event-time column through here).
+    */
+  private[graft] def bqBandRowsOf(df: DataFrame): DataFrame =
+    bqBandRows(df
+      .withColumn("w_lo", packHalf(1))
+      .withColumn("w_hi", packHalf(33))
+      .drop("embedding"))
 
   /** (vec_id, verdict) for a delta screened against the stored words:
     * `neardup_of_base` when some stored vector is within [[bqRadius]],
     * else `kept`. Exactly equal to a brute-force Hamming screen (the
     * pigeonhole argument above), at banded-equi-join cost.
     */
-  private[queries] def bqNearDupFromIndex(delta: DataFrame, path: String): DataFrame = {
+  private[graft] def bqNearDupFromIndex(delta: DataFrame, path: String): DataFrame = {
     val s = delta.sparkSession
     import s.implicits._
     val dBands = bqBandRows(bqPackedOn(delta))

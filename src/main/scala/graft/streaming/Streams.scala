@@ -604,6 +604,50 @@ object Streams {
       .withColumn("verdict", lit("neardup_of_base"))
   }
 
+  /** Streaming Hamming near-dup screen against the STORED binary-
+    * quantization index ([[graft.queries.VectorOps.writeBqIndex]]) —
+    * the embedding-ingest twin of [[deltaNearDupStream]]: each arriving
+    * (vec_id, embedding, eventTime) is sign-packed to 64 bits, its 4
+    * 16-bit bands equi-join the stored words' bands (stream-static — no
+    * streaming state on the join itself), and the EXACT Hamming filter
+    * keeps only true within-radius collisions, so a flagged arrival is
+    * a brute-force-certified near-dup of history (the pigeonhole
+    * completeness argument on the batch operator). Multi-band hits
+    * collapse to one verdict row via the watermark-bounded key dedup.
+    *
+    * Scale: the static side is 8 B/vector (plus the derived band rows)
+    * — the cheapest possible representation of "all of history" a live
+    * screen can join against; the stream side is a stateless projection
+    * per arrival. Staleness contract as [[deltaNearDupStream]]: the
+    * stored side binds at stream construction — rebuild the stream
+    * after an [[graft.queries.VectorOps.appendBqIndex]] fold.
+    *
+    * Emits the FLAGGED arrivals: (vec_id, eventTime, verdict).
+    */
+  def bqNearDupStream(
+      arrivals: DataFrame,
+      bqIndexPath: String,
+      eventTimeCol: String,
+      delay: String,
+  ): DataFrame = {
+    import graft.queries.VectorOps
+    val s = arrivals.sparkSession
+    val baseBands = VectorOps.bqBandRows(VectorOps.storedBqWords(s, bqIndexPath))
+      .withColumnRenamed("vec_id", "b_id")
+      .withColumnRenamed("w_lo", "b_lo")
+      .withColumnRenamed("w_hi", "b_hi")
+    val hits = VectorOps.bqBandRowsOf(
+      arrivals.select(col("vec_id"), col("embedding"), col(eventTimeCol)))
+      .join(baseBands, Seq("band", "bkey"))
+      .filter(
+        (bit_count(col("w_lo").bitwiseXOR(col("b_lo"))) +
+          bit_count(col("w_hi").bitwiseXOR(col("b_hi")))).cast("long")
+          <= VectorOps.bqRadius)
+      .select(col("vec_id"), col(eventTimeCol))
+    dedupWithinWatermark(hits, Seq("vec_id"), eventTimeCol, delay)
+      .withColumn("verdict", lit("neardup_of_base"))
+  }
+
   /** Standing-query relevance alerting (selective dissemination): each
     * arriving document is BM25-scored against a fixed query using the
     * STORED postings index's statistics ([[graft.queries.SearchOps

@@ -640,6 +640,59 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("bqNearDupStream flags exactly the batch screen's set via the stored BQ index") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val rnd = new scala.util.Random(91)
+    def vec(): Array[Float] = Array.fill(64)(rnd.nextGaussian().toFloat)
+    def flip(v: Array[Float], dims: Seq[Int]): Array[Float] = {
+      val w = v.clone(); dims.foreach(d => w(d) = -w(d)); w
+    }
+    val base = (0L until 30L).map(i => (i, vec()))
+    val idx = java.nio.file.Files.createTempDirectory("bq-stream-idx").toString
+    graft.queries.VectorOps.writeBqIndex(
+      spark.createDataset(base).toDF("vec_id", "embedding"), idx)
+
+    // arrivals: two within-radius perturbations (flag), two fresh (pass)
+    val arrivals = Seq(
+      (100L, flip(base(4)._2, Seq(5)), 1000L),
+      (101L, vec(), 1001L),
+      (102L, flip(base(9)._2, Seq(2, 40, 60)), 1002L),
+      (103L, vec(), 1003L))
+    val expected = graft.queries.VectorOps
+      .bqNearDupFromIndex(
+        spark.createDataset(arrivals.map(a => (a._1, a._2)))
+          .toDF("vec_id", "embedding"), idx)
+      .filter($"verdict" === "neardup_of_base")
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+
+    val mem = MemoryStream[(Long, Array[Float], Long)]
+    val flagged = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = Streams.bqNearDupStream(
+        mem.toDF().toDF("vec_id", "embedding", "ts")
+          .withColumn("eventTime", timestamp_seconds(col("ts"))),
+        idx, eventTimeCol = "eventTime", delay = "60 seconds")
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        flagged.synchronized { flagged ++= b.collect().map(_.getAs[Long]("vec_id")) }
+        ()
+      }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt-bq-stream").toString)
+      .start()
+    try {
+      mem.addData(arrivals.take(2))
+      q.processAllAvailable()
+      mem.addData(arrivals.drop(2))
+      q.processAllAvailable()
+      assert(flagged.toSet === expected, "stream marks must equal the batch verdict set")
+      assert(expected === Set(100L, 102L), "the planted perturbations and only them")
+      assert(flagged.size === flagged.toSet.size, "one mark per vec despite multi-band hits")
+    } finally q.stop()
+  }
+
   test("substringScrubSpansStream emits exactly the base-owned spans, statelessly") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
