@@ -2896,10 +2896,40 @@ object VectorOps {
 
   private[graft] def writeBqIndex(emb: DataFrame, path: String): Unit = {
     import graft.sources.IndexManifest
+    val s = emb.sparkSession
+    import s.implicits._
     bqPackedOn(emb).write.mode("overwrite")
       .parquet(IndexManifest.epochDir(path, "words", 0L))
+    // tombstones start empty, schema-carrying (the scd2 `closed` pattern)
+    Seq.empty[Long].toDF("vec_id").write.mode("overwrite")
+      .parquet(IndexManifest.epochDir(path, "dels", 0L))
     IndexManifest.commit(path, 0L, fmt = IndexManifest.Bq)
   }
+
+  /** Forget vectors from the stored index — the right-to-be-forgotten
+    * path at index grain: the ids land as a TOMBSTONE epoch (no rewrite
+    * of the corpus-sized words), readers resolve words minus tombstones,
+    * and [[compactBqIndex]] makes the removal physical. Precedence is
+    * epoch-ordered (the sequence-number rule of every deletes-supporting
+    * table format): a tombstone removes only word rows appended in
+    * EARLIER epochs, so delete-then-re-append resolves to present.
+    * Same crash-atomicity and replay hazard as [[appendBqIndex]]
+    * (a replayed committed delete is harmless in itself — deleting
+    * twice is idempotent — but it bumps the epoch it removes up to,
+    * which can swallow a re-append that landed in between).
+    */
+  def deleteFromBqIndex(ids: DataFrame, path: String): Unit = {
+    import graft.sources.IndexManifest
+    val e = IndexManifest.committedEpoch(path, IndexManifest.Bq) + 1L
+    stageBqDelete(ids, path, e)
+    IndexManifest.advance(path, e, IndexManifest.Bq)
+  }
+
+  /** Stage (but do NOT commit) a tombstone epoch — for the kill drill. */
+  private[queries] def stageBqDelete(ids: DataFrame, path: String, e: Long): Unit =
+    ids.select(col("vec_id").cast("long")).distinct()
+      .write.mode("overwrite")
+      .parquet(graft.sources.IndexManifest.epochDir(path, "dels", e))
 
   /** Stage (but do NOT commit) epoch `e` — exposed for the kill drill. */
   private[queries] def stageBqAppend(delta: DataFrame, path: String, e: Long): Unit =
@@ -2920,14 +2950,47 @@ object VectorOps {
     IndexManifest.advance(path, e, IndexManifest.Bq)
   }
 
-  def compactBqIndex(s: SparkSession, path: String): Unit =
-    graft.sources.IndexManifest.compact(
-      s, path, appendOnly = Seq("words" -> Seq.empty), rewrite = Seq.empty,
-      fmt = graft.sources.IndexManifest.Bq)
+  /** Fold the committed window into one fresh epoch and raise the
+    * floor. NOT the generic layout-only compactor: the fold writes the
+    * RESOLVED view (words minus tombstones) and an empty tombstone
+    * epoch — folding words and dels verbatim into one shared epoch
+    * would break the epoch-precedence rule (a re-appended id's word
+    * would land in the same epoch as its older tombstone and be
+    * wrongly removed). Deletes become physical here; the superseded
+    * epochs are vacuum's to collect.
+    */
+  def compactBqIndex(s: SparkSession, path: String): Unit = {
+    import graft.sources.IndexManifest
+    import s.implicits._
+    val st = IndexManifest.committedState(path, IndexManifest.Bq)
+    val e = st.epoch + 1L
+    storedBqWords(s, path).write.mode("overwrite")
+      .parquet(IndexManifest.epochDir(path, "words", e))
+    Seq.empty[Long].toDF("vec_id").write.mode("overwrite")
+      .parquet(IndexManifest.epochDir(path, "dels", e))
+    val st2 = IndexManifest.committedState(path, IndexManifest.Bq)
+    if (st2.epoch != st.epoch)
+      throw new java.util.ConcurrentModificationException(
+        s"index at $path: compaction staged epoch $e over committed ${st.epoch} " +
+          s"but found ${st2.epoch} at commit time - re-run (single-writer contract)")
+    IndexManifest.commit(path, e, baseEpoch = e, IndexManifest.Bq)
+  }
 
-  private[graft] def storedBqWords(s: SparkSession, path: String): DataFrame =
-    graft.sources.IndexManifest.readAppendOnly(
-      s, path, "words", graft.sources.IndexManifest.Bq)
+  /** The resolved stored words: tombstones remove word rows from
+    * EARLIER epochs only (see [[deleteFromBqIndex]]).
+    */
+  private[graft] def storedBqWords(s: SparkSession, path: String): DataFrame = {
+    import graft.sources.IndexManifest
+    import s.implicits._
+    val words = IndexManifest.readAppendOnlyEpochs(
+      s, path, "words", IndexManifest.Bq)
+    val dels = IndexManifest.readAppendOnlyEpochs(
+      s, path, "dels", IndexManifest.Bq)
+      .groupBy($"vec_id").agg(max($"epoch").as("del_epoch"))
+    words.join(dels, Seq("vec_id"), "left")
+      .filter($"del_epoch".isNull || $"epoch" > $"del_epoch")
+      .select($"vec_id", $"w_lo", $"w_hi")
+  }
 
   /** The 4 x 16-bit band rows of a packed frame (exact integer
     * splits — div/mod on the two 32-bit halves).
@@ -2992,18 +3055,27 @@ object VectorOps {
     * corpus itself has no sign-space near-dups (min cross Hamming 14),
     * so the plants are what make the verdict set non-degenerate.
     */
+  /** 3-dim sign perturbations of every 7th base vector, ids offset —
+    * the planted within-radius arrivals both stored-screen rows share.
+    */
+  private def plantedBqDup(base: DataFrame, off: Long): DataFrame = {
+    val s = base.sparkSession
+    import s.implicits._
+    base.filter($"vec_id" % 7 === 3)
+      .withColumn("r", ($"vec_id" % 21).cast("int"))
+      .select(($"vec_id" + off).as("vec_id"),
+        expr("""transform(embedding, (x, i) ->
+          |  CASE WHEN i + 1 = 1 + r OR i + 1 = 22 + r OR i + 1 = 43 + r
+          |       THEN -x ELSE x END)""".stripMargin).as("embedding"))
+  }
+
   val bqDeltaNearDup = Q(
     "v_bq_delta_neardup",
     (s, d) => {
       import s.implicits._
       val base = vecs(s, d).select($"vec_id", $"embedding")
       val off = base.agg(max($"vec_id")).first().getLong(0) + 1L
-      val dup = base.filter($"vec_id" % 7 === 3)
-        .withColumn("r", ($"vec_id" % 21).cast("int"))
-        .select(($"vec_id" + off).as("vec_id"),
-          expr("""transform(embedding, (x, i) ->
-            |  CASE WHEN i + 1 = 1 + r OR i + 1 = 22 + r OR i + 1 = 43 + r
-            |       THEN -x ELSE x END)""".stripMargin).as("embedding"))
+      val dup = plantedBqDup(base, off)
       val novel = base.filter($"vec_id" % 11 === 5)
         .select(($"vec_id" + lit(2L) * off).as("vec_id"),
           expr("transform(embedding, x -> -x)").as("embedding"))
@@ -3048,9 +3120,63 @@ object VectorOps {
     """.stripMargin.trim),
   )
 
+  /** The forget path hash-gated end to end: the index is built on the
+    * full corpus, every 13th-mod-5 vector is DELETED (tombstone epoch),
+    * and the planted perturbations are screened — a perturbation of a
+    * FORGOTTEN vector must come back `kept` (its source no longer
+    * screens), of a surviving vector `neardup_of_base`. The oracle
+    * recomputes the banded screen against corpus-minus-deleted from
+    * scratch, so a tombstone the reader fails to apply (or applies to
+    * the wrong epoch window) is a hash mismatch.
+    */
+  val bqDeleteScreen = Q(
+    "v_bq_delete_screen",
+    (s, d) => {
+      import s.implicits._
+      val base = vecs(s, d).select($"vec_id", $"embedding")
+      val off = base.agg(max($"vec_id")).first().getLong(0) + 1L
+      val dir = graft.sources.Scratch.dir("graft-bq-del")
+      writeBqIndex(base, dir)
+      deleteFromBqIndex(base.filter($"vec_id" % 13 === 5).select($"vec_id"), dir)
+      bqNearDupFromIndex(plantedBqDup(base, off), dir)
+    },
+    Some(s"""
+      WITH off AS (SELECT MAX(vec_id) + 1 AS o FROM embeddings),
+      survivors AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 13 <> 5),
+      delta AS (
+        SELECT b.vec_id + o.o AS vec_id,
+               list_transform(generate_series(1, $dim), i ->
+                 CASE WHEN i = 1 + b.vec_id % 21 OR i = 22 + b.vec_id % 21
+                        OR i = 43 + b.vec_id % 21
+                      THEN -embedding[i] ELSE embedding[i] END) AS embedding
+        FROM embeddings b, off o WHERE b.vec_id % 7 = 3),
+      bw AS (SELECT vec_id, ${oPackHalf(1)} AS w_lo, ${oPackHalf(33)} AS w_hi
+             FROM survivors),
+      dw AS (SELECT vec_id, ${oPackHalf(1)} AS w_lo, ${oPackHalf(33)} AS w_hi
+             FROM delta),
+      bb AS (SELECT vec_id, w_lo, w_hi, i AS band,
+               CASE i WHEN 0 THEN w_lo % 65536 WHEN 1 THEN w_lo // 65536
+                      WHEN 2 THEN w_hi % 65536 ELSE w_hi // 65536 END AS bkey
+             FROM bw, generate_series(0, 3) t(i)),
+      db AS (SELECT vec_id, w_lo, w_hi, i AS band,
+               CASE i WHEN 0 THEN w_lo % 65536 WHEN 1 THEN w_lo // 65536
+                      WHEN 2 THEN w_hi % 65536 ELSE w_hi // 65536 END AS bkey
+             FROM dw, generate_series(0, 3) t(i)),
+      hits AS (
+        SELECT DISTINCT d.vec_id
+        FROM db d JOIN bb b ON d.band = b.band AND d.bkey = b.bkey
+        WHERE CAST(bit_count(xor(d.w_lo, b.w_lo)) + bit_count(xor(d.w_hi, b.w_hi))
+                AS BIGINT) <= $bqRadius)
+      SELECT d.vec_id,
+             CASE WHEN h.vec_id IS NOT NULL THEN 'neardup_of_base' ELSE 'kept' END AS verdict
+      FROM delta d LEFT JOIN hits h ON d.vec_id = h.vec_id
+    """.stripMargin.trim),
+  )
+
   val qs: Seq[Q] = Seq(
     bqSearch,
     bqDeltaNearDup,
+    bqDeleteScreen,
     bqRecall,
     sq8StatsQ,
     sq8Search,

@@ -326,11 +326,20 @@ object IndexManifest {
     * ceiling are uncommitted stages — both invisible.
     */
   def readAppendOnly(s: SparkSession, path: String, component: String,
+      fmt: Format = AnyFamily): DataFrame =
+    readAppendOnlyEpochs(s, path, component, fmt).drop("epoch")
+
+  /** [[readAppendOnly]] KEEPING the `epoch` partition column — for
+    * readers whose merge semantics are epoch-ordered (tombstone
+    * precedence: a delete removes only rows appended in EARLIER
+    * epochs, so delete-then-re-append resolves correctly — the
+    * sequence-number rule every deletes-supporting table format uses).
+    */
+  def readAppendOnlyEpochs(s: SparkSession, path: String, component: String,
       fmt: Format = AnyFamily): DataFrame = {
     val st = committedState(path, fmt)
     val base = s"$path/$component"
     s.read.option("basePath", base).parquet(base)
       .filter(col("epoch") >= st.baseEpoch && col("epoch") <= st.epoch)
-      .drop("epoch")
   }
 }

@@ -54,6 +54,52 @@ class BqIndexSpec extends SparkSpec {
     (0 to 3).foreach(k => assert(got(1000L + k) === "neardup_of_base", s"dist $k"))
   }
 
+  test("tombstone deletes: epoch precedence, kill drill, physical on compaction") {
+    import spark.implicits._
+    val base = (0L until 30L).map(i => (i, vec()))
+    val dir = tmp("bq-del")
+    def df(rows: Seq[(Long, Array[Float])]) =
+      spark.createDataset(rows).toDF("vec_id", "embedding")
+    VectorOps.writeBqIndex(df(base), dir)
+    val probe = Seq((9000L, flip(base(7)._2, Seq(11))))
+    assert(screen(probe, dir)(9000L) === "neardup_of_base")
+
+    // kill drill: a staged tombstone epoch must not screen anything out
+    VectorOps.stageBqDelete(Seq(7L).toDF("vec_id"), dir, 1L)
+    assert(screen(probe, dir)(9000L) === "neardup_of_base",
+      "uncommitted tombstones leaked into the read")
+
+    // committed delete: the probe's source is forgotten
+    VectorOps.deleteFromBqIndex(Seq(7L).toDF("vec_id"), dir)
+    assert(IndexManifest.committedEpoch(dir, IndexManifest.Bq) === 1L)
+    assert(screen(probe, dir)(9000L) === "kept")
+    assert(!VectorOps.storedBqWords(spark, dir)
+      .collect().exists(_.getLong(0) === 7L))
+
+    // epoch precedence: re-appending the id AFTER the delete resurrects
+    // it (the tombstone removes only earlier epochs)
+    VectorOps.appendBqIndex(df(Seq(base(7))), dir)
+    assert(screen(probe, dir)(9000L) === "neardup_of_base")
+
+    // delete again, then compact: removal becomes PHYSICAL — the raw
+    // words directory no longer carries the id, tombstones fold empty,
+    // and the screen is unchanged by the rewrite
+    VectorOps.deleteFromBqIndex(Seq(7L, 13L).toDF("vec_id"), dir)
+    assert(screen(probe, dir)(9000L) === "kept")
+    VectorOps.compactBqIndex(spark, dir)
+    val st = IndexManifest.committedState(dir, IndexManifest.Bq)
+    assert(st.baseEpoch === st.epoch)
+    val raw = spark.read.parquet(s"$dir/words/epoch=${st.epoch}")
+      .collect().map(_.getLong(0)).toSet
+    assert(!raw.contains(7L) && !raw.contains(13L),
+      "compaction must make deletes physical")
+    assert(raw.size === 28)
+    assert(screen(probe, dir)(9000L) === "kept")
+    // and the compacted index is still appendable
+    VectorOps.appendBqIndex(df(Seq(base(13))), dir)
+    assert(VectorOps.storedBqWords(spark, dir).count() === 29L)
+  }
+
   test("append equals union rebuild; killed append invisible, retry safe") {
     import spark.implicits._
     val base = (0L until 40L).map(i => (i, vec()))
