@@ -190,8 +190,10 @@ object SearchOps {
     * the per-(doc, term) saturation. `mWhere` restricts the scored term
     * set (query terms for bm25/rrf; joined dynamically for PRF).
     */
-  private def oracleBm25Core: String =
-    s"""tok AS (SELECT doc_id, ${TextOps.oracleToks} AS tk FROM documents),
+  private def oracleBm25Core: String = oracleBm25CoreFrom("documents")
+
+  private def oracleBm25CoreFrom(src: String): String =
+    s"""tok AS (SELECT doc_id, ${TextOps.oracleToks} AS tk FROM $src),
        |c AS (SELECT CAST(SUM(len(tk)) AS BIGINT) AS tl,
        |             CAST(COUNT(*) AS BIGINT) AS n FROM tok),
        |p AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl, unnest(tk) AS t FROM tok),
@@ -483,13 +485,33 @@ object SearchOps {
     * (spec-pinned parity; stored positions are 0-based, the inline scan
     * 1-based — distances are base-invariant).
     */
+  /** The resolved stored postings: the committed epoch window minus
+    * tombstoned documents ([[deleteFromPostingsIndex]]) under epoch
+    * precedence — a tombstone removes only posting rows appended in
+    * EARLIER epochs, so delete-then-reindex resolves to the new
+    * postings. Bucket filters applied by callers still push below the
+    * tombstone join to the parquet scan (partition pruning intact).
+    */
+  private[graft] def storedPostings(s: SparkSession, path: String): DataFrame = {
+    import graft.sources.IndexManifest
+    import s.implicits._
+    val posts = IndexManifest.readAppendOnlyEpochs(
+      s, path, "postings", IndexManifest.Postings)
+    val dels = IndexManifest.readAppendOnlyEpochs(
+      s, path, "dels", IndexManifest.Postings)
+      .groupBy($"doc_id").agg(max($"epoch").as("del_epoch"))
+    posts.join(dels, Seq("doc_id"), "left")
+      .filter($"del_epoch".isNull || $"epoch" > $"del_epoch")
+      .drop("epoch", "del_epoch")
+  }
+
   def proximitySearchFromIndex(
       s: SparkSession, path: String, t1: String, t2: String, k: Int,
       slop: Int = proxSlop): DataFrame = {
     import graft.sources.IndexManifest
     import s.implicits._
     val buckets = Seq(t1, t2).map(t => jvmH60(t) % indexBuckets).distinct
-    val posts = IndexManifest.readAppendOnly(s, path, "postings", IndexManifest.Postings)
+    val posts = storedPostings(s, path)
       .filter($"bucket".isin(buckets: _*))
       .filter($"t".isin(Seq(t1, t2).distinct: _*))
       .select($"doc_id", $"t", $"positions")
@@ -704,6 +726,9 @@ object SearchOps {
         coalesce(sum(size(TextOps.toks).cast("long")), lit(0L)).as("total_tokens"))
       .coalesce(1)
       .write.mode("overwrite").parquet(IndexManifest.epochDir(path, "corpus", 0L))
+    // tombstones start empty, schema-carrying (the BQ-index pattern)
+    Seq.empty[Long].toDF("doc_id").write.mode("overwrite")
+      .parquet(IndexManifest.epochDir(path, "dels", 0L))
     IndexManifest.commit(path, 0L, fmt = graft.sources.IndexManifest.Postings)
   }
 
@@ -772,12 +797,88 @@ object SearchOps {
     * directory and raise the window floor (terms/corpus copied
     * forward). After N daily appends each bucket holds N small files
     * per epoch level; compaction restores the one-directory-per-bucket
-    * layout searches prune into.
+    * layout searches prune into. NOT the generic layout-only
+    * compactor: the fold writes the RESOLVED postings (window minus
+    * tombstones) plus an empty tombstone epoch, so deletions become
+    * physical here — folding postings and dels verbatim into one
+    * shared epoch would break the epoch-precedence rule for
+    * reindexed-after-delete docs (the BQ compactor's argument).
     */
-  def compactPostingsIndex(s: SparkSession, path: String): Unit =
-    graft.sources.IndexManifest.compact(
-      s, path, appendOnly = Seq("postings" -> Seq("bucket")),
-      rewrite = Seq("terms", "corpus"), fmt = graft.sources.IndexManifest.Postings)
+  def compactPostingsIndex(s: SparkSession, path: String): Unit = {
+    import graft.sources.IndexManifest
+    import s.implicits._
+    val st = IndexManifest.committedState(path, IndexManifest.Postings)
+    val e = st.epoch + 1L
+    storedPostings(s, path)
+      .repartition($"bucket")
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(IndexManifest.epochDir(path, "postings", e))
+    Seq.empty[Long].toDF("doc_id").write.mode("overwrite")
+      .parquet(IndexManifest.epochDir(path, "dels", e))
+    Seq("terms", "corpus").foreach { comp =>
+      IndexManifest.readRewrite(s, path, comp, IndexManifest.Postings)
+        .write.mode("overwrite").parquet(IndexManifest.epochDir(path, comp, e))
+    }
+    val st2 = IndexManifest.committedState(path, IndexManifest.Postings)
+    if (st2.epoch != st.epoch)
+      throw new java.util.ConcurrentModificationException(
+        s"index at $path: compaction staged epoch $e over committed ${st.epoch} " +
+          s"but found ${st2.epoch} at commit time - re-run (single-writer contract)")
+    IndexManifest.commit(path, e, baseEpoch = e, IndexManifest.Postings)
+  }
+
+  /** Stage (but do NOT commit) a de-index epoch — for the kill drill. */
+  private[queries] def stagePostingsDelete(ids: DataFrame, path: String, e: Long): Unit = {
+    import graft.sources.IndexManifest
+    val s = ids.sparkSession
+    import s.implicits._
+    val del = ids.select($"doc_id".cast("long")).distinct()
+      .localCheckpoint(true) // feeds the tombstone write AND both stat fixes
+    // the deleted docs' CURRENT postings (resolved view, before this
+    // epoch) carry exactly the df/token mass the stats must give back
+    val gone = storedPostings(s, path).join(del, "doc_id")
+      .localCheckpoint(true)
+    del.write.mode("overwrite")
+      .parquet(IndexManifest.epochDir(path, "dels", e))
+    IndexManifest.readRewrite(s, path, "terms", IndexManifest.Postings)
+      .join(gone.groupBy($"t").agg(count(lit(1)).as("df_sub")), Seq("t"), "left")
+      .select($"t", ($"df" - coalesce($"df_sub", lit(0L))).as("df"))
+      .filter($"df" > 0L) // a rebuild has no zero-df rows
+      .coalesce(1)
+      .write.mode("overwrite").parquet(IndexManifest.epochDir(path, "terms", e))
+    val old = IndexManifest.readRewrite(s, path, "corpus", IndexManifest.Postings).first()
+    val sub = gone.agg(coalesce(sum($"tf"), lit(0L))).first().getLong(0)
+    val nDel = del.count()
+    Seq((old.getLong(0) - nDel, old.getLong(1) - sub))
+      .toDF("n_docs", "total_tokens")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(IndexManifest.epochDir(path, "corpus", e))
+  }
+
+  /** De-index documents — the search half of right-to-be-forgotten: the
+    * ids land as a TOMBSTONE epoch (no rewrite of the corpus-sized
+    * postings), every search immediately stops seeing them (postings
+    * resolve minus tombstones), and the ranking STATS give back the
+    * deleted docs' mass in the same epoch (df per term, doc count,
+    * token total) so surviving docs score exactly as a rebuild-without-
+    * them would — the parity the spec demands. Precedence is
+    * epoch-ordered: a tombstone removes only posting rows from earlier
+    * epochs, so delete-then-reindex (the corrected-document flow)
+    * resolves to the new postings. [[compactPostingsIndex]] makes
+    * removal physical.
+    *
+    * Caller contract: ids are LIVE corpus members — deleting an unknown
+    * or already-deleted id would subtract its stats twice (the same
+    * ledger discipline as the appenders' replay hazard). Crash-atomic
+    * via the manifest: stage first, flip last.
+    */
+  def deleteFromPostingsIndex(ids: DataFrame, path: String): Unit = {
+    import graft.sources.IndexManifest
+    val s = ids.sparkSession
+    val e = IndexManifest.committedEpoch(path, IndexManifest.Postings) + 1L
+    stagePostingsDelete(ids, path, e)
+    IndexManifest.advance(path, e, IndexManifest.Postings)
+  }
 
   /** TF-IDF top-k against the STORED index — same ranking contract as
     * [[tfidfSearch]] (the parity spec pins it), but the posting scan is
@@ -790,7 +891,7 @@ object SearchOps {
     import graft.sources.IndexManifest
     import s.implicits._
     val buckets = terms.map(t => jvmH60(t) % indexBuckets).distinct
-    val postings = IndexManifest.readAppendOnly(s, path, "postings", IndexManifest.Postings)
+    val postings = storedPostings(s, path)
       .filter($"bucket".isin(buckets: _*)) // parquet partition pruning
       .filter($"t".isin(terms: _*))
     val n = IndexManifest.readRewrite(s, path, "corpus", IndexManifest.Postings).first().getLong(0)
@@ -816,7 +917,7 @@ object SearchOps {
     import graft.sources.IndexManifest
     import s.implicits._
     val buckets = terms.map(t => jvmH60(t) % indexBuckets).distinct
-    val postings = IndexManifest.readAppendOnly(s, path, "postings", IndexManifest.Postings)
+    val postings = storedPostings(s, path)
       .filter($"bucket".isin(buckets: _*)) // parquet partition pruning
       .filter($"t".isin(terms: _*))
     val stats = IndexManifest.readRewrite(s, path, "corpus", IndexManifest.Postings).first()
@@ -853,7 +954,7 @@ object SearchOps {
     import s.implicits._
     require(phrase.nonEmpty, "empty phrase")
     val buckets = phrase.map(t => jvmH60(t) % indexBuckets).distinct
-    val posts = IndexManifest.readAppendOnly(s, path, "postings", IndexManifest.Postings)
+    val posts = storedPostings(s, path)
       .filter($"bucket".isin(buckets: _*)) // parquet partition pruning
       .filter($"t".isin(phrase.distinct: _*))
       .select($"doc_id", $"t", $"positions")
@@ -1046,7 +1147,39 @@ object SearchOps {
     """.stripMargin.trim),
   )
 
+  /** The de-index path hash-gated end to end: index the full corpus,
+    * FORGET every 13th-mod-5 document, rank the standing query through
+    * the stored index. The oracle recomputes BM25 from scratch on the
+    * corpus minus the deleted docs, so an unapplied tombstone, a
+    * missed df give-back, or an uncorrected corpus stat all surface as
+    * a hash (not just rank) mismatch.
+    */
+  val bm25Forget = Q(
+    "t_bm25_forget",
+    (s, d) => {
+      import s.implicits._
+      val dir = graft.sources.Scratch.dir("graft-postings-forget")
+      writePostingsIndex(docs(s, d), dir)
+      deleteFromPostingsIndex(
+        docs(s, d).filter($"doc_id" % 13 === 5).select($"doc_id"), dir)
+      bm25SearchFromIndex(s, dir, queryTerms, searchK)
+        .withColumn("rnk",
+          row_number().over(Window.orderBy($"score_pp12".desc, $"doc_id")).cast("long"))
+    },
+    Some(s"""
+      WITH ${oracleBm25CoreFrom(
+        "(SELECT doc_id, text FROM documents WHERE doc_id % 13 <> 5) AS df0")},
+      scored AS (
+        SELECT m.doc_id, CAST(SUM(dfa.idf_ppm * $oracleSat) AS BIGINT) AS score_pp12
+        FROM m JOIN dfa USING (t) WHERE m.t IN ($termsSql) GROUP BY 1)
+      SELECT doc_id, score_pp12,
+             ROW_NUMBER() OVER (ORDER BY score_pp12 DESC, doc_id) AS rnk
+      FROM scored QUALIFY rnk <= $searchK
+    """.stripMargin.trim),
+  )
+
   val qs: Seq[Q] = Seq(
     boolSearch, tfidfSearch, bm25Search, rrfFusion, prfExpand, phraseSearch,
-    proximitySearch, entityResolution, entityCanon, entityTypos, searchMrr)
+    proximitySearch, entityResolution, entityCanon, entityTypos, searchMrr,
+    bm25Forget)
 }

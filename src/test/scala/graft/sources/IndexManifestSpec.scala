@@ -218,8 +218,8 @@ class IndexManifestSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     val before = top()
     val removed = IndexManifest.vacuum(dir)
-    // postings epochs 0,1 + terms 0,1 + corpus 0,1 = 6 stale directories
-    assert(removed === 6L, s"expected 6 stale epoch dirs removed, got $removed")
+    // postings epochs 0,1 + terms 0,1 + corpus 0,1 + dels 0 = 7 stale dirs
+    assert(removed === 7L, s"expected 7 stale epoch dirs removed, got $removed")
     assert(top() === before, "vacuum changed reads")
     val leftPost = new java.io.File(s"$dir/postings").listFiles()
       .map(_.getName).filter(_.startsWith("epoch=")).toSet
