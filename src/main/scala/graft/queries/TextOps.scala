@@ -2434,7 +2434,63 @@ object TextOps {
       .agg(count(lit(1)).as("n_base"))
       .write.mode("overwrite")
       .parquet(IndexManifest.epochDir(path, "bucket_counts", 0L))
+    val s0 = base.sparkSession
+    import s0.implicits._
+    // tombstones start empty, schema-carrying (the BQ-index pattern)
+    Seq.empty[Long].toDF("doc_id").write.mode("overwrite")
+      .parquet(IndexManifest.epochDir(path, "dels", 0L))
     IndexManifest.commit(path, 0L, fmt = IndexManifest.Lsh)
+  }
+
+  /** The resolved stored band rows: committed window minus tombstoned
+    * docs under epoch precedence ([[deleteFromLshIndex]]).
+    */
+  private[graft] def storedLshBands(s: SparkSession, path: String): DataFrame = {
+    import graft.sources.IndexManifest
+    val bands = IndexManifest.readAppendOnlyEpochs(s, path, "bands", IndexManifest.Lsh)
+    val dels = IndexManifest.readAppendOnlyEpochs(s, path, "dels", IndexManifest.Lsh)
+      .groupBy(col("doc_id")).agg(max(col("epoch")).as("del_epoch"))
+    bands.join(dels, Seq("doc_id"), "left")
+      .filter(col("del_epoch").isNull || col("epoch") > col("del_epoch"))
+      .drop("epoch", "del_epoch")
+  }
+
+  /** Stage (but do NOT commit) a forget epoch — for the kill drill. */
+  private[queries] def stageLshDelete(ids: DataFrame, path: String, e: Long): Unit = {
+    import graft.sources.IndexManifest
+    val s = ids.sparkSession
+    val del = ids.select(col("doc_id").cast("long")).distinct()
+      .localCheckpoint(true) // feeds the tombstone write AND the count give-back
+    val gone = storedLshBands(s, path).join(del, "doc_id")
+      .groupBy(col("band"), col("bkey"))
+      .agg(count(lit(1)).as("n_sub"))
+    del.write.mode("overwrite")
+      .parquet(IndexManifest.epochDir(path, "dels", e))
+    IndexManifest.readRewrite(s, path, "bucket_counts", IndexManifest.Lsh)
+      .join(gone, Seq("band", "bkey"), "left")
+      .select(col("band"), col("bkey"),
+        (col("n_base") - coalesce(col("n_sub"), lit(0L))).as("n_base"))
+      .filter(col("n_base") > 0L) // a rebuild has no zero-count buckets
+      .write.mode("overwrite")
+      .parquet(IndexManifest.epochDir(path, "bucket_counts", e))
+  }
+
+  /** Forget documents from the stored LSH index — the near-dup half of
+    * right-to-be-forgotten: the ids land as a TOMBSTONE epoch, and the
+    * bucket counts give the deleted docs' band mass back in the same
+    * epoch, so a future delta that collided ONLY with forgotten docs
+    * screens `kept`, exactly as against an index rebuilt without them.
+    * Epoch precedence as the other forget paths (delete-then-re-admit
+    * resolves to the new band rows); [[compactLshIndex]] makes removal
+    * physical. Caller contract: ids are currently-indexed docs —
+    * forgetting an unknown or already-forgotten id double-subtracts
+    * the counts (the appenders' ledger discipline).
+    */
+  def deleteFromLshIndex(ids: DataFrame, path: String): Unit = {
+    import graft.sources.IndexManifest
+    val e = IndexManifest.committedEpoch(path, IndexManifest.Lsh) + 1L
+    stageLshDelete(ids, path, e)
+    IndexManifest.advance(path, e, IndexManifest.Lsh)
   }
 
   /** Stage (but do NOT commit) epoch `e` of an LSH append: the delta's
@@ -2494,10 +2550,29 @@ object TextOps {
     * after N appends to stop small-file/directory accretion. Reader
     * equality is the manifest's contract; IndexManifestSpec pins it.
     */
-  def compactLshIndex(s: SparkSession, path: String): Unit =
-    graft.sources.IndexManifest.compact(
-      s, path, appendOnly = Seq("bands" -> Seq.empty), rewrite = Seq("bucket_counts"),
-      fmt = graft.sources.IndexManifest.Lsh)
+  def compactLshIndex(s: SparkSession, path: String): Unit = {
+    import graft.sources.IndexManifest
+    import s.implicits._
+    val st = IndexManifest.committedState(path, IndexManifest.Lsh)
+    val e = st.epoch + 1L
+    // the RESOLVED band rows (window minus tombstones) — deletions
+    // become physical here; folding bands and dels verbatim into one
+    // shared epoch would break the epoch-precedence rule (the BQ
+    // compactor's argument)
+    storedLshBands(s, path).write.mode("overwrite")
+      .parquet(IndexManifest.epochDir(path, "bands", e))
+    IndexManifest.readRewrite(s, path, "bucket_counts", IndexManifest.Lsh)
+      .write.mode("overwrite")
+      .parquet(IndexManifest.epochDir(path, "bucket_counts", e))
+    Seq.empty[Long].toDF("doc_id").write.mode("overwrite")
+      .parquet(IndexManifest.epochDir(path, "dels", e))
+    val st2 = IndexManifest.committedState(path, IndexManifest.Lsh)
+    if (st2.epoch != st.epoch)
+      throw new java.util.ConcurrentModificationException(
+        s"index at $path: compaction staged epoch $e over committed ${st.epoch} " +
+          s"but found ${st2.epoch} at commit time - re-run (single-writer contract)")
+    IndexManifest.commit(path, e, baseEpoch = e, IndexManifest.Lsh)
+  }
 
   // ---------------------------------------------------------------------
   // Stored shingle-df index — the day-2 form of t_shingle_novelty:
@@ -4404,6 +4479,62 @@ object TextOps {
     """.stripMargin.trim),
   )
 
+  /** The LSH forget path hash-gated end to end: the index is built on
+    * the base split, every 5th base doc is FORGOTTEN (tombstone epoch +
+    * bucket-count give-back), and the delta screens against what
+    * remains — a delta doc whose only collisions were with forgotten
+    * docs must come back `kept`. The oracle recomputes the banded
+    * screen over base-minus-forgotten from scratch, so an unapplied
+    * tombstone or a missed count give-back is a hash mismatch.
+    */
+  val lshForget = Q(
+    "t_lsh_forget",
+    (s, d) => {
+      import s.implicits._
+      val tagged = fannedDocs(s, d).withColumn("batch", batchOf)
+      val base = tagged.filter($"batch" === "base").select($"doc_id", $"text")
+      val delta = tagged.filter($"batch" === "delta").select($"doc_id", $"text")
+      val dir = graft.sources.Scratch.dir("graft-lsh-forget")
+      writeLshIndex(base, dir)
+      deleteFromLshIndex(base.filter($"doc_id" % 5 === 0).select($"doc_id"), dir)
+      deltaNearDupFromIndex(delta, dir)
+    },
+    Some {
+      val kCols = (0 until bandSize).map(j => s"k$j").mkString(", ")
+      s"""
+      WITH doc0 AS (
+        SELECT doc_id, text,
+               CASE WHEN ${CurationOps.oMd5Bucket("CAST(doc_id AS VARCHAR) || ':batch'", 10)} >= 8
+                    THEN 'delta' ELSE 'base' END AS batch
+        FROM documents),
+      sh AS (SELECT doc_id, unnest($oracleShingles) AS sh FROM doc0),
+      $oracleMinhashSigBands,
+      bd AS (
+        SELECT bands.*, doc0.batch,
+               (doc0.batch = 'base' AND doc0.doc_id % 5 = 0) AS gone
+        FROM bands JOIN doc0 USING (doc_id)),
+      bc AS (
+        SELECT band, $kCols,
+               SUM(CASE WHEN batch = 'base' AND NOT gone THEN 1 ELSE 0 END) AS n_base
+        FROM bd GROUP BY band, $kCols),
+      nd AS (
+        SELECT band, $kCols, COUNT(*) AS n_delta
+        FROM bd WHERE batch = 'delta' GROUP BY band, $kCols),
+      hitb AS (
+        SELECT nd.band, $kCols FROM nd JOIN bc USING (band, $kCols)
+        WHERE bc.n_base >= 1 AND nd.n_delta + bc.n_base <= $maxBucket),
+      cand AS (
+        SELECT DISTINCT bd.doc_id FROM bd JOIN hitb USING (band, $kCols)
+        WHERE bd.batch = 'delta')
+      SELECT d.doc_id,
+             CASE WHEN c.doc_id IS NOT NULL THEN 'neardup_of_base'
+                  ELSE 'kept' END AS verdict
+      FROM doc0 d LEFT JOIN cand c USING (doc_id)
+      WHERE d.batch = 'delta'
+    """.stripMargin.trim
+    },
+  )
+
   val qs: Seq[Q] = Seq(
     shingleNovelty,
     deltaNovelty,
@@ -4442,6 +4573,7 @@ object TextOps {
     deltaDedup,
     deltaNearDup,
     deltaNearDupDay3,
+    lshForget,
     tokenDrift,
     bpeEncodeStats,
     unigramLm,
