@@ -2188,7 +2188,11 @@ object TextOps {
         .select($"doc_id", $"d", md5($"text").as("h"))
       scd2On(snaps, lastDay = 2L)
     },
-    Some(s"""
+    Some(oracleScd2HistorySql),
+    bench = true, // multi-snapshot keyed-window shape the headline set lacks
+  )
+
+  private def oracleScd2HistorySql: String = s"""
       WITH d0 AS (SELECT doc_id, text FROM documents),
       d1 AS (
         SELECT doc_id,
@@ -2219,8 +2223,33 @@ object TextOps {
              MIN(d) AS valid_from, MAX(d) AS valid_to,
              MAX(d) = 2 AS is_current
       FROM ver GROUP BY doc_id, version
+    """.stripMargin.trim
+
+  /** The purge path hash-gated end to end: the stored table is built by
+    * the incremental fold (write day 0, append days 1-2), every
+    * 17th-mod-2 doc's WHOLE history is purged, and the read-back must
+    * equal the inline rebuild's history minus those docs — an
+    * unapplied tombstone, a latest row left behind, or a wrongly
+    * windowed purge all surface as a hash mismatch.
+    */
+  val scd2Purge = Q(
+    "t_scd2_purge",
+    (s, d) => {
+      import s.implicits._
+      val days = scd2SnapshotDays(s, d)
+      val dir = graft.sources.Scratch.dir("graft-scd2-purge")
+      writeScd2(days.head, 0L, dir)
+      days.zipWithIndex.drop(1).foreach { case (df, i) =>
+        appendScd2Snapshot(df, i.toLong, dir)
+      }
+      purgeScd2Docs(
+        readScd2(s, dir).filter($"doc_id" % 17 === 2).select($"doc_id").distinct(),
+        dir)
+      readScd2(s, dir)
+    },
+    Some(s"""
+      SELECT * FROM ($oracleScd2HistorySql) h WHERE h.doc_id % 17 <> 2
     """.stripMargin.trim),
-    bench = true, // multi-snapshot keyed-window shape the headline set lacks
   )
 
   // ---------------------------------------------------------------------
@@ -2284,6 +2313,9 @@ object TextOps {
     Seq(day).toDF("last_day")
       .coalesce(1)
       .write.mode("overwrite").parquet(IndexManifest.epochDir(path, "meta", 0L))
+    // purge tombstones start empty, schema-carrying
+    Seq.empty[Long].toDF("doc_id")
+      .write.mode("overwrite").parquet(IndexManifest.epochDir(path, "dels", 0L))
     IndexManifest.commit(path, 0L, fmt = IndexManifest.Scd2)
   }
 
@@ -2353,10 +2385,78 @@ object TextOps {
     * the window floor (latest/meta copied forward) — the SCD2 member of
     * the compaction family.
     */
-  def compactScd2(s: SparkSession, path: String): Unit =
-    graft.sources.IndexManifest.compact(
-      s, path, appendOnly = Seq("closed" -> Seq.empty), rewrite = Seq("latest", "meta"),
-      fmt = graft.sources.IndexManifest.Scd2)
+  def compactScd2(s: SparkSession, path: String): Unit = {
+    import graft.sources.IndexManifest
+    import s.implicits._
+    val st = IndexManifest.committedState(path, IndexManifest.Scd2)
+    val e = st.epoch + 1L
+    // RESOLVED closed rows (window minus purge tombstones) — erasure
+    // becomes physical here; the verbatim fold would collapse the
+    // epoch-precedence rule for re-added docs (the BQ compactor's
+    // argument)
+    resolvedClosed(s, path).write.mode("overwrite")
+      .parquet(IndexManifest.epochDir(path, "closed", e))
+    Seq("latest", "meta").foreach { comp =>
+      IndexManifest.readRewrite(s, path, comp, IndexManifest.Scd2)
+        .write.mode("overwrite").parquet(IndexManifest.epochDir(path, comp, e))
+    }
+    Seq.empty[Long].toDF("doc_id").write.mode("overwrite")
+      .parquet(IndexManifest.epochDir(path, "dels", e))
+    val st2 = IndexManifest.committedState(path, IndexManifest.Scd2)
+    if (st2.epoch != st.epoch)
+      throw new java.util.ConcurrentModificationException(
+        s"index at $path: compaction staged epoch $e over committed ${st.epoch} " +
+          s"but found ${st2.epoch} at commit time - re-run (single-writer contract)")
+    IndexManifest.commit(path, e, baseEpoch = e, IndexManifest.Scd2)
+  }
+
+  /** Closed version rows minus purge tombstones under epoch precedence
+    * (a purge removes only rows appended in earlier epochs, so a doc
+    * RE-ADDED by a later snapshot keeps its post-purge history).
+    */
+  private def resolvedClosed(s: SparkSession, path: String): DataFrame = {
+    import graft.sources.IndexManifest
+    val closed = IndexManifest.readAppendOnlyEpochs(s, path, "closed", IndexManifest.Scd2)
+    val dels = IndexManifest.readAppendOnlyEpochs(s, path, "dels", IndexManifest.Scd2)
+      .groupBy(col("doc_id")).agg(max(col("epoch")).as("del_epoch"))
+    closed.join(dels, Seq("doc_id"), "left")
+      .filter(col("del_epoch").isNull || col("epoch") > col("del_epoch"))
+      .drop("epoch", "del_epoch")
+  }
+
+  /** Stage (but do NOT commit) a purge epoch — for the kill drill. */
+  private[queries] def stageScd2Purge(ids: DataFrame, path: String, e: Long): Unit = {
+    import graft.sources.IndexManifest
+    val s = ids.sparkSession
+    val del = ids.select(col("doc_id").cast("long")).distinct()
+      .localCheckpoint(true) // feeds the tombstone write AND the latest rewrite
+    del.write.mode("overwrite")
+      .parquet(IndexManifest.epochDir(path, "dels", e))
+    IndexManifest.readRewrite(s, path, "latest", IndexManifest.Scd2)
+      .join(del, Seq("doc_id"), "left_anti")
+      .write.mode("overwrite").parquet(IndexManifest.epochDir(path, "latest", e))
+    IndexManifest.readRewrite(s, path, "meta", IndexManifest.Scd2)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(IndexManifest.epochDir(path, "meta", e))
+  }
+
+  /** Purge documents' ENTIRE version history from the stored SCD2 table
+    * — the dimension-table half of right-to-be-forgotten, and a
+    * different contract from daily closure: closure records that a doc
+    * LEFT the corpus (its history stays queryable); purge erases that
+    * the doc was ever there. Open rows leave via the latest rewrite,
+    * closed history via a tombstone epoch ([[resolvedClosed]]); a doc
+    * re-added by a LATER snapshot starts a fresh version-1 history that
+    * the old tombstone cannot touch (epoch precedence), and
+    * [[compactScd2]] makes the erasure physical. Crash-atomic via the
+    * manifest; same single-writer/replay discipline as the appenders.
+    */
+  def purgeScd2Docs(ids: DataFrame, path: String): Unit = {
+    import graft.sources.IndexManifest
+    val e = IndexManifest.committedEpoch(path, IndexManifest.Scd2) + 1L
+    stageScd2Purge(ids, path, e)
+    IndexManifest.advance(path, e, IndexManifest.Scd2)
+  }
 
   /** The full SCD2 history from the stored table — closed ∪ latest with
     * scd2On's exact output contract (is_current = valid_to == last_day),
@@ -2365,7 +2465,7 @@ object TextOps {
   def readScd2(s: SparkSession, path: String): DataFrame = {
     import graft.sources.IndexManifest
     val lastDay = IndexManifest.readRewrite(s, path, "meta", IndexManifest.Scd2).first().getLong(0)
-    IndexManifest.readAppendOnly(s, path, "closed", IndexManifest.Scd2)
+    resolvedClosed(s, path)
       .unionByName(IndexManifest.readRewrite(s, path, "latest", IndexManifest.Scd2))
       .select(col("doc_id"), col("version"), col("content_hash"),
         col("valid_from"), col("valid_to"),
@@ -4574,6 +4674,7 @@ object TextOps {
     deltaNearDup,
     deltaNearDupDay3,
     lshForget,
+    scd2Purge,
     tokenDrift,
     bpeEncodeStats,
     unigramLm,
