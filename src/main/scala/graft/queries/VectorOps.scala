@@ -2350,7 +2350,42 @@ object VectorOps {
       .repartition($"cell")
       .write.mode("overwrite").partitionBy("cell")
       .parquet(IndexManifest.epochDir(path, "codes", 0L))
+    // forget tombstones start empty, schema-carrying
+    Seq.empty[Long].toDF("vec_id").write.mode("overwrite")
+      .parquet(IndexManifest.epochDir(path, "dels", 0L))
     IndexManifest.commit(path, 0L, fmt = IndexManifest.IvfPq)
+  }
+
+  /** The resolved stored codes: committed window minus forget
+    * tombstones under epoch precedence ([[deleteFromIvfPqIndex]]).
+    * Cell partition pruning pushes below the tombstone join.
+    */
+  private[queries] def storedIvfPqCodes(s: SparkSession, path: String): DataFrame = {
+    import graft.sources.IndexManifest
+    val codes = IndexManifest.readAppendOnlyEpochs(s, path, "codes", IndexManifest.IvfPq)
+    val dels = IndexManifest.readAppendOnlyEpochs(s, path, "dels", IndexManifest.IvfPq)
+      .groupBy(col("vec_id")).agg(max(col("epoch")).as("del_epoch"))
+    codes.join(dels, Seq("vec_id"), "left")
+      .filter(col("del_epoch").isNull || col("epoch") > col("del_epoch"))
+      .drop("epoch", "del_epoch")
+  }
+
+  /** Forget vectors from the stored IVF-PQ index — the ANN-tier member
+    * of the forget family (BQ / postings / LSH / SCD2): a tombstone
+    * epoch, epoch-precedence resolution (forget-then-re-add resolves to
+    * the new code), physical removal on compaction. No stats give-back
+    * is needed: centroids and codebooks are TRAINED parameters of the
+    * quantizer, not corpus counts — a deleted vector leaves them
+    * untouched exactly as a rebuild-with-frozen-codebooks would.
+    * Caller contract as the siblings: ids are live index members.
+    */
+  def deleteFromIvfPqIndex(ids: DataFrame, path: String): Unit = {
+    import graft.sources.IndexManifest
+    val e = IndexManifest.committedEpoch(path, IndexManifest.IvfPq) + 1L
+    ids.select(col("vec_id").cast("long")).distinct()
+      .write.mode("overwrite")
+      .parquet(IndexManifest.epochDir(path, "dels", e))
+    IndexManifest.advance(path, e, IndexManifest.IvfPq)
   }
 
   /** Fold new vectors into the stored IVF-PQ index — the vector-side
@@ -2383,10 +2418,27 @@ object VectorOps {
     * and raise the window floor (centroids/codewords are immutable
     * plain directories — untouched).
     */
-  def compactIvfPqIndex(s: SparkSession, path: String): Unit =
-    graft.sources.IndexManifest.compact(
-      s, path, appendOnly = Seq("codes" -> Seq("cell")), rewrite = Seq.empty,
-      fmt = graft.sources.IndexManifest.IvfPq)
+  def compactIvfPqIndex(s: SparkSession, path: String): Unit = {
+    import graft.sources.IndexManifest
+    import s.implicits._
+    val st = IndexManifest.committedState(path, IndexManifest.IvfPq)
+    val e = st.epoch + 1L
+    // RESOLVED codes (window minus tombstones) — forgets become
+    // physical here; the verbatim fold would collapse epoch precedence
+    // for re-added vectors (the BQ compactor's argument)
+    storedIvfPqCodes(s, path)
+      .repartition($"cell")
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(IndexManifest.epochDir(path, "codes", e))
+    Seq.empty[Long].toDF("vec_id").write.mode("overwrite")
+      .parquet(IndexManifest.epochDir(path, "dels", e))
+    val st2 = IndexManifest.committedState(path, IndexManifest.IvfPq)
+    if (st2.epoch != st.epoch)
+      throw new java.util.ConcurrentModificationException(
+        s"index at $path: compaction staged epoch $e over committed ${st.epoch} " +
+          s"but found ${st2.epoch} at commit time - re-run (single-writer contract)")
+    IndexManifest.commit(path, e, baseEpoch = e, IndexManifest.IvfPq)
+  }
 
   /** Stage (but do NOT commit) epoch `e` of an IVF-PQ append — exposed
     * for the atomicity spec.
@@ -2446,7 +2498,7 @@ object VectorOps {
     // O(|q|·nprobe) driver hand-off -> a LITERAL partition filter the
     // parquet source prunes directories with
     val probedCells = probes.select($"cell").distinct().collect().map(_.getLong(0))
-    val cand = graft.sources.IndexManifest.readAppendOnly(s, path, "codes", graft.sources.IndexManifest.IvfPq)
+    val cand = storedIvfPqCodes(s, path)
       .filter($"cell".isin(probedCells: _*))
     val w = Window.partitionBy($"query_id").orderBy($"adc_micros".asc, $"cand_id")
     cand

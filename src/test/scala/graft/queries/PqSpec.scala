@@ -207,6 +207,45 @@ class PqSpec extends SparkSpec {
     assert(got == inline)
   }
 
+  test("deleteFromIvfPqIndex: forgotten vectors leave search; re-add resurrects; compaction physical") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    graft.functions.GraftFunctions.registerDotD(spark)
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq-del").toString
+    VectorOps.writeIvfPqIndex(emb, dir)
+    val queries = emb.filter(col("vec_id") >= 16 && col("vec_id") < 21)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    def hits(d: String) = VectorOps.ivfPqSearchFromIndex(spark, d, queries)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"),
+        r.getAs[Long]("rnk"))).toSet
+    val before = hits(dir)
+    // forget a returned candidate OUTSIDE the trained-parameter prefix
+    // (ids < max(nCells, pqK) = 16 seed centroids/codebooks), so a
+    // rebuild on corpus-minus-it shares the trained artifacts exactly
+    val gone = before.map(_._2).filter(_ >= 16L).head
+    VectorOps.deleteFromIvfPqIndex(Seq(gone).toDF("vec_id"), dir)
+    val reb = java.nio.file.Files.createTempDirectory("ivfpq-del-reb").toString
+    VectorOps.writeIvfPqIndex(emb.filter(col("vec_id") =!= gone), reb)
+    assert(hits(dir) === hits(reb),
+      "post-forget search must equal a rebuild without the vector")
+    assert(!hits(dir).exists(_._2 == gone))
+    // re-added (epoch above the tombstone): candidate comes back
+    VectorOps.appendIvfPqIndex(emb.filter(col("vec_id") === gone), dir)
+    assert(hits(dir) === before)
+    // forget again, compact: physically gone, search stable, appendable
+    VectorOps.deleteFromIvfPqIndex(Seq(gone).toDF("vec_id"), dir)
+    VectorOps.compactIvfPqIndex(spark, dir)
+    val st = graft.sources.IndexManifest.committedState(
+      dir, graft.sources.IndexManifest.IvfPq)
+    assert(st.baseEpoch === st.epoch)
+    val raw = spark.read.option("basePath", s"$dir/codes")
+      .parquet(s"$dir/codes").filter(col("epoch") === st.epoch)
+    assert(raw.filter(col("vec_id") === gone).count() === 0L,
+      "compaction must drop the forgotten codes physically")
+    assert(hits(dir) === hits(reb))
+  }
+
   test("appendIvfPqIndex equals rebuilding on the union corpus; search parity holds") {
     import org.apache.spark.sql.functions._
     graft.functions.GraftFunctions.registerDotD(spark)
