@@ -2736,11 +2736,36 @@ object TextOps {
     IndexManifest.advance(path, e, IndexManifest.Shingle)
   }
 
+  /** Forget documents' shingle mass — the novelty-screen member of the
+    * forget family, and the cheapest of all of them: counts are
+    * ADDITIVE, so forgetting is an append of NEGATED counts (no
+    * tombstones, no epoch precedence — the sum is the resolution). The
+    * summing reader hides shingles whose df reaches 0 (they become
+    * genuinely unknown again — a 0-count row would still read as
+    * "known" to the novelty screen), and the summing compactor drops
+    * them physically. Caller contract: pass the docs' ORIGINAL text —
+    * the index stores no per-doc rows, so the ingest ledger's content
+    * is the source of truth, and forgetting a never-indexed doc (or
+    * the same doc twice) drives counts negative — the appenders'
+    * ledger discipline.
+    */
+  def forgetShingleDocs(docs: DataFrame, path: String): Unit = {
+    import graft.sources.IndexManifest
+    val e = IndexManifest.committedEpoch(path, IndexManifest.Shingle) + 1L
+    shingleCounts(docs)
+      .withColumn("n", -col("n"))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(IndexManifest.epochDir(path, "shingle_counts", e))
+    IndexManifest.advance(path, e, IndexManifest.Shingle)
+  }
+
   /** Re-sum the committed epoch window into one directory and raise the
     * window floor — the summing compactor (the generic layout-only
     * compact would keep duplicate shingle rows across folded epochs;
     * correct for a summing reader, but this restores one-row-per-
-    * shingle).
+    * shingle). Forgotten shingles (summed df <= 0) drop out of the fold
+    * physically.
     */
   def compactShingleIndex(s: SparkSession, path: String): Unit = {
     import graft.sources.IndexManifest
@@ -2754,10 +2779,14 @@ object TextOps {
     IndexManifest.commit(path, e, baseEpoch = e, fmt = IndexManifest.Shingle)
   }
 
-  /** The summed (sh, sdf) view of the committed window. */
+  /** The summed (sh, sdf) view of the committed window. Shingles whose
+    * sum reached 0 (forgotten) are dropped — a 0-count row would still
+    * read as "known" to the left-join novelty screen.
+    */
   private[graft] def storedShingleDf(s: SparkSession, path: String): DataFrame =
     graft.sources.IndexManifest.readAppendOnly(s, path, "shingle_counts", graft.sources.IndexManifest.Shingle)
       .groupBy(col("sh")).agg(sum(col("n")).as("sdf"))
+      .filter(col("sdf") > 0L)
 
   /** The inline operator core of [[deltaNoveltyFromIndex]] over a
     * (doc_id, text, batch∈{base,delta}) frame — the oracle-gated half
@@ -4635,6 +4664,46 @@ object TextOps {
     },
   )
 
+  /** The shingle forget path hash-gated end to end: index the base
+    * split, FORGET every 5th-mod-1 base doc's shingle mass (negated-
+    * count epoch), screen the delta — a delta shingle known only
+    * through forgotten docs must read unknown again. The oracle
+    * recomputes the known set over base-minus-forgotten from scratch,
+    * so an unsubtracted count or a 0-df shingle still reading as known
+    * is a hash mismatch.
+    */
+  val noveltyForget = Q(
+    "t_novelty_forget",
+    (s, d) => {
+      import s.implicits._
+      val tagged = fannedDocs(s, d).withColumn("batch", batchOf)
+      val base = tagged.filter($"batch" === "base").select($"doc_id", $"text")
+      val delta = tagged.filter($"batch" === "delta").select($"doc_id", $"text")
+      val dir = graft.sources.Scratch.dir("graft-shingle-forget")
+      writeShingleIndex(base, dir)
+      forgetShingleDocs(base.filter($"doc_id" % 5 === 1), dir)
+      deltaNoveltyFromIndex(delta, dir)
+    },
+    Some(s"""
+      WITH doc0 AS (
+        SELECT doc_id, text,
+               CASE WHEN ${CurationOps.oMd5Bucket("CAST(doc_id AS VARCHAR) || ':batch'", 10)} >= 8
+                    THEN 'delta' ELSE 'base' END AS batch
+        FROM documents),
+      shr AS (SELECT doc_id, unnest($oracleShingles) AS sh FROM doc0),
+      wb AS (SELECT shr.doc_id, shr.sh, doc0.batch FROM shr JOIN doc0 USING (doc_id)),
+      bs AS (SELECT DISTINCT sh FROM wb
+             WHERE batch = 'base' AND doc_id % 5 <> 1),
+      dd AS (
+        SELECT wb.doc_id, CASE WHEN bs.sh IS NOT NULL THEN 1 ELSE 0 END AS known
+        FROM wb LEFT JOIN bs USING (sh) WHERE wb.batch = 'delta')
+      SELECT doc_id, COUNT(*) AS n_shingles,
+             CAST(SUM(known) AS BIGINT) AS n_known,
+             CAST(((COUNT(*) - SUM(known)) * 1000000) // COUNT(*) AS BIGINT) AS novelty_ppm
+      FROM dd GROUP BY 1
+    """.stripMargin.trim),
+  )
+
   val qs: Seq[Q] = Seq(
     shingleNovelty,
     deltaNovelty,
@@ -4675,6 +4744,7 @@ object TextOps {
     deltaNearDupDay3,
     lshForget,
     scd2Purge,
+    noveltyForget,
     tokenDrift,
     bpeEncodeStats,
     unigramLm,

@@ -117,6 +117,42 @@ class ShingleIndexSpec extends SparkSpec {
       "post-append batch must score against the ADVANCED counts")
   }
 
+  test("forget equals a rebuild; zero-df shingles read unknown; compaction drops them") {
+    val base = Seq(
+      (1L, "a b c d e"), (2L, "c d e f"), (3L, "x y z w")).toDF("doc_id", "text")
+    val dir = tmp("shingle-forget")
+    TextOps.writeShingleIndex(base, dir)
+    // forget doc 3: its unique shingles ("x y z", "y z w") reach df 0;
+    // "c d e" (shared by docs 1 and 2) must stay at df 1 after doc 2 goes
+    TextOps.forgetShingleDocs(Seq((3L, "x y z w")).toDF("doc_id", "text"), dir)
+    val reb = tmp("shingle-forget-reb")
+    TextOps.writeShingleIndex(base.filter(col("doc_id") =!= 3L), reb)
+    assert(countsOf(dir) === countsOf(reb),
+      "negated-count epoch must sum to the rebuild-without-the-doc counts")
+    assert(!countsOf(dir).contains("x y z"),
+      "a forgotten-to-zero shingle must not read as known")
+    // the novelty screen sees the forgotten shingles as unseen again
+    val probe = Seq((20L, "x y z w")).toDF("doc_id", "text")
+    val nv = TextOps.deltaNoveltyFromIndex(probe, dir)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("n_known"))).toMap
+    assert(nv(20L) === 0L, "copy of the forgotten doc must score fully novel")
+    // partial overlap: forget doc 2 — "c d e" survives via doc 1
+    TextOps.forgetShingleDocs(Seq((2L, "c d e f")).toDF("doc_id", "text"), dir)
+    assert(countsOf(dir)("c d e") === 1L)
+    assert(!countsOf(dir).contains("d e f"))
+    // compaction drops the zeroed rows physically
+    TextOps.compactShingleIndex(spark, dir)
+    val st = IndexManifest.committedState(dir, IndexManifest.Shingle)
+    assert(st.baseEpoch === st.epoch)
+    val raw = spark.read.option("basePath", s"$dir/shingle_counts")
+      .parquet(s"$dir/shingle_counts")
+      .filter(col("epoch") === st.epoch)
+      .collect().map(r => r.getAs[String]("sh") -> r.getAs[Long]("n")).toMap
+    assert(!raw.contains("x y z") && !raw.contains("d e f"),
+      "zero-df rows must be physically dropped by the summing fold")
+    assert(raw.values.forall(_ > 0L))
+  }
+
   test("summing compactor: counts equal, one row per shingle, floor raised; kill-safe") {
     val base = Seq((1L, "a b c d"), (2L, "b c d e")).toDF("doc_id", "text")
     val d1 = Seq((10L, "a b c e")).toDF("doc_id", "text")
