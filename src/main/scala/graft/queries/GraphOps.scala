@@ -607,6 +607,8 @@ object GraphOps {
   // protocol:
   //
   //   ui/      (append) distinct (user_id, item) rows ever seen
+  //   dels/    (append) user-id tombstones — [[forgetCooccurUsers]];
+  //            readers resolve ui minus dels under epoch precedence
   //   degrees/ (rewrite) per-user distinct-item degree
   //   pairs/   (rewrite) (i1, i2, n_users) support over CAP-ELIGIBLE
   //            users only — catalog²-bounded, the queryable artifact
@@ -642,7 +644,30 @@ object GraphOps {
       .write.mode("overwrite").parquet(IndexManifest.epochDir(path, "degrees", 0L))
     pairSupport(cappedUi(ui, cap))
       .write.mode("overwrite").parquet(IndexManifest.epochDir(path, "pairs", 0L))
+    // user tombstones start empty, schema-carrying (the LSH/BQ pattern);
+    // format v3 added this component — the per-family version gate keeps
+    // v2 indexes (no dels/) from being mis-read as forgettable
+    Seq.empty[Long].toDF("user_id").write.mode("overwrite")
+      .parquet(IndexManifest.epochDir(path, "dels", 0L))
     IndexManifest.commit(path, 0L, fmt = IndexManifest.Cooccur)
+  }
+
+  /** The RESOLVED (user_id, item) rows of the stored index: the
+    * committed ui window minus tombstoned users under epoch precedence
+    * — a forget at epoch d hides only ui rows appended at epochs ≤ d,
+    * so forget-then-re-append resurrects the user with their new rows
+    * (the same sequence-number rule as the doc-grain forget paths).
+    * Every index reader (fold, communities, recommendations) goes
+    * through this view; the raw component is never consumed directly.
+    */
+  private[graft] def resolvedUi(s: SparkSession, path: String): DataFrame = {
+    import graft.sources.IndexManifest
+    val ui = IndexManifest.readAppendOnlyEpochs(s, path, "ui", IndexManifest.Cooccur)
+    val dels = IndexManifest.readAppendOnlyEpochs(s, path, "dels", IndexManifest.Cooccur)
+      .groupBy(col("user_id")).agg(max(col("epoch")).as("del_epoch"))
+    ui.join(dels, Seq("user_id"), "left")
+      .filter(col("del_epoch").isNull || col("epoch") > col("del_epoch"))
+      .drop("epoch", "del_epoch")
   }
 
   /** Stage (but do NOT commit) epoch `e` of a co-occurrence fold —
@@ -655,9 +680,12 @@ object GraphOps {
     import s.implicits._
     val newRows = deltaEvs.filter($"item".isNotNull)
       .select($"user_id", $"item").distinct()
-    val oldUi = IndexManifest.readAppendOnly(s, path, "ui", IndexManifest.Cooccur)
+    val oldUi = resolvedUi(s, path)
     // strictly-new (user, item) rows; users they belong to are the ONLY
-    // users whose contribution can change
+    // users whose contribution can change. Resolved view, not the raw
+    // component: a forgotten user's re-appearing rows must NOT be
+    // dropped by this anti-join (they are new again), and their
+    // items_before must read empty so the fold re-adds the full pairs.
     val delta = newRows.join(oldUi, Seq("user_id", "item"), "left_anti")
       .localCheckpoint(true) // feeds the ui append AND the pair fold
     delta.write.mode("overwrite").parquet(IndexManifest.epochDir(path, "ui", e))
@@ -709,6 +737,90 @@ object GraphOps {
     IndexManifest.advance(path, e, IndexManifest.Cooccur)
   }
 
+  /** Stage (but do NOT commit) a user-forget epoch — for the kill
+    * drill.
+    */
+  private[graft] def stageCooccurForget(users: DataFrame, path: String, e: Long,
+      cap: Long = maxUserDegree): Unit = {
+    import graft.sources.IndexManifest
+    val s = users.sparkSession
+    val del = users.select(col("user_id").cast("long")).distinct()
+      .localCheckpoint(true) // feeds the tombstone write AND both give-backs
+    // the forgotten users' CURRENT resolved item sets — per-user bounded
+    // reads; the pairing below re-applies the cap window so an over-cap
+    // (never-paired) user contributes zero subtraction, eligible users
+    // subtract exactly the pairs they supported: the fold's uniform
+    // contribution formula, run in reverse
+    val items = resolvedUi(s, path).join(del, Seq("user_id"), "left_semi")
+      .localCheckpoint(true)
+    val sub = pairSupport(cappedUi(items, cap))
+      .withColumnRenamed("n_users", "n_sub")
+    del.write.mode("overwrite").parquet(IndexManifest.epochDir(path, "dels", e))
+    // support give-back in the SAME epoch — a pair supported only by
+    // forgotten users leaves the table, exactly as a rebuild without them
+    IndexManifest.readRewrite(s, path, "pairs", IndexManifest.Cooccur)
+      .join(sub, Seq("i1", "i2"), "left")
+      .select(col("i1"), col("i2"),
+        (col("n_users") - coalesce(col("n_sub"), lit(0L))).as("n_users"))
+      .filter(col("n_users") > 0L)
+      .write.mode("overwrite").parquet(IndexManifest.epochDir(path, "pairs", e))
+    // the forgotten users leave the degree table (erasure, not zeroing)
+    IndexManifest.readRewrite(s, path, "degrees", IndexManifest.Cooccur)
+      .join(del, Seq("user_id"), "left_anti")
+      .write.mode("overwrite").parquet(IndexManifest.epochDir(path, "degrees", e))
+  }
+
+  /** Forget USERS from the stored co-occurrence index — the behavioral
+    * half of right-to-be-forgotten: unlike the transition graph, the
+    * `ui` component retains per-user attribution, so erasure is
+    * self-contained (no event-log slice needed). The user ids land as a
+    * TOMBSTONE epoch over `ui`, their pair supports are given back in
+    * the same epoch, and their degree rows disappear — the queryable
+    * artifact equals one rebuilt from the log minus those users
+    * (CooccurIndexSpec pins it, `e_cooccur_forget` hash-gates it).
+    * Epoch precedence: a later append re-admits the user with fresh
+    * rows. Caller contract: ids are currently-indexed users —
+    * forgetting an unknown or already-forgotten id double-subtracts
+    * (the appenders' ledger discipline).
+    */
+  def forgetCooccurUsers(users: DataFrame, path: String,
+      cap: Long = maxUserDegree): Unit = {
+    import graft.sources.IndexManifest
+    val e = IndexManifest.committedEpoch(path, IndexManifest.Cooccur) + 1L
+    stageCooccurForget(users, path, e, cap)
+    IndexManifest.advance(path, e, IndexManifest.Cooccur)
+  }
+
+  /** Compact the co-occurrence index: fold the accreted ui epochs into
+    * one RESOLVED directory (tombstoned users' rows become physically
+    * absent — the erasure guarantee's second half), reset the
+    * tombstones, copy the rewrite tables forward, and rebase the
+    * committed window. A verbatim epoch-preserving fold would break the
+    * precedence rule (the LSH/BQ compactors' argument), so this stages
+    * the resolved view by hand rather than using the generic
+    * [[graft.sources.IndexManifest.stageCompact]].
+    */
+  def compactCooccurIndex(s: SparkSession, path: String): Unit = {
+    import graft.sources.IndexManifest
+    import s.implicits._
+    val st = IndexManifest.committedState(path, IndexManifest.Cooccur)
+    val e = st.epoch + 1L
+    resolvedUi(s, path).write.mode("overwrite")
+      .parquet(IndexManifest.epochDir(path, "ui", e))
+    Seq.empty[Long].toDF("user_id").write.mode("overwrite")
+      .parquet(IndexManifest.epochDir(path, "dels", e))
+    Seq("pairs", "degrees").foreach { comp =>
+      IndexManifest.readRewrite(s, path, comp, IndexManifest.Cooccur)
+        .write.mode("overwrite").parquet(IndexManifest.epochDir(path, comp, e))
+    }
+    val st2 = IndexManifest.committedState(path, IndexManifest.Cooccur)
+    if (st2.epoch != st.epoch)
+      throw new java.util.ConcurrentModificationException(
+        s"index at $path: compaction staged epoch $e over committed ${st.epoch} " +
+          s"but found ${st2.epoch} at commit time - re-run (single-writer contract)")
+    IndexManifest.commit(path, e, baseEpoch = e, IndexManifest.Cooccur)
+  }
+
   /** Top-k co-visited pairs from the STORED index — e_item_cooccur's
     * ranking contract over the persisted pair table (the spec pins
     * equality); reads the catalog²-bounded artifact only.
@@ -736,7 +848,7 @@ object GraphOps {
       .select($"i1".as("doc_a"), $"i2".as("doc_b"))
     val labels = TextOps.connectedComponents(edges)
       .select($"v".as("item"), $"rep", $"converged")
-    val lbl = IndexManifest.readAppendOnly(s, path, "ui", IndexManifest.Cooccur)
+    val lbl = resolvedUi(s, path)
       .select($"item").distinct()
       .join(labels, Seq("item"), "left")
       .select($"item",
@@ -757,7 +869,7 @@ object GraphOps {
       s: SparkSession, path: String, k: Int = recK): DataFrame = {
     import graft.sources.IndexManifest
     import s.implicits._
-    val ui = IndexManifest.readAppendOnly(s, path, "ui", IndexManifest.Cooccur)
+    val ui = resolvedUi(s, path)
     val pairs = IndexManifest.readRewrite(s, path, "pairs", IndexManifest.Cooccur)
       .withColumnRenamed("n_users", "n")
     val sym = pairs.select($"i1".as("item"), $"i2".as("rec"), $"n")
@@ -812,6 +924,39 @@ object GraphOps {
                ELSE 0 END), 0) AS BIGINT) AS avoided_pairs,
              CAST(COALESCE(MAX(d), 0) AS BIGINT) AS max_degree
       FROM deg
+    """.stripMargin.trim),
+  )
+
+  /** The cooccur forget path hash-gated end to end: index the full
+    * event log, FORGET every 7th user (tombstone epoch + support/degree
+    * give-back), COMPACT (tombstoned rows become physically absent),
+    * and rank the surviving pair supports — the artifact must equal one
+    * rebuilt from the log minus those users, which is exactly what the
+    * oracle computes from scratch. Gates the tombstone resolution, the
+    * give-back arithmetic, and the resolving compactor in one row.
+    */
+  val cooccurForget = Q(
+    "e_cooccur_forget",
+    (s, d) => {
+      import s.implicits._
+      val dir = graft.sources.Scratch.dir("graft-cooccur-forget")
+      writeCooccurIndex(ev(s, d), dir)
+      forgetCooccurUsers(
+        ev(s, d).filter($"user_id" % 7 === 0).select($"user_id"), dir)
+      compactCooccurIndex(s, dir)
+      cooccurTopKFromIndex(s, dir, cooccurK)
+    },
+    Some(s"""
+      $oracleBase,
+      ui AS (SELECT DISTINCT user_id, item FROM base
+             WHERE item IS NOT NULL AND user_id % 7 <> 0),
+      $oracleCappedUi,
+      pairs AS (
+        SELECT a.item AS i1, b.item AS i2, COUNT(*) AS n_users
+        FROM uic a JOIN uic b ON a.user_id = b.user_id AND a.item < b.item
+        GROUP BY 1, 2)
+      SELECT i1, i2, n_users FROM pairs
+      ORDER BY n_users DESC, i1, i2 LIMIT $cooccurK
     """.stripMargin.trim),
   )
 
@@ -1266,5 +1411,5 @@ object GraphOps {
     pageRank, cohortRetention, rollingActive, itemCooccur, markovNext,
     pathTopN, anomalyDays, clustering, valueQuantiles, incrAgg,
     recommendations, pageRankSeeded, bfsHops, timeToConvert, dowProfile,
-    communities, degreeCapAudit)
+    communities, degreeCapAudit, cooccurForget)
 }

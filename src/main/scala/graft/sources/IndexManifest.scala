@@ -107,7 +107,7 @@ object IndexManifest {
   val Postings   = Format("postings", 2)
   val IvfPq      = Format("ivfpq", 2)
   val Transition = Format("transition", 2)
-  val Cooccur    = Format("cooccur", 2)
+  val Cooccur    = Format("cooccur", 3) // v3: user tombstones (dels/)
   val Scd2       = Format("scd2", 2)
   val Bq         = Format("bq", 2)
 

@@ -20,7 +20,7 @@ class CooccurIndexSpec extends SparkSpec {
     rows.toDF("user_id", "item")
 
   private def pairsOf(dir: String): Map[(Long, Long), Long] =
-    IndexManifest.readRewrite(spark, dir, "pairs")
+    IndexManifest.readRewrite(spark, dir, "pairs", IndexManifest.Cooccur)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
 
   test("fold equals full rebuild on the fixture event log, split at the time median") {
@@ -58,9 +58,9 @@ class CooccurIndexSpec extends SparkSpec {
     assert(recStored === recInline)
 
     // degrees table equals a recount over the accumulated ui rows
-    val deg = IndexManifest.readRewrite(spark, inc, "degrees")
+    val deg = IndexManifest.readRewrite(spark, inc, "degrees", IndexManifest.Cooccur)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val recount = IndexManifest.readAppendOnly(spark, inc, "ui")
+    val recount = IndexManifest.readAppendOnly(spark, inc, "ui", IndexManifest.Cooccur)
       .groupBy($"user_id").agg(count(lit(1)).as("deg"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(deg === recount)
@@ -127,7 +127,7 @@ class CooccurIndexSpec extends SparkSpec {
       assert(pairsOf(inc) === pairsOf(reb), s"diverged after fold ${i + 1}")
     }
     // the random data must actually cross the cap somewhere
-    val finalDeg = IndexManifest.readRewrite(spark, inc, "degrees")
+    val finalDeg = IndexManifest.readRewrite(spark, inc, "degrees", IndexManifest.Cooccur)
       .collect().map(r => r.getLong(1))
     assert(finalDeg.exists(_ > cap), "fixture never crossed the cap — weaken nothing")
     assert(finalDeg.exists(_ <= cap), "some users must stay eligible")
@@ -140,9 +140,75 @@ class CooccurIndexSpec extends SparkSpec {
     GraphOps.writeCooccurIndex(day1, dir)
     val before = pairsOf(dir)
     GraphOps.stageCooccurAppend(day2, dir, 1L)
-    assert(IndexManifest.committedEpoch(dir) === 0L)
+    assert(IndexManifest.committedEpoch(dir, IndexManifest.Cooccur) === 0L)
     assert(pairsOf(dir) === before, "uncommitted fold leaked")
     GraphOps.appendCooccurIndex(day2, dir)
     assert(pairsOf(dir) === Map((10L, 11L) -> 3L))
+  }
+
+  test("forget equals rebuild minus the users, through every eligibility case") {
+    import spark.implicits._
+    val cap = 3L
+    // users 1,2 co-visit (10,11); user 3 shares 10; user 9 is an
+    // over-cap bot (never paired — forgetting them must subtract nothing)
+    val evs = evFrame(
+      Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L), (3L, 10L), (3L, 12L)) ++
+        (0 until 10).map(i => (9L, 100L + i)))
+    val dir = tmp("cooccur-forget")
+    GraphOps.writeCooccurIndex(evs, dir, cap)
+
+    def rebuildWithout(gone: Set[Long]): Map[(Long, Long), Long] = {
+      val reb = tmp("cooccur-forget-reb")
+      GraphOps.writeCooccurIndex(
+        evFrame(Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L), (3L, 10L), (3L, 12L))
+          .filterNot(r => gone(r._1)) ++
+          (if (gone(9L)) Nil else (0 until 10).map(i => (9L, 100L + i)))), reb, cap)
+      pairsOf(reb)
+    }
+
+    // over-cap bot: zero subtraction, degree row gone, ui rows hidden
+    GraphOps.forgetCooccurUsers(Seq(9L).toDF("user_id"), dir, cap)
+    assert(pairsOf(dir) === rebuildWithout(Set(9L)))
+    val degs = IndexManifest.readRewrite(spark, dir, "degrees", IndexManifest.Cooccur)
+      .collect().map(_.getLong(0)).toSet
+    assert(!degs.contains(9L), "forgotten user's degree row must be erased")
+    assert(GraphOps.resolvedUi(spark, dir)
+      .filter($"user_id" === 9L).count() === 0L)
+
+    // eligible supporter: their pair support is given back exactly
+    GraphOps.forgetCooccurUsers(Seq(2L).toDF("user_id"), dir, cap)
+    val afterTwo = pairsOf(dir)
+    assert(afterTwo === rebuildWithout(Set(9L, 2L)))
+    assert(afterTwo((10L, 11L)) === 1L, "only user 1 still supports (10,11)")
+
+    // the downstream family reads the resolved view: no recs for the gone
+    val recUsers = GraphOps.recommendationsFromIndex(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    assert(!recUsers.contains(2L) && !recUsers.contains(9L))
+
+    // forget-then-re-append resurrects (epoch precedence)
+    GraphOps.appendCooccurIndex(evFrame(Seq((2L, 10L), (2L, 11L))), dir, cap)
+    assert(pairsOf(dir) === rebuildWithout(Set(9L)),
+      "re-admitted user must support their pairs again")
+
+    // compaction makes the erasure physical and preserves the artifact
+    val before = pairsOf(dir)
+    GraphOps.compactCooccurIndex(spark, dir)
+    assert(pairsOf(dir) === before)
+    val rawUsers = IndexManifest.readAppendOnly(spark, dir, "ui", IndexManifest.Cooccur)
+      .collect().map(_.getLong(0)).toSet
+    assert(!rawUsers.contains(9L),
+      "compacted ui component must not physically retain the forgotten user")
+    assert(rawUsers.contains(2L), "the re-admitted user survives compaction")
+
+    // killed forget is invisible; retry lands clean
+    val dir2 = tmp("cooccur-forget-kill")
+    GraphOps.writeCooccurIndex(evs, dir2, cap)
+    val pre = pairsOf(dir2)
+    GraphOps.stageCooccurForget(Seq(1L).toDF("user_id"), dir2, 1L, cap)
+    assert(IndexManifest.committedEpoch(dir2, IndexManifest.Cooccur) === 0L)
+    assert(pairsOf(dir2) === pre, "uncommitted forget leaked")
+    GraphOps.forgetCooccurUsers(Seq(1L).toDF("user_id"), dir2, cap)
+    assert(pairsOf(dir2) === rebuildWithout(Set(1L)))
   }
 }

@@ -1117,7 +1117,7 @@ class StreamsSpec extends SparkSpec {
       slices.slice(1, n).foreach { s =>
         graft.queries.GraphOps.appendCooccurIndex(s.toDF("user_id", "item"), dir, cap)
       }
-      graft.sources.IndexManifest.readRewrite(spark, dir, "pairs")
+      graft.sources.IndexManifest.readRewrite(spark, dir, "pairs", graft.sources.IndexManifest.Cooccur)
         .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     }
     (1 to 3).foreach { n =>
