@@ -371,6 +371,61 @@ object GraphOps {
       .write.mode("overwrite").parquet(IndexManifest.epochDir(path, "nodes", e))
   }
 
+  /** Stage (but do NOT commit) a transition-graph forget epoch — for
+    * the kill drill.
+    */
+  private[graft] def stageTransitionForget(
+      userEvs: DataFrame, path: String, e: Long): Unit = {
+    import graft.sources.IndexManifest
+    val s = userEvs.sparkSession
+    import s.implicits._
+    // a user's edge contribution is exactly transitionEdges(their
+    // events): the per-user window makes the edge build additive across
+    // users, so subtracting it reproduces a rebuild without them
+    val sub = transitionEdges(userEvs).withColumnRenamed("w", "w_sub")
+    IndexManifest.readRewrite(s, path, "edges", IndexManifest.Transition)
+      .join(sub, Seq("src", "dst"), "left")
+      .select($"src", $"dst",
+        ($"w" - coalesce($"w_sub", lit(0L))).as("w"))
+      .filter($"w" > 0L) // an edge only they walked disappears
+      .write.mode("overwrite").parquet(IndexManifest.epochDir(path, "edges", e))
+    // nodes are the ITEM CATALOG, not user data — copied forward
+    // unchanged (see forgetTransitionUsers for the contract)
+    IndexManifest.readRewrite(s, path, "nodes", IndexManifest.Transition)
+      .write.mode("overwrite").parquet(IndexManifest.epochDir(path, "nodes", e))
+  }
+
+  /** Forget USERS from the stored transition graph — the journey half
+    * of behavioral right-to-be-forgotten. The stored edges are
+    * aggregated counts with no per-user attribution (that aggregation
+    * IS the graph-sized-artifact guarantee), so — unlike
+    * [[forgetCooccurUsers]] — erasure takes the forgotten users' event
+    * slice from the source log and subtracts their transition weights;
+    * an edge supported only by them leaves the table, exactly as a
+    * rebuild from the log minus those users (GraphOpsSpec pins edge
+    * equality; `e_transition_forget` hash-gates ranks end to end).
+    *
+    * Node semantics, documented deliberately: the `nodes` component is
+    * the item catalog touched by traffic — catalog entities, not user
+    * data. A sole-toucher item therefore REMAINS as an isolated node
+    * with base rank 150000 ppm (it has no surviving edges, so it
+    * contributes nothing to and receives nothing from any other node's
+    * rank — every other rank is bit-identical to the rebuild). What a
+    * user contributed to this artifact — and what erasure removes — is
+    * edge weight.
+    *
+    * Caller contract: `userEvs` is the forgotten users' COMPLETE event
+    * history as ingested (the deployment's source-of-truth log slice);
+    * a partial slice under-subtracts, a replayed forget
+    * double-subtracts (the appenders' ledger discipline).
+    */
+  def forgetTransitionUsers(userEvs: DataFrame, path: String): Unit = {
+    import graft.sources.IndexManifest
+    val e = IndexManifest.committedEpoch(path, IndexManifest.Transition) + 1L
+    stageTransitionForget(userEvs, path, e)
+    IndexManifest.advance(path, e, IndexManifest.Transition)
+  }
+
   /** PageRank against the STORED graph — identical ranking contract to
     * the inline `e_pagerank` (the parity spec pins it); touches only
     * the persisted graph-sized tables at their committed epoch.
@@ -399,31 +454,27 @@ object GraphOps {
       .agg(count(lit(1)).as("w"))
   }
 
-  val pageRank = Q(
-    "e_pagerank",
-    (s, d) => {
-      import s.implicits._
-      val evs = ev(s, d)
-      val nodes = evs.filter($"item".isNotNull).select($"item").distinct()
-      pageRankOn(nodes, transitionEdges(evs), prIters)
-    },
-    Some {
-      // unrolled iterations: rN is rank after N synchronous updates
-      val iterCtes = (1 to prIters).map { i =>
-        s"""r$i AS (
-           |  SELECT n.item,
-           |         CAST(150000 + COALESCE(SUM((((r.rank_ppm * 85) // 100) * ew.w) // ew.out_w), 0) AS BIGINT) AS rank_ppm
-           |  FROM n
-           |  LEFT JOIN ew ON ew.dst = n.item
-           |  LEFT JOIN r${i - 1} r ON r.item = ew.src
-           |  GROUP BY n.item)""".stripMargin
-      }.mkString(",\n      ")
-      s"""
+  /** The unrolled-iteration PageRank oracle, parameterized on an extra
+    * predicate for the EDGE-building scan (nodes always come from the
+    * full log — the forget row's documented node semantics).
+    */
+  private def oraclePageRankSql(edgeUserPred: String): String = {
+    // unrolled iterations: rN is rank after N synchronous updates
+    val iterCtes = (1 to prIters).map { i =>
+      s"""r$i AS (
+         |  SELECT n.item,
+         |         CAST(150000 + COALESCE(SUM((((r.rank_ppm * 85) // 100) * ew.w) // ew.out_w), 0) AS BIGINT) AS rank_ppm
+         |  FROM n
+         |  LEFT JOIN ew ON ew.dst = n.item
+         |  LEFT JOIN r${i - 1} r ON r.item = ew.src
+         |  GROUP BY n.item)""".stripMargin
+    }.mkString(",\n      ")
+    s"""
       $oracleBase,
       seq AS (
         SELECT user_id, item,
                LEAD(item) OVER (PARTITION BY user_id ORDER BY sec, event_id) AS nxt
-        FROM base WHERE item IS NOT NULL),
+        FROM base WHERE item IS NOT NULL$edgeUserPred),
       e AS (
         SELECT item AS src, nxt AS dst, COUNT(*) AS w
         FROM seq WHERE nxt IS NOT NULL AND nxt <> item GROUP BY 1, 2),
@@ -434,8 +485,38 @@ object GraphOps {
       $iterCtes
       SELECT item, rank_ppm FROM r$prIters
     """.stripMargin.trim
+  }
+
+  val pageRank = Q(
+    "e_pagerank",
+    (s, d) => {
+      import s.implicits._
+      val evs = ev(s, d)
+      val nodes = evs.filter($"item".isNotNull).select($"item").distinct()
+      pageRankOn(nodes, transitionEdges(evs), prIters)
     },
+    Some(oraclePageRankSql("")),
     bench = true, // tracks the iterative edge-join plan (graph workload)
+  )
+
+  /** The transition forget path hash-gated end to end: persist the
+    * graph, FORGET every 7th user's edge contribution, rank from the
+    * stored artifact. The oracle builds edges over the log minus those
+    * users and nodes over the FULL log — exactly the documented forget
+    * semantics (edge weight is user data; the node catalog is not), so
+    * an under- or over-subtracted weight anywhere shifts a rank and
+    * hash-mismatches.
+    */
+  val transitionForget = Q(
+    "e_transition_forget",
+    (s, d) => {
+      import s.implicits._
+      val dir = graft.sources.Scratch.dir("graft-transition-forget")
+      writeTransitionGraph(ev(s, d), dir)
+      forgetTransitionUsers(ev(s, d).filter($"user_id" % 7 === 0), dir)
+      pageRankFromGraph(s, dir)
+    },
+    Some(oraclePageRankSql(" AND user_id % 7 <> 0")),
   )
 
   // ---------------------------------------------------------------------
@@ -1411,5 +1492,5 @@ object GraphOps {
     pageRank, cohortRetention, rollingActive, itemCooccur, markovNext,
     pathTopN, anomalyDays, clustering, valueQuantiles, incrAgg,
     recommendations, pageRankSeeded, bfsHops, timeToConvert, dowProfile,
-    communities, degreeCapAudit, cooccurForget)
+    communities, degreeCapAudit, cooccurForget, transitionForget)
 }

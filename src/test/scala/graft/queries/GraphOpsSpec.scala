@@ -117,6 +117,57 @@ class GraphOpsSpec extends SparkSpec {
     assert(ranks(appended2) === ranks(rebuilt))
   }
 
+  test("transition forget: edges equal rebuild minus the users; nodes are catalog") {
+    val evs = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .withColumn("item", regexp_extract($"props", "(\\d+)", 1).cast("long"))
+      // plant a sole-toucher: user -1 walks two items nobody else has
+      .unionByName(Seq(
+        (-1L, 900001L, 1L, 1L), (-1L, 900002L, 2L, 2L)
+      ).toDF("user_id", "item", "ts_sec", "event_id")
+        .select($"user_id", $"ts_sec", $"event_id", $"item"), allowMissingColumns = true)
+      .select($"user_id", $"ts_sec", $"event_id", $"item")
+    def edges(dir: String) = graft.sources.IndexManifest.readRewrite(spark, dir, "edges")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    def nodes(dir: String) = graft.sources.IndexManifest.readRewrite(spark, dir, "nodes")
+      .collect().map(_.getLong(0)).toSet
+    def ranks(dir: String) = GraphOps.pageRankFromGraph(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val gone = evs.filter($"user_id" % 5 === 0 || $"user_id" === -1L)
+    val dir = java.nio.file.Files.createTempDirectory("graph-forget").toString
+    GraphOps.writeTransitionGraph(evs, dir)
+    GraphOps.forgetTransitionUsers(gone, dir)
+    val reb = java.nio.file.Files.createTempDirectory("graph-forget-reb").toString
+    GraphOps.writeTransitionGraph(
+      evs.filter(!($"user_id" % 5 === 0 || $"user_id" === -1L)), reb)
+
+    // edge weights: exactly the rebuild's (zero-weight edges erased)
+    assert(edges(dir) === edges(reb),
+      "forget must subtract exactly the users' transition weights")
+    // nodes: the full item catalog survives (documented semantics) —
+    // a strict superset containing the rebuild's nodes plus the
+    // sole-toucher's items
+    assert(nodes(reb).subsetOf(nodes(dir)))
+    assert(nodes(dir).contains(900001L) && nodes(dir).contains(900002L))
+    // ranks: bit-identical on the rebuild's nodes; extra isolated nodes
+    // sit at the base teleport mass and influence nothing
+    val r = ranks(dir); val rr = ranks(reb)
+    rr.foreach { case (item, rank) => assert(r(item) === rank, s"rank drift at $item") }
+    (r.keySet -- rr.keySet).foreach { item =>
+      assert(r(item) === 150000L, s"isolated node $item must hold base rank") }
+
+    // killed forget is invisible; retry lands clean
+    val dir2 = java.nio.file.Files.createTempDirectory("graph-forget-kill").toString
+    GraphOps.writeTransitionGraph(evs, dir2)
+    val pre = edges(dir2)
+    GraphOps.stageTransitionForget(gone, dir2, 1L)
+    assert(graft.sources.IndexManifest.committedEpoch(
+      dir2, graft.sources.IndexManifest.Transition) === 0L)
+    assert(edges(dir2) === pre, "uncommitted forget leaked")
+    GraphOps.forgetTransitionUsers(gone, dir2)
+    assert(edges(dir2) === edges(reb))
+  }
+
   test("incremental agg equals recompute; empty-input safe") {
     val sf = "/root/testdata/sf0.001"
     val got = Catalog.queries("t_incr_agg")(spark, sf)
