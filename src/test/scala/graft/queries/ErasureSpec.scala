@@ -1,0 +1,132 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.{IndexManifest, Tables}
+
+/** The erasure orchestrator: one "forget these docs/users" call fans
+  * out to every deployed stored artifact, and the crash/resume
+  * protocol (manifest epochs as the ledger) never double-subtracts.
+  * Per-family forget CORRECTNESS is pinned by each family's own spec —
+  * this suite drives the orchestration: fixed order, prefix-commit on
+  * failure, epoch-snapshot resume.
+  */
+class ErasureSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def docsDf: DataFrame =
+    Tables.documents(spark, sf).select($"doc_id", $"text")
+
+  private def embDf: DataFrame = {
+    graft.functions.GraftFunctions.registerDotD(spark) // vecs()'s contract
+    Tables.embeddings(spark, sf)
+  }
+
+  private def evsDf: DataFrame =
+    Tables.events(spark, sf)
+      .withColumn("item", regexp_extract($"props", "(\\d+)", 1).cast("long"))
+
+  /** Build the full doc-grain fleet rooted at fresh temp dirs. */
+  private def buildDocFleet(): Erasure.DocTargets = {
+    val t = Erasure.DocTargets(
+      postings = Some(tmp("era-post")),
+      lsh = Some(tmp("era-lsh")),
+      shingle = Some(tmp("era-shingle")),
+      scd2 = Some(tmp("era-scd2")),
+      ivfPq = Some(tmp("era-ivfpq")),
+      bq = Some(tmp("era-bq")))
+    SearchOps.writePostingsIndex(docsDf, t.postings.get)
+    TextOps.writeLshIndex(docsDf, t.lsh.get)
+    TextOps.writeShingleIndex(docsDf, t.shingle.get)
+    TextOps.writeScd2(docsDf, 0L, t.scd2.get)
+    VectorOps.writeIvfPqIndex(embDf, t.ivfPq.get)
+    VectorOps.writeBqIndex(embDf, t.bq.get)
+    t
+  }
+
+  test("doc erasure: crash mid-fan-out commits a prefix; epoch-snapshot resume finishes without double-subtract") {
+    val targets = buildDocFleet()
+    val gone = docsDf.filter($"doc_id" % 11 === 0)
+
+    // the caller's ledger entry, recorded BEFORE the call
+    val snapshot = Erasure.committedEpochs(targets.ordered)
+    assert(snapshot.values.forall(_ == 0L))
+
+    // planted crash: shingle forgetting needs text, and this frame has
+    // only ids — the 3rd family in the fixed order throws before its
+    // commit, so exactly {postings, lsh} advanced
+    intercept[Exception] {
+      Erasure.forgetDocs(gone.select($"doc_id"), targets)
+    }
+    val afterCrash = Erasure.committedEpochs(targets.ordered)
+    assert(afterCrash("postings") === 1L && afterCrash("lsh") === 1L)
+    assert(afterCrash("shingle") === 0L && afterCrash("scd2") === 0L &&
+      afterCrash("ivfpq") === 0L && afterCrash("bq") === 0L)
+
+    // resume: the snapshot tells which families the crash reached
+    val rem = targets.remaining(snapshot)
+    assert(rem.postings.isEmpty && rem.lsh.isEmpty,
+      "committed families must drop out of the resume set")
+    assert(rem.shingle.nonEmpty && rem.scd2.nonEmpty &&
+      rem.ivfPq.nonEmpty && rem.bq.nonEmpty)
+    Erasure.forgetDocs(gone, rem) // full frame this time (text present)
+    val done = Erasure.committedEpochs(targets.ordered)
+    assert(done.values.forall(_ == 1L),
+      "every family must have advanced EXACTLY once across crash + resume")
+
+    // no double-subtract: the crash+resume postings stats equal a
+    // clean single-shot erasure on a twin index
+    val twin = tmp("era-post-twin")
+    SearchOps.writePostingsIndex(docsDf, twin)
+    SearchOps.deleteFromPostingsIndex(gone.select($"doc_id"), twin)
+    def comp(p: String, c: String) =
+      IndexManifest.readRewrite(spark, p, c, IndexManifest.Postings)
+        .collect().map(_.toSeq).toSet
+    assert(comp(targets.postings.get, "corpus") === comp(twin, "corpus"))
+    assert(comp(targets.postings.get, "terms") === comp(twin, "terms"))
+
+    // behavioral spot-checks: the erased ids are gone from resolved views
+    val goneIds = gone.select($"doc_id").as[Long].collect().toSet
+    assert(goneIds.nonEmpty)
+    val lshDocs = TextOps.storedLshBands(spark, targets.lsh.get)
+      .select($"doc_id").distinct().as[Long].collect().toSet
+    assert(lshDocs.intersect(goneIds).isEmpty)
+  }
+
+  test("user erasure fans out to both behavioral artifacts; transition requires the event slice") {
+    val co = tmp("era-cooccur")
+    val tr = tmp("era-transition")
+    GraphOps.writeCooccurIndex(evsDf, co)
+    GraphOps.writeTransitionGraph(evsDf, tr)
+    val targets = Erasure.UserTargets(cooccur = Some(co), transition = Some(tr))
+
+    val users = evsDf.filter($"user_id" % 13 === 0).select($"user_id").distinct()
+    // the contract: transition erasure without the slice fails fast
+    intercept[IllegalArgumentException] {
+      Erasure.forgetUsers(users, targets)
+    }
+    Erasure.forgetUsers(users, targets, userEvs = Some(evsDf))
+    assert(Erasure.committedEpochs(targets.ordered).values.forall(_ == 1L))
+
+    val goneUsers = users.as[Long].collect().toSet
+    val uiUsers = GraphOps.resolvedUi(spark, co)
+      .select($"user_id").distinct().as[Long].collect().toSet
+    assert(uiUsers.intersect(goneUsers).isEmpty)
+    // transition: equals a rebuild without those users (edge grain)
+    val reb = tmp("era-transition-reb")
+    GraphOps.writeTransitionGraph(
+      evsDf.join(users, Seq("user_id"), "left_anti"), reb)
+    def edges(dir: String) =
+      IndexManifest.readRewrite(spark, dir, "edges", IndexManifest.Transition)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(edges(tr) === edges(reb))
+  }
+}
