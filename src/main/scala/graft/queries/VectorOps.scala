@@ -146,6 +146,205 @@ object VectorOps {
   )
 
   // ---------------------------------------------------------------------
+  // Metadata-FILTERED vector search — the "where lang='en'" class every
+  // vector store serves. Strategy choice, made explicitly: PRE-filter
+  // (restrict candidates by the metadata predicate BEFORE any distance
+  // math) over POST-filter (score everything, drop mismatches from the
+  // top-k). Post-filter must over-fetch unboundedly when the predicate
+  // is selective — the top-k of the unfiltered corpus can contain zero
+  // eligible rows — while pre-filter's cost SHRINKS with selectivity.
+  // Shape at 100 TB: the predicate pushes into the documents scan
+  // (PushedFilters), the eligible ids reach the embeddings side as a
+  // LEFT SEMI equi-join on the vector id (no embedding ever crosses the
+  // wire for an ineligible doc), and only then does the O(dim) scoring
+  // + TakeOrdered rank run. Composes with the IVF/PQ tiers the same
+  // way (filter the cell-candidate list); the brute tier is the
+  // recall-1.0 contract the oracle can pin exactly.
+  // ---------------------------------------------------------------------
+
+  val filteredAnn = Q(
+    "v_filtered_ann",
+    (s, d) => {
+      import s.implicits._
+      val keep = Tables.documents(s, d).filter($"lang" === "en")
+        .select($"doc_id".as("cand_id"))
+      val q = vecs(s, d).filter($"vec_id" < nQueries)
+        .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
+      val cand = vecs(s, d)
+        .select($"vec_id".as("cand_id"), $"embedding".as("c_emb"))
+        .join(keep, Seq("cand_id"), "left_semi") // pre-filter: before distances
+      val w = Window.partitionBy($"query_id").orderBy($"sim_micros".desc, $"cand_id")
+      cand
+        .join(broadcast(q), $"cand_id" =!= $"query_id")
+        .withColumn(
+          "sim_micros",
+          micros(dotd("q_emb", "c_emb") /
+            (sqrt(dotd("q_emb", "q_emb")) * sqrt(dotd("c_emb", "c_emb")))),
+        )
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter($"rnk" <= topK)
+        .select($"query_id", $"cand_id", $"sim_micros", $"rnk")
+    },
+    Some(s"""
+      WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+                 WHERE vec_id < $nQueries),
+      keep AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+      scored AS (
+        SELECT q.query_id, c.vec_id AS cand_id,
+               CAST(FLOOR(1e6 * (${oDot("q.q_emb", "c.embedding")} /
+                 (sqrt(${oDot("q.q_emb", "q.q_emb")}) * sqrt(${oDot("c.embedding", "c.embedding")}))))
+                 AS BIGINT) AS sim_micros
+        FROM q JOIN embeddings c ON c.vec_id <> q.query_id
+        JOIN keep k ON k.doc_id = c.vec_id)
+      SELECT query_id, cand_id, sim_micros,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim_micros DESC, cand_id) AS rnk
+      FROM scored QUALIFY rnk <= $topK
+    """.stripMargin.trim),
+  )
+
+  // ---------------------------------------------------------------------
+  // MMR diversified rerank — maximal marginal relevance over the brute
+  // top-pool: pick_1 = argmax sim(q,c); pick_i = argmax over the
+  // remaining pool of λ·sim(q,c) − (1−λ)·max_{s∈picked} sim(c,s).
+  // The redundancy-pruning second stage every retrieval pipeline wants
+  // when the top-k collapses onto near-duplicates (which this corpus'
+  // dedup families prove it does). λ = 0.85 in integer percent:
+  // mmr = 85·simq − 15·max_sel, all micros-BIGINT — bit-exact
+  // cross-engine, no float ordering anywhere.
+  //
+  // Scale shape: the greedy recursion is QUERY-sized, not corpus-sized
+  // — the corpus appears only in the pool build (the same broadcast-
+  // probe scan as v_knn_brute, TakeOrdered to mmrPool per query);
+  // the pairwise-sim table is |queries|·mmrPool² rows and the mmrPick
+  // rounds are unrolled joins on frames that never exceed it. Nothing
+  // iterates over the corpus, and nothing leaves the cluster.
+  // ---------------------------------------------------------------------
+
+  private val mmrPool = 20
+  private val mmrPick = 5
+
+  /** The greedy MMR recursion over a prepared candidate pool.
+    * `pool`: (query_id, cand_id, simq) — the per-query top-pool with
+    * query similarity in micros. `pairs`: (query_id, a, b, ab) — the
+    * pool's pairwise similarities (both directions). Unrolls
+    * [[mmrPick]] rounds of argmax(85·simq − 15·max_sel), tie-broken on
+    * cand_id; each round's frame never exceeds |queries|·round rows
+    * (checkpointed so round i's plan doesn't nest the whole prefix).
+    * Exposed for the planted-pool property spec, which pins the
+    * recursion against a hand-rolled greedy.
+    */
+  private[queries] def mmrSelect(pool: DataFrame, pairs: DataFrame): DataFrame = {
+    val wSel = Window.partitionBy(col("query_id")).orderBy(col("mmr").desc, col("cand_id"))
+    var selected = pool
+      .withColumn("mmr", lit(85L) * col("simq"))
+      .withColumn("r", row_number().over(wSel))
+      .filter(col("r") === 1)
+      .select(col("query_id"), col("cand_id"), lit(1L).as("pick"), col("mmr"))
+    for (i <- 2 to mmrPick) {
+      val maxSel = pairs
+        .join(selected.select(col("query_id"), col("cand_id").as("b")), Seq("query_id", "b"))
+        .groupBy(col("query_id"), col("a")).agg(max(col("ab")).as("max_sel"))
+        .withColumnRenamed("a", "cand_id")
+      val next = pool
+        .join(selected.select(col("query_id"), col("cand_id")),
+          Seq("query_id", "cand_id"), "left_anti")
+        .join(maxSel, Seq("query_id", "cand_id"))
+        .withColumn("mmr", lit(85L) * col("simq") - lit(15L) * col("max_sel"))
+        .withColumn("r", row_number().over(wSel))
+        .filter(col("r") === 1)
+        .select(col("query_id"), col("cand_id"), lit(i.toLong).as("pick"), col("mmr"))
+      selected = selected.unionByName(next).localCheckpoint(true)
+    }
+    selected
+  }
+
+  val mmrRerank = Q(
+    "v_mmr_rerank",
+    (s, d) => {
+      import s.implicits._
+      val q = vecs(s, d).filter($"vec_id" < nQueries)
+        .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
+      val cand = vecs(s, d).select($"vec_id".as("cand_id"), $"embedding".as("c_emb"))
+      val wPool = Window.partitionBy($"query_id").orderBy($"simq".desc, $"cand_id")
+      val pool = cand
+        .join(broadcast(q), $"cand_id" =!= $"query_id")
+        .withColumn(
+          "simq",
+          micros(dotd("q_emb", "c_emb") /
+            (sqrt(dotd("q_emb", "q_emb")) * sqrt(dotd("c_emb", "c_emb")))),
+        )
+        .withColumn("rnk", row_number().over(wPool))
+        .filter($"rnk" <= mmrPool)
+        .select($"query_id", $"cand_id", $"c_emb", $"simq")
+        .localCheckpoint(true) // feeds the pair sims AND every greedy round
+      val pairs = pool.select($"query_id", $"cand_id".as("a"), $"c_emb".as("a_emb"))
+        .join(pool.select($"query_id", $"cand_id".as("b"), $"c_emb".as("b_emb")),
+          Seq("query_id"))
+        .filter($"a" =!= $"b")
+        .withColumn(
+          "ab",
+          micros(dotd("a_emb", "b_emb") /
+            (sqrt(dotd("a_emb", "a_emb")) * sqrt(dotd("b_emb", "b_emb")))),
+        )
+        .select($"query_id", $"a", $"b", $"ab")
+        .localCheckpoint(true)
+      mmrSelect(pool.drop("c_emb"), pairs)
+    },
+    Some {
+      val simExpr = (e1: String, e2: String) =>
+        s"""CAST(FLOOR(1e6 * (${oDot(s"$e1.embedding", s"$e2.embedding")} /
+           |  (sqrt(${oDot(s"$e1.embedding", s"$e1.embedding")}) * sqrt(${oDot(s"$e2.embedding", s"$e2.embedding")}))))
+           |  AS BIGINT)""".stripMargin
+      val rounds = (2 to mmrPick).map { i =>
+        val prev = s"sel${i - 1}"
+        s"""m$i AS (
+           |  SELECT pr.query_id, pr.a AS cand_id, MAX(pr.ab) AS max_sel
+           |  FROM pairs pr JOIN $prev s ON s.query_id = pr.query_id AND s.cand_id = pr.b
+           |  GROUP BY 1, 2),
+           |pick$i AS (
+           |  SELECT query_id, cand_id, CAST($i AS BIGINT) AS pick, mmr FROM (
+           |    SELECT p.query_id, p.cand_id, 85 * p.simq - 15 * m.max_sel AS mmr,
+           |           ROW_NUMBER() OVER (PARTITION BY p.query_id
+           |             ORDER BY (85 * p.simq - 15 * m.max_sel) DESC, p.cand_id) AS r
+           |    FROM pool p
+           |    JOIN m$i m ON m.query_id = p.query_id AND m.cand_id = p.cand_id
+           |    WHERE NOT EXISTS (SELECT 1 FROM $prev s2
+           |                      WHERE s2.query_id = p.query_id AND s2.cand_id = p.cand_id))
+           |  WHERE r = 1),
+           |sel$i AS (SELECT * FROM $prev UNION ALL SELECT * FROM pick$i)""".stripMargin
+      }.mkString(",\n      ")
+      s"""
+      WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+                 WHERE vec_id < $nQueries),
+      scored AS (
+        SELECT q.query_id, c.vec_id AS cand_id,
+               CAST(FLOOR(1e6 * (${oDot("q.q_emb", "c.embedding")} /
+                 (sqrt(${oDot("q.q_emb", "q.q_emb")}) * sqrt(${oDot("c.embedding", "c.embedding")}))))
+                 AS BIGINT) AS simq
+        FROM q JOIN embeddings c ON c.vec_id <> q.query_id),
+      pool AS (
+        SELECT query_id, cand_id, simq FROM (
+          SELECT query_id, cand_id, simq,
+                 ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY simq DESC, cand_id) AS rnk
+          FROM scored) WHERE rnk <= $mmrPool),
+      pairs AS (
+        SELECT p1.query_id, p1.cand_id AS a, p2.cand_id AS b, ${simExpr("e1", "e2")} AS ab
+        FROM pool p1
+        JOIN pool p2 ON p1.query_id = p2.query_id AND p1.cand_id <> p2.cand_id
+        JOIN embeddings e1 ON e1.vec_id = p1.cand_id
+        JOIN embeddings e2 ON e2.vec_id = p2.cand_id),
+      sel1 AS (
+        SELECT query_id, cand_id, CAST(1 AS BIGINT) AS pick, 85 * simq AS mmr FROM (
+          SELECT query_id, cand_id, simq,
+                 ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY simq DESC, cand_id) AS r
+          FROM pool) WHERE r = 1),
+      $rounds
+      SELECT query_id, cand_id, pick, mmr FROM sel$mmrPick
+    """.stripMargin.trim
+    },
+  )
+
+  // ---------------------------------------------------------------------
   // Sign-LSH bucketing: bucket = 8-bit signature of the signs of the first
   // 8 components (a fixed random-hyperplane family — the axis-aligned
   // special case keeps the oracle exact). Bucket histogram proves the
@@ -3238,6 +3437,8 @@ object VectorOps {
     indexDrift,
     normStats,
     knnBrute,
+    filteredAnn,
+    mmrRerank,
     lshBuckets,
     annLsh,
     annLshMulti,

@@ -62,7 +62,10 @@ class CatalogPlanGuardSpec extends SparkSpec {
       // fixed-5-query broadcast panel as v_knn_brute (the sq8 pair adds
       // the 1-row quantization-stats cross)
       "v_bq_search", "v_bq_recall", "v_sq8_search", "v_sq8_recall",
-      "v_mrl_recall")
+      "v_mrl_recall",
+      // filtered ANN + MMR pool build: the v_knn_brute broadcast-panel
+      // probe (MMR's greedy rounds are equi-joins on query_id)
+      "v_filtered_ann", "v_mmr_rerank")
 
   test("no catalog query plans a cartesian, a rogue BNLJ, or a single-partition stage") {
     val offenders = Catalog.all.flatMap { q =>
