@@ -492,13 +492,14 @@ object SearchOps {
     * postings. Bucket filters applied by callers still push below the
     * tombstone join to the parquet scan (partition pruning intact).
     */
-  private[graft] def storedPostings(s: SparkSession, path: String): DataFrame = {
+  private[graft] def storedPostings(s: SparkSession, path: String,
+      asOf: Option[Long] = None): DataFrame = {
     import graft.sources.IndexManifest
     import s.implicits._
     val posts = IndexManifest.readAppendOnlyEpochs(
-      s, path, "postings", IndexManifest.Postings)
+      s, path, "postings", IndexManifest.Postings, asOf)
     val dels = IndexManifest.readAppendOnlyEpochs(
-      s, path, "dels", IndexManifest.Postings)
+      s, path, "dels", IndexManifest.Postings, asOf)
       .groupBy($"doc_id").agg(max($"epoch").as("del_epoch"))
     posts.join(dels, Seq("doc_id"), "left")
       .filter($"del_epoch".isNull || $"epoch" > $"del_epoch")
@@ -913,16 +914,20 @@ object SearchOps {
     * stays a |terms|-directory scan: no corpus-sized norms join.
     */
   def bm25SearchFromIndex(
-      s: SparkSession, path: String, terms: Seq[String], k: Int): DataFrame = {
+      s: SparkSession, path: String, terms: Seq[String], k: Int,
+      asOf: Option[Long] = None): DataFrame = {
     import graft.sources.IndexManifest
     import s.implicits._
     val buckets = terms.map(t => jvmH60(t) % indexBuckets).distinct
-    val postings = storedPostings(s, path)
+    val postings = storedPostings(s, path, asOf)
       .filter($"bucket".isin(buckets: _*)) // parquet partition pruning
       .filter($"t".isin(terms: _*))
-    val stats = IndexManifest.readRewrite(s, path, "corpus", IndexManifest.Postings).first()
+    // asOf pins stats AND postings to the same epoch — a consistent
+    // snapshot (idf and postings can never mix generations)
+    val stats = IndexManifest.readRewrite(
+      s, path, "corpus", IndexManifest.Postings, asOf).first()
     val (n, tl) = (stats.getAs[Long]("n_docs"), stats.getAs[Long]("total_tokens"))
-    val df = IndexManifest.readRewrite(s, path, "terms", IndexManifest.Postings)
+    val df = IndexManifest.readRewrite(s, path, "terms", IndexManifest.Postings, asOf)
       .filter($"t".isin(terms: _*))
       .withColumn("idf_ppm", expr(s"(${n}L * 1000000L) div df"))
     postings
@@ -1178,8 +1183,41 @@ object SearchOps {
     """.stripMargin.trim),
   )
 
+  /** Index time travel hash-gated end to end: build the base split
+    * (epoch 0), fold the delta in (epoch 1), then search AS-OF epoch 0
+    * — the ranking must be the pre-append one, idf and postings pinned
+    * to the same past snapshot. The reproducibility primitive: a
+    * training run records the epoch it read, and an audit months later
+    * re-runs the exact retrieval against today's (appended-to) index.
+    * The oracle recomputes BM25 over the base split from scratch, so a
+    * reader that leaks any delta posting (or scores with the advanced
+    * idf) hash-mismatches.
+    */
+  val bm25AsOf = Q(
+    "t_bm25_asof",
+    (s, d) => {
+      import s.implicits._
+      val dir = graft.sources.Scratch.dir("graft-postings-asof")
+      writePostingsIndex(docs(s, d).filter($"doc_id" % 10 =!= 3), dir)
+      appendPostingsIndex(docs(s, d).filter($"doc_id" % 10 === 3), dir)
+      bm25SearchFromIndex(s, dir, queryTerms, searchK, asOf = Some(0L))
+        .withColumn("rnk",
+          row_number().over(Window.orderBy($"score_pp12".desc, $"doc_id")).cast("long"))
+    },
+    Some(s"""
+      WITH ${oracleBm25CoreFrom(
+        "(SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 3) AS df0")},
+      scored AS (
+        SELECT m.doc_id, CAST(SUM(dfa.idf_ppm * $oracleSat) AS BIGINT) AS score_pp12
+        FROM m JOIN dfa USING (t) WHERE m.t IN ($termsSql) GROUP BY 1)
+      SELECT doc_id, score_pp12,
+             ROW_NUMBER() OVER (ORDER BY score_pp12 DESC, doc_id) AS rnk
+      FROM scored QUALIFY rnk <= $searchK
+    """.stripMargin.trim),
+  )
+
   val qs: Seq[Q] = Seq(
     boolSearch, tfidfSearch, bm25Search, rrfFusion, prfExpand, phraseSearch,
     proximitySearch, entityResolution, entityCanon, entityTypos, searchMrr,
-    bm25Forget)
+    bm25Forget, bm25AsOf)
 }

@@ -171,6 +171,33 @@ object IndexManifest {
   def committedEpoch(path: String, fmt: Format = AnyFamily): Long =
     committedState(path, fmt).epoch
 
+  /** The committed state pinned to a PAST epoch — index TIME TRAVEL.
+    * Sound because of the writers' staging discipline: every committed
+    * epoch stages a FULL copy of each rewrite component and appends its
+    * append-only slices under its own `epoch=e` directory, so any epoch
+    * in the committed window is a complete, consistent snapshot — a
+    * reader pinned to it sees exactly what a reader at that commit saw
+    * (reproducibility for a training run against the index state it
+    * actually used). Bounds: epochs above the head don't exist yet;
+    * epochs below the window floor were superseded by a compaction and
+    * may be vacuumed at any time, so travel refuses them rather than
+    * racing the janitor.
+    */
+  def stateAsOf(path: String, asOf: Long, fmt: Format = AnyFamily): State = {
+    val st = committedState(path, fmt)
+    require(asOf >= st.baseEpoch && asOf <= st.epoch,
+      s"as-of epoch $asOf outside the committed window [${st.baseEpoch}, ${st.epoch}] " +
+        "of the index at " + path +
+        " - future epochs don't exist; epochs below the floor were compacted away")
+    st.copy(epoch = asOf)
+  }
+
+  /** The window state a reader resolves against: the committed head, or
+    * a [[stateAsOf]]-pinned past epoch.
+    */
+  private def windowState(path: String, fmt: Format, asOf: Option[Long]): State =
+    asOf.map(stateAsOf(path, _, fmt)).getOrElse(committedState(path, fmt))
+
   /** Flip the manifest to `epoch` (window floor `baseEpoch`) — the
     * commit point. Write-then-rename so a crash mid-commit leaves
     * either the old manifest or the new one, never a torn file.
@@ -194,10 +221,12 @@ object IndexManifest {
   def epochDir(path: String, component: String, epoch: Long): String =
     s"$path/$component/epoch=$epoch"
 
-  /** Read a REWRITE component: exactly the committed epoch's full copy. */
+  /** Read a REWRITE component: exactly the committed epoch's full copy
+    * — or, with `asOf`, the pinned past epoch's ([[stateAsOf]]).
+    */
   def readRewrite(s: SparkSession, path: String, component: String,
-      fmt: Format = AnyFamily): DataFrame =
-    s.read.parquet(epochDir(path, component, committedEpoch(path, fmt)))
+      fmt: Format = AnyFamily, asOf: Option[Long] = None): DataFrame =
+    s.read.parquet(epochDir(path, component, windowState(path, fmt, asOf).epoch))
 
   /** Advance the committed ceiling to `epoch`, PRESERVING the window
     * floor — what every appender's commit must use: committing with the
@@ -326,8 +355,8 @@ object IndexManifest {
     * ceiling are uncommitted stages — both invisible.
     */
   def readAppendOnly(s: SparkSession, path: String, component: String,
-      fmt: Format = AnyFamily): DataFrame =
-    readAppendOnlyEpochs(s, path, component, fmt).drop("epoch")
+      fmt: Format = AnyFamily, asOf: Option[Long] = None): DataFrame =
+    readAppendOnlyEpochs(s, path, component, fmt, asOf).drop("epoch")
 
   /** [[readAppendOnly]] KEEPING the `epoch` partition column — for
     * readers whose merge semantics are epoch-ordered (tombstone
@@ -336,8 +365,8 @@ object IndexManifest {
     * sequence-number rule every deletes-supporting table format uses).
     */
   def readAppendOnlyEpochs(s: SparkSession, path: String, component: String,
-      fmt: Format = AnyFamily): DataFrame = {
-    val st = committedState(path, fmt)
+      fmt: Format = AnyFamily, asOf: Option[Long] = None): DataFrame = {
+    val st = windowState(path, fmt, asOf)
     val base = s"$path/$component"
     s.read.option("basePath", base).parquet(base)
       .filter(col("epoch") >= st.baseEpoch && col("epoch") <= st.epoch)

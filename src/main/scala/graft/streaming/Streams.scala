@@ -1054,4 +1054,71 @@ object Streams {
       .option("truncate", "false")
       .trigger(Trigger.ProcessingTime("1 second"))
       .start()
+
+  // ---------------------------------------------------------------------
+  // Standing erasure queue — the streaming twin of the Erasure
+  // orchestrator: deletion requests (GDPR Art. 17) arrive as a stream
+  // of (doc_id[, text]) rows, and each micro-batch fans out to the
+  // stored-index fleet. foreachBatch's serialized execution IS the
+  // indexes' single-writer contract.
+  //
+  // The replay hazard, solved with a WRITE-AHEAD EPOCH LEDGER: a crash
+  // after some families' manifests advanced but before the batch's
+  // offsets committed makes Structured Streaming REPLAY the batch, and
+  // a blind re-run would double-subtract the already-advanced families
+  // (every forget path's documented ledger discipline). So before any
+  // forget runs, the batch's pre-call epoch snapshot is persisted
+  // (atomic tmp+rename, keyed by batchId); a replayed batch finds its
+  // ledger entry and erases only `targets.remaining(snapshot)` — the
+  // same resume protocol Erasure documents, made durable per batch.
+  // Net: exactly-once erasure per request batch, end to end.
+  // ---------------------------------------------------------------------
+
+  /** Apply one erasure request batch under the write-ahead ledger —
+    * the foreachBatch body, exposed for the replay drill.
+    */
+  private[graft] def applyErasureBatch(
+      batch: DataFrame, targets: graft.queries.Erasure.DocTargets,
+      ledgerDir: String, batchId: Long): Unit = {
+    import java.nio.charset.StandardCharsets
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import graft.queries.Erasure
+    Files.createDirectories(Paths.get(ledgerDir))
+    val entry = Paths.get(ledgerDir, s"batch-$batchId.ledger")
+    val snapshot: Map[String, Long] =
+      if (Files.exists(entry))
+        new String(Files.readAllBytes(entry), StandardCharsets.UTF_8)
+          .linesIterator.filter(_.nonEmpty).map { ln =>
+            val Array(tag, e) = ln.split('=')
+            tag -> e.toLong
+          }.toMap
+      else {
+        val snap = Erasure.committedEpochs(targets.ordered)
+        val tmp = Paths.get(ledgerDir, s".batch-$batchId.tmp")
+        Files.write(tmp, snap.map { case (t, e) => s"$t=$e" }
+          .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+        Files.move(tmp, entry,
+          StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+        snap
+      }
+    val remaining = targets.remaining(snapshot)
+    if (remaining.ordered.nonEmpty && !batch.isEmpty)
+      Erasure.forgetDocs(batch, remaining)
+  }
+
+  /** Start the standing erasure queue over a streaming frame of
+    * requests (`doc_id`, plus `text` when the shingle index is
+    * targeted). The checkpoint carries both the source offsets and the
+    * epoch ledger, so a restart resumes mid-batch without
+    * double-subtracting.
+    */
+  def erasureStream(
+      requests: DataFrame, targets: graft.queries.Erasure.DocTargets,
+      checkpointDir: String): StreamingQuery =
+    requests.writeStream
+      .option("checkpointLocation", s"$checkpointDir/offsets")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyErasureBatch(batch, targets, s"$checkpointDir/ledger", batchId)
+      }
+      .start()
 }

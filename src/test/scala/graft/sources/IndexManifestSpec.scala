@@ -268,4 +268,50 @@ class IndexManifestSpec extends SparkSpec {
     assert(w(gdir).filter(_._2 > 0) === w(greb).filter(_._2 > 0),
       "retry after kill must equal the full-log rebuild")
   }
+
+  test("time travel: as-of reads pin past epochs; the compaction floor bounds travel") {
+    val docs = Seq(
+      (1L, "spark join window spark"), (2L, "join window filter"),
+      (3L, "spark filter")).toDF("doc_id", "text")
+    val day2 = Seq((10L, "spark spark join"), (11L, "window")).toDF("doc_id", "text")
+    val q = Seq("spark", "join", "window")
+    def top(d: String, asOf: Option[Long] = None) =
+      SearchOps.bm25SearchFromIndex(spark, d, q, 10, asOf)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+    val dir = tmp("post-asof")
+    SearchOps.writePostingsIndex(docs, dir)                         // epoch 0
+    SearchOps.appendPostingsIndex(day2, dir)                        // epoch 1
+    SearchOps.deleteFromPostingsIndex(
+      Seq(2L).toDF("doc_id"), dir)                                  // epoch 2
+
+    // every window epoch is a complete snapshot: as-of reads equal
+    // from-scratch twins of the corpus at that commit
+    val twin0 = tmp("post-asof-t0"); SearchOps.writePostingsIndex(docs, twin0)
+    val twin1 = tmp("post-asof-t1")
+    SearchOps.writePostingsIndex(docs.unionByName(day2), twin1)
+    assert(top(dir, Some(0L)) === top(twin0),
+      "as-of 0 must rank exactly as the pre-append index (idf included)")
+    assert(top(dir, Some(1L)) === top(twin1),
+      "as-of 1 must see the append but not the delete")
+    assert(top(dir, Some(2L)) === top(dir), "as-of head == default read")
+
+    // refusals: the future, and (after compaction) the vacuumable past
+    intercept[IllegalArgumentException](top(dir, Some(3L)))
+    SearchOps.compactPostingsIndex(spark, dir)                      // epoch 3, floor 3
+    assert(top(dir) === top(dir, Some(3L)))
+    intercept[IllegalArgumentException](top(dir, Some(1L)))
+
+    // generic reader: a rewrite component read as-of a pre-forget epoch
+    // still shows what that epoch committed (cooccur pairs)
+    val evs = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L)).toDF("user_id", "item")
+    val co = tmp("cooccur-asof")
+    GraphOps.writeCooccurIndex(evs, co)
+    GraphOps.forgetCooccurUsers(Seq(2L).toDF("user_id"), co)
+    def pairs(asOf: Option[Long]) =
+      IndexManifest.readRewrite(spark, co, "pairs", IndexManifest.Cooccur, asOf)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs(Some(0L)) === Map((10L, 11L) -> 2L), "pre-forget snapshot intact")
+    assert(pairs(None) === Map((10L, 11L) -> 1L))
+  }
 }

@@ -1227,4 +1227,76 @@ class StreamsSpec extends SparkSpec {
     assert(got.isEmpty)
   }
 
+  test("erasure stream: per-batch fleet erasure equals stepwise twins; ledger makes replay a no-op") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.queries.{Erasure, SearchOps, TextOps}
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+
+    val docs = Seq(
+      (1L, "spark join window spark"), (2L, "join window filter"),
+      (3L, "spark filter map"), (4L, "window map reduce"),
+      (5L, "spark reduce join")).toDF("doc_id", "text")
+    val targets = Erasure.DocTargets(
+      postings = Some(tmp("es-post")), lsh = Some(tmp("es-lsh")))
+    SearchOps.writePostingsIndex(docs, targets.postings.get)
+    TextOps.writeLshIndex(docs, targets.lsh.get)
+
+    val mem = MemoryStream[(Long, String)]
+    val ckpt = tmp("es-ckpt")
+    val q = Streams.erasureStream(
+      mem.toDF().toDF("doc_id", "text"), targets, ckpt)
+    try {
+      mem.addData(Seq((2L, "join window filter")))
+      q.processAllAvailable()
+      // batch 1 done: both manifests advanced once
+      assert(Erasure.committedEpochs(targets.ordered).values.toSet === Set(1L))
+      mem.addData(Seq((4L, "window map reduce")))
+      q.processAllAvailable()
+      assert(Erasure.committedEpochs(targets.ordered).values.toSet === Set(2L))
+    } finally q.stop()
+
+    // the streamed erasures equal a one-shot twin erasure of {2, 4}
+    val twin = tmp("es-post-twin")
+    SearchOps.writePostingsIndex(docs, twin)
+    SearchOps.deleteFromPostingsIndex(Seq(2L, 4L).toDF("doc_id"), twin)
+    def top(p: String) = SearchOps.bm25SearchFromIndex(
+      spark, p, Seq("spark", "join", "window"), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(top(targets.postings.get) === top(twin))
+
+    // replay drill: re-running a COMMITTED batch id is a no-op (the
+    // write-ahead ledger already records its pre-epochs, so remaining()
+    // is empty) — no double-subtract
+    Streams.applyErasureBatch(
+      Seq((2L, "join window filter")).toDF("doc_id", "text"),
+      targets, s"$ckpt/ledger", batchId = 0L)
+    assert(Erasure.committedEpochs(targets.ordered).values.toSet === Set(2L),
+      "replaying a committed batch must advance nothing")
+    assert(top(targets.postings.get) === top(twin))
+
+    // crash-MID-fan-out drill: target postings + shingle, but feed a
+    // batch with ids only — postings (first in order) erases and
+    // commits, then the shingle leg throws on the missing text column.
+    // The replay of the same batchId with the full frame must find the
+    // write-ahead ledger, skip the already-advanced postings leg, and
+    // run only the shingle leg — each family advances EXACTLY once.
+    val t2 = Erasure.DocTargets(
+      postings = Some(targets.postings.get), shingle = Some(tmp("es-shingle")))
+    TextOps.writeShingleIndex(docs, t2.shingle.get)
+    intercept[Exception] {
+      Streams.applyErasureBatch(
+        Seq(5L).toDF("doc_id"), t2, s"$ckpt/ledger", batchId = 7L)
+    }
+    val mid = Erasure.committedEpochs(t2.ordered)
+    assert(mid("postings") === 3L && mid("shingle") === 0L,
+      "the crash must land between the two families' commits")
+    Streams.applyErasureBatch(
+      Seq((5L, "spark reduce join")).toDF("doc_id", "text"),
+      t2, s"$ckpt/ledger", batchId = 7L)
+    val after = Erasure.committedEpochs(t2.ordered)
+    assert(after("postings") === 3L && after("shingle") === 1L,
+      "replay must skip the committed leg and finish the unreached one")
+  }
+
 }
