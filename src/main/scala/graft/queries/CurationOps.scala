@@ -917,8 +917,157 @@ object CurationOps {
     },
   )
 
+  // ---------------------------------------------------------------------
+  // Privacy release audits — the governance half of the erasure story
+  // (queries/Erasure.scala): before a curated corpus ships, the release
+  // must not re-identify individuals through quasi-identifier (QI)
+  // combinations. Two standard audits (k-anonymity, l-diversity) plus
+  // the enforcement operator (a cascading generalization ladder).
+  //
+  // QI for documents: (lang, source, length bucket) — the metadata a
+  // release exposes even after the text is scrubbed. QI for events:
+  // (event_type, day, value bucket) with user_id as the SENSITIVE
+  // attribute.
+  //
+  // 100 TB shape: all three are a single corpus-wide shuffle keyed by
+  // the QI tuple — partial aggregation collapses each partition to at
+  // most |QI| rows before the exchange (a few hundred here; bounded by
+  // the attribute-domain product, never by corpus size), and the
+  // suppression ladder's residual re-aggregations run on those
+  // group-grain frames, so everything after the first shuffle is
+  // metadata-sized. l-diversity computes its exact distinct-user count
+  // as a two-stage groupBy ((QI, user) then QI) — the partial-agg-
+  // friendly form, never a count_distinct Expand over raw events.
+  // ---------------------------------------------------------------------
+
+  private val kAnonK = 10L
+  private val lDivL = 5L
+
+  /** QI groups too small to release: every (lang, source, n_chars/100)
+    * combination with fewer than k members — each is a re-identification
+    * risk (an attacker who knows a document's metadata narrows it to
+    * < k candidates).
+    */
+  val kAnonymity = Q(
+    "t_k_anonymity",
+    (s, d) => {
+      import s.implicits._
+      docs(s, d)
+        .groupBy($"lang", $"source", expr("n_chars div 100").as("len_b"))
+        .agg(count(lit(1)).as("grp_n"))
+        .filter($"grp_n" < kAnonK)
+    },
+    Some(s"""
+      SELECT lang, source, n_chars // 100 AS len_b,
+             CAST(count(*) AS BIGINT) AS grp_n
+      FROM documents GROUP BY 1, 2, 3 HAVING count(*) < $kAnonK
+    """.stripMargin.trim),
+  )
+
+  /** The k-anonymization ladder over any (lang, source, n_chars) frame,
+    * at the released-group grain — exposed for the planted-corpus spec.
+    *
+    * Bottom-up cascading generalization with RESIDUAL accounting: a
+    * level releases a group only when the rows actually promoted to it
+    * (not the full-population count at that key — those already released
+    * at a finer level are gone) still number >= k, so every released
+    * equivalence class genuinely satisfies k-anonymity:
+    *
+    *   level 0: (lang, source, len_b) groups with n >= k ship as-is;
+    *   level 1: the violating remainder re-groups at (lang, source);
+    *   level 2: what still violates re-groups at (lang);
+    *   level 3: anything left is suppressed outright (one '*' row).
+    */
+  private[queries] def kSuppressOn(docsDf: DataFrame, k: Long): DataFrame = {
+    val s = docsDf.sparkSession
+    import s.implicits._
+    val g0 = docsDf
+      .groupBy($"lang", $"source", expr("n_chars div 100").as("len_b"))
+      .agg(count(lit(1)).as("n"))
+    val l0 = g0.filter($"n" >= k).select(lit(0L).as("gen_level"),
+      $"lang".as("lang_r"), $"source".as("source_r"), $"len_b".as("len_b_r"), $"n")
+    val r1 = g0.filter($"n" < k).groupBy($"lang", $"source").agg(sum($"n").as("n"))
+    val l1 = r1.filter($"n" >= k).select(lit(1L).as("gen_level"),
+      $"lang".as("lang_r"), $"source".as("source_r"), lit(-1L).as("len_b_r"), $"n")
+    val r2 = r1.filter($"n" < k).groupBy($"lang").agg(sum($"n").as("n"))
+    val l2 = r2.filter($"n" >= k).select(lit(2L).as("gen_level"),
+      $"lang".as("lang_r"), lit("*").as("source_r"), lit(-1L).as("len_b_r"), $"n")
+    // grouping the residual by a constant yields NO row when it is empty
+    // (both engines agree), so the suppression row appears only when
+    // something was actually suppressed
+    val l3 = r2.filter($"n" < k).groupBy(lit(3L).as("gen_level"))
+      .agg(sum($"n").as("n"))
+      .select($"gen_level", lit("*").as("lang_r"), lit("*").as("source_r"),
+        lit(-1L).as("len_b_r"), $"n")
+    l0.unionByName(l1).unionByName(l2).unionByName(l3)
+  }
+
+  val kSuppress = Q(
+    "t_k_suppress",
+    (s, d) => kSuppressOn(docs(s, d), kAnonK),
+    Some(s"""
+      WITH g0 AS (
+        SELECT lang, source, n_chars // 100 AS len_b,
+               CAST(count(*) AS BIGINT) AS n
+        FROM documents GROUP BY 1, 2, 3),
+      r1 AS (
+        SELECT lang, source, CAST(sum(n) AS BIGINT) AS n
+        FROM g0 WHERE n < $kAnonK GROUP BY 1, 2),
+      r2 AS (
+        SELECT lang, CAST(sum(n) AS BIGINT) AS n
+        FROM r1 WHERE n < $kAnonK GROUP BY 1)
+      SELECT CAST(0 AS BIGINT) AS gen_level, lang AS lang_r,
+             source AS source_r, len_b AS len_b_r, n
+      FROM g0 WHERE n >= $kAnonK
+      UNION ALL
+      SELECT CAST(1 AS BIGINT), lang, source, CAST(-1 AS BIGINT), n
+      FROM r1 WHERE n >= $kAnonK
+      UNION ALL
+      SELECT CAST(2 AS BIGINT), lang, '*', CAST(-1 AS BIGINT), n
+      FROM r2 WHERE n >= $kAnonK
+      UNION ALL
+      SELECT CAST(3 AS BIGINT), '*', '*', CAST(-1 AS BIGINT),
+             CAST(sum(n) AS BIGINT)
+      FROM r2 WHERE n < $kAnonK GROUP BY 1
+    """.stripMargin.trim),
+    bench = true,
+  )
+
+  /** l-diversity audit over the events release: QI groups whose distinct
+    * SENSITIVE-attribute (user_id) count is below l — a k-anonymous
+    * group of 50 rows all belonging to 2 users still leaks (the
+    * homogeneity attack k-anonymity alone misses).
+    */
+  val lDiversity = Q(
+    "t_l_diversity",
+    (s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .select($"event_type", expr("ts_sec div 86400").as("day"),
+          floor($"value" / lit(50.0)).cast("long").as("val_b"), $"user_id")
+        .groupBy($"event_type", $"day", $"val_b", $"user_id")
+        .agg(count(lit(1)).as("nu"))
+        .groupBy($"event_type", $"day", $"val_b")
+        .agg(sum($"nu").as("n_rows"), count(lit(1)).as("n_users"))
+        .filter($"n_users" < lDivL)
+    },
+    Some(s"""
+      WITH qi AS (
+        SELECT event_type, (epoch_ms(ts)//1000)//86400 AS day,
+               CAST(floor(value/50) AS BIGINT) AS val_b, user_id,
+               count(*) AS nu
+        FROM events GROUP BY 1, 2, 3, 4)
+      SELECT event_type, day, val_b,
+             CAST(sum(nu) AS BIGINT) AS n_rows,
+             CAST(count(*) AS BIGINT) AS n_users
+      FROM qi GROUP BY 1, 2, 3 HAVING count(*) < $lDivL
+    """.stripMargin.trim),
+    bench = true,
+  )
+
   val qs: Seq[Q] =
     Seq(splitAssign, sourceQuota, stratifiedSample, sampleExactK, shardPack,
       seqPack, contamination, domainMix, temperatureMix, trainLeaks,
-      curateCorpus, curateSequences, curateFunnel)
+      curateCorpus, curateSequences, curateFunnel, kAnonymity, kSuppress,
+      lDiversity)
 }

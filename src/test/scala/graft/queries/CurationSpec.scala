@@ -323,4 +323,45 @@ class CurationSpec extends SparkSpec {
     assert(rows(2L)._2 <= rows(1L)._2)
     assert(rows(4L)._2 < rows(3L)._2)
   }
+
+  test("k-suppression ladder: every release is k-anonymous, totals conserved, all levels reachable") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val k = 4L
+    // planted so each ladder level fires: en/web/len0 big enough to ship
+    // at level 0; en/web remainder + en/wiki promote to level 1; fr
+    // splinters to level 2; zz is too small even at the lang grain ->
+    // suppressed at level 3
+    def block(lang: String, src: String, lb: Long, n: Int) =
+      (1 to n).map(i => (lang, src, lb * 100 + i % 100))
+    val corpus = (
+      block("en", "web", 0, 5) ++ block("en", "web", 1, 2) ++
+        block("en", "web", 2, 1) ++ block("en", "wiki", 0, 3) ++
+        block("en", "wiki", 1, 2) ++ block("fr", "web", 0, 2) ++
+        block("fr", "wiki", 1, 3) ++ block("zz", "web", 0, 2)
+    ).toDF("lang", "source", "n_chars")
+    val rel = CurationOps.kSuppressOn(corpus, k)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(rel === Set(
+      (0L, "en", "web", 0L, 5L),   // level 0: big enough as-is
+      (1L, "en", "wiki", -1L, 5L), // level 1: 3+2 promoted rows
+      (2L, "fr", "*", -1L, 5L),    // level 2: fr's two sources pool
+      (3L, "*", "*", -1L, 5L),     // level 3: en/web residue 3 + zz 2
+    ), rel.toString)
+    // the k-anonymity GUARANTEE: every non-suppressed released class
+    // has >= k members, and no document vanished or was double-released
+    rel.foreach { case (lvl, _, _, _, n) =>
+      assert(lvl == 3L || n >= k, s"level-$lvl release of size $n < $k")
+    }
+    assert(rel.toSeq.map(_._5).sum === corpus.count(),
+      "ladder must conserve the corpus row total")
+    // when every residue resolves at level 1, NO level-2/3 row appears
+    val resolves = (block("en", "web", 0, 5) ++ block("en", "web", 1, 2) ++
+      block("en", "web", 2, 2)).toDF("lang", "source", "n_chars")
+    val rel2 = CurationOps.kSuppressOn(resolves, k).collect()
+    assert(rel2.map(_.getLong(0)).toSet === Set(0L, 1L),
+      "no level-2/3 rows when every residue resolves earlier: " + rel2.mkString(","))
+  }
 }
