@@ -1878,18 +1878,20 @@ object VectorOps {
   }
 
   /** Shared oracle CTE chain: subs/cw/vsub/scored/codes — the DuckDB
-    * mirror of [[pqCodesOn]], reused by all three PQ oracles.
+    * mirror of [[pqCodesOn]], reused by all three PQ oracles —
+    * parameterized by the corpus relation (`v_ivfpq_asof` swaps in the
+    * pre-append split).
     */
-  private def oPqCodesCte: String =
+  private def oPqCodesCteFrom(src: String): String =
     s"""subs AS (SELECT unnest(generate_series(0, ${pqM - 1})) AS sub),
        |      cw AS (
        |        SELECT s.sub, c.vec_id AS code,
        |               list_slice(c.embedding, s.sub * $pqSubDim + 1, s.sub * $pqSubDim + $pqSubDim) AS c_sub
-       |        FROM embeddings c CROSS JOIN subs s WHERE c.vec_id < $pqK),
+       |        FROM $src c CROSS JOIN subs s WHERE c.vec_id < $pqK),
        |      vsub AS (
        |        SELECT v.vec_id, s.sub,
        |               list_slice(v.embedding, s.sub * $pqSubDim + 1, s.sub * $pqSubDim + $pqSubDim) AS v_sub
-       |        FROM embeddings v CROSS JOIN subs s),
+       |        FROM $src v CROSS JOIN subs s),
        |      pq_scored AS (
        |        SELECT vsub.vec_id, vsub.sub, cw.code,
        |               CAST(FLOOR(1e6 * (${oDotSub("v_sub", "v_sub")} + ${oDotSub("c_sub", "c_sub")}
@@ -1900,6 +1902,8 @@ object VectorOps {
        |          SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub
        |                                       ORDER BY d2_micros ASC, code ASC) AS rk
        |          FROM pq_scored) WHERE rk = 1)""".stripMargin
+
+  private def oPqCodesCte: String = oPqCodesCteFrom("embeddings")
 
   val pqEncode = Q(
     "v_pq_encode",
@@ -2295,17 +2299,19 @@ object VectorOps {
       .select($"query_id", $"cand_id", $"adc_micros", $"rnk")
   }
 
-  val ivfPqSearch = Q(
-    "v_ivfpq_search",
-    (s, d) => ivfPqSearchOn(vecs(s, d)),
-    Some(s"""
-      WITH cents AS (SELECT vec_id AS cell, embedding AS c_emb FROM embeddings
+  /** The full IVF-PQ search oracle over any corpus relation — shared by
+    * `v_ivfpq_search` (the live corpus) and `v_ivfpq_asof` (the
+    * pre-append split, mirroring what the pinned index epoch held).
+    */
+  private def oIvfPqSearchFrom(src: String, prelude: String = ""): String =
+    s"""
+      WITH ${prelude}cents AS (SELECT vec_id AS cell, embedding AS c_emb FROM $src
                      WHERE vec_id < $nCells),
       dists AS (
         SELECT v.vec_id, v.embedding, c.cell,
                CAST(FLOOR(1e6 * (${oDot("v.embedding", "v.embedding")} + ${oDot("c.c_emb", "c.c_emb")}
                  - 2.0 * ${oDot("v.embedding", "c.c_emb")})) AS BIGINT) AS d2c_micros
-        FROM embeddings v CROSS JOIN cents c),
+        FROM $src v CROSS JOIN cents c),
       ranked AS (
         SELECT vec_id, cell,
                ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2c_micros ASC, cell ASC) AS rk
@@ -2316,11 +2322,11 @@ object VectorOps {
       cands AS (
         SELECT p.query_id, a.cand_id
         FROM probes p JOIN assigned a ON a.cell = p.q_cell AND a.cand_id <> p.query_id),
-      $oPqCodesCte,
+      ${oPqCodesCteFrom(src)},
       q AS (
         SELECT v.vec_id AS query_id, CAST(s.sub AS BIGINT) AS sub,
                list_slice(v.embedding, s.sub * $pqSubDim + 1, s.sub * $pqSubDim + $pqSubDim) AS q_sub
-        FROM embeddings v CROSS JOIN subs s
+        FROM $src v CROSS JOIN subs s
         WHERE v.vec_id >= $pqK AND v.vec_id < ${pqK + nQueries}),
       lut AS (
         SELECT q.query_id, q.sub, cw.code,
@@ -2336,7 +2342,41 @@ object VectorOps {
       SELECT query_id, cand_id, adc_micros,
              ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_micros ASC, cand_id ASC) AS rnk
       FROM adc QUALIFY rnk <= $topK
-    """.stripMargin.trim),
+    """.stripMargin.trim
+
+  val ivfPqSearch = Q(
+    "v_ivfpq_search",
+    (s, d) => ivfPqSearchOn(vecs(s, d)),
+    Some(oIvfPqSearchFrom("embeddings")),
+  )
+
+  /** Dense-retrieval time travel, hash-gated end to end — the vector
+    * twin of `t_bm25_asof`: build the base split (epoch 0), fold the
+    * delta in (epoch 1), then run the stored-index ADC search AS-OF
+    * epoch 0 — the ranking must be exactly the pre-append one. The
+    * oracle recomputes the full IVF-PQ pipeline over the base split
+    * from scratch, so a reader that leaks any appended code (or probes
+    * a cell the pinned epoch never filled) hash-mismatches. Centroid /
+    * codebook / query-panel ids stay in the base so the trained tables
+    * and the probes are split-invariant.
+    */
+  val ivfPqAsOf = Q(
+    "v_ivfpq_asof",
+    (s, d) => {
+      import s.implicits._
+      val keep = nCells + nQueries
+      val all = vecs(s, d)
+      val dir = graft.sources.Scratch.dir("graft-ivfpq-asof")
+      writeIvfPqIndex(all.filter($"vec_id" < keep || $"vec_id" % 10 =!= 3), dir)
+      appendIvfPqIndex(all.filter($"vec_id" >= keep && $"vec_id" % 10 === 3), dir)
+      val queries = all
+        .filter($"vec_id" >= nCells && $"vec_id" < nCells + nQueries)
+        .select($"vec_id".as("query_id"), $"embedding")
+      ivfPqSearchFromIndex(s, dir, queries, asOf = Some(0L))
+    },
+    Some(oIvfPqSearchFrom("emb_base",
+      s"emb_base AS (SELECT * FROM embeddings WHERE vec_id < ${nCells + nQueries} " +
+        "OR vec_id % 10 <> 3),\n      ")),
   )
 
   // ---------------------------------------------------------------------
@@ -2559,10 +2599,11 @@ object VectorOps {
     * tombstones under epoch precedence ([[deleteFromIvfPqIndex]]).
     * Cell partition pruning pushes below the tombstone join.
     */
-  private[queries] def storedIvfPqCodes(s: SparkSession, path: String): DataFrame = {
+  private[queries] def storedIvfPqCodes(s: SparkSession, path: String,
+      asOf: Option[Long] = None): DataFrame = {
     import graft.sources.IndexManifest
-    val codes = IndexManifest.readAppendOnlyEpochs(s, path, "codes", IndexManifest.IvfPq)
-    val dels = IndexManifest.readAppendOnlyEpochs(s, path, "dels", IndexManifest.IvfPq)
+    val codes = IndexManifest.readAppendOnlyEpochs(s, path, "codes", IndexManifest.IvfPq, asOf)
+    val dels = IndexManifest.readAppendOnlyEpochs(s, path, "dels", IndexManifest.IvfPq, asOf)
       .groupBy(col("vec_id")).agg(max(col("epoch")).as("del_epoch"))
     codes.join(dels, Seq("vec_id"), "left")
       .filter(col("del_epoch").isNull || col("epoch") > col("del_epoch"))
@@ -2665,8 +2706,16 @@ object VectorOps {
     * hand-off, same sanctioned class as the shard packer's offsets).
     * Identical ranking contract to [[ivfPqSearchOn]] — the parity spec
     * pins it.
+    *
+    * `asOf` pins the code table to a past committed epoch
+    * ([[graft.sources.IndexManifest.stateAsOf]]) — dense-retrieval time
+    * travel. Centroids and codewords are IMMUTABLE plain directories
+    * (append never touches them), so the pinned snapshot is consistent
+    * by construction: past codes were encoded with exactly the tables
+    * read today.
     */
-  def ivfPqSearchFromIndex(s: SparkSession, path: String, queries: DataFrame): DataFrame = {
+  def ivfPqSearchFromIndex(s: SparkSession, path: String, queries: DataFrame,
+      asOf: Option[Long] = None): DataFrame = {
     import s.implicits._
     graft.functions.GraftFunctions.registerDotD(s)
     val cents = s.read.parquet(s"$path/centroids")
@@ -2697,7 +2746,7 @@ object VectorOps {
     // O(|q|·nprobe) driver hand-off -> a LITERAL partition filter the
     // parquet source prunes directories with
     val probedCells = probes.select($"cell").distinct().collect().map(_.getLong(0))
-    val cand = storedIvfPqCodes(s, path)
+    val cand = storedIvfPqCodes(s, path, asOf)
       .filter($"cell".isin(probedCells: _*))
     val w = Window.partitionBy($"query_id").orderBy($"adc_micros".asc, $"cand_id")
     cand
@@ -3459,6 +3508,7 @@ object VectorOps {
     pqRecall,
     pqRecallTrained,
     ivfPqSearch,
+    ivfPqAsOf,
     ivfPqResidualSearch,
     clusterTopics,
   )

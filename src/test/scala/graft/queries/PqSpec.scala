@@ -284,4 +284,37 @@ class PqSpec extends SparkSpec {
       assert(pct >= 0L && pct <= 100L)
     }
   }
+
+  test("ivfPqSearchFromIndex asOf: pinned epoch == pre-append twin, head sees the delta") {
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.registerDotD(spark)
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val maxId = emb.agg(max(col("vec_id"))).head().getLong(0)
+    // the delta: returned candidates re-shipped under fresh ids with a
+    // guaranteed-closer twin of each query vector, so the head read MUST
+    // rank differently from the pinned epoch
+    val queries = emb.filter(col("vec_id") >= 16 && col("vec_id") < 21)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val delta = queries
+      .select((col("query_id") + maxId + 1).as("vec_id"), col("embedding"),
+        lit(0).cast("int").as("label"))
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq-asof").toString
+    VectorOps.writeIvfPqIndex(emb, dir)
+    VectorOps.appendIvfPqIndex(delta, dir)
+    def hits(d: String, asOf: Option[Long]) =
+      VectorOps.ivfPqSearchFromIndex(spark, d, queries, asOf)
+        .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"),
+          r.getAs[Long]("rnk"))).toSet
+    val twin = java.nio.file.Files.createTempDirectory("ivfpq-asof-twin").toString
+    VectorOps.writeIvfPqIndex(emb, twin)
+    assert(hits(dir, Some(0L)) === hits(twin, None),
+      "as-of 0 must rank exactly as the pre-append index")
+    val head = hits(dir, None)
+    assert(head !== hits(dir, Some(0L)), "the head read must see the delta")
+    // each query's exact duplicate ranks first at head (ADC distance 0)
+    queries.collect().map(_.getLong(0)).foreach { q =>
+      assert(head.contains((q, q + maxId + 1, 1L)), s"query $q's planted twin not rank 1")
+    }
+    intercept[IllegalArgumentException](hits(dir, Some(2L)))
+  }
 }
