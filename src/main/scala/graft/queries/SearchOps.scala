@@ -1216,8 +1216,102 @@ object SearchOps {
     """.stripMargin.trim),
   )
 
+  // ---------------------------------------------------------------------
+  // Hybrid retrieval from STORED indexes — production RAG's steady
+  // state: the postings index and the IVF-PQ index both live on disk
+  // with their own epoch histories, a query fans out to both, and RRF
+  // fuses the two rank lists (t_rrf_fusion's exact-ppm rule). Both legs
+  // take independent as-of pins, so a recorded (sparse_epoch,
+  // dense_epoch) pair replays the exact retrieval months later even
+  // after both indexes grew — the hybrid extension of the t_bm25_asof /
+  // v_ivfpq_asof reproducibility primitive.
+  //
+  // 100 TB shape: strictly the two verified stored-search plans (bucket-
+  // pruned postings scan; probed-cell-pruned ADC scan) feeding a
+  // k-bounded full-outer fuse — both lists are <= pool rows before any
+  // rank window, so fusion cost is independent of corpus size.
+  // ---------------------------------------------------------------------
+
+  /** Fuse stored-index BM25 and stored-index IVF-PQ ADC rankings by
+    * reciprocal rank. `probe` is one (query_id, embedding) row; ids
+    * share the doc/vec id space (the corpus convention). Each leg's
+    * as-of pin travels independently — sparse and dense indexes commit
+    * on their own cadences.
+    */
+  def hybridSearchFromIndexes(
+      s: SparkSession, postingsPath: String, ivfPqPath: String,
+      terms: Seq[String], probe: DataFrame, k: Int,
+      asOfSparse: Option[Long] = None, asOfDense: Option[Long] = None): DataFrame = {
+    import s.implicits._
+    val sparse = bm25SearchFromIndex(s, postingsPath, terms, fusionPool, asOfSparse)
+      .withColumn("rank_sparse",
+        row_number().over(Window.orderBy($"score_pp12".desc, $"doc_id")).cast("long"))
+      .select($"doc_id", $"rank_sparse")
+    val dense = VectorOps.ivfPqSearchFromIndex(s, ivfPqPath, probe, asOfDense)
+      .select($"cand_id".as("doc_id"), $"rnk".as("rank_dense"))
+    sparse.join(dense, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_ppm", expr(
+        s"coalesce(1000000L div (${rrfC}L + rank_sparse), 0L) + " +
+          s"coalesce(1000000L div (${rrfC}L + rank_dense), 0L)"))
+      .orderBy($"rrf_ppm".desc, $"doc_id")
+      .limit(k)
+      .withColumn("rnk",
+        row_number().over(Window.orderBy($"rrf_ppm".desc, $"doc_id")).cast("long"))
+      .select($"doc_id",
+        coalesce($"rank_sparse", lit(-1L)).as("rank_sparse"),
+        coalesce($"rank_dense", lit(-1L)).as("rank_dense"),
+        $"rrf_ppm", $"rnk")
+  }
+
+  /** Both stored indexes built, then fused — the oracle recomputes each
+    * leg from scratch (full BM25 core; full IVF-PQ pipeline with the
+    * probe as the panel) and applies the same exact-integer RRF, so any
+    * divergence in either stored leg or the fuse hash-mismatches.
+    */
+  val hybridFromIndex = Q(
+    "t_hybrid_from_index",
+    (s, d) => {
+      import s.implicits._
+      val pdir = graft.sources.Scratch.dir("graft-hybrid-post")
+      writePostingsIndex(docs(s, d), pdir)
+      val vdir = graft.sources.Scratch.dir("graft-hybrid-ivfpq")
+      VectorOps.writeIvfPqIndex(Tables.embeddings(s, d), vdir)
+      val probe = Tables.embeddings(s, d)
+        .filter($"vec_id" === probeId)
+        .select($"vec_id".as("query_id"), $"embedding")
+      hybridSearchFromIndexes(s, pdir, vdir, queryTerms, probe, fusionK)
+    },
+    Some(s"""
+      WITH $oracleBm25Core,
+      scored AS (
+        SELECT m.doc_id, CAST(SUM(dfa.idf_ppm * $oracleSat) AS BIGINT) AS score_pp12
+        FROM m JOIN dfa USING (t) WHERE m.t IN ($termsSql) GROUP BY 1),
+      sp AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY score_pp12 DESC, doc_id) AS rank_sparse
+        FROM scored QUALIFY rank_sparse <= $fusionPool),
+      ${VectorOps.oIvfPqCtesFrom("embeddings", s"vec_id = $probeId")},
+      dn AS (
+        SELECT cand_id AS doc_id,
+               ROW_NUMBER() OVER (ORDER BY adc_micros ASC, cand_id ASC) AS rank_dense
+        FROM adc QUALIFY rank_dense <= ${VectorOps.topK}),
+      f AS (
+        SELECT COALESCE(sp.doc_id, dn.doc_id) AS doc_id,
+               sp.rank_sparse, dn.rank_dense,
+               COALESCE(1000000 // ($rrfC + sp.rank_sparse), 0)
+                 + COALESCE(1000000 // ($rrfC + dn.rank_dense), 0) AS rrf_ppm
+        FROM sp FULL JOIN dn ON sp.doc_id = dn.doc_id)
+      SELECT doc_id,
+             COALESCE(rank_sparse, -1) AS rank_sparse,
+             COALESCE(rank_dense, -1) AS rank_dense,
+             CAST(rrf_ppm AS BIGINT) AS rrf_ppm,
+             ROW_NUMBER() OVER (ORDER BY rrf_ppm DESC, doc_id) AS rnk
+      FROM f QUALIFY rnk <= $fusionK
+    """.stripMargin.trim),
+  )
+
   val qs: Seq[Q] = Seq(
     boolSearch, tfidfSearch, bm25Search, rrfFusion, prfExpand, phraseSearch,
     proximitySearch, entityResolution, entityCanon, entityTypos, searchMrr,
-    bm25Forget, bm25AsOf)
+    bm25Forget, bm25AsOf, hybridFromIndex)
 }

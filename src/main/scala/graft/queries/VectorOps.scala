@@ -99,7 +99,7 @@ object VectorOps {
   // ---------------------------------------------------------------------
 
   private val nQueries = 5
-  private val topK = 10
+  private[queries] val topK = 10
 
   /** Exact cosine top-k for the fixed query set — the ANN ground truth
     * every recall audit (IVF, PQ, and the round-15 quantization family)
@@ -2299,13 +2299,14 @@ object VectorOps {
       .select($"query_id", $"cand_id", $"adc_micros", $"rnk")
   }
 
-  /** The full IVF-PQ search oracle over any corpus relation — shared by
-    * `v_ivfpq_search` (the live corpus) and `v_ivfpq_asof` (the
-    * pre-append split, mirroring what the pinned index epoch held).
+  /** The IVF-PQ search oracle's CTE chain (through `adc`) over any
+    * corpus relation and query-panel predicate — shared by
+    * `v_ivfpq_search` (the live corpus, standard panel),
+    * `v_ivfpq_asof` (the pre-append split), and SearchOps'
+    * `t_hybrid_from_index` (a single probe vector, fused with BM25).
     */
-  private def oIvfPqSearchFrom(src: String, prelude: String = ""): String =
-    s"""
-      WITH ${prelude}cents AS (SELECT vec_id AS cell, embedding AS c_emb FROM $src
+  private[queries] def oIvfPqCtesFrom(src: String, panelPred: String): String =
+    s"""cents AS (SELECT vec_id AS cell, embedding AS c_emb FROM $src
                      WHERE vec_id < $nCells),
       dists AS (
         SELECT v.vec_id, v.embedding, c.cell,
@@ -2318,7 +2319,7 @@ object VectorOps {
         FROM dists),
       assigned AS (SELECT vec_id AS cand_id, cell FROM ranked WHERE rk = 1),
       probes AS (SELECT vec_id AS query_id, cell AS q_cell FROM ranked
-                 WHERE vec_id >= $nCells AND vec_id < ${nCells + nQueries} AND rk <= $nProbe),
+                 WHERE ($panelPred) AND rk <= $nProbe),
       cands AS (
         SELECT p.query_id, a.cand_id
         FROM probes p JOIN assigned a ON a.cell = p.q_cell AND a.cand_id <> p.query_id),
@@ -2327,7 +2328,7 @@ object VectorOps {
         SELECT v.vec_id AS query_id, CAST(s.sub AS BIGINT) AS sub,
                list_slice(v.embedding, s.sub * $pqSubDim + 1, s.sub * $pqSubDim + $pqSubDim) AS q_sub
         FROM $src v CROSS JOIN subs s
-        WHERE v.vec_id >= $pqK AND v.vec_id < ${pqK + nQueries}),
+        WHERE ($panelPred)),
       lut AS (
         SELECT q.query_id, q.sub, cw.code,
                CAST(FLOOR(1e6 * (${oDotSub("q_sub", "q_sub")} + ${oDotSub("c_sub", "c_sub")}
@@ -2338,7 +2339,16 @@ object VectorOps {
         FROM (SELECT c.query_id, c.cand_id, k.sub, k.code
               FROM cands c JOIN codes k ON k.vec_id = c.cand_id) cd
         JOIN lut l ON l.query_id = cd.query_id AND l.sub = cd.sub AND l.code = cd.code
-        GROUP BY 1, 2)
+        GROUP BY 1, 2)""".stripMargin
+
+  /** The full search statement — CTE chain + per-query top-k — over the
+    * standard query panel; `prelude` injects extra leading CTEs
+    * (`v_ivfpq_asof`'s base-split relation).
+    */
+  private def oIvfPqSearchFrom(src: String, prelude: String = ""): String =
+    s"""
+      WITH $prelude${oIvfPqCtesFrom(src,
+      s"vec_id >= $nCells AND vec_id < ${nCells + nQueries}")}
       SELECT query_id, cand_id, adc_micros,
              ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_micros ASC, cand_id ASC) AS rnk
       FROM adc QUALIFY rnk <= $topK

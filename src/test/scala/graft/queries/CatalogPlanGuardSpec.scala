@@ -65,7 +65,13 @@ class CatalogPlanGuardSpec extends SparkSpec {
       "v_mrl_recall",
       // filtered ANN + MMR pool build: the v_knn_brute broadcast-panel
       // probe (MMR's greedy rounds are equi-joins on query_id)
-      "v_filtered_ann", "v_mmr_rerank")
+      "v_filtered_ann", "v_mmr_rerank",
+      // stored-index time travel + hybrid: both run the stored ADC
+      // search, whose probe step is the IVF family's sanctioned
+      // centroid-assignment cross (queries x 16 broadcast centroids);
+      // the hybrid adds nothing else unkeyed (the fuse is a full-outer
+      // equi-join of two <= pool-row lists)
+      "v_ivfpq_asof", "t_hybrid_from_index")
 
   test("no catalog query plans a cartesian, a rogue BNLJ, or a single-partition stage") {
     val offenders = Catalog.all.flatMap { q =>

@@ -318,4 +318,44 @@ class SearchOpsSpec extends SparkSpec {
     }
     assert(got.nonEmpty)
   }
+
+  test("hybrid stored search: independent as-of pins replay the exact pre-append fusion") {
+    graft.functions.GraftFunctions.registerDotD(spark)
+    val docsDf = graft.sources.Tables.documents(spark, sf)
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val maxDoc = docsDf.agg(max($"doc_id")).head().getLong(0)
+    val maxVec = emb.agg(max($"vec_id")).head().getLong(0)
+    val pdir = java.nio.file.Files.createTempDirectory("hyb-post").toString
+    val vdir = java.nio.file.Files.createTempDirectory("hyb-ivfpq").toString
+    SearchOps.writePostingsIndex(docsDf, pdir)
+    VectorOps.writeIvfPqIndex(emb, vdir)
+    val probe = emb.filter($"vec_id" === 0L)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val terms = Seq("spark", "join", "window")
+    def fuse(aS: Option[Long], aD: Option[Long]) =
+      SearchOps.hybridSearchFromIndexes(spark, pdir, vdir, terms, probe, 10, aS, aD)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+    val epoch0 = fuse(None, None)
+    // both indexes grow on their OWN cadences: a term-stuffed doc that
+    // must enter the sparse top list, and each probe's exact twin on the
+    // dense side
+    import spark.implicits._
+    SearchOps.appendPostingsIndex(
+      Seq((maxDoc + 1, ("spark join window " * 8).trim)).toDF("doc_id", "text"), pdir)
+    VectorOps.appendIvfPqIndex(
+      probe.select(lit(maxVec + 1).as("vec_id"), $"embedding",
+        lit(0).cast("int").as("label")), vdir)
+    // the recorded (0, 0) pair replays the original fusion exactly
+    assert(fuse(Some(0L), Some(0L)) === epoch0)
+    // each leg's pin is independent: pinning only one leg moves only
+    // the other list
+    val sparseMoved = fuse(None, Some(0L))
+    val denseMoved = fuse(Some(0L), None)
+    assert((sparseMoved !== epoch0) && sparseMoved.exists(_._1 == maxDoc + 1),
+      "head sparse leg must admit the stuffed doc")
+    assert((denseMoved !== epoch0) && denseMoved.exists(_._1 == maxVec + 1),
+      "head dense leg must admit the planted twin")
+    assert(fuse(None, None) === fuse(None, None), "head fusion deterministic")
+  }
 }
