@@ -33,7 +33,7 @@ object Catalog {
   def all: Seq[Q] =
     Relational.qs ++ EventAnalytics.qs ++ GraphOps.qs ++ TextOps.qs ++
       SearchOps.qs ++ LearnOps.qs ++ CurationOps.qs ++ VectorOps.qs ++
-      MediaOps.qs
+      MediaOps.qs ++ LayoutOps.qs
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.spark).toMap

@@ -1,0 +1,169 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Z-order (Morton) data layout — the multi-dimensional file-skipping
+  * lever every 100 TB table layout eventually needs: a table range-
+  * queried on TWO dimensions (user and day here) can be sorted by only
+  * one of them, so a 1-D sort gives perfect pruning on its own dimension
+  * and none on the other. Interleaving the dimensions' bits into one
+  * z-value and bucketing files by it gives PARTIAL pruning on every
+  * dimension at once — a 2-D box maps to a small set of z-buckets, and
+  * the scan touches only those directories (parquet partition pruning,
+  * `PartitionFilters` in the plan).
+  *
+  * Engineering choices:
+  *   - The z-value is a pure composition of codegen'd builtins
+  *     (bitwiseAND / OR / shiftleft — the classic 5-step bit-spreading
+  *     sequence), NOT a UDF: encoding 100 TB of rows stays inside
+  *     whole-stage codegen.
+  *   - Query-side bucket derivation ENUMERATES the box's integer grid
+  *     and mortonizes each cell driver-side (bounded O(area) hand-off,
+  *     exact). Production engines decompose huge boxes into z-ranges
+  *     with the BIGMIN algorithm instead (Tropf & Herzog 1981); at the
+  *     box sizes a day/user filter produces, enumeration is simpler and
+  *     equally exact, and the cap below keeps it honest.
+  *   - Buckets are fixed-width (`z >> shift`). A production layout
+  *     range-partitions z into equal-ROW files instead (the
+  *     t_shard_pack discipline); fixed width keeps the bucket id a pure
+  *     per-row projection, which is what the pruning demo needs.
+  */
+object LayoutOps {
+
+  /** (shift, mask) steps spreading a 32-bit value into the even bit
+    * positions of a 64-bit word.
+    */
+  private val spreadSteps: Seq[(Int, Long)] = Seq(
+    (16, 0x0000FFFF0000FFFFL), (8, 0x00FF00FF00FF00FFL),
+    (4, 0x0F0F0F0F0F0F0F0FL), (2, 0x3333333333333333L),
+    (1, 0x5555555555555555L))
+
+  private def spread(c: Column): Column =
+    spreadSteps.foldLeft(c.bitwiseAND(lit(0xFFFFFFFFL))) { case (x, (s, m)) =>
+      x.bitwiseOR(shiftleft(x, s)).bitwiseAND(lit(m))
+    }
+
+  /** Bit-interleave two non-negative 32-bit dimensions (x in the even
+    * positions, y in the odd) — whole-stage-codegen'd builtins only.
+    */
+  def morton2(x: Column, y: Column): Column =
+    spread(x).bitwiseOR(shiftleft(spread(y), 1))
+
+  /** Driver-side twin of [[morton2]] for box→bucket enumeration; the
+    * property spec pins engine/driver parity.
+    */
+  def morton2Long(x: Long, y: Long): Long = {
+    def sp(v0: Long): Long =
+      spreadSteps.foldLeft(v0 & 0xFFFFFFFFL) { case (x, (s, m)) => (x | (x << s)) & m }
+    sp(x) | (sp(y) << 1)
+  }
+
+  /** DuckDB mirror of [[spread]] — textual fold, fully parenthesized.
+    * The expression text duplicates per step (32 copies of the base
+    * term); callers pass short column names.
+    */
+  private def oSpread(e: String): String =
+    spreadSteps.foldLeft(s"($e & ${0xFFFFFFFFL})") { case (x, (s, m)) =>
+      s"((($x) | (($x) << $s)) & $m)"
+    }
+
+  private def oMorton(x: String, y: String): String =
+    s"(${oSpread(x)} | (${oSpread(y)} << 1))"
+
+  private val oDay = "(epoch_ms(ts)//1000)//86400"
+
+  // the layout parameters the catalog rows bake in: day/user interleave,
+  // 1024-wide z cells per bucket directory
+  private val zShift = 10
+
+  /** Write `evs` as a z-bucketed parquet layout under `path`: one
+    * directory (and one file) per `z >> shift` bucket. The bucket id is
+    * a pure projection, so the only exchange is the one repartition
+    * that coalesces each bucket to a single writer task.
+    */
+  def writeZorderLayout(evs: DataFrame, path: String, shift: Int = zShift): Unit = {
+    val s = evs.sparkSession
+    import s.implicits._
+    evs
+      .withColumn("day", expr("ts_sec div 86400"))
+      .withColumn("zbucket",
+        shiftright(morton2($"user_id", $"day"), shift))
+      .repartition($"zbucket")
+      .write.mode("overwrite").partitionBy("zbucket")
+      .parquet(path)
+  }
+
+  /** Exact 2-D box scan over a z-bucketed layout: enumerate the box's
+    * (user, day) grid, mortonize driver-side, and push the distinct
+    * bucket set down as a partition filter; the residual row filter
+    * restores exactness. Touches only the matching buckets' directories
+    * — the multi-dimensional pruning a 1-D sort cannot give.
+    */
+  def zorderBoxScan(s: SparkSession, path: String,
+      uLo: Long, uHi: Long, dLo: Long, dHi: Long,
+      shift: Int = zShift): DataFrame = {
+    import s.implicits._
+    val area = (uHi - uLo + 1) * (dHi - dLo + 1)
+    require(area > 0 && area <= 1000000,
+      s"box area $area outside (0, 1e6] - decompose huge boxes into " +
+        "z-ranges (BIGMIN) instead of enumerating")
+    val buckets = (for {
+      u <- uLo to uHi
+      d <- dLo to dHi
+    } yield morton2Long(u, d) >> shift).distinct
+    s.read.parquet(path)
+      .filter($"zbucket".isin(buckets: _*))
+      .filter($"user_id".between(uLo, uHi) && $"day".between(dLo, dHi))
+  }
+
+  /** The z-key itself, oracle-gated: bit-for-bit engine/DuckDB parity
+    * of the 5-step interleave over the whole events table.
+    */
+  val zorderKey = Q(
+    "e_zorder_key",
+    (s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .withColumn("day", expr("ts_sec div 86400"))
+        .select($"event_id", $"user_id", $"day",
+          morton2($"user_id", $"day").as("z"))
+    },
+    Some(s"""
+      SELECT event_id, user_id, $oDay AS day,
+             ${oMorton("user_id", s"($oDay)")} AS z
+      FROM events
+    """.stripMargin.trim),
+  )
+
+  // the demo box: present at every SF (users 3-9 exist from sf0.001 up;
+  // the day window is 10 of the corpus's 30 days)
+  private val (boxULo, boxUHi, boxDLo, boxDHi) = (3L, 9L, 19730L, 19739L)
+
+  /** End-to-end: lay the events table out z-bucketed, then answer the
+    * 2-D box query through bucket pruning. The oracle is the plain
+    * filter over the raw table, so any row lost to a mis-derived bucket
+    * set (or leaked past the residual filter) hash-mismatches.
+    */
+  val zorderScan = Q(
+    "e_zorder_scan",
+    (s, d) => {
+      import s.implicits._
+      val dir = graft.sources.Scratch.dir("graft-zorder")
+      writeZorderLayout(Tables.events(s, d), dir)
+      zorderBoxScan(s, dir, boxULo, boxUHi, boxDLo, boxDHi)
+        .select($"event_id", $"user_id", $"day")
+    },
+    Some(s"""
+      SELECT event_id, user_id, $oDay AS day
+      FROM events
+      WHERE user_id BETWEEN $boxULo AND $boxUHi
+        AND $oDay BETWEEN $boxDLo AND $boxDHi
+    """.stripMargin.trim),
+    bench = true,
+  )
+
+  val qs: Seq[Q] = Seq(zorderKey, zorderScan)
+}

@@ -1,0 +1,74 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Z-order layout: encode parity, exactness of the bucket-pruned box
+  * scan, and the actual pruning — on BOTH dimensions, the property a
+  * 1-D sort cannot give.
+  */
+class LayoutSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.01"
+
+  test("engine morton2 equals the driver twin and is invertible on the grid") {
+    val rnd = new scala.util.Random(42)
+    val pairs = Seq.tabulate(200)(_ =>
+      (rnd.nextInt(1 << 16).toLong, rnd.nextInt(1 << 16).toLong)) ++
+      Seq((0L, 0L), (0xFFFFFFFFL, 0xFFFFFFFFL), (1L, 0L), (0L, 1L))
+    val got = pairs.toDF("x", "y")
+      .select($"x", $"y", LayoutOps.morton2($"x", $"y").as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    pairs.foreach { case (x, y) =>
+      assert(got((x, y)) === LayoutOps.morton2Long(x, y), s"($x,$y)")
+    }
+    // interleave is injective: distinct pairs -> distinct z
+    assert(got.values.toSet.size === got.size)
+  }
+
+  test("box scan is exact, prunes partitions, and prunes on BOTH dimensions") {
+    val dir = java.nio.file.Files.createTempDirectory("zorder-layout").toString
+    val evs = graft.sources.Tables.events(spark, sf)
+    LayoutOps.writeZorderLayout(evs, dir)
+    val totalBuckets = new java.io.File(dir).listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("zbucket="))
+    assert(totalBuckets > 1, "fixture layout must have something to prune")
+
+    def scan(uLo: Long, uHi: Long, dLo: Long, dHi: Long) =
+      LayoutOps.zorderBoxScan(spark, dir, uLo, uHi, dLo, dHi)
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select($"event_id").collect().map(_.getLong(0)).toSet
+    def bucketsTouched(uLo: Long, uHi: Long, dLo: Long, dHi: Long) =
+      (for { u <- uLo to uHi; d <- dLo to dHi }
+        yield LayoutOps.morton2Long(u, d) >> 10).distinct.size
+
+    // exactness vs the raw-table filter
+    val brute = evs
+      .withColumn("day", expr("ts_sec div 86400"))
+      .filter($"user_id".between(3, 9) && $"day".between(19730L, 19739L))
+    assert(rowsOf(scan(3, 9, 19730, 19739)) === rowsOf(brute))
+    assert(rowsOf(scan(3, 9, 19730, 19739)).nonEmpty)
+
+    // the partition filter is real (pushed to the parquet source)
+    val plan = scan(3, 9, 19730, 19739).queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("zbucket"), plan)
+
+    // pruning on the 2-D box, and on EACH dimension alone — a user-
+    // sorted layout would read everything for the day-only predicate
+    // (and vice versa); z-order prunes both, partially
+    val (minD, maxD) = (19723L, 19752L)
+    val maxU = evs.agg(max($"user_id")).head().getLong(0)
+    assert(bucketsTouched(3, 9, 19730, 19739) < totalBuckets)
+    assert(bucketsTouched(3, 9, minD, maxD) < totalBuckets,
+      "user-only predicate must still prune")
+    assert(bucketsTouched(0, maxU, 19730, 19739) < totalBuckets,
+      "day-only predicate must still prune")
+
+    // degenerate boxes refuse instead of enumerating forever
+    intercept[IllegalArgumentException](
+      LayoutOps.zorderBoxScan(spark, dir, 0, 100000, 0, 100000))
+  }
+}
