@@ -2583,6 +2583,17 @@ object VectorOps {
     * cell), the code table is append-only under epoch directories, and
     * the manifest flip is the commit point.
     */
+  /** Centroid GENERATION directory, keyed by the committed window
+    * FLOOR: any operation that changes the centroid set (a cell-split
+    * rebalance) must also rebase the window (compaction semantics), so
+    * `gen == baseEpoch` always resolves the centroids every readable
+    * epoch's codes were assigned with — as-of reads stay consistent
+    * across a rebalance for free, and a crash mid-rebalance leaves only
+    * an orphan gen directory the manifest never points at.
+    */
+  private def centroidsDir(path: String, floor: Long): String =
+    s"$path/centroids/gen=$floor"
+
   def writeIvfPqIndex(emb: DataFrame, path: String): Unit = {
     import graft.sources.IndexManifest
     val s = emb.sparkSession
@@ -2590,7 +2601,7 @@ object VectorOps {
     emb.filter($"vec_id" < nCells)
       .select($"vec_id".as("cell"), $"embedding".as("c_emb"))
       .coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/centroids")
+      .write.mode("overwrite").parquet(centroidsDir(path, 0L))
     pqCodewords(emb)
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/codewords")
@@ -2682,6 +2693,10 @@ object VectorOps {
       .parquet(IndexManifest.epochDir(path, "codes", e))
     Seq.empty[Long].toDF("vec_id").write.mode("overwrite")
       .parquet(IndexManifest.epochDir(path, "dels", e))
+    // carry the centroid generation to the new floor (gen == baseEpoch
+    // invariant); 16 rows, trivial copy
+    s.read.parquet(centroidsDir(path, st.baseEpoch))
+      .coalesce(1).write.mode("overwrite").parquet(centroidsDir(path, e))
     val st2 = IndexManifest.committedState(path, IndexManifest.IvfPq)
     if (st2.epoch != st.epoch)
       throw new java.util.ConcurrentModificationException(
@@ -2693,12 +2708,214 @@ object VectorOps {
   /** Stage (but do NOT commit) epoch `e` of an IVF-PQ append — exposed
     * for the atomicity spec.
     */
+  // ---------------------------------------------------------------------
+  // Cell-split rebalance — ACTING on what v_index_balance only reports:
+  // a skewed IVF index (hot cells from a drifted corpus or a mis-sized
+  // codebook) makes every probe of a hot cell slow and pushes cells past
+  // the semantic-dedup cap, where candidates silently drop. The
+  // rebalance splits every over-cap cell in two along its widest
+  // dimension (exact integer rule: floor-micros min/max per dim, widest
+  // spread wins, tie to the lowest dim; a member goes low iff
+  // 2*floor(1e6*v[dim]) <= m_lo + m_hi — no division, no floats, so the
+  // DuckDB oracle reproduces the plan bit-for-bit) and refits both
+  // halves' centroids by the k-means fixed-point discipline
+  // (order-independent integer micros sums).
+  //
+  // The rewrite is COMPACTION-CLASS: codes are fully resolved and
+  // re-laid-out (only split-cell members actually change cell), the new
+  // centroid generation stages under gen=<new floor>, and the commit
+  // rebases the window — so as-of readers can never pair old codes with
+  // new centroids, and a crash before the flip leaves only orphan
+  // stages. PQ codebooks are untouched (codes encode raw vectors, not
+  // cells).
+  //
+  // 100 TB shape: one resolved-codes pass (the compactor's cost), one
+  // raw-vector join against ONLY the over-cap cells' members, per-dim
+  // stats as a 2x|split-cells|x64-row agg, and an O(cells x dim) driver
+  // hand-off for the refit centroids (the kmeansTrain sanction).
+  // ---------------------------------------------------------------------
+
+  /** The split plan over (cell, vec_id, embedding) members of over-cap
+    * cells — the exact-integer core, exposed for the oracle row and the
+    * spec. Output: (cell, n_before, split_dim, mid2_micros, n_lo, n_hi).
+    */
+  private[queries] def splitPlanOn(members: DataFrame): DataFrame = {
+    val s = members.sparkSession
+    import s.implicits._
+    val byDim = members
+      .select($"cell", posexplode($"embedding").as(Seq("dim", "v")))
+      .withColumn("vm", micros($"v".cast("double")))
+      .groupBy($"cell", $"dim")
+      .agg(min($"vm").as("m_lo"), max($"vm").as("m_hi"), count(lit(1)).as("n_before"))
+    val wDim = Window.partitionBy($"cell")
+      .orderBy(($"m_hi" - $"m_lo").desc, $"dim".asc)
+    val pick = byDim.withColumn("rk", row_number().over(wDim)).filter($"rk" === 1)
+      .select($"cell", $"dim".cast("long").as("split_dim"),
+        ($"m_lo" + $"m_hi").as("mid2_micros"), $"n_before")
+    members
+      .join(broadcast(pick), Seq("cell"))
+      .withColumn("vm", micros(
+        element_at($"embedding", ($"split_dim" + 1L).cast("int")).cast("double")))
+      .groupBy($"cell", $"n_before", $"split_dim", $"mid2_micros")
+      .agg(sum(when($"vm" * 2L <= $"mid2_micros", 1L).otherwise(0L)).as("n_lo"))
+      .withColumn("n_hi", $"n_before" - $"n_lo")
+      .select($"cell", $"n_before", $"split_dim", $"mid2_micros", $"n_lo", $"n_hi")
+  }
+
+  /** Rebalance the stored IVF-PQ index at `path`: split every cell
+    * holding more than 110% of the mean (the balance radar's skew
+    * grain) and commit the new layout + centroid generation as a
+    * window-rebasing epoch. `emb` supplies raw vectors for the index's
+    * live members (the append/delete caller contract). Returns the
+    * split report (the plan actually applied); cells whose widest
+    * dimension is constant (n_hi = 0) are reported but left unsplit.
+    */
+  def splitIvfPqCells(emb: DataFrame, path: String): DataFrame = {
+    import graft.sources.IndexManifest
+    val s = emb.sparkSession
+    import s.implicits._
+    val st = IndexManifest.committedState(path, IndexManifest.IvfPq)
+    val e = st.epoch + 1L
+    val codes = storedIvfPqCodes(s, path).cache()
+    // the cell partition column reads back as INT when values fit —
+    // normalize to the centroid table's LONG for every derived frame
+    val cells = codes.filter($"sub" === 0L)
+      .select($"vec_id", $"cell".cast("long").as("cell"))
+    val sizes = cells.groupBy($"cell").agg(count(lit(1)).as("n")).cache()
+    val (total, nc) = {
+      val r = sizes.agg(sum($"n"), count(lit(1))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val cap = (total * 11L) / (nc * 10L)
+    val members = cells
+      .join(sizes.filter($"n" > cap).select($"cell"), Seq("cell"))
+      .join(emb.select($"vec_id", $"embedding"), Seq("vec_id"))
+      .select($"cell", $"vec_id", $"embedding")
+    val plan = splitPlanOn(members).cache()
+    // O(|split cells|) driver hand-off: the split rule + fresh cell ids
+    val maxCell = s.read.parquet(centroidsDir(path, st.baseEpoch))
+      .agg(max($"cell")).head().getLong(0)
+    val splits = plan.filter($"n_hi" > 0L).collect()
+      .map(r => (r.getLong(0), r.getLong(3))).sortBy(_._1)
+      .zipWithIndex
+      .map { case ((cell, mid2), i) => (cell, mid2, maxCell + 1L + i) }
+    if (splits.nonEmpty) {
+      val splitDf = plan.filter($"n_hi" > 0L)
+        .join(splits.toSeq.toDF("cell", "mid2_chk", "hi_cell"), Seq("cell"))
+        .select($"cell", $"split_dim", $"mid2_micros", $"hi_cell")
+      // side assignment for split-cell members; everyone else keeps cell
+      val sides = members
+        .join(broadcast(splitDf), Seq("cell"))
+        .withColumn("vm", micros(
+          element_at($"embedding", ($"split_dim" + 1L).cast("int")).cast("double")))
+        .withColumn("new_cell",
+          when($"vm" * 2L <= $"mid2_micros", $"cell").otherwise($"hi_cell"))
+      // refit both halves' centroids: order-independent integer sums
+      // (the kmeansTrain discipline), O(cells x dim) collected
+      val refit = sides
+        .select($"new_cell", posexplode($"embedding").as(Seq("dim", "v")))
+        .withColumn("vm", micros($"v".cast("double")))
+        .groupBy($"new_cell", $"dim")
+        .agg(sum($"vm").as("sm"), count(lit(1)).as("cnt"))
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (cell, rows) =>
+          val arr = rows.sortBy(_.getInt(1))
+            .map(r => (r.getLong(2).toDouble / r.getLong(3) / 1e6).toFloat).toArray
+          (cell, arr)
+        }
+      val keep = s.read.parquet(centroidsDir(path, st.baseEpoch))
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        .filterNot { case (c, _) => refit.contains(c) }
+      (keep ++ refit).toSeq.sortBy(_._1).toDF("cell", "c_emb")
+        .coalesce(1).write.mode("overwrite").parquet(centroidsDir(path, e))
+      // resolved codes with the reassignment applied — compaction-class
+      val moved = sides.filter($"new_cell" =!= $"cell")
+        .select($"vec_id", $"new_cell")
+      codes
+        .join(moved, Seq("vec_id"), "left")
+        .withColumn("cell", coalesce($"new_cell", $"cell"))
+        .drop("new_cell")
+        .repartition($"cell")
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(IndexManifest.epochDir(path, "codes", e))
+      Seq.empty[Long].toDF("vec_id").write.mode("overwrite")
+        .parquet(IndexManifest.epochDir(path, "dels", e))
+      val st2 = IndexManifest.committedState(path, IndexManifest.IvfPq)
+      if (st2.epoch != st.epoch)
+        throw new java.util.ConcurrentModificationException(
+          s"index at $path: rebalance staged epoch $e over committed ${st.epoch} " +
+            s"but found ${st2.epoch} at commit time - re-run (single-writer contract)")
+      IndexManifest.commit(path, e, baseEpoch = e, IndexManifest.IvfPq)
+    }
+    plan
+  }
+
+  /** The rebalance plan, oracle-gated: build the index, run the split,
+    * and hash-match the applied report against DuckDB's from-scratch
+    * recomputation (assignment -> 110%-of-mean cap -> widest-dimension
+    * integer split rule).
+    */
+  val indexSplit = Q(
+    "v_index_split",
+    (s, d) => {
+      import s.implicits._
+      val dir = graft.sources.Scratch.dir("graft-ivfpq-split")
+      writeIvfPqIndex(vecs(s, d), dir)
+      splitIvfPqCells(vecs(s, d), dir)
+    },
+    Some(s"""
+      WITH cents AS (SELECT vec_id AS cell, embedding AS c_emb FROM embeddings
+                     WHERE vec_id < $nCells),
+      dists AS (
+        SELECT v.vec_id, c.cell,
+               CAST(FLOOR(1e6 * (${oDot("v.embedding", "v.embedding")} + ${oDot("c.c_emb", "c.c_emb")}
+                 - 2.0 * ${oDot("v.embedding", "c.c_emb")})) AS BIGINT) AS d2_micros
+        FROM embeddings v CROSS JOIN cents c),
+      ranked AS (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2_micros ASC, cell ASC) AS rk
+        FROM dists),
+      assigned AS (SELECT vec_id, cell FROM ranked WHERE rk = 1),
+      sizes AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n FROM assigned GROUP BY 1),
+      cap AS (SELECT (CAST(SUM(n) AS BIGINT) * 11) // (CAST(COUNT(*) AS BIGINT) * 10) AS cap
+              FROM sizes),
+      mem AS (
+        SELECT a.cell, a.vec_id, e.embedding
+        FROM assigned a
+        JOIN sizes sz ON a.cell = sz.cell
+        JOIN embeddings e ON a.vec_id = e.vec_id, cap
+        WHERE sz.n > cap.cap),
+      bydim AS (
+        SELECT m.cell, i - 1 AS dim,
+               MIN(CAST(FLOOR(1e6 * m.embedding[i]) AS BIGINT)) AS m_lo,
+               MAX(CAST(FLOOR(1e6 * m.embedding[i]) AS BIGINT)) AS m_hi,
+               CAST(COUNT(*) AS BIGINT) AS n_before
+        FROM mem m CROSS JOIN generate_series(1, 64) t(i) GROUP BY 1, 2),
+      pick AS (
+        SELECT cell, CAST(dim AS BIGINT) AS split_dim,
+               m_lo + m_hi AS mid2_micros, n_before
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY cell
+                ORDER BY (m_hi - m_lo) DESC, dim ASC) AS rk FROM bydim)
+        WHERE rk = 1),
+      cnt AS (
+        SELECT m.cell,
+               CAST(SUM(CASE WHEN 2 * CAST(FLOOR(1e6 * m.embedding[p.split_dim + 1]) AS BIGINT)
+                             <= p.mid2_micros THEN 1 ELSE 0 END) AS BIGINT) AS n_lo
+        FROM mem m JOIN pick p ON m.cell = p.cell GROUP BY 1)
+      SELECT p.cell, p.n_before, p.split_dim, p.mid2_micros,
+             c.n_lo, p.n_before - c.n_lo AS n_hi
+      FROM pick p JOIN cnt c ON p.cell = c.cell
+    """.stripMargin.trim),
+  )
+
   private[graft] def stageIvfPqAppend(newVecs: DataFrame, path: String, e: Long): Unit = {
     import graft.sources.IndexManifest
     val s = newVecs.sparkSession
     import s.implicits._
     graft.functions.GraftFunctions.registerDotD(s)
-    val cents = s.read.parquet(s"$path/centroids").collect()
+    val floor = IndexManifest.committedState(path, IndexManifest.IvfPq).baseEpoch
+    val cents = s.read.parquet(centroidsDir(path, floor)).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq.sortBy(_._1)
     val cw = s.read.parquet(s"$path/codewords")
     pqCodesWith(newVecs, cw)
@@ -2727,8 +2944,12 @@ object VectorOps {
   def ivfPqSearchFromIndex(s: SparkSession, path: String, queries: DataFrame,
       asOf: Option[Long] = None): DataFrame = {
     import s.implicits._
+    import graft.sources.IndexManifest
     graft.functions.GraftFunctions.registerDotD(s)
-    val cents = s.read.parquet(s"$path/centroids")
+    // the window floor is invariant across every readable as-of epoch,
+    // so one generation serves both head and pinned reads
+    val floor = IndexManifest.committedState(path, IndexManifest.IvfPq).baseEpoch
+    val cents = s.read.parquet(centroidsDir(path, floor))
     val cw = s.read.parquet(s"$path/codewords")
     val wProbe = Window.partitionBy($"query_id").orderBy($"d2c_micros".asc, $"cell".asc)
     val probes = queries
@@ -3519,6 +3740,7 @@ object VectorOps {
     pqRecallTrained,
     ivfPqSearch,
     ivfPqAsOf,
+    indexSplit,
     ivfPqResidualSearch,
     clusterTopics,
   )

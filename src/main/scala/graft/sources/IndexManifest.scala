@@ -105,7 +105,7 @@ object IndexManifest {
   val Lsh        = Format("lsh", 2)
   val Shingle    = Format("shingle", 2)
   val Postings   = Format("postings", 2)
-  val IvfPq      = Format("ivfpq", 2)
+  val IvfPq      = Format("ivfpq", 3) // v3: centroid generations (gen=<floor>)
   val Transition = Format("transition", 2)
   val Cooccur    = Format("cooccur", 3) // v3: user tombstones (dels/)
   val Scd2       = Format("scd2", 2)

@@ -260,7 +260,7 @@ class PqSpec extends SparkSpec {
     VectorOps.appendIvfPqIndex(arrivals, appended)
     val rebuilt = java.nio.file.Files.createTempDirectory("ivfpq-reb").toString
     VectorOps.writeIvfPqIndex(emb.unionByName(arrivals), rebuilt)
-    def codes(dir: String) = graft.sources.IndexManifest.readAppendOnly(spark, dir, "codes")
+    def codes(dir: String) = graft.sources.IndexManifest.readAppendOnly(spark, dir, "codes", graft.sources.IndexManifest.IvfPq)
       .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("sub"),
         r.getAs[Long]("code"), r.getAs[Long]("err_micros"),
         r.getAs[Number]("cell").longValue)).toSet
@@ -283,6 +283,82 @@ class PqSpec extends SparkSpec {
       val pct = r.getAs[Long]("recall_pct")
       assert(pct >= 0L && pct <= 100L)
     }
+  }
+
+  test("splitIvfPqCells: hot cells split exactly, codes conserved, window rebased, index stays live") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    graft.functions.GraftFunctions.registerDotD(spark)
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq-split").toString
+    VectorOps.writeIvfPqIndex(emb, dir)
+    def codeSet(d: String) = graft.sources.IndexManifest
+      .readAppendOnly(spark, d, "codes", graft.sources.IndexManifest.IvfPq)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("sub"),
+        r.getAs[Long]("code"))).toSet
+    def cellOf(d: String) = graft.sources.IndexManifest
+      .readAppendOnly(spark, d, "codes", graft.sources.IndexManifest.IvfPq)
+      .filter(col("sub") === 0L)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[Number]("cell").longValue).toMap
+    val preCodes = codeSet(dir)
+    val preCells = cellOf(dir)
+    val preMax = preCells.groupBy(_._2).map(_._2.size).max
+
+    val report = VectorOps.splitIvfPqCells(emb, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(report.nonEmpty, "fixture corpus must have over-cap cells")
+    report.foreach { case (_, nb, _, _, nLo, nHi) => assert(nLo + nHi === nb) }
+
+    // window rebased (compaction semantics): floor == head, old epochs
+    // refused for time travel, and the new centroid generation is live
+    val st = graft.sources.IndexManifest.committedState(
+      dir, graft.sources.IndexManifest.IvfPq)
+    assert(st.baseEpoch === st.epoch && st.epoch === 1L)
+    val cents = spark.read.parquet(s"$dir/centroids/gen=1")
+      .collect().map(r => r.getLong(0)).sorted
+    assert(cents.length === 16 + report.count(_._6 > 0))
+
+    // codes conserved bit-for-bit; only split-cell members moved, and
+    // each moved exactly per the integer rule
+    assert(codeSet(dir) === preCodes)
+    val postCells = cellOf(dir)
+    val vecsById = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val hiIds = report.filter(_._6 > 0).map(_._1).sorted
+      .zipWithIndex.map { case (c, i) => c -> (15L + 1L + i) }.toMap
+    preCells.foreach { case (v, c) =>
+      report.find(_._1 == c) match {
+        case Some((_, _, dimIdx, mid2, _, _)) =>
+          val vm = math.floor(vecsById(v)(dimIdx.toInt).toDouble * 1e6).toLong
+          val expect = if (2 * vm <= mid2) c else hiIds(c)
+          assert(postCells(v) === expect, s"vec $v of split cell $c")
+        case None => assert(postCells(v) === c, s"vec $v of untouched cell $c")
+      }
+    }
+    assert(postCells.groupBy(_._2).map(_._2.size).max < preMax,
+      "rebalance must reduce the max cell size")
+
+    // the rebalanced index serves appends + search with the NEW
+    // generation: a planted twin of a moved member ranks beside it
+    val moved = preCells.collect {
+      case (v, c) if postCells(v) != c && v >= 21 => v
+    }.head
+    val maxId = emb.agg(max($"vec_id")).head().getLong(0)
+    VectorOps.appendIvfPqIndex(
+      emb.filter($"vec_id" === moved)
+        .select(lit(maxId + 1).as("vec_id"), $"embedding", $"label"), dir)
+    val probe = emb.filter($"vec_id" === moved)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val top = VectorOps.ivfPqSearchFromIndex(spark, dir, probe)
+      .collect().map(r => (r.getAs[Long]("cand_id"), r.getAs[Long]("rnk")))
+    assert(top.exists { case (c, r) => c == maxId + 1 && r <= 2 },
+      s"planted twin of moved member $moved must rank in the top 2: ${top.mkString(",")}")
+    // travel below the rebalance floor refuses (old codes + new
+    // centroids can never pair)
+    intercept[IllegalArgumentException](
+      VectorOps.ivfPqSearchFromIndex(spark, dir, probe, asOf = Some(0L)).collect())
   }
 
   test("ivfPqSearchFromIndex asOf: pinned epoch == pre-append twin, head sees the delta") {

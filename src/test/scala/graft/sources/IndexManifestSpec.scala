@@ -179,7 +179,7 @@ class IndexManifestSpec extends SparkSpec {
     val vdir = tmp("ivfpq-compact")
     VectorOps.writeIvfPqIndex(emb, vdir)
     VectorOps.appendIvfPqIndex(arrivals, vdir)
-    def codes(d: String) = IndexManifest.readAppendOnly(spark, d, "codes")
+    def codes(d: String) = IndexManifest.readAppendOnly(spark, d, "codes", IndexManifest.IvfPq)
       .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("sub"),
         r.getAs[Long]("code"))).toSet
     val cBefore = codes(vdir)
@@ -239,7 +239,7 @@ class IndexManifestSpec extends SparkSpec {
       .select(($"vec_id" + maxId + 1).as("vec_id"), $"embedding", $"label")
     val vdir = tmp("ivfpq-kill")
     VectorOps.writeIvfPqIndex(emb, vdir)
-    def nCodes(d: String) = IndexManifest.readAppendOnly(spark, d, "codes").count()
+    def nCodes(d: String) = IndexManifest.readAppendOnly(spark, d, "codes", IndexManifest.IvfPq).count()
     val n0 = nCodes(vdir)
     VectorOps.stageIvfPqAppend(arrivals, vdir, 1L)
     assert(nCodes(vdir) === n0, "uncommitted codes visible")
