@@ -1065,9 +1065,59 @@ object CurationOps {
     bench = true,
   )
 
+  /** End-to-end erasure certificate, hash-gated: deploy four
+    * row-traceable indexes (postings, LSH, IVF-PQ, BQ), erase three
+    * docs through the Erasure orchestrator, then certify absence for
+    * them PLUS three untouched controls. The oracle computes each
+    * control's expected live-row counts from first principles (distinct
+    * terms for postings; 4 bands when the doc has >= 3 tokens for LSH;
+    * one row per PQ subspace; one packed BQ row) and 0 for the erased —
+    * so a certificate that under-scans (misses live rows) or a forget
+    * path that leaks rows both hash-mismatch.
+    */
+  val erasureCert = Q(
+    "t_erasure_cert",
+    (s, d) => {
+      import s.implicits._
+      graft.functions.GraftFunctions.registerDotD(s)
+      val emb = Tables.embeddings(s, d)
+      val targets = Erasure.DocTargets(
+        postings = Some(graft.sources.Scratch.dir("graft-cert-post")),
+        lsh = Some(graft.sources.Scratch.dir("graft-cert-lsh")),
+        ivfPq = Some(graft.sources.Scratch.dir("graft-cert-ivfpq")),
+        bq = Some(graft.sources.Scratch.dir("graft-cert-bq")))
+      SearchOps.writePostingsIndex(docs(s, d), targets.postings.get)
+      TextOps.writeLshIndex(docs(s, d), targets.lsh.get)
+      VectorOps.writeIvfPqIndex(emb, targets.ivfPq.get)
+      VectorOps.writeBqIndex(emb, targets.bq.get)
+      val gone = Seq(4L, 14L, 24L)
+      Erasure.forgetDocs(gone.toDF("doc_id"), targets)
+      Erasure.certificate(s, targets,
+        (gone ++ Seq(5L, 15L, 25L)).toDF("doc_id"))
+    },
+    Some(s"""
+      WITH ids(doc_id, gone) AS (VALUES (4, 1), (14, 1), (24, 1),
+                                        (5, 0), (15, 0), (25, 0)),
+      tokd AS (
+        SELECT doc_id,
+               CAST(len(list_distinct(${TextOps.oracleToks})) AS BIGINT) AS nt,
+               CAST(len(${TextOps.oracleToks}) AS BIGINT) AS ntok
+        FROM documents),
+      fam(family) AS (VALUES ('postings'), ('lsh'), ('ivfpq'), ('bq'))
+      SELECT CAST(i.doc_id AS BIGINT) AS doc_id, f.family,
+             CAST(CASE WHEN i.gone = 1 THEN 0
+                  WHEN f.family = 'postings' THEN t.nt
+                  WHEN f.family = 'lsh' THEN
+                    CASE WHEN t.ntok >= 3 THEN 4 ELSE 0 END
+                  WHEN f.family = 'ivfpq' THEN 4
+                  ELSE 1 END AS BIGINT) AS live_refs
+      FROM ids i CROSS JOIN fam f JOIN tokd t ON t.doc_id = i.doc_id
+    """.stripMargin.trim),
+  )
+
   val qs: Seq[Q] =
     Seq(splitAssign, sourceQuota, stratifiedSample, sampleExactK, shardPack,
       seqPack, contamination, domainMix, temperatureMix, trainLeaks,
       curateCorpus, curateSequences, curateFunnel, kAnonymity, kSuppress,
-      lDiversity)
+      lDiversity, erasureCert)
 }

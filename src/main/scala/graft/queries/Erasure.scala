@@ -156,4 +156,52 @@ object Erasure {
           userEvs.get.join(u, Seq("user_id"), "left_semi"), p)
     }
   }
+
+  /** ERASURE CERTIFICATE — auditable proof of absence, the compliance
+    * artifact a deletion request closes with: for each audited doc id
+    * and each ROW-TRACEABLE deployed family, the count of live index
+    * rows still referencing it (tombstone-resolved, exactly what a
+    * reader would serve). A forgotten doc must certify 0 across the
+    * board; auditing a few NON-forgotten controls alongside proves the
+    * scan actually looks (all-zeros-by-construction certifies nothing).
+    *
+    * Row-traceable: postings (one row per distinct term), LSH (one row
+    * per band), IVF-PQ (one row per PQ subspace), BQ (one packed row).
+    * The shingle index is NOT certifiable this way by design — it
+    * stores aggregated counts with no doc attribution; its erasure is
+    * certified by the negated-count epoch ledger instead. SCD2 purge
+    * audits live in Scd2PurgeSpec (history rows are doc-keyed but the
+    * family's oracle discipline covers them).
+    *
+    * Scale shape: one tombstone-resolved scan per family, semi-joined
+    * to the bounded audit-id set before the per-doc count — no
+    * corpus-sized state beyond the scans readers already do.
+    */
+  def certificate(s: SparkSession, targets: DocTargets, ids: DataFrame): DataFrame = {
+    val idsDf = ids.select(col("doc_id").cast("long").as("doc_id"))
+      .distinct().localCheckpoint(true)
+    def refCounts(tag: String, path: String): Option[DataFrame] = (tag match {
+      case "postings" => Some(SearchOps.storedPostings(s, path)
+        .drop("epoch").select(col("doc_id")))
+      case "lsh"      => Some(TextOps.storedLshBands(s, path).select(col("doc_id")))
+      case "ivfpq"    => Some(VectorOps.storedIvfPqCodes(s, path)
+        .select(col("vec_id").as("doc_id")))
+      case "bq"       => Some(VectorOps.storedBqWords(s, path)
+        .select(col("vec_id").as("doc_id")))
+      case _          => None // shingle: count-aggregated; scd2: see scaladoc
+    }).map { rows =>
+      rows.join(idsDf, Seq("doc_id"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    }
+    val per = targets.ordered.flatMap { case (tag, p) =>
+      refCounts(tag, p).map { counts =>
+        idsDf.join(counts, Seq("doc_id"), "left")
+          .select(col("doc_id"), lit(tag).as("family"),
+            coalesce(col("n"), lit(0L)).as("live_refs"))
+      }
+    }
+    require(per.nonEmpty,
+      "certificate needs at least one row-traceable family in targets")
+    per.reduce(_ unionByName _)
+  }
 }
