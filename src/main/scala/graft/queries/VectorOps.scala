@@ -2598,6 +2598,9 @@ object VectorOps {
     import graft.sources.IndexManifest
     val s = emb.sparkSession
     import s.implicits._
+    // public entry point: callers may not have gone through vecs()'s
+    // session registration (the replica sweep caught exactly that)
+    graft.functions.GraftFunctions.registerDotD(s)
     emb.filter($"vec_id" < nCells)
       .select($"vec_id".as("cell"), $"embedding".as("c_emb"))
       .coalesce(1)
