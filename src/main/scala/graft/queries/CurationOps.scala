@@ -1115,9 +1115,54 @@ object CurationOps {
     """.stripMargin.trim),
   )
 
+  /** "SHOW INDEXES" end to end, hash-gated: drive four index families
+    * through DIFFERENT lifecycle states (day-3 postings: build + append
+    * + forget; day-1 LSH: fresh build; compacted IVF-PQ: rebased
+    * window; tombstoned BQ; plus a deliberately uncommitted root) and
+    * assert the introspection surface reports exactly the manifest
+    * state machine's expected (family, version, epoch, floor,
+    * components) — a literal-VALUES oracle, since every field is a
+    * deterministic consequence of the protocol.
+    */
+  val indexCatalog = Q(
+    "t_index_catalog",
+    (s, d) => {
+      import s.implicits._
+      import graft.sources.{IndexManifest, Scratch}
+      graft.functions.GraftFunctions.registerDotD(s)
+      val emb = Tables.embeddings(s, d)
+      val p = Scratch.dir("graft-icat-post")
+      SearchOps.writePostingsIndex(docs(s, d).filter($"doc_id" % 10 =!= 3), p)
+      SearchOps.appendPostingsIndex(docs(s, d).filter($"doc_id" % 10 === 3), p)
+      SearchOps.deleteFromPostingsIndex(Seq(1L).toDF("doc_id"), p)
+      val l = Scratch.dir("graft-icat-lsh")
+      TextOps.writeLshIndex(docs(s, d), l)
+      val v = Scratch.dir("graft-icat-ivfpq")
+      VectorOps.writeIvfPqIndex(emb, v)
+      VectorOps.compactIvfPqIndex(s, v)
+      val b = Scratch.dir("graft-icat-bq")
+      VectorOps.writeBqIndex(emb, b)
+      VectorOps.deleteFromBqIndex(Seq(0L).toDF("vec_id"), b)
+      IndexManifest.describe(s, Seq(
+        "postings_day3" -> p, "lsh_day1" -> l, "ivfpq_compacted" -> v,
+        "bq_tombstoned" -> b,
+        "crashed_build" -> Scratch.dir("graft-icat-none")))
+    },
+    Some("""
+      SELECT * FROM (VALUES
+        ('postings_day3', 'postings', CAST(2 AS BIGINT), CAST(2 AS BIGINT),
+         CAST(0 AS BIGINT), 'corpus,dels,postings,terms'),
+        ('lsh_day1', 'lsh', 2, 0, 0, 'bands,bucket_counts,dels'),
+        ('ivfpq_compacted', 'ivfpq', 3, 1, 1, 'centroids,codes,codewords,dels'),
+        ('bq_tombstoned', 'bq', 2, 1, 0, 'dels,words'),
+        ('crashed_build', '_uncommitted', -1, -1, -1, '')
+      ) AS t(name, family, format_version, epoch, base_epoch, components)
+    """.stripMargin.trim),
+  )
+
   val qs: Seq[Q] =
     Seq(splitAssign, sourceQuota, stratifiedSample, sampleExactK, shardPack,
       seqPack, contamination, domainMix, temperatureMix, trainLeaks,
       curateCorpus, curateSequences, curateFunnel, kAnonymity, kSuppress,
-      lDiversity, erasureCert)
+      lDiversity, erasureCert, indexCatalog)
 }

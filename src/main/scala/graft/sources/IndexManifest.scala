@@ -332,10 +332,16 @@ object IndexManifest {
     ls(root).filter(Files.isDirectory(_)).foreach { compDir =>
       ls(compDir).foreach { epochDir =>
         val name = epochDir.getFileName.toString
-        val digits = name.stripPrefix("epoch=")
-        if (name.startsWith("epoch=") && digits.nonEmpty &&
-          digits.forall(_.isDigit) && digits.toLong < floor) {
-          // depth-first delete of the stale epoch directory
+        // epoch=<e> slices below the floor are a compaction's superseded
+        // inputs; gen=<g> GENERATION directories (IVF-PQ centroids) obey
+        // the gen == baseEpoch invariant, so a gen below the floor was
+        // superseded by the rebalance/compaction that rebased the window
+        // — both are unreachable by any reader, head or as-of
+        val digits = if (name.startsWith("epoch=")) name.stripPrefix("epoch=")
+          else if (name.startsWith("gen=")) name.stripPrefix("gen=")
+          else ""
+        if (digits.nonEmpty && digits.forall(_.isDigit) && digits.toLong < floor) {
+          // depth-first delete of the stale directory
           Using.resource(Files.walk(epochDir)) { st =>
             st.sorted(java.util.Comparator.reverseOrder())
               .forEach(p => Files.delete(p))
@@ -345,6 +351,33 @@ object IndexManifest {
       }
     }
     removed
+  }
+
+  /** Fleet introspection — the "SHOW INDEXES" surface an operator
+    * points at their index roots: one row per index with the family
+    * tag, format version, committed window, and the sorted component
+    * directory list, straight from the manifests + a directory listing
+    * (no data files touched). `name` labels each root (paths are
+    * per-run scratch in tests, so the label is the stable identity).
+    * An uncommitted root (no manifest) reports family `_uncommitted`
+    * with a (-1, -1) window rather than throwing — the janitor's view
+    * must include crashed builds.
+    */
+  def describe(s: SparkSession, named: Seq[(String, String)]): org.apache.spark.sql.DataFrame = {
+    import scala.jdk.CollectionConverters._
+    import scala.util.Using
+    import s.implicits._
+    named.map { case (name, path) =>
+      val st = read(path).getOrElse(State(-1, -1L, -1L, "_uncommitted"))
+      val root = Paths.get(path)
+      val comps =
+        if (!Files.exists(root)) ""
+        else Using.resource(Files.list(root)) { l =>
+          l.iterator().asScala.filter(Files.isDirectory(_))
+            .map(_.getFileName.toString).toSeq.sorted.mkString(",")
+        }
+      (name, st.family, st.formatVersion.toLong, st.epoch, st.baseEpoch, comps)
+    }.toDF("name", "family", "format_version", "epoch", "base_epoch", "components")
   }
 
   /** Read an APPEND-ONLY component: the committed epoch window

@@ -359,6 +359,18 @@ class PqSpec extends SparkSpec {
     // centroids can never pair)
     intercept[IllegalArgumentException](
       VectorOps.ivfPqSearchFromIndex(spark, dir, probe, asOf = Some(0L)).collect())
+
+    // the janitor: the superseded centroid generation (and the stale
+    // epoch-0 code slice) are vacuumable garbage; the live generation
+    // and the search survive
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/centroids/gen=0")))
+    val removed = graft.sources.IndexManifest.vacuum(
+      dir, graft.sources.IndexManifest.IvfPq)
+    assert(removed >= 2L, s"expected stale epoch + gen dirs, removed $removed")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/centroids/gen=0")))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/centroids/gen=1")))
+    assert(VectorOps.ivfPqSearchFromIndex(spark, dir, probe)
+      .collect().map(r => (r.getAs[Long]("cand_id"), r.getAs[Long]("rnk"))).toSeq === top.toSeq)
   }
 
   test("ivfPqSearchFromIndex asOf: pinned epoch == pre-append twin, head sees the delta") {
