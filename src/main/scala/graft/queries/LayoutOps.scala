@@ -119,6 +119,65 @@ object LayoutOps {
       .filter($"user_id".between(uLo, uHi) && $"day".between(dLo, dHi))
   }
 
+  // ---------------------------------------------------------------------
+  // Balanced z-layout + ZONE MAPS — the production form of the bucketed
+  // demo above, the mechanism every table format (Delta, Iceberg, Hudi)
+  // actually ships: files are EQUAL-ROW z-ranges (range partition on z,
+  // z-sorted within each file), and a manifest records per-file min/max
+  // of the query dimensions. A scan intersects the predicate's box with
+  // the per-file ranges and reads only intersecting files — skipping
+  // that works for ANY predicate on the mapped columns, not just boxes
+  // the bucket arithmetic can enumerate. Zone maps earn their keep
+  // exactly because the data is z-SORTED: on a randomly-laid-out table
+  // every file's [min, max] spans the whole domain and nothing skips.
+  //
+  // The zone map itself is a tiny parquet table under the layout root
+  // (O(files) rows, collected driver-side at plan time — the shard
+  // packer's sanctioned hand-off class). Range-partition boundaries
+  // come from Spark's sampling (not bit-deterministic run to run), so
+  // the MANIFEST is derived from the files actually written; query
+  // results stay exact regardless via the residual filter.
+  // ---------------------------------------------------------------------
+
+  /** Write `evs` as `nFiles` equal-row z-sorted parquet files under
+    * `path` and derive the per-file zone map (min/max of user_id and
+    * day) from the written files.
+    */
+  def writeZoneMappedLayout(evs: DataFrame, path: String, nFiles: Int = 16): Unit = {
+    val s = evs.sparkSession
+    import s.implicits._
+    evs
+      .withColumn("day", expr("ts_sec div 86400"))
+      .withColumn("z", morton2($"user_id", $"day"))
+      .repartitionByRange(nFiles, $"z")
+      .sortWithinPartitions($"z")
+      .write.mode("overwrite").parquet(s"$path/data")
+    s.read.parquet(s"$path/data")
+      .groupBy(input_file_name().as("file"))
+      .agg(min($"user_id").as("u_lo"), max($"user_id").as("u_hi"),
+        min($"day").as("d_lo"), max($"day").as("d_hi"),
+        count(lit(1)).as("n_rows"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/_zonemap")
+  }
+
+  /** Exact box scan through the zone map: read ONLY the files whose
+    * [min, max] ranges intersect the box (O(files) driver hand-off),
+    * residual-filter for exactness. An all-skipped box returns the
+    * empty frame without touching a data file.
+    */
+  def zoneMapBoxScan(s: SparkSession, path: String,
+      uLo: Long, uHi: Long, dLo: Long, dHi: Long): DataFrame = {
+    import s.implicits._
+    val files = s.read.parquet(s"$path/_zonemap")
+      .filter(!($"u_hi" < uLo || $"u_lo" > uHi || $"d_hi" < dLo || $"d_lo" > dHi))
+      .select($"file").collect().map(_.getString(0))
+    val all = s.read.parquet(s"$path/data")
+    if (files.isEmpty) all.filter(lit(false))
+    else s.read.parquet(files: _*)
+      .filter($"user_id".between(uLo, uHi) && $"day".between(dLo, dHi))
+  }
+
   /** The z-key itself, oracle-gated: bit-for-bit engine/DuckDB parity
     * of the 5-step interleave over the whole events table.
     */
@@ -165,5 +224,27 @@ object LayoutOps {
     bench = true,
   )
 
-  val qs: Seq[Q] = Seq(zorderKey, zorderScan)
+  /** End-to-end zone-map scan on a different box than `e_zorder_scan`
+    * (disjoint code path: range files + manifest intersection instead
+    * of bucket enumeration), same oracle discipline — the plain filter
+    * over the raw table.
+    */
+  val zonemapScan = Q(
+    "e_zonemap_scan",
+    (s, d) => {
+      import s.implicits._
+      val dir = graft.sources.Scratch.dir("graft-zonemap")
+      writeZoneMappedLayout(Tables.events(s, d), dir)
+      zoneMapBoxScan(s, dir, 10L, 16L, 19740L, 19749L)
+        .select($"event_id", $"user_id", $"day")
+    },
+    Some(s"""
+      SELECT event_id, user_id, $oDay AS day
+      FROM events
+      WHERE user_id BETWEEN 10 AND 16
+        AND $oDay BETWEEN 19740 AND 19749
+    """.stripMargin.trim),
+  )
+
+  val qs: Seq[Q] = Seq(zorderKey, zorderScan, zonemapScan)
 }

@@ -71,4 +71,45 @@ class LayoutSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       LayoutOps.zorderBoxScan(spark, dir, 0, 100000, 0, 100000))
   }
+
+  test("zone-mapped layout: manifest skipping is exact, balanced, and actually skips") {
+    val dir = java.nio.file.Files.createTempDirectory("zonemap-layout").toString
+    val evs = graft.sources.Tables.events(spark, sf)
+    LayoutOps.writeZoneMappedLayout(evs, dir, nFiles = 16)
+
+    // the manifest: one row per written file, rows conserved, and
+    // range-partitioned files are reasonably balanced (sampling-based
+    // boundaries, so assert a loose bound, not equality)
+    val zm = spark.read.parquet(s"$dir/_zonemap").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(zm.length === 16)
+    assert(zm.map(_._6).sum === evs.count())
+    assert(zm.map(_._6).max <= 4 * zm.map(_._6).min,
+      s"file sizes badly skewed: ${zm.map(_._6).sorted.mkString(",")}")
+
+    def scan(uLo: Long, uHi: Long, dLo: Long, dHi: Long) =
+      LayoutOps.zoneMapBoxScan(spark, dir, uLo, uHi, dLo, dHi)
+    def filesHit(uLo: Long, uHi: Long, dLo: Long, dHi: Long) =
+      zm.count { case (_, ul, uh, dl, dh, _) =>
+        !(uh < uLo || ul > uHi || dh < dLo || dl > dHi)
+      }
+    // exactness vs the raw-table filter
+    val brute = evs
+      .withColumn("day", expr("ts_sec div 86400"))
+      .filter($"user_id".between(10, 16) && $"day".between(19740L, 19749L))
+      .select($"event_id").collect().map(_.getLong(0)).toSet
+    assert(scan(10, 16, 19740, 19749)
+      .select($"event_id").collect().map(_.getLong(0)).toSet === brute)
+    assert(brute.nonEmpty)
+    // the z-sort is what makes zone maps bite: the box touches a strict
+    // subset of files, on the user-only and day-only predicates too
+    assert(filesHit(10, 16, 19740, 19749) < 16)
+    assert(filesHit(10, 16, Long.MinValue / 4, Long.MaxValue / 4) < 16,
+      "user-only predicate must skip files")
+    // an out-of-domain box reads NOTHING and still returns the right
+    // (empty) frame
+    assert(filesHit(9999999, 10000000, 19740, 19749) === 0)
+    assert(scan(9999999, 10000000, 19740, 19749).count() === 0L)
+  }
 }
