@@ -224,6 +224,82 @@ object LayoutOps {
     bench = true,
   )
 
+  // ---------------------------------------------------------------------
+  // The zone-mapped layout as an EPOCH-VERSIONED TABLE — the mini-
+  // lakehouse shape: data files land in append-only epoch directories,
+  // the per-file zone map is itself an append-only manifest component
+  // (one row per file EVER written, epoch-tagged — per-file stats are
+  // additive by construction), and the IndexManifest flip is the commit
+  // point. That one move buys everything the stored indexes already
+  // have, for the event table itself: crash-atomic appends (a failed
+  // ingest's files exist but no reader ever lists them), exactly-once
+  // retry semantics, and TIME TRAVEL — a scan pinned as-of epoch E
+  // lists only files committed by E, so a training run can record the
+  // table epoch it read and an audit replays the exact scan after
+  // months of ingest. File skipping composes with all of it: the
+  // reader intersects the predicate with the zone-map WINDOW (head or
+  // pinned) and reads only intersecting files.
+  // ---------------------------------------------------------------------
+
+  private def stageTableEpoch(evs: DataFrame, path: String, e: Long, nFiles: Int): Unit = {
+    import graft.sources.IndexManifest
+    val s = evs.sparkSession
+    import s.implicits._
+    val dataDir = IndexManifest.epochDir(path, "data", e)
+    evs
+      .withColumn("day", expr("ts_sec div 86400"))
+      .withColumn("z", morton2($"user_id", $"day"))
+      .repartitionByRange(nFiles, $"z")
+      .sortWithinPartitions($"z")
+      .write.mode("overwrite").parquet(dataDir)
+    s.read.parquet(dataDir)
+      .groupBy(input_file_name().as("file"))
+      .agg(min($"user_id").as("u_lo"), max($"user_id").as("u_hi"),
+        min($"day").as("d_lo"), max($"day").as("d_hi"),
+        count(lit(1)).as("n_rows"))
+      .coalesce(1)
+      .write.mode("overwrite")
+      .parquet(IndexManifest.epochDir(path, "zonemap", e))
+  }
+
+  /** Create the table: epoch 0 of data + zone map, manifest commit. */
+  def writeEventTable(evs: DataFrame, path: String, nFiles: Int = 16): Unit = {
+    import graft.sources.IndexManifest
+    stageTableEpoch(evs, path, 0L, nFiles)
+    IndexManifest.commit(path, 0L, fmt = IndexManifest.Layout)
+  }
+
+  /** Fold an ingest batch in: the batch's own z-range files + zone-map
+    * rows stage under a fresh epoch, the manifest advance is the commit
+    * point (crash before it = invisible files, idempotent retry).
+    */
+  def appendEventTable(delta: DataFrame, path: String, nFiles: Int = 4): Unit = {
+    import graft.sources.IndexManifest
+    val e = IndexManifest.committedEpoch(path, IndexManifest.Layout) + 1L
+    stageTableEpoch(delta, path, e, nFiles)
+    IndexManifest.advance(path, e, IndexManifest.Layout)
+  }
+
+  /** Exact box scan over the committed (or as-of pinned) table window:
+    * zone-map rows of the window, intersect, read only those files,
+    * residual-filter. O(window files) driver hand-off.
+    */
+  def eventTableBoxScan(s: SparkSession, path: String,
+      uLo: Long, uHi: Long, dLo: Long, dHi: Long,
+      asOf: Option[Long] = None): DataFrame = {
+    import graft.sources.IndexManifest
+    import s.implicits._
+    val files = IndexManifest
+      .readAppendOnly(s, path, "zonemap", IndexManifest.Layout, asOf)
+      .filter(!($"u_hi" < uLo || $"u_lo" > uHi || $"d_hi" < dLo || $"d_lo" > dHi))
+      .select($"file").collect().map(_.getString(0))
+    val schemaSrc = s.read.option("basePath", s"$path/data").parquet(s"$path/data")
+      .drop("epoch")
+    if (files.isEmpty) schemaSrc.filter(lit(false))
+    else s.read.parquet(files: _*)
+      .filter($"user_id".between(uLo, uHi) && $"day".between(dLo, dHi))
+  }
+
   /** End-to-end zone-map scan on a different box than `e_zorder_scan`
     * (disjoint code path: range files + manifest intersection instead
     * of bucket enumeration), same oracle discipline — the plain filter
@@ -246,5 +322,36 @@ object LayoutOps {
     """.stripMargin.trim),
   )
 
-  val qs: Seq[Q] = Seq(zorderKey, zorderScan, zonemapScan)
+  // the ingest boundary for the table-time-travel row: base = the first
+  // three weeks, delta = the tail week (corpus spans days 19723-19752)
+  private val tableCutDay = 19743L
+
+  /** Table time travel, hash-gated end to end: build the table from
+    * the days up to the cut (epoch 0), append the rest (epoch 1), then
+    * scan a box SPANNING the ingest boundary as-of epoch 0 — the
+    * result must be exactly the base rows, with the delta's in-box
+    * rows invisible. The oracle recomputes the pre-append split from
+    * the raw table.
+    */
+  val tableAsOf = Q(
+    "e_table_asof",
+    (s, d) => {
+      import s.implicits._
+      val dir = graft.sources.Scratch.dir("graft-ztable")
+      val evs = Tables.events(s, d).withColumn("day0", expr("ts_sec div 86400"))
+      writeEventTable(evs.filter($"day0" <= tableCutDay).drop("day0"), dir)
+      appendEventTable(evs.filter($"day0" > tableCutDay).drop("day0"), dir)
+      eventTableBoxScan(s, dir, 10L, 16L, 19738L, 19748L, asOf = Some(0L))
+        .select($"event_id", $"user_id", $"day")
+    },
+    Some(s"""
+      SELECT event_id, user_id, $oDay AS day
+      FROM events
+      WHERE user_id BETWEEN 10 AND 16
+        AND $oDay BETWEEN 19738 AND 19748
+        AND $oDay <= $tableCutDay
+    """.stripMargin.trim),
+  )
+
+  val qs: Seq[Q] = Seq(zorderKey, zorderScan, zonemapScan, tableAsOf)
 }

@@ -112,4 +112,47 @@ class LayoutSpec extends SparkSpec {
     assert(filesHit(9999999, 10000000, 19740, 19749) === 0)
     assert(scan(9999999, 10000000, 19740, 19749).count() === 0L)
   }
+
+  test("event table: crash-atomic appends, head sees the ingest, as-of replays the past") {
+    import graft.sources.IndexManifest
+    val dir = java.nio.file.Files.createTempDirectory("ztable").toString
+    val evs = graft.sources.Tables.events(spark, sf)
+      .withColumn("day0", expr("ts_sec div 86400"))
+    val cut = 19743L
+    LayoutOps.writeEventTable(evs.filter($"day0" <= cut).drop("day0"), dir)
+    def ids(asOf: Option[Long]) =
+      LayoutOps.eventTableBoxScan(spark, dir, 0, 1000, 19738, 19748, asOf)
+        .select($"event_id").collect().map(_.getLong(0)).toSet
+    val base = ids(None)
+    def brute(maxDay: Long) = evs
+      .filter($"user_id".between(0, 1000) && $"day0".between(19738L, 19748L) &&
+        $"day0" <= maxDay)
+      .select($"event_id").collect().map(_.getLong(0)).toSet
+    assert(base === brute(cut) && base.nonEmpty)
+
+    // a CRASHED ingest (files staged, manifest never advanced) is
+    // invisible to every reader
+    val delta = evs.filter($"day0" > cut).drop("day0")
+    // stage-without-commit: write epoch-1 files directly, no advance
+    // (the zonemap window's epoch filter is what hides them — the same
+    // generic guarantee IndexManifestSpec drills per family)
+    delta.limit(5).withColumn("day", expr("ts_sec div 86400"))
+      .withColumn("z", LayoutOps.morton2($"user_id", $"day"))
+      .write.mode("overwrite").parquet(s"$dir/data/epoch=1")
+    assert(ids(None) === base, "staged-but-uncommitted files must be invisible")
+
+    // the real append (its staging overwrites the orphan — idempotent
+    // retry), head sees the full history, as-of 0 replays the base
+    LayoutOps.appendEventTable(delta, dir)
+    assert(ids(None) === brute(99999L))
+    assert(ids(None) !== base)
+    assert(ids(Some(0L)) === base, "as-of 0 must replay the pre-ingest scan")
+    intercept[IllegalArgumentException](ids(Some(2L)))
+    // the zone map window grew by exactly the delta's files
+    val zmAll = IndexManifest.readAppendOnly(
+      spark, dir, "zonemap", IndexManifest.Layout).count()
+    val zmBase = IndexManifest.readAppendOnly(
+      spark, dir, "zonemap", IndexManifest.Layout, asOf = Some(0L)).count()
+    assert(zmAll > zmBase)
+  }
 }
