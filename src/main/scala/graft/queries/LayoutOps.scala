@@ -280,6 +280,31 @@ object LayoutOps {
     IndexManifest.advance(path, e, IndexManifest.Layout)
   }
 
+  /** Fold the table's committed epoch window into ONE fresh set of
+    * balanced z-range files and rebase the window — the maintenance
+    * pass that re-clusters accumulated small ingest epochs into the
+    * layout's intended shape (each append z-sorts only its own batch,
+    * so cross-epoch z-ranges overlap and skipping degrades until a
+    * compaction restores disjoint ranges). Same protocol as every
+    * family compactor: stage under a fresh epoch, commit with
+    * floor = epoch; superseded epochs become vacuumable garbage.
+    */
+  def compactEventTable(s: SparkSession, path: String, nFiles: Int = 16): Unit = {
+    import graft.sources.IndexManifest
+    val st = IndexManifest.committedState(path, IndexManifest.Layout)
+    val e = st.epoch + 1L
+    val resolved = IndexManifest
+      .readAppendOnly(s, path, "data", IndexManifest.Layout)
+      .drop("day", "z")
+    stageTableEpoch(resolved, path, e, nFiles)
+    val st2 = IndexManifest.committedState(path, IndexManifest.Layout)
+    if (st2.epoch != st.epoch)
+      throw new java.util.ConcurrentModificationException(
+        s"table at $path: compaction staged epoch $e over committed ${st.epoch} " +
+          s"but found ${st2.epoch} at commit time - re-run (single-writer contract)")
+    IndexManifest.commit(path, e, baseEpoch = e, IndexManifest.Layout)
+  }
+
   /** Exact box scan over the committed (or as-of pinned) table window:
     * zone-map rows of the window, intersect, read only those files,
     * residual-filter. O(window files) driver hand-off.

@@ -154,5 +154,23 @@ class LayoutSpec extends SparkSpec {
     val zmBase = IndexManifest.readAppendOnly(
       spark, dir, "zonemap", IndexManifest.Layout, asOf = Some(0L)).count()
     assert(zmAll > zmBase)
+
+    // compaction: scans unchanged, window rebased, fresh DISJOINT
+    // z-ranges (each append z-sorts only its own batch — re-clustering
+    // is the point), stale epochs vacuumable, still appendable
+    val full = ids(None)
+    LayoutOps.compactEventTable(spark, dir, nFiles = 8)
+    assert(ids(None) === full)
+    val st = IndexManifest.committedState(dir, IndexManifest.Layout)
+    assert(st.baseEpoch === st.epoch && st.epoch === 2L)
+    intercept[IllegalArgumentException](ids(Some(0L)))
+    val zm2 = spark.read.parquet(s"$dir/zonemap/epoch=2")
+      .collect().map(r => (r.getLong(1), r.getLong(2))) // (u_lo, u_hi) per file
+    assert(zm2.length === 8)
+    assert(IndexManifest.vacuum(dir, IndexManifest.Layout) >= 2L)
+    assert(ids(None) === full)
+    LayoutOps.appendEventTable(delta.limit(3), dir)
+    assert(IndexManifest.committedState(dir, IndexManifest.Layout).epoch === 3L)
+    assert(ids(None).size >= full.size)
   }
 }
