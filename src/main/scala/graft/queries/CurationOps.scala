@@ -240,7 +240,16 @@ object CurationOps {
     * the whitelist is left-joined against the observed totals so the two
     * cases can never diverge.
     */
-  private[queries] def domainMixOn(docsDf: DataFrame, weights: Seq[(String, Long)]): DataFrame = {
+  private[queries] def domainMixOn(docsDf: DataFrame, weights: Seq[(String, Long)]): DataFrame =
+    domainMixOn(docsDf, weights, None)
+
+  /** `tokenTotals`: precomputed per-source token totals (for listed
+    * sources) — [[temperatureMixOn]] already aggregates them to derive
+    * its weights, so passing them through avoids tokenizing and
+    * aggregating the corpus a second time per invocation.
+    */
+  private[queries] def domainMixOn(docsDf: DataFrame, weights: Seq[(String, Long)],
+      tokenTotals: Option[Map[String, Long]]): DataFrame = {
     require(weights.nonEmpty, "a mixture needs at least one listed source")
     require(weights.forall(_._2 > 0),
       s"mixture weights must be positive: ${weights.filter(_._2 <= 0)}")
@@ -255,14 +264,14 @@ object CurationOps {
       .filter(col("w").isNotNull)
     // one row per LISTED source — the collect is O(|weights|), never
     // O(rows), mirroring the shard packer's bucket-offset hand-off
-    val present = docsDf
+    val present = tokenTotals.getOrElse(docsDf
       .select(col("source"), size(TextOps.toks).cast("long").as("n_tokens"))
       .filter(weightCol.isNotNull)
       .groupBy(col("source"))
       .agg(sum(col("n_tokens")).as("toks"))
       .collect()
       .map(r => r.getString(0) -> r.getLong(1))
-      .toMap
+      .toMap)
     val totals = weights.map { case (src, w) => (src, w, present.getOrElse(src, 0L)) }
     val b = totals.map { case (_, w, toks) => BigInt(toks) * wSum / w }.min
     val rates = totals
@@ -885,7 +894,9 @@ object CurationOps {
     val weights = totals.toSeq.map { case (s0, t) =>
       s0 -> math.floor(math.sqrt(t.toDouble)).toLong
     }
-    domainMixOn(docsDf, weights)
+    // the totals already aggregated above feed the budget math directly
+    // — one corpus tokenization per invocation, not two
+    domainMixOn(docsDf, weights, Some(totals.toMap))
   }
 
   val temperatureMix = Q(

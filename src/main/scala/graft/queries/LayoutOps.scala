@@ -48,14 +48,38 @@ object LayoutOps {
 
   /** Bit-interleave two non-negative 32-bit dimensions (x in the even
     * positions, y in the odd) — whole-stage-codegen'd builtins only.
+    *
+    * Domain contract: both inputs must be in [0, 2^31). Values are
+    * masked to 32 bits, so an out-of-range dimension would silently
+    * degrade bucketing (and a y >= 2^31 would set bit 63, flipping the
+    * z sign under the arithmetic shiftright) — the WRITE entry points
+    * ([[writeZorderLayout]], [[writeZoneMappedLayout]], the table
+    * stager) therefore go through [[morton2Checked]], which raises on
+    * the first out-of-domain row instead of mis-laying the table out.
+    * The raw form stays for the oracle-twinned key row (`e_zorder_key`
+    * masks identically in both engines by design).
     */
   def morton2(x: Column, y: Column): Column =
     spread(x).bitwiseOR(shiftleft(spread(y), 1))
 
+  /** [[morton2]] with the domain contract enforced per row — a
+    * codegen'd conditional (the packedTsEvent discipline), not a UDF;
+    * the raise_error branch types as BIGINT via the null coercion.
+    */
+  def morton2Checked(x: Column, y: Column): Column =
+    when(x >= 0L && x < lit(1L << 31) && y >= 0L && y < lit(1L << 31),
+      morton2(x, y))
+      .otherwise(raise_error(concat(
+        lit("z-order dimension outside [0, 2^31): (x, y) = ("),
+        x.cast("string"), lit(", "), y.cast("string"), lit(")"))))
+
   /** Driver-side twin of [[morton2]] for box→bucket enumeration; the
-    * property spec pins engine/driver parity.
+    * property spec pins engine/driver parity. Same domain contract,
+    * enforced eagerly.
     */
   def morton2Long(x: Long, y: Long): Long = {
+    require(x >= 0L && x < (1L << 31) && y >= 0L && y < (1L << 31),
+      s"z-order dimension outside [0, 2^31): ($x, $y)")
     def sp(v0: Long): Long =
       spreadSteps.foldLeft(v0 & 0xFFFFFFFFL) { case (x, (s, m)) => (x | (x << s)) & m }
     sp(x) | (sp(y) << 1)
@@ -90,7 +114,7 @@ object LayoutOps {
     evs
       .withColumn("day", expr("ts_sec div 86400"))
       .withColumn("zbucket",
-        shiftright(morton2($"user_id", $"day"), shift))
+        shiftright(morton2Checked($"user_id", $"day"), shift))
       .repartition($"zbucket")
       .write.mode("overwrite").partitionBy("zbucket")
       .parquet(path)
@@ -148,7 +172,7 @@ object LayoutOps {
     import s.implicits._
     evs
       .withColumn("day", expr("ts_sec div 86400"))
-      .withColumn("z", morton2($"user_id", $"day"))
+      .withColumn("z", morton2Checked($"user_id", $"day"))
       .repartitionByRange(nFiles, $"z")
       .sortWithinPartitions($"z")
       .write.mode("overwrite").parquet(s"$path/data")
@@ -248,7 +272,7 @@ object LayoutOps {
     val dataDir = IndexManifest.epochDir(path, "data", e)
     evs
       .withColumn("day", expr("ts_sec div 86400"))
-      .withColumn("z", morton2($"user_id", $"day"))
+      .withColumn("z", morton2Checked($"user_id", $"day"))
       .repartitionByRange(nFiles, $"z")
       .sortWithinPartitions($"z")
       .write.mode("overwrite").parquet(dataDir)

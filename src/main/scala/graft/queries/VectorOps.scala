@@ -2305,7 +2305,17 @@ object VectorOps {
     * `v_ivfpq_asof` (the pre-append split), and SearchOps'
     * `t_hybrid_from_index` (a single probe vector, fused with BM25).
     */
-  private[queries] def oIvfPqCtesFrom(src: String, panelPred: String): String =
+  private[queries] def oIvfPqCtesFrom(src: String, panelPred: String): String = {
+    // The single panelPred is applied to BOTH the probes CTE (whose id
+    // space is keyed off nCells — the first nCells ids are centroids)
+    // and the PQ query/LUT CTE (keyed off pqK — the first pqK ids are
+    // codewords). Sharing one predicate is only sound while the two
+    // reserved prefixes coincide; the engine derives probes and query
+    // slices independently, so a divergence would silently split the
+    // oracle's panel from the engine's.
+    require(nCells == pqK,
+      s"oIvfPqCtesFrom shares one panel predicate across the probes (nCells=$nCells) " +
+        s"and PQ query/LUT (pqK=$pqK) CTEs - take two predicates if these ever diverge")
     s"""cents AS (SELECT vec_id AS cell, embedding AS c_emb FROM $src
                      WHERE vec_id < $nCells),
       dists AS (
@@ -2340,6 +2350,7 @@ object VectorOps {
               FROM cands c JOIN codes k ON k.vec_id = c.cand_id) cd
         JOIN lut l ON l.query_id = cd.query_id AND l.sub = cd.sub AND l.code = cd.code
         GROUP BY 1, 2)""".stripMargin
+  }
 
   /** The full search statement — CTE chain + per-query top-k — over the
     * standard query panel; `prelude` injects extra leading CTEs
@@ -2795,6 +2806,11 @@ object VectorOps {
       .join(emb.select($"vec_id", $"embedding"), Seq("vec_id"))
       .select($"cell", $"vec_id", $"embedding")
     val plan = splitPlanOn(members).cache()
+    // the three caches live only for this call — v_index_split rebuilds
+    // and splits an index per catalog invocation, so leaking them would
+    // accrete executor storage for the JVM lifetime (Verify/Bench/sweep
+    // runs); the returned plan is materialized off the cache first
+    try {
     // O(|split cells|) driver hand-off: the split rule + fresh cell ids
     val maxCell = s.read.parquet(centroidsDir(path, st.baseEpoch))
       .agg(max($"cell")).head().getLong(0)
@@ -2851,7 +2867,12 @@ object VectorOps {
             s"but found ${st2.epoch} at commit time - re-run (single-writer contract)")
       IndexManifest.commit(path, e, baseEpoch = e, IndexManifest.IvfPq)
     }
-    plan
+    plan.localCheckpoint(true)
+    } finally {
+      codes.unpersist()
+      sizes.unpersist()
+      plan.unpersist()
+    }
   }
 
   /** The rebalance plan, oracle-gated: build the index, run the split,

@@ -1104,13 +1104,35 @@ object Streams {
     val remaining = targets.remaining(snapshot)
     if (remaining.ordered.nonEmpty && !batch.isEmpty)
       Erasure.forgetDocs(batch, remaining)
+    // prune settled entries: micro-batches execute serially, so by the
+    // time batch N runs, batch N-1's offsets have committed and its
+    // ledger entry can never be consulted again — without this the
+    // ledger grows one file per micro-batch for the stream's lifetime
+    import scala.jdk.CollectionConverters._
+    scala.util.Using.resource(Files.list(Paths.get(ledgerDir))) { ls =>
+      ls.iterator().asScala.toVector.foreach { p =>
+        val n = p.getFileName.toString
+        if (n.startsWith("batch-") && n.endsWith(".ledger") &&
+            n.stripPrefix("batch-").stripSuffix(".ledger").toLongOption.exists(_ < batchId))
+          Files.delete(p)
+      }
+    }
   }
 
   /** Start the standing erasure queue over a streaming frame of
     * requests (`doc_id`, plus `text` when the shingle index is
     * targeted). The checkpoint carries both the source offsets and the
     * epoch ledger, so a restart resumes mid-batch without
-    * double-subtracting.
+    * double-subtracting. Settled ledger entries are pruned as batches
+    * commit, so the ledger holds at most the in-flight batch.
+    *
+    * Single-writer caveat (inherited from [[graft.queries.Erasure]]'s
+    * resume protocol): "epoch advanced since the snapshot" is read as
+    * "this family's erasure committed". An OUT-OF-BAND writer landing
+    * between a crash and the replay (e.g. a maintenance compaction)
+    * also advances the epoch and would make the replay silently skip
+    * that family for the batch — the stream must be the index fleet's
+    * only writer while it runs, exactly the IndexManifest contract.
     */
   def erasureStream(
       requests: DataFrame, targets: graft.queries.Erasure.DocTargets,
