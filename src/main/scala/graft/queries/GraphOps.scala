@@ -134,13 +134,16 @@ object GraphOps {
       val evs = ev(s, d)
       val counts = evs.filter($"item".isNotNull)
         .groupBy($"item").agg(count(lit(1)).as("cnt"))
-      // seeds = top-3 items by volume; the rank window runs over the
-      // |items|-row count table (catalog-sized, the same bounded-input
-      // argument as the anomaly medians)
-      val seeds = counts
-        .withColumn("rk", row_number().over(
-          Window.partitionBy(lit(1)).orderBy($"cnt".desc, $"item")))
-        .select($"item", when($"rk" <= 3, 1L).otherwise(0L).as("is_seed"))
+      // seeds = top-3 items by volume. orderBy+limit plans a
+      // TakeOrderedAndProject (distributed per-partition top-3, merged
+      // on the driver) and the 3-row seed set broadcasts back onto the
+      // count table — no global rank window, so even a catalog of 10^8
+      // items never funnels through one task (the plan-guard shape a
+      // partitionBy(lit(1)) window used to plan here)
+      val top3 = counts.orderBy($"cnt".desc, $"item").limit(3)
+        .select($"item", lit(1L).as("is_top"))
+      val seeds = counts.join(broadcast(top3), Seq("item"), "left")
+        .select($"item", coalesce($"is_top", lit(0L)).as("is_seed"))
       pageRankSeededOn(seeds, transitionEdges(evs), prIters)
     },
     Some {
@@ -203,10 +206,12 @@ object GraphOps {
       val evs = ev(s, d)
       val counts = evs.filter($"item".isNotNull)
         .groupBy($"item").agg(count(lit(1)).as("cnt"))
-      val seed = counts
-        .withColumn("rk", row_number().over(
-          Window.partitionBy(lit(1)).orderBy($"cnt".desc, $"item")))
-        .select($"item", when($"rk" === 1, 0L).otherwise(lit(999L)).as("dist"))
+      // hub = argmax by volume — TakeOrderedAndProject + broadcast flag,
+      // the same no-global-window shape as e_ppr_seeded's seed pick
+      val hub = counts.orderBy($"cnt".desc, $"item").limit(1)
+        .select($"item", lit(0L).as("hub_dist"))
+      val seed = counts.join(broadcast(hub), Seq("item"), "left")
+        .select($"item", coalesce($"hub_dist", lit(999L)).as("dist"))
       val edges = transitionEdges(evs)
       val und = edges.select($"src".as("v"), $"dst".as("nbr"))
         .unionByName(edges.select($"dst".as("v"), $"src".as("nbr")))

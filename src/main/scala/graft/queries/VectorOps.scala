@@ -3279,15 +3279,21 @@ object VectorOps {
   private[queries] def sq8CodesOn(emb: DataFrame): DataFrame = {
     val s = emb.sparkSession
     import s.implicits._
+    sq8Rows(emb, sq8StatsOn(emb)).select($"vec_id", $"codes")
+  }
+
+  /** embedding + quantization stats + codes in one pass — the stats
+    * cross-join happens ONCE here, so composites (the sq8 search's
+    * encode-then-decode) don't pay a second corpus-wide stats scan.
+    */
+  private def sq8Rows(emb: DataFrame, stats: DataFrame): DataFrame =
     emb
-      .crossJoin(broadcast(sq8StatsOn(emb)))
+      .crossJoin(broadcast(stats))
       .withColumn("codes", expr(
         """transform(embedding, (x, i) ->
           |  CASE WHEN hi[i] > lo[i]
           |       THEN CAST(floor((CAST(x AS DOUBLE) - lo[i]) * 255.0D / (hi[i] - lo[i])) AS BIGINT)
           |       ELSE 0L END)""".stripMargin))
-      .select($"vec_id", $"codes")
-  }
 
   private def sq8Codes(s: SparkSession, d: String): DataFrame = sq8CodesOn(vecs(s, d))
 
@@ -3314,22 +3320,27 @@ object VectorOps {
     */
   private def sq8TopK(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val coded = sq8Codes(s, d)
-    val q = coded.filter($"vec_id" < nQueries)
-      .select($"vec_id".as("query_id"), $"codes".as("q_codes"))
     def recon(codesCol: String) = expr(
       s"""transform($codesCol, (c, i) ->
          |  lo[i] + (CAST(c AS DOUBLE) + 0.5D) * (hi[i] - lo[i]) / 255.0D)""".stripMargin)
     def dotD(a: String, b: String) = expr(
       s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+    // decode + self-norm ONCE PER VECTOR, below the query-panel join:
+    // defining the reconstruction after the join re-derives it (and the
+    // per-candidate constant sqrt(<cr,cr>)) per (candidate, query) pair
+    // — a free panel-width factor on the corpus-sized side. The IEEE
+    // sequence is unchanged (sqrt(qq) * sqrt(cc), then the divide), so
+    // sim_micros stays bit-identical to the pre-hoist form.
+    val dec = sq8Rows(vecs(s, d), sq8Stats(s, d))
+      .withColumn("r", recon("codes"))
+      .withColumn("self_norm", sqrt(dotD("r", "r")))
+      .select($"vec_id", $"r", $"self_norm")
+    val q = dec.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"r".as("qr"), $"self_norm".as("q_norm"))
     val w = Window.partitionBy($"query_id").orderBy($"sim_micros".desc, $"cand_id".asc)
-    coded.select($"vec_id".as("cand_id"), $"codes".as("c_codes"))
+    dec.select($"vec_id".as("cand_id"), $"r".as("cr"), $"self_norm".as("c_norm"))
       .join(broadcast(q), $"cand_id" =!= $"query_id")
-      .crossJoin(broadcast(sq8Stats(s, d)))
-      .withColumn("qr", recon("q_codes"))
-      .withColumn("cr", recon("c_codes"))
-      .withColumn("sim_micros",
-        micros(dotD("qr", "cr") / (sqrt(dotD("qr", "qr")) * sqrt(dotD("cr", "cr")))))
+      .withColumn("sim_micros", micros(dotD("qr", "cr") / ($"q_norm" * $"c_norm")))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter($"rnk" <= topK)
       .select($"query_id", $"cand_id", $"sim_micros", $"rnk")

@@ -1,13 +1,26 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
 import graft.SparkSpec
 
 /** Blanket plan guard over the ENTIRE catalog — every query, not just the
-  * PlanSpec headliners: the two plan shapes that are never acceptable at
+  * PlanSpec headliners: the plan shapes that are never acceptable at
   * 100 TB must not appear anywhere, so a refactor that degrades a
   * non-headline query (a lost equi-join key quietly turning a band join
   * into a cross product, a window losing its partition spec) fails the
   * suite instead of surfacing as a cluster incident.
+  *
+  * The guard inspects the EXECUTED plan (post-EnsureRequirements,
+  * AdaptiveSparkPlanExec unwrapped): exchanges are inserted during plan
+  * preparation, so `sparkPlan` — the pre-preparation tree an earlier
+  * version of this guard grepped — can never contain an
+  * `Exchange SinglePartition` node and made that assertion vacuous.
+  * Join selection happens before preparation, so the Cartesian/BNLJ
+  * checks are equivalent on either tree; they ride the same string.
   *
   * - `CartesianProduct` / unbounded `BroadcastNestedLoopJoin`: candidate
   *   generation throughout the catalog is equi-join on derived keys
@@ -15,13 +28,16 @@ import graft.SparkSpec
   *   brute-force/IVF ANN family, where joining a provably tiny broadcast
   *   side (the fixed query/centroid set) against every row IS the
   *   operator's semantic, and the big side streams through exactly once.
-  * - `SinglePartition` exchanges: nothing in the catalog funnels data
-  *   rows through one task — global ranks are TakeOrderedAndProject,
-  *   global prefix sums are distributed (t_shard_pack), and scalar
-  *   aggregates pre-aggregate to one row per partition before any
-  *   single-partition step would matter. Empirically the string appears
-  *   in NO catalog plan; this pins that for every query, present and
-  *   future.
+  * - `Exchange SinglePartition`: data rows must never funnel through one
+  *   task — global ranks are TakeOrderedAndProject, global prefix sums
+  *   are distributed (t_shard_pack). The exception class is the
+  *   POST-PARTIAL-AGG SCALAR FUNNEL: a global aggregate (one-row corpus
+  *   totals, the 64-row quantization stats) partial-aggregates every
+  *   partition down to one row before the exchange, so the funnel moves
+  *   O(partitions) rows, not data. Those queries are sanctioned BY NAME
+  *   in [[scalarFunnelSanctioned]] with the funnel's identity stated —
+  *   anything else (e.g. a Window.orderBy with no partitionBy over
+  *   unbounded rows, which plans exactly this exchange) fails the suite.
   */
 class CatalogPlanGuardSpec extends SparkSpec {
 
@@ -73,19 +89,92 @@ class CatalogPlanGuardSpec extends SparkSpec {
       // equi-join of two <= pool-row lists)
       "v_ivfpq_asof", "t_hybrid_from_index")
 
-  test("no catalog query plans a cartesian, a rogue BNLJ, or a single-partition stage") {
+  /** Queries whose executed plan contains an `Exchange SinglePartition`
+    * that is a sanctioned post-partial-agg scalar funnel (see class
+    * doc). Every entry was audited via ProfFunnels (which prints the
+    * exchange's CHILD): in each, the exchanged relation is a keyless
+    * partial aggregate emitting ≤ 1 row per partition — corpus/count
+    * totals, lo/hi quantization stats, or a bounded Misra-Gries sketch
+    * buffer — never data rows. The audit that produced this list also
+    * caught and FIXED a real offender: e_ppr_seeded's global rank
+    * window over the item-count table (now TakeOrderedAndProject +
+    * broadcast flag; e_bfs_hops had the same shape hidden behind a
+    * localCheckpoint).
+    */
+  private val scalarFunnelSanctioned: Set[String] = Set(
+    // one-row revenue scalar (partial_count + partial_sum)
+    "q6_forecast_revenue",
+    // three stage-total sums over pre-aggregated per-user flags
+    "e_funnel_rates",
+    // capped-degree audit: count/sum/max scalars over per-user degrees
+    "e_degree_cap_audit",
+    // precision/recall ratios: two count scalars over the audited pairs
+    "t_lsh_precision", "t_lsh_recall",
+    // corpus token-total scalar crossed onto the scored stream
+    "t_ccnet_buckets", "t_unigram_lm", "t_collocations", "t_cluster_topics",
+    // corpus total + bounded Misra-Gries sketch buffer (one map/partition)
+    "t_token_heavy",
+    // base/delta token-total pairs
+    "t_token_drift", "v_index_drift",
+    // retained/total token counts for the importance ratio
+    "t_dsir_weight",
+    // corpus doc-count scalar for the idf term
+    "t_tfidf_topk",
+    // five stage-count scalars of the curation funnel report
+    "t_curate_funnel",
+    // per-dimension lo/hi stats: 128 partial min/max, one row total
+    "v_sq8_stats", "v_sq8_search", "v_sq8_recall",
+    // cell-size distribution scalars (count/sum/min/max over 16 cells)
+    "v_index_balance",
+    // Spark's OWN runtime-filter optimization: an injected
+    // bloom_filter_agg scalar subquery (one bloom buffer per partition,
+    // merged once) pruning the semantic-join probe side — visible only
+    // in the plan STRING (subqueries live in expressions, not children)
+    "t_delta_semantic")
+
+  /** The guard core — exposed to the negative test: the scale-hostile
+    * shapes present in `df`'s executed plan, given the name-keyed
+    * sanction lists.
+    */
+  private def offenses(name: String, df: DataFrame): Seq[String] = {
+    val p = df.queryExecution.executedPlan
+    val expanded = p.collect {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    val plan = (p +: expanded).map(_.toString).mkString("\n")
+    Seq(
+      "CartesianProduct" -> plan.contains("CartesianProduct"),
+      "SinglePartition" ->
+        (plan.contains("Exchange SinglePartition") && !scalarFunnelSanctioned(name)),
+      "BroadcastNestedLoopJoin" ->
+        (plan.contains("BroadcastNestedLoopJoin") && !bnljSanctioned(name)),
+    ).collect { case (label, true) => label }
+  }
+
+  test("no catalog query plans a cartesian, a rogue BNLJ, or an unsanctioned single-partition exchange") {
     val offenders = Catalog.all.flatMap { q =>
-      val plan = q.spark(spark, sf).queryExecution.sparkPlan.toString
-      val bad = Seq(
-        "CartesianProduct" -> plan.contains("CartesianProduct"),
-        "SinglePartition" -> plan.contains("SinglePartition"),
-        "BroadcastNestedLoopJoin" ->
-          (plan.contains("BroadcastNestedLoopJoin") && !bnljSanctioned(q.name)),
-      ).collect { case (label, true) => label }
+      val bad = offenses(q.name, q.spark(spark, sf))
       if (bad.isEmpty) None else Some(s"${q.name}: ${bad.mkString(", ")}")
     }
     assert(offenders.isEmpty, s"scale-hostile plan shapes:\n${offenders.mkString("\n")}")
-    // the sanctioned BNLJs still exist (the guard keeps meaning something)
-    assert(bnljSanctioned.subsetOf(Catalog.all.map(_.name).toSet))
+    // the sanctioned shapes still exist (the guard keeps meaning something)
+    val names = Catalog.all.map(_.name).toSet
+    assert(bnljSanctioned.subsetOf(names))
+    assert(scalarFunnelSanctioned.subsetOf(names))
+  }
+
+  test("the guard catches an unpartitioned rank window over unbounded rows") {
+    import spark.implicits._
+    // the classic mistake the funnel sanction must NOT cover: a global
+    // row_number with no partition spec plans Exchange SinglePartition
+    // over the full data stream
+    val bad = spark.range(0L, 1000L).toDF("id")
+      .withColumn("rn", row_number().over(Window.orderBy($"id")))
+    assert(offenses("synthetic_global_rank", bad).contains("SinglePartition"))
+    // and a genuine scalar aggregate with no partial-agg bypass is the
+    // shape the sanction list exists for — it DOES trip the raw check
+    val scalar = spark.range(0L, 1000L).toDF("id").agg(sum($"id").as("s"))
+    assert(offenses("synthetic_scalar_agg", scalar).contains("SinglePartition"))
   }
 }
