@@ -50,9 +50,11 @@ object EventAnalytics {
         eventId.cast("string"))))
 
   /** events + `item` (the numeric id parsed out of the props JSON). */
+  private def eventsWithItemOn(evs: DataFrame): DataFrame =
+    evs.withColumn("item", regexp_extract(col("props"), "(\\d+)", 1).cast("long"))
+
   private def eventsWithItem(s: SparkSession, d: String): DataFrame =
-    Tables.events(s, d)
-      .withColumn("item", regexp_extract(col("props"), "(\\d+)", 1).cast("long"))
+    eventsWithItemOn(Tables.events(s, d))
 
   private val oracleBase =
     """WITH base AS (
@@ -72,22 +74,33 @@ object EventAnalytics {
   /** (window_start, item, cnt) sliding-window counts — the shared input of
     * both Top-N formulations below.
     */
-  private def hotItemCounts(s: SparkSession, d: String): DataFrame = {
+  private def hotItemCountsOn(evs: DataFrame): DataFrame = {
+    val s = evs.sparkSession
     import s.implicits._
-    eventsWithItem(s, d)
+    eventsWithItemOn(evs)
       .withColumn("window_start", hopStarts($"ts_sec", hopSize, hopSlide))
       .groupBy($"window_start", $"item")
       .agg(count(lit(1)).as("cnt"))
   }
 
+  private def hotItemCounts(s: SparkSession, d: String): DataFrame =
+    hotItemCountsOn(Tables.events(s, d))
+
+  /** The hot-items Top-N over any events-shaped frame (`ts_sec`,
+    * `props`, ...) — the raw-table row below and LayoutOps' stored-
+    * table variant share this plan verbatim; only the scan differs.
+    */
+  private[queries] def hotItemsTopNOn(evs: DataFrame): DataFrame = {
+    val s = evs.sparkSession
+    import s.implicits._
+    val w = Window.partitionBy($"window_start").orderBy($"cnt".desc, $"item")
+    hotItemCountsOn(evs)
+      .withColumn("rn", row_number().over(w).cast("long")).filter($"rn" <= 5)
+  }
+
   val hotItemsTopN = Q(
     "hot_items_topn",
-    (s, d) => {
-      import s.implicits._
-      val w = Window.partitionBy($"window_start").orderBy($"cnt".desc, $"item")
-      hotItemCounts(s, d)
-        .withColumn("rn", row_number().over(w).cast("long")).filter($"rn" <= 5)
-    },
+    (s, d) => hotItemsTopNOn(Tables.events(s, d)),
     Some(s"""
       $oracleBase,
       hopped AS (
@@ -266,21 +279,27 @@ object EventAnalytics {
   // so same-second events order identically in both engines. 100 TB
   // shape: ONE shuffle on user_id, no join at all.
   // ---------------------------------------------------------------------
+  /** The relaxed funnel over any events-shaped frame — shared by the
+    * raw-table row and LayoutOps' stored-table variant.
+    */
+  private[queries] def funnelRelaxedOn(evsDf: DataFrame): DataFrame = {
+    val s = evsDf.sparkSession
+    import s.implicits._
+    val evs = evsDf
+      .filter($"event_type".isin("view", "click", "purchase"))
+      .select($"event_id", $"user_id", $"event_type", $"ts_sec")
+      .as[(Long, Long, String, Long)]
+    graft.operators.Funnel
+      .countTriplesBatch[(Long, Long, String, Long)](
+        evs, _._2, _._4, _._1,
+        _._3 == "view", _._3 == "click", _._3 == "purchase", funnelWindowSec)
+      .toDF()
+      .select($"key".as("user_id"), $"triples")
+  }
+
   val funnelRelaxed = Q(
     "e_funnel_relaxed",
-    (s, d) => {
-      import s.implicits._
-      val evs = Tables.events(s, d)
-        .filter($"event_type".isin("view", "click", "purchase"))
-        .select($"event_id", $"user_id", $"event_type", $"ts_sec")
-        .as[(Long, Long, String, Long)]
-      graft.operators.Funnel
-        .countTriplesBatch[(Long, Long, String, Long)](
-          evs, _._2, _._4, _._1,
-          _._3 == "view", _._3 == "click", _._3 == "purchase", funnelWindowSec)
-        .toDF()
-        .select($"key".as("user_id"), $"triples")
-    },
+    (s, d) => funnelRelaxedOn(Tables.events(s, d)),
     Some(s"""
       $oracleBase
       SELECT v.user_id, COUNT(*) AS triples
@@ -722,25 +741,31 @@ object EventAnalytics {
   // ---------------------------------------------------------------------
   private val sessionGap = 21600L
 
+  /** Gap sessionization over any events-shaped frame — shared by the
+    * raw-table row and LayoutOps' stored-table variant.
+    */
+  private[queries] def sessionizeOn(evs: DataFrame): DataFrame = {
+    val s = evs.sparkSession
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts")
+    evs
+      .withColumn("prev_sec", lag($"ts_sec", 1).over(w))
+      .withColumn("boundary",
+        when($"prev_sec".isNull || $"ts_sec" - $"prev_sec" > sessionGap, 1L).otherwise(0L))
+      .withColumn("session_no", sum($"boundary").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"session_no")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min($"ts_sec").as("start_sec"),
+        max($"ts_sec").as("end_sec"),
+      )
+      .withColumn("duration_sec", $"end_sec" - $"start_sec")
+  }
+
   val sessionize = Q(
     "sessionize",
-    (s, d) => {
-      import s.implicits._
-      val w = Window.partitionBy($"user_id").orderBy($"ts")
-      Tables.events(s, d)
-        .withColumn("prev_sec", lag($"ts_sec", 1).over(w))
-        .withColumn("boundary",
-          when($"prev_sec".isNull || $"ts_sec" - $"prev_sec" > sessionGap, 1L).otherwise(0L))
-        .withColumn("session_no", sum($"boundary").over(
-          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .groupBy($"user_id", $"session_no")
-        .agg(
-          count(lit(1)).as("n_events"),
-          min($"ts_sec").as("start_sec"),
-          max($"ts_sec").as("end_sec"),
-        )
-        .withColumn("duration_sec", $"end_sec" - $"start_sec")
-    },
+    (s, d) => sessionizeOn(Tables.events(s, d)),
     Some(s"""
       $oracleBase,
       seq AS (

@@ -120,27 +120,96 @@ object LayoutOps {
       .parquet(path)
   }
 
-  /** Exact 2-D box scan over a z-bucketed layout: enumerate the box's
-    * (user, day) grid, mortonize driver-side, and push the distinct
-    * bucket set down as a partition filter; the residual row filter
-    * restores exactness. Touches only the matching buckets' directories
-    * — the multi-dimensional pruning a 1-D sort cannot give.
+  /** Exact 2-D box scan over a z-bucketed layout. Small boxes (area ≤
+    * 10^6 cells) enumerate the box's (user, day) grid and mortonize
+    * each cell driver-side — exact bucket sets, the tightest possible
+    * pruning. Bigger boxes auto-route through [[zRangesForBox]] — the
+    * quadtree z-range decomposition (the BIGMIN class of algorithms):
+    * O(ranges) driver work regardless of box area, with the residual
+    * row filter restoring exactness where a budget-truncated range is
+    * conservative. Either way the bucket predicate is on the partition
+    * column, so the scan touches only matching bucket directories —
+    * the multi-dimensional pruning a 1-D sort cannot give.
     */
   def zorderBoxScan(s: SparkSession, path: String,
       uLo: Long, uHi: Long, dLo: Long, dHi: Long,
       shift: Int = zShift): DataFrame = {
     import s.implicits._
     val area = (uHi - uLo + 1) * (dHi - dLo + 1)
-    require(area > 0 && area <= 1000000,
-      s"box area $area outside (0, 1e6] - decompose huge boxes into " +
-        "z-ranges (BIGMIN) instead of enumerating")
-    val buckets = (for {
-      u <- uLo to uHi
-      d <- dLo to dHi
-    } yield morton2Long(u, d) >> shift).distinct
-    s.read.parquet(path)
-      .filter($"zbucket".isin(buckets: _*))
-      .filter($"user_id".between(uLo, uHi) && $"day".between(dLo, dHi))
+    require(area > 0, s"empty box: users [$uLo, $uHi] x days [$dLo, $dHi]")
+    val residual = $"user_id".between(uLo, uHi) && $"day".between(dLo, dHi)
+    if (area <= 1000000L) {
+      val buckets = (for {
+        u <- uLo to uHi
+        d <- dLo to dHi
+      } yield morton2Long(u, d) >> shift).distinct
+      s.read.parquet(path)
+        .filter($"zbucket".isin(buckets: _*))
+        .filter(residual)
+    } else {
+      val pred = zRangesForBox(uLo, uHi, dLo, dHi)
+        .map { case (lo, hi) => $"zbucket".between(lo >> shift, hi >> shift) }
+        .reduce(_ || _)
+      s.read.parquet(path).filter(pred).filter(residual)
+    }
+  }
+
+  /** Cover the 2-D box with at most ~`maxRanges` CONTIGUOUS z-value
+    * intervals by quadtree descent — the practical form of the
+    * Tropf–Herzog BIGMIN decomposition: an aligned 2^k x 2^k square
+    * whose corner coordinates are multiples of 2^k maps to ONE
+    * contiguous z-interval of length 4^k, so walking the implicit
+    * quadtree emits exact intervals for squares fully inside the box
+    * and refines partially-overlapping ones. The budget bounds driver
+    * work at O(ranges): when refining would exceed it, the remaining
+    * partial squares emit their (conservative) intervals and the
+    * caller's residual row filter restores exactness — pruning quality
+    * degrades gracefully, correctness never does. Adjacent intervals
+    * are coalesced, so the returned predicate is minimal.
+    */
+  private[queries] def zRangesForBox(uLo: Long, uHi: Long, dLo: Long, dHi: Long,
+      maxRanges: Int = 256): Seq[(Long, Long)] = {
+    require(uLo >= 0 && uHi < (1L << 31) && dLo >= 0 && dHi < (1L << 31),
+      s"box outside the z-order domain [0, 2^31): [$uLo,$uHi]x[$dLo,$dHi]")
+    // (x0, y0, side): an aligned square, side a power of two
+    def overlaps(lo: Long, hi: Long, qLo: Long, qHi: Long) = !(hi < qLo || lo > qHi)
+    def contained(lo: Long, hi: Long, qLo: Long, qHi: Long) = lo >= qLo && hi <= qHi
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    var frontier = List((0L, 0L, 1L << 31))
+    while (frontier.nonEmpty) {
+      val (full, partial) = frontier
+        .filter { case (x0, y0, s0) =>
+          overlaps(x0, x0 + s0 - 1, uLo, uHi) && overlaps(y0, y0 + s0 - 1, dLo, dHi) }
+        .partition { case (x0, y0, s0) =>
+          contained(x0, x0 + s0 - 1, uLo, uHi) && contained(y0, y0 + s0 - 1, dLo, dHi) }
+      full.foreach { case (x0, y0, s0) =>
+        val base = morton2Long(x0, y0)
+        out += ((base, base + s0 * s0 - 1L))
+      }
+      frontier =
+        if (partial.isEmpty) Nil
+        else if (out.size + 4 * partial.size > maxRanges || partial.head._3 == 1L) {
+          // budget reached (or cell grain): emit conservative covers
+          partial.foreach { case (x0, y0, s0) =>
+            val base = morton2Long(x0, y0)
+            out += ((base, base + s0 * s0 - 1L))
+          }
+          Nil
+        } else partial.flatMap { case (x0, y0, s0) =>
+          val h = s0 / 2
+          Seq((x0, y0, h), (x0 + h, y0, h), (x0, y0 + h, h), (x0 + h, y0 + h, h))
+        }
+    }
+    // coalesce adjacent/overlapping intervals (z-order within a level is
+    // not ancestor-ordered, so sort first)
+    val sorted = out.sortBy(_._1)
+    val merged = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    sorted.foreach { case (lo, hi) =>
+      if (merged.nonEmpty && lo <= merged.last._2 + 1)
+        merged(merged.size - 1) = (merged.last._1, math.max(merged.last._2, hi))
+      else merged += ((lo, hi))
+    }
+    merged.toSeq
   }
 
   // ---------------------------------------------------------------------
@@ -349,6 +418,93 @@ object LayoutOps {
       .filter($"user_id".between(uLo, uHi) && $"day".between(dLo, dHi))
   }
 
+  /** Full-window read of the stored event table (head, or as-of
+    * pinned): every committed epoch's z-range files through manifest
+    * resolution, with the layout's derived columns dropped so the
+    * result is exactly the [[Tables.events]] shape — the reader the
+    * analytics catalog serves from.
+    */
+  def readEventTable(s: SparkSession, path: String,
+      asOf: Option[Long] = None): DataFrame = {
+    import graft.sources.IndexManifest
+    IndexManifest.readAppendOnly(s, path, "data", IndexManifest.Layout, asOf)
+      .drop("day", "z")
+  }
+
+  // ---------------------------------------------------------------------
+  // THE CATALOG SERVED FROM THE STORED TABLE — the round-15 layout tier
+  // as load-bearing infrastructure instead of a demo: the flagship
+  // event-analytics queries re-pointed at the epoch-versioned
+  // zone-mapped table, verified against the SAME oracles as their
+  // raw-scan originals (the stored table must be indistinguishable to a
+  // reader, or it isn't a table). The deployed table is built ONCE per
+  // (JVM, corpus) — a deployment builds its table at ingest, not per
+  // query; only the per-invocation lifecycle rows (e_zorder_scan /
+  // e_zonemap_scan) keep paying the build, because the build IS what
+  // they verify. Two epochs (the first three weeks, then the tail-week
+  // append) so every read exercises a real multi-epoch manifest window.
+  // ---------------------------------------------------------------------
+
+  private val tableCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The shared stored event table for corpus `d` — built on first use
+    * (epoch 0 = days ≤ cut, epoch 1 = the rest), then read-only.
+    */
+  def storedEventTable(s: SparkSession, d: String): String =
+    tableCache.computeIfAbsent(d, _ => {
+      val dir = graft.sources.Scratch.dir("graft-event-table")
+      val evs = Tables.events(s, d).withColumn("day0", expr("ts_sec div 86400"))
+      writeEventTable(evs.filter(col("day0") <= tableCutDay).drop("day0"), dir)
+      appendEventTable(evs.filter(col("day0") > tableCutDay).drop("day0"), dir)
+      dir
+    })
+
+  /** hot_items_topn through the stored table — same plan, same oracle;
+    * only the scan differs (manifest-resolved z-range files).
+    */
+  val hotItemsFromTable = Q(
+    "hot_items_from_table",
+    (s, d) => EventAnalytics.hotItemsTopNOn(readEventTable(s, storedEventTable(s, d))),
+    EventAnalytics.hotItemsTopN.oracle,
+    bench = true,
+  )
+
+  /** sessionize through the stored table. */
+  val sessionizeFromTable = Q(
+    "sessionize_from_table",
+    (s, d) => EventAnalytics.sessionizeOn(readEventTable(s, storedEventTable(s, d))),
+    EventAnalytics.sessionize.oracle,
+  )
+
+  /** e_funnel_relaxed through the stored table. */
+  val funnelFromTable = Q(
+    "e_funnel_from_table",
+    (s, d) => EventAnalytics.funnelRelaxedOn(readEventTable(s, storedEventTable(s, d))),
+    EventAnalytics.funnelRelaxed.oracle,
+  )
+
+  /** A 2-D box query answered through the stored table's zone maps —
+    * the scan every reference event job becomes at 100 TB: the box
+    * spans BOTH committed epochs (the cut day is inside the day range),
+    * so the read exercises manifest-window union + per-file skipping in
+    * one query; the oracle is the plain raw-table filter.
+    */
+  val tableScan = Q(
+    "e_table_scan",
+    (s, d) => {
+      import s.implicits._
+      eventTableBoxScan(s, storedEventTable(s, d), 0L, 24L, 19738L, 19748L)
+        .select($"event_id", $"user_id", $"day")
+    },
+    Some(s"""
+      SELECT event_id, user_id, $oDay AS day
+      FROM events
+      WHERE user_id BETWEEN 0 AND 24
+        AND $oDay BETWEEN 19738 AND 19748
+    """.stripMargin.trim),
+    bench = true,
+  )
+
   /** End-to-end zone-map scan on a different box than `e_zorder_scan`
     * (disjoint code path: range files + manifest intersection instead
     * of bucket enumeration), same oracle discipline — the plain filter
@@ -386,11 +542,10 @@ object LayoutOps {
     "e_table_asof",
     (s, d) => {
       import s.implicits._
-      val dir = graft.sources.Scratch.dir("graft-ztable")
-      val evs = Tables.events(s, d).withColumn("day0", expr("ts_sec div 86400"))
-      writeEventTable(evs.filter($"day0" <= tableCutDay).drop("day0"), dir)
-      appendEventTable(evs.filter($"day0" > tableCutDay).drop("day0"), dir)
-      eventTableBoxScan(s, dir, 10L, 16L, 19738L, 19748L, asOf = Some(0L))
+      // reads the SHARED deployed table (epoch 0 = pre-cut days) — the
+      // as-of pin must hide epoch 1's in-box rows
+      eventTableBoxScan(s, storedEventTable(s, d), 10L, 16L, 19738L, 19748L,
+        asOf = Some(0L))
         .select($"event_id", $"user_id", $"day")
     },
     Some(s"""
@@ -402,5 +557,6 @@ object LayoutOps {
     """.stripMargin.trim),
   )
 
-  val qs: Seq[Q] = Seq(zorderKey, zorderScan, zonemapScan, tableAsOf)
+  val qs: Seq[Q] = Seq(zorderKey, zorderScan, zonemapScan, tableAsOf,
+    hotItemsFromTable, sessionizeFromTable, funnelFromTable, tableScan)
 }

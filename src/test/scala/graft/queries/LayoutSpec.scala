@@ -18,7 +18,7 @@ class LayoutSpec extends SparkSpec {
     val rnd = new scala.util.Random(42)
     val pairs = Seq.tabulate(200)(_ =>
       (rnd.nextInt(1 << 16).toLong, rnd.nextInt(1 << 16).toLong)) ++
-      Seq((0L, 0L), (0xFFFFFFFFL, 0xFFFFFFFFL), (1L, 0L), (0L, 1L))
+      Seq((0L, 0L), ((1L << 31) - 1, (1L << 31) - 1), (1L, 0L), (0L, 1L))
     val got = pairs.toDF("x", "y")
       .select($"x", $"y", LayoutOps.morton2($"x", $"y").as("z"))
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
@@ -27,6 +27,14 @@ class LayoutSpec extends SparkSpec {
     }
     // interleave is injective: distinct pairs -> distinct z
     assert(got.values.toSet.size === got.size)
+    // the domain contract holds on both twins: out-of-range dims fail
+    // fast instead of silently degrading the layout
+    intercept[IllegalArgumentException](LayoutOps.morton2Long(1L << 31, 0L))
+    val raised = intercept[Exception] {
+      Seq((1L << 31, 0L)).toDF("x", "y")
+        .select(LayoutOps.morton2Checked($"x", $"y")).collect()
+    }
+    assert(raised.getMessage.contains("z-order dimension outside"), raised.getMessage)
   }
 
   test("box scan is exact, prunes partitions, and prunes on BOTH dimensions") {
@@ -67,9 +75,48 @@ class LayoutSpec extends SparkSpec {
     assert(bucketsTouched(0, maxU, 19730, 19739) < totalBuckets,
       "day-only predicate must still prune")
 
-    // degenerate boxes refuse instead of enumerating forever
+    // BIG boxes (area > 1e6 cells) auto-route through the z-range
+    // decomposition instead of enumerating — same oracle-exact result
+    // as the raw-table filter, O(ranges) driver work
+    val bigBrute = evs
+      .withColumn("day", expr("ts_sec div 86400"))
+      .filter($"user_id".between(0, 100000) && $"day".between(19730L, 19739L))
+    assert(rowsOf(scan(0, 100000, 19730, 19739)) === rowsOf(bigBrute))
+    assert(rowsOf(scan(0, 100000, 19730, 19739)).nonEmpty)
+    // the full-domain box is exact too (nothing to prune, everything read)
+    assert(rowsOf(scan(0, (1L << 31) - 1, 0, (1L << 31) - 1)) ===
+      rowsOf(evs.withColumn("day", expr("ts_sec div 86400"))))
+  }
+
+  test("zRangesForBox: exact cell cover, bounded count, disjoint sorted ranges") {
+    // brute-force ground truth on a small domain: a cell is covered iff
+    // its z falls inside some range; in-box cells MUST be covered
+    // (correctness), and the cover's excess is bounded by the budget
+    // trade (the residual filter absorbs it)
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 25) {
+      val uLo = rnd.nextInt(60).toLong; val uHi = uLo + rnd.nextInt(40)
+      val dLo = rnd.nextInt(60).toLong; val dHi = dLo + rnd.nextInt(40)
+      val ranges = LayoutOps.zRangesForBox(uLo, uHi, dLo, dHi, maxRanges = 64)
+      assert(ranges.size <= 68, s"budget blown: ${ranges.size}")
+      // sorted, disjoint, non-adjacent (coalesced)
+      ranges.sliding(2).foreach {
+        case Seq((_, h1), (l2, _)) => assert(l2 > h1 + 1)
+        case _ =>
+      }
+      for (u <- uLo to uHi; d <- dLo to dHi) {
+        val z = LayoutOps.morton2Long(u, d)
+        assert(ranges.exists { case (lo, hi) => z >= lo && z <= hi },
+          s"in-box cell ($u,$d) uncovered for box [$uLo,$uHi]x[$dLo,$dHi]")
+      }
+    }
+    // a generous budget covers a small box EXACTLY (no out-of-box cells)
+    val exact = LayoutOps.zRangesForBox(4, 7, 4, 7, maxRanges = 64)
+    val covered = exact.map { case (lo, hi) => hi - lo + 1 }.sum
+    assert(covered === 16L, s"aligned 4x4 box must cover exactly 16 cells, got $covered")
+    // the out-of-domain guard holds
     intercept[IllegalArgumentException](
-      LayoutOps.zorderBoxScan(spark, dir, 0, 100000, 0, 100000))
+      LayoutOps.zRangesForBox(-1, 5, 0, 5))
   }
 
   test("zone-mapped layout: manifest skipping is exact, balanced, and actually skips") {
@@ -172,5 +219,59 @@ class LayoutSpec extends SparkSpec {
     LayoutOps.appendEventTable(delta.limit(3), dir)
     assert(IndexManifest.committedState(dir, IndexManifest.Layout).epoch === 3L)
     assert(ids(None).size >= full.size)
+  }
+
+  /** All FileSourceScanExec leaves, descending through AQE roots and the
+    * Spark-4 query-stage wrappers (the PartitionPruningSpec walker).
+    */
+  private def fileScans(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    val wrapped = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case r: ReusedExchangeExec => Seq(r.child)
+      case _ => Seq.empty
+    }
+    (p match { case s: FileSourceScanExec => Seq(s); case _ => Seq.empty }) ++
+      (wrapped ++ p.children).flatMap(fileScans)
+  }
+
+  test("stored-table box scan touches ONLY the zone-intersecting files") {
+    import graft.sources.IndexManifest
+    val dir = LayoutOps.storedEventTable(spark, sf)
+    val (uLo, uHi, dLo, dHi) = (0L, 24L, 19738L, 19748L) // the e_table_scan box
+    // ground truth from the manifest: the window's full file census and
+    // the subset whose [min, max] ranges intersect the box
+    val zm = IndexManifest.readAppendOnly(spark, dir, "zonemap", IndexManifest.Layout)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val expected = zm.collect {
+      case (f, ul, uh, dl, dh) if !(uh < uLo || ul > uHi || dh < dLo || dl > dHi) => f
+    }.toSet
+    assert(expected.nonEmpty && expected.size < zm.length,
+      s"the fixture box must skip something: ${expected.size} of ${zm.length}")
+    // the scan's actual file set — straight from the physical plan's leaves
+    val df = LayoutOps.eventTableBoxScan(spark, dir, uLo, uHi, dLo, dHi)
+    val scanned = fileScans(df.queryExecution.executedPlan)
+      .flatMap(_.relation.location.inputFiles).toSet
+    assert(scanned === expected,
+      s"scan read ${scanned.size} files, zone intersection says ${expected.size}")
+    // and the result over the skipped scan is still exact
+    val brute = graft.sources.Tables.events(spark, sf)
+      .withColumn("day", expr("ts_sec div 86400"))
+      .filter($"user_id".between(uLo, uHi) && $"day".between(dLo, dHi))
+      .select($"event_id").collect().map(_.getLong(0)).toSet
+    assert(df.select($"event_id").collect().map(_.getLong(0)).toSet === brute)
+  }
+
+  test("catalog rows served from the stored table equal their raw-scan twins") {
+    def rows(q: Q) = q.spark(spark, sf).collect()
+      .map(_.toSeq.map(String.valueOf).mkString("|")).sorted
+    assert(rows(LayoutOps.hotItemsFromTable) === rows(EventAnalytics.hotItemsTopN))
+    assert(rows(LayoutOps.sessionizeFromTable) === rows(EventAnalytics.sessionize))
+    assert(rows(LayoutOps.funnelFromTable) === rows(EventAnalytics.funnelRelaxed))
   }
 }
