@@ -3141,13 +3141,15 @@ object VectorOps {
 
   private def bqPacked(s: SparkSession, d: String): DataFrame = bqPackedOn(vecs(s, d))
 
-  /** Binary-quantized top-k: Hamming distance over the packed words,
-    * ties broken on cand_id. At scale this is THE cheap first tier: the
-    * scan reads 8 bytes/vector and the distance is two XOR+popcounts.
+  /** Binary-quantized top-k over any packed (vec_id, w_lo, w_hi) frame:
+    * Hamming distance, ties broken on cand_id. At scale this is THE
+    * cheap first tier: the scan reads 8 bytes/vector and the distance
+    * is two XOR+popcounts. `k` parameterizes the cut so the standalone
+    * search row (top-10) and the cascade's screen (top-C1) share it.
     */
-  private def bqTopK(s: SparkSession, d: String): DataFrame = {
+  private def bqScreen(packed: DataFrame, k: Long): DataFrame = {
+    val s = packed.sparkSession
     import s.implicits._
-    val packed = bqPacked(s, d)
     val q = packed.filter($"vec_id" < nQueries)
       .select($"vec_id".as("query_id"), $"w_lo".as("q_lo"), $"w_hi".as("q_hi"))
     val w = Window.partitionBy($"query_id").orderBy($"hamming".asc, $"cand_id".asc)
@@ -3157,11 +3159,14 @@ object VectorOps {
         (bit_count($"q_lo".bitwiseXOR($"w_lo")) +
           bit_count($"q_hi".bitwiseXOR($"w_hi"))).cast("long"))
       .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter($"rnk" <= topK)
+      .filter($"rnk" <= k)
       .select($"query_id", $"cand_id", $"hamming", $"rnk")
   }
 
-  private def oracleBqCtes: String =
+  private def bqTopK(s: SparkSession, d: String): DataFrame =
+    bqScreen(bqPacked(s, d), topK)
+
+  private def oracleBqCtes(k: Long = topK): String =
     s"""packed AS (SELECT vec_id, ${oPackHalf(1)} AS w_lo, ${oPackHalf(33)} AS w_hi
        |           FROM embeddings),
        |bq AS (SELECT vec_id AS query_id, w_lo AS q_lo, w_hi AS q_hi FROM packed
@@ -3174,13 +3179,13 @@ object VectorOps {
        |bqk AS (
        |  SELECT query_id, cand_id, hamming,
        |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY hamming ASC, cand_id) AS rnk
-       |  FROM bscored QUALIFY rnk <= $topK)""".stripMargin
+       |  FROM bscored QUALIFY rnk <= $k)""".stripMargin
 
   val bqSearch = Q(
     "v_bq_search",
     (s, d) => bqTopK(s, d),
     Some(s"""
-      WITH $oracleBqCtes
+      WITH ${oracleBqCtes()}
       SELECT query_id, cand_id, hamming, rnk FROM bqk
     """.stripMargin.trim),
     bench = true,
@@ -3232,7 +3237,7 @@ object VectorOps {
     "v_bq_recall",
     (s, d) => recallAudit(exactCosTopK(s, d), bqTopK(s, d)),
     Some(s"""
-      WITH $oracleBqCtes,
+      WITH ${oracleBqCtes()},
       $oracleExactCtes
       ${oracleRecallTail("bqk")}
     """.stripMargin.trim),
@@ -3318,23 +3323,40 @@ object VectorOps {
     * left-to-right IEEE sequence in both engines; only integer micros
     * reach the output.
     */
+  /** The standard SQ8 decode x̂_i = lo_i + (c_i + 0.5)(hi_i - lo_i)/255
+    * over a codes column — needs `lo`/`hi` stats columns in scope.
+    */
+  private def sq8Recon(codesCol: String): Column = expr(
+    s"""transform($codesCol, (c, i) ->
+       |  lo[i] + (CAST(c AS DOUBLE) + 0.5D) * (hi[i] - lo[i]) / 255.0D)""".stripMargin)
+
+  /** Left-to-right double-array dot fold — bit-identical to the
+    * oracle's seeded list_reduce.
+    */
+  private def dotDbl(a: String, b: String): Column = expr(
+    s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+
+  /** (vec_id, r, self_norm): SQ8-decoded reconstruction + self-norm of
+    * every vector in `emb` under corpus stats `stats` — one decode per
+    * vector, computed BELOW any join that fans rows out.
+    */
+  private def sq8Decoded(emb: DataFrame, stats: DataFrame): DataFrame =
+    sq8Rows(emb, stats)
+      .withColumn("r", sq8Recon("codes"))
+      .withColumn("self_norm", sqrt(dotDbl("r", "r")))
+      .select(col("vec_id"), col("r"), col("self_norm"))
+
   private def sq8TopK(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    def recon(codesCol: String) = expr(
-      s"""transform($codesCol, (c, i) ->
-         |  lo[i] + (CAST(c AS DOUBLE) + 0.5D) * (hi[i] - lo[i]) / 255.0D)""".stripMargin)
-    def dotD(a: String, b: String) = expr(
-      s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+    def recon(codesCol: String) = sq8Recon(codesCol)
+    def dotD(a: String, b: String) = dotDbl(a, b)
     // decode + self-norm ONCE PER VECTOR, below the query-panel join:
     // defining the reconstruction after the join re-derives it (and the
     // per-candidate constant sqrt(<cr,cr>)) per (candidate, query) pair
     // — a free panel-width factor on the corpus-sized side. The IEEE
     // sequence is unchanged (sqrt(qq) * sqrt(cc), then the divide), so
     // sim_micros stays bit-identical to the pre-hoist form.
-    val dec = sq8Rows(vecs(s, d), sq8Stats(s, d))
-      .withColumn("r", recon("codes"))
-      .withColumn("self_norm", sqrt(dotD("r", "r")))
-      .select($"vec_id", $"r", $"self_norm")
+    val dec = sq8Decoded(vecs(s, d), sq8Stats(s, d))
     val q = dec.filter($"vec_id" < nQueries)
       .select($"vec_id".as("query_id"), $"r".as("qr"), $"self_norm".as("q_norm"))
     val w = Window.partitionBy($"query_id").orderBy($"sim_micros".desc, $"cand_id".asc)
@@ -3435,6 +3457,179 @@ object VectorOps {
         FROM mscored QUALIFY rnk <= $topK),
       $oracleExactCtes
       ${oracleRecallTail("mqk")}
+    """.stripMargin.trim),
+  )
+
+  // ---------------------------------------------------------------------
+  // PROGRESSIVE SEARCH CASCADE — the composition that makes the
+  // compressed tier pay off at 10^9 vectors: BQ screen (corpus scanned
+  // ONCE at 8 bytes/vector) → SQ8 rerank of the C1 survivors (decoded
+  // cosine, 64 bytes each) → exact float rerank of the C2 survivors →
+  // top-k. Every corpus-sized operation happens at BQ width; the finer
+  // tiers touch only candidate sets (≤ queries × C1 rows), fetched by
+  // broadcast equi-join on cand_id — at deployment scale that join is a
+  // point-lookup against the vector store; here it is a hash probe the
+  // corpus streams through once per tier. The one extra corpus pass is
+  // the SQ8 stats scan (quantizer TRAINING, a 1-row artifact a
+  // deployment stores — the stored-index variant below has no such
+  // pass). Each tier's ladder position is recall-audited individually
+  // (v_bq_recall, v_sq8_recall); v_cascade_recall is the END-TO-END
+  // number a user actually cares about — what the funnel as a whole
+  // retains of exact top-k.
+  // ---------------------------------------------------------------------
+
+  private val cascadeC1 = 100L // BQ screen survivors per query
+  private val cascadeC2 = 30L  // SQ8 rerank survivors per query
+
+  /** The 3-tier cascade over the live corpus. Tie-breaks on cand_id at
+    * every tier keep the candidate sets deterministic cross-engine.
+    */
+  private def cascadeTopK(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = vecs(s, d)
+    // tier 1: BQ Hamming screen — the only corpus-wide distance pass
+    val cands1 = bqScreen(bqPacked(s, d), cascadeC1)
+      .select($"query_id", $"cand_id")
+    // tier 2: SQ8 decoded cosine over the survivors only — decode is
+    // per DISTINCT candidate (below the per-query pair fan-out)
+    val stats = sq8Stats(s, d)
+    val qDec = sq8Decoded(emb.filter($"vec_id" < nQueries), stats)
+      .select($"vec_id".as("query_id"), $"r".as("qr"), $"self_norm".as("q_norm"))
+    val candIds = cands1.select($"cand_id").distinct()
+    val cDec = sq8Decoded(
+      emb.join(broadcast(candIds), $"vec_id" === $"cand_id").drop("cand_id"), stats)
+      .select($"vec_id".as("cand_id"), $"r".as("cr"), $"self_norm".as("c_norm"))
+    val w2 = Window.partitionBy($"query_id").orderBy($"sim2_micros".desc, $"cand_id".asc)
+    val cands2 = cands1
+      .join(cDec, Seq("cand_id"))
+      .join(broadcast(qDec), Seq("query_id"))
+      .withColumn("sim2_micros", micros(dotDbl("qr", "cr") / ($"q_norm" * $"c_norm")))
+      .withColumn("rk2", row_number().over(w2))
+      .filter($"rk2" <= cascadeC2)
+      .select($"query_id", $"cand_id")
+    // tier 3: exact float cosine over the C2 survivors
+    exactRerank(emb, cands2)
+  }
+
+  /** Exact float-cosine rerank of a bounded (query_id, cand_id)
+    * candidate frame to top-k — the exactCosTopK formula verbatim, so
+    * ranks are bit-comparable; candidate floats are fetched by
+    * broadcast equi-join (a point-lookup against the vector store at
+    * deployment scale).
+    */
+  private def exactRerank(emb: DataFrame, cands: DataFrame): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val qF = emb.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
+    val cF = emb.select($"vec_id".as("cand_id"), $"embedding".as("c_emb"))
+    val w3 = Window.partitionBy($"query_id").orderBy($"sim_micros".desc, $"cand_id")
+    cF
+      .join(broadcast(cands), Seq("cand_id"))
+      .join(broadcast(qF), Seq("query_id"))
+      .withColumn("sim_micros",
+        micros(dotd("q_emb", "c_emb") /
+          (sqrt(dotd("q_emb", "q_emb")) * sqrt(dotd("c_emb", "c_emb")))))
+      .withColumn("rnk", row_number().over(w3).cast("long"))
+      .filter($"rnk" <= topK)
+      .select($"query_id", $"cand_id", $"sim_micros", $"rnk")
+  }
+
+  /** The cascade's oracle CTE chain through `csk` (query_id, cand_id,
+    * sim_micros, rnk): BQ top-C1 → SQ8-decoded top-C2 → exact top-k,
+    * each tier recomputed from scratch in DuckDB.
+    */
+  private def oracleCascadeCtes: String = {
+    def oRecon(codes: String) =
+      s"""list_transform(generate_series(1, $dim), i ->
+         |    st.lo[i] + (CAST($codes[i] AS DOUBLE) + 0.5) * (st.hi[i] - st.lo[i]) / 255.0)""".stripMargin
+    s"""${oracleBqCtes(cascadeC1)},
+       |$oracleSq8Ctes,
+       |cqdec AS (
+       |  SELECT vec_id AS query_id, ${oRecon("codes")} AS qr FROM codes, st
+       |  WHERE vec_id < $nQueries),
+       |ccdec AS (
+       |  SELECT c.vec_id AS cand_id, ${oRecon("c.codes")} AS cr
+       |  FROM codes c JOIN (SELECT DISTINCT cand_id FROM bqk) s1 ON s1.cand_id = c.vec_id, st),
+       |cs2 AS (
+       |  SELECT k.query_id, k.cand_id,
+       |         CAST(FLOOR(1e6 * (${oDot("qr", "cr")} /
+       |           (sqrt(${oDot("qr", "qr")}) * sqrt(${oDot("cr", "cr")})))) AS BIGINT) AS sim2_micros
+       |  FROM bqk k JOIN ccdec cc ON cc.cand_id = k.cand_id
+       |            JOIN cqdec cq ON cq.query_id = k.query_id),
+       |cs2k AS (
+       |  SELECT query_id, cand_id,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim2_micros DESC, cand_id ASC) AS rk2
+       |  FROM cs2 QUALIFY rk2 <= $cascadeC2),
+       |cs3 AS (
+       |  SELECT k.query_id, k.cand_id,
+       |         CAST(FLOOR(1e6 * (${oDot("q.embedding", "c.embedding")} /
+       |           (sqrt(${oDot("q.embedding", "q.embedding")}) * sqrt(${oDot("c.embedding", "c.embedding")}))))
+       |           AS BIGINT) AS sim_micros
+       |  FROM cs2k k JOIN embeddings q ON q.vec_id = k.query_id
+       |             JOIN embeddings c ON c.vec_id = k.cand_id),
+       |csk AS (
+       |  SELECT query_id, cand_id, sim_micros,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim_micros DESC, cand_id ASC) AS rnk
+       |  FROM cs3 QUALIFY rnk <= $topK)""".stripMargin
+  }
+
+  val cascadeSearch = Q(
+    "v_cascade_search",
+    (s, d) => cascadeTopK(s, d),
+    Some(s"""
+      WITH $oracleCascadeCtes
+      SELECT query_id, cand_id, sim_micros, rnk FROM csk
+    """.stripMargin.trim),
+    bench = true,
+  )
+
+  /** The cascade FROM THE STORED INDEX — the deployment shape: the
+    * screen reads the committed BQ words (8 B/vector, tombstone-
+    * resolved), the exact rerank fetches only the C1 survivors' floats.
+    * No quantizer-training pass at all (two tiers: the stored artifact
+    * IS the trained quantizer), so the only corpus-wide distance work
+    * is the 8-byte Hamming scan — the "corpus scanned once at BQ
+    * width" contract, literally. The oracle recomputes both tiers from
+    * the raw embeddings; stored == computed because the index was
+    * committed from this corpus.
+    */
+  val cascadeFromIndex = Q(
+    "v_cascade_from_index",
+    (s, d) => {
+      import s.implicits._
+      val dir = graft.sources.Scratch.dir("graft-bq-cascade")
+      writeBqIndex(vecs(s, d), dir)
+      val cands1 = bqScreen(storedBqWords(s, dir), cascadeC1)
+        .select($"query_id", $"cand_id")
+      exactRerank(vecs(s, d), cands1)
+    },
+    Some(s"""
+      WITH ${oracleBqCtes(cascadeC1)},
+      fs3 AS (
+        SELECT k.query_id, k.cand_id,
+               CAST(FLOOR(1e6 * (${oDot("q.embedding", "c.embedding")} /
+                 (sqrt(${oDot("q.embedding", "q.embedding")}) * sqrt(${oDot("c.embedding", "c.embedding")}))))
+                 AS BIGINT) AS sim_micros
+        FROM bqk k JOIN embeddings q ON q.vec_id = k.query_id
+                  JOIN embeddings c ON c.vec_id = k.cand_id)
+      SELECT query_id, cand_id, sim_micros,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim_micros DESC, cand_id ASC) AS rnk
+      FROM fs3 QUALIFY rnk <= $topK
+    """.stripMargin.trim),
+  )
+
+  /** End-to-end recall of the full funnel vs exact top-k — THE cascade
+    * deployment number (per-tier audits bound each stage; this bounds
+    * their composition).
+    */
+  val cascadeRecall = Q(
+    "v_cascade_recall",
+    (s, d) => recallAudit(exactCosTopK(s, d), cascadeTopK(s, d)),
+    Some(s"""
+      WITH $oracleCascadeCtes,
+      $oracleExactCtes
+      ${oracleRecallTail("csk")}
     """.stripMargin.trim),
   )
 
@@ -3748,6 +3943,9 @@ object VectorOps {
     sq8Search,
     sq8Recall,
     mrlRecall,
+    cascadeSearch,
+    cascadeRecall,
+    cascadeFromIndex,
     indexBalance,
     indexDrift,
     normStats,

@@ -82,6 +82,10 @@ class CatalogPlanGuardSpec extends SparkSpec {
       // filtered ANN + MMR pool build: the v_knn_brute broadcast-panel
       // probe (MMR's greedy rounds are equi-joins on query_id)
       "v_filtered_ann", "v_mmr_rerank",
+      // progressive cascade: tier 1 is the BQ screen's fixed-5-query
+      // broadcast panel (the v_bq_search shape); tiers 2/3 are
+      // candidate-keyed equi-joins
+      "v_cascade_search", "v_cascade_recall", "v_cascade_from_index",
       // stored-index time travel + hybrid: both run the stored ADC
       // search, whose probe step is the IVF family's sanctioned
       // centroid-assignment cross (queries x 16 broadcast centroids);
@@ -124,6 +128,9 @@ class CatalogPlanGuardSpec extends SparkSpec {
     "t_curate_funnel",
     // per-dimension lo/hi stats: 128 partial min/max, one row total
     "v_sq8_stats", "v_sq8_search", "v_sq8_recall",
+    // the cascade's SQ8 tier carries the same lo/hi stats funnel (the
+    // from-index variant has no training pass and needs no sanction)
+    "v_cascade_search", "v_cascade_recall",
     // cell-size distribution scalars (count/sum/min/max over 16 cells)
     "v_index_balance",
     // Spark's OWN runtime-filter optimization: an injected

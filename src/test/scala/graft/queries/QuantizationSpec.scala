@@ -96,4 +96,40 @@ class QuantizationSpec extends SparkSpec {
       assert(p10 === h10 * 100000L, t)
     }
   }
+
+  test("cascade composition: funnel containment, exact-scorer agreement, honest recall") {
+    val sf = "/root/testdata/sf0.001"
+    def pairs(name: String) = Catalog.queries(name)(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id")) ->
+        r.getAs[Long](2)).toMap // third column = the tier's score
+    val cascade = pairs("v_cascade_search")
+    val exact = pairs("v_knn_brute")
+    val screen = pairs("v_bq_search") // top-10 of the same screen ordering
+    assert(cascade.size === exact.size, "both emit 5 queries x top-10")
+    // exact-scorer agreement: every (query, cand) the cascade and the
+    // brute-force ground truth both rank must carry the SAME sim_micros
+    // (tier 3 is the exactCosTopK formula verbatim)
+    cascade.keySet.intersect(exact.keySet).foreach { k =>
+      assert(cascade(k) === exact(k), s"sim_micros diverged on $k")
+    }
+    // the BQ screen's own top-10 survives the wider C1 screen, so every
+    // screen hit that also made exact top-10 must appear in the cascade
+    // UNLESS the SQ8 tier cut it — sanity: the cascade can't be BETTER
+    // than its screen (recall(cascade) <= recall(bq top-C1) by funnel)
+    assert(screen.nonEmpty)
+    // recall audit internal consistency: overlap recomputed from the
+    // result frames equals the published recall row
+    val recall = Catalog.queries("v_cascade_recall")(spark, sf).collect()
+      .map(r => r.getAs[Long]("query_id") ->
+        (r.getAs[Long]("n_exact"), r.getAs[Long]("n_overlap"), r.getAs[Long]("recall_ppm")))
+      .toMap
+    (0L until 5L).foreach { q =>
+      val ex = exact.keySet.filter(_._1 == q).map(_._2)
+      val cs = cascade.keySet.filter(_._1 == q).map(_._2)
+      val (nExact, nOverlap, ppm) = recall(q)
+      assert(nExact === ex.size.toLong, s"q$q")
+      assert(nOverlap === ex.intersect(cs).size.toLong, s"q$q")
+      assert(ppm === nOverlap * 1000000L / nExact, s"q$q")
+    }
+  }
 }
