@@ -35,6 +35,11 @@ import graft.sources.IndexManifest
   * epoch ADVANCED is done (single-writer contract: nobody else moves
   * the manifest), so resume with [[DocTargets.remaining]] — the spec
   * drives exactly this crash-and-resume drill.
+  *
+  * [[forgetDocsDurable]]/[[forgetUsersDurable]] remove the last
+  * caller-held state: request + snapshot persist as a fleet-level
+  * INTENT under a root path before any index is touched, and
+  * [[resumeForgetDocs]]/[[resumeForgetUsers]] replay from disk alone.
   */
 object Erasure {
 
@@ -122,19 +127,30 @@ object Erasure {
     * complete original text. Fixed processing order; see the class doc
     * for the crash/resume protocol.
     */
-  def forgetDocs(docs: DataFrame, targets: DocTargets): Unit = {
+  def forgetDocs(docs: DataFrame, targets: DocTargets): Unit =
+    runDocFamilies(docs, targets, failAfter = Int.MaxValue)
+
+  /** The fan-out loop, with a planted-crash hook for the drills:
+    * `failAfter = k` throws after k families committed.
+    */
+  private def runDocFamilies(docs: DataFrame, targets: DocTargets,
+      failAfter: Int): Unit = {
     // one materialization feeds up to six fan-out reads
     val d = docs.localCheckpoint(true)
     val ids = d.select(col("doc_id"))
     val vecIds = d.select(col("doc_id").as("vec_id"))
-    targets.ordered.foreach {
-      case ("postings", p) => SearchOps.deleteFromPostingsIndex(ids, p)
-      case ("lsh", p)      => TextOps.deleteFromLshIndex(ids, p)
-      case ("shingle", p)  =>
-        TextOps.forgetShingleDocs(d.select(col("doc_id"), col("text")), p)
-      case ("scd2", p)     => TextOps.purgeScd2Docs(ids, p)
-      case ("ivfpq", p)    => VectorOps.deleteFromIvfPqIndex(vecIds, p)
-      case ("bq", p)       => VectorOps.deleteFromBqIndex(vecIds, p)
+    targets.ordered.zipWithIndex.foreach { case ((tag, p), i) =>
+      if (i >= failAfter)
+        throw new RuntimeException(s"planted crash before family '$tag'")
+      tag match {
+        case "postings" => SearchOps.deleteFromPostingsIndex(ids, p)
+        case "lsh"      => TextOps.deleteFromLshIndex(ids, p)
+        case "shingle"  =>
+          TextOps.forgetShingleDocs(d.select(col("doc_id"), col("text")), p)
+        case "scd2"     => TextOps.purgeScd2Docs(ids, p)
+        case "ivfpq"    => VectorOps.deleteFromIvfPqIndex(vecIds, p)
+        case "bq"       => VectorOps.deleteFromBqIndex(vecIds, p)
+      }
     }
   }
 
@@ -145,16 +161,173 @@ object Erasure {
     * attribution to erase from.
     */
   def forgetUsers(users: DataFrame, targets: UserTargets,
-      userEvs: Option[DataFrame] = None): Unit = {
+      userEvs: Option[DataFrame] = None): Unit =
+    runUserFamilies(users, targets, userEvs, failAfter = Int.MaxValue)
+
+  private def runUserFamilies(users: DataFrame, targets: UserTargets,
+      userEvs: Option[DataFrame], failAfter: Int): Unit = {
     require(targets.transition.isEmpty || userEvs.nonEmpty,
       "transition-graph erasure needs the users' event slice (userEvs)")
     val u = users.select(col("user_id")).localCheckpoint(true)
-    targets.ordered.foreach {
-      case ("cooccur", p)    => GraphOps.forgetCooccurUsers(u, p)
-      case ("transition", p) =>
-        GraphOps.forgetTransitionUsers(
-          userEvs.get.join(u, Seq("user_id"), "left_semi"), p)
+    targets.ordered.zipWithIndex.foreach { case ((tag, p), i) =>
+      if (i >= failAfter)
+        throw new RuntimeException(s"planted crash before family '$tag'")
+      tag match {
+        case "cooccur"    => GraphOps.forgetCooccurUsers(u, p)
+        case "transition" =>
+          GraphOps.forgetTransitionUsers(
+            userEvs.get.join(u, Seq("user_id"), "left_semi"), p)
+      }
     }
+  }
+
+  // ---------------------------------------------------------------------
+  // DURABLE erasure — the fleet-level INTENT LEDGER. The plain
+  // forgetDocs/forgetUsers resume protocol depends on a caller-held
+  // epoch snapshot: if the CALLER crashes without persisting it, resume
+  // is ambiguous. The durable entry points close that hole by persisting
+  // the request AND the pre-call snapshot under a fleet root BEFORE any
+  // index is touched, so a crashed erasure resumes from DISK alone:
+  //
+  //   <intentRoot>/request/        the request rows (parquet)
+  //   <intentRoot>/user_events/    the users' event slice (user grain,
+  //                                when the transition graph is targeted)
+  //   <intentRoot>/_intent.ledger  grain + (family, pre-epoch, path)
+  //                                rows — written LAST via tmp+rename,
+  //                                so its presence implies the payload
+  //                                is complete
+  //
+  // Completion renames the intent to `_completed.ledger` (the audit
+  // trail a certificate run pairs with). Exactly one in-flight intent
+  // per root: starting a new durable erasure over a pending intent
+  // fails fast instead of interleaving two requests' snapshots. The
+  // out-of-band-writer caveat is unchanged from the class doc: "epoch
+  // advanced" reads as "this family committed", so the fleet must have
+  // no other writers between crash and resume.
+  // ---------------------------------------------------------------------
+
+  import java.nio.charset.StandardCharsets
+  import java.nio.file.{Files, Paths, StandardCopyOption}
+
+  private def intentFile(root: String) = Paths.get(root, "_intent.ledger")
+
+  private def writeIntent(root: String, grain: String,
+      rows: Seq[(String, Long, String)]): Unit = {
+    Files.createDirectories(Paths.get(root))
+    val body = (s"grain=$grain" +: rows.map { case (tag, e, p) => s"$tag\t$e\t$p" })
+      .mkString("", "\n", "\n")
+    val tmp = Paths.get(root, "._intent.tmp")
+    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, intentFile(root),
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  private def readIntent(root: String, expectGrain: String): Seq[(String, Long, String)] = {
+    val f = intentFile(root)
+    require(Files.exists(f), s"no pending erasure intent at $root - nothing to resume")
+    val lines = new String(Files.readAllBytes(f), StandardCharsets.UTF_8)
+      .linesIterator.filter(_.nonEmpty).toSeq
+    require(lines.headOption.contains(s"grain=$expectGrain"),
+      s"intent at $root is '${lines.headOption.getOrElse("")}', expected grain=$expectGrain")
+    lines.tail.map { ln =>
+      val Array(tag, e, p) = ln.split('\t')
+      (tag, e.toLong, p)
+    }
+  }
+
+  private def completeIntent(root: String): Unit =
+    Files.move(intentFile(root), Paths.get(root, "_completed.ledger"),
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+
+  private def docTargetsOf(rows: Seq[(String, Long, String)]): DocTargets = {
+    val m = rows.map { case (tag, _, p) => tag -> p }.toMap
+    DocTargets(postings = m.get("postings"), lsh = m.get("lsh"),
+      shingle = m.get("shingle"), scd2 = m.get("scd2"),
+      ivfPq = m.get("ivfpq"), bq = m.get("bq"))
+  }
+
+  /** [[forgetDocs]] with the intent persisted first — crash-resumable
+    * from disk alone via [[resumeForgetDocs]]. `docs` needs the same
+    * columns as forgetDocs (`doc_id`, plus `text` when shingle is
+    * targeted); the PERSISTED copy is what both the initial run and any
+    * resume process, so they see identical rows by construction.
+    */
+  def forgetDocsDurable(docs: DataFrame, targets: DocTargets,
+      intentRoot: String): Unit =
+    forgetDocsDurable(docs, targets, intentRoot, failAfter = Int.MaxValue)
+
+  private[queries] def forgetDocsDurable(docs: DataFrame, targets: DocTargets,
+      intentRoot: String, failAfter: Int): Unit = {
+    require(!Files.exists(intentFile(intentRoot)),
+      s"pending erasure intent at $intentRoot - resumeForgetDocs first " +
+        "(one in-flight erasure per fleet root)")
+    val s = docs.sparkSession
+    docs.write.mode("overwrite").parquet(s"$intentRoot/request")
+    val snap = committedEpochs(targets.ordered)
+    writeIntent(intentRoot, "doc",
+      targets.ordered.map { case (tag, p) => (tag, snap(tag), p) })
+    runDocFamilies(s.read.parquet(s"$intentRoot/request"), targets, failAfter)
+    completeIntent(intentRoot)
+  }
+
+  /** Resume a crashed [[forgetDocsDurable]] from DISK alone: the
+    * request, targets, and pre-call snapshot all come from the intent
+    * root; families whose epoch advanced past the persisted snapshot
+    * are already done and are skipped (never double-subtracted).
+    */
+  def resumeForgetDocs(s: SparkSession, intentRoot: String): Unit = {
+    val rows = readIntent(intentRoot, "doc")
+    val snapshot = rows.map { case (tag, e, _) => tag -> e }.toMap
+    val remaining = docTargetsOf(rows).remaining(snapshot)
+    if (remaining.ordered.nonEmpty)
+      runDocFamilies(s.read.parquet(s"$intentRoot/request"), remaining,
+        failAfter = Int.MaxValue)
+    completeIntent(intentRoot)
+  }
+
+  /** [[forgetUsers]], durable. `userEvs` (required when transition is
+    * targeted) is persisted alongside the request so resume needs no
+    * caller-held frame.
+    */
+  def forgetUsersDurable(users: DataFrame, targets: UserTargets,
+      userEvs: Option[DataFrame], intentRoot: String): Unit =
+    forgetUsersDurable(users, targets, userEvs, intentRoot, failAfter = Int.MaxValue)
+
+  private[queries] def forgetUsersDurable(users: DataFrame, targets: UserTargets,
+      userEvs: Option[DataFrame], intentRoot: String, failAfter: Int): Unit = {
+    require(!Files.exists(intentFile(intentRoot)),
+      s"pending erasure intent at $intentRoot - resumeForgetUsers first " +
+        "(one in-flight erasure per fleet root)")
+    require(targets.transition.isEmpty || userEvs.nonEmpty,
+      "transition-graph erasure needs the users' event slice (userEvs)")
+    val s = users.sparkSession
+    users.select(col("user_id")).write.mode("overwrite")
+      .parquet(s"$intentRoot/request")
+    userEvs.foreach(_.write.mode("overwrite").parquet(s"$intentRoot/user_events"))
+    val snap = committedEpochs(targets.ordered)
+    writeIntent(intentRoot, "user",
+      targets.ordered.map { case (tag, p) => (tag, snap(tag), p) })
+    runUserFamilies(s.read.parquet(s"$intentRoot/request"), targets,
+      userEvs.map(_ => s.read.parquet(s"$intentRoot/user_events")), failAfter)
+    completeIntent(intentRoot)
+  }
+
+  /** Resume a crashed [[forgetUsersDurable]] from disk alone. */
+  def resumeForgetUsers(s: SparkSession, intentRoot: String): Unit = {
+    val rows = readIntent(intentRoot, "user")
+    val snapshot = rows.map { case (tag, e, _) => tag -> e }.toMap
+    val m = rows.map { case (tag, _, p) => tag -> p }.toMap
+    val remaining = UserTargets(cooccur = m.get("cooccur"),
+      transition = m.get("transition")).remaining(snapshot)
+    if (remaining.ordered.nonEmpty) {
+      val evs =
+        if (remaining.transition.nonEmpty)
+          Some(s.read.parquet(s"$intentRoot/user_events"))
+        else None
+      runUserFamilies(s.read.parquet(s"$intentRoot/request"), remaining, evs,
+        failAfter = Int.MaxValue)
+    }
+    completeIntent(intentRoot)
   }
 
   /** ERASURE CERTIFICATE — auditable proof of absence, the compliance

@@ -334,7 +334,7 @@ object LayoutOps {
   // pinned) and reads only intersecting files.
   // ---------------------------------------------------------------------
 
-  private def stageTableEpoch(evs: DataFrame, path: String, e: Long, nFiles: Int): Unit = {
+  private[graft] def stageTableEpoch(evs: DataFrame, path: String, e: Long, nFiles: Int): Unit = {
     import graft.sources.IndexManifest
     val s = evs.sparkSession
     import s.implicits._

@@ -1143,4 +1143,76 @@ object Streams {
         applyErasureBatch(batch, targets, s"$checkpointDir/ledger", batchId)
       }
       .start()
+
+  // ---------------------------------------------------------------------
+  // Streaming ingest into the epoch-versioned event table — the twin
+  // every stored-index family already has, for the table itself: each
+  // micro-batch of events becomes one committed table epoch (z-sorted
+  // range files + zone-map rows + manifest advance). The replay hazard
+  // is the appender's documented one: appendEventTable is idempotent
+  // only for stages that crashed BEFORE the manifest flip — a replayed
+  // COMMITTED batch would fold the same rows in twice. Solved with the
+  // same write-ahead epoch ledger as erasureStream: before staging, the
+  // batch's TARGET EPOCH persists keyed by batchId (atomic tmp+rename);
+  // a replayed batch whose ledgered epoch is already committed is a
+  // no-op, one whose stage crashed restages into the SAME epoch
+  // (overwrite semantics) and commits. Net: exactly-once table ingest.
+  // Same single-writer caveat as erasureStream: an out-of-band writer
+  // advancing the manifest between crash and replay would make the
+  // replay read its batch as already-folded.
+  // ---------------------------------------------------------------------
+
+  /** Fold one ingest batch under the write-ahead epoch ledger — the
+    * foreachBatch body, exposed for the replay drill.
+    */
+  private[graft] def applyEventTableBatch(
+      batch: DataFrame, path: String, ledgerDir: String, batchId: Long,
+      nFiles: Int = 4): Unit = {
+    import java.nio.charset.StandardCharsets
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import graft.sources.IndexManifest
+    Files.createDirectories(Paths.get(ledgerDir))
+    val entry = Paths.get(ledgerDir, s"batch-$batchId.ledger")
+    val e: Long =
+      if (Files.exists(entry))
+        new String(Files.readAllBytes(entry), StandardCharsets.UTF_8).trim.toLong
+      else {
+        val next = IndexManifest.committedEpoch(path, IndexManifest.Layout) + 1L
+        val tmp = Paths.get(ledgerDir, s".batch-$batchId.tmp")
+        Files.write(tmp, s"$next\n".getBytes(StandardCharsets.UTF_8))
+        Files.move(tmp, entry,
+          StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+        next
+      }
+    if (IndexManifest.committedEpoch(path, IndexManifest.Layout) < e) {
+      graft.queries.LayoutOps.stageTableEpoch(batch, path, e, nFiles)
+      IndexManifest.advance(path, e, IndexManifest.Layout)
+    } // else: replay of an already-committed fold — exactly-once no-op
+    // prune settled entries (batches run serially; earlier ids can
+    // never replay) — the ledger holds at most the in-flight batch
+    import scala.jdk.CollectionConverters._
+    scala.util.Using.resource(Files.list(Paths.get(ledgerDir))) { ls =>
+      ls.iterator().asScala.toVector.foreach { p =>
+        val n = p.getFileName.toString
+        if (n.startsWith("batch-") && n.endsWith(".ledger") &&
+            n.stripPrefix("batch-").stripSuffix(".ledger").toLongOption.exists(_ < batchId))
+          Files.delete(p)
+      }
+    }
+  }
+
+  /** Start the standing table ingest over a streaming frame of events
+    * (the [[graft.sources.Tables.events]] shape: `ts_sec`, `user_id`,
+    * the payload columns). The table must exist
+    * ([[graft.queries.LayoutOps.writeEventTable]]); the checkpoint
+    * carries source offsets + the epoch ledger.
+    */
+  def eventTableStream(events: DataFrame, path: String,
+      checkpointDir: String, nFiles: Int = 4): StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", s"$checkpointDir/offsets")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyEventTableBatch(batch, path, s"$checkpointDir/ledger", batchId, nFiles)
+      }
+      .start()
 }

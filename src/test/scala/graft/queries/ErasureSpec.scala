@@ -101,6 +101,81 @@ class ErasureSpec extends SparkSpec {
     assert(lshDocs.intersect(goneIds).isEmpty)
   }
 
+  test("durable doc erasure: crash, then resume FROM DISK ONLY — no double-subtract, intent completes") {
+    val targets = buildDocFleet()
+    val root = tmp("era-intent")
+    val gone = docsDf.filter($"doc_id" % 11 === 0)
+
+    // planted crash after 2 families — the caller keeps NOTHING
+    intercept[RuntimeException] {
+      Erasure.forgetDocsDurable(gone, targets, root, failAfter = 2)
+    }
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(root, "_intent.ledger")))
+    val afterCrash = Erasure.committedEpochs(targets.ordered)
+    assert(afterCrash("postings") === 1L && afterCrash("lsh") === 1L)
+    assert(afterCrash("shingle") === 0L && afterCrash("bq") === 0L)
+
+    // a second durable request over the pending intent fails fast
+    intercept[IllegalArgumentException] {
+      Erasure.forgetDocsDurable(gone, targets, root)
+    }
+
+    // resume: only the SparkSession and the root path — request,
+    // targets, and snapshot all come off disk
+    Erasure.resumeForgetDocs(spark, root)
+    val done = Erasure.committedEpochs(targets.ordered)
+    assert(done.values.forall(_ == 1L),
+      "every family advanced EXACTLY once across crash + disk-only resume")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(root, "_intent.ledger")))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(root, "_completed.ledger")))
+
+    // double-subtract provably impossible: a RE-RESUME after completion
+    // has no intent to act on, and stats equal a clean one-shot twin
+    intercept[IllegalArgumentException] { Erasure.resumeForgetDocs(spark, root) }
+    val twin = tmp("era-post-twin2")
+    SearchOps.writePostingsIndex(docsDf, twin)
+    SearchOps.deleteFromPostingsIndex(gone.select($"doc_id"), twin)
+    def comp(p: String, c: String) =
+      IndexManifest.readRewrite(spark, p, c, IndexManifest.Postings)
+        .collect().map(_.toSeq).toSet
+    assert(comp(targets.postings.get, "corpus") === comp(twin, "corpus"))
+    assert(comp(targets.postings.get, "terms") === comp(twin, "terms"))
+    // and the shingle stats (the family AFTER the crash point) match a
+    // one-shot twin too — resume really ran it exactly once
+    val shTwin = tmp("era-shingle-twin2")
+    TextOps.writeShingleIndex(docsDf, shTwin)
+    TextOps.forgetShingleDocs(gone, shTwin)
+    def shingleCounts(p: String) =
+      TextOps.storedShingleDf(spark, p)
+        .collect().map(r => String.valueOf(r.get(0)) -> r.getLong(1)).toMap
+    assert(shingleCounts(targets.shingle.get) === shingleCounts(shTwin))
+  }
+
+  test("durable user erasure: crash before transition, disk-only resume finishes with the persisted slice") {
+    val co = tmp("era-co-dur"); val tr = tmp("era-tr-dur")
+    GraphOps.writeCooccurIndex(evsDf, co)
+    GraphOps.writeTransitionGraph(evsDf, tr)
+    val targets = Erasure.UserTargets(cooccur = Some(co), transition = Some(tr))
+    val users = evsDf.filter($"user_id" % 13 === 0).select($"user_id").distinct()
+    val root = tmp("era-intent-u")
+    intercept[RuntimeException] {
+      Erasure.forgetUsersDurable(users, targets, Some(evsDf), root, failAfter = 1)
+    }
+    assert(Erasure.committedEpochs(targets.ordered) ===
+      Map("cooccur" -> 1L, "transition" -> 0L))
+    Erasure.resumeForgetUsers(spark, root)
+    assert(Erasure.committedEpochs(targets.ordered).values.forall(_ == 1L))
+    // transition equals a rebuild without those users — the persisted
+    // slice carried everything resume needed
+    val reb = tmp("era-tr-dur-reb")
+    GraphOps.writeTransitionGraph(
+      evsDf.join(users, Seq("user_id"), "left_anti"), reb)
+    def edges(dir: String) =
+      IndexManifest.readRewrite(spark, dir, "edges", IndexManifest.Transition)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(edges(tr) === edges(reb))
+  }
+
   test("user erasure fans out to both behavioral artifacts; transition requires the event slice") {
     val co = tmp("era-cooccur")
     val tr = tmp("era-transition")

@@ -1265,12 +1265,18 @@ class StreamsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(top(targets.postings.get) === top(twin))
 
-    // replay drill: re-running a COMMITTED batch id is a no-op (the
-    // write-ahead ledger already records its pre-epochs, so remaining()
-    // is empty) — no double-subtract
+    // replay drill: re-running the LAST committed batch id is a no-op
+    // (the write-ahead ledger already records its pre-epochs, so
+    // remaining() is empty) — no double-subtract. Only the last batch
+    // can ever replay: Structured Streaming re-runs at most the batch
+    // whose offsets hadn't committed, which is why the ledger prunes
+    // entries of earlier batches (batch-0's is gone by now)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$ckpt/ledger", "batch-0.ledger")),
+      "settled ledger entries must be pruned")
     Streams.applyErasureBatch(
-      Seq((2L, "join window filter")).toDF("doc_id", "text"),
-      targets, s"$ckpt/ledger", batchId = 0L)
+      Seq((4L, "window map reduce")).toDF("doc_id", "text"),
+      targets, s"$ckpt/ledger", batchId = 1L)
     assert(Erasure.committedEpochs(targets.ordered).values.toSet === Set(2L),
       "replaying a committed batch must advance nothing")
     assert(top(targets.postings.get) === top(twin))
@@ -1297,6 +1303,73 @@ class StreamsSpec extends SparkSpec {
     val after = Erasure.committedEpochs(t2.ordered)
     assert(after("postings") === 3L && after("shingle") === 1L,
       "replay must skip the committed leg and finish the unreached one")
+  }
+
+  test("event-table ingest stream: batch parity, exactly-once replay, crash-then-restage") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.queries.LayoutOps
+    import graft.sources.IndexManifest
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    def evs(rows: (Long, Long, String, Long)*) =
+      rows.toDF("event_id", "user_id", "event_type", "ts_sec")
+
+    val base = evs((1L, 3L, "view", 19740L * 86400 + 10),
+      (2L, 4L, "click", 19740L * 86400 + 20))
+    val b1 = evs((3L, 5L, "view", 19741L * 86400 + 5))
+    val b2 = evs((4L, 3L, "purchase", 19742L * 86400 + 7))
+
+    val dir = tmp("ztable-stream"); val ckpt = tmp("ztable-ckpt")
+    LayoutOps.writeEventTable(base, dir, nFiles = 2)
+    def epoch = IndexManifest.committedEpoch(dir, IndexManifest.Layout)
+
+    val mem = MemoryStream[(Long, Long, String, Long)]
+    val q = Streams.eventTableStream(
+      mem.toDF().toDF("event_id", "user_id", "event_type", "ts_sec"),
+      dir, ckpt, nFiles = 1)
+    try {
+      mem.addData((3L, 5L, "view", 19741L * 86400 + 5))
+      q.processAllAvailable()
+      assert(epoch === 1L, "first micro-batch commits table epoch 1")
+      mem.addData((4L, 3L, "purchase", 19742L * 86400 + 7))
+      q.processAllAvailable()
+      assert(epoch === 2L)
+    } finally q.stop()
+
+    // parity: the streamed table equals a batch-appended twin
+    val twin = tmp("ztable-twin")
+    LayoutOps.writeEventTable(base, twin, nFiles = 2)
+    LayoutOps.appendEventTable(b1, twin, nFiles = 1)
+    LayoutOps.appendEventTable(b2, twin, nFiles = 1)
+    def rows(p: String) = LayoutOps.readEventTable(spark, p)
+      .select($"event_id", $"user_id", $"event_type", $"ts_sec")
+      .collect().map(_.toSeq).toSet
+    assert(rows(dir) === rows(twin))
+    assert(rows(dir).size === 4)
+
+    // replaying the last COMMITTED batch is a no-op (ledgered epoch
+    // already committed) — exactly-once, no double fold
+    Streams.applyEventTableBatch(b2, dir, s"$ckpt/ledger", batchId = 1L, nFiles = 1)
+    assert(epoch === 2L)
+    assert(rows(dir) === rows(twin))
+    // settled ledger entries are pruned; the in-flight one survives
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$ckpt/ledger", "batch-0.ledger")))
+
+    // crash MID-STAGE: the ledger records the target epoch, then the
+    // stage throws (frame missing ts_sec) before anything commits —
+    // the replay with the good frame restages into the SAME epoch
+    val bad = Seq((9L, 1L)).toDF("event_id", "user_id")
+    intercept[Exception] {
+      Streams.applyEventTableBatch(bad, dir, s"$ckpt/ledger", batchId = 2L, nFiles = 1)
+    }
+    assert(epoch === 2L, "a crashed stage must not commit")
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$ckpt/ledger", "batch-2.ledger")))
+    val b3 = evs((9L, 1L, "view", 19743L * 86400 + 1))
+    Streams.applyEventTableBatch(b3, dir, s"$ckpt/ledger", batchId = 2L, nFiles = 1)
+    assert(epoch === 3L)
+    assert(rows(dir) === (rows(twin) ++ b3.collect().map(_.toSeq)))
   }
 
 }
