@@ -411,9 +411,12 @@ object LayoutOps {
       .readAppendOnly(s, path, "zonemap", IndexManifest.Layout, asOf)
       .filter(!($"u_hi" < uLo || $"u_lo" > uHi || $"d_hi" < dLo || $"d_lo" > dHi))
       .select($"file").collect().map(_.getString(0))
-    val schemaSrc = s.read.option("basePath", s"$path/data").parquet(s"$path/data")
-      .drop("epoch")
-    if (files.isEmpty) schemaSrc.filter(lit(false))
+    if (files.isEmpty)
+      // schema-only fallback — constructed ONLY here: its partition
+      // discovery lists every table file, which would otherwise tax
+      // every pruned scan with an O(table) footer pass
+      s.read.option("basePath", s"$path/data").parquet(s"$path/data")
+        .drop("epoch").filter(lit(false))
     else s.read.parquet(files: _*)
       .filter($"user_id".between(uLo, uHi) && $"day".between(dLo, dHi))
   }
