@@ -19,8 +19,11 @@ import graft.sources.IndexManifest
   *     (novelty), SCD2 (dimension history), IVF-PQ and BQ (vector
   *     search; `vec_id` = `doc_id` in this corpus' contract).
   *   - USER grain — co-occurrence (self-attributing: the stored `ui`
-  *     rows are the user's data) and the transition graph (aggregated:
-  *     erasure needs the user's event slice from the source log).
+  *     rows are the user's data), the transition graph (aggregated:
+  *     erasure needs the user's event slice from the source log), and
+  *     the zone-mapped event TABLE itself (tombstone epoch; physical
+  *     on compaction — see LayoutOps.forgetEventTableUsers for the
+  *     retention semantics).
   *
   * ATOMICITY, honestly: each family's forget commits its OWN manifest
   * epoch — there is no cross-index transaction, so a crash mid-fan-out
@@ -80,14 +83,17 @@ object Erasure {
   }
 
   /** The user-grain stored artifacts. `transition` erasure additionally
-    * needs the users' event slice ([[forgetUsers]]' `userEvs`).
+    * needs the users' event slice ([[forgetUsers]]' `userEvs`);
+    * `table` is the zone-mapped event table itself — the SOURCE LOG
+    * must not be the one place erased users survive.
     */
   final case class UserTargets(
       cooccur: Option[String] = None,
-      transition: Option[String] = None) {
+      transition: Option[String] = None,
+      table: Option[String] = None) {
 
     def ordered: Seq[(String, String)] =
-      Seq("cooccur" -> cooccur, "transition" -> transition)
+      Seq("cooccur" -> cooccur, "transition" -> transition, "table" -> table)
         .collect { case (tag, Some(p)) => tag -> p }
 
     def remaining(snapshot: Map[String, Long]): UserTargets = {
@@ -96,7 +102,8 @@ object Erasure {
           IndexManifest.committedEpoch(path, fmtOf(tag)) == pre))
       UserTargets(
         cooccur = keep("cooccur", cooccur),
-        transition = keep("transition", transition))
+        transition = keep("transition", transition),
+        table = keep("table", table))
     }
   }
 
@@ -109,6 +116,7 @@ object Erasure {
     case "bq"         => IndexManifest.Bq
     case "cooccur"    => IndexManifest.Cooccur
     case "transition" => IndexManifest.Transition
+    case "table"      => IndexManifest.Layout
   }
 
   /** Snapshot each target's committed epoch — the caller's pre-call
@@ -177,6 +185,7 @@ object Erasure {
         case "transition" =>
           GraphOps.forgetTransitionUsers(
             userEvs.get.join(u, Seq("user_id"), "left_semi"), p)
+        case "table"      => LayoutOps.forgetEventTableUsers(u, p)
       }
     }
   }

@@ -355,11 +355,66 @@ object LayoutOps {
       .parquet(IndexManifest.epochDir(path, "zonemap", e))
   }
 
-  /** Create the table: epoch 0 of data + zone map, manifest commit. */
+  /** Create the table: epoch 0 of data + zone map + empty user
+    * tombstones (schema-carrying, the scd2 `closed` pattern), manifest
+    * commit.
+    */
   def writeEventTable(evs: DataFrame, path: String, nFiles: Int = 16): Unit = {
     import graft.sources.IndexManifest
+    val s = evs.sparkSession
+    import s.implicits._
     stageTableEpoch(evs, path, 0L, nFiles)
+    Seq.empty[Long].toDF("user_id").write.mode("overwrite")
+      .parquet(IndexManifest.epochDir(path, "dels", 0L))
     IndexManifest.commit(path, 0L, fmt = IndexManifest.Layout)
+  }
+
+  /** Forget users from the event table — the right-to-be-forgotten
+    * path for the SOURCE LOG itself (every derived index family
+    * already has one; the table the indexes are built from must not be
+    * the place erased users survive). The ids land as a TOMBSTONE
+    * epoch; readers resolve data minus tombstones under epoch
+    * precedence (a tombstone hides only rows appended in EARLIER
+    * epochs, so forget-then-re-ingest resolves to present — the
+    * sequence-number rule of every deletes-supporting table format),
+    * and [[compactEventTable]] makes the removal physical.
+    *
+    * Honest retention semantics (the Delta deletion-vector + VACUUM
+    * story): until a compaction rebases the window, the forgotten rows
+    * remain in the committed files and an AS-OF pin below the forget
+    * epoch can still read them — compliance closure is
+    * forget → compact → vacuum. Zone-map file stats are left as
+    * written (conservative: a box may still select a file whose only
+    * matching rows were forgotten; the residual resolve keeps results
+    * exact, compaction re-tightens the stats).
+    */
+  def forgetEventTableUsers(users: DataFrame, path: String): Unit = {
+    import graft.sources.IndexManifest
+    val e = IndexManifest.committedEpoch(path, IndexManifest.Layout) + 1L
+    users.select(col("user_id").cast("long")).distinct()
+      .write.mode("overwrite")
+      .parquet(IndexManifest.epochDir(path, "dels", e))
+    IndexManifest.advance(path, e, IndexManifest.Layout)
+  }
+
+  /** Resolve a data read (with its `epoch` column) against the user
+    * tombstones of the same window: a row survives unless its user was
+    * tombstoned at-or-after the row's epoch.
+    */
+  private def resolveDels(s: SparkSession, data: DataFrame, path: String,
+      asOf: Option[Long]): DataFrame = {
+    import graft.sources.IndexManifest
+    import s.implicits._
+    val dels = IndexManifest
+      .readAppendOnlyEpochs(s, path, "dels", IndexManifest.Layout, asOf)
+      .groupBy($"user_id").agg(max($"epoch").as("del_epoch"))
+    data.join(broadcast(dels), Seq("user_id"), "left")
+      .filter($"del_epoch".isNull || $"epoch" > $"del_epoch")
+      .drop("del_epoch", "epoch")
+    // broadcast: the tombstone set is bounded by erasure-request volume
+    // since the last compaction (which makes deletes physical and
+    // empties it), not by table size — the deletion-vector assumption
+    // every table format makes
   }
 
   /** Fold an ingest batch in: the batch's own z-range files + zone-map
@@ -384,12 +439,17 @@ object LayoutOps {
     */
   def compactEventTable(s: SparkSession, path: String, nFiles: Int = 16): Unit = {
     import graft.sources.IndexManifest
+    import s.implicits._
     val st = IndexManifest.committedState(path, IndexManifest.Layout)
     val e = st.epoch + 1L
-    val resolved = IndexManifest
-      .readAppendOnly(s, path, "data", IndexManifest.Layout)
-      .drop("day", "z")
+    // the RESOLVED view (tombstones applied) + an empty tombstone epoch
+    // — forgotten rows become physically absent here, and folding dels
+    // verbatim would break epoch precedence for re-ingested users (the
+    // compactBqIndex discipline)
+    val resolved = readEventTable(s, path)
     stageTableEpoch(resolved, path, e, nFiles)
+    Seq.empty[Long].toDF("user_id").write.mode("overwrite")
+      .parquet(IndexManifest.epochDir(path, "dels", e))
     val st2 = IndexManifest.committedState(path, IndexManifest.Layout)
     if (st2.epoch != st.epoch)
       throw new java.util.ConcurrentModificationException(
@@ -417,7 +477,11 @@ object LayoutOps {
       // every pruned scan with an O(table) footer pass
       s.read.option("basePath", s"$path/data").parquet(s"$path/data")
         .drop("epoch").filter(lit(false))
-    else s.read.parquet(files: _*)
+    else resolveDels(s,
+      // basePath recovers the `epoch` partition column from the file
+      // paths — tombstone precedence needs the row's epoch
+      s.read.option("basePath", s"$path/data").parquet(files: _*),
+      path, asOf)
       .filter($"user_id".between(uLo, uHi) && $"day".between(dLo, dHi))
   }
 
@@ -430,7 +494,9 @@ object LayoutOps {
   def readEventTable(s: SparkSession, path: String,
       asOf: Option[Long] = None): DataFrame = {
     import graft.sources.IndexManifest
-    IndexManifest.readAppendOnly(s, path, "data", IndexManifest.Layout, asOf)
+    resolveDels(s,
+      IndexManifest.readAppendOnlyEpochs(s, path, "data", IndexManifest.Layout, asOf),
+      path, asOf)
       .drop("day", "z")
   }
 
@@ -560,6 +626,37 @@ object LayoutOps {
     """.stripMargin.trim),
   )
 
+  /** Table-level right-to-be-forgotten, hash-gated end to end with the
+    * SHARP semantics: build the table (two epochs), forget every user
+    * ≡ 3 (mod 10), then RE-INGEST user 3's events — the tombstone must
+    * hide the original rows of every forgotten user while the
+    * re-ingested copies resolve to present (epoch precedence). The
+    * oracle recomputes membership from the raw table, so a reader that
+    * leaks a forgotten row, loses a survivor, or double-counts the
+    * re-ingest hash-mismatches.
+    */
+  val tableForget = Q(
+    "e_table_forget",
+    (s, d) => {
+      import s.implicits._
+      val dir = graft.sources.Scratch.dir("graft-ztable-forget")
+      val evs = Tables.events(s, d).withColumn("day0", expr("ts_sec div 86400"))
+      writeEventTable(evs.filter($"day0" <= tableCutDay).drop("day0"), dir)
+      appendEventTable(evs.filter($"day0" > tableCutDay).drop("day0"), dir)
+      forgetEventTableUsers(
+        Tables.events(s, d).filter($"user_id" % 10 === 3).select($"user_id"), dir)
+      appendEventTable(Tables.events(s, d).filter($"user_id" === 3), dir)
+      readEventTable(s, dir)
+        .select($"event_id", $"user_id", expr("ts_sec div 86400").as("day"))
+    },
+    Some(s"""
+      SELECT event_id, user_id, $oDay AS day
+      FROM events
+      WHERE user_id % 10 <> 3 OR user_id = 3
+    """.stripMargin.trim),
+  )
+
   val qs: Seq[Q] = Seq(zorderKey, zorderScan, zonemapScan, tableAsOf,
-    hotItemsFromTable, sessionizeFromTable, funnelFromTable, tableScan)
+    hotItemsFromTable, sessionizeFromTable, funnelFromTable, tableScan,
+    tableForget)
 }

@@ -176,12 +176,15 @@ class ErasureSpec extends SparkSpec {
     assert(edges(tr) === edges(reb))
   }
 
-  test("user erasure fans out to both behavioral artifacts; transition requires the event slice") {
+  test("user erasure fans out to all three user-grain artifacts; transition requires the event slice") {
     val co = tmp("era-cooccur")
     val tr = tmp("era-transition")
+    val tbl = tmp("era-ztable")
     GraphOps.writeCooccurIndex(evsDf, co)
     GraphOps.writeTransitionGraph(evsDf, tr)
-    val targets = Erasure.UserTargets(cooccur = Some(co), transition = Some(tr))
+    LayoutOps.writeEventTable(Tables.events(spark, sf), tbl, nFiles = 4)
+    val targets = Erasure.UserTargets(
+      cooccur = Some(co), transition = Some(tr), table = Some(tbl))
 
     val users = evsDf.filter($"user_id" % 13 === 0).select($"user_id").distinct()
     // the contract: transition erasure without the slice fails fast
@@ -195,6 +198,10 @@ class ErasureSpec extends SparkSpec {
     val uiUsers = GraphOps.resolvedUi(spark, co)
       .select($"user_id").distinct().as[Long].collect().toSet
     assert(uiUsers.intersect(goneUsers).isEmpty)
+    // the SOURCE LOG forgot them too — the table leg of the fan-out
+    val tblUsers = LayoutOps.readEventTable(spark, tbl)
+      .select($"user_id").distinct().as[Long].collect().toSet
+    assert(tblUsers.intersect(goneUsers).isEmpty && tblUsers.nonEmpty)
     // transition: equals a rebuild without those users (edge grain)
     val reb = tmp("era-transition-reb")
     GraphOps.writeTransitionGraph(

@@ -221,6 +221,53 @@ class LayoutSpec extends SparkSpec {
     assert(ids(None).size >= full.size)
   }
 
+  test("event table forget: tombstones hide, time travel composes, compaction is physical") {
+    import graft.sources.IndexManifest
+    val dir = java.nio.file.Files.createTempDirectory("ztable-forget").toString
+    val evs = graft.sources.Tables.events(spark, sf)
+    LayoutOps.writeEventTable(evs, dir, nFiles = 4)
+    def users(asOf: Option[Long] = None) =
+      LayoutOps.readEventTable(spark, dir, asOf)
+        .select($"user_id").distinct().as[Long].collect().toSet
+    def rows(asOf: Option[Long] = None) =
+      LayoutOps.readEventTable(spark, dir, asOf)
+        .select($"event_id").as[Long].collect().toSet
+    val all = rows()
+    val gone = users().filter(_ % 5 == 2)
+    assert(gone.nonEmpty)
+
+    LayoutOps.forgetEventTableUsers(gone.toSeq.toDF("user_id"), dir)
+    // head readers: the users are gone, everything else survives
+    assert(users().intersect(gone).isEmpty)
+    val expected = evs.filter(!$"user_id".isin(gone.toSeq: _*))
+      .select($"event_id").as[Long].collect().toSet
+    assert(rows() === expected)
+    // the box scan resolves tombstones too (file-grain path)
+    val boxUsers = LayoutOps
+      .eventTableBoxScan(spark, dir, 0, 1000000, 19723, 19752)
+      .select($"user_id").distinct().as[Long].collect().toSet
+    assert(boxUsers.intersect(gone).isEmpty)
+    // time travel BELOW the forget epoch still reads the pre-forget
+    // table — the documented retention semantics (closure is
+    // forget -> compact -> vacuum)
+    assert(rows(Some(0L)) === all)
+
+    // compaction: physical removal, dels reset, window rebased —
+    // pre-forget epochs (and their data) become unreachable + vacuumable
+    LayoutOps.compactEventTable(spark, dir, nFiles = 4)
+    assert(rows() === expected)
+    intercept[IllegalArgumentException](rows(Some(0L)))
+    assert(IndexManifest.vacuum(dir, IndexManifest.Layout) >= 2L)
+    assert(rows() === expected)
+    // forget-then-re-ingest resolves to present (epoch precedence) —
+    // and the re-ingested rows are the ONLY copies (originals are
+    // physically gone after the compaction above)
+    val u = gone.head
+    val uRows = evs.filter($"user_id" === u)
+    LayoutOps.appendEventTable(uRows, dir, nFiles = 1)
+    assert(rows() === expected ++ uRows.select($"event_id").as[Long].collect())
+  }
+
   /** All FileSourceScanExec leaves, descending through AQE roots and the
     * Spark-4 query-stage wrappers (the PartitionPruningSpec walker).
     */
@@ -255,10 +302,14 @@ class LayoutSpec extends SparkSpec {
       s"the fixture box must skip something: ${expected.size} of ${zm.length}")
     // the scan's actual file set — straight from the physical plan's leaves
     val df = LayoutOps.eventTableBoxScan(spark, dir, uLo, uHi, dLo, dHi)
-    val scanned = fileScans(df.queryExecution.executedPlan)
+    val allScanned = fileScans(df.queryExecution.executedPlan)
       .flatMap(_.relation.location.inputFiles).toSet
+    // the tombstone-resolve leg reads the (tiny) dels component; the
+    // DATA files read must be exactly the zone intersection
+    val scanned = allScanned.filterNot(_.contains("/dels/"))
+    assert(allScanned.size > scanned.size, "the tombstone resolve must be in the plan")
     assert(scanned === expected,
-      s"scan read ${scanned.size} files, zone intersection says ${expected.size}")
+      s"scan read ${scanned.size} data files, zone intersection says ${expected.size}")
     // and the result over the skipped scan is still exact
     val brute = graft.sources.Tables.events(spark, sf)
       .withColumn("day", expr("ts_sec div 86400"))
