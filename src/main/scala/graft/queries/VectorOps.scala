@@ -3150,11 +3150,26 @@ object VectorOps {
   private def bqScreen(packed: DataFrame, k: Long): DataFrame = {
     val s = packed.sparkSession
     import s.implicits._
-    val q = packed.filter($"vec_id" < nQueries)
-      .select($"vec_id".as("query_id"), $"w_lo".as("q_lo"), $"w_hi".as("q_hi"))
+    bqScreenAgainst(
+      packed.filter($"vec_id" < nQueries)
+        .select($"vec_id".as("query_id"), $"w_lo".as("q_lo"), $"w_hi".as("q_hi")),
+      packed, k, excludeSelf = true)
+  }
+
+  /** The screen against an EXPLICIT query frame (query_id, q_lo, q_hi)
+    * — the serving form: request ids live in their own id space, so
+    * self-exclusion is opt-in (the panel rows share the corpus space
+    * and need it; a serving request must not silently drop a candidate
+    * that happens to share its numeric id).
+    */
+  private def bqScreenAgainst(q: DataFrame, packed: DataFrame, k: Long,
+      excludeSelf: Boolean): DataFrame = {
+    val s = packed.sparkSession
+    import s.implicits._
     val w = Window.partitionBy($"query_id").orderBy($"hamming".asc, $"cand_id".asc)
+    val cond = if (excludeSelf) $"cand_id" =!= $"query_id" else lit(true)
     packed.select($"vec_id".as("cand_id"), $"w_lo", $"w_hi")
-      .join(broadcast(q), $"cand_id" =!= $"query_id")
+      .join(broadcast(q), cond)
       .withColumn("hamming",
         (bit_count($"q_lo".bitwiseXOR($"w_lo")) +
           bit_count($"q_hi".bitwiseXOR($"w_hi"))).cast("long"))
@@ -3520,8 +3535,19 @@ object VectorOps {
   private def exactRerank(emb: DataFrame, cands: DataFrame): DataFrame = {
     val s = emb.sparkSession
     import s.implicits._
-    val qF = emb.filter($"vec_id" < nQueries)
-      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
+    exactRerankAgainst(
+      emb.filter($"vec_id" < nQueries)
+        .select($"vec_id".as("query_id"), $"embedding".as("q_emb")),
+      emb, cands, topK)
+  }
+
+  /** The rerank against an EXPLICIT (query_id, q_emb) frame — the
+    * serving form shared with [[searchBqIndex]].
+    */
+  private def exactRerankAgainst(qF: DataFrame, emb: DataFrame,
+      cands: DataFrame, k: Long): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
     val cF = emb.select($"vec_id".as("cand_id"), $"embedding".as("c_emb"))
     val w3 = Window.partitionBy($"query_id").orderBy($"sim_micros".desc, $"cand_id")
     cF
@@ -3531,8 +3557,37 @@ object VectorOps {
         micros(dotd("q_emb", "c_emb") /
           (sqrt(dotd("q_emb", "q_emb")) * sqrt(dotd("c_emb", "c_emb")))))
       .withColumn("rnk", row_number().over(w3).cast("long"))
-      .filter($"rnk" <= topK)
+      .filter($"rnk" <= k)
       .select($"query_id", $"cand_id", $"sim_micros", $"rnk")
+  }
+
+  /** SERVE arbitrary query vectors against the stored BQ index — the
+    * deployment entry point the panel rows are the oracle-gated special
+    * case of: Hamming-screen each (query_id, embedding) request to
+    * `screen` candidates over the committed 8 B/vector words
+    * (tombstone-resolved), then exact-float-rerank the survivors to
+    * top-`k` against `corpus` (vec_id, embedding — the float store;
+    * fetched by broadcast equi-join, a point-lookup at deployment
+    * scale). Request ids are their own space (no self-exclusion — see
+    * [[bqScreenAgainst]]). Returns (query_id, cand_id, sim_micros,
+    * rnk).
+    */
+  def searchBqIndex(queryVecs: DataFrame, path: String, corpus: DataFrame,
+      k: Long = topK, screen: Long = cascadeC1,
+      excludeSelf: Boolean = false): DataFrame = {
+    val s = queryVecs.sparkSession
+    // public entry point: callers may not have gone through vecs()'s
+    // session registration (the replica-sweep lesson)
+    graft.functions.GraftFunctions.registerDotD(s)
+    val qPacked = bqPackedOn(
+      queryVecs.select(col("query_id").as("vec_id"), col("embedding")))
+      .select(col("vec_id").as("query_id"),
+        col("w_lo").as("q_lo"), col("w_hi").as("q_hi"))
+    val cands = bqScreenAgainst(qPacked, storedBqWords(s, path), screen, excludeSelf)
+      .select(col("query_id"), col("cand_id"))
+    exactRerankAgainst(
+      queryVecs.select(col("query_id"), col("embedding").as("q_emb")),
+      corpus, cands, k)
   }
 
   /** The cascade's oracle CTE chain through `csk` (query_id, cand_id,
@@ -3600,9 +3655,13 @@ object VectorOps {
       import s.implicits._
       val dir = graft.sources.Scratch.dir("graft-bq-cascade")
       writeBqIndex(vecs(s, d), dir)
-      val cands1 = bqScreen(storedBqWords(s, dir), cascadeC1)
-        .select($"query_id", $"cand_id")
-      exactRerank(vecs(s, d), cands1)
+      // through the PUBLIC serving API (searchBqIndex) so the oracle
+      // gates the same code path a deployment's requests take; the
+      // panel shares the corpus id space, hence excludeSelf
+      searchBqIndex(
+        vecs(s, d).filter($"vec_id" < nQueries)
+          .select($"vec_id".as("query_id"), $"embedding"),
+        dir, vecs(s, d), excludeSelf = true)
     },
     Some(s"""
       WITH ${oracleBqCtes(cascadeC1)},

@@ -1201,6 +1201,34 @@ object Streams {
     }
   }
 
+  /** ONLINE ANN SERVING — the request-side twin of the stored-index
+    * cascade (`v_cascade_from_index` is the oracle-gated batch special
+    * case of the same [[graft.queries.VectorOps.searchBqIndex]] path):
+    * each micro-batch of (query_id, embedding) requests is answered
+    * top-k from the committed BQ words (8 B/vector Hamming screen,
+    * tombstone-resolved) + exact float rerank against `corpus`, and the
+    * batch's results land as ONE overwrite-mode directory
+    * `outPath/batch=<id>` — a replayed batch overwrites its own
+    * directory, so delivery is exactly-once without a ledger (the
+    * idempotent-sink half of the discipline; the table/erasure streams
+    * need the ledger because their folds are not idempotent).
+    *
+    * Staleness contract as every stored-side stream: the index and
+    * corpus bind at stream construction — rebuild the stream after an
+    * appendBqIndex fold.
+    */
+  def annServeStream(
+      requests: DataFrame, bqIndexPath: String, corpus: DataFrame,
+      outPath: String, checkpointDir: String,
+      k: Long = 10L, screen: Long = 100L): StreamingQuery =
+    requests.writeStream
+      .option("checkpointLocation", s"$checkpointDir/offsets")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.queries.VectorOps.searchBqIndex(batch, bqIndexPath, corpus, k, screen)
+          .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+      }
+      .start()
+
   /** Start the standing table ingest over a streaming frame of events
     * (the [[graft.sources.Tables.events]] shape: `ts_sec`, `user_id`,
     * the payload columns). The table must exist

@@ -1305,6 +1305,64 @@ class StreamsSpec extends SparkSpec {
       "replay must skip the committed leg and finish the unreached one")
   }
 
+  test("ANN serving stream: per-batch top-k equals the batch serving API; replay overwrites idempotently") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.queries.VectorOps
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    graft.functions.GraftFunctions.registerDotD(spark)
+
+    // a corpus with structure: vectors come in near-identical pairs, so
+    // top-1 of a perturbed request is its pair base
+    val rnd = new scala.util.Random(11)
+    def vec() = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val bases = (0L until 20L).map(i => (i, vec()))
+    val corpusRows = bases ++ bases.map { case (i, v) =>
+      (i + 100L, v.map(x => (x + 0.01f * rnd.nextGaussian().toFloat)))
+    }
+    val corpus = spark.createDataset(corpusRows).toDF("vec_id", "embedding")
+    val idx = tmp("ann-serve-idx")
+    VectorOps.writeBqIndex(corpus, idx)
+
+    // requests = perturbed copies of bases 3 and 7 (own id space)
+    def req(id: Long, base: Long) = {
+      val b = bases.find(_._1 == base).get._2
+      (id, b.map(x => x + 0.02f * rnd.nextGaussian().toFloat))
+    }
+    val r1 = Seq(req(1000L, 3L)); val r2 = Seq(req(2000L, 7L))
+
+    val mem = MemoryStream[(Long, Array[Float])]
+    val out = tmp("ann-serve-out"); val ckpt = tmp("ann-serve-ckpt")
+    val q = Streams.annServeStream(
+      mem.toDF().toDF("query_id", "embedding"), idx, corpus, out, ckpt, k = 5L)
+    try {
+      mem.addData(r1); q.processAllAvailable()
+      mem.addData(r2); q.processAllAvailable()
+    } finally q.stop()
+
+    def served = spark.read.option("basePath", out).parquet(out)
+      .select($"query_id", $"cand_id", $"sim_micros", $"rnk")
+      .collect().map(_.toSeq).toSet
+    // parity: the stream's union equals the batch serving API on the
+    // same requests
+    val batchAll = VectorOps.searchBqIndex(
+      spark.createDataset(r1 ++ r2).toDF("query_id", "embedding"),
+      idx, corpus, k = 5L)
+      .collect().map(_.toSeq).toSet
+    assert(served === batchAll && served.nonEmpty)
+    // the semantics are real: each request's top-1 is its base vector
+    val top1 = spark.read.parquet(out).filter($"rnk" === 1L)
+      .select($"query_id", $"cand_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(top1 === Map(1000L -> 3L, 2000L -> 7L))
+    // replay idempotence: re-running a committed batch overwrites its
+    // own directory — served results unchanged
+    VectorOps.searchBqIndex(
+      spark.createDataset(r2).toDF("query_id", "embedding"), idx, corpus, k = 5L)
+      .write.mode("overwrite").parquet(s"$out/batch=1")
+    assert(served === batchAll)
+  }
+
   test("event-table ingest stream: batch parity, exactly-once replay, crash-then-restage") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
