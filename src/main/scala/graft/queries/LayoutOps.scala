@@ -626,6 +626,63 @@ object LayoutOps {
     """.stripMargin.trim),
   )
 
+  /** COUNT of a 2-D box answered from METADATA where possible — the
+    * count-pushdown every manifest-backed table format ships: a file
+    * whose [min, max] ranges sit FULLY inside the box contributes its
+    * manifest `n_rows` without being read; only boundary files
+    * (partial overlap) are scanned and residual-filtered. Sound ONLY
+    * while the window's tombstone set is empty — a forget makes the
+    * per-file stats conservative (they still count erased rows), so
+    * the reader checks dels first and falls back to the exact resolved
+    * scan. O(window files) driver hand-off either way.
+    */
+  def eventTableBoxCount(s: SparkSession, path: String,
+      uLo: Long, uHi: Long, dLo: Long, dHi: Long,
+      asOf: Option[Long] = None): Long = {
+    import graft.sources.IndexManifest
+    import s.implicits._
+    val delsEmpty = IndexManifest
+      .readAppendOnly(s, path, "dels", IndexManifest.Layout, asOf)
+      .isEmpty
+    if (!delsEmpty)
+      return eventTableBoxScan(s, path, uLo, uHi, dLo, dHi, asOf).count()
+    val zm = IndexManifest
+      .readAppendOnly(s, path, "zonemap", IndexManifest.Layout, asOf)
+      .filter(!($"u_hi" < uLo || $"u_lo" > uHi || $"d_hi" < dLo || $"d_lo" > dHi))
+      .select($"file", $"u_lo", $"u_hi", $"d_lo", $"d_hi", $"n_rows")
+      .collect()
+    val (full, partial) = zm.partition { r =>
+      r.getLong(1) >= uLo && r.getLong(2) <= uHi &&
+        r.getLong(3) >= dLo && r.getLong(4) <= dHi
+    }
+    val metaRows = full.map(_.getLong(5)).sum
+    val scanned =
+      if (partial.isEmpty) 0L
+      else s.read.parquet(partial.map(_.getString(0)): _*)
+        .filter($"user_id".between(uLo, uHi) && $"day".between(dLo, dHi))
+        .count()
+    metaRows + scanned
+  }
+
+  /** The metadata count, oracle-gated against DuckDB's full recount —
+    * a file mis-filed as "fully inside", a stale n_rows, or a boundary
+    * row double-count all hash-mismatch.
+    */
+  val tableCount = Q(
+    "e_table_count",
+    (s, d) => {
+      import s.implicits._
+      Seq(eventTableBoxCount(s, storedEventTable(s, d), 0L, 24L, 19738L, 19748L))
+        .toDF("n")
+    },
+    Some(s"""
+      SELECT CAST(COUNT(*) AS BIGINT) AS n
+      FROM events
+      WHERE user_id BETWEEN 0 AND 24
+        AND $oDay BETWEEN 19738 AND 19748
+    """.stripMargin.trim),
+  )
+
   /** Table-level right-to-be-forgotten, hash-gated end to end with the
     * SHARP semantics: build the table (two epochs), forget every user
     * ≡ 3 (mod 10), then RE-INGEST user 3's events — the tombstone must
@@ -658,5 +715,5 @@ object LayoutOps {
 
   val qs: Seq[Q] = Seq(zorderKey, zorderScan, zonemapScan, tableAsOf,
     hotItemsFromTable, sessionizeFromTable, funnelFromTable, tableScan,
-    tableForget)
+    tableForget, tableCount)
 }

@@ -318,6 +318,44 @@ class LayoutSpec extends SparkSpec {
     assert(df.select($"event_id").collect().map(_.getLong(0)).toSet === brute)
   }
 
+  test("metadata count: full files answer from the manifest, boundary files scan, forget falls back") {
+    import graft.sources.IndexManifest
+    val dir = java.nio.file.Files.createTempDirectory("ztable-count").toString
+    val evs = graft.sources.Tables.events(spark, sf)
+    LayoutOps.writeEventTable(evs, dir, nFiles = 16)
+    def brute(uLo: Long, uHi: Long, dLo: Long, dHi: Long) = evs
+      .withColumn("day", expr("ts_sec div 86400"))
+      .filter($"user_id".between(uLo, uHi) && $"day".between(dLo, dHi))
+      .count()
+    // pick a box wide enough that SOME window file is fully contained
+    // (the metadata shortcut must actually be exercised, else the test
+    // proves nothing) — the full user range over a day suffix
+    val maxU = evs.agg(max($"user_id")).head().getLong(0)
+    val (uLo, uHi, dLo, dHi) = (0L, maxU, 19740L, 19752L)
+    val zm = IndexManifest.readAppendOnly(spark, dir, "zonemap", IndexManifest.Layout)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val nFull = zm.count { case (ul, uh, dl, dh) =>
+      ul >= uLo && uh <= uHi && dl >= dLo && dh <= dHi }
+    assert(nFull > 0, "fixture box must fully contain at least one file")
+    assert(LayoutOps.eventTableBoxCount(spark, dir, uLo, uHi, dLo, dHi) ===
+      brute(uLo, uHi, dLo, dHi))
+    // a partial-only box and an all-skipped box are exact too
+    assert(LayoutOps.eventTableBoxCount(spark, dir, 0, 24, 19738, 19748) ===
+      brute(0, 24, 19738, 19748))
+    assert(LayoutOps.eventTableBoxCount(spark, dir, 9999999, 10000000, dLo, dHi) === 0L)
+    // after a forget the per-file stats are conservative — the count
+    // must fall back to the resolved scan and stay exact
+    val gone = evs.select($"user_id").distinct().as[Long].collect()
+      .filter(_ % 4 == 1)
+    LayoutOps.forgetEventTableUsers(gone.toSeq.toDF("user_id"), dir)
+    val expect = evs
+      .withColumn("day", expr("ts_sec div 86400"))
+      .filter($"user_id".between(uLo, uHi) && $"day".between(dLo, dHi) &&
+        !$"user_id".isin(gone: _*))
+      .count()
+    assert(LayoutOps.eventTableBoxCount(spark, dir, uLo, uHi, dLo, dHi) === expect)
+  }
+
   test("catalog rows served from the stored table equal their raw-scan twins") {
     def rows(q: Q) = q.spark(spark, sf).collect()
       .map(_.toSeq.map(String.valueOf).mkString("|")).sorted
