@@ -106,10 +106,16 @@ object VectorOps {
     * compares against. Broadcast-probe scan shape: the corpus is read
     * once, never shuffled in full.
     */
-  private[queries] def exactCosTopK(s: SparkSession, d: String): DataFrame = {
+  private[queries] def exactCosTopK(s: SparkSession, d: String): DataFrame =
+    exactCosTopKPanel(s, d, col("vec_id") < nQueries)
+
+  /** [[exactCosTopK]] over an arbitrary query panel — the refine
+    * audit's truth uses the IVF-PQ family's centroid-disjoint panel.
+    */
+  private def exactCosTopKPanel(s: SparkSession, d: String, panel: Column): DataFrame = {
     import s.implicits._
     val q = vecs(s, d)
-      .filter($"vec_id" < nQueries)
+      .filter(panel)
       .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
     val cand = vecs(s, d)
       .select($"vec_id".as("cand_id"), $"embedding".as("c_emb"))
@@ -618,6 +624,12 @@ object VectorOps {
 
   private val nCells = 16
   private val nProbe = 2
+  // ADC survivors per query fed to the refine tier (declared with the
+  // family constants: the refine rows' ORACLE strings interpolate it at
+  // object init, so it must initialize before them — a forward
+  // reference silently bakes 0 into the SQL while the engine's
+  // call-time default still sees 50)
+  private val refineC = 50L
 
   val ivfAssign = Q(
     "v_ivf_assign",
@@ -2880,6 +2892,91 @@ object VectorOps {
     * recomputation (assignment -> 110%-of-mean cap -> widest-dimension
     * integer split rule).
     */
+  /** The IVF-PQ refine funnel, hash-gated end to end: stored-index ADC
+    * top-C per query, exact float rerank to top-k — the oracle
+    * recomputes the whole two-tier pipeline, so a wrong ADC cut, a
+    * leaked quantized rank, or a refine that re-scores the wrong short
+    * list all hash-mismatch.
+    */
+  val ivfPqRefined = Q(
+    "v_ivfpq_refined",
+    (s, d) => {
+      import s.implicits._
+      val dir = graft.sources.Scratch.dir("graft-ivfpq-refine")
+      writeIvfPqIndex(vecs(s, d), dir)
+      searchIvfPqRefined(s, dir,
+        vecs(s, d)
+          .filter($"vec_id" >= nCells && $"vec_id" < nCells + nQueries)
+          .select($"vec_id".as("query_id"), $"embedding"),
+        vecs(s, d))
+    },
+    Some(s"""
+      WITH ${oIvfPqCtesFrom("embeddings",
+        s"vec_id >= $nCells AND vec_id < ${nCells + nQueries}")},
+      adck AS (
+        SELECT query_id, cand_id FROM (
+          SELECT query_id, cand_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_micros ASC, cand_id ASC) AS rnk
+          FROM adc) WHERE rnk <= $refineC),
+      rf AS (
+        SELECT a.query_id, a.cand_id,
+               CAST(FLOOR(1e6 * (${oDot("q.embedding", "c.embedding")} /
+                 (sqrt(${oDot("q.embedding", "q.embedding")}) * sqrt(${oDot("c.embedding", "c.embedding")}))))
+                 AS BIGINT) AS sim_micros
+        FROM adck a JOIN embeddings q ON q.vec_id = a.query_id
+                   JOIN embeddings c ON c.vec_id = a.cand_id)
+      SELECT query_id, cand_id, sim_micros,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim_micros DESC, cand_id ASC) AS rnk
+      FROM rf QUALIFY rnk <= $topK
+    """.stripMargin.trim),
+  )
+
+  /** End-to-end recall of the refine funnel vs exact ground truth on
+    * the same panel — with nProbe=$nProbe of $nCells cells probed, the
+    * ceiling is the probes' coverage; the refine recovers everything
+    * ADC's quantization error dropped WITHIN the probed cells (the
+    * number that tells an operator whether to raise nProbe or the
+    * refine width).
+    */
+  val ivfPqRefinedRecall = Q(
+    "v_ivfpq_refined_recall",
+    (s, d) => {
+      import s.implicits._
+      val dir = graft.sources.Scratch.dir("graft-ivfpq-refine-rec")
+      writeIvfPqIndex(vecs(s, d), dir)
+      val truth = exactCosTopKPanel(s, d,
+        $"vec_id" >= nCells && $"vec_id" < nCells + nQueries)
+      recallAudit(truth,
+        searchIvfPqRefined(s, dir,
+          vecs(s, d)
+            .filter($"vec_id" >= nCells && $"vec_id" < nCells + nQueries)
+            .select($"vec_id".as("query_id"), $"embedding"),
+          vecs(s, d)))
+    },
+    Some(s"""
+      WITH ${oIvfPqCtesFrom("embeddings",
+        s"vec_id >= $nCells AND vec_id < ${nCells + nQueries}")},
+      adck AS (
+        SELECT query_id, cand_id FROM (
+          SELECT query_id, cand_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_micros ASC, cand_id ASC) AS rnk
+          FROM adc) WHERE rnk <= $refineC),
+      rf AS (
+        SELECT a.query_id, a.cand_id,
+               CAST(FLOOR(1e6 * (${oDot("q.embedding", "c.embedding")} /
+                 (sqrt(${oDot("q.embedding", "q.embedding")}) * sqrt(${oDot("c.embedding", "c.embedding")}))))
+                 AS BIGINT) AS sim_micros
+        FROM adck a JOIN embeddings q ON q.vec_id = a.query_id
+                   JOIN embeddings c ON c.vec_id = a.cand_id),
+      rfk AS (
+        SELECT query_id, cand_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim_micros DESC, cand_id ASC) AS rnk
+        FROM rf QUALIFY rnk <= $topK),
+      ${oracleExactCtesFor(s"vec_id >= $nCells AND vec_id < ${nCells + nQueries}")}
+      ${oracleRecallTail("rfk")}
+    """.stripMargin.trim),
+  )
+
   val indexSplit = Q(
     "v_index_split",
     (s, d) => {
@@ -2966,7 +3063,7 @@ object VectorOps {
     * read today.
     */
   def ivfPqSearchFromIndex(s: SparkSession, path: String, queries: DataFrame,
-      asOf: Option[Long] = None): DataFrame = {
+      asOf: Option[Long] = None, k: Long = topK): DataFrame = {
     import s.implicits._
     import graft.sources.IndexManifest
     graft.functions.GraftFunctions.registerDotD(s)
@@ -3012,8 +3109,27 @@ object VectorOps {
       .groupBy($"query_id", $"cand_id")
       .agg(sum($"d2_micros").as("adc_micros"))
       .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter($"rnk" <= topK)
+      .filter($"rnk" <= k)
       .select($"query_id", $"cand_id", $"adc_micros", $"rnk")
+  }
+
+  /** ADC short-list REFINEMENT — the standard IVF-PQ serving funnel
+    * (the FAISS `refine` stage): ADC ranks with quantization error, so
+    * the stored-index search keeps its top-`c` per query and the exact
+    * float rerank re-scores that short list to top-`k` against the
+    * `corpus` float store. Cell pruning bounds the ADC scan, `c`
+    * bounds the float fetches — the refine cost is O(queries × c)
+    * regardless of corpus size. Same as-of pin as the unrefined
+    * search.
+    */
+  def searchIvfPqRefined(s: SparkSession, path: String, queries: DataFrame,
+      corpus: DataFrame, k: Long = topK, c: Long = refineC,
+      asOf: Option[Long] = None): DataFrame = {
+    val cands = ivfPqSearchFromIndex(s, path, queries, asOf, c)
+      .select(col("query_id"), col("cand_id"))
+    exactRerankAgainst(
+      queries.select(col("query_id"), col("embedding").as("q_emb")),
+      corpus, cands, k)
   }
 
   // ---------------------------------------------------------------------
@@ -3209,9 +3325,16 @@ object VectorOps {
   /** The exact-cosine CTE block shared by the recall audits (the same
     * integer-micros formula as the v_knn_brute oracle).
     */
-  private def oracleExactCtes: String =
+  private def oracleExactCtes: String = oracleExactCtesFor(s"vec_id < $nQueries")
+
+  /** The exact-cosine ground-truth CTEs over an arbitrary query-panel
+    * predicate — the compressed tier audits use the standard panel
+    * (vec_id < nQueries); the IVF-PQ refine audit uses that family's
+    * centroid-disjoint panel.
+    */
+  private def oracleExactCtesFor(panelPred: String): String =
     s"""eq AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
-       |       WHERE vec_id < $nQueries),
+       |       WHERE $panelPred),
        |escored AS (
        |  SELECT eq.query_id, c.vec_id AS cand_id,
        |         CAST(FLOOR(1e6 * (${oDot("eq.q_emb", "c.embedding")} /
@@ -4032,6 +4155,8 @@ object VectorOps {
     pqRecallTrained,
     ivfPqSearch,
     ivfPqAsOf,
+    ivfPqRefined,
+    ivfPqRefinedRecall,
     indexSplit,
     ivfPqResidualSearch,
     clusterTopics,

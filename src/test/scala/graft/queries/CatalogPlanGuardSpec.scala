@@ -91,7 +91,11 @@ class CatalogPlanGuardSpec extends SparkSpec {
       // centroid-assignment cross (queries x 16 broadcast centroids);
       // the hybrid adds nothing else unkeyed (the fuse is a full-outer
       // equi-join of two <= pool-row lists)
-      "v_ivfpq_asof", "t_hybrid_from_index")
+      "v_ivfpq_asof", "t_hybrid_from_index",
+      // ADC refine funnel: the stored search's probe step is the IVF
+      // centroid-assignment cross; the recall row adds the brute-force
+      // panel truth (both sanctioned shapes above)
+      "v_ivfpq_refined", "v_ivfpq_refined_recall")
 
   /** Queries whose executed plan contains an `Exchange SinglePartition`
     * that is a sanctioned post-partial-agg scalar funnel (see class
