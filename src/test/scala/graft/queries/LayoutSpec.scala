@@ -117,6 +117,27 @@ class LayoutSpec extends SparkSpec {
     // the out-of-domain guard holds
     intercept[IllegalArgumentException](
       LayoutOps.zRangesForBox(-1, 5, 0, 5))
+
+    // FULL-DOMAIN-SCALE boxes: budget respected, no overflow, and
+    // coverage verified on sampled cells (enumeration is impossible at
+    // 2^31 — the regime the decomposition exists for)
+    for (_ <- 1 to 10) {
+      val uL = math.abs(rnd.nextLong()) % (1L << 30)
+      val uH = uL + math.abs(rnd.nextLong()) % ((1L << 31) - uL)
+      val dL = math.abs(rnd.nextLong()) % (1L << 30)
+      val dH = dL + math.abs(rnd.nextLong()) % ((1L << 31) - dL)
+      val ranges = LayoutOps.zRangesForBox(uL, uH, dL, dH, maxRanges = 256)
+      assert(ranges.nonEmpty && ranges.size <= 260)
+      ranges.foreach { case (lo, hi) => assert(lo >= 0 && hi >= lo) }
+      // sampled in-box cells must be covered
+      for (_ <- 1 to 50) {
+        val u = uL + (math.abs(rnd.nextLong()) % (uH - uL + 1))
+        val dd = dL + (math.abs(rnd.nextLong()) % (dH - dL + 1))
+        val z = LayoutOps.morton2Long(u, dd)
+        assert(ranges.exists { case (lo, hi) => z >= lo && z <= hi },
+          s"sampled cell ($u,$dd) uncovered for [$uL,$uH]x[$dL,$dH]")
+      }
+    }
   }
 
   test("zone-mapped layout: manifest skipping is exact, balanced, and actually skips") {
