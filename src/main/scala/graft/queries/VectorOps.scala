@@ -2399,9 +2399,12 @@ object VectorOps {
       import s.implicits._
       val keep = nCells + nQueries
       val all = vecs(s, d)
-      val dir = graft.sources.Scratch.dir("graft-ivfpq-asof")
-      writeIvfPqIndex(all.filter($"vec_id" < keep || $"vec_id" % 10 =!= 3), dir)
-      appendIvfPqIndex(all.filter($"vec_id" >= keep && $"vec_id" % 10 === 3), dir)
+      // deployed-fleet stand-in: the two-epoch history builds once per
+      // (JVM, corpus); the AS-OF READ is what the oracle gates
+      val dir = graft.sources.Scratch.cached(s"ivfpq-asof:$d", "graft-ivfpq-asof") { p =>
+        writeIvfPqIndex(all.filter($"vec_id" < keep || $"vec_id" % 10 =!= 3), p)
+        appendIvfPqIndex(all.filter($"vec_id" >= keep && $"vec_id" % 10 === 3), p)
+      }
       val queries = all
         .filter($"vec_id" >= nCells && $"vec_id" < nCells + nQueries)
         .select($"vec_id".as("query_id"), $"embedding")
@@ -2892,6 +2895,15 @@ object VectorOps {
     * recomputation (assignment -> 110%-of-mean cap -> widest-dimension
     * integer split rule).
     */
+  /** The pristine stored IVF-PQ index over the full corpus — shared
+    * deployed-artifact stand-in for the read-only refine rows
+    * (Scratch.cached convention).
+    */
+  private def pristineIvfPq(s: SparkSession, d: String): String =
+    graft.sources.Scratch.cached(s"ivfpq-pristine:$d", "graft-ivfpq-refine") { p =>
+      writeIvfPqIndex(vecs(s, d), p)
+    }
+
   /** The IVF-PQ refine funnel, hash-gated end to end: stored-index ADC
     * top-C per query, exact float rerank to top-k — the oracle
     * recomputes the whole two-tier pipeline, so a wrong ADC cut, a
@@ -2902,9 +2914,7 @@ object VectorOps {
     "v_ivfpq_refined",
     (s, d) => {
       import s.implicits._
-      val dir = graft.sources.Scratch.dir("graft-ivfpq-refine")
-      writeIvfPqIndex(vecs(s, d), dir)
-      searchIvfPqRefined(s, dir,
+      searchIvfPqRefined(s, pristineIvfPq(s, d),
         vecs(s, d)
           .filter($"vec_id" >= nCells && $"vec_id" < nCells + nQueries)
           .select($"vec_id".as("query_id"), $"embedding"),
@@ -2942,12 +2952,10 @@ object VectorOps {
     "v_ivfpq_refined_recall",
     (s, d) => {
       import s.implicits._
-      val dir = graft.sources.Scratch.dir("graft-ivfpq-refine-rec")
-      writeIvfPqIndex(vecs(s, d), dir)
       val truth = exactCosTopKPanel(s, d,
         $"vec_id" >= nCells && $"vec_id" < nCells + nQueries)
       recallAudit(truth,
-        searchIvfPqRefined(s, dir,
+        searchIvfPqRefined(s, pristineIvfPq(s, d),
           vecs(s, d)
             .filter($"vec_id" >= nCells && $"vec_id" < nCells + nQueries)
             .select($"vec_id".as("query_id"), $"embedding"),
