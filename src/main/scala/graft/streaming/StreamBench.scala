@@ -616,6 +616,43 @@ object StreamBench {
       alertProbe("proximity")(Streams.proximityAlertStream(_, "spark", "join", 3))
       alertProbe("bm25")(Streams.bm25AlertStream(_, idx, Seq("spark", "join", "window")))
     }
+
+    // Eleventh probe: ONLINE ANN SERVING — the request path
+    // (annServeStream: stored-BQ Hamming screen + exact float rerank,
+    // overwrite-mode per-batch sink). Requests are the embedding corpus
+    // replayed under fresh request ids, so every request does real
+    // screen+rerank work against the full stored history. Publishes
+    // end-to-end requests/sec; numbers recorded in SCALING.md
+    // ("ANN serving probe").
+    locally {
+      val emb = Tables.embeddings(spark, sfDir)
+      val idx = java.nio.file.Files.createTempDirectory("sbench-bq").toString
+      graft.queries.VectorOps.writeBqIndex(emb, idx)
+      val eStats = emb.agg(max($"vec_id"), count(lit(1))).first()
+      val eMax = eStats.getLong(0) + 1
+      val nReq = eStats.getLong(1) * replicas
+      val staged = emb
+        .crossJoin(spark.range(replicas).select($"id".as("rep")))
+        .select(($"vec_id" + $"rep" * eMax + 1000000L).as("query_id"), $"embedding")
+      val rStage = java.nio.file.Files.createTempDirectory("reqs-sbench").toString
+      staged.repartition(8).write.mode("overwrite").parquet(rStage)
+      val out = java.nio.file.Files.createTempDirectory("serve-sbench").toString
+      val t0 = System.nanoTime()
+      val q = Streams.annServeStream(
+        spark.readStream.schema("query_id LONG, embedding ARRAY<FLOAT>")
+          .option("maxFilesPerTrigger", "2").parquet(rStage),
+        idx, emb, out,
+        java.nio.file.Files.createTempDirectory("ckpt-sbench-serve").toString,
+        trigger = Some(Trigger.AvailableNow()))
+      q.awaitTermination()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val answered = spark.read.option("basePath", out).parquet(out)
+        .select($"query_id").distinct().count()
+      println(
+        s"""{"metric":"ann_serve_requests_per_sec","value":${(nReq / secs).toLong},""" +
+          s""""unit":"requests/sec","requests":$nReq,"answered":$answered,""" +
+          s""""secs":$secs,"sf":"$sfDir"}""")
+    }
     spark.stop()
   }
 }

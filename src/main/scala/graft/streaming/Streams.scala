@@ -1220,14 +1220,16 @@ object Streams {
   def annServeStream(
       requests: DataFrame, bqIndexPath: String, corpus: DataFrame,
       outPath: String, checkpointDir: String,
-      k: Long = 10L, screen: Long = 100L): StreamingQuery =
-    requests.writeStream
+      k: Long = 10L, screen: Long = 100L,
+      trigger: Option[Trigger] = None): StreamingQuery = {
+    val w = requests.writeStream
       .option("checkpointLocation", s"$checkpointDir/offsets")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.queries.VectorOps.searchBqIndex(batch, bqIndexPath, corpus, k, screen)
           .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
       }
-      .start()
+    trigger.fold(w)(w.trigger).start()
+  }
 
   /** Start the standing table ingest over a streaming frame of events
     * (the [[graft.sources.Tables.events]] shape: `ts_sec`, `user_id`,
