@@ -622,8 +622,8 @@ object StreamBench {
     // overwrite-mode per-batch sink). Requests are the embedding corpus
     // replayed under fresh request ids, so every request does real
     // screen+rerank work against the full stored history. Publishes
-    // end-to-end requests/sec; numbers recorded in SCALING.md
-    // ("ANN serving probe").
+    // end-to-end requests/sec; numbers
+    // recorded in SCALING.md ("ANN serving probe").
     locally {
       val emb = Tables.embeddings(spark, sfDir)
       val idx = java.nio.file.Files.createTempDirectory("sbench-bq").toString
