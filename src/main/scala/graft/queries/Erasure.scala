@@ -255,6 +255,18 @@ object Erasure {
       ivfPq = m.get("ivfpq"), bq = m.get("bq"))
   }
 
+  /** Reconstruct the user-grain targets from persisted intent rows —
+    * the single place the tag→field mapping lives, so a future family
+    * can't be silently dropped on resume (the round-16 defect: resume
+    * rebuilt UserTargets inline and omitted `table`, so a crash before
+    * the event-table tombstone resumed to a false "completed").
+    */
+  private def userTargetsOf(rows: Seq[(String, Long, String)]): UserTargets = {
+    val m = rows.map { case (tag, _, p) => tag -> p }.toMap
+    UserTargets(cooccur = m.get("cooccur"), transition = m.get("transition"),
+      table = m.get("table"))
+  }
+
   /** [[forgetDocs]] with the intent persisted first — crash-resumable
     * from disk alone via [[resumeForgetDocs]]. `docs` needs the same
     * columns as forgetDocs (`doc_id`, plus `text` when shingle is
@@ -325,9 +337,7 @@ object Erasure {
   def resumeForgetUsers(s: SparkSession, intentRoot: String): Unit = {
     val rows = readIntent(intentRoot, "user")
     val snapshot = rows.map { case (tag, e, _) => tag -> e }.toMap
-    val m = rows.map { case (tag, _, p) => tag -> p }.toMap
-    val remaining = UserTargets(cooccur = m.get("cooccur"),
-      transition = m.get("transition")).remaining(snapshot)
+    val remaining = userTargetsOf(rows).remaining(snapshot)
     if (remaining.ordered.nonEmpty) {
       val evs =
         if (remaining.transition.nonEmpty)

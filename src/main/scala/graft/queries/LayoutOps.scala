@@ -135,8 +135,11 @@ object LayoutOps {
       uLo: Long, uHi: Long, dLo: Long, dHi: Long,
       shift: Int = zShift): DataFrame = {
     import s.implicits._
+    // validate each axis directly — a doubly-inverted box would make the
+    // area PRODUCT positive and silently return an empty scan
+    require(uLo <= uHi && dLo <= dHi,
+      s"empty box: users [$uLo, $uHi] x days [$dLo, $dHi]")
     val area = (uHi - uLo + 1) * (dHi - dLo + 1)
-    require(area > 0, s"empty box: users [$uLo, $uHi] x days [$dLo, $dHi]")
     val residual = $"user_id".between(uLo, uHi) && $"day".between(dLo, dHi)
     if (area <= 1000000L) {
       val buckets = (for {

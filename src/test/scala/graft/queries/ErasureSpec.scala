@@ -176,6 +176,53 @@ class ErasureSpec extends SparkSpec {
     assert(edges(tr) === edges(reb))
   }
 
+  test("durable user erasure: crash before the EVENT TABLE, disk-only resume still tombstones the source log") {
+    // The round-16 defect drill: resumeForgetUsers used to rebuild
+    // UserTargets without the `table` target, so exactly this crash
+    // point (cooccur+transition committed, table not yet) resumed to a
+    // false "completed" with the erased users still readable in the
+    // source log. The drill crashes before the LAST family and demands
+    // the resumed table both advanced its manifest epoch and serves a
+    // scan without the users.
+    val co = tmp("era-co-d3"); val tr = tmp("era-tr-d3"); val tbl = tmp("era-tbl-d3")
+    GraphOps.writeCooccurIndex(evsDf, co)
+    GraphOps.writeTransitionGraph(evsDf, tr)
+    LayoutOps.writeEventTable(Tables.events(spark, sf), tbl, nFiles = 4)
+    val targets = Erasure.UserTargets(
+      cooccur = Some(co), transition = Some(tr), table = Some(tbl))
+    val users = evsDf.filter($"user_id" % 13 === 0).select($"user_id").distinct()
+    val root = tmp("era-intent-u3")
+
+    intercept[RuntimeException] {
+      Erasure.forgetUsersDurable(users, targets, Some(evsDf), root, failAfter = 2)
+    }
+    assert(Erasure.committedEpochs(targets.ordered) ===
+      Map("cooccur" -> 1L, "transition" -> 1L, "table" -> 0L),
+      "crash point: cooccur+transition committed, table untouched " +
+        "(still at its write-time epoch 0)")
+    // the users are still readable in the source log — exactly the
+    // state a dropped-table resume would freeze forever
+    val goneUsers = users.as[Long].collect().toSet
+    val beforeResume = LayoutOps.readEventTable(spark, tbl)
+      .select($"user_id").distinct().as[Long].collect().toSet
+    assert(beforeResume.intersect(goneUsers).nonEmpty,
+      "precondition: the crash left the users live in the table")
+
+    Erasure.resumeForgetUsers(spark, root)
+    assert(IndexManifest.committedEpoch(tbl, IndexManifest.Layout) === 1L,
+      "resume must advance the table's manifest epoch (the tombstone commit)")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(root, "_intent.ledger")))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(root, "_completed.ledger")))
+    val afterResume = LayoutOps.readEventTable(spark, tbl)
+      .select($"user_id").distinct().as[Long].collect().toSet
+    assert(afterResume.intersect(goneUsers).isEmpty && afterResume.nonEmpty,
+      "the source log must not be the one place erased users survive")
+    // committed families were not double-processed: cooccur/transition
+    // epochs still 1 after resume
+    assert(Erasure.committedEpochs(targets.ordered) ===
+      Map("cooccur" -> 1L, "transition" -> 1L, "table" -> 1L))
+  }
+
   test("user erasure fans out to all three user-grain artifacts; transition requires the event slice") {
     val co = tmp("era-cooccur")
     val tr = tmp("era-transition")
