@@ -1143,6 +1143,65 @@ object CurationOps {
     """.stripMargin.trim),
   )
 
+  /** The USER-grain certificate fleet: the two row-traceable user
+    * families (co-occurrence `ui` rows, the zone-mapped event table),
+    * deployed and erased once per (JVM, corpus) — same caching
+    * rationale as [[certFleet]]. Users 4/9/14 are erased through the
+    * Erasure orchestrator (the same fan-out a real request takes);
+    * 5/10/12 stay as non-erased controls.
+    */
+  private val certUserFleetCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Erasure.UserTargets]()
+
+  private def certUserFleet(s: SparkSession, d: String): Erasure.UserTargets =
+    certUserFleetCache.computeIfAbsent(d, _ => {
+      import s.implicits._
+      val evs = Tables.events(s, d)
+        .withColumn("item", regexp_extract($"props", "(\\d+)", 1).cast("long"))
+      val targets = Erasure.UserTargets(
+        cooccur = Some(graft.sources.Scratch.dir("graft-certu-cooccur")),
+        table = Some(graft.sources.Scratch.dir("graft-certu-table")))
+      GraphOps.writeCooccurIndex(evs, targets.cooccur.get)
+      LayoutOps.writeEventTable(Tables.events(s, d), targets.table.get, nFiles = 8)
+      Erasure.forgetUsers(Seq(4L, 9L, 14L).toDF("user_id"), targets)
+      targets
+    })
+
+  /** User-grain proof of absence, hash-gated: the oracle derives each
+    * CONTROL user's expected live counts from first principles (their
+    * distinct co-occurrence items; their raw event-row count) and 0
+    * for the erased, so an under-scanning certificate and a leaking
+    * forget path both hash-mismatch — the doc-grain row's discipline
+    * at the grain deletion requests actually arrive at.
+    */
+  val erasureCertUsers = Q(
+    "t_erasure_cert_users",
+    (s, d) => {
+      import s.implicits._
+      Erasure.certificateUsers(s, certUserFleet(s, d),
+        Seq(4L, 9L, 14L, 5L, 10L, 12L).toDF("user_id"))
+    },
+    Some("""
+      WITH ids(user_id, gone) AS (VALUES (4, 1), (9, 1), (14, 1),
+                                         (5, 0), (10, 0), (12, 0)),
+      ui AS (
+        SELECT DISTINCT user_id,
+               TRY_CAST(regexp_extract(props, '(\d+)', 1) AS BIGINT) AS item
+        FROM events
+        WHERE TRY_CAST(regexp_extract(props, '(\d+)', 1) AS BIGINT) IS NOT NULL),
+      uic AS (SELECT user_id, count(*) AS n FROM ui GROUP BY 1),
+      evc AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+      fam(family) AS (VALUES ('cooccur'), ('table'))
+      SELECT CAST(i.user_id AS BIGINT) AS user_id, f.family,
+             CAST(CASE WHEN i.gone = 1 THEN 0
+                  WHEN f.family = 'cooccur' THEN coalesce(u.n, 0)
+                  ELSE coalesce(e.n, 0) END AS BIGINT) AS live_refs
+      FROM ids i CROSS JOIN fam f
+      LEFT JOIN uic u ON u.user_id = i.user_id
+      LEFT JOIN evc e ON e.user_id = i.user_id
+    """.stripMargin.trim),
+  )
+
   /** "SHOW INDEXES" end to end, hash-gated: drive four index families
     * through DIFFERENT lifecycle states (day-3 postings: build + append
     * + forget; day-1 LSH: fresh build; compacted IVF-PQ: rebased
@@ -1201,5 +1260,5 @@ object CurationOps {
     Seq(splitAssign, sourceQuota, stratifiedSample, sampleExactK, shardPack,
       seqPack, contamination, domainMix, temperatureMix, trainLeaks,
       curateCorpus, curateSequences, curateFunnel, kAnonymity, kSuppress,
-      lDiversity, erasureCert, indexCatalog)
+      lDiversity, erasureCert, erasureCertUsers, indexCatalog)
 }

@@ -396,4 +396,45 @@ object Erasure {
       "certificate needs at least one row-traceable family in targets")
     per.reduce(_ unionByName _)
   }
+
+  /** USER-GRAIN erasure certificate — the grain GDPR requests actually
+    * arrive at. For each audited user and each row-traceable deployed
+    * user family, the count of live rows still attributing to them,
+    * through exactly the resolved views readers serve from:
+    *
+    *   - cooccur — the stored `ui` rows ARE the user's data
+    *     (tombstone-resolved, [[GraphOps.resolvedUi]]);
+    *   - table — the zone-mapped event table's resolved rows
+    *     ([[LayoutOps.readEventTable]]): the source log must certify 0
+    *     too, or the fleet certificate is theater.
+    *
+    * The transition graph is NOT certifiable this way by design — it
+    * stores aggregated edge counts with no per-user attribution (the
+    * shingle index's situation at doc grain); its erasure is certified
+    * by the epoch ledger of the subtraction fold. Same audit
+    * discipline as [[certificate]]: include non-erased controls, whose
+    * expected non-zero counts prove the scan actually looks.
+    */
+  def certificateUsers(s: SparkSession, targets: UserTargets, ids: DataFrame): DataFrame = {
+    val idsDf = ids.select(col("user_id").cast("long").as("user_id"))
+      .distinct().localCheckpoint(true)
+    def refCounts(tag: String, path: String): Option[DataFrame] = (tag match {
+      case "cooccur" => Some(GraphOps.resolvedUi(s, path).select(col("user_id")))
+      case "table"   => Some(LayoutOps.readEventTable(s, path).select(col("user_id")))
+      case _         => None // transition: count-aggregated; see scaladoc
+    }).map { rows =>
+      rows.join(idsDf, Seq("user_id"))
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+    }
+    val per = targets.ordered.flatMap { case (tag, p) =>
+      refCounts(tag, p).map { counts =>
+        idsDf.join(counts, Seq("user_id"), "left")
+          .select(col("user_id"), lit(tag).as("family"),
+            coalesce(col("n"), lit(0L)).as("live_refs"))
+      }
+    }
+    require(per.nonEmpty,
+      "certificateUsers needs at least one row-traceable user family in targets")
+    per.reduce(_ unionByName _)
+  }
 }
