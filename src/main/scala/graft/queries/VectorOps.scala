@@ -3721,6 +3721,63 @@ object VectorOps {
       corpus, cands, k)
   }
 
+  /** SERVE the full 3-tier cascade from STORED artifacts — the
+    * deployment shape with the quantizer persisted: BQ Hamming screen
+    * to `screen` candidates over the committed 8 B/vector words, then
+    * an SQ8 rerank of the survivors against the STORED codes under the
+    * STORED quantizer stats (no training pass anywhere in the serve
+    * plan — the one corpus-wide stats aggregation the live cascade
+    * pays happened once at [[writeSq8Index]] time), then an exact
+    * float rerank of only the `refine` finalists. Float fetches drop
+    * from `screen` to `refine` per query (100 → 30 at the defaults);
+    * query vectors are encoded/decoded under the stored stats, so the
+    * tier-2 scores are bit-identical to the live cascade's when the
+    * index was built from the same corpus. Request ids are their own
+    * space (self-exclusion opt-in, as [[searchBqIndex]]).
+    */
+  def searchCascadeIndex(queryVecs: DataFrame, bqPath: String, sq8Path: String,
+      corpus: DataFrame, k: Long = topK, screen: Long = cascadeC1,
+      refine: Long = cascadeC2, excludeSelf: Boolean = false): DataFrame = {
+    val s = queryVecs.sparkSession
+    import s.implicits._
+    graft.functions.GraftFunctions.registerDotD(s)
+    // tier 1: Hamming screen over the stored words (8 B/vector — the
+    // only corpus-wide distance pass in the whole serve)
+    val qPacked = bqPackedOn(
+      queryVecs.select(col("query_id").as("vec_id"), col("embedding")))
+      .select(col("vec_id").as("query_id"),
+        col("w_lo").as("q_lo"), col("w_hi").as("q_hi"))
+    val cands1 = bqScreenAgainst(qPacked, storedBqWords(s, bqPath),
+        screen, excludeSelf)
+      .select($"query_id", $"cand_id")
+    // tier 2: decoded-cosine rerank against the STORED codes — the
+    // candidate fetch is a broadcast semi-probe (point lookups at
+    // deployment scale), decode happens per DISTINCT candidate below
+    // the per-query pair fan-out
+    val stats = storedSq8Stats(s, sq8Path)
+    val qDec = sq8Decoded(
+      queryVecs.select(col("query_id").as("vec_id"), col("embedding")), stats)
+      .select($"vec_id".as("query_id"), $"r".as("qr"), $"self_norm".as("q_norm"))
+    val candIds = cands1.select($"cand_id").distinct()
+    val cDec = sq8DecodedFromCodes(
+      storedSq8Codes(s, sq8Path)
+        .join(broadcast(candIds), $"vec_id" === $"cand_id").drop("cand_id"),
+      stats)
+      .select($"vec_id".as("cand_id"), $"r".as("cr"), $"self_norm".as("c_norm"))
+    val w2 = Window.partitionBy($"query_id").orderBy($"sim2_micros".desc, $"cand_id".asc)
+    val cands2 = cands1
+      .join(cDec, Seq("cand_id"))
+      .join(broadcast(qDec), Seq("query_id"))
+      .withColumn("sim2_micros", micros(dotDbl("qr", "cr") / ($"q_norm" * $"c_norm")))
+      .withColumn("rk2", row_number().over(w2))
+      .filter($"rk2" <= refine)
+      .select($"query_id", $"cand_id")
+    // tier 3: exact float cosine over the refine survivors only
+    exactRerankAgainst(
+      queryVecs.select(col("query_id"), col("embedding").as("q_emb")),
+      corpus, cands2, k)
+  }
+
   /** The cascade's oracle CTE chain through `csk` (query_id, cand_id,
     * sim_micros, rnk): BQ top-C1 → SQ8-decoded top-C2 → exact top-k,
     * each tier recomputed from scratch in DuckDB.
@@ -3770,42 +3827,38 @@ object VectorOps {
     bench = true,
   )
 
-  /** The cascade FROM THE STORED INDEX — the deployment shape: the
-    * screen reads the committed BQ words (8 B/vector, tombstone-
-    * resolved), the exact rerank fetches only the C1 survivors' floats.
-    * No quantizer-training pass at all (two tiers: the stored artifact
-    * IS the trained quantizer), so the only corpus-wide distance work
-    * is the 8-byte Hamming scan — the "corpus scanned once at BQ
-    * width" contract, literally. The oracle recomputes both tiers from
-    * the raw embeddings; stored == computed because the index was
+  /** The FULL 3-tier cascade FROM STORED ARTIFACTS — the deployment
+    * shape with the quantizer persisted: the screen reads the
+    * committed BQ words (8 B/vector, tombstone-resolved), the middle
+    * tier reranks against the STORED SQ8 codes under the STORED
+    * quantizer stats, and the exact rerank fetches floats for only the
+    * C2=30 finalists (the 2-tier ancestor of this row paid float
+    * fetches for all C1=100 screen survivors). No
+    * training pass anywhere in the serve plan — the stats aggregation
+    * is [[writeSq8Index]]'s, run once at build. The oracle recomputes
+    * all three tiers from the raw embeddings (the v_cascade_search
+    * chain verbatim); stored == computed because both indexes were
     * committed from this corpus.
     */
   val cascadeFromIndex = Q(
     "v_cascade_from_index",
     (s, d) => {
       import s.implicits._
-      val dir = graft.sources.Scratch.dir("graft-bq-cascade")
-      writeBqIndex(vecs(s, d), dir)
-      // through the PUBLIC serving API (searchBqIndex) so the oracle
-      // gates the same code path a deployment's requests take; the
-      // panel shares the corpus id space, hence excludeSelf
-      searchBqIndex(
+      val bqDir = graft.sources.Scratch.dir("graft-bq-cascade")
+      val sqDir = graft.sources.Scratch.dir("graft-sq8-cascade")
+      writeBqIndex(vecs(s, d), bqDir)
+      writeSq8Index(vecs(s, d), sqDir)
+      // through the PUBLIC serving API (searchCascadeIndex) so the
+      // oracle gates the same code path a deployment's requests take;
+      // the panel shares the corpus id space, hence excludeSelf
+      searchCascadeIndex(
         vecs(s, d).filter($"vec_id" < nQueries)
           .select($"vec_id".as("query_id"), $"embedding"),
-        dir, vecs(s, d), excludeSelf = true)
+        bqDir, sqDir, vecs(s, d), excludeSelf = true)
     },
     Some(s"""
-      WITH ${oracleBqCtes(cascadeC1)},
-      fs3 AS (
-        SELECT k.query_id, k.cand_id,
-               CAST(FLOOR(1e6 * (${oDot("q.embedding", "c.embedding")} /
-                 (sqrt(${oDot("q.embedding", "q.embedding")}) * sqrt(${oDot("c.embedding", "c.embedding")}))))
-                 AS BIGINT) AS sim_micros
-        FROM bqk k JOIN embeddings q ON q.vec_id = k.query_id
-                  JOIN embeddings c ON c.vec_id = k.cand_id)
-      SELECT query_id, cand_id, sim_micros,
-             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim_micros DESC, cand_id ASC) AS rnk
-      FROM fs3 QUALIFY rnk <= $topK
+      WITH $oracleCascadeCtes
+      SELECT query_id, cand_id, sim_micros, rnk FROM csk
     """.stripMargin.trim),
   )
 
@@ -3941,6 +3994,145 @@ object VectorOps {
     words.join(dels, Seq("vec_id"), "left")
       .filter($"del_epoch".isNull || $"epoch" > $"del_epoch")
       .select($"vec_id", $"w_lo", $"w_hi")
+  }
+
+  // ---------------------------------------------------------------------
+  // Stored SQ8 index — the cascade's MIDDLE tier as a day-2 artifact.
+  // A deployment trains its scalar quantizer once and stores it with
+  // the codes; without the stored stats every stored-index serve must
+  // either re-train (a corpus-wide aggregation per request batch) or
+  // skip the middle tier and pay float fetches for every screen
+  // survivor (the round-16 shape). Components under the manifest
+  // protocol: `stats` (ONE row of per-dim lo/hi — the trained
+  // quantizer, a rewrite component copied forward on compaction),
+  // `codes` (vec_id, codes at 64 B/vector, append-only epochs), `dels`
+  // (tombstones, the BQ/LSH pattern). Appends encode NEW vectors under
+  // the STORED stats — the quantizer is trained once, not drifted per
+  // batch (re-training would silently re-scale every stored code);
+  // out-of-range components clamp to [0, 255], the standard SQ8
+  // saturation. Re-train = rebuild (writeSq8Index), a deliberate
+  // full-index event, exactly like IVF-PQ centroid generations.
+  // ---------------------------------------------------------------------
+
+  def writeSq8Index(emb: DataFrame, path: String): Unit = {
+    import graft.sources.IndexManifest
+    val s = emb.sparkSession
+    import s.implicits._
+    sq8StatsOn(emb).coalesce(1).write.mode("overwrite")
+      .parquet(IndexManifest.epochDir(path, "stats", 0L))
+    // encode under the JUST-WRITTEN stats (read back, not recomputed):
+    // the codes on disk are guaranteed consistent with the stored
+    // quantizer even if the stats computation ever changes
+    val st = s.read.parquet(IndexManifest.epochDir(path, "stats", 0L))
+    sq8Rows(emb, st).select($"vec_id", $"codes")
+      .write.mode("overwrite").parquet(IndexManifest.epochDir(path, "codes", 0L))
+    Seq.empty[Long].toDF("vec_id").write.mode("overwrite")
+      .parquet(IndexManifest.epochDir(path, "dels", 0L))
+    IndexManifest.commit(path, 0L, fmt = IndexManifest.Sq8)
+  }
+
+  /** The stored quantizer: one (lo, hi) row. Lives at the WINDOW FLOOR
+    * (written at build, re-staged only when a compaction rebases the
+    * window) — the IVF-PQ centroid-generation invariant: appends and
+    * tombstones advance the ceiling without touching the trained
+    * artifact, and vacuum (which deletes strictly below the floor)
+    * never collects it. An as-of pin resolves the same floor, so past
+    * reads decode under the same quantizer they were encoded with.
+    */
+  private[graft] def storedSq8Stats(s: SparkSession, path: String,
+      asOf: Option[Long] = None): DataFrame = {
+    import graft.sources.IndexManifest
+    val st = asOf.map(IndexManifest.stateAsOf(path, _, IndexManifest.Sq8))
+      .getOrElse(IndexManifest.committedState(path, IndexManifest.Sq8))
+    s.read.parquet(IndexManifest.epochDir(path, "stats", st.baseEpoch))
+  }
+
+  /** The resolved stored codes: tombstones remove code rows from
+    * EARLIER epochs only (epoch precedence, the family-wide rule).
+    */
+  private[graft] def storedSq8Codes(s: SparkSession, path: String,
+      asOf: Option[Long] = None): DataFrame = {
+    import graft.sources.IndexManifest
+    import s.implicits._
+    val codes = IndexManifest.readAppendOnlyEpochs(
+      s, path, "codes", IndexManifest.Sq8, asOf)
+    val dels = IndexManifest.readAppendOnlyEpochs(
+      s, path, "dels", IndexManifest.Sq8, asOf)
+      .groupBy($"vec_id").agg(max($"epoch").as("del_epoch"))
+    codes.join(dels, Seq("vec_id"), "left")
+      .filter($"del_epoch".isNull || $"epoch" > $"del_epoch")
+      .select($"vec_id", $"codes")
+  }
+
+  /** Decode + self-norm from a STORED (vec_id, codes) frame under
+    * quantizer `stats` — the serving-side twin of [[sq8Decoded]] (which
+    * starts from floats): same reconstruction expression, so scores are
+    * bit-identical to the live cascade's.
+    */
+  private def sq8DecodedFromCodes(codes: DataFrame, stats: DataFrame): DataFrame =
+    codes
+      .crossJoin(broadcast(stats))
+      .withColumn("r", sq8Recon("codes"))
+      .withColumn("self_norm", sqrt(dotDbl("r", "r")))
+      .select(col("vec_id"), col("r"), col("self_norm"))
+
+  /** Fold new vectors in, encoded under the STORED stats (clamped to
+    * [0, 255] where a component falls outside the trained range — the
+    * standard SQ8 saturation; see the section note on why appends never
+    * re-train). Same crash-atomicity and committed-replay hazard as
+    * [[appendBqIndex]].
+    */
+  def appendSq8Index(delta: DataFrame, path: String): Unit = {
+    import graft.sources.IndexManifest
+    val s = delta.sparkSession
+    import s.implicits._
+    val e = IndexManifest.committedEpoch(path, IndexManifest.Sq8) + 1L
+    delta.crossJoin(broadcast(storedSq8Stats(s, path)))
+      .withColumn("codes", expr(
+        """transform(embedding, (x, i) ->
+          |  CASE WHEN hi[i] > lo[i]
+          |       THEN LEAST(255L, GREATEST(0L,
+          |         CAST(floor((CAST(x AS DOUBLE) - lo[i]) * 255.0D / (hi[i] - lo[i])) AS BIGINT)))
+          |       ELSE 0L END)""".stripMargin))
+      .select($"vec_id", $"codes")
+      .write.mode("overwrite").parquet(IndexManifest.epochDir(path, "codes", e))
+    IndexManifest.advance(path, e, IndexManifest.Sq8)
+  }
+
+  /** Forget vectors — tombstone epoch, epoch-precedence resolution,
+    * physical removal at [[compactSq8Index]] (the fleet-wide pattern).
+    */
+  def deleteFromSq8Index(ids: DataFrame, path: String): Unit = {
+    import graft.sources.IndexManifest
+    val e = IndexManifest.committedEpoch(path, IndexManifest.Sq8) + 1L
+    ids.select(col("vec_id").cast("long")).distinct()
+      .write.mode("overwrite")
+      .parquet(IndexManifest.epochDir(path, "dels", e))
+    IndexManifest.advance(path, e, IndexManifest.Sq8)
+  }
+
+  /** Fold the window into one fresh epoch: RESOLVED codes + empty
+    * tombstones + the stats copied forward (the trained quantizer
+    * survives compaction unchanged), floor raised — the
+    * [[compactBqIndex]] discipline.
+    */
+  def compactSq8Index(s: SparkSession, path: String): Unit = {
+    import graft.sources.IndexManifest
+    import s.implicits._
+    val st = IndexManifest.committedState(path, IndexManifest.Sq8)
+    val e = st.epoch + 1L
+    storedSq8Codes(s, path).write.mode("overwrite")
+      .parquet(IndexManifest.epochDir(path, "codes", e))
+    Seq.empty[Long].toDF("vec_id").write.mode("overwrite")
+      .parquet(IndexManifest.epochDir(path, "dels", e))
+    storedSq8Stats(s, path).coalesce(1).write.mode("overwrite")
+      .parquet(IndexManifest.epochDir(path, "stats", e))
+    val st2 = IndexManifest.committedState(path, IndexManifest.Sq8)
+    if (st2.epoch != st.epoch)
+      throw new java.util.ConcurrentModificationException(
+        s"index at $path: compaction staged epoch $e over committed ${st.epoch} " +
+          s"but found ${st2.epoch} at commit time - re-run (single-writer contract)")
+    IndexManifest.commit(path, e, baseEpoch = e, IndexManifest.Sq8)
   }
 
   /** The 4 x 16-bit band rows of a packed frame (exact integer

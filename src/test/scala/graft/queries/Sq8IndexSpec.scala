@@ -1,0 +1,117 @@
+package graft.queries
+
+import graft.SparkSpec
+import graft.sources.IndexManifest
+
+/** The stored SQ8 index — the cascade's middle tier as a day-2
+  * artifact: stored codes must equal a fresh encode bit for bit, the
+  * quantizer must survive appends (no silent re-train) and compaction,
+  * appends must clamp out-of-range components, tombstones follow the
+  * fleet's epoch-precedence rule, and the 3-tier stored-cascade serve
+  * must equal the live cascade on the same corpus.
+  */
+class Sq8IndexSpec extends SparkSpec {
+
+  private val rnd = new scala.util.Random(91)
+  private def vec(): Array[Float] = Array.fill(64)(rnd.nextGaussian().toFloat)
+  private def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+
+  private def df(rows: Seq[(Long, Array[Float])]) = {
+    import spark.implicits._
+    spark.createDataset(rows).toDF("vec_id", "embedding")
+  }
+
+  private def codeMap(p: String): Map[Long, Seq[Long]] =
+    VectorOps.storedSq8Codes(spark, p).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+
+  test("stored codes and stats equal a fresh encode bit for bit") {
+    val base = (0L until 50L).map(i => (i, vec()))
+    val dir = tmp("sq8-idx")
+    VectorOps.writeSq8Index(df(base), dir)
+    assert(IndexManifest.committedState(dir, IndexManifest.Sq8).family === "sq8")
+    val expect = VectorOps.sq8CodesOn(df(base)).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(codeMap(dir) === expect)
+    val st = VectorOps.storedSq8Stats(spark, dir).collect()
+    assert(st.length === 1)
+    val fresh = VectorOps.sq8StatsOn(df(base)).collect().head
+    assert(st.head.getSeq[Double](0) === fresh.getSeq[Double](0))
+    assert(st.head.getSeq[Double](1) === fresh.getSeq[Double](1))
+  }
+
+  test("append encodes under the STORED quantizer (no re-train) and clamps out-of-range components") {
+    val base = (0L until 40L).map(i => (i, vec()))
+    val dir = tmp("sq8-app")
+    VectorOps.writeSq8Index(df(base), dir)
+    val statsBefore = VectorOps.storedSq8Stats(spark, dir).collect().head
+
+    // a wild out-of-range vector: +/-100 is far outside any trained
+    // per-dim [lo, hi] of unit gaussians
+    val wild = Array.tabulate(64)(i => if (i % 2 == 0) 100f else -100f)
+    val tame = vec()
+    VectorOps.appendSq8Index(df(Seq((500L, wild), (501L, tame))), dir)
+
+    // the quantizer did not move
+    val statsAfter = VectorOps.storedSq8Stats(spark, dir).collect().head
+    assert(statsAfter.getSeq[Double](0) === statsBefore.getSeq[Double](0))
+    assert(statsAfter.getSeq[Double](1) === statsBefore.getSeq[Double](1))
+
+    val codes = codeMap(dir)
+    assert(codes(500L).zipWithIndex.forall { case (c, i) =>
+      c == (if (i % 2 == 0) 255L else 0L) },
+      "out-of-range components must saturate at the code range ends")
+    // the tame vector's codes equal an encode under the ORIGINAL stats
+    val lo = statsBefore.getSeq[Double](0); val hi = statsBefore.getSeq[Double](1)
+    val expectTame = (0 until 64).map { i =>
+      if (hi(i) > lo(i))
+        math.min(255L, math.max(0L,
+          math.floor((tame(i).toDouble - lo(i)) * 255.0 / (hi(i) - lo(i))).toLong))
+      else 0L
+    }
+    assert(codes(501L) === expectTame)
+    assert(codes.size === 42)
+  }
+
+  test("tombstone deletes: epoch precedence, physical on compaction, quantizer survives") {
+    val base = (0L until 30L).map(i => (i, vec()))
+    val dir = tmp("sq8-del")
+    VectorOps.writeSq8Index(df(base), dir)
+    VectorOps.deleteFromSq8Index(df(Seq((7L, vec()))).select("vec_id"), dir)
+    assert(IndexManifest.committedEpoch(dir, IndexManifest.Sq8) === 1L)
+    assert(!codeMap(dir).contains(7L))
+
+    // re-append resurrects (tombstone hides only earlier epochs)
+    VectorOps.appendSq8Index(df(Seq(base(7))), dir)
+    assert(codeMap(dir).contains(7L))
+
+    // as-of pin below the re-append still sees the deletion
+    assert(!VectorOps.storedSq8Codes(spark, dir, asOf = Some(1L))
+      .collect().map(_.getLong(0)).contains(7L))
+
+    VectorOps.deleteFromSq8Index(df(Seq(base(11))).select("vec_id"), dir)
+    val before = codeMap(dir)
+    VectorOps.compactSq8Index(spark, dir)
+    val st = IndexManifest.committedState(dir, IndexManifest.Sq8)
+    assert(st.baseEpoch === st.epoch)
+    // physical: the folded codes directory no longer carries the id
+    val raw = spark.read.parquet(s"$dir/codes/epoch=${st.epoch}")
+      .collect().map(_.getLong(0)).toSet
+    assert(!raw.contains(11L) && raw.contains(7L))
+    assert(codeMap(dir) === before)
+    // the trained quantizer rode through the floor raise
+    assert(VectorOps.storedSq8Stats(spark, dir).count() === 1L)
+    // and the compacted index still accepts encodes
+    VectorOps.appendSq8Index(df(Seq(base(11))), dir)
+    assert(codeMap(dir).contains(11L))
+  }
+
+  test("stored 3-tier cascade serve equals the live cascade (catalog parity)") {
+    val sf = "/root/testdata/sf0.001"
+    def rows(name: String) =
+      Catalog.queries(name)(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(rows("v_cascade_from_index") === rows("v_cascade_search"),
+      "serving from stored BQ+SQ8 artifacts must be bit-identical to the live cascade")
+  }
+}
