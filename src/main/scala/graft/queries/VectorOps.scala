@@ -3071,7 +3071,8 @@ object VectorOps {
     * read today.
     */
   def ivfPqSearchFromIndex(s: SparkSession, path: String, queries: DataFrame,
-      asOf: Option[Long] = None, k: Long = topK): DataFrame = {
+      asOf: Option[Long] = None, k: Long = topK,
+      excludeSelf: Boolean = true): DataFrame = {
     import s.implicits._
     import graft.sources.IndexManifest
     graft.functions.GraftFunctions.registerDotD(s)
@@ -3112,7 +3113,11 @@ object VectorOps {
     cand
       .withColumnRenamed("vec_id", "cand_id")
       .join(broadcast(probes.select($"query_id", $"cell")), Seq("cell"))
-      .filter($"cand_id" =!= $"query_id")
+      // corpus-panel queries share the index id space and must not
+      // match themselves; a SERVING request's ids are their own space
+      // (excludeSelf = false), so a numeric collision doesn't silently
+      // drop a legitimate candidate — the searchBqIndex convention
+      .filter(if (excludeSelf) $"cand_id" =!= $"query_id" else lit(true))
       .join(broadcast(lut), Seq("query_id", "sub", "code"))
       .groupBy($"query_id", $"cand_id")
       .agg(sum($"d2_micros").as("adc_micros"))
@@ -3132,8 +3137,8 @@ object VectorOps {
     */
   def searchIvfPqRefined(s: SparkSession, path: String, queries: DataFrame,
       corpus: DataFrame, k: Long = topK, c: Long = refineC,
-      asOf: Option[Long] = None): DataFrame = {
-    val cands = ivfPqSearchFromIndex(s, path, queries, asOf, c)
+      asOf: Option[Long] = None, excludeSelf: Boolean = true): DataFrame = {
+    val cands = ivfPqSearchFromIndex(s, path, queries, asOf, c, excludeSelf)
       .select(col("query_id"), col("cand_id"))
     exactRerankAgainst(
       queries.select(col("query_id"), col("embedding").as("q_emb")),

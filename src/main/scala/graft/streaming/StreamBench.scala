@@ -653,6 +653,41 @@ object StreamBench {
           s""""unit":"requests/sec","requests":$nReq,"answered":$answered,""" +
           s""""secs":$secs,"sf":"$sfDir"}""")
     }
+    // Twelfth probe: ONLINE IVF-PQ SERVING — the refine funnel under
+    // standing request traffic (ivfPqServeStream: cell-pruned ADC
+    // short list + exact float refine, overwrite-mode per-batch sink).
+    // Same request staging as the BQ probe, so the two serving tiers'
+    // throughputs are directly comparable; numbers recorded in
+    // SCALING.md ("ANN serving probe").
+    locally {
+      val emb = Tables.embeddings(spark, sfDir)
+      val idx = java.nio.file.Files.createTempDirectory("sbench-ivfpq").toString
+      graft.queries.VectorOps.writeIvfPqIndex(emb, idx)
+      val eStats = emb.agg(max($"vec_id"), count(lit(1))).first()
+      val eMax = eStats.getLong(0) + 1
+      val nReq = eStats.getLong(1) * replicas
+      val staged = emb
+        .crossJoin(spark.range(replicas).select($"id".as("rep")))
+        .select(($"vec_id" + $"rep" * eMax + 1000000L).as("query_id"), $"embedding")
+      val rStage = java.nio.file.Files.createTempDirectory("reqs-sbench-pq").toString
+      staged.repartition(8).write.mode("overwrite").parquet(rStage)
+      val out = java.nio.file.Files.createTempDirectory("serve-sbench-pq").toString
+      val t0 = System.nanoTime()
+      val q = Streams.ivfPqServeStream(
+        spark.readStream.schema("query_id LONG, embedding ARRAY<FLOAT>")
+          .option("maxFilesPerTrigger", "2").parquet(rStage),
+        idx, emb, out,
+        java.nio.file.Files.createTempDirectory("ckpt-sbench-pqserve").toString,
+        trigger = Some(Trigger.AvailableNow()))
+      q.awaitTermination()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val answered = spark.read.option("basePath", out).parquet(out)
+        .select($"query_id").distinct().count()
+      println(
+        s"""{"metric":"ivfpq_serve_requests_per_sec","value":${(nReq / secs).toLong},""" +
+          s""""unit":"requests/sec","requests":$nReq,"answered":$answered,""" +
+          s""""secs":$secs,"sf":"$sfDir"}""")
+    }
     spark.stop()
   }
 }

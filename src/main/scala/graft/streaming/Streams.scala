@@ -1231,6 +1231,36 @@ object Streams {
     trigger.fold(w)(w.trigger).start()
   }
 
+  /** ONLINE IVF-PQ SERVING — the refine funnel as a standing request
+    * stream ([[annServeStream]]'s discipline over
+    * [[graft.queries.VectorOps.searchIvfPqRefined]]): each micro-batch
+    * of (query_id, embedding) requests probes the committed IVF-PQ
+    * index (cell-pruned ADC to top-`c`), exact-float-reranks the short
+    * list to top-`k` against `corpus`, and lands as ONE overwrite-mode
+    * directory `outPath/batch=<id>` — idempotent replay, no ledger
+    * (the sink rewrites only its own batch directory). Request ids are
+    * their own space (`excludeSelf = false`), so a request whose id
+    * collides with a stored vec_id still sees that vector as a
+    * candidate. Same staleness contract as every stored-side stream:
+    * the index and corpus bind at construction — rebuild the stream
+    * after an index fold.
+    */
+  def ivfPqServeStream(
+      requests: DataFrame, ivfPqIndexPath: String, corpus: DataFrame,
+      outPath: String, checkpointDir: String,
+      k: Long = 10L, c: Long = 50L,
+      trigger: Option[Trigger] = None): StreamingQuery = {
+    val w = requests.writeStream
+      .option("checkpointLocation", s"$checkpointDir/offsets")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.queries.VectorOps.searchIvfPqRefined(
+          batch.sparkSession, ivfPqIndexPath, batch, corpus, k, c,
+          excludeSelf = false)
+          .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+      }
+    trigger.fold(w)(w.trigger).start()
+  }
+
   /** Start the standing table ingest over a streaming frame of events
     * (the [[graft.sources.Tables.events]] shape: `ts_sec`, `user_id`,
     * the payload columns). The table must exist

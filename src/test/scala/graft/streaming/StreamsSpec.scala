@@ -1363,6 +1363,59 @@ class StreamsSpec extends SparkSpec {
     assert(served === batchAll)
   }
 
+  test("IVF-PQ serving stream: per-batch refine funnel equals the batch API; request ids are their own space; replay idempotent") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.queries.VectorOps
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    graft.functions.GraftFunctions.registerDotD(spark)
+
+    // a real corpus (the fixture embeddings) so the IVF cells have the
+    // structure the ADC probe expects
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val idx = tmp("ivfpq-serve-idx")
+    VectorOps.writeIvfPqIndex(emb, idx)
+    val corpusRows = emb.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+
+    // requests: corpus vectors under fresh ids, PLUS one whose id
+    // collides with a stored vec_id — excludeSelf=false must keep the
+    // stored twin as a candidate (it ranks first at cosine 1.0)
+    val r1 = corpusRows.take(2).map { case (i, v) => (i + 1000000L, v) }.toSeq
+    val r2 = Seq((3L, corpusRows.find(_._1 == 3L).get._2))
+
+    val mem = MemoryStream[(Long, Array[Float])]
+    val out = tmp("ivfpq-serve-out"); val ckpt = tmp("ivfpq-serve-ckpt")
+    val q = Streams.ivfPqServeStream(
+      mem.toDF().toDF("query_id", "embedding"), idx, emb, out, ckpt, k = 5L)
+    try {
+      mem.addData(r1); q.processAllAvailable()
+      mem.addData(r2); q.processAllAvailable()
+    } finally q.stop()
+
+    def served = spark.read.option("basePath", out).parquet(out)
+      .select($"query_id", $"cand_id", $"sim_micros", $"rnk")
+      .collect().map(_.toSeq).toSet
+    val batchAll = VectorOps.searchIvfPqRefined(
+      spark, idx,
+      spark.createDataset(r1 ++ r2).toDF("query_id", "embedding"),
+      emb, k = 5L, excludeSelf = false)
+      .collect().map(_.toSeq).toSet
+    assert(served === batchAll && served.nonEmpty)
+    // the colliding request finds its stored twin at the top
+    val top1 = spark.read.parquet(out).filter($"rnk" === 1L && $"query_id" === 3L)
+      .select($"cand_id", $"sim_micros").collect().head
+    assert(top1.getLong(0) === 3L && top1.getLong(1) === 1000000L,
+      "a request id colliding with a stored vec_id must still see that vector")
+    // replay idempotence: re-running a committed batch overwrites its
+    // own directory — served results unchanged
+    VectorOps.searchIvfPqRefined(
+      spark, idx, spark.createDataset(r2).toDF("query_id", "embedding"),
+      emb, k = 5L, excludeSelf = false)
+      .write.mode("overwrite").parquet(s"$out/batch=1")
+    assert(served === batchAll)
+  }
+
   test("event-table ingest stream: batch parity, exactly-once replay, crash-then-restage") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
