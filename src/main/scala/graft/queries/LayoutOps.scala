@@ -633,38 +633,66 @@ object LayoutOps {
     * count-pushdown every manifest-backed table format ships: a file
     * whose [min, max] ranges sit FULLY inside the box contributes its
     * manifest `n_rows` without being read; only boundary files
-    * (partial overlap) are scanned and residual-filtered. Sound ONLY
-    * while the window's tombstone set is empty — a forget makes the
-    * per-file stats conservative (they still count erased rows), so
-    * the reader checks dels first and falls back to the exact resolved
-    * scan. O(window files) driver hand-off either way.
+    * (partial overlap) are scanned and residual-filtered. Tombstones
+    * make per-file stats conservative (they still count erased rows),
+    * but only for files whose USER RANGE actually contains a
+    * tombstoned user — so the reader demotes exactly those files to
+    * the scanned-and-resolved leg instead of abandoning the pushdown
+    * for the whole window (a long-lived table between compactions
+    * always has a nonempty dels set; the all-or-nothing fallback
+    * stopped paying the moment anyone was forgotten). The tombstone
+    * set is bounded by erasure-request volume since the last
+    * compaction (the deletion-vector assumption), so the per-file
+    * intersection check is a driver-side sorted-array probe.
+    * O(window files) driver hand-off either way.
     */
   def eventTableBoxCount(s: SparkSession, path: String,
       uLo: Long, uHi: Long, dLo: Long, dHi: Long,
       asOf: Option[Long] = None): Long = {
+    val (metaRows, scanned, _) =
+      eventTableBoxCountDetail(s, path, uLo, uHi, dLo, dHi, asOf)
+    metaRows + scanned
+  }
+
+  /** (metadata rows, scanned rows, files answered from metadata) —
+    * the split exposed so the spec can assert the pushdown keeps
+    * paying when tombstones don't touch the counted files.
+    */
+  private[queries] def eventTableBoxCountDetail(s: SparkSession, path: String,
+      uLo: Long, uHi: Long, dLo: Long, dHi: Long,
+      asOf: Option[Long] = None): (Long, Long, Long) = {
     import graft.sources.IndexManifest
     import s.implicits._
-    val delsEmpty = IndexManifest
+    val delUsers = IndexManifest
       .readAppendOnly(s, path, "dels", IndexManifest.Layout, asOf)
-      .isEmpty
-    if (!delsEmpty)
-      return eventTableBoxScan(s, path, uLo, uHi, dLo, dHi, asOf).count()
+      .select($"user_id").distinct().collect().map(_.getLong(0)).sorted
+    def touchesDel(uL: Long, uH: Long): Boolean = {
+      val i = java.util.Arrays.binarySearch(delUsers, uL)
+      val idx = if (i >= 0) i else -i - 1
+      idx < delUsers.length && delUsers(idx) <= uH
+    }
     val zm = IndexManifest
       .readAppendOnly(s, path, "zonemap", IndexManifest.Layout, asOf)
       .filter(!($"u_hi" < uLo || $"u_lo" > uHi || $"d_hi" < dLo || $"d_lo" > dHi))
       .select($"file", $"u_lo", $"u_hi", $"d_lo", $"d_hi", $"n_rows")
       .collect()
-    val (full, partial) = zm.partition { r =>
+    val (full, rest) = zm.partition { r =>
       r.getLong(1) >= uLo && r.getLong(2) <= uHi &&
-        r.getLong(3) >= dLo && r.getLong(4) <= dHi
+        r.getLong(3) >= dLo && r.getLong(4) <= dHi &&
+        !touchesDel(r.getLong(1), r.getLong(2))
     }
     val metaRows = full.map(_.getLong(5)).sum
     val scanned =
-      if (partial.isEmpty) 0L
-      else s.read.parquet(partial.map(_.getString(0)): _*)
+      if (rest.isEmpty) 0L
+      else resolveDels(s,
+        // basePath recovers the epoch partition column — the demoted
+        // files' rows resolve under the same precedence as any read
+        s.read.option("basePath", s"$path/data")
+          .parquet(rest.map(_.getString(0)): _*),
+        path, asOf)
         .filter($"user_id".between(uLo, uHi) && $"day".between(dLo, dHi))
         .count()
-    metaRows + scanned
+    (metaRows, scanned, full.length.toLong)
   }
 
   /** The metadata count, oracle-gated against DuckDB's full recount —

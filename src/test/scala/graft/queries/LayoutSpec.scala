@@ -377,6 +377,38 @@ class LayoutSpec extends SparkSpec {
     assert(LayoutOps.eventTableBoxCount(spark, dir, uLo, uHi, dLo, dHi) === expect)
   }
 
+  test("metadata count: a tombstone OUTSIDE the counted files' user ranges keeps the pushdown paying") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ztable-count-dels").toString
+    // 400 in-box rows (users 0-39, 10 rows each, days 19740-19744) plus
+    // one far outlier user whose rows land in the top z-range file
+    val inBox = spark.range(0, 400).select(
+      $"id".as("event_id"), ($"id" % 40).as("user_id"),
+      (lit(19740L * 86400L) + ($"id" % 5) * 86400L).as("ts_sec"))
+    val outlier = Seq((9000L, 90L, 19740L * 86400L))
+      .toDF("event_id", "user_id", "ts_sec")
+    LayoutOps.writeEventTable(inBox.union(outlier), dir, nFiles = 8)
+    val (uLo, uHi, dLo, dHi) = (0L, 60L, 19739L, 19746L) // excludes user 90
+    val before = LayoutOps.eventTableBoxCountDetail(spark, dir, uLo, uHi, dLo, dHi)
+    assert(before._3 > 0, "fixture must exercise the metadata path")
+    assert(before._1 + before._2 === 400L)
+
+    // forget the outlier: its user range intersects NO counted file,
+    // so every previously metadata-counted file stays metadata-counted
+    LayoutOps.forgetEventTableUsers(Seq(90L).toDF("user_id"), dir)
+    val after = LayoutOps.eventTableBoxCountDetail(spark, dir, uLo, uHi, dLo, dHi)
+    assert(after._3 === before._3,
+      "a tombstone outside the box must not demote metadata-counted files")
+    assert(after._1 + after._2 === 400L)
+
+    // forget an IN-BOX user: only the files whose range contains it
+    // demote to the scanned-and-resolved leg; the count stays exact
+    LayoutOps.forgetEventTableUsers(Seq(7L).toDF("user_id"), dir)
+    val d3 = LayoutOps.eventTableBoxCountDetail(spark, dir, uLo, uHi, dLo, dHi)
+    assert(d3._1 + d3._2 === 390L, "user 7's 10 rows must leave the count")
+    assert(d3._3 < before._3, "the touched files must leave the metadata leg")
+  }
+
   test("catalog rows served from the stored table equal their raw-scan twins") {
     def rows(q: Q) = q.spark(spark, sf).collect()
       .map(_.toSeq.map(String.valueOf).mkString("|")).sorted
