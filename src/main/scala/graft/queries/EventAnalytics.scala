@@ -50,7 +50,7 @@ object EventAnalytics {
         eventId.cast("string"))))
 
   /** events + `item` (the numeric id parsed out of the props JSON). */
-  private def eventsWithItemOn(evs: DataFrame): DataFrame =
+  private[queries] def eventsWithItemOn(evs: DataFrame): DataFrame =
     evs.withColumn("item", regexp_extract(col("props"), "(\\d+)", 1).cast("long"))
 
   private def eventsWithItem(s: SparkSession, d: String): DataFrame =
@@ -121,23 +121,31 @@ object EventAnalytics {
     * HotItemsWithSql.java:80-89: HOP window + ROW_NUMBER + rn<=5 subquery),
     * run verbatim through Catalyst via spark.sql.
     */
+  /** The verbatim HOP + ROW_NUMBER SQL over whatever frame backs the
+    * named temp view — the declarative entry point is scan-agnostic by
+    * construction, so the raw-parquet row and the stored-table row
+    * below run the IDENTICAL query text against different tables.
+    */
+  private[queries] def hotItemsSqlOn(s: SparkSession, evs: DataFrame,
+      view: String): DataFrame = {
+    evs.createOrReplaceTempView(view)
+    s.sql(s"""
+      WITH hopped AS (
+        SELECT item, explode(sequence(ts_sec - pmod(ts_sec, $hopSlide) - ${hopSize - hopSlide},
+                                      ts_sec - pmod(ts_sec, $hopSlide), $hopSlide)) AS window_start
+        FROM $view),
+      counted AS (SELECT window_start, item, COUNT(*) AS cnt FROM hopped GROUP BY 1, 2)
+      SELECT window_start, item, cnt, rn FROM (
+        SELECT window_start, item, cnt,
+               CAST(ROW_NUMBER() OVER (PARTITION BY window_start ORDER BY cnt DESC, item) AS BIGINT) AS rn
+        FROM counted)
+      WHERE rn <= 5
+    """)
+  }
+
   val hotItemsSql = Q(
     "hot_items_sql",
-    (s, d) => {
-      eventsWithItem(s, d).createOrReplaceTempView("events_v")
-      s.sql(s"""
-        WITH hopped AS (
-          SELECT item, explode(sequence(ts_sec - pmod(ts_sec, $hopSlide) - ${hopSize - hopSlide},
-                                        ts_sec - pmod(ts_sec, $hopSlide), $hopSlide)) AS window_start
-          FROM events_v),
-        counted AS (SELECT window_start, item, COUNT(*) AS cnt FROM hopped GROUP BY 1, 2)
-        SELECT window_start, item, cnt, rn FROM (
-          SELECT window_start, item, cnt,
-                 CAST(ROW_NUMBER() OVER (PARTITION BY window_start ORDER BY cnt DESC, item) AS BIGINT) AS rn
-          FROM counted)
-        WHERE rn <= 5
-      """)
-    },
+    (s, d) => hotItemsSqlOn(s, eventsWithItem(s, d), "events_v"),
     hotItemsTopN.oracle,
   )
 

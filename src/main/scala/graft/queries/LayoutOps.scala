@@ -555,6 +555,21 @@ object LayoutOps {
     EventAnalytics.funnelRelaxed.oracle,
   )
 
+  /** The DECLARATIVE surface over the governed table: hot_items_sql's
+    * verbatim query text (SURVEY Q1-Q5's pure-SQL entry point) with
+    * its temp view backed by [[readEventTable]] instead of the raw
+    * scan — the last raw-scan-only surface, closed by one view
+    * registration. Same oracle as every hot-items formulation.
+    */
+  val hotItemsSqlFromTable = Q(
+    "hot_items_sql_from_table",
+    (s, d) => EventAnalytics.hotItemsSqlOn(
+      s,
+      EventAnalytics.eventsWithItemOn(readEventTable(s, storedEventTable(s, d))),
+      "events_tbl_v"),
+    EventAnalytics.hotItemsTopN.oracle,
+  )
+
   /** A 2-D box query answered through the stored table's zone maps —
     * the scan every reference event job becomes at 100 TB: the box
     * spans BOTH committed epochs (the cut day is inside the day range),
@@ -745,6 +760,7 @@ object LayoutOps {
   )
 
   val qs: Seq[Q] = Seq(zorderKey, zorderScan, zonemapScan, tableAsOf,
-    hotItemsFromTable, sessionizeFromTable, funnelFromTable, tableScan,
+    hotItemsFromTable, sessionizeFromTable, funnelFromTable,
+    hotItemsSqlFromTable, tableScan,
     tableForget, tableCount)
 }
