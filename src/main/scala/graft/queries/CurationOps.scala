@@ -1076,17 +1076,17 @@ object CurationOps {
     bench = true,
   )
 
-  /** End-to-end erasure certificate, hash-gated: deploy four
-    * row-traceable indexes (postings, LSH, IVF-PQ, BQ), erase three
-    * docs through the Erasure orchestrator, then certify absence for
-    * them PLUS three untouched controls. The oracle computes each
+  /** End-to-end erasure certificate, hash-gated: deploy five
+    * row-traceable indexes (postings, LSH, IVF-PQ, BQ, SQ8), erase
+    * three docs through the Erasure orchestrator, then certify absence
+    * for them PLUS three untouched controls. The oracle computes each
     * control's expected live-row counts from first principles (distinct
     * terms for postings; 4 bands when the doc has >= 3 tokens for LSH;
-    * one row per PQ subspace; one packed BQ row) and 0 for the erased —
-    * so a certificate that under-scans (misses live rows) or a forget
-    * path that leaks rows both hash-mismatch.
+    * one row per PQ subspace; one packed BQ row; one SQ8 codes row)
+    * and 0 for the erased — so a certificate that under-scans (misses
+    * live rows) or a forget path that leaks rows both hash-mismatch.
     */
-  /** The certificate row's deployed fleet: four row-traceable indexes
+  /** The certificate row's deployed fleet: five row-traceable indexes
     * built and erased ONCE per (JVM, corpus) — a deployment erases
     * once and certifies as often as audits demand; rebuilding four
     * indexes per catalog invocation was the two slowest rows in the
@@ -1107,11 +1107,13 @@ object CurationOps {
         postings = Some(graft.sources.Scratch.dir("graft-cert-post")),
         lsh = Some(graft.sources.Scratch.dir("graft-cert-lsh")),
         ivfPq = Some(graft.sources.Scratch.dir("graft-cert-ivfpq")),
-        bq = Some(graft.sources.Scratch.dir("graft-cert-bq")))
+        bq = Some(graft.sources.Scratch.dir("graft-cert-bq")),
+        sq8 = Some(graft.sources.Scratch.dir("graft-cert-sq8")))
       SearchOps.writePostingsIndex(docs(s, d), targets.postings.get)
       TextOps.writeLshIndex(docs(s, d), targets.lsh.get)
       VectorOps.writeIvfPqIndex(emb, targets.ivfPq.get)
       VectorOps.writeBqIndex(emb, targets.bq.get)
+      VectorOps.writeSq8Index(emb, targets.sq8.get)
       Erasure.forgetDocs(Seq(4L, 14L, 24L).toDF("doc_id"), targets)
       targets
     })
@@ -1131,7 +1133,7 @@ object CurationOps {
                CAST(len(list_distinct(${TextOps.oracleToks})) AS BIGINT) AS nt,
                CAST(len(${TextOps.oracleToks}) AS BIGINT) AS ntok
         FROM documents),
-      fam(family) AS (VALUES ('postings'), ('lsh'), ('ivfpq'), ('bq'))
+      fam(family) AS (VALUES ('postings'), ('lsh'), ('ivfpq'), ('bq'), ('sq8'))
       SELECT CAST(i.doc_id AS BIGINT) AS doc_id, f.family,
              CAST(CASE WHEN i.gone = 1 THEN 0
                   WHEN f.family = 'postings' THEN t.nt

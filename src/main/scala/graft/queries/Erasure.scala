@@ -7,7 +7,7 @@ import graft.sources.IndexManifest
 
 /** One-call right-to-be-forgotten across the stored-artifact fleet.
   *
-  * Eight index families persist derived state about documents and
+  * Ten index families persist derived state about documents and
   * users; each already has its own crash-atomic forget path (tombstone
   * or negated-count epoch + same-epoch stats give-back — see
   * IMPLEMENTATION.md's forget rows). This orchestrator is the missing
@@ -16,8 +16,8 @@ import graft.sources.IndexManifest
   *
   * Scope by grain:
   *   - DOC grain  — postings (BM25), LSH (near-dup), shingle-df
-  *     (novelty), SCD2 (dimension history), IVF-PQ and BQ (vector
-  *     search; `vec_id` = `doc_id` in this corpus' contract).
+  *     (novelty), SCD2 (dimension history), IVF-PQ, BQ and SQ8
+  *     (vector search; `vec_id` = `doc_id` in this corpus' contract).
   *   - USER grain — co-occurrence (self-attributing: the stored `ui`
   *     rows are the user's data), the transition graph (aggregated:
   *     erasure needs the user's event slice from the source log), and
@@ -55,14 +55,15 @@ object Erasure {
       shingle: Option[String] = None,
       scd2: Option[String] = None,
       ivfPq: Option[String] = None,
-      bq: Option[String] = None) {
+      bq: Option[String] = None,
+      sq8: Option[String] = None) {
 
     /** (family-tag, path) in the fixed processing order — the resume
       * protocol's ground truth.
       */
     def ordered: Seq[(String, String)] =
       Seq("postings" -> postings, "lsh" -> lsh, "shingle" -> shingle,
-        "scd2" -> scd2, "ivfpq" -> ivfPq, "bq" -> bq)
+        "scd2" -> scd2, "ivfpq" -> ivfPq, "bq" -> bq, "sq8" -> sq8)
         .collect { case (tag, Some(p)) => tag -> p }
 
     /** The targets whose committed epoch still equals the pre-call
@@ -78,7 +79,8 @@ object Erasure {
         shingle = keep("shingle", shingle),
         scd2 = keep("scd2", scd2),
         ivfPq = keep("ivfpq", ivfPq),
-        bq = keep("bq", bq))
+        bq = keep("bq", bq),
+        sq8 = keep("sq8", sq8))
     }
   }
 
@@ -114,6 +116,7 @@ object Erasure {
     case "scd2"       => IndexManifest.Scd2
     case "ivfpq"      => IndexManifest.IvfPq
     case "bq"         => IndexManifest.Bq
+    case "sq8"        => IndexManifest.Sq8
     case "cooccur"    => IndexManifest.Cooccur
     case "transition" => IndexManifest.Transition
     case "table"      => IndexManifest.Layout
@@ -158,6 +161,7 @@ object Erasure {
         case "scd2"     => TextOps.purgeScd2Docs(ids, p)
         case "ivfpq"    => VectorOps.deleteFromIvfPqIndex(vecIds, p)
         case "bq"       => VectorOps.deleteFromBqIndex(vecIds, p)
+        case "sq8"      => VectorOps.deleteFromSq8Index(vecIds, p)
       }
     }
   }
@@ -252,7 +256,7 @@ object Erasure {
     val m = rows.map { case (tag, _, p) => tag -> p }.toMap
     DocTargets(postings = m.get("postings"), lsh = m.get("lsh"),
       shingle = m.get("shingle"), scd2 = m.get("scd2"),
-      ivfPq = m.get("ivfpq"), bq = m.get("bq"))
+      ivfPq = m.get("ivfpq"), bq = m.get("bq"), sq8 = m.get("sq8"))
   }
 
   /** Reconstruct the user-grain targets from persisted intent rows —
@@ -358,7 +362,8 @@ object Erasure {
     * scan actually looks (all-zeros-by-construction certifies nothing).
     *
     * Row-traceable: postings (one row per distinct term), LSH (one row
-    * per band), IVF-PQ (one row per PQ subspace), BQ (one packed row).
+    * per band), IVF-PQ (one row per PQ subspace), BQ (one packed row),
+    * SQ8 (one codes row).
     * The shingle index is NOT certifiable this way by design — it
     * stores aggregated counts with no doc attribution; its erasure is
     * certified by the negated-count epoch ledger instead. SCD2 purge
@@ -379,6 +384,8 @@ object Erasure {
       case "ivfpq"    => Some(VectorOps.storedIvfPqCodes(s, path)
         .select(col("vec_id").as("doc_id")))
       case "bq"       => Some(VectorOps.storedBqWords(s, path)
+        .select(col("vec_id").as("doc_id")))
+      case "sq8"      => Some(VectorOps.storedSq8Codes(s, path)
         .select(col("vec_id").as("doc_id")))
       case _          => None // shingle: count-aggregated; scd2: see scaladoc
     }).map { rows =>

@@ -42,13 +42,15 @@ class ErasureSpec extends SparkSpec {
       shingle = Some(tmp("era-shingle")),
       scd2 = Some(tmp("era-scd2")),
       ivfPq = Some(tmp("era-ivfpq")),
-      bq = Some(tmp("era-bq")))
+      bq = Some(tmp("era-bq")),
+      sq8 = Some(tmp("era-sq8")))
     SearchOps.writePostingsIndex(docsDf, t.postings.get)
     TextOps.writeLshIndex(docsDf, t.lsh.get)
     TextOps.writeShingleIndex(docsDf, t.shingle.get)
     TextOps.writeScd2(docsDf, 0L, t.scd2.get)
     VectorOps.writeIvfPqIndex(embDf, t.ivfPq.get)
     VectorOps.writeBqIndex(embDf, t.bq.get)
+    VectorOps.writeSq8Index(embDf, t.sq8.get)
     t
   }
 
@@ -76,7 +78,7 @@ class ErasureSpec extends SparkSpec {
     assert(rem.postings.isEmpty && rem.lsh.isEmpty,
       "committed families must drop out of the resume set")
     assert(rem.shingle.nonEmpty && rem.scd2.nonEmpty &&
-      rem.ivfPq.nonEmpty && rem.bq.nonEmpty)
+      rem.ivfPq.nonEmpty && rem.bq.nonEmpty && rem.sq8.nonEmpty)
     Erasure.forgetDocs(gone, rem) // full frame this time (text present)
     val done = Erasure.committedEpochs(targets.ordered)
     assert(done.values.forall(_ == 1L),
