@@ -688,6 +688,43 @@ object StreamBench {
           s""""unit":"requests/sec","requests":$nReq,"answered":$answered,""" +
           s""""secs":$secs,"sf":"$sfDir"}""")
     }
+    // Thirteenth probe: ONLINE 3-TIER CASCADE SERVING — the stored
+    // BQ+SQ8 artifacts under the same request staging as probes 11/12,
+    // so all three serving tiers publish directly comparable req/s.
+    // The cascade trades probe 11's full-screen float fetches (C1=100
+    // per request) for stored-code fetches + C2=30 floats; numbers in
+    // SCALING.md ("ANN serving probe").
+    locally {
+      val emb = Tables.embeddings(spark, sfDir)
+      val bqIdx = java.nio.file.Files.createTempDirectory("sbench-casc-bq").toString
+      val sqIdx = java.nio.file.Files.createTempDirectory("sbench-casc-sq8").toString
+      graft.queries.VectorOps.writeBqIndex(emb, bqIdx)
+      graft.queries.VectorOps.writeSq8Index(emb, sqIdx)
+      val eStats = emb.agg(max($"vec_id"), count(lit(1))).first()
+      val eMax = eStats.getLong(0) + 1
+      val nReq = eStats.getLong(1) * replicas
+      val staged = emb
+        .crossJoin(spark.range(replicas).select($"id".as("rep")))
+        .select(($"vec_id" + $"rep" * eMax + 1000000L).as("query_id"), $"embedding")
+      val rStage = java.nio.file.Files.createTempDirectory("reqs-sbench-casc").toString
+      staged.repartition(8).write.mode("overwrite").parquet(rStage)
+      val out = java.nio.file.Files.createTempDirectory("serve-sbench-casc").toString
+      val t0 = System.nanoTime()
+      val q = Streams.cascadeServeStream(
+        spark.readStream.schema("query_id LONG, embedding ARRAY<FLOAT>")
+          .option("maxFilesPerTrigger", "2").parquet(rStage),
+        bqIdx, sqIdx, emb, out,
+        java.nio.file.Files.createTempDirectory("ckpt-sbench-cascserve").toString,
+        trigger = Some(Trigger.AvailableNow()))
+      q.awaitTermination()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val answered = spark.read.option("basePath", out).parquet(out)
+        .select($"query_id").distinct().count()
+      println(
+        s"""{"metric":"cascade_serve_requests_per_sec","value":${(nReq / secs).toLong},""" +
+          s""""unit":"requests/sec","requests":$nReq,"answered":$answered,""" +
+          s""""secs":$secs,"sf":"$sfDir"}""")
+    }
     spark.stop()
   }
 }

@@ -1261,6 +1261,30 @@ object Streams {
     trigger.fold(w)(w.trigger).start()
   }
 
+  /** ONLINE 3-TIER CASCADE SERVING — the stored BQ screen + stored-SQ8
+    * rerank + exact refine ([[graft.queries.VectorOps
+    * .searchCascadeIndex]]) under standing request traffic, completing
+    * the serving matrix (BQ 2-tier [[annServeStream]], IVF-PQ funnel
+    * [[ivfPqServeStream]], and this — the cheapest-screen/fewest-float-
+    * fetches shape). Same idempotent per-batch overwrite sink, same
+    * own-id-space request semantics, same bind-at-construction
+    * staleness contract.
+    */
+  def cascadeServeStream(
+      requests: DataFrame, bqIndexPath: String, sq8IndexPath: String,
+      corpus: DataFrame, outPath: String, checkpointDir: String,
+      k: Long = 10L, screen: Long = 100L, refine: Long = 30L,
+      trigger: Option[Trigger] = None): StreamingQuery = {
+    val w = requests.writeStream
+      .option("checkpointLocation", s"$checkpointDir/offsets")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.queries.VectorOps.searchCascadeIndex(
+          batch, bqIndexPath, sq8IndexPath, corpus, k, screen, refine)
+          .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+      }
+    trigger.fold(w)(w.trigger).start()
+  }
+
   /** Start the standing table ingest over a streaming frame of events
     * (the [[graft.sources.Tables.events]] shape: `ts_sec`, `user_id`,
     * the payload columns). The table must exist

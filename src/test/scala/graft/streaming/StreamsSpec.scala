@@ -1416,6 +1416,54 @@ class StreamsSpec extends SparkSpec {
     assert(served === batchAll)
   }
 
+  test("cascade serving stream: per-batch 3-tier serve equals the batch API; replay idempotent") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.queries.VectorOps
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    graft.functions.GraftFunctions.registerDotD(spark)
+
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val bqIdx = tmp("casc-serve-bq"); val sqIdx = tmp("casc-serve-sq8")
+    VectorOps.writeBqIndex(emb, bqIdx)
+    VectorOps.writeSq8Index(emb, sqIdx)
+    val corpusRows = emb.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val r1 = corpusRows.take(2).map { case (i, v) => (i + 1000000L, v) }.toSeq
+    val r2 = corpusRows.slice(2, 4).map { case (i, v) => (i + 2000000L, v) }.toSeq
+
+    val mem = MemoryStream[(Long, Array[Float])]
+    val out = tmp("casc-serve-out"); val ckpt = tmp("casc-serve-ckpt")
+    val q = Streams.cascadeServeStream(
+      mem.toDF().toDF("query_id", "embedding"), bqIdx, sqIdx, emb, out, ckpt,
+      k = 5L)
+    try {
+      mem.addData(r1); q.processAllAvailable()
+      mem.addData(r2); q.processAllAvailable()
+    } finally q.stop()
+
+    def served = spark.read.option("basePath", out).parquet(out)
+      .select($"query_id", $"cand_id", $"sim_micros", $"rnk")
+      .collect().map(_.toSeq).toSet
+    val batchAll = VectorOps.searchCascadeIndex(
+      spark.createDataset(r1 ++ r2).toDF("query_id", "embedding"),
+      bqIdx, sqIdx, emb, k = 5L)
+      .collect().map(_.toSeq).toSet
+    assert(served === batchAll && served.nonEmpty)
+    // a corpus-clone request's top-1 is its stored twin at cosine 1.0
+    // (own id space: the twin is a candidate, not excluded self)
+    val top1 = spark.read.parquet(out)
+      .filter($"rnk" === 1L && $"query_id" === corpusRows.head._1 + 1000000L)
+      .select($"cand_id", $"sim_micros").collect().head
+    assert(top1.getLong(0) === corpusRows.head._1 && top1.getLong(1) === 1000000L)
+    // replay idempotence
+    VectorOps.searchCascadeIndex(
+      spark.createDataset(r2).toDF("query_id", "embedding"),
+      bqIdx, sqIdx, emb, k = 5L)
+      .write.mode("overwrite").parquet(s"$out/batch=1")
+    assert(served === batchAll)
+  }
+
   test("event-table ingest stream: batch parity, exactly-once replay, crash-then-restage") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
