@@ -106,6 +106,28 @@ class Sq8IndexSpec extends SparkSpec {
     assert(codeMap(dir).contains(11L))
   }
 
+  test("vacuum after compaction collects superseded epochs but never the re-staged quantizer") {
+    val base = (0L until 25L).map(i => (i, vec()))
+    val dir = tmp("sq8-vac")
+    VectorOps.writeSq8Index(df(base), dir)
+    VectorOps.appendSq8Index(df((100L until 110L).map(i => (i, vec()))), dir)
+    VectorOps.deleteFromSq8Index(df(Seq(base(3))).select("vec_id"), dir)
+    val statsBefore = VectorOps.storedSq8Stats(spark, dir).collect().head
+    val before = codeMap(dir)
+    VectorOps.compactSq8Index(spark, dir)
+    val removed = IndexManifest.vacuum(dir, IndexManifest.Sq8)
+    // codes epochs 0-2, dels 0-2, stats epoch 0 are all below the new
+    // floor; the floor's own stats/codes/dels must survive
+    assert(removed >= 3L, s"vacuum removed only $removed dirs")
+    assert(codeMap(dir) === before)
+    val statsAfter = VectorOps.storedSq8Stats(spark, dir).collect().head
+    assert(statsAfter.getSeq[Double](0) === statsBefore.getSeq[Double](0))
+    assert(statsAfter.getSeq[Double](1) === statsBefore.getSeq[Double](1))
+    // and the vacuumed index still encodes appends under the survivor
+    VectorOps.appendSq8Index(df(Seq(base(3))), dir)
+    assert(codeMap(dir).contains(3L))
+  }
+
   test("stored 3-tier cascade serve equals the live cascade (catalog parity)") {
     val sf = "/root/testdata/sf0.001"
     def rows(name: String) =
