@@ -1074,40 +1074,41 @@ object Streams {
   // Net: exactly-once erasure per request batch, end to end.
   // ---------------------------------------------------------------------
 
-  /** Apply one erasure request batch under the write-ahead ledger —
-    * the foreachBatch body, exposed for the replay drill.
+  /** Read the batch's persisted pre-call epoch snapshot, or take and
+    * persist one (atomic tmp+rename keyed by batchId) — the
+    * write-ahead half of the per-batch ledger both erasure grains
+    * share.
     */
-  private[graft] def applyErasureBatch(
-      batch: DataFrame, targets: graft.queries.Erasure.DocTargets,
-      ledgerDir: String, batchId: Long): Unit = {
+  private def batchEpochSnapshot(ordered: Seq[(String, String)],
+      ledgerDir: String, batchId: Long): Map[String, Long] = {
     import java.nio.charset.StandardCharsets
     import java.nio.file.{Files, Paths, StandardCopyOption}
-    import graft.queries.Erasure
     Files.createDirectories(Paths.get(ledgerDir))
     val entry = Paths.get(ledgerDir, s"batch-$batchId.ledger")
-    val snapshot: Map[String, Long] =
-      if (Files.exists(entry))
-        new String(Files.readAllBytes(entry), StandardCharsets.UTF_8)
-          .linesIterator.filter(_.nonEmpty).map { ln =>
-            val Array(tag, e) = ln.split('=')
-            tag -> e.toLong
-          }.toMap
-      else {
-        val snap = Erasure.committedEpochs(targets.ordered)
-        val tmp = Paths.get(ledgerDir, s".batch-$batchId.tmp")
-        Files.write(tmp, snap.map { case (t, e) => s"$t=$e" }
-          .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
-        Files.move(tmp, entry,
-          StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
-        snap
-      }
-    val remaining = targets.remaining(snapshot)
-    if (remaining.ordered.nonEmpty && !batch.isEmpty)
-      Erasure.forgetDocs(batch, remaining)
-    // prune settled entries: micro-batches execute serially, so by the
-    // time batch N runs, batch N-1's offsets have committed and its
-    // ledger entry can never be consulted again — without this the
-    // ledger grows one file per micro-batch for the stream's lifetime
+    if (Files.exists(entry))
+      new String(Files.readAllBytes(entry), StandardCharsets.UTF_8)
+        .linesIterator.filter(_.nonEmpty).map { ln =>
+          val Array(tag, e) = ln.split('=')
+          tag -> e.toLong
+        }.toMap
+    else {
+      val snap = graft.queries.Erasure.committedEpochs(ordered)
+      val tmp = Paths.get(ledgerDir, s".batch-$batchId.tmp")
+      Files.write(tmp, snap.map { case (t, e) => s"$t=$e" }
+        .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, entry,
+        StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+      snap
+    }
+  }
+
+  /** Prune settled ledger entries: micro-batches execute serially, so
+    * by the time batch N runs, batch N-1's offsets have committed and
+    * its entry can never be consulted again — without this the ledger
+    * grows one file per micro-batch for the stream's lifetime.
+    */
+  private def pruneSettledBatches(ledgerDir: String, batchId: Long): Unit = {
+    import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
     scala.util.Using.resource(Files.list(Paths.get(ledgerDir))) { ls =>
       ls.iterator().asScala.toVector.foreach { p =>
@@ -1117,6 +1118,35 @@ object Streams {
           Files.delete(p)
       }
     }
+  }
+
+  /** Apply one erasure request batch under the write-ahead ledger —
+    * the foreachBatch body, exposed for the replay drill.
+    */
+  private[graft] def applyErasureBatch(
+      batch: DataFrame, targets: graft.queries.Erasure.DocTargets,
+      ledgerDir: String, batchId: Long): Unit = {
+    val snapshot = batchEpochSnapshot(targets.ordered, ledgerDir, batchId)
+    val remaining = targets.remaining(snapshot)
+    if (remaining.ordered.nonEmpty && !batch.isEmpty)
+      graft.queries.Erasure.forgetDocs(batch, remaining)
+    pruneSettledBatches(ledgerDir, batchId)
+  }
+
+  /** The USER-GRAIN batch applier — same ledger discipline over
+    * [[graft.queries.Erasure.forgetUsers]]; `events` supplies the
+    * forgotten users' event slice when the transition graph is
+    * targeted (forgetUsers semi-joins it to the batch's users).
+    */
+  private[graft] def applyUserErasureBatch(
+      batch: DataFrame, targets: graft.queries.Erasure.UserTargets,
+      events: Option[DataFrame], ledgerDir: String, batchId: Long): Unit = {
+    val snapshot = batchEpochSnapshot(targets.ordered, ledgerDir, batchId)
+    val remaining = targets.remaining(snapshot)
+    if (remaining.ordered.nonEmpty && !batch.isEmpty)
+      graft.queries.Erasure.forgetUsers(batch, remaining,
+        userEvs = if (remaining.transition.nonEmpty) events else None)
+    pruneSettledBatches(ledgerDir, batchId)
   }
 
   /** Start the standing erasure queue over a streaming frame of
@@ -1143,6 +1173,31 @@ object Streams {
         applyErasureBatch(batch, targets, s"$checkpointDir/ledger", batchId)
       }
       .start()
+
+  /** The standing erasure queue at USER grain — the grain GDPR
+    * requests actually arrive at: each micro-batch of (user_id) rows
+    * fans out to the user-grain fleet (co-occurrence, transition
+    * graph, the zone-mapped event table) under the same write-ahead
+    * epoch ledger and single-writer caveat as [[erasureStream]].
+    * `events` is the source log the transition subtraction reads its
+    * slices from (bound at construction; it must cover the forgotten
+    * users' complete history — the [[graft.queries.Erasure
+    * .forgetUsers]] contract); pass None when transition is not
+    * targeted.
+    */
+  def userErasureStream(
+      requests: DataFrame, targets: graft.queries.Erasure.UserTargets,
+      events: Option[DataFrame], checkpointDir: String): StreamingQuery = {
+    require(targets.transition.isEmpty || events.nonEmpty,
+      "transition-graph erasure needs the source events frame")
+    requests.writeStream
+      .option("checkpointLocation", s"$checkpointDir/offsets")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyUserErasureBatch(batch, targets, events,
+          s"$checkpointDir/ledger", batchId)
+      }
+      .start()
+  }
 
   // ---------------------------------------------------------------------
   // Streaming ingest into the epoch-versioned event table — the twin

@@ -1305,6 +1305,88 @@ class StreamsSpec extends SparkSpec {
       "replay must skip the committed leg and finish the unreached one")
   }
 
+  test("user erasure stream: per-batch fleet erasure equals one-shot twins; ledger replay no-op; crash resumes exactly-once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.queries.{Erasure, GraphOps, LayoutOps}
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    val sf = "/root/testdata/sf0.001"
+    val rawEvs = graft.sources.Tables.events(spark, sf)
+    val evs = rawEvs.withColumn("item",
+      regexp_extract($"props", "(\\d+)", 1).cast("long"))
+
+    val co = tmp("ues-co"); val tr = tmp("ues-tr"); val tbl = tmp("ues-tbl")
+    GraphOps.writeCooccurIndex(evs, co)
+    GraphOps.writeTransitionGraph(evs, tr)
+    LayoutOps.writeEventTable(rawEvs, tbl, nFiles = 4)
+    val targets = Erasure.UserTargets(
+      cooccur = Some(co), transition = Some(tr), table = Some(tbl))
+
+    val mem = MemoryStream[Long]
+    val ckpt = tmp("ues-ckpt")
+    val q = Streams.userErasureStream(
+      mem.toDF().toDF("user_id"), targets, Some(evs), ckpt)
+    try {
+      mem.addData(3L); q.processAllAvailable()
+      assert(Erasure.committedEpochs(targets.ordered).values.toSet === Set(1L))
+      mem.addData(7L); q.processAllAvailable()
+      assert(Erasure.committedEpochs(targets.ordered).values.toSet === Set(2L))
+    } finally q.stop()
+
+    // the streamed erasures equal one-shot twins of {3, 7}: the source
+    // log serves no trace, the transition graph equals a rebuild
+    val goneUsers = Set(3L, 7L)
+    val tblUsers = LayoutOps.readEventTable(spark, tbl)
+      .select($"user_id").distinct().as[Long].collect().toSet
+    assert(tblUsers.intersect(goneUsers).isEmpty && tblUsers.nonEmpty)
+    val uiUsers = GraphOps.resolvedUi(spark, co)
+      .select($"user_id").distinct().as[Long].collect().toSet
+    assert(uiUsers.intersect(goneUsers).isEmpty)
+    val reb = tmp("ues-tr-reb")
+    GraphOps.writeTransitionGraph(
+      evs.filter(!$"user_id".isin(goneUsers.toSeq: _*)), reb)
+    def edges(dir: String) = graft.sources.IndexManifest
+      .readRewrite(spark, dir, "edges", graft.sources.IndexManifest.Transition)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(edges(tr) === edges(reb))
+
+    // replay drill: settled entries pruned; re-running the LAST batch
+    // id advances nothing (the write-ahead ledger has its pre-epochs)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$ckpt/ledger", "batch-0.ledger")))
+    Streams.applyUserErasureBatch(
+      Seq(7L).toDF("user_id"), targets, Some(evs), s"$ckpt/ledger", batchId = 1L)
+    assert(Erasure.committedEpochs(targets.ordered).values.toSet === Set(2L),
+      "replaying a committed batch must advance nothing")
+    assert(edges(tr) === edges(reb))
+
+    // crash-MID-fan-out drill: feed an events frame MISSING `item` —
+    // cooccur (first in order) erases and commits, then the transition
+    // leg throws building its slice. The replay of the same batchId
+    // with the good frame must skip cooccur and finish transition +
+    // table — each family advances EXACTLY once.
+    val co2 = tmp("ues-co2"); val tr2 = tmp("ues-tr2"); val tbl2 = tmp("ues-tbl2")
+    GraphOps.writeCooccurIndex(evs, co2)
+    GraphOps.writeTransitionGraph(evs, tr2)
+    LayoutOps.writeEventTable(rawEvs, tbl2, nFiles = 4)
+    val t2 = Erasure.UserTargets(
+      cooccur = Some(co2), transition = Some(tr2), table = Some(tbl2))
+    intercept[Exception] {
+      Streams.applyUserErasureBatch(
+        Seq(5L).toDF("user_id"), t2, Some(rawEvs), s"$ckpt/ledger", batchId = 7L)
+    }
+    val mid = Erasure.committedEpochs(t2.ordered)
+    assert(mid === Map("cooccur" -> 1L, "transition" -> 0L, "table" -> 0L),
+      "the crash must land between the cooccur and transition commits")
+    Streams.applyUserErasureBatch(
+      Seq(5L).toDF("user_id"), t2, Some(evs), s"$ckpt/ledger", batchId = 7L)
+    assert(Erasure.committedEpochs(t2.ordered).values.toSet === Set(1L),
+      "replay must skip the committed leg and finish the unreached ones")
+    val reb2 = tmp("ues-tr2-reb")
+    GraphOps.writeTransitionGraph(evs.filter($"user_id" =!= 5L), reb2)
+    assert(edges(tr2) === edges(reb2))
+  }
+
   test("ANN serving stream: per-batch top-k equals the batch serving API; replay overwrites idempotently") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
