@@ -3497,27 +3497,32 @@ object VectorOps {
       .withColumn("self_norm", sqrt(dotDbl("r", "r")))
       .select(col("vec_id"), col("r"), col("self_norm"))
 
-  private def sq8TopK(s: SparkSession, d: String): DataFrame = {
+  /** Panel top-k over a decoded (vec_id, r, self_norm) frame — shared
+    * by the live and the stored-index sq8 rows, so the two are the
+    * same IEEE sequence by construction.
+    */
+  private def sq8TopKOf(dec: DataFrame): DataFrame = {
+    val s = dec.sparkSession
     import s.implicits._
-    def recon(codesCol: String) = sq8Recon(codesCol)
-    def dotD(a: String, b: String) = dotDbl(a, b)
+    val q = dec.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"r".as("qr"), $"self_norm".as("q_norm"))
+    val w = Window.partitionBy($"query_id").orderBy($"sim_micros".desc, $"cand_id".asc)
+    dec.select($"vec_id".as("cand_id"), $"r".as("cr"), $"self_norm".as("c_norm"))
+      .join(broadcast(q), $"cand_id" =!= $"query_id")
+      .withColumn("sim_micros", micros(dotDbl("qr", "cr") / ($"q_norm" * $"c_norm")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter($"rnk" <= topK)
+      .select($"query_id", $"cand_id", $"sim_micros", $"rnk")
+  }
+
+  private def sq8TopK(s: SparkSession, d: String): DataFrame =
     // decode + self-norm ONCE PER VECTOR, below the query-panel join:
     // defining the reconstruction after the join re-derives it (and the
     // per-candidate constant sqrt(<cr,cr>)) per (candidate, query) pair
     // — a free panel-width factor on the corpus-sized side. The IEEE
     // sequence is unchanged (sqrt(qq) * sqrt(cc), then the divide), so
     // sim_micros stays bit-identical to the pre-hoist form.
-    val dec = sq8Decoded(vecs(s, d), sq8Stats(s, d))
-    val q = dec.filter($"vec_id" < nQueries)
-      .select($"vec_id".as("query_id"), $"r".as("qr"), $"self_norm".as("q_norm"))
-    val w = Window.partitionBy($"query_id").orderBy($"sim_micros".desc, $"cand_id".asc)
-    dec.select($"vec_id".as("cand_id"), $"r".as("cr"), $"self_norm".as("c_norm"))
-      .join(broadcast(q), $"cand_id" =!= $"query_id")
-      .withColumn("sim_micros", micros(dotD("qr", "cr") / ($"q_norm" * $"c_norm")))
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter($"rnk" <= topK)
-      .select($"query_id", $"cand_id", $"sim_micros", $"rnk")
-  }
+    sq8TopKOf(sq8Decoded(vecs(s, d), sq8Stats(s, d)))
 
   private def oracleSq8TopKCtes: String = {
     def oRecon(codes: String) =
@@ -3550,6 +3555,27 @@ object VectorOps {
       SELECT query_id, cand_id, sim_micros, rnk FROM sqk
     """.stripMargin.trim),
     bench = true,
+  )
+
+  /** The sq8 panel search served from the STORED index — decode comes
+    * off the committed codes under the stored quantizer instead of an
+    * inline encode, and the result must be bit-identical (same oracle
+    * as `v_sq8_search`): stored == computed is hash-gated for the sq8
+    * family the way every other stored family's flagship read is. The
+    * artifacts are the cascade row's per-JVM cached fleet.
+    */
+  val sq8FromIndex = Q(
+    "v_sq8_from_index",
+    (s, d) => {
+      graft.functions.GraftFunctions.registerDotD(s)
+      val (_, sqDir) = cascadeFleet(s, d)
+      sq8TopKOf(sq8DecodedFromCodes(
+        storedSq8Codes(s, sqDir), storedSq8Stats(s, sqDir)))
+    },
+    Some(s"""
+      WITH $oracleSq8TopKCtes
+      SELECT query_id, cand_id, sim_micros, rnk FROM sqk
+    """.stripMargin.trim),
   )
 
   val sq8Recall = Q(
@@ -4343,6 +4369,7 @@ object VectorOps {
     bqRecall,
     sq8StatsQ,
     sq8Search,
+    sq8FromIndex,
     sq8Recall,
     mrlRecall,
     cascadeSearch,
