@@ -1204,16 +1204,18 @@ object CurationOps {
     """.stripMargin.trim),
   )
 
-  /** "SHOW INDEXES" end to end, hash-gated: drive four index families
+  /** "SHOW INDEXES" end to end, hash-gated: drive five index families
     * through DIFFERENT lifecycle states (day-3 postings: build + append
     * + forget; day-1 LSH: fresh build; compacted IVF-PQ: rebased
-    * window; tombstoned BQ; plus a deliberately uncommitted root) and
+    * window; tombstoned BQ; appended SQ8 — its trained stats stay at
+    * the floor while the ceiling advances; plus a deliberately
+    * uncommitted root) and
     * assert the introspection surface reports exactly the manifest
     * state machine's expected (family, version, epoch, floor,
     * components) — a literal-VALUES oracle, since every field is a
     * deterministic consequence of the protocol.
     */
-  /** The introspection row's fleet — four families driven into their
+  /** The introspection row's fleet — five families driven into their
     * lifecycle states once per (JVM, corpus), same convention and
     * rationale as [[certFleet]]; `describe` itself is metadata-only
     * (manifests + a directory listing).
@@ -1239,8 +1241,12 @@ object CurationOps {
       val b = Scratch.dir("graft-icat-bq")
       VectorOps.writeBqIndex(emb, b)
       VectorOps.deleteFromBqIndex(Seq(0L).toDF("vec_id"), b)
+      val q8 = Scratch.dir("graft-icat-sq8")
+      VectorOps.writeSq8Index(emb.filter($"vec_id" % 2 === 0), q8)
+      VectorOps.appendSq8Index(emb.filter($"vec_id" % 2 === 1), q8)
       Seq("postings_day3" -> p, "lsh_day1" -> l, "ivfpq_compacted" -> v,
-        "bq_tombstoned" -> b, "crashed_build" -> Scratch.dir("graft-icat-none"))
+        "bq_tombstoned" -> b, "sq8_appended" -> q8,
+        "crashed_build" -> Scratch.dir("graft-icat-none"))
     })
 
   val indexCatalog = Q(
@@ -1253,6 +1259,7 @@ object CurationOps {
         ('lsh_day1', 'lsh', 2, 0, 0, 'bands,bucket_counts,dels'),
         ('ivfpq_compacted', 'ivfpq', 3, 1, 1, 'centroids,codes,codewords,dels'),
         ('bq_tombstoned', 'bq', 2, 1, 0, 'dels,words'),
+        ('sq8_appended', 'sq8', 1, 1, 0, 'codes,dels,stats'),
         ('crashed_build', '_uncommitted', -1, -1, -1, '')
       ) AS t(name, family, format_version, epoch, base_epoch, components)
     """.stripMargin.trim),
