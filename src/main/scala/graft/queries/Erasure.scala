@@ -146,7 +146,7 @@ object Erasure {
     */
   private def runDocFamilies(docs: DataFrame, targets: DocTargets,
       failAfter: Int): Unit = {
-    // one materialization feeds up to six fan-out reads
+    // one materialization feeds up to seven fan-out reads
     val d = docs.localCheckpoint(true)
     val ids = d.select(col("doc_id"))
     val vecIds = d.select(col("doc_id").as("vec_id"))

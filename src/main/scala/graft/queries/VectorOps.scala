@@ -3765,6 +3765,14 @@ object VectorOps {
     * tier-2 scores are bit-identical to the live cascade's when the
     * index was built from the same corpus. Request ids are their own
     * space (self-exclusion opt-in, as [[searchBqIndex]]).
+    *
+    * Coverage contract: the two artifacts must index the SAME vec_id
+    * set — a vector present in only one tier is dropped at the tier-2
+    * join (screened but no codes row, or coded but never screened).
+    * That direction is deliberate: mid-erasure divergence (a crash
+    * between the bq and sq8 tombstone commits) fails CLOSED — the
+    * half-deleted vector cannot be served — and the erasure resume
+    * protocol restores sync.
     */
   def searchCascadeIndex(queryVecs: DataFrame, bqPath: String, sq8Path: String,
       corpus: DataFrame, k: Long = topK, screen: Long = cascadeC1,
