@@ -78,6 +78,9 @@ class CatalogPlanGuardSpec extends SparkSpec {
       // fixed-5-query broadcast panel as v_knn_brute (the sq8 pair adds
       // the 1-row quantization-stats cross)
       "v_bq_search", "v_bq_recall", "v_sq8_search", "v_sq8_recall",
+      // the stored-sq8 twin: the identical fixed-panel join over the
+      // decoded STORED codes (stats arrive as a 1-row stored cross)
+      "v_sq8_from_index",
       "v_mrl_recall",
       // filtered ANN + MMR pool build: the v_knn_brute broadcast-panel
       // probe (MMR's greedy rounds are equi-joins on query_id)
