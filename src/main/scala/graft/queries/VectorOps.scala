@@ -3736,7 +3736,7 @@ object VectorOps {
     */
   def searchBqIndex(queryVecs: DataFrame, path: String, corpus: DataFrame,
       k: Long = topK, screen: Long = cascadeC1,
-      excludeSelf: Boolean = false): DataFrame = {
+      excludeSelf: Boolean = false, asOf: Option[Long] = None): DataFrame = {
     val s = queryVecs.sparkSession
     // public entry point: callers may not have gone through vecs()'s
     // session registration (the replica-sweep lesson)
@@ -3745,7 +3745,8 @@ object VectorOps {
       queryVecs.select(col("query_id").as("vec_id"), col("embedding")))
       .select(col("vec_id").as("query_id"),
         col("w_lo").as("q_lo"), col("w_hi").as("q_hi"))
-    val cands = bqScreenAgainst(qPacked, storedBqWords(s, path), screen, excludeSelf)
+    val cands = bqScreenAgainst(qPacked, storedBqWords(s, path, asOf),
+        screen, excludeSelf)
       .select(col("query_id"), col("cand_id"))
     exactRerankAgainst(
       queryVecs.select(col("query_id"), col("embedding").as("q_emb")),
@@ -3776,30 +3777,34 @@ object VectorOps {
     */
   def searchCascadeIndex(queryVecs: DataFrame, bqPath: String, sq8Path: String,
       corpus: DataFrame, k: Long = topK, screen: Long = cascadeC1,
-      refine: Long = cascadeC2, excludeSelf: Boolean = false): DataFrame = {
+      refine: Long = cascadeC2, excludeSelf: Boolean = false,
+      bqAsOf: Option[Long] = None, sq8AsOf: Option[Long] = None): DataFrame = {
     val s = queryVecs.sparkSession
     import s.implicits._
     graft.functions.GraftFunctions.registerDotD(s)
     // tier 1: Hamming screen over the stored words (8 B/vector — the
-    // only corpus-wide distance pass in the whole serve)
+    // only corpus-wide distance pass in the whole serve). Each
+    // artifact takes an INDEPENDENT as-of pin (the hybrid-retrieval
+    // convention): a recorded (bq_epoch, sq8_epoch) pair replays the
+    // exact serve after both indexes grew.
     val qPacked = bqPackedOn(
       queryVecs.select(col("query_id").as("vec_id"), col("embedding")))
       .select(col("vec_id").as("query_id"),
         col("w_lo").as("q_lo"), col("w_hi").as("q_hi"))
-    val cands1 = bqScreenAgainst(qPacked, storedBqWords(s, bqPath),
+    val cands1 = bqScreenAgainst(qPacked, storedBqWords(s, bqPath, bqAsOf),
         screen, excludeSelf)
       .select($"query_id", $"cand_id")
     // tier 2: decoded-cosine rerank against the STORED codes — the
     // candidate fetch is a broadcast semi-probe (point lookups at
     // deployment scale), decode happens per DISTINCT candidate below
     // the per-query pair fan-out
-    val stats = storedSq8Stats(s, sq8Path)
+    val stats = storedSq8Stats(s, sq8Path, sq8AsOf)
     val qDec = sq8Decoded(
       queryVecs.select(col("query_id").as("vec_id"), col("embedding")), stats)
       .select($"vec_id".as("query_id"), $"r".as("qr"), $"self_norm".as("q_norm"))
     val candIds = cands1.select($"cand_id").distinct()
     val cDec = sq8DecodedFromCodes(
-      storedSq8Codes(s, sq8Path)
+      storedSq8Codes(s, sq8Path, sq8AsOf)
         .join(broadcast(candIds), $"vec_id" === $"cand_id").drop("cand_id"),
       stats)
       .select($"vec_id".as("cand_id"), $"r".as("cr"), $"self_norm".as("c_norm"))
@@ -4035,15 +4040,18 @@ object VectorOps {
   }
 
   /** The resolved stored words: tombstones remove word rows from
-    * EARLIER epochs only (see [[deleteFromBqIndex]]).
+    * EARLIER epochs only (see [[deleteFromBqIndex]]); an as-of pin
+    * resolves words AND tombstones from the same past epoch — the
+    * family-wide time-travel rule.
     */
-  private[graft] def storedBqWords(s: SparkSession, path: String): DataFrame = {
+  private[graft] def storedBqWords(s: SparkSession, path: String,
+      asOf: Option[Long] = None): DataFrame = {
     import graft.sources.IndexManifest
     import s.implicits._
     val words = IndexManifest.readAppendOnlyEpochs(
-      s, path, "words", IndexManifest.Bq)
+      s, path, "words", IndexManifest.Bq, asOf)
     val dels = IndexManifest.readAppendOnlyEpochs(
-      s, path, "dels", IndexManifest.Bq)
+      s, path, "dels", IndexManifest.Bq, asOf)
       .groupBy($"vec_id").agg(max($"epoch").as("del_epoch"))
     words.join(dels, Seq("vec_id"), "left")
       .filter($"del_epoch".isNull || $"epoch" > $"del_epoch")

@@ -128,6 +128,47 @@ class Sq8IndexSpec extends SparkSpec {
     assert(codeMap(dir).contains(3L))
   }
 
+  test("cascade time travel: independent per-artifact pins replay the past; a half-pinned serve fails closed") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.registerDotD(spark)
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select($"vec_id", $"embedding")
+    val bq = tmp("casc-asof-bq"); val sq = tmp("casc-asof-sq8")
+    VectorOps.writeBqIndex(emb, bq)
+    VectorOps.writeSq8Index(emb, sq)
+    // day 2: a planted twin of vector 0 lands in BOTH indexes
+    val v0 = emb.filter($"vec_id" === 0L).collect().head.getSeq[Float](1).toArray
+    val twin = df(Seq((5000L, v0.map(x => x + 1e-4f))))
+    VectorOps.appendBqIndex(twin, bq)
+    VectorOps.appendSq8Index(twin, sq)
+
+    val req = spark.createDataset(Seq((9000L, v0))).toDF("query_id", "embedding")
+    def servedCands(bqAsOf: Option[Long], sq8AsOf: Option[Long]) =
+      VectorOps.searchCascadeIndex(req, bq, sq, emb.unionByName(twin), k = 5L,
+        bqAsOf = bqAsOf, sq8AsOf = sq8AsOf)
+        .select($"cand_id").as[Long].collect().toSet
+
+    // head: the appended twin is the query's nearest stored vector
+    assert(servedCands(None, None).contains(5000L))
+    // both pins below the append: day-1 state replayed, twin invisible
+    val pinned = servedCands(Some(0L), Some(0L))
+    assert(!pinned.contains(5000L) && pinned.nonEmpty)
+    // the (0,0) replay equals a serve against fresh day-1-only builds
+    val bq1 = tmp("casc-asof-bq1"); val sq1 = tmp("casc-asof-sq1")
+    VectorOps.writeBqIndex(emb, bq1)
+    VectorOps.writeSq8Index(emb, sq1)
+    val day1 = VectorOps.searchCascadeIndex(req, bq1, sq1, emb, k = 5L)
+      .collect().map(_.toSeq).toSet
+    val replay = VectorOps.searchCascadeIndex(req, bq, sq,
+      emb.unionByName(twin), k = 5L, bqAsOf = Some(0L), sq8AsOf = Some(0L))
+      .collect().map(_.toSeq).toSet
+    assert(replay === day1)
+    // HALF-pinned (bq at head, sq8 at day 1): the twin is screened but
+    // has no pinned codes row — the tier-2 join drops it, the
+    // documented fail-closed coverage contract
+    assert(!servedCands(None, Some(0L)).contains(5000L))
+  }
+
   test("stored 3-tier cascade serve equals the live cascade (catalog parity)") {
     val sf = "/root/testdata/sf0.001"
     def rows(name: String) =
