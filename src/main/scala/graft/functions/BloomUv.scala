@@ -208,4 +208,35 @@ object GraftFunctions {
 
   /** Column-API entry for the codegen'd Damerau-Levenshtein distance. */
   def dlDistance(a: Column, b: Column): Column = callFn("dl_distance", a, b)
+
+  /** Registers `sq8_pack(codes)` and `sq8_decode(codes, lo, hi)` — the
+    * byte-packed SQ8 codec of the sq8 index family's format v2 (see
+    * [[Sq8PackExpression]]/[[Sq8DecodeExpression]]). Idempotent, same
+    * contract as [[registerDotD]].
+    */
+  def registerSq8(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.registerFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("sq8_pack"),
+      new ExpressionInfo(classOf[Sq8PackExpression].getName, "sq8_pack"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, s"sq8_pack expects exactly 1 argument, got ${exprs.length}")
+        Sq8PackExpression(exprs.head)
+      },
+    )
+    spark.sessionState.functionRegistry.registerFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("sq8_decode"),
+      new ExpressionInfo(classOf[Sq8DecodeExpression].getName, "sq8_decode"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 3, s"sq8_decode expects exactly 3 arguments, got ${exprs.length}")
+        Sq8DecodeExpression(exprs.head, exprs(1), exprs(2))
+      },
+    )
+  }
+
+  /** Column-API entry for the byte packer. */
+  def sq8Pack(c: Column): Column = callFn("sq8_pack", c)
+
+  /** Column-API entry for the fused unpack + reconstruction. */
+  def sq8Decode(codes: Column, lo: Column, hi: Column): Column =
+    callFn("sq8_decode", codes, lo, hi)
 }

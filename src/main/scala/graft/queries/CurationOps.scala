@@ -1259,7 +1259,7 @@ object CurationOps {
         ('lsh_day1', 'lsh', 2, 0, 0, 'bands,bucket_counts,dels'),
         ('ivfpq_compacted', 'ivfpq', 3, 1, 1, 'centroids,codes,codewords,dels'),
         ('bq_tombstoned', 'bq', 2, 1, 0, 'dels,words'),
-        ('sq8_appended', 'sq8', 1, 1, 0, 'codes,dels,stats'),
+        ('sq8_appended', 'sq8', 2, 1, 0, 'codes,dels,stats'),
         ('crashed_build', '_uncommitted', -1, -1, -1, '')
       ) AS t(name, family, format_version, epoch, base_epoch, components)
     """.stripMargin.trim),

@@ -463,9 +463,14 @@ object Relational {
           centsL($"o_totalprice").cast("long").as("cents"))
         .groupBy($"c_nationkey")
         .pivot("c_mktsegment", mktSegments)
-        .agg(coalesce(sum($"cents"), lit(0L)))
+        .agg(sum($"cents"))
+        // the zero-fill must sit ABOVE the pivot: a (nation, segment)
+        // cell with NO rows surfaces as NULL after pivoting no matter
+        // what the aggregate wraps (the agg never runs for an empty
+        // cell), and the oracle's conditional aggregation reports 0
+        // there — dense SFs hid this until the sf0.001 sweep
         .select($"c_nationkey" +: mktSegments.map(m =>
-          col(m).as(s"rev_${m.toLowerCase}")): _*)
+          coalesce(col(m), lit(0L)).as(s"rev_${m.toLowerCase}")): _*)
     },
     Some {
       val cols = mktSegments.map(m =>

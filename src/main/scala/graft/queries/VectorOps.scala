@@ -4067,7 +4067,10 @@ object VectorOps {
   // survivor (the round-16 shape). Components under the manifest
   // protocol: `stats` (ONE row of per-dim lo/hi — the trained
   // quantizer, a rewrite component copied forward on compaction),
-  // `codes` (vec_id, codes at 64 B/vector, append-only epochs), `dels`
+  // `codes` (vec_id, codes BYTE-PACKED to a binary column — 64 B/vector
+  // at dim 64, format v2; v1 stored `array<bigint>`, 8x wider than
+  // needed and wider than the floats themselves — packed via the
+  // codegen'd `sq8_pack`, decoded by the fused `sq8_decode`), `dels`
   // (tombstones, the BQ/LSH pattern). Appends encode NEW vectors under
   // the STORED stats — the quantizer is trained once, not drifted per
   // batch (re-training would silently re-scale every stored code);
@@ -4080,13 +4083,16 @@ object VectorOps {
     import graft.sources.IndexManifest
     val s = emb.sparkSession
     import s.implicits._
+    graft.functions.GraftFunctions.registerSq8(s)
     sq8StatsOn(emb).coalesce(1).write.mode("overwrite")
       .parquet(IndexManifest.epochDir(path, "stats", 0L))
     // encode under the JUST-WRITTEN stats (read back, not recomputed):
     // the codes on disk are guaranteed consistent with the stored
     // quantizer even if the stats computation ever changes
     val st = s.read.parquet(IndexManifest.epochDir(path, "stats", 0L))
-    sq8Rows(emb, st).select($"vec_id", $"codes")
+    sq8Rows(emb, st)
+      .select($"vec_id",
+        graft.functions.GraftFunctions.sq8Pack($"codes").as("codes"))
       .write.mode("overwrite").parquet(IndexManifest.epochDir(path, "codes", 0L))
     Seq.empty[Long].toDF("vec_id").write.mode("overwrite")
       .parquet(IndexManifest.epochDir(path, "dels", 0L))
@@ -4126,28 +4132,49 @@ object VectorOps {
       .select($"vec_id", $"codes")
   }
 
-  /** Decode + self-norm from a STORED (vec_id, codes) frame under
-    * quantizer `stats` — the serving-side twin of [[sq8Decoded]] (which
-    * starts from floats): same reconstruction expression, so scores are
-    * bit-identical to the live cascade's.
+  /** Decode + self-norm from a STORED (vec_id, codes) frame (codes
+    * byte-packed, format v2) under quantizer `stats` — the serving-side
+    * twin of [[sq8Decoded]] (which starts from floats). The fused
+    * codegen'd `sq8_decode` computes the SAME reconstruction, operand
+    * for operand (see [[graft.functions.Sq8DecodeExpression]]), so
+    * scores stay bit-identical to the live cascade's while the stored
+    * scan reads 64 B/vector instead of v1's 512 B `array<bigint>`.
     */
-  private def sq8DecodedFromCodes(codes: DataFrame, stats: DataFrame): DataFrame =
+  private def sq8DecodedFromCodes(codes: DataFrame, stats: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.registerSq8(codes.sparkSession)
     codes
       .crossJoin(broadcast(stats))
-      .withColumn("r", sq8Recon("codes"))
+      .withColumn("r",
+        graft.functions.GraftFunctions.sq8Decode(col("codes"), col("lo"), col("hi")))
       .withColumn("self_norm", sqrt(dotDbl("r", "r")))
       .select(col("vec_id"), col("r"), col("self_norm"))
+  }
 
   /** Fold new vectors in, encoded under the STORED stats (clamped to
     * [0, 255] where a component falls outside the trained range — the
     * standard SQ8 saturation; see the section note on why appends never
     * re-train). Same crash-atomicity and committed-replay hazard as
     * [[appendBqIndex]].
+    *
+    * Caller contract: NEW ids only. Appending a vec_id that is already
+    * live (not tombstoned) creates a second live codes row for it —
+    * the epoch-precedence rule only lets a tombstone supersede, so both
+    * rows resolve, and in [[searchCascadeIndex]]'s tier 2 the duplicate
+    * joins twice into the candidate frame, consuming two of the
+    * `refine` slots and emitting duplicate (query, cand) pairs. An
+    * in-place update is delete-then-append (two epochs, resolved
+    * correctly); the library does not anti-join the delta against the
+    * stored codes because that would put a full index scan in front of
+    * every day's fold — the caller's ingest ledger already knows which
+    * ids are new (the same line of defense as the committed-replay
+    * hazard). For the BQ+SQ8 pair, [[appendCascadeDurable]] wraps both
+    * appends in one crash-resumable intent.
     */
   def appendSq8Index(delta: DataFrame, path: String): Unit = {
     import graft.sources.IndexManifest
     val s = delta.sparkSession
     import s.implicits._
+    graft.functions.GraftFunctions.registerSq8(s)
     val e = IndexManifest.committedEpoch(path, IndexManifest.Sq8) + 1L
     delta.crossJoin(broadcast(storedSq8Stats(s, path)))
       .withColumn("codes", expr(
@@ -4156,7 +4183,8 @@ object VectorOps {
           |       THEN LEAST(255L, GREATEST(0L,
           |         CAST(floor((CAST(x AS DOUBLE) - lo[i]) * 255.0D / (hi[i] - lo[i])) AS BIGINT)))
           |       ELSE 0L END)""".stripMargin))
-      .select($"vec_id", $"codes")
+      .select($"vec_id",
+        graft.functions.GraftFunctions.sq8Pack($"codes").as("codes"))
       .write.mode("overwrite").parquet(IndexManifest.epochDir(path, "codes", e))
     IndexManifest.advance(path, e, IndexManifest.Sq8)
   }

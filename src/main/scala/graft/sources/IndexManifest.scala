@@ -110,7 +110,7 @@ object IndexManifest {
   val Cooccur    = Format("cooccur", 3) // v3: user tombstones (dels/)
   val Scd2       = Format("scd2", 2)
   val Bq         = Format("bq", 2)
-  val Sq8        = Format("sq8", 1) // stored scalar quantizer (stats) + codes
+  val Sq8        = Format("sq8", 2) // v2: codes byte-packed to binary (64 B/vector; v1 was array<bigint>)
   val Layout     = Format("layout", 2) // zone-mapped event table (LayoutOps); v2: user tombstones (dels/)
 
   /** `baseEpoch`: the FLOOR of the committed window — append-only

@@ -21,9 +21,14 @@ class Sq8IndexSpec extends SparkSpec {
     spark.createDataset(rows).toDF("vec_id", "embedding")
   }
 
+  /** Stored codes as longs — unpacking format v2's byte-packed binary
+    * column (one unsigned byte per component).
+    */
   private def codeMap(p: String): Map[Long, Seq[Long]] =
     VectorOps.storedSq8Codes(spark, p).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      .map(r => r.getLong(0) ->
+        r.getAs[Array[Byte]](1).map(b => (b & 0xFF).toLong).toSeq)
+      .toMap
 
   test("stored codes and stats equal a fresh encode bit for bit") {
     val base = (0L until 50L).map(i => (i, vec()))
@@ -33,6 +38,12 @@ class Sq8IndexSpec extends SparkSpec {
     val expect = VectorOps.sq8CodesOn(df(base)).collect()
       .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     assert(codeMap(dir) === expect)
+    // format v2: the stored column IS the packed binary, one byte per
+    // component — 64 B/vector, not v1's 512 B array<bigint>
+    val stored = VectorOps.storedSq8Codes(spark, dir)
+    assert(stored.schema("codes").dataType ===
+      org.apache.spark.sql.types.BinaryType)
+    assert(stored.collect().forall(_.getAs[Array[Byte]](1).length === 64))
     val st = VectorOps.storedSq8Stats(spark, dir).collect()
     assert(st.length === 1)
     val fresh = VectorOps.sq8StatsOn(df(base)).collect().head
