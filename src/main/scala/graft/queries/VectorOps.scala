@@ -4225,6 +4225,184 @@ object VectorOps {
     IndexManifest.commit(path, e, baseEpoch = e, IndexManifest.Sq8)
   }
 
+  // ---------------------------------------------------------------------
+  // CASCADE PAIR LIFECYCLE — the BQ and SQ8 artifacts a cascade serves
+  // from must index the SAME vec_id set (the coverage contract on
+  // [[searchCascadeIndex]]: a vector present in only one tier is
+  // dropped at the tier-2 join, deliberately fail-closed). Ingest,
+  // however, is two separate appends — a crash between appendBqIndex
+  // and appendSq8Index leaves a vector that is silently unservable
+  // FOREVER (screened but no codes row, or coded but never screened),
+  // and nothing else in the fleet surfaces it: t_index_catalog shows
+  // epochs, not coverage. Two closures:
+  //   - [[cascadeCoverageAudit]] makes divergence OBSERVABLE: one
+  //     full-outer id pass counting ids in exactly one tier (0/0 on a
+  //     healthy pair).
+  //   - [[appendCascadeDurable]]/[[resumeAppendCascade]] make ingest
+  //     ATOMIC-ENOUGH: the Erasure intent-ledger discipline applied to
+  //     the paired append — delta + per-artifact epoch snapshot persist
+  //     BEFORE either index is touched, so a crash between the two
+  //     appends resumes from disk alone, skipping the tier whose epoch
+  //     already advanced (single-writer contract) and restoring
+  //     coverage.
+  // ---------------------------------------------------------------------
+
+  /** One row (both_tiers, bq_only, sq8_only): vec_ids by tier
+    * membership across the cascade's two stored artifacts, through
+    * exactly the tombstone-resolved views the serve reads. A healthy
+    * pair audits (corpus, 0, 0); any nonzero single-tier count is a
+    * vector the coverage contract is silently dropping. Scale shape:
+    * one id-column scan per artifact into a single full-outer
+    * equi-join on vec_id — the same one-shuffle class as the exact
+    * dedup family; ids only, never codes or words.
+    */
+  def cascadeCoverageAudit(s: SparkSession, bqPath: String, sq8Path: String,
+      bqAsOf: Option[Long] = None, sq8AsOf: Option[Long] = None): DataFrame = {
+    import s.implicits._
+    val b = storedBqWords(s, bqPath, bqAsOf)
+      .select($"vec_id").withColumn("in_bq", lit(1L))
+    val q = storedSq8Codes(s, sq8Path, sq8AsOf)
+      .select($"vec_id").withColumn("in_sq8", lit(1L))
+    b.join(q, Seq("vec_id"), "full_outer")
+      .agg(
+        coalesce(sum(when($"in_bq".isNotNull && $"in_sq8".isNotNull, 1L)
+          .otherwise(0L)), lit(0L)).as("both_tiers"),
+        coalesce(sum(when($"in_bq".isNotNull && $"in_sq8".isNull, 1L)
+          .otherwise(0L)), lit(0L)).as("bq_only"),
+        coalesce(sum(when($"in_bq".isNull && $"in_sq8".isNotNull, 1L)
+          .otherwise(0L)), lit(0L)).as("sq8_only"))
+  }
+
+  private def cascadeIntentFile(root: String) =
+    java.nio.file.Paths.get(root, "_intent.ledger")
+
+  /** The paired BQ+SQ8 append under the durable intent-ledger
+    * discipline ([[graft.queries.Erasure]]'s pattern): the delta and
+    * each artifact's pre-append committed epoch persist under
+    * `intentRoot` BEFORE either index is touched
+    * (`delta/` parquet, then `_intent.ledger` via tmp+rename — its
+    * presence implies the payload is complete), the two appends run in
+    * fixed order (bq, then sq8), and completion renames the intent to
+    * `_completed.ledger`. A crash anywhere resumes from DISK alone via
+    * [[resumeAppendCascade]]: a tier whose epoch advanced past its
+    * snapshot is done (single-writer contract — same caveat as every
+    * ledger in the fleet), the other replays its staged append
+    * idempotently. One in-flight intent per root, enforced.
+    * Caller contract unchanged from the underlying appenders: NEW ids
+    * only (see [[appendSq8Index]]).
+    */
+  def appendCascadeDurable(delta: DataFrame, bqPath: String, sq8Path: String,
+      intentRoot: String): Unit =
+    appendCascadeDurable(delta, bqPath, sq8Path, intentRoot, failAfter = Int.MaxValue)
+
+  /** The planted-crash hook for the drill: `failAfter = k` throws
+    * after k tier appends committed (k=1 crashes exactly between the
+    * BQ and SQ8 appends — the divergence window this protocol exists
+    * to close).
+    */
+  private[queries] def appendCascadeDurable(delta: DataFrame, bqPath: String,
+      sq8Path: String, intentRoot: String, failAfter: Int): Unit = {
+    import java.nio.charset.StandardCharsets
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import graft.sources.IndexManifest
+    require(!Files.exists(cascadeIntentFile(intentRoot)),
+      s"pending cascade-append intent at $intentRoot - resumeAppendCascade first " +
+        "(one in-flight paired append per root)")
+    val s = delta.sparkSession
+    delta.select(col("vec_id"), col("embedding"))
+      .write.mode("overwrite").parquet(s"$intentRoot/delta")
+    val rows = Seq(
+      ("bq", IndexManifest.committedEpoch(bqPath, IndexManifest.Bq), bqPath),
+      ("sq8", IndexManifest.committedEpoch(sq8Path, IndexManifest.Sq8), sq8Path))
+    val body = ("grain=cascade-append" +:
+      rows.map { case (tag, e, p) => s"$tag\t$e\t$p" }).mkString("", "\n", "\n")
+    val tmp = Paths.get(intentRoot, "._intent.tmp")
+    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, cascadeIntentFile(intentRoot),
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    runCascadeAppend(s, intentRoot, rows, failAfter)
+    completeCascadeIntent(intentRoot)
+  }
+
+  /** Resume a crashed [[appendCascadeDurable]] from disk alone. */
+  def resumeAppendCascade(s: SparkSession, intentRoot: String): Unit = {
+    import java.nio.charset.StandardCharsets
+    import java.nio.file.Files
+    val f = cascadeIntentFile(intentRoot)
+    require(Files.exists(f),
+      s"no pending cascade-append intent at $intentRoot - nothing to resume")
+    val lines = new String(Files.readAllBytes(f), StandardCharsets.UTF_8)
+      .linesIterator.filter(_.nonEmpty).toSeq
+    require(lines.headOption.contains("grain=cascade-append"),
+      s"intent at $intentRoot is '${lines.headOption.getOrElse("")}', " +
+        "expected grain=cascade-append")
+    val rows = lines.tail.map { ln =>
+      val Array(tag, e, p) = ln.split('\t')
+      (tag, e.toLong, p)
+    }
+    runCascadeAppend(s, intentRoot, rows, failAfter = Int.MaxValue)
+    completeCascadeIntent(intentRoot)
+  }
+
+  /** The fan-out: each tier applies its append iff its committed epoch
+    * still equals the persisted snapshot — an advanced epoch means that
+    * tier's append already committed (the manifests ARE the ledger,
+    * exactly the Erasure resume rule), so replay never double-appends.
+    */
+  private def runCascadeAppend(s: SparkSession, intentRoot: String,
+      rows: Seq[(String, Long, String)], failAfter: Int): Unit = {
+    import graft.sources.IndexManifest
+    lazy val d = s.read.parquet(s"$intentRoot/delta")
+    rows.zipWithIndex.foreach { case ((tag, pre, path), i) =>
+      if (i >= failAfter)
+        throw new RuntimeException(s"planted crash before tier '$tag' append")
+      tag match {
+        case "bq" =>
+          if (IndexManifest.committedEpoch(path, IndexManifest.Bq) == pre)
+            appendBqIndex(d, path)
+        case "sq8" =>
+          if (IndexManifest.committedEpoch(path, IndexManifest.Sq8) == pre)
+            appendSq8Index(d, path)
+      }
+    }
+  }
+
+  private def completeCascadeIntent(root: String): Unit =
+    java.nio.file.Files.move(cascadeIntentFile(root),
+      java.nio.file.Paths.get(root, "_completed.ledger"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+
+  /** The coverage audit oracle-gated with a PLANTED half-append: build
+    * the pair from the corpus, then land 5 new vectors in BQ only —
+    * exactly the state a crash between the two tier appends leaves
+    * (which [[appendCascadeDurable]] exists to heal; the drill in
+    * CascadePairSpec crashes for real and resumes). The audit must
+    * report the full corpus in both tiers, the 5 orphans as bq_only,
+    * and nothing sq8-only; the oracle recomputes all three counts from
+    * the corpus by construction.
+    */
+  val cascadeCoverage = Q(
+    "v_cascade_coverage",
+    (s, d) => {
+      import s.implicits._
+      val base = vecs(s, d)
+      val off = base.agg(max($"vec_id")).first().getLong(0) + 1L
+      val bqDir = graft.sources.Scratch.dir("graft-cov-bq")
+      val sqDir = graft.sources.Scratch.dir("graft-cov-sq8")
+      writeBqIndex(base, bqDir)
+      writeSq8Index(base, sqDir)
+      appendBqIndex(base.filter($"vec_id" < 5)
+        .select(($"vec_id" + off).as("vec_id"), $"embedding"), bqDir)
+      cascadeCoverageAudit(s, bqDir, sqDir)
+    },
+    Some("""
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings) AS both_tiers,
+             CAST(5 AS BIGINT) AS bq_only,
+             CAST(0 AS BIGINT) AS sq8_only
+    """.stripMargin.trim),
+  )
+
   /** The 4 x 16-bit band rows of a packed frame (exact integer
     * splits — div/mod on the two 32-bit halves).
     */
@@ -4419,6 +4597,7 @@ object VectorOps {
     cascadeSearch,
     cascadeRecall,
     cascadeFromIndex,
+    cascadeCoverage,
     indexBalance,
     indexDrift,
     normStats,
