@@ -389,12 +389,15 @@ object Erasure {
         .select(col("vec_id").as("doc_id")))
       case _          => None // shingle: count-aggregated; scd2: see scaladoc
     }).map { rows =>
-      rows.join(idsDf, Seq("doc_id"))
+      // the audit-id panel is bounded (one request's ids) — pin the
+      // broadcast on both legs, the fleet's bounded-panel convention,
+      // so the per-family scan never shuffles on a 100x table
+      rows.join(broadcast(idsDf), Seq("doc_id"))
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     }
     val per = targets.ordered.flatMap { case (tag, p) =>
       refCounts(tag, p).map { counts =>
-        idsDf.join(counts, Seq("doc_id"), "left")
+        idsDf.join(broadcast(counts), Seq("doc_id"), "left")
           .select(col("doc_id"), lit(tag).as("family"),
             coalesce(col("n"), lit(0L)).as("live_refs"))
       }
@@ -430,12 +433,13 @@ object Erasure {
       case "table"   => Some(LayoutOps.readEventTable(s, path).select(col("user_id")))
       case _         => None // transition: count-aggregated; see scaladoc
     }).map { rows =>
-      rows.join(idsDf, Seq("user_id"))
+      // bounded-panel broadcast pinned on both legs (see certificate)
+      rows.join(broadcast(idsDf), Seq("user_id"))
         .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
     }
     val per = targets.ordered.flatMap { case (tag, p) =>
       refCounts(tag, p).map { counts =>
-        idsDf.join(counts, Seq("user_id"), "left")
+        idsDf.join(broadcast(counts), Seq("user_id"), "left")
           .select(col("user_id"), lit(tag).as("family"),
             coalesce(col("n"), lit(0L)).as("live_refs"))
       }

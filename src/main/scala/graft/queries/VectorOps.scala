@@ -99,7 +99,7 @@ object VectorOps {
   // ---------------------------------------------------------------------
 
   private val nQueries = 5
-  private[queries] val topK = 10
+  private[graft] val topK = 10L // shared with the serving streams' defaults
 
   /** Exact cosine top-k for the fixed query set — the ANN ground truth
     * every recall audit (IVF, PQ, and the round-15 quantization family)
@@ -629,7 +629,7 @@ object VectorOps {
   // object init, so it must initialize before them — a forward
   // reference silently bakes 0 into the SQL while the engine's
   // call-time default still sees 50)
-  private val refineC = 50L
+  private[graft] val refineC = 50L // shared with ivfPqServeStream's default
 
   val ivfAssign = Q(
     "v_ivf_assign",
@@ -3655,8 +3655,8 @@ object VectorOps {
   // retains of exact top-k.
   // ---------------------------------------------------------------------
 
-  private val cascadeC1 = 100L // BQ screen survivors per query
-  private val cascadeC2 = 30L  // SQ8 rerank survivors per query
+  private[graft] val cascadeC1 = 100L // BQ screen survivors per query (shared with the serve streams)
+  private[graft] val cascadeC2 = 30L  // SQ8 rerank survivors per query (shared with the serve streams)
 
   /** The 3-tier cascade over the live corpus. Tie-breaks on cand_id at
     * every tier keep the candidate sets deterministic cross-engine.

@@ -1268,19 +1268,32 @@ object Streams {
     * idempotent-sink half of the discipline; the table/erasure streams
     * need the ledger because their folds are not idempotent).
     *
-    * Staleness contract as every stored-side stream: the index and
-    * corpus bind at stream construction — rebuild the stream after an
-    * appendBqIndex fold.
+    * Staleness contract: the serve FOLLOWS the index's committed
+    * manifest — each micro-batch re-resolves the committed state (the
+    * foreachBatch body calls searchBqIndex, which reads the manifest
+    * per call), so an appendBqIndex/deleteFromBqIndex fold that
+    * commits mid-stream is served from the NEXT batch on, no restart
+    * (spec'd in StreamsSpec's mid-stream-append drill). Pass `asOf`
+    * to PIN the serve to one committed epoch instead — replayable
+    * serving for an audit window (the index must not vacuum below the
+    * pin while the stream runs). The `corpus` float store still binds
+    * at construction: it is the caller's frame, not a manifest this
+    * stream can re-resolve — keep it ahead of the index's ids (the
+    * rerank drops candidates with no float row, the same fail-closed
+    * direction as the cascade's coverage contract).
     */
   def annServeStream(
       requests: DataFrame, bqIndexPath: String, corpus: DataFrame,
       outPath: String, checkpointDir: String,
-      k: Long = 10L, screen: Long = 100L,
-      trigger: Option[Trigger] = None): StreamingQuery = {
+      k: Long = graft.queries.VectorOps.topK,
+      screen: Long = graft.queries.VectorOps.cascadeC1,
+      trigger: Option[Trigger] = None,
+      asOf: Option[Long] = None): StreamingQuery = {
     val w = requests.writeStream
       .option("checkpointLocation", s"$checkpointDir/offsets")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.queries.VectorOps.searchBqIndex(batch, bqIndexPath, corpus, k, screen)
+        graft.queries.VectorOps.searchBqIndex(batch, bqIndexPath, corpus, k, screen,
+          asOf = asOf)
           .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
       }
     trigger.fold(w)(w.trigger).start()
@@ -1296,21 +1309,25 @@ object Streams {
     * (the sink rewrites only its own batch directory). Request ids are
     * their own space (`excludeSelf = false`), so a request whose id
     * collides with a stored vec_id still sees that vector as a
-    * candidate. Same staleness contract as every stored-side stream:
-    * the index and corpus bind at construction — rebuild the stream
-    * after an index fold.
+    * candidate. Staleness contract as [[annServeStream]]: the serve
+    * follows the committed manifest per batch (an index fold is served
+    * from the next batch on), `asOf` pins one epoch for replayable
+    * serving; the `corpus` float store binds at construction (the
+    * caller's frame — keep it ahead of the index's ids).
     */
   def ivfPqServeStream(
       requests: DataFrame, ivfPqIndexPath: String, corpus: DataFrame,
       outPath: String, checkpointDir: String,
-      k: Long = 10L, c: Long = 50L,
-      trigger: Option[Trigger] = None): StreamingQuery = {
+      k: Long = graft.queries.VectorOps.topK,
+      c: Long = graft.queries.VectorOps.refineC,
+      trigger: Option[Trigger] = None,
+      asOf: Option[Long] = None): StreamingQuery = {
     val w = requests.writeStream
       .option("checkpointLocation", s"$checkpointDir/offsets")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.queries.VectorOps.searchIvfPqRefined(
           batch.sparkSession, ivfPqIndexPath, batch, corpus, k, c,
-          excludeSelf = false)
+          asOf = asOf, excludeSelf = false)
           .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
       }
     trigger.fold(w)(w.trigger).start()
@@ -1322,19 +1339,32 @@ object Streams {
     * the serving matrix (BQ 2-tier [[annServeStream]], IVF-PQ funnel
     * [[ivfPqServeStream]], and this — the cheapest-screen/fewest-float-
     * fetches shape). Same idempotent per-batch overwrite sink, same
-    * own-id-space request semantics, same bind-at-construction
-    * staleness contract.
+    * own-id-space request semantics, same per-batch epoch-following
+    * staleness contract as [[annServeStream]] — with the cross-TIER
+    * caveat spelled out: each batch reads both artifacts' committed
+    * heads independently, so a paired fold landing mid-stream can
+    * leave one batch straddling the two commits; the coverage contract
+    * fail-closes exactly the straddled vectors for that one batch
+    * (served from the next), and [[graft.queries.VectorOps
+    * .appendCascadeDurable]] keeps the window one-batch-narrow. For a
+    * snapshot-consistent replayable serve, pin BOTH epochs
+    * (`bqAsOf`/`sq8AsOf` — a recorded pair replays the exact serve,
+    * the Sq8IndexSpec time-travel drill).
     */
   def cascadeServeStream(
       requests: DataFrame, bqIndexPath: String, sq8IndexPath: String,
       corpus: DataFrame, outPath: String, checkpointDir: String,
-      k: Long = 10L, screen: Long = 100L, refine: Long = 30L,
-      trigger: Option[Trigger] = None): StreamingQuery = {
+      k: Long = graft.queries.VectorOps.topK,
+      screen: Long = graft.queries.VectorOps.cascadeC1,
+      refine: Long = graft.queries.VectorOps.cascadeC2,
+      trigger: Option[Trigger] = None,
+      bqAsOf: Option[Long] = None, sq8AsOf: Option[Long] = None): StreamingQuery = {
     val w = requests.writeStream
       .option("checkpointLocation", s"$checkpointDir/offsets")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.queries.VectorOps.searchCascadeIndex(
-          batch, bqIndexPath, sq8IndexPath, corpus, k, screen, refine)
+          batch, bqIndexPath, sq8IndexPath, corpus, k, screen, refine,
+          bqAsOf = bqAsOf, sq8AsOf = sq8AsOf)
           .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
       }
     trigger.fold(w)(w.trigger).start()

@@ -1546,6 +1546,56 @@ class StreamsSpec extends SparkSpec {
     assert(served === batchAll)
   }
 
+  test("serve streams FOLLOW the committed manifest per batch: a mid-stream append is served from the next batch; an as-of pin freezes the serve") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.queries.VectorOps
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    graft.functions.GraftFunctions.registerDotD(spark)
+
+    val rnd = new scala.util.Random(23)
+    def vec() = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val bases = (0L until 15L).map(i => (i, vec()))
+    val vNew = vec() // day-2 arrival: in the corpus float store, not yet indexed
+    val corpus = spark.createDataset(bases :+ (500L, vNew)).toDF("vec_id", "embedding")
+    val idx = tmp("follow-idx")
+    VectorOps.writeBqIndex(spark.createDataset(bases).toDF("vec_id", "embedding"), idx)
+
+    def top1(out: String, qid: Long): Long =
+      spark.read.option("basePath", out).parquet(out)
+        .filter($"rnk" === 1L && $"query_id" === qid)
+        .select($"cand_id").collect().head.getLong(0)
+
+    // epoch-FOLLOWING stream (the default) and a PINNED twin, same requests
+    val memF = MemoryStream[(Long, Array[Float])]
+    val outF = tmp("follow-out"); val qF = Streams.annServeStream(
+      memF.toDF().toDF("query_id", "embedding"), idx, corpus, outF,
+      tmp("follow-ckpt"), k = 3L)
+    val memP = MemoryStream[(Long, Array[Float])]
+    val outP = tmp("pin-out"); val qP = Streams.annServeStream(
+      memP.toDF().toDF("query_id", "embedding"), idx, corpus, outP,
+      tmp("pin-ckpt"), k = 3L, asOf = Some(0L))
+    try {
+      // batch 0: the new vector is not yet committed — neither serves it
+      memF.addData(Seq((9000L, vNew))); qF.processAllAvailable()
+      memP.addData(Seq((9000L, vNew))); qP.processAllAvailable()
+      assert(top1(outF, 9000L) !== 500L)
+      assert(top1(outP, 9000L) !== 500L)
+      // the index folds MID-STREAM — no stream restart
+      VectorOps.appendBqIndex(
+        spark.createDataset(Seq((500L, vNew))).toDF("vec_id", "embedding"), idx)
+      // batch 1: the following stream re-resolves the committed state
+      // and serves the appended vector (its exact clone ranks first);
+      // the pinned stream still serves epoch 0
+      memF.addData(Seq((9001L, vNew))); qF.processAllAvailable()
+      memP.addData(Seq((9001L, vNew))); qP.processAllAvailable()
+      assert(top1(outF, 9001L) === 500L,
+        "an appended vector must be served from the NEXT batch without a restart")
+      assert(top1(outP, 9001L) !== 500L,
+        "an as-of-pinned serve must keep replaying its pinned epoch")
+    } finally { qF.stop(); qP.stop() }
+  }
+
   test("event-table ingest stream: batch parity, exactly-once replay, crash-then-restage") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
