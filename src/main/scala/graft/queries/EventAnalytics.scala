@@ -149,6 +149,62 @@ object EventAnalytics {
     hotItemsTopN.oracle,
   )
 
+  /** Gap sessionization as verbatim SQL text over whatever frame backs
+    * the named temp view — the declarative twin of [[sessionizeOn]]
+    * (same lag → boundary-flag → running-sum plan, Catalyst lowers
+    * both identically), so the SQL surface over the governed table is
+    * first-class for the sessionize family too, not just hot-items.
+    */
+  private[queries] def sessionizeSqlOn(s: SparkSession, evs: DataFrame,
+      view: String): DataFrame = {
+    evs.createOrReplaceTempView(view)
+    s.sql(s"""
+      WITH seq AS (
+        SELECT user_id, ts_sec, ts,
+               lag(ts_sec) OVER (PARTITION BY user_id ORDER BY ts) AS prev_sec
+        FROM $view),
+      flagged AS (
+        SELECT user_id, ts_sec, ts,
+               CASE WHEN prev_sec IS NULL OR ts_sec - prev_sec > $sessionGap
+                    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS boundary
+        FROM seq),
+      numbered AS (
+        SELECT user_id, ts_sec,
+               SUM(boundary) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+        FROM flagged)
+      SELECT user_id, session_no, COUNT(*) AS n_events,
+             MIN(ts_sec) AS start_sec, MAX(ts_sec) AS end_sec,
+             MAX(ts_sec) - MIN(ts_sec) AS duration_sec
+      FROM numbered GROUP BY user_id, session_no
+    """)
+  }
+
+  /** The STRICT-contiguity funnel as verbatim SQL text over the named
+    * temp view — the lag-window form (two lags + the window-bound
+    * predicate) is exactly SQL-expressible because strict contiguity
+    * looks at consecutive rows only; the oracle already states it this
+    * way. The RELAXED funnel deliberately has no SQL twin: its
+    * relational form is the within-key cubic join the e_funnel_relaxed
+    * docs reject for execution — it exists only as the DuckDB oracle.
+    */
+  private[queries] def funnelStrictSqlOn(s: SparkSession, evs: DataFrame,
+      view: String): DataFrame = {
+    evs.createOrReplaceTempView(view)
+    s.sql(s"""
+      WITH o AS (
+        SELECT user_id, event_type, ts_sec AS sec,
+               lag(event_type, 2) OVER w AS t2, lag(ts_sec, 2) OVER w AS s2,
+               lag(event_type, 1) OVER w AS t1
+        FROM $view
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id))
+      SELECT user_id, s2 AS first_sec, sec AS last_sec
+      FROM o
+      WHERE t2 = 'view' AND t1 = 'click' AND event_type = 'purchase'
+        AND sec - s2 <= $funnelWindowSec
+    """)
+  }
+
   /** The same per-window Top-5 through the bounded
     * [[graft.functions.TopKAggregator]] instead of a rank window (SURVEY
     * §2.10 — the `AggregateFunction → Aggregator` mapping, wired into the

@@ -570,6 +570,29 @@ object LayoutOps {
     EventAnalytics.hotItemsTopN.oracle,
   )
 
+  /** sessionize as verbatim SQL over the governed table — with
+    * [[hotItemsSqlFromTable]] and [[funnelStrictSqlFromTable]], every
+    * SQL-expressible flagship event query now has a declarative entry
+    * point against the stored table, same oracles as the raw rows.
+    */
+  val sessionizeSqlFromTable = Q(
+    "sessionize_sql_from_table",
+    (s, d) => EventAnalytics.sessionizeSqlOn(
+      s, readEventTable(s, storedEventTable(s, d)), "events_tbl_sess_v"),
+    EventAnalytics.sessionize.oracle,
+  )
+
+  /** The strict funnel as verbatim SQL over the governed table (the
+    * relaxed funnel's SQL form is deliberately oracle-only — see
+    * [[EventAnalytics.funnelStrictSqlOn]]).
+    */
+  val funnelStrictSqlFromTable = Q(
+    "e_funnel_strict_sql_from_table",
+    (s, d) => EventAnalytics.funnelStrictSqlOn(
+      s, readEventTable(s, storedEventTable(s, d)), "events_tbl_fun_v"),
+    EventAnalytics.funnelStrict.oracle,
+  )
+
   /** A 2-D box query answered through the stored table's zone maps —
     * the scan every reference event job becomes at 100 TB: the box
     * spans BOTH committed epochs (the cut day is inside the day range),
@@ -669,19 +692,35 @@ object LayoutOps {
     metaRows + scanned
   }
 
+  /** Ceiling on the tombstoned-user set the per-file probe collects to
+    * the driver — the deletion-vector assumption (erasure volume since
+    * the last compaction is small) ENFORCED instead of assumed: 1M ids
+    * is ~8 MB of driver memory, far past the point where the right
+    * operational answer is "compact the table" (the maintenance
+    * advisor's dels rule fires long before this).
+    */
+  private[queries] val delsProbeCap = 1L << 20
+
   /** (metadata rows, scanned rows, files answered from metadata) —
     * the split exposed so the spec can assert the pushdown keeps
     * paying when tombstones don't touch the counted files.
     */
   private[queries] def eventTableBoxCountDetail(s: SparkSession, path: String,
       uLo: Long, uHi: Long, dLo: Long, dHi: Long,
-      asOf: Option[Long] = None): (Long, Long, Long) = {
+      asOf: Option[Long] = None, delsCap: Long = delsProbeCap): (Long, Long, Long) = {
     import graft.sources.IndexManifest
     import s.implicits._
-    val delUsers = IndexManifest
+    val delsDf = IndexManifest
       .readAppendOnly(s, path, "dels", IndexManifest.Layout, asOf)
-      .select($"user_id").distinct().collect().map(_.getLong(0)).sorted
-    def touchesDel(uL: Long, uH: Long): Boolean = {
+      .select($"user_id").distinct()
+    // count BEFORE collecting: past the cap, the driver-side probe set
+    // would be unbounded, so demote EVERY overlapping file to the
+    // scanned-and-resolved leg (correct either way — the metadata leg
+    // is an optimization) instead of collecting without a guard
+    val delUsers: Array[Long] =
+      if (delsDf.count() > delsCap) null
+      else delsDf.collect().map(_.getLong(0)).sorted
+    def touchesDel(uL: Long, uH: Long): Boolean = delUsers == null || {
       val i = java.util.Arrays.binarySearch(delUsers, uL)
       val idx = if (i >= 0) i else -i - 1
       idx < delUsers.length && delUsers(idx) <= uH
@@ -761,6 +800,6 @@ object LayoutOps {
 
   val qs: Seq[Q] = Seq(zorderKey, zorderScan, zonemapScan, tableAsOf,
     hotItemsFromTable, sessionizeFromTable, funnelFromTable,
-    hotItemsSqlFromTable, tableScan,
-    tableForget, tableCount)
+    hotItemsSqlFromTable, sessionizeSqlFromTable, funnelStrictSqlFromTable,
+    tableScan, tableForget, tableCount)
 }

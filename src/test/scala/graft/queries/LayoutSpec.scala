@@ -407,6 +407,16 @@ class LayoutSpec extends SparkSpec {
     val d3 = LayoutOps.eventTableBoxCountDetail(spark, dir, uLo, uHi, dLo, dHi)
     assert(d3._1 + d3._2 === 390L, "user 7's 10 rows must leave the count")
     assert(d3._3 < before._3, "the touched files must leave the metadata leg")
+
+    // dels past the driver-probe cap: the guard demotes EVERY
+    // overlapping file to the scanned leg instead of collecting an
+    // unbounded id set — the count stays exact, just slower (the
+    // deletion-vector assumption enforced, not assumed)
+    val capped = LayoutOps.eventTableBoxCountDetail(spark, dir, uLo, uHi, dLo, dHi,
+      delsCap = 0L)
+    assert(capped._3 === 0L, "past the cap no file may stay on the metadata leg")
+    assert(capped._1 === 0L && capped._2 === 390L,
+      "the full-scan fallback must still count exactly")
   }
 
   test("catalog rows served from the stored table equal their raw-scan twins") {
