@@ -1265,9 +1265,66 @@ object CurationOps {
     """.stripMargin.trim),
   )
 
+  /** The advisor row's fleet — four roots DRIVEN to straddle both
+    * policy rules (heavy tombstones; a long append window; a healthy
+    * build; a crashed build), once per (JVM, corpus) — the
+    * [[icatFleet]] convention. Counts are corpus-size-independent by
+    * construction (vec_id < K slices and single-vector appends), so
+    * the oracle is literal VALUES at any SF.
+    */
+  private val advFleetCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]()
+
+  private def advFleet(s: SparkSession, d: String): Seq[(String, String)] =
+    advFleetCache.computeIfAbsent(d, _ => {
+      import s.implicits._
+      import graft.sources.Scratch
+      graft.functions.GraftFunctions.registerDotD(s)
+      val emb = Tables.embeddings(s, d)
+      // 30% tombstoned: the dels rule (20% default) must fire
+      val hd = Scratch.dir("graft-adv-dels")
+      VectorOps.writeBqIndex(emb.filter($"vec_id" < 100), hd)
+      VectorOps.deleteFromBqIndex(
+        emb.filter($"vec_id" < 30).select($"vec_id"), hd)
+      // 8 single-vector appends: the window rule (8 epochs) must fire
+      // with zero deletes
+      val lw = Scratch.dir("graft-adv-window")
+      VectorOps.writeSq8Index(emb.filter($"vec_id" < 50), lw)
+      (0L until 8L).foreach { i =>
+        VectorOps.appendSq8Index(
+          emb.filter($"vec_id" === i)
+            .select(($"vec_id" + 1000L + i).as("vec_id"), $"embedding"), lw)
+      }
+      // healthy: fresh build, nothing to advise
+      val ok = Scratch.dir("graft-adv-ok")
+      VectorOps.writeBqIndex(emb.filter($"vec_id" < 100), ok)
+      Seq("adv_heavy_dels" -> hd, "adv_long_window" -> lw,
+        "adv_healthy" -> ok, "adv_crashed" -> Scratch.dir("graft-adv-none"))
+    })
+
+  /** The "when do I compact" policy surface, oracle-gated over a fleet
+    * driven into known states: every verdict field is a deterministic
+    * consequence of the thresholds and the manifest protocol, so the
+    * oracle is literal VALUES — a drifted count, a mis-fired rule, or
+    * a rule firing on the wrong family hash-mismatches.
+    */
+  val indexAdvisor = Q(
+    "t_index_advisor",
+    (s, d) => graft.sources.IndexMaintenance.advise(s, advFleet(s, d)),
+    Some("""
+      SELECT * FROM (VALUES
+        ('adv_heavy_dels', 'bq', CAST(1 AS BIGINT), CAST(100 AS BIGINT),
+         CAST(30 AS BIGINT), 'compact', 'dels'),
+        ('adv_long_window', 'sq8', 8, 58, 0, 'compact', 'window'),
+        ('adv_healthy', 'bq', 0, 100, 0, 'ok', ''),
+        ('adv_crashed', '_uncommitted', -1, 0, 0, 'rebuild', 'no_manifest')
+      ) AS t(name, family, window_len, total_rows, del_rows, action, reason)
+    """.stripMargin.trim),
+  )
+
   val qs: Seq[Q] =
     Seq(splitAssign, sourceQuota, stratifiedSample, sampleExactK, shardPack,
       seqPack, contamination, domainMix, temperatureMix, trainLeaks,
       curateCorpus, curateSequences, curateFunnel, kAnonymity, kSuppress,
-      lDiversity, erasureCert, erasureCertUsers, indexCatalog)
+      lDiversity, erasureCert, erasureCertUsers, indexCatalog, indexAdvisor)
 }

@@ -1,0 +1,108 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Maintenance ADVISOR for the stored-index fleet — the policy layer on
+  * top of [[IndexManifest.describe]] that answers the question every
+  * stored-table operator asks the moment appends and forgets accrete:
+  * "when do I compact?" Introspection shows the manifest state machine;
+  * this ranks it against two thresholds and recommends an action:
+  *
+  *   - **dels rule**: tombstones past `delsPct` percent of the main
+  *     component's window rows. Every read resolves tombstones against
+  *     the full window, so dead rows are a per-query tax until a
+  *     compaction folds the resolved view and makes deletes physical —
+  *     and the zone-map count pushdown ([[graft.queries.LayoutOps]])
+  *     degrades file by file as tombstones intersect more user ranges.
+  *   - **window rule**: committed window length (epoch − floor) past
+  *     `windowLen` epochs. Append-only readers scan every epoch
+  *     directory in the window; a long window is a small-files /
+  *     many-directories tax even with zero deletes.
+  *
+  * Costs: the verdict reads each index's manifest plus ONE row-count
+  * per named component — parquet footer counts over the committed
+  * window, no data pages — O(named indexes) driver-coordinated jobs,
+  * the same weight class as `describe`. Counts are WINDOW rows (what a
+  * compaction would fold), tombstones included: that is the read
+  * amplification the dels rule prices, not the resolved cardinality.
+  *
+  * An uncommitted root (no manifest — a crashed build) advises
+  * `rebuild`: it is unreadable by contract, so neither threshold
+  * applies. Families whose forget path is not tombstone-shaped
+  * (shingle's negated counts, transition's subtraction fold, scd2's
+  * purge-rewrite) have no dels component; they report 0 and are
+  * governed by the window rule alone — matching how their erasure is
+  * certified (ledger, not row counts).
+  */
+object IndexMaintenance {
+
+  /** family → (main component, main-is-rewrite, tombstone component).
+    * The main component is the one whose row count a compaction would
+    * fold — the denominator of the dels rule. Append-only mains count
+    * the committed WINDOW (all epochs — the read amplification);
+    * rewrite mains (transition's edges) count the committed head only,
+    * since readers never union rewrite epochs.
+    */
+  private val components: Map[String, (String, Boolean, Option[String])] = Map(
+    "postings"   -> (("postings", false, Some("dels"))),
+    "lsh"        -> (("bands", false, Some("dels"))),
+    "shingle"    -> (("shingle_counts", false, None)),
+    "ivfpq"      -> (("codes", false, Some("dels"))),
+    "bq"         -> (("words", false, Some("dels"))),
+    "sq8"        -> (("codes", false, Some("dels"))),
+    "cooccur"    -> (("ui", false, Some("dels"))),
+    "transition" -> (("edges", true, None)),
+    "scd2"       -> (("closed", false, None)), // the append-only history rows
+    "layout"     -> (("data", false, Some("dels"))))
+
+  private def fmtOf(family: String): IndexManifest.Format = family match {
+    case "postings"   => IndexManifest.Postings
+    case "lsh"        => IndexManifest.Lsh
+    case "shingle"    => IndexManifest.Shingle
+    case "ivfpq"      => IndexManifest.IvfPq
+    case "transition" => IndexManifest.Transition
+    case "cooccur"    => IndexManifest.Cooccur
+    case "scd2"       => IndexManifest.Scd2
+    case "bq"         => IndexManifest.Bq
+    case "sq8"        => IndexManifest.Sq8
+    case "layout"     => IndexManifest.Layout
+    case _            => IndexManifest.AnyFamily
+  }
+
+  /** One row per named index root: (name, family, window_len,
+    * total_rows, del_rows, action, reason) with action ∈
+    * {compact, rebuild, ok} and reason naming the rule that fired
+    * (dels | window | no_manifest | empty when ok). Thresholds:
+    * `delsPct` percent tombstones (integer math — fires when
+    * del_rows * 100 ≥ total_rows * delsPct) and `windowLen` committed
+    * epochs.
+    */
+  def advise(s: SparkSession, named: Seq[(String, String)],
+      delsPct: Long = 20L, windowLen: Long = 8L): DataFrame = {
+    import s.implicits._
+    named.map { case (name, path) =>
+      IndexManifest.read(path) match {
+        case None =>
+          (name, "_uncommitted", -1L, 0L, 0L, "rebuild", "no_manifest")
+        case Some(st) =>
+          val fam = st.family
+          val fmt = fmtOf(fam)
+          val (mainComp, mainRewrite, delsComp) = components.getOrElse(fam,
+            (("", false, None)): (String, Boolean, Option[String]))
+          def rows(comp: String, rewrite: Boolean): Long =
+            if (comp.isEmpty) 0L
+            else if (rewrite) IndexManifest.readRewrite(s, path, comp, fmt).count()
+            else IndexManifest.readAppendOnly(s, path, comp, fmt).count()
+          val total = rows(mainComp, mainRewrite)
+          val dels = delsComp.map(rows(_, false)).getOrElse(0L)
+          val window = st.epoch - st.baseEpoch
+          val (action, reason) =
+            if (dels > 0L && dels * 100L >= total * delsPct) ("compact", "dels")
+            else if (window >= windowLen) ("compact", "window")
+            else ("ok", "")
+          (name, fam, window, total, dels, action, reason)
+      }
+    }.toDF("name", "family", "window_len", "total_rows", "del_rows",
+      "action", "reason")
+  }
+}
