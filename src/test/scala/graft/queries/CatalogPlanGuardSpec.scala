@@ -133,6 +133,10 @@ class CatalogPlanGuardSpec extends SparkSpec {
     "t_tfidf_topk",
     // five stage-count scalars of the curation funnel report
     "t_curate_funnel",
+    // coverage audit: three partial-summed membership counters over the
+    // full-outer id join — the exchanged relation is one 3-sum row per
+    // partition (ProfFunnels-audited this round), never id rows
+    "v_cascade_coverage",
     // per-dimension lo/hi stats: 128 partial min/max, one row total
     "v_sq8_stats", "v_sq8_search", "v_sq8_recall",
     // the cascade's SQ8 tier carries the same lo/hi stats funnel (the
