@@ -160,11 +160,15 @@ object GraftFunctions {
   /** Column-API entry for the scalar hash. */
   def bloomHash(c: Column): Column = callFn("bloom_hash", c)
 
-  /** Registers `dot_d(a, b)` (see [[DotProductDExpression]]). Idempotent —
-    * re-registration replaces the identical builder, so query constructors
-    * call this unconditionally to stay self-contained.
+  /** Registers `dot_d(a, b)` (see [[DotProductDExpression]]) AND its
+    * double-array sibling `dot_dd` (see [[DotProductDDExpression]] —
+    * the SQ8 family scores decoded `array<double>` reconstructions, so
+    * both live under the one registration every vector entry point
+    * already calls). Idempotent — re-registration replaces the
+    * identical builder, so query constructors call this unconditionally
+    * to stay self-contained.
     */
-  def registerDotD(spark: SparkSession): Unit =
+  def registerDotD(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       org.apache.spark.sql.catalyst.FunctionIdentifier("dot_d"),
       new ExpressionInfo(classOf[DotProductDExpression].getName, "dot_d"),
@@ -173,6 +177,18 @@ object GraftFunctions {
         DotProductDExpression(exprs.head, exprs(1))
       },
     )
+    spark.sessionState.functionRegistry.registerFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("dot_dd"),
+      new ExpressionInfo(classOf[DotProductDDExpression].getName, "dot_dd"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, s"dot_dd expects exactly 2 arguments, got ${exprs.length}")
+        DotProductDDExpression(exprs.head, exprs(1))
+      },
+    )
+  }
+
+  /** Column-API entry for the codegen'd double-array dot product. */
+  def dotDD(a: Column, b: Column): Column = callFn("dot_dd", a, b)
 
   /** Column-API entry for the codegen'd dot product. */
   def dotD(a: Column, b: Column): Column = callFn("dot_d", a, b)

@@ -3482,10 +3482,17 @@ object VectorOps {
        |  lo[i] + (CAST(c AS DOUBLE) + 0.5D) * (hi[i] - lo[i]) / 255.0D)""".stripMargin)
 
   /** Left-to-right double-array dot fold — bit-identical to the
-    * oracle's seeded list_reduce.
+    * oracle's seeded list_reduce. The codegen'd `dot_dd`
+    * ([[graft.functions.DotProductDDExpression]]) replaced the
+    * `aggregate(zip_with(...))` HOF chain here (same fold, same IEEE
+    * sequence, same null semantics — hash-gated unchanged): HOFs are
+    * CodegenFallback, so the SQ8 tiers' inner products ran interpreted
+    * per element; now decode AND score both stay in whole-stage
+    * codegen. Registration rides [[graft.functions.GraftFunctions
+    * .registerDotD]], which every vector entry point already calls.
     */
-  private def dotDbl(a: String, b: String): Column = expr(
-    s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+  private def dotDbl(a: String, b: String): Column =
+    graft.functions.GraftFunctions.dotDD(col(a), col(b))
 
   /** (vec_id, r, self_norm): SQ8-decoded reconstruction + self-norm of
     * every vector in `emb` under corpus stats `stats` — one decode per

@@ -27,6 +27,17 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT bloom_hash('543462')").first().getLong(0) === 398203944L)
     assert(spark.sql(
       "SELECT dot_d(embedding, embedding) FROM embeddings WHERE vec_id = 0").first().getDouble(0) > 0.0)
+    // the double-array sibling equals the HOF fold it replaced, bit for bit
+    // (left-to-right from a 0.0 seed — the SQ8 hash-gate's IEEE sequence),
+    // and matches the HOF's null-on-length-mismatch semantics
+    val ddRow = spark.sql("""
+      SELECT dot_dd(d, d) AS a,
+             aggregate(zip_with(d, d, (x, y) -> x * y), 0D, (acc, v) -> acc + v) AS b,
+             dot_dd(d, array(1.0D)) AS short
+      FROM (SELECT transform(embedding, x -> CAST(x AS DOUBLE)) AS d
+            FROM embeddings WHERE vec_id = 0)""").first()
+    assert(ddRow.getDouble(0) === ddRow.getDouble(1) && ddRow.getDouble(0) > 0.0)
+    assert(ddRow.isNullAt(2))
     // typed aggregators reachable from SQL: bounded gather + bounded top-k
     assert(spark.sql(
       "SELECT size(bounded_collect(user_id)) FROM (SELECT user_id FROM events LIMIT 10)")
