@@ -1265,9 +1265,10 @@ object CurationOps {
     """.stripMargin.trim),
   )
 
-  /** The advisor row's fleet — four roots DRIVEN to straddle both
+  /** The advisor row's fleet — five roots DRIVEN to straddle the
     * policy rules (heavy tombstones; a long append window; a healthy
-    * build; a crashed build), once per (JVM, corpus) — the
+    * build; compacted-but-unvacuumed; a crashed build), once per
+    * (JVM, corpus) — the
     * [[icatFleet]] convention. Counts are corpus-size-independent by
     * construction (vec_id < K slices and single-vector appends), so
     * the oracle is literal VALUES at any SF.
@@ -1298,8 +1299,16 @@ object CurationOps {
       // healthy: fresh build, nothing to advise
       val ok = Scratch.dir("graft-adv-ok")
       VectorOps.writeBqIndex(emb.filter($"vec_id" < 100), ok)
+      // compacted but never vacuumed: the superseded epochs below the
+      // raised floor are reclaimable garbage -> the vacuum rule
+      val vac = Scratch.dir("graft-adv-vac")
+      VectorOps.writeBqIndex(emb.filter($"vec_id" < 40), vac)
+      VectorOps.deleteFromBqIndex(
+        emb.filter($"vec_id" === 0).select($"vec_id"), vac)
+      VectorOps.compactBqIndex(s, vac)
       Seq("adv_heavy_dels" -> hd, "adv_long_window" -> lw,
-        "adv_healthy" -> ok, "adv_crashed" -> Scratch.dir("graft-adv-none"))
+        "adv_healthy" -> ok, "adv_vacuum" -> vac,
+        "adv_crashed" -> Scratch.dir("graft-adv-none"))
     })
 
   /** The "when do I compact" policy surface, oracle-gated over a fleet
@@ -1317,6 +1326,7 @@ object CurationOps {
          CAST(30 AS BIGINT), 'compact', 'dels'),
         ('adv_long_window', 'sq8', 8, 58, 0, 'compact', 'window'),
         ('adv_healthy', 'bq', 0, 100, 0, 'ok', ''),
+        ('adv_vacuum', 'bq', 0, 39, 0, 'vacuum', 'stale_epochs'),
         ('adv_crashed', '_uncommitted', -1, 0, 0, 'rebuild', 'no_manifest')
       ) AS t(name, family, window_len, total_rows, del_rows, action, reason)
     """.stripMargin.trim),

@@ -71,11 +71,16 @@ object IndexMaintenance {
 
   /** One row per named index root: (name, family, window_len,
     * total_rows, del_rows, action, reason) with action ∈
-    * {compact, rebuild, ok} and reason naming the rule that fired
-    * (dels | window | no_manifest | empty when ok). Thresholds:
-    * `delsPct` percent tombstones (integer math — fires when
-    * del_rows * 100 ≥ total_rows * delsPct) and `windowLen` committed
-    * epochs.
+    * {compact, vacuum, rebuild, ok} and reason naming the rule that
+    * fired (dels | window | stale_epochs | no_manifest | empty when
+    * ok). Thresholds: `delsPct` percent tombstones (integer math —
+    * fires when del_rows * 100 ≥ total_rows * delsPct) and `windowLen`
+    * committed epochs. The vacuum rule fires when superseded epoch
+    * directories linger below the window floor (a compaction ran but
+    * its janitor half didn't — reclaimable garbage, checked by the
+    * same read-only listing vacuum itself walks) and neither
+    * compaction rule fires; compaction outranks it because compacting
+    * creates more stale epochs anyway.
     */
   def advise(s: SparkSession, named: Seq[(String, String)],
       delsPct: Long = 20L, windowLen: Long = 8L): DataFrame = {
@@ -99,6 +104,8 @@ object IndexMaintenance {
           val (action, reason) =
             if (dels > 0L && dels * 100L >= total * delsPct) ("compact", "dels")
             else if (window >= windowLen) ("compact", "window")
+            else if (IndexManifest.staleDirs(path, fmt).nonEmpty)
+              ("vacuum", "stale_epochs")
             else ("ok", "")
           (name, fam, window, total, dels, action, reason)
       }

@@ -323,36 +323,46 @@ object IndexManifest {
     * removed.
     */
   def vacuum(path: String, fmt: Format = AnyFamily): Long = {
+    import scala.util.Using
+    var removed = 0L
+    staleDirs(path, fmt).foreach { epochDir =>
+      // depth-first delete of the stale directory
+      Using.resource(Files.walk(epochDir)) { st =>
+        st.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.delete(p))
+      }
+      removed += 1L
+    }
+    removed
+  }
+
+  /** The epoch/generation directories strictly below the committed
+    * window floor — [[vacuum]]'s worklist, exposed read-only so the
+    * maintenance advisor can report reclaimable garbage without
+    * touching it. epoch=<e> slices below the floor are a compaction's
+    * superseded inputs; gen=<g> GENERATION directories (IVF-PQ
+    * centroids) obey the gen == baseEpoch invariant, so a gen below
+    * the floor was superseded by the rebalance/compaction that rebased
+    * the window — both are unreachable by any reader, head or as-of.
+    */
+  private[graft] def staleDirs(path: String,
+      fmt: Format = AnyFamily): Seq[java.nio.file.Path] = {
     import scala.jdk.CollectionConverters._
     import scala.util.Using
     val floor = committedState(path, fmt).baseEpoch
     val root = Paths.get(path)
-    if (!Files.exists(root)) return 0L
+    if (!Files.exists(root)) return Seq.empty
     def ls(p: java.nio.file.Path): Seq[java.nio.file.Path] =
       Using.resource(Files.list(p))(_.iterator().asScala.toVector)
-    var removed = 0L
-    ls(root).filter(Files.isDirectory(_)).foreach { compDir =>
-      ls(compDir).foreach { epochDir =>
+    ls(root).filter(Files.isDirectory(_)).flatMap { compDir =>
+      ls(compDir).filter { epochDir =>
         val name = epochDir.getFileName.toString
-        // epoch=<e> slices below the floor are a compaction's superseded
-        // inputs; gen=<g> GENERATION directories (IVF-PQ centroids) obey
-        // the gen == baseEpoch invariant, so a gen below the floor was
-        // superseded by the rebalance/compaction that rebased the window
-        // — both are unreachable by any reader, head or as-of
         val digits = if (name.startsWith("epoch=")) name.stripPrefix("epoch=")
           else if (name.startsWith("gen=")) name.stripPrefix("gen=")
           else ""
-        if (digits.nonEmpty && digits.forall(_.isDigit) && digits.toLong < floor) {
-          // depth-first delete of the stale directory
-          Using.resource(Files.walk(epochDir)) { st =>
-            st.sorted(java.util.Comparator.reverseOrder())
-              .forEach(p => Files.delete(p))
-          }
-          removed += 1L
-        }
+        digits.nonEmpty && digits.forall(_.isDigit) && digits.toLong < floor
       }
     }
-    removed
   }
 
   /** Fleet introspection — the "SHOW INDEXES" surface an operator
