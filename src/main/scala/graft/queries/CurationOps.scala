@@ -199,6 +199,73 @@ object CurationOps {
   )
 
   // ---------------------------------------------------------------------
+  // Weighted sampling WITHOUT replacement — the importance-weighted
+  // eval-draw (Efraimidis-Spirakis 2006's weighted reservoir, the tool
+  // for "oversample the rare languages k-for-k"): each document gets an
+  // integer weight and the draw keeps exactly k documents, each PREFIX
+  // of the keep order distributed as successive weighted draws without
+  // replacement. The textbook key u^(1/w) needs ln/pow, whose last-ulp
+  // behavior differs between the JVM and DuckDB's libm — a hash-compare
+  // oracle can't tolerate that. Instead the EXPANSION equivalence keeps
+  // all math integer: give each document w virtual copies with
+  // independent salted 60-bit hash keys and order documents by the MIN
+  // key over their copies. The first document wins with probability
+  // w/W, and conditioned on the leader's copies, the remaining copies
+  // stay exchangeable iid uniforms — successive ranks are exactly the
+  // without-replacement chain. Bit-for-bit reproducible in both
+  // engines; ties broken by doc_id (60-bit collisions).
+  //
+  // 100 TB shape: a pure per-row projection (w <= 5 hashes per doc,
+  // built-in HOFs, no UDF) followed by a global top-k =
+  // TakeOrderedAndProject — every partition ships at most k rows to
+  // the driver merge, the same bounded-funnel class as T4. No shuffle
+  // at all. Weights here are small integers by design: the expansion
+  // is O(w) per row, so quality tiers (1..5) are the intended domain,
+  // not unbounded floats (those would want the ln-key form and a
+  // banded oracle).
+  // ---------------------------------------------------------------------
+
+  private val weightedK = 60
+  private val langDrawWeights: Seq[(String, Int)] = // copies per lang
+    Seq("en" -> 1, "de" -> 3, "fr" -> 5)
+  private val defaultDrawWeight = 2
+
+  val weightedSample = Q(
+    "t_weighted_sample",
+    (s, d) => {
+      import s.implicits._
+      val w = langDrawWeights.foldLeft(lit(defaultDrawWeight)) {
+        case (acc, (l, r)) => when($"lang" === l, lit(r)).otherwise(acc)
+      }
+      docs(s, d)
+        .withColumn("weight", w.cast("long"))
+        .withColumn(
+          "draw_key",
+          array_min(transform(
+            sequence(lit(0L), $"weight" - 1L),
+            j => TextOps.h60(concat(
+              $"doc_id".cast("string"), lit(":wsample:"), j.cast("string"))))))
+        .orderBy($"draw_key".asc, $"doc_id".asc)
+        .limit(weightedK)
+        .select($"doc_id", $"lang", $"weight", $"draw_key")
+    },
+    Some {
+      val w = langDrawWeights.foldLeft(defaultDrawWeight.toString) {
+        case (acc, (l, r)) => s"CASE WHEN lang = '$l' THEN $r ELSE $acc END"
+      }
+      val h = "('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':wsample:' || " +
+        "CAST(j AS VARCHAR)), 1, 15))::UBIGINT::BIGINT"
+      s"""
+      SELECT doc_id, lang, weight,
+             list_min(list_transform(generate_series(0, weight - 1), j -> $h))
+               AS draw_key
+      FROM (SELECT doc_id, lang, CAST(($w) AS BIGINT) AS weight FROM documents)
+      ORDER BY draw_key, doc_id LIMIT $weightedK
+    """.stripMargin.trim
+    },
+  )
+
+  // ---------------------------------------------------------------------
   // Domain mixing — the data-mixture step of corpus assembly (the Pile /
   // Dolma pattern): given target mixture WEIGHTS over the listed sources,
   // find the largest total token budget B whose per-source needs
@@ -1333,7 +1400,8 @@ object CurationOps {
   )
 
   val qs: Seq[Q] =
-    Seq(splitAssign, sourceQuota, stratifiedSample, sampleExactK, shardPack,
+    Seq(splitAssign, sourceQuota, stratifiedSample, sampleExactK,
+      weightedSample, shardPack,
       seqPack, contamination, domainMix, temperatureMix, trainLeaks,
       curateCorpus, curateSequences, curateFunnel, kAnonymity, kSuppress,
       lDiversity, erasureCert, erasureCertUsers, indexCatalog, indexAdvisor)

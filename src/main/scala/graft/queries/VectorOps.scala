@@ -4307,7 +4307,7 @@ object VectorOps {
     * BQ and SQ8 appends — the divergence window this protocol exists
     * to close).
     */
-  private[queries] def appendCascadeDurable(delta: DataFrame, bqPath: String,
+  private[graft] def appendCascadeDurable(delta: DataFrame, bqPath: String,
       sq8Path: String, intentRoot: String, failAfter: Int): Unit = {
     import java.nio.charset.StandardCharsets
     import java.nio.file.{Files, Paths, StandardCopyOption}

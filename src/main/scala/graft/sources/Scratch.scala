@@ -33,6 +33,11 @@ object Scratch {
   def dir(prefix: String): String =
     Files.createTempDirectory(root, prefix).toString
 
+  /** Best-effort recursive delete, exposed for per-batch ledger
+    * pruning (the streaming ingest's settled batch roots).
+    */
+  private[graft] def deleteRecursively(p: Path): Unit = deleteQuietly(p)
+
   private val memo = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Per-JVM memoized scratch fixture: `build` runs once per `key`

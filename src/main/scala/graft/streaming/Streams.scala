@@ -1370,6 +1370,128 @@ object Streams {
     trigger.fold(w)(w.trigger).start()
   }
 
+  // ---------------------------------------------------------------------
+  // Standing cascade ingest — the third leg of the stored cascade's
+  // streaming lifecycle (serve: cascadeServeStream; forget:
+  // erasureStream/userErasureStream; this: append). Vector deltas
+  // arrive as a stream of (vec_id, embedding) rows and each
+  // micro-batch lands in BOTH tiers through [[graft.queries.VectorOps
+  // .appendCascadeDurable]] under a PER-BATCH intent root, so the two
+  // replay hazards compose into the existing protocols instead of
+  // needing a new one:
+  //   - replay of a LANDED batch (crash after the body ran but before
+  //     the source offsets committed): the batch root's
+  //     `_completed.ledger` — the marker the durable append already
+  //     leaves behind — short-circuits the replay to a no-op. A blind
+  //     re-append would violate the appenders' new-ids-only contract
+  //     and fan duplicate candidates into the cascade's tier 2.
+  //   - crash INSIDE the pair (between the BQ and SQ8 tier appends):
+  //     the batch root's pending `_intent.ledger` routes the replay to
+  //     [[graft.queries.VectorOps.resumeAppendCascade]], which heals
+  //     the half-append from disk alone (epoch-snapshot rule) and
+  //     restores the coverage contract.
+  // foreachBatch's serialized execution is the single-writer contract
+  // both manifests require; settled batch roots (strictly below the
+  // running batchId, completed marker present) are pruned so ledger
+  // storage is bounded by one in-flight batch, not stream lifetime.
+  // Caller contract unchanged from the batch appenders: new vec_ids
+  // only, across the stream's lifetime.
+  // ---------------------------------------------------------------------
+
+  /** Apply one vector-delta batch under the per-batch intent root —
+    * the foreachBatch body, exposed for the replay and crash drills
+    * (`failAfter` threads through to the durable append's planted
+    * crash between the two tier appends).
+    *
+    * `dedupIds = true` anti-joins the arriving ids against BOTH tiers'
+    * stored id sets before staging — the appenders' new-ids-only
+    * contract enforced at the stream boundary, so an at-least-once
+    * upstream redelivering a vec_id in a LATER batch (different
+    * batchId — the per-batch ledger can't see it) doesn't fan
+    * duplicate candidates into tier 2. Both tiers are consulted so a
+    * diverged pair (one-tier orphan) still counts as "existing".
+    * Deterministic under replay: the filter runs against index state
+    * that only changes AFTER the intent persists, and a replay with a
+    * pending intent resumes from the staged delta, never re-filters.
+    * Scope: a CROSS-batch guard. Within one batch the caller owns id
+    * uniqueness (the batch appenders' contract, unchanged) — collapsing
+    * same-id-different-embedding rows has no right answer.
+    */
+  private[graft] def applyCascadeIngestBatch(
+      batch: DataFrame, bqPath: String, sq8Path: String,
+      ledgerRoot: String, batchId: Long,
+      failAfter: Int = Int.MaxValue, dedupIds: Boolean = false): Unit = {
+    import java.nio.file.{Files, Paths}
+    // the root is created by the durable append itself (delta staging);
+    // an empty batch leaves no root at all, so nothing lingers
+    val root = Paths.get(ledgerRoot, s"batch-$batchId")
+    if (Files.exists(root.resolve("_completed.ledger"))) ()
+    else if (Files.exists(root.resolve("_intent.ledger")))
+      graft.queries.VectorOps.resumeAppendCascade(batch.sparkSession, root.toString)
+    else {
+      val delta =
+        if (!dedupIds) batch
+        else {
+          val s = batch.sparkSession
+          val stored = graft.queries.VectorOps.storedBqWords(s, bqPath)
+            .select("vec_id")
+            .union(graft.queries.VectorOps.storedSq8Codes(s, sq8Path)
+              .select("vec_id"))
+          batch.join(stored, Seq("vec_id"), "left_anti")
+        }
+      if (!delta.isEmpty)
+        graft.queries.VectorOps.appendCascadeDurable(
+          delta, bqPath, sq8Path, root.toString, failAfter)
+    }
+    pruneSettledIngest(ledgerRoot, batchId)
+  }
+
+  /** Prune settled ingest batch roots: micro-batches execute serially,
+    * so by the time batch N runs, every completed root below N has
+    * committed offsets and can never be consulted again. Roots without
+    * the completed marker are left alone (they should not exist below
+    * the running batch; conservatism costs one directory).
+    */
+  private def pruneSettledIngest(ledgerRoot: String, batchId: Long): Unit = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    if (!Files.isDirectory(Paths.get(ledgerRoot))) return
+    scala.util.Using.resource(Files.list(Paths.get(ledgerRoot))) { ls =>
+      ls.iterator().asScala.toVector.foreach { p =>
+        val n = p.getFileName.toString
+        if (n.startsWith("batch-") &&
+            n.stripPrefix("batch-").toLongOption.exists(_ < batchId) &&
+            Files.exists(p.resolve("_completed.ledger")))
+          graft.sources.Scratch.deleteRecursively(p)
+      }
+    }
+  }
+
+  /** Start the standing cascade ingest over a streaming frame of
+    * vector deltas (`vec_id`, `embedding`). Both stored artifacts must
+    * exist ([[graft.queries.VectorOps.writeBqIndex]]/`writeSq8Index`);
+    * the checkpoint carries source offsets + the per-batch intent
+    * ledger. Pairs with [[cascadeServeStream]]: its per-batch
+    * epoch-following contract means a delta landed by batch N here is
+    * served by the NEXT request batch there, and the paired append
+    * keeps the serve's cross-tier straddle window one-batch-narrow.
+    * `dedupIds` turns on the cross-batch redelivery guard (see
+    * [[applyCascadeIngestBatch]]) at the price of one id-column scan
+    * of each tier per batch.
+    */
+  def cascadeIngestStream(deltas: DataFrame, bqPath: String, sq8Path: String,
+      checkpointDir: String, trigger: Option[Trigger] = None,
+      dedupIds: Boolean = false): StreamingQuery = {
+    val w = deltas.writeStream
+      .option("checkpointLocation", s"$checkpointDir/offsets")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyCascadeIngestBatch(
+          batch, bqPath, sq8Path, s"$checkpointDir/ledger", batchId,
+          dedupIds = dedupIds)
+      }
+    trigger.fold(w)(w.trigger).start()
+  }
+
   /** Start the standing table ingest over a streaming frame of events
     * (the [[graft.sources.Tables.events]] shape: `ts_sec`, `user_id`,
     * the payload columns). The table must exist

@@ -161,6 +161,59 @@ class CurationSpec extends SparkSpec {
     assert(again.toSet === rows.toSet)
   }
 
+  test("t_weighted_sample: exactly k, deterministic, and equals the exploded min-key draw") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.01"
+    val rows = Catalog.queries("t_weighted_sample")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length === 60)
+    // every weight is the lang's tier
+    rows.foreach { case (_, lang, w, _) =>
+      val expect = lang match {
+        case "en" => 1L; case "de" => 3L; case "fr" => 5L; case _ => 2L
+      }
+      assert(w === expect, s"$lang weighted $w")
+    }
+    // pure function of the corpus: re-running is identical
+    val again = Catalog.queries("t_weighted_sample")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(again.toSet === rows.toSet)
+    // cross-check through an INDEPENDENT plan: explode the virtual
+    // copies and take the k smallest per-doc min keys — must draw the
+    // same set the catalog row's transform/array_min projection drew
+    val s = spark; import s.implicits._
+    val w = when($"lang" === "en", 1L)
+      .when($"lang" === "de", 3L).when($"lang" === "fr", 5L).otherwise(2L)
+    val exploded = spark.read.parquet(s"$sf/documents.parquet")
+      .withColumn("w", w)
+      .withColumn("j", explode(sequence(lit(0L), $"w" - 1L)))
+      .withColumn("hk", TextOps.h60(concat(
+        $"doc_id".cast("string"), lit(":wsample:"), $"j".cast("string"))))
+      .groupBy($"doc_id").agg(min($"hk").as("draw_key"))
+      .orderBy($"draw_key".asc, $"doc_id".asc).limit(60)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows.map(r => (r._1, r._4)).toSet === exploded)
+  }
+
+  test("weighted draw: min-of-copies keys select proportionally to weight") {
+    // the expansion equivalence the catalog row's Scaladoc claims, checked
+    // by Monte-Carlo over the SALT (each trial is an independent draw):
+    // a w=4 item must beat a w=1 item ~80% of the time
+    def h60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val trials = 500
+    val wins = (0 until trials).count { t =>
+      val a = h60(s"a:$t:0")
+      val b = (0 until 4).map(j => h60(s"b:$t:$j")).min
+      b < a
+    }
+    // E = 400, sd = sqrt(500 * 0.8 * 0.2) ~ 8.9; +-5 sigma band
+    assert(wins > 355 && wins < 445, s"w=4 won $wins/$trials, expected ~400")
+  }
+
   test("t_seq_pack: sequences fill to exactly 512 tokens and cover every doc") {
     val rows = Catalog.queries("t_seq_pack")(spark, "/root/testdata/sf0.01")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
