@@ -725,6 +725,46 @@ object StreamBench {
           s""""unit":"requests/sec","requests":$nReq,"answered":$answered,""" +
           s""""secs":$secs,"sf":"$sfDir"}""")
     }
+    // Fourteenth probe: STANDING CASCADE INGEST — the write path the
+    // three serving probes assume already happened. Deltas are the
+    // embedding corpus replayed under fresh vec_ids, streamed through
+    // cascadeIngestStream (per-batch durable paired append: BQ words +
+    // SQ8 codes per micro-batch, intent-ledger exactly-once). Publishes
+    // end-to-end vectors/sec AND the closing coverage audit (must be
+    // (corpus + ingested, 0, 0) — a nonzero single-tier count means a
+    // batch straddled the pair, which the protocol exists to prevent).
+    // Numbers recorded in SCALING.md ("cascade ingest probe").
+    locally {
+      val emb = Tables.embeddings(spark, sfDir)
+      val bqIdx = java.nio.file.Files.createTempDirectory("sbench-ing-bq").toString
+      val sqIdx = java.nio.file.Files.createTempDirectory("sbench-ing-sq8").toString
+      graft.queries.VectorOps.writeBqIndex(emb, bqIdx)
+      graft.queries.VectorOps.writeSq8Index(emb, sqIdx)
+      val eStats = emb.agg(max($"vec_id"), count(lit(1))).first()
+      val eMax = eStats.getLong(0) + 1
+      val nVec = eStats.getLong(1) * replicas
+      val staged = emb
+        .crossJoin(spark.range(replicas).select($"id".as("rep")))
+        .select(($"vec_id" + $"rep" * eMax + 2000000L).as("vec_id"), $"embedding")
+      val dStage = java.nio.file.Files.createTempDirectory("deltas-sbench").toString
+      staged.repartition(8).write.mode("overwrite").parquet(dStage)
+      val t0 = System.nanoTime()
+      val q = Streams.cascadeIngestStream(
+        spark.readStream.schema("vec_id LONG, embedding ARRAY<FLOAT>")
+          .option("maxFilesPerTrigger", "2").parquet(dStage),
+        bqIdx, sqIdx,
+        java.nio.file.Files.createTempDirectory("ckpt-sbench-ingest").toString,
+        trigger = Some(Trigger.AvailableNow()))
+      q.awaitTermination()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val cov = graft.queries.VectorOps
+        .cascadeCoverageAudit(spark, bqIdx, sqIdx).first()
+      println(
+        s"""{"metric":"cascade_ingest_vectors_per_sec","value":${(nVec / secs).toLong},""" +
+          s""""unit":"vectors/sec","vectors":$nVec,"both_tiers":${cov.getLong(0)},""" +
+          s""""bq_only":${cov.getLong(1)},"sq8_only":${cov.getLong(2)},""" +
+          s""""secs":$secs,"sf":"$sfDir"}""")
+    }
     spark.stop()
   }
 }

@@ -73,6 +73,51 @@ class CascadeIngestSpec extends SparkSpec {
       "a vector landed by the ingest stream must be servable")
   }
 
+  test("live lifecycle: ingest and serve streams run together; a landed delta serves next batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val (bq, sq, base) = buildPair(15L)
+    val v700 = vec()
+    // the float store the serve reranks against is the deployment's
+    // remote fetch tier — a superset is fine (the INDEX decides
+    // visibility, which is exactly what this drill pins)
+    val corpus = df(base :+ (700L -> v700))
+
+    val deltas = MemoryStream[(Long, Array[Float])]
+    val requests = MemoryStream[(Long, Array[Float])]
+    val out = tmp("cing-live-out")
+    val ingest = Streams.cascadeIngestStream(
+      deltas.toDF().toDF("vec_id", "embedding"), bq, sq, tmp("cing-live-ick"))
+    val serve = Streams.cascadeServeStream(
+      requests.toDF().toDF("query_id", "embedding"), bq, sq, corpus,
+      out, tmp("cing-live-sck"))
+    try {
+      // request BEFORE the ingest: 700 is not in either artifact, so the
+      // serve's top-1 for its embedding is some base vector, never 700
+      requests.addData(Seq((9000L, v700)))
+      serve.processAllAvailable()
+      val before = spark.read.option("basePath", out).parquet(out)
+        .filter($"query_id" === 9000L && $"rnk" === 1L)
+        .select($"cand_id").collect().map(_.getLong(0))
+      assert(before.nonEmpty && before.head != 700L,
+        "an unserved id must not be servable before its ingest batch lands")
+
+      // the delta lands through the standing ingest...
+      deltas.addData(Seq((700L, v700)))
+      ingest.processAllAvailable()
+      assert(audit(bq, sq) === ((16L, 0L, 0L)))
+
+      // ...and the NEXT request batch serves it (per-batch epoch following)
+      requests.addData(Seq((9001L, v700)))
+      serve.processAllAvailable()
+      val after = spark.read.option("basePath", out).parquet(out)
+        .filter($"query_id" === 9001L && $"rnk" === 1L)
+        .select($"cand_id").collect().map(_.getLong(0))
+      assert(after.toSeq === Seq(700L),
+        "the vector landed by ingest batch N must serve from the next request batch")
+    } finally { ingest.stop(); serve.stop() }
+  }
+
   test("replay of a landed batch is a no-op: epochs, coverage, and code rows unchanged") {
     val (bq, sq, _) = buildPair(10L)
     val ledger = tmp("cing-ledger")
