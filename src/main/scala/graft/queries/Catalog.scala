@@ -61,5 +61,6 @@ object Catalog {
     "t_cluster_topics", "e_pagerank", "t_linreg_stats", "e_clustering",
     "e_item_cooccur", "e_attribution", "v_ivf_recall_trained", "t_token_drift",
     "t_bm25_search", "e_communities", "t_scd2_history", "t_proximity_search",
-    "v_bq_search", "v_sq8_search", "t_temperature_mix", "v_cascade_search")
+    "v_bq_search", "v_sq8_search", "t_temperature_mix", "v_cascade_search",
+    "t_weighted_sample")
 }

@@ -195,6 +195,16 @@ class CurationSpec extends SparkSpec {
     assert(rows.map(r => (r._1, r._4)).toSet === exploded)
   }
 
+  test("t_weighted_sample plans as a bounded global top-k, no shuffle") {
+    val formatted = Catalog.queries("t_weighted_sample")(spark, "/root/testdata/sf0.01")
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // orderBy().limit(k) must stay TakeOrderedAndProject (each partition
+    // ships at most k rows to the driver merge); a row_number formulation
+    // would plan a global Window behind an Exchange SinglePartition
+    assert(formatted.contains("TakeOrderedAndProject"), formatted)
+    assert(!formatted.contains("Exchange"), formatted)
+  }
+
   test("weighted draw: min-of-copies keys select proportionally to weight") {
     // the expansion equivalence the catalog row's Scaladoc claims, checked
     // by Monte-Carlo over the SALT (each trial is an independent draw):
