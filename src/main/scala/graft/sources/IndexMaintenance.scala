@@ -112,4 +112,100 @@ object IndexMaintenance {
     }.toDF("name", "family", "window_len", "total_rows", "del_rows",
       "action", "reason")
   }
+
+  // ---------------------------------------------------------------------
+  // Snapshot EXPORT — the reproducibility primitive made into a release
+  // artifact. Time travel (stateAsOf) lets a reader pin a past epoch,
+  // but the pin dies the moment a compaction moves the window floor and
+  // the janitor vacuums the superseded epochs: "the epoch my training
+  // run read" is only replayable while the source's maintenance
+  // schedule happens to preserve it. exportSnapshot clones the pinned
+  // window into a standalone root — same manifest machinery, same
+  // component layout, byte-identical files — so the clone's HEAD is
+  // the pinned view forever, immune to whatever append/compact/vacuum
+  // the source does next. A training-data release is exactly this: an
+  // immutable artifact with the index state the run actually used.
+  //
+  // The copy is FILE-level, never row-level: a Spark re-write would
+  // re-partition the data and silently degrade layout the readers
+  // exploit (the layout family's z-order file clustering, the postings'
+  // bucket directories), while byte-copied files keep every footer
+  // statistic and directory shape intact. The file list is O(files)
+  // driver work (the same listing class as describe/vacuum); the bytes
+  // move in a distributed Spark job — one task per file batch — which
+  // is the 100 TB shape of every distcp-style export.
+  //
+  // What is copied, per the fleet's on-disk grammar:
+  //   - component/epoch=N directories with floor <= N <= pinned epoch
+  //     (append-only slices and rewrite stages share this filter: a
+  //     rewrite epoch above the pin must not leak into the clone);
+  //   - component/gen=N directories under the same filter (the IVF-PQ
+  //     centroid generations are keyed by window floors);
+  //   - un-versioned component directories verbatim (e.g. the PQ
+  //     codewords trained once at build);
+  //   - root-level regular files except the manifest (future ledgers);
+  // then a fresh manifest commits the clone at (pinned epoch, floor) in
+  // the source's family — every family reader works on the clone
+  // unchanged, including further as-of pins WITHIN the cloned window.
+  // ---------------------------------------------------------------------
+
+  /** Clone the index at `src` into the empty/nonexistent root `dst`,
+    * pinned at `asOf` (default: the committed head). Returns the
+    * clone's committed state.
+    */
+  def exportSnapshot(s: SparkSession, src: String, dst: String,
+      asOf: Option[Long] = None): IndexManifest.State = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val head = IndexManifest.read(src).getOrElse(throw new IllegalStateException(
+      s"no commit manifest at $src - nothing exportable (crashed or pre-manifest build)"))
+    val fmt = fmtOf(head.family)
+    val st = asOf.map(IndexManifest.stateAsOf(src, _, fmt)).getOrElse(head)
+    val dstP = Paths.get(dst)
+    require(!Files.exists(dstP) ||
+        scala.util.Using.resource(Files.list(dstP))(!_.iterator().hasNext),
+      s"export destination $dst exists and is not empty - refusing to merge into it")
+
+    def ls(p: java.nio.file.Path): Seq[java.nio.file.Path] =
+      if (!Files.isDirectory(p)) Seq.empty
+      else scala.util.Using.resource(Files.list(p))(_.iterator().asScala.toVector)
+    def versionOf(name: String): Option[Long] =
+      Seq("epoch=", "gen=").collectFirst {
+        case pre if name.startsWith(pre) => name.stripPrefix(pre).toLongOption
+      }.flatten
+    def filesUnder(p: java.nio.file.Path): Seq[java.nio.file.Path] =
+      scala.util.Using.resource(Files.walk(p))(
+        _.iterator().asScala.filter(Files.isRegularFile(_)).toVector)
+
+    val srcP = Paths.get(src)
+    val kept: Seq[java.nio.file.Path] = ls(srcP).flatMap { child =>
+      val name = child.getFileName.toString
+      if (Files.isRegularFile(child))
+        if (name == "_graft_manifest.json" || name.startsWith("._graft_manifest"))
+          Seq.empty
+        else Seq(child)
+      else
+        ls(child).flatMap { sub =>
+          versionOf(sub.getFileName.toString) match {
+            case Some(v) =>
+              if (v >= st.baseEpoch && v <= st.epoch) filesUnder(sub) else Seq.empty
+            case None => filesUnder(sub) // un-versioned component content
+          }
+        }
+    }
+    val pairs = kept.map { f =>
+      (f.toString, dstP.resolve(srcP.relativize(f)).toString)
+    }
+    // distributed byte copy; REPLACE_EXISTING keeps task retries idempotent
+    if (pairs.nonEmpty)
+      s.sparkContext.parallelize(pairs, math.min(pairs.size, 32)).foreach {
+        case (from, to) =>
+          val t = java.nio.file.Paths.get(to)
+          java.nio.file.Files.createDirectories(t.getParent)
+          java.nio.file.Files.copy(java.nio.file.Paths.get(from), t,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    IndexManifest.commit(dst, st.epoch, st.baseEpoch, fmt)
+    st
+  }
 }

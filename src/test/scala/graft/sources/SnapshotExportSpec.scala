@@ -1,0 +1,92 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.queries.{SearchOps, VectorOps}
+
+/** Snapshot export: a clone pinned at an epoch must serve exactly the
+  * pinned view through the family's own read APIs, and — the point —
+  * keep serving it after the SOURCE compacts and vacuums that epoch
+  * out of existence (time travel alone dies with the janitor).
+  */
+class SnapshotExportSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+
+  private val dayOne = Seq(
+    1L -> "spark join window spark filter",
+    2L -> "join window shuffle state",
+    3L -> "spark spark spark join")
+  private val dayTwo = Seq(
+    4L -> "window window join spark stream",
+    5L -> "spark window checkpoint join window")
+  private val terms = Seq("spark", "join", "window")
+
+  private def search(dir: String, asOf: Option[Long] = None) =
+    SearchOps.bm25SearchFromIndex(spark, dir, terms, 10, asOf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq
+
+  test("postings clone at a past epoch serves the pinned view, and outlives source vacuum") {
+    val src = tmp("snap-src")
+    SearchOps.writePostingsIndex(dayOne.toDF("doc_id", "text"), src)
+    SearchOps.appendPostingsIndex(dayTwo.toDF("doc_id", "text"), src)
+    val headView = search(src)
+    val pinnedView = search(src, asOf = Some(0L))
+    assert(headView !== pinnedView, "fixture must make the two epochs distinguishable")
+
+    // clone epoch 0 (the training run's recorded epoch) and the head
+    val relDst = tmp("snap-rel"); val headDst = tmp("snap-head")
+    val relState = IndexMaintenance.exportSnapshot(spark, src, relDst, asOf = Some(0L))
+    IndexMaintenance.exportSnapshot(spark, src, headDst)
+    assert(relState.epoch === 0L && relState.family === "postings")
+    assert(search(relDst) === pinnedView, "the clone's HEAD is the pinned view")
+    assert(search(headDst) === headView)
+
+    // source moves on: compaction rebases the floor, vacuum deletes the
+    // superseded epochs — the source can no longer replay epoch 0...
+    SearchOps.compactPostingsIndex(spark, src)
+    IndexManifest.vacuum(src, IndexManifest.Postings)
+    val refused = intercept[IllegalArgumentException] { search(src, asOf = Some(0L)) }
+    assert(refused.getMessage.contains("below the floor were compacted away"))
+    // ...but the release artifact still serves exactly what the run read
+    assert(search(relDst) === pinnedView,
+      "the exported snapshot must be immune to the source's maintenance schedule")
+  }
+
+  test("ivfpq clone copies all three component shapes and serves identically") {
+    val emb = (0L until 64L)
+      .map(i => (i, Array.fill(16)(new scala.util.Random(i).nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val src = tmp("snap-pq-src"); val dst = tmp("snap-pq-dst")
+    VectorOps.writeIvfPqIndex(emb, src)
+    val st = IndexMaintenance.exportSnapshot(spark, src, dst)
+    assert(st.family === "ivfpq")
+    // the clone carries epoch= slices (codes, dels), gen= dirs
+    // (centroids), and the un-versioned codewords — all three shapes
+    val queries = emb.filter($"vec_id" < 3L)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val a = VectorOps.ivfPqSearchFromIndex(spark, src, queries)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).sorted.toSeq
+    val b = VectorOps.ivfPqSearchFromIndex(spark, dst, queries)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).sorted.toSeq
+    assert(a === b, "the clone must rank byte-for-byte like the source")
+  }
+
+  test("export refuses a non-empty destination and an uncommitted source") {
+    val src = tmp("snap-ref-src")
+    SearchOps.writePostingsIndex(dayOne.toDF("doc_id", "text"), src)
+    val dirty = tmp("snap-ref-dirty")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dirty, "stray"), Array[Byte](1))
+    val ex = intercept[IllegalArgumentException] {
+      IndexMaintenance.exportSnapshot(spark, src, dirty)
+    }
+    assert(ex.getMessage.contains("not empty"))
+    val bare = tmp("snap-ref-bare") // no manifest: a crashed build
+    val ex2 = intercept[IllegalStateException] {
+      IndexMaintenance.exportSnapshot(spark, bare, tmp("snap-ref-out"))
+    }
+    assert(ex2.getMessage.contains("nothing exportable"))
+  }
+}
