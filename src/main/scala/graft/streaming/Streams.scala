@@ -1492,6 +1492,107 @@ object Streams {
     trigger.fold(w)(w.trigger).start()
   }
 
+  // ---------------------------------------------------------------------
+  // Generic single-family index ingest — the cascade stream's
+  // exactly-once discipline for EVERY other stored family (postings,
+  // LSH, IVF-PQ, BQ, SQ8, cooccur: anything with an appender over the
+  // manifest). A single family needs no paired-intent protocol; the
+  // manifest itself is the ledger, and one persisted number per batch
+  // closes the replay hole: the batch's PRE-append committed epoch is
+  // written (tmp+rename, keyed by batchId) BEFORE the append runs, so
+  //   - replay after the append committed: committed epoch > marker →
+  //     skip (a blind re-append would violate new-ids-only and
+  //     double-count stats);
+  //   - replay after a crash mid-append (epoch staged, manifest not
+  //     advanced): committed epoch == marker → re-run; the appenders
+  //     stage with overwrite into their epoch directory, so re-staging
+  //     the same epoch is idempotent;
+  //   - replay before the marker: nothing happened, runs fresh.
+  // Markers below the running batchId prune each batch (serialized
+  // micro-batch execution — the erasure streams' argument).
+  // ---------------------------------------------------------------------
+
+  /** Read the batch's persisted pre-append epoch, or take and persist
+    * it (atomic tmp+rename keyed by batchId).
+    */
+  private def batchPreEpoch(ledgerRoot: String, batchId: Long,
+      now: => Long): Long = {
+    import java.nio.charset.StandardCharsets
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    Files.createDirectories(Paths.get(ledgerRoot))
+    val f = Paths.get(ledgerRoot, s"batch-$batchId.epoch")
+    if (Files.exists(f))
+      new String(Files.readAllBytes(f), StandardCharsets.UTF_8).trim.toLong
+    else {
+      val e = now
+      val tmp = Paths.get(ledgerRoot, s".batch-$batchId.tmp")
+      Files.write(tmp, s"$e\n".getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, f,
+        StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+      e
+    }
+  }
+
+  private def pruneSettledEpochMarkers(ledgerRoot: String, batchId: Long): Unit = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    if (!Files.isDirectory(Paths.get(ledgerRoot))) return
+    scala.util.Using.resource(Files.list(Paths.get(ledgerRoot))) { ls =>
+      ls.iterator().asScala.toVector.foreach { p =>
+        val n = p.getFileName.toString
+        if (n.startsWith("batch-") && n.endsWith(".epoch") &&
+            n.stripPrefix("batch-").stripSuffix(".epoch")
+              .toLongOption.exists(_ < batchId))
+          Files.delete(p)
+      }
+    }
+  }
+
+  /** Apply one delta batch to a single stored family — the foreachBatch
+    * body, exposed for the replay/crash drills. `append` is the
+    * family's appender partially applied to its root (e.g.
+    * `SearchOps.appendPostingsIndex(_, path)`); `committedEpoch` reads
+    * the same root with the family's format pin.
+    */
+  private[graft] def applyIndexIngestBatch(
+      batch: DataFrame, committedEpoch: () => Long, append: DataFrame => Unit,
+      ledgerRoot: String, batchId: Long): Unit = {
+    // the marker persists even for an empty batch: emptiness is a
+    // property of the replayed data, not of this run, so the cheap
+    // uniform write keeps the protocol one-shaped
+    val pre = batchPreEpoch(ledgerRoot, batchId, committedEpoch())
+    if (committedEpoch() == pre && !batch.isEmpty) append(batch)
+    pruneSettledEpochMarkers(ledgerRoot, batchId)
+  }
+
+  /** Start a standing ingest into ONE stored index family: each
+    * micro-batch becomes (at most) one committed epoch via the family's
+    * own appender, exactly-once under the per-batch epoch marker.
+    * Callers supply the appender and the epoch reader bound to the same
+    * root, e.g. for the positional postings index:
+    * {{{
+    * Streams.indexIngestStream(docs,
+    *   () => IndexManifest.committedEpoch(path, IndexManifest.Postings),
+    *   SearchOps.appendPostingsIndex(_, path), ckpt)
+    * }}}
+    * Caller contract is the appender's own (new ids only across the
+    * stream); the BQ+SQ8 pair has its own paired protocol
+    * ([[cascadeIngestStream]]) — do not point two of these at the two
+    * halves of a cascade, a crash between their independent commits is
+    * exactly the divergence the paired intent root exists to close.
+    */
+  def indexIngestStream(deltas: DataFrame, committedEpoch: () => Long,
+      append: DataFrame => Unit, checkpointDir: String,
+      trigger: Option[Trigger] = None): StreamingQuery = {
+    val w = deltas.writeStream
+      .option("checkpointLocation", s"$checkpointDir/offsets")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyIndexIngestBatch(
+          batch, committedEpoch, append, s"$checkpointDir/ledger", batchId)
+      }
+    trigger.fold(w)(w.trigger).start()
+  }
+
   /** Start the standing table ingest over a streaming frame of events
     * (the [[graft.sources.Tables.events]] shape: `ts_sec`, `user_id`,
     * the payload columns). The table must exist
