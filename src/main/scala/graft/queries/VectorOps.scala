@@ -4175,7 +4175,11 @@ object VectorOps {
     * every day's fold — the caller's ingest ledger already knows which
     * ids are new (the same line of defense as the committed-replay
     * hazard). For the BQ+SQ8 pair, [[appendCascadeDurable]] wraps both
-    * appends in one crash-resumable intent.
+    * appends in one crash-resumable intent; streaming callers that
+    * can't track ids upstream can opt into the id anti-join at the
+    * stream boundary instead ([[graft.streaming.Streams
+    * .cascadeIngestStream]]'s `dedupIds` — paying the id scan per
+    * micro-batch is then an explicit choice, not a default tax).
     */
   def appendSq8Index(delta: DataFrame, path: String): Unit = {
     import graft.sources.IndexManifest
