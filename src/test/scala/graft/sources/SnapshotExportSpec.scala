@@ -73,6 +73,28 @@ class SnapshotExportSpec extends SparkSpec {
     assert(a === b, "the clone must rank byte-for-byte like the source")
   }
 
+  test("layout clone resolves tombstones and replays within-window as-of like the source") {
+    import org.apache.spark.sql.functions._
+    val src = tmp("snap-lay-src")
+    val evs = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+    graft.queries.LayoutOps.writeEventTable(evs.filter($"user_id" < 40L), src)
+    graft.queries.LayoutOps.appendEventTable(
+      evs.filter($"user_id" >= 40L && $"user_id" < 60L), src, nFiles = 2)
+    graft.queries.LayoutOps.forgetEventTableUsers(
+      Seq(7L).toDF("user_id"), src) // epoch 2: a dels slice
+    def rows(dir: String, asOf: Option[Long] = None) =
+      graft.queries.LayoutOps.readEventTable(spark, dir, asOf)
+        .select($"event_id").collect().map(_.getLong(0)).toSet
+    val dst = tmp("snap-lay-dst")
+    IndexMaintenance.exportSnapshot(spark, src, dst)
+    assert(rows(dst) === rows(src),
+      "the clone's resolved view (data minus tombstones) must equal the source's")
+    assert(rows(dst).nonEmpty && rows(dst, Some(1L)) === rows(src, Some(1L)),
+      "as-of pins WITHIN the cloned window replay on the clone (user 7 still visible)")
+    assert(rows(dst, Some(1L)) !== rows(dst),
+      "the fixture must make the pre-forget epoch distinguishable")
+  }
+
   test("export refuses a non-empty destination and an uncommitted source") {
     val src = tmp("snap-ref-src")
     SearchOps.writePostingsIndex(dayOne.toDF("doc_id", "text"), src)
