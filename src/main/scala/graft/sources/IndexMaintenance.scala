@@ -160,10 +160,15 @@ object IndexMaintenance {
     val head = IndexManifest.read(src).getOrElse(throw new IllegalStateException(
       s"no commit manifest at $src - nothing exportable (crashed or pre-manifest build)"))
     val fmt = fmtOf(head.family)
-    val st = asOf.map(IndexManifest.stateAsOf(src, _, fmt)).getOrElse(head)
+    // committedState (not the raw read) on BOTH paths: a source whose
+    // stored format_version predates this build must fail fast here, or
+    // the clone's fresh manifest would silently relabel old bytes as the
+    // current format and defeat the readers' version gate
+    val st = asOf.map(IndexManifest.stateAsOf(src, _, fmt))
+      .getOrElse(IndexManifest.committedState(src, fmt))
     val dstP = Paths.get(dst)
-    require(!Files.exists(dstP) ||
-        scala.util.Using.resource(Files.list(dstP))(!_.iterator().hasNext),
+    require(!Files.exists(dstP) || (Files.isDirectory(dstP) &&
+        scala.util.Using.resource(Files.list(dstP))(!_.iterator().hasNext)),
       s"export destination $dst exists and is not empty - refusing to merge into it")
 
     def ls(p: java.nio.file.Path): Seq[java.nio.file.Path] =

@@ -743,9 +743,12 @@ object StreamBench {
       val eStats = emb.agg(max($"vec_id"), count(lit(1))).first()
       val eMax = eStats.getLong(0) + 1
       val nVec = eStats.getLong(1) * replicas
+      // fresh ids start at eMax so no replica can collide with a base
+      // vec_id (these ids ENTER the index; a fixed +2e6 offset would
+      // break the new-ids-only contract on any corpus with ids past it)
       val staged = emb
         .crossJoin(spark.range(replicas).select($"id".as("rep")))
-        .select(($"vec_id" + $"rep" * eMax + 2000000L).as("vec_id"), $"embedding")
+        .select(($"vec_id" + ($"rep" + 1L) * eMax).as("vec_id"), $"embedding")
       val dStage = java.nio.file.Files.createTempDirectory("deltas-sbench").toString
       staged.repartition(8).write.mode("overwrite").parquet(dStage)
       val t0 = System.nanoTime()

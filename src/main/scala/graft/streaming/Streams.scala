@@ -1428,20 +1428,25 @@ object Streams {
     if (Files.exists(root.resolve("_completed.ledger"))) ()
     else if (Files.exists(root.resolve("_intent.ledger")))
       graft.queries.VectorOps.resumeAppendCascade(batch.sparkSession, root.toString)
-    else {
-      val delta =
-        if (!dedupIds) batch
-        else {
-          val s = batch.sparkSession
-          val stored = graft.queries.VectorOps.storedBqWords(s, bqPath)
-            .select("vec_id")
-            .union(graft.queries.VectorOps.storedSq8Codes(s, sq8Path)
-              .select("vec_id"))
-          batch.join(stored, Seq("vec_id"), "left_anti")
-        }
-      if (!delta.isEmpty)
+    else if (!dedupIds) {
+      if (!batch.isEmpty)
         graft.queries.VectorOps.appendCascadeDurable(
-          delta, bqPath, sq8Path, root.toString, failAfter)
+          batch, bqPath, sq8Path, root.toString, failAfter)
+    } else {
+      val s = batch.sparkSession
+      val stored = graft.queries.VectorOps.storedBqWords(s, bqPath)
+        .select("vec_id")
+        .union(graft.queries.VectorOps.storedSq8Codes(s, sq8Path)
+          .select("vec_id"))
+      // persist so the emptiness probe and the append's delta staging
+      // evaluate the guard ONCE — each tier's id column is scanned one
+      // time per batch, as the stream starter's cost note promises
+      val delta = batch.join(stored, Seq("vec_id"), "left_anti").persist()
+      try {
+        if (delta.count() > 0L)
+          graft.queries.VectorOps.appendCascadeDurable(
+            delta, bqPath, sq8Path, root.toString, failAfter)
+      } finally delta.unpersist()
     }
     pruneSettledIngest(ledgerRoot, batchId)
   }

@@ -110,5 +110,27 @@ class SnapshotExportSpec extends SparkSpec {
       IndexMaintenance.exportSnapshot(spark, bare, tmp("snap-ref-out"))
     }
     assert(ex2.getMessage.contains("nothing exportable"))
+    // a destination that exists as a FILE refuses with the same message
+    val asFile = java.nio.file.Files.createTempFile("snap-ref-file", "").toString
+    val ex3 = intercept[IllegalArgumentException] {
+      IndexMaintenance.exportSnapshot(spark, src, asFile)
+    }
+    assert(ex3.getMessage.contains("not empty"))
+  }
+
+  test("export fails fast on a source whose stored format version predates this build") {
+    // plant a stale-format manifest: byte-identical files relabeled to
+    // the current version would defeat every reader's version gate
+    val src = tmp("snap-stale")
+    SearchOps.writePostingsIndex(dayOne.toDF("doc_id", "text"), src)
+    val f = java.nio.file.Paths.get(src, "_graft_manifest.json")
+    val body = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
+      .replace("\"format_version\": 2", "\"format_version\": 1")
+    java.nio.file.Files.write(f, body.getBytes("UTF-8"))
+    val ex = intercept[IllegalStateException] {
+      IndexMaintenance.exportSnapshot(spark, src, tmp("snap-stale-out"))
+    }
+    assert(ex.getMessage.contains("format_version 1"),
+      "the head-export path must version-gate like every reader")
   }
 }
