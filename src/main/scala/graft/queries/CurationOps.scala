@@ -225,26 +225,37 @@ object CurationOps {
   // banded oracle).
   // ---------------------------------------------------------------------
 
-  private val weightedK = 60
+  private[graft] val weightedK = 60
   private val langDrawWeights: Seq[(String, Int)] = // copies per lang
     Seq("en" -> 1, "de" -> 3, "fr" -> 5)
   private val defaultDrawWeight = 2
+
+  /** Adds `weight` (the lang tier) and `draw_key` (min of the weight's
+    * salted copy hashes) to a (doc_id, lang, ...) frame — the per-row
+    * half of the weighted draw, shared by the batch row and its
+    * streaming twin ([[graft.streaming.Streams.weightedSampleStream]]):
+    * the draw keys are a pure per-row function, so "smallest k keys"
+    * commutes with any batching of the input.
+    */
+  private[graft] def weightedDrawKeyed(docs: DataFrame): DataFrame = {
+    val w = langDrawWeights.foldLeft(lit(defaultDrawWeight)) {
+      case (acc, (l, r)) => when(col("lang") === l, lit(r)).otherwise(acc)
+    }
+    docs
+      .withColumn("weight", w.cast("long"))
+      .withColumn(
+        "draw_key",
+        array_min(transform(
+          sequence(lit(0L), col("weight") - 1L),
+          j => TextOps.h60(concat(
+            col("doc_id").cast("string"), lit(":wsample:"), j.cast("string"))))))
+  }
 
   val weightedSample = Q(
     "t_weighted_sample",
     (s, d) => {
       import s.implicits._
-      val w = langDrawWeights.foldLeft(lit(defaultDrawWeight)) {
-        case (acc, (l, r)) => when($"lang" === l, lit(r)).otherwise(acc)
-      }
-      docs(s, d)
-        .withColumn("weight", w.cast("long"))
-        .withColumn(
-          "draw_key",
-          array_min(transform(
-            sequence(lit(0L), $"weight" - 1L),
-            j => TextOps.h60(concat(
-              $"doc_id".cast("string"), lit(":wsample:"), j.cast("string"))))))
+      weightedDrawKeyed(docs(s, d))
         .orderBy($"draw_key".asc, $"doc_id".asc)
         .limit(weightedK)
         .select($"doc_id", $"lang", $"weight", $"draw_key")

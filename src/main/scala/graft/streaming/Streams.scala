@@ -1497,6 +1497,46 @@ object Streams {
     trigger.fold(w)(w.trigger).start()
   }
 
+  /** Standing weighted sample — the streaming twin of the catalog's
+    * `t_weighted_sample`: an exact-k weighted-without-replacement
+    * sample of EVERYTHING the stream has seen so far, re-emitted (in
+    * update mode) whenever a new arrival displaces a member. Sound
+    * because the draw key is a pure per-row function (min of the
+    * weight's salted copy hashes — [[graft.queries.CurationOps
+    * .weightedDrawKeyed]]) and "keep the k smallest keys" is a monoid:
+    * partial top-ks merge associatively, so the streaming aggregation
+    * state is ONE bounded k-element buffer ([[graft.functions
+    * .TopKAggregator]] with the key negated — its count-desc order
+    * becomes draw-key-asc), not the stream's history. At any cut-off
+    * the emitted sample equals the batch row over exactly the rows
+    * ingested so far — the property a monitoring sample of an
+    * unbounded corpus ingest needs (inspect 60 representative docs of
+    * "the corpus so far" at any moment, weights and all).
+    *
+    * Output: one row per update, `sample` = array of (key = doc_id,
+    * cnt = -draw_key) structs, best (smallest key) first — kept in the
+    * aggregator's wire shape; [[weightedSampleOf]] unpacks a batch of
+    * it. No watermark: the sample is over all history by design, and
+    * the state is O(k) regardless.
+    */
+  def weightedSampleStream(docs: DataFrame, k: Int = graft.queries.CurationOps.weightedK): DataFrame = {
+    val topk = org.apache.spark.sql.functions.udaf(
+      new graft.functions.TopKAggregator(k),
+      org.apache.spark.sql.Encoders.product[graft.functions.Scored])
+    graft.queries.CurationOps.weightedDrawKeyed(docs)
+      .select(col("doc_id").as("key"), (-col("draw_key")).as("cnt"))
+      .agg(topk(col("key"), col("cnt")).as("sample"))
+  }
+
+  /** Unpack one emitted [[weightedSampleStream]] row batch into
+    * (doc_id, draw_key) rows — batch-side (foreachBatch/memory sink),
+    * where generators after a streaming aggregate are unrestricted.
+    */
+  def weightedSampleOf(batch: DataFrame): DataFrame =
+    batch
+      .select(explode(col("sample")).as("s"))
+      .select(col("s.key").as("doc_id"), (-col("s.cnt")).as("draw_key"))
+
   // ---------------------------------------------------------------------
   // Generic single-family index ingest — the cascade stream's
   // exactly-once discipline for EVERY other stored family (postings,
