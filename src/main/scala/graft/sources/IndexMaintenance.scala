@@ -213,4 +213,31 @@ object IndexMaintenance {
     IndexManifest.commit(dst, st.epoch, st.baseEpoch, fmt)
     st
   }
+
+  /** Export the stored cascade's two artifacts as ONE release: the
+    * recorded (bq, sq8) epoch pair a serve logged — the cross-tier
+    * consistency unit ([[graft.queries.VectorOps.searchCascadeIndex]]'s
+    * independent as-of pins) — cloned into two fresh roots, so "replay
+    * the exact serve" survives both sources' maintenance schedules.
+    * Destinations validate BEFORE either copy starts (no half-exported
+    * pair from a bad second argument); each clone is itself atomic at
+    * its manifest commit, and a crash between the two clones leaves the
+    * second root manifest-less = unreadable by contract, so a partial
+    * pair can never serve (re-run the export; the first clone's root
+    * must then be cleared — it refuses merges).
+    */
+  def exportCascadePair(s: SparkSession, bqSrc: String, sq8Src: String,
+      bqDst: String, sq8Dst: String,
+      bqAsOf: Option[Long] = None, sq8AsOf: Option[Long] = None)
+      : (IndexManifest.State, IndexManifest.State) = {
+    import java.nio.file.{Files, Paths}
+    Seq(bqDst, sq8Dst).foreach { d =>
+      val p = Paths.get(d)
+      require(!Files.exists(p) || (Files.isDirectory(p) &&
+          scala.util.Using.resource(Files.list(p))(!_.iterator().hasNext)),
+        s"export destination $d exists and is not empty - refusing to merge into it")
+    }
+    (exportSnapshot(s, bqSrc, bqDst, bqAsOf),
+      exportSnapshot(s, sq8Src, sq8Dst, sq8AsOf))
+  }
 }

@@ -95,6 +95,49 @@ class SnapshotExportSpec extends SparkSpec {
       "the fixture must make the pre-forget epoch distinguishable")
   }
 
+  test("cascade-pair export: a recorded epoch pair replays the exact serve from the clones") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(912)
+    def vec() = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val base = (0L until 30L).map(i => (i, vec()))
+    val extra = (100L until 105L).map(i => (i, vec()))
+    def df(rows: Seq[(Long, Array[Float])]) =
+      spark.createDataset(rows).toDF("vec_id", "embedding")
+    val bq = tmp("snap-cp-bq"); val sq = tmp("snap-cp-sq8")
+    VectorOps.writeBqIndex(df(base), bq)
+    VectorOps.writeSq8Index(df(base), sq)
+    // the serve a training run logged: pair (0, 0), before this append
+    VectorOps.appendCascadeDurable(df(extra), bq, sq, tmp("snap-cp-intent"))
+    val corpus = df(base ++ extra)
+    val reqs = df(base.take(3)).select($"vec_id".as("query_id"), $"embedding")
+    def serve(b: String, q: String, bA: Option[Long], qA: Option[Long]) =
+      VectorOps.searchCascadeIndex(reqs, b, q, corpus,
+        excludeSelf = true, bqAsOf = bA, sq8AsOf = qA)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).sorted.toSeq
+    val logged = serve(bq, sq, Some(0L), Some(0L))
+    assert(logged !== serve(bq, sq, None, None),
+      "fixture must make the pinned pair distinguishable from the head")
+
+    val bqC = tmp("snap-cp-bqc"); val sqC = tmp("snap-cp-sqc")
+    IndexMaintenance.exportCascadePair(spark, bq, sq, bqC, sqC,
+      bqAsOf = Some(0L), sq8AsOf = Some(0L))
+    assert(serve(bqC, sqC, None, None) === logged,
+      "the cloned pair's HEAD serve must equal the logged pinned serve")
+    // destinations validate before either copy: a dirty SECOND root
+    // means the FIRST is never written either
+    val dirty = tmp("snap-cp-dirty")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dirty, "stray"), Array[Byte](1))
+    val clean = tmp("snap-cp-clean")
+    intercept[IllegalArgumentException] {
+      IndexMaintenance.exportCascadePair(spark, bq, sq, clean, dirty)
+    }
+    assert(scala.util.Using.resource(
+        java.nio.file.Files.list(java.nio.file.Paths.get(clean)))(
+        !_.iterator().hasNext),
+      "no half-exported pair: the first destination must stay untouched")
+  }
+
   test("export refuses a non-empty destination and an uncommitted source") {
     val src = tmp("snap-ref-src")
     SearchOps.writePostingsIndex(dayOne.toDF("doc_id", "text"), src)
