@@ -768,6 +768,47 @@ object StreamBench {
           s""""bq_only":${cov.getLong(1)},"sq8_only":${cov.getLong(2)},""" +
           s""""secs":$secs,"sf":"$sfDir"}""")
     }
+    // Fifteenth probe: STANDING POSTINGS INGEST — the text-side ingest
+    // twin of probe 14 (generic single-family path: per-batch epoch
+    // marker, exactly-once). Deltas are the documents table replayed
+    // under fresh doc_ids; each micro-batch becomes one committed
+    // postings epoch (bucket-partitioned positional slices + the terms/
+    // corpus stats rewrite), so the probe prices the real cost of a
+    // LIVE searchable index: the per-batch stats rewrite is the term
+    // dictionary's rewrite-component tax, amortized by batch size.
+    // Publishes docs/sec + the final epoch count and a search sanity
+    // hit count over the ingested window.
+    locally {
+      import graft.sources.IndexManifest
+      val docs = Tables.documents(spark, sfDir).select($"doc_id", $"text")
+      val idx = java.nio.file.Files.createTempDirectory("sbench-post").toString
+      graft.queries.SearchOps.writePostingsIndex(docs, idx)
+      val dStats = docs.agg(max($"doc_id"), count(lit(1))).first()
+      val dMax = dStats.getLong(0) + 1
+      val nDocs = dStats.getLong(1) * replicas
+      val staged = docs
+        .crossJoin(spark.range(replicas).select($"id".as("rep")))
+        .select(($"doc_id" + ($"rep" + 1L) * dMax).as("doc_id"), $"text")
+      val dStage = java.nio.file.Files.createTempDirectory("docs-sbench").toString
+      staged.repartition(8).write.mode("overwrite").parquet(dStage)
+      val epoch = () => IndexManifest.committedEpoch(idx, IndexManifest.Postings)
+      val t0 = System.nanoTime()
+      val q = Streams.indexIngestStream(
+        spark.readStream.schema("doc_id LONG, text STRING")
+          .option("maxFilesPerTrigger", "2").parquet(dStage),
+        epoch,
+        graft.queries.SearchOps.appendPostingsIndex(_, idx),
+        java.nio.file.Files.createTempDirectory("ckpt-sbench-post").toString,
+        trigger = Some(Trigger.AvailableNow()))
+      q.awaitTermination()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val hits = graft.queries.SearchOps
+        .bm25SearchFromIndex(spark, idx, Seq("the"), 10).count()
+      println(
+        s"""{"metric":"postings_ingest_docs_per_sec","value":${(nDocs / secs).toLong},""" +
+          s""""unit":"docs/sec","docs":$nDocs,"epochs":${epoch()},"hits":$hits,""" +
+          s""""secs":$secs,"sf":"$sfDir"}""")
+    }
     spark.stop()
   }
 }
