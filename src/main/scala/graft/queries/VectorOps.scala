@@ -3760,6 +3760,39 @@ object VectorOps {
       corpus, cands, k)
   }
 
+  /** Metadata-FILTERED serve from the stored BQ index — the pre-filter
+    * strategy (see `v_filtered_ann`'s section note) composed with the
+    * compressed screen: `keepIds` (a `vec_id` frame, e.g. the ids a
+    * pushed-down documents predicate selected) LEFT-SEMI-joins the
+    * stored words BEFORE the Hamming rank, so the screen's
+    * top-`screen` pool is the top of the FILTERED corpus — a
+    * post-filter of an unfiltered screen under-fills arbitrarily when
+    * the predicate is selective (its top pool can contain zero
+    * eligible rows) — and no float is ever fetched for an ineligible
+    * candidate. Cost SHRINKS with selectivity: the semi-join prunes
+    * the 8 B/vector scan itself. Same contract as [[searchBqIndex]]
+    * otherwise (own-id-space requests, as-of pin, tombstone-resolved
+    * words).
+    */
+  def searchBqIndexWhere(queryVecs: DataFrame, path: String,
+      corpus: DataFrame, keepIds: DataFrame,
+      k: Long = topK, screen: Long = cascadeC1,
+      excludeSelf: Boolean = false, asOf: Option[Long] = None): DataFrame = {
+    val s = queryVecs.sparkSession
+    graft.functions.GraftFunctions.registerDotD(s)
+    val qPacked = bqPackedOn(
+      queryVecs.select(col("query_id").as("vec_id"), col("embedding")))
+      .select(col("vec_id").as("query_id"),
+        col("w_lo").as("q_lo"), col("w_hi").as("q_hi"))
+    val eligible = storedBqWords(s, path, asOf)
+      .join(keepIds.select(col("vec_id")), Seq("vec_id"), "left_semi")
+    val cands = bqScreenAgainst(qPacked, eligible, screen, excludeSelf)
+      .select(col("query_id"), col("cand_id"))
+    exactRerankAgainst(
+      queryVecs.select(col("query_id"), col("embedding").as("q_emb")),
+      corpus, cands, k)
+  }
+
   /** SERVE the full 3-tier cascade from STORED artifacts — the
     * deployment shape with the quantizer persisted: BQ Hamming screen
     * to `screen` candidates over the committed 8 B/vector words, then
@@ -4393,6 +4426,61 @@ object VectorOps {
     * and nothing sq8-only; the oracle recomputes all three counts from
     * the corpus by construction.
     */
+  // ---------------------------------------------------------------------
+  // Filtered search at the STORED tier — the pre-filter argument above
+  // carried into the deployment funnel: filter → compressed screen →
+  // exact rerank. The semi-join lands on the 8 B/vector stored words
+  // BEFORE the Hamming rank, so the screen pool is top-of-the-filtered-
+  // corpus (exact w.r.t. the predicate, unlike post-filtering an
+  // unfiltered screen) and the float fetch stays bounded by `screen`
+  // ELIGIBLE candidates. The oracle replays the whole funnel from the
+  // raw embeddings: pack → keep-join → Hamming top-C → exact rerank.
+  // (Declared AFTER cascadeC1 on purpose: the oracle string interpolates
+  // the constant at object init — the forward-referenced-refineC lesson,
+  // see the v_ivfpq_refined row's note.)
+  // ---------------------------------------------------------------------
+
+  val filteredBq = Q(
+    "v_filtered_bq",
+    (s, d) => {
+      import s.implicits._
+      val (bqDir, _) = cascadeFleet(s, d)
+      val keep = Tables.documents(s, d).filter($"lang" === "en")
+        .select($"doc_id".as("vec_id"))
+      val q = vecs(s, d).filter($"vec_id" < nQueries)
+        .select($"vec_id".as("query_id"), $"embedding")
+      searchBqIndexWhere(q, bqDir, vecs(s, d), keep, excludeSelf = true)
+    },
+    Some(s"""
+      WITH packed AS (SELECT vec_id, ${oPackHalf(1)} AS w_lo, ${oPackHalf(33)} AS w_hi
+                      FROM embeddings),
+      keep AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+      bq AS (SELECT vec_id AS query_id, w_lo AS q_lo, w_hi AS q_hi FROM packed
+             WHERE vec_id < $nQueries),
+      cand AS (SELECT p.* FROM packed p JOIN keep k ON k.doc_id = p.vec_id),
+      bscored AS (
+        SELECT bq.query_id, c.vec_id AS cand_id,
+               CAST(bit_count(xor(bq.q_lo, c.w_lo)) + bit_count(xor(bq.q_hi, c.w_hi))
+                 AS BIGINT) AS hamming
+        FROM bq JOIN cand c ON c.vec_id <> bq.query_id),
+      pool AS (
+        SELECT query_id, cand_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY hamming ASC, cand_id) AS srk
+        FROM bscored QUALIFY srk <= $cascadeC1),
+      scored AS (
+        SELECT p.query_id, p.cand_id,
+               CAST(FLOOR(1e6 * (${oDot("q.embedding", "c.embedding")} /
+                 (sqrt(${oDot("q.embedding", "q.embedding")}) * sqrt(${oDot("c.embedding", "c.embedding")}))))
+                 AS BIGINT) AS sim_micros
+        FROM pool p
+        JOIN embeddings q ON q.vec_id = p.query_id
+        JOIN embeddings c ON c.vec_id = p.cand_id)
+      SELECT query_id, cand_id, sim_micros,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim_micros DESC, cand_id) AS rnk
+      FROM scored QUALIFY rnk <= $topK
+    """.stripMargin.trim),
+  )
+
   val cascadeCoverage = Q(
     "v_cascade_coverage",
     (s, d) => {
@@ -4609,6 +4697,7 @@ object VectorOps {
     cascadeRecall,
     cascadeFromIndex,
     cascadeCoverage,
+    filteredBq,
     indexBalance,
     indexDrift,
     normStats,

@@ -136,4 +136,37 @@ class BqIndexSpec extends SparkSpec {
     assert(words(dir) === words(reb))
     assert(screen(probe, dir)(9000L) === "neardup_of_base")
   }
+
+  test("filtered serve: pre-filter fills k from the eligible corpus where post-filter starves") {
+    import spark.implicits._
+    // adversarial corpus: the query's Hamming neighborhood is ALL
+    // ineligible (tight perturbations of the query vector), the
+    // eligible rows are far away — exactly the selective-predicate
+    // case the pre-filter strategy exists for
+    val q0 = vec()
+    val near = (0L until 150L).map(i =>
+      (i, flip(q0, Seq.tabulate(1 + (i % 3).toInt)(j => (i.toInt + j * 13) % 64))))
+    val far = (500L until 520L).map(i => (i, vec()))
+    val dir = tmp("bq-filt")
+    VectorOps.writeBqIndex(
+      spark.createDataset(near ++ far).toDF("vec_id", "embedding"), dir)
+    val corpus = spark.createDataset(near ++ far).toDF("vec_id", "embedding")
+    val queries = spark.createDataset(Seq((9000L, q0))).toDF("query_id", "embedding")
+    val keep = spark.createDataset(far.map(_._1)).toDF("vec_id")
+
+    val pre = VectorOps.searchBqIndexWhere(
+        queries, dir, corpus, keep, k = 10L, screen = 25L)
+      .collect().map(_.getAs[Long]("cand_id"))
+    assert(pre.length === 10, "pre-filter must fill k from the eligible corpus")
+    assert(pre.forall(far.map(_._1).toSet), "every served candidate is eligible")
+
+    // the naive alternative: screen unfiltered, drop ineligible after —
+    // the top-25 Hamming pool is the ineligible neighborhood, so the
+    // post-filtered answer starves
+    val post = VectorOps.searchBqIndex(queries, dir, corpus, k = 25L, screen = 25L)
+      .filter($"cand_id".isin(far.map(_._1): _*))
+      .collect()
+    assert(post.length < 10,
+      s"fixture must demonstrate post-filter starvation, got ${post.length}")
+  }
 }

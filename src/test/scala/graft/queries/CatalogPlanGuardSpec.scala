@@ -89,6 +89,10 @@ class CatalogPlanGuardSpec extends SparkSpec {
       // broadcast panel (the v_bq_search shape); tiers 2/3 are
       // candidate-keyed equi-joins
       "v_cascade_search", "v_cascade_recall", "v_cascade_from_index",
+      // filtered stored serve: the same fixed-panel screen cross over
+      // the keep-SEMI-JOINED stored words (the filter prunes the big
+      // side; the rerank is candidate-keyed equi-joins)
+      "v_filtered_bq",
       // stored-index time travel + hybrid: both run the stored ADC
       // search, whose probe step is the IVF family's sanctioned
       // centroid-assignment cross (queries x 16 broadcast centroids);
