@@ -1111,7 +1111,63 @@ object EventAnalytics {
     """.stripMargin.trim),
   )
 
+  // ---------------------------------------------------------------------
+  // Exponentially-decayed trending score — recency-weighted popularity
+  // (the curation signal "what is hot NOW", where a plain count crowns
+  // whatever was popular over all history): each event contributes
+  // 2^-(age_weeks) of a point, evaluated at the corpus head. The decay
+  // is EXACT integer math — age buckets are integer weeks, 2^k is a
+  // bit shift, and the per-event weight is 1e6 div 2^k micros — so the
+  // oracle hash-matches without touching pow/exp (the libm-parity rule
+  // every float-adjacent row follows; a continuous e^-λt decay would
+  // need a banded oracle). Bucketed decay is also what production
+  // trending systems ship: the score is rankings, not physics.
+  //
+  // 100 TB shape: one scalar max (post-partial-agg one-row funnel)
+  // crossed onto the stream — the t_unigram_lm sanctioned pattern —
+  // then a pure projection into an item-keyed partial→final SUM and a
+  // bounded global top-20 (TakeOrderedAndProject). One shuffle, item-
+  // keyed; no window, no state.
+  // ---------------------------------------------------------------------
+
+  private val trendHalfLifeDays = 7L
+  private val trendTopN = 20
+
+  val trendingDecay = Q(
+    "e_trending_decay",
+    (s, d) => {
+      import s.implicits._
+      val ev = eventsWithItem(s, d).select($"item", $"ts_sec")
+      val mx = ev.agg(max($"ts_sec").as("max_sec"))
+      ev.crossJoin(broadcast(mx))
+        .withColumn("k",
+          expr(s"((max_sec - ts_sec) div 86400) div $trendHalfLifeDays"))
+        .withColumn("w_micros",
+          expr("CASE WHEN k >= 63 THEN 0L " +
+            "ELSE 1000000L div shiftleft(CAST(1 AS BIGINT), CAST(k AS INT)) END"))
+        .groupBy($"item")
+        .agg(sum($"w_micros").as("score_micros"))
+        .orderBy($"score_micros".desc, $"item".asc)
+        .limit(trendTopN)
+    },
+    Some(s"""
+      $oracleBase,
+      mx AS (SELECT max(sec) AS max_sec FROM base),
+      wts AS (
+        SELECT item,
+               CASE WHEN ((max_sec - sec) // 86400) // $trendHalfLifeDays >= 63 THEN 0
+                    ELSE 1000000 // (1::BIGINT <<
+                      CAST(((max_sec - sec) // 86400) // $trendHalfLifeDays AS INT)) END
+                 AS w_micros
+        FROM base, mx)
+      SELECT item, CAST(SUM(w_micros) AS BIGINT) AS score_micros
+      FROM wts GROUP BY 1
+      ORDER BY score_micros DESC, item LIMIT $trendTopN
+    """.stripMargin.trim),
+  )
+
   val qs: Seq[Q] = Seq(
+    trendingDecay,
     asofEnrich,
     attribution,
     attributionLinear,

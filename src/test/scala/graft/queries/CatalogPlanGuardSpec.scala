@@ -52,6 +52,9 @@ class CatalogPlanGuardSpec extends SparkSpec {
     Set("v_knn_brute", "v_ivf_assign", "v_ivf_search", "v_ivf_nprobe",
       "v_ivf_recall", "v_kmeans_step", "t_semantic_dedup", "t_dedup_multimodal",
       "t_delta_semantic", "t_unigram_lm", "t_collocations", "t_token_heavy",
+      // trending decay: the one-row corpus-head scalar (max ts) crossed
+      // onto the event stream — the unigram-LM shape exactly
+      "e_trending_decay",
       "v_cluster_balance", "t_dsir_weight", "t_tfidf_topk",
       // PQ recall audit: same exact-ground-truth shape as v_ivf_recall —
       // the broadcast side is the fixed 5-query panel; the composed
@@ -127,6 +130,9 @@ class CatalogPlanGuardSpec extends SparkSpec {
     "t_lsh_precision", "t_lsh_recall",
     // corpus token-total scalar crossed onto the scored stream
     "t_ccnet_buckets", "t_unigram_lm", "t_collocations", "t_cluster_topics",
+    // corpus-head scalar (one partial max ts per partition) crossed
+    // onto the event stream for the decay ages
+    "e_trending_decay",
     // corpus total + bounded Misra-Gries sketch buffer (one map/partition)
     "t_token_heavy",
     // base/delta token-total pairs
