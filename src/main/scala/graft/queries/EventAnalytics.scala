@@ -1115,9 +1115,12 @@ object EventAnalytics {
   // Exponentially-decayed trending score — recency-weighted popularity
   // (the curation signal "what is hot NOW", where a plain count crowns
   // whatever was popular over all history): each event contributes
-  // 2^-(age_weeks) of a point, evaluated at the corpus head. The decay
-  // is EXACT integer math — age buckets are integer weeks, 2^k is a
-  // bit shift, and the per-event weight is 1e6 div 2^k micros — so the
+  // 2^-(age in half-lives) of a point, evaluated at the corpus head.
+  // Ages are CALENDAR-DAY grain (max_day - day), which makes per-
+  // (item, day) counts the score's sufficient statistic — the hook the
+  // streaming twin hangs on. The decay is EXACT integer math — integer
+  // half-life buckets, 2^k is a bit shift, per-event weight is
+  // 1e6 div 2^k micros — so the
   // oracle hash-matches without touching pow/exp (the libm-parity rule
   // every float-adjacent row follows; a continuous e^-λt decay would
   // need a banded oracle). Bucketed decay is also what production
@@ -1133,33 +1136,55 @@ object EventAnalytics {
   private val trendHalfLifeDays = 7L
   private val trendTopN = 20
 
+  /** Per-(item, calendar-day) event counts — the decay's SUFFICIENT
+    * STATISTIC: ages are day-grain, so the score at any head is a pure
+    * function of these counts, which is what lets the streaming twin
+    * ([[graft.streaming.Streams.trendingDayCountsStream]]) maintain
+    * them incrementally (counts are a monoid; event-grain ages would
+    * not stream).
+    */
+  private[graft] def trendingDayCountsOn(evs: DataFrame): DataFrame = {
+    val s = evs.sparkSession
+    import s.implicits._
+    eventsWithItemOn(evs)
+      .withColumn("day", expr("ts_sec div 86400"))
+      .groupBy($"item", $"day")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Score day counts at their own head: k = age in half-lives (integer
+    * day buckets), each event contributing `1e6 div 2^k` micros — exact
+    * integer math end to end (see the section note).
+    */
+  private[graft] def trendingScoreOf(dayCounts: DataFrame): DataFrame = {
+    val s = dayCounts.sparkSession
+    import s.implicits._
+    val mx = dayCounts.agg(max($"day").as("max_day"))
+    dayCounts.crossJoin(broadcast(mx))
+      .withColumn("k", expr(s"(max_day - day) div $trendHalfLifeDays"))
+      .withColumn("w_micros",
+        expr("cnt * (CASE WHEN k >= 63 THEN 0L " +
+          "ELSE 1000000L div shiftleft(CAST(1 AS BIGINT), CAST(k AS INT)) END)"))
+      .groupBy($"item")
+      .agg(sum($"w_micros").as("score_micros"))
+      .orderBy($"score_micros".desc, $"item".asc)
+      .limit(trendTopN)
+  }
+
   val trendingDecay = Q(
     "e_trending_decay",
-    (s, d) => {
-      import s.implicits._
-      val ev = eventsWithItem(s, d).select($"item", $"ts_sec")
-      val mx = ev.agg(max($"ts_sec").as("max_sec"))
-      ev.crossJoin(broadcast(mx))
-        .withColumn("k",
-          expr(s"((max_sec - ts_sec) div 86400) div $trendHalfLifeDays"))
-        .withColumn("w_micros",
-          expr("CASE WHEN k >= 63 THEN 0L " +
-            "ELSE 1000000L div shiftleft(CAST(1 AS BIGINT), CAST(k AS INT)) END"))
-        .groupBy($"item")
-        .agg(sum($"w_micros").as("score_micros"))
-        .orderBy($"score_micros".desc, $"item".asc)
-        .limit(trendTopN)
-    },
+    (s, d) => trendingScoreOf(trendingDayCountsOn(Tables.events(s, d))),
     Some(s"""
       $oracleBase,
-      mx AS (SELECT max(sec) AS max_sec FROM base),
+      days AS (SELECT item, sec // 86400 AS day FROM base),
+      mx AS (SELECT max(day) AS max_day FROM days),
       wts AS (
         SELECT item,
-               CASE WHEN ((max_sec - sec) // 86400) // $trendHalfLifeDays >= 63 THEN 0
+               CASE WHEN (max_day - day) // $trendHalfLifeDays >= 63 THEN 0
                     ELSE 1000000 // (1::BIGINT <<
-                      CAST(((max_sec - sec) // 86400) // $trendHalfLifeDays AS INT)) END
+                      CAST((max_day - day) // $trendHalfLifeDays AS INT)) END
                  AS w_micros
-        FROM base, mx)
+        FROM days, mx)
       SELECT item, CAST(SUM(w_micros) AS BIGINT) AS score_micros
       FROM wts GROUP BY 1
       ORDER BY score_micros DESC, item LIMIT $trendTopN

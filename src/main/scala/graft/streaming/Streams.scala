@@ -1497,6 +1497,22 @@ object Streams {
     trigger.fold(w)(w.trigger).start()
   }
 
+  /** Standing decayed-trending counts — the streaming half of the
+    * catalog's `e_trending_decay`: the score's sufficient statistic is
+    * the per-(item, calendar-day) event counts ([[graft.queries
+    * .EventAnalytics.trendingDayCountsOn]] — counts are a monoid; the
+    * head-relative ages are not), so the stream maintains exactly
+    * those in update mode and the scorer runs batch-side over the
+    * materialized counts ([[graft.queries.EventAnalytics
+    * .trendingScoreOf]] — one tiny frame, items x observed days).
+    * State: O(items x observed days) count cells; a deployment bounds
+    * it by collapsing buckets older than 63 half-lives (their weight
+    * is exactly 0) with a watermark — kept out of this twin so the
+    * parity with the batch row stays bit-exact over any replay.
+    */
+  def trendingDayCountsStream(events: DataFrame): DataFrame =
+    graft.queries.EventAnalytics.trendingDayCountsOn(events)
+
   /** Standing weighted sample — the streaming twin of the catalog's
     * `t_weighted_sample`: an exact-k weighted-without-replacement
     * sample of EVERYTHING the stream has seen so far, re-emitted (in
