@@ -3743,7 +3743,8 @@ object VectorOps {
     */
   def searchBqIndex(queryVecs: DataFrame, path: String, corpus: DataFrame,
       k: Long = topK, screen: Long = cascadeC1,
-      excludeSelf: Boolean = false, asOf: Option[Long] = None): DataFrame = {
+      excludeSelf: Boolean = false, asOf: Option[Long] = None,
+      keepIds: Option[DataFrame] = None): DataFrame = {
     val s = queryVecs.sparkSession
     // public entry point: callers may not have gone through vecs()'s
     // session registration (the replica-sweep lesson)
@@ -3752,8 +3753,10 @@ object VectorOps {
       queryVecs.select(col("query_id").as("vec_id"), col("embedding")))
       .select(col("vec_id").as("query_id"),
         col("w_lo").as("q_lo"), col("w_hi").as("q_hi"))
-    val cands = bqScreenAgainst(qPacked, storedBqWords(s, path, asOf),
-        screen, excludeSelf)
+    val words = storedBqWords(s, path, asOf)
+    val eligible = keepIds.fold(words)(keep =>
+      words.join(keep.select(col("vec_id")), Seq("vec_id"), "left_semi"))
+    val cands = bqScreenAgainst(qPacked, eligible, screen, excludeSelf)
       .select(col("query_id"), col("cand_id"))
     exactRerankAgainst(
       queryVecs.select(col("query_id"), col("embedding").as("q_emb")),
@@ -3770,28 +3773,17 @@ object VectorOps {
     * the predicate is selective (its top pool can contain zero
     * eligible rows) — and no float is ever fetched for an ineligible
     * candidate. Cost SHRINKS with selectivity: the semi-join prunes
-    * the 8 B/vector scan itself. Same contract as [[searchBqIndex]]
+    * the 8 B/vector scan itself. A one-line delegate so the funnel has
+    * exactly one body to maintain; same contract as [[searchBqIndex]]
     * otherwise (own-id-space requests, as-of pin, tombstone-resolved
     * words).
     */
   def searchBqIndexWhere(queryVecs: DataFrame, path: String,
       corpus: DataFrame, keepIds: DataFrame,
       k: Long = topK, screen: Long = cascadeC1,
-      excludeSelf: Boolean = false, asOf: Option[Long] = None): DataFrame = {
-    val s = queryVecs.sparkSession
-    graft.functions.GraftFunctions.registerDotD(s)
-    val qPacked = bqPackedOn(
-      queryVecs.select(col("query_id").as("vec_id"), col("embedding")))
-      .select(col("vec_id").as("query_id"),
-        col("w_lo").as("q_lo"), col("w_hi").as("q_hi"))
-    val eligible = storedBqWords(s, path, asOf)
-      .join(keepIds.select(col("vec_id")), Seq("vec_id"), "left_semi")
-    val cands = bqScreenAgainst(qPacked, eligible, screen, excludeSelf)
-      .select(col("query_id"), col("cand_id"))
-    exactRerankAgainst(
-      queryVecs.select(col("query_id"), col("embedding").as("q_emb")),
-      corpus, cands, k)
-  }
+      excludeSelf: Boolean = false, asOf: Option[Long] = None): DataFrame =
+    searchBqIndex(queryVecs, path, corpus, k, screen, excludeSelf, asOf,
+      keepIds = Some(keepIds))
 
   /** SERVE the full 3-tier cascade from STORED artifacts — the
     * deployment shape with the quantizer persisted: BQ Hamming screen

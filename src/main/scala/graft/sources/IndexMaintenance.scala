@@ -219,12 +219,15 @@ object IndexMaintenance {
     * consistency unit ([[graft.queries.VectorOps.searchCascadeIndex]]'s
     * independent as-of pins) — cloned into two fresh roots, so "replay
     * the exact serve" survives both sources' maintenance schedules.
-    * Destinations validate BEFORE either copy starts (no half-exported
-    * pair from a bad second argument); each clone is itself atomic at
-    * its manifest commit, and a crash between the two clones leaves the
-    * second root manifest-less = unreadable by contract, so a partial
-    * pair can never serve (re-run the export; the first clone's root
-    * must then be cleared — it refuses merges).
+    * EVERY argument validates BEFORE either copy starts — both
+    * destinations (empty), both sources (manifest present, format
+    * current) and both pins (inside their committed windows) — so a
+    * bad SECOND source or pin cannot leave a committed, readable
+    * half-pair behind; each clone is itself atomic at its manifest
+    * commit, and a crash between the two clones leaves the second root
+    * manifest-less = unreadable by contract, so a partial pair can
+    * never serve (re-run the export; the first clone's root must then
+    * be cleared — it refuses merges).
     */
   def exportCascadePair(s: SparkSession, bqSrc: String, sq8Src: String,
       bqDst: String, sq8Dst: String,
@@ -236,6 +239,15 @@ object IndexMaintenance {
       require(!Files.exists(p) || (Files.isDirectory(p) &&
           scala.util.Using.resource(Files.list(p))(!_.iterator().hasNext)),
         s"export destination $d exists and is not empty - refusing to merge into it")
+    }
+    // fail on a bad source/pin while NOTHING is written yet — the same
+    // resolution exportSnapshot performs, hoisted in front of both
+    Seq((bqSrc, bqAsOf), (sq8Src, sq8AsOf)).foreach { case (src, asOf) =>
+      val head = IndexManifest.read(src).getOrElse(throw new IllegalStateException(
+        s"no commit manifest at $src - nothing exportable (crashed or pre-manifest build)"))
+      val fmt = fmtOf(head.family)
+      asOf.map(IndexManifest.stateAsOf(src, _, fmt))
+        .getOrElse(IndexManifest.committedState(src, fmt))
     }
     (exportSnapshot(s, bqSrc, bqDst, bqAsOf),
       exportSnapshot(s, sq8Src, sq8Dst, sq8AsOf))

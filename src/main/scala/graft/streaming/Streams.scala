@@ -1516,7 +1516,10 @@ object Streams {
   /** Standing weighted sample — the streaming twin of the catalog's
     * `t_weighted_sample`: an exact-k weighted-without-replacement
     * sample of EVERYTHING the stream has seen so far, re-emitted (in
-    * update mode) whenever a new arrival displaces a member. Sound
+    * update mode) on every non-empty micro-batch — Spark marks the
+    * single global group updated whether or not an arrival displaced a
+    * member, so consumers must diff emissions themselves if they only
+    * want changes. Sound
     * because the draw key is a pure per-row function (min of the
     * weight's salted copy hashes — [[graft.queries.CurationOps
     * .weightedDrawKeyed]]) and "keep the k smallest keys" is a monoid:

@@ -136,6 +136,26 @@ class SnapshotExportSpec extends SparkSpec {
         java.nio.file.Files.list(java.nio.file.Paths.get(clean)))(
         !_.iterator().hasNext),
       "no half-exported pair: the first destination must stay untouched")
+    // and a bad SECOND SOURCE (or pin) fails before the FIRST copy too —
+    // the hazard is a committed readable half-pair, worse than a crash
+    val clean2 = tmp("snap-cp-clean2")
+    intercept[IllegalStateException] {
+      IndexMaintenance.exportCascadePair(
+        spark, bq, tmp("snap-cp-bare"), clean2, tmp("snap-cp-out2"))
+    }
+    assert(scala.util.Using.resource(
+        java.nio.file.Files.list(java.nio.file.Paths.get(clean2)))(
+        !_.iterator().hasNext),
+      "a bad second source must not leave a committed first clone")
+    val clean3 = tmp("snap-cp-clean3")
+    intercept[IllegalArgumentException] {
+      IndexMaintenance.exportCascadePair(
+        spark, bq, sq, clean3, tmp("snap-cp-out3"), sq8AsOf = Some(99L))
+    }
+    assert(scala.util.Using.resource(
+        java.nio.file.Files.list(java.nio.file.Paths.get(clean3)))(
+        !_.iterator().hasNext),
+      "an out-of-window second pin must not leave a committed first clone")
   }
 
   test("export refuses a non-empty destination and an uncommitted source") {
