@@ -3810,7 +3810,8 @@ object VectorOps {
   def searchCascadeIndex(queryVecs: DataFrame, bqPath: String, sq8Path: String,
       corpus: DataFrame, k: Long = topK, screen: Long = cascadeC1,
       refine: Long = cascadeC2, excludeSelf: Boolean = false,
-      bqAsOf: Option[Long] = None, sq8AsOf: Option[Long] = None): DataFrame = {
+      bqAsOf: Option[Long] = None, sq8AsOf: Option[Long] = None,
+      keepIds: Option[DataFrame] = None): DataFrame = {
     val s = queryVecs.sparkSession
     import s.implicits._
     graft.functions.GraftFunctions.registerDotD(s)
@@ -3818,13 +3819,19 @@ object VectorOps {
     // only corpus-wide distance pass in the whole serve). Each
     // artifact takes an INDEPENDENT as-of pin (the hybrid-retrieval
     // convention): a recorded (bq_epoch, sq8_epoch) pair replays the
-    // exact serve after both indexes grew.
+    // exact serve after both indexes grew. An optional `keepIds` frame
+    // pre-filters HERE, at the cheapest tier (the searchBqIndexWhere
+    // strategy: the screen pool becomes top-of-the-filtered-corpus and
+    // tiers 2/3 inherit the filter through their candidate joins —
+    // no code fetch or float fetch for an ineligible id).
     val qPacked = bqPackedOn(
       queryVecs.select(col("query_id").as("vec_id"), col("embedding")))
       .select(col("vec_id").as("query_id"),
         col("w_lo").as("q_lo"), col("w_hi").as("q_hi"))
-    val cands1 = bqScreenAgainst(qPacked, storedBqWords(s, bqPath, bqAsOf),
-        screen, excludeSelf)
+    val words = storedBqWords(s, bqPath, bqAsOf)
+    val eligible = keepIds.fold(words)(keep =>
+      words.join(keep.select(col("vec_id")), Seq("vec_id"), "left_semi"))
+    val cands1 = bqScreenAgainst(qPacked, eligible, screen, excludeSelf)
       .select($"query_id", $"cand_id")
     // tier 2: decoded-cosine rerank against the STORED codes — the
     // candidate fetch is a broadcast semi-probe (point lookups at

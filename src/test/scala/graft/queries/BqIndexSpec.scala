@@ -168,5 +168,16 @@ class BqIndexSpec extends SparkSpec {
       .collect()
     assert(post.length < 10,
       s"fixture must demonstrate post-filter starvation, got ${post.length}")
+
+    // the cascade inherits the tier-1 filter through its candidate
+    // joins: same adversarial corpus, full 3-tier funnel
+    val sqDir = tmp("sq8-filt")
+    VectorOps.writeSq8Index(corpus, sqDir)
+    val casc = VectorOps.searchCascadeIndex(
+        queries, dir, sqDir, corpus, k = 10L, screen = 25L, refine = 15L,
+        keepIds = Some(keep))
+      .collect().map(_.getAs[Long]("cand_id"))
+    assert(casc.length === 10 && casc.forall(far.map(_._1).toSet),
+      "filtered cascade must fill k with eligible candidates only")
   }
 }
