@@ -153,19 +153,30 @@ object IndexMaintenance {
     * pinned at `asOf` (default: the committed head). Returns the
     * clone's committed state.
     */
+  /** Resolve what an export of `src` pinned at `asOf` would clone:
+    * manifest present, format current (committedState, not the raw
+    * read — a stale stored format_version must fail fast here, or the
+    * clone's fresh manifest would silently relabel old bytes as the
+    * current format and defeat the readers' version gate), pin inside
+    * the committed window. Shared by [[exportSnapshot]] and
+    * [[exportCascadePair]]'s up-front hoist so the two can never
+    * silently diverge.
+    */
+  private def resolveExportState(src: String, asOf: Option[Long])
+      : (IndexManifest.State, IndexManifest.Format) = {
+    val head = IndexManifest.read(src).getOrElse(throw new IllegalStateException(
+      s"no commit manifest at $src - nothing exportable (crashed or pre-manifest build)"))
+    val fmt = fmtOf(head.family)
+    val st = asOf.map(IndexManifest.stateAsOf(src, _, fmt))
+      .getOrElse(IndexManifest.committedState(src, fmt))
+    (st, fmt)
+  }
+
   def exportSnapshot(s: SparkSession, src: String, dst: String,
       asOf: Option[Long] = None): IndexManifest.State = {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
-    val head = IndexManifest.read(src).getOrElse(throw new IllegalStateException(
-      s"no commit manifest at $src - nothing exportable (crashed or pre-manifest build)"))
-    val fmt = fmtOf(head.family)
-    // committedState (not the raw read) on BOTH paths: a source whose
-    // stored format_version predates this build must fail fast here, or
-    // the clone's fresh manifest would silently relabel old bytes as the
-    // current format and defeat the readers' version gate
-    val st = asOf.map(IndexManifest.stateAsOf(src, _, fmt))
-      .getOrElse(IndexManifest.committedState(src, fmt))
+    val (st, fmt) = resolveExportState(src, asOf)
     val dstP = Paths.get(dst)
     require(!Files.exists(dstP) || (Files.isDirectory(dstP) &&
         scala.util.Using.resource(Files.list(dstP))(!_.iterator().hasNext)),
@@ -220,35 +231,40 @@ object IndexMaintenance {
     * independent as-of pins) — cloned into two fresh roots, so "replay
     * the exact serve" survives both sources' maintenance schedules.
     * EVERY argument validates BEFORE either copy starts — both
-    * destinations (empty), both sources (manifest present, format
-    * current) and both pins (inside their committed windows) — so a
-    * bad SECOND source or pin cannot leave a committed, readable
-    * half-pair behind; each clone is itself atomic at its manifest
-    * commit, and a crash between the two clones leaves the second root
-    * manifest-less = unreadable by contract, so a partial pair can
-    * never serve (re-run the export; the first clone's root must then
-    * be cleared — it refuses merges).
+    * destinations (empty, DISTINCT, non-nested), both sources
+    * (manifest present, format current) and both pins (inside their
+    * committed windows) — so a bad argument cannot leave a committed,
+    * readable half-pair behind; each clone is itself atomic at its
+    * manifest commit, and a crash between the two clones leaves the
+    * second root manifest-less = unreadable by contract, so a partial
+    * pair can never serve (re-run the export; the first clone's root
+    * must then be cleared — it refuses merges). The up-front pin check
+    * is check-then-act: it assumes the fleet-wide single-writer
+    * contract (no compaction+vacuum racing the export) — a concurrent
+    * janitor moving the second source's floor DURING the first copy
+    * surfaces as the crash case above (second root unreadable), not
+    * silently.
     */
   def exportCascadePair(s: SparkSession, bqSrc: String, sq8Src: String,
       bqDst: String, sq8Dst: String,
       bqAsOf: Option[Long] = None, sq8AsOf: Option[Long] = None)
       : (IndexManifest.State, IndexManifest.State) = {
     import java.nio.file.{Files, Paths}
+    val (bqP, sqP) = (Paths.get(bqDst).toAbsolutePath.normalize,
+      Paths.get(sq8Dst).toAbsolutePath.normalize)
+    require(bqP != sqP && !bqP.startsWith(sqP) && !sqP.startsWith(bqP),
+      s"pair destinations must be distinct, non-nested roots - got $bqP and $sqP " +
+        "(the first clone's manifest would make the second's root non-empty or readable)")
     Seq(bqDst, sq8Dst).foreach { d =>
       val p = Paths.get(d)
       require(!Files.exists(p) || (Files.isDirectory(p) &&
           scala.util.Using.resource(Files.list(p))(!_.iterator().hasNext)),
         s"export destination $d exists and is not empty - refusing to merge into it")
     }
-    // fail on a bad source/pin while NOTHING is written yet — the same
-    // resolution exportSnapshot performs, hoisted in front of both
-    Seq((bqSrc, bqAsOf), (sq8Src, sq8AsOf)).foreach { case (src, asOf) =>
-      val head = IndexManifest.read(src).getOrElse(throw new IllegalStateException(
-        s"no commit manifest at $src - nothing exportable (crashed or pre-manifest build)"))
-      val fmt = fmtOf(head.family)
-      asOf.map(IndexManifest.stateAsOf(src, _, fmt))
-        .getOrElse(IndexManifest.committedState(src, fmt))
-    }
+    // fail on a bad source/pin while NOTHING is written yet — the exact
+    // resolution exportSnapshot performs, shared so it can't diverge
+    resolveExportState(bqSrc, bqAsOf)
+    resolveExportState(sq8Src, sq8AsOf)
     (exportSnapshot(s, bqSrc, bqDst, bqAsOf),
       exportSnapshot(s, sq8Src, sq8Dst, sq8AsOf))
   }

@@ -156,6 +156,20 @@ class SnapshotExportSpec extends SparkSpec {
         java.nio.file.Files.list(java.nio.file.Paths.get(clean3)))(
         !_.iterator().hasNext),
       "an out-of-window second pin must not leave a committed first clone")
+    // same-or-nested destinations refuse before anything is written —
+    // the first clone's manifest would make the shared root "readable"
+    val shared = tmp("snap-cp-shared")
+    val exSame = intercept[IllegalArgumentException] {
+      IndexMaintenance.exportCascadePair(spark, bq, sq, shared, shared)
+    }
+    assert(exSame.getMessage.contains("distinct"))
+    val exNest = intercept[IllegalArgumentException] {
+      IndexMaintenance.exportCascadePair(spark, bq, sq, shared, s"$shared/sq8")
+    }
+    assert(exNest.getMessage.contains("distinct"))
+    assert(scala.util.Using.resource(
+        java.nio.file.Files.list(java.nio.file.Paths.get(shared)))(
+        !_.iterator().hasNext))
   }
 
   test("export refuses a non-empty destination and an uncommitted source") {
