@@ -3072,7 +3072,7 @@ object VectorOps {
     */
   def ivfPqSearchFromIndex(s: SparkSession, path: String, queries: DataFrame,
       asOf: Option[Long] = None, k: Long = topK,
-      excludeSelf: Boolean = true): DataFrame = {
+      excludeSelf: Boolean = true, keepIds: Option[DataFrame] = None): DataFrame = {
     import s.implicits._
     import graft.sources.IndexManifest
     graft.functions.GraftFunctions.registerDotD(s)
@@ -3107,8 +3107,15 @@ object VectorOps {
     // O(|q|·nprobe) driver hand-off -> a LITERAL partition filter the
     // parquet source prunes directories with
     val probedCells = probes.select($"cell").distinct().collect().map(_.getLong(0))
-    val cand = storedIvfPqCodes(s, path, asOf)
+    // optional pre-filter (the searchBqIndexWhere strategy), landing on
+    // the cell-pruned codes BEFORE ADC scoring: the top-k is then top
+    // of the filtered PROBED cells — the filter composes with, not
+    // bypasses, this family's nProbe recall contract (an eligible id
+    // in an unprobed cell stays unreachable, exactly as unfiltered)
+    val pruned = storedIvfPqCodes(s, path, asOf)
       .filter($"cell".isin(probedCells: _*))
+    val cand = keepIds.fold(pruned)(keep =>
+      pruned.join(keep.select(col("vec_id")), Seq("vec_id"), "left_semi"))
     val w = Window.partitionBy($"query_id").orderBy($"adc_micros".asc, $"cand_id")
     cand
       .withColumnRenamed("vec_id", "cand_id")
@@ -3137,8 +3144,9 @@ object VectorOps {
     */
   def searchIvfPqRefined(s: SparkSession, path: String, queries: DataFrame,
       corpus: DataFrame, k: Long = topK, c: Long = refineC,
-      asOf: Option[Long] = None, excludeSelf: Boolean = true): DataFrame = {
-    val cands = ivfPqSearchFromIndex(s, path, queries, asOf, c, excludeSelf)
+      asOf: Option[Long] = None, excludeSelf: Boolean = true,
+      keepIds: Option[DataFrame] = None): DataFrame = {
+    val cands = ivfPqSearchFromIndex(s, path, queries, asOf, c, excludeSelf, keepIds)
       .select(col("query_id"), col("cand_id"))
     exactRerankAgainst(
       queries.select(col("query_id"), col("embedding").as("q_emb")),

@@ -205,6 +205,22 @@ class PqSpec extends SparkSpec {
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"),
         r.getAs[Long]("adc_micros"), r.getAs[Long]("rnk"))).toSet
     assert(got == inline)
+
+    // keepIds pre-filter: the ADC top-k over the probed cells restricted
+    // to the eligible ids — equals the unfiltered ranking with the
+    // ineligible rows REMOVED BEFORE ranking (not post-dropped: ranks
+    // re-pack densely over the eligible survivors)
+    val keep = emb.filter(col("vec_id") % 2 === 0).select(col("vec_id"))
+    val filt = VectorOps.ivfPqSearchFromIndex(spark, dir, queries,
+        keepIds = Some(keep))
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"),
+        r.getAs[Long]("rnk")))
+    assert(filt.nonEmpty && filt.forall(_._2 % 2 == 0),
+      "every filtered candidate must be eligible")
+    filt.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._3).sorted.toSeq === (1L to rs.length).toSeq,
+        s"query $q: ranks must re-pack densely over the eligible survivors")
+    }
   }
 
   test("deleteFromIvfPqIndex: forgotten vectors leave search; re-add resurrects; compaction physical") {
