@@ -1,5 +1,6 @@
 package graft.sources
 
+import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Maintenance ADVISOR for the stored-index fleet — the policy layer on
@@ -135,6 +136,19 @@ object IndexMaintenance {
   // move in a distributed Spark job — one task per file batch — which
   // is the 100 TB shape of every distcp-style export.
   //
+  // DATA PLANE vs CONTROL PLANE: the listing and the per-file byte
+  // copies — everything that scales with the index — go through the
+  // Hadoop FileSystem API, resolved per-path from fully-qualified URIs
+  // on the executors, so the distcp shape holds on any Hadoop-backed
+  // store (an executor-local java.nio copy would silently scatter the
+  // clone across executor disks on a real cluster — the round-18
+  // advisor's finding). The manifest flip and the pin ledger (one tiny
+  // file each, driver-side) remain on the fleet's nio convention and
+  // therefore require file-scheme roots; pointing THOSE at an object
+  // store needs the conditional-PUT manifest adaptation already
+  // documented in [[IndexManifest]]'s scaladoc — a control-plane swap
+  // that changes none of the data-plane shape here.
+  //
   // What is copied, per the fleet's on-disk grammar:
   //   - component/epoch=N directories with floor <= N <= pinned epoch
   //     (append-only slices and rewrite stages share this filter: a
@@ -172,56 +186,105 @@ object IndexMaintenance {
     (st, fmt)
   }
 
+  /** Qualify a root given as a plain local path or a URI (`file:///…`)
+    * against its own FileSystem — the form every listing and copy key
+    * off, so scheme resolution happens once, here.
+    */
+  private def qualifiedRoot(s: SparkSession, p: String): HPath = {
+    val raw = new HPath(p)
+    raw.getFileSystem(s.sparkContext.hadoopConfiguration).makeQualified(raw)
+  }
+
+  /** The locally-mounted form of a qualified root, for the fleet's
+    * nio-based manifest/pin IO (control plane — see the section note).
+    * Fails fast on a non-file scheme instead of letting nio misparse
+    * the URI into a relative path.
+    */
+  private def localRoot(p: HPath): String = {
+    val u = p.toUri
+    require(u.getScheme == null || u.getScheme == "file",
+      s"manifest IO in this build is file-scheme only - got $p (the export data " +
+        "plane is FS-agnostic; an object-store control plane needs the " +
+        "conditional-PUT manifest adaptation in IndexManifest's scaladoc)")
+    u.getPath
+  }
+
   def exportSnapshot(s: SparkSession, src: String, dst: String,
       asOf: Option[Long] = None): IndexManifest.State = {
-    import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
-    val (st, fmt) = resolveExportState(src, asOf)
-    val dstP = Paths.get(dst)
-    require(!Files.exists(dstP) || (Files.isDirectory(dstP) &&
-        scala.util.Using.resource(Files.list(dstP))(!_.iterator().hasNext)),
+    val conf = s.sparkContext.hadoopConfiguration
+    val srcP = qualifiedRoot(s, src)
+    val dstP = qualifiedRoot(s, dst)
+    val srcFs = srcP.getFileSystem(conf)
+    val dstFs = dstP.getFileSystem(conf)
+    val (st, fmt) = resolveExportState(localRoot(srcP), asOf)
+    require(!dstFs.exists(dstP) || (dstFs.getFileStatus(dstP).isDirectory &&
+        dstFs.listStatus(dstP).isEmpty),
       s"export destination $dst exists and is not empty - refusing to merge into it")
 
-    def ls(p: java.nio.file.Path): Seq[java.nio.file.Path] =
-      if (!Files.isDirectory(p)) Seq.empty
-      else scala.util.Using.resource(Files.list(p))(_.iterator().asScala.toVector)
-    def versionOf(name: String): Option[Long] =
-      Seq("epoch=", "gen=").collectFirst {
-        case pre if name.startsWith(pre) => name.stripPrefix(pre).toLongOption
-      }.flatten
-    def filesUnder(p: java.nio.file.Path): Seq[java.nio.file.Path] =
-      scala.util.Using.resource(Files.walk(p))(
-        _.iterator().asScala.filter(Files.isRegularFile(_)).toVector)
+    def ls(p: HPath): Seq[org.apache.hadoop.fs.FileStatus] =
+      if (!srcFs.exists(p) || !srcFs.getFileStatus(p).isDirectory) Seq.empty
+      else srcFs.listStatus(p).toVector
+    def filesUnder(p: HPath): Seq[HPath] = {
+      val it = srcFs.listFiles(p, true)
+      val b = Vector.newBuilder[HPath]
+      while (it.hasNext) b += it.next().getPath
+      b.result()
+    }
+    // Versioned-name grammar: epoch=<long> / gen=<long>. A name that
+    // CLAIMS a version but fails to parse (`epoch=abc`, a crash-orphaned
+    // `epoch=3.tmp`) is unreachable by every reader — partition
+    // discovery and exact-path resolution both key on the numeric value
+    // — so it is SKIPPED: the un-versioned fallback used to copy such
+    // orphans verbatim, resurrecting unreachable staging bytes into a
+    // release artifact (the round-18 advisor's second finding).
+    def keepSub(sub: org.apache.hadoop.fs.FileStatus): Seq[HPath] = {
+      val name = sub.getPath.getName
+      if (sub.isFile) Seq(sub.getPath) // stray component-level file, as before
+      else Seq("epoch=", "gen=").find(name.startsWith) match {
+        case Some(pre) => name.stripPrefix(pre).toLongOption match {
+          case Some(v) if v >= st.baseEpoch && v <= st.epoch => filesUnder(sub.getPath)
+          case _ => Seq.empty // outside the pinned window, or a malformed orphan
+        }
+        case None => filesUnder(sub.getPath) // un-versioned component content
+      }
+    }
 
-    val srcP = Paths.get(src)
-    val kept: Seq[java.nio.file.Path] = ls(srcP).flatMap { child =>
-      val name = child.getFileName.toString
-      if (Files.isRegularFile(child))
+    val kept: Seq[HPath] = ls(srcP).flatMap { child =>
+      val name = child.getPath.getName
+      if (child.isFile)
         if (name == "_graft_manifest.json" || name.startsWith("._graft_manifest"))
           Seq.empty
-        else Seq(child)
-      else
-        ls(child).flatMap { sub =>
-          versionOf(sub.getFileName.toString) match {
-            case Some(v) =>
-              if (v >= st.baseEpoch && v <= st.epoch) filesUnder(sub) else Seq.empty
-            case None => filesUnder(sub) // un-versioned component content
+        else Seq(child.getPath)
+      else if (name == "_graft_pins") Seq.empty // live-reader state of the SOURCE
+      else ls(child.getPath).flatMap(keepSub)
+    }
+    val srcRoot = srcP.toUri.getPath.stripSuffix("/") + "/"
+    val pairs = kept.map { f =>
+      (f.toString, new HPath(dstP, f.toUri.getPath.stripPrefix(srcRoot)).toString)
+    }
+    // Distributed byte copy over the Hadoop FileSystem API: each task
+    // resolves both FileSystems from the fully-qualified URIs under the
+    // driver's shipped Hadoop conf, so the bytes land on the DESTINATION
+    // store, never an executor-local disk. Overwrite keeps task retries
+    // idempotent (same contract the nio REPLACE_EXISTING copy had).
+    if (pairs.nonEmpty) {
+      val confEntries = s.sparkContext.broadcast(
+        conf.iterator().asScala.map(e => e.getKey -> e.getValue).toVector)
+      s.sparkContext.parallelize(pairs, math.min(pairs.size, 32))
+        .foreachPartition { it =>
+          val c = new org.apache.hadoop.conf.Configuration(false)
+          confEntries.value.foreach { case (k, v) => c.set(k, v) }
+          it.foreach { case (from, to) =>
+            val fp = new HPath(from)
+            val tp = new HPath(to)
+            org.apache.hadoop.fs.FileUtil.copy(
+              fp.getFileSystem(c), fp, tp.getFileSystem(c), tp,
+              false /* deleteSource */, true /* overwrite */, c)
           }
         }
     }
-    val pairs = kept.map { f =>
-      (f.toString, dstP.resolve(srcP.relativize(f)).toString)
-    }
-    // distributed byte copy; REPLACE_EXISTING keeps task retries idempotent
-    if (pairs.nonEmpty)
-      s.sparkContext.parallelize(pairs, math.min(pairs.size, 32)).foreach {
-        case (from, to) =>
-          val t = java.nio.file.Paths.get(to)
-          java.nio.file.Files.createDirectories(t.getParent)
-          java.nio.file.Files.copy(java.nio.file.Paths.get(from), t,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      }
-    IndexManifest.commit(dst, st.epoch, st.baseEpoch, fmt)
+    IndexManifest.commit(localRoot(dstP), st.epoch, st.baseEpoch, fmt)
     st
   }
 
@@ -249,22 +312,23 @@ object IndexMaintenance {
       bqDst: String, sq8Dst: String,
       bqAsOf: Option[Long] = None, sq8AsOf: Option[Long] = None)
       : (IndexManifest.State, IndexManifest.State) = {
-    import java.nio.file.{Files, Paths}
-    val (bqP, sqP) = (Paths.get(bqDst).toAbsolutePath.normalize,
-      Paths.get(sq8Dst).toAbsolutePath.normalize)
-    require(bqP != sqP && !bqP.startsWith(sqP) && !sqP.startsWith(bqP),
+    val conf = s.sparkContext.hadoopConfiguration
+    val (bqP, sqP) = (qualifiedRoot(s, bqDst), qualifiedRoot(s, sq8Dst))
+    def rooted(p: HPath) = p.toUri.toString.stripSuffix("/") + "/"
+    require(rooted(bqP) != rooted(sqP) && !rooted(bqP).startsWith(rooted(sqP)) &&
+        !rooted(sqP).startsWith(rooted(bqP)),
       s"pair destinations must be distinct, non-nested roots - got $bqP and $sqP " +
         "(the first clone's manifest would make the second's root non-empty or readable)")
-    Seq(bqDst, sq8Dst).foreach { d =>
-      val p = Paths.get(d)
-      require(!Files.exists(p) || (Files.isDirectory(p) &&
-          scala.util.Using.resource(Files.list(p))(!_.iterator().hasNext)),
-        s"export destination $d exists and is not empty - refusing to merge into it")
+    Seq(bqP, sqP).foreach { p =>
+      val fs = p.getFileSystem(conf)
+      require(!fs.exists(p) ||
+          (fs.getFileStatus(p).isDirectory && fs.listStatus(p).isEmpty),
+        s"export destination $p exists and is not empty - refusing to merge into it")
     }
     // fail on a bad source/pin while NOTHING is written yet — the exact
     // resolution exportSnapshot performs, shared so it can't diverge
-    resolveExportState(bqSrc, bqAsOf)
-    resolveExportState(sq8Src, sq8AsOf)
+    resolveExportState(localRoot(qualifiedRoot(s, bqSrc)), bqAsOf)
+    resolveExportState(localRoot(qualifiedRoot(s, sq8Src)), sq8AsOf)
     (exportSnapshot(s, bqSrc, bqDst, bqAsOf),
       exportSnapshot(s, sq8Src, sq8Dst, sq8AsOf))
   }

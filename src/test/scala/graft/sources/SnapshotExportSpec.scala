@@ -210,4 +210,47 @@ class SnapshotExportSpec extends SparkSpec {
     assert(ex.getMessage.contains("format_version 1"),
       "the head-export path must version-gate like every reader")
   }
+
+  test("export runs end to end through the Hadoop FileSystem API on file:// URIs") {
+    val src = tmp("snap-hfs-src")
+    SearchOps.writePostingsIndex(dayOne.toDF("doc_id", "text"), src)
+    SearchOps.appendPostingsIndex(dayTwo.toDF("doc_id", "text"), src)
+    val dst = tmp("snap-hfs-dst")
+    // both roots handed over WITH the scheme: the listing, the per-file
+    // executor copies, and the emptiness checks all resolve through
+    // FileSystem — the path a cluster-backed store would take
+    val st = IndexMaintenance.exportSnapshot(spark, s"file://$src", s"file://$dst")
+    assert(st.family === "postings")
+    assert(search(dst) === search(src),
+      "the file://-schemed clone must serve byte-identically")
+    // the scheme also reaches the refusal paths (same messages)
+    val ex = intercept[IllegalArgumentException] {
+      IndexMaintenance.exportSnapshot(spark, s"file://$src", s"file://$dst")
+    }
+    assert(ex.getMessage.contains("not empty"))
+  }
+
+  test("malformed versioned directories are never resurrected into a clone") {
+    import java.nio.file.{Files, Paths}
+    val src = tmp("snap-orphan-src")
+    SearchOps.writePostingsIndex(dayOne.toDF("doc_id", "text"), src)
+    val expected = search(src) // before planting: the orphans poison even the
+    // SOURCE's partition discovery (conflicting epoch= values) — exactly why
+    // copying them into a release artifact would be a delayed read failure
+    // crash-orphaned / corrupted names that CLAIM a version but don't
+    // parse: unreachable by exact-path readers, so a clone must skip them
+    // (the old un-versioned fallback copied them verbatim)
+    Seq("postings/epoch=abc", "postings/epoch=3.tmp").foreach { d =>
+      val dir = Paths.get(src, d)
+      Files.createDirectories(dir)
+      Files.write(dir.resolve("stale.bin"), Array[Byte](1, 2, 3))
+    }
+    val dst = tmp("snap-orphan-dst")
+    IndexMaintenance.exportSnapshot(spark, src, dst)
+    assert(search(dst) === expected,
+      "committed data clones intact AND the clone stays readable")
+    assert(!Files.exists(Paths.get(dst, "postings/epoch=abc")) &&
+        !Files.exists(Paths.get(dst, "postings/epoch=3.tmp")),
+      "orphaned staging bytes must not become part of a release artifact")
+  }
 }
