@@ -1410,10 +1410,66 @@ object CurationOps {
     """.stripMargin.trim),
   )
 
+  /** The pin-ledger lifecycle, oracle-gated as a DRILL (the
+    * e_table_forget / v_cascade_coverage convention — the row builds
+    * its own fleet per invocation and reports deterministic
+    * consequences of the protocol, so the oracle is literal VALUES):
+    *
+    *   1. build a BQ index (epoch 0: 40 vectors), tombstone one vector
+    *      (epoch 1), REGISTER a pin at epoch 1, then compact (head 2,
+    *      floor 2 — epochs 0/1 become superseded garbage);
+    *   2. `pinned` phase: the advisor must say `vacuum_blocked_by_pin`
+    *      instead of advising destruction, a vacuum attempt must remove
+    *      ZERO directories, and the as-of read at the pinned epoch must
+    *      still resolve (39 rows = 40 minus the tombstone) — the
+    *      standing serve survives the janitor;
+    *   3. `released` phase: after releasePin the advisor flips to
+    *      `vacuum`/`stale_epochs`, vacuum reclaims exactly the three
+    *      superseded directories (words/0, dels/0, dels/1), and the
+    *      as-of read now refuses (-1) — the pin was the only thing
+    *      keeping the epoch replayable.
+    */
+  val vacuumPin = Q(
+    "t_vacuum_pin",
+    (s, d) => {
+      import s.implicits._
+      import graft.sources.{IndexMaintenance, IndexManifest}
+      val emb = Tables.embeddings(s, d)
+      val dir = graft.sources.Scratch.dir("graft-pin-bq")
+      VectorOps.writeBqIndex(emb.filter($"vec_id" < 40), dir)
+      VectorOps.deleteFromBqIndex(
+        emb.filter($"vec_id" === 0).select($"vec_id"), dir)
+      IndexManifest.registerPin(dir, "audit-run", 1L, IndexManifest.Bq)
+      VectorOps.compactBqIndex(s, dir)
+      def reason(): String = IndexMaintenance.advise(s, Seq("pin" -> dir))
+        .select("reason").first().getString(0)
+      val reasonPinned = reason()
+      val removedPinned = IndexManifest.vacuum(dir, IndexManifest.Bq)
+      val pinnedRows = VectorOps.storedBqWords(s, dir, asOf = Some(1L)).count()
+      IndexManifest.releasePin(dir, "audit-run")
+      val reasonReleased = reason()
+      val removedReleased = IndexManifest.vacuum(dir, IndexManifest.Bq)
+      val asOfReleased =
+        try VectorOps.storedBqWords(s, dir, asOf = Some(1L)).count()
+        catch { case _: IllegalArgumentException => -1L }
+      Seq(
+        ("pinned", reasonPinned, removedPinned, pinnedRows),
+        ("released", reasonReleased, removedReleased, asOfReleased))
+        .toDF("phase", "advise_reason", "vacuumed_dirs", "asof_rows")
+    },
+    Some("""
+      SELECT * FROM (VALUES
+        ('pinned', 'vacuum_blocked_by_pin', CAST(0 AS BIGINT), CAST(39 AS BIGINT)),
+        ('released', 'stale_epochs', CAST(3 AS BIGINT), CAST(-1 AS BIGINT))
+      ) AS t(phase, advise_reason, vacuumed_dirs, asof_rows)
+    """.stripMargin.trim),
+  )
+
   val qs: Seq[Q] =
     Seq(splitAssign, sourceQuota, stratifiedSample, sampleExactK,
       weightedSample, shardPack,
       seqPack, contamination, domainMix, temperatureMix, trainLeaks,
       curateCorpus, curateSequences, curateFunnel, kAnonymity, kSuppress,
-      lDiversity, erasureCert, erasureCertUsers, indexCatalog, indexAdvisor)
+      lDiversity, erasureCert, erasureCertUsers, indexCatalog, indexAdvisor,
+      vacuumPin)
 }

@@ -107,6 +107,11 @@ object IndexMaintenance {
             else if (window >= windowLen) ("compact", "window")
             else if (IndexManifest.staleDirs(path, fmt).nonEmpty)
               ("vacuum", "stale_epochs")
+            else if (IndexManifest.staleDirs(path, fmt, respectPins = false).nonEmpty)
+              // superseded epochs exist but every one sits inside a live
+              // pin's window: naming the pin beats advising destruction
+              // a pin-aware vacuum would refuse anyway
+              ("ok", "vacuum_blocked_by_pin")
             else ("ok", "")
           (name, fam, window, total, dels, action, reason)
       }
@@ -211,16 +216,36 @@ object IndexMaintenance {
 
   def exportSnapshot(s: SparkSession, src: String, dst: String,
       asOf: Option[Long] = None): IndexManifest.State = {
-    import scala.jdk.CollectionConverters._
     val conf = s.sparkContext.hadoopConfiguration
     val srcP = qualifiedRoot(s, src)
     val dstP = qualifiedRoot(s, dst)
-    val srcFs = srcP.getFileSystem(conf)
     val dstFs = dstP.getFileSystem(conf)
     val (st, fmt) = resolveExportState(localRoot(srcP), asOf)
     require(!dstFs.exists(dstP) || (dstFs.getFileStatus(dstP).isDirectory &&
         dstFs.listStatus(dstP).isEmpty),
       s"export destination $dst exists and is not empty - refusing to merge into it")
+    // In-flight pin on the SOURCE for the duration of the copy: the old
+    // check-then-act window (pin validated up front, janitor vacuums the
+    // epoch mid-copy) is closed at its root — a concurrent vacuum now
+    // SKIPS the window being exported instead of racing it. Owner is
+    // deterministic per destination, so a crashed export's leftover pin
+    // is visible in the advisor and re-running the same export replaces
+    // (then releases) it.
+    val pinOwner = "export:" + java.lang.Integer.toHexString(dstP.toString.hashCode)
+    IndexManifest.registerPin(localRoot(srcP), pinOwner, st.epoch, fmt)
+    try {
+      doExport(s, srcP, dstP, st, fmt)
+    } finally IndexManifest.releasePin(localRoot(srcP), pinOwner)
+  }
+
+  /** The listing + distributed copy + clone commit — [[exportSnapshot]]'s
+    * body, under the caller's in-flight source pin.
+    */
+  private def doExport(s: SparkSession, srcP: HPath, dstP: HPath,
+      st: IndexManifest.State, fmt: IndexManifest.Format): IndexManifest.State = {
+    import scala.jdk.CollectionConverters._
+    val conf = s.sparkContext.hadoopConfiguration
+    val srcFs = srcP.getFileSystem(conf)
 
     def ls(p: HPath): Seq[org.apache.hadoop.fs.FileStatus] =
       if (!srcFs.exists(p) || !srcFs.getFileStatus(p).isDirectory) Seq.empty
@@ -301,12 +326,14 @@ object IndexMaintenance {
     * manifest commit, and a crash between the two clones leaves the
     * second root manifest-less = unreadable by contract, so a partial
     * pair can never serve (re-run the export; the first clone's root
-    * must then be cleared — it refuses merges). The up-front pin check
-    * is check-then-act: it assumes the fleet-wide single-writer
-    * contract (no compaction+vacuum racing the export) — a concurrent
-    * janitor moving the second source's floor DURING the first copy
-    * surfaces as the crash case above (second root unreadable), not
-    * silently.
+    * must then be cleared — it refuses merges). Each clone holds an
+    * in-flight pin on its source for the duration of its copy
+    * ([[exportSnapshot]]), so a janitor racing the export SKIPS the
+    * window being cloned instead of deleting it mid-copy; the only
+    * remaining race is a compaction+vacuum landing BETWEEN the up-front
+    * resolve and the second clone's pin, which surfaces as that clone's
+    * loud pin/resolve failure with the first root still manifest-less
+    * or fully-committed — never a silently torn pair.
     */
   def exportCascadePair(s: SparkSession, bqSrc: String, sq8Src: String,
       bqDst: String, sq8Dst: String,

@@ -187,11 +187,23 @@ object IndexManifest {
     */
   def stateAsOf(path: String, asOf: Long, fmt: Format = AnyFamily): State = {
     val st = committedState(path, fmt)
-    require(asOf >= st.baseEpoch && asOf <= st.epoch,
-      s"as-of epoch $asOf outside the committed window [${st.baseEpoch}, ${st.epoch}] " +
-        "of the index at " + path +
-        " - future epochs don't exist; epochs below the floor were compacted away")
-    st.copy(epoch = asOf)
+    if (asOf >= st.baseEpoch && asOf <= st.epoch) st.copy(epoch = asOf)
+    else {
+      // Below the committed floor: readable IFF a registered pin still
+      // protects it. The pin recorded the window floor AT REGISTRATION,
+      // which is exactly the floor a reader at that epoch resolved
+      // against — so the pinned read window is [pin.floor, asOf], and
+      // vacuum's pin-aware worklist guarantees those directories exist.
+      val covering =
+        if (asOf > st.epoch) None
+        else pins(path).find(p => p.floor <= asOf && asOf <= p.epoch)
+      require(covering.nonEmpty,
+        s"as-of epoch $asOf outside the committed window [${st.baseEpoch}, ${st.epoch}] " +
+          "of the index at " + path +
+          " - future epochs don't exist; epochs below the floor were compacted away " +
+          "(registerPin BEFORE the compaction keeps an epoch replayable)")
+      State(st.formatVersion, asOf, covering.get.floor, st.family)
+    }
   }
 
   /** The window state a reader resolves against: the committed head, or
@@ -310,6 +322,79 @@ object IndexManifest {
     commit(path, e, baseEpoch = e, fmt)
   }
 
+  // ---------------------------------------------------------------------
+  // PIN LEDGER — live protection for as-of readers. Time travel's
+  // contract used to be "replayable while the maintenance schedule
+  // happens to preserve the epoch": a compaction moves the floor, the
+  // janitor deletes the superseded directories, and every standing
+  // as-of consumer (a pinned serve stream, an export mid-copy, an audit
+  // replaying a recorded epoch) silently loses its snapshot. A pin is a
+  // tiny root-level registration — one file per owner under
+  // `_graft_pins/` — that (a) makes [[vacuum]] skip the pinned window's
+  // directories, (b) keeps [[stateAsOf]] resolving the pinned epoch
+  // even after the floor moves past it, and (c) surfaces in the
+  // maintenance advisor as `vacuum_blocked_by_pin` instead of advising
+  // destruction. Each pin records the window floor AT REGISTRATION:
+  // the protected directory set is exactly [floor, epoch] — what a
+  // reader resolved against when the pin was taken — never "everything
+  // below some number" (which would either leak garbage or starve the
+  // janitor). Registration is per-owner atomic (tmp+rename, the
+  // manifest's own discipline); releasing deletes the file and the
+  // next vacuum reclaims. Pins protect against the JANITOR only: they
+  // do not block appends or compactions (which never delete), and an
+  // unreleased pin costs disk, not correctness — the advisor keeps
+  // naming it until its owner releases.
+  // ---------------------------------------------------------------------
+
+  final case class Pin(owner: String, epoch: Long, floor: Long)
+
+  private def pinsDir(path: String) = Paths.get(path, "_graft_pins")
+
+  /** Register `owner`'s pin at `epoch` (must be inside the committed
+    * window — you can only pin what you can currently read). Re-pinning
+    * the same owner overwrites its previous registration.
+    */
+  def registerPin(path: String, owner: String, epoch: Long,
+      fmt: Format = AnyFamily): Pin = {
+    require(owner.nonEmpty && owner.forall(c =>
+        c.isLetterOrDigit || "-_.:".contains(c)),
+      s"pin owner '$owner' must be a filename-safe token (letters, digits, -_.:)")
+    val st = committedState(path, fmt)
+    require(epoch >= st.baseEpoch && epoch <= st.epoch,
+      s"pin epoch $epoch outside the committed window [${st.baseEpoch}, ${st.epoch}] " +
+        s"of the index at $path - a pin protects a currently-readable snapshot")
+    Files.createDirectories(pinsDir(path))
+    val body =
+      s"""{ "owner": "$owner", "epoch": $epoch, "floor": ${st.baseEpoch} }\n"""
+    val tmp = pinsDir(path).resolve(s".$owner.tmp")
+    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, pinsDir(path).resolve(s"$owner.pin"),
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    Pin(owner, epoch, st.baseEpoch)
+  }
+
+  /** Drop `owner`'s pin; returns whether one existed. The freed epochs
+    * become the next [[vacuum]]'s worklist (nothing is deleted here).
+    */
+  def releasePin(path: String, owner: String): Boolean =
+    Files.deleteIfExists(pinsDir(path).resolve(s"$owner.pin"))
+
+  /** All live pins at this root (unordered). */
+  def pins(path: String): Seq[Pin] = {
+    import scala.jdk.CollectionConverters._
+    val d = pinsDir(path)
+    if (!Files.isDirectory(d)) Seq.empty
+    else scala.util.Using.resource(Files.list(d))(_.iterator().asScala.toVector)
+      .filter(_.getFileName.toString.endsWith(".pin"))
+      .flatMap { f =>
+        val s = new String(Files.readAllBytes(f), StandardCharsets.UTF_8)
+        def num(k: String): Option[Long] =
+          s""""$k"\\s*:\\s*(-?\\d+)""".r.findFirstMatchIn(s).map(_.group(1).toLong)
+        for (e <- num("epoch"); fl <- num("floor"))
+          yield Pin(f.getFileName.toString.stripSuffix(".pin"), e, fl)
+      }
+  }
+
   /** Delete epoch directories strictly BELOW the committed window floor
     * — the janitor half of [[compact]]. Only ever touches epochs no
     * reader can resolve again (the floor is monotone: appends preserve
@@ -319,8 +404,10 @@ object IndexManifest {
     * retention-window caveat for object stores — delay vacuum past the
     * longest query — is a deployment knob, not a protocol change).
     * Epochs ABOVE the ceiling are never touched: they may be another
-    * writer's in-flight stage. Returns the number of directories
-    * removed.
+    * writer's in-flight stage. Directories inside a registered pin's
+    * [floor, epoch] window are skipped (see the pin-ledger section) —
+    * release the pin to reclaim them. Returns the number of
+    * directories removed.
     */
   def vacuum(path: String, fmt: Format = AnyFamily): Long = {
     import scala.util.Using
@@ -346,10 +433,15 @@ object IndexManifest {
     * the window — both are unreachable by any reader, head or as-of.
     */
   private[graft] def staleDirs(path: String,
-      fmt: Format = AnyFamily): Seq[java.nio.file.Path] = {
+      fmt: Format = AnyFamily,
+      respectPins: Boolean = true): Seq[java.nio.file.Path] = {
+    // respectPins=true is what every janitor path uses; the advisor
+    // passes false to SEE blocked-but-reclaimable garbage and name the
+    // pin instead of advising destruction.
     import scala.jdk.CollectionConverters._
     import scala.util.Using
     val floor = committedState(path, fmt).baseEpoch
+    val live = if (respectPins) pins(path) else Seq.empty
     val root = Paths.get(path)
     if (!Files.exists(root)) return Seq.empty
     def ls(p: java.nio.file.Path): Seq[java.nio.file.Path] =
@@ -360,7 +452,8 @@ object IndexManifest {
         val digits = if (name.startsWith("epoch=")) name.stripPrefix("epoch=")
           else if (name.startsWith("gen=")) name.stripPrefix("gen=")
           else ""
-        digits.nonEmpty && digits.forall(_.isDigit) && digits.toLong < floor
+        digits.nonEmpty && digits.forall(_.isDigit) && digits.toLong < floor &&
+          !live.exists(p => p.floor <= digits.toLong && digits.toLong <= p.epoch)
       }
     }
   }
@@ -386,7 +479,9 @@ object IndexManifest {
         if (!Files.exists(root)) ""
         else Using.resource(Files.list(root)) { l =>
           l.iterator().asScala.filter(Files.isDirectory(_))
-            .map(_.getFileName.toString).toSeq.sorted.mkString(",")
+            .map(_.getFileName.toString)
+            .filterNot(_.startsWith("_graft_")) // protocol state, not a component
+            .toSeq.sorted.mkString(",")
         }
       (name, st.family, st.formatVersion.toLong, st.epoch, st.baseEpoch, comps)
     }.toDF("name", "family", "format_version", "epoch", "base_epoch", "components")
