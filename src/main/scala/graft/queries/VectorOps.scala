@@ -4396,9 +4396,15 @@ object VectorOps {
   }
 
   /** The fan-out: each tier applies its append iff its committed epoch
-    * still equals the persisted snapshot — an advanced epoch means that
-    * tier's append already committed (the manifests ARE the ledger,
-    * exactly the Erasure resume rule), so replay never double-appends.
+    * still equals the persisted snapshot — an advanced-BY-ONE epoch
+    * means that tier's append already committed (the manifests ARE the
+    * ledger, exactly the Erasure resume rule), so replay never
+    * double-appends. Any OTHER epoch is a single-writer violation: this
+    * protocol commits exactly one epoch per tier, so a manifest more
+    * than one ahead of the intent's snapshot (or behind it) was moved
+    * by a foreign writer mid-stream — skipping would silently drop this
+    * delta from that tier (and silently diverge the pair), so it throws
+    * naming the foreign epoch instead.
     */
   private def runCascadeAppend(s: SparkSession, intentRoot: String,
       rows: Seq[(String, Long, String)], failAfter: Int): Unit = {
@@ -4407,14 +4413,22 @@ object VectorOps {
     rows.zipWithIndex.foreach { case ((tag, pre, path), i) =>
       if (i >= failAfter)
         throw new RuntimeException(s"planted crash before tier '$tag' append")
-      tag match {
-        case "bq" =>
-          if (IndexManifest.committedEpoch(path, IndexManifest.Bq) == pre)
-            appendBqIndex(d, path)
-        case "sq8" =>
-          if (IndexManifest.committedEpoch(path, IndexManifest.Sq8) == pre)
-            appendSq8Index(d, path)
+      val fmt = tag match {
+        case "bq" => IndexManifest.Bq
+        case "sq8" => IndexManifest.Sq8
       }
+      val committed = IndexManifest.committedEpoch(path, fmt)
+      if (committed == pre) tag match {
+        case "bq" => appendBqIndex(d, path)
+        case "sq8" => appendSq8Index(d, path)
+      }
+      else if (committed != pre + 1L)
+        throw new java.util.ConcurrentModificationException(
+          s"single-writer violation on the cascade ingest: tier '$tag' at $path " +
+            s"has committed epoch $committed but this batch's intent snapshot is $pre - " +
+            s"a foreign writer moved the manifest mid-stream; refusing to resume " +
+            "(a skip would silently drop this delta and diverge the pair)")
+      // committed == pre + 1: this tier's append already landed - resume no-op
     }
   }
 

@@ -1239,10 +1239,22 @@ object Streams {
           StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
         next
       }
-    if (IndexManifest.committedEpoch(path, IndexManifest.Layout) < e) {
+    val committed = IndexManifest.committedEpoch(path, IndexManifest.Layout)
+    if (committed < e) {
       graft.queries.LayoutOps.stageTableEpoch(batch, path, e, nFiles)
+      // advance() re-checks committed == e-1 at the flip, so a foreign
+      // writer racing the stage still fails loudly there
       IndexManifest.advance(path, e, IndexManifest.Layout)
-    } // else: replay of an already-committed fold — exactly-once no-op
+    } else if (committed > e)
+      // ledgered target epoch already SUPERSEDED: only a foreign writer
+      // can be ahead of this stream's own one-epoch-per-batch arithmetic
+      // — a silent no-op here would drop the batch (the erasure-stream
+      // caveat made loud, same rule as applyIndexIngestBatch)
+      throw new java.util.ConcurrentModificationException(
+        s"single-writer violation on the event-table ingest (batch $batchId): " +
+          s"committed epoch $committed is past this batch's ledgered target $e - " +
+          "a foreign writer advanced the table mid-stream; refusing to skip")
+    // committed == e: replay of an already-committed fold — exactly-once no-op
     // prune settled entries (batches run serially; earlier ids can
     // never replay) — the ledger holds at most the in-flight batch
     import scala.jdk.CollectionConverters._
@@ -1625,7 +1637,24 @@ object Streams {
     // property of the replayed data, not of this run, so the cheap
     // uniform write keeps the protocol one-shaped
     val pre = batchPreEpoch(ledgerRoot, batchId, committedEpoch())
-    if (committedEpoch() == pre && !batch.isEmpty) append(batch)
+    val committed = committedEpoch()
+    if (committed == pre) { if (!batch.isEmpty) append(batch) }
+    else if (committed != pre + 1L)
+      // This stream's own append advances the epoch by EXACTLY one, so
+      // committed == pre+1 is the legitimate replay-after-commit no-op
+      // and anything else is provably a FOREIGN writer (or a rebuild)
+      // that took the manifest while this stream owned it. Skipping the
+      // batch here would be silent data loss — the replay protocol's
+      // epoch arithmetic no longer describes reality — so fail loudly
+      // and name the foreign epoch; the operator restarts the stream
+      // against the new committed state once ownership is resolved.
+      throw new java.util.ConcurrentModificationException(
+        s"single-writer violation on the ingest stream (batch $batchId): " +
+          s"committed epoch $committed vs this batch's pre-append marker $pre - " +
+          (if (committed < pre) "the index went BACKWARDS (rebuilt underneath the stream)"
+           else s"a foreign writer advanced the index to epoch $committed") +
+          "; refusing to guess which appends are safe (zero silent skips)")
+    // committed == pre + 1: this batch's own append already committed - replay no-op
     pruneSettledEpochMarkers(ledgerRoot, batchId)
   }
 

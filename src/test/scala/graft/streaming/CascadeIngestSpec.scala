@@ -165,6 +165,32 @@ class CascadeIngestSpec extends SparkSpec {
     assert(audit(bq, sq) === ((16L, 0L, 0L)))
   }
 
+  test("a foreign append landing mid-pair makes the resume fail loudly, naming the epoch") {
+    val (bq, sq, _) = buildPair(10L)
+    val ledger = tmp("cing-foreign")
+    val delta = (600L until 603L).map(i => (i, vec()))
+
+    // crash between the tier appends: bq landed (epoch 1), sq8 pending
+    intercept[RuntimeException] {
+      Streams.applyCascadeIngestBatch(df(delta), bq, sq, ledger,
+        batchId = 0L, failAfter = 1)
+    }
+    // an out-of-band writer then takes the sq8 manifest TWICE — past
+    // anything this batch's own single commit could explain
+    VectorOps.appendSq8Index(df(Seq((900L, vec()))), sq)
+    VectorOps.appendSq8Index(df(Seq((901L, vec()))), sq)
+    assert(epochs(bq, sq) === ((1L, 2L)))
+
+    val ex = intercept[java.util.ConcurrentModificationException] {
+      Streams.applyCascadeIngestBatch(df(delta), bq, sq, ledger, batchId = 0L)
+    }
+    assert(ex.getMessage.contains("single-writer violation") &&
+      ex.getMessage.contains("sq8") && ex.getMessage.contains("epoch 2"),
+      s"must name the foreign tier and epoch, got: ${ex.getMessage}")
+    assert(epochs(bq, sq) === ((1L, 2L)),
+      "the violation must not resume the half-append (zero guessing)")
+  }
+
   test("settled batch roots are pruned; the in-flight batch's root survives") {
     import java.nio.file.{Files, Paths}
     val (bq, sq, _) = buildPair(8L)

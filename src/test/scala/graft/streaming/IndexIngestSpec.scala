@@ -104,6 +104,31 @@ class IndexIngestSpec extends SparkSpec {
     assert(epoch() === 2L, "an empty batch must not commit an epoch")
   }
 
+  test("a foreign writer advancing the index mid-stream fails loudly, never a silent skip") {
+    val dir = tmp("iing-foreign")
+    SearchOps.writePostingsIndex(dayOne.toDF("doc_id", "text"), dir)
+    val ledger = tmp("iing-foreign-ledger")
+    val epoch = () => postingsEpoch(dir)
+    val append = SearchOps.appendPostingsIndex(_: org.apache.spark.sql.DataFrame, dir)
+
+    Streams.applyIndexIngestBatch(dayTwo.toDF("doc_id", "text"), epoch, append, ledger, 0L)
+    assert(epoch() === 1L)
+    // an EXTERNAL append lands while the stream's offsets are unflushed
+    // (the single-writer contract broken out-of-band)...
+    SearchOps.appendPostingsIndex(dayThree.toDF("doc_id", "text"), dir)
+    assert(epoch() === 2L)
+    // ...so the replay of batch 0 can no longer tell its own commit
+    // from the foreign one by epoch arithmetic: committed (2) is past
+    // marker+1. The old body silently skipped here — now it throws,
+    // naming the foreign epoch, and nothing moves.
+    val ex = intercept[java.util.ConcurrentModificationException] {
+      Streams.applyIndexIngestBatch(dayTwo.toDF("doc_id", "text"), epoch, append, ledger, 0L)
+    }
+    assert(ex.getMessage.contains("single-writer violation") &&
+      ex.getMessage.contains("epoch 2"))
+    assert(epoch() === 2L, "the violation must not append anything")
+  }
+
   test("the appender parameter is generic: BQ family streams through the same body") {
     val rnd = new scala.util.Random(71)
     def vec() = Array.fill(64)(rnd.nextGaussian().toFloat)

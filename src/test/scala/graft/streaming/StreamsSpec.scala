@@ -1661,6 +1661,22 @@ class StreamsSpec extends SparkSpec {
     Streams.applyEventTableBatch(b3, dir, s"$ckpt/ledger", batchId = 2L, nFiles = 1)
     assert(epoch === 3L)
     assert(rows(dir) === (rows(twin) ++ b3.collect().map(_.toSeq)))
+
+    // a FOREIGN writer advancing the table past a ledgered target must
+    // fail the replay loudly, never silently drop the batch (the
+    // single-writer caveat made loud — same rule as the index ingest)
+    val b4 = evs((10L, 2L, "view", 19744L * 86400 + 1))
+    intercept[Exception] { // ledger batch 3 at target 4, then crash pre-stage
+      Streams.applyEventTableBatch(bad, dir, s"$ckpt/ledger", batchId = 3L, nFiles = 1)
+    }
+    LayoutOps.appendEventTable(b4, dir, nFiles = 1) // out-of-band: epoch 4
+    LayoutOps.appendEventTable(b4.withColumn("event_id", lit(11L)), dir, nFiles = 1)
+    assert(epoch === 5L)
+    val ex = intercept[java.util.ConcurrentModificationException] {
+      Streams.applyEventTableBatch(b4, dir, s"$ckpt/ledger", batchId = 3L, nFiles = 1)
+    }
+    assert(ex.getMessage.contains("single-writer violation") &&
+      ex.getMessage.contains("epoch 5"))
   }
 
 }
