@@ -915,13 +915,22 @@ object SearchOps {
     */
   def bm25SearchFromIndex(
       s: SparkSession, path: String, terms: Seq[String], k: Int,
-      asOf: Option[Long] = None): DataFrame = {
+      asOf: Option[Long] = None,
+      keepIds: Option[DataFrame] = None): DataFrame = {
     import graft.sources.IndexManifest
     import s.implicits._
     val buckets = terms.map(t => jvmH60(t) % indexBuckets).distinct
-    val postings = storedPostings(s, path, asOf)
+    val postings0 = storedPostings(s, path, asOf)
       .filter($"bucket".isin(buckets: _*)) // parquet partition pruning
       .filter($"t".isin(terms: _*))
+    // eligibility pre-filter (the searchBqIndexWhere strategy, sparse
+    // side): the semi-join lands on the term-pruned posting rows BEFORE
+    // scoring, so the top-k is the top of the FILTERED corpus and no
+    // ineligible doc is ever scored. Scores themselves are unchanged —
+    // idf/corpus stats stay GLOBAL by design (eligibility restricts who
+    // may be served, it does not re-weight the language model).
+    val postings = keepIds.fold(postings0)(keep =>
+      postings0.join(keep.select($"doc_id"), Seq("doc_id"), "left_semi"))
     // asOf pins stats AND postings to the same epoch — a consistent
     // snapshot (idf and postings can never mix generations)
     val stats = IndexManifest.readRewrite(
@@ -1248,13 +1257,24 @@ object SearchOps {
   def hybridSearchFromIndexes(
       s: SparkSession, postingsPath: String, ivfPqPath: String,
       terms: Seq[String], probe: DataFrame, k: Int,
-      asOfSparse: Option[Long] = None, asOfDense: Option[Long] = None): DataFrame = {
+      asOfSparse: Option[Long] = None, asOfDense: Option[Long] = None,
+      keepIds: Option[DataFrame] = None): DataFrame = {
     import s.implicits._
-    val sparse = bm25SearchFromIndex(s, postingsPath, terms, fusionPool, asOfSparse)
+    // `keepIds` (a doc_id/vec_id frame — the corpus convention shares
+    // the id space) pre-filters BOTH legs, so the WHOLE retrieval
+    // matrix filters: the postings side semi-joins before BM25 scoring,
+    // the dense side semi-joins the cell-pruned codes before ADC — an
+    // id the filter excludes can reach the fusion through neither leg,
+    // and both rank lists are ranks over the FILTERED corpus (fusing
+    // one filtered and one unfiltered leg would leak excluded ids back
+    // in through RRF).
+    val sparse = bm25SearchFromIndex(s, postingsPath, terms, fusionPool, asOfSparse,
+        keepIds)
       .withColumn("rank_sparse",
         row_number().over(Window.orderBy($"score_pp12".desc, $"doc_id")).cast("long"))
       .select($"doc_id", $"rank_sparse")
-    val dense = VectorOps.ivfPqSearchFromIndex(s, ivfPqPath, probe, asOfDense)
+    val dense = VectorOps.ivfPqSearchFromIndex(s, ivfPqPath, probe, asOfDense,
+        keepIds = keepIds.map(_.select($"doc_id".as("vec_id"))))
       .select($"cand_id".as("doc_id"), $"rnk".as("rank_dense"))
     sparse.join(dense, Seq("doc_id"), "full_outer")
       .withColumn("rrf_ppm", expr(
@@ -1322,8 +1342,67 @@ object SearchOps {
     """.stripMargin.trim),
   )
 
+  /** FILTERED hybrid retrieval — the last serving surface without the
+    * eligibility pre-filter, closed: one keep set (the pushed-down
+    * documents predicate) threads BOTH stored legs, so the whole
+    * retrieval matrix filters. The oracle recomputes both legs from
+    * scratch with the same keep relation inside each leg's candidate
+    * step (sparse: before BM25 scoring; dense: before ADC) and fuses
+    * with the exact-integer RRF — a filter applied post-fusion (or to
+    * only one leg) produces different ranks and hash-mismatches.
+    */
+  val hybridFiltered = Q(
+    "t_hybrid_filtered",
+    (s, d) => {
+      import s.implicits._
+      val pdir = graft.sources.Scratch.cached(s"hybrid-post:$d", "graft-hybrid-post") {
+        p => writePostingsIndex(docs(s, d), p)
+      }
+      val vdir = graft.sources.Scratch.cached(s"hybrid-ivfpq:$d", "graft-hybrid-ivfpq") {
+        p => VectorOps.writeIvfPqIndex(Tables.embeddings(s, d), p)
+      }
+      val probe = Tables.embeddings(s, d)
+        .filter($"vec_id" === probeId)
+        .select($"vec_id".as("query_id"), $"embedding")
+      val keep = Tables.documents(s, d).filter($"lang" === "en")
+        .select($"doc_id")
+      hybridSearchFromIndexes(s, pdir, vdir, queryTerms, probe, fusionK,
+        keepIds = Some(keep))
+    },
+    Some(s"""
+      WITH keep AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+      $oracleBm25Core,
+      scored AS (
+        SELECT m.doc_id, CAST(SUM(dfa.idf_ppm * $oracleSat) AS BIGINT) AS score_pp12
+        FROM m JOIN dfa USING (t) JOIN keep kp ON kp.doc_id = m.doc_id
+        WHERE m.t IN ($termsSql) GROUP BY 1),
+      sp AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY score_pp12 DESC, doc_id) AS rank_sparse
+        FROM scored QUALIFY rank_sparse <= $fusionPool),
+      ${VectorOps.oIvfPqCtesFrom("embeddings", s"vec_id = $probeId",
+        candPred = "a.cand_id IN (SELECT doc_id FROM keep)")},
+      dn AS (
+        SELECT cand_id AS doc_id,
+               ROW_NUMBER() OVER (ORDER BY adc_micros ASC, cand_id ASC) AS rank_dense
+        FROM adc QUALIFY rank_dense <= ${VectorOps.topK}),
+      f AS (
+        SELECT COALESCE(sp.doc_id, dn.doc_id) AS doc_id,
+               sp.rank_sparse, dn.rank_dense,
+               COALESCE(1000000 // ($rrfC + sp.rank_sparse), 0)
+                 + COALESCE(1000000 // ($rrfC + dn.rank_dense), 0) AS rrf_ppm
+        FROM sp FULL JOIN dn ON sp.doc_id = dn.doc_id)
+      SELECT doc_id,
+             COALESCE(rank_sparse, -1) AS rank_sparse,
+             COALESCE(rank_dense, -1) AS rank_dense,
+             CAST(rrf_ppm AS BIGINT) AS rrf_ppm,
+             ROW_NUMBER() OVER (ORDER BY rrf_ppm DESC, doc_id) AS rnk
+      FROM f QUALIFY rnk <= $fusionK
+    """.stripMargin.trim),
+  )
+
   val qs: Seq[Q] = Seq(
     boolSearch, tfidfSearch, bm25Search, rrfFusion, prfExpand, phraseSearch,
     proximitySearch, entityResolution, entityCanon, entityTypos, searchMrr,
-    bm25Forget, bm25AsOf, hybridFromIndex)
+    bm25Forget, bm25AsOf, hybridFromIndex, hybridFiltered)
 }

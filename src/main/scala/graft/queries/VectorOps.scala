@@ -2317,7 +2317,12 @@ object VectorOps {
     * `v_ivfpq_asof` (the pre-append split), and SearchOps'
     * `t_hybrid_from_index` (a single probe vector, fused with BM25).
     */
-  private[queries] def oIvfPqCtesFrom(src: String, panelPred: String): String = {
+  /** `candPred` (over `a.cand_id`) mirrors the engine's `keepIds`
+    * pre-filter on the stored codes: applied in the `cands` CTE, before
+    * ADC scoring and the rank — the dense leg of a filtered retrieval.
+    */
+  private[queries] def oIvfPqCtesFrom(src: String, panelPred: String,
+      candPred: String = "TRUE"): String = {
     // The single panelPred is applied to BOTH the probes CTE (whose id
     // space is keyed off nCells — the first nCells ids are centroids)
     // and the PQ query/LUT CTE (keyed off pqK — the first pqK ids are
@@ -2344,7 +2349,8 @@ object VectorOps {
                  WHERE ($panelPred) AND rk <= $nProbe),
       cands AS (
         SELECT p.query_id, a.cand_id
-        FROM probes p JOIN assigned a ON a.cell = p.q_cell AND a.cand_id <> p.query_id),
+        FROM probes p JOIN assigned a ON a.cell = p.q_cell AND a.cand_id <> p.query_id
+        WHERE ($candPred)),
       ${oPqCodesCteFrom(src)},
       q AS (
         SELECT v.vec_id AS query_id, CAST(s.sub AS BIGINT) AS sub,
@@ -3072,7 +3078,8 @@ object VectorOps {
     */
   def ivfPqSearchFromIndex(s: SparkSession, path: String, queries: DataFrame,
       asOf: Option[Long] = None, k: Long = topK,
-      excludeSelf: Boolean = true, keepIds: Option[DataFrame] = None): DataFrame = {
+      excludeSelf: Boolean = true, keepIds: Option[DataFrame] = None,
+      keepPairs: Option[DataFrame] = None): DataFrame = {
     import s.implicits._
     import graft.sources.IndexManifest
     graft.functions.GraftFunctions.registerDotD(s)
@@ -3117,7 +3124,7 @@ object VectorOps {
     val cand = keepIds.fold(pruned)(keep =>
       pruned.join(keep.select(col("vec_id")), Seq("vec_id"), "left_semi"))
     val w = Window.partitionBy($"query_id").orderBy($"adc_micros".asc, $"cand_id")
-    cand
+    val fanned = cand
       .withColumnRenamed("vec_id", "cand_id")
       .join(broadcast(probes.select($"query_id", $"cell")), Seq("cell"))
       // corpus-panel queries share the index id space and must not
@@ -3125,6 +3132,14 @@ object VectorOps {
       // (excludeSelf = false), so a numeric collision doesn't silently
       // drop a legitimate candidate — the searchBqIndex convention
       .filter(if (excludeSelf) $"cand_id" =!= $"query_id" else lit(true))
+    // per-request eligibility (the bqScreenAgainst keepPairs contract):
+    // the semi-join lands BEFORE the LUT fan-out and the rank, so the
+    // per-query top-k pool is the top of that query's OWN filtered
+    // probed cells, and no ADC term is ever summed for an ineligible
+    // (query, id) pair
+    keepPairs.fold(fanned)(p =>
+        fanned.join(p.select($"query_id", $"vec_id".as("cand_id")),
+          Seq("query_id", "cand_id"), "left_semi"))
       .join(broadcast(lut), Seq("query_id", "sub", "code"))
       .groupBy($"query_id", $"cand_id")
       .agg(sum($"d2_micros").as("adc_micros"))
@@ -3145,8 +3160,10 @@ object VectorOps {
   def searchIvfPqRefined(s: SparkSession, path: String, queries: DataFrame,
       corpus: DataFrame, k: Long = topK, c: Long = refineC,
       asOf: Option[Long] = None, excludeSelf: Boolean = true,
-      keepIds: Option[DataFrame] = None): DataFrame = {
-    val cands = ivfPqSearchFromIndex(s, path, queries, asOf, c, excludeSelf, keepIds)
+      keepIds: Option[DataFrame] = None,
+      keepPairs: Option[DataFrame] = None): DataFrame = {
+    val cands = ivfPqSearchFromIndex(
+      s, path, queries, asOf, c, excludeSelf, keepIds, keepPairs)
       .select(col("query_id"), col("cand_id"))
     exactRerankAgainst(
       queries.select(col("query_id"), col("embedding").as("q_emb")),
@@ -3298,15 +3315,40 @@ object VectorOps {
     * self-exclusion is opt-in (the panel rows share the corpus space
     * and need it; a serving request must not silently drop a candidate
     * that happens to share its numeric id).
+    *
+    * `keepPairs` is PER-REQUEST eligibility — a (query_id, vec_id)
+    * relation (distinct pairs, the caller's contract: a duplicated pair
+    * would rank its candidate twice). The dominant production ANN
+    * filter (tenant / language / license) is per-request, and a
+    * corpus-global keep set can't express two same-batch queries with
+    * different keep sets. The pairs frame changes the screen's JOIN
+    * SHAPE for the better: instead of the sanctioned
+    * broadcast-panel-cross (every candidate scored for every query),
+    * candidates equi-join the pairs on cand_id and the pairs carry
+    * query_id, so each candidate is scored ONLY for the queries allowed
+    * to see it and the rank pool per query is the top of that query's
+    * OWN filtered corpus — a post-filter of an unfiltered screen
+    * under-fills arbitrarily (its pool can contain zero eligible rows),
+    * the same argument as the corpus-global `keepIds` pre-filter, per
+    * request. At deployment scale the pairs relation is whatever the
+    * request's attribute predicate selected; the join is keyed on
+    * vec_id (shuffle or broadcast by size), never corpus x batch.
     */
   private def bqScreenAgainst(q: DataFrame, packed: DataFrame, k: Long,
-      excludeSelf: Boolean): DataFrame = {
+      excludeSelf: Boolean, keepPairs: Option[DataFrame] = None): DataFrame = {
     val s = packed.sparkSession
     import s.implicits._
     val w = Window.partitionBy($"query_id").orderBy($"hamming".asc, $"cand_id".asc)
     val cond = if (excludeSelf) $"cand_id" =!= $"query_id" else lit(true)
-    packed.select($"vec_id".as("cand_id"), $"w_lo", $"w_hi")
-      .join(broadcast(q), cond)
+    val cand = packed.select($"vec_id".as("cand_id"), $"w_lo", $"w_hi")
+    val paired = keepPairs match {
+      case None => cand.join(broadcast(q), cond)
+      case Some(p) =>
+        cand.join(p.select($"query_id", $"vec_id".as("cand_id")), Seq("cand_id"))
+          .join(broadcast(q), Seq("query_id"))
+          .filter(cond)
+    }
+    paired
       .withColumn("hamming",
         (bit_count($"q_lo".bitwiseXOR($"w_lo")) +
           bit_count($"q_hi".bitwiseXOR($"w_hi"))).cast("long"))
@@ -3318,7 +3360,13 @@ object VectorOps {
   private def bqTopK(s: SparkSession, d: String): DataFrame =
     bqScreen(bqPacked(s, d), topK)
 
-  private def oracleBqCtes(k: Long = topK): String =
+  /** `pairPred` (over `bq.query_id` / `c.vec_id`) mirrors the engine's
+    * per-request `keepPairs` eligibility: applied INSIDE the screen
+    * join, before the rank, so the oracle's per-query pool is the top
+    * of that query's own filtered corpus — exactly where the Spark
+    * side applies the pairs frame.
+    */
+  private def oracleBqCtes(k: Long = topK, pairPred: String = "TRUE"): String =
     s"""packed AS (SELECT vec_id, ${oPackHalf(1)} AS w_lo, ${oPackHalf(33)} AS w_hi
        |           FROM embeddings),
        |bq AS (SELECT vec_id AS query_id, w_lo AS q_lo, w_hi AS q_hi FROM packed
@@ -3327,7 +3375,7 @@ object VectorOps {
        |  SELECT bq.query_id, c.vec_id AS cand_id,
        |         CAST(bit_count(xor(bq.q_lo, c.w_lo)) + bit_count(xor(bq.q_hi, c.w_hi))
        |           AS BIGINT) AS hamming
-       |  FROM bq JOIN packed c ON c.vec_id <> bq.query_id),
+       |  FROM bq JOIN packed c ON c.vec_id <> bq.query_id AND ($pairPred)),
        |bqk AS (
        |  SELECT query_id, cand_id, hamming,
        |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY hamming ASC, cand_id) AS rnk
@@ -3752,7 +3800,8 @@ object VectorOps {
   def searchBqIndex(queryVecs: DataFrame, path: String, corpus: DataFrame,
       k: Long = topK, screen: Long = cascadeC1,
       excludeSelf: Boolean = false, asOf: Option[Long] = None,
-      keepIds: Option[DataFrame] = None): DataFrame = {
+      keepIds: Option[DataFrame] = None,
+      keepPairs: Option[DataFrame] = None): DataFrame = {
     val s = queryVecs.sparkSession
     // public entry point: callers may not have gone through vecs()'s
     // session registration (the replica-sweep lesson)
@@ -3762,9 +3811,11 @@ object VectorOps {
       .select(col("vec_id").as("query_id"),
         col("w_lo").as("q_lo"), col("w_hi").as("q_hi"))
     val words = storedBqWords(s, path, asOf)
+    // both filters compose: a corpus-global keep set (semi-join on the
+    // words) AND per-request pairs (keyed into the screen join itself)
     val eligible = keepIds.fold(words)(keep =>
       words.join(keep.select(col("vec_id")), Seq("vec_id"), "left_semi"))
-    val cands = bqScreenAgainst(qPacked, eligible, screen, excludeSelf)
+    val cands = bqScreenAgainst(qPacked, eligible, screen, excludeSelf, keepPairs)
       .select(col("query_id"), col("cand_id"))
     exactRerankAgainst(
       queryVecs.select(col("query_id"), col("embedding").as("q_emb")),
@@ -3819,7 +3870,8 @@ object VectorOps {
       corpus: DataFrame, k: Long = topK, screen: Long = cascadeC1,
       refine: Long = cascadeC2, excludeSelf: Boolean = false,
       bqAsOf: Option[Long] = None, sq8AsOf: Option[Long] = None,
-      keepIds: Option[DataFrame] = None): DataFrame = {
+      keepIds: Option[DataFrame] = None,
+      keepPairs: Option[DataFrame] = None): DataFrame = {
     val s = queryVecs.sparkSession
     import s.implicits._
     graft.functions.GraftFunctions.registerDotD(s)
@@ -3827,11 +3879,15 @@ object VectorOps {
     // only corpus-wide distance pass in the whole serve). Each
     // artifact takes an INDEPENDENT as-of pin (the hybrid-retrieval
     // convention): a recorded (bq_epoch, sq8_epoch) pair replays the
-    // exact serve after both indexes grew. An optional `keepIds` frame
-    // pre-filters HERE, at the cheapest tier (the searchBqIndexWhere
-    // strategy: the screen pool becomes top-of-the-filtered-corpus and
-    // tiers 2/3 inherit the filter through their candidate joins —
-    // no code fetch or float fetch for an ineligible id).
+    // exact serve after both indexes grew. Both filter shapes land
+    // HERE, at the cheapest tier (the searchBqIndexWhere strategy):
+    // `keepIds` (corpus-global) semi-joins the words; `keepPairs`
+    // (PER-REQUEST (query_id, vec_id) eligibility — two queries in the
+    // same batch may carry different keep sets) keys the screen join
+    // itself (see [[bqScreenAgainst]]). Either way the screen pool
+    // becomes top-of-the-filtered-corpus per query and tiers 2/3
+    // inherit the filter through their candidate joins — no code fetch
+    // or float fetch for an ineligible (query, id) pair.
     val qPacked = bqPackedOn(
       queryVecs.select(col("query_id").as("vec_id"), col("embedding")))
       .select(col("vec_id").as("query_id"),
@@ -3839,7 +3895,7 @@ object VectorOps {
     val words = storedBqWords(s, bqPath, bqAsOf)
     val eligible = keepIds.fold(words)(keep =>
       words.join(keep.select(col("vec_id")), Seq("vec_id"), "left_semi"))
-    val cands1 = bqScreenAgainst(qPacked, eligible, screen, excludeSelf)
+    val cands1 = bqScreenAgainst(qPacked, eligible, screen, excludeSelf, keepPairs)
       .select($"query_id", $"cand_id")
     // tier 2: decoded-cosine rerank against the STORED codes — the
     // candidate fetch is a broadcast semi-probe (point lookups at
@@ -3873,11 +3929,18 @@ object VectorOps {
     * sim_micros, rnk): BQ top-C1 → SQ8-decoded top-C2 → exact top-k,
     * each tier recomputed from scratch in DuckDB.
     */
-  private def oracleCascadeCtes: String = {
+  private def oracleCascadeCtes: String = oracleCascadeCtesWhere()
+
+  /** The cascade chain with an optional per-request pair predicate
+    * pushed into tier 1's screen join ([[oracleBqCtes]]); tiers 2/3
+    * inherit it through their joins on the filtered `bqk` pairs —
+    * exactly how the engine's `keepPairs` threads the funnel.
+    */
+  private def oracleCascadeCtesWhere(pairPred: String = "TRUE"): String = {
     def oRecon(codes: String) =
       s"""list_transform(generate_series(1, $dim), i ->
          |    st.lo[i] + (CAST($codes[i] AS DOUBLE) + 0.5) * (st.hi[i] - st.lo[i]) / 255.0)""".stripMargin
-    s"""${oracleBqCtes(cascadeC1)},
+    s"""${oracleBqCtes(cascadeC1, pairPred)},
        |$oracleSq8Ctes,
        |cqdec AS (
        |  SELECT vec_id AS query_id, ${oRecon("codes")} AS qr FROM codes, st
@@ -4502,6 +4565,42 @@ object VectorOps {
     """.stripMargin.trim),
   )
 
+  /** PER-REQUEST filtered serving through the FULL stored cascade —
+    * the production ANN filter shape (tenant / language / license is
+    * per-request, not corpus-global): two queries in the SAME batch
+    * carry DIFFERENT keep sets. The fixture is adversarial by
+    * construction: each panel query may only see candidates of its own
+    * id PARITY, so the keep sets of the even and odd queries are
+    * DISJOINT — an even query's top candidate is every odd query's
+    * excluded id, the case a post-filter (or a shared corpus-global
+    * filter) gets wrong. The pairs frame threads tier 1's screen join
+    * ([[bqScreenAgainst]]) and tiers 2/3 inherit through their
+    * candidate joins; the oracle replays all three tiers from the raw
+    * embeddings with the parity predicate inside the screen join —
+    * under-filled pools, per-tier rank cuts and all.
+    */
+  val filteredPairs = Q(
+    "v_filtered_pairs",
+    (s, d) => {
+      import s.implicits._
+      val (bqDir, sqDir) = cascadeFleet(s, d)
+      val base = vecs(s, d)
+      val q = base.filter($"vec_id" < nQueries)
+        .select($"vec_id".as("query_id"), $"embedding")
+      // the per-request eligibility RELATION, built as an equi-join on
+      // the parity key (never queries x corpus)
+      val pairs = q.select($"query_id", ($"query_id" % 2).as("par"))
+        .join(base.select($"vec_id", ($"vec_id" % 2).as("par")), Seq("par"))
+        .select($"query_id", $"vec_id")
+      searchCascadeIndex(q, bqDir, sqDir, base,
+        excludeSelf = true, keepPairs = Some(pairs))
+    },
+    Some(s"""
+      WITH ${oracleCascadeCtesWhere("c.vec_id % 2 = bq.query_id % 2")}
+      SELECT query_id, cand_id, sim_micros, rnk FROM csk
+    """.stripMargin.trim),
+  )
+
   val cascadeCoverage = Q(
     "v_cascade_coverage",
     (s, d) => {
@@ -4719,6 +4818,7 @@ object VectorOps {
     cascadeFromIndex,
     cascadeCoverage,
     filteredBq,
+    filteredPairs,
     indexBalance,
     indexDrift,
     normStats,

@@ -1287,12 +1287,19 @@ object Streams {
     * commits mid-stream is served from the NEXT batch on, no restart
     * (spec'd in StreamsSpec's mid-stream-append drill). Pass `asOf`
     * to PIN the serve to one committed epoch instead — replayable
-    * serving for an audit window (the index must not vacuum below the
-    * pin while the stream runs). The `corpus` float store still binds
-    * at construction: it is the caller's frame, not a manifest this
-    * stream can re-resolve — keep it ahead of the index's ids (the
-    * rerank drops candidates with no float row, the same fail-closed
-    * direction as the cascade's coverage contract).
+    * serving for an audit window (register the pin in the index's pin
+    * ledger, [[graft.sources.IndexManifest.registerPin]], so a
+    * concurrent vacuum skips it instead of racing the stream). The
+    * `corpus` float store still binds at construction: it is the
+    * caller's frame, not a manifest this stream can re-resolve — keep
+    * it ahead of the index's ids (the rerank drops candidates with no
+    * float row, the same fail-closed direction as the cascade's
+    * coverage contract). `keepPairs` — per-request (query_id, vec_id)
+    * eligibility pushed into the cheapest tier's screen join
+    * ([[graft.queries.VectorOps.searchBqIndex]]) — binds at
+    * construction the same way: a standing eligibility relation
+    * (tenant / language / license) that each batch's requests key
+    * into by query_id; same contract on the other two serve streams.
     */
   def annServeStream(
       requests: DataFrame, bqIndexPath: String, corpus: DataFrame,
@@ -1300,12 +1307,13 @@ object Streams {
       k: Long = graft.queries.VectorOps.topK,
       screen: Long = graft.queries.VectorOps.cascadeC1,
       trigger: Option[Trigger] = None,
-      asOf: Option[Long] = None): StreamingQuery = {
+      asOf: Option[Long] = None,
+      keepPairs: Option[DataFrame] = None): StreamingQuery = {
     val w = requests.writeStream
       .option("checkpointLocation", s"$checkpointDir/offsets")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.queries.VectorOps.searchBqIndex(batch, bqIndexPath, corpus, k, screen,
-          asOf = asOf)
+          asOf = asOf, keepPairs = keepPairs)
           .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
       }
     trigger.fold(w)(w.trigger).start()
@@ -1333,13 +1341,14 @@ object Streams {
       k: Long = graft.queries.VectorOps.topK,
       c: Long = graft.queries.VectorOps.refineC,
       trigger: Option[Trigger] = None,
-      asOf: Option[Long] = None): StreamingQuery = {
+      asOf: Option[Long] = None,
+      keepPairs: Option[DataFrame] = None): StreamingQuery = {
     val w = requests.writeStream
       .option("checkpointLocation", s"$checkpointDir/offsets")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.queries.VectorOps.searchIvfPqRefined(
           batch.sparkSession, ivfPqIndexPath, batch, corpus, k, c,
-          asOf = asOf, excludeSelf = false)
+          asOf = asOf, excludeSelf = false, keepPairs = keepPairs)
           .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
       }
     trigger.fold(w)(w.trigger).start()
@@ -1370,13 +1379,14 @@ object Streams {
       screen: Long = graft.queries.VectorOps.cascadeC1,
       refine: Long = graft.queries.VectorOps.cascadeC2,
       trigger: Option[Trigger] = None,
-      bqAsOf: Option[Long] = None, sq8AsOf: Option[Long] = None): StreamingQuery = {
+      bqAsOf: Option[Long] = None, sq8AsOf: Option[Long] = None,
+      keepPairs: Option[DataFrame] = None): StreamingQuery = {
     val w = requests.writeStream
       .option("checkpointLocation", s"$checkpointDir/offsets")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.queries.VectorOps.searchCascadeIndex(
           batch, bqIndexPath, sq8IndexPath, corpus, k, screen, refine,
-          bqAsOf = bqAsOf, sq8AsOf = sq8AsOf)
+          bqAsOf = bqAsOf, sq8AsOf = sq8AsOf, keepPairs = keepPairs)
           .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
       }
     trigger.fold(w)(w.trigger).start()

@@ -102,6 +102,17 @@ class CatalogPlanGuardSpec extends SparkSpec {
       // the hybrid adds nothing else unkeyed (the fuse is a full-outer
       // equi-join of two <= pool-row lists)
       "v_ivfpq_asof", "t_hybrid_from_index",
+      // filtered hybrid: same two stored legs as t_hybrid_from_index —
+      // the dense leg's probe step is the IVF centroid-assignment cross
+      // (1 probe x 16 broadcast centroids); the keep semi-joins on both
+      // legs are doc/vec-keyed equi-joins and add nothing unkeyed
+      "t_hybrid_filtered",
+      // per-request-pairs cascade: tier 1's screen is now an EQUI-join
+      // (pairs keyed on cand_id then query_id — the panel cross is
+      // gone); the remaining BNLJ is tier 2's ONE-ROW stored
+      // quantizer-stats cross onto the query/candidate decode (the
+      // v_sq8_from_index shape exactly)
+      "v_filtered_pairs",
       // ADC refine funnel: the stored search's probe step is the IVF
       // centroid-assignment cross; the recall row adds the brute-force
       // panel truth (both sanctioned shapes above)

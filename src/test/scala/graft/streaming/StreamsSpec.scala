@@ -1546,6 +1546,56 @@ class StreamsSpec extends SparkSpec {
     assert(served === batchAll)
   }
 
+  test("cascade serving stream with per-request keepPairs: same-batch queries with disjoint keep sets") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.queries.VectorOps
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    graft.functions.GraftFunctions.registerDotD(spark)
+
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val bqIdx = tmp("fps-bq"); val sqIdx = tmp("fps-sq8")
+    VectorOps.writeBqIndex(emb, bqIdx)
+    VectorOps.writeSq8Index(emb, sqIdx)
+
+    // the standing eligibility relation: request q sees only its own id
+    // parity — binds at stream construction (the corpus convention),
+    // each batch's requests key into it by query_id
+    val reqRows = emb.filter($"vec_id" < 4L).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    val pairs = spark.createDataset(reqRows.map(_._1)).toDF("query_id")
+      .withColumn("par", $"query_id" % 2)
+      .join(emb.select($"vec_id", ($"vec_id" % 2).as("par")), Seq("par"))
+      .select($"query_id", $"vec_id")
+
+    val mem = MemoryStream[(Long, Array[Float])]
+    val out = tmp("fps-out"); val ckpt = tmp("fps-ckpt")
+    val q = Streams.cascadeServeStream(
+      mem.toDF().toDF("query_id", "embedding"), bqIdx, sqIdx, emb, out, ckpt,
+      k = 5L, keepPairs = Some(pairs))
+    try {
+      mem.addData(reqRows) // ONE batch, four queries, two disjoint keep sets
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val served = spark.read.option("basePath", out).parquet(out)
+      .select($"query_id", $"cand_id", $"rnk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(served.nonEmpty)
+    assert(served.forall { case (qid, cand, _) => cand % 2 == qid % 2 },
+      "every served candidate must be inside ITS OWN query's keep set")
+    // adversarial: query 0's top candidate is an id query 1 may never see
+    val top0 = served.filter(_._1 == 0L).minBy(_._3)._2
+    assert(!served.exists(r => r._1 == 1L && r._2 == top0))
+    // and the stream equals the batch API under the same pairs frame
+    val batch = VectorOps.searchCascadeIndex(
+      spark.createDataset(reqRows).toDF("query_id", "embedding"),
+      bqIdx, sqIdx, emb, k = 5L, keepPairs = Some(pairs))
+      .select($"query_id", $"cand_id", $"rnk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(served.toSet === batch)
+  }
+
   test("serve streams FOLLOW the committed manifest per batch: a mid-stream append is served from the next batch; an as-of pin freezes the serve") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
