@@ -50,7 +50,7 @@ object EventAnalytics {
         eventId.cast("string"))))
 
   /** events + `item` (the numeric id parsed out of the props JSON). */
-  private[queries] def eventsWithItemOn(evs: DataFrame): DataFrame =
+  private[graft] def eventsWithItemOn(evs: DataFrame): DataFrame =
     evs.withColumn("item", regexp_extract(col("props"), "(\\d+)", 1).cast("long"))
 
   private def eventsWithItem(s: SparkSession, d: String): DataFrame =
@@ -1133,7 +1133,7 @@ object EventAnalytics {
   // keyed; no window, no state.
   // ---------------------------------------------------------------------
 
-  private val trendHalfLifeDays = 7L
+  private[graft] val trendHalfLifeDays = 7L
   private val trendTopN = 20
 
   /** Per-(item, calendar-day) event counts — the decay's SUFFICIENT

@@ -1527,13 +1527,45 @@ object Streams {
     * those in update mode and the scorer runs batch-side over the
     * materialized counts ([[graft.queries.EventAnalytics
     * .trendingScoreOf]] — one tiny frame, items x observed days).
-    * State: O(items x observed days) count cells; a deployment bounds
-    * it by collapsing buckets older than 63 half-lives (their weight
-    * is exactly 0) with a watermark — kept out of this twin so the
-    * parity with the batch row stays bit-exact over any replay.
+    * State: O(items x observed days) count cells; the unbounded twin
+    * keeps every bucket so parity with the batch row is bit-exact over
+    * ANY replay, including one that delivers arbitrarily old events
+    * late. [[trendingDayCountsStreamBounded]] is the opt-in
+    * bounded-state variant for corpora whose history outgrows that.
     */
   def trendingDayCountsStream(events: DataFrame): DataFrame =
     graft.queries.EventAnalytics.trendingDayCountsOn(events)
+
+  /** BOUNDED-STATE decayed-trending counts — the watermark-collapsed
+    * opt-in: day buckets are event-time windows and state older than
+    * `63 half-lives + lateDays` behind the stream's head is EVICTED.
+    * Sound because the decay weight of such a bucket is EXACTLY zero
+    * — `e_trending_decay`'s integer formulation floors `1e6 div 2^k`
+    * to 0 at k >= 63 half-lives, by construction not approximation —
+    * so the score over the emitted counts is provably unchanged: an
+    * evicted bucket was already emitted (update mode emits on every
+    * change; eviction stops future updates that could only land in a
+    * zero-weight cell), and a late event the watermark drops could
+    * only have incremented a zero-weight cell. State becomes
+    * O(items x 63·halfLife) regardless of stream lifetime.
+    *
+    * The trade against the exact twin: a bucket can stop absorbing
+    * late arrivals `lateDays` short of its weight hitting zero (the
+    * standard watermark-lateness knob); those arrivals were weight-0
+    * at the head anyway the moment the watermark passed them.
+    */
+  def trendingDayCountsStreamBounded(events: DataFrame,
+      lateDays: Long = 1L): DataFrame = {
+    val horizonDays =
+      63L * graft.queries.EventAnalytics.trendHalfLifeDays + lateDays
+    graft.queries.EventAnalytics.eventsWithItemOn(events)
+      .withColumn("ts", timestamp_seconds(col("ts_sec")))
+      .withWatermark("ts", s"$horizonDays days")
+      .groupBy(col("item"), window(col("ts"), "1 day").as("w"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("item"), expr("CAST(w.start AS LONG) div 86400").as("day"),
+        col("cnt"))
+  }
 
   /** Standing weighted sample — the streaming twin of the catalog's
     * `t_weighted_sample`: an exact-k weighted-without-replacement

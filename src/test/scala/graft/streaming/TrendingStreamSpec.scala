@@ -61,4 +61,57 @@ class TrendingStreamSpec extends SparkSpec {
         "at end-of-stream the streamed counts reproduce e_trending_decay verbatim")
     } finally q.stop()
   }
+
+  test("bounded variant: state evicts past 63 half-lives, score unchanged, late zero-weight drops are free") {
+    implicit val sqlCtx = spark.sqlContext
+    // corpus spanning FAR past 63 half-lives (441 days): old buckets'
+    // weights are exactly 0 at the recent head
+    def ev(day: Long, item: Long) = (day * 86400L + 17L, s"item=$item")
+    val oldRows = for (d <- 0L until 10L; i <- 1L to 2L) yield ev(d, i)
+    val recentRows = for (d <- 495L until 500L; i <- 1L to 3L) yield ev(d, i)
+    val lateZero = Seq(ev(5L, 1L)) // arrives after the watermark passed it
+
+    val mem = MemoryStream[(Long, String)]
+    val counts = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    var stateRows = -1L
+    val q = Streams.trendingDayCountsStreamBounded(
+        mem.toDF().toDF("ts_sec", "props"))
+      .writeStream
+      .outputMode("update")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        counts.synchronized {
+          b.collect().foreach { r =>
+            counts((r.getLong(0), r.getLong(1))) = r.getLong(2)
+          }
+        }
+        ()
+      }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt-trend-bnd").toString)
+      .start()
+    try {
+      mem.addData(oldRows)
+      q.processAllAvailable()
+      mem.addData(recentRows) // head jumps to day 499: watermark passes the old buckets
+      q.processAllAvailable()
+      mem.addData(lateZero)   // eviction takes effect; the late event is dropped
+      q.processAllAvailable()
+      stateRows = q.lastProgress.stateOperators.head.numRowsTotal
+    } finally q.stop()
+
+    val allDelivered = (oldRows ++ recentRows ++ lateZero).toDF("ts_sec", "props")
+    val batchScore = EventAnalytics.trendingScoreOf(
+      EventAnalytics.trendingDayCountsOn(allDelivered))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(score(counts.toMap) === batchScore,
+      "bounded stream == batch over EVERYTHING delivered, dropped zero-weight late event included")
+
+    val totalBuckets = (oldRows ++ recentRows).map { case (t, p) => (p, t / 86400L) }.distinct.size
+    assert(stateRows < totalBuckets,
+      s"state must evict the zero-weight buckets ($stateRows vs $totalBuckets observed)")
+    assert(stateRows === recentRows.map { case (t, p) => (p, t / 86400L) }.distinct.size,
+      "surviving state is exactly the in-horizon buckets")
+    // the dropped late event never surfaced as a count update
+    assert(counts((1L, 5L)) === 1L, "day-5 bucket kept its pre-drop count")
+  }
 }
