@@ -29,9 +29,21 @@ final class TopKAggregator(k: Int)
 
   /** Insert keeping the buffer sorted best-first and bounded at k. The
     * buffer is tiny (≤ k) so linear insertion beats heap overhead.
+    *
+    * An EXACT duplicate of a resident pair is a no-op, which makes the
+    * fold idempotent per element: an at-least-once upstream
+    * redelivering a row (same key, same deterministic score — the
+    * weighted-sample stream's draw keys are pure row functions) cannot
+    * seat the same key twice and evict a distinct k-th member. An
+    * element already evicted re-offers as worse-than-last and was
+    * always a no-op; only the resident-duplicate case needed closing.
+    * Same-key-DIFFERENT-score pairs still both insert — for rank
+    * inputs that's the caller's contract to prevent (post-aggregation
+    * rows are unique per key), not a case with one right answer here.
     */
   private def insert(buf: Seq[Scored], x: Scored): Seq[Scored] =
     if (buf.size >= k && better(buf.last, x)) buf
+    else if (buf.contains(x)) buf
     else {
       val (front, back) = buf.span(better(_, x))
       (front :+ x) ++ back.take(k - front.size - 1)

@@ -1599,6 +1599,60 @@ object Streams {
     graft.queries.CurationOps.weightedDrawKeyed(docs)
       .select(col("doc_id").as("key"), (-col("draw_key")).as("cnt"))
       .agg(topk(col("key"), col("cnt")).as("sample"))
+      // membership fingerprint: a hash of the SORTED key array, so a
+      // consumer can tell "the k-set changed" from "Spark re-emitted
+      // the touched group" without diffing k rows — the
+      // change-suppressing sink keys off exactly this column
+      .withColumn("sample_fp",
+        xxhash64(to_json(expr("array_sort(transform(sample, x -> x.key))"))))
+  }
+
+  /** [[weightedSampleStream]] with CHANGE SUPPRESSION at the sink:
+    * update mode re-emits the single global group on every non-empty
+    * micro-batch whether or not an arrival displaced a member (a
+    * redelivery-heavy ingest emits constantly while the k-set never
+    * moves), so this sink compares the emitted `sample_fp` against the
+    * last WRITTEN one (persisted tmp+rename next to the batch dirs)
+    * and writes `outPath/batch=<id>` only when the MEMBERSHIP actually
+    * changed. Replay-safe both ways: a replayed suppressed batch
+    * recomputes the same fingerprint and suppresses again; a replayed
+    * written batch overwrites its own directory and re-persists the
+    * same marker. The marker is written AFTER the batch directory, so
+    * a crash between the two re-writes (idempotent) rather than
+    * suppresses a never-landed change. Consumers read the latest
+    * batch dir as "the sample now"; its absence for a batch id means
+    * "unchanged since the previous one" by construction.
+    */
+  def weightedSampleChangedStream(docs: DataFrame, outPath: String,
+      checkpointDir: String, k: Int = graft.queries.CurationOps.weightedK,
+      trigger: Option[Trigger] = None): StreamingQuery = {
+    import java.nio.charset.StandardCharsets
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val w = weightedSampleStream(docs, k).writeStream
+      .outputMode("update")
+      .option("checkpointLocation", s"$checkpointDir/offsets")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // one row (global aggregate), k-bounded — the collect is O(k)
+        batch.collect().headOption.foreach { row =>
+          val fp = row.getAs[Long]("sample_fp")
+          val marker = Paths.get(outPath, "_last_fp")
+          val last =
+            if (Files.exists(marker))
+              Some(new String(Files.readAllBytes(marker), StandardCharsets.UTF_8).trim.toLong)
+            else None
+          if (!last.contains(fp)) {
+            batch.sparkSession.createDataFrame(
+              java.util.List.of(row), batch.schema)
+              .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+            Files.createDirectories(Paths.get(outPath))
+            val tmp = Paths.get(outPath, s"._last_fp.$batchId.tmp")
+            Files.write(tmp, s"$fp\n".getBytes(StandardCharsets.UTF_8))
+            Files.move(tmp, marker,
+              StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+          }
+        }
+      }
+    trigger.fold(w)(w.trigger).start()
   }
 
   /** Unpack one emitted [[weightedSampleStream]] row batch into

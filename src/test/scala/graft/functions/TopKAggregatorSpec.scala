@@ -59,4 +59,21 @@ class TopKAggregatorSpec extends SparkSpec {
     assert(got.map(_.key) === Seq(99L, 98L, 97L, 96L, 95L))
     assert(got.size === 5)
   }
+
+  test("exact-duplicate pairs are idempotent: redelivery cannot seat a key twice") {
+    val agg = new TopKAggregator(3)
+    val once = Seq(Scored(1L, 9L), Scored(2L, 8L), Scored(3L, 7L), Scored(4L, 6L))
+      .foldLeft(agg.zero)(agg.reduce)
+    // redeliver every element (the at-least-once stream shape): the
+    // resident pairs no-op, the evicted one re-offers as worse-than-last
+    val twice = Seq(Scored(1L, 9L), Scored(2L, 8L), Scored(3L, 7L), Scored(4L, 6L))
+      .foldLeft(once)(agg.reduce)
+    assert(twice === once)
+    assert(once.map(_.key) === Seq(1L, 2L, 3L))
+    // merge with a partial that saw the same elements: also unchanged
+    val partial = Seq(Scored(2L, 8L), Scored(4L, 6L)).foldLeft(agg.zero)(agg.reduce)
+    assert(agg.merge(once, partial) === once)
+    // same key at a DIFFERENT score still inserts (caller's contract)
+    assert(agg.reduce(once, Scored(2L, 9L)).count(_.key == 2L) === 2)
+  }
 }
