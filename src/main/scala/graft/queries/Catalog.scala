@@ -62,5 +62,5 @@ object Catalog {
     "e_item_cooccur", "e_attribution", "v_ivf_recall_trained", "t_token_drift",
     "t_bm25_search", "e_communities", "t_scd2_history", "t_proximity_search",
     "v_bq_search", "v_sq8_search", "t_temperature_mix", "v_cascade_search",
-    "t_weighted_sample")
+    "t_weighted_sample", "v_filtered_pairs")
 }
