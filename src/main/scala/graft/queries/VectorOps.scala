@@ -3844,6 +3844,32 @@ object VectorOps {
     searchBqIndex(queryVecs, path, corpus, k, screen, excludeSelf, asOf,
       keepIds = Some(keepIds))
 
+  /** Build the per-request eligibility RELATION from a stored
+    * attributes table — the declarative front door to `keepPairs`:
+    * requests carry their constraint columns (e.g. a `tenant` /
+    * `lang` column per request row), `attrs` is the corpus-side
+    * attributes frame (`vec_id` + attribute columns, e.g. the
+    * documents table), and `cond` is the eligibility predicate joining
+    * the two (e.g. `attrs("lang") === requests("req_lang")`). The
+    * result is exactly the (query_id, vec_id) pairs frame every
+    * `keepPairs` parameter accepts.
+    *
+    * Plan shape: prefer EQUI-conditions (attribute == request
+    * attribute) — Catalyst plans them as hash joins keyed on the
+    * attribute, so the relation materializes at
+    * O(requests x matching-ids) without a corpus x batch cross. A
+    * genuinely non-equi predicate still works but pays the
+    * nested-loop the predicate implies; that cost is visible HERE, in
+    * the relation build, never smuggled into the serve funnel (which
+    * always consumes the relation by equi-join).
+    */
+  def keepPairsFrom(requests: DataFrame, attrs: DataFrame,
+      cond: org.apache.spark.sql.Column): DataFrame =
+    // the embedding (and any other unused request column) is pruned by
+    // Catalyst before the join's exchange — only query_id and the
+    // predicate's columns move
+    requests.join(attrs, cond).select(col("query_id"), col("vec_id"))
+
   /** SERVE the full 3-tier cascade from STORED artifacts — the
     * deployment shape with the quantizer persisted: BQ Hamming screen
     * to `screen` candidates over the committed 8 B/vector words, then

@@ -90,6 +90,49 @@ class FilteredPairsSpec extends SparkSpec {
     assert(batched.forall { case (q, cand, _) => cand % 2 == q % 2 })
   }
 
+  test("keepPairsFrom: a stored-attribute predicate builds the pairs relation declaratively") {
+    import graft.sources.Tables
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id".as("vec_id"), $"lang")
+    // two same-batch requests constrained to DIFFERENT languages — the
+    // per-request predicate form of the disjoint-keep-sets case
+    val langs = docs.select($"lang").distinct().collect().map(_.getString(0)).sorted
+    assume(langs.size >= 2, "fixture needs two languages")
+    val reqs = queries.limit(2).collect().zip(langs.take(2)).map {
+      case (r, l) => (r.getLong(0), r.getSeq[Float](1).toArray, l)
+    }.toSeq
+    val reqDf = spark.createDataset(reqs).toDF("query_id", "embedding", "req_lang")
+
+    val pairs = VectorOps.keepPairsFrom(
+      reqDf, docs, docs("lang") === reqDf("req_lang"))
+    // equi-condition => hash join, and the embedding never reaches it
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"an attribute equi-predicate must plan as a keyed join:\n$plan")
+    assert(!plan.contains("embedding"),
+      "the request embeddings must be pruned out of the relation build")
+
+    // and the relation is exactly each request's language slice
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = reqs.flatMap { case (q, _, l) =>
+      docs.filter($"lang" === l).collect().map(r => (q, r.getLong(0)))
+    }.toSet
+    assert(got === expected)
+
+    // end to end: the built relation drives the cascade like any pairs frame
+    val bq = tmp("fp-attr-bq"); val sq = tmp("fp-attr-sq8")
+    VectorOps.writeBqIndex(corpus, bq)
+    VectorOps.writeSq8Index(corpus, sq)
+    val served = rows(VectorOps.searchCascadeIndex(
+      reqDf.select($"query_id", $"embedding"), bq, sq, corpus,
+      excludeSelf = true, keepPairs = Some(pairs)))
+    val langOf = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val reqLang = reqs.map { case (q, _, l) => q -> l }.toMap
+    assert(served.nonEmpty)
+    assert(served.forall { case (q, cand, _) => langOf(cand) == reqLang(q) },
+      "every served candidate must satisfy ITS OWN request's attribute predicate")
+  }
+
   test("bq 2-tier: pairs compose WITH a corpus-global keepIds (both filters apply)") {
     val bq = tmp("fp-bq2")
     VectorOps.writeBqIndex(corpus, bq)
