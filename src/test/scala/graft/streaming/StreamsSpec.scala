@@ -1646,6 +1646,69 @@ class StreamsSpec extends SparkSpec {
     } finally { qF.stop(); qP.stop() }
   }
 
+  test("a LIVE pinned serve survives compact + vacuum mid-stream via the pin ledger") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.queries.VectorOps
+    import graft.sources.IndexManifest
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    graft.functions.GraftFunctions.registerDotD(spark)
+
+    val rnd = new scala.util.Random(47)
+    def vec() = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val bases = (0L until 15L).map(i => (i, vec()))
+    val probe = vec()
+    val corpus = spark.createDataset(bases :+ (500L, probe)).toDF("vec_id", "embedding")
+    val idx = tmp("lpin-idx")
+    VectorOps.writeBqIndex(spark.createDataset(bases).toDF("vec_id", "embedding"), idx)
+    VectorOps.appendBqIndex(
+      spark.createDataset(Seq((500L, probe))).toDF("vec_id", "embedding"), idx) // epoch 1
+
+    // the serving deployment's discipline: pin BEFORE starting the
+    // pinned stream, so maintenance can run underneath it at will
+    IndexManifest.registerPin(idx, "audit-serve", 0L, IndexManifest.Bq)
+    val mem = MemoryStream[(Long, Array[Float])]
+    val out = tmp("lpin-out")
+    val q = Streams.annServeStream(
+      mem.toDF().toDF("query_id", "embedding"), idx, corpus, out,
+      tmp("lpin-ckpt"), k = 3L, asOf = Some(0L))
+    def resultOf(qid: Long) =
+      spark.read.option("basePath", out).parquet(out)
+        .filter($"query_id" === qid)
+        .select($"cand_id", $"rnk").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    try {
+      mem.addData(Seq((9000L, probe))); q.processAllAvailable()
+      val before = resultOf(9000L)
+      assert(!before.exists(_._1 == 500L), "epoch-0 pin: the appended vector is invisible")
+
+      // maintenance runs UNDER the live stream: compaction rebases the
+      // floor past both epochs, the janitor vacuums — and reclaims
+      // EXACTLY the epoch-1 slice (outside the pin's [0, 0] window)
+      // while the pinned window's directories stay alive. Partial
+      // reclaim under a live pinned serve: the pin protects its
+      // snapshot without starving the janitor.
+      VectorOps.compactBqIndex(spark, idx)
+      assert(IndexManifest.vacuum(idx, IndexManifest.Bq) === 1L,
+        "reclaim the out-of-window epoch-1 slice, keep the pinned [0, 0] window")
+
+      mem.addData(Seq((9001L, probe))); q.processAllAvailable()
+      assert(resultOf(9001L) === before,
+        "the pinned serve must answer identically AFTER compact + vacuum")
+    } finally q.stop()
+
+    // the stream is done: its owner releases, the janitor reclaims, and
+    // the pinned epoch is gone for good — a restart of the pinned serve
+    // now fails fast instead of silently serving something else
+    IndexManifest.releasePin(idx, "audit-serve")
+    assert(IndexManifest.vacuum(idx, IndexManifest.Bq) > 0L)
+    val refused = intercept[IllegalArgumentException] {
+      VectorOps.searchBqIndex(
+        spark.createDataset(Seq((1L, probe))).toDF("query_id", "embedding"),
+        idx, corpus, asOf = Some(0L)).collect()
+    }
+    assert(refused.getMessage.contains("registerPin BEFORE the compaction"))
+  }
+
   test("event-table ingest stream: batch parity, exactly-once replay, crash-then-restage") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
