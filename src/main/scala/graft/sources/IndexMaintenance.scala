@@ -220,28 +220,45 @@ object IndexMaintenance {
     val srcP = qualifiedRoot(s, src)
     val dstP = qualifiedRoot(s, dst)
     val dstFs = dstP.getFileSystem(conf)
-    val (st, fmt) = resolveExportState(localRoot(srcP), asOf)
+    // the control-plane file-scheme gate fires HERE, before a single
+    // byte moves — localRoot at the final manifest commit would reject
+    // an object-store dst only AFTER the whole distributed copy ran
+    val srcLocal = localRoot(srcP)
+    val dstLocal = localRoot(dstP)
+    val (st, fmt) = resolveExportState(srcLocal, asOf)
     require(!dstFs.exists(dstP) || (dstFs.getFileStatus(dstP).isDirectory &&
         dstFs.listStatus(dstP).isEmpty),
       s"export destination $dst exists and is not empty - refusing to merge into it")
-    // In-flight pin on the SOURCE for the duration of the copy: the old
-    // check-then-act window (pin validated up front, janitor vacuums the
-    // epoch mid-copy) is closed at its root — a concurrent vacuum now
-    // SKIPS the window being exported instead of racing it. Owner is
-    // deterministic per destination, so a crashed export's leftover pin
-    // is visible in the advisor and re-running the same export replaces
-    // (then releases) it.
+    // In-flight pin on the SOURCE for the duration of the copy: a
+    // concurrent vacuum SKIPS the window being exported instead of
+    // racing it (the janitor re-checks the ledger per directory, so
+    // the practical window collapses; the residual instant is the
+    // lock-free check-then-act inherent to every manifest-table
+    // janitor, bounded operationally by the retention-delay knob).
+    // Owner is deterministic per destination: a crashed export's
+    // leftover pin is visible in the advisor and re-running the same
+    // export replaces (then releases) it — self-healing. Two LIVE
+    // exports sharing a destination would also share the owner, but
+    // that call pattern is already invalid (the dst-empty require
+    // makes one of them fail).
+    // BEST-EFFORT on read-only sources: pin registration writes to the
+    // source root; if that write is denied, the export proceeds
+    // unpinned — a janitor needs the same write access we were denied,
+    // so on a genuinely read-only root there is no janitor to race.
     val pinOwner = "export:" + java.lang.Integer.toHexString(dstP.toString.hashCode)
-    IndexManifest.registerPin(localRoot(srcP), pinOwner, st.epoch, fmt)
+    val pinned =
+      try { IndexManifest.registerPin(srcLocal, pinOwner, st.epoch, fmt); true }
+      catch { case _: java.io.IOException => false }
     try {
-      doExport(s, srcP, dstP, st, fmt)
-    } finally IndexManifest.releasePin(localRoot(srcP), pinOwner)
+      doExport(s, srcP, dstP, dstLocal, st, fmt)
+    } finally if (pinned) IndexManifest.releasePin(srcLocal, pinOwner)
   }
 
   /** The listing + distributed copy + clone commit — [[exportSnapshot]]'s
     * body, under the caller's in-flight source pin.
     */
   private def doExport(s: SparkSession, srcP: HPath, dstP: HPath,
+      dstLocal: String,
       st: IndexManifest.State, fmt: IndexManifest.Format): IndexManifest.State = {
     import scala.jdk.CollectionConverters._
     val conf = s.sparkContext.hadoopConfiguration
@@ -309,7 +326,7 @@ object IndexMaintenance {
           }
         }
     }
-    IndexManifest.commit(localRoot(dstP), st.epoch, st.baseEpoch, fmt)
+    IndexManifest.commit(dstLocal, st.epoch, st.baseEpoch, fmt)
     st
   }
 
@@ -347,6 +364,8 @@ object IndexMaintenance {
       s"pair destinations must be distinct, non-nested roots - got $bqP and $sqP " +
         "(the first clone's manifest would make the second's root non-empty or readable)")
     Seq(bqP, sqP).foreach { p =>
+      localRoot(p) // control-plane gate up front: a non-file SECOND
+                   // destination must fail before the FIRST copy runs
       val fs = p.getFileSystem(conf)
       require(!fs.exists(p) ||
           (fs.getFileStatus(p).isDirectory && fs.listStatus(p).isEmpty),

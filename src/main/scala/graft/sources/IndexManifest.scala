@@ -350,8 +350,15 @@ object IndexManifest {
 
   private def pinsDir(path: String) = Paths.get(path, "_graft_pins")
 
-  /** Register `owner`'s pin at `epoch` (must be inside the committed
-    * window — you can only pin what you can currently read). Re-pinning
+  /** Register `owner`'s pin at `epoch` — any epoch that is CURRENTLY
+    * READABLE: inside the committed window, or below the floor but
+    * still protected by another live pin (so an export — or a second
+    * consumer — can take its own pin on a snapshot an earlier pin kept
+    * alive; without this, "export the epoch my pinned serve reads"
+    * would refuse exactly when the pin matters). The recorded floor is
+    * the resolved read window's — the current floor in-window, the
+    * covering pin's below it — so the protected directory set is
+    * always exactly what a reader at that epoch resolves. Re-pinning
     * the same owner overwrites its previous registration.
     */
   def registerPin(path: String, owner: String, epoch: Long,
@@ -359,10 +366,7 @@ object IndexManifest {
     require(owner.nonEmpty && owner.forall(c =>
         c.isLetterOrDigit || "-_.:".contains(c)),
       s"pin owner '$owner' must be a filename-safe token (letters, digits, -_.:)")
-    val st = committedState(path, fmt)
-    require(epoch >= st.baseEpoch && epoch <= st.epoch,
-      s"pin epoch $epoch outside the committed window [${st.baseEpoch}, ${st.epoch}] " +
-        s"of the index at $path - a pin protects a currently-readable snapshot")
+    val st = stateAsOf(path, epoch, fmt) // readable-now check + floor resolution
     Files.createDirectories(pinsDir(path))
     val body =
       s"""{ "owner": "$owner", "epoch": $epoch, "floor": ${st.baseEpoch} }\n"""
@@ -413,12 +417,26 @@ object IndexManifest {
     import scala.util.Using
     var removed = 0L
     staleDirs(path, fmt).foreach { epochDir =>
-      // depth-first delete of the stale directory
-      Using.resource(Files.walk(epochDir)) { st =>
-        st.sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => Files.delete(p))
+      // Re-read the ledger immediately before EACH delete: a pin
+      // registered after the worklist was computed still protects its
+      // directories. This shrinks the unprotected interval to one
+      // directory's delete; the residual instant is inherent to
+      // lock-free check-then-act and is covered operationally by the
+      // same retention-delay knob as the object-store caveat above —
+      // register pins BEFORE the snapshot matters, not while the
+      // janitor is mid-pass.
+      val name = epochDir.getFileName.toString
+      val v = name.dropWhile(_ != '=').drop(1).toLongOption
+      val protectedNow = v.exists(ver =>
+        pins(path).exists(p => p.floor <= ver && ver <= p.epoch))
+      if (!protectedNow) {
+        // depth-first delete of the stale directory
+        Using.resource(Files.walk(epochDir)) { st =>
+          st.sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => Files.delete(p))
+        }
+        removed += 1L
       }
-      removed += 1L
     }
     removed
   }

@@ -1240,12 +1240,20 @@ object Streams {
         next
       }
     val committed = IndexManifest.committedEpoch(path, IndexManifest.Layout)
-    if (committed < e) {
+    if (committed == e - 1L) {
       graft.queries.LayoutOps.stageTableEpoch(batch, path, e, nFiles)
       // advance() re-checks committed == e-1 at the flip, so a foreign
       // writer racing the stage still fails loudly there
       IndexManifest.advance(path, e, IndexManifest.Layout)
-    } else if (committed > e)
+    } else if (committed < e - 1L)
+      // the table went BACKWARDS under the stream (rebuilt out-of-band):
+      // diagnose it by name BEFORE staging a full epoch that advance()
+      // would only reject afterwards with the generic guard
+      throw new java.util.ConcurrentModificationException(
+        s"single-writer violation on the event-table ingest (batch $batchId): " +
+          s"committed epoch $committed is behind this batch's ledgered target $e - " +
+          "the table was rebuilt underneath the stream; refusing to stage onto it")
+    else if (committed > e)
       // ledgered target epoch already SUPERSEDED: only a foreign writer
       // can be ahead of this stream's own one-epoch-per-batch arithmetic
       // — a silent no-op here would drop the batch (the erasure-stream

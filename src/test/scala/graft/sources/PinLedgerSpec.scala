@@ -97,6 +97,55 @@ class PinLedgerSpec extends SparkSpec {
     assert(IndexManifest.pins(dir) === Seq(IndexManifest.Pin("run", 1L, 0L)))
   }
 
+  test("a pinned below-floor epoch can take NEW pins and be exported (the release workflow)") {
+    val dir = tmp("pin-repin")
+    SearchOps.writePostingsIndex(dayOne.toDF("doc_id", "text"), dir)  // epoch 0
+    SearchOps.appendPostingsIndex(dayTwo.toDF("doc_id", "text"), dir) // epoch 1
+    val pinnedView = search(dir, asOf = Some(0L))
+    IndexManifest.registerPin(dir, "serve", 0L, IndexManifest.Postings)
+    SearchOps.compactPostingsIndex(spark, dir) // floor now 2: epoch 0 lives on the pin alone
+
+    // a SECOND consumer pins the same below-floor epoch through the
+    // first pin's protection — and records the COVERING pin's floor,
+    // not the current one
+    val again = IndexManifest.registerPin(dir, "audit", 0L, IndexManifest.Postings)
+    assert(again === IndexManifest.Pin("audit", 0L, 0L))
+
+    // the workflow the pin ledger exists for: make the pinned snapshot
+    // a durable release artifact WHILE it only exists via the pin
+    val dst = tmp("pin-repin-out")
+    val st = IndexMaintenance.exportSnapshot(spark, dir, dst, asOf = Some(0L))
+    assert(st.epoch === 0L)
+    assert(search(dst) === pinnedView,
+      "the clone of a pin-protected below-floor epoch serves the pinned view")
+    // first consumer releases: the janitor reclaims the epoch-1 dirs
+    // (outside audit's [0, 0] window) but the pinned epoch 0 survives
+    IndexManifest.releasePin(dir, "serve")
+    assert(IndexManifest.vacuum(dir, IndexManifest.Postings) > 0L)
+    assert(search(dir, asOf = Some(0L)) === pinnedView,
+      "the second pin still protects the window it covers")
+    IndexManifest.releasePin(dir, "audit")
+    assert(IndexManifest.vacuum(dir, IndexManifest.Postings) > 0L)
+    val refused = intercept[IllegalArgumentException] { search(dir, asOf = Some(0L)) }
+    assert(refused.getMessage.contains("registerPin BEFORE the compaction"))
+    assert(search(dst) === pinnedView, "the release artifact outlives everything")
+  }
+
+  test("a non-file destination fails BEFORE any byte moves or pin registers") {
+    // this sandbox has no reachable non-file FileSystem, so the reject
+    // comes from FS resolution (UnknownHost) — the point under test is
+    // the ORDERING: destination validation (qualifiedRoot + the
+    // file-scheme control-plane gate, both up front since the review)
+    // precedes pin registration and the distributed copy
+    val dir = tmp("pin-scheme")
+    SearchOps.writePostingsIndex(dayOne.toDF("doc_id", "text"), dir)
+    intercept[Exception] {
+      IndexMaintenance.exportSnapshot(spark, dir, "hdfs://nowhere:1/release")
+    }
+    assert(IndexManifest.pins(dir).isEmpty,
+      "destination validation fires before the in-flight pin is even registered")
+  }
+
   test("export holds an in-flight pin and always releases it") {
     val dir = tmp("pin-exp")
     SearchOps.writePostingsIndex(dayOne.toDF("doc_id", "text"), dir)

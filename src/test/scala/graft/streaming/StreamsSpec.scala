@@ -1790,6 +1790,16 @@ class StreamsSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("single-writer violation") &&
       ex.getMessage.contains("epoch 5"))
+
+    // and the BACKWARDS case (table rebuilt out-of-band below the
+    // ledgered target) is diagnosed by name BEFORE staging anything
+    IndexManifest.commit(dir, 1L, fmt = IndexManifest.Layout) // out-of-band rebuild
+    val exBack = intercept[java.util.ConcurrentModificationException] {
+      Streams.applyEventTableBatch(b4, dir, s"$ckpt/ledger", batchId = 3L, nFiles = 1)
+    }
+    assert(exBack.getMessage.contains("rebuilt underneath the stream"))
+    assert(IndexManifest.committedEpoch(dir, IndexManifest.Layout) === 1L,
+      "the violation must leave the rebuilt table exactly as it found it")
   }
 
 }
