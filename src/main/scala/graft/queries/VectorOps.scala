@@ -3867,8 +3867,12 @@ object VectorOps {
       cond: org.apache.spark.sql.Column): DataFrame =
     // the embedding (and any other unused request column) is pruned by
     // Catalyst before the join's exchange — only query_id and the
-    // predicate's columns move
-    requests.join(attrs, cond).select(col("query_id"), col("vec_id"))
+    // predicate's columns move. distinct() enforces the keepPairs
+    // contract HERE, where attrs may legitimately carry several rows
+    // per vec_id (a history table, an exploded multi-valued attribute):
+    // a duplicated pair would rank its candidate twice downstream,
+    // consuming screen slots and emitting duplicate served rows
+    requests.join(attrs, cond).select(col("query_id"), col("vec_id")).distinct()
 
   /** SERVE the full 3-tier cascade from STORED artifacts — the
     * deployment shape with the quantizer persisted: BQ Hamming screen

@@ -241,14 +241,21 @@ object IndexMaintenance {
     // exports sharing a destination would also share the owner, but
     // that call pattern is already invalid (the dst-empty require
     // makes one of them fail).
-    // BEST-EFFORT on read-only sources: pin registration writes to the
-    // source root; if that write is denied, the export proceeds
-    // unpinned — a janitor needs the same write access we were denied,
-    // so on a genuinely read-only root there is no janitor to race.
+    // BEST-EFFORT on read-only sources ONLY: pin registration writes to
+    // the source root; if that write is DENIED (the two exceptions that
+    // provably mean no write access), the export proceeds unpinned — a
+    // janitor needs the same write access we were denied, so on a
+    // genuinely read-only root there is no janitor to race. Any OTHER
+    // IO failure (transient NFS error, disk full) propagates and fails
+    // the export loudly: proceeding unpinned there would silently
+    // forfeit the janitor-race protection on a writable source.
     val pinOwner = "export:" + java.lang.Integer.toHexString(dstP.toString.hashCode)
     val pinned =
       try { IndexManifest.registerPin(srcLocal, pinOwner, st.epoch, fmt); true }
-      catch { case _: java.io.IOException => false }
+      catch {
+        case _: java.nio.file.AccessDeniedException => false
+        case _: java.nio.file.ReadOnlyFileSystemException => false
+      }
     try {
       doExport(s, srcP, dstP, dstLocal, st, fmt)
     } finally if (pinned) IndexManifest.releasePin(srcLocal, pinOwner)

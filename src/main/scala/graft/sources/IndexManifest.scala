@@ -383,7 +383,13 @@ object IndexManifest {
   def releasePin(path: String, owner: String): Boolean =
     Files.deleteIfExists(pinsDir(path).resolve(s"$owner.pin"))
 
-  /** All live pins at this root (unordered). */
+  /** All live pins at this root (unordered). Lock-free readers call
+    * this concurrently with owners releasing: a file deleted between
+    * the listing and its read is a pin that is ALREADY RELEASED, so it
+    * is skipped — equivalent to "no pin", never an exception (a crash
+    * here would abort the janitor mid-worklist or a pinned serve's
+    * stateAsOf, the exact paths the ledger exists to keep alive).
+    */
   def pins(path: String): Seq[Pin] = {
     import scala.jdk.CollectionConverters._
     val d = pinsDir(path)
@@ -391,11 +397,15 @@ object IndexManifest {
     else scala.util.Using.resource(Files.list(d))(_.iterator().asScala.toVector)
       .filter(_.getFileName.toString.endsWith(".pin"))
       .flatMap { f =>
-        val s = new String(Files.readAllBytes(f), StandardCharsets.UTF_8)
-        def num(k: String): Option[Long] =
-          s""""$k"\\s*:\\s*(-?\\d+)""".r.findFirstMatchIn(s).map(_.group(1).toLong)
-        for (e <- num("epoch"); fl <- num("floor"))
-          yield Pin(f.getFileName.toString.stripSuffix(".pin"), e, fl)
+        val body =
+          try Some(new String(Files.readAllBytes(f), StandardCharsets.UTF_8))
+          catch { case _: java.nio.file.NoSuchFileException => None }
+        body.flatMap { s =>
+          def num(k: String): Option[Long] =
+            s""""$k"\\s*:\\s*(-?\\d+)""".r.findFirstMatchIn(s).map(_.group(1).toLong)
+          for (e <- num("epoch"); fl <- num("floor"))
+            yield Pin(f.getFileName.toString.stripSuffix(".pin"), e, fl)
+        }
       }
   }
 

@@ -1564,10 +1564,28 @@ object Streams {
     */
   def trendingDayCountsStreamBounded(events: DataFrame,
       lateDays: Long = 1L): DataFrame = {
+    // lateDays >= 1 also absorbs the <= 1-day skew the day-grain
+    // bucketing below introduces between the raw head and the bucketed
+    // watermark, keeping the eviction horizon provably past 63
+    // half-lives of RAW event-time age
+    require(lateDays >= 1L, s"lateDays must be >= 1 (got $lateDays)")
     val horizonDays =
       63L * graft.queries.EventAnalytics.trendHalfLifeDays + lateDays
     graft.queries.EventAnalytics.eventsWithItemOn(events)
-      .withColumn("ts", timestamp_seconds(col("ts_sec")))
+      // bucket to the EXACT twin's day FIRST (ts_sec div 86400 — Spark
+      // div truncates toward zero), then window over the bucketed
+      // timestamp: window(ts, '1 day') alone FLOORS, which buckets a
+      // negative (pre-epoch) ts_sec into a different day than the
+      // batch twin (ts_sec = -1 would land in day -1 instead of the
+      // twin's day 0 and then be dropped outright). DOMAIN EDGE that
+      // no watermark arithmetic can repair: Spark's initial watermark
+      // is floored at epoch 0, so a window ending <= 0 — any STRICTLY
+      // NEGATIVE day — is dropped as late on arrival regardless of the
+      // configured delay. Corpora with pre-1970 event days near their
+      // head need the exact unbounded twin; this variant's parity
+      // domain is day >= 0 (spec-pinned, including the ts_sec in
+      // [-86399, -1] boundary that the div-bucketing keeps).
+      .withColumn("ts", timestamp_seconds(expr("(ts_sec div 86400) * 86400")))
       .withWatermark("ts", s"$horizonDays days")
       .groupBy(col("item"), window(col("ts"), "1 day").as("w"))
       .agg(count(lit(1)).as("cnt"))
@@ -1607,12 +1625,13 @@ object Streams {
     graft.queries.CurationOps.weightedDrawKeyed(docs)
       .select(col("doc_id").as("key"), (-col("draw_key")).as("cnt"))
       .agg(topk(col("key"), col("cnt")).as("sample"))
-      // membership fingerprint: a hash of the SORTED key array, so a
-      // consumer can tell "the k-set changed" from "Spark re-emitted
-      // the touched group" without diffing k rows — the
-      // change-suppressing sink keys off exactly this column
+      // membership fingerprint: a hash of the SORTED key array (hashed
+      // natively — no serialization detour), so a consumer can tell
+      // "the k-set changed" from "Spark re-emitted the touched group"
+      // without diffing k rows — the change-suppressing sink keys off
+      // exactly this column
       .withColumn("sample_fp",
-        xxhash64(to_json(expr("array_sort(transform(sample, x -> x.key))"))))
+        xxhash64(expr("array_sort(transform(sample, x -> x.key))")))
   }
 
   /** [[weightedSampleStream]] with CHANGE SUPPRESSION at the sink:

@@ -114,4 +114,48 @@ class TrendingStreamSpec extends SparkSpec {
     // the dropped late event never surfaced as a count update
     assert(counts((1L, 5L)) === 1L, "day-5 bucket kept its pre-drop count")
   }
+
+  test("bounded variant buckets pre-epoch timestamps exactly like the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    // negative ts_sec: Spark's `div` truncates toward zero while a raw
+    // 1-day window FLOORS — the bounded twin must bucket through the
+    // exact twin's arithmetic (-1 -> day 0, -90000 -> day -1)
+    val weird = Seq((-90000L, "item=1"), (-1L, "item=1"), (5L, "item=2"))
+    val mem = MemoryStream[(Long, String)]
+    val counts = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    val q = Streams.trendingDayCountsStreamBounded(
+        mem.toDF().toDF("ts_sec", "props"))
+      .writeStream
+      .outputMode("update")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        counts.synchronized {
+          b.collect().foreach { r =>
+            counts((r.getLong(0), r.getLong(1))) = r.getLong(2)
+          }
+        }
+        ()
+      }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt-trend-neg").toString)
+      .start()
+    try {
+      mem.addData(weird)
+      q.processAllAvailable()
+    } finally q.stop()
+    val batch = EventAnalytics.trendingDayCountsOn(weird.toDF("ts_sec", "props"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // ts_sec = -1 is the truncation-vs-floor trap: the div-bucketing
+    // keeps it in day 0 exactly like the batch twin (a raw 1-day
+    // window would floor it into day -1 and then drop it outright)
+    assert(batch((1L, 0L)) === 1L && counts.toMap.get((1L, 0L)) === Some(1L),
+      "the [-86399, -1] boundary must bucket into day 0 like the batch twin")
+    // strictly negative DAYS are outside the variant's parity domain:
+    // Spark floors the initial watermark at epoch 0, so their windows
+    // are late-on-arrival under any delay — documented, and exactly
+    // the only divergence from the batch twin
+    assert(batch((1L, -1L)) === 1L && !counts.contains((1L, -1L)),
+      "day<0 is the documented watermark-floor domain edge")
+    assert(counts.toMap === (batch - ((1L, -1L))),
+      "everything from day 0 up matches the batch twin bucket for bucket")
+  }
 }
