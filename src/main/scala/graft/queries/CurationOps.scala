@@ -1401,12 +1401,13 @@ object CurationOps {
     Some("""
       SELECT * FROM (VALUES
         ('adv_heavy_dels', 'bq', CAST(1 AS BIGINT), CAST(100 AS BIGINT),
-         CAST(30 AS BIGINT), 'compact', 'dels'),
-        ('adv_long_window', 'sq8', 8, 58, 0, 'compact', 'window'),
-        ('adv_healthy', 'bq', 0, 100, 0, 'ok', ''),
-        ('adv_vacuum', 'bq', 0, 39, 0, 'vacuum', 'stale_epochs'),
-        ('adv_crashed', '_uncommitted', -1, 0, 0, 'rebuild', 'no_manifest')
-      ) AS t(name, family, window_len, total_rows, del_rows, action, reason)
+         CAST(30 AS BIGINT), 'compact', 'dels', '', CAST(-1 AS BIGINT)),
+        ('adv_long_window', 'sq8', 8, 58, 0, 'compact', 'window', '', -1),
+        ('adv_healthy', 'bq', 0, 100, 0, 'ok', '', '', -1),
+        ('adv_vacuum', 'bq', 0, 39, 0, 'vacuum', 'stale_epochs', '', -1),
+        ('adv_crashed', '_uncommitted', -1, 0, 0, 'rebuild', 'no_manifest', '', -1)
+      ) AS t(name, family, window_len, total_rows, del_rows, action, reason,
+             pin_owner, pin_age_ms)
     """.stripMargin.trim),
   )
 

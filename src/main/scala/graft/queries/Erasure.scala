@@ -219,27 +219,22 @@ object Erasure {
   // no other writers between crash and resume.
   // ---------------------------------------------------------------------
 
-  import java.nio.charset.StandardCharsets
-  import java.nio.file.{Files, Paths, StandardCopyOption}
+  import graft.sources.LedgerIO
 
-  private def intentFile(root: String) = Paths.get(root, "_intent.ledger")
+  private def intentFile(root: String) = LedgerIO.child(root, "_intent.ledger")
 
   private def writeIntent(root: String, grain: String,
       rows: Seq[(String, Long, String)]): Unit = {
-    Files.createDirectories(Paths.get(root))
     val body = (s"grain=$grain" +: rows.map { case (tag, e, p) => s"$tag\t$e\t$p" })
       .mkString("", "\n", "\n")
-    val tmp = Paths.get(root, "._intent.tmp")
-    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, intentFile(root),
-      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    LedgerIO.writeAtomic(intentFile(root), "._intent.tmp", body)
   }
 
   private def readIntent(root: String, expectGrain: String): Seq[(String, Long, String)] = {
-    val f = intentFile(root)
-    require(Files.exists(f), s"no pending erasure intent at $root - nothing to resume")
-    val lines = new String(Files.readAllBytes(f), StandardCharsets.UTF_8)
-      .linesIterator.filter(_.nonEmpty).toSeq
+    val text = LedgerIO.readIfExists(intentFile(root)).getOrElse(
+      throw new IllegalArgumentException(
+        s"requirement failed: no pending erasure intent at $root - nothing to resume"))
+    val lines = text.linesIterator.filter(_.nonEmpty).toSeq
     require(lines.headOption.contains(s"grain=$expectGrain"),
       s"intent at $root is '${lines.headOption.getOrElse("")}', expected grain=$expectGrain")
     lines.tail.map { ln =>
@@ -249,8 +244,8 @@ object Erasure {
   }
 
   private def completeIntent(root: String): Unit =
-    Files.move(intentFile(root), Paths.get(root, "_completed.ledger"),
-      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    LedgerIO.renameOverwrite(intentFile(root),
+      LedgerIO.child(root, "_completed.ledger"))
 
   private def docTargetsOf(rows: Seq[(String, Long, String)]): DocTargets = {
     val m = rows.map { case (tag, _, p) => tag -> p }.toMap
@@ -283,7 +278,7 @@ object Erasure {
 
   private[queries] def forgetDocsDurable(docs: DataFrame, targets: DocTargets,
       intentRoot: String, failAfter: Int): Unit = {
-    require(!Files.exists(intentFile(intentRoot)),
+    require(!LedgerIO.exists(intentFile(intentRoot)),
       s"pending erasure intent at $intentRoot - resumeForgetDocs first " +
         "(one in-flight erasure per fleet root)")
     val s = docs.sparkSession
@@ -320,7 +315,7 @@ object Erasure {
 
   private[queries] def forgetUsersDurable(users: DataFrame, targets: UserTargets,
       userEvs: Option[DataFrame], intentRoot: String, failAfter: Int): Unit = {
-    require(!Files.exists(intentFile(intentRoot)),
+    require(!LedgerIO.exists(intentFile(intentRoot)),
       s"pending erasure intent at $intentRoot - resumeForgetUsers first " +
         "(one in-flight erasure per fleet root)")
     require(targets.transition.isEmpty || userEvs.nonEmpty,

@@ -916,6 +916,23 @@ object SearchOps {
   def bm25SearchFromIndex(
       s: SparkSession, path: String, terms: Seq[String], k: Int,
       asOf: Option[Long] = None,
+      keepIds: Option[DataFrame] = None): DataFrame =
+    bm25ScoredFromIndex(s, path, terms, asOf, keepIds)
+      .orderBy(col("score_pp12").desc, col("doc_id"))
+      .limit(k)
+
+  /** The BM25-scored docs for `terms` over the STORED index, UNRANKED —
+    * (doc_id, score_pp12) for every matching doc: the shared kernel of
+    * [[bm25SearchFromIndex]] (global top-k) and the batched hybrid's
+    * per-request sparse leg. Scores are eligibility-INDEPENDENT by
+    * design (idf/corpus stats stay global — a filter restricts who may
+    * be served, it does not re-weight the language model), so a batch
+    * of requests with different keep sets scores the corpus ONCE and
+    * each request ranks its own filtered slice of this frame.
+    */
+  private def bm25ScoredFromIndex(
+      s: SparkSession, path: String, terms: Seq[String],
+      asOf: Option[Long] = None,
       keepIds: Option[DataFrame] = None): DataFrame = {
     import graft.sources.IndexManifest
     import s.implicits._
@@ -945,8 +962,6 @@ object SearchOps {
         s"(22000000L * tf * ${tl}L) div (10L * tf * ${tl}L + 3L * ${tl}L + 9L * dl * ${n}L)"))
       .groupBy($"doc_id")
       .agg(sum($"idf_ppm" * $"sat_pp6").as("score_pp12"))
-      .orderBy($"score_pp12".desc, $"doc_id")
-      .limit(k)
   }
 
   /** Exact-phrase top-k against the STORED index — the query class that
@@ -1290,6 +1305,63 @@ object SearchOps {
         $"rrf_ppm", $"rnk")
   }
 
+  /** BATCHED hybrid retrieval with PER-REQUEST eligibility — the last
+    * per-request filtering gap closed: `hybridSearchFromIndexes` takes
+    * only a corpus-global `keepIds`, so two same-batch requests with
+    * different tenant/language filters had to forfeit batching (the
+    * exact gap `v_filtered_pairs` closed for the cascade). Here the
+    * (query_id, doc_id) `keepPairs` relation threads BOTH stored legs:
+    *
+    *   - sparse: the corpus is BM25-scored ONCE for the shared term
+    *     set ([[bm25ScoredFromIndex]] — scores are filter-independent
+    *     by design), then each request equi-joins its own keep slice
+    *     and ranks it (`rank_sparse` is a rank over THAT request's
+    *     filtered corpus, never a post-filter of a global top list);
+    *   - dense: the pairs ride [[graft.queries.VectorOps
+    *     .ivfPqSearchFromIndex]]'s keepPairs semi-join, landing before
+    *     the ADC fan-out — no distance term is summed for an
+    *     ineligible (query, id) pair;
+    *
+    * then per-request RRF fusion (rank windows partitioned by
+    * query_id). Absent-request contract as everywhere
+    * ([[graft.queries.VectorOps.keepPairsFrom]]): a query_id missing
+    * from the relation is served zero candidates. As-of pins travel
+    * independently per leg, as in the single-request form.
+    *
+    * 100 TB shape: one bucket-pruned postings scan regardless of batch
+    * size; pairs joins are keyed on doc_id / (query_id, cand_id) —
+    * never corpus x batch; fusion is <= pool rows per request.
+    */
+  def hybridSearchBatchFromIndexes(
+      s: SparkSession, postingsPath: String, ivfPqPath: String,
+      terms: Seq[String], probes: DataFrame, k: Int,
+      keepPairs: DataFrame,
+      asOfSparse: Option[Long] = None, asOfDense: Option[Long] = None): DataFrame = {
+    import s.implicits._
+    val pairs = keepPairs.select($"query_id", $"doc_id")
+      .dropDuplicates("query_id", "doc_id")
+    val wS = Window.partitionBy($"query_id").orderBy($"score_pp12".desc, $"doc_id")
+    val sparse = bm25ScoredFromIndex(s, postingsPath, terms, asOfSparse)
+      .join(pairs, Seq("doc_id"))
+      .withColumn("rank_sparse", row_number().over(wS).cast("long"))
+      .filter($"rank_sparse" <= fusionPool)
+      .select($"query_id", $"doc_id", $"rank_sparse")
+    val dense = VectorOps.ivfPqSearchFromIndex(s, ivfPqPath, probes, asOfDense,
+        keepPairs = Some(pairs.select($"query_id", $"doc_id".as("vec_id"))))
+      .select($"query_id", $"cand_id".as("doc_id"), $"rnk".as("rank_dense"))
+    val wF = Window.partitionBy($"query_id").orderBy($"rrf_ppm".desc, $"doc_id")
+    sparse.join(dense, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf_ppm", expr(
+        s"coalesce(1000000L div (${rrfC}L + rank_sparse), 0L) + " +
+          s"coalesce(1000000L div (${rrfC}L + rank_dense), 0L)"))
+      .withColumn("rnk", row_number().over(wF).cast("long"))
+      .filter($"rnk" <= k)
+      .select($"query_id", $"doc_id",
+        coalesce($"rank_sparse", lit(-1L)).as("rank_sparse"),
+        coalesce($"rank_dense", lit(-1L)).as("rank_dense"),
+        $"rrf_ppm", $"rnk")
+  }
+
   /** Both stored indexes built, then fused — the oracle recomputes each
     * leg from scratch (full BM25 core; full IVF-PQ pipeline with the
     * probe as the panel) and applies the same exact-integer RRF, so any
@@ -1401,8 +1473,78 @@ object SearchOps {
     """.stripMargin.trim),
   )
 
+  /** PER-REQUEST filtered hybrid, hash-gated with the adversarial
+    * disjoint-keep-sets construction (`v_filtered_pairs`' shape, on the
+    * hybrid surface): TWO same-batch requests, each allowed to see only
+    * its own parity's doc ids — so every id is exactly one request's
+    * candidate and the other's exclusion, and any cross-request filter
+    * leakage (a global filter, a post-fusion filter, a leg filtered for
+    * the wrong request) hash-mismatches. The pairs relation is built
+    * through the declarative front door ([[graft.queries.VectorOps
+    * .keepPairsFrom]], derived-key equi-join — no corpus x batch
+    * cross); the oracle recomputes both legs from scratch with the
+    * parity predicate INSIDE each leg's candidate step and fuses with
+    * the exact-integer per-request RRF.
+    */
+  val hybridPairs = Q(
+    "t_hybrid_pairs",
+    (s, d) => {
+      import s.implicits._
+      val pdir = graft.sources.Scratch.cached(s"hybrid-post:$d", "graft-hybrid-post") {
+        p => writePostingsIndex(docs(s, d), p)
+      }
+      val vdir = graft.sources.Scratch.cached(s"hybrid-ivfpq:$d", "graft-hybrid-ivfpq") {
+        p => VectorOps.writeIvfPqIndex(Tables.embeddings(s, d), p)
+      }
+      val probes = Tables.embeddings(s, d)
+        .filter($"vec_id" < 2L) // one even, one odd request
+        .select($"vec_id".as("query_id"), $"embedding")
+      val attrs = Tables.documents(s, d).select($"doc_id".as("vec_id"))
+      val pairs = VectorOps.keepPairsFrom(
+          probes, attrs, probes("query_id") % 2 === attrs("vec_id") % 2)
+        .select($"query_id", $"vec_id".as("doc_id"))
+      hybridSearchBatchFromIndexes(
+        s, pdir, vdir, queryTerms, probes, fusionK, keepPairs = pairs)
+    },
+    Some(s"""
+      WITH keepq AS (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 2),
+      $oracleBm25Core,
+      scored AS (
+        SELECT m.doc_id, CAST(SUM(dfa.idf_ppm * $oracleSat) AS BIGINT) AS score_pp12
+        FROM m JOIN dfa USING (t) WHERE m.t IN ($termsSql) GROUP BY 1),
+      sp AS (
+        SELECT kq.query_id, sc.doc_id,
+               ROW_NUMBER() OVER (PARTITION BY kq.query_id
+                 ORDER BY sc.score_pp12 DESC, sc.doc_id) AS rank_sparse
+        FROM scored sc JOIN keepq kq ON (kq.query_id % 2) = (sc.doc_id % 2)
+        QUALIFY rank_sparse <= $fusionPool),
+      ${VectorOps.oIvfPqCtesFrom("embeddings", "vec_id < 2",
+        candPred = "(p.query_id % 2) = (a.cand_id % 2)")},
+      dn AS (
+        SELECT query_id, cand_id AS doc_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY adc_micros ASC, cand_id ASC) AS rank_dense
+        FROM adc QUALIFY rank_dense <= ${VectorOps.topK}),
+      f AS (
+        SELECT COALESCE(sp.query_id, dn.query_id) AS query_id,
+               COALESCE(sp.doc_id, dn.doc_id) AS doc_id,
+               sp.rank_sparse, dn.rank_dense,
+               COALESCE(1000000 // ($rrfC + sp.rank_sparse), 0)
+                 + COALESCE(1000000 // ($rrfC + dn.rank_dense), 0) AS rrf_ppm
+        FROM sp FULL JOIN dn
+          ON sp.query_id = dn.query_id AND sp.doc_id = dn.doc_id)
+      SELECT query_id, doc_id,
+             COALESCE(rank_sparse, -1) AS rank_sparse,
+             COALESCE(rank_dense, -1) AS rank_dense,
+             CAST(rrf_ppm AS BIGINT) AS rrf_ppm,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY rrf_ppm DESC, doc_id) AS rnk
+      FROM f QUALIFY rnk <= $fusionK
+    """.stripMargin.trim),
+  )
+
   val qs: Seq[Q] = Seq(
     boolSearch, tfidfSearch, bm25Search, rrfFusion, prfExpand, phraseSearch,
     proximitySearch, entityResolution, entityCanon, entityTypos, searchMrr,
-    bm25Forget, bm25AsOf, hybridFromIndex, hybridFiltered)
+    bm25Forget, bm25AsOf, hybridFromIndex, hybridFiltered, hybridPairs)
 }

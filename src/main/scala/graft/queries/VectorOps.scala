@@ -3344,7 +3344,16 @@ object VectorOps {
     val paired = keepPairs match {
       case None => cand.join(broadcast(q), cond)
       case Some(p) =>
-        cand.join(p.select($"query_id", $"vec_id".as("cand_id")), Seq("cand_id"))
+        // distinct pairs enforced HERE, not just at the keepPairsFrom
+        // front door: a direct caller handing a non-distinct relation
+        // (a history table, an exploded attribute) would otherwise rank
+        // a candidate twice, consuming screen slots and emitting
+        // duplicate served rows — and the ivfPq path's left_semi is
+        // naturally immune, so the two funnels would silently diverge.
+        // Cheap relative to the screen: the dedup is over the pairs
+        // relation (requests x eligible ids), never the corpus.
+        cand.join(p.select($"query_id", $"vec_id".as("cand_id"))
+            .dropDuplicates("query_id", "cand_id"), Seq("cand_id"))
           .join(broadcast(q), Seq("query_id"))
           .filter(cond)
     }
@@ -3796,6 +3805,12 @@ object VectorOps {
     * scale). Request ids are their own space (no self-exclusion — see
     * [[bqScreenAgainst]]). Returns (query_id, cand_id, sim_micros,
     * rnk).
+    *
+    * `keepPairs` — per-request (query_id, vec_id) eligibility, keyed
+    * into the screen join itself ([[bqScreenAgainst]]). A request
+    * whose query_id is ABSENT from the relation has an empty keep set
+    * and is served ZERO candidates (never served unfiltered, never an
+    * error) — the [[keepPairsFrom]] absent-request contract.
     */
   def searchBqIndex(queryVecs: DataFrame, path: String, corpus: DataFrame,
       k: Long = topK, screen: Long = cascadeC1,
@@ -3861,10 +3876,24 @@ object VectorOps {
     * genuinely non-equi predicate still works but pays the
     * nested-loop the predicate implies; that cost is visible HERE, in
     * the relation build, never smuggled into the serve funnel (which
-    * always consumes the relation by equi-join).
+    * always consumes the relation by equi-join) — and the build now
+    * SAYS so: when the planned relation contains a nested-loop or
+    * cartesian join, a one-line warning fires (once per JVM; every
+    * occurrence is counted on [[nonEquiKeepPairsBuilds]]) so a range
+    * predicate over a large attrs table cannot smuggle a silent BNLJ.
+    *
+    * ABSENT-REQUEST CONTRACT (holds for every `keepPairs` consumer —
+    * [[searchBqIndex]], [[searchCascadeIndex]], [[ivfPqSearchFromIndex]]
+    * and the serve streams): a request whose query_id appears NOWHERE
+    * in the pairs relation has an EMPTY keep set and is served zero
+    * candidates — it is not served unfiltered and it does not error.
+    * A caller composing a partial relation (e.g. joining only a slice
+    * of the attrs table) must union in the unconstrained requests'
+    * pairs explicitly if "absent means unfiltered" is the semantics
+    * they want.
     */
   def keepPairsFrom(requests: DataFrame, attrs: DataFrame,
-      cond: org.apache.spark.sql.Column): DataFrame =
+      cond: org.apache.spark.sql.Column): DataFrame = {
     // the embedding (and any other unused request column) is pruned by
     // Catalyst before the join's exchange — only query_id and the
     // predicate's columns move. distinct() enforces the keepPairs
@@ -3872,7 +3901,34 @@ object VectorOps {
     // per vec_id (a history table, an exploded multi-valued attribute):
     // a duplicated pair would rank its candidate twice downstream,
     // consuming screen slots and emitting duplicate served rows
-    requests.join(attrs, cond).select(col("query_id"), col("vec_id")).distinct()
+    val rel = requests.join(attrs, cond)
+      .select(col("query_id"), col("vec_id")).distinct()
+    // plan-shape lint: sparkPlan (pre-AQE) carries the concrete join
+    // nodes; inspecting it costs one analysis+planning pass over a
+    // 3-node plan, no execution. AQE can only ever IMPROVE on this
+    // initial shape, so a clean initial plan never warns spuriously.
+    val nestedLoop = rel.queryExecution.sparkPlan.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }
+    if (nestedLoop.nonEmpty) {
+      nonEquiKeepPairsBuilds.incrementAndGet()
+      if (nonEquiWarned.compareAndSet(false, true))
+        System.err.println(
+          "graft.keepPairsFrom: non-equi eligibility predicate plans a " +
+            "nested-loop join in the relation build (requests x attrs); " +
+            "prefer an equi-condition on an attribute column - this cost " +
+            "is O(requests x attrs rows), paid here, once per build")
+    }
+    rel
+  }
+
+  /** Count of [[keepPairsFrom]] builds whose relation planned a
+    * nested-loop/cartesian join — the observable half of the plan-shape
+    * lint (the warning itself prints once per JVM).
+    */
+  private[graft] val nonEquiKeepPairsBuilds = new java.util.concurrent.atomic.AtomicLong
+  private val nonEquiWarned = new java.util.concurrent.atomic.AtomicBoolean
 
   /** SERVE the full 3-tier cascade from STORED artifacts — the
     * deployment shape with the quantizer persisted: BQ Hamming screen
@@ -3895,6 +3951,10 @@ object VectorOps {
     * between the bq and sq8 tombstone commits) fails CLOSED — the
     * half-deleted vector cannot be served — and the erasure resume
     * protocol restores sync.
+    *
+    * `keepPairs` follows the [[keepPairsFrom]] absent-request
+    * contract: a query_id absent from the relation is served zero
+    * candidates, not served unfiltered.
     */
   def searchCascadeIndex(queryVecs: DataFrame, bqPath: String, sq8Path: String,
       corpus: DataFrame, k: Long = topK, screen: Long = cascadeC1,
@@ -4418,7 +4478,7 @@ object VectorOps {
   }
 
   private def cascadeIntentFile(root: String) =
-    java.nio.file.Paths.get(root, "_intent.ledger")
+    graft.sources.LedgerIO.child(root, "_intent.ledger")
 
   /** The paired BQ+SQ8 append under the durable intent-ledger
     * discipline ([[graft.queries.Erasure]]'s pattern): the delta and
@@ -4446,10 +4506,8 @@ object VectorOps {
     */
   private[graft] def appendCascadeDurable(delta: DataFrame, bqPath: String,
       sq8Path: String, intentRoot: String, failAfter: Int): Unit = {
-    import java.nio.charset.StandardCharsets
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    import graft.sources.IndexManifest
-    require(!Files.exists(cascadeIntentFile(intentRoot)),
+    import graft.sources.{IndexManifest, LedgerIO}
+    require(!LedgerIO.exists(cascadeIntentFile(intentRoot)),
       s"pending cascade-append intent at $intentRoot - resumeAppendCascade first " +
         "(one in-flight paired append per root)")
     val s = delta.sparkSession
@@ -4460,23 +4518,18 @@ object VectorOps {
       ("sq8", IndexManifest.committedEpoch(sq8Path, IndexManifest.Sq8), sq8Path))
     val body = ("grain=cascade-append" +:
       rows.map { case (tag, e, p) => s"$tag\t$e\t$p" }).mkString("", "\n", "\n")
-    val tmp = Paths.get(intentRoot, "._intent.tmp")
-    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, cascadeIntentFile(intentRoot),
-      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    LedgerIO.writeAtomic(cascadeIntentFile(intentRoot), "._intent.tmp", body)
     runCascadeAppend(s, intentRoot, rows, failAfter)
     completeCascadeIntent(intentRoot)
   }
 
   /** Resume a crashed [[appendCascadeDurable]] from disk alone. */
   def resumeAppendCascade(s: SparkSession, intentRoot: String): Unit = {
-    import java.nio.charset.StandardCharsets
-    import java.nio.file.Files
-    val f = cascadeIntentFile(intentRoot)
-    require(Files.exists(f),
-      s"no pending cascade-append intent at $intentRoot - nothing to resume")
-    val lines = new String(Files.readAllBytes(f), StandardCharsets.UTF_8)
-      .linesIterator.filter(_.nonEmpty).toSeq
+    import graft.sources.LedgerIO
+    val text = LedgerIO.readIfExists(cascadeIntentFile(intentRoot)).getOrElse(
+      throw new IllegalArgumentException("requirement failed: " +
+        s"no pending cascade-append intent at $intentRoot - nothing to resume"))
+    val lines = text.linesIterator.filter(_.nonEmpty).toSeq
     require(lines.headOption.contains("grain=cascade-append"),
       s"intent at $intentRoot is '${lines.headOption.getOrElse("")}', " +
         "expected grain=cascade-append")
@@ -4526,10 +4579,8 @@ object VectorOps {
   }
 
   private def completeCascadeIntent(root: String): Unit =
-    java.nio.file.Files.move(cascadeIntentFile(root),
-      java.nio.file.Paths.get(root, "_completed.ledger"),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    graft.sources.LedgerIO.renameOverwrite(cascadeIntentFile(root),
+      graft.sources.LedgerIO.child(root, "_completed.ledger"))
 
   /** The coverage audit oracle-gated with a PLANTED half-append: build
     * the pair from the corpus, then land 5 new vectors in BQ only —

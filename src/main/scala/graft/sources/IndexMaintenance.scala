@@ -71,10 +71,10 @@ object IndexMaintenance {
   }
 
   /** One row per named index root: (name, family, window_len,
-    * total_rows, del_rows, action, reason) with action ∈
-    * {compact, vacuum, rebuild, ok} and reason naming the rule that
-    * fired (dels | window | stale_epochs | no_manifest | empty when
-    * ok). Thresholds: `delsPct` percent tombstones (integer math —
+    * total_rows, del_rows, action, reason, pin_owner, pin_age_ms) with
+    * action ∈ {compact, vacuum, rebuild, ok} and reason naming the rule
+    * that fired (dels | window | stale_epochs | no_manifest | empty
+    * when ok). Thresholds: `delsPct` percent tombstones (integer math —
     * fires when del_rows * 100 ≥ total_rows * delsPct) and `windowLen`
     * committed epochs. The vacuum rule fires when superseded epoch
     * directories linger below the window floor (a compaction ran but
@@ -82,14 +82,25 @@ object IndexMaintenance {
     * same read-only listing vacuum itself walks) and neither
     * compaction rule fires; compaction outranks it because compacting
     * creates more stale epochs anyway.
+    *
+    * Pin observability: on a `vacuum_blocked_by_pin` verdict,
+    * `pin_owner` names the blocking pin(s) (comma-joined, sorted) and
+    * `pin_age_ms` is the OLDEST blocker's age since registration — so
+    * a leaked pin (a crashed owner that never released) is visible and
+    * attributable instead of indistinguishable from a live serve. The
+    * advisor only REPORTS; reclaiming a genuinely leaked pin is the
+    * operator's explicit [[IndexManifest.releaseStalePins]] call.
+    * Both columns are ''/-1 on every other verdict (and -1 when the
+    * blocking pin predates the registration timestamp).
     */
   def advise(s: SparkSession, named: Seq[(String, String)],
-      delsPct: Long = 20L, windowLen: Long = 8L): DataFrame = {
+      delsPct: Long = 20L, windowLen: Long = 8L,
+      nowMs: Long = System.currentTimeMillis()): DataFrame = {
     import s.implicits._
     named.map { case (name, path) =>
       IndexManifest.read(path) match {
         case None =>
-          (name, "_uncommitted", -1L, 0L, 0L, "rebuild", "no_manifest")
+          (name, "_uncommitted", -1L, 0L, 0L, "rebuild", "no_manifest", "", -1L)
         case Some(st) =>
           val fam = st.family
           val fmt = fmtOf(fam)
@@ -113,10 +124,23 @@ object IndexMaintenance {
               // a pin-aware vacuum would refuse anyway
               ("ok", "vacuum_blocked_by_pin")
             else ("ok", "")
-          (name, fam, window, total, dels, action, reason)
+          val (pinOwner, pinAge) =
+            if (reason != "vacuum_blocked_by_pin") ("", -1L)
+            else {
+              val blockedEpochs = IndexManifest
+                .staleDirs(path, fmt, respectPins = false)
+                .flatMap(_.getName.dropWhile(_ != '=').drop(1).toLongOption)
+              val blockers = IndexManifest.pins(path).filter(p =>
+                blockedEpochs.exists(v => p.floor <= v && v <= p.epoch))
+              (blockers.map(_.owner).sorted.mkString(","),
+                blockers.filter(_.registeredAtMs >= 0)
+                  .map(p => nowMs - p.registeredAtMs)
+                  .maxOption.getOrElse(-1L))
+            }
+          (name, fam, window, total, dels, action, reason, pinOwner, pinAge)
       }
     }.toDF("name", "family", "window_len", "total_rows", "del_rows",
-      "action", "reason")
+      "action", "reason", "pin_owner", "pin_age_ms")
   }
 
   // ---------------------------------------------------------------------
@@ -141,18 +165,18 @@ object IndexMaintenance {
   // move in a distributed Spark job — one task per file batch — which
   // is the 100 TB shape of every distcp-style export.
   //
-  // DATA PLANE vs CONTROL PLANE: the listing and the per-file byte
-  // copies — everything that scales with the index — go through the
-  // Hadoop FileSystem API, resolved per-path from fully-qualified URIs
-  // on the executors, so the distcp shape holds on any Hadoop-backed
-  // store (an executor-local java.nio copy would silently scatter the
-  // clone across executor disks on a real cluster — the round-18
-  // advisor's finding). The manifest flip and the pin ledger (one tiny
-  // file each, driver-side) remain on the fleet's nio convention and
-  // therefore require file-scheme roots; pointing THOSE at an object
-  // store needs the conditional-PUT manifest adaptation already
-  // documented in [[IndexManifest]]'s scaladoc — a control-plane swap
-  // that changes none of the data-plane shape here.
+  // DATA PLANE and CONTROL PLANE both ride the Hadoop FileSystem API:
+  // the listing and the per-file byte copies — everything that scales
+  // with the index — resolve per-path from fully-qualified URIs on the
+  // executors, so the distcp shape holds on any Hadoop-backed store
+  // (an executor-local java.nio copy would silently scatter the clone
+  // across executor disks on a real cluster — the round-18 advisor's
+  // finding); the manifest flip and the pin ledger (one tiny file
+  // each, driver-side) go through [[LedgerIO]], resolved from the
+  // root's own scheme, so source and destination roots can live on
+  // HDFS/S3 like their data does. Per-store rename-atomicity caveats
+  // (HDFS atomic; object stores copy+delete under the single-writer
+  // contract) are the matrix on [[LedgerIO]]'s scaladoc.
   //
   // What is copied, per the fleet's on-disk grammar:
   //   - component/epoch=N directories with floor <= N <= pinned epoch
@@ -200,32 +224,16 @@ object IndexMaintenance {
     raw.getFileSystem(s.sparkContext.hadoopConfiguration).makeQualified(raw)
   }
 
-  /** The locally-mounted form of a qualified root, for the fleet's
-    * nio-based manifest/pin IO (control plane — see the section note).
-    * Fails fast on a non-file scheme instead of letting nio misparse
-    * the URI into a relative path.
-    */
-  private def localRoot(p: HPath): String = {
-    val u = p.toUri
-    require(u.getScheme == null || u.getScheme == "file",
-      s"manifest IO in this build is file-scheme only - got $p (the export data " +
-        "plane is FS-agnostic; an object-store control plane needs the " +
-        "conditional-PUT manifest adaptation in IndexManifest's scaladoc)")
-    u.getPath
-  }
-
   def exportSnapshot(s: SparkSession, src: String, dst: String,
       asOf: Option[Long] = None): IndexManifest.State = {
     val conf = s.sparkContext.hadoopConfiguration
     val srcP = qualifiedRoot(s, src)
     val dstP = qualifiedRoot(s, dst)
     val dstFs = dstP.getFileSystem(conf)
-    // the control-plane file-scheme gate fires HERE, before a single
-    // byte moves — localRoot at the final manifest commit would reject
-    // an object-store dst only AFTER the whole distributed copy ran
-    val srcLocal = localRoot(srcP)
-    val dstLocal = localRoot(dstP)
-    val (st, fmt) = resolveExportState(srcLocal, asOf)
+    // control plane (manifest/pins) and data plane both resolve their
+    // FileSystem from the qualified URI — any Hadoop-backed root works
+    val srcQ = srcP.toString
+    val (st, fmt) = resolveExportState(srcQ, asOf)
     require(!dstFs.exists(dstP) || (dstFs.getFileStatus(dstP).isDirectory &&
         dstFs.listStatus(dstP).isEmpty),
       s"export destination $dst exists and is not empty - refusing to merge into it")
@@ -242,30 +250,74 @@ object IndexMaintenance {
     // that call pattern is already invalid (the dst-empty require
     // makes one of them fail).
     // BEST-EFFORT on read-only sources ONLY: pin registration writes to
-    // the source root; if that write is DENIED (the two exceptions that
-    // provably mean no write access), the export proceeds unpinned — a
+    // the source root; if that write is DENIED (the exceptions below,
+    // which mean no write access — the Hadoop security exception, plus
+    // the raw local FS's permission-denied FileNotFound and the nio
+    // forms older stores surface), the export proceeds unpinned — a
     // janitor needs the same write access we were denied, so on a
     // genuinely read-only root there is no janitor to race. Any OTHER
     // IO failure (transient NFS error, disk full) propagates and fails
     // the export loudly: proceeding unpinned there would silently
     // forfeit the janitor-race protection on a writable source.
-    val pinOwner = "export:" + java.lang.Integer.toHexString(dstP.toString.hashCode)
-    val pinned =
-      try { IndexManifest.registerPin(srcLocal, pinOwner, st.epoch, fmt); true }
+    // Owner token is a collision-resistant digest of the qualified
+    // destination URI (NOT String.hashCode: 32 bits of hash across a
+    // fleet of concurrent exports is birthday-collision territory, and
+    // two distinct destinations sharing one pin file means the first
+    // export to finish releases the other's protection mid-copy).
+    val pinOwner = "export:" + java.security.MessageDigest.getInstance("SHA-256")
+      .digest(dstP.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(8).map(b => f"$b%02x").mkString
+    val pin0: Option[IndexManifest.Pin] =
+      try Some(IndexManifest.registerPin(srcQ, pinOwner, st.epoch, fmt))
       catch {
-        case _: java.nio.file.AccessDeniedException => false
-        case _: java.nio.file.ReadOnlyFileSystemException => false
+        case _: org.apache.hadoop.security.AccessControlException => None
+        case e: java.io.FileNotFoundException
+            if e.getMessage != null && e.getMessage.contains("Permission denied") =>
+          None // the raw local FS reports an unwritable parent this way
+        case _: java.nio.file.AccessDeniedException => None
+        case _: java.nio.file.ReadOnlyFileSystemException => None
       }
+    val win = pin0 match {
+      case None => st
+      case Some(first) =>
+        // Close the resolve->pin TOCTOU: a compaction landing between
+        // the state resolution above and the pin write raises the floor
+        // the pin records above the resolved copy window's, leaving the
+        // window's lower epochs unprotected against a racing vacuum.
+        // Re-resolve AT the pinned epoch until the resolved floor
+        // equals the pin's recorded floor — then the copy window is
+        // exactly the pin-protected set [pin.floor, pin.epoch]. Each
+        // re-pin re-reads the live state (registerPin resolves through
+        // stateAsOf), so the loop settles in one pass unless
+        // compactions land continuously; exhausting the retries is a
+        // loud failure, never a copy of an unprotected window.
+        var p = first
+        var settled = IndexManifest.stateAsOf(srcQ, st.epoch, fmt)
+        var attempts = 0
+        while (settled.baseEpoch != p.floor && attempts < 5) {
+          p = IndexManifest.registerPin(srcQ, pinOwner, st.epoch, fmt)
+          settled = IndexManifest.stateAsOf(srcQ, st.epoch, fmt)
+          attempts += 1
+        }
+        if (settled.baseEpoch != p.floor) {
+          IndexManifest.releasePin(srcQ, pinOwner)
+          throw new IllegalStateException(
+            s"export of $src: window floor kept moving under the pin " +
+              s"(pin floor ${p.floor} vs resolved ${settled.baseEpoch} after " +
+              s"$attempts retries) - concurrent compactions are landing " +
+              "continuously; quiesce maintenance and re-run the export")
+        }
+        settled
+    }
     try {
-      doExport(s, srcP, dstP, dstLocal, st, fmt)
-    } finally if (pinned) IndexManifest.releasePin(srcLocal, pinOwner)
+      doExport(s, srcP, dstP, win, fmt)
+    } finally if (pin0.nonEmpty) IndexManifest.releasePin(srcQ, pinOwner)
   }
 
   /** The listing + distributed copy + clone commit — [[exportSnapshot]]'s
     * body, under the caller's in-flight source pin.
     */
   private def doExport(s: SparkSession, srcP: HPath, dstP: HPath,
-      dstLocal: String,
       st: IndexManifest.State, fmt: IndexManifest.Format): IndexManifest.State = {
     import scala.jdk.CollectionConverters._
     val conf = s.sparkContext.hadoopConfiguration
@@ -333,7 +385,7 @@ object IndexMaintenance {
           }
         }
     }
-    IndexManifest.commit(dstLocal, st.epoch, st.baseEpoch, fmt)
+    IndexManifest.commit(dstP.toString, st.epoch, st.baseEpoch, fmt)
     st
   }
 
@@ -371,8 +423,6 @@ object IndexMaintenance {
       s"pair destinations must be distinct, non-nested roots - got $bqP and $sqP " +
         "(the first clone's manifest would make the second's root non-empty or readable)")
     Seq(bqP, sqP).foreach { p =>
-      localRoot(p) // control-plane gate up front: a non-file SECOND
-                   // destination must fail before the FIRST copy runs
       val fs = p.getFileSystem(conf)
       require(!fs.exists(p) ||
           (fs.getFileStatus(p).isDirectory && fs.listStatus(p).isEmpty),
@@ -380,8 +430,8 @@ object IndexMaintenance {
     }
     // fail on a bad source/pin while NOTHING is written yet — the exact
     // resolution exportSnapshot performs, shared so it can't diverge
-    resolveExportState(localRoot(qualifiedRoot(s, bqSrc)), bqAsOf)
-    resolveExportState(localRoot(qualifiedRoot(s, sq8Src)), sq8AsOf)
+    resolveExportState(qualifiedRoot(s, bqSrc).toString, bqAsOf)
+    resolveExportState(qualifiedRoot(s, sq8Src).toString, sq8AsOf)
     (exportSnapshot(s, bqSrc, bqDst, bqAsOf),
       exportSnapshot(s, sq8Src, sq8Dst, sq8AsOf))
   }

@@ -1,8 +1,6 @@
 package graft.sources
 
-import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths, StandardCopyOption}
-
+import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 
@@ -42,11 +40,13 @@ import org.apache.spark.sql.functions.col
   *     corpus-sized table is never copied and uncommitted epochs are
   *     pruned at the directory level, not row-filtered.
   *
-  * The manifest flip itself is a temp-file write + atomic rename —
-  * atomic on local and HDFS-like filesystems. On S3-class object stores
-  * the rename becomes copy+delete; production there swaps the rename
-  * for a conditional PUT (the same adaptation every manifest-based
-  * table format ships), which changes none of the callers.
+  * The manifest flip itself is a temp-file write + atomic rename over
+  * the Hadoop FileSystem API resolved from the root's OWN scheme, so
+  * an index root can live on whatever store its data lives on
+  * (`file://`, `hdfs://`, `s3a://`, plain local paths) — the full
+  * per-store atomicity matrix, including the object-store
+  * conditional-PUT adaptation, is documented on [[LedgerIO]], the
+  * shared control-plane IO module every ledger in the fleet uses.
   *
   * Epoch values are compared against old stock: a pre-manifest index
   * has no `_graft_manifest.json` and no `epoch=` level, so the fail-fast
@@ -124,17 +124,15 @@ object IndexManifest {
   final case class State(
       formatVersion: Int, epoch: Long, baseEpoch: Long = 0L, family: String = "")
 
-  private def manifestFile(path: String) = Paths.get(path, "_graft_manifest.json")
+  private def manifestFile(path: String) =
+    LedgerIO.child(path, "_graft_manifest.json")
 
   /** Parse the manifest if present. Hand-rolled parse of the three-field
     * object this module itself writes — no JSON library surface.
     * `base_epoch` defaults to 0 when absent (pre-compaction manifests).
     */
-  def read(path: String): Option[State] = {
-    val f = manifestFile(path)
-    if (!Files.exists(f)) None
-    else {
-      val s = new String(Files.readAllBytes(f), StandardCharsets.UTF_8)
+  def read(path: String): Option[State] =
+    LedgerIO.readIfExists(manifestFile(path)).flatMap { s =>
       def field(k: String): Option[Long] =
         s""""$k"\\s*:\\s*(-?\\d+)""".r.findFirstMatchIn(s).map(_.group(1).toLong)
       val fam = """"family"\s*:\s*"([^"]*)"""".r
@@ -142,7 +140,6 @@ object IndexManifest {
       for (v <- field("format_version"); e <- field("epoch"))
         yield State(v.toInt, e, field("base_epoch").getOrElse(0L), fam)
     }
-  }
 
   /** The committed state, or fail fast when the index is unreadable by
     * this build (missing manifest = pre-manifest stock or a build that
@@ -221,14 +218,10 @@ object IndexManifest {
     */
   def commit(path: String, epoch: Long, baseEpoch: Long = 0L,
       fmt: Format = AnyFamily): Unit = {
-    Files.createDirectories(Paths.get(path))
     val famField = if (fmt.family.isEmpty) "" else s""" "family": "${fmt.family}","""
     val body =
       s"""{$famField "format_version": ${fmt.version}, "epoch": $epoch, "base_epoch": $baseEpoch}\n"""
-    val tmp = Paths.get(path, s"._graft_manifest.$epoch.tmp")
-    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, manifestFile(path),
-      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    LedgerIO.writeAtomic(manifestFile(path), s"._graft_manifest.$epoch.tmp", body)
   }
 
   /** Staging directory for one component at one epoch. */
@@ -346,9 +339,29 @@ object IndexManifest {
   // naming it until its owner releases.
   // ---------------------------------------------------------------------
 
-  final case class Pin(owner: String, epoch: Long, floor: Long)
+  /** `registeredAtMs`: wall-clock registration time recorded in the pin
+    * file — observability only (pin SEMANTICS never consult it): the
+    * advisor ages a `vacuum_blocked_by_pin` verdict with it so a leaked
+    * pin is distinguishable from a live one, and [[releaseStalePins]]
+    * keys off it when an operator explicitly asks. -1 for pins written
+    * before the field existed.
+    */
+  final case class Pin(owner: String, epoch: Long, floor: Long,
+      registeredAtMs: Long = -1L)
 
-  private def pinsDir(path: String) = Paths.get(path, "_graft_pins")
+  private def pinsDir(path: String) = LedgerIO.child(path, "_graft_pins")
+
+  /** Owner → on-disk pin filename. Hadoop Path rejects ':' inside a
+    * path segment (the long-standing HADOOP-3257 limitation), so the
+    * colon the owner charset allows (namespacing like `export:<hash>`)
+    * is stored as '@' — a character OUTSIDE the owner charset, so the
+    * decode in [[pins]] is unambiguous.
+    */
+  private def pinFileName(owner: String): String =
+    owner.replace(':', '@') + ".pin"
+
+  private def ownerOfPinFile(name: String): String =
+    name.stripSuffix(".pin").replace('@', ':')
 
   /** Register `owner`'s pin at `epoch` — any epoch that is CURRENTLY
     * READABLE: inside the committed window, or below the floor but
@@ -367,21 +380,43 @@ object IndexManifest {
         c.isLetterOrDigit || "-_.:".contains(c)),
       s"pin owner '$owner' must be a filename-safe token (letters, digits, -_.:)")
     val st = stateAsOf(path, epoch, fmt) // readable-now check + floor resolution
-    Files.createDirectories(pinsDir(path))
+    val now = System.currentTimeMillis()
     val body =
-      s"""{ "owner": "$owner", "epoch": $epoch, "floor": ${st.baseEpoch} }\n"""
-    val tmp = pinsDir(path).resolve(s".$owner.tmp")
-    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, pinsDir(path).resolve(s"$owner.pin"),
-      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
-    Pin(owner, epoch, st.baseEpoch)
+      s"""{ "owner": "$owner", "epoch": $epoch, "floor": ${st.baseEpoch}, "registered_at": $now }\n"""
+    LedgerIO.writeAtomic(
+      new HPath(pinsDir(path), pinFileName(owner)),
+      s".${pinFileName(owner)}.tmp", body)
+    Pin(owner, epoch, st.baseEpoch, now)
   }
 
   /** Drop `owner`'s pin; returns whether one existed. The freed epochs
     * become the next [[vacuum]]'s worklist (nothing is deleted here).
     */
   def releasePin(path: String, owner: String): Boolean =
-    Files.deleteIfExists(pinsDir(path).resolve(s"$owner.pin"))
+    LedgerIO.deleteIfExists(new HPath(pinsDir(path), pinFileName(owner)))
+
+  /** Release every pin older than `olderThanMs` — the EXPLICIT janitor
+    * for leaked pins (an owner that crashed without releasing). Never
+    * invoked automatically: an unreleased pin costs disk, not
+    * correctness, and silently destroying one would un-protect a
+    * standing as-of consumer that is merely long-lived — the advisor
+    * names blocking pins (owner + age) so the operator decides. Each
+    * release prints one loud line; pins without a registration
+    * timestamp (pre-field files) are never considered stale. Returns
+    * the released pins.
+    */
+  def releaseStalePins(path: String, olderThanMs: Long,
+      nowMs: Long = System.currentTimeMillis()): Seq[Pin] =
+    pins(path)
+      .filter(p => p.registeredAtMs >= 0 && nowMs - p.registeredAtMs > olderThanMs)
+      .map { p =>
+        System.err.println(
+          s"graft.IndexManifest: releasing STALE pin owner=${p.owner} " +
+            s"age_ms=${nowMs - p.registeredAtMs} window=[${p.floor},${p.epoch}] " +
+            s"at $path - its epochs become the next vacuum's worklist")
+        releasePin(path, p.owner)
+        p
+      }
 
   /** All live pins at this root (unordered). Lock-free readers call
     * this concurrently with owners releasing: a file deleted between
@@ -390,24 +425,18 @@ object IndexManifest {
     * here would abort the janitor mid-worklist or a pinned serve's
     * stateAsOf, the exact paths the ledger exists to keep alive).
     */
-  def pins(path: String): Seq[Pin] = {
-    import scala.jdk.CollectionConverters._
-    val d = pinsDir(path)
-    if (!Files.isDirectory(d)) Seq.empty
-    else scala.util.Using.resource(Files.list(d))(_.iterator().asScala.toVector)
-      .filter(_.getFileName.toString.endsWith(".pin"))
+  def pins(path: String): Seq[Pin] =
+    LedgerIO.listStatus(pinsDir(path))
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".pin"))
       .flatMap { f =>
-        val body =
-          try Some(new String(Files.readAllBytes(f), StandardCharsets.UTF_8))
-          catch { case _: java.nio.file.NoSuchFileException => None }
-        body.flatMap { s =>
+        LedgerIO.readIfExists(f.getPath).flatMap { s =>
           def num(k: String): Option[Long] =
             s""""$k"\\s*:\\s*(-?\\d+)""".r.findFirstMatchIn(s).map(_.group(1).toLong)
           for (e <- num("epoch"); fl <- num("floor"))
-            yield Pin(f.getFileName.toString.stripSuffix(".pin"), e, fl)
+            yield Pin(ownerOfPinFile(f.getPath.getName), e, fl,
+              num("registered_at").getOrElse(-1L))
         }
       }
-  }
 
   /** Delete epoch directories strictly BELOW the committed window floor
     * — the janitor half of [[compact]]. Only ever touches epochs no
@@ -424,7 +453,6 @@ object IndexManifest {
     * directories removed.
     */
   def vacuum(path: String, fmt: Format = AnyFamily): Long = {
-    import scala.util.Using
     var removed = 0L
     staleDirs(path, fmt).foreach { epochDir =>
       // Re-read the ledger immediately before EACH delete: a pin
@@ -435,16 +463,12 @@ object IndexManifest {
       // same retention-delay knob as the object-store caveat above —
       // register pins BEFORE the snapshot matters, not while the
       // janitor is mid-pass.
-      val name = epochDir.getFileName.toString
+      val name = epochDir.getName
       val v = name.dropWhile(_ != '=').drop(1).toLongOption
       val protectedNow = v.exists(ver =>
         pins(path).exists(p => p.floor <= ver && ver <= p.epoch))
       if (!protectedNow) {
-        // depth-first delete of the stale directory
-        Using.resource(Files.walk(epochDir)) { st =>
-          st.sorted(java.util.Comparator.reverseOrder())
-            .forEach(p => Files.delete(p))
-        }
+        LedgerIO.deleteRecursive(epochDir)
         removed += 1L
       }
     }
@@ -462,28 +486,23 @@ object IndexManifest {
     */
   private[graft] def staleDirs(path: String,
       fmt: Format = AnyFamily,
-      respectPins: Boolean = true): Seq[java.nio.file.Path] = {
+      respectPins: Boolean = true): Seq[HPath] = {
     // respectPins=true is what every janitor path uses; the advisor
     // passes false to SEE blocked-but-reclaimable garbage and name the
     // pin instead of advising destruction.
-    import scala.jdk.CollectionConverters._
-    import scala.util.Using
     val floor = committedState(path, fmt).baseEpoch
     val live = if (respectPins) pins(path) else Seq.empty
-    val root = Paths.get(path)
-    if (!Files.exists(root)) return Seq.empty
-    def ls(p: java.nio.file.Path): Seq[java.nio.file.Path] =
-      Using.resource(Files.list(p))(_.iterator().asScala.toVector)
-    ls(root).filter(Files.isDirectory(_)).flatMap { compDir =>
-      ls(compDir).filter { epochDir =>
-        val name = epochDir.getFileName.toString
-        val digits = if (name.startsWith("epoch=")) name.stripPrefix("epoch=")
-          else if (name.startsWith("gen=")) name.stripPrefix("gen=")
-          else ""
-        digits.nonEmpty && digits.forall(_.isDigit) && digits.toLong < floor &&
-          !live.exists(p => p.floor <= digits.toLong && digits.toLong <= p.epoch)
+    LedgerIO.listStatus(LedgerIO.root(path))
+      .filter(_.isDirectory).flatMap { compDir =>
+        LedgerIO.listStatus(compDir.getPath).map(_.getPath).filter { epochDir =>
+          val name = epochDir.getName
+          val digits = if (name.startsWith("epoch=")) name.stripPrefix("epoch=")
+            else if (name.startsWith("gen=")) name.stripPrefix("gen=")
+            else ""
+          digits.nonEmpty && digits.forall(_.isDigit) && digits.toLong < floor &&
+            !live.exists(p => p.floor <= digits.toLong && digits.toLong <= p.epoch)
+        }
       }
-    }
   }
 
   /** Fleet introspection — the "SHOW INDEXES" surface an operator
@@ -497,20 +516,14 @@ object IndexManifest {
     * must include crashed builds.
     */
   def describe(s: SparkSession, named: Seq[(String, String)]): org.apache.spark.sql.DataFrame = {
-    import scala.jdk.CollectionConverters._
-    import scala.util.Using
     import s.implicits._
     named.map { case (name, path) =>
       val st = read(path).getOrElse(State(-1, -1L, -1L, "_uncommitted"))
-      val root = Paths.get(path)
-      val comps =
-        if (!Files.exists(root)) ""
-        else Using.resource(Files.list(root)) { l =>
-          l.iterator().asScala.filter(Files.isDirectory(_))
-            .map(_.getFileName.toString)
-            .filterNot(_.startsWith("_graft_")) // protocol state, not a component
-            .toSeq.sorted.mkString(",")
-        }
+      val comps = LedgerIO.listStatus(LedgerIO.root(path))
+        .filter(_.isDirectory)
+        .map(_.getPath.getName)
+        .filterNot(_.startsWith("_graft_")) // protocol state, not a component
+        .sorted.mkString(",")
       (name, st.family, st.formatVersion.toLong, st.epoch, st.baseEpoch, comps)
     }.toDF("name", "family", "format_version", "epoch", "base_epoch", "components")
   }

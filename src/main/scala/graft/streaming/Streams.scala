@@ -1081,24 +1081,19 @@ object Streams {
     */
   private def batchEpochSnapshot(ordered: Seq[(String, String)],
       ledgerDir: String, batchId: Long): Map[String, Long] = {
-    import java.nio.charset.StandardCharsets
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    Files.createDirectories(Paths.get(ledgerDir))
-    val entry = Paths.get(ledgerDir, s"batch-$batchId.ledger")
-    if (Files.exists(entry))
-      new String(Files.readAllBytes(entry), StandardCharsets.UTF_8)
-        .linesIterator.filter(_.nonEmpty).map { ln =>
+    import graft.sources.LedgerIO
+    val entry = LedgerIO.child(ledgerDir, s"batch-$batchId.ledger")
+    LedgerIO.readIfExists(entry) match {
+      case Some(text) =>
+        text.linesIterator.filter(_.nonEmpty).map { ln =>
           val Array(tag, e) = ln.split('=')
           tag -> e.toLong
         }.toMap
-    else {
-      val snap = graft.queries.Erasure.committedEpochs(ordered)
-      val tmp = Paths.get(ledgerDir, s".batch-$batchId.tmp")
-      Files.write(tmp, snap.map { case (t, e) => s"$t=$e" }
-        .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
-      Files.move(tmp, entry,
-        StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
-      snap
+      case None =>
+        val snap = graft.queries.Erasure.committedEpochs(ordered)
+        LedgerIO.writeAtomic(entry, s".batch-$batchId.tmp",
+          snap.map { case (t, e) => s"$t=$e" }.mkString("", "\n", "\n"))
+        snap
     }
   }
 
@@ -1108,15 +1103,12 @@ object Streams {
     * grows one file per micro-batch for the stream's lifetime.
     */
   private def pruneSettledBatches(ledgerDir: String, batchId: Long): Unit = {
-    import java.nio.file.{Files, Paths}
-    import scala.jdk.CollectionConverters._
-    scala.util.Using.resource(Files.list(Paths.get(ledgerDir))) { ls =>
-      ls.iterator().asScala.toVector.foreach { p =>
-        val n = p.getFileName.toString
-        if (n.startsWith("batch-") && n.endsWith(".ledger") &&
-            n.stripPrefix("batch-").stripSuffix(".ledger").toLongOption.exists(_ < batchId))
-          Files.delete(p)
-      }
+    import graft.sources.LedgerIO
+    LedgerIO.listStatus(LedgerIO.root(ledgerDir)).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("batch-") && n.endsWith(".ledger") &&
+          n.stripPrefix("batch-").stripSuffix(".ledger").toLongOption.exists(_ < batchId))
+        LedgerIO.deleteIfExists(st.getPath)
     }
   }
 
@@ -1223,22 +1215,15 @@ object Streams {
   private[graft] def applyEventTableBatch(
       batch: DataFrame, path: String, ledgerDir: String, batchId: Long,
       nFiles: Int = 4): Unit = {
-    import java.nio.charset.StandardCharsets
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    import graft.sources.IndexManifest
-    Files.createDirectories(Paths.get(ledgerDir))
-    val entry = Paths.get(ledgerDir, s"batch-$batchId.ledger")
-    val e: Long =
-      if (Files.exists(entry))
-        new String(Files.readAllBytes(entry), StandardCharsets.UTF_8).trim.toLong
-      else {
+    import graft.sources.{IndexManifest, LedgerIO}
+    val entry = LedgerIO.child(ledgerDir, s"batch-$batchId.ledger")
+    val e: Long = LedgerIO.readIfExists(entry) match {
+      case Some(text) => text.trim.toLong
+      case None =>
         val next = IndexManifest.committedEpoch(path, IndexManifest.Layout) + 1L
-        val tmp = Paths.get(ledgerDir, s".batch-$batchId.tmp")
-        Files.write(tmp, s"$next\n".getBytes(StandardCharsets.UTF_8))
-        Files.move(tmp, entry,
-          StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+        LedgerIO.writeAtomic(entry, s".batch-$batchId.tmp", s"$next\n")
         next
-      }
+    }
     val committed = IndexManifest.committedEpoch(path, IndexManifest.Layout)
     if (committed == e - 1L) {
       graft.queries.LayoutOps.stageTableEpoch(batch, path, e, nFiles)
@@ -1265,15 +1250,7 @@ object Streams {
     // committed == e: replay of an already-committed fold — exactly-once no-op
     // prune settled entries (batches run serially; earlier ids can
     // never replay) — the ledger holds at most the in-flight batch
-    import scala.jdk.CollectionConverters._
-    scala.util.Using.resource(Files.list(Paths.get(ledgerDir))) { ls =>
-      ls.iterator().asScala.toVector.foreach { p =>
-        val n = p.getFileName.toString
-        if (n.startsWith("batch-") && n.endsWith(".ledger") &&
-            n.stripPrefix("batch-").stripSuffix(".ledger").toLongOption.exists(_ < batchId))
-          Files.delete(p)
-      }
-    }
+    pruneSettledBatches(ledgerDir, batchId)
   }
 
   /** ONLINE ANN SERVING — the request-side twin of the stored-index
@@ -1308,6 +1285,9 @@ object Streams {
     * construction the same way: a standing eligibility relation
     * (tenant / language / license) that each batch's requests key
     * into by query_id; same contract on the other two serve streams.
+    * Absent-request contract ([[graft.queries.VectorOps
+    * .keepPairsFrom]]): a request whose query_id never appears in the
+    * relation is served ZERO candidates — not served unfiltered.
     */
   def annServeStream(
       requests: DataFrame, bqIndexPath: String, corpus: DataFrame,
@@ -1451,12 +1431,12 @@ object Streams {
       batch: DataFrame, bqPath: String, sq8Path: String,
       ledgerRoot: String, batchId: Long,
       failAfter: Int = Int.MaxValue, dedupIds: Boolean = false): Unit = {
-    import java.nio.file.{Files, Paths}
+    import graft.sources.LedgerIO
     // the root is created by the durable append itself (delta staging);
     // an empty batch leaves no root at all, so nothing lingers
-    val root = Paths.get(ledgerRoot, s"batch-$batchId")
-    if (Files.exists(root.resolve("_completed.ledger"))) ()
-    else if (Files.exists(root.resolve("_intent.ledger")))
+    val root = LedgerIO.child(ledgerRoot, s"batch-$batchId")
+    if (LedgerIO.exists(new org.apache.hadoop.fs.Path(root, "_completed.ledger"))) ()
+    else if (LedgerIO.exists(new org.apache.hadoop.fs.Path(root, "_intent.ledger")))
       graft.queries.VectorOps.resumeAppendCascade(batch.sparkSession, root.toString)
     else if (!dedupIds) {
       if (!batch.isEmpty)
@@ -1488,17 +1468,13 @@ object Streams {
     * the running batch; conservatism costs one directory).
     */
   private def pruneSettledIngest(ledgerRoot: String, batchId: Long): Unit = {
-    import java.nio.file.{Files, Paths}
-    import scala.jdk.CollectionConverters._
-    if (!Files.isDirectory(Paths.get(ledgerRoot))) return
-    scala.util.Using.resource(Files.list(Paths.get(ledgerRoot))) { ls =>
-      ls.iterator().asScala.toVector.foreach { p =>
-        val n = p.getFileName.toString
-        if (n.startsWith("batch-") &&
-            n.stripPrefix("batch-").toLongOption.exists(_ < batchId) &&
-            Files.exists(p.resolve("_completed.ledger")))
-          graft.sources.Scratch.deleteRecursively(p)
-      }
+    import graft.sources.LedgerIO
+    LedgerIO.listStatus(LedgerIO.root(ledgerRoot)).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("batch-") &&
+          n.stripPrefix("batch-").toLongOption.exists(_ < batchId) &&
+          LedgerIO.exists(new org.apache.hadoop.fs.Path(st.getPath, "_completed.ledger")))
+        LedgerIO.deleteRecursive(st.getPath)
     }
   }
 
@@ -1653,8 +1629,7 @@ object Streams {
   def weightedSampleChangedStream(docs: DataFrame, outPath: String,
       checkpointDir: String, k: Int = graft.queries.CurationOps.weightedK,
       trigger: Option[Trigger] = None): StreamingQuery = {
-    import java.nio.charset.StandardCharsets
-    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import graft.sources.LedgerIO
     val w = weightedSampleStream(docs, k).writeStream
       .outputMode("update")
       .option("checkpointLocation", s"$checkpointDir/offsets")
@@ -1662,20 +1637,13 @@ object Streams {
         // one row (global aggregate), k-bounded — the collect is O(k)
         batch.collect().headOption.foreach { row =>
           val fp = row.getAs[Long]("sample_fp")
-          val marker = Paths.get(outPath, "_last_fp")
-          val last =
-            if (Files.exists(marker))
-              Some(new String(Files.readAllBytes(marker), StandardCharsets.UTF_8).trim.toLong)
-            else None
+          val marker = LedgerIO.child(outPath, "_last_fp")
+          val last = LedgerIO.readIfExists(marker).map(_.trim.toLong)
           if (!last.contains(fp)) {
             batch.sparkSession.createDataFrame(
               java.util.List.of(row), batch.schema)
               .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
-            Files.createDirectories(Paths.get(outPath))
-            val tmp = Paths.get(outPath, s"._last_fp.$batchId.tmp")
-            Files.write(tmp, s"$fp\n".getBytes(StandardCharsets.UTF_8))
-            Files.move(tmp, marker,
-              StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+            LedgerIO.writeAtomic(marker, s"._last_fp.$batchId.tmp", s"$fp\n")
           }
         }
       }
@@ -1716,34 +1684,25 @@ object Streams {
     */
   private def batchPreEpoch(ledgerRoot: String, batchId: Long,
       now: => Long): Long = {
-    import java.nio.charset.StandardCharsets
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    Files.createDirectories(Paths.get(ledgerRoot))
-    val f = Paths.get(ledgerRoot, s"batch-$batchId.epoch")
-    if (Files.exists(f))
-      new String(Files.readAllBytes(f), StandardCharsets.UTF_8).trim.toLong
-    else {
-      val e = now
-      val tmp = Paths.get(ledgerRoot, s".batch-$batchId.tmp")
-      Files.write(tmp, s"$e\n".getBytes(StandardCharsets.UTF_8))
-      Files.move(tmp, f,
-        StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
-      e
+    import graft.sources.LedgerIO
+    val f = LedgerIO.child(ledgerRoot, s"batch-$batchId.epoch")
+    LedgerIO.readIfExists(f) match {
+      case Some(text) => text.trim.toLong
+      case None =>
+        val e = now
+        LedgerIO.writeAtomic(f, s".batch-$batchId.tmp", s"$e\n")
+        e
     }
   }
 
   private def pruneSettledEpochMarkers(ledgerRoot: String, batchId: Long): Unit = {
-    import java.nio.file.{Files, Paths}
-    import scala.jdk.CollectionConverters._
-    if (!Files.isDirectory(Paths.get(ledgerRoot))) return
-    scala.util.Using.resource(Files.list(Paths.get(ledgerRoot))) { ls =>
-      ls.iterator().asScala.toVector.foreach { p =>
-        val n = p.getFileName.toString
-        if (n.startsWith("batch-") && n.endsWith(".epoch") &&
-            n.stripPrefix("batch-").stripSuffix(".epoch")
-              .toLongOption.exists(_ < batchId))
-          Files.delete(p)
-      }
+    import graft.sources.LedgerIO
+    LedgerIO.listStatus(LedgerIO.root(ledgerRoot)).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("batch-") && n.endsWith(".epoch") &&
+          n.stripPrefix("batch-").stripSuffix(".epoch")
+            .toLongOption.exists(_ < batchId))
+        LedgerIO.deleteIfExists(st.getPath)
     }
   }
 

@@ -107,6 +107,14 @@ class CatalogPlanGuardSpec extends SparkSpec {
       // (1 probe x 16 broadcast centroids); the keep semi-joins on both
       // legs are doc/vec-keyed equi-joins and add nothing unkeyed
       "t_hybrid_filtered",
+      // per-request-pairs hybrid: VERIFIED from the executed plan — the
+      // only BNLJ is the IVF centroid-assignment cross (2 probes x 16
+      // broadcast centroids, IdentityBroadcastMode over the stored
+      // cents); the pairs relation build is a derived-key equi-join
+      // (parity), the sparse leg joins pairs on doc_id, the dense leg's
+      // keepPairs is a (query_id, cand_id)-keyed left_semi, and the
+      // fuse is a full-outer equi-join of <= pool-row lists
+      "t_hybrid_pairs",
       // per-request-pairs cascade: tier 1's screen is now an EQUI-join
       // (pairs keyed on cand_id then query_id — the panel cross is
       // gone); the remaining BNLJ is tier 2's ONE-ROW stored

@@ -145,4 +145,44 @@ class FilteredPairsSpec extends SparkSpec {
     assert(got.nonEmpty)
     assert(got.forall { case (q, cand, _) => cand < 40L && cand % 2 == q % 2 })
   }
+
+  test("a non-distinct pairs relation serves each pair ONCE on both funnels") {
+    // direct callers can hand a history-table-shaped relation (several
+    // rows per pair); the screen must dedup it — a duplicated pair used
+    // to rank its candidate twice on the bq path, consuming screen
+    // slots and emitting duplicate served rows (the ivfPq left_semi was
+    // naturally immune, so the two funnels silently diverged)
+    val bq = tmp("fp-dup-bq"); val sq = tmp("fp-dup-sq8")
+    VectorOps.writeBqIndex(corpus, bq)
+    VectorOps.writeSq8Index(corpus, sq)
+    val doubled = parityPairs.unionAll(parityPairs)
+    val clean = rows(VectorOps.searchCascadeIndex(
+      queries, bq, sq, corpus, excludeSelf = true, keepPairs = Some(parityPairs)))
+    val doubledRows = rows(VectorOps.searchCascadeIndex(
+      queries, bq, sq, corpus, excludeSelf = true, keepPairs = Some(doubled)))
+    assert(doubledRows === clean,
+      "duplicated pairs must not double-serve or consume screen slots")
+  }
+
+  test("keepPairsFrom lints a non-equi predicate's nested-loop relation build") {
+    import graft.sources.Tables
+    val docs = Tables.documents(spark, sf).select($"doc_id".as("vec_id"), $"lang")
+    // req_lang must be data-dependent: a literal would constant-fold
+    // into a docs-side filter and leave a genuine cross join behind
+    val reqDf = queries.limit(2)
+      .withColumn("req_lang", when($"query_id" % 2 === 0, "en").otherwise("de"))
+      .withColumn("lo", $"query_id" * 10L)
+
+    // equi predicate: keyed join, no lint
+    val before = VectorOps.nonEquiKeepPairsBuilds.get()
+    VectorOps.keepPairsFrom(reqDf, docs, docs("lang") === reqDf("req_lang"))
+    assert(VectorOps.nonEquiKeepPairsBuilds.get() === before,
+      "an equi predicate must not trip the nested-loop lint")
+
+    // range predicate: the relation build pays a nested-loop — the docs
+    // promise this cost is visible HERE, and now the engine says so
+    VectorOps.keepPairsFrom(reqDf, docs, docs("vec_id") >= reqDf("lo"))
+    assert(VectorOps.nonEquiKeepPairsBuilds.get() === before + 1,
+      "a range predicate's BNLJ relation build must be counted")
+  }
 }

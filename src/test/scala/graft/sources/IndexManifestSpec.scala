@@ -16,8 +16,10 @@ class IndexManifestSpec extends SparkSpec {
 
   import spark.implicits._
 
+  // fully-qualified file:// URIs: the whole manifest protocol in this
+  // suite runs through the Hadoop-FS control plane (LedgerIO)
   private def tmp(prefix: String): String =
-    java.nio.file.Files.createTempDirectory(prefix).toString
+    "file://" + java.nio.file.Files.createTempDirectory(prefix).toString
 
   test("reader fails fast on a missing manifest and on format-version skew") {
     val none = tmp("manifest-none")
@@ -25,9 +27,8 @@ class IndexManifestSpec extends SparkSpec {
     assert(e1.getMessage.contains("rebuild the index"))
 
     val old = tmp("manifest-old")
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(old, "_graft_manifest.json"),
-      """{"format_version": 1, "epoch": 3}""".getBytes("UTF-8"))
+    LedgerIO.writeAtomic(LedgerIO.child(old, "_graft_manifest.json"),
+      "._graft_manifest.skew.tmp", """{"format_version": 1, "epoch": 3}""")
     val e2 = intercept[IllegalStateException](IndexManifest.committedEpoch(old))
     assert(e2.getMessage.contains("format_version 1"))
     assert(e2.getMessage.contains("rebuild the index"))
@@ -141,8 +142,8 @@ class IndexManifestSpec extends SparkSpec {
     assert(top(dir) === beforeTop, "compaction changed search results")
     assert(posts(dir) === beforePosts, "compaction changed the posting rows")
     // the compacted window reads exactly ONE epoch level
-    val dirs = new java.io.File(s"$dir/postings").listFiles()
-      .filter(_.getName.startsWith("epoch=")).map(_.getName).toSet
+    val dirs = LedgerIO.listStatus(LedgerIO.child(dir, "postings"))
+      .map(_.getPath.getName).filter(_.startsWith("epoch=")).toSet
     assert(dirs.contains("epoch=3"))
 
     // the index stays appendable and union-equal after compaction
@@ -221,8 +222,8 @@ class IndexManifestSpec extends SparkSpec {
     // postings epochs 0,1 + terms 0,1 + corpus 0,1 + dels 0 = 7 stale dirs
     assert(removed === 7L, s"expected 7 stale epoch dirs removed, got $removed")
     assert(top() === before, "vacuum changed reads")
-    val leftPost = new java.io.File(s"$dir/postings").listFiles()
-      .map(_.getName).filter(_.startsWith("epoch=")).toSet
+    val leftPost = LedgerIO.listStatus(LedgerIO.child(dir, "postings"))
+      .map(_.getPath.getName).filter(_.startsWith("epoch=")).toSet
     assert(leftPost === Set("epoch=2", "epoch=9"),
       "compacted window and the in-flight stage must both survive")
     // the survived stage still commits cleanly afterwards

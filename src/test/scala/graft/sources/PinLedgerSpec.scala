@@ -13,7 +13,11 @@ class PinLedgerSpec extends SparkSpec {
 
   import spark.implicits._
 
-  private def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+  // fully-qualified file:// URIs: every manifest/pin/ledger touch in
+  // this suite goes through the Hadoop-FS control plane (LedgerIO),
+  // proving an index root addressed by URI works end to end
+  private def tmp(p: String) =
+    "file://" + java.nio.file.Files.createTempDirectory(p).toString
 
   private val dayOne = Seq(
     1L -> "spark join window spark filter",
@@ -38,7 +42,8 @@ class PinLedgerSpec extends SparkSpec {
     // pinning the head (epoch 1, floor 0) protects the whole window, so
     // any as-of WITHIN it — including 0 — stays replayable
     val pin = IndexManifest.registerPin(dir, "serve-0", 1L, IndexManifest.Postings)
-    assert(pin === IndexManifest.Pin("serve-0", 1L, 0L))
+    assert((pin.owner, pin.epoch, pin.floor) === (("serve-0", 1L, 0L)))
+    assert(pin.registeredAtMs > 0L, "pins record their registration time")
     SearchOps.compactPostingsIndex(spark, dir)
 
     // the advisor names the pin instead of advising destruction
@@ -94,7 +99,8 @@ class PinLedgerSpec extends SparkSpec {
     SearchOps.appendPostingsIndex(dayTwo.toDF("doc_id", "text"), dir)
     IndexManifest.registerPin(dir, "run", 0L, IndexManifest.Postings)
     IndexManifest.registerPin(dir, "run", 1L, IndexManifest.Postings)
-    assert(IndexManifest.pins(dir) === Seq(IndexManifest.Pin("run", 1L, 0L)))
+    val live = IndexManifest.pins(dir)
+    assert(live.map(p => (p.owner, p.epoch, p.floor)) === Seq(("run", 1L, 0L)))
   }
 
   test("a pinned below-floor epoch can take NEW pins and be exported (the release workflow)") {
@@ -109,7 +115,7 @@ class PinLedgerSpec extends SparkSpec {
     // first pin's protection — and records the COVERING pin's floor,
     // not the current one
     val again = IndexManifest.registerPin(dir, "audit", 0L, IndexManifest.Postings)
-    assert(again === IndexManifest.Pin("audit", 0L, 0L))
+    assert((again.owner, again.epoch, again.floor) === (("audit", 0L, 0L)))
 
     // the workflow the pin ledger exists for: make the pinned snapshot
     // a durable release artifact WHILE it only exists via the pin
@@ -135,8 +141,9 @@ class PinLedgerSpec extends SparkSpec {
     // this sandbox has no reachable non-file FileSystem, so the reject
     // comes from FS resolution (UnknownHost) — the point under test is
     // the ORDERING: destination validation (qualifiedRoot + the
-    // file-scheme control-plane gate, both up front since the review)
-    // precedes pin registration and the distributed copy
+    // dst-emptiness probe, both up front) precedes pin registration
+    // and the distributed copy (the control plane itself is now
+    // scheme-agnostic; an unreachable scheme still fails here first)
     val dir = tmp("pin-scheme")
     SearchOps.writePostingsIndex(dayOne.toDF("doc_id", "text"), dir)
     intercept[Exception] {
@@ -171,9 +178,44 @@ class PinLedgerSpec extends SparkSpec {
     assert(!comps.contains("_graft_pins"), s"protocol state leaked: $comps")
     val out = tmp("pin-ghost-out")
     IndexMaintenance.exportSnapshot(spark, dir, out)
-    assert(!java.nio.file.Files.exists(
-        java.nio.file.Paths.get(out, "_graft_pins")),
+    assert(!LedgerIO.exists(LedgerIO.child(out, "_graft_pins")),
       "a clone must not inherit the SOURCE's live-reader registrations")
     assert(search(out) === search(dir))
+  }
+
+  test("a leaked pin is visible (owner + age) and never auto-destroyed") {
+    val dir = tmp("pin-leak")
+    SearchOps.writePostingsIndex(dayOne.toDF("doc_id", "text"), dir)  // epoch 0
+    SearchOps.appendPostingsIndex(dayTwo.toDF("doc_id", "text"), dir) // epoch 1
+    // the "leak": an owner that pins and crashes without releasing
+    IndexManifest.registerPin(dir, "crashed-job.42", 1L, IndexManifest.Postings)
+    SearchOps.compactPostingsIndex(spark, dir)
+
+    // the advisor NAMES the blocking pin and ages it — a leaked pin is
+    // attributable, not indistinguishable from a live serve
+    val adv = IndexMaintenance.advise(spark, Seq("leak" -> dir))
+      .select("reason", "pin_owner", "pin_age_ms").first()
+    assert(adv.getString(0) === "vacuum_blocked_by_pin")
+    assert(adv.getString(1) === "crashed-job.42")
+    assert(adv.getLong(2) >= 0L, "age must be computable from registered_at")
+
+    // NOTHING reclaims it implicitly: vacuum skips, a too-young
+    // janitor threshold skips, and both leave the pin alive
+    assert(IndexManifest.vacuum(dir, IndexManifest.Postings) === 0L)
+    assert(IndexManifest.releaseStalePins(dir, olderThanMs = 3600_000L).isEmpty,
+      "a pin younger than the threshold is not stale")
+    assert(IndexManifest.pins(dir).map(_.owner) === Seq("crashed-job.42"))
+
+    // the EXPLICIT janitor with a crossed threshold releases exactly
+    // the stale owner, and the next vacuum reclaims its window
+    val released = IndexManifest.releaseStalePins(dir, olderThanMs = 0L,
+      nowMs = System.currentTimeMillis() + 10_000L)
+    assert(released.map(_.owner) === Seq("crashed-job.42"))
+    assert(IndexManifest.pins(dir).isEmpty)
+    assert(IndexManifest.vacuum(dir, IndexManifest.Postings) > 0L)
+    // and on a healthy unpinned index the advisor columns stay inert
+    val clean = IndexMaintenance.advise(spark, Seq("leak" -> dir))
+      .select("pin_owner", "pin_age_ms").first()
+    assert((clean.getString(0), clean.getLong(1)) === (("", -1L)))
   }
 }

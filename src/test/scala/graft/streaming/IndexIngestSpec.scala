@@ -16,7 +16,10 @@ class IndexIngestSpec extends SparkSpec {
 
   import spark.implicits._
 
-  private def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+  // fully-qualified file:// URIs: index roots, ledger roots and
+  // checkpoints all resolve through the Hadoop-FS control plane
+  private def tmp(p: String) =
+    "file://" + java.nio.file.Files.createTempDirectory(p).toString
 
   private val dayOne = Seq(
     1L -> "spark join window spark filter",
@@ -97,10 +100,9 @@ class IndexIngestSpec extends SparkSpec {
 
     // markers prune as batches settle
     Streams.applyIndexIngestBatch(spark.emptyDataFrame, epoch, append, ledger, 2L)
-    assert(!java.nio.file.Files.exists(
-      java.nio.file.Paths.get(ledger, "batch-0.epoch")))
-    assert(!java.nio.file.Files.exists(
-      java.nio.file.Paths.get(ledger, "batch-1.epoch")))
+    import graft.sources.LedgerIO
+    assert(!LedgerIO.exists(LedgerIO.child(ledger, "batch-0.epoch")))
+    assert(!LedgerIO.exists(LedgerIO.child(ledger, "batch-1.epoch")))
     assert(epoch() === 2L, "an empty batch must not commit an epoch")
   }
 
