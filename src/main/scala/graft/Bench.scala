@@ -4,6 +4,14 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // 1-min loadavg sampled at start AND end of the run: a contended box
+    // is then visible IN the record (round 19's 35->53 s driver swing
+    // needed a judge re-bench to attribute to load; now the evidence
+    // ships with the sample)
+    def loadAvg(): Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
+    val loadStart = loadAvg()
     val spark = GraftSession.local("graft-bench", cpus)
     // Headline set only (Catalog.benchNames); a full-catalog run is
     // available via SPARK_GRAFT_BENCH_ALL=1.
@@ -124,6 +132,17 @@ object Bench {
       case (k, v) if v.nonEmpty && fastSpread(v) > spreadGate => k
     }
     val noisy = noisyNames.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // FULL-spread outliers: the fast-3 gate can pass while a single rep
+    // spiked 4x under contention (round 19: t_dedup_multimodal 32.8 s
+    // against an 8 s median left no trace in `noisy`). A full max/min
+    // spread past 3x flags the sample as taken on a busy box even when
+    // the published min is fine — the per-query trace the cross-round
+    // gradient adjudication needs.
+    val spreadOutlierNames = results.collect {
+      case (k, v) if v.size >= 2 && v.max / v.min > 3.0 => k
+    }
+    val spreadOutliers =
+      spreadOutlierNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v.minOption.fold("null")(_.toString) }
       .mkString("{", ",", "}")
     // every successful rep, so a reader can see the published number is
@@ -181,8 +200,9 @@ object Bench {
     // to a sidecar file and an EARLIER stdout line, and the final line is a
     // compact summary (total + min-of-reps per query) that stays parseable
     // no matter how many queries the headline set grows to.
+    val loadEnd = loadAvg()
     val detail =
-      s"""{"metric":"detail","medians":$medians,"spread":$spreads,"spread_fast3":$spreadsFast,"noisy":$noisy,"reps":$allReps,"sweep":$sweepJson,"sf":"$sfDir"}"""
+      s"""{"metric":"detail","medians":$medians,"spread":$spreads,"spread_fast3":$spreadsFast,"noisy":$noisy,"spread_outliers":$spreadOutliers,"reps":$allReps,"sweep":$sweepJson,"loadavg_1m_start":$loadStart,"loadavg_1m_end":$loadEnd,"sf":"$sfDir"}"""
     try {
       val out = java.nio.file.Paths.get("bench_detail.json")
       java.nio.file.Files.write(out, (detail + "\n").getBytes("UTF-8"))
@@ -192,10 +212,21 @@ object Bench {
       val sweepDoc =
         s"""{"sf":"$sfDir","headline_min":$qs,"sweep_1rep":$sweepJson}"""
       java.nio.file.Files.write(sweepOut, (sweepDoc + "\n").getBytes("UTF-8"))
+      // VERSIONED sample artifact: bench_detail.json is overwritten by
+      // whoever benches last (round 19: the driver's contended run
+      // clobbered the builder's final-tree samples and the per-query
+      // gradient analysis became unrecomputable). A labeled run also
+      // writes BENCH_SAMPLES_<label>.json — commit these so every
+      // published claim has its per-query reps + box load on record.
+      sys.env.get("SPARK_GRAFT_BENCH_LABEL").foreach { label =>
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"BENCH_SAMPLES_$label.json"),
+          (detail + "\n").getBytes("UTF-8"))
+      }
     } catch { case _: Throwable => () }
     println(detail)
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"noisy":$noisy,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"noisy":$noisy,"spread_outliers":$spreadOutliers,"loadavg_1m_start":$loadStart,"loadavg_1m_end":$loadEnd,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

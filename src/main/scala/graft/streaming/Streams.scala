@@ -1288,6 +1288,16 @@ object Streams {
     * Absent-request contract ([[graft.queries.VectorOps
     * .keepPairsFrom]]): a request whose query_id never appears in the
     * relation is served ZERO candidates — not served unfiltered.
+    *
+    * `keepPairsPer` is the EPOCH-FOLLOWING form of the same filter for
+    * a standing deployment whose attributes table EVOLVES: a function
+    * from the micro-batch's requests to that batch's eligibility
+    * relation, invoked INSIDE foreachBatch — so a relation built from
+    * a fresh read of the attrs store (e.g. `batch =>
+    * keepPairsFrom(batch, batch.sparkSession.read.parquet(attrs), …)`)
+    * picks up attribute changes within one batch, exactly as the index
+    * reads follow the committed manifest. Mutually exclusive with the
+    * static `keepPairs` (same contract on the other two serve streams).
     */
   def annServeStream(
       requests: DataFrame, bqIndexPath: String, corpus: DataFrame,
@@ -1296,12 +1306,15 @@ object Streams {
       screen: Long = graft.queries.VectorOps.cascadeC1,
       trigger: Option[Trigger] = None,
       asOf: Option[Long] = None,
-      keepPairs: Option[DataFrame] = None): StreamingQuery = {
+      keepPairs: Option[DataFrame] = None,
+      keepPairsPer: Option[DataFrame => DataFrame] = None): StreamingQuery = {
+    require(keepPairs.isEmpty || keepPairsPer.isEmpty,
+      "pass keepPairs (static relation) OR keepPairsPer (rebuilt per batch), not both")
     val w = requests.writeStream
       .option("checkpointLocation", s"$checkpointDir/offsets")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.queries.VectorOps.searchBqIndex(batch, bqIndexPath, corpus, k, screen,
-          asOf = asOf, keepPairs = keepPairs)
+          asOf = asOf, keepPairs = keepPairsPer.map(_(batch)).orElse(keepPairs))
           .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
       }
     trigger.fold(w)(w.trigger).start()
@@ -1330,13 +1343,17 @@ object Streams {
       c: Long = graft.queries.VectorOps.refineC,
       trigger: Option[Trigger] = None,
       asOf: Option[Long] = None,
-      keepPairs: Option[DataFrame] = None): StreamingQuery = {
+      keepPairs: Option[DataFrame] = None,
+      keepPairsPer: Option[DataFrame => DataFrame] = None): StreamingQuery = {
+    require(keepPairs.isEmpty || keepPairsPer.isEmpty,
+      "pass keepPairs (static relation) OR keepPairsPer (rebuilt per batch), not both")
     val w = requests.writeStream
       .option("checkpointLocation", s"$checkpointDir/offsets")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.queries.VectorOps.searchIvfPqRefined(
           batch.sparkSession, ivfPqIndexPath, batch, corpus, k, c,
-          asOf = asOf, excludeSelf = false, keepPairs = keepPairs)
+          asOf = asOf, excludeSelf = false,
+          keepPairs = keepPairsPer.map(_(batch)).orElse(keepPairs))
           .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
       }
     trigger.fold(w)(w.trigger).start()
@@ -1368,13 +1385,17 @@ object Streams {
       refine: Long = graft.queries.VectorOps.cascadeC2,
       trigger: Option[Trigger] = None,
       bqAsOf: Option[Long] = None, sq8AsOf: Option[Long] = None,
-      keepPairs: Option[DataFrame] = None): StreamingQuery = {
+      keepPairs: Option[DataFrame] = None,
+      keepPairsPer: Option[DataFrame => DataFrame] = None): StreamingQuery = {
+    require(keepPairs.isEmpty || keepPairsPer.isEmpty,
+      "pass keepPairs (static relation) OR keepPairsPer (rebuilt per batch), not both")
     val w = requests.writeStream
       .option("checkpointLocation", s"$checkpointDir/offsets")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.queries.VectorOps.searchCascadeIndex(
           batch, bqIndexPath, sq8IndexPath, corpus, k, screen, refine,
-          bqAsOf = bqAsOf, sq8AsOf = sq8AsOf, keepPairs = keepPairs)
+          bqAsOf = bqAsOf, sq8AsOf = sq8AsOf,
+          keepPairs = keepPairsPer.map(_(batch)).orElse(keepPairs))
           .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
       }
     trigger.fold(w)(w.trigger).start()

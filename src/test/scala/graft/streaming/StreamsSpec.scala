@@ -1596,6 +1596,81 @@ class StreamsSpec extends SparkSpec {
     assert(served.toSet === batch)
   }
 
+  test("per-batch keepPairsFrom: a mid-stream attrs change is served within one batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.queries.VectorOps
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    graft.functions.GraftFunctions.registerDotD(spark)
+
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val bqIdx = tmp("fpp-bq"); val sqIdx = tmp("fpp-sq8")
+    VectorOps.writeBqIndex(emb, bqIdx)
+    VectorOps.writeSq8Index(emb, sqIdx)
+
+    // the EVOLVING attributes store: eligibility lives in a parquet dir
+    // the relation builder re-reads per batch (epoch-following, like
+    // the index reads) — initially even ids only, later odd ids only
+    val attrsPath = tmp("fpp-attrs")
+    def writeAttrs(keepParity: Long): Unit =
+      emb.select($"vec_id").filter($"vec_id" % 2 === keepParity)
+        .withColumn("eligible", org.apache.spark.sql.functions.lit(true))
+        .coalesce(1).write.mode("overwrite").parquet(attrsPath)
+    writeAttrs(0L)
+
+    val reqRows = emb.filter($"vec_id" < 2L).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    val mem = MemoryStream[(Long, Array[Float])]
+    val out = tmp("fpp-out"); val ckpt = tmp("fpp-ckpt")
+    val q = Streams.cascadeServeStream(
+      mem.toDF().toDF("query_id", "embedding"), bqIdx, sqIdx, emb, out, ckpt,
+      k = 5L,
+      keepPairsPer = Some { batch =>
+        // a FRESH read per batch: new files in the attrs dir are seen
+        // by the next micro-batch without a stream restart. The cond is
+        // a derived-key EQUI join (request parity = attr parity), so
+        // the store's content AND the per-request key both gate: with
+        // only even ids stored, request 1 resolves an EMPTY keep set
+        // and is served zero candidates (the absent-request contract)
+        val attrs = batch.sparkSession.read.parquet(attrsPath)
+        VectorOps.keepPairsFrom(batch, attrs,
+          attrs("vec_id") % 2 === batch("query_id") % 2)
+      })
+    try {
+      mem.addData(reqRows)
+      q.processAllAvailable()
+      val b0 = spark.read.parquet(s"$out/batch=0")
+        .select($"query_id", $"cand_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(b0.nonEmpty && b0.forall(_._2 % 2 == 0),
+        "batch 0 must serve only the attrs store's CURRENT eligible ids (even)")
+      assert(!b0.exists(_._1 == 1L),
+        "request 1's keep set is empty while only even ids are stored")
+
+      // the attributes table changes UNDER the standing stream
+      writeAttrs(1L)
+      mem.addData(reqRows)
+      q.processAllAvailable()
+      val b1 = spark.read.parquet(s"$out/batch=1")
+        .select($"query_id", $"cand_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(b1.nonEmpty && b1.forall(_._2 % 2 == 1),
+        "the NEXT batch must already serve the new eligibility - no restart")
+      assert(!b1.exists(_._1 == 0L),
+        "request 0's keep set emptied when the store flipped to odd ids")
+    } finally q.stop()
+
+    // static + per-batch together is a contract violation, loudly
+    val err = intercept[IllegalArgumentException] {
+      Streams.cascadeServeStream(
+        mem.toDF().toDF("query_id", "embedding"), bqIdx, sqIdx, emb,
+        tmp("fpp-out2"), tmp("fpp-ckpt2"),
+        keepPairs = Some(emb.select($"vec_id".as("query_id"), $"vec_id")),
+        keepPairsPer = Some(identity))
+    }
+    assert(err.getMessage.contains("not both"))
+  }
+
   test("serve streams FOLLOW the committed manifest per batch: a mid-stream append is served from the next batch; an as-of pin freezes the serve") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
