@@ -183,6 +183,17 @@ class PinLedgerSpec extends SparkSpec {
     assert(search(out) === search(dir))
   }
 
+  test("pin owners with ':' round-trip the on-disk encoding (Hadoop Path rejects colons)") {
+    val dir = tmp("pin-colon")
+    SearchOps.writePostingsIndex(dayOne.toDF("doc_id", "text"), dir)
+    val owner = "export:deadbeef01234567" // the export-pin owner shape
+    IndexManifest.registerPin(dir, owner, 0L, IndexManifest.Postings)
+    assert(IndexManifest.pins(dir).map(_.owner) === Seq(owner),
+      "the ':'->'@' filename encoding must decode back to the registered owner")
+    assert(IndexManifest.releasePin(dir, owner))
+    assert(IndexManifest.pins(dir).isEmpty)
+  }
+
   test("a leaked pin is visible (owner + age) and never auto-destroyed") {
     val dir = tmp("pin-leak")
     SearchOps.writePostingsIndex(dayOne.toDF("doc_id", "text"), dir)  // epoch 0
