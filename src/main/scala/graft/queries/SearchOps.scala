@@ -1336,17 +1336,31 @@ object SearchOps {
       s: SparkSession, postingsPath: String, ivfPqPath: String,
       terms: Seq[String], probes: DataFrame, k: Int,
       keepPairs: DataFrame,
-      asOfSparse: Option[Long] = None, asOfDense: Option[Long] = None): DataFrame = {
+      asOfSparse: Option[Long] = None, asOfDense: Option[Long] = None,
+      excludeSelf: Boolean = true): DataFrame = {
     import s.implicits._
+    // the relation is bounded to THIS batch's requests before anything
+    // else: a STANDING eligibility relation (the deployment shape)
+    // covers every query_id the tenant ever issued, and without the
+    // semi-join the sparse leg would rank — and the fuse would emit —
+    // rows for requests that are not in the batch at all
     val pairs = keepPairs.select($"query_id", $"doc_id")
       .dropDuplicates("query_id", "doc_id")
+      .join(probes.select($"query_id"), Seq("query_id"), "left_semi")
     val wS = Window.partitionBy($"query_id").orderBy($"score_pp12".desc, $"doc_id")
     val sparse = bm25ScoredFromIndex(s, postingsPath, terms, asOfSparse)
       .join(pairs, Seq("doc_id"))
       .withColumn("rank_sparse", row_number().over(wS).cast("long"))
       .filter($"rank_sparse" <= fusionPool)
       .select($"query_id", $"doc_id", $"rank_sparse")
+    // excludeSelf follows the family convention (VectorOps.searchBqIndex):
+    // corpus-panel queries share the index id space and must not match
+    // themselves (default, the oracle rows' semantics); a SERVING
+    // request's ids are their own space — pass false, or a numeric
+    // collision silently drops a legitimate dense candidate. The sparse
+    // leg has no self notion (doc ids only).
     val dense = VectorOps.ivfPqSearchFromIndex(s, ivfPqPath, probes, asOfDense,
+        excludeSelf = excludeSelf,
         keepPairs = Some(pairs.select($"query_id", $"doc_id".as("vec_id"))))
       .select($"query_id", $"cand_id".as("doc_id"), $"rnk".as("rank_dense"))
     val wF = Window.partitionBy($"query_id").orderBy($"rrf_ppm".desc, $"doc_id")

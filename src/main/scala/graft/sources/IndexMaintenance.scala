@@ -113,12 +113,18 @@ object IndexMaintenance {
           val total = rows(mainComp, mainRewrite)
           val dels = delsComp.map(rows(_, false)).getOrElse(0L)
           val window = st.epoch - st.baseEpoch
+          // one unpinned-stale listing per index, reused by the verdict
+          // AND the blocker attribution below (each staleDirs call
+          // re-reads the manifest and re-lists every component dir —
+          // remote round-trips on an HDFS/S3 root)
+          lazy val staleIgnoringPins =
+            IndexManifest.staleDirs(path, fmt, respectPins = false)
           val (action, reason) =
             if (dels > 0L && dels * 100L >= total * delsPct) ("compact", "dels")
             else if (window >= windowLen) ("compact", "window")
             else if (IndexManifest.staleDirs(path, fmt).nonEmpty)
               ("vacuum", "stale_epochs")
-            else if (IndexManifest.staleDirs(path, fmt, respectPins = false).nonEmpty)
+            else if (staleIgnoringPins.nonEmpty)
               // superseded epochs exist but every one sits inside a live
               // pin's window: naming the pin beats advising destruction
               // a pin-aware vacuum would refuse anyway
@@ -127,8 +133,7 @@ object IndexMaintenance {
           val (pinOwner, pinAge) =
             if (reason != "vacuum_blocked_by_pin") ("", -1L)
             else {
-              val blockedEpochs = IndexManifest
-                .staleDirs(path, fmt, respectPins = false)
+              val blockedEpochs = staleIgnoringPins
                 .flatMap(_.getName.dropWhile(_ != '=').drop(1).toLongOption)
               val blockers = IndexManifest.pins(path).filter(p =>
                 blockedEpochs.exists(v => p.floor <= v && v <= p.epoch))
@@ -273,7 +278,13 @@ object IndexMaintenance {
         case _: org.apache.hadoop.security.AccessControlException => None
         case e: java.io.FileNotFoundException
             if e.getMessage != null && e.getMessage.contains("Permission denied") =>
-          None // the raw local FS reports an unwritable parent this way
+          None // the raw local FS reports an unwritable existing parent this way
+        case e: java.io.IOException
+            if e.getMessage != null && e.getMessage.startsWith("Mkdirs failed to create") =>
+          // the raw local FS reports an uncreatable pins dir this way —
+          // the COMMON read-only case, since clones deliberately ship
+          // without _graft_pins (so the dir must be created to pin)
+          None
         case _: java.nio.file.AccessDeniedException => None
         case _: java.nio.file.ReadOnlyFileSystemException => None
       }

@@ -355,7 +355,11 @@ object IndexManifest {
     * path segment (the long-standing HADOOP-3257 limitation), so the
     * colon the owner charset allows (namespacing like `export:<hash>`)
     * is stored as '@' — a character OUTSIDE the owner charset, so the
-    * decode in [[pins]] is unambiguous.
+    * decode in [[pins]] is unambiguous. Pin files written with RAW
+    * colons in the filename by the pre-Hadoop-FS build are unreachable
+    * through Hadoop Path entirely (listing included) — remove such
+    * stock manually; it can only exist on local roots, since that
+    * build was local-only.
     */
   private def pinFileName(owner: String): String =
     owner.replace(':', '@') + ".pin"
@@ -409,12 +413,16 @@ object IndexManifest {
       nowMs: Long = System.currentTimeMillis()): Seq[Pin] =
     pins(path)
       .filter(p => p.registeredAtMs >= 0 && nowMs - p.registeredAtMs > olderThanMs)
+      // report ONLY pins whose file was actually deleted: claiming a
+      // release that missed (a path the FS cannot address, a race with
+      // the owner) would tell the operator the blockage is gone while
+      // vacuum stays blocked
+      .filter(p => releasePin(path, p.owner))
       .map { p =>
         System.err.println(
-          s"graft.IndexManifest: releasing STALE pin owner=${p.owner} " +
+          s"graft.IndexManifest: released STALE pin owner=${p.owner} " +
             s"age_ms=${nowMs - p.registeredAtMs} window=[${p.floor},${p.epoch}] " +
             s"at $path - its epochs become the next vacuum's worklist")
-        releasePin(path, p.owner)
         p
       }
 

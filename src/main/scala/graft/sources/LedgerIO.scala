@@ -20,12 +20,14 @@ import org.apache.spark.sql.SparkSession
   * STORE-ATOMICITY MATRIX for the write-tmp-then-rename(OVERWRITE)
   * discipline every writer here uses:
   *
-  *   - `file://` (and schemeless local): ATOMIC — the FileContext local
-  *     rename is a POSIX rename; readers see the old file or the new
-  *     one, never a torn write.
-  *   - `hdfs://`: ATOMIC — HDFS rename-with-OVERWRITE is atomic by
-  *     contract (the same primitive every manifest-based table format
-  *     leans on).
+  *   - `file://` (and schemeless local): ATOMIC — local renames go
+  *     through java.nio's ATOMIC_MOVE (a true POSIX rename; see
+  *     [[renameOverwrite]] for why NOT FileContext here); readers see
+  *     the old file or the new one, never a torn write or a missing
+  *     file.
+  *   - `hdfs://`: ATOMIC — HDFS's AbstractFileSystem implements the
+  *     native rename-with-OVERWRITE (the same primitive every
+  *     manifest-based table format leans on).
   *   - `s3a://` and object stores generally: NOT atomic — rename is
   *     copy+delete. Two mitigations keep the protocol sound there:
   *     (a) readers only ever resolve the final name, and the copy's
@@ -106,13 +108,30 @@ private[graft] object LedgerIO {
   }
 
   /** Atomic-where-the-store-supports-it rename replacing any existing
-    * destination (FileContext, not FileSystem.rename — the latter has
-    * no overwrite flag and non-portable exists-semantics).
+    * destination. Local paths go through java.nio's ATOMIC_MOVE — the
+    * real POSIX rename: FileContext's local binding does NOT override
+    * `renameInternal(overwrite)`, so its OVERWRITE lowers to
+    * delete-then-rename, which opens a missing-file window on every
+    * manifest re-commit (a concurrent reader would see "no commit
+    * manifest" mid-append) and a crash between the two calls destroys
+    * the committed file outright. Non-local schemes use FileContext
+    * (HDFS's AbstractFileSystem implements the native atomic
+    * rename-with-overwrite; stores without one fall back to the
+    * default delete+rename — the object-store caveat in the class doc).
     */
   def renameOverwrite(src: HPath, dst: HPath): Unit = {
     val q = fs(dst).makeQualified(dst)
-    val fc = FileContext.getFileContext(q.toUri, conf)
-    fc.rename(fs(src).makeQualified(src), q, Options.Rename.OVERWRITE)
+    if (q.toUri.getScheme == "file") {
+      val qs = fs(src).makeQualified(src)
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(qs.toUri.getPath),
+        java.nio.file.Paths.get(q.toUri.getPath),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } else {
+      val fc = FileContext.getFileContext(q.toUri, conf)
+      fc.rename(fs(src).makeQualified(src), q, Options.Rename.OVERWRITE)
+    }
   }
 
   /** Delete a file (non-recursive); false when it did not exist. */

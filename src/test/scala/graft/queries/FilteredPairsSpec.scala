@@ -164,6 +164,46 @@ class FilteredPairsSpec extends SparkSpec {
       "duplicated pairs must not double-serve or consume screen slots")
   }
 
+  test("batched hybrid: a STANDING pairs relation wider than the batch serves only the batch") {
+    import graft.sources.{Scratch, Tables}
+    val docsDf = Tables.documents(spark, sf).select($"doc_id", $"text")
+    val pdir = Scratch.cached(s"fps-hyb-post:$sf", "fps-hyb-post") { p =>
+      SearchOps.writePostingsIndex(docsDf, p)
+    }
+    val vdir = Scratch.cached(s"fps-hyb-ivfpq:$sf", "fps-hyb-ivfpq") { p =>
+      VectorOps.writeIvfPqIndex(corpus, p)
+    }
+    val terms = Seq("spark", "join", "window")
+    val batch = queries.filter($"query_id" < 2L) // requests 0 and 1 only
+    // the deployment shape: a relation covering query_ids the batch
+    // never issued (0..3 here) — the serve must not emit rows for them
+    val standing = parityPairs.select($"query_id", $"vec_id".as("doc_id"))
+    val served = SearchOps.hybridSearchBatchFromIndexes(
+      spark, pdir, vdir, terms, batch, 10, keepPairs = standing,
+      excludeSelf = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(5)))
+    assert(served.nonEmpty)
+    assert(served.map(_._1).toSet === Set(0L, 1L),
+      "a standing relation's absent query_ids must not be served")
+    // and the wide relation serves identically to one pre-restricted
+    // to the batch (the semi-join is a no-op beyond boundedness)
+    val restricted = SearchOps.hybridSearchBatchFromIndexes(
+      spark, pdir, vdir, terms, batch, 10,
+      keepPairs = standing.filter($"query_id" < 2L), excludeSelf = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(5)))
+    assert(served.toSet === restricted.toSet)
+    // serving semantics: request 0's own id is an eligible candidate
+    // (excludeSelf = false) — its dense top-1 is its stored twin, so
+    // (0, 0) must appear; under the corpus-panel default it must not
+    assert(served.exists(r => r._1 == 0L && r._2 == 0L),
+      "excludeSelf=false must let a request see its own id's stored twin")
+    val panel = SearchOps.hybridSearchBatchFromIndexes(
+      spark, pdir, vdir, terms, batch, 10, keepPairs = standing)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(!panel.exists(r => r._1 == 0L && r._2 == 0L),
+      "the corpus-panel default must keep self-exclusion")
+  }
+
   test("keepPairsFrom lints a non-equi predicate's nested-loop relation build") {
     import graft.sources.Tables
     val docs = Tables.documents(spark, sf).select($"doc_id".as("vec_id"), $"lang")
