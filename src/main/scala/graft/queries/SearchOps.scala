@@ -1273,7 +1273,8 @@ object SearchOps {
       s: SparkSession, postingsPath: String, ivfPqPath: String,
       terms: Seq[String], probe: DataFrame, k: Int,
       asOfSparse: Option[Long] = None, asOfDense: Option[Long] = None,
-      keepIds: Option[DataFrame] = None): DataFrame = {
+      keepIds: Option[DataFrame] = None,
+      excludeSelf: Boolean = true): DataFrame = {
     import s.implicits._
     // `keepIds` (a doc_id/vec_id frame — the corpus convention shares
     // the id space) pre-filters BOTH legs, so the WHOLE retrieval
@@ -1288,7 +1289,13 @@ object SearchOps {
       .withColumn("rank_sparse",
         row_number().over(Window.orderBy($"score_pp12".desc, $"doc_id")).cast("long"))
       .select($"doc_id", $"rank_sparse")
+    // excludeSelf follows the family convention (VectorOps.searchBqIndex,
+    // hybridSearchBatchFromIndexes): default true = corpus-panel
+    // semantics (the oracle rows'); a SERVING request whose id space is
+    // its own passes false, or a numeric collision with a stored vec_id
+    // silently drops that legitimate dense candidate
     val dense = VectorOps.ivfPqSearchFromIndex(s, ivfPqPath, probe, asOfDense,
+        excludeSelf = excludeSelf,
         keepIds = keepIds.map(_.select($"doc_id".as("vec_id"))))
       .select($"cand_id".as("doc_id"), $"rnk".as("rank_dense"))
     sparse.join(dense, Seq("doc_id"), "full_outer")

@@ -113,16 +113,27 @@ object IndexMaintenance {
           val total = rows(mainComp, mainRewrite)
           val dels = delsComp.map(rows(_, false)).getOrElse(0L)
           val window = st.epoch - st.baseEpoch
-          // one unpinned-stale listing per index, reused by the verdict
-          // AND the blocker attribution below (each staleDirs call
-          // re-reads the manifest and re-lists every component dir —
-          // remote round-trips on an HDFS/S3 root)
+          // ONE unpinned-stale listing + ONE pin-ledger read per index,
+          // shared by the verdict, the blocked check, and the blocker
+          // attribution (each staleDirs call re-reads the manifest and
+          // re-lists every component dir — remote round-trips on an
+          // HDFS/S3 root; the pin-respecting listing is exactly the
+          // unpinned one filtered by the live pin windows, so it is
+          // derived here instead of re-listed). Both lazy: the
+          // compact verdicts never pay the listing at all.
           lazy val staleIgnoringPins =
             IndexManifest.staleDirs(path, fmt, respectPins = false)
+          lazy val livePins =
+            if (staleIgnoringPins.isEmpty) Seq.empty else IndexManifest.pins(path)
+          def epochOf(d: org.apache.hadoop.fs.Path): Option[Long] =
+            d.getName.dropWhile(_ != '=').drop(1).toLongOption
+          def pinCovered(d: org.apache.hadoop.fs.Path): Boolean =
+            epochOf(d).exists(v =>
+              livePins.exists(p => p.floor <= v && v <= p.epoch))
           val (action, reason) =
             if (dels > 0L && dels * 100L >= total * delsPct) ("compact", "dels")
             else if (window >= windowLen) ("compact", "window")
-            else if (IndexManifest.staleDirs(path, fmt).nonEmpty)
+            else if (staleIgnoringPins.exists(!pinCovered(_)))
               ("vacuum", "stale_epochs")
             else if (staleIgnoringPins.nonEmpty)
               // superseded epochs exist but every one sits inside a live
@@ -133,9 +144,8 @@ object IndexMaintenance {
           val (pinOwner, pinAge) =
             if (reason != "vacuum_blocked_by_pin") ("", -1L)
             else {
-              val blockedEpochs = staleIgnoringPins
-                .flatMap(_.getName.dropWhile(_ != '=').drop(1).toLongOption)
-              val blockers = IndexManifest.pins(path).filter(p =>
+              val blockedEpochs = staleIgnoringPins.flatMap(epochOf)
+              val blockers = livePins.filter(p =>
                 blockedEpochs.exists(v => p.floor <= v && v <= p.epoch))
               (blockers.map(_.owner).sorted.mkString(","),
                 blockers.filter(_.registeredAtMs >= 0)
@@ -220,6 +230,33 @@ object IndexMaintenance {
     (st, fmt)
   }
 
+  /** Probe whether `root` is unwritable for PERMISSION reasons: create
+    * + delete a uniquely-named dotfile and classify the failure. Used
+    * to narrow the best-effort-unpinned export path — the raw local
+    * FS's "Mkdirs failed to create" message cannot distinguish a
+    * read-only root (proceed unpinned: no janitor can exist there)
+    * from a full/flaky disk (fail the export loudly). Only a
+    * provably-denied probe returns true; any other probe failure —
+    * including success-then-failed-delete — returns false so the
+    * original error propagates.
+    */
+  private def provablyUnwritable(root: HPath, token: String): Boolean = {
+    val fs = root.getFileSystem(LedgerIO.conf)
+    val probe = new HPath(root, s".graft_write_probe_$token")
+    try {
+      val out = fs.create(probe, true)
+      out.close()
+      fs.delete(probe, false)
+      false
+    } catch {
+      case _: org.apache.hadoop.security.AccessControlException => true
+      case e: java.io.FileNotFoundException
+          if e.getMessage != null && e.getMessage.contains("Permission denied") =>
+        true
+      case _: Throwable => false
+    }
+  }
+
   /** Qualify a root given as a plain local path or a URI (`file:///…`)
     * against its own FileSystem — the form every listing and copy key
     * off, so scheme resolution happens once, here.
@@ -280,10 +317,16 @@ object IndexMaintenance {
             if e.getMessage != null && e.getMessage.contains("Permission denied") =>
           None // the raw local FS reports an unwritable existing parent this way
         case e: java.io.IOException
-            if e.getMessage != null && e.getMessage.startsWith("Mkdirs failed to create") =>
+            if e.getMessage != null &&
+              e.getMessage.startsWith("Mkdirs failed to create") &&
+              provablyUnwritable(srcP, pinOwner) =>
           // the raw local FS reports an uncreatable pins dir this way —
           // the COMMON read-only case, since clones deliberately ship
-          // without _graft_pins (so the dir must be created to pin)
+          // without _graft_pins (so the dir must be created to pin).
+          // BUT the same message fires for ANY mkdir failure (disk
+          // full, transient EIO), so a probe write distinguishes:
+          // only a provably permission-denied root proceeds unpinned;
+          // everything else rethrows the original failure loudly.
           None
         case _: java.nio.file.AccessDeniedException => None
         case _: java.nio.file.ReadOnlyFileSystemException => None

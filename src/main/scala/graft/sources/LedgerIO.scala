@@ -123,6 +123,9 @@ private[graft] object LedgerIO {
     val q = fs(dst).makeQualified(dst)
     if (q.toUri.getScheme == "file") {
       val qs = fs(src).makeQualified(src)
+      require(qs.toUri.getScheme == "file",
+        s"renameOverwrite: cross-scheme rename $qs -> $q is not a rename at all " +
+          "- reinterpreting the remote path locally would move the wrong file")
       java.nio.file.Files.move(
         java.nio.file.Paths.get(qs.toUri.getPath),
         java.nio.file.Paths.get(q.toUri.getPath),

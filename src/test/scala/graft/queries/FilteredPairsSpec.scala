@@ -181,7 +181,7 @@ class FilteredPairsSpec extends SparkSpec {
     val served = SearchOps.hybridSearchBatchFromIndexes(
       spark, pdir, vdir, terms, batch, 10, keepPairs = standing,
       excludeSelf = false)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(5)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(5)))
     assert(served.nonEmpty)
     assert(served.map(_._1).toSet === Set(0L, 1L),
       "a standing relation's absent query_ids must not be served")
@@ -190,18 +190,22 @@ class FilteredPairsSpec extends SparkSpec {
     val restricted = SearchOps.hybridSearchBatchFromIndexes(
       spark, pdir, vdir, terms, batch, 10,
       keepPairs = standing.filter($"query_id" < 2L), excludeSelf = false)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(5)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(5)))
     assert(served.toSet === restricted.toSet)
     // serving semantics: request 0's own id is an eligible candidate
     // (excludeSelf = false) — its dense top-1 is its stored twin, so
-    // (0, 0) must appear; under the corpus-panel default it must not
-    assert(served.exists(r => r._1 == 0L && r._2 == 0L),
-      "excludeSelf=false must let a request see its own id's stored twin")
+    // (0, 0) must appear WITH a dense rank. Self-exclusion is a DENSE
+    // contract only (docs have no self notion on the sparse leg), so
+    // the panel-default assertion is on rank_dense, not fused absence:
+    // doc 0 may legitimately reach the fuse through BM25 alone.
+    val self = served.filter(r => r._1 == 0L && r._2 == 0L)
+    assert(self.nonEmpty && self.forall(_._3 == 1L),
+      "excludeSelf=false: the request's stored twin must be its dense top-1")
     val panel = SearchOps.hybridSearchBatchFromIndexes(
       spark, pdir, vdir, terms, batch, 10, keepPairs = standing)
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
-    assert(!panel.exists(r => r._1 == 0L && r._2 == 0L),
-      "the corpus-panel default must keep self-exclusion")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(panel.filter(r => r._1 == 0L && r._2 == 0L).forall(_._3 == -1L),
+      "the corpus-panel default must keep DENSE self-exclusion (rank_dense = -1)")
   }
 
   test("keepPairsFrom lints a non-equi predicate's nested-loop relation build") {
