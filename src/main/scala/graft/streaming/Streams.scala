@@ -1401,6 +1401,59 @@ object Streams {
     trigger.fold(w)(w.trigger).start()
   }
 
+  /** ONLINE HYBRID SERVING — per-request-filtered hybrid retrieval
+    * ([[graft.queries.SearchOps.hybridSearchBatchFromIndexes]]) as a
+    * standing request stream, completing the serving matrix's fourth
+    * tier (BQ 2-tier, IVF-PQ funnel, 3-tier cascade, and now
+    * sparse+dense fusion). Each micro-batch of (query_id, embedding)
+    * requests retrieves from BOTH stored indexes — one bucket-pruned
+    * BM25 pass over the postings for the shared `terms`, a cell-pruned
+    * ADC pass over the IVF-PQ codes — and fuses per request with
+    * exact-integer RRF; results land as one overwrite-mode
+    * `batch=<id>` directory (idempotent replay, no ledger — the
+    * annServeStream discipline). Same per-batch epoch-following
+    * staleness contract as the other serve streams (both legs read
+    * their manifests per call; independent `asOfSparse`/`asOfDense`
+    * pins replay a recorded retrieval).
+    *
+    * ELIGIBILITY IS MANDATORY here: the batched hybrid is the
+    * per-request-filtered form (its unfiltered relation would be a
+    * corpus x batch cross) — pass a standing `keepPairs` relation the
+    * batch's requests key into, or `keepPairsPer` to rebuild it per
+    * micro-batch from an evolving attributes store (the
+    * [[annServeStream]] contract). Requests' ids are their own space
+    * (`excludeSelf = false`): a numeric collision with a stored vec_id
+    * keeps that legitimate dense candidate. Absent-request contract as
+    * everywhere: a query_id missing from the relation is served zero
+    * candidates.
+    */
+  def hybridServeStream(
+      requests: DataFrame, postingsPath: String, ivfPqPath: String,
+      terms: Seq[String], outPath: String, checkpointDir: String,
+      k: Int = 10,
+      trigger: Option[Trigger] = None,
+      asOfSparse: Option[Long] = None, asOfDense: Option[Long] = None,
+      keepPairs: Option[DataFrame] = None,
+      keepPairsPer: Option[DataFrame => DataFrame] = None): StreamingQuery = {
+    require(keepPairs.isEmpty || keepPairsPer.isEmpty,
+      "pass keepPairs (static relation) OR keepPairsPer (rebuilt per batch), not both")
+    require(keepPairs.nonEmpty || keepPairsPer.nonEmpty,
+      "hybrid serving is per-request filtered by construction - pass keepPairs " +
+        "or keepPairsPer (an unfiltered batch would build a corpus x batch relation; " +
+        "for unfiltered one-off queries use hybridSearchFromIndexes)")
+    val w = requests.writeStream
+      .option("checkpointLocation", s"$checkpointDir/offsets")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.queries.SearchOps.hybridSearchBatchFromIndexes(
+          batch.sparkSession, postingsPath, ivfPqPath, terms, batch, k,
+          keepPairs = keepPairsPer.map(_(batch)).orElse(keepPairs).get,
+          asOfSparse = asOfSparse, asOfDense = asOfDense,
+          excludeSelf = false)
+          .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+      }
+    trigger.fold(w)(w.trigger).start()
+  }
+
   // ---------------------------------------------------------------------
   // Standing cascade ingest — the third leg of the stored cascade's
   // streaming lifecycle (serve: cascadeServeStream; forget:

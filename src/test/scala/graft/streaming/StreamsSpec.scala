@@ -1671,6 +1671,66 @@ class StreamsSpec extends SparkSpec {
     assert(err.getMessage.contains("not both"))
   }
 
+  test("hybrid serving stream: per-batch filtered fusion equals the batch API; eligibility is mandatory") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.queries.SearchOps
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    graft.functions.GraftFunctions.registerDotD(spark)
+
+    val sf = "/root/testdata/sf0.001"
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val docsDf = graft.sources.Tables.documents(spark, sf).select($"doc_id", $"text")
+    val pdir = graft.sources.Scratch.cached(s"hss-post:$sf", "hss-post") { p =>
+      SearchOps.writePostingsIndex(docsDf, p)
+    }
+    val vdir = graft.sources.Scratch.cached(s"hss-ivfpq:$sf", "hss-ivfpq") { p =>
+      graft.queries.VectorOps.writeIvfPqIndex(emb, p)
+    }
+    val terms = Seq("spark", "join", "window")
+    val reqRows = emb.filter($"vec_id" < 2L).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    // per-request disjoint keep sets (the parity construction)
+    val pairs = spark.createDataset(reqRows.map(_._1)).toDF("query_id")
+      .join(emb.select($"vec_id".as("doc_id")),
+        $"query_id" % 2 === $"doc_id" % 2)
+
+    val mem = MemoryStream[(Long, Array[Float])]
+    val out = tmp("hss-out"); val ckpt = tmp("hss-ckpt")
+    val q = Streams.hybridServeStream(
+      mem.toDF().toDF("query_id", "embedding"), pdir, vdir, terms, out, ckpt,
+      k = 5, keepPairs = Some(pairs))
+    try {
+      mem.addData(reqRows)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val served = spark.read.option("basePath", out).parquet(out)
+      .select($"query_id", $"doc_id", $"rnk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(served.nonEmpty)
+    assert(served.forall { case (qid, doc, _) => doc % 2 == qid % 2 },
+      "every served doc must satisfy ITS OWN request's keep set")
+    // the stream equals the batch API under the same pairs frame and
+    // the serving id-space convention (excludeSelf = false)
+    val batch = SearchOps.hybridSearchBatchFromIndexes(
+      spark, pdir, vdir, terms,
+      spark.createDataset(reqRows).toDF("query_id", "embedding"), 5,
+      keepPairs = pairs, excludeSelf = false)
+      .select($"query_id", $"doc_id", $"rnk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(served.toSet === batch)
+
+    // eligibility is mandatory: an unfiltered hybrid batch would be a
+    // corpus x batch relation, so the stream refuses to start without it
+    val err = intercept[IllegalArgumentException] {
+      Streams.hybridServeStream(
+        mem.toDF().toDF("query_id", "embedding"), pdir, vdir, terms,
+        tmp("hss-out2"), tmp("hss-ckpt2"))
+    }
+    assert(err.getMessage.contains("per-request filtered"))
+  }
+
   test("serve streams FOLLOW the committed manifest per batch: a mid-stream append is served from the next batch; an as-of pin freezes the serve") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
