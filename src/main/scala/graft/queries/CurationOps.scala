@@ -1466,11 +1466,95 @@ object CurationOps {
     """.stripMargin.trim),
   )
 
+  /** The fsck row's fleet — seven roots, each DAMAGED (or not) in
+    * exactly one way something outside the protocol can damage it,
+    * once per (JVM, corpus) — the [[icatFleet]] convention. Every
+    * planted fault is what a real fleet accrues: a crashed append's
+    * orphan stage (an uncommitted `epoch=7` directory), a writer that
+    * died between tmp-write and rename (a stranded manifest tmp), a
+    * compaction whose janitor half never ran (reclaimable superseded
+    * dirs), a NON-pin-aware deletion tool that destroyed a live pin's
+    * below-floor window (the one fsck finding that means a replay
+    * guarantee is already broken), a foreign tool's unparseable
+    * `epoch=3.tmp` directory, and a build that crashed before its
+    * first commit. Counts and epoch numbers are fixed by construction,
+    * so the oracle is literal VALUES at any SF.
+    */
+  private val fsckFleetCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]()
+
+  private def fsckFleet(s: SparkSession, d: String): Seq[(String, String)] =
+    fsckFleetCache.computeIfAbsent(d, _ => {
+      import s.implicits._
+      import graft.sources.{IndexManifest, LedgerIO, Scratch}
+      import java.nio.file.{Files, Paths}
+      graft.functions.GraftFunctions.registerDotD(s)
+      val emb = Tables.embeddings(s, d)
+      def freshBq(tag: String, n: Long = 20L): String = {
+        val dir = Scratch.dir(s"graft-fsck-$tag")
+        VectorOps.writeBqIndex(emb.filter($"vec_id" < n), dir)
+        dir
+      }
+      val ok = freshBq("ok")
+      // orphan stage: a crashed append's data directory above the
+      // committed head - fsck only lists, so an empty dir is the fault
+      val orphan = freshBq("orphan")
+      Files.createDirectories(Paths.get(orphan, "words", "epoch=7"))
+      // stranded tmp: a manifest writer that died between the tmp write
+      // and the rename (planted as the foreign litter it is)
+      val tmp = freshBq("tmp")
+      Files.write(Paths.get(tmp, "._graft_manifest.9.tmp"),
+        "{}".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // compacted but never vacuumed: words/0, dels/0, dels/1 reclaimable
+      val stale = freshBq("stale", n = 40L)
+      VectorOps.deleteFromBqIndex(
+        emb.filter($"vec_id" === 0).select($"vec_id"), stale)
+      VectorOps.compactBqIndex(s, stale)
+      // a live pin whose protected window a NON-pin-aware janitor
+      // already destroyed: the replay guarantee is broken NOW
+      val gone = freshBq("gone", n = 40L)
+      VectorOps.deleteFromBqIndex(
+        emb.filter($"vec_id" === 0).select($"vec_id"), gone)
+      IndexManifest.registerPin(gone, "fsck-audit", 1L, IndexManifest.Bq)
+      VectorOps.compactBqIndex(s, gone)
+      Seq("words" -> 0L, "dels" -> 0L, "dels" -> 1L).foreach { case (c, e) =>
+        LedgerIO.deleteRecursive(LedgerIO.child(s"$gone/$c", s"epoch=$e"))
+      }
+      // a foreign tool's unparseable versioned directory
+      val mal = freshBq("malformed")
+      Files.createDirectories(Paths.get(mal, "words", "epoch=3.tmp"))
+      Seq("fsck_ok" -> ok, "fsck_orphan" -> orphan, "fsck_tmp" -> tmp,
+        "fsck_stale" -> stale, "fsck_gone" -> gone, "fsck_malformed" -> mal,
+        "fsck_crashed" -> Scratch.dir("graft-fsck-none"))
+    })
+
+  /** The integrity surface, oracle-gated over a fleet with one planted
+    * fault per root: every finding is a deterministic consequence of
+    * the fault and the listing rules, so the oracle is literal VALUES
+    * — a missed fault, a spurious finding on the clean root, or a
+    * drifted severity hash-mismatches.
+    */
+  val indexFsck = Q(
+    "t_index_fsck",
+    (s, d) => graft.sources.IndexMaintenance.fsck(s, fsckFleet(s, d)),
+    Some("""
+      SELECT * FROM (VALUES
+        ('fsck_ok', 'bq', 'ok', 'ok', ''),
+        ('fsck_orphan', 'bq', 'orphan_stage', 'info', 'epochs=7'),
+        ('fsck_tmp', 'bq', 'stray_tmp', 'info', '._graft_manifest.9.tmp'),
+        ('fsck_stale', 'bq', 'stale_epochs', 'warn', 'reclaimable=3'),
+        ('fsck_gone', 'bq', 'pin_window_missing', 'error', 'owner=fsck-audit window=0-1'),
+        ('fsck_malformed', 'bq', 'malformed_dir', 'info', 'epoch=3.tmp'),
+        ('fsck_crashed', '_uncommitted', 'no_manifest', 'error', '')
+      ) AS t(name, family, finding, severity, detail)
+    """.stripMargin.trim),
+  )
+
   val qs: Seq[Q] =
     Seq(splitAssign, sourceQuota, stratifiedSample, sampleExactK,
       weightedSample, shardPack,
       seqPack, contamination, domainMix, temperatureMix, trainLeaks,
       curateCorpus, curateSequences, curateFunnel, kAnonymity, kSuppress,
       lDiversity, erasureCert, erasureCertUsers, indexCatalog, indexAdvisor,
-      vacuumPin)
+      vacuumPin, indexFsck)
 }

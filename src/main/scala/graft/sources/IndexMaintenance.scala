@@ -158,6 +158,144 @@ object IndexMaintenance {
       "action", "reason", "pin_owner", "pin_age_ms")
   }
 
+  /** Read-only INTEGRITY check over index roots — the fsck completing
+    * the operator triad: [[IndexManifest.describe]] lists committed
+    * state, [[advise]] ranks it against maintenance policy, and this
+    * reports what the protocol itself never has to look at because it
+    * is damage or litter something OUTSIDE the protocol left behind —
+    * a crashed stage, a non-pin-aware deletion tool, an old build's
+    * stock, a foreign file. One row per (root, finding); a clean root
+    * reports a single `ok` row so the frame always covers the fleet.
+    *
+    * Findings (severity: how urgently an operator must act):
+    *
+    *   - `no_manifest` / error — unreadable root (crashed build or not
+    *     an index): rebuild or remove; no further checks apply.
+    *   - `format_mismatch` / error — the manifest's `format_version`
+    *     differs from this build's version for the family: every
+    *     reader will fail fast until the index is rebuilt.
+    *   - `unknown_family` / warn — a family tag this build has no
+    *     format for (newer build's stock, or a corrupted tag).
+    *   - `pin_window_missing` / error — a live pin protects a
+    *     below-floor window none of whose epoch directories exist: the
+    *     replay guarantee is ALREADY broken (a non-pin-aware janitor
+    *     deleted them, or the ledger was copied without its data).
+    *   - `pin_beyond_head` / warn — a pin names an epoch above the
+    *     committed head (malformed registration or a manifest rolled
+    *     back underneath it).
+    *   - `pin_inverted` / warn — a pin whose recorded floor exceeds
+    *     its epoch (corrupted pin file).
+    *   - `stale_epochs` / warn — reclaimable superseded directories
+    *     below the floor (compaction ran, janitor half didn't) — the
+    *     same rule [[IndexManifest.vacuum]] works from.
+    *   - `stale_pinned` / info — superseded directories kept alive by
+    *     live pins: intentional retention, listed for disk accounting.
+    *   - `orphan_stage` / info — `epoch=`/`gen=` directories ABOVE the
+    *     committed head: a crashed append/compact's stage. Inert by
+    *     protocol (readers prune to the committed window; a retry
+    *     overwrites) — pure disk litter.
+    *   - `stray_tmp` / info — dot-prefixed `.tmp` files the write-tmp-then-rename
+    *     discipline strands when a writer dies between the two steps
+    *     (root level and one level down: where manifests, pins, and
+    *     ledgers stage).
+    *   - `malformed_dir` / info — `epoch=`-prefixed names that do not
+    *     parse (`epoch=3.tmp`): skipped by every reader and exporter,
+    *     listed so the litter is visible.
+    *
+    * Costs: directory listings only — O(components × window) entries
+    * per root, no data files opened, no Spark jobs. Like every
+    * control-plane read this resolves the root's own scheme through
+    * [[LedgerIO]], so it runs unchanged against `file://`, `hdfs://`,
+    * or object-store roots. fsck REPORTS; it never repairs — vacuum,
+    * [[IndexManifest.releaseStalePins]], a re-run append, or a rebuild
+    * are the operator's explicit follow-ups.
+    */
+  def fsck(s: SparkSession, named: Seq[(String, String)]): DataFrame = {
+    import s.implicits._
+    named.flatMap { case (name, path) =>
+      IndexManifest.read(path) match {
+        case None =>
+          Seq((name, "_uncommitted", "no_manifest", "error", ""))
+        case Some(st) =>
+          val findings =
+            scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
+          val fmt = fmtOf(st.family)
+          // an unknown family's version is unknowable - report the tag
+          // and skip the version check; a family-less manifest (generic
+          // tooling) checks against the default version
+          if ((fmt eq IndexManifest.AnyFamily) && st.family.nonEmpty)
+            findings += (("unknown_family", "warn", st.family))
+          else if (st.formatVersion != fmt.version)
+            findings += (("format_mismatch", "error",
+              s"stored=${st.formatVersion} expected=${fmt.version}"))
+          val rootP = LedgerIO.root(path)
+          val level1 = LedgerIO.listStatus(rootP)
+          val compEntries = level1.filter(st0 => st0.isDirectory &&
+              !st0.getPath.getName.startsWith("_graft_"))
+            .map(d => LedgerIO.listStatus(d.getPath))
+          def epochVal(nm: String): Option[Long] = {
+            val digits =
+              if (nm.startsWith("epoch=")) nm.stripPrefix("epoch=")
+              else if (nm.startsWith("gen=")) nm.stripPrefix("gen=")
+              else ""
+            if (digits.nonEmpty && digits.forall(_.isDigit)) Some(digits.toLong)
+            else None
+          }
+          def capped(xs: Seq[String]): String =
+            if (xs.size <= 8) xs.mkString(";")
+            else xs.take(8).mkString(";") + s";+${xs.size - 8}"
+          val subDirs = compEntries.flatMap(_.filter(_.isDirectory))
+          val epochVals = subDirs.flatMap(d => epochVal(d.getPath.getName))
+          val malformed = subDirs.map(_.getPath.getName)
+            .filter(nm => (nm.startsWith("epoch=") || nm.startsWith("gen=")) &&
+              epochVal(nm).isEmpty).distinct.sorted
+          val livePins = IndexManifest.pins(path)
+          def pinCovers(v: Long): Boolean =
+            livePins.exists(p => p.floor <= v && v <= p.epoch)
+          val orphans = epochVals.filter(_ > st.epoch).distinct.sorted
+          val stale = epochVals.filter(_ < st.baseEpoch)
+          val reclaimable = stale.filterNot(pinCovers)
+          val stalePinned = stale.filter(pinCovers)
+          val strays = (level1.filter(_.isFile) ++
+              level1.filter(_.isDirectory)
+                .flatMap(d => LedgerIO.listStatus(d.getPath).filter(_.isFile)))
+            .map(_.getPath.getName)
+            .filter(nm => nm.startsWith(".") && nm.endsWith(".tmp"))
+            .distinct.sorted
+          if (orphans.nonEmpty)
+            findings += (("orphan_stage", "info",
+              "epochs=" + capped(orphans.map(_.toString))))
+          if (reclaimable.nonEmpty)
+            findings += (("stale_epochs", "warn", s"reclaimable=${reclaimable.size}"))
+          if (stalePinned.nonEmpty)
+            findings += (("stale_pinned", "info", s"dirs=${stalePinned.size}"))
+          if (strays.nonEmpty)
+            findings += (("stray_tmp", "info", capped(strays)))
+          if (malformed.nonEmpty)
+            findings += (("malformed_dir", "info", capped(malformed)))
+          livePins.sortBy(_.owner).foreach { p =>
+            if (p.floor > p.epoch)
+              findings += (("pin_inverted", "warn",
+                s"owner=${p.owner} window=${p.floor}-${p.epoch}"))
+            else if (p.epoch > st.epoch)
+              findings += (("pin_beyond_head", "warn",
+                s"owner=${p.owner} epoch=${p.epoch} head=${st.epoch}"))
+            else if (p.floor < st.baseEpoch) {
+              val hi = math.min(p.epoch, st.baseEpoch - 1L)
+              val present = epochVals.exists(v => p.floor <= v && v <= hi)
+              if (!present)
+                findings += (("pin_window_missing", "error",
+                  s"owner=${p.owner} window=${p.floor}-$hi"))
+            }
+          }
+          if (findings.isEmpty) Seq((name, st.family, "ok", "ok", ""))
+          else findings.toSeq.map { case (c, sev, det) =>
+            (name, st.family, c, sev, det)
+          }
+      }
+    }.toDF("name", "family", "finding", "severity", "detail")
+  }
+
   // ---------------------------------------------------------------------
   // Snapshot EXPORT — the reproducibility primitive made into a release
   // artifact. Time travel (stateAsOf) lets a reader pin a past epoch,

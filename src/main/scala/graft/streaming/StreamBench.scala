@@ -809,6 +809,55 @@ object StreamBench {
           s""""unit":"docs/sec","docs":$nDocs,"epochs":${epoch()},"hits":$hits,""" +
           s""""secs":$secs,"sf":"$sfDir"}""")
     }
+    // Sixteenth probe: ONLINE HYBRID SERVING — the serving matrix's
+    // fourth tier (hybridServeStream: bucket-pruned BM25 leg +
+    // cell-pruned ADC leg + per-request exact-integer RRF fusion)
+    // under the same request staging as probes 11-13, so all FOUR
+    // serving tiers publish directly comparable req/s. Eligibility is
+    // MANDATORY on this tier, so the probe serves the realistic
+    // filtered workload (parity keep sets, 50% selectivity) with the
+    // relation REBUILT per micro-batch from the attributes frame —
+    // the standing-deployment shape (keepPairsPer), priced end to
+    // end. Numbers recorded in SCALING.md ("ANN serving probe").
+    locally {
+      val emb = Tables.embeddings(spark, sfDir)
+      val hDocs = Tables.documents(spark, sfDir).select($"doc_id", $"text")
+      val pIdx = java.nio.file.Files.createTempDirectory("sbench-hyb-post").toString
+      val vIdx = java.nio.file.Files.createTempDirectory("sbench-hyb-ivfpq").toString
+      graft.queries.SearchOps.writePostingsIndex(hDocs, pIdx)
+      graft.queries.VectorOps.writeIvfPqIndex(emb, vIdx)
+      val eStats = emb.agg(max($"vec_id"), count(lit(1))).first()
+      val eMax = eStats.getLong(0) + 1
+      val nReq = eStats.getLong(1) * replicas
+      val staged = emb
+        .crossJoin(spark.range(replicas).select($"id".as("rep")))
+        .select(($"vec_id" + $"rep" * eMax + 1000000L).as("query_id"), $"embedding")
+      val rStage = java.nio.file.Files.createTempDirectory("reqs-sbench-hyb").toString
+      staged.repartition(8).write.mode("overwrite").parquet(rStage)
+      // per-batch eligibility: each request sees only its own parity's
+      // doc ids — a 2-key equi-join relation build, never a cross
+      val ids = hDocs.select($"doc_id", ($"doc_id" % 2).as("par"))
+      val keepPer = (batch: org.apache.spark.sql.DataFrame) =>
+        batch.select($"query_id", ($"query_id" % 2).as("par"))
+          .join(ids, "par").select($"query_id", $"doc_id")
+      val out = java.nio.file.Files.createTempDirectory("serve-sbench-hyb").toString
+      val t0 = System.nanoTime()
+      val q = Streams.hybridServeStream(
+        spark.readStream.schema("query_id LONG, embedding ARRAY<FLOAT>")
+          .option("maxFilesPerTrigger", "2").parquet(rStage),
+        pIdx, vIdx, Seq("spark", "join", "window"), out,
+        java.nio.file.Files.createTempDirectory("ckpt-sbench-hyb").toString,
+        trigger = Some(Trigger.AvailableNow()),
+        keepPairsPer = Some(keepPer))
+      q.awaitTermination()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val answered = spark.read.option("basePath", out).parquet(out)
+        .select($"query_id").distinct().count()
+      println(
+        s"""{"metric":"hybrid_serve_requests_per_sec","value":${(nReq / secs).toLong},""" +
+          s""""unit":"requests/sec","requests":$nReq,"answered":$answered,""" +
+          s""""secs":$secs,"sf":"$sfDir"}""")
+    }
     spark.stop()
   }
 }
