@@ -253,4 +253,33 @@ class SnapshotExportSpec extends SparkSpec {
         !Files.exists(Paths.get(dst, "postings/epoch=3.tmp")),
       "orphaned staging bytes must not become part of a release artifact")
   }
+
+  test("an export is born fsck-clean, even from a damaged source") {
+    import java.nio.file.{Files, Paths}
+    val src = tmp("snap-fclean-src")
+    SearchOps.writePostingsIndex(dayOne.toDF("doc_id", "text"), src)  // epoch 0
+    SearchOps.appendPostingsIndex(dayTwo.toDF("doc_id", "text"), src) // epoch 1
+    // accrete everything fsck reports short of damage: a live pin
+    // holding the pre-compaction window, an orphan stage, a stranded
+    // manifest tmp, an unparseable versioned name
+    IndexManifest.registerPin(src, "serve-fclean", 1L, IndexManifest.Postings)
+    SearchOps.compactPostingsIndex(spark, src) // floor rises; 0/1 stay pinned
+    Files.createDirectories(Paths.get(src, "postings", "epoch=9"))
+    Files.createDirectories(Paths.get(src, "postings", "epoch=3.tmp"))
+    Files.write(Paths.get(src, "._graft_manifest.4.tmp"),
+      "{}".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    assert(IndexMaintenance.fsck(spark, Seq("src" -> src))
+        .select("finding").collect().map(_.getString(0)).sorted.toSeq ===
+      Seq("malformed_dir", "orphan_stage", "stale_pinned", "stray_tmp"))
+    // the release artifact: committed window only - no litter, no
+    // superseded epochs, no pins (a clone's retention is its own)
+    val dst = tmp("snap-fclean-dst")
+    IndexMaintenance.exportSnapshot(spark, src, dst)
+    assert(IndexMaintenance.fsck(spark, Seq("dst" -> dst))
+        .select("finding", "severity").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq === Seq(("ok", "ok")),
+      "an export must be born fsck-clean")
+    assert(IndexManifest.pins(dst).isEmpty,
+      "the source's pin ledger must not travel into the clone")
+  }
 }
