@@ -176,15 +176,28 @@ object IndexMaintenance {
     *     reader will fail fast until the index is rebuilt.
     *   - `unknown_family` / warn — a family tag this build has no
     *     format for (newer build's stock, or a corrupted tag).
+    *   - `pin_unreadable` / error — a `.pin` file whose content reads
+    *     but does not parse (truncated copy, foreign write): every pin
+    *     consumer — vacuum included — silently treats it as "no pin",
+    *     so the window it was protecting reads as reclaimable garbage
+    *     until the file is restored or the pin re-registered.
     *   - `pin_window_missing` / error — a live pin protects a
-    *     below-floor window none of whose epoch directories exist: the
-    *     replay guarantee is ALREADY broken (a non-pin-aware janitor
-    *     deleted them, or the ledger was copied without its data).
+    *     below-floor window none of whose epoch directories exist in
+    *     ANY component: the replay guarantee is ALREADY broken (a
+    *     non-pin-aware janitor deleted them, or the ledger was copied
+    *     without its data). DETECTION LIMIT: this fires only on total
+    *     loss. Partial destruction — one component's pinned epochs
+    *     deleted while another's survive — is indistinguishable from a
+    *     component that legitimately wrote nothing in those epochs (a
+    *     missing epoch directory reads as zero rows, by design), so
+    *     the check is a tripwire, not a completeness proof; the
+    *     positive guarantee comes from running maintenance through the
+    *     pin-aware janitor, never from fsck.
     *   - `pin_beyond_head` / warn — a pin names an epoch above the
     *     committed head (malformed registration or a manifest rolled
     *     back underneath it).
-    *   - `pin_inverted` / warn — a pin whose recorded floor exceeds
-    *     its epoch (corrupted pin file).
+    *   - `pin_inverted` / warn — a pin that parses but whose recorded
+    *     floor exceeds its epoch.
     *   - `stale_epochs` / warn — reclaimable superseded directories
     *     below the floor (compaction ran, janitor half didn't) — the
     *     same rule [[IndexManifest.vacuum]] works from.
@@ -228,38 +241,35 @@ object IndexMaintenance {
           else if (st.formatVersion != fmt.version)
             findings += (("format_mismatch", "error",
               s"stored=${st.formatVersion} expected=${fmt.version}"))
+          // ONE listing per level-1 directory and ONE pin-ledger pass,
+          // shared by every check below (the advise() discipline:
+          // remote round-trips on an HDFS/S3 root are the cost model)
           val rootP = LedgerIO.root(path)
           val level1 = LedgerIO.listStatus(rootP)
-          val compEntries = level1.filter(st0 => st0.isDirectory &&
-              !st0.getPath.getName.startsWith("_graft_"))
-            .map(d => LedgerIO.listStatus(d.getPath))
-          def epochVal(nm: String): Option[Long] = {
-            val digits =
-              if (nm.startsWith("epoch=")) nm.stripPrefix("epoch=")
-              else if (nm.startsWith("gen=")) nm.stripPrefix("gen=")
-              else ""
-            if (digits.nonEmpty && digits.forall(_.isDigit)) Some(digits.toLong)
-            else None
-          }
+          val dirListings = level1.filter(_.isDirectory)
+            .map(d => d.getPath.getName -> LedgerIO.listStatus(d.getPath))
           def capped(xs: Seq[String]): String =
             if (xs.size <= 8) xs.mkString(";")
             else xs.take(8).mkString(";") + s";+${xs.size - 8}"
-          val subDirs = compEntries.flatMap(_.filter(_.isDirectory))
-          val epochVals = subDirs.flatMap(d => epochVal(d.getPath.getName))
+          val subDirs = dirListings.collect {
+            case (nm, ls) if !nm.startsWith("_graft_") => ls
+          }.flatMap(_.filter(_.isDirectory))
+          val epochVals = subDirs.flatMap(d =>
+            IndexManifest.versionedDirValue(d.getPath.getName))
           val malformed = subDirs.map(_.getPath.getName)
             .filter(nm => (nm.startsWith("epoch=") || nm.startsWith("gen=")) &&
-              epochVal(nm).isEmpty).distinct.sorted
-          val livePins = IndexManifest.pins(path)
+              IndexManifest.versionedDirValue(nm).isEmpty).distinct.sorted
+          val pinFiles = IndexManifest.pinFiles(path)
+          val livePins = pinFiles.flatMap(_._2)
+          val unreadablePins = pinFiles.collect { case (nm, None) => nm }.sorted
           def pinCovers(v: Long): Boolean =
             livePins.exists(p => p.floor <= v && v <= p.epoch)
           val orphans = epochVals.filter(_ > st.epoch).distinct.sorted
           val stale = epochVals.filter(_ < st.baseEpoch)
           val reclaimable = stale.filterNot(pinCovers)
           val stalePinned = stale.filter(pinCovers)
-          val strays = (level1.filter(_.isFile) ++
-              level1.filter(_.isDirectory)
-                .flatMap(d => LedgerIO.listStatus(d.getPath).filter(_.isFile)))
-            .map(_.getPath.getName)
+          val strays = (level1 ++ dirListings.flatMap(_._2))
+            .filter(_.isFile).map(_.getPath.getName)
             .filter(nm => nm.startsWith(".") && nm.endsWith(".tmp"))
             .distinct.sorted
           if (orphans.nonEmpty)
@@ -273,6 +283,8 @@ object IndexMaintenance {
             findings += (("stray_tmp", "info", capped(strays)))
           if (malformed.nonEmpty)
             findings += (("malformed_dir", "info", capped(malformed)))
+          if (unreadablePins.nonEmpty)
+            findings += (("pin_unreadable", "error", capped(unreadablePins)))
           livePins.sortBy(_.owner).foreach { p =>
             if (p.floor > p.epoch)
               findings += (("pin_inverted", "warn",

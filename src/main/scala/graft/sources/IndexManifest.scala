@@ -433,18 +433,38 @@ object IndexManifest {
     * here would abort the janitor mid-worklist or a pinned serve's
     * stateAsOf, the exact paths the ledger exists to keep alive).
     */
-  def pins(path: String): Seq[Pin] =
+  def pins(path: String): Seq[Pin] = pinFiles(path).flatMap(_._2)
+
+  /** ONE listing + parse pass over the pin ledger: every `.pin` file
+    * whose content READS, paired with its parse result — None for a
+    * body that does not parse (a truncated copy, a foreign write, a
+    * number past Long range). [[pins]] keeps only the parses (its
+    * lock-free readers must skip unreadable files silently and cannot
+    * throw) — which makes a CORRUPTED pin indistinguishable from a
+    * RELEASED one to every pin consumer, including [[vacuum]], which
+    * would then reclaim the window the pin was protecting. fsck reads
+    * this pairing directly and reports each None as an error: the loud
+    * half the lock-free contract forbids here. A file deleted between
+    * the listing and its read is a released pin, not a corrupted one —
+    * it appears in neither half.
+    */
+  private[graft] def pinFiles(path: String): Seq[(String, Option[Pin])] =
     LedgerIO.listStatus(pinsDir(path))
       .filter(st => st.isFile && st.getPath.getName.endsWith(".pin"))
-      .flatMap { f =>
-        LedgerIO.readIfExists(f.getPath).flatMap { s =>
-          def num(k: String): Option[Long] =
-            s""""$k"\\s*:\\s*(-?\\d+)""".r.findFirstMatchIn(s).map(_.group(1).toLong)
-          for (e <- num("epoch"); fl <- num("floor"))
-            yield Pin(ownerOfPinFile(f.getPath.getName), e, fl,
-              num("registered_at").getOrElse(-1L))
-        }
-      }
+      .flatMap(f => LedgerIO.readIfExists(f.getPath)
+        .map(body => f.getPath.getName -> parsePin(f.getPath.getName, body)))
+
+  /** The ONE parser of pin-file bodies. None on anything that does not
+    * parse — never an exception (the lock-free reader contract).
+    */
+  private def parsePin(fileName: String, body: String): Option[Pin] = {
+    def num(k: String): Option[Long] =
+      s""""$k"\\s*:\\s*(-?\\d+)""".r.findFirstMatchIn(body)
+        .flatMap(_.group(1).toLongOption)
+    for (e <- num("epoch"); fl <- num("floor"))
+      yield Pin(ownerOfPinFile(fileName), e, fl,
+        num("registered_at").getOrElse(-1L))
+  }
 
   /** Delete epoch directories strictly BELOW the committed window floor
     * — the janitor half of [[compact]]. Only ever touches epochs no
@@ -492,6 +512,23 @@ object IndexManifest {
     * the floor was superseded by the rebalance/compaction that rebased
     * the window — both are unreachable by any reader, head or as-of.
     */
+  /** The ONE parser of the `epoch=<n>` / `gen=<n>` directory-name
+    * convention — staleDirs, the advisor, and fsck all read versioned
+    * directories through this, so the convention cannot drift between
+    * surfaces. None for anything that does not parse EXACTLY —
+    * including all-digit values past Long range (a foreign
+    * `epoch=99999999999999999999` is unreadable litter to report, never
+    * a NumberFormatException that aborts the caller's walk).
+    */
+  private[graft] def versionedDirValue(name: String): Option[Long] = {
+    val digits =
+      if (name.startsWith("epoch=")) name.stripPrefix("epoch=")
+      else if (name.startsWith("gen=")) name.stripPrefix("gen=")
+      else ""
+    if (digits.nonEmpty && digits.forall(_.isDigit)) digits.toLongOption
+    else None
+  }
+
   private[graft] def staleDirs(path: String,
       fmt: Format = AnyFamily,
       respectPins: Boolean = true): Seq[HPath] = {
@@ -503,12 +540,8 @@ object IndexManifest {
     LedgerIO.listStatus(LedgerIO.root(path))
       .filter(_.isDirectory).flatMap { compDir =>
         LedgerIO.listStatus(compDir.getPath).map(_.getPath).filter { epochDir =>
-          val name = epochDir.getName
-          val digits = if (name.startsWith("epoch=")) name.stripPrefix("epoch=")
-            else if (name.startsWith("gen=")) name.stripPrefix("gen=")
-            else ""
-          digits.nonEmpty && digits.forall(_.isDigit) && digits.toLong < floor &&
-            !live.exists(p => p.floor <= digits.toLong && digits.toLong <= p.epoch)
+          versionedDirValue(epochDir.getName).exists(v => v < floor &&
+            !live.exists(p => p.floor <= v && v <= p.epoch))
         }
       }
   }

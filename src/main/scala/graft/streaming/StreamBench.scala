@@ -617,6 +617,24 @@ object StreamBench {
       alertProbe("bm25")(Streams.bm25AlertStream(_, idx, Seq("spark", "join", "window")))
     }
 
+    // The four serving-tier probes' SHARED request staging: the
+    // embedding corpus replayed `replicas` times under fresh
+    // non-colliding query ids (+1000000 offset past every stored
+    // vec_id), written to a scratch dir the stream reads file-batched.
+    // One definition so the staging convention cannot drift across the
+    // tiers and their req/s stay directly comparable.
+    def stageRequests(emb: org.apache.spark.sql.DataFrame, prefix: String)
+        : (Long, String) = {
+      val eStats = emb.agg(max($"vec_id"), count(lit(1))).first()
+      val eMax = eStats.getLong(0) + 1
+      val nReq = eStats.getLong(1) * replicas
+      val staged = emb
+        .crossJoin(spark.range(replicas).select($"id".as("rep")))
+        .select(($"vec_id" + $"rep" * eMax + 1000000L).as("query_id"), $"embedding")
+      val rStage = java.nio.file.Files.createTempDirectory(prefix).toString
+      staged.repartition(8).write.mode("overwrite").parquet(rStage)
+      (nReq, rStage)
+    }
     // Eleventh probe: ONLINE ANN SERVING — the request path
     // (annServeStream: stored-BQ Hamming screen + exact float rerank,
     // overwrite-mode per-batch sink). Requests are the embedding corpus
@@ -628,14 +646,7 @@ object StreamBench {
       val emb = Tables.embeddings(spark, sfDir)
       val idx = java.nio.file.Files.createTempDirectory("sbench-bq").toString
       graft.queries.VectorOps.writeBqIndex(emb, idx)
-      val eStats = emb.agg(max($"vec_id"), count(lit(1))).first()
-      val eMax = eStats.getLong(0) + 1
-      val nReq = eStats.getLong(1) * replicas
-      val staged = emb
-        .crossJoin(spark.range(replicas).select($"id".as("rep")))
-        .select(($"vec_id" + $"rep" * eMax + 1000000L).as("query_id"), $"embedding")
-      val rStage = java.nio.file.Files.createTempDirectory("reqs-sbench").toString
-      staged.repartition(8).write.mode("overwrite").parquet(rStage)
+      val (nReq, rStage) = stageRequests(emb, "reqs-sbench")
       val out = java.nio.file.Files.createTempDirectory("serve-sbench").toString
       val t0 = System.nanoTime()
       val q = Streams.annServeStream(
@@ -663,14 +674,7 @@ object StreamBench {
       val emb = Tables.embeddings(spark, sfDir)
       val idx = java.nio.file.Files.createTempDirectory("sbench-ivfpq").toString
       graft.queries.VectorOps.writeIvfPqIndex(emb, idx)
-      val eStats = emb.agg(max($"vec_id"), count(lit(1))).first()
-      val eMax = eStats.getLong(0) + 1
-      val nReq = eStats.getLong(1) * replicas
-      val staged = emb
-        .crossJoin(spark.range(replicas).select($"id".as("rep")))
-        .select(($"vec_id" + $"rep" * eMax + 1000000L).as("query_id"), $"embedding")
-      val rStage = java.nio.file.Files.createTempDirectory("reqs-sbench-pq").toString
-      staged.repartition(8).write.mode("overwrite").parquet(rStage)
+      val (nReq, rStage) = stageRequests(emb, "reqs-sbench-pq")
       val out = java.nio.file.Files.createTempDirectory("serve-sbench-pq").toString
       val t0 = System.nanoTime()
       val q = Streams.ivfPqServeStream(
@@ -700,14 +704,7 @@ object StreamBench {
       val sqIdx = java.nio.file.Files.createTempDirectory("sbench-casc-sq8").toString
       graft.queries.VectorOps.writeBqIndex(emb, bqIdx)
       graft.queries.VectorOps.writeSq8Index(emb, sqIdx)
-      val eStats = emb.agg(max($"vec_id"), count(lit(1))).first()
-      val eMax = eStats.getLong(0) + 1
-      val nReq = eStats.getLong(1) * replicas
-      val staged = emb
-        .crossJoin(spark.range(replicas).select($"id".as("rep")))
-        .select(($"vec_id" + $"rep" * eMax + 1000000L).as("query_id"), $"embedding")
-      val rStage = java.nio.file.Files.createTempDirectory("reqs-sbench-casc").toString
-      staged.repartition(8).write.mode("overwrite").parquet(rStage)
+      val (nReq, rStage) = stageRequests(emb, "reqs-sbench-casc")
       val out = java.nio.file.Files.createTempDirectory("serve-sbench-casc").toString
       val t0 = System.nanoTime()
       val q = Streams.cascadeServeStream(
@@ -826,14 +823,7 @@ object StreamBench {
       val vIdx = java.nio.file.Files.createTempDirectory("sbench-hyb-ivfpq").toString
       graft.queries.SearchOps.writePostingsIndex(hDocs, pIdx)
       graft.queries.VectorOps.writeIvfPqIndex(emb, vIdx)
-      val eStats = emb.agg(max($"vec_id"), count(lit(1))).first()
-      val eMax = eStats.getLong(0) + 1
-      val nReq = eStats.getLong(1) * replicas
-      val staged = emb
-        .crossJoin(spark.range(replicas).select($"id".as("rep")))
-        .select(($"vec_id" + $"rep" * eMax + 1000000L).as("query_id"), $"embedding")
-      val rStage = java.nio.file.Files.createTempDirectory("reqs-sbench-hyb").toString
-      staged.repartition(8).write.mode("overwrite").parquet(rStage)
+      val (nReq, rStage) = stageRequests(emb, "reqs-sbench-hyb")
       // per-batch eligibility: each request sees only its own parity's
       // doc ids — a 2-key equi-join relation build, never a cross
       val ids = hDocs.select($"doc_id", ($"doc_id" % 2).as("par"))

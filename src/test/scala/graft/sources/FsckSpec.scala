@@ -111,6 +111,33 @@ class FsckSpec extends SparkSpec {
       ("unknown_family", "warn", "zorp", "zorp")))
   }
 
+  test("an all-digit name past Long range is malformed litter, not a crash") {
+    val dir = tmp("fsck-overflow")
+    freshBq(dir)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(
+      localOf(dir), "words", "epoch=99999999999999999999"))
+    assert(rows("overflow" -> dir) === Seq(
+      ("malformed_dir", "info", "epoch=99999999999999999999", "bq")))
+    assert(IndexManifest.vacuum(dir, IndexManifest.Bq) === 0L,
+      "the janitor walks past unparseable litter instead of crashing")
+  }
+
+  test("a corrupted pin file is a loud error, not a silently released pin") {
+    val dir = tmp("fsck-pincorrupt")
+    freshBq(dir)
+    IndexManifest.registerPin(dir, "serve-c", 0L, IndexManifest.Bq)
+    // truncate the body in place: pins() must skip it (the lock-free
+    // reader contract forbids throwing), fsck must NAME it - without
+    // that, vacuum sees "no pin" and the protected window reads as
+    // reclaimable garbage
+    LedgerIO.writeAtomic(LedgerIO.child(s"$dir/_graft_pins", "serve-c.pin"),
+      ".serve-c.pin.tmp", """{ "owner": "serve-c", "ep""")
+    assert(IndexManifest.pins(dir).isEmpty,
+      "pin consumers skip the unreadable file silently")
+    assert(rows("corrupt" -> dir) === Seq(
+      ("pin_unreadable", "error", "serve-c.pin", "bq")))
+  }
+
   test("a crashed build reports no_manifest and nothing else") {
     val dir = tmp("fsck-none")
     assert(rows("crashed" -> dir) ===
