@@ -179,8 +179,12 @@ object IndexMaintenance {
     *   - `pin_unreadable` / error — a `.pin` file whose content reads
     *     but does not parse (truncated copy, foreign write): every pin
     *     consumer — vacuum included — silently treats it as "no pin",
-    *     so the window it was protecting reads as reclaimable garbage
-    *     until the file is restored or the pin re-registered.
+    *     so the window it was protecting reads as reclaimable garbage.
+    *     Repair: restore the file from the source of the copy,
+    *     re-register the pin ([[IndexManifest.registerPin]] with the
+    *     same owner overwrites in place), or accept the release with
+    *     [[IndexManifest.releasePin]] (the owner is the filename minus
+    *     `.pin`, '@' read as ':').
     *   - `pin_window_missing` / error — a live pin protects a
     *     below-floor window none of whose epoch directories exist in
     *     ANY component: the replay guarantee is ALREADY broken (a
