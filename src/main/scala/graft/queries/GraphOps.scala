@@ -79,14 +79,20 @@ object GraphOps {
     import s.implicits._
     val outW = edges.groupBy($"src").agg(sum($"w").as("out_w"))
     val e = edges.join(outW, "src").localCheckpoint()
-    var ranks = nodes.select($"item", lit(1000000L).as("rank_ppm"))
+    // nodes is re-read every iteration (rank re-attach) — LAZY-checkpoint
+    // it once so the event-log scan + distinct behind it runs a single
+    // time instead of once per iteration (it materializes inside the
+    // first iteration's own jobs; no extra job is spent). Before this,
+    // 5 iterations re-ran the scan+regexp+distinct 6x per query.
+    val n = nodes.localCheckpoint(false)
+    var ranks = n.select($"item", lit(1000000L).as("rank_ppm"))
     for (i <- 1 to iters) {
       val contrib = e
         .join(ranks.withColumnRenamed("item", "src"), "src")
         .withColumn("c", expr("(((rank_ppm * 85) div 100) * w) div out_w"))
         .groupBy($"dst")
         .agg(sum($"c").as("in_sum"))
-      ranks = nodes
+      ranks = n
         .join(contrib.withColumnRenamed("dst", "item"), Seq("item"), "left")
         .select($"item",
           (lit(150000L) + coalesce($"in_sum", lit(0L))).as("rank_ppm"))
@@ -110,7 +116,10 @@ object GraphOps {
     import s.implicits._
     val outW = edges.groupBy($"src").agg(sum($"w").as("out_w"))
     val e = edges.join(outW, "src").localCheckpoint()
-    var ranks = nodes.select($"item", $"is_seed",
+    // same single-read discipline as [[pageRankOn]]: the seed frame's
+    // event-log scan must not re-run per iteration
+    val n = nodes.localCheckpoint(false)
+    var ranks = n.select($"item", $"is_seed",
       ($"is_seed" * lit(1000000L)).as("rank_ppm"))
     for (i <- 1 to iters) {
       val contrib = e
@@ -118,7 +127,7 @@ object GraphOps {
         .withColumn("c", expr("(((rank_ppm * 85) div 100) * w) div out_w"))
         .groupBy($"dst")
         .agg(sum($"c").as("in_sum"))
-      ranks = nodes
+      ranks = n
         .join(contrib.withColumnRenamed("dst", "item"), Seq("item"), "left")
         .select($"item", $"is_seed",
           ($"is_seed" * lit(150000L) + coalesce($"in_sum", lit(0L))).as("rank_ppm"))
@@ -217,7 +226,9 @@ object GraphOps {
         .unionByName(edges.select($"dst".as("v"), $"src".as("nbr")))
         .distinct()
         .localCheckpoint()
-      var dist = seed
+      // round 1 reads the seed frame twice (relax + re-attach) — one
+      // lazy checkpoint stops the event-log scan running twice there
+      var dist = seed.localCheckpoint(false)
       for (i <- 1 to bfsRounds) {
         val relax = und
           .join(dist.select($"item".as("nbr"), $"dist".as("nd")), "nbr")
@@ -1458,11 +1469,15 @@ object GraphOps {
         .select($"i1".as("doc_a"), $"i2".as("doc_b"))
       val labels = TextOps.connectedComponents(edges)
         .select($"v".as("item"), $"rep", $"converged")
+      // lbl has two consumers (sizes + the final join) — without the
+      // checkpoint the event-log scan, item distinct and labeling join
+      // all ran twice (the before-plan's two identical SMJ subtrees)
       val lbl = ui.select($"item").distinct()
         .join(labels, Seq("item"), "left")
         .select($"item",
           coalesce($"rep", $"item").as("community"),
           coalesce($"converged", lit(true)).as("converged"))
+        .localCheckpoint(false)
       val sizes = lbl.groupBy($"community").agg(count(lit(1)).as("community_size"))
       lbl.join(sizes, "community")
         .select($"item", $"community", $"community_size", $"converged")

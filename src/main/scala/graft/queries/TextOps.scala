@@ -1025,11 +1025,20 @@ object TextOps {
     // Spark behavior for reliable checkpoints, acceptable for the long
     // iterative cluster jobs the option exists for, and why
     // localCheckpoint stays the default.
+    // LAZY checkpoints throughout: the per-round label-sum probe below is
+    // the materializing action, so each round runs ONE job (sum computes
+    // the round's plan and persists the checkpoint blocks as a side
+    // effect) instead of two (eager materialization + separate probe).
+    // The round-14 ProfCC probe showed CC cost is (rounds x jobs/round x
+    // local job floor), not shuffle width — halving jobs/round is the
+    // lever that probe said partition count wasn't. The probe aggregates
+    // every partition, so the checkpoint is always complete before the
+    // next round reads it.
     val persist: DataFrame => DataFrame = checkpointDir match {
       case Some(dir) =>
         edges.sparkSession.sparkContext.setCheckpointDir(dir)
-        df => df.checkpoint(true)
-      case None => df => df.localCheckpoint(true)
+        df => df.checkpoint(false)
+      case None => df => df.localCheckpoint(false)
     }
     val und = persist(
       edges.select(col("doc_a").as("v"), col("doc_b").as("nbr"))

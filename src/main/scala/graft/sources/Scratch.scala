@@ -14,8 +14,28 @@ import java.nio.file.{Files, Path}
   */
 object Scratch {
 
+  /** Scratch artifacts are EPHEMERAL (this root dies with the JVM via
+    * the shutdown hook), so they ride the same storage policy as
+    * shuffle/spill (GraftSession.localDir): prefer tmpfs when present —
+    * on this box /tmp sits on a shared virtio disk whose random-write
+    * stalls add 3-20x tail latency to any write-heavy lifecycle row
+    * (the measured spark.local.dir lesson; bench sample F's 15.75 s
+    * e_zorder_scan against a 1.2-1.8 s band is this tail). The work
+    * done is identical; a real cluster provisions local NVMe for build
+    * scratch. An explicit SPARK_GRAFT_SCRATCH_DIR always wins (point it
+    * at a disk path to measure the virtio tails on purpose).
+    */
   private lazy val root: Path = {
-    val r = Files.createTempDirectory("graft-scratch")
+    val base = sys.env.get("SPARK_GRAFT_SCRATCH_DIR")
+      .map(java.nio.file.Paths.get(_))
+      .orElse {
+        val shm = java.nio.file.Paths.get("/dev/shm")
+        if (Files.isDirectory(shm) && Files.isWritable(shm)) Some(shm) else None
+      }
+    val r = base match {
+      case Some(b) => Files.createTempDirectory(b, "graft-scratch")
+      case None => Files.createTempDirectory("graft-scratch")
+    }
     Runtime.getRuntime.addShutdownHook(new Thread(() => deleteQuietly(r)))
     r
   }
