@@ -636,8 +636,15 @@ object CurationOps {
     * overlap evidence — the report a pipeline audits before shipping.
     */
   private[queries] def trainLeakPairs(trainDocs: DataFrame, evalDocs: DataFrame): DataFrame = {
-    val tsh = TextOps.shinglesOfDf(trainDocs).select(col("doc_id").as("train_id"), col("sh"))
-    val esh = TextOps.shinglesOfDf(evalDocs).select(col("doc_id").as("eval_id"), col("sh"))
+    // both shingle explodes are fanned out (r21): the eval side arrives
+    // as a raw one-row-group scan, so its tokenize+shingle pipeline ran
+    // in ONE task; and the eval shingles have two consumers (the overlap
+    // join + eSizes), so without the checkpoint the explode ran twice
+    val tsh = TextOps.shinglesOfDf(TextOps.fanOutCpu(trainDocs))
+      .select(col("doc_id").as("train_id"), col("sh"))
+    val esh = TextOps.shinglesOfDf(TextOps.fanOutCpu(evalDocs))
+      .select(col("doc_id").as("eval_id"), col("sh"))
+      .localCheckpoint(false)
     val eSizes = esh.groupBy(col("eval_id")).agg(count(lit(1)).as("e_sh"))
     tsh.join(esh, "sh")
       .groupBy(col("train_id"), col("eval_id"))

@@ -33,7 +33,10 @@ object SearchOps {
     */
   private def probedPostings(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    docs(s, d)
+    // fanned scan (r21): the tokenize+explode otherwise runs inside the
+    // one-row-group scan's single task — the parallelism-deficit class
+    // fannedDocs exists for
+    TextOps.fannedDocsOf(s, d)
       .select($"doc_id", explode(TextOps.toks).as("t"))
       .filter($"t".isin(queryTerms: _*))
       .groupBy($"doc_id", $"t")
@@ -88,7 +91,8 @@ object SearchOps {
     "t_tfidf_search",
     (s, d) => {
       import s.implicits._
-      val postings = probedPostings(s, d)
+      // two consumers (df agg + the scored join) — single-run (r21)
+      val postings = probedPostings(s, d).localCheckpoint(false)
       val n = docs(s, d).count()
       // ${n}L: an interpolated INT literal would overflow 2^31 at
       // corpus sizes past ~2k docs under ANSI mode (caught at sf0.1)
@@ -152,7 +156,8 @@ object SearchOps {
     */
   private def probedPostingsWithLen(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    docs(s, d)
+    // fanned for the same reason as [[probedPostings]] (r21)
+    TextOps.fannedDocsOf(s, d)
       .select($"doc_id", TextOps.toks.as("tk"))
       .withColumn("dl", size($"tk").cast("long"))
       .select($"doc_id", $"dl", explode($"tk").as("t"))
@@ -164,7 +169,7 @@ object SearchOps {
   /** (totalTokens, nDocs) — the 1-row corpus-stats hand-off. */
   private def corpusStats(s: SparkSession, d: String): (Long, Long) = {
     import s.implicits._
-    val r = docs(s, d)
+    val r = TextOps.fannedDocsOf(s, d)
       .select(size(TextOps.toks).cast("long").as("dl"))
       .agg(sum($"dl"), count(lit(1)))
       .first()
@@ -175,7 +180,9 @@ object SearchOps {
   private def bm25Scored(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val (tl, n) = corpusStats(s, d)
-    val postings = probedPostingsWithLen(s, d)
+    // two consumers (df agg + the scored join): one lazy checkpoint
+    // keeps the tokenize+explode pass single-run (r21)
+    val postings = probedPostingsWithLen(s, d).localCheckpoint(false)
     val dfT = postings.groupBy($"t").agg(count(lit(1)).as("df"))
       .withColumn("idf_ppm", expr(s"(${n}L * 1000000L) div df"))
     postings

@@ -3736,9 +3736,13 @@ object VectorOps {
   private def cascadeTopK(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val emb = vecs(s, d)
-    // tier 1: BQ Hamming screen — the only corpus-wide distance pass
+    // tier 1: BQ Hamming screen — the only corpus-wide distance pass.
+    // Two consumers (the distinct-candidate fetch and the tier-2 pair
+    // join), so one lazy checkpoint keeps the corpus-wide screen from
+    // running twice (r21).
     val cands1 = bqScreen(bqPacked(s, d), cascadeC1)
       .select($"query_id", $"cand_id")
+      .localCheckpoint(false)
     // tier 2: SQ8 decoded cosine over the survivors only — decode is
     // per DISTINCT candidate (below the per-query pair fan-out)
     val stats = sq8Stats(s, d)
@@ -3985,8 +3989,11 @@ object VectorOps {
     val words = storedBqWords(s, bqPath, bqAsOf)
     val eligible = keepIds.fold(words)(keep =>
       words.join(keep.select(col("vec_id")), Seq("vec_id"), "left_semi"))
+    // two consumers (distinct-candidate fetch + tier-2 pair join) — the
+    // lazy checkpoint keeps the corpus-wide screen single-pass (r21)
     val cands1 = bqScreenAgainst(qPacked, eligible, screen, excludeSelf, keepPairs)
       .select($"query_id", $"cand_id")
+      .localCheckpoint(false)
     // tier 2: decoded-cosine rerank against the STORED codes — the
     // candidate fetch is a broadcast semi-probe (point lookups at
     // deployment scale), decode happens per DISTINCT candidate below

@@ -196,7 +196,10 @@ object IndexMaintenance {
     *     missing epoch directory reads as zero rows, by design), so
     *     the check is a tripwire, not a completeness proof; the
     *     positive guarantee comes from running maintenance through the
-    *     pin-aware janitor, never from fsck.
+    *     pin-aware janitor, never from fsck. The presence probe counts
+    *     `epoch=` directories only — a surviving `gen=` centroid
+    *     generation is a different number space and cannot vouch for
+    *     pinned epoch data.
     *   - `pin_beyond_head` / warn — a pin names an epoch above the
     *     committed head (malformed registration or a manifest rolled
     *     back underneath it).
@@ -260,6 +263,13 @@ object IndexMaintenance {
           }.flatMap(_.filter(_.isDirectory))
           val epochVals = subDirs.flatMap(d =>
             IndexManifest.versionedDirValue(d.getPath.getName))
+          // epoch= values ONLY, for the pin-window presence check: a
+          // surviving `gen=<n>` centroid-generation dir must not mask
+          // total loss of the pinned epoch DATA (gen and epoch are
+          // different number spaces; r21 ADVICE fix)
+          val epochOnlyVals = subDirs
+            .filter(_.getPath.getName.startsWith("epoch="))
+            .flatMap(d => IndexManifest.versionedDirValue(d.getPath.getName))
           val malformed = subDirs.map(_.getPath.getName)
             .filter(nm => (nm.startsWith("epoch=") || nm.startsWith("gen=")) &&
               IndexManifest.versionedDirValue(nm).isEmpty).distinct.sorted
@@ -293,15 +303,23 @@ object IndexMaintenance {
             if (p.floor > p.epoch)
               findings += (("pin_inverted", "warn",
                 s"owner=${p.owner} window=${p.floor}-${p.epoch}"))
-            else if (p.epoch > st.epoch)
-              findings += (("pin_beyond_head", "warn",
-                s"owner=${p.owner} epoch=${p.epoch} head=${st.epoch}"))
-            else if (p.floor < st.baseEpoch) {
-              val hi = math.min(p.epoch, st.baseEpoch - 1L)
-              val present = epochVals.exists(v => p.floor <= v && v <= hi)
-              if (!present)
-                findings += (("pin_window_missing", "error",
-                  s"owner=${p.owner} window=${p.floor}-$hi"))
+            else {
+              // beyond-head and window-missing are INDEPENDENT findings
+              // (r21 ADVICE fix): a manifest rolled back under a pin
+              // whose below-floor window was also destroyed must report
+              // the error-level window loss, not just the warn — the
+              // existing min() clamp already bounds the checked window
+              // to the committed side
+              if (p.epoch > st.epoch)
+                findings += (("pin_beyond_head", "warn",
+                  s"owner=${p.owner} epoch=${p.epoch} head=${st.epoch}"))
+              if (p.floor < st.baseEpoch) {
+                val hi = math.min(p.epoch, st.baseEpoch - 1L)
+                val present = epochOnlyVals.exists(v => p.floor <= v && v <= hi)
+                if (!present)
+                  findings += (("pin_window_missing", "error",
+                    s"owner=${p.owner} window=${p.floor}-$hi"))
+              }
             }
           }
           if (findings.isEmpty) Seq((name, st.family, "ok", "ok", ""))

@@ -133,12 +133,21 @@ object IndexManifest {
     */
   def read(path: String): Option[State] =
     LedgerIO.readIfExists(manifestFile(path)).flatMap { s =>
+      // toLongOption, not toLong: a foreign-corrupted manifest carrying
+      // an out-of-Long-range number must read as "no manifest" (and
+      // surface through fsck's no_manifest finding), never crash a
+      // whole-fleet fsck with NumberFormatException — the same
+      // overflow hardening parsePin and versionedDirValue already have
       def field(k: String): Option[Long] =
-        s""""$k"\\s*:\\s*(-?\\d+)""".r.findFirstMatchIn(s).map(_.group(1).toLong)
+        s""""$k"\\s*:\\s*(-?\\d+)""".r.findFirstMatchIn(s)
+          .flatMap(_.group(1).toLongOption)
       val fam = """"family"\s*:\s*"([^"]*)"""".r
         .findFirstMatchIn(s).map(_.group(1)).getOrElse("")
-      for (v <- field("format_version"); e <- field("epoch"))
-        yield State(v.toInt, e, field("base_epoch").getOrElse(0L), fam)
+      for {
+        v <- field("format_version")
+        if v >= Int.MinValue && v <= Int.MaxValue
+        e <- field("epoch")
+      } yield State(v.toInt, e, field("base_epoch").getOrElse(0L), fam)
     }
 
   /** The committed state, or fail fast when the index is unreadable by

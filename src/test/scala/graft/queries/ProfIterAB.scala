@@ -52,6 +52,46 @@ object ProfIterAB {
     labels
   }
 
+  // ---- candidate: double shortcut per round (same fixpoint, fewer rounds) ----
+  private def ccDouble(edges: DataFrame): DataFrame = {
+    val persist: DataFrame => DataFrame = df => df.localCheckpoint(false)
+    // und pre-partitioned by the per-round join key: the checkpointed
+    // RDD keeps its hash partitioning, so the hop join re-shuffles only
+    // the labels side each round
+    val und = persist(
+      edges.select(col("doc_a").as("v"), col("doc_b").as("nbr"))
+        .union(edges.select(col("doc_b").as("v"), col("doc_a").as("nbr")))
+        .repartition(col("nbr")))
+    var labels = persist(und.select(col("v")).distinct().withColumn("lbl", col("v")))
+    def lblSum(df: DataFrame): java.math.BigDecimal = {
+      val r = df.agg(sum(col("lbl").cast("decimal(38,0)"))).head()
+      if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
+    }
+    def shortcut(df: DataFrame): DataFrame =
+      df.join(df.select(col("v").as("l2"), col("lbl").as("lbl2")),
+          col("lbl") === col("l2"), "left")
+        .select(col("v"), least(col("lbl"), coalesce(col("lbl2"), col("lbl"))).as("lbl"))
+    var prevSum = lblSum(labels)
+    var round = 0
+    var changed = true
+    while (changed && round < 50) {
+      val nbrLbl = und
+        .join(labels.select(col("v").as("nbr"), col("lbl")), "nbr")
+        .select(col("v"), col("lbl"))
+      val hopped = labels.select(col("v"), col("lbl"))
+        .union(nbrLbl)
+        .groupBy(col("v")).agg(min(col("lbl")).as("lbl"))
+      val next = persist(shortcut(hopped))
+      val nextSum = lblSum(next)
+      changed = nextSum.compareTo(prevSum) != 0
+      prevSum = nextSum
+      labels = next
+      round += 1
+    }
+    println(s"PROF cc-double rounds=$round")
+    labels
+  }
+
   // ---- pre-r21 pageRank (nodes recomputed per iteration) ----
   private def prOld(nodes: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
     val s = nodes.sparkSession
@@ -81,9 +121,21 @@ object ProfIterAB {
     graft.functions.GraftFunctions.registerDotD(s)
     val d = "/root/testdata/sf0.1"
 
-    // CC input: the t_neardup_clusters edge set, checkpointed so both
-    // variants read identical in-memory input
-    val edges = TextOps.minhashPairs(TextOps.docShingles(s, d)).localCheckpoint(true)
+    // CC input: the t_neardup_clusters edge set by default; pass "mm"
+    // to use the (larger) multimodal union edge set instead. Either way
+    // checkpointed so both variants read identical in-memory input.
+    val edges = (if (args.contains("mm")) {
+      val docs = TextOps.fannedDocsOf(s, d)
+      val emb = graft.sources.Tables.embeddings(s, d)
+      val w = org.apache.spark.sql.expressions.Window.partitionBy($"text_hash")
+      val ex = docs.withColumn("text_hash", md5($"text"))
+        .withColumn("rep", min($"doc_id").over(w))
+        .filter($"doc_id" =!= $"rep").select($"rep".as("doc_a"), $"doc_id".as("doc_b"))
+      val dv = emb.join(docs.select($"doc_id"), $"vec_id" === $"doc_id")
+        .select($"vec_id", $"embedding")
+      ex.union(TextOps.minhashPairs(TextOps.shinglesOfDf(docs)))
+        .union(VectorOps.semanticPairs(dv))
+    } else TextOps.minhashPairs(TextOps.docShingles(s, d))).localCheckpoint(true)
     println("PROF edges=" + edges.count())
 
     // pageRank input: the live ev/transition frames (rebuilt per rep —
@@ -120,12 +172,24 @@ object ProfIterAB {
         f" ratio=${meds.head._2 / meds.last._2}%.2f")
     }
 
-    bench("cc", 5)(
-      "old" -> (() => ccOld(edges).count()),
-      "new" -> (() => TextOps.connectedComponentsStats(edges).labels.count()))
-    bench("pr", 5)(
-      "old" -> (() => prOldRun()),
-      "new" -> (() => prNew()))
+    if (args.contains("double")) {
+      val live = TextOps.connectedComponentsStats(edges)
+      println(s"PROF cc-live rounds=${live.rounds}")
+      val a = live.labels.select("v", "lbl")
+      val b = ccDouble(edges).select("v", "lbl")
+      println("PROF cc-double-equiv diff=" +
+        (a.exceptAll(b).count() + b.exceptAll(a).count()) + " (must be 0)")
+      bench("ccd", 5)(
+        "single" -> (() => TextOps.connectedComponentsStats(edges).labels.count()),
+        "double" -> (() => ccDouble(edges).count()))
+    } else {
+      bench("cc", 5)(
+        "old" -> (() => ccOld(edges).count()),
+        "new" -> (() => TextOps.connectedComponentsStats(edges).labels.count()))
+      bench("pr", 5)(
+        "old" -> (() => prOldRun()),
+        "new" -> (() => prNew()))
+    }
     s.stop()
   }
 }

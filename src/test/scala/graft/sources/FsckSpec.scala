@@ -143,4 +143,53 @@ class FsckSpec extends SparkSpec {
     assert(rows("crashed" -> dir) ===
       Seq(("no_manifest", "error", "", "_uncommitted")))
   }
+
+  test("an overflow-corrupted manifest reads as no_manifest, not a fleet-aborting crash") {
+    val dir = tmp("fsck-manifest-overflow")
+    freshBq(dir)
+    // foreign corruption: a number past Long range — field() must parse
+    // it as absent (toLongOption), so the root degrades to no_manifest
+    // and the REST of a fleet fsck still runs (report-never-crash)
+    LedgerIO.writeAtomic(
+      LedgerIO.child(dir, "_graft_manifest.json"), "._graft_manifest.json.tmp",
+      """{ "format_version": 2, "epoch": 99999999999999999999, "base_epoch": 0, "family": "bq" }""" + "\n")
+    assert(rows("corrupt" -> dir, "ok" -> { val d2 = tmp("fsck-mo-ok"); freshBq(d2); d2 }) ===
+      Seq(("no_manifest", "error", "", "_uncommitted"), ("ok", "ok", "", "bq")))
+  }
+
+  test("a surviving gen= dir cannot vouch for a destroyed pinned epoch window") {
+    val dir = tmp("fsck-genmask")
+    freshBq(dir)
+    VectorOps.deleteFromBqIndex(Seq(0L).toDF("vec_id"), dir) // epoch 1
+    IndexManifest.registerPin(dir, "replay-g", 1L, IndexManifest.Bq)
+    VectorOps.compactBqIndex(spark, dir) // head 2, floor 2
+    Seq("words" -> 0L, "dels" -> 0L, "dels" -> 1L).foreach { case (c, e) =>
+      LedgerIO.deleteRecursive(LedgerIO.child(s"$dir/$c", s"epoch=$e"))
+    }
+    // a centroid GENERATION dir whose value lands inside the pinned
+    // window: a different number space — it must not mask the loss
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(localOf(dir), "cents", "gen=1"))
+    assert(rows("genmask" -> dir) === Seq(
+      ("pin_window_missing", "error", "owner=replay-g window=0-1", "bq"),
+      ("stale_pinned", "info", "dirs=1", "bq")))
+  }
+
+  test("a rolled-back manifest does not shadow a destroyed pinned window") {
+    val dir = tmp("fsck-shadow")
+    freshBq(dir)
+    IndexManifest.registerPin(dir, "replay", 0L, IndexManifest.Bq)
+    // the pin claims epochs 0-9 while the manifest rolled back to head 1
+    // with floor 1 — beyond-head AND window-missing must BOTH report
+    LedgerIO.writeAtomic(LedgerIO.child(s"$dir/_graft_pins", "replay.pin"),
+      ".replay.pin.tmp",
+      """{ "owner": "replay", "epoch": 9, "floor": 0, "registered_at": 1 }""" + "\n")
+    IndexManifest.commit(dir, 1L, 1L, IndexManifest.Bq)
+    Seq("words", "dels").foreach { c =>
+      LedgerIO.deleteRecursive(LedgerIO.child(s"$dir/$c", "epoch=0"))
+    }
+    assert(rows("shadow" -> dir) === Seq(
+      ("pin_beyond_head", "warn", "owner=replay epoch=9 head=1", "bq"),
+      ("pin_window_missing", "error", "owner=replay window=0-0", "bq")))
+  }
 }
