@@ -661,12 +661,18 @@ object GraphOps {
     * (with [[cappedUi]]) so the planted-bot spec can drive the capped
     * path the fixtures never trigger.
     */
-  private[graft] def pairSupport(uic: DataFrame): DataFrame =
-    uic.select(col("user_id"), col("item").as("i1"))
-      .join(uic.select(col("user_id"), col("item").as("i2")), "user_id")
+  private[graft] def pairSupport(uic: DataFrame): DataFrame = {
+    // the self-join's two sides are pruned differently, so without a
+    // checkpoint the whole scan -> distinct -> degree-window pipeline
+    // executed twice (one side lands under a BroadcastExchange, which
+    // ReusedExchange can never match against the shuffle side) — r21
+    val u = uic.localCheckpoint(false)
+    u.select(col("user_id"), col("item").as("i1"))
+      .join(u.select(col("user_id"), col("item").as("i2")), "user_id")
       .filter(col("i1") < col("i2"))
       .groupBy(col("i1"), col("i2"))
       .agg(count(lit(1)).as("n_users"))
+  }
 
   private def distinctUi(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -1363,8 +1369,12 @@ object GraphOps {
     "e_recommendations",
     (s, d) => {
       import s.implicits._
-      val ui = distinctUi(s, d)
+      // ui has three consumers (pairing, scoring join, seen anti-join)
+      // and pairs feeds both legs of the symmetrization — checkpoints
+      // keep the event-log distinct and the pair agg single-run (r21)
+      val ui = distinctUi(s, d).localCheckpoint(false)
       val pairs = pairSupport(cappedUi(ui)).withColumnRenamed("n_users", "n")
+        .localCheckpoint(false)
       val sym = pairs.select($"i1".as("item"), $"i2".as("rec"), $"n")
         .unionByName(pairs.select($"i2".as("item"), $"i1".as("rec"), $"n"))
       val scored = ui.join(sym, "item")

@@ -46,7 +46,11 @@ object LearnOps {
     */
   private def featsAndLabels(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     import s.implicits._
-    val base = Tables.documents(s, d)
+    // fanned scan + one checkpoint (r21): the tokenize + per-term-filter
+    // projection otherwise ran inside the one-row-group scan's single
+    // task, and ran FOUR times (feats is consumed by both sides of the
+    // normal-equations self-join plus the label join; labels once)
+    val base = TextOps.fannedDocsOf(s, d)
       .withColumn("tk", TextOps.toks)
       .select(
         $"doc_id",
@@ -57,6 +61,7 @@ object LearnOps {
               lit("__bias__"), lit(1L))): _*
         ).as("fmap"),
         when(size($"tk") >= lenCut, 1L).otherwise(-1L).as("y"))
+      .localCheckpoint(false)
     val feats = base.select($"doc_id", explode($"fmap").as(Seq("f", "x")))
     val labels = base.select($"doc_id", $"y")
     (feats, labels)
