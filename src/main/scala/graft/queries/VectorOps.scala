@@ -940,10 +940,14 @@ object VectorOps {
             - lit(2.0) * dotd("embedding", "c_emb")),
         )
         .withColumn("rk", row_number().over(wAssign))
-      val assigned = dists
+      // same single-pass ranked checkpoint as ivfNprobeRecallWith (r21)
+      val ranked = dists.filter($"rk" <= nProbe)
+        .select($"vec_id", $"cell", $"rk", $"embedding")
+        .localCheckpoint(false)
+      val assigned = ranked
         .filter($"rk" === 1)
         .select($"vec_id", $"cell", $"embedding")
-      val probes = dists
+      val probes = ranked
         .filter($"vec_id" >= nCells && $"vec_id" < nCells + nQueries && $"rk" <= nProbe)
         .select($"vec_id".as("query_id"), $"cell".as("q_cell"), $"embedding".as("q_emb"))
       val wTop = Window.partitionBy($"query_id").orderBy($"sim_micros".desc, $"cand_id")
@@ -1099,8 +1103,14 @@ object VectorOps {
         micros(dotd("embedding", "embedding") + dotd("c_emb", "c_emb")
           - lit(2.0) * dotd("embedding", "c_emb")))
       .withColumn("rk", row_number().over(wAssign))
-    val assigned = dists.filter($"rk" === 1).select($"vec_id", $"cell", $"embedding")
-    val probes = dists
+    // assigned and probes both derive from the ranked assignment — one
+    // rk<=nProbe checkpoint runs the broadcast-centroid scan + rank
+    // window ONCE for both consumers (r21; covers every rk either needs)
+    val ranked = dists.filter($"rk" <= nProbe)
+      .select($"vec_id", $"cell", $"rk", $"embedding")
+      .localCheckpoint(false)
+    val assigned = ranked.filter($"rk" === 1).select($"vec_id", $"cell", $"embedding")
+    val probes = ranked
       .filter($"vec_id" >= nCells && $"vec_id" < nCells + nQueries && $"rk" <= nProbe)
       .select($"vec_id".as("query_id"), $"cell".as("q_cell"), $"embedding".as("q_emb"))
     val wTop = Window.partitionBy($"query_id").orderBy($"sim_micros".desc, $"cand_id")
@@ -2292,8 +2302,13 @@ object VectorOps {
         micros(dotd("embedding", "embedding") + dotd("c_emb", "c_emb")
           - lit(2.0) * dotd("embedding", "c_emb")))
       .withColumn("rk", row_number().over(wAssign))
-    val assigned = dists.filter($"rk" === 1).select($"vec_id".as("cand_id"), $"cell")
-    val probes = dists
+    // same single-pass ranked checkpoint as ivfNprobeRecallWith (r21);
+    // embedding pruned — this path only routes ids
+    val ranked = dists.filter($"rk" <= nProbe)
+      .select($"vec_id", $"cell", $"rk")
+      .localCheckpoint(false)
+    val assigned = ranked.filter($"rk" === 1).select($"vec_id".as("cand_id"), $"cell")
+    val probes = ranked
       .filter($"vec_id" >= nCells && $"vec_id" < nCells + nQueries && $"rk" <= nProbe)
       .select($"vec_id".as("query_id"), $"cell".as("q_cell"))
     val cands = assigned
@@ -2467,10 +2482,19 @@ object VectorOps {
         micros(dotd("embedding", "embedding") + dotd("c_emb", "c_emb")
           - lit(2.0) * dotd("embedding", "c_emb")))
       .withColumn("rk", row_number().over(wAssign))
-    val resid = dists
+    // the ranked assignment feeds resid (rk=1) AND the probe routing
+    // (rk<=nProbe), and resid itself feeds the residual codebook slice
+    // AND the full encode pass — two lazy checkpoints keep the
+    // broadcast-centroid scan + rank window and the residual projection
+    // single-run (r21)
+    val ranked = dists.filter($"rk" <= nProbe)
+      .select($"vec_id", $"cell", $"rk", $"embedding", $"c_emb")
+      .localCheckpoint(false)
+    val resid = ranked
       .filter($"rk" === 1)
       .withColumn("r_emb", residOf("embedding", "c_emb"))
       .select($"vec_id", $"cell", $"r_emb")
+      .localCheckpoint(false)
     val cw = resid
       .filter($"vec_id" >= resCbLo && $"vec_id" < resCbLo + pqK)
       .select(
@@ -2499,7 +2523,7 @@ object VectorOps {
       .withColumn("code0", pmod($"p", lit(pqK.toLong)))
       .select($"vec_id", $"cell", $"sub".cast("long").as("sub"),
         ($"code0" + resCbLo).as("code"))
-    val probes = dists
+    val probes = ranked
       .filter($"vec_id" >= nCells && $"vec_id" < nCells + nQueries && $"rk" <= nProbe)
       .select($"vec_id".as("query_id"), $"cell", $"embedding".as("q_emb"),
         $"c_emb".as("p_emb"))
