@@ -177,7 +177,14 @@ class CatalogPlanGuardSpec extends SparkSpec {
     // bloom_filter_agg scalar subquery (one bloom buffer per partition,
     // merged once) pruning the semantic-join probe side — visible only
     // in the plan STRING (subqueries live in expressions, not children)
-    "t_delta_semantic")
+    "t_delta_semantic",
+    // same injected bloom_filter_agg class (r21): once the tier-1
+    // screen is checkpointed, the optimizer's size estimates let it
+    // inject runtime bloom filters on the tier-2/3 candidate joins —
+    // plan-string audited: both SinglePartition exchanges carry one
+    // partial bloom buffer per partition (query_id / cand_id keys),
+    // never data rows
+    "v_filtered_pairs")
 
   /** The guard core — exposed to the negative test: the scale-hostile
     * shapes present in `df`'s executed plan, given the name-keyed
