@@ -33,10 +33,10 @@ object SearchOps {
     */
   private def probedPostings(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    // fanned scan (r21): the tokenize+explode otherwise runs inside the
-    // one-row-group scan's single task — the parallelism-deficit class
-    // fannedDocs exists for
-    TextOps.fannedDocsOf(s, d)
+    // NOT fanned (r21 measured negative, ProfTok): plain tokenize is
+    // too cheap to pay the fan-out exchange for — unlike the shingle
+    // pipelines, where the same move wins
+    docs(s, d)
       .select($"doc_id", explode(TextOps.toks).as("t"))
       .filter($"t".isin(queryTerms: _*))
       .groupBy($"doc_id", $"t")
@@ -91,8 +91,7 @@ object SearchOps {
     "t_tfidf_search",
     (s, d) => {
       import s.implicits._
-      // two consumers (df agg + the scored join) — single-run (r21)
-      val postings = probedPostings(s, d).localCheckpoint(false)
+      val postings = probedPostings(s, d)
       val n = docs(s, d).count()
       // ${n}L: an interpolated INT literal would overflow 2^31 at
       // corpus sizes past ~2k docs under ANSI mode (caught at sf0.1)
@@ -156,8 +155,7 @@ object SearchOps {
     */
   private def probedPostingsWithLen(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    // fanned for the same reason as [[probedPostings]] (r21)
-    TextOps.fannedDocsOf(s, d)
+    docs(s, d)
       .select($"doc_id", TextOps.toks.as("tk"))
       .withColumn("dl", size($"tk").cast("long"))
       .select($"doc_id", $"dl", explode($"tk").as("t"))
@@ -169,7 +167,7 @@ object SearchOps {
   /** (totalTokens, nDocs) — the 1-row corpus-stats hand-off. */
   private def corpusStats(s: SparkSession, d: String): (Long, Long) = {
     import s.implicits._
-    val r = TextOps.fannedDocsOf(s, d)
+    val r = docs(s, d)
       .select(size(TextOps.toks).cast("long").as("dl"))
       .agg(sum($"dl"), count(lit(1)))
       .first()
@@ -180,9 +178,11 @@ object SearchOps {
   private def bm25Scored(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val (tl, n) = corpusStats(s, d)
-    // two consumers (df agg + the scored join): one lazy checkpoint
-    // keeps the tokenize+explode pass single-run (r21)
-    val postings = probedPostingsWithLen(s, d).localCheckpoint(false)
+    // deliberately NOT checkpointed (r21 measured negative, ProfTok
+    // 0.75x): the two consumers' branches execute as CONCURRENT stages
+    // of one job, so the recompute is cheaper than the materialization
+    // barrier that would serialize them
+    val postings = probedPostingsWithLen(s, d)
     val dfT = postings.groupBy($"t").agg(count(lit(1)).as("df"))
       .withColumn("idf_ppm", expr(s"(${n}L * 1000000L) div df"))
     postings

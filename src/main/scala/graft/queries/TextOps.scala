@@ -3180,15 +3180,12 @@ object TextOps {
   private[queries] def unigramLmOn(docsDf: DataFrame): DataFrame = {
     val s = docsDf.sparkSession
     import s.implicits._
-    // tokRows feeds the vocab count AND the join back (differently
-    // pruned — ReusedExchange can't merge them), and cnts feeds the
-    // join AND the corpus-total scalar: without the checkpoints the
-    // tokenize+explode pass ran twice and the vocab agg twice (r21).
-    // At scale this is the standard tokenize-once materialization.
+    // deliberately NOT checkpointed (r21 measured negative, ProfTok
+    // 0.86x): tokRows' and cnts' consumers run as concurrent stages of
+    // one job, and plain tokenize is cheap — the materialization
+    // barrier cost more than the recompute it saved
     val tokRows = docsDf.select($"doc_id", explode(toks).as("token"))
-      .localCheckpoint(false)
     val cnts = tokRows.groupBy($"token").agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(false)
     val total = cnts.agg(sum($"cnt").cast("long").as("n_total"))
     tokRows
       .join(cnts, "token")
@@ -3292,12 +3289,11 @@ object TextOps {
   private[queries] def boilerplateOn(sh: DataFrame): DataFrame = {
     val s = sh.sparkSession
     import s.implicits._
-    // sh feeds the document-frequency agg AND the join back (pruned
-    // differently) — one lazy checkpoint keeps the shingle explode
-    // single-run, the tokenize-once materialization shape (r21)
-    val shc = sh.localCheckpoint(false)
-    val docFreq = shc.groupBy($"sh").agg(count(lit(1)).as("df"))
-    shc.join(docFreq, "sh")
+    // deliberately NOT checkpointed (r21 paired A/B: 1.02x — below the
+    // 1.3x adoption gate; the df-agg and join-back branches overlap as
+    // concurrent stages, so the double shingle explode is near-free)
+    val docFreq = sh.groupBy($"sh").agg(count(lit(1)).as("df"))
+    sh.join(docFreq, "sh")
       .groupBy($"doc_id")
       .agg(
         count(lit(1)).cast("long").as("n_shingles"),
@@ -3359,12 +3355,10 @@ object TextOps {
   private[queries] def collocationsOn(docsDf: DataFrame, minCount: Long = minPairCount): DataFrame = {
     val s = docsDf.sparkSession
     import s.implicits._
-    // tokenize once for BOTH explodes (unigram + bigram legs), and the
-    // unigram model has three consumers (corpus total + two joins) —
-    // lazy checkpoints keep each single-run (r21)
-    val tk = docsDf.select(toks.as("tk")).localCheckpoint(false)
+    // deliberately NOT checkpointed (r21: same class as unigramLmOn's
+    // measured 0.86x negative — light tokenize, concurrent branches)
+    val tk = docsDf.withColumn("tk", toks)
     val uni = tk.select(explode($"tk").as("w")).groupBy($"w").agg(count(lit(1)).as("cnt_w"))
-      .localCheckpoint(false)
     val total = uni.agg(sum($"cnt_w").cast("long").as("n_total"))
     val bi = tk
       .filter(size($"tk") >= 2)

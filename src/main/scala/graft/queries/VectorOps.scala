@@ -940,14 +940,11 @@ object VectorOps {
             - lit(2.0) * dotd("embedding", "c_emb")),
         )
         .withColumn("rk", row_number().over(wAssign))
-      // same single-pass ranked checkpoint as ivfNprobeRecallWith (r21)
-      val ranked = dists.filter($"rk" <= nProbe)
-        .select($"vec_id", $"cell", $"rk", $"embedding")
-        .localCheckpoint(false)
-      val assigned = ranked
+      // NOT checkpointed — see ivfNprobeRecallWith (r21 A/B negative)
+      val assigned = dists
         .filter($"rk" === 1)
         .select($"vec_id", $"cell", $"embedding")
-      val probes = ranked
+      val probes = dists
         .filter($"vec_id" >= nCells && $"vec_id" < nCells + nQueries && $"rk" <= nProbe)
         .select($"vec_id".as("query_id"), $"cell".as("q_cell"), $"embedding".as("q_emb"))
       val wTop = Window.partitionBy($"query_id").orderBy($"sim_micros".desc, $"cand_id")
@@ -1103,14 +1100,12 @@ object VectorOps {
         micros(dotd("embedding", "embedding") + dotd("c_emb", "c_emb")
           - lit(2.0) * dotd("embedding", "c_emb")))
       .withColumn("rk", row_number().over(wAssign))
-    // assigned and probes both derive from the ranked assignment — one
-    // rk<=nProbe checkpoint runs the broadcast-centroid scan + rank
-    // window ONCE for both consumers (r21; covers every rk either needs)
-    val ranked = dists.filter($"rk" <= nProbe)
-      .select($"vec_id", $"cell", $"rk", $"embedding")
-      .localCheckpoint(false)
-    val assigned = ranked.filter($"rk" === 1).select($"vec_id", $"cell", $"embedding")
-    val probes = ranked
+    // deliberately NOT checkpointed (r21 paired A/B 0.81x, ProfIvfRanked):
+    // the assigned/probes branches execute as concurrent stages of one
+    // job, so the double assignment pass is cheaper than a
+    // materialization barrier that would serialize the pipeline
+    val assigned = dists.filter($"rk" === 1).select($"vec_id", $"cell", $"embedding")
+    val probes = dists
       .filter($"vec_id" >= nCells && $"vec_id" < nCells + nQueries && $"rk" <= nProbe)
       .select($"vec_id".as("query_id"), $"cell".as("q_cell"), $"embedding".as("q_emb"))
     val wTop = Window.partitionBy($"query_id").orderBy($"sim_micros".desc, $"cand_id")
@@ -2302,13 +2297,9 @@ object VectorOps {
         micros(dotd("embedding", "embedding") + dotd("c_emb", "c_emb")
           - lit(2.0) * dotd("embedding", "c_emb")))
       .withColumn("rk", row_number().over(wAssign))
-    // same single-pass ranked checkpoint as ivfNprobeRecallWith (r21);
-    // embedding pruned — this path only routes ids
-    val ranked = dists.filter($"rk" <= nProbe)
-      .select($"vec_id", $"cell", $"rk")
-      .localCheckpoint(false)
-    val assigned = ranked.filter($"rk" === 1).select($"vec_id".as("cand_id"), $"cell")
-    val probes = ranked
+    // NOT checkpointed — see ivfNprobeRecallWith (r21 A/B negative)
+    val assigned = dists.filter($"rk" === 1).select($"vec_id".as("cand_id"), $"cell")
+    val probes = dists
       .filter($"vec_id" >= nCells && $"vec_id" < nCells + nQueries && $"rk" <= nProbe)
       .select($"vec_id".as("query_id"), $"cell".as("q_cell"))
     val cands = assigned
@@ -2482,19 +2473,12 @@ object VectorOps {
         micros(dotd("embedding", "embedding") + dotd("c_emb", "c_emb")
           - lit(2.0) * dotd("embedding", "c_emb")))
       .withColumn("rk", row_number().over(wAssign))
-    // the ranked assignment feeds resid (rk=1) AND the probe routing
-    // (rk<=nProbe), and resid itself feeds the residual codebook slice
-    // AND the full encode pass — two lazy checkpoints keep the
-    // broadcast-centroid scan + rank window and the residual projection
-    // single-run (r21)
-    val ranked = dists.filter($"rk" <= nProbe)
-      .select($"vec_id", $"cell", $"rk", $"embedding", $"c_emb")
-      .localCheckpoint(false)
-    val resid = ranked
+    // NOT checkpointed — see ivfNprobeRecallWith (r21 A/B negative: the
+    // codebook/encode/probe branches overlap as concurrent stages)
+    val resid = dists
       .filter($"rk" === 1)
       .withColumn("r_emb", residOf("embedding", "c_emb"))
       .select($"vec_id", $"cell", $"r_emb")
-      .localCheckpoint(false)
     val cw = resid
       .filter($"vec_id" >= resCbLo && $"vec_id" < resCbLo + pqK)
       .select(
@@ -2523,7 +2507,7 @@ object VectorOps {
       .withColumn("code0", pmod($"p", lit(pqK.toLong)))
       .select($"vec_id", $"cell", $"sub".cast("long").as("sub"),
         ($"code0" + resCbLo).as("code"))
-    val probes = ranked
+    val probes = dists
       .filter($"vec_id" >= nCells && $"vec_id" < nCells + nQueries && $"rk" <= nProbe)
       .select($"vec_id".as("query_id"), $"cell", $"embedding".as("q_emb"),
         $"c_emb".as("p_emb"))
