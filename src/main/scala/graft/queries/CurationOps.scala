@@ -31,6 +31,23 @@ object CurationOps {
 
   private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
 
+  /** Run independent stored-fleet build chains CONCURRENTLY (guide §2.6
+    * overlap): Spark's scheduler happily runs jobs submitted from several
+    * driver threads at once, so while one root's build sits in its
+    * small-file/manifest-commit tail the next root's tasks back-fill the
+    * idle cores. The fleet drills were the two slowest rows of the full
+    * sweep (t_erasure_cert 12.8 s, t_index_catalog 11.7 s at sf0.1) and
+    * their cost is (sequential roots × many small jobs × local job
+    * floor), not data volume — exactly the §2.6 case. Each task is one
+    * root's FULL lifecycle (within-root epoch order preserved — manifest
+    * epochs are per-root sequential by contract); roots never share a
+    * path, and the shared input frames are immutable. Erasure fan-out
+    * stays SEQUENTIAL where it is one (the DocTargets.ordered fixed
+    * order is the crash/resume protocol's ground truth).
+    */
+  private[queries] def buildConcurrently(tasks: (String, () => Unit)*): Unit =
+    graft.sources.Overlap.run(tasks: _*)
+
   /** DuckDB mirror of [[TextOps.h60]] `% buckets` — the md5-hex prefix
     * bridge used throughout the text pack.
     */
@@ -1194,11 +1211,12 @@ object CurationOps {
         ivfPq = Some(graft.sources.Scratch.dir("graft-cert-ivfpq")),
         bq = Some(graft.sources.Scratch.dir("graft-cert-bq")),
         sq8 = Some(graft.sources.Scratch.dir("graft-cert-sq8")))
-      SearchOps.writePostingsIndex(docs(s, d), targets.postings.get)
-      TextOps.writeLshIndex(docs(s, d), targets.lsh.get)
-      VectorOps.writeIvfPqIndex(emb, targets.ivfPq.get)
-      VectorOps.writeBqIndex(emb, targets.bq.get)
-      VectorOps.writeSq8Index(emb, targets.sq8.get)
+      buildConcurrently(
+        "postings" -> (() => SearchOps.writePostingsIndex(docs(s, d), targets.postings.get)),
+        "lsh" -> (() => TextOps.writeLshIndex(docs(s, d), targets.lsh.get)),
+        "ivfpq" -> (() => VectorOps.writeIvfPqIndex(emb, targets.ivfPq.get)),
+        "bq" -> (() => VectorOps.writeBqIndex(emb, targets.bq.get)),
+        "sq8" -> (() => VectorOps.writeSq8Index(emb, targets.sq8.get)))
       Erasure.forgetDocs(Seq(4L, 14L, 24L).toDF("doc_id"), targets)
       targets
     })
@@ -1248,8 +1266,10 @@ object CurationOps {
       val targets = Erasure.UserTargets(
         cooccur = Some(graft.sources.Scratch.dir("graft-certu-cooccur")),
         table = Some(graft.sources.Scratch.dir("graft-certu-table")))
-      GraphOps.writeCooccurIndex(evs, targets.cooccur.get)
-      LayoutOps.writeEventTable(Tables.events(s, d), targets.table.get, nFiles = 8)
+      buildConcurrently(
+        "cooccur" -> (() => GraphOps.writeCooccurIndex(evs, targets.cooccur.get)),
+        "table" -> (() =>
+          LayoutOps.writeEventTable(Tables.events(s, d), targets.table.get, nFiles = 8)))
       Erasure.forgetUsers(Seq(4L, 9L, 14L).toDF("user_id"), targets)
       targets
     })
@@ -1315,20 +1335,29 @@ object CurationOps {
       graft.functions.GraftFunctions.registerDotD(s)
       val emb = Tables.embeddings(s, d)
       val p = Scratch.dir("graft-icat-post")
-      SearchOps.writePostingsIndex(docs(s, d).filter($"doc_id" % 10 =!= 3), p)
-      SearchOps.appendPostingsIndex(docs(s, d).filter($"doc_id" % 10 === 3), p)
-      SearchOps.deleteFromPostingsIndex(Seq(1L).toDF("doc_id"), p)
       val l = Scratch.dir("graft-icat-lsh")
-      TextOps.writeLshIndex(docs(s, d), l)
       val v = Scratch.dir("graft-icat-ivfpq")
-      VectorOps.writeIvfPqIndex(emb, v)
-      VectorOps.compactIvfPqIndex(s, v)
       val b = Scratch.dir("graft-icat-bq")
-      VectorOps.writeBqIndex(emb, b)
-      VectorOps.deleteFromBqIndex(Seq(0L).toDF("vec_id"), b)
       val q8 = Scratch.dir("graft-icat-sq8")
-      VectorOps.writeSq8Index(emb.filter($"vec_id" % 2 === 0), q8)
-      VectorOps.appendSq8Index(emb.filter($"vec_id" % 2 === 1), q8)
+      buildConcurrently(
+        "postings_day3" -> { () =>
+          SearchOps.writePostingsIndex(docs(s, d).filter($"doc_id" % 10 =!= 3), p)
+          SearchOps.appendPostingsIndex(docs(s, d).filter($"doc_id" % 10 === 3), p)
+          SearchOps.deleteFromPostingsIndex(Seq(1L).toDF("doc_id"), p)
+        },
+        "lsh_day1" -> (() => TextOps.writeLshIndex(docs(s, d), l)),
+        "ivfpq_compacted" -> { () =>
+          VectorOps.writeIvfPqIndex(emb, v)
+          VectorOps.compactIvfPqIndex(s, v)
+        },
+        "bq_tombstoned" -> { () =>
+          VectorOps.writeBqIndex(emb, b)
+          VectorOps.deleteFromBqIndex(Seq(0L).toDF("vec_id"), b)
+        },
+        "sq8_appended" -> { () =>
+          VectorOps.writeSq8Index(emb.filter($"vec_id" % 2 === 0), q8)
+          VectorOps.appendSq8Index(emb.filter($"vec_id" % 2 === 1), q8)
+        })
       Seq("postings_day3" -> p, "lsh_day1" -> l, "ivfpq_compacted" -> v,
         "bq_tombstoned" -> b, "sq8_appended" -> q8,
         "crashed_build" -> Scratch.dir("graft-icat-none"))
@@ -1367,30 +1396,37 @@ object CurationOps {
       import graft.sources.Scratch
       graft.functions.GraftFunctions.registerDotD(s)
       val emb = Tables.embeddings(s, d)
-      // 30% tombstoned: the dels rule (20% default) must fire
       val hd = Scratch.dir("graft-adv-dels")
-      VectorOps.writeBqIndex(emb.filter($"vec_id" < 100), hd)
-      VectorOps.deleteFromBqIndex(
-        emb.filter($"vec_id" < 30).select($"vec_id"), hd)
-      // 8 single-vector appends: the window rule (8 epochs) must fire
-      // with zero deletes
       val lw = Scratch.dir("graft-adv-window")
-      VectorOps.writeSq8Index(emb.filter($"vec_id" < 50), lw)
-      (0L until 8L).foreach { i =>
-        VectorOps.appendSq8Index(
-          emb.filter($"vec_id" === i)
-            .select(($"vec_id" + 1000L + i).as("vec_id"), $"embedding"), lw)
-      }
-      // healthy: fresh build, nothing to advise
       val ok = Scratch.dir("graft-adv-ok")
-      VectorOps.writeBqIndex(emb.filter($"vec_id" < 100), ok)
-      // compacted but never vacuumed: the superseded epochs below the
-      // raised floor are reclaimable garbage -> the vacuum rule
       val vac = Scratch.dir("graft-adv-vac")
-      VectorOps.writeBqIndex(emb.filter($"vec_id" < 40), vac)
-      VectorOps.deleteFromBqIndex(
-        emb.filter($"vec_id" === 0).select($"vec_id"), vac)
-      VectorOps.compactBqIndex(s, vac)
+      buildConcurrently(
+        // 30% tombstoned: the dels rule (20% default) must fire
+        "adv_heavy_dels" -> { () =>
+          VectorOps.writeBqIndex(emb.filter($"vec_id" < 100), hd)
+          VectorOps.deleteFromBqIndex(
+            emb.filter($"vec_id" < 30).select($"vec_id"), hd)
+        },
+        // 8 single-vector appends: the window rule (8 epochs) must fire
+        // with zero deletes
+        "adv_long_window" -> { () =>
+          VectorOps.writeSq8Index(emb.filter($"vec_id" < 50), lw)
+          (0L until 8L).foreach { i =>
+            VectorOps.appendSq8Index(
+              emb.filter($"vec_id" === i)
+                .select(($"vec_id" + 1000L + i).as("vec_id"), $"embedding"), lw)
+          }
+        },
+        // healthy: fresh build, nothing to advise
+        "adv_healthy" -> (() => VectorOps.writeBqIndex(emb.filter($"vec_id" < 100), ok)),
+        // compacted but never vacuumed: the superseded epochs below the
+        // raised floor are reclaimable garbage -> the vacuum rule
+        "adv_vacuum" -> { () =>
+          VectorOps.writeBqIndex(emb.filter($"vec_id" < 40), vac)
+          VectorOps.deleteFromBqIndex(
+            emb.filter($"vec_id" === 0).select($"vec_id"), vac)
+          VectorOps.compactBqIndex(s, vac)
+        })
       Seq("adv_heavy_dels" -> hd, "adv_long_window" -> lw,
         "adv_healthy" -> ok, "adv_vacuum" -> vac,
         "adv_crashed" -> Scratch.dir("graft-adv-none"))
@@ -1497,39 +1533,58 @@ object CurationOps {
       import java.nio.file.{Files, Paths}
       graft.functions.GraftFunctions.registerDotD(s)
       val emb = Tables.embeddings(s, d)
-      def freshBq(tag: String, n: Long = 20L): String = {
-        val dir = Scratch.dir(s"graft-fsck-$tag")
-        VectorOps.writeBqIndex(emb.filter($"vec_id" < n), dir)
-        dir
-      }
-      val ok = freshBq("ok")
-      // orphan stage: a crashed append's data directory above the
-      // committed head - fsck only lists, so an empty dir is the fault
-      val orphan = freshBq("orphan")
-      Files.createDirectories(Paths.get(orphan, "words", "epoch=7"))
-      // stranded tmp: a manifest writer that died between the tmp write
-      // and the rename (planted as the foreign litter it is)
-      val tmp = freshBq("tmp")
-      Files.write(Paths.get(tmp, "._graft_manifest.9.tmp"),
-        "{}".getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      // compacted but never vacuumed: words/0, dels/0, dels/1 reclaimable
-      val stale = freshBq("stale", n = 40L)
-      VectorOps.deleteFromBqIndex(
-        emb.filter($"vec_id" === 0).select($"vec_id"), stale)
-      VectorOps.compactBqIndex(s, stale)
-      // a live pin whose protected window a NON-pin-aware janitor
-      // already destroyed: the replay guarantee is broken NOW
-      val gone = freshBq("gone", n = 40L)
-      VectorOps.deleteFromBqIndex(
-        emb.filter($"vec_id" === 0).select($"vec_id"), gone)
-      IndexManifest.registerPin(gone, "fsck-audit", 1L, IndexManifest.Bq)
-      VectorOps.compactBqIndex(s, gone)
-      Seq("words" -> 0L, "dels" -> 0L, "dels" -> 1L).foreach { case (c, e) =>
-        LedgerIO.deleteRecursive(LedgerIO.child(s"$gone/$c", s"epoch=$e"))
-      }
-      // a foreign tool's unparseable versioned directory
-      val mal = freshBq("malformed")
-      Files.createDirectories(Paths.get(mal, "words", "epoch=3.tmp"))
+      val roots = new java.util.concurrent.ConcurrentHashMap[String, String]()
+      def chain(tag: String)(f: String => Unit): (String, () => Unit) =
+        tag -> { () =>
+          val dir = Scratch.dir(s"graft-fsck-$tag")
+          roots.put(tag, dir)
+          f(dir)
+        }
+      buildConcurrently(
+        chain("ok")(dir => VectorOps.writeBqIndex(emb.filter($"vec_id" < 20L), dir)),
+        // orphan stage: a crashed append's data directory above the
+        // committed head - fsck only lists, so an empty dir is the fault
+        chain("orphan") { dir =>
+          VectorOps.writeBqIndex(emb.filter($"vec_id" < 20L), dir)
+          Files.createDirectories(Paths.get(dir, "words", "epoch=7"))
+        },
+        // stranded tmp: a manifest writer that died between the tmp write
+        // and the rename (planted as the foreign litter it is)
+        chain("tmp") { dir =>
+          VectorOps.writeBqIndex(emb.filter($"vec_id" < 20L), dir)
+          Files.write(Paths.get(dir, "._graft_manifest.9.tmp"),
+            "{}".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        },
+        // compacted but never vacuumed: words/0, dels/0, dels/1 reclaimable
+        chain("stale") { dir =>
+          VectorOps.writeBqIndex(emb.filter($"vec_id" < 40L), dir)
+          VectorOps.deleteFromBqIndex(
+            emb.filter($"vec_id" === 0).select($"vec_id"), dir)
+          VectorOps.compactBqIndex(s, dir)
+        },
+        // a live pin whose protected window a NON-pin-aware janitor
+        // already destroyed: the replay guarantee is broken NOW
+        chain("gone") { dir =>
+          VectorOps.writeBqIndex(emb.filter($"vec_id" < 40L), dir)
+          VectorOps.deleteFromBqIndex(
+            emb.filter($"vec_id" === 0).select($"vec_id"), dir)
+          IndexManifest.registerPin(dir, "fsck-audit", 1L, IndexManifest.Bq)
+          VectorOps.compactBqIndex(s, dir)
+          Seq("words" -> 0L, "dels" -> 0L, "dels" -> 1L).foreach { case (c, e) =>
+            LedgerIO.deleteRecursive(LedgerIO.child(s"$dir/$c", s"epoch=$e"))
+          }
+        },
+        // a foreign tool's unparseable versioned directory
+        chain("malformed") { dir =>
+          VectorOps.writeBqIndex(emb.filter($"vec_id" < 20L), dir)
+          Files.createDirectories(Paths.get(dir, "words", "epoch=3.tmp"))
+        })
+      val ok = roots.get("ok")
+      val orphan = roots.get("orphan")
+      val tmp = roots.get("tmp")
+      val stale = roots.get("stale")
+      val gone = roots.get("gone")
+      val mal = roots.get("malformed")
       Seq("fsck_ok" -> ok, "fsck_orphan" -> orphan, "fsck_tmp" -> tmp,
         "fsck_stale" -> stale, "fsck_gone" -> gone, "fsck_malformed" -> mal,
         "fsck_crashed" -> Scratch.dir("graft-fsck-none"))

@@ -742,16 +742,26 @@ object GraphOps {
     val ui = evs.filter($"item".isNotNull)
       .select($"user_id", $"item").distinct()
       .localCheckpoint(true) // three consumers: ui, degrees, pairs
-    ui.write.mode("overwrite").parquet(IndexManifest.epochDir(path, "ui", 0L))
-    ui.groupBy($"user_id").agg(count(lit(1)).as("deg"))
-      .write.mode("overwrite").parquet(IndexManifest.epochDir(path, "degrees", 0L))
-    pairSupport(cappedUi(ui, cap))
-      .write.mode("overwrite").parquet(IndexManifest.epochDir(path, "pairs", 0L))
-    // user tombstones start empty, schema-carrying (the LSH/BQ pattern);
-    // format v3 added this component — the per-family version gate keeps
-    // v2 indexes (no dels/) from being mis-read as forgettable
-    Seq.empty[Long].toDF("user_id").write.mode("overwrite")
-      .parquet(IndexManifest.epochDir(path, "dels", 0L))
+    // independent epoch-0 components under one commit, overlapped
+    // (guide §2.6) — all three read the already-materialized ui blocks
+    graft.sources.Overlap.run(
+      "ui" -> (() =>
+        ui.write.mode("overwrite").parquet(IndexManifest.epochDir(path, "ui", 0L))),
+      "degrees" -> { () =>
+        ui.groupBy($"user_id").agg(count(lit(1)).as("deg"))
+          .write.mode("overwrite").parquet(IndexManifest.epochDir(path, "degrees", 0L))
+      },
+      "pairs" -> { () =>
+        pairSupport(cappedUi(ui, cap))
+          .write.mode("overwrite").parquet(IndexManifest.epochDir(path, "pairs", 0L))
+      },
+      // user tombstones start empty, schema-carrying (the LSH/BQ pattern);
+      // format v3 added this component — the per-family version gate keeps
+      // v2 indexes (no dels/) from being mis-read as forgettable
+      "dels" -> { () =>
+        Seq.empty[Long].toDF("user_id").write.mode("overwrite")
+          .parquet(IndexManifest.epochDir(path, "dels", 0L))
+      })
     IndexManifest.commit(path, 0L, fmt = IndexManifest.Cooccur)
   }
 

@@ -721,22 +721,36 @@ object SearchOps {
     val s = docsDf.sparkSession
     import s.implicits._
     val postings = positionalPostings(docsDf)
-    postings
-      .repartition($"bucket")
-      .write.mode("overwrite").partitionBy("bucket")
-      .parquet(IndexManifest.epochDir(path, "postings", 0L))
-    postings
-      .groupBy($"t").agg(count(lit(1)).as("df"))
-      .coalesce(1)
-      .write.mode("overwrite").parquet(IndexManifest.epochDir(path, "terms", 0L))
-    docsDf
-      .agg(count(lit(1)).as("n_docs"),
-        coalesce(sum(size(TextOps.toks).cast("long")), lit(0L)).as("total_tokens"))
-      .coalesce(1)
-      .write.mode("overwrite").parquet(IndexManifest.epochDir(path, "corpus", 0L))
-    // tombstones start empty, schema-carrying (the BQ-index pattern)
-    Seq.empty[Long].toDF("doc_id").write.mode("overwrite")
-      .parquet(IndexManifest.epochDir(path, "dels", 0L))
+    // the four epoch-0 components are independent writes under one
+    // commit — overlapped so the small-file tails back-fill (guide §2.6;
+    // the postings subtree recomputing concurrently in two of them is
+    // the barrier-free trade the r21 ProfTok probe said to prefer over
+    // a checkpoint here)
+    graft.sources.Overlap.run(
+      "postings" -> { () =>
+        postings
+          .repartition($"bucket")
+          .write.mode("overwrite").partitionBy("bucket")
+          .parquet(IndexManifest.epochDir(path, "postings", 0L))
+      },
+      "terms" -> { () =>
+        postings
+          .groupBy($"t").agg(count(lit(1)).as("df"))
+          .coalesce(1)
+          .write.mode("overwrite").parquet(IndexManifest.epochDir(path, "terms", 0L))
+      },
+      "corpus" -> { () =>
+        docsDf
+          .agg(count(lit(1)).as("n_docs"),
+            coalesce(sum(size(TextOps.toks).cast("long")), lit(0L)).as("total_tokens"))
+          .coalesce(1)
+          .write.mode("overwrite").parquet(IndexManifest.epochDir(path, "corpus", 0L))
+      },
+      // tombstones start empty, schema-carrying (the BQ-index pattern)
+      "dels" -> { () =>
+        Seq.empty[Long].toDF("doc_id").write.mode("overwrite")
+          .parquet(IndexManifest.epochDir(path, "dels", 0L))
+      })
     IndexManifest.commit(path, 0L, fmt = graft.sources.IndexManifest.Postings)
   }
 

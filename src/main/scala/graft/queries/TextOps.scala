@@ -2538,16 +2538,25 @@ object TextOps {
   def writeLshIndex(base: DataFrame, path: String): Unit = {
     import graft.sources.IndexManifest
     val rows = minhashBandRows(shinglesOfDf(base.select(col("doc_id"), col("text"))))
-    rows.write.mode("overwrite").parquet(IndexManifest.epochDir(path, "bands", 0L))
-    rows.groupBy(col("band"), col("bkey"))
-      .agg(count(lit(1)).as("n_base"))
-      .write.mode("overwrite")
-      .parquet(IndexManifest.epochDir(path, "bucket_counts", 0L))
     val s0 = base.sparkSession
     import s0.implicits._
-    // tombstones start empty, schema-carrying (the BQ-index pattern)
-    Seq.empty[Long].toDF("doc_id").write.mode("overwrite")
-      .parquet(IndexManifest.epochDir(path, "dels", 0L))
+    // independent epoch-0 components under one commit, overlapped
+    // (guide §2.6); the shingle subtree recomputes concurrently in both
+    // band writes — the barrier-free trade (checkpoint rule, ProfTok)
+    graft.sources.Overlap.run(
+      "bands" -> (() =>
+        rows.write.mode("overwrite").parquet(IndexManifest.epochDir(path, "bands", 0L))),
+      "bucket_counts" -> { () =>
+        rows.groupBy(col("band"), col("bkey"))
+          .agg(count(lit(1)).as("n_base"))
+          .write.mode("overwrite")
+          .parquet(IndexManifest.epochDir(path, "bucket_counts", 0L))
+      },
+      // tombstones start empty, schema-carrying (the BQ-index pattern)
+      "dels" -> { () =>
+        Seq.empty[Long].toDF("doc_id").write.mode("overwrite")
+          .parquet(IndexManifest.epochDir(path, "dels", 0L))
+      })
     IndexManifest.commit(path, 0L, fmt = IndexManifest.Lsh)
   }
 

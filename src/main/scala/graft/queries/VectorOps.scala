@@ -2641,21 +2641,32 @@ object VectorOps {
     // public entry point: callers may not have gone through vecs()'s
     // session registration (the replica sweep caught exactly that)
     graft.functions.GraftFunctions.registerDotD(s)
-    emb.filter($"vec_id" < nCells)
-      .select($"vec_id".as("cell"), $"embedding".as("c_emb"))
-      .coalesce(1)
-      .write.mode("overwrite").parquet(centroidsDir(path, 0L))
-    pqCodewords(emb)
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/codewords")
-    pqCodesOn(emb)
-      .join(ivfCells(emb).select($"vec_id", $"cell"), Seq("vec_id"))
-      .repartition($"cell")
-      .write.mode("overwrite").partitionBy("cell")
-      .parquet(IndexManifest.epochDir(path, "codes", 0L))
-    // forget tombstones start empty, schema-carrying
-    Seq.empty[Long].toDF("vec_id").write.mode("overwrite")
-      .parquet(IndexManifest.epochDir(path, "dels", 0L))
+    // independent epoch-0 components under one commit, overlapped
+    // (guide §2.6 — four small writes whose cost is the job floor)
+    graft.sources.Overlap.run(
+      "centroids" -> { () =>
+        emb.filter($"vec_id" < nCells)
+          .select($"vec_id".as("cell"), $"embedding".as("c_emb"))
+          .coalesce(1)
+          .write.mode("overwrite").parquet(centroidsDir(path, 0L))
+      },
+      "codewords" -> { () =>
+        pqCodewords(emb)
+          .coalesce(1)
+          .write.mode("overwrite").parquet(s"$path/codewords")
+      },
+      "codes" -> { () =>
+        pqCodesOn(emb)
+          .join(ivfCells(emb).select($"vec_id", $"cell"), Seq("vec_id"))
+          .repartition($"cell")
+          .write.mode("overwrite").partitionBy("cell")
+          .parquet(IndexManifest.epochDir(path, "codes", 0L))
+      },
+      // forget tombstones start empty, schema-carrying
+      "dels" -> { () =>
+        Seq.empty[Long].toDF("vec_id").write.mode("overwrite")
+          .parquet(IndexManifest.epochDir(path, "dels", 0L))
+      })
     IndexManifest.commit(path, 0L, fmt = IndexManifest.IvfPq)
   }
 
@@ -4176,11 +4187,16 @@ object VectorOps {
     import graft.sources.IndexManifest
     val s = emb.sparkSession
     import s.implicits._
-    bqPackedOn(emb).write.mode("overwrite")
-      .parquet(IndexManifest.epochDir(path, "words", 0L))
-    // tombstones start empty, schema-carrying (the scd2 `closed` pattern)
-    Seq.empty[Long].toDF("vec_id").write.mode("overwrite")
-      .parquet(IndexManifest.epochDir(path, "dels", 0L))
+    // two independent epoch-0 components under one commit (guide §2.6)
+    graft.sources.Overlap.run(
+      "words" -> (() =>
+        bqPackedOn(emb).write.mode("overwrite")
+          .parquet(IndexManifest.epochDir(path, "words", 0L))),
+      // tombstones start empty, schema-carrying (the scd2 `closed` pattern)
+      "dels" -> { () =>
+        Seq.empty[Long].toDF("vec_id").write.mode("overwrite")
+          .parquet(IndexManifest.epochDir(path, "dels", 0L))
+      })
     IndexManifest.commit(path, 0L, fmt = IndexManifest.Bq)
   }
 
@@ -4305,12 +4321,18 @@ object VectorOps {
     // the codes on disk are guaranteed consistent with the stored
     // quantizer even if the stats computation ever changes
     val st = s.read.parquet(IndexManifest.epochDir(path, "stats", 0L))
-    sq8Rows(emb, st)
-      .select($"vec_id",
-        graft.functions.GraftFunctions.sq8Pack($"codes").as("codes"))
-      .write.mode("overwrite").parquet(IndexManifest.epochDir(path, "codes", 0L))
-    Seq.empty[Long].toDF("vec_id").write.mode("overwrite")
-      .parquet(IndexManifest.epochDir(path, "dels", 0L))
+    // codes and dels are independent once stats has landed (guide §2.6)
+    graft.sources.Overlap.run(
+      "codes" -> { () =>
+        sq8Rows(emb, st)
+          .select($"vec_id",
+            graft.functions.GraftFunctions.sq8Pack($"codes").as("codes"))
+          .write.mode("overwrite").parquet(IndexManifest.epochDir(path, "codes", 0L))
+      },
+      "dels" -> { () =>
+        Seq.empty[Long].toDF("vec_id").write.mode("overwrite")
+          .parquet(IndexManifest.epochDir(path, "dels", 0L))
+      })
     IndexManifest.commit(path, 0L, fmt = IndexManifest.Sq8)
   }
 
