@@ -25,12 +25,30 @@ object Scratch {
     * scratch. An explicit SPARK_GRAFT_SCRATCH_DIR always wins (point it
     * at a disk path to measure the virtio tails on purpose).
     */
+  /** tmpfs is RAM: preferring /dev/shm for a layout clone or index
+    * fleet bigger than the free space would eat the memory the
+    * executors need (or OOM the box outright). The tmpfs root is
+    * therefore taken only when its USABLE space clears a byte budget —
+    * default 4 GiB, overridable via SPARK_GRAFT_SCRATCH_MIN_FREE_MB —
+    * else the root falls back to disk tmp. The budget is a floor on
+    * headroom at JVM start, not a quota: a run that writes more than
+    * free-at-start still fails like any full disk would.
+    */
+  private[sources] def shmEligible(shm: Path, minFreeBytes: Long): Boolean =
+    Files.isDirectory(shm) && Files.isWritable(shm) &&
+      (try shm.toFile.getUsableSpace >= minFreeBytes
+      catch { case _: Exception => false })
+
+  private[sources] def minFreeBytes: Long =
+    sys.env.get("SPARK_GRAFT_SCRATCH_MIN_FREE_MB")
+      .flatMap(_.toLongOption).getOrElse(4096L) * (1L << 20)
+
   private lazy val root: Path = {
     val base = sys.env.get("SPARK_GRAFT_SCRATCH_DIR")
       .map(java.nio.file.Paths.get(_))
       .orElse {
         val shm = java.nio.file.Paths.get("/dev/shm")
-        if (Files.isDirectory(shm) && Files.isWritable(shm)) Some(shm) else None
+        if (shmEligible(shm, minFreeBytes)) Some(shm) else None
       }
     val r = base match {
       case Some(b) => Files.createTempDirectory(b, "graft-scratch")

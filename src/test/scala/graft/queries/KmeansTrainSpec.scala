@@ -27,6 +27,22 @@ class KmeansTrainSpec extends SparkSpec {
     assert(cents2.map(_._2.toSeq) === cents1.map(_._2.toSeq) && shifts2 === shifts1)
   }
 
+  test("distributed update is bit-identical to the driver loop (both routes)") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val (cd, sd) = VectorOps.kmeansTrain(emb, steps = 2) // driver path (16x64 <= budget)
+    val (cj, sj) = VectorOps.kmeansTrainDistributed(emb, steps = 2)
+    assert(cj.map(_._1) === cd.map(_._1))
+    assert(cj.map(_._2.toSeq) === cd.map(_._2.toSeq), "centroids diverge")
+    assert(sj === sd, "shift telemetry diverges")
+    // and the guard actually routes: with a zero budget kmeansTrain must
+    // take the distributed path and still return the identical artifact
+    spark.conf.set("spark.graft.kmeans.driverCellsDimMax", "0")
+    try {
+      val (cg, sg) = VectorOps.kmeansTrain(emb, steps = 2)
+      assert(cg.map(_._2.toSeq) === cd.map(_._2.toSeq) && sg === sd)
+    } finally spark.conf.unset("spark.graft.kmeans.driverCellsDimMax")
+  }
+
   test("on a planted mixture the trainer moves then settles") {
     import spark.implicits._
     val rnd = new scala.util.Random(3)
