@@ -801,35 +801,43 @@ object GraphOps {
     // items_before must read empty so the fold re-adds the full pairs.
     val delta = newRows.join(oldUi, Seq("user_id", "item"), "left_anti")
       .localCheckpoint(true) // feeds the ui append AND the pair fold
-    delta.write.mode("overwrite").parquet(IndexManifest.epochDir(path, "ui", e))
     val affected = delta.select($"user_id").distinct()
     // items_before / items_after for affected users only — each bounded
     // reads: an already-over-cap user is read but never paired
     val oldItems = oldUi.join(affected, Seq("user_id"), "left_semi")
       .localCheckpoint(true)
     val fullItems = oldItems.unionByName(delta).localCheckpoint(true)
-    val degNew = fullItems.groupBy($"user_id").agg(count(lit(1)).as("deg"))
-    // degrees table: merge the affected users' new degrees over the old
-    val degMerged = IndexManifest.readRewrite(s, path, "degrees", IndexManifest.Cooccur)
-      .join(degNew.withColumnRenamed("deg", "deg_new"), Seq("user_id"), "full_outer")
-      .select($"user_id", coalesce($"deg_new", $"deg").as("deg"))
-    degMerged.write.mode("overwrite")
-      .parquet(IndexManifest.epochDir(path, "degrees", e))
-    // per-user contribution = capped pairs(after) − capped pairs(before)
-    val addPairs = pairSupport(cappedUi(fullItems, cap))
-      .withColumnRenamed("n_users", "n_add")
-    val subPairs = pairSupport(cappedUi(oldItems, cap))
-      .withColumnRenamed("n_users", "n_sub")
-    val contrib = addPairs.join(subPairs, Seq("i1", "i2"), "full_outer")
-      .select($"i1", $"i2",
-        (coalesce($"n_add", lit(0L)) - coalesce($"n_sub", lit(0L))).as("n_delta"))
-      .filter($"n_delta" =!= 0L)
-    val merged = IndexManifest.readRewrite(s, path, "pairs", IndexManifest.Cooccur)
-      .join(contrib, Seq("i1", "i2"), "full_outer")
-      .select($"i1", $"i2",
-        (coalesce($"n_users", lit(0L)) + coalesce($"n_delta", lit(0L))).as("n_users"))
-      .filter($"n_users" > 0L) // a fully-retracted pair leaves the table
-    merged.write.mode("overwrite").parquet(IndexManifest.epochDir(path, "pairs", e))
+    // ui, degrees and the pair fold read the materialized delta/item
+    // blocks — independent stage writes under one flip (§2.6)
+    graft.sources.Overlap.run(
+      "ui" -> (() =>
+        delta.write.mode("overwrite").parquet(IndexManifest.epochDir(path, "ui", e))),
+      "degrees" -> { () =>
+        val degNew = fullItems.groupBy($"user_id").agg(count(lit(1)).as("deg"))
+        // degrees table: merge the affected users' new degrees over the old
+        IndexManifest.readRewrite(s, path, "degrees", IndexManifest.Cooccur)
+          .join(degNew.withColumnRenamed("deg", "deg_new"), Seq("user_id"), "full_outer")
+          .select($"user_id", coalesce($"deg_new", $"deg").as("deg"))
+          .write.mode("overwrite")
+          .parquet(IndexManifest.epochDir(path, "degrees", e))
+      },
+      "pairs" -> { () =>
+        // per-user contribution = capped pairs(after) − capped pairs(before)
+        val addPairs = pairSupport(cappedUi(fullItems, cap))
+          .withColumnRenamed("n_users", "n_add")
+        val subPairs = pairSupport(cappedUi(oldItems, cap))
+          .withColumnRenamed("n_users", "n_sub")
+        val contrib = addPairs.join(subPairs, Seq("i1", "i2"), "full_outer")
+          .select($"i1", $"i2",
+            (coalesce($"n_add", lit(0L)) - coalesce($"n_sub", lit(0L))).as("n_delta"))
+          .filter($"n_delta" =!= 0L)
+        IndexManifest.readRewrite(s, path, "pairs", IndexManifest.Cooccur)
+          .join(contrib, Seq("i1", "i2"), "full_outer")
+          .select($"i1", $"i2",
+            (coalesce($"n_users", lit(0L)) + coalesce($"n_delta", lit(0L))).as("n_users"))
+          .filter($"n_users" > 0L) // a fully-retracted pair leaves the table
+          .write.mode("overwrite").parquet(IndexManifest.epochDir(path, "pairs", e))
+      })
   }
 
   /** Fold a new event slice into the stored co-occurrence index.
@@ -868,19 +876,27 @@ object GraphOps {
       .localCheckpoint(true)
     val sub = pairSupport(cappedUi(items, cap))
       .withColumnRenamed("n_users", "n_sub")
-    del.write.mode("overwrite").parquet(IndexManifest.epochDir(path, "dels", e))
-    // support give-back in the SAME epoch — a pair supported only by
-    // forgotten users leaves the table, exactly as a rebuild without them
-    IndexManifest.readRewrite(s, path, "pairs", IndexManifest.Cooccur)
-      .join(sub, Seq("i1", "i2"), "left")
-      .select(col("i1"), col("i2"),
-        (col("n_users") - coalesce(col("n_sub"), lit(0L))).as("n_users"))
-      .filter(col("n_users") > 0L)
-      .write.mode("overwrite").parquet(IndexManifest.epochDir(path, "pairs", e))
-    // the forgotten users leave the degree table (erasure, not zeroing)
-    IndexManifest.readRewrite(s, path, "degrees", IndexManifest.Cooccur)
-      .join(del, Seq("user_id"), "left_anti")
-      .write.mode("overwrite").parquet(IndexManifest.epochDir(path, "degrees", e))
+    // tombstone write and both give-backs read the materialized del/item
+    // blocks — independent stage writes under one flip (§2.6)
+    graft.sources.Overlap.run(
+      "dels" -> (() =>
+        del.write.mode("overwrite").parquet(IndexManifest.epochDir(path, "dels", e))),
+      // support give-back in the SAME epoch — a pair supported only by
+      // forgotten users leaves the table, exactly as a rebuild without them
+      "pairs" -> { () =>
+        IndexManifest.readRewrite(s, path, "pairs", IndexManifest.Cooccur)
+          .join(sub, Seq("i1", "i2"), "left")
+          .select(col("i1"), col("i2"),
+            (col("n_users") - coalesce(col("n_sub"), lit(0L))).as("n_users"))
+          .filter(col("n_users") > 0L)
+          .write.mode("overwrite").parquet(IndexManifest.epochDir(path, "pairs", e))
+      },
+      // the forgotten users leave the degree table (erasure, not zeroing)
+      "degrees" -> { () =>
+        IndexManifest.readRewrite(s, path, "degrees", IndexManifest.Cooccur)
+          .join(del, Seq("user_id"), "left_anti")
+          .write.mode("overwrite").parquet(IndexManifest.epochDir(path, "degrees", e))
+      })
   }
 
   /** Forget USERS from the stored co-occurrence index — the behavioral
@@ -918,14 +934,20 @@ object GraphOps {
     import s.implicits._
     val st = IndexManifest.committedState(path, IndexManifest.Cooccur)
     val e = st.epoch + 1L
-    resolvedUi(s, path).write.mode("overwrite")
-      .parquet(IndexManifest.epochDir(path, "ui", e))
-    Seq.empty[Long].toDF("user_id").write.mode("overwrite")
-      .parquet(IndexManifest.epochDir(path, "dels", e))
-    Seq("pairs", "degrees").foreach { comp =>
-      IndexManifest.readRewrite(s, path, comp, IndexManifest.Cooccur)
-        .write.mode("overwrite").parquet(IndexManifest.epochDir(path, comp, e))
-    }
+    // the four fold writes are independent under one commit (§2.6)
+    graft.sources.Overlap.run(
+      Seq(
+        "ui" -> (() =>
+          resolvedUi(s, path).write.mode("overwrite")
+            .parquet(IndexManifest.epochDir(path, "ui", e))),
+        "dels" -> { () =>
+          Seq.empty[Long].toDF("user_id").write.mode("overwrite")
+            .parquet(IndexManifest.epochDir(path, "dels", e))
+        }) ++
+        Seq("pairs", "degrees").map(comp => comp -> { () =>
+          IndexManifest.readRewrite(s, path, comp, IndexManifest.Cooccur)
+            .write.mode("overwrite").parquet(IndexManifest.epochDir(path, comp, e))
+        }): _*)
     val st2 = IndexManifest.committedState(path, IndexManifest.Cooccur)
     if (st2.epoch != st.epoch)
       throw new java.util.ConcurrentModificationException(

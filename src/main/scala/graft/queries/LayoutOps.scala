@@ -366,9 +366,14 @@ object LayoutOps {
     import graft.sources.IndexManifest
     val s = evs.sparkSession
     import s.implicits._
-    stageTableEpoch(evs, path, 0L, nFiles)
-    Seq.empty[Long].toDF("user_id").write.mode("overwrite")
-      .parquet(IndexManifest.epochDir(path, "dels", 0L))
+    // data+zonemap staging and the empty tombstone epoch are
+    // independent under the one commit (§2.6)
+    graft.sources.Overlap.run(
+      "data" -> (() => stageTableEpoch(evs, path, 0L, nFiles)),
+      "dels" -> { () =>
+        Seq.empty[Long].toDF("user_id").write.mode("overwrite")
+          .parquet(IndexManifest.epochDir(path, "dels", 0L))
+      })
     IndexManifest.commit(path, 0L, fmt = IndexManifest.Layout)
   }
 
@@ -450,9 +455,12 @@ object LayoutOps {
     // verbatim would break epoch precedence for re-ingested users (the
     // compactBqIndex discipline)
     val resolved = readEventTable(s, path)
-    stageTableEpoch(resolved, path, e, nFiles)
-    Seq.empty[Long].toDF("user_id").write.mode("overwrite")
-      .parquet(IndexManifest.epochDir(path, "dels", e))
+    graft.sources.Overlap.run(
+      "data" -> (() => stageTableEpoch(resolved, path, e, nFiles)),
+      "dels" -> { () =>
+        Seq.empty[Long].toDF("user_id").write.mode("overwrite")
+          .parquet(IndexManifest.epochDir(path, "dels", e))
+      })
     val st2 = IndexManifest.committedState(path, IndexManifest.Layout)
     if (st2.epoch != st.epoch)
       throw new java.util.ConcurrentModificationException(

@@ -768,29 +768,39 @@ object SearchOps {
     import s.implicits._
     val postings = positionalPostings(newDocs)
       .localCheckpoint(true) // one pass feeds the append AND the df delta
-    postings
-      .repartition($"bucket")
-      .write.mode("overwrite").partitionBy("bucket")
-      .parquet(IndexManifest.epochDir(path, "postings", e))
-    IndexManifest.readRewrite(s, path, "terms", IndexManifest.Postings)
-      .join(postings.groupBy($"t").agg(count(lit(1)).as("df_add")), Seq("t"), "full_outer")
-      .select($"t",
-        (coalesce($"df", lit(0L)) + coalesce($"df_add", lit(0L))).as("df"))
-      .coalesce(1)
-      .write.mode("overwrite").parquet(IndexManifest.epochDir(path, "terms", e))
-    // Σ tf over the new postings == the arrivals' token count — the
-    // corpus-total advance reuses the checkpointed pass, no re-tokenize
-    val old = IndexManifest.readRewrite(s, path, "corpus", IndexManifest.Postings).first()
-    val add = postings
-      .agg(countDistinct($"doc_id"), coalesce(sum($"tf"), lit(0L))).first()
-    // doc-count advance counts ALL arrivals (a < 1-token doc posts
-    // nothing but is still a corpus member)
-    val nNew = newDocs.agg(count(lit(1))).first().getLong(0)
-    assert(add.getLong(0) <= nNew)
-    Seq((old.getLong(0) + nNew, old.getLong(1) + add.getLong(1)))
-      .toDF("n_docs", "total_tokens")
-      .coalesce(1)
-      .write.mode("overwrite").parquet(IndexManifest.epochDir(path, "corpus", e))
+    // the three stage writes read the materialized postings blocks (or
+    // committed epoch e-1 components) — independent under one flip,
+    // overlapped (guide §2.6)
+    graft.sources.Overlap.run(
+      "postings" -> { () =>
+        postings
+          .repartition($"bucket")
+          .write.mode("overwrite").partitionBy("bucket")
+          .parquet(IndexManifest.epochDir(path, "postings", e))
+      },
+      "terms" -> { () =>
+        IndexManifest.readRewrite(s, path, "terms", IndexManifest.Postings)
+          .join(postings.groupBy($"t").agg(count(lit(1)).as("df_add")), Seq("t"), "full_outer")
+          .select($"t",
+            (coalesce($"df", lit(0L)) + coalesce($"df_add", lit(0L))).as("df"))
+          .coalesce(1)
+          .write.mode("overwrite").parquet(IndexManifest.epochDir(path, "terms", e))
+      },
+      // Σ tf over the new postings == the arrivals' token count — the
+      // corpus-total advance reuses the checkpointed pass, no re-tokenize
+      "corpus" -> { () =>
+        val old = IndexManifest.readRewrite(s, path, "corpus", IndexManifest.Postings).first()
+        val add = postings
+          .agg(countDistinct($"doc_id"), coalesce(sum($"tf"), lit(0L))).first()
+        // doc-count advance counts ALL arrivals (a < 1-token doc posts
+        // nothing but is still a corpus member)
+        val nNew = newDocs.agg(count(lit(1))).first().getLong(0)
+        assert(add.getLong(0) <= nNew)
+        Seq((old.getLong(0) + nNew, old.getLong(1) + add.getLong(1)))
+          .toDF("n_docs", "total_tokens")
+          .coalesce(1)
+          .write.mode("overwrite").parquet(IndexManifest.epochDir(path, "corpus", e))
+      })
   }
 
   /** Fold NEW docs into the stored postings index — the text-search
@@ -831,16 +841,23 @@ object SearchOps {
     import s.implicits._
     val st = IndexManifest.committedState(path, IndexManifest.Postings)
     val e = st.epoch + 1L
-    storedPostings(s, path)
-      .repartition($"bucket")
-      .write.mode("overwrite").partitionBy("bucket")
-      .parquet(IndexManifest.epochDir(path, "postings", e))
-    Seq.empty[Long].toDF("doc_id").write.mode("overwrite")
-      .parquet(IndexManifest.epochDir(path, "dels", e))
-    Seq("terms", "corpus").foreach { comp =>
-      IndexManifest.readRewrite(s, path, comp, IndexManifest.Postings)
-        .write.mode("overwrite").parquet(IndexManifest.epochDir(path, comp, e))
-    }
+    // the four fold writes are independent under one commit (§2.6)
+    graft.sources.Overlap.run(
+      Seq(
+        "postings" -> { () =>
+          storedPostings(s, path)
+            .repartition($"bucket")
+            .write.mode("overwrite").partitionBy("bucket")
+            .parquet(IndexManifest.epochDir(path, "postings", e))
+        },
+        "dels" -> { () =>
+          Seq.empty[Long].toDF("doc_id").write.mode("overwrite")
+            .parquet(IndexManifest.epochDir(path, "dels", e))
+        }) ++
+        Seq("terms", "corpus").map(comp => comp -> { () =>
+          IndexManifest.readRewrite(s, path, comp, IndexManifest.Postings)
+            .write.mode("overwrite").parquet(IndexManifest.epochDir(path, comp, e))
+        }): _*)
     val st2 = IndexManifest.committedState(path, IndexManifest.Postings)
     if (st2.epoch != st.epoch)
       throw new java.util.ConcurrentModificationException(
@@ -860,21 +877,29 @@ object SearchOps {
     // epoch) carry exactly the df/token mass the stats must give back
     val gone = storedPostings(s, path).join(del, "doc_id")
       .localCheckpoint(true)
-    del.write.mode("overwrite")
-      .parquet(IndexManifest.epochDir(path, "dels", e))
-    IndexManifest.readRewrite(s, path, "terms", IndexManifest.Postings)
-      .join(gone.groupBy($"t").agg(count(lit(1)).as("df_sub")), Seq("t"), "left")
-      .select($"t", ($"df" - coalesce($"df_sub", lit(0L))).as("df"))
-      .filter($"df" > 0L) // a rebuild has no zero-df rows
-      .coalesce(1)
-      .write.mode("overwrite").parquet(IndexManifest.epochDir(path, "terms", e))
-    val old = IndexManifest.readRewrite(s, path, "corpus", IndexManifest.Postings).first()
-    val sub = gone.agg(coalesce(sum($"tf"), lit(0L))).first().getLong(0)
-    val nDel = del.count()
-    Seq((old.getLong(0) - nDel, old.getLong(1) - sub))
-      .toDF("n_docs", "total_tokens")
-      .coalesce(1)
-      .write.mode("overwrite").parquet(IndexManifest.epochDir(path, "corpus", e))
+    // tombstone write and both stat give-backs read the materialized
+    // del/gone blocks — independent under one flip, overlapped (§2.6)
+    graft.sources.Overlap.run(
+      "dels" -> (() =>
+        del.write.mode("overwrite")
+          .parquet(IndexManifest.epochDir(path, "dels", e))),
+      "terms" -> { () =>
+        IndexManifest.readRewrite(s, path, "terms", IndexManifest.Postings)
+          .join(gone.groupBy($"t").agg(count(lit(1)).as("df_sub")), Seq("t"), "left")
+          .select($"t", ($"df" - coalesce($"df_sub", lit(0L))).as("df"))
+          .filter($"df" > 0L) // a rebuild has no zero-df rows
+          .coalesce(1)
+          .write.mode("overwrite").parquet(IndexManifest.epochDir(path, "terms", e))
+      },
+      "corpus" -> { () =>
+        val old = IndexManifest.readRewrite(s, path, "corpus", IndexManifest.Postings).first()
+        val sub = gone.agg(coalesce(sum($"tf"), lit(0L))).first().getLong(0)
+        val nDel = del.count()
+        Seq((old.getLong(0) - nDel, old.getLong(1) - sub))
+          .toDF("n_docs", "total_tokens")
+          .coalesce(1)
+          .write.mode("overwrite").parquet(IndexManifest.epochDir(path, "corpus", e))
+      })
   }
 
   /** De-index documents — the search half of right-to-be-forgotten: the

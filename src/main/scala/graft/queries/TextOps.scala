@@ -2582,15 +2582,21 @@ object TextOps {
     val gone = storedLshBands(s, path).join(del, "doc_id")
       .groupBy(col("band"), col("bkey"))
       .agg(count(lit(1)).as("n_sub"))
-    del.write.mode("overwrite")
-      .parquet(IndexManifest.epochDir(path, "dels", e))
-    IndexManifest.readRewrite(s, path, "bucket_counts", IndexManifest.Lsh)
-      .join(gone, Seq("band", "bkey"), "left")
-      .select(col("band"), col("bkey"),
-        (col("n_base") - coalesce(col("n_sub"), lit(0L))).as("n_base"))
-      .filter(col("n_base") > 0L) // a rebuild has no zero-count buckets
-      .write.mode("overwrite")
-      .parquet(IndexManifest.epochDir(path, "bucket_counts", e))
+    // tombstone write and count give-back are independent stage writes
+    // under one advance — overlapped (guide §2.6)
+    graft.sources.Overlap.run(
+      "dels" -> (() =>
+        del.write.mode("overwrite")
+          .parquet(IndexManifest.epochDir(path, "dels", e))),
+      "bucket_counts" -> { () =>
+        IndexManifest.readRewrite(s, path, "bucket_counts", IndexManifest.Lsh)
+          .join(gone, Seq("band", "bkey"), "left")
+          .select(col("band"), col("bkey"),
+            (col("n_base") - coalesce(col("n_sub"), lit(0L))).as("n_base"))
+          .filter(col("n_base") > 0L) // a rebuild has no zero-count buckets
+          .write.mode("overwrite")
+          .parquet(IndexManifest.epochDir(path, "bucket_counts", e))
+      })
   }
 
   /** Forget documents from the stored LSH index — the near-dup half of
@@ -2626,17 +2632,23 @@ object TextOps {
     val s = keptDelta.sparkSession
     val rows = minhashBandRows(shinglesOfDf(keptDelta.select(col("doc_id"), col("text"))))
       .localCheckpoint(true) // one signing pass feeds bands AND the counts merge
-    rows.write.mode("overwrite").parquet(IndexManifest.epochDir(path, "bands", e))
-    val deltaCounts = rows.groupBy(col("band"), col("bkey"))
-      .agg(count(lit(1)).as("n_add"))
-    // reads committed epoch e-1, writes epoch e: no self-overwrite, so no
-    // pre-materialization checkpoint needed (snapshot isolation for free)
-    IndexManifest.readRewrite(s, path, "bucket_counts", graft.sources.IndexManifest.Lsh)
-      .join(deltaCounts, Seq("band", "bkey"), "full_outer")
-      .select(col("band"), col("bkey"),
-        (coalesce(col("n_base"), lit(0L)) + coalesce(col("n_add"), lit(0L))).as("n_base"))
-      .write.mode("overwrite")
-      .parquet(IndexManifest.epochDir(path, "bucket_counts", e))
+    // both stage writes read the materialized rows blocks — independent,
+    // overlapped (guide §2.6)
+    graft.sources.Overlap.run(
+      "bands" -> (() =>
+        rows.write.mode("overwrite").parquet(IndexManifest.epochDir(path, "bands", e))),
+      "bucket_counts" -> { () =>
+        val deltaCounts = rows.groupBy(col("band"), col("bkey"))
+          .agg(count(lit(1)).as("n_add"))
+        // reads committed epoch e-1, writes epoch e: no self-overwrite, so no
+        // pre-materialization checkpoint needed (snapshot isolation for free)
+        IndexManifest.readRewrite(s, path, "bucket_counts", graft.sources.IndexManifest.Lsh)
+          .join(deltaCounts, Seq("band", "bkey"), "full_outer")
+          .select(col("band"), col("bkey"),
+            (coalesce(col("n_base"), lit(0L)) + coalesce(col("n_add"), lit(0L))).as("n_base"))
+          .write.mode("overwrite")
+          .parquet(IndexManifest.epochDir(path, "bucket_counts", e))
+      })
   }
 
   /** Fold an ADMITTED delta into the stored LSH index — the write half
@@ -2676,14 +2688,21 @@ object TextOps {
     // the RESOLVED band rows (window minus tombstones) — deletions
     // become physical here; folding bands and dels verbatim into one
     // shared epoch would break the epoch-precedence rule (the BQ
-    // compactor's argument)
-    storedLshBands(s, path).write.mode("overwrite")
-      .parquet(IndexManifest.epochDir(path, "bands", e))
-    IndexManifest.readRewrite(s, path, "bucket_counts", IndexManifest.Lsh)
-      .write.mode("overwrite")
-      .parquet(IndexManifest.epochDir(path, "bucket_counts", e))
-    Seq.empty[Long].toDF("doc_id").write.mode("overwrite")
-      .parquet(IndexManifest.epochDir(path, "dels", e))
+    // compactor's argument). The three fold writes are independent
+    // under the one commit — overlapped (guide §2.6).
+    graft.sources.Overlap.run(
+      "bands" -> (() =>
+        storedLshBands(s, path).write.mode("overwrite")
+          .parquet(IndexManifest.epochDir(path, "bands", e))),
+      "bucket_counts" -> { () =>
+        IndexManifest.readRewrite(s, path, "bucket_counts", IndexManifest.Lsh)
+          .write.mode("overwrite")
+          .parquet(IndexManifest.epochDir(path, "bucket_counts", e))
+      },
+      "dels" -> { () =>
+        Seq.empty[Long].toDF("doc_id").write.mode("overwrite")
+          .parquet(IndexManifest.epochDir(path, "dels", e))
+      })
     val st2 = IndexManifest.committedState(path, IndexManifest.Lsh)
     if (st2.epoch != st.epoch)
       throw new java.util.ConcurrentModificationException(

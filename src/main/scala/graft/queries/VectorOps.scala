@@ -2838,17 +2838,24 @@ object VectorOps {
     val e = st.epoch + 1L
     // RESOLVED codes (window minus tombstones) — forgets become
     // physical here; the verbatim fold would collapse epoch precedence
-    // for re-added vectors (the BQ compactor's argument)
-    storedIvfPqCodes(s, path)
-      .repartition($"cell")
-      .write.mode("overwrite").partitionBy("cell")
-      .parquet(IndexManifest.epochDir(path, "codes", e))
-    Seq.empty[Long].toDF("vec_id").write.mode("overwrite")
-      .parquet(IndexManifest.epochDir(path, "dels", e))
-    // carry the centroid generation to the new floor (gen == baseEpoch
-    // invariant); 16 rows, trivial copy
-    s.read.parquet(centroidsDir(path, st.baseEpoch))
-      .coalesce(1).write.mode("overwrite").parquet(centroidsDir(path, e))
+    // for re-added vectors (the BQ compactor's argument). The three
+    // fold writes are independent under one commit (§2.6).
+    graft.sources.Overlap.run(
+      "codes" -> { () =>
+        storedIvfPqCodes(s, path)
+          .repartition($"cell")
+          .write.mode("overwrite").partitionBy("cell")
+          .parquet(IndexManifest.epochDir(path, "codes", e))
+      },
+      "dels" -> { () =>
+        Seq.empty[Long].toDF("vec_id").write.mode("overwrite")
+          .parquet(IndexManifest.epochDir(path, "dels", e))
+      },
+      // carry the centroid generation to the new floor (gen == baseEpoch
+      // invariant); 16 rows, trivial copy
+      "centroids" -> (() =>
+        s.read.parquet(centroidsDir(path, st.baseEpoch))
+          .coalesce(1).write.mode("overwrite").parquet(centroidsDir(path, e))))
     val st2 = IndexManifest.committedState(path, IndexManifest.IvfPq)
     if (st2.epoch != st.epoch)
       throw new java.util.ConcurrentModificationException(
@@ -4356,10 +4363,15 @@ object VectorOps {
     import s.implicits._
     val st = IndexManifest.committedState(path, IndexManifest.Bq)
     val e = st.epoch + 1L
-    storedBqWords(s, path).write.mode("overwrite")
-      .parquet(IndexManifest.epochDir(path, "words", e))
-    Seq.empty[Long].toDF("vec_id").write.mode("overwrite")
-      .parquet(IndexManifest.epochDir(path, "dels", e))
+    // the two fold writes are independent under one commit (§2.6)
+    graft.sources.Overlap.run(
+      "words" -> (() =>
+        storedBqWords(s, path).write.mode("overwrite")
+          .parquet(IndexManifest.epochDir(path, "words", e))),
+      "dels" -> { () =>
+        Seq.empty[Long].toDF("vec_id").write.mode("overwrite")
+          .parquet(IndexManifest.epochDir(path, "dels", e))
+      })
     val st2 = IndexManifest.committedState(path, IndexManifest.Bq)
     if (st2.epoch != st.epoch)
       throw new java.util.ConcurrentModificationException(
@@ -4550,12 +4562,18 @@ object VectorOps {
     import s.implicits._
     val st = IndexManifest.committedState(path, IndexManifest.Sq8)
     val e = st.epoch + 1L
-    storedSq8Codes(s, path).write.mode("overwrite")
-      .parquet(IndexManifest.epochDir(path, "codes", e))
-    Seq.empty[Long].toDF("vec_id").write.mode("overwrite")
-      .parquet(IndexManifest.epochDir(path, "dels", e))
-    storedSq8Stats(s, path).coalesce(1).write.mode("overwrite")
-      .parquet(IndexManifest.epochDir(path, "stats", e))
+    // the three fold writes are independent under one commit (§2.6)
+    graft.sources.Overlap.run(
+      "codes" -> (() =>
+        storedSq8Codes(s, path).write.mode("overwrite")
+          .parquet(IndexManifest.epochDir(path, "codes", e))),
+      "dels" -> { () =>
+        Seq.empty[Long].toDF("vec_id").write.mode("overwrite")
+          .parquet(IndexManifest.epochDir(path, "dels", e))
+      },
+      "stats" -> (() =>
+        storedSq8Stats(s, path).coalesce(1).write.mode("overwrite")
+          .parquet(IndexManifest.epochDir(path, "stats", e))))
     val st2 = IndexManifest.committedState(path, IndexManifest.Sq8)
     if (st2.epoch != st.epoch)
       throw new java.util.ConcurrentModificationException(
