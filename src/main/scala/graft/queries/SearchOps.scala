@@ -720,21 +720,25 @@ object SearchOps {
     import graft.sources.IndexManifest
     val s = docsDf.sparkSession
     import s.implicits._
-    val postings = positionalPostings(docsDf)
     // the four epoch-0 components are independent writes under one
     // commit — overlapped so the small-file tails back-fill (guide §2.6;
     // the postings subtree recomputing concurrently in two of them is
     // the barrier-free trade the r21 ProfTok probe said to prefer over
-    // a checkpoint here)
+    // a checkpoint here). Each task BUILDS ITS OWN derived plan: two
+    // concurrent write commands must never share a live plan instance
+    // at or above an exchange — sharing one corrupts results under AQE
+    // (ProfRace3: shared-instance writes diverge, per-task copies are
+    // clean over 40 trials; eager-checkpointed ExistingRDD frames are
+    // exempt, having no exchange to share).
     graft.sources.Overlap.run(
       "postings" -> { () =>
-        postings
+        positionalPostings(docsDf)
           .repartition($"bucket")
           .write.mode("overwrite").partitionBy("bucket")
           .parquet(IndexManifest.epochDir(path, "postings", 0L))
       },
       "terms" -> { () =>
-        postings
+        positionalPostings(docsDf)
           .groupBy($"t").agg(count(lit(1)).as("df"))
           .coalesce(1)
           .write.mode("overwrite").parquet(IndexManifest.epochDir(path, "terms", 0L))

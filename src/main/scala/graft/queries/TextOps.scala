@@ -2537,17 +2537,20 @@ object TextOps {
     */
   def writeLshIndex(base: DataFrame, path: String): Unit = {
     import graft.sources.IndexManifest
-    val rows = minhashBandRows(shinglesOfDf(base.select(col("doc_id"), col("text"))))
     val s0 = base.sparkSession
     import s0.implicits._
     // independent epoch-0 components under one commit, overlapped
     // (guide §2.6); the shingle subtree recomputes concurrently in both
-    // band writes — the barrier-free trade (checkpoint rule, ProfTok)
+    // band writes — the barrier-free trade (checkpoint rule, ProfTok).
+    // Each task builds ITS OWN plan: concurrent write commands must not
+    // share a live plan instance at or above an exchange (the ProfRace3
+    // AQE corruption — see SearchOps.writePostingsIndex).
+    def rows() = minhashBandRows(shinglesOfDf(base.select(col("doc_id"), col("text"))))
     graft.sources.Overlap.run(
       "bands" -> (() =>
-        rows.write.mode("overwrite").parquet(IndexManifest.epochDir(path, "bands", 0L))),
+        rows().write.mode("overwrite").parquet(IndexManifest.epochDir(path, "bands", 0L))),
       "bucket_counts" -> { () =>
-        rows.groupBy(col("band"), col("bkey"))
+        rows().groupBy(col("band"), col("bkey"))
           .agg(count(lit(1)).as("n_base"))
           .write.mode("overwrite")
           .parquet(IndexManifest.epochDir(path, "bucket_counts", 0L))
